@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H-style pricing summary) at
+sf0.001. ``queries()`` / ``oracle_sql()`` expose the full operator registry
+(mongodb_nats_connector_spark.registry): every implemented operator from
+SURVEY.md §2.3 has a named query, and every SQL-expressible one has a DuckDB
+oracle with identically-aliased columns.
 """
 
 from __future__ import annotations
@@ -13,26 +13,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from mongodb_nats_connector_spark.operators.relational import q1_pricing_summary
+    from mongodb_nats_connector_spark.session import tune_existing
+
+    tune_existing(spark)
+    return q1_pricing_summary(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from mongodb_nats_connector_spark import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops
+    (approx sketches, LSH ANN, stubbed multimodal decode) -> rows-only check."""
+    from mongodb_nats_connector_spark import registry
+
+    return registry.oracle_sql()

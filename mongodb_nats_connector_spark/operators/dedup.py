@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash group-by (one shuffle on the content hash). Near-dup
+detection is MinHash+LSH: shingle -> K-permutation minhash signature -> band
+keys -> candidate pairs via an equi-join on (band_id, band_key) -> exact
+Jaccard verification of the (small) candidate set. At 100 TB the band join is
+the only shuffle that touches all documents, and it shuffles just
+(doc_id, band_key) — signature bytes, not text. SimHash follows the same
+candidate-join shape with bit-chunk pigeonholing.
+
+All hashing is JVM-side (xxhash64 + affine permutations as SQL expressions);
+no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.functions.texthash import (
+    band_keys,
+    minhash_aggs,
+    shingle_base_hash,
+    simhash63,
+    word_shingles,
+)
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+JACCARD_THRESHOLD = 0.7
+
+# Exact word-3-gram Jaccard >= 0.7 over documents: the DuckDB formulation used
+# as the oracle both for the exact operator and for MinHash-LSH (whose
+# candidates are exactly verified; miss probability <= 2e-5 at the threshold,
+# ~1e-11 at the j>=0.9 pairs present in the data).
+_JACCARD_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), u AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), n AS (
+      SELECT doc_id, count(*) AS ns FROM u GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (x.ns + y.ns - inter), 4) AS jaccard
+    FROM pairs JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+    WHERE inter * 1.0 / (x.ns + y.ns - inter) >= 0.7
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: group by full content, keep the smallest doc_id as "
+    "canonical. One shuffle on the text (at scale: on its hash).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.length("text").cast("bigint").alias("text_len"),
+    ).drop("text")
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY content_hash
+    """,
+    doc="Exact dedup on a SHA-256 content hash — the 100 TB formulation: the "
+    "shuffle key is 32 bytes regardless of document size.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-3-grams, docs with >=3 words."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.7): explode "
+    "shingles, equi-join on shingle, count intersections, Jaccard = "
+    "|A∩B| / (|A|+|B|-|A∩B|). The all-pairs-sharing-a-shingle join is "
+    "quadratic in the worst case — dedup_minhash_lsh is the scale path; "
+    "this is the correctness baseline.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    doc="MinHash + LSH near-dup detection: 32 affine-permutation minhashes "
+    "over xxhash64 shingle hashes -> 16 bands x 2 rows -> candidate pairs "
+    "from the band-key equi-join -> exact Jaccard verification. Only "
+    "signatures shuffle; candidates (not all pairs) are verified. Oracle is "
+    "the exact >=0.7 pair set, which LSH+verify reproduces w.h.p.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sigs = sh.withColumn("x", shingle_base_hash(F.col("s"))).groupBy("doc_id").agg(
+        *minhash_aggs(F.col("x"))
+    )
+    bands = band_keys(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of the (small) candidate set via shingle-set overlap
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB equivalent: rows-only + unit tests
+    doc="SimHash near-dup: 63-bit signature from per-token hash-bit votes; "
+    "candidate pairs via 4x16-bit chunk pigeonholing (hamming<=3 implies an "
+    "equal chunk), verified with bit_count(xor). Same scalable "
+    "candidate-join shape as MinHash-LSH.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    th = F.xxhash64("tok")
+    votes = tokens.groupBy("doc_id").agg(
+        *[F.sum(simhash63(th, i)).alias(f"v{i}") for i in range(63)]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(63):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # 4 chunks of 16 bits (chunk 3 holds 15 payload bits)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as `binary` columns with metadata
+columns alongside (the same pattern the reference uses for its schemaless
+`fullDocument` BSON blob — extract the envelope, pass the payload through
+opaque, SURVEY.md §1.2). Decode / feature-extraction runs as Arrow-batched
+pandas over `mapInPandas`; the actual image/audio codecs are STUBBED (libs
+not in this container) behind `decode_stub`, but the Spark-side plumbing —
+schema, batch shape, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("fake_width", LongType(), True),
+        StructField("fake_height", LongType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+
+def real_decode(payload: bytes) -> tuple[int, int]:
+    """Placeholder for a real image/audio decode (PIL/libav not available in
+    this container). The mapInPandas plumbing around it is real."""
+    raise NotImplementedError("media codecs are not available in this environment")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in: derive fake dimensions from the payload bytes
+    so tests are reproducible without codec libraries."""
+    n = len(payload)
+    return (n % 640) + 1, ((n * 7) % 480) + 1
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode': one pandas frame per batch, vectorized body."""
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": lens.astype("int64"),
+                "fake_width": (lens % 640 + 1).astype("int64"),
+                "fake_height": ((lens * 7) % 480 + 1).astype("int64"),
+                "codec": "stub",
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model the multimodal table: text encoded to an opaque binary column."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "source"
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(text)), 1, 16))    AS prefix_hex,
+           source
+    FROM documents
+    """,
+    doc="Typed metadata over an opaque binary column: byte length + hex "
+    "prefix, computed without decoding (scan stays columnar; the payload is "
+    "never deserialized driver-side).",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.upper(F.substring(F.hex("payload"), 1, 16)).alias("prefix_hex"),
+        "source",
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode is stubbed (no codec libs); plumbing checked rows-only + tests
+    doc="mapInPandas feature extraction over binary payloads: Arrow batches "
+    "in, typed feature rows out. Decode itself is a deterministic stub "
+    "(real codecs unavailable here); schema/batching/partitioning are real.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return docs.mapInPandas(_decode_batches, DECODED_SCHEMA)

@@ -1,0 +1,963 @@
+"""Batch relational operator surface (SURVEY.md §2.3).
+
+Every query here is declared with the DataFrame API and left to Catalyst for
+physical planning: filters/projections push into the parquet scan, dimension
+joins broadcast (autoBroadcastJoinThreshold covers every dim table at bench
+scale), fact-fact joins shuffle on their keys with AQE handling skew, and
+aggregations run partial (map-side) before the exchange. Nothing below
+collects to the driver; everything scales by adding executors.
+
+Determinism for the oracle comparison: double-valued aggregates are rounded
+(2 decimals for money sums, 4 for unit-scale values) on BOTH sides, because
+floating-point summation order differs between engines; DuckDB integer SUM
+returns HUGEINT so oracles cast to BIGINT to match Spark's long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Aggregation: hash agg with group-by, partial aggregation map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: scan+filter -> partial hash agg -> final agg.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    """,
+    doc="Global (no group-by) aggregate over the fact table.",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT projection (shuffle on the distinct key set).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Grouped exact count-distinct (expand+two-phase agg under the hood).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific: rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the scale path for distinct "
+    "counts — no expand, one pass, mergeable sketches.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grouping-set expansion).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL API.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '%URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_custkey IS NOT NULL
+    """,
+    doc="Comparison/BETWEEN/IN/LIKE/null-test predicates; all push into the "
+    "parquet scan (PushedFilters).",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice").between(1000, 50000))
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .filter(F.col("o_orderpriority").like("%URGENT"))
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "projection_computed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           upper(l_returnflag || '-' || l_linestatus)   AS status_code,
+           CAST(l_quantity >= 25 AS BOOLEAN)            AS is_bulk
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+    doc="Computed columns / rename / boolean expressions; column pruning "
+    "keeps the scan at 7 of 11 columns.",
+)
+def projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.upper(F.concat_ws("-", "l_returnflag", "l_linestatus")).alias("status_code"),
+        (F.col("l_quantity") >= 25).alias("is_bulk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Inner equi-join fact->dim; customer broadcasts (checked in tests).",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join preserving customers with zero orders.",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Right outer join: every nation kept even with no suppliers.",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH co AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         su AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(co.nk, su.nk) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+    FROM co FULL OUTER JOIN su ON co.nk = su.nk
+    """,
+    doc="Full outer join of two aggregates on nationkey.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi join: customers having >=1 urgent order (no row "
+    "multiplication, build side only carries the key).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join: customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: 3-way join (dim broadcast, fact-fact shuffle on orderkey) "
+    "-> agg -> global top-10 (partial top-k per partition, then merge).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: 6-table join; region/nation/supplier/customer broadcast, "
+    "orders-lineitem shuffles once on orderkey.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_nationkey = s_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    doc="Range (theta) join: equi part on nationkey keeps it a hash join "
+    "with the band predicate as a post-filter — the scalable plan shape.",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (c.c_nationkey == s.s_nationkey)
+            & (c.c_acctbal >= s.s_acctbal - 100)
+            & (c.c_acctbal <= s.s_acctbal + 100),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
+             event_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_signup_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (purchase -> most recent signup per user) via the "
+    "union+last_value window trick: one shuffle on user_id, no per-row "
+    "backward scan; scales linearly unlike a naive range self-join.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("signup", "purchase"))
+    tagged = ev.withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank()       OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer: row_number/rank/dense_rank over a "
+    "partitioned window (single shuffle on o_custkey).",
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS wealth_quartile
+    FROM customer
+    """,
+    doc="ntile quartiles per nation.",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("wealth_quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS value,
+           round(lag(value)  OVER w, 2) AS prev_value,
+           round(lead(value) OVER w, 2) AS next_value,
+           round(first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead/first_value analytics per user ordered by event time.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(wf), 2).alias("first_value"),
+    )
+
+
+@register(
+    "window_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    """,
+    doc="ROWS frames: running sum + 3-row moving average per customer.",
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = base.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+    FROM orders
+    """,
+    doc="RANGE frame on a numeric ordering (value-based, deterministic "
+    "under ties unlike ROWS).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_within_1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_returnflag ASC, price DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    doc="Multi-key sort + limit: Spark runs TakeOrderedAndProject (per-"
+    "partition top-k then merge — no global sort materialization).",
+)
+def sort_multi_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy(
+            F.asc("l_returnflag"), F.desc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS custkey, 'BUILDING' AS segment FROM customer
+     WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey AS custkey, 'MACHINERY' AS segment FROM customer
+     WHERE c_mktsegment = 'MACHINERY'
+    """,
+    doc="UNION ALL (no dedup shuffle).",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.lit("BUILDING").alias("segment")
+    )
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey"), F.lit("MACHINERY").alias("segment")
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="UNION DISTINCT (dedup across branches).",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT: customers with both finished and open orders.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="EXCEPT (distinct): customer keys never appearing in orders.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           lower(c_mktsegment)                    AS seg_lower,
+           substr(c_name, 1, 8)                   AS name_prefix,
+           trim('  ' || c_name || ' ')            AS name_trimmed,
+           c_name || '/' || c_mktsegment          AS name_seg,
+           regexp_extract(c_name, '([0-9]+)', 1)  AS name_num,
+           CAST(length(c_name) AS INT)            AS name_len,
+           CAST(len(string_split(c_name, '_')) AS INT) AS n_parts
+    FROM customer
+    """,
+    doc="String functions: upper/lower/substr/trim/concat/regexp_extract/"
+    "length/split — all JVM-side, whole-stage codegen.",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+        F.length("c_name").alias("name_len"),
+        F.size(F.split("c_name", "_")).alias("n_parts"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)     AS order_year,
+           CAST(month(o_orderdate) AS INT)    AS order_month,
+           CAST(day(o_orderdate) AS INT)      AS order_day,
+           CAST(quarter(o_orderdate) AS INT)  AS order_quarter,
+           date_trunc('month', o_orderdate)   AS month_start,
+           o_orderdate + INTERVAL 30 DAY      AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+    doc="Date/time functions: year/month/day/quarter/date_trunc/date_add/"
+    "datediff.",
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                         AS price_r1,
+           round(abs(l_discount - 0.05), 4)                  AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT)                 AS qty_floor,
+           CAST(ceil(l_quantity / 10) AS BIGINT)             AS qty_decile_ceil,
+           round(pow(l_quantity, 2), 4)                      AS qty_sq,
+           round(ln(l_extendedprice + 1), 6)                 AS log_price,
+           round(sqrt(l_quantity), 6)                        AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT)                    AS key_mod7
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+    doc="Math functions: round/abs/floor/ceil/pow/ln/sqrt/mod.",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_decile_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'high'
+                WHEN o_totalprice >= 10000  THEN 'mid'
+                ELSE 'low' END               AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 1 ELSE 0 END            AS is_priority
+    FROM orders
+    """,
+    doc="Conditional expressions: CASE WHEN / coalesce / nullif.",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000, "high")
+        .when(F.col("o_totalprice") >= 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(
+            F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"), 1
+        )
+        .otherwise(0)
+        .alias("is_priority"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS INT) AS prop_k,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY prop_k
+    """,
+    doc="JSON extraction (get_json_object) on the schemaless props column — "
+    "the Spark analogue of the reference's opaque fullDocument payload "
+    "(internal/mongo/client.go:222).",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("prop_k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("prop_k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+    doc="Array functions: split + explode + aggregate (word counts top-50).",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "scalar_map_struct",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT)  AS text_len,
+           CAST(contains(text, 'spark') AS BOOLEAN) AS mentions_spark,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           string_split(text, ' ')[1]    AS first_word
+    FROM documents
+    """,
+    doc="Array element access / contains / size on split text.",
+)
+def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+    )

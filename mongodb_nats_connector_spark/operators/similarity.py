@@ -1,0 +1,167 @@
+"""Similarity search over the `embeddings` table (`array<float>` column).
+
+Brute-force cosine top-k is the correctness baseline: a broadcast cross join
+of the (small) query set against all vectors, dot products computed with
+JVM-side higher-order functions (functions/vectors.py) — no Python per row.
+The scale path is random-hyperplane LSH (`similarity_ann_lsh`): L hash
+tables of B sign bits each; only (vec_id, table, bucket) shuffles and
+candidates are scored, not the full cross product.
+
+DuckDB oracle note: cosine values are rounded to 6 decimals on both sides and
+ranking ties are broken by vec_id, so float summation-order noise (~1e-15)
+cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_nats_connector_spark.functions.vectors import cosine, dot, norm
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 5
+NEARDUP_COS = 0.45  # chosen so the synthetic data yields a non-empty pair set
+
+# deterministic random hyperplanes for sign-LSH (seeded, dim=64)
+_DIM = 64
+_L_TABLES = 10
+_N_BITS = 8
+_rng = random.Random(7)
+HYPERPLANES = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_BITS)]
+    for _ in range(_L_TABLES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k: broadcast the query set, score all "
+    "vectors with a JVM-side dot product, per-query top-k via window. The "
+    "exact baseline every ANN variant is measured against.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "similarity_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold), brute force with "
+    "norms precomputed once per vector. Quadratic by construction — the "
+    "correctness baseline for the LSH-bucketed variant.",
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).withColumn("nrm", norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+def _bucket_expr(v_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id for one hash table: B bits from B hyperplane dots."""
+    bucket = F.lit(0)
+    for bit, plane in enumerate(planes):
+        d = dot(F.col(v_col), F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << bit)).otherwise(0)
+    return bucket
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate by design: rows-only + recall unit test
+    doc="ANN top-k via random-hyperplane LSH: 10 tables x 8 sign bits; "
+    "candidates = vectors sharing a (table, bucket) with the query, scored "
+    "exactly, per-query top-k. At 100 TB only (vec_id, table, bucket) "
+    "pairs shuffle; recall vs. brute force is asserted in tests.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    buckets = e.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            F.array(*[_bucket_expr("v", HYPERPLANES[t]) for t in range(_L_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        buckets.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )

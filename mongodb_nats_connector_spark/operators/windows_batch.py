@@ -1,0 +1,104 @@
+"""Event-time window aggregations, batch-checkable form.
+
+The same window specs run as Structured Streaming queries in
+streaming/windows.py (with watermarks); here they run in batch mode over the
+`events` table so the DuckDB oracle can verify the window assignment and
+aggregation semantics exactly. Spark's `window`/`session_window` functions
+behave identically in batch and streaming — only triggers/watermarks differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time window aggregation "
+    "(groupBy(window(ts, '1 hour'))).",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+               AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY window_start
+    """,
+    doc="Sliding window (1 h length, 30 min slide): each event lands in "
+    "exactly two windows; the oracle materializes the same assignment with a "
+    "dual-bucket union.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (10-minute gap) per user via session_window(); the "
+    "oracle reproduces gap-merge semantics with lag + cumulative-sum "
+    "sessionization. Streaming variant (with watermark + state store) in "
+    "streaming/windows.py.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,49 @@
+"""Parquet table loaders for the driver-generated synthetic schema.
+
+All batch queries read through here so scan behavior is uniform: plain
+``spark.read.parquet`` — Catalyst gets predicate pushdown, column pruning and
+partition pruning for free on every query (verify with
+``plans.explain.assert_pushed_filters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+        # rejects; read nanos as long and truncate to microseconds (exactly
+        # what DuckDB does on read, keeping the oracle comparable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
