@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no sink cost, nothing collected to the driver). A warmup action runs first so
+JVM/codegen spin-up isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# representative coverage of each operator family, weighted toward the
+# shapes that dominate at 100 TB (fact-table agg, fact-fact join, windows,
+# LSH dedup, similarity)
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_count_distinct",
+    "agg_rollup",
+    "window_rank_topk",
+    "join_asof",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "cdc_serialize_envelope",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mongodb_nats_connector_spark.registry import queries
+    from mongodb_nats_connector_spark.session import get_spark
+
+    spark = get_spark(app_name="mnc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # warmup: touch the biggest input once (JVM + parquet footer caches)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

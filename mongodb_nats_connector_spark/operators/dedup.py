@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
-    minhash_aggs,
+    minhash_signature,
     shingle_base_hash,
     simhash63,
     word_shingles,
@@ -97,12 +97,20 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-3-grams, docs with >=3 words."""
-    docs = table(spark, sf_dir, "documents")
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array) for docs with >= 3 words, split once."""
+    docs = table(spark, sf_dir, "documents", parallel=True)
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        docs.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", word_shingles(F.col("words")).alias("shingles"))
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-3-grams."""
+    return _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
     )
 
 
@@ -146,25 +154,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact >=0.7 pair set, which LSH+verify reproduces w.h.p.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    sigs = sh.withColumn("x", shingle_base_hash(F.col("s"))).groupBy("doc_id").agg(
-        *minhash_aggs(F.col("x"))
-    )
+    # Signatures are per-document: shingle + hash row-wise (zero shuffle),
+    # numpy-vectorized minhash (functions/texthash.py), band keys row-wise.
+    sets = _shingle_sets(spark, sf_dir)
+    sigs = sets.withColumn(
+        "hashes", F.transform(F.col("shingles"), lambda s: shingle_base_hash(s))
+    ).select("doc_id", minhash_signature(F.col("hashes")).alias("mh"))
     bands = band_keys(sigs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # ONE aggregation per band bucket (instead of a self-join that would
+    # recompute the signature subtree twice): collect bucket members, emit
+    # in-bucket pairs with a small HOF. Bucket lists are tiny for healthy
+    # thresholds; pathological mega-buckets would need a size cap + salt.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     # exact verification of the (small) candidate set via shingle-set overlap
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -187,7 +207,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate-join shape as MinHash-LSH.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).filter(F.col("tok") != "")

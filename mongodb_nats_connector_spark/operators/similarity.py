@@ -41,7 +41,7 @@ HYPERPLANES = [
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "embeddings").select(
+    return table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

@@ -146,7 +146,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both engines.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     codes = F.transform(
         F.sequence(F.lit(1), F.length("text")),
         lambda i: F.ascii(F.col("text").substr(i, F.lit(1))),

@@ -26,7 +26,15 @@ TABLES = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load one table. ``parallel=True`` repartitions to the full core count —
+    use it for compute-heavy per-row operators (hashing, vector math) over the
+    small single-file tables, where the scan yields one partition and would
+    serialize the whole query. At real scale the scan itself produces enough
+    splits and the repartition collapses to a cheap round-robin of row groups.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -39,8 +47,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _maybe_repartition(spark, df, parallel)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _maybe_repartition(spark, df, parallel)
+
+
+def _maybe_repartition(spark: SparkSession, df: DataFrame, parallel: bool) -> DataFrame:
+    if not parallel:
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
