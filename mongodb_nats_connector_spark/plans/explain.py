@@ -1,0 +1,66 @@
+"""Physical-plan inspection helpers.
+
+Used by tests to enforce the plan properties that matter at 100 TB: filters
+reach the parquet scan (PushedFilters), scans are column-pruned (ReadSchema),
+dimension joins broadcast, aggregations are two-phase (partial before the
+exchange), and global top-k avoids a full sort (TakeOrderedAndProject).
+Catalyst gives all of these for free *if* the query is declared well — these
+helpers are the regression net that keeps it that way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what df.explain(mode) prints)."""
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jdf.queryExecution().explainString(explain_mode)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters lines from every scan in the plan."""
+    return "\n".join(
+        line.strip()
+        for line in plan_string(df).splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def read_schemas(df: DataFrame) -> str:
+    return "\n".join(
+        line.strip() for line in plan_string(df).splitlines() if "ReadSchema" in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df) or "BroadcastNestedLoopJoin" in plan_string(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in plan_string(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    s = plan_string(df, "simple")
+    return sum(1 for line in s.splitlines() if "Exchange" in line and "Broadcast" not in line)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Two-phase agg: a HashAggregate below the exchange with partial funcs."""
+    s = plan_string(df)
+    return "partial_" in s
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in plan_string(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """How many WholeStageCodegen spans cover the plan (wider = better)."""
+    s = plan_string(df, "simple")
+    return s.count("WholeStageCodegen")

@@ -1,0 +1,78 @@
+"""Idempotent, subject-routed streaming sink — the NATS JetStream analogue.
+
+The reference publishes each event with header ``Nats-Msg-Id`` = resume token
+so the broker/consumer can drop replays (internal/nats/client.go:120-140);
+combined with publish-then-commit ordering this yields effectively-once
+delivery (README.md:118-127).
+
+Here the sink is a parquet "stream": one directory per JetStream stream
+(AddStream O13 = idempotent mkdir, internal/nats/client.go:105-118), epoch-
+partitioned writes inside ``foreachBatch``. Idempotency is the epoch trick:
+a replayed epoch overwrites its own partition (`epoch=<id>` subdir,
+dynamic partition overwrite), so a crash between publish and checkpoint
+commit re-publishes the same batch into the same location — at-least-once
+publish, msg-id-keyed storage, exactly-once observable state. Consumers read
+through ``read_messages`` which additionally dedups by msg_id, mirroring the
+NATS consumer-side dedup window.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class JetStreamLikeSink:
+    def __init__(self, spark: SparkSession, stream_dir: str, stream_name: str) -> None:
+        self.spark = spark
+        self.stream_dir = stream_dir
+        self.stream_name = stream_name
+        self.messages_dir = os.path.join(stream_dir, "messages")
+
+    # O13 — idempotent DDL bootstrap (AddStream)
+    def add_stream(self) -> None:
+        os.makedirs(self.messages_dir, exist_ok=True)
+
+    # O9 — publish with idempotency key; called per epoch by foreachBatch
+    def publish_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # Per-collection total order within the epoch: sort by resume token
+        # (the reference's order is token order, client.go:217-257), and tag
+        # each row with its in-epoch sequence so consumers can verify order.
+        w = Window.partitionBy().orderBy("msg_id")
+        ordered = batch.withColumn("seq_in_epoch", F.row_number().over(w)).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        # Epoch-keyed overwrite = replay-safe (idempotent) publish.
+        (
+            ordered.coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .save(os.path.join(self.messages_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    # Consumer view — dedup by msg id (the JetStream dedup window, but
+    # unbounded since storage is durable): first occurrence by (epoch, seq).
+    def read_messages(self, deduped: bool = True) -> DataFrame:
+        df = (
+            self.spark.read.option("basePath", self.messages_dir)
+            .parquet(os.path.join(self.messages_dir, "epoch=*"))
+        )
+        if not deduped:
+            return df
+        w = Window.partitionBy("msg_id").orderBy("epoch", "seq_in_epoch")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def message_count(self, deduped: bool = True) -> int:
+        try:
+            return self.read_messages(deduped).count()
+        except Exception:
+            return 0  # no epochs written yet

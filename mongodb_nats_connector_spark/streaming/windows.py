@@ -1,0 +1,108 @@
+"""Streaming window/stateful operators over an events-shaped stream.
+
+These are the true Structured Streaming forms of the batch-checkable queries
+in operators/windows_batch.py: same window semantics, plus watermarks for
+late-data handling and state cleanup. The reference connector itself never
+needed event-time windows (change streams are totally ordered by resume
+token, SURVEY.md §2.2) — these generalize its offset/dedup machinery to
+event-time processing, per the engine's declared streaming surface
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour windows; watermark bounds state + drops late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-merged); state store holds open sessions
+    until the watermark closes them."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "session_value"
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by event id — the generalized Nats-Msg-Id consumer
+    dedup window (internal/nats/client.go:124): duplicates arriving within
+    the watermark horizon are dropped, state is GC'd past it."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# --- stateful per-key processing: the reference's offset-commit logic (O10)
+#     generalized to arbitrary keys via applyInPandasWithState ---
+
+OFFSET_STATE_SCHEMA = "max_event_id BIGINT, n_events BIGINT"
+OFFSET_OUTPUT_SCHEMA = "user_id BIGINT, max_event_id BIGINT, n_events BIGINT"
+
+
+def _track_offsets(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user resume-token tracking: keep the max event id seen + a count,
+    exactly the connector's 'newest stored token' semantics
+    (internal/mongo/client.go:186-199) but per key and fault-tolerant via the
+    state store instead of a Mongo collection."""
+    (user_id,) = key
+    if state.exists:
+        max_id, n = state.get
+    else:
+        max_id, n = -1, 0
+    for pdf in pdfs:
+        if len(pdf):
+            max_id = max(max_id, int(pdf["event_id"].max()))
+            n += len(pdf)
+    state.update((max_id, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "max_event_id": [max_id], "n_events": [n]}
+    )
+
+
+def per_key_offsets(stream: DataFrame) -> DataFrame:
+    """groupBy(user).applyInPandasWithState — emits the current offset row
+    for each key touched in the micro-batch."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _track_offsets,
+            outputStructType=OFFSET_OUTPUT_SCHEMA,
+            stateStructType=OFFSET_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -1,0 +1,71 @@
+"""Plan-quality regression tests: the properties that keep these queries fast
+at 1000-executor / 100 TB scale, asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongodb_nats_connector_spark.operators.relational import (
+    filter_predicates,
+    join_inner,
+    join_theta_range,
+    projection_computed,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    sort_multi_limit,
+)
+from mongodb_nats_connector_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_partial_aggregation,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filters_push_to_parquet_scan(spark):
+    pf = pushed_filters(filter_predicates(spark, SF))
+    assert "o_totalprice" in pf, f"price filter not pushed: {pf}"
+    assert "o_orderdate" in pf, f"date filter not pushed: {pf}"
+
+
+def test_scan_is_column_pruned(spark):
+    rs = read_schemas(projection_computed(spark, SF))
+    assert "l_extendedprice" in rs
+    # untouched wide columns must not be scanned
+    assert "l_shipdate" not in rs
+    assert "l_partkey" not in rs
+
+
+def test_dim_join_broadcasts(spark):
+    df = join_inner(spark, SF)
+    assert has_broadcast_join(df), "customer should broadcast, not shuffle"
+
+
+def test_q1_partial_aggregation_single_shuffle(spark):
+    df = q1_pricing_summary(spark, SF)
+    assert has_partial_aggregation(df), "agg must combine map-side"
+    assert count_exchanges(df) <= 1, "Q1 needs exactly one shuffle"
+
+
+def test_q3_broadcasts_dim_side(spark):
+    assert has_broadcast_join(q3_shipping_priority(spark, SF))
+
+
+def test_topk_avoids_global_sort(spark):
+    assert has_take_ordered(sort_multi_limit(spark, SF)), (
+        "ORDER BY + LIMIT should plan TakeOrderedAndProject, not a full sort"
+    )
+
+
+def test_theta_range_join_keeps_equi_hash_part(spark):
+    """The band predicate must ride on a hash/broadcast equi-join on
+    nationkey — not degrade to a nested-loop cross product."""
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(join_theta_range(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s

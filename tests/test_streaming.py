@@ -1,0 +1,175 @@
+"""Structured Streaming operators: windows with watermarks, streaming dedup,
+stateful per-key processing, and observability endpoints."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.sources.tables import table
+from mongodb_nats_connector_spark.streaming.observability import (
+    ConnectorMetricsListener,
+    MetricsRegistry,
+    ObservabilityServer,
+)
+from mongodb_nats_connector_spark.streaming.windows import (
+    EVENTS_DDL,
+    dedup_within_watermark,
+    per_key_offsets,
+    session_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_feed(spark, tmp_path):
+    """events table written as 3 ordered files -> 3 micro-batches."""
+    path = str(tmp_path / "events_feed")
+    ev = table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 == 1).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 == 2).write.parquet(path, mode="append")
+    return path
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(EVENTS_DDL).parquet(path)
+
+
+def _run_to_memory(spark, df, mode: str):
+    name = "m" + uuid.uuid4().hex[:10]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    q.stop()
+    return out
+
+
+def test_streaming_tumbling_matches_batch(spark, events_feed):
+    """Streaming tumbling-window agg == the batch window() result (complete
+    mode so open windows are visible)."""
+    streamed = _run_to_memory(
+        spark, tumbling_counts(_stream(spark, events_feed)), "complete"
+    )
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n"].values == b["n"].values).all()
+
+
+def test_streaming_session_matches_batch(spark, events_feed):
+    streamed = _run_to_memory(
+        spark, session_counts(_stream(spark, events_feed)), "complete"
+    )
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+        .toPandas()
+    )
+    assert len(streamed) == len(batch)
+    assert streamed["n_events"].sum() == batch["n_events"].sum() == 1000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids inside the watermark horizon are dropped — the
+    generalized Nats-Msg-Id dedup."""
+    path = str(tmp_path / "dup_feed")
+    ev = table(spark, SF, "events").filter(F.col("event_id") < 50)
+    ev.write.parquet(path, mode="append")
+    ev.write.parquet(path, mode="append")  # exact duplicates, same event ids
+    out = _run_to_memory(
+        spark, dedup_within_watermark(_stream(spark, path)), "append"
+    )
+    assert len(out) == 50
+    assert out["event_id"].is_unique
+
+
+def test_stateful_per_key_offsets(spark, events_feed):
+    """applyInPandasWithState: per-user max-event-id/count state survives
+    across micro-batches; the final emission equals the batch aggregate."""
+    out = _run_to_memory(spark, per_key_offsets(_stream(spark, events_feed)), "update")
+    # last emission per user wins (state evolves across 3 batches)
+    final = out.groupby("user_id").last()
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("max_event_id"), F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "max_event_id"] == batch.loc[uid, "max_event_id"]
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+
+
+def test_observability_endpoints(spark, events_feed):
+    """O15/O16: /healthz JSON shape and /metrics exposition with the
+    reference's metric names (observability_test.go:35-63)."""
+    registry = MetricsRegistry()
+    listener = ConnectorMetricsListener(registry)
+    spark.streams.addListener(listener)
+    server = ObservabilityServer(
+        health_fn=lambda: {"status": "UP", "components": [{"name": "pipeline-X", "status": "UP"}]},
+        registry=registry,
+    )
+    server.start()
+    try:
+        q = (
+            tumbling_counts(_stream(spark, events_feed))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("obs_q")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener callbacks are async; give them a beat
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if registry.counters:
+                break
+            time.sleep(0.2)
+        health = json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{server.port}/healthz").read()
+        )
+        assert health["status"] == "UP"
+        assert health["components"][0]["name"] == "pipeline-X"
+        metrics = (
+            urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics")
+            .read()
+            .decode()
+        )
+        assert "connector_events_total" in metrics
+        assert "connector_change_event_processing_duration_seconds_sum" in metrics
+        # 404 handling
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{server.port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+        spark.streams.removeListener(listener)
