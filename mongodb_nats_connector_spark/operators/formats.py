@@ -1,0 +1,78 @@
+"""Source-format coverage: JSON and CSV scans (SURVEY.md §2.3 sources rows).
+
+The driver only ships parquet, so each query materializes a deterministic
+JSON/CSV copy of a table under /tmp (keyed by scale dir, written once) and
+reads it back with an explicit schema — never inferSchema in the read path.
+The oracle runs over the original parquet views, so the comparison proves
+the format round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+_NATION_DDL = "n_nationkey INT, n_name STRING, n_regionkey INT"
+_ORDERS_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+)
+
+
+def _format_dir(sf_dir: str, name: str, fmt: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/mnc_spark_formats/{tag}/{name}.{fmt}"
+
+
+def _ensure_json_orders(spark: SparkSession, sf_dir: str) -> str:
+    path = _format_dir(sf_dir, "orders", "json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    return path
+
+
+def _ensure_csv_nation(spark: SparkSession, sf_dir: str) -> str:
+    path = _format_dir(sf_dir, "nation", "csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "nation").write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    return path
+
+
+@register(
+    "source_json_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="JSON source scan (explicit schema, no inferSchema): write-once JSON "
+    "copy of orders, read back, aggregate; oracle runs on the parquet "
+    "original — proves the JSON round-trip is lossless.",
+)
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_json_orders(spark, sf_dir)
+    o = spark.read.schema(_ORDERS_DDL).json(path)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "source_csv_scan",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="CSV source scan with header + explicit schema.",
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_csv_nation(spark, sf_dir)
+    n = spark.read.schema(_NATION_DDL).option("header", True).csv(path)
+    return n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))

@@ -961,3 +961,67 @@ def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Pivot with an explicit value list (explicit values keep the plan a "
+    "single pass; omitting them costs an extra distinct scan).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "notspec",
+                "5-LOW": "low",
+            }
+        )
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer
+    )
+    """,
+    doc="Unpivot (melt) via the stack/unpivot operator: wide -> long.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v").select(
+        "c_custkey", "metric", F.round("v", 2).alias("val")
+    )

@@ -157,3 +157,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x.cast("bigint")) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+@register(
+    "text_stopword_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> NOT list_contains({STOPWORDS!r}, w))) AS INT)
+             AS n_content_words,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+    """,
+    doc="Stopword removal: higher-order filter against a broadcast-literal "
+    "stoplist; counts content words per document.",
+)
+def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    words = F.split("text", " ")
+    content = F.filter(words, lambda w: ~F.array_contains(stop, w))
+    return docs.select(
+        "doc_id",
+        F.size(content).alias("n_content_words"),
+        F.size(words).alias("n_words"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY word
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf, df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+    doc="TF-IDF from first principles as pure DataFrame ops (explode -> two "
+    "aggregations -> broadcast joins): term frequency per doc, smoothed "
+    "inverse document frequency, product. Unlike HashingTF this is exactly "
+    "checkable; the shuffle keys are (doc,word) and (word).",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "word", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
+    )

@@ -46,10 +46,12 @@ def _load_all() -> None:
     from mongodb_nats_connector_spark.operators import (  # noqa: F401
         cdc,
         dedup,
+        formats,
         multimodal,
         relational,
         similarity,
         text,
+        udfs,
         windows_batch,
     )
 

@@ -29,17 +29,17 @@ def _oid(i: int) -> str:
     return f"{i:024x}"
 
 
-def generate_change_events(
-    spark: SparkSession,
+def generate_change_event_rows(
     n_docs: int = 100,
     ns_db: str = "test-connector-db",
     ns_coll: str = "coll1",
     with_noise_tail: bool = True,
     with_duplicates: bool = True,
-) -> DataFrame:
-    """Deterministic envelope rows: for each doc an insert, update, replace,
-    delete cycle; optionally drop/rename/invalidate noise and duplicated
-    tokens (at-least-once replay)."""
+) -> list[tuple]:
+    """Pure-Python deterministic envelope rows (shared by the DataFrame
+    fixture below and the custom Python Data Source): per doc an insert,
+    update, replace, delete cycle; optionally drop/rename/invalidate noise
+    and duplicated tokens (at-least-once replay)."""
     rows: list[tuple] = []
     seq = 0
 
@@ -72,7 +72,12 @@ def generate_change_events(
             rows.append((_token(seq), op, ts, ts, None, None, ns_db, ns_coll, _oid(0)))
             seq += 1
 
-    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    return rows
+
+
+def generate_change_events(spark: SparkSession, **kw) -> DataFrame:
+    """The fixture as a DataFrame (see generate_change_event_rows)."""
+    return spark.createDataFrame(generate_change_event_rows(**kw), CHANGE_EVENT_SCHEMA)
 
 
 def write_change_event_feed(
