@@ -151,3 +151,34 @@ def cdc_serialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(STREAM_NAME), F.lit("."), F.col("event_type")).alias("subject"),
         data.alias("data"),
     )
+
+
+@register(
+    "cdc_apply_latest",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, value AS last_value, ts AS last_ts
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="CDC state materialization (MERGE INTO emulation): replay the ordered "
+    "event log and keep the newest row per key — the batch form of applying "
+    "a change stream to a table. One shuffle on the key; at scale this is "
+    "the standard upsert-compaction pattern (no Delta required).",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -106,3 +106,79 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return docs.mapInPandas(_decode_batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("frame_checksum", LongType(), False),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Treat the binary payload as a fake video: fixed-size 32-byte 'frames',
+    sample every 4th (deterministic stride). A real implementation swaps the
+    chunker for an av/ffmpeg decode — the batching/schema stays identical."""
+    for pdf in batches:
+        ids, idxs, sizes, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [payload[i : i + 32] for i in range(0, len(payload), 32)]
+            for k in range(0, len(frames), 4):
+                ids.append(doc_id)
+                idxs.append(k)
+                sizes.append(len(frames[k]))
+                sums.append(int(sum(frames[k]) % 65536))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_bytes": pd.Series(sizes, dtype="int64"),
+                "frame_checksum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # chunking of stub 'video' bytes; checked rows-only + tests
+    doc="Frame sampling over opaque binary 'video' payloads via mapInPandas: "
+    "fixed-stride frame selection with per-frame metadata. Decode is a "
+    "deterministic byte-chunking stub (no codec libs in this env); the "
+    "Spark-side plumbing — Arrow batches, typed schema, partition "
+    "parallelism — is the real thing.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents", parallel=True))
+    return docs.mapInPandas(_frame_sample_batches, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=None,
+    doc="Image-resize stub via mapInPandas: fake decode derives (w, h) from "
+    "payload bytes, 'resize' computes the target box preserving aspect "
+    "ratio (pure arithmetic, deterministic). Swap fake_decode for PIL at "
+    "deploy time; raise real_decode's NotImplementedError path otherwise.",
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = 256
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = fake_decode(bytes(payload))
+                scale = target / max(w, h)
+                rows.append((doc_id, w, h, max(1, round(w * scale)), max(1, round(h * scale))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "out_width", "out_height"]
+            ).astype("int64")
+
+    docs = with_binary_payload(table(spark, sf_dir, "documents", parallel=True))
+    return docs.mapInPandas(
+        resize,
+        "doc_id BIGINT, width BIGINT, height BIGINT, out_width BIGINT, out_height BIGINT",
+    )

@@ -1025,3 +1025,172 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v").select(
         "c_custkey", "metric", F.round("v", 2).alias("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical / ordered-set aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (interpolated): Spark `percentile` == DuckDB "
+    "quantile_cont. percentile_approx is the at-scale variant (see "
+    "agg_approx_quantile).",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle=None,  # sketch-based; engine-specific values -> rows-only
+    doc="approx_percentile (t-digest-style sketch): one pass, mergeable — "
+    "the 100 TB path where exact percentile's full sort is unaffordable.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4)             AS price_sd,
+           round(var_samp(o_totalprice), 2)                AS price_var,
+           round(corr(o_totalprice, o_custkey), 6)         AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2)   AS price_cust_cov
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("price_cust_cov"),
+    )
+
+
+@register(
+    "agg_minby_collect",
+    oracle="""
+    SELECT c_nationkey,
+           min_by(c_name, c_acctbal)                AS poorest_customer,
+           max_by(c_name, c_acctbal)                AS richest_customer,
+           list_sort(list(DISTINCT c_mktsegment))   AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="min_by/max_by (argmin/argmax) + deterministic collect_set "
+    "(sort_array'd so the comparison is order-stable).",
+)
+def agg_minby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended scalar library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_extra",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(n_name, 12, '*')        AS name_lpad,
+           rpad(n_name, 12, '.')        AS name_rpad,
+           reverse(n_name)              AS name_rev,
+           replace(n_name, '_', '-')    AS name_dash,
+           left(n_name, 3)              AS name_left,
+           CAST(strpos(n_name, '_') AS INT)  AS underscore_pos,
+           repeat('ab', 3)              AS repeated
+    FROM nation
+    """,
+    doc="More string functions: lpad/rpad/reverse/replace/left/instr/repeat.",
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 12, "*").alias("name_lpad"),
+        F.rpad("n_name", 12, ".").alias("name_rpad"),
+        F.reverse("n_name").alias("name_rev"),
+        F.replace(F.col("n_name"), F.lit("_"), F.lit("-")).alias("name_dash"),
+        F.substring("n_name", 1, 3).alias("name_left"),
+        F.instr("n_name", "_").alias("underscore_pos"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+    )
+
+
+@register(
+    "scalar_date_extra",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(o_orderdate)                                   AS month_end,
+           o_orderdate + INTERVAL 3 MONTH                          AS plus_3_months,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)                 AS dow,
+           CAST(weekofyear(o_orderdate) AS INT)                    AS week,
+           CAST(epoch(o_orderdate) AS BIGINT)                      AS epoch_s,
+           strftime(o_orderdate, '%Y-%m')                          AS ym
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    doc="More date functions: last_day/add_months/dayofweek/weekofyear/"
+    "unix_timestamp/date_format.",
+)
+def scalar_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3_months"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("week"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "scalar_explode_variants",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos, word
+    FROM (
+      SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos,
+             unnest(words) AS word
+      FROM base
+    )
+    """,
+    doc="posexplode: element + ordinal position (ordinal preserved across "
+    "the lateral view).",
+)
+def scalar_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mongodb_nats_connector_spark.functions.vectors import cosine, dot, norm
+from mongodb_nats_connector_spark.functions.vectors import cosine_fast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -78,7 +78,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -102,14 +102,10 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correctness baseline for the LSH-bucketed variant.",
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).withColumn("nrm", norm(F.col("v")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(cosine_fast(F.col("va"), F.col("vb")), 6)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
@@ -117,13 +113,27 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(v_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id for one hash table: B bits from B hyperplane dots."""
-    bucket = F.lit(0)
-    for bit, plane in enumerate(planes):
-        d = dot(F.col(v_col), F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << bit)).otherwise(0)
-    return bucket
+def _bucket_udf(v: F.Column) -> F.Column:
+    """All L bucket ids per vector in one Arrow batch op: dots against the
+    stacked (L*B, dim) hyperplane matrix, sign bits packed per table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(HYPERPLANES, dtype=np.float64).reshape(
+        _L_TABLES * _N_BITS, _DIM
+    )
+    weights = (1 << np.arange(_N_BITS, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _buckets(xs):
+        V = np.stack(xs.values)                      # (rows, dim)
+        bits = (V @ planes.T) > 0                    # (rows, L*B)
+        bits = bits.reshape(len(V), _L_TABLES, _N_BITS)
+        ids = (bits * weights).sum(axis=2)           # (rows, L)
+        return pd.Series(list(ids))
+
+    return _buckets(v)
 
 
 @register(
@@ -137,11 +147,7 @@ def _bucket_expr(v_col: str, planes: list[list[float]]) -> F.Column:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     buckets = e.select(
-        "vec_id",
-        "v",
-        F.posexplode(
-            F.array(*[_bucket_expr("v", HYPERPLANES[t]) for t in range(_L_TABLES)])
-        ).alias("tbl", "bucket"),
+        "vec_id", "v", F.posexplode(_bucket_udf(F.col("v"))).alias("tbl", "bucket")
     )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -158,7 +164,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

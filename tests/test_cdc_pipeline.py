@@ -217,3 +217,66 @@ def test_multi_pipeline_fanout(spark, tmp_path):
         assert h.sink.message_count() == 12
         subs = {r.subject for r in h.sink.read_messages().select("subject").distinct().collect()}
         assert all(s.startswith(h.config.stream_name + ".") for s in subs)
+
+
+def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
+    """README.md:118-127 crash matrix row 2: publish fails mid-epoch -> the
+    query fails, a restart replays the SAME epoch, and the sink stays
+    effectively-once (epoch-keyed idempotent write + msg-id dedup)."""
+    from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
+
+    feed = str(tmp_path / "feed")
+    n = write_change_event_feed(
+        spark, feed, n_docs=10, with_noise_tail=False, with_duplicates=False
+    )
+
+    class FlakySink(JetStreamLikeSink):
+        def __init__(self, *a, fail_marker: str, **kw):
+            super().__init__(*a, **kw)
+            self.fail_marker = fail_marker
+
+        def publish_batch(self, batch, epoch_id):
+            super().publish_batch(batch, epoch_id)  # publish happened ...
+            import os
+            if not os.path.exists(self.fail_marker):
+                open(self.fail_marker, "w").close()
+                raise RuntimeError("injected NATS publish failure")  # ... then die
+
+    marker = str(tmp_path / "failed_once")
+    sink = FlakySink(
+        spark,
+        stream_dir=str(tmp_path / "sink/streams/COLL1"),
+        stream_name="COLL1",
+        fail_marker=marker,
+    )
+    sink.add_stream()
+    checkpoint = str(tmp_path / "sink/checkpoints/c1")
+
+    from mongodb_nats_connector_spark.sources.change_events import (
+        read_change_event_stream,
+    )
+    from mongodb_nats_connector_spark.streaming.pipeline import (
+        transform_change_events,
+    )
+
+    def start():
+        return (
+            transform_change_events(read_change_event_stream(spark, feed), "COLL1")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink.publish_batch)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.processAllAvailable()  # injected failure surfaces here
+    q.stop()
+
+    q2 = start()  # restart: checkpoint replays the uncommitted epoch
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert sink.message_count(deduped=True) == n
+    ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
+    assert ids == sorted(ids) and len(set(ids)) == n

@@ -38,6 +38,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df.columns = [c.lower() for c in df.columns]
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, np.ndarray)), na_action="ignore"
+        ).any():
+            # array-valued columns: compare as tuples (sortable/hashable)
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
