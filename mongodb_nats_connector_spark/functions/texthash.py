@@ -62,12 +62,16 @@ def minhash_perm(x: Column, i: int) -> Column:
 def minhash_signature(hashes: Column) -> Column:
     """Full K-element minhash signature via an Arrow-vectorized pandas UDF.
 
-    The K x |shingles| affine-permutation min is a dense integer matrix op —
-    exactly the shape numpy does in microseconds per document and Spark's
-    higher-order functions do pathologically slowly (interpreted per-element
-    evaluation; measured 10-30x slower than this UDF at sf0.1). Constants are
-    module-level so every executor builds the same permutations; arithmetic
-    stays in int64 (a < 2^30, x < 2^32 => a*x + b < 2^62, no overflow).
+    Input is raw signed xxhash64 values; the UDF folds them to u32
+    (``h mod 2^32``) before the affine permutations. The K x |shingles|
+    permutation-min is a dense integer matrix op — exactly the shape numpy
+    does in microseconds per document and Spark's higher-order functions do
+    pathologically slowly (interpreted per-element evaluation; measured
+    10-30x slower than this UDF at sf0.1). Constants are module-level so
+    every executor builds the same permutations; arithmetic stays in int64
+    (a < 2^30, x < 2^32 => a*x + b < 2^62, no overflow). The whole batch is
+    permuted as ONE ragged-flattened matrix, then min-reduced per document
+    with reduceat — no per-row Python loop.
     """
     import numpy as np
     import pandas as pd
@@ -79,14 +83,24 @@ def minhash_signature(hashes: Column) -> Column:
     def _sig(batch):
         a = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
         b = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
-        out = []
-        for h in batch:
-            if h is None or len(h) == 0:
-                out.append(np.full(MINHASH_K, _MERSENNE_P, dtype=np.int64))
-                continue
-            x = np.asarray(h, dtype=np.int64)[None, :]
-            out.append(((a * x + b) % _MERSENNE_P).min(axis=1))
-        return pd.Series(out)
+        lens = np.fromiter((0 if h is None else len(h) for h in batch), dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(h, dtype=np.int64) for h in batch if h is not None and len(h)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        flat %= 1 << 32  # fold signed 64-bit to u32 (matches pmod(xxhash64, 2^32))
+        perm = (a * flat[None, :] + b) % _MERSENNE_P  # (K, total_shingles)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.full((len(lens), MINHASH_K), _MERSENNE_P, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            # reduceat needs strictly valid segment starts: run it over the
+            # non-empty segments only, then scatter back.
+            seg = np.minimum.reduceat(perm, starts[nz], axis=1)  # (K, n_nonempty)
+            out[nz] = seg.T
+        return pd.Series(list(out))
 
     return _sig(hashes)
 

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
     minhash_signature,
-    shingle_base_hash,
     simhash63,
     word_shingles,
 )
@@ -107,6 +106,22 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h64: array<bigint>) — distinct shingles as raw xxhash64.
+
+    The 8-byte hash replaces the shingle string everywhere downstream
+    (signatures, candidate verification), so no string ever shuffles and the
+    per-doc set relation is ~25x smaller than the text. Collisions only
+    matter within one candidate pair's union (~100 shingles): p ~ 1e-16 at
+    64 bits. Reference parity: this is the connector's 'hash once, route by
+    key' discipline (internal/nats/client.go:124) applied to shingles.
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    return sets.select(
+        "doc_id", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("h64")
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct word-3-grams."""
     return _shingle_sets(spark, sf_dir).select(
@@ -156,10 +171,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures are per-document: shingle + hash row-wise (zero shuffle),
     # numpy-vectorized minhash (functions/texthash.py), band keys row-wise.
-    sets = _shingle_sets(spark, sf_dir)
-    sigs = sets.withColumn(
-        "hashes", F.transform(F.col("shingles"), lambda s: shingle_base_hash(s))
-    ).select("doc_id", minhash_signature(F.col("hashes")).alias("mh"))
+    # The hashed set relation is used THREE times (signature input + both
+    # sides of candidate verification): persist it so the text scan +
+    # shingling runs once. It is tiny relative to the corpus (~16 B/shingle);
+    # at 100 TB the same role is played by materializing it as a bucketed
+    # table once per corpus snapshot.
+    sets = _hashed_shingle_sets(spark, sf_dir).persist()
+    sigs = sets.select("doc_id", minhash_signature(F.col("h64")).alias("mh"))
     bands = band_keys(sigs)
     # ONE aggregation per band bucket (instead of a self-join that would
     # recompute the signature subtree twice): collect bucket members, emit
@@ -184,14 +202,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # exact verification of the (small) candidate set via shingle-set overlap
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # Exact verification of the (small) candidate set via hashed-set overlap.
+    # Broadcast the candidate pair list (band collisions only — orders of
+    # magnitude smaller than the corpus) so neither verification join
+    # shuffles the set relation.
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("h64").alias("h_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("h64").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
     jac = inter / union
     return (
-        candidates.join(sa, "doc_a")
+        sa.join(F.broadcast(candidates), "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

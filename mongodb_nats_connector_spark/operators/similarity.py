@@ -171,3 +171,115 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# IVF parameters: K coarse centroids, N_PROBE probed lists per query.
+# Centroids are a deterministic sample of the corpus itself (every 37th
+# vector, first K by vec_id) — a stand-in for a k-means codebook that keeps
+# the oracle exactly mirrorable in SQL.
+K_CENTROIDS = 16
+N_PROBE = 4
+_CENTROID_STRIDE = 37
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id % {_CENTROID_STRIDE} = 1 ORDER BY vec_id LIMIT {K_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid
+             ) AS arn
+      FROM e CROSS JOIN c
+    ),
+    lists AS (SELECT vec_id, v, cid FROM assign WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, qv, cid,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid
+             ) AS prn
+      FROM q CROSS JOIN c
+    ),
+    cand AS (
+      SELECT p.query_id, p.qv, l.vec_id AS neighbor_id, l.v
+      FROM probe p JOIN lists l ON l.cid = p.cid
+      WHERE p.prn <= {N_PROBE} AND l.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                                         neighbor_id) AS rn
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc="ANN top-k via IVF-flat: assign every vector to its nearest of "
+    f"{K_CENTROIDS} coarse centroids (build step), probe the {N_PROBE} "
+    "centroid lists nearest each query, exact-score only those lists. At "
+    "100 TB the inverted lists are partition keys — a probe reads "
+    "N_PROBE/K of the corpus instead of all of it, and the centroid table "
+    "is broadcast (it is tiny by construction). Deterministic sampled "
+    "centroids keep the DuckDB oracle exact; swap in k-means offline for "
+    "production recall.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") % _CENTROID_STRIDE == 1)
+        .orderBy("vec_id")
+        .limit(K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # build: nearest centroid per vector (cosine rounded to 6 so the
+    # argmax tie-break matches the oracle bit-for-bit)
+    sim = F.round(cosine_fast(F.col("v"), F.col("cv")), 6)
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    lists = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim)
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    # probe: N_PROBE nearest centroids per query
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("psim", F.round(cosine_fast(F.col("qv"), F.col("cv")), 6))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "cid")
+    )
+    cand = (
+        lists.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -222,3 +222,51 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "word", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
     )
+
+
+# fixed stopword list for the quality heuristic (mirrored verbatim in SQL)
+QUALITY_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "it", "for", "on"]
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+           round(len(list_filter(words,
+                 w -> list_contains({QUALITY_STOPWORDS!r}, lower(w)))) * 1.0
+                 / len(words), 4) AS stopword_ratio,
+           round(0.01 * len(words)
+                 + len(list_filter(words,
+                       w -> list_contains({QUALITY_STOPWORDS!r}, lower(w)))) * 1.0
+                   / len(words)
+                 - n_punct * 1.0 / n_chars, 4) AS quality_score
+    FROM s
+    """,
+    doc="Document quality scoring: word count, punctuation ratio, stopword "
+    "ratio, and a linear composite score — the usual pre-training corpus "
+    "filters (C4/Gopher-style heuristics), all codegen'd expressions with "
+    "an exact SQL mirror.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    punct_ratio = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
+    stop_ratio = n_stop / F.size(words)
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(0.01 * F.size(words) + stop_ratio - punct_ratio, 4).alias("quality_score"),
+    )
