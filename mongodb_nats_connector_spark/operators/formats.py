@@ -76,3 +76,35 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_csv_nation(spark, sf_dir)
     n = spark.read.schema(_NATION_DDL).option("header", True).csv(path)
     return n.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+def _ensure_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    path = _format_dir(sf_dir, "lineitem_by_flag", "parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(path)
+    return path
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    doc="Partitioned parquet sink + partition-pruned re-read: write lineitem "
+    "hive-partitioned by l_returnflag (write-once), read it back filtered "
+    "to one partition — the scan touches only that directory "
+    "(PartitionFilters, asserted in tests/test_plans.py). This is the "
+    "standard 100 TB layout move: partition by the hot filter column so "
+    "queries read 1/N of the files.",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_partitioned_lineitem(spark, sf_dir)
+    li = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

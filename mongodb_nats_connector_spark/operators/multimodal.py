@@ -182,3 +182,54 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         "doc_id BIGINT, width BIGINT, height BIGINT, out_width BIGINT, out_height BIGINT",
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms_energy", LongType(), False),
+    ]
+)
+
+
+def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Treat the binary payload as fake PCM: int16 little-endian samples,
+    non-overlapping 64-sample windows, integer RMS energy per window. A real
+    implementation swaps the frombuffer for an audio decode (soundfile/libav);
+    the Arrow batching, window shape, and output schema are unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, counts, energies = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            samples = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+            for w in range(0, len(samples), 64):
+                chunk = samples[w : w + 64].astype(np.int64)
+                ids.append(doc_id)
+                idxs.append(w // 64)
+                counts.append(len(chunk))
+                energies.append(int(np.sqrt(np.mean(chunk * chunk))))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(idxs, dtype="int64"),
+                "n_samples": pd.Series(counts, dtype="int64"),
+                "rms_energy": pd.Series(energies, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=None,  # stub PCM interpretation; checked rows-only + unit tests
+    doc="Windowed audio-energy extraction over opaque binary payloads via "
+    "mapInPandas: fake-PCM int16 samples, 64-sample windows, integer RMS "
+    "per window. Completes the image/video/audio stub triple — same "
+    "partition-parallel Arrow plumbing a real decoder would use.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents", parallel=True))
+    return docs.mapInPandas(_audio_energy_batches, AUDIO_SCHEMA)

@@ -69,3 +69,26 @@ def test_theta_range_join_keeps_equi_hash_part(spark):
     s = plan_string(join_theta_range(spark, SF))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """Hive-partitioned re-read must prune to the filtered partition
+    directory (PartitionFilters on l_returnflag), not scan all of them."""
+    from mongodb_nats_connector_spark.operators.formats import (
+        sink_parquet_partitioned,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(sink_parquet_partitioned(spark, SF))
+    assert "PartitionFilters: [isnotnull(l_returnflag" in s.replace("#", "").replace(
+        ")", ""
+    ) or "PartitionFilters" in s and "l_returnflag" in s.split("PartitionFilters", 1)[1].split("]")[0]
+
+
+def test_minhash_verification_broadcasts_candidates(spark):
+    """Candidate verification must broadcast the (tiny) pair list, never
+    shuffle the shingle-set relation for it."""
+    from mongodb_nats_connector_spark.operators.dedup import dedup_minhash_lsh
+    from mongodb_nats_connector_spark.plans.explain import has_broadcast_join
+
+    assert has_broadcast_join(dedup_minhash_lsh(spark, SF))
