@@ -1194,3 +1194,65 @@ def scalar_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation patterns (the 100 TB moves, demonstrated and oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Salted shuffle join: the fact side gets salt = hash(key) % S, the "
+    "dim side is replicated S ways, and the join key becomes (key, salt) — "
+    "a hot key's rows land on S reducers instead of one. Forced to a "
+    "shuffle join (broadcast would hide the point); result is provably "
+    "identical to the plain join. At 100 TB this is the manual fallback "
+    "when AQE skew-join splitting can't help (e.g. skewed build side).",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    c = table(spark, sf_dir, "customer").crossJoin(salts)
+    joined = o.hint("shuffle_hash").join(
+        c,
+        (F.col("o_custkey") == F.col("c_custkey")) & (o["salt"] == c["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "agg_skew_twophase",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Two-phase (salted) aggregation for skewed group keys: phase 1 "
+    "aggregates on (key, salt) spreading each hot key over S reducers, "
+    "phase 2 merges the S partials per key. sum/count re-aggregate "
+    "losslessly, so the result equals the direct groupBy. The pattern to "
+    "reach for when one group holds 30% of a 100 TB table.",
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    partial = o.groupBy("o_orderstatus", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("psum")
+    )
+    return partial.groupBy("o_orderstatus").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("total")
+    )

@@ -92,3 +92,45 @@ def test_minhash_verification_broadcasts_candidates(spark):
     from mongodb_nats_connector_spark.plans.explain import has_broadcast_join
 
     assert has_broadcast_join(dedup_minhash_lsh(spark, SF))
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides of a recurring join key makes the join
+    shuffle-free: each bucket pair joins co-located. This is the 100 TB
+    answer to 'this equi-join runs every hour on the same key' — pay the
+    shuffle once at write time, never again at read time."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+    from mongodb_nats_connector_spark.sources.tables import table
+
+    for name, key in [("orders", "o_custkey"), ("customer", "c_custkey")]:
+        (
+            table(spark, SF, name)
+            .write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"bkt_{name}")
+        )
+    try:
+        j = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_customer").hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        s = plan_string(j)
+        assert "SortMergeJoin" in s
+        assert "Bucketed: true" in s
+        # exactly ONE exchange: the final groupBy. The join itself reads
+        # co-located buckets with no shuffle on either side.
+        from mongodb_nats_connector_spark.plans.explain import count_exchanges
+
+        assert count_exchanges(j) == 1, f"bucketed join still shuffles:\n{s}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
