@@ -280,3 +280,31 @@ def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
     assert sink.message_count(deduped=True) == n
     ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
     assert ids == sorted(ids) and len(set(ids)) == n
+
+
+def test_throughput_floor_100_events(spark, tmp_path):
+    """BASELINE.md row 1 (harness.go:284 + base_test.go:30): 100 events must
+    flow source->transform->publish end-to-end within the reference's 10 s
+    subscribe window (>= 10 events/s sustained), in order, exactly once."""
+    import time
+
+    feed = str(tmp_path / "feed")
+    n = write_change_event_feed(
+        spark, feed, n_docs=100, with_noise_tail=False, with_duplicates=False
+    )
+    cfg = ConnectorConfig(
+        collections=[CollectionConfig(db_name="test-connector-db", coll_name="coll1")]
+    )
+    conn = Connector(
+        spark, cfg, {"test-connector-db.coll1": feed}, sink_root=str(tmp_path / "sink")
+    )
+    t0 = time.perf_counter()
+    conn.start()
+    conn.process_all_available()
+    elapsed = time.perf_counter() - t0
+    conn.stop()
+
+    sink = conn.handles[0].sink
+    ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
+    assert len(ids) == n and ids == sorted(ids)
+    assert elapsed < 10.0, f"100 events took {elapsed:.1f}s (floor is 10s)"
