@@ -182,3 +182,30 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "cdc_payload_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS INT)) AS INT)    AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Schemaless payload via Spark 4 VariantType: parse_json the opaque "
+    "props blob once into a variant column, then typed variant_get "
+    "extraction — the engine-native way to carry the reference's "
+    "schemaless fullDocument (internal/mongo/client.go:222, SURVEY.md "
+    "§1.2) without committing to a schema at ingest. Unlike per-query "
+    "get_json_object, the variant encodes once and every later extraction "
+    "is a binary field read — the 100 TB answer to JSON-heavy scans.",
+)
+def cdc_payload_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("pv", "$.k", "int")).cast("bigint").alias("sum_k"),
+        F.max(F.variant_get("pv", "$.k", "int")).alias("max_k"),
+    )

@@ -173,3 +173,34 @@ def test_observability_endpoints(spark, events_feed):
     finally:
         server.stop()
         spark.streams.removeListener(listener)
+
+
+def test_stream_static_enrichment_join(spark, events_feed):
+    """Stream-static join: enrich the unbounded event stream with a static
+    (broadcastable) dimension — no state store needed, the static side is
+    re-planned per micro-batch. The standard CDC enrichment shape: at scale
+    the dim broadcasts and the stream never shuffles."""
+    stream = _stream(spark, events_feed)
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce"), ("error", "ops")],
+        "event_type STRING, category STRING",
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "event_type", F.coalesce("category", F.lit("other")).alias("category")
+    )
+    out = _run_to_memory(spark, enriched, "append")
+
+    batch = (
+        table(spark, SF, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("category", F.lit("other")).alias("category"),
+        )
+        .toPandas()
+    )
+    assert len(out) == len(batch)
+    s = out.sort_values("event_id").reset_index(drop=True)
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    assert (s["category"] == b["category"]).all()
