@@ -50,8 +50,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    # warmup: touch the biggest input once (JVM + parquet footer caches)
+    # warmup: touch the biggest input once (JVM + parquet footer caches) and
+    # run one trivial Arrow batch so the Python UDF worker pool is up —
+    # steady-state is what we're measuring, not worker fork time
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
