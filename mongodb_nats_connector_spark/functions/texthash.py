@@ -49,16 +49,6 @@ def word_shingles(words: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_base_hash(shingle: Column) -> Column:
-    """Non-negative 32-bit base hash of a shingle (xxhash64 folded to u32)."""
-    return F.pmod(F.xxhash64(shingle), F.lit(1 << 32))
-
-
-def minhash_perm(x: Column, i: int) -> Column:
-    """The i-th affine permutation of a base hash value."""
-    return (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % F.lit(_MERSENNE_P)
-
-
 def minhash_signature(hashes: Column) -> Column:
     """Full K-element minhash signature via an Arrow-vectorized pandas UDF.
 

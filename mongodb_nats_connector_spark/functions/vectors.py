@@ -44,10 +44,19 @@ def cosine_fast(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _cos(xa, xb):
-        A = np.stack(xa.values)
-        B = np.stack(xb.values)
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        return pd.Series(num / den)
+        # Null/ragged rows yield NaN (matching the expression form's
+        # null-out behavior) instead of failing the whole batch.
+        la = xa.map(lambda v: -1 if v is None else len(v))
+        lb = xb.map(lambda v: -1 if v is None else len(v))
+        ok = (la.values == lb.values) & (la.values > 0)
+        out = np.full(len(xa), np.nan)
+        for dim in np.unique(la.values[ok]):  # stack per dim: rows may be ragged
+            m = ok & (la.values == dim)
+            A = np.stack(xa.values[m])
+            B = np.stack(xb.values[m])
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            out[m] = num / den
+        return pd.Series(out)
 
     return _cos(a, b)

@@ -97,9 +97,9 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS}
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold), brute force with "
-    "norms precomputed once per vector. Quadratic by construction — the "
-    "correctness baseline for the LSH-bucketed variant.",
+    doc="Embedding-cosine near-duplicate pairs (threshold), brute force: "
+    "Arrow-vectorized cosine per candidate pair. Quadratic by construction "
+    "— the correctness baseline for the LSH-bucketed variant.",
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
