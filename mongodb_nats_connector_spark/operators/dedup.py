@@ -135,13 +135,6 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-3-grams."""
-    return _shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-
-
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
@@ -152,7 +145,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this is the correctness baseline.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
+    # Join on the 8-byte shingle hash, not the string: same pairs w.h.p.
+    # (64-bit collisions), ~4x less shuffle volume, and the shingle relation
+    # comes from the same persisted cache MinHash uses.
+    sets = _hashed_shingle_sets_cached(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("h64").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")

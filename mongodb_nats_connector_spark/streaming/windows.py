@@ -106,3 +106,53 @@ def per_key_offsets(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- transformWithStateInPandas: the Spark 4 stateful API (successor to
+#     applyInPandasWithState) — same offset-tracking semantics, richer state
+#     model (typed value state, TTL, timers), RocksDB-backed ---
+
+
+def per_key_offsets_tws(stream: DataFrame) -> DataFrame:
+    """groupBy(user).transformWithStateInPandas with a ValueState holding
+    (max_event_id, n_events). Functionally identical to per_key_offsets;
+    exists because TWS is the forward path for custom stateful operators
+    (timers, TTL state, multiple state variables) that the connector's
+    offset logic (internal/mongo/client.go:186-199) generalizes into.
+
+    NOTE: requires google.protobuf at runtime (optional pyspark dep, absent
+    in this container — the test is skipif-gated); per_key_offsets above is
+    the dependency-free equivalent used by default."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class OffsetTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("offsets", OFFSET_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                max_id, n = self._state.get()
+            else:
+                max_id, n = -1, 0
+            for pdf in rows:
+                if len(pdf):
+                    max_id = max(max_id, int(pdf["event_id"].max()))
+                    n += len(pdf)
+            self._state.update((max_id, n))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {"user_id": [user_id], "max_event_id": [max_id], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        OffsetTracker(),
+        outputStructType=OFFSET_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -134,3 +134,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+# Queries that are intentionally quadratic (brute-force correctness
+# baselines whose docs say so) or intentionally row-at-a-time (the one
+# query that demonstrates the plain Python UDF surface).
+_ALLOWED_NESTED_LOOP = {
+    "similarity_neardup_pairs",   # documented brute-force baseline
+    "similarity_topk_bruteforce", # broadcast NLJ of tiny query set (by design)
+    "join_theta_range",           # non-equi band join (broadcast NLJ is the plan)
+    "join_skew_salted",           # 8-row salt table replicated by crossJoin
+    "similarity_ann_ivf",         # 16-row centroid codebook broadcast crossJoin
+    "text_tfidf",                 # 1-row corpus-size scalar broadcast crossJoin
+}
+_ALLOWED_ROW_PYTHON = {"udf_python_scalar"}  # exists to cover the UDF surface
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered query's physical plan is lint-checked: no accidental
+    CartesianProduct anywhere, and no row-at-a-time Python eval outside the
+    one query that exists to demonstrate it. This is the 'would this plan
+    survive 100x scale-up' gate, applied to the WHOLE surface."""
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+    from mongodb_nats_connector_spark.registry import all_queries
+
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        s = plan_string(q.fn(spark, SF))
+        if "CartesianProduct" in s:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in s and name not in _ALLOWED_NESTED_LOOP:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+        if "BatchEvalPython" in s and name not in _ALLOWED_ROW_PYTHON:
+            offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
+    assert not offenders, f"plan lint failures: {offenders}"

@@ -204,3 +204,49 @@ def test_stream_static_enrichment_join(spark, events_feed):
     s = out.sort_values("event_id").reset_index(drop=True)
     b = batch.sort_values("event_id").reset_index(drop=True)
     assert (s["category"] == b["category"]).all()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf (optional "
+    "pyspark dependency, not installed in this container); the "
+    "applyInPandasWithState variant covers the same semantics above",
+)
+def test_stateful_offsets_transform_with_state(spark, events_feed):
+    """transformWithStateInPandas (Spark 4 stateful API) tracks the same
+    per-key offsets as applyInPandasWithState — final state row per user
+    matches the batch max/count."""
+    from mongodb_nats_connector_spark.streaming.windows import per_key_offsets_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_to_memory(spark, per_key_offsets_tws(_stream(spark, events_feed)), "update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # last emitted row per user == batch truth
+    final = out.groupby("user_id").last()
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("max_event_id"), F.count("*").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in final.iterrows():
+        assert row["max_event_id"] == batch.loc[uid, "max_event_id"]
+        assert row["n_events"] == batch.loc[uid, "n_events"]
