@@ -8,8 +8,9 @@ the only shuffle that touches all documents, and it shuffles just
 (doc_id, band_key) — signature bytes, not text. SimHash follows the same
 candidate-join shape with bit-chunk pigeonholing.
 
-All hashing is JVM-side (xxhash64 + affine permutations as SQL expressions);
-no Python executes per row.
+Base hashing is JVM-side (xxhash64 as a SQL expression); the dense per-doc
+signature math (minhash permutation-min, simhash bit votes) runs as
+Arrow-batched numpy — one matrix op per batch, never Python per row.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from pyspark.sql import functions as F
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
     minhash_signature,
-    simhash63,
+    simhash_signature,
     word_shingles,
 )
 from mongodb_nats_connector_spark.registry import register
@@ -239,17 +240,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
-    tokens = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).filter(F.col("tok") != "")
-    th = F.xxhash64("tok")
-    votes = tokens.groupBy("doc_id").agg(
-        *[F.sum(simhash63(th, i)).alias(f"v{i}") for i in range(63)]
-    )
-    sig = F.lit(0).cast("bigint")
-    for i in range(63):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # distinct token hashes per row (JVM-side), signature per row in one
+    # Arrow batch — signatures cost ZERO shuffle (the exploded-vote
+    # formulation shuffled every token through a 63-way aggregate)
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            F.filter(F.array_distinct(F.split("text", " ")), lambda t: t != ""),
+            lambda t: F.xxhash64(t),
+        ).alias("th"),
+    ).filter(F.size("th") > 0)
+    sigs = toks.select("doc_id", simhash_signature(F.col("th")).alias("simhash"))
     # 4 chunks of 16 bits (chunk 3 holds 15 payload bits)
     chunks = sigs.select(
         "doc_id",
