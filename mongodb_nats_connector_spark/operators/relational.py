@@ -1346,3 +1346,30 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 3).alias("shr"),
     )
+
+
+@register(
+    "join_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    doc="Correlated EXISTS / NOT EXISTS subqueries through the SQL entry "
+    "point — Catalyst rewrites them to left-semi + left-anti joins (the "
+    "same plan as join_semi/join_anti; asserted by the plan lint).",
+)
+def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )

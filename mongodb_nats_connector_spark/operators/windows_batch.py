@@ -102,3 +102,84 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id, value
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (gaps-and-islands): lag to mark session "
+    "boundaries at >30 min inactivity, running sum to number sessions, "
+    "then per-session stats. Two window passes over ONE partitioning "
+    "(user_id) — a single shuffle; the batch analogue of "
+    "session_window(ts, '30 minutes') and the standard formulation when "
+    "session ids must be stable/joinable downstream.",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    marked = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(run).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE 1 + floor(o_totalprice / 50000) END AS INT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    doc="Fixed-width histogram via width_bucket: single map-side-combinable "
+    "aggregation — the at-scale way to get a distribution sketch without "
+    "sorting.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
