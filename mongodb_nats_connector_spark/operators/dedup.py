@@ -265,21 +265,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # ONE aggregation per (chunk, value) bucket instead of a self-join that
+    # would recompute the signature subtree twice — the same bucket-pair
+    # shape as dedup_minhash_lsh. Members carry (doc_id, simhash); struct
+    # sort orders by doc_id, so sliced pairs are already doc_a < doc_b.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
