@@ -57,3 +57,68 @@ def test_changestream_source_optype_pushdown(spark):
     out = _collect_stream(spark, df)
     assert len(out) == 40
     assert set(out["operation_type"]) == {"insert", "update", "replace", "delete"}
+
+
+def test_jetstream_sink_datasource_end_to_end(spark, tmp_path):
+    """format('jetstream_sink') writer: publish-then-manifest-commit per
+    epoch, consumer dedup by msg_id — the O9/O10 protocol as a first-class
+    Data Source sink, chained after the custom change-stream source."""
+    from mongodb_nats_connector_spark.sources.jetstream_sink_datasource import (
+        read_jetstream_sink,
+        register_jetstream_sink,
+    )
+    from mongodb_nats_connector_spark.streaming.pipeline import (
+        transform_change_events,
+    )
+
+    register_changestream_source(spark)
+    register_jetstream_sink(spark)
+
+    events = (
+        spark.readStream.format("mongo_changestream")
+        .option("ndocs", 20)
+        .option("batchSize", 7)
+        .load()
+    )
+    out = transform_change_events(events, "COLL1")
+    sink_dir = str(tmp_path / "jetsink")
+    q = (
+        out.writeStream.format("jetstream_sink")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    from mongodb_nats_connector_spark.sources.change_events import (
+        generate_change_event_rows,
+    )
+
+    publishable = {"insert", "update", "replace", "delete"}
+    expected = sum(
+        1
+        for r in generate_change_event_rows(
+            n_docs=20, with_noise_tail=True, with_duplicates=False
+        )
+        if r[1] in publishable
+    )
+    msgs = read_jetstream_sink(spark, sink_dir)
+    rows = msgs.orderBy("msg_id").collect()
+    assert len(rows) == expected  # noise ops filtered at the source
+    assert all(r.subject in {f"COLL1.{op}" for op in publishable} for r in rows)
+    assert len({r.msg_id for r in rows}) == expected
+
+    # replay the same epochs (fresh checkpoint, same sink dir): manifests
+    # are overwritten, consumer still sees exactly 20 (idempotent commit)
+    q2 = (
+        out.writeStream.format("jetstream_sink")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert read_jetstream_sink(spark, sink_dir).count() == expected
