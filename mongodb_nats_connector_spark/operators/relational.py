@@ -1373,3 +1373,61 @@ def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         """
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           CAST(mode(l_linestatus ORDER BY l_linestatus) AS STRING) AS status_mode
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="median (exact interpolated) and deterministic mode per group.",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.mode("l_linestatus", False).alias("status_mode"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Ordered string aggregation (listagg): sort_array(collect_list) + "
+    "concat_ws — deterministic order makes it oracle-comparable.",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT o_orderstatus,
+           round(regr_slope(o_totalprice, o_custkey), 8)     AS slope,
+           round(regr_intercept(o_totalprice, o_custkey), 4) AS intercept,
+           round(regr_r2(o_totalprice, o_custkey), 8)        AS r2,
+           CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Linear-regression aggregates (regr_slope/intercept/r2/count) — "
+    "single-pass, map-side combinable.",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.regr_slope("o_totalprice", "o_custkey"), 8).alias("slope"),
+        F.round(F.regr_intercept("o_totalprice", "o_custkey"), 4).alias("intercept"),
+        F.round(F.regr_r2("o_totalprice", "o_custkey"), 8).alias("r2"),
+        F.regr_count("o_totalprice", "o_custkey").cast("bigint").alias("n"),
+    )
