@@ -1431,3 +1431,214 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("o_totalprice", "o_custkey"), 8).alias("r2"),
         F.regr_count("o_totalprice", "o_custkey").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-shaped queries (adapted to the driver's column subset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): date-windowed orders with "
+    "a correlated EXISTS on lineitem -> left-semi join, grouped count.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): fact-fact join on the "
+    "order key, broadcast dims (customer at this SF, nation always), "
+    "top-20 by revenue via TakeOrderedAndProject.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): month-windowed lineitem joined "
+    "to part (broadcast at this SF; co-partitioned on partkey at 100 TB), "
+    "conditional-sum ratio.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 210
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING-filtered "
+    "aggregation produces the key set, IN-subquery -> left-semi join "
+    "prunes the fact table before the final join+agg.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(
+        F.col("sq") > 210
+    )
+    o = table(spark, sf_dir, "orders").join(
+        big.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): disjunctive multi-attribute "
+    "predicate across both join sides — Catalyst extracts the common "
+    "equi-key so it stays a hash join with the OR as a post-filter.",
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q22_no_order_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): scalar-subquery "
+    "threshold (1-row broadcast) + NOT EXISTS -> left-anti join against "
+    "the high-value-order key set (every synthetic customer has SOME "
+    "order, so the anti-join is on orders > 250k to stay non-trivial).",
+)
+def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_totalprice") > 250000),
+            c["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

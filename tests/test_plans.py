@@ -146,6 +146,7 @@ _ALLOWED_NESTED_LOOP = {
     "join_skew_salted",           # 8-row salt table replicated by crossJoin
     "similarity_ann_ivf",         # 16-row centroid codebook broadcast crossJoin
     "text_tfidf",                 # 1-row corpus-size scalar broadcast crossJoin
+    "q22_no_order_customers",     # 1-row avg-balance scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {"udf_python_scalar"}  # exists to cover the UDF surface
 
