@@ -250,3 +250,58 @@ def test_stateful_offsets_transform_with_state(spark, events_feed):
     for uid, row in final.iterrows():
         assert row["max_event_id"] == batch.loc[uid, "max_event_id"]
         assert row["n_events"] == batch.loc[uid, "n_events"]
+
+
+def test_stream_stream_interval_join(spark, events_feed):
+    """Stream-stream inner join with watermarks + an event-time interval
+    condition: each purchase joins the same user's clicks from the preceding
+    hour. Both sides buffer state bounded by the watermark — the unbounded-
+    join problem the interval condition exists to solve. Verified exactly
+    against the identical batch join."""
+    clicks = (
+        _stream(spark, events_feed)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _stream(spark, events_feed)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    out = _run_to_memory(
+        spark,
+        clicks.join(purchases, cond).select("p_user", "purchase_id", "click_id"),
+        "append",
+    )
+
+    ev = table(spark, SF, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = bc.join(bp, cond).select("p_user", "purchase_id", "click_id").toPandas()
+
+    assert len(out) == len(batch), f"stream {len(out)} vs batch {len(batch)}"
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    assert key(out) == key(batch)
