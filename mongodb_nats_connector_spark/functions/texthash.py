@@ -116,9 +116,21 @@ def band_keys(df: DataFrame) -> DataFrame:
     )
 
 
-def simhash63(token_hash: Column, bit: int) -> Column:
-    """Vote expression for one SimHash bit: +1 if bit set else -1."""
-    return F.when(F.shiftright(token_hash, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+def bucket_pairs(members: Column, make_pair) -> Column:
+    """All ordered in-bucket pairs from a sorted member array: for members
+    m[0..k-1] emits make_pair(m[i], m[j]) for every i < j. The `i + 2` is
+    the 1-based `slice` start for 'everything after element i'. Shared by
+    the MinHash band buckets and the SimHash chunk buckets — one place to
+    add a mega-bucket size cap when a corpus needs it."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: make_pair(x, y),
+            ),
+        )
+    )
 
 
 def simhash_signature(token_hashes: Column) -> Column:
@@ -141,14 +153,18 @@ def simhash_signature(token_hashes: Column) -> Column:
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in batch if h is not None and len(h)]
         )
-        bits = (flat[:, None] >> bits_idx) & 1          # (tokens, 63)
-        votes = 2 * bits - 1
+        # One pass per bit over the flat token vector: peak transient is
+        # O(tokens) int64, never the (tokens, 63) matrix a single vectorized
+        # pass would materialize (~500 B/token — an OOM risk for long docs
+        # in big Arrow batches). Same op count, bounded memory.
         starts = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         out = np.zeros((len(lens), 63), dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            out[nz] = np.add.reduceat(votes, starts[nz], axis=0)
+            for i in range(63):
+                votes = (2 * ((flat >> i) & 1) - 1).astype(np.int8)
+                out[nz, i] = np.add.reduceat(votes, starts[nz], dtype=np.int64)
         sig = ((out > 0).astype(np.int64) << bits_idx).sum(axis=1)
         return pd.Series(sig)
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
+    bucket_pairs,
     minhash_signature,
     simhash_signature,
     word_shingles,
@@ -199,14 +200,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs = bucket_pairs(
+        F.col("ids"), lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     candidates = (
         buckets.select(F.explode(pairs).alias("p"))
@@ -274,18 +269,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-                ),
-            ),
-        )
+    pairs = bucket_pairs(
+        F.col("ms"),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+        ),
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))

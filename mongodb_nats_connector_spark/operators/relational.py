@@ -1389,7 +1389,7 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.mode("l_linestatus", False).alias("status_mode"),
+        F.mode("l_linestatus", True).alias("status_mode"),
     )
 
 

@@ -139,9 +139,13 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    # unix_micros keeps exact sub-second precision as int64: the boundary
+    # comparison must match the oracle's microsecond-exact interval
+    # arithmetic (whole-second or double truncation misclassifies gaps
+    # within ~1s of the 30-minute boundary)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order)
     marked = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0

@@ -237,6 +237,8 @@ def test_stateful_offsets_transform_with_state(spark, events_feed):
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     # last emitted row per user == batch truth
     final = out.groupby("user_id").last()
     batch = (
