@@ -116,21 +116,43 @@ def band_keys(df: DataFrame) -> DataFrame:
     )
 
 
-def bucket_pairs(members: Column, make_pair) -> Column:
-    """All ordered in-bucket pairs from a sorted member array: for members
-    m[0..k-1] emits make_pair(m[i], m[j]) for every i < j. The `i + 2` is
-    the 1-based `slice` start for 'everything after element i'. Shared by
-    the MinHash band buckets and the SimHash chunk buckets — one place to
-    add a mega-bucket size cap when a corpus needs it."""
-    return F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.size(members)),
-                lambda y: make_pair(x, y),
-            ),
-        )
+# Mega-bucket guard: a degenerate corpus (thousands of docs sharing one band
+# key / simhash chunk) would otherwise expand O(k^2) candidate pairs for a
+# single bucket. Buckets are truncated to this many members (deterministic:
+# sort_array keeps the lowest doc_ids), bounding per-bucket work at
+# ~cap^2/2 pairs. Healthy buckets are far below the cap, so results are
+# identical on non-adversarial data; real 100 TB deployments tune this.
+MAX_BUCKET_MEMBERS = 1024
+
+
+def capped_members(member: Column) -> Column:
+    """``sort_array(collect_set(member))`` truncated to MAX_BUCKET_MEMBERS.
+
+    The collect_set row is O(k) for a k-member bucket (8-16 B per member —
+    fine even for very large buckets); the cap keeps the downstream pair
+    expansion from going quadratic in k.
+    """
+    return F.slice(F.sort_array(F.collect_set(member)), 1, MAX_BUCKET_MEMBERS)
+
+
+def expand_bucket_pairs(buckets: DataFrame, members: str, make_pair) -> DataFrame:
+    """Expand each bucket's sorted member array into all i < j pairs.
+
+    Returns a DataFrame with one struct column ``p`` = make_pair(m[i], m[j]).
+    Two chained generators (posexplode, then explode of the per-member tail
+    slice) stream the pairs through whole-stage codegen one row at a time —
+    peak per-task memory is O(k) for a k-member bucket, never the O(k^2)
+    single-row array a flatten-of-transforms would materialize. The
+    ``_i + 2`` is the 1-based `slice` start for 'everything after element i'.
+    Shared by the MinHash band buckets and the SimHash chunk buckets.
+    """
+    tails = buckets.select(
+        F.col(members).alias("_ms"), F.posexplode(members).alias("_i", "_x")
     )
+    return tails.select(
+        F.col("_x"),
+        F.explode(F.slice(F.col("_ms"), F.col("_i") + F.lit(2), F.size("_ms"))).alias("_y"),
+    ).select(make_pair(F.col("_x"), F.col("_y")).alias("p"))
 
 
 def simhash_signature(token_hashes: Column) -> Column:

@@ -15,12 +15,15 @@ Arrow-batched numpy — one matrix op per batch, never Python per row.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
-    bucket_pairs,
+    capped_members,
+    expand_bucket_pairs,
     minhash_signature,
     simhash_signature,
     word_shingles,
@@ -109,15 +112,19 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # one persisted copy per (session, sf_dir): repeated dedup_minhash_lsh calls
-# (oracle suite, bench) reuse the same cache entry instead of stacking leaks
-_HASHED_SETS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# (oracle suite, bench) reuse the same cache entry instead of stacking leaks.
+# Keyed weakly on the session OBJECT (not id(): a stopped session's id can be
+# reused by a new one, which would hand out a DataFrame bound to a dead JVM).
+_HASHED_SETS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _hashed_shingle_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _HASHED_SETS_CACHE.get(key)
+    per_session = _HASHED_SETS_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
     if df is None:
-        df = _HASHED_SETS_CACHE[key] = _hashed_shingle_sets(spark, sf_dir).persist()
+        df = per_session[sf_dir] = _hashed_shingle_sets(spark, sf_dir).persist()
     return df
 
 
@@ -192,19 +199,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = sets.select("doc_id", minhash_signature(F.col("h64")).alias("mh"))
     bands = band_keys(sigs)
     # ONE aggregation per band bucket (instead of a self-join that would
-    # recompute the signature subtree twice): collect bucket members, emit
-    # in-bucket pairs with a small HOF. Bucket lists are tiny for healthy
-    # thresholds; pathological mega-buckets would need a size cap + salt.
+    # recompute the signature subtree twice): collect bucket members (capped
+    # at MAX_BUCKET_MEMBERS against degenerate mega-buckets), then stream
+    # the in-bucket pairs through chained generators — bounded per-task
+    # memory even when every doc shares a band key.
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .agg(capped_members(F.col("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = bucket_pairs(
-        F.col("ids"), lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-    )
     candidates = (
-        buckets.select(F.explode(pairs).alias("p"))
+        expand_bucket_pairs(
+            buckets, "ids", lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+        )
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -261,16 +268,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_id", "chunk_val"),
     )
     # ONE aggregation per (chunk, value) bucket instead of a self-join that
-    # would recompute the signature subtree twice — the same bucket-pair
-    # shape as dedup_minhash_lsh. Members carry (doc_id, simhash); struct
-    # sort orders by doc_id, so sliced pairs are already doc_a < doc_b.
+    # would recompute the signature subtree twice — the same capped,
+    # streamed bucket-pair shape as dedup_minhash_lsh. Members carry
+    # (doc_id, simhash); struct sort orders by doc_id, so sliced pairs are
+    # already doc_a < doc_b.
     buckets = (
         chunks.groupBy("chunk_id", "chunk_val")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ms"))
+        .agg(capped_members(F.struct("doc_id", "simhash")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    pairs = bucket_pairs(
-        F.col("ms"),
+    pairs = expand_bucket_pairs(
+        buckets,
+        "ms",
         lambda x, y: F.struct(
             x["doc_id"].alias("doc_a"),
             y["doc_id"].alias("doc_b"),
@@ -278,8 +287,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 3)
         .distinct()
     )

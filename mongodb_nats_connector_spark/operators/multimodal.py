@@ -143,7 +143,25 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # chunking of stub 'video' bytes; checked rows-only + tests
+    # The stub chunker is deterministic byte arithmetic over encode(text)
+    # (documents.text is ASCII, so ascii(substr(text, i, 1)) IS byte i):
+    # fully SQL-expressible, so the driver hash-checks it like any query.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ), f AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT), 4)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(least(32, n - 32 * frame_idx) AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(
+                  range(1, CAST(least(32, n - 32 * frame_idx) AS BIGINT) + 1),
+                  j -> ascii(substr(text, CAST(32 * frame_idx + j AS BIGINT), 1))
+                )) % 65536 AS BIGINT) AS frame_checksum
+    FROM f
+    """,
     doc="Frame sampling over opaque binary 'video' payloads via mapInPandas: "
     "fixed-stride frame selection with per-frame metadata. Decode is a "
     "deterministic byte-chunking stub (no codec libs in this env); the "
@@ -157,13 +175,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize_stub",
-    oracle=None,
+    # fake_decode is (n%640)+1 x ((n*7)%480)+1 over n = payload bytes; the
+    # resize box is floor(x*256/max + 0.5) — explicitly floor-based (NOT
+    # Python round(): banker's rounding has no SQL equivalent) so the same
+    # IEEE-double expression evaluates identically in DuckDB.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1       AS width,
+             (octet_length(encode(text)) * 7) % 480 + 1 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width  AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(greatest(1, floor((width  * 256.0) / greatest(width, height) + 0.5))
+                AS BIGINT) AS out_width,
+           CAST(greatest(1, floor((height * 256.0) / greatest(width, height) + 0.5))
+                AS BIGINT) AS out_height
+    FROM d
+    """,
     doc="Image-resize stub via mapInPandas: fake decode derives (w, h) from "
     "payload bytes, 'resize' computes the target box preserving aspect "
     "ratio (pure arithmetic, deterministic). Swap fake_decode for PIL at "
     "deploy time; raise real_decode's NotImplementedError path otherwise.",
 )
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     target = 256
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,8 +210,12 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h = fake_decode(bytes(payload))
-                scale = target / max(w, h)
-                rows.append((doc_id, w, h, max(1, round(w * scale)), max(1, round(h * scale))))
+                m = max(w, h)
+                # floor(x + 0.5), not round(): bit-identical to the DuckDB
+                # oracle's floor expression (banker's rounding is not)
+                out_w = max(1, math.floor((w * float(target)) / m + 0.5))
+                out_h = max(1, math.floor((h * float(target)) / m + 0.5))
+                rows.append((doc_id, w, h, out_w, out_h))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "out_width", "out_height"]
             ).astype("int64")

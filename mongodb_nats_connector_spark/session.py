@@ -33,9 +33,9 @@ _SCALE_SAFE_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Structured Streaming: per-epoch correctness over micro-optimization.
     "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
-    # events.parquet stores TIMESTAMP(NANOS); read as long, converted to a
-    # microsecond timestamp in sources/tables.py (same truncation DuckDB does).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NB: spark.sql.legacy.parquet.nanosAsLong is deliberately NOT set here:
+    # sources/tables.py scopes it to each events read so other nanos tables
+    # read in the same session keep their own semantics.
     "spark.sql.shuffle.partitions": "32",
 }
 

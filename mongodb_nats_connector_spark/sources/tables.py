@@ -40,9 +40,25 @@ def table(
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
         # rejects; read nanos as long and truncate to microseconds (exactly
-        # what DuckDB does on read, keeping the oracle comparable).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # what DuckDB does on read, keeping the oracle comparable). The
+        # legacy conf is scoped to the read: schema conversion happens at
+        # spark.read.parquet() time, so restoring the previous value right
+        # after keeps a concurrent reader of a DIFFERENT nanos table from
+        # silently inheriting it (execution still works — the captured
+        # read schema, not the live conf, drives the scan).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev: str | None = spark.conf.get(conf_key)
+        except Exception:
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
