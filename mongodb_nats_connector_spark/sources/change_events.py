@@ -81,15 +81,16 @@ def generate_change_events(spark: SparkSession, **kw) -> DataFrame:
 
 
 def write_change_event_feed(
-    spark: SparkSession, path: str, n_docs: int = 100, n_files: int = 4, **kw
+    spark: SparkSession, path: str, n_docs: int = 100, **kw
 ) -> int:
     """Materialize the fixture as a parquet directory usable as a streaming
-    file source (each file becomes a micro-batch-able split). Returns the
-    number of events written."""
+    file source. Returns the number of events written. Written as ONE file
+    deliberately: the token-order guarantee across micro-batches relies on
+    the file source's listing order, which is only defined for files added
+    at distinct times — appends (see the restart tests) model later arrivals.
+    """
     df = generate_change_events(spark, n_docs=n_docs, **kw)
     n = df.count()
-    # preserve order within files: sort then write with a controlled number
-    # of output files (the streaming file source lists files in order)
     df.orderBy("_id_data").coalesce(1).write.mode("overwrite").parquet(path)
     return n
 

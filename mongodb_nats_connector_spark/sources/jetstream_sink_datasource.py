@@ -21,6 +21,14 @@ Scale note: data moves executor->disk only; the driver sees file PATHS, not
 rows. One manifest write per epoch is the same O(1) driver-side commit that
 checkpointing itself performs.
 
+DEPLOYMENT REQUIREMENT — shared filesystem: executors write data files with
+local `open()`/`os.makedirs`, and the driver's commit/readers assume those
+paths are visible to them. That holds in local mode and whenever `path` is
+on a filesystem mounted by driver AND executors (NFS, Lustre, a FUSE-mounted
+object store). On a generic cluster with executor-local disks, point `path`
+at a shared mount or swap the `open()` calls for an fsspec/Hadoop-FS client
+— the protocol (uniquely-named files + manifest commit) is unchanged.
+
 Expected input columns: subject STRING, msg_id STRING, data STRING
 (the O8 routing subject, the O2 resume token, the O7 ExtJSON body).
 """

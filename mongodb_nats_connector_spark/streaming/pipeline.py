@@ -23,6 +23,8 @@ granularity.
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,25 +42,30 @@ from mongodb_nats_connector_spark.sources.change_events import read_change_event
 from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
 
 
-def transform_change_events(events: DataFrame, stream_name: str) -> DataFrame:
+def transform_change_events(
+    events: DataFrame, stream_name: str, keep_document_key: bool = False
+) -> DataFrame:
     """O4-O8: the whole per-event transform as one narrow projection.
 
     Filter to publishable op types (O5; drop/rename/invalidate silently
     dropped like client.go:231-237), derive the routing subject (O8), and
     serialize the envelope to relaxed ExtJSON (O7). No shuffle — this is a
-    map-only stage at any scale.
+    map-only stage at any scale. ``keep_document_key`` carries the document
+    key through for the sink's per-key-ordered mode.
     """
-    return (
-        events.filter(F.col("operation_type").isin(*PUBLISHABLE_OPERATION_TYPES))
-        .select(
-            F.col("_id_data").alias("msg_id"),  # Nats-Msg-Id (nats/client.go:124)
-            F.concat(
-                F.lit(stream_name), F.lit("."), F.col("operation_type")
-            ).alias("subject"),
-            envelope_to_extjson().alias("data"),
-            F.col("cluster_time"),
-        )
-    )
+    cols = [
+        F.col("_id_data").alias("msg_id"),  # Nats-Msg-Id (nats/client.go:124)
+        F.concat(
+            F.lit(stream_name), F.lit("."), F.col("operation_type")
+        ).alias("subject"),
+        envelope_to_extjson().alias("data"),
+        F.col("cluster_time"),
+    ]
+    if keep_document_key:
+        cols.append(F.col("document_key_id").alias("document_key"))
+    return events.filter(
+        F.col("operation_type").isin(*PUBLISHABLE_OPERATION_TYPES)
+    ).select(*cols)
 
 
 def detect_invalidate(events: DataFrame) -> DataFrame:
@@ -71,6 +78,39 @@ class PipelineHandle:
     config: CollectionConfig
     query: StreamingQuery
     sink: JetStreamLikeSink
+    # set by the batch handler when an invalidate marker is observed; the
+    # query is then stopped gracefully (reference client.go:232-235 returns
+    # from the watch loop without error — the connector stays alive)
+    lifecycle: dict = field(default_factory=dict)
+
+    @property
+    def invalidated(self) -> bool:
+        return bool(self.lifecycle.get("invalidated"))
+
+
+def _stop_after_epoch(query: StreamingQuery, timeout: float = 30.0) -> None:
+    """Stop a StreamingQuery once its in-flight trigger (if any) finishes.
+
+    Runs on a helper thread: stop() from inside foreachBatch would interrupt
+    the very epoch that carried the invalidate marker before its commit.
+    Waiting for the trigger to go idle lets the final publishable events of
+    that epoch commit; if the wait races the next trigger, the epoch-keyed
+    idempotent sink makes the replay harmless.
+    """
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        try:
+            if not query.isActive:
+                return
+            if not query.status.get("isTriggerActive", False):
+                break
+        except Exception:
+            break
+        time.sleep(0.1)
+    try:
+        query.stop()
+    except Exception:
+        pass  # already terminated
 
 
 class Connector:
@@ -85,15 +125,41 @@ class Connector:
         config: ConnectorConfig,
         source_paths: dict[str, str],
         sink_root: str,
+        order_within_key: bool = False,
     ) -> None:
         """``source_paths`` maps '<db>.<coll>' -> change-event feed dir (the
         file-backed stand-in for a Mongo change stream; a real Mongo source
-        would plug in via the Python Data Source API with the same schema)."""
+        would plug in via the Python Data Source API with the same schema).
+        ``order_within_key`` selects the sink's parallel per-document-order
+        mode over the reference-faithful total order (see JetStreamLikeSink).
+        """
         self.spark = spark
         self.config = config
         self.source_paths = source_paths
         self.sink_root = sink_root
+        self.order_within_key = order_within_key
         self.handles: list[PipelineHandle] = []
+
+    def _batch_handler(self, sink: JetStreamLikeSink, stream_name: str, lifecycle: dict):
+        """foreachBatch body: publish the batch's publishable events, then —
+        O6 — if the batch carries an invalidate marker, flag the pipeline and
+        stop its query after the epoch (client.go:232-235: the reference
+        stops resuming the dropped collection; siblings keep running)."""
+
+        def handle(batch: DataFrame, epoch_id: int) -> None:
+            out = transform_change_events(
+                batch, stream_name, keep_document_key=self.order_within_key
+            )
+            sink.publish_batch(out, epoch_id)
+            if not detect_invalidate(batch).isEmpty():
+                lifecycle["invalidated"] = True
+                query = lifecycle.get("query")
+                if query is not None:
+                    threading.Thread(
+                        target=_stop_after_epoch, args=(query,), daemon=True
+                    ).start()
+
+        return handle
 
     def start(self) -> list[PipelineHandle]:
         for coll in self.config.collections:
@@ -104,24 +170,37 @@ class Connector:
                 self.spark,
                 stream_dir=f"{self.sink_root}/streams/{coll.stream_name}",
                 stream_name=coll.stream_name,
+                order_within_key=self.order_within_key,
             )
             sink.add_stream()  # DDL bootstrap, idempotent (O13)
             events = read_change_event_stream(self.spark, self.source_paths[key])
-            out = transform_change_events(events, coll.stream_name)
             checkpoint = f"{self.sink_root}/checkpoints/{coll.checkpoint_name}"
+            lifecycle: dict = {}
             query = (
-                out.writeStream.outputMode("append")
+                events.writeStream.outputMode("append")
                 .option("checkpointLocation", checkpoint)
-                .foreachBatch(sink.publish_batch)
+                .foreachBatch(self._batch_handler(sink, coll.stream_name, lifecycle))
                 .queryName(f"cdc-{coll.stream_name}")
                 .start()
             )
-            self.handles.append(PipelineHandle(coll, query, sink))
+            lifecycle["query"] = query
+            if lifecycle.get("invalidated"):
+                # the first trigger raced us and already saw the invalidate
+                threading.Thread(
+                    target=_stop_after_epoch, args=(query,), daemon=True
+                ).start()
+            self.handles.append(PipelineHandle(coll, query, sink, lifecycle))
         return self.handles
 
     def process_all_available(self) -> None:
         for h in self.handles:
-            h.query.processAllAvailable()
+            try:
+                h.query.processAllAvailable()
+            except Exception:
+                # a query stopped mid-wait by the invalidate handler is a
+                # graceful completion, not a failure
+                if not h.invalidated:
+                    raise
 
     def await_any_termination(self, timeout: float | None = None):
         return self.spark.streams.awaitAnyTermination(timeout)
@@ -136,9 +215,21 @@ class Connector:
     def health(self) -> dict:
         components = []
         for h in self.handles:
-            up = h.query.isActive and h.query.exception() is None
+            if h.invalidated and not h.query.isActive:
+                # graceful completion after a collection drop/rename: the
+                # reference's watch loop returns nil on invalidate and the
+                # connector keeps serving (client.go:232-235, drop_test.go)
+                status = "COMPLETED"
+            elif h.query.isActive and h.query.exception() is None:
+                status = "UP"
+            else:
+                status = "DOWN"
             components.append(
-                {"name": f"pipeline-{h.config.stream_name}", "status": "UP" if up else "DOWN"}
+                {"name": f"pipeline-{h.config.stream_name}", "status": status}
             )
-        status = "UP" if components and all(c["status"] == "UP" for c in components) else "DOWN"
+        status = (
+            "UP"
+            if components and all(c["status"] in ("UP", "COMPLETED") for c in components)
+            else "DOWN"
+        )
         return {"status": status, "components": components}

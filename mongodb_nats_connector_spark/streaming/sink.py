@@ -26,10 +26,25 @@ from pyspark.sql.window import Window
 
 
 class JetStreamLikeSink:
-    def __init__(self, spark: SparkSession, stream_dir: str, stream_name: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream_dir: str,
+        stream_name: str,
+        order_within_key: bool = False,
+    ) -> None:
+        """``order_within_key=False`` (default) reproduces the reference's
+        strict per-collection TOTAL order (its publish loop is single-
+        threaded, client.go:217-257) — faithful, but one task per epoch.
+        ``order_within_key=True`` is the scale mode: order is guaranteed per
+        ``document_key`` only (the guarantee consumers actually rely on —
+        NATS subjects partition by document anyway), the epoch writes with
+        full partition parallelism, and ``seq_in_epoch`` numbers within the
+        key. Requires the batch to carry a ``document_key`` column."""
         self.spark = spark
         self.stream_dir = stream_dir
         self.stream_name = stream_name
+        self.order_within_key = order_within_key
         self.messages_dir = os.path.join(stream_dir, "messages")
 
     # O13 — idempotent DDL bootstrap (AddStream)
@@ -40,17 +55,35 @@ class JetStreamLikeSink:
     def publish_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        # Per-collection total order within the epoch: sort by resume token
-        # (the reference's order is token order, client.go:217-257), and tag
-        # each row with its in-epoch sequence so consumers can verify order.
-        w = Window.partitionBy().orderBy("msg_id")
-        ordered = batch.withColumn("seq_in_epoch", F.row_number().over(w)).withColumn(
-            "epoch", F.lit(int(epoch_id))
-        )
+        if self.order_within_key:
+            if "document_key" not in batch.columns:
+                raise ValueError(
+                    "order_within_key sink requires a document_key column "
+                    "(transform_change_events(..., keep_document_key=True))"
+                )
+            # Per-key order: rows for one document are numbered in token
+            # order; different documents write concurrently. No coalesce —
+            # the epoch write parallelizes across all partitions.
+            w = Window.partitionBy("document_key").orderBy("msg_id")
+            ordered = batch.withColumn(
+                "seq_in_epoch", F.row_number().over(w)
+            ).withColumn("epoch", F.lit(int(epoch_id)))
+            writer = ordered
+        else:
+            # Per-collection total order within the epoch: sort by resume
+            # token (the reference's order is token order, client.go:217-257)
+            # and tag each row with its in-epoch sequence so consumers can
+            # verify order. The global window forces one task per epoch —
+            # the price of a total order, exactly like the reference's
+            # single-threaded loop.
+            w = Window.partitionBy().orderBy("msg_id")
+            ordered = batch.withColumn(
+                "seq_in_epoch", F.row_number().over(w)
+            ).withColumn("epoch", F.lit(int(epoch_id)))
+            writer = ordered.coalesce(1)
         # Epoch-keyed overwrite = replay-safe (idempotent) publish.
         (
-            ordered.coalesce(1)
-            .write.mode("overwrite")
+            writer.write.mode("overwrite")
             .format("parquet")
             .save(os.path.join(self.messages_dir, f"epoch={int(epoch_id)}"))
         )

@@ -44,11 +44,15 @@ def sliding_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
-def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+def session_counts(
+    stream: DataFrame, gap: str = "10 minutes", watermark: str | None = None
+) -> DataFrame:
     """Session windows per user (gap-merged); state store holds open sessions
-    until the watermark closes them."""
+    until the watermark closes them. The watermark defaults to the gap so a
+    caller-supplied non-default gap keeps late-data semantics consistent
+    (pass ``watermark`` explicitly to allow more lateness than the gap)."""
     return (
-        stream.withWatermark("ts", "10 minutes")
+        stream.withWatermark("ts", watermark or gap)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
         .select(

@@ -155,6 +155,84 @@ def test_order_preserved_and_exactly_once_across_restart(spark, tmp_path):
     assert ids == sorted(ids), "messages out of order"
 
 
+def test_invalidate_stops_pipeline_siblings_keep_running(spark, tmp_path):
+    """O6 end-to-end (client.go:232-235 + drop_test.go:32-42): an invalidate
+    marker stops THAT pipeline's StreamingQuery gracefully after its epoch —
+    no invalidate message is published, the sibling pipeline keeps running,
+    and the connector itself stays healthy."""
+    import time
+
+    feeds = {}
+    for coll, noise in (("coll1", True), ("coll2", False)):
+        path = str(tmp_path / f"feed_{coll}")
+        write_change_event_feed(
+            spark, path, n_docs=3, ns_coll=coll,
+            with_noise_tail=noise, with_duplicates=False,
+        )
+        feeds[f"db1.{coll}"] = path
+    cfg = ConnectorConfig(
+        collections=[
+            CollectionConfig(db_name="db1", coll_name="coll1"),
+            CollectionConfig(db_name="db1", coll_name="coll2"),
+        ]
+    )
+    conn = Connector(spark, cfg, feeds, sink_root=str(tmp_path / "sink"))
+    h1, h2 = conn.start()
+    conn.process_all_available()
+
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and h1.query.isActive:
+        time.sleep(0.2)
+    assert h1.invalidated, "invalidate marker not detected"
+    assert not h1.query.isActive, "invalidated pipeline should stop"
+    assert h1.query.exception() is None, "stop must be graceful, not a failure"
+    assert h2.query.isActive, "sibling pipeline must keep running"
+    assert not h2.invalidated
+
+    # the dropped collection's events before the invalidate were published;
+    # drop/rename/invalidate themselves were not
+    subjects = {r.subject for r in h1.sink.read_messages().select("subject").distinct().collect()}
+    assert subjects == {"COLL1.insert", "COLL1.update", "COLL1.replace", "COLL1.delete"}
+    assert h1.sink.message_count() == 12
+
+    health = conn.health()
+    assert health["status"] == "UP", "connector stays alive after a drop"
+    by_name = {c["name"]: c["status"] for c in health["components"]}
+    assert by_name["pipeline-COLL1"] == "COMPLETED"
+    assert by_name["pipeline-COLL2"] == "UP"
+    conn.stop()
+
+
+def test_order_within_key_mode_exactly_once_per_key_order(spark, tmp_path):
+    """Per-key-ordered sink mode: the epoch write parallelizes (no global
+    coalesce) while each document's events stay in token order — the
+    guarantee consumers key on (NATS subjects partition per document)."""
+    feed = str(tmp_path / "feed")
+    n = write_change_event_feed(
+        spark, feed, n_docs=20, with_noise_tail=False, with_duplicates=False
+    )
+    cfg = ConnectorConfig(
+        collections=[CollectionConfig(db_name="test-connector-db", coll_name="coll1")]
+    )
+    conn = Connector(
+        spark, cfg, {"test-connector-db.coll1": feed},
+        sink_root=str(tmp_path / "sink"), order_within_key=True,
+    )
+    conn.start()
+    conn.process_all_available()
+    conn.stop()
+    sink = conn.handles[0].sink
+    msgs = sink.read_messages().orderBy("document_key", "epoch", "seq_in_epoch").collect()
+    ids = [m.msg_id for m in msgs]
+    assert len(ids) == n and len(set(ids)) == n, "not exactly-once"
+    per_key: dict = {}
+    for m in msgs:
+        per_key.setdefault(m.document_key, []).append(m.msg_id)
+    for key, toks in per_key.items():
+        assert toks == sorted(toks), f"per-key order violated for {key}"
+    assert len(per_key) == 20
+
+
 def test_invalidate_detected(spark):
     """O6: invalidate markers are detectable for stream termination
     (client.go:232-235)."""
@@ -219,10 +297,13 @@ def test_multi_pipeline_fanout(spark, tmp_path):
         assert all(s.startswith(h.config.stream_name + ".") for s in subs)
 
 
-def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
+@pytest.mark.parametrize("order_within_key", [False, True])
+def test_publish_failure_then_replay_no_duplicates(spark, tmp_path, order_within_key):
     """README.md:118-127 crash matrix row 2: publish fails mid-epoch -> the
     query fails, a restart replays the SAME epoch, and the sink stays
-    effectively-once (epoch-keyed idempotent write + msg-id dedup)."""
+    effectively-once (epoch-keyed idempotent write + msg-id dedup). Runs in
+    both ordering modes: reference-faithful total order and the parallel
+    per-key-ordered mode."""
     from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
 
     feed = str(tmp_path / "feed")
@@ -248,6 +329,7 @@ def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
         stream_dir=str(tmp_path / "sink/streams/COLL1"),
         stream_name="COLL1",
         fail_marker=marker,
+        order_within_key=order_within_key,
     )
     sink.add_stream()
     checkpoint = str(tmp_path / "sink/checkpoints/c1")
@@ -261,7 +343,10 @@ def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
 
     def start():
         return (
-            transform_change_events(read_change_event_stream(spark, feed), "COLL1")
+            transform_change_events(
+                read_change_event_stream(spark, feed), "COLL1",
+                keep_document_key=order_within_key,
+            )
             .writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
             .foreachBatch(sink.publish_batch)
@@ -278,8 +363,17 @@ def test_publish_failure_then_replay_no_duplicates(spark, tmp_path):
     q2.stop()
 
     assert sink.message_count(deduped=True) == n
-    ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
-    assert ids == sorted(ids) and len(set(ids)) == n
+    if order_within_key:
+        msgs = sink.read_messages().orderBy("document_key", "epoch", "seq_in_epoch").collect()
+        assert len({m.msg_id for m in msgs}) == n
+        per_key: dict = {}
+        for m in msgs:
+            per_key.setdefault(m.document_key, []).append(m.msg_id)
+        for toks in per_key.values():
+            assert toks == sorted(toks)
+    else:
+        ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
+        assert ids == sorted(ids) and len(set(ids)) == n
 
 
 def test_throughput_floor_100_events(spark, tmp_path):
