@@ -19,14 +19,26 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from pyspark.sql.streaming import StreamingQueryListener
 
 
-class MetricsRegistry:
-    """Counters + duration sums keyed by label tuples, thread-safe."""
+# prometheus.DefBuckets — the reference registers its duration histograms
+# with the client_golang defaults (internal/prometheus/prometheus.go:18-26),
+# so quantile-over-time queries a reference user runs against /metrics work
+# unchanged here.
+DEFAULT_BUCKETS: tuple[float, ...] = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+)
 
-    def __init__(self) -> None:
+
+class MetricsRegistry:
+    """Counters + duration histograms keyed by label tuples, thread-safe."""
+
+    def __init__(self, buckets: tuple[float, ...] = DEFAULT_BUCKETS) -> None:
         self._lock = threading.Lock()
+        self.buckets = tuple(sorted(buckets))
         self.counters: dict[tuple[str, tuple], float] = defaultdict(float)
         self.dur_sum: dict[tuple[str, tuple], float] = defaultdict(float)
         self.dur_count: dict[tuple[str, tuple], int] = defaultdict(int)
+        # cumulative observation counts per upper bound (le), Prometheus-style
+        self.dur_buckets: dict[tuple[str, tuple], list[int]] = {}
 
     def inc(self, name: str, labels: dict[str, str], by: float = 1) -> None:
         with self._lock:
@@ -37,6 +49,10 @@ class MetricsRegistry:
         with self._lock:
             self.dur_sum[key] += seconds
             self.dur_count[key] += 1
+            counts = self.dur_buckets.setdefault(key, [0] * len(self.buckets))
+            for i, le in enumerate(self.buckets):
+                if seconds <= le:
+                    counts[i] += 1
 
     @staticmethod
     def _fmt_labels(labels: tuple) -> str:
@@ -46,13 +62,20 @@ class MetricsRegistry:
         return "{" + inner + "}"
 
     def render_prometheus(self) -> str:
-        """Prometheus text exposition (counters + _sum/_count of durations)."""
+        """Prometheus text exposition: counters + full histograms
+        (`_bucket{le=...}` cumulative counts incl. +Inf, `_sum`, `_count`)."""
         out: list[str] = []
         with self._lock:
             for (name, labels), v in sorted(self.counters.items()):
                 out.append(f"{name}{self._fmt_labels(labels)} {v:g}")
             for (name, labels), s in sorted(self.dur_sum.items()):
                 c = self.dur_count[(name, labels)]
+                counts = self.dur_buckets.get((name, labels), [0] * len(self.buckets))
+                for le, cum in zip(self.buckets, counts):
+                    ll = labels + (("le", f"{le:g}"),)
+                    out.append(f"{name}_bucket{self._fmt_labels(ll)} {cum}")
+                ll = labels + (("le", "+Inf"),)
+                out.append(f"{name}_bucket{self._fmt_labels(ll)} {c}")
                 out.append(f"{name}_sum{self._fmt_labels(labels)} {s:.6f}")
                 out.append(f"{name}_count{self._fmt_labels(labels)} {c}")
         return "\n".join(out) + "\n"

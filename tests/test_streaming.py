@@ -164,6 +164,26 @@ def test_observability_endpoints(spark, events_feed):
         )
         assert "connector_events_total" in metrics
         assert "connector_change_event_processing_duration_seconds_sum" in metrics
+        # histogram buckets with the client_golang default le bounds
+        # (prometheus.go:18-26): every bound present, cumulative, +Inf == count
+        for le in ("0.005", "0.05", "1", "10", "+Inf"):
+            assert (
+                f'connector_change_event_processing_duration_seconds_bucket{{'
+                f'collection="obs_q",le="{le}"}}' in metrics
+            ), f"missing le={le} bucket:\n{metrics}"
+        bucket_lines = [
+            ln for ln in metrics.splitlines()
+            if ln.startswith("connector_change_event_processing_duration_seconds_bucket")
+            and 'collection="obs_q"' in ln
+        ]
+        cum = [int(ln.rsplit(" ", 1)[1]) for ln in bucket_lines]
+        assert cum == sorted(cum), f"bucket counts not cumulative: {cum}"
+        count_line = next(
+            ln for ln in metrics.splitlines()
+            if ln.startswith("connector_change_event_processing_duration_seconds_count")
+            and 'collection="obs_q"' in ln
+        )
+        assert cum[-1] == int(count_line.rsplit(" ", 1)[1])
         # 404 handling
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{server.port}/nope")
