@@ -1642,3 +1642,179 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-fact TPC-H shapes: q7/q8/q9 stress join ordering and exchange reuse
+# beyond the single-fact-shuffle queries above — two fact tables (lineitem,
+# orders) plus 2-4 broadcast dims each, with the fact-fact shuffle on the
+# order key as the only wide exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): nation-pair trade volume by year. "
+    "lineitem joins orders on the order key (the one shuffle), supplier/"
+    "customer/nation x2 all broadcast; the nation-pair disjunction filters "
+    "after the dim joins. Reference parity: SURVEY.md §2.4 analytics set.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one nation's share of "
+    "ECONOMY-part revenue sold into EUROPE customers, by year. Part filter "
+    "prunes lineitem via the broadcast hash join BEFORE the fact-fact "
+    "shuffle; customer->nation->region and supplier->nation chains are all "
+    "broadcast; share is a conditional-sum ratio (no second pass).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(nation_vol) / F.sum(volume), 4).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit): profit per supplier nation "
+    "per year over name-matched parts. No partsupp table in this schema, so "
+    "supply cost is modeled as 10% of p_retailprice per unit — the join "
+    "topology (part filter broadcast-pruning lineitem before the fact-fact "
+    "shuffle, supplier->nation broadcast) is the point of the shape.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )

@@ -55,6 +55,25 @@ def test_q3_broadcasts_dim_side(spark):
     assert has_broadcast_join(q3_shipping_priority(spark, SF))
 
 
+def test_multi_fact_shapes_broadcast_dims_single_wide_shuffle(spark):
+    """q7/q8/q9: every dimension chain broadcasts; the only wide exchanges
+    are the lineitem-orders fact join and the final aggregation."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        q7_volume_shipping,
+        q8_market_share,
+        q9_product_profit,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    for fn in (q7_volume_shipping, q8_market_share, q9_product_profit):
+        df = fn(spark, SF)
+        s = plan_string(df)
+        assert has_broadcast_join(df), f"{fn.__name__} should broadcast dims"
+        assert "CartesianProduct" not in s
+        # fact-fact join (both sides) + final agg — no dim may shuffle
+        assert count_exchanges(df) <= 3, f"{fn.__name__} shuffles a dim:\n{s}"
+
+
 def test_topk_avoids_global_sort(spark):
     assert has_take_ordered(sort_multi_limit(spark, SF)), (
         "ORDER BY + LIMIT should plan TakeOrderedAndProject, not a full sort"
