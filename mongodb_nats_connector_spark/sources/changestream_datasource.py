@@ -57,6 +57,13 @@ class ChangeStreamReader(DataSourceStreamReader):
         self.batch_size = int(options.get("batchsize", 40))
         ops = options.get("operationtypes", "")
         self.op_filter = {o.strip() for o in ops.split(",") if o.strip()}
+        # Optional live-cursor simulation: a file holding the count of events
+        # the "server" has produced so far. latestOffset tracks it, so the
+        # stream grows over time and a killed/restarted query resumes from
+        # the checkpointed sequence — the restart_connector_test.go scenario
+        # on the DataSource offset path. The count is monotonic by contract
+        # (a change stream never un-produces events).
+        self.feed_state = options.get("feedstate")
         # the full deterministic feed, materialized once per reader; a real
         # implementation would hold the Mongo cursor here instead
         self.rows = generate_change_event_rows(
@@ -70,6 +77,13 @@ class ChangeStreamReader(DataSourceStreamReader):
         return {"seq": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802
+        if self.feed_state:
+            try:
+                with open(self.feed_state) as f:
+                    produced = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                produced = 0
+            return {"seq": min(max(produced, 0), self.max_events)}
         return {"seq": self.max_events}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

@@ -59,6 +59,65 @@ def test_changestream_source_optype_pushdown(spark):
     assert set(out["operation_type"]) == {"insert", "update", "replace", "delete"}
 
 
+def test_restart_mid_stream_exactly_once_in_order(spark, tmp_path):
+    """restart_connector_test.go:30-38 ported onto the custom DataSource
+    offset path: the live feed produces 40 events, the query is killed, the
+    feed grows to all 103, a fresh query resumes from the CHECKPOINTED
+    sequence (not from zero) and every publishable event arrives exactly
+    once, in token order."""
+    from mongodb_nats_connector_spark.streaming.pipeline import (
+        transform_change_events,
+    )
+    from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
+
+    register_changestream_source(spark)
+    feed_state = str(tmp_path / "feed_state")
+    with open(feed_state, "w") as f:
+        f.write("40")
+    sink = JetStreamLikeSink(
+        spark, stream_dir=str(tmp_path / "sink/COLL1"), stream_name="COLL1"
+    )
+    sink.add_stream()
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        events = (
+            spark.readStream.format("mongo_changestream")
+            .option("nDocs", 25)  # 100 publishable + 3 noise
+            .option("batchSize", 10)
+            .option("feedState", feed_state)
+            .option("operationTypes", "insert,update,replace,delete")
+            .load()
+        )
+        out = transform_change_events(events, "COLL1")
+        return (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.publish_batch)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # kill mid-stream
+    assert sink.message_count() == 40, "first segment should be published"
+
+    with open(feed_state, "w") as f:
+        f.write("103")  # the stream kept producing while the connector was down
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    ids = [
+        r.msg_id
+        for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()
+    ]
+    assert len(ids) == 100, f"expected all 100 publishable events, got {len(ids)}"
+    assert len(set(ids)) == 100, "duplicates after restart"
+    assert ids == sorted(ids), "token order broken across restart"
+
+
 def test_jetstream_sink_datasource_end_to_end(spark, tmp_path):
     """format('jetstream_sink') writer: publish-then-manifest-commit per
     epoch, consumer dedup by msg_id — the O9/O10 protocol as a first-class
