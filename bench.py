@@ -25,6 +25,8 @@ HEADLINE_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "agg_count_distinct",
     "agg_rollup",
     "window_rank_topk",

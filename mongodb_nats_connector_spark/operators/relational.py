@@ -756,7 +756,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o.distinct()).distinct()
+    return c.subtract(o)  # SQL EXCEPT: distinct left rows not present in right
 
 
 # ---------------------------------------------------------------------------
@@ -1817,4 +1817,72 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): pure scan-filter-agg — "
+    "every predicate pushes into the parquet scan, the aggregate is one "
+    "partial+final pair with no group keys. The canonical 'is pushdown "
+    "working' probe at 100 TB.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per supplier, "
+    "argmax via an equi-join against the 1-row max (broadcast hash join, "
+    "not a nested loop) — the aggregation's exchange is the only wide "
+    "shuffle; supplier broadcasts. Rounded before the max comparison so "
+    "both engines compare identical values.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
     )
