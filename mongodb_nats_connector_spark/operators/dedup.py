@@ -2,10 +2,10 @@
 
 Exact dedup is a hash group-by (one shuffle on the content hash). Near-dup
 detection is MinHash+LSH: shingle -> K-permutation minhash signature -> band
-keys -> candidate pairs via an equi-join on (band_id, band_key) -> exact
-Jaccard verification of the (small) candidate set. At 100 TB the band join is
+keys -> candidate pairs from the band-key buckets -> exact Jaccard
+verification of the (small) candidate set. At 100 TB the band aggregation is
 the only shuffle that touches all documents, and it shuffles just
-(doc_id, band_key) — signature bytes, not text. SimHash follows the same
+(doc_id, band_key bigint) — 16 bytes per band, not text. SimHash follows the same
 candidate-join shape with bit-chunk pigeonholing.
 
 Base hashing is JVM-side (xxhash64 as a SQL expression); the dense per-doc
@@ -204,7 +204,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the in-bucket pairs through chained generators — bounded per-task
     # memory even when every doc shares a band key.
     buckets = (
-        bands.groupBy("band_id", "band_key")
+        bands.groupBy("band_key")
         .agg(capped_members(F.col("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
