@@ -118,6 +118,59 @@ def test_restart_mid_stream_exactly_once_in_order(spark, tmp_path):
     assert ids == sorted(ids), "token order broken across restart"
 
 
+def test_source_pause_resume_zero_loss(spark, tmp_path):
+    """restart_mongo_test.go:30-38 analogue: the event source goes quiet
+    (database down produces nothing), the connector query STAYS RUNNING, the
+    source resumes, and all 100 events are delivered exactly once in order —
+    zero loss across the outage, no restart needed."""
+    from mongodb_nats_connector_spark.streaming.pipeline import (
+        transform_change_events,
+    )
+    from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
+
+    register_changestream_source(spark)
+    feed_state = str(tmp_path / "feed_state")
+    with open(feed_state, "w") as f:
+        f.write("30")
+    sink = JetStreamLikeSink(
+        spark, stream_dir=str(tmp_path / "sink/COLL1"), stream_name="COLL1"
+    )
+    sink.add_stream()
+    events = (
+        spark.readStream.format("mongo_changestream")
+        .option("nDocs", 25)
+        .option("batchSize", 10)
+        .option("feedState", feed_state)
+        .option("operationTypes", "insert,update,replace,delete")
+        .load()
+    )
+    q = (
+        transform_change_events(events, "COLL1")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.publish_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sink.message_count() == 30
+        # outage: the source produces nothing; extra trigger cycles are no-ops
+        q.processAllAvailable()
+        assert sink.message_count() == 30
+        # recovery: the stream resumes producing
+        with open(feed_state, "w") as f:
+            f.write("103")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [
+        r.msg_id
+        for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()
+    ]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    assert ids == sorted(ids), "order broken across the outage"
+
+
 def test_jetstream_sink_datasource_end_to_end(spark, tmp_path):
     """format('jetstream_sink') writer: publish-then-manifest-commit per
     epoch, consumer dedup by msg_id — the O9/O10 protocol as a first-class
