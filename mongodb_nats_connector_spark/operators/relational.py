@@ -1886,3 +1886,52 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "graph_ancestor_rollup",
+    oracle="""
+    WITH RECURSIVE chain(start, node) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION ALL
+      SELECT start, node // 2 FROM chain WHERE node // 2 >= 1
+    )
+    SELECT chain.start AS c_custkey,
+           CAST(count(*) - 1 AS BIGINT) AS depth,
+           round(sum(c.c_acctbal), 2) AS path_acctbal
+    FROM chain JOIN customer c ON chain.node = c.c_custkey
+    GROUP BY chain.start
+    """,
+    doc="Recursive-CTE workaround (hierarchy rollup): each customer's "
+    "ancestor chain in the implicit binary tree custkey -> custkey/2, "
+    "rolled up to depth + path-sum of account balances. Spark has no "
+    "WITH RECURSIVE; when the recursion depth is boundable (log2(maxkey) "
+    "here) the Spark-first form is a bounded explode of ancestor levels "
+    "(node = start >> k, pure integer shifts) + ONE equi-join + ONE "
+    "aggregation — no driver-side iteration, no 18-join plan, scales as a "
+    "single shuffle. The DuckDB oracle runs a true recursive CTE, proving "
+    "semantic equivalence.",
+)
+def graph_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    # bound the expansion by the actual key range (one tiny scalar action)
+    max_key = c.agg(F.max("c_custkey")).first()[0]
+    max_depth = max(1, int(max_key).bit_length())
+    chain = (
+        c.select(F.col("c_custkey").alias("start"))
+        .select("start", F.explode(F.sequence(F.lit(0), F.lit(max_depth))).alias("k"))
+        .select("start", "k", F.expr("shiftright(start, k)").alias("node"))
+        # node >= 1 walks the chain; k == 0 keeps the anchor self-row so a
+        # root key of 0 (present in this key space) still emits its row,
+        # exactly like the CTE's anchor member
+        .filter((F.col("node") >= 1) | (F.col("k") == 0))
+    )
+    return (
+        chain.join(c, chain["node"] == c["c_custkey"])
+        .groupBy("start")
+        .agg(
+            (F.count(F.lit(1)) - 1).alias("depth"),
+            F.round(F.sum("c_acctbal"), 2).alias("path_acctbal"),
+        )
+        .select(F.col("start").alias("c_custkey"), "depth", "path_acctbal")
+    )
