@@ -283,3 +283,59 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      -- parallel unnests zip: (value, 0-based dim index)
+      SELECT label,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(len(embedding))) AS idx
+      FROM embeddings
+    ), cent AS (
+      SELECT label, idx, round(avg(v), 4) AS c
+      FROM ex GROUP BY label, idx
+    ), stats AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+      FROM embeddings GROUP BY label
+    )
+    SELECT s.label, s.n_vecs, s.avg_norm,
+           (SELECT list(c ORDER BY idx) FROM cent WHERE cent.label = s.label)
+             AS centroid
+    FROM stats s
+    """,
+    doc="Per-label embedding centroids + vector-norm statistics: the "
+    "codebook-training / dataset-statistics primitive behind IVF. Explode "
+    "to (label, dim, value), aggregate per dimension, reassemble in dim "
+    "order. Shuffle key is (label, dim) — 16 bytes — never whole vectors; "
+    "at 100 TB this is the standard map-reduce centroid step (k-means "
+    "iteration = this query + a broadcast re-assign).",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True)
+    ex = e.select("label", F.posexplode("embedding").alias("idx", "v_raw")).select(
+        "label", "idx", F.col("v_raw").cast("double").alias("v")
+    )
+    cent = ex.groupBy("label", "idx").agg(F.round(F.avg("v"), 4).alias("c"))
+    centroids = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    stats = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg(norm), 4).alias("avg_norm")
+    )
+    return stats.join(F.broadcast(centroids), "label").select(
+        "label", "n_vecs", "avg_norm", "centroid"
+    )
