@@ -98,7 +98,16 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode is stubbed (no codec libs); plumbing checked rows-only + tests
+    # the stub 'decode' derives features from payload length alone — pure
+    # arithmetic, so the driver hash-checks the full mapInPandas plumbing
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)               AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT)     AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
+           'stub' AS codec
+    FROM documents
+    """,
     doc="mapInPandas feature extraction over binary payloads: Arrow batches "
     "in, typed feature rows out. Decode itself is a deterministic stub "
     "(real codecs unavailable here); schema/batching/partitioning are real.",
@@ -267,7 +276,32 @@ def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 @register(
     "multimodal_audio_energy",
-    oracle=None,  # stub PCM interpretation; checked rows-only + unit tests
+    # fake-PCM int16 little-endian over ASCII payload bytes: sample s is
+    # byte(2s) + 256*byte(2s+1) sign-folded; 64-sample windows; integer RMS.
+    # Sums of <=64 int squares are exact in double on both engines, so
+    # trunc(sqrt(avg)) is deterministic.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, octet_length(encode(text)) // 2 AS n_samp
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, text, unnest(range(n_samp)) AS i FROM s WHERE n_samp > 0
+    ), raw AS (
+      SELECT doc_id, i // 64 AS window_idx,
+             ascii(substr(text, CAST(2 * i + 1 AS BIGINT), 1))
+             + 256 * ascii(substr(text, CAST(2 * i + 2 AS BIGINT), 1)) AS u
+      FROM samp
+    ), v AS (
+      SELECT doc_id, window_idx,
+             u - 65536 * CAST(u >= 32768 AS INTEGER) AS val
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(trunc(sqrt(avg(val * val))) AS BIGINT) AS rms_energy
+    FROM v GROUP BY doc_id, window_idx
+    """,
     doc="Windowed audio-energy extraction over opaque binary payloads via "
     "mapInPandas: fake-PCM int16 samples, 64-sample windows, integer RMS "
     "per window. Completes the image/video/audio stub triple — same "
