@@ -14,7 +14,6 @@ cannot flip the comparison.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
