@@ -59,7 +59,7 @@ def _load_all() -> None:
     )
 
 
-def _driver_verified() -> tuple[set[str], set[str]]:
+def _driver_verified(root: Path | None = None) -> tuple[set[str], set[str]]:
     """Names already proven by past driver rounds.
 
     The driver's per-round correctness run covers the first 50 queries in
@@ -70,7 +70,7 @@ def _driver_verified() -> tuple[set[str], set[str]]:
     - ``rows_only_seen``: names the driver executed with ``err: no_oracle``
       (the weaker rows-only record for non-SQL-expressible ops).
     """
-    root = Path(__file__).resolve().parent.parent
+    root = root or Path(__file__).resolve().parent.parent
     hash_verified: set[str] = set()
     rows_only_seen: set[str] = set()
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
