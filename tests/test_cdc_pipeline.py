@@ -376,10 +376,13 @@ def test_publish_failure_then_replay_no_duplicates(spark, tmp_path, order_within
         assert ids == sorted(ids) and len(set(ids)) == n
 
 
-def test_throughput_floor_100_events(spark, tmp_path):
+@pytest.mark.parametrize("order_within_key", [False, True])
+def test_throughput_floor_100_events(spark, tmp_path, order_within_key):
     """BASELINE.md row 1 (harness.go:284 + base_test.go:30): 100 events must
     flow source->transform->publish end-to-end within the reference's 10 s
-    subscribe window (>= 10 events/s sustained), in order, exactly once."""
+    subscribe window (>= 10 events/s sustained), exactly once — in BOTH
+    ordering modes: the reference-faithful total order and the parallel
+    per-key write path."""
     import time
 
     feed = str(tmp_path / "feed")
@@ -390,7 +393,8 @@ def test_throughput_floor_100_events(spark, tmp_path):
         collections=[CollectionConfig(db_name="test-connector-db", coll_name="coll1")]
     )
     conn = Connector(
-        spark, cfg, {"test-connector-db.coll1": feed}, sink_root=str(tmp_path / "sink")
+        spark, cfg, {"test-connector-db.coll1": feed},
+        sink_root=str(tmp_path / "sink"), order_within_key=order_within_key,
     )
     conn.start()  # startup is covered by the cold-start bound, not this one
     t0 = time.perf_counter()
@@ -399,6 +403,16 @@ def test_throughput_floor_100_events(spark, tmp_path):
     conn.stop()
 
     sink = conn.handles[0].sink
-    ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
-    assert len(ids) == n and ids == sorted(ids)
+    if order_within_key:
+        msgs = sink.read_messages().orderBy("document_key", "epoch", "seq_in_epoch").collect()
+        ids = [m.msg_id for m in msgs]
+        assert len(ids) == n and len(set(ids)) == n
+        per_key: dict = {}
+        for m in msgs:
+            per_key.setdefault(m.document_key, []).append(m.msg_id)
+        for toks in per_key.values():
+            assert toks == sorted(toks)
+    else:
+        ids = [r.msg_id for r in sink.read_messages().orderBy("epoch", "seq_in_epoch").collect()]
+        assert len(ids) == n and ids == sorted(ids)
     assert elapsed < 10.0, f"100 events took {elapsed:.1f}s (floor is 10s)"
