@@ -53,11 +53,12 @@ def main(argv: list[str] | None = None) -> int:
         f"{c.db_name}.{c.coll_name}": f"{args.source_root}/{c.db_name}.{c.coll_name}"
         for c in cfg.collections
     }
+    registry = MetricsRegistry()
     connector = Connector(
-        spark, cfg, source_paths, args.sink_root, order_within_key=args.order_within_key
+        spark, cfg, source_paths, args.sink_root,
+        order_within_key=args.order_within_key, metrics=registry,
     )
 
-    registry = MetricsRegistry()
     listener = ConnectorMetricsListener(registry)
     spark.streams.addListener(listener)
     host, _, port = cfg.server_addr.rpartition(":")

@@ -126,6 +126,7 @@ class Connector:
         source_paths: dict[str, str],
         sink_root: str,
         order_within_key: bool = False,
+        metrics=None,
     ) -> None:
         """``source_paths`` maps '<db>.<coll>' -> change-event feed dir (the
         file-backed stand-in for a Mongo change stream; a real Mongo source
@@ -138,6 +139,7 @@ class Connector:
         self.source_paths = source_paths
         self.sink_root = sink_root
         self.order_within_key = order_within_key
+        self.metrics = metrics  # optional MetricsRegistry for NATS counters
         self.handles: list[PipelineHandle] = []
 
     def _batch_handler(self, sink: JetStreamLikeSink, stream_name: str, lifecycle: dict):
@@ -171,6 +173,7 @@ class Connector:
                 stream_dir=f"{self.sink_root}/streams/{coll.stream_name}",
                 stream_name=coll.stream_name,
                 order_within_key=self.order_within_key,
+                metrics=self.metrics,
             )
             sink.add_stream()  # DDL bootstrap, idempotent (O13)
             events = read_change_event_stream(self.spark, self.source_paths[key])

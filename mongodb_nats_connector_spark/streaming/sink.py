@@ -19,6 +19,7 @@ NATS consumer-side dedup window.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,7 @@ class JetStreamLikeSink:
         stream_dir: str,
         stream_name: str,
         order_within_key: bool = False,
+        metrics=None,
     ) -> None:
         """``order_within_key=False`` (default) reproduces the reference's
         strict per-collection TOTAL order (its publish loop is single-
@@ -40,11 +42,19 @@ class JetStreamLikeSink:
         ``document_key`` only (the guarantee consumers actually rely on —
         NATS subjects partition by document anyway), the epoch writes with
         full partition parallelism, and ``seq_in_epoch`` numbers within the
-        key. Requires the batch to carry a ``document_key`` column."""
+        key. Requires the batch to carry a ``document_key`` column.
+
+        ``metrics`` (a ``streaming.observability.MetricsRegistry``) enables
+        the reference's NATS exposition (internal/prometheus/prometheus.go):
+        ``nats_messages_published_total{subject}`` /
+        ``nats_messages_failed_total{subject}`` counters and
+        ``nats_message_duration_seconds{subject}`` — observed once per epoch
+        here (the reference observes per message; counter VALUES match)."""
         self.spark = spark
         self.stream_dir = stream_dir
         self.stream_name = stream_name
         self.order_within_key = order_within_key
+        self.metrics = metrics
         self.messages_dir = os.path.join(stream_dir, "messages")
 
     # O13 — idempotent DDL bootstrap (AddStream)
@@ -81,12 +91,35 @@ class JetStreamLikeSink:
                 "seq_in_epoch", F.row_number().over(w)
             ).withColumn("epoch", F.lit(int(epoch_id)))
             writer = ordered.coalesce(1)
-        # Epoch-keyed overwrite = replay-safe (idempotent) publish.
-        (
-            writer.write.mode("overwrite")
-            .format("parquet")
-            .save(os.path.join(self.messages_dir, f"epoch={int(epoch_id)}"))
-        )
+        # per-subject message counts for the NATS metrics — a tiny (<= #op
+        # types) aggregation per epoch, collected BEFORE the publish so the
+        # failure path can still label its counters
+        subject_counts: list = []
+        if self.metrics is not None:
+            subject_counts = [
+                (r["subject"], r["n"])
+                for r in batch.groupBy("subject").agg(F.count(F.lit(1)).alias("n")).collect()
+            ]
+        t0 = time.perf_counter()
+        try:
+            # Epoch-keyed overwrite = replay-safe (idempotent) publish.
+            (
+                writer.write.mode("overwrite")
+                .format("parquet")
+                .save(os.path.join(self.messages_dir, f"epoch={int(epoch_id)}"))
+            )
+        except Exception:
+            if self.metrics is not None:
+                for subject, n in subject_counts:
+                    self.metrics.inc("nats_messages_failed_total", {"subject": subject}, n)
+            raise
+        if self.metrics is not None:
+            elapsed = time.perf_counter() - t0
+            for subject, n in subject_counts:
+                self.metrics.inc("nats_messages_published_total", {"subject": subject}, n)
+                self.metrics.observe(
+                    "nats_message_duration_seconds", {"subject": subject}, elapsed
+                )
 
     # Consumer view — dedup by msg id (the JetStream dedup window, but
     # unbounded since storage is durable): first occurrence by (epoch, seq).

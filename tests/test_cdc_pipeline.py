@@ -233,6 +233,34 @@ def test_order_within_key_mode_exactly_once_per_key_order(spark, tmp_path):
     assert len(per_key) == 20
 
 
+def test_nats_publish_metrics_exposed(spark, tmp_path):
+    """The reference's NATS exposition (prometheus.go NatsRegisterer):
+    per-subject published counters + duration histogram come from the sink."""
+    from mongodb_nats_connector_spark.streaming.observability import MetricsRegistry
+
+    registry = MetricsRegistry()
+    feed = str(tmp_path / "feed")
+    write_change_event_feed(
+        spark, feed, n_docs=3, with_noise_tail=False, with_duplicates=False
+    )
+    cfg = ConnectorConfig(
+        collections=[CollectionConfig(db_name="test-connector-db", coll_name="coll1")]
+    )
+    conn = Connector(
+        spark, cfg, {"test-connector-db.coll1": feed},
+        sink_root=str(tmp_path / "sink"), metrics=registry,
+    )
+    conn.start()
+    conn.process_all_available()
+    conn.stop()
+
+    text = registry.render_prometheus()
+    for op in ("insert", "update", "replace", "delete"):
+        assert f'nats_messages_published_total{{subject="COLL1.{op}"}} 3' in text, text
+    assert 'nats_message_duration_seconds_bucket{subject="COLL1.insert",le="+Inf"}' in text
+    assert "nats_messages_failed_total" not in text  # nothing failed
+
+
 def test_invalidate_detected(spark):
     """O6: invalidate markers are detectable for stream termination
     (client.go:232-235)."""
