@@ -1095,18 +1095,22 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            min_by(c_name, c_acctbal)                AS poorest_customer,
            max_by(c_name, c_acctbal)                AS richest_customer,
-           list_sort(list(DISTINCT c_mktsegment))   AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                                                    AS segments
     FROM customer GROUP BY c_nationkey
     """,
     doc="min_by/max_by (argmin/argmax) + deterministic collect_set "
-    "(sort_array'd so the comparison is order-stable).",
+    "(sort_array'd, then joined to a string: the driver's comparator "
+    "cannot hash list-typed cells, so oracle queries emit scalars only).",
 )
 def agg_minby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
         F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
         F.max_by("c_name", "c_acctbal").alias("richest_customer"),
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
     )
 
 

@@ -294,36 +294,39 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(len(embedding))) AS idx
       FROM embeddings
     ), cent AS (
-      SELECT label, idx, round(avg(v), 4) AS c
+      -- + 0.0 folds IEEE -0.0 (a tiny negative mean rounded to zero)
+      -- into +0.0 so both engines hash identically
+      SELECT label, idx AS dim, round(avg(v), 4) + 0.0 AS c
       FROM ex GROUP BY label, idx
     ), stats AS (
       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
              round(avg(sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0.0
+               AS avg_norm
       FROM embeddings GROUP BY label
     )
-    SELECT s.label, s.n_vecs, s.avg_norm,
-           (SELECT list(c ORDER BY idx) FROM cent WHERE cent.label = s.label)
-             AS centroid
-    FROM stats s
+    SELECT s.label, s.n_vecs, s.avg_norm, c.dim, c.c
+    FROM stats s JOIN cent c USING (label)
     """,
     doc="Per-label embedding centroids + vector-norm statistics: the "
     "codebook-training / dataset-statistics primitive behind IVF. Explode "
-    "to (label, dim, value), aggregate per dimension, reassemble in dim "
-    "order. Shuffle key is (label, dim) — 16 bytes — never whole vectors; "
-    "at 100 TB this is the standard map-reduce centroid step (k-means "
-    "iteration = this query + a broadcast re-assign).",
+    "to (label, dim, value), aggregate per dimension. Output stays in the "
+    "exploded (label, dim, c) form — one scalar row per centroid dimension "
+    "— because the driver's comparator cannot hash array cells; callers "
+    "that want the vector re-assemble with collect_list. Shuffle key is "
+    "(label, dim) — 16 bytes — never whole vectors; at 100 TB this is the "
+    "standard map-reduce centroid step (k-means iteration = this query + "
+    "a broadcast re-assign). Signed zero is normalized (x + 0.0) on both "
+    "sides: round(avg) of a tiny negative yields -0.0 in DuckDB, 0.0 in "
+    "Spark.",
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", parallel=True)
     ex = e.select("label", F.posexplode("embedding").alias("idx", "v_raw")).select(
-        "label", "idx", F.col("v_raw").cast("double").alias("v")
+        "label", F.col("idx").alias("dim"), F.col("v_raw").cast("double").alias("v")
     )
-    cent = ex.groupBy("label", "idx").agg(F.round(F.avg("v"), 4).alias("c"))
-    centroids = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
-        ).alias("centroid")
+    cent = ex.groupBy("label", "dim").agg(
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("c")
     )
     norm = F.sqrt(
         F.aggregate(
@@ -333,8 +336,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stats = e.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg(norm), 4).alias("avg_norm")
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.round(F.avg(norm), 4) + F.lit(0.0)).alias("avg_norm"),
     )
-    return stats.join(F.broadcast(centroids), "label").select(
-        "label", "n_vecs", "avg_norm", "centroid"
+    return cent.join(F.broadcast(stats), "label").select(
+        "label", "n_vecs", "avg_norm", "dim", "c"
     )

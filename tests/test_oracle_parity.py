@@ -38,13 +38,6 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df.columns = [c.lower() for c in df.columns]
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object and df[c].map(
-            lambda v: isinstance(v, (list, np.ndarray)), na_action="ignore"
-        ).any():
-            # array-valued columns: compare as tuples (sortable/hashable)
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
@@ -68,6 +61,14 @@ def _assert_frames_match(mine: pd.DataFrame, oracle: pd.DataFrame, name: str) ->
             af = a.astype("float64").to_numpy()
             bf = b.astype("float64").to_numpy()
             both_nan = np.isnan(af) & np.isnan(bf)
+            # the driver hashes raw values, where -0.0 != 0.0 — catch
+            # signed-zero drift the tolerance comparison would forgive
+            sign_drift = (af == 0) & (bf == 0) & (np.signbit(af) != np.signbit(bf))
+            assert not sign_drift.any(), (
+                f"{name}.{c}: signed-zero mismatch (-0.0 vs 0.0) at row "
+                f"{int(np.argmax(sign_drift))} — normalize with `x + 0.0` on "
+                "both sides"
+            )
             close = np.isclose(af, bf, rtol=0, atol=1e-9) | both_nan
             assert close.all(), (
                 f"{name}.{c}: max |diff| = "
@@ -80,6 +81,23 @@ def _assert_frames_match(mine: pd.DataFrame, oracle: pd.DataFrame, name: str) ->
                 f"{name}.{c}: {int(mism.sum())} mismatched values, first at row "
                 f"{mism.idxmax()}: {a[mism.idxmax()]!r} vs {b[mism.idxmax()]!r}"
             )
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_output_is_scalar(spark, name):
+    """The driver's comparator sorts rows by every column with pandas, which
+    raises ``TypeError: unhashable type`` on list/dict cells — so every
+    oracle-bearing query must emit scalar columns only (serialize arrays
+    with concat_ws / array_to_string, or explode them)."""
+    from pyspark.sql import types as T
+
+    df = _QUERIES[name].fn(spark, SF_DIR)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns break the driver: {bad}"
 
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
