@@ -10,6 +10,8 @@ before hashing values.
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -59,6 +61,54 @@ def _load_all() -> None:
     )
 
 
+_DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"
+
+
+def query_digest(q: RegisteredQuery) -> str:
+    """Fingerprint of what the driver actually verified: the oracle SQL plus
+    the query function's own source. If either changes, any past green row no
+    longer proves the current implementation and the query must re-rank into
+    the driver's verification window. (Transitive helpers are deliberately
+    not hashed — folding whole modules in would churn the 50-query window on
+    every unrelated edit.)"""
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = q.fn.__name__
+    body = (q.oracle or "") + "\n" + src
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def _verified_digests() -> dict[str, str]:
+    """name -> digest recorded when the driver last verified it."""
+    try:
+        data = json.loads(_DIGESTS_FILE.read_text())
+    except (OSError, ValueError):
+        return {}
+    return {k: v for k, v in data.items() if isinstance(v, str)}
+
+
+def refresh_verified_digests(artifact: Path) -> dict[str, str]:
+    """Record current digests for every name the given (newest) CORRECTNESS
+    artifact marked green or rows-only-executed.
+
+    Run this at ROUND START, before editing any operator: the artifact was
+    produced against the round-end commit, so the current digest equals the
+    digest of what the driver verified. Names verified in older rounds keep
+    their previously recorded digests.
+    """
+    _load_all()
+    rows = json.loads(Path(artifact).read_text())
+    digests = _verified_digests()
+    for name, row in rows.items():
+        if not isinstance(row, dict) or name not in _REGISTRY:
+            continue
+        if row.get("hash_match") is True or row.get("err") == "no_oracle":
+            digests[name] = query_digest(_REGISTRY[name])
+    _DIGESTS_FILE.write_text(json.dumps(digests, indent=1, sort_keys=True) + "\n")
+    return digests
+
+
 def _driver_verified(root: Path | None = None) -> tuple[set[str], set[str]]:
     """Names already proven by past driver rounds.
 
@@ -96,15 +146,26 @@ def all_queries() -> dict[str, RegisteredQuery]:
     and never executed by the driver (gets a rows-only record). Rank 2:
     already driver-verified (hash-matched, or rows-only and still
     oracle-less). Stable registration order within each rank.
+
+    A past green row only counts while the implementation it proved is the
+    current one: verification is keyed by ``query_digest`` (oracle SQL +
+    function source) recorded in ``verified_digests.json`` at the round the
+    driver checked it. Editing a verified query's code or oracle changes its
+    digest, demoting it back to rank 0/1 so the next driver window re-proves
+    it instead of silently trusting a stale artifact.
     """
     _load_all()
     hash_verified, rows_only_seen = _driver_verified()
+    digests = _verified_digests()
+
+    def current(name: str) -> bool:
+        return digests.get(name) == query_digest(_REGISTRY[name])
 
     def rank(q: RegisteredQuery) -> int:
-        if q.name in hash_verified:
+        if q.name in hash_verified and current(q.name):
             return 2
         if q.oracle is None:
-            return 2 if q.name in rows_only_seen else 1
+            return 2 if q.name in rows_only_seen and current(q.name) else 1
         return 0
 
     ordered = sorted(_REGISTRY.values(), key=lambda q: rank(q))
