@@ -70,6 +70,11 @@ class ChangeStreamReader(DataSourceStreamReader):
             n_docs=self.n_docs, with_noise_tail=True, with_duplicates=False
         )
         self.max_events = len(self.rows)
+        # last offset successfully read from feed_state: latestOffset must be
+        # monotonic (a change stream never un-produces events), so a transient
+        # read failure reports this instead of regressing to 0 — which would
+        # make the engine replan from seq 0 and republish the whole feed
+        self._last_seen_seq = 0
 
     # -- offset protocol: offsets are event sequence numbers (the resume
     #    token analogue, client.go:219) --
@@ -82,8 +87,10 @@ class ChangeStreamReader(DataSourceStreamReader):
                 with open(self.feed_state) as f:
                     produced = int(f.read().strip() or 0)
             except (OSError, ValueError):
-                produced = 0
-            return {"seq": min(max(produced, 0), self.max_events)}
+                produced = self._last_seen_seq
+            seq = min(max(produced, self._last_seen_seq), self.max_events)
+            self._last_seen_seq = seq
+            return {"seq": seq}
         return {"seq": self.max_events}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

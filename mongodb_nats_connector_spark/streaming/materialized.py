@@ -89,33 +89,31 @@ class MaterializedTableSink:
             "document_key_id", "full_document", "_id_data", "bucket"
         )
         out = keep.select(*STATE_COLUMNS).unionByName(upserts)
-        # Materialize BEFORE the overwrite: the merged epoch result is pinned
-        # in the block store, so neither the bucket census below nor the
-        # write re-reads the files the overwrite replaces. (A production
-        # deployment versions the table dir or uses Delta MERGE instead.)
-        out = out.persist()
-        try:
-            # buckets left with zero rows (all keys deleted) get no partition
-            # from a dynamic overwrite — census them now, prune dirs after
-            non_empty = {
-                r["bucket"] for r in out.select("bucket").distinct().collect()
-            }
-            # dynamic partition overwrite: only touched bucket dirs rewrite
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = self.spark.conf.get(conf_key, "static")
-            self.spark.conf.set(conf_key, "dynamic")
-            try:
-                (
-                    out.repartition("bucket")
-                    .write.partitionBy("bucket")
-                    .mode("overwrite")
-                    .parquet(self.table_dir)
-                )
-            finally:
-                self.spark.conf.set(conf_key, prev)
-            for b in set(touched) - non_empty:
-                shutil.rmtree(
-                    os.path.join(self.table_dir, f"bucket={b}"), ignore_errors=True
-                )
-        finally:
-            out.unpersist()
+        # Write the merged epoch to a STAGING dir, then swap bucket dirs in.
+        # Writing straight over the table would put the files being replaced
+        # in the write's own lineage: if a cached block were lost mid-write,
+        # Spark would recompute the plan against already-overwritten files
+        # and corrupt the epoch. The staged write is the only Spark job that
+        # reads the current table; the swap is pure directory renames.
+        # (A production deployment uses Delta/Iceberg MERGE — same shape.)
+        staging = self.table_dir.rstrip("/") + f".staging-{epoch_id}"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            out.repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        # swap: every touched bucket is replaced by its staged dir; a bucket
+        # with no staged dir was emptied by deletes and its dir is removed.
+        # Crash mid-swap is healed by checkpoint replay — the merge is
+        # last-writer-wins by key, so re-applying the epoch to a partially
+        # swapped table converges.
+        os.makedirs(self.table_dir, exist_ok=True)
+        for b in set(touched):
+            src = os.path.join(staging, f"bucket={b}")
+            dst = os.path.join(self.table_dir, f"bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)

@@ -206,7 +206,16 @@ class Connector:
                     raise
 
     def await_any_termination(self, timeout: float | None = None):
-        return self.spark.streams.awaitAnyTermination(timeout)
+        terminated = self.spark.streams.awaitAnyTermination(timeout)
+        if terminated and any(h.query.isActive for h in self.handles):
+            # One terminated handle (e.g. an invalidated collection) would
+            # otherwise make every later call return immediately and the
+            # serve loop busy-spin at full CPU while siblings keep running:
+            # clear the manager's terminated set so the next wait blocks.
+            # A query that failed with an exception has already raised out
+            # of awaitAnyTermination above, before the reset.
+            self.spark.streams.resetTerminated()
+        return terminated
 
     def stop(self) -> None:
         for h in self.handles:

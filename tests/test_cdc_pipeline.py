@@ -200,6 +200,14 @@ def test_invalidate_stops_pipeline_siblings_keep_running(spark, tmp_path):
     by_name = {c["name"]: c["status"] for c in health["components"]}
     assert by_name["pipeline-COLL1"] == "COMPLETED"
     assert by_name["pipeline-COLL2"] == "UP"
+
+    # the serve loop must not busy-spin on the terminated handle: the first
+    # wait observes the termination and resets, so the next wait BLOCKS for
+    # its full timeout instead of returning immediately forever
+    assert conn.await_any_termination(timeout=1.0) is True
+    t0 = time.monotonic()
+    assert conn.await_any_termination(timeout=0.5) is False
+    assert time.monotonic() - t0 >= 0.4, "second wait returned immediately"
     conn.stop()
 
 

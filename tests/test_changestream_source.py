@@ -59,6 +59,32 @@ def test_changestream_source_optype_pushdown(spark):
     assert set(out["operation_type"]) == {"insert", "update", "replace", "delete"}
 
 
+def test_latest_offset_monotonic_through_read_failure(tmp_path):
+    """A transient feedstate read failure must NOT regress latestOffset to 0
+    (the engine would replan from seq 0 and republish the whole feed): the
+    reader reports the last successfully observed offset until the file is
+    readable again, and clamps any backwards jump."""
+    from mongodb_nats_connector_spark.sources.changestream_datasource import (
+        ChangeStreamReader,
+    )
+
+    feed = tmp_path / "feed_state"
+    feed.write_text("7")
+    r = ChangeStreamReader({"ndocs": 10, "feedstate": str(feed)})
+    assert r.latestOffset() == {"seq": 7}
+
+    feed.unlink()  # transient failure: hold at 7, not 0
+    assert r.latestOffset() == {"seq": 7}
+    feed.write_text("not a number")  # corrupt read is also transient
+    assert r.latestOffset() == {"seq": 7}
+
+    feed.write_text("3")  # a backwards server value violates the contract
+    assert r.latestOffset() == {"seq": 7}
+
+    feed.write_text("12")  # progress resumes once readable again
+    assert r.latestOffset() == {"seq": 12}
+
+
 def test_restart_mid_stream_exactly_once_in_order(spark, tmp_path):
     """restart_connector_test.go:30-38 ported onto the custom DataSource
     offset path: the live feed produces 40 events, the query is killed, the
