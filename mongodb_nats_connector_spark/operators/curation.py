@@ -121,3 +121,182 @@ def curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("stopword_ratio"), 4).alias("stopword_ratio"),
         F.count(F.lit(1)).alias("n_copies"),
     ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: stratified sampling, dataset mixing, sequence packing
+# ---------------------------------------------------------------------------
+
+STRAT_SALT = "strat-v1:"
+STRAT_QUOTA = 20  # docs kept per language stratum
+
+MIX_SALT = "mix-v1:"
+# relative mixing weights by source (training-mixture recipe): src0 is
+# upsampled 3x, src1/src2 2x, everything else 1x
+MIX_WEIGHT_SQL = (
+    "CASE WHEN source = 'src0' THEN 3 "
+    "WHEN source IN ('src1', 'src2') THEN 2 ELSE 1 END"
+)
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def _hash8(col):
+    """Salted md5 hex prefix — the deterministic, engine-portable rank key."""
+    return F.substring(
+        F.md5(F.encode(F.concat(F.lit(MIX_SALT), col.cast("string")), "utf-8")), 1, 8
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('{STRAT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sel_rank
+    FROM r WHERE rn <= {STRAT_QUOTA}
+    """,
+    doc=f"Stratified sampling: exactly {STRAT_QUOTA} documents per language, "
+    "chosen by salted-hash rank — deterministic across engines, cluster "
+    "sizes and partition layouts (df.sample() is none of those). One "
+    "window shuffle keyed by the stratum; with millions of strata this is "
+    "a plain hash shuffle, and for few-strata/huge-corpus cases the scale "
+    "path is hash-threshold selection (accept h < quantile estimate) "
+    "which needs no per-stratum total order.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string")), "utf-8"
+            )
+        ),
+        1,
+        8,
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRAT_QUOTA)
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("sel_rank"))
+    )
+
+
+@register(
+    "curate_dataset_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+             {MIX_WEIGHT_SQL} AS wt
+      FROM documents
+    ), q AS (
+      SELECT source, max(wt) AS wt, count(*) AS n FROM d GROUP BY source
+    ), u AS (
+      SELECT min(CAST(floor(n * 1.0 / wt) AS BIGINT)) AS units FROM q
+    ), r AS (
+      SELECT doc_id, source, wt,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM d
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.rn AS BIGINT) AS sel_rank,
+           CAST(r.wt * u.units AS BIGINT) AS quota
+    FROM r, u WHERE r.rn <= r.wt * u.units
+    """,
+    doc="Dataset mixing: select a maximal corpus with sources in exact "
+    "3:2:2:1... ratio (the domain-reweighting step of pre-training data "
+    "prep). Per-source doc counts set the achievable units "
+    "(min over floor(n_s/w_s)); each source contributes w_s*units docs "
+    "chosen by salted-hash rank. The counts aggregate is tiny and "
+    "broadcast; the only data-sized shuffle is the per-source ranking "
+    "window, whose scale path is the same hash-threshold trick as "
+    "stratified sampling.",
+)
+def curate_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wt = (
+        F.when(F.col("source") == "src0", 3)
+        .when(F.col("source").isin("src1", "src2"), 2)
+        .otherwise(1)
+    )
+    d = docs.select("doc_id", "source", _hash8(F.col("doc_id")).alias("h"), wt.alias("wt"))
+    units = (
+        d.groupBy("source")
+        .agg(F.max("wt").alias("wt"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.min(F.floor(F.col("n") / F.col("wt")).cast("bigint")).alias("units")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    r = d.select("doc_id", "source", "wt", F.row_number().over(w).alias("rn"))
+    return (
+        r.crossJoin(F.broadcast(units))
+        .filter(F.col("rn") <= F.col("wt") * F.col("units"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("bigint").alias("sel_rank"),
+            (F.col("wt") * F.col("units")).cast("bigint").alias("quota"),
+        )
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens
+                - floor((cum - n_tokens) * 1.0 / {PACK_BUDGET}) * {PACK_BUDGET}
+                AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    doc=f"Sequence packing: assign documents to fixed {PACK_BUDGET}-token "
+    "training bins by cumulative token count in stable doc order — the "
+    "contiguous-packing step that turns a corpus into equal-budget "
+    "context windows. One window shuffle partitioned by source; at 100 TB "
+    "the partition key becomes (source, shard) so no single ordering "
+    "task sees more than a shard, which only moves bin boundaries at "
+    "shard edges.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    bin_id = F.floor(start / PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        bin_id.cast("bigint").alias("bin_id"),
+        (start - bin_id * PACK_BUDGET).cast("bigint").alias("bin_offset"),
+    )

@@ -1939,3 +1939,118 @@ def graph_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("start").alias("c_custkey"), "depth", "path_acctbal")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution), adapted to the "
+    "driver's column subset: the reference kit filters o_comment NOT LIKE "
+    "'%special%requests%', which this schema lacks, so an o_orderpriority "
+    "predicate plays the same non-key join-filter role. The double "
+    "aggregation keeps zero-order customers via the LEFT join (count of a "
+    "null key is 0). First shuffle on c_custkey, second on the tiny "
+    "c_count domain — the classic two-level distribution plan.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+      AND l.l_quantity < t.qty_threshold
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue), adapted: p_container "
+    "is absent from this schema, so p_size < 15 joins p_brand as the part "
+    "selector. The correlated scalar subquery (per-part average quantity) "
+    "becomes a pre-aggregated self-join: partial-agg lineitem by partkey "
+    "(map-side combine), broadcast the filtered part dim into both probes. "
+    "One shuffle of lineitem on l_partkey shared by the agg and the join.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts))
+                  AS BIGINT) AS day_offset
+      FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention over the events stream: each user's cohort is the "
+    "day of first activity; count distinct users active at each day offset "
+    "from their cohort. The first-seen aggregate and the activity join "
+    "share the user_id shuffle (co-partitioned, no extra exchange); the "
+    "final rollup groups a (days x days) key space that stays tiny at any "
+    "event volume — the standard product-analytics retention matrix.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firstday = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )

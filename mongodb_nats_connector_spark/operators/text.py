@@ -270,3 +270,178 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(0.01 * F.size(words) + stop_ratio - punct_ratio, 4).alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: chunking, PII scrubbing, repetition-based quality
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # stride between chunk starts (overlap = 8)
+
+
+@register(
+    "text_chunk_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0,
+               CAST(floor((len(toks) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id*{CHUNK_STRIDE}+1 :
+                        chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[chunk_id*{CHUNK_STRIDE}+1 :
+                                chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="Sliding-window document chunking for training-sequence prep: "
+    f"{CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (8-token "
+    "overlap), one output row per chunk. Tokenize + explode + slice are all "
+    "JVM expressions — map-side only, no shuffle: each input split chunks "
+    "independently, so the plan is embarrassingly parallel at any scale.",
+)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.floor((F.size(toks) - 1) / CHUNK_STRIDE) + 1
+    with_ids = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return with_ids.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+# RE2- and Java-regex-compatible patterns (no backrefs / lookaround)
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"[0-9][0-9() -]{6,}[0-9]"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH withpii AS (
+      -- the corpus itself is synthetic prose; append deterministic PII so
+      -- the scrubber has real work on every row
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01' || CAST(doc_id % 100 AS VARCHAR)
+                  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_PHONE}')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM withpii
+    """,
+    doc="PII scrubbing: email + phone regex redaction with per-doc match "
+    "counts (emails first so phone-like digit runs inside addresses don't "
+    "double-count). Pure regexp expressions — map-only, pattern dialect "
+    "restricted to the RE2/Java common subset so Spark and the oracle "
+    "agree. At 100 TB this is the standard streaming-safe scrub pass.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    return withpii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace(no_email, PII_PHONE, "<PHONE>").alias("scrubbed"),
+    )
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+    ), ranked AS (
+      SELECT doc_id, word, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, word ASC) AS rn,
+             sum(cnt) OVER (PARTITION BY doc_id) AS n_words,
+             count(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM counts
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct AS BIGINT) AS n_distinct_words,
+           word AS top_word,
+           round(cnt * 1.0 / n_words, 4) AS top_word_ratio,
+           round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+           CAST(CASE WHEN cnt * 1.0 / n_words <= 0.2
+                      AND n_distinct * 1.0 / n_words >= 0.3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Repetition-based quality filter (Gopher-style): most-frequent-word "
+    "ratio and distinct-word ratio per document, with the keep/drop "
+    "decision. Explode -> count -> per-doc window; the shuffle key is "
+    "(doc_id, word) then doc_id — both fine-grained, so the plan holds at "
+    "100 TB (no giant groups: a document's vocabulary bounds its rows).",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    counts = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    byid = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "word",
+        "cnt",
+        F.row_number()
+        .over(byid.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rn"),
+        F.sum("cnt").over(byid).alias("n_words"),
+        F.count(F.lit(1)).over(byid).alias("n_distinct"),
+    ).filter(F.col("rn") == 1)
+    top_ratio = F.col("cnt") / F.col("n_words")
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    return ranked.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_words"),
+        F.col("word").alias("top_word"),
+        F.round(top_ratio, 4).alias("top_word_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        ((top_ratio <= 0.2) & (distinct_ratio >= 0.3))
+        .cast("bigint")
+        .alias("keep"),
+    )

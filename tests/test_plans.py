@@ -166,6 +166,7 @@ _ALLOWED_NESTED_LOOP = {
     "similarity_ann_ivf",         # 16-row centroid codebook broadcast crossJoin
     "text_tfidf",                 # 1-row corpus-size scalar broadcast crossJoin
     "q22_no_order_customers",     # 1-row avg-balance scalar broadcast crossJoin
+    "curate_dataset_mix",         # 1-row units scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {"udf_python_scalar"}  # exists to cover the UDF surface
 
