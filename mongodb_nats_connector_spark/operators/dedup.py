@@ -291,3 +291,115 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# shared CTE text: the exact >=0.7-Jaccard pair set (same arithmetic as
+# _JACCARD_ORACLE, stripped to the pair projection) for oracles that build
+# on the near-dup graph
+_PAIRS_CTE = """
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), u AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), n AS (
+      SELECT doc_id, count(*) AS ns FROM u GROUP BY doc_id
+    ), rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), simpairs AS (
+      SELECT doc_a, doc_b
+      FROM rawpairs JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+      WHERE inter * 1.0 / (x.ns + y.ns - inter) >= 0.7
+    )
+"""
+
+CC_MAX_ITERS = 15
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM simpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM simpairs
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id,
+           CAST(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+    doc="Near-duplicate CLUSTERING: connected components over the verified "
+    ">=0.7-Jaccard pair graph, labeling every document with its cluster's "
+    "minimum doc_id and flagging the canonical keeper — the step that turns "
+    "pairwise dedup into an actual drop list. Spark side is min-label "
+    "propagation: per iteration the (small) symmetric edge list is "
+    "broadcast-joined to the labels, so the corpus-sized relation never "
+    "shuffles; iteration count is bounded by component diameter (tiny for "
+    "near-dup clusters) and convergence is asserted. At 100 TB with a huge "
+    "edge list this becomes the alternating large-star/small-star CC "
+    "(Kiveris et al.) on hash-partitioned joins — same fixpoint, "
+    "logarithmic rounds. Oracle is a true recursive-CTE reachability "
+    "closure over the same pair set.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # near-dup edge lists are a vanishing fraction of the corpus: persist the
+    # verified pairs once, broadcast them every round
+    edges = edges.persist()
+
+    labels = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            F.broadcast(edges)
+            .join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(F.broadcast(nbr), labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
+            )
+            .persist()
+        )
+        changed = stepped.filter(F.col("chg")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("bigint").alias("is_canonical"),
+    )

@@ -108,3 +108,33 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+def _ensure_orc_events(spark: SparkSession, sf_dir: str) -> str:
+    path = _format_dir(sf_dir, "events", "orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+    return path
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="ORC write + re-read (the second columnar format Spark ships "
+    "natively): events round-trip through ORC, then aggregate — proving "
+    "schema, timestamp micros, and predicate/column pushdown survive the "
+    "format boundary (ORC scans support the same PushedFilters/ReadSchema "
+    "pruning as parquet). Oracle runs on the original parquet, so any "
+    "round-trip value drift fails the hash.",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_orc_events(spark, sf_dir)
+    e = spark.read.orc(path)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

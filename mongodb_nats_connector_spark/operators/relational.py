@@ -2054,3 +2054,90 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_users")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT 2, 'click', count(*) FROM c
+      UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT stage_ord, stage, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users * 1.0 /
+                 lag(n_users, 1, n_users) OVER (ORDER BY stage_ord), 4)
+             AS conv_from_prev
+    FROM counts
+    """,
+    doc="Ordered funnel analysis over the events stream: users reaching "
+    "view -> click-after-view -> purchase-after-click, with step conversion "
+    "rates. Every stage aggregates and joins on user_id — one shuffle key "
+    "throughout, so the stages co-partition and AQE coalesces the tiny "
+    "followups; the final 3-row window is trivially driver-sized. The "
+    "classic product-analytics shape at any event volume.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage_ord"), F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_ord"), F.lit("click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_ord"),
+                F.lit("purchase").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("stage_ord")
+    return counts.select(
+        "stage_ord",
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("n_users") / F.lag("n_users", 1, None).over(w).cast("double"),
+            4,
+        ).alias("conv_from_prev"),
+    ).withColumn(
+        "conv_from_prev", F.coalesce(F.col("conv_from_prev"), F.lit(1.0))
+    )

@@ -125,3 +125,46 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", parallel=True)
     return docs.mapInPandas(stats, "doc_id BIGINT, n_words BIGINT, n_chars BIGINT")
+
+
+@register(
+    "udtf_expand_props",
+    oracle="""
+    SELECT event_id,
+           'k' AS prop_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_value,
+           CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_even
+    FROM events WHERE event_id % 50 = 0
+    """,
+    doc="Python user-defined TABLE function (Spark 4 `@udtf`): expand each "
+    "event's JSON props into (key, value, derived) rows — the one UDF shape "
+    "the scalar/pandas/grouped/map quartet doesn't cover (one input row -> "
+    "N output rows with Python logic). Filtered to 1/50th of events: UDTFs "
+    "evaluate row-at-a-time in Python, so the hot-path guidance stands "
+    "(prefer JVM explode/variant; this exists to prove the surface). The "
+    "lateral join it compiles to keeps the source scan's pushdown intact.",
+)
+def udtf_expand_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_value bigint, is_even bigint")
+    class ExpandProps:
+        def eval(self, props: str):
+            for k, v in sorted(json.loads(props).items()):
+                yield k, int(v), int(int(v) % 2 == 0)
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id", "props")
+    )
+    e.createOrReplaceTempView("_udtf_props_in")
+    spark.udtf.register("expand_props", ExpandProps)
+    out = spark.sql(
+        "SELECT event_id, p.prop_key, p.prop_value, p.is_even "
+        "FROM _udtf_props_in, LATERAL expand_props(props) AS p"
+    )
+    return out

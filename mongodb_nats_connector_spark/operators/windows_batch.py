@@ -187,3 +187,37 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(avg(value) OVER w, 4) AS avg_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE frame: per user, rolling one-hour count and "
+    "average ordered by event time — the sliding-aggregate shape tumbling "
+    "windows can't express (every row gets ITS OWN trailing hour). Ordering "
+    "key is epoch MICROSECONDS on both engines so frame boundaries match "
+    "exactly. One shuffle on user_id; frames evaluate in a single sorted "
+    "pass per partition, so the plan is the same at any event volume.",
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.round(F.avg("value").over(w), 4).alias("avg_last_hour"),
+    )

@@ -168,7 +168,10 @@ _ALLOWED_NESTED_LOOP = {
     "q22_no_order_customers",     # 1-row avg-balance scalar broadcast crossJoin
     "curate_dataset_mix",         # 1-row units scalar broadcast crossJoin
 }
-_ALLOWED_ROW_PYTHON = {"udf_python_scalar"}  # exists to cover the UDF surface
+_ALLOWED_ROW_PYTHON = {
+    "udf_python_scalar",  # exists to cover the UDF surface
+    "udtf_expand_props",  # UDTFs are row-Python by construction; input pre-filtered
+}
 
 
 def test_registry_wide_plan_lint(spark):
