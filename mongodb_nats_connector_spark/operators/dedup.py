@@ -293,10 +293,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared CTE text: the exact >=0.7-Jaccard pair set (same arithmetic as
-# _JACCARD_ORACLE, stripped to the pair projection) for oracles that build
-# on the near-dup graph
-_PAIRS_CTE = """
+# shared CTE text, layered so dependent oracles reuse exactly one
+# definition: _SHINGLE_CTE = per-doc distinct word-3-gram sets (d), the
+# exploded gram relation (u), and per-doc set sizes (n); _PAIRS_CTE adds
+# the exact >=0.7-Jaccard pair set on top (same arithmetic as
+# _JACCARD_ORACLE, stripped to the pair projection).
+_SHINGLE_CTE = """
     d AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -310,7 +312,11 @@ _PAIRS_CTE = """
       SELECT doc_id, unnest(sh) AS s FROM d
     ), n AS (
       SELECT doc_id, count(*) AS ns FROM u GROUP BY doc_id
-    ), rawpairs AS (
+    )
+"""
+
+_PAIRS_CTE = _SHINGLE_CTE + """
+    , rawpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -402,4 +408,158 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).cast("bigint").alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.Example.com/Page/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(url, '\\?.*$', '')) AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           min(doc_id) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="URL-canonicalization dedup — the crawl-pipeline pass that collapses "
+    "tracking-parameter and case variants of one page: strip the query "
+    "string, lowercase, group by canonical form keeping the lowest doc_id. "
+    "(URLs are synthesized deterministically from doc_id/source since the "
+    "corpus has no URL column; the canonicalization and grouping are the "
+    "real operator.) One group-by on the canonical string — at 100 TB the "
+    "key becomes xxhash64(canonical) exactly like dedup_exact_hash.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.com/Page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    canonical = F.lower(F.regexp_replace(url, r"\?.*$", ""))
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), u AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), test_grams AS (
+      SELECT doc_id, s FROM u WHERE doc_id % 50 = 0
+    ), train_grams AS (
+      SELECT DISTINCT s FROM u WHERE doc_id % 50 <> 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n_hit
+      FROM test_grams t JOIN train_grams tr ON t.s = tr.s
+      GROUP BY t.doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_grams FROM test_grams GROUP BY doc_id
+    )
+    SELECT totals.doc_id,
+           CAST(totals.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_in_train,
+           round(coalesce(hits.n_hit, 0) * 1.0 / totals.n_grams, 4)
+             AS contamination,
+           CAST(CASE WHEN coalesce(hits.n_hit, 0) * 1.0 / totals.n_grams
+                          >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+    """,
+    doc="Train/test contamination check: for each held-out document "
+    "(doc_id %% 50 == 0 plays the eval set), the fraction of its distinct "
+    "word-3-grams that appear anywhere in the training split — the overlap "
+    "audit run before reporting eval numbers. Gram sets come from the same "
+    "persisted hashed-shingle relation MinHash uses (8-byte keys, not "
+    "strings); the eval side is tiny by construction so its gram list "
+    "broadcasts, and the train side only ever shuffles (gram_hash) for "
+    "the distinct — the 100 TB shape.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _hashed_shingle_sets_cached(spark, sf_dir)
+    grams = sets.select("doc_id", F.explode("h64").alias("s"))
+    test_g = grams.filter(F.col("doc_id") % 50 == 0)
+    train_g = grams.filter(F.col("doc_id") % 50 != 0).select("s").distinct()
+    hits = (
+        train_g.join(F.broadcast(test_g), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    contamination = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams")
+    return totals.join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_in_train"),
+        F.round(contamination, 4).alias("contamination"),
+        (contamination >= 0.8).cast("bigint").alias("flagged"),
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}, rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM u a JOIN u b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / x.ns, 4) AS containment
+    FROM rawpairs JOIN n x ON doc_a = x.doc_id
+    WHERE inter * 1.0 / x.ns >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric CONTAINMENT pairs: |A n B| / |A| >= 0.9 — catches a "
+    "short document quoted inside a longer one, which symmetric Jaccard "
+    "misses (the union washes it out). Ordered pairs (doc_a contained in "
+    "doc_b). Same hashed-shingle join as the Jaccard baseline: documented "
+    "quadratic-candidate correctness oracle; the scale path reuses the LSH "
+    "bucketing with per-side set sizes.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _hashed_shingle_sets_cached(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("h64").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns"))
+    containment = F.col("inter") / F.col("ns")
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )

@@ -2141,3 +2141,106 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "conv_from_prev", F.coalesce(F.col("conv_from_prev"), F.lit(1.0))
     )
+
+
+@register(
+    "agg_conditional_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+             AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                 2) AS urgent_revenue,
+           bool_and(o_totalprice > 0)  AS all_positive,
+           bool_or(o_custkey % 1000 = 0) AS any_round_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Conditional/boolean aggregates: FILTER-clause count and sum "
+    "(count_if / when-guarded sum in Spark), bool_and / bool_or. All "
+    "map-side combinable — one exchange, same partial-agg shape as q1.",
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+            2,
+        ).alias("urgent_revenue"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_custkey") % 1000 == 0).alias("any_round_cust"),
+    )
+
+
+@register(
+    "scalar_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'x'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+             AS parsed_key,
+           round(o_totalprice / NULLIF(o_custkey % 5, 0), 4) AS risky_ratio,
+           CAST(coalesce(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT), -1)
+                AS INT) AS priority_num
+    FROM orders
+    """,
+    doc="Error-safe expression surface (the ANSI-mode story): try_cast of a "
+    "sometimes-unparseable string, try_divide hitting divide-by-zero, and "
+    "a coalesced fallback — NULL instead of a failed job. Spark 4 runs "
+    "ANSI-on by default, so these are what production pipelines must use; "
+    "the oracle mirrors with TRY_CAST / NULLIF.",
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    maybe_key = F.when(F.col("o_orderkey") % 3 == 0, F.lit("x")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_to_number(maybe_key, F.lit("999999999999")).cast("bigint").alias(
+            "parsed_key"
+        ),
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 4).alias(
+            "risky_ratio"
+        ),
+        F.coalesce(
+            F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9")).cast(
+                "int"
+            ),
+            F.lit(-1),
+        ).alias("priority_num"),
+    )
+
+
+@register(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 36 HOUR   AS due_ts,
+           o_orderdate - INTERVAL 90 DAY    AS quote_ts,
+           CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 6)
+                AS BIGINT)                  AS months_since_jun95,
+           date_trunc('quarter', o_orderdate) AS quarter_start,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start
+    FROM orders
+    """,
+    doc="Timestamp interval arithmetic: +/- INTERVAL literals, month-boundary "
+    "distance (spelled as explicit year/month arithmetic — identical "
+    "boundary-crossing semantics on both engines, unlike fractional "
+    "months_between), quarter truncation, and date construction from "
+    "parts. All codegen'd datetime expressions.",
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("due_ts"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("quote_ts"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 6)
+        ).cast("bigint").alias("months_since_jun95"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.make_date(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)
+        ).alias("month_start"),
+    )

@@ -445,3 +445,47 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keep"),
     )
+
+
+NGRAM_TOP_K = 20
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT toks[i+1] || ' ' || toks[i+2] AS bigram
+      FROM w, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT {NGRAM_TOP_K}
+    """,
+    doc="Corpus-level bigram frequency, top-20 — the n-gram statistics pass "
+    "behind contamination checks and LM smoothing tables. Bigrams are built "
+    "map-side (transform over the token array, no self-join), counted with "
+    "one partial-agg shuffle on the gram, and the global top-k compiles to "
+    "TakeOrderedAndProject (per-partition heaps, never a full sort). "
+    "Deterministic tie-break on the gram string.",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(NGRAM_TOP_K)
+    )

@@ -221,3 +221,77 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
         F.round(F.avg("value").over(w), 4).alias("avg_last_hour"),
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           round(value, 4) AS value,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM events
+    """,
+    doc="SCD-type-2 interval construction: each user's event history becomes "
+    "versioned rows with [valid_from, valid_to) ranges and an is_current "
+    "flag — the lakehouse dimension-building step downstream of CDC apply. "
+    "One lead() window per user_id partition (ties broken by event_id), "
+    "single shuffle, sorted pass; identical plan at any history length.",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        valid_to.isNull().cast("bigint").alias("is_current"),
+    )
+
+
+@register(
+    "orders_running_share",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(sum(revenue) OVER (ORDER BY month), 2) AS running_total,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM daily
+    """,
+    doc="Running totals + share-of-total: monthly revenue with a cumulative "
+    "window and each month's fraction of the grand total. The base "
+    "aggregate shrinks the data to one row per month BEFORE the windows, "
+    "so the unpartitioned frames run over a month-count-sized relation — "
+    "the right order of operations at any fact-table size (windowing the "
+    "raw facts first would serialize the corpus through one task).",
+)
+def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    running = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return daily.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(running), 2).alias("running_total"),
+        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias(
+            "share_of_total"
+        ),
+    )
