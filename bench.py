@@ -37,6 +37,10 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_fingerprint",
+    "text_chunk_tokens",
+    "pack_sequences",
+    "q13_customer_distribution",
+    "events_funnel",
 ]
 
 

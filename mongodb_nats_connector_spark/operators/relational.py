@@ -1965,10 +1965,15 @@ def graph_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # aggregate orders BEFORE the join: the left join then probes a
+    # per-custkey count relation instead of the raw fact table, so the
+    # join input shrinks by the orders-per-customer factor and the
+    # customer side never carries fact-table row multiplicity
+    per_cust_orders = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_cust = c.join(per_cust_orders, "c_custkey", "left").select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
@@ -2085,61 +2090,81 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered funnel analysis over the events stream: users reaching "
     "view -> click-after-view -> purchase-after-click, with step conversion "
-    "rates. Every stage aggregates and joins on user_id — one shuffle key "
-    "throughout, so the stages co-partition and AQE coalesces the tiny "
-    "followups; the final 3-row window is trivially driver-sized. The "
-    "classic product-analytics shape at any event volume.",
+    "rates. SINGLE-PASS plan: one shuffle on user_id collects each user's "
+    "per-stage timestamp lists, then array expressions derive the ordered "
+    "milestones (min view, first click after it, first purchase after "
+    "that) in the same stage — a chained-aggregate formulation would "
+    "re-evaluate every upstream stage per funnel step. The per-user "
+    "relation then reduces to 3 counts; the final window is 3-row-sized. "
+    "Per-user arrays are bounded by that user's event history, so the "
+    "plan holds at any corpus size (heavy users cap out far below task "
+    "memory; a per-(user, day) pre-bucket bounds true outliers).",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_users"))
-        .select(F.lit(1).alias("stage_ord"), F.lit("view").alias("stage"), "n_users")
-        .unionByName(
-            c.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(2).alias("stage_ord"), F.lit("click").alias("stage"), "n_users"
-            )
+
+    def stage_list(t):
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
         )
-        .unionByName(
-            p.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(3).alias("stage_ord"),
-                F.lit("purchase").alias("stage"),
-                "n_users",
-            )
-        )
+
+    per_user = e.groupBy("user_id").agg(
+        stage_list("view").alias("vs"),
+        stage_list("click").alias("cs"),
+        stage_list("purchase").alias("ps"),
     )
+    t_view = F.element_at("vs", 1)
+    milestones = per_user.select(
+        t_view.alias("t_view"),
+        F.array_min(F.filter("cs", lambda x: x > t_view)).alias("t_click"),
+        "ps",
+    ).select(
+        "t_view",
+        "t_click",
+        F.array_min(F.filter("ps", lambda x: x > F.col("t_click"))).alias(
+            "t_purchase"
+        ),
+    )
+    counts = milestones.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_ord"),
+                    F.lit("view").alias("stage"),
+                    F.col("n_view").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_ord"),
+                    F.lit("click").alias("stage"),
+                    F.col("n_click").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_ord"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n_purchase").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage_ord", "s.stage", "s.n_users")
     w = Window.orderBy("stage_ord")
-    return counts.select(
+    return stages.select(
         "stage_ord",
         "stage",
         F.col("n_users").cast("bigint").alias("n_users"),
-        F.round(
-            F.col("n_users") / F.lag("n_users", 1, None).over(w).cast("double"),
-            4,
+        F.coalesce(
+            F.round(
+                F.col("n_users") / F.lag("n_users", 1, None).over(w).cast("double"),
+                4,
+            ),
+            F.lit(1.0),
         ).alias("conv_from_prev"),
-    ).withColumn(
-        "conv_from_prev", F.coalesce(F.col("conv_from_prev"), F.lit(1.0))
     )
 
 
