@@ -90,3 +90,35 @@ def test_adversarial_identical_corpus_end_to_end(spark, tmp_path, monkeypatch):
     assert len(rows) == 64 * 63 // 2
     assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in rows)
     assert max(max(r["doc_a"], r["doc_b"]) for r in rows) == 63
+
+
+def test_cluster_invariants(spark):
+    """Connected-components contract: documents joined by a verified pair
+    share a cluster, every cluster's id is its minimum member, and
+    untouched documents are singleton clusters."""
+    from mongodb_nats_connector_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf).collect()]
+    cluster = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, sf).collect()}
+    canon = {
+        r["doc_id"]: r["is_canonical"] for r in dedup_clusters(spark, sf).collect()
+    }
+    assert pairs, "fixture corpus should contain near-dups"
+    for a, b in pairs:
+        assert cluster[a] == cluster[b], (a, b)
+    members: dict = {}
+    for doc, cid in cluster.items():
+        members.setdefault(cid, []).append(doc)
+    for cid, docs in members.items():
+        assert cid == min(docs), (cid, docs)
+    paired = {d for p in pairs for d in p}
+    for doc, cid in cluster.items():
+        if doc not in paired:
+            # singleton unless connected transitively through a chain
+            if len(members[cid]) == 1:
+                assert cid == doc
+        assert canon[doc] == (1 if doc == cid else 0)

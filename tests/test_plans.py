@@ -192,3 +192,85 @@ def test_registry_wide_plan_lint(spark):
         if "BatchEvalPython" in s and name not in _ALLOWED_ROW_PYTHON:
             offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
     assert not offenders, f"plan lint failures: {offenders}"
+
+
+def test_q17_broadcasts_part_dim(spark):
+    """q17's brand/size part selection must broadcast into the lineitem
+    probe; the only wide exchanges are lineitem's partkey shuffle (shared
+    by the per-part average and the join) and the final scalar agg."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        q17_small_quantity_revenue,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    df = q17_small_quantity_revenue(spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan_string(df)
+
+
+def test_chunking_is_map_only(spark):
+    """Sliding-window chunking must not shuffle: tokenize + explode + slice
+    are all map-side, so the plan has zero exchanges."""
+    from mongodb_nats_connector_spark.operators.text import text_chunk_tokens
+
+    assert count_exchanges(text_chunk_tokens(spark, SF)) == 0
+
+
+def test_pii_scrub_is_map_only(spark):
+    from mongodb_nats_connector_spark.operators.text import text_pii_scrub
+
+    assert count_exchanges(text_pii_scrub(spark, SF)) == 0
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The (tiny) eval-doc gram list must broadcast; the train grams may
+    shuffle only for their distinct."""
+    from mongodb_nats_connector_spark.operators.dedup import (
+        contamination_ngram_overlap,
+    )
+
+    df = contamination_ngram_overlap(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_ngram_topk_uses_take_ordered(spark):
+    """Global top-k over bigram counts must plan TakeOrderedAndProject
+    (per-partition heaps), never a full sort of the gram relation."""
+    from mongodb_nats_connector_spark.operators.text import text_ngram_topk
+
+    assert has_take_ordered(text_ngram_topk(spark, SF))
+
+
+def test_funnel_single_wide_shuffle(spark):
+    """The single-pass funnel: exactly one exchange touches the events
+    relation (the user_id collect); everything after is 3-row-sized."""
+    from mongodb_nats_connector_spark.operators.relational import events_funnel
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    df = events_funnel(spark, SF)
+    s = plan_string(df)
+    # one corpus shuffle + the trivial final single-partition window; no
+    # join of the events relation back to itself
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    assert count_exchanges(df) <= 3
+
+
+def test_q13_aggregates_orders_before_join(spark):
+    """The join probe must be the per-custkey count relation, not raw
+    orders: a HashAggregate must appear BELOW the join in the plan."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        q13_customer_distribution,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(q13_customer_distribution(spark, SF))
+    assert "CartesianProduct" not in s
+    join_pos = min(
+        (s.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if s.find(j) != -1),
+        default=-1,
+    )
+    assert join_pos != -1, f"no join in plan:\n{s}"
+    assert "HashAggregate" in s[join_pos:], (
+        "orders must pre-aggregate below the join"
+    )
