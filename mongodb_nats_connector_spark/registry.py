@@ -178,3 +178,13 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {n: q.oracle for n, q in all_queries().items() if q.oracle is not None}
+
+
+if __name__ == "__main__":  # pragma: no cover
+    # Round-start maintenance: record digests for the newest driver
+    # artifact's greens BEFORE editing any operator, e.g.
+    #   python -m mongodb_nats_connector_spark.registry CORRECTNESS_r03.json
+    import sys
+
+    updated = refresh_verified_digests(Path(sys.argv[1]))
+    print(f"verified_digests.json: {len(updated)} names recorded")
