@@ -295,3 +295,57 @@ def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           -- integer micros division, NOT date_diff('second', ...): that
+           -- counts second-boundary crossings, while this is the floored
+           -- elapsed time (matches Spark's arithmetic exactly)
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+             AS secs_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    doc="Batch-checkable form of the stream-stream interval join "
+    "(streaming form + exact stream-vs-batch equivalence in "
+    "tests/test_streaming.py::test_stream_stream_interval_join): each "
+    "purchase joins the same user's clicks from the preceding hour. The "
+    "equi key (user_id) carries the hash join; the interval rides as a "
+    "post-filter — never a nested loop. In the streaming form the interval "
+    "bound is what lets the watermark GC both sides' state, solving the "
+    "unbounded stream-stream join problem.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return p.join(c, cond).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("secs_before"),
+    )

@@ -117,3 +117,52 @@ def test_bulk_ingest_matches_batch_curation(spark, tmp_path, n_docs):
         .collect()
     }
     assert streamed == expected
+
+
+# changing only the LAST word alters exactly 1 of 12 trigram shingles:
+# Jaccard 11/13 = 0.846 >= 0.7 (a middle-word change alters 3 -> 0.6, below)
+NEAR = GOOD.replace("away home", "away house")
+
+
+def test_near_dup_rejected_across_epochs(spark, tmp_path):
+    """A near-duplicate (not byte-identical) of an admitted doc must be
+    rejected by the LSH probe + exact Jaccard verify; unrelated docs pass."""
+    sink = CorpusIngestSink(spark, str(tmp_path / "corpus"), near_dedup=True)
+    sink.ingest_batch(_df(spark, [(1, GOOD, "en", "src0")]), epoch_id=0)
+    assert {r["doc_id"] for r in sink.corpus().collect()} == {1}
+
+    sink.ingest_batch(
+        _df(spark, [(2, NEAR, "en", "src1"), (3, GOOD2, "en", "src0")]),
+        epoch_id=1,
+    )
+    got = {r["doc_id"] for r in sink.corpus().collect()}
+    assert got == {1, 3}, f"near-dup must be rejected: {got}"
+
+
+def test_near_dup_rejected_within_batch(spark, tmp_path):
+    """Two near-dups arriving in the SAME batch: smaller doc_id wins."""
+    sink = CorpusIngestSink(spark, str(tmp_path / "corpus"), near_dedup=True)
+    sink.ingest_batch(
+        _df(spark, [(9, NEAR, "en", "src1"), (4, GOOD, "en", "src0"),
+                    (5, GOOD2, "en", "src0")]),
+        epoch_id=0,
+    )
+    got = {r["doc_id"] for r in sink.corpus().collect()}
+    assert got == {4, 5}, f"in-batch near-dup must keep the smaller id: {got}"
+
+
+def test_near_dedup_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch with near-dedup on must converge: the epoch's own
+    band-index partition is excluded from its probe, like the corpus."""
+    sink = CorpusIngestSink(spark, str(tmp_path / "corpus"), near_dedup=True)
+    sink.ingest_batch(_df(spark, [(1, GOOD, "en", "src0")]), epoch_id=0)
+    batch = _df(spark, [(2, NEAR, "en", "src1"), (3, GOOD2, "en", "src0")])
+    sink.ingest_batch(batch, epoch_id=1)
+    first = sorted(r["doc_id"] for r in sink.corpus().collect())
+    sink.ingest_batch(batch, epoch_id=1)  # crash-replay
+    again = sorted(r["doc_id"] for r in sink.corpus().collect())
+    assert first == again == [1, 3]
+    # band index mirrors the corpus (one band set per admitted doc)
+    assert (
+        sink.band_index().select("doc_id").distinct().count() == 2
+    )
