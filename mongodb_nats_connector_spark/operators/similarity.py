@@ -342,3 +342,102 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.join(F.broadcast(stats), "label").select(
         "label", "n_vecs", "avg_norm", "dim", "c"
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # assignments computed ITERS times; centroids updated between
+
+
+def _kmeans_assign_cte(cent: str, label: str) -> str:
+    """One assignment step vs centroid CTE ``cent`` (argmin L2, ties to the
+    smallest cid)."""
+    return f"""
+    {label} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN {cent} c) WHERE rn = 1
+    )"""
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    {_kmeans_assign_cte('c0', 'a1')},
+    x1 AS (
+      SELECT a.cid, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
+      FROM a1 a JOIN e ON a.vec_id = e.vec_id
+    ),
+    c1 AS (
+      SELECT cid, list(avg_val ORDER BY idx) AS cv FROM (
+        SELECT cid, idx, avg(val) AS avg_val FROM x1 GROUP BY cid, idx)
+      GROUP BY cid
+    ),
+    {_kmeans_assign_cte('c1', 'a2')}
+    SELECT vec_id, cid AS cluster_id, round(dist, 4) + 0.0 AS dist
+    FROM a2
+    """,
+    doc=f"Iterative k-means over the embedding corpus ({KMEANS_K} clusters, "
+    f"{KMEANS_ITERS} assignment rounds, deterministic first-K init): the "
+    "full loop whose single step embedding_centroids isolates, and the "
+    "IVF codebook trainer. Spark-side each round collects the (tiny) "
+    "K x dim centroid matrix to the driver and embeds it as literal "
+    "expressions, so ASSIGNMENT IS A MAP-ONLY PROJECTION — no join, no "
+    "shuffle of vectors; the recompute aggregates (cid, dim, value) with "
+    "map-side combine. That is exactly MLlib KMeans' distribution "
+    "strategy, and the one Spark pattern where a driver collect is the "
+    "scalable answer (K*dim doubles, independent of corpus size). Ties "
+    "break to the smallest cid on both engines; distances rounded with "
+    "signed-zero normalization.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents: list[tuple[int, list[float]]] = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < KMEANS_K).collect()
+    )
+
+    def assignment(cents_lit):
+        structs = []
+        for cid, cv in cents_lit:
+            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            sq = F.aggregate(
+                F.zip_with("v", lit_cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(F.sqrt(sq).alias("dist"), F.lit(cid).alias("cid"))
+            )
+        best = F.array_min(F.array(*structs))
+        return e.select(
+            "vec_id", "v", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    assigned = assignment(cents)
+    for _ in range(KMEANS_ITERS - 1):
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(F.avg("val").alias("avg_val"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in per_dim:
+            by_cid.setdefault(r["cid"], {})[r["idx"]] = r["avg_val"]
+        cents = sorted(
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in by_cid.items()
+        )
+        assigned = assignment(cents)
+    return assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        (F.round("dist", 4) + F.lit(0.0)).alias("dist"),
+    )
