@@ -300,3 +300,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_id.cast("bigint").alias("bin_id"),
         (start - bin_id * PACK_BUDGET).cast("bigint").alias("bin_offset"),
     )
+
+
+N_SHARDS = 32
+
+
+@register(
+    "corpus_shard_plan",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substr(md5('{SALT}' || CAST(doc_id AS VARCHAR)), 1, 6)
+                       AS BIGINT) % {N_SHARDS} AS BIGINT) AS shard
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n FROM assigned
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           round(count(*) * {N_SHARDS} * 1.0 / tot.n, 4) AS skew_vs_ideal
+    FROM assigned CROSS JOIN tot
+    GROUP BY shard, tot.n
+    """,
+    doc="Deterministic output-shard planner: every document is assigned to "
+    "one of 32 shards by salted md5 (stable across engines, cluster sizes "
+    "and re-runs — unlike hash-partitioning, which is engine-private), and "
+    "the plan reports per-shard row/byte totals plus the skew ratio vs the "
+    "ideal uniform share. This is the write planner for a 100 TB export: "
+    "`repartition(N_SHARDS, shard)` then partitioned write produces "
+    "bounded, evenly sized output files, and the skew column is the "
+    "pre-flight check that no shard will straggle.",
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h6 = F.substring(
+        F.md5(F.encode(F.concat(F.lit(SALT), F.col("doc_id").cast("string")), "utf-8")),
+        1,
+        6,
+    )
+    shard = (F.conv(h6, 16, 10).cast("bigint") % N_SHARDS).cast("bigint")
+    assigned = docs.select(
+        shard.alias("shard"), "doc_id", "n_chars"
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            "min_doc_id",
+            "max_doc_id",
+            F.round(F.col("n_docs") * N_SHARDS / F.col("n"), 4).alias("skew_vs_ideal"),
+        )
+    )

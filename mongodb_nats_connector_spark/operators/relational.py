@@ -2269,3 +2269,388 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)
         ).alias("month_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: running distinct, tolerance as-of, co-occurrence,
+# robust outliers, attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen,
+             ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_distinct_types
+    FROM flagged
+    """,
+    doc="Running COUNT(DISTINCT) over an ordered stream — not directly "
+    "expressible as a window aggregate in Spark, so it is decomposed into "
+    "the standard first-occurrence trick: row_number over (key, value) marks "
+    "each value's first appearance, then a running sum of the marks over "
+    "(key, time) is the cumulative distinct count. Two window passes, both "
+    "partitioned by user_id — AQE coalesces to a single exchange; no state "
+    "grows beyond the partition.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_seen = (
+        F.row_number()
+        .over(Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id"))
+        == 1
+    ).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", first_seen.alias("first_seen"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(running).cast("bigint")
+            .alias("running_distinct_types"),
+        )
+    )
+
+
+ASOF_TOLERANCE_MIN = 60
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(click_ts) OVER w AS last_click_ts,
+             last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts - last_click_ts <= INTERVAL '{ASOF_TOLERANCE_MIN} minutes'
+                THEN last_click_id END AS matched_click_id,
+           CASE WHEN ts - last_click_ts <= INTERVAL '{ASOF_TOLERANCE_MIN} minutes'
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+                END AS gap_seconds
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    doc="As-of join with a tolerance bound (purchase -> most recent click "
+    "within 60 min, else NULL) — the ASOF JOIN ... TOLERANCE shape from "
+    "kdb/QuestDB/pandas merge_asof. Same union+last_value trick as "
+    "join_asof (one shuffle on user_id, no range self-join); the tolerance "
+    "is a post-window null-out, so the plan is identical to the unbounded "
+    "form and scales the same way.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max("click_ts").over(w).alias("last_click_ts"),
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    within = (
+        F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+    ) <= ASOF_TOLERANCE_MIN * 60
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("last_click_id")).alias("matched_click_id"),
+        F.when(
+            within,
+            F.col("ts").cast("long") - F.col("last_click_ts").cast("long"),
+        ).cast("bigint").alias("gap_seconds"),
+    )
+
+
+COPURCHASE_TOP_K = 15
+
+
+@register(
+    "part_copurchase_pairs",
+    oracle=f"""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT {COPURCHASE_TOP_K}
+    """,
+    doc="Market-basket co-occurrence: part pairs ordered together, top-15 by "
+    "support — the candidate-generation step of association mining. The "
+    "self-join key is l_orderkey and an order has a bounded line count, so "
+    "fan-out is bounded (<= C(12,2) pairs/order here); Spark shuffles "
+    "lineitem once (the exchange is shared by both join sides) and the "
+    "global top-k compiles to TakeOrderedAndProject. At 100 TB the same "
+    "plan holds because the per-order bound, not the corpus size, controls "
+    "the join blow-up.",
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(COPURCHASE_TOP_K)
+    )
+
+
+MAD_K = 3.0
+
+
+@register(
+    "agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), mad AS (
+      SELECT l.l_returnflag, any_value(m.med) AS med,
+             median(abs(l.l_extendedprice - m.med)) AS mad
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(d.med), 2) AS med_price,
+           round(any_value(d.mad), 2) AS mad_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(l.l_extendedprice - d.med) > {MAD_K} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN mad d USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Robust outlier detection via median absolute deviation (the "
+    "data-cleaning filter that survives skewed value distributions where "
+    "z-scores break): exact per-group median, MAD, and the |x - med| > "
+    "3*MAD count. Group cardinality is tiny, so each pass broadcasts the "
+    "per-group statistics back — three scans of the fact (Spark reuses the "
+    "cached exchange), no shuffle wider than the group key. Exact median "
+    "(not approx_percentile) keeps the oracle deterministic.",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(F.median("l_extendedprice").alias("med"))
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias("mad"),
+        )
+    )
+    joined = li.join(F.broadcast(mad), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.any_value("med"), 2).alias("med_price"),
+        F.round(F.any_value("mad"), 2).alias("mad_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            (
+                F.abs(F.col("l_extendedprice") - F.col("med")) > MAD_K * F.col("mad")
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH filled AS (
+      SELECT event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    ), attributed AS (
+      SELECT coalesce(channel, 'none') AS channel
+      FROM filled WHERE event_type = 'purchase'
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(count(*) * 1.0 / (SELECT count(*) FROM attributed), 4) AS share
+    FROM attributed GROUP BY channel
+    """,
+    doc="Last-touch attribution: each purchase is credited to the user's "
+    "most recent preceding non-purchase event type, then purchases are "
+    "rolled up per channel with share-of-total. One window pass partitioned "
+    "by user_id (the ROWS ... 1 PRECEDING frame excludes the purchase "
+    "itself), one tiny aggregation, and the total joins back as a broadcast "
+    "scalar — the standard marketing/conversion analysis at any scale.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.select("event_id", "event_type", channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("channel", F.lit("none")).alias("channel"))
+    )
+    total = attributed.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_purchases",
+            F.round(F.col("n_purchases") / F.col("total"), 4).alias("share"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), DATE '1998-08-02') AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT *,
+             CAST(ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS BIGINT) AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency    DESC, o_custkey) AS BIGINT) AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary     DESC, o_custkey) AS BIGINT) AS m_quartile
+      FROM rfm
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+           r_quartile, f_quartile, m_quartile,
+           CASE WHEN r_quartile = 1 AND f_quartile = 1 THEN 'champion'
+                WHEN r_quartile >= 3 AND f_quartile >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/monetary "
+    "aggregates, quartile scores via ntile, and a rule-based segment label. "
+    "One shuffle on o_custkey for the aggregate; the ntile windows are "
+    "global (empty PARTITION BY) which serializes on one task — acceptable "
+    "because the input is one row per customer (already 5-6 orders of "
+    "magnitude smaller than the fact table); at extreme customer counts the "
+    "quartile boundaries would come from approx_percentile + a broadcast "
+    "join instead. Deterministic ntile tie-break on custkey.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.date_diff(F.lit("1998-08-02").cast("date"), F.max("o_orderdate"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = rfm.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("bigint").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_quartile"),
+    )
+    segment = (
+        F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1), "champion")
+        .when((F.col("r_quartile") >= 3) & (F.col("f_quartile") >= 3), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment)
+
+
+@register(
+    "agg_percentile_threshold",
+    oracle="""
+    WITH thresholds AS (
+      SELECT c_nationkey, quantile_cont(c_acctbal, 0.9) AS p90
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_nationkey,
+           round(any_value(t.p90), 2) AS p90_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN c.c_acctbal > t.p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_p90,
+           round(sum(CASE WHEN c.c_acctbal > t.p90 THEN c.c_acctbal ELSE 0 END), 2)
+             AS balance_above_p90
+    FROM customer c JOIN thresholds t USING (c_nationkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="Percentile-threshold segmentation: exact per-nation p90 of account "
+    "balance (continuous interpolation — identical in Spark's percentile() "
+    "and DuckDB's quantile_cont), broadcast back to tag and aggregate the "
+    "above-threshold population. The two-pass broadcast shape is how "
+    "top-percentile cohorts are computed at scale without a global sort; "
+    "at extreme group counts the exact percentile becomes "
+    "approx_percentile with the same plan.",
+)
+def agg_percentile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    thresholds = c.groupBy("c_nationkey").agg(
+        F.percentile("c_acctbal", F.lit(0.9)).alias("p90")
+    )
+    joined = c.join(F.broadcast(thresholds), "c_nationkey")
+    above = F.col("c_acctbal") > F.col("p90")
+    return joined.groupBy("c_nationkey").agg(
+        F.round(F.any_value("p90"), 2).alias("p90_acctbal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(above.cast("int")).cast("bigint").alias("n_above_p90"),
+        F.round(F.sum(F.when(above, F.col("c_acctbal")).otherwise(0.0)), 2)
+        .alias("balance_above_p90"),
+    )

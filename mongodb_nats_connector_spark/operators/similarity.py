@@ -441,3 +441,61 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         (F.round("dist", 4) + F.lit(0.0)).alias("dist"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS m,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, label, m,
+             list_transform(v, x -> floor((x * 127.0) / m + 0.5)) AS q
+      FROM scaled
+    )
+    SELECT vec_id, label,
+           round(m / 127.0, 6) + 0.0 AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+           CAST(list_sum(list_transform(list_zip(q, range(len(q))),
+                t -> t[1] * t[2])) AS BIGINT) AS q_dot_idx,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+    FROM quant
+    """,
+    doc="Per-vector symmetric int8 quantization (the storage/ANN compression "
+    "step for embedding corpora): scale = max|v|/127, q_i = "
+    "round-half-up(v_i/scale). Outputs integer checksums of the quantized "
+    "vector (sum, |sum|, index-weighted dot) rather than the array itself — "
+    "integers are exact across engines and the driver's comparator cannot "
+    "hash array cells. floor(x+0.5) is used on both sides because round() "
+    "is banker's in DuckDB. Pure map-side higher-order functions over the "
+    "vector column — zero shuffles, trivially scales; the int8 payload "
+    "would be written back as binary at 1/4 the float32 bytes.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    m = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    df = e.select("vec_id", "label", m.alias("m"), v.alias("v"))
+    q = F.transform("v", lambda x: F.floor(x * 127.0 / F.col("m") + 0.5))
+    df = df.select("vec_id", "label", "m", q.alias("q"))
+    lsum = lambda col: F.aggregate(col, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return df.select(
+        "vec_id",
+        "label",
+        (F.round(F.col("m") / 127.0, 6) + F.lit(0.0)).alias("scale"),
+        lsum(F.col("q")).alias("q_sum"),
+        lsum(F.transform("q", lambda x: F.abs(x))).alias("q_abs_sum"),
+        F.aggregate(
+            F.zip_with("q", F.sequence(F.lit(0), F.size("q") - 1), lambda q_, i: q_ * i),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("q_dot_idx"),
+        F.size(F.filter("q", lambda x: F.abs(x) == 127)).cast("bigint").alias("n_saturated"),
+    )

@@ -489,3 +489,130 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(NGRAM_TOP_K)
     )
+
+
+PASSAGE_WORDS = 8
+PASSAGE_MAX_DUP_RATIO = 0.5
+
+
+@register(
+    "text_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), passages AS (
+      SELECT doc_id,
+             array_to_string(t[{PASSAGE_WORDS} * i + 1 : {PASSAGE_WORDS} * (i + 1)], ' ')
+               AS passage
+      FROM toks, LATERAL (SELECT unnest(range(len(t) // {PASSAGE_WORDS})) AS i)
+    ), freq AS (
+      SELECT passage, count(DISTINCT doc_id) AS n_docs
+      FROM passages GROUP BY passage
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_ratio,
+           CAST(CASE WHEN sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                          / count(*) <= {PASSAGE_MAX_DUP_RATIO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM passages p JOIN freq f USING (passage)
+    GROUP BY p.doc_id
+    """,
+    doc="Passage-level dedup (RefinedWeb-style repeated-span removal): each "
+    "document is cut into consecutive 8-word passages map-side, passage "
+    "frequency is counted corpus-wide, and documents whose duplicated-passage "
+    "ratio exceeds the threshold are dropped. Two shuffles, both on "
+    "fine-grained keys (passage string, then doc_id) — no giant groups, so "
+    "the plan holds at 100 TB; at that scale the passage string would be "
+    "replaced by xxhash64(passage) to shrink shuffle bytes, which changes "
+    "nothing structural.",
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    passages = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.size(toks) / PASSAGE_WORDS).cast("int") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+                ),
+            )
+        ).alias("passage"),
+    )
+    freq = passages.groupBy("passage").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = F.sum((F.col("n_docs") > 1).cast("int"))
+    n = F.count(F.lit(1))
+    ratio = dup / n
+    return (
+        passages.join(freq, "passage")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_passages"),
+            dup.cast("bigint").alias("n_dup_passages"),
+            F.round(ratio, 4).alias("dup_ratio"),
+            (ratio <= PASSAGE_MAX_DUP_RATIO).cast("bigint").alias("keep"),
+        )
+    )
+
+
+# surprisal band (natural-log units) for the unigram-LM keep decision:
+# too low = degenerate/repetitive text, too high = noise/garbage.
+SURPRISAL_KEEP_LO = 2.0
+SURPRISAL_KEEP_HI = 9.0
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, count(*) AS cnt FROM w GROUP BY word
+    ), total AS (
+      SELECT sum(cnt) AS n FROM vocab
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(vocab.cnt * 1.0 / total.n)), 4) AS avg_surprisal,
+           CAST(CASE WHEN avg(-ln(vocab.cnt * 1.0 / total.n))
+                          BETWEEN {SURPRISAL_KEEP_LO} AND {SURPRISAL_KEEP_HI}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM w JOIN vocab USING (word) CROSS JOIN total
+    GROUP BY w.doc_id
+    """,
+    doc="Unigram-LM surprisal scoring (perplexity-proxy quality filter, as in "
+    "CCNet/Gopher pipelines): corpus unigram probabilities, then the mean "
+    "negative log-probability per document, with a keep band. The vocabulary "
+    "is Heaps-law small relative to the corpus, so both the vocab and the "
+    "1-row total broadcast; the token stream joins map-side and aggregates "
+    "per doc_id with partial aggregation — one fine-grained shuffle at any "
+    "scale.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    surprisal = -F.log(F.col("cnt") / F.col("n"))
+    avg_s = F.avg(surprisal)
+    return (
+        w.join(broadcast(vocab), "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(avg_s, 4).alias("avg_surprisal"),
+            avg_s.between(SURPRISAL_KEEP_LO, SURPRISAL_KEEP_HI)
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

@@ -167,6 +167,9 @@ _ALLOWED_NESTED_LOOP = {
     "text_tfidf",                 # 1-row corpus-size scalar broadcast crossJoin
     "q22_no_order_customers",     # 1-row avg-balance scalar broadcast crossJoin
     "curate_dataset_mix",         # 1-row units scalar broadcast crossJoin
+    "text_unigram_surprisal",     # 1-row corpus-token-total scalar broadcast crossJoin
+    "events_attribution_last_touch",  # 1-row purchase-total scalar broadcast crossJoin
+    "corpus_shard_plan",          # 1-row corpus-size scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
