@@ -41,6 +41,8 @@ HEADLINE_QUERIES = [
     "pack_sequences",
     "q13_customer_distribution",
     "events_funnel",
+    "text_passage_dedup",
+    "embedding_quantize_int8",
 ]
 
 
