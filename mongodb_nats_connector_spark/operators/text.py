@@ -531,15 +531,24 @@ PASSAGE_MAX_DUP_RATIO = 0.5
     "nothing structural.",
 )
 def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
+    # the passage string never materializes: each 8-word span hashes
+    # directly off the token tuple (same trick as hashed_word_shingles), so
+    # the two shuffles move 8-byte keys instead of ~50-byte strings. The
+    # oracle groups by the passage STRING — per-doc outputs agree because
+    # they only depend on span equality, which the 64-bit hash preserves
+    # w.h.p. (a collision would merely merge two frequency groups).
     passages = docs.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), (F.size(toks) / PASSAGE_WORDS).cast("int") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+                lambda i: F.xxhash64(
+                    *[
+                        F.element_at(toks, i * PASSAGE_WORDS + F.lit(j + 1))
+                        for j in range(PASSAGE_WORDS)
+                    ]
                 ),
             )
         ).alias("passage"),
@@ -598,7 +607,7 @@ SURPRISAL_KEEP_HI = 9.0
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
