@@ -349,3 +349,57 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("secs_before"),
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           CASE WHEN c.event_id IS NULL THEN NULL
+                ELSE CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+                END AS secs_before
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    doc="Batch-checkable form of the LEFT OUTER stream-stream interval join "
+    "(streaming form + equivalence in tests/test_streaming.py::"
+    "test_stream_stream_interval_join_left_outer): purchases with no click "
+    "in the preceding hour survive with a NULL click. In the streaming form "
+    "this is the semantics only a watermark can deliver — the null row may "
+    "only be emitted once the watermark proves no matching click can still "
+    "arrive, so state stays bounded AND the anti-join half is correct. Plan "
+    "shape is identical to the inner form: user_id hash join, interval as "
+    "post-filter.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return p.join(c, cond, "left").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.when(
+            F.col("click_id").isNotNull(),
+            F.floor(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / F.lit(1_000_000)
+            ).cast("bigint"),
+        ).alias("secs_before"),
+    )

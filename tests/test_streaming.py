@@ -327,3 +327,84 @@ def test_stream_stream_interval_join(spark, events_feed):
     assert len(out) == len(batch), f"stream {len(out)} vs batch {len(batch)}"
     key = lambda df: sorted(map(tuple, df.values.tolist()))
     assert key(out) == key(batch)
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched purchases must come
+    out with NULL clicks — but only after the watermark proves no matching
+    click can still arrive. A sentinel event far past the data's end pushes
+    the watermark so every pending null-match is flushed, then the result is
+    compared exactly to the batch left join. This is semantics the batch
+    engine gets for free and the streaming engine can only deliver with
+    bounded state via the watermark + interval bound."""
+    path = str(tmp_path / "events_feed_outer")
+    ev = table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 == 1).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 == 2).write.parquet(path, mode="append")
+    # watermark pushers: one far-future click AND one far-future purchase for
+    # users that never match. The global watermark is the MIN across both
+    # sides' watermark operators, and each side's operator only sees events
+    # surviving its event_type filter — a click-only sentinel leaves the
+    # purchase watermark at (max purchase_ts - delay) and the last 2 hours
+    # of null matches pending forever. The sentinel purchase's own null row
+    # stays pending (nothing later ever closes its interval) — itself the
+    # correct watermark behavior — and both sentinels are filtered from the
+    # comparison.
+    for uid, etype in ((-1, "click"), (-2, "purchase")):
+        sentinel = ev.agg(
+            F.lit(uid).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select(*[f.name for f in ev.schema.fields])
+        sentinel.write.parquet(path, mode="append")
+
+    def sides(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return c, p
+
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+
+    sc, sp = sides(_stream(spark, path))
+    out = _run_to_memory(
+        spark,
+        sp.withWatermark("purchase_ts", "2 hours")
+        .join(sc.withWatermark("click_ts", "2 hours"), cond, "leftOuter")
+        .select("p_user", "purchase_id", "click_id"),
+        "append",
+    )
+    out = out[out["p_user"] >= 0]
+
+    bc, bp = sides(spark.read.schema(EVENTS_DDL).parquet(path))
+    batch = (
+        bp.join(bc, cond, "left")
+        .filter(F.col("p_user") >= 0)
+        .select("p_user", "purchase_id", "click_id")
+        .toPandas()
+    )
+
+    assert len(out) == len(batch), f"stream {len(out)} vs batch {len(batch)}"
+    null_stream = int(out["click_id"].isna().sum())
+    null_batch = int(batch["click_id"].isna().sum())
+    assert null_stream == null_batch and null_batch > 0, (null_stream, null_batch)
+    key = lambda df: sorted(
+        (int(u), int(p), -1 if c != c else int(c))  # NaN-safe click key
+        for u, p, c in df.values.tolist()
+    )
+    assert key(out) == key(batch)
