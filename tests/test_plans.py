@@ -161,6 +161,7 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 _ALLOWED_NESTED_LOOP = {
     "similarity_neardup_pairs",   # documented brute-force baseline
     "similarity_topk_bruteforce", # broadcast NLJ of tiny query set (by design)
+    "similarity_topk_quantized",  # broadcast NLJ of tiny query set (by design)
     "join_theta_range",           # non-equi band join (broadcast NLJ is the plan)
     "join_skew_salted",           # 8-row salt table replicated by crossJoin
     "similarity_ann_ivf",         # 16-row centroid codebook broadcast crossJoin

@@ -304,3 +304,28 @@ def test_shard_assignment_stable_under_repartitioning(spark):
         for r in corpus_shard_plan(spark, SF).collect()
     }
     assert a == b
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """ADC over int8 codes must stay close to the exact float top-k:
+    recall@5 >= 0.8 averaged over the query set (int8 keeps ~2 decimal
+    digits of each coordinate — more than enough to preserve neighborhood
+    structure on 64-dim vectors)."""
+    from mongodb_nats_connector_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+        similarity_topk_quantized,
+    )
+
+    exact = similarity_topk_bruteforce(spark, SF).collect()
+    quant = similarity_topk_quantized(spark, SF).collect()
+    exact_sets: dict = {}
+    quant_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(exact_sets) == set(quant_sets)
+    recalls = [
+        len(exact_sets[q] & quant_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
