@@ -329,3 +329,19 @@ def test_quantized_topk_recall_vs_exact(spark):
         len(exact_sets[q] & quant_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_rank_filters_compile_to_window_group_limit(spark):
+    """Rank-then-filter shapes must trigger Spark's WindowGroupLimit rewrite:
+    per-partition top-k heaps BEFORE the window shuffle, so only k rows per
+    group cross the wire instead of every row — the difference between a
+    top-k and a full materialized ranking at 100 TB."""
+    from mongodb_nats_connector_spark.operators.relational import window_rank_topk
+    from mongodb_nats_connector_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+        similarity_topk_quantized,
+    )
+
+    for op in (window_rank_topk, similarity_topk_bruteforce, similarity_topk_quantized):
+        s = plan_string(op(spark, SF))
+        assert "WindowGroupLimit" in s, op.__name__
