@@ -113,3 +113,61 @@ def test_cosine_bounds_and_self_similarity(v):
     nr = math.sqrt(sum(x * x for x in rev))
     cos = sum(a * b for a, b in zip(v, rev)) / (n * nr)
     assert -1.0 - 1e-9 <= cos <= 1.0 + 1e-9
+
+
+def _tuple_shingles(ws: list[str], n: int = 3) -> set[tuple]:
+    return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+@given(st.lists(words, min_size=3, max_size=40), st.lists(words, min_size=3, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_tuple_shingles_preserve_jaccard_exactly(wa, wb):
+    """The word-TUPLE shingle set (what hashed_word_shingles hashes) and the
+    joined-string shingle set induce identical Jaccard for any document
+    pair: ' '.join is injective on space-free words, so the two set families
+    are in bijection. This is the invariant that makes hashing the tuple
+    (skipping the string build) a pure optimization."""
+    sa, sb = _shingles(wa), _shingles(wb)
+    ta, tb = _tuple_shingles(wa), _tuple_shingles(wb)
+    assert len(sa) == len(ta) and len(sb) == len(tb)
+    assert len(sa & sb) == len(ta & tb)
+    assert len(sa | sb) == len(ta | tb)
+
+
+finite_vec = st.lists(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=64,
+)
+
+
+def _quantize(v: list[float]) -> tuple[float, list[int]]:
+    m = max(max(abs(x) for x in v), 1e-30)
+    q = [math.floor(x * 127.0 / m + 0.5) for x in v]
+    return m, q
+
+
+@given(finite_vec)
+@settings(max_examples=300, deadline=None)
+def test_int8_quantization_bounds_and_error(v):
+    """Codes stay in [-127, 127] and round-to-nearest reconstruction error
+    never exceeds half a quantization step."""
+    m, q = _quantize(v)
+    scale = m / 127.0
+    assert all(-127 <= x <= 127 for x in q)
+    for x, qi in zip(v, q):
+        assert abs(x - qi * scale) <= scale / 2 + 1e-12 * max(1.0, abs(x))
+
+
+@given(finite_vec, st.floats(min_value=0.001, max_value=1000.0, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_int8_quantization_scale_invariant(v, c):
+    """Quantization codes are invariant under positive rescaling of the
+    vector (only the stored scale changes) — the property that makes the
+    int-dot ADC ranking meaningful across differently-normed vectors."""
+    if max(abs(x) for x in v) < 1e-12:
+        return  # all-zero vector: scaling is degenerate by construction
+    _, q1 = _quantize(v)
+    _, q2 = _quantize([x * c for x in v])
+    # float roundoff in x*c can flip an exact .5 boundary; allow only that
+    assert sum(1 for a, b in zip(q1, q2) if a != b) <= len(v) // 8
