@@ -2654,3 +2654,57 @@ def agg_percentile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(above, F.col("c_acctbal")).otherwise(0.0)), 2)
         .alias("balance_above_p90"),
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice,
+               [CAST(i + 1 AS DOUBLE) / {EQUIDEPTH_BUCKETS}
+                FOR i IN range({EQUIDEPTH_BUCKETS} - 1)]) AS bs
+      FROM lineitem
+    ), assigned AS (
+      SELECT CAST(len(list_filter(b.bs, x -> l.l_extendedprice > x)) AS BIGINT)
+               AS bucket_id,
+             l.l_extendedprice AS price
+      FROM lineitem l CROSS JOIN bounds b
+    )
+    SELECT bucket_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(price), 2) AS lo,
+           round(max(price), 2) AS hi
+    FROM assigned GROUP BY bucket_id
+    """,
+    doc="Equi-depth histogram (the optimizer/statistics primitive behind "
+    "range partitioning and skew detection): 7 exact interior percentile "
+    "boundaries in one aggregation, broadcast back, each row's bucket = "
+    "count of boundaries below it (a HOF over the 7-element array — no "
+    "join explosion), then per-bucket count/min/max. Two passes over the "
+    "fact with only the 1-row boundary array crossing executors — the "
+    "standard sample-free formulation; at extreme scale the exact "
+    "percentile swaps for approx_percentile with an identical plan.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    fracs = F.array(
+        *[
+            F.lit((i + 1) / EQUIDEPTH_BUCKETS)
+            for i in range(EQUIDEPTH_BUCKETS - 1)
+        ]
+    )
+    bounds = li.agg(F.percentile("l_extendedprice", fracs).alias("bs"))
+    assigned = li.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter("bs", lambda x: F.col("l_extendedprice") > x))
+        .cast("bigint")
+        .alias("bucket_id"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return assigned.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("price"), 2).alias("lo"),
+        F.round(F.max("price"), 2).alias("hi"),
+    )

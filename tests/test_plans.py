@@ -171,6 +171,7 @@ _ALLOWED_NESTED_LOOP = {
     "text_unigram_surprisal",     # 1-row corpus-token-total scalar broadcast crossJoin
     "events_attribution_last_touch",  # 1-row purchase-total scalar broadcast crossJoin
     "corpus_shard_plan",          # 1-row corpus-size scalar broadcast crossJoin
+    "agg_equidepth_histogram",    # 1-row percentile-boundary array broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
