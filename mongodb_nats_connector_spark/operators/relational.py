@@ -2708,3 +2708,52 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 2).alias("lo"),
         F.round(F.max("price"), 2).alias("hi"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (_CORR_COLS[i], _CORR_COLS[j])
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    ]
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT """
+    + ",\n           ".join(
+        f"round(corr({a}, {b}), 6) + 0.0 AS corr_{a[2:]}_{b[2:]}"
+        for a, b in [
+            ("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_quantity", "l_tax"),
+            ("l_extendedprice", "l_discount"),
+            ("l_extendedprice", "l_tax"),
+            ("l_discount", "l_tax"),
+        ]
+    )
+    + """
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlation matrix over the fact table's numeric "
+    "measures — the feature-analysis / drift-detection primitive. All six "
+    "pairs compute in ONE aggregation pass (each corr is an algebraic "
+    "aggregate: sums, sums of squares, cross products — partial-aggregated "
+    "map-side), so the full matrix costs a single scan and a 1-row "
+    "exchange at any scale; no self-join, no unpivot blow-up. Signed zero "
+    "normalized as usual.",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(
+                f"corr_{a[2:]}_{b[2:]}"
+            )
+            for a, b in _corr_pairs()
+        ]
+    )
