@@ -33,7 +33,43 @@ from mongodb_nats_connector_spark.streaming.observability import (
 from mongodb_nats_connector_spark.streaming.pipeline import Connector
 
 
+def _query_main(argv: list[str]) -> int:
+    """``python -m mongodb_nats_connector_spark query <name>`` — run any
+    registry query from the shell (the ad-hoc analytics entry point; the
+    same callable the driver and tests use, so output is identical)."""
+    ap = argparse.ArgumentParser(prog="mongodb_nats_connector_spark query")
+    ap.add_argument("name", nargs="?", help="registry query name (omit with --list)")
+    ap.add_argument("--list", action="store_true", help="list registered query names")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
+    ap.add_argument("--limit", type=int, default=20, help="max rows to print")
+    ap.add_argument("--json", action="store_true", help="JSON lines instead of a table")
+    args = ap.parse_args(argv)
+
+    from mongodb_nats_connector_spark import registry as reg
+
+    qs = reg.queries()
+    if args.list or not args.name:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; run --list for names", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"mnc-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.json:
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     ap = argparse.ArgumentParser(prog="mongodb_nats_connector_spark")
     ap.add_argument("--config", default=None, help="config file (JSON/YAML); default $CONFIG_FILE")
     ap.add_argument("--source-root", required=True, help="dir containing <db>.<coll> feed dirs")

@@ -49,3 +49,23 @@ def test_main_once_runs_config_to_sink(spark, tmp_path, monkeypatch):
         assert msgs.count() == 16  # 4 docs x 4 ops
         subs = {r.subject for r in msgs.select("subject").distinct().collect()}
         assert subs == {f"{coll}.{op}" for op in ("insert", "update", "replace", "delete")}
+
+
+def test_main_query_subcommand_lists_and_runs(spark, capsys):
+    """`python -m … query` is the ad-hoc analytics entry: --list enumerates
+    the registry, and running a name prints its result (same callable the
+    driver verifies, so no second code path to drift)."""
+    from mongodb_nats_connector_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in listed and len(listed) >= 150
+
+    rc = main(
+        ["query", "agg_global", "--sf-dir", "/root/testdata/sf0.001", "--json"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[0].startswith("{")
+
+    assert main(["query", "not_a_query"]) == 2
