@@ -28,3 +28,36 @@ def test_events_nanos_conf_scoped_to_read(spark):
     li = table(spark, SF, "lineitem")
     assert li.filter(F.col("l_quantity") > 0).count() > 0
     assert spark.conf.get(key) == before
+
+
+def test_concurrent_queries_shared_session(spark):
+    """Multi-tenant smoke: 8 queries across threads on one session — several
+    reading events (whose loader scopes the nanos conf around the read) and
+    several not — must all succeed with correct row counts. Guards the
+    read-time conf scoping against cross-thread interference."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mongodb_nats_connector_spark.registry import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "join_asof",            # events
+        "window_sessionize",    # events
+        "stream_interval_join", # events
+        "events_funnel",        # events
+        "q1_pricing_summary",
+        "agg_global",
+        "text_stats",
+        "agg_corr_matrix",
+    ]
+
+    def run(name):
+        return name, qs[name](spark, sf).count()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = dict(ex.map(run, names))
+    assert all(n > 0 for n in results.values()), results
+    # serial re-run agrees (no cross-thread conf bleed changed semantics)
+    for name in ("join_asof", "q1_pricing_summary"):
+        assert qs[name](spark, sf).count() == results[name]
