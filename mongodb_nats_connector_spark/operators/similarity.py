@@ -135,13 +135,68 @@ def _bucket_udf(v: F.Column) -> F.Column:
     return _buckets(v)
 
 
+def _lsh_oracle() -> str:
+    """Exact SQL mirror of the sign-LSH pipeline: the seeded hyperplanes are
+    embedded as literal DOUBLE[] rows (Python repr floats round-trip exactly
+    through DuckDB's parser), bucket bits are the same dot-sign tests, and
+    candidates/scoring/ranking mirror the DataFrame plan. The only
+    cross-engine float hazard is a dot product EXACTLY at 0 flipping a sign
+    bit between numpy's blocked summation and DuckDB's list_sum — dots here
+    have magnitude >> 1e-10, so both engines agree bit-for-bit (pinned by
+    the parity suite at two SFs)."""
+    plane_rows = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in HYPERPLANES[t][b])}]::DOUBLE[])"
+        for t in range(_L_TABLES)
+        for b in range(_N_BITS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes(tbl, bit, h) AS (VALUES
+      {plane_rows}
+    ),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, p.h),
+                                 x -> x[1] * x[2])) > 0
+                           THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM buckets
+      WHERE vec_id < {{nq}}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+      WHERE b.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(eq.v, en.v), 6) AS cos_sim
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {{k}}
+    """.format(nq=N_QUERIES, k=TOP_K)
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # approximate by design: rows-only + recall unit test
+    oracle=_lsh_oracle(),
     doc="ANN top-k via random-hyperplane LSH: 10 tables x 8 sign bits; "
     "candidates = vectors sharing a (table, bucket) with the query, scored "
     "exactly, per-query top-k. At 100 TB only (vec_id, table, bucket) "
-    "pairs shuffle; recall vs. brute force is asserted in tests.",
+    "pairs shuffle; recall vs. brute force is asserted in tests. The DuckDB "
+    "oracle replays the full pipeline with the hyperplanes as SQL literals, "
+    "so the approximate index itself is hash-verified, not just executed.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
