@@ -345,3 +345,60 @@ def test_rank_filters_compile_to_window_group_limit(spark):
     for op in (window_rank_topk, similarity_topk_bruteforce, similarity_topk_quantized):
         s = plan_string(op(spark, SF))
         assert "WindowGroupLimit" in s, op.__name__
+
+
+# ---------------------------------------------------------------------------
+# approximate-sketch calibration (the rows-only ops' substitute for an oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ at rsd=0.01 must land within ~5 relative standard deviations of
+    the exact distinct count per group — the sketch's documented contract,
+    checked since no cross-engine oracle can exist for it."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        agg_approx_distinct,
+    )
+    from mongodb_nats_connector_spark.sources.tables import table
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in agg_approx_distinct(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err <= 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_quantile_within_accuracy(spark):
+    """percentile_approx(accuracy=1000) guarantees rank error <= n/1000: the
+    approximate p50 must sit between the exact p45 and p55."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        agg_approx_quantile,
+    )
+    from mongodb_nats_connector_spark.sources.tables import table
+
+    approx = {
+        r["l_returnflag"]: r["p50_approx"]
+        for r in agg_approx_quantile(spark, SF).collect()
+    }
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.45)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.55)).alias("hi"),
+        )
+        .collect()
+    }
+    for k, (lo, hi) in bounds.items():
+        assert lo <= approx[k] <= hi, (k, approx[k], lo, hi)
