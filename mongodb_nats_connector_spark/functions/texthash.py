@@ -170,20 +170,30 @@ def expand_bucket_pairs(buckets: DataFrame, members: str, make_pair) -> DataFram
     ).select(make_pair(F.col("_x"), F.col("_y")).alias("p"))
 
 
-def simhash_signature(token_hashes: Column) -> Column:
-    """63-bit SimHash from a per-doc array of token xxhash64 values, computed
-    row-wise in one Arrow batch (no token explode, no 63-way aggregate —
-    signatures cost zero shuffle; measured ~4x over the exploded-vote
-    formulation at sf0.1). Bit votes: +1 if bit set else -1 per token;
-    signature bit i = 1 iff the vote sum is positive. Matches the SQL
-    shiftright semantics (arithmetic shift on int64)."""
+# SimHash geometry: 60 payload bits = 4 pigeonhole chunks x 15 bits, so any
+# pair at Hamming distance <= 3 shares at least one whole chunk. 60 bits (not
+# 63) because the base token hash is the first 15 hex chars of md5 — a value
+# both Spark (conv(substr(md5),16,10)) and DuckDB (CAST('0x'||substr(md5)))
+# compute identically, which is what makes the DuckDB oracle possible.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+
+
+def simhash_signature(token_hashes: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """n_bits-wide SimHash from a per-doc array of int64 token hashes,
+    computed row-wise in one Arrow batch (no token explode, no per-bit
+    aggregate — signatures cost zero shuffle; measured ~4x over the
+    exploded-vote formulation at sf0.1). Bit votes: +1 if bit set else -1
+    per token; signature bit i = 1 iff the vote sum is positive. Matches
+    the SQL shiftright semantics (arithmetic shift on int64)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
     def _sig(batch):
-        bits_idx = np.arange(63, dtype=np.int64)
+        bits_idx = np.arange(n_bits, dtype=np.int64)
         lens = np.fromiter((0 if h is None else len(h) for h in batch), dtype=np.int64)
         if lens.sum() == 0:
             return pd.Series(np.zeros(len(lens), dtype=np.int64))
@@ -196,10 +206,10 @@ def simhash_signature(token_hashes: Column) -> Column:
         # in big Arrow batches). Same op count, bounded memory.
         starts = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        out = np.zeros((len(lens), 63), dtype=np.int64)
+        out = np.zeros((len(lens), n_bits), dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            for i in range(63):
+            for i in range(n_bits):
                 votes = (2 * ((flat >> i) & 1) - 1).astype(np.int8)
                 out[nz, i] = np.add.reduceat(votes, starts[nz], dtype=np.int64)
         sig = ((out > 0).astype(np.int64) << bits_idx).sum(axis=1)

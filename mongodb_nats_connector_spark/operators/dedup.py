@@ -20,6 +20,7 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.functions import texthash
 from mongodb_nats_connector_spark.functions.texthash import (
     band_keys,
     capped_members,
@@ -229,37 +230,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_distinct(string_split(text, ' ')), t -> t <> '') AS ts
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS BIGINT) AS h
+      FROM toks, LATERAL (SELECT unnest(ts) AS t)
+      WHERE len(ts) > 0
+    ), votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, LATERAL (SELECT unnest(range({{bits}})) AS bit)
+      GROUP BY doc_id, bit
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, c AS chunk_id,
+             (simhash >> ({{cb}} * c)) & {{mask}} AS chunk_val
+      FROM sigs, LATERAL (SELECT unnest(range({{chunks}})) AS c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """.format(
+    bits=texthash.SIMHASH_BITS,
+    chunks=texthash.SIMHASH_CHUNKS,
+    cb=texthash.SIMHASH_CHUNK_BITS,
+    mask=(1 << texthash.SIMHASH_CHUNK_BITS) - 1,
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 has no DuckDB equivalent: rows-only + unit tests
-    doc="SimHash near-dup: 63-bit signature from per-token hash-bit votes; "
-    "candidate pairs via 4x16-bit chunk pigeonholing (hamming<=3 implies an "
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash near-dup: 60-bit signature from per-token hash-bit votes; "
+    "candidate pairs via 4x15-bit chunk pigeonholing (hamming<=3 implies an "
     "equal chunk), verified with bit_count(xor). Same scalable "
-    "candidate-join shape as MinHash-LSH.",
+    "candidate-join shape as MinHash-LSH. The base token hash is the first "
+    "15 md5 hex chars as int64 — identical in Spark and DuckDB, so the "
+    "whole approximate pipeline (votes, signature, pigeonhole, Hamming "
+    "verify) is hash-verified end-to-end, not just executed.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
     # distinct token hashes per row (JVM-side), signature per row in one
     # Arrow batch — signatures cost ZERO shuffle (the exploded-vote
-    # formulation shuffled every token through a 63-way aggregate)
+    # formulation shuffled every token through a per-bit aggregate)
     toks = docs.select(
         "doc_id",
         F.transform(
             F.filter(F.array_distinct(F.split("text", " ")), lambda t: t != ""),
-            lambda t: F.xxhash64(t),
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 15), 16, 10)
+            .cast("bigint"),
         ).alias("th"),
     ).filter(F.size("th") > 0)
     sigs = toks.select("doc_id", simhash_signature(F.col("th")).alias("simhash"))
-    # 4 chunks of 16 bits (chunk 3 holds 15 payload bits)
+    chunk_mask = (1 << texthash.SIMHASH_CHUNK_BITS) - 1
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(
+                        F.col("simhash"), texthash.SIMHASH_CHUNK_BITS * c
+                    ).bitwiseAND(F.lit(chunk_mask))
+                    for c in range(texthash.SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),
