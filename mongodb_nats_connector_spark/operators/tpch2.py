@@ -1,0 +1,325 @@
+"""Remaining TPC-H query shapes (Q2/Q11/Q12/Q16/Q20/Q21), adapted to the
+driver's column subset (no partsupp / l_shipmode / l_commitdate — stand-ins
+documented per query).
+
+These six close out the TPC-H surface beyond the shapes already registered
+(q1,q3-q10,q13-q15,q17-q19,q22). Each stresses a distinct plan pattern the
+earlier set doesn't:
+
+- Q2  — groupwise-min achiever (agg + window-min + filter, two-level shuffle)
+- Q11 — scalar-subquery share-of-total threshold over an agg
+- Q12 — fact-fact join with conditional counts (late-shipment predicate)
+- Q16 — count-distinct with NOT IN anti-join and dim broadcast
+- Q20 — nested semi-join chain gated by a global scalar threshold
+- Q21 — multi-EXISTS self-correlation, reformulated as one-pass per-order
+  aggregation (the Spark-first form: one shuffle instead of two self-joins)
+
+Scale notes: every dimension join (part/supplier/nation/region) broadcasts;
+the only wide shuffles are on the fact keys (l_orderkey / l_partkey[,suppkey])
+which is the minimum any engine needs for these semantics. Aggregations are
+partial-aggregated map-side by Catalyst; the window-min in Q2 re-uses the
+post-agg (already small) relation.
+
+Reference parity: the reference connector has no batch SQL engine — these
+implement SURVEY.md §2.3's declared warehouse surface (the correctness
+contract), mirroring TPC-H semantics from the public spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    per_supp AS (
+      SELECT l_partkey AS p_partkey, s_name, n_name,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN eu   ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 15
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_partkey, s_name, n_name, unit_cost AS min_unit_cost
+    FROM (SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+          FROM per_supp)
+    WHERE unit_cost = best
+    """,
+    doc="TPC-H Q2 adaptation (no partsupp: supply cost stands in as the "
+    "observed min unit price l_extendedprice/l_quantity per part+supplier). "
+    "Groupwise-min achiever: agg to (part, supplier), window-min per part, "
+    "keep the achieving suppliers (ties kept — deterministic).",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(table(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    per_supp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        per_supp.withColumn("best", best)
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select("p_partkey", "s_name", "n_name",
+                F.col("unit_cost").alias("min_unit_cost"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH nat_value AS (
+      SELECT l_partkey AS p_partkey,
+             sum(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT p_partkey, part_value
+    FROM nat_value
+    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM nat_value)
+    """,
+    doc="TPC-H Q11 adaptation (no partsupp: per-part 'stock value' is the "
+    "shipped value sum(extendedprice*quantity) via NATION_7's suppliers). "
+    "Share-of-total threshold: scalar subquery over the same aggregate, "
+    "broadcast back as a 1-row literal join.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    nat_value = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    threshold = nat_value.agg(
+        (F.lit(0.001) * F.sum("part_value")).alias("threshold")
+    )
+    # 1-row threshold broadcast: a BroadcastNestedLoopJoin over a scalar,
+    # not a cartesian blow-up (same pattern as curate_dataset_mix).
+    return (
+        nat_value.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_priority_shipclass",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 adaptation (no l_shipmode/commitdate: l_returnflag stands "
+    "in as the ship class; 'late' = shipped >60 days after order date). "
+    "Fact-fact equi-join on orderkey with conditional priority counts; the "
+    "shipdate year filter is pushed to the lineitem scan.",
+)
+def q12_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 adaptation (no partsupp: lineitem is the part-supplier "
+    "relation; negative-balance suppliers stand in for the complaints NOT "
+    "IN). Broadcast dim filter + broadcast anti-join + count-distinct.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    WITH pair AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_13')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM pair
+        WHERE qty > (SELECT 2.0 * avg(qty) FROM pair)
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      )
+    """,
+    doc="TPC-H Q20 adaptation (no partsupp availqty: a supplier is 'heavy' "
+    "on a part if its 1996 shipped quantity exceeds 2x the global pair "
+    "average). Semi-join chain: part-name filter -> pair agg vs scalar "
+    "threshold -> semi join suppliers of two nations.",
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    pair.persist()
+    threshold = pair.agg((F.lit(2.0) * F.avg("qty")).alias("t"))
+    small_parts = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    heavy = (
+        pair.join(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("t"))
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .select("l_suppkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_13"))
+    )
+    return supp.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "n_name")
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 adaptation ('late' = shipped >90 days after order date, "
+    "orders with final status). The double EXISTS/NOT-EXISTS self-"
+    "correlation is reformulated Spark-first as ONE per-order aggregation "
+    "(distinct suppliers + distinct late suppliers), then a filter for "
+    "orders with >=2 suppliers where exactly one supplier — this one — was "
+    "late. One orderkey shuffle instead of two self-joins; the oracle keeps "
+    "the textbook EXISTS form to prove the reformulation equivalent.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    )
+    li.persist()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # Both sides of this join are already hash-partitioned on l_orderkey by
+    # the upstream join/agg — AQE plans it without an extra exchange.
+    cand = (
+        li.filter(F.col("late"))
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -56,6 +56,7 @@ def _load_all() -> None:
         relational,
         similarity,
         text,
+        tpch2,
         udfs,
         windows_batch,
     )
