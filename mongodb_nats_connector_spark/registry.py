@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from mongodb_nats_connector_spark.operators import (  # noqa: F401
+        analytics2,
         cdc,
         curation,
         dedup,
