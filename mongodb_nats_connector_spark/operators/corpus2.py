@@ -1,0 +1,268 @@
+"""Corpus-statistics operators round 4: information-theoretic quality
+signals used by LLM training-data curation pipelines.
+
+- per-document word entropy (low entropy == repetitive/templated text —
+  the Shannon complement of the Gopher repetition ratios)
+- corpus Zipf slope (rank-frequency log-log regression; natural corpora
+  sit near -1, synthetic/spammy ones flatten)
+- vocabulary OOV coverage against a corpus-derived top-k vocab (the cheap
+  proxy for tokenizer coverage before a BPE run)
+- per-document KL divergence from the corpus unigram distribution (the
+  DSIR/CCNet-style importance signal for domain filtering)
+- language-ID confusion matrix (labeled vs predicted agreement — the QA
+  step after any heuristic classifier)
+
+All are two-phase aggregations: one shuffle on (doc_id, word) or (word),
+then a broadcast of the tiny corpus-level relation (vocab / totals) back to
+the per-doc pass. No Python rows; entropy/KL use the sum(c*ln c) identity so
+each engine folds floats in an order-insensitive exact-sum-of-counts form
+first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.operators.text import LANG_MARKERS, _occ_sql, _occurrences
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@register(
+    "text_word_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy_nats
+    FROM counts
+    GROUP BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the word distribution via the "
+    "H = ln(n) - sum(c ln c)/n identity — one (doc,word) shuffle, one "
+    "(doc) shuffle, both partial-aggregated. Low entropy flags templated/"
+    "repetitive documents.",
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _doc_words(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("entropy_nats"),
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank
+      FROM freq
+    )
+    SELECT regr_slope(ln(c), ln(rank)) AS zipf_slope,
+           regr_intercept(ln(c), ln(rank)) AS zipf_intercept,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+    doc="Corpus Zipf slope: log-log regression of word frequency on rank "
+    "(row_number with a deterministic tie-break). The regression runs over "
+    "the vocabulary relation — tiny at any corpus scale; the only wide "
+    "shuffle is the word count.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        _doc_words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), "word"))
+    )
+    return ranked.agg(
+        F.expr("regr_slope(ln(c), ln(rank))").alias("zipf_slope"),
+        F.expr("regr_intercept(ln(c), ln(rank))").alias("zipf_intercept"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+
+
+VOCAB_K = 20
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word
+      FROM (SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS r
+            FROM tf GROUP BY word)
+      WHERE r <= {VOCAB_K}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           sum(CASE WHEN vocab.word IS NULL THEN 1.0 ELSE 0.0 END) / count(*)
+             AS oov_rate
+    FROM tf LEFT JOIN vocab ON tf.word = vocab.word
+    GROUP BY doc_id
+    """,
+    doc=f"Vocabulary coverage: build a top-{VOCAB_K} corpus vocab "
+    "(deterministic tie-break), broadcast it, and score each document's "
+    "out-of-vocabulary token rate — the pre-tokenizer coverage check. The "
+    "vocab is a broadcast hash join probe; tokens never shuffle for the "
+    "membership test.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _doc_words(spark, sf_dir)
+    vocab = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.col("c").desc(), "word")))
+        .filter(F.col("r") <= VOCAB_K)
+        .select(F.col("word").alias("v_word"))
+    )
+    joined = tf.join(
+        F.broadcast(vocab), tf["word"] == vocab["v_word"], "left"
+    )
+    oov = F.when(F.col("v_word").isNull(), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (F.sum(oov.cast("double")) / F.count(F.lit(1))).alias("oov_rate"),
+    )
+
+
+@register(
+    "text_kl_divergence",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    doc_counts AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2
+    ),
+    corpus AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS cc
+      FROM doc_counts GROUP BY word
+    ),
+    totals AS (SELECT sum(cc) AS total FROM corpus),
+    with_n AS (
+      SELECT doc_id, word, c,
+             sum(c) OVER (PARTITION BY doc_id) AS n_doc
+      FROM doc_counts
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           sum((c * 1.0 / n_doc)
+               * ln((c * 1.0 / n_doc) / (cc * 1.0 / total))) AS kl_nats
+    FROM with_n JOIN corpus USING (word), totals
+    GROUP BY doc_id
+    """,
+    doc="Per-document KL divergence from the corpus unigram distribution "
+    "(DSIR/CCNet-style domain-shift signal). Spark plan: per-doc counts "
+    "(one shuffle), corpus distribution derived from them (word shuffle on "
+    "the already-reduced relation), broadcast corpus probabilities back, "
+    "window-sum for per-doc totals on the same doc partitioning.",
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_counts = (
+        _doc_words(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    doc_counts.persist()
+    corpus = doc_counts.groupBy("word").agg(F.sum("c").alias("cc"))
+    total = corpus.agg(F.sum("cc").alias("total"))
+    corpus_p = corpus.join(F.broadcast(total)).select(
+        F.col("word").alias("c_word"), (F.col("cc") / F.col("total")).alias("p_corpus")
+    )
+    n_doc = F.sum("c").over(Window.partitionBy("doc_id"))
+    scored = (
+        doc_counts.withColumn("n_doc", n_doc)
+        .join(F.broadcast(corpus_p), F.col("word") == F.col("c_word"))
+        .withColumn("p_doc", F.col("c") / F.col("n_doc"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("p_doc") * F.log(F.col("p_doc") / F.col("p_corpus"))).alias(
+            "kl_nats"
+        ),
+    )
+
+
+def _confusion_oracle() -> str:
+    scores = ", ".join(
+        f"CAST({_occ_sql(m)} AS BIGINT) AS s_{code}" for code, m in LANG_MARKERS
+    )
+    all_scores = ", ".join(f"s_{code}" for code, _ in LANG_MARKERS)
+    case = " ".join(
+        f"WHEN s_{code} >= greatest({all_scores}) THEN '{code}'"
+        for code, _ in LANG_MARKERS
+    )
+    return f"""
+    WITH scored AS (SELECT lang AS labeled_lang, {scores} FROM documents),
+    pred AS (SELECT labeled_lang, CASE {case} END AS predicted_lang FROM scored)
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "text_langid_confusion",
+    oracle=_confusion_oracle(),
+    doc="Language-ID confusion matrix: the text_langid heuristic's "
+    "predictions aggregated against the labeled lang column — (labeled, "
+    "predicted) doc counts. Map-only scoring, one tiny-key shuffle.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _occurrences(F.col("text"), m).cast("bigint").alias(f"s_{code}")
+            for code, m in LANG_MARKERS
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{code}") for code, _ in LANG_MARKERS])
+    pred = F.when(F.col(f"s_{LANG_MARKERS[0][0]}") >= best, LANG_MARKERS[0][0])
+    for code, _ in LANG_MARKERS[1:]:
+        pred = pred.when(F.col(f"s_{code}") >= best, code)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

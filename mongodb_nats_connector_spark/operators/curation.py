@@ -364,3 +364,44 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") * N_SHARDS / F.col("n"), 4).alias("skew_vs_ideal"),
         )
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(CAST('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS DOUBLE) / o_totalprice AS priority
+    FROM orders
+    ORDER BY priority, o_orderkey
+    LIMIT 100
+    """,
+    doc="Deterministic weighted sampling (hash-priority family): priority = "
+    "hash(key)/weight, keep the 100 smallest — high-value orders are "
+    "proportionally more likely to be kept, and the sample is reproducible "
+    "on any partitioning/engine (unlike rand()-based weighted sampling). "
+    "The md5-derived 60-bit hash and the division are IEEE-deterministic on "
+    "both engines. Spark plans this as TakeOrderedAndProject — per-"
+    "partition top-100 then a 100-row merge, never a global sort of the "
+    "fact table.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string")), "utf-8")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            (h.cast("double") / F.col("o_totalprice")).alias("priority"),
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(100)
+    )

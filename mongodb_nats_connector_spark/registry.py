@@ -50,6 +50,9 @@ def _load_all() -> None:
     from mongodb_nats_connector_spark.operators import (  # noqa: F401
         analytics2,
         cdc,
+        corpus2,
+        embeddings2,
+        joins2,
         curation,
         dedup,
         formats,
@@ -186,7 +189,13 @@ if __name__ == "__main__":  # pragma: no cover
     # Round-start maintenance: record digests for the newest driver
     # artifact's greens BEFORE editing any operator, e.g.
     #   python -m mongodb_nats_connector_spark.registry CORRECTNESS_r03.json
+    # Delegate to the canonical package-module instance: under `-m` this file
+    # executes as `__main__`, whose module-level _REGISTRY is a DIFFERENT dict
+    # from the one operator modules register into — calling our own
+    # refresh_verified_digests here would skip every name.
     import sys
 
-    updated = refresh_verified_digests(Path(sys.argv[1]))
+    from mongodb_nats_connector_spark import registry as _canonical
+
+    updated = _canonical.refresh_verified_digests(Path(sys.argv[1]))
     print(f"verified_digests.json: {len(updated)} names recorded")

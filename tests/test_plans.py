@@ -172,6 +172,9 @@ _ALLOWED_NESTED_LOOP = {
     "events_attribution_last_touch",  # 1-row purchase-total scalar broadcast crossJoin
     "corpus_shard_plan",          # 1-row corpus-size scalar broadcast crossJoin
     "agg_equidepth_histogram",    # 1-row percentile-boundary array broadcast crossJoin
+    "q11_important_parts",        # 1-row value-threshold scalar broadcast crossJoin
+    "q20_heavy_shippers",         # 1-row qty-threshold scalar broadcast crossJoin
+    "text_kl_divergence",         # 1-row corpus-token-total scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
