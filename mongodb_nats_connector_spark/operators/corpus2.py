@@ -266,3 +266,181 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+PAIR_TOPK = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY w1, w2
+    ORDER BY pair_count DESC, w1, w2
+    LIMIT {PAIR_TOPK}
+    """,
+    doc=f"Adjacent-pair frequencies — the counting step of one BPE merge "
+    "iteration (the inner loop of tokenizer training). Pair extraction is a "
+    "map-side transform over the token array (no per-row Python, no "
+    "self-join on position); the only shuffle is the (w1, w2) count, "
+    f"partial-aggregated map-side, then a top-{PAIR_TOPK} "
+    "TakeOrderedAndProject — per-partition heads merged on the driver, "
+    "never a global sort.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).filter(F.size(toks) >= 2)
+    return (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(PAIR_TOPK)
+    )
+
+
+@register(
+    "bigram_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    doc_bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+      GROUP BY doc_id, w1, w2
+    ),
+    corpus_bg AS (
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2
+      FROM doc_bg GROUP BY w1, w2
+    ),
+    corpus_left AS (
+      SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM corpus_bg GROUP BY w1
+    )
+    SELECT doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           sum(d.c * -ln(b.c2 * 1.0 / l.c1)) / sum(d.c) AS avg_surprisal_nats
+    FROM doc_bg d
+    JOIN corpus_bg b USING (w1, w2)
+    JOIN corpus_left l USING (w1)
+    GROUP BY doc_id
+    """,
+    doc="Per-document average surprisal under the corpus bigram MLE model "
+    "-ln C(w1,w2)/C(w1·) — the n-gram-LM quality score (documents that the "
+    "corpus model finds surprising are outliers/noise). Plan: per-doc "
+    "bigram counts shuffle once on (doc, w1, w2); the corpus model derives "
+    "from that already-reduced relation with co-partitioned (w1, w2) "
+    "aggregation; probabilities join back on the same key. Counts are "
+    "exact integers, so the only float op is the final ln.",
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.size(toks) >= 2)
+    doc_bg = (
+        bg.select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    doc_bg.persist()
+    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
+    corpus_left = corpus_bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = doc_bg.join(corpus_bg, ["w1", "w2"]).join(corpus_left, ["w1"])
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.col("c") * -F.log(F.col("c2") / F.col("c1"))) / F.sum("c")
+        ).alias("avg_surprisal_nats"),
+    )
+
+
+FUZZY_MIN_LEN = 4
+
+
+@register(
+    "fuzzy_join_blocked",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+    ),
+    misspells AS (
+      SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS m
+      FROM words WHERE length(w) >= {FUZZY_MIN_LEN}
+    ),
+    blocked AS (
+      SELECT m.m, w.w, levenshtein(m.m, w.w) AS dist
+      FROM misspells m JOIN words w
+        ON substr(m.m, 1, 1) = substr(w.w, 1, 1)
+       AND abs(length(m.m) - length(w.w)) <= 1
+    )
+    SELECT m, w AS matched_word, CAST(dist AS INT) AS dist
+    FROM blocked
+    WHERE dist <= 1
+    """,
+    doc="Blocked fuzzy join (spell-correction / entity-resolution shape): "
+    "probe strings (deterministic char-deletion misspellings of the part-"
+    "name lexicon) matched to lexicon words within Levenshtein 1, blocked "
+    "on (first char, ±1 length band) so Levenshtein only evaluates inside "
+    "blocks — never the full cross product. The block join is an equi-join "
+    "on the first-char key with a length-band residual; recall is exact for "
+    "this edit class (deletions at position ≥ 2 preserve the first char). "
+    "Both relations are DISTINCT lexicons — dimension-sized, so at 100 TB "
+    "the blocks broadcast.",
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    words = (
+        part.select(F.explode(F.split("p_name", " ")).alias("w")).distinct()
+    )
+    words.persist()
+    misspells = (
+        words.filter(F.length("w") >= FUZZY_MIN_LEN)
+        .select(
+            F.concat(
+                F.substring("w", 1, 1), F.expr("substr(w, 3)")
+            ).alias("m")
+        )
+        .distinct()
+    )
+    blocked = misspells.join(
+        F.broadcast(words),
+        (F.substring("m", 1, 1) == F.substring("w", 1, 1))
+        & (F.abs(F.length("m") - F.length("w")) <= 1),
+    ).withColumn("dist", F.levenshtein("m", "w"))
+    return blocked.filter(F.col("dist") <= 1).select(
+        "m", F.col("w").alias("matched_word"), F.col("dist").cast("int").alias("dist")
+    )

@@ -283,7 +283,9 @@ def curate_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    # parallel=True: tokenization happens BEFORE the window shuffle, so a
+    # single-file scan would otherwise split every document on one core.
+    docs = table(spark, sf_dir, "documents", parallel=True)
     t = docs.select(
         "doc_id",
         "source",

@@ -308,7 +308,7 @@ CHUNK_STRIDE = 24  # stride between chunk starts (overlap = 8)
     "independently, so the plan is embarrassingly parallel at any scale.",
 )
 def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
     n_chunks = F.floor((F.size(toks) - 1) / CHUNK_STRIDE) + 1
     with_ids = docs.select(

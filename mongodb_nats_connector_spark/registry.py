@@ -49,6 +49,7 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from mongodb_nats_connector_spark.operators import (  # noqa: F401
         analytics2,
+        analytics3,
         cdc,
         corpus2,
         embeddings2,

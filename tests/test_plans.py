@@ -175,6 +175,7 @@ _ALLOWED_NESTED_LOOP = {
     "q11_important_parts",        # 1-row value-threshold scalar broadcast crossJoin
     "q20_heavy_shippers",         # 1-row qty-threshold scalar broadcast crossJoin
     "text_kl_divergence",         # 1-row corpus-token-total scalar broadcast crossJoin
+    "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
