@@ -57,6 +57,7 @@ def _load_all() -> None:
         curation,
         dedup,
         formats,
+        graph2,
         multimodal,
         relational,
         similarity,
