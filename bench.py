@@ -43,6 +43,10 @@ HEADLINE_QUERIES = [
     "events_funnel",
     "text_passage_dedup",
     "embedding_quantize_int8",
+    # round 4: iterative graph, tokenizer-prep counting, one-pass rollup
+    "pagerank_nations",
+    "bigram_lm_surprisal",
+    "events_time_rollup",
 ]
 
 

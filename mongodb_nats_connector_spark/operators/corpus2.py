@@ -379,7 +379,15 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bg.persist()
     corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
     corpus_left = corpus_bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    scored = doc_bg.join(corpus_bg, ["w1", "w2"]).join(corpus_left, ["w1"])
+    # The LM relations are vocab-bounded (|bigrams| <= vocab², and in
+    # practice the model is min-count-pruned before use) — broadcast them so
+    # scoring is map-side; per-doc bigrams then flow straight from their one
+    # shuffle into the final doc aggregation with no re-shuffle on (w1, w2).
+    # At trillion-token scale with an unpruned model, drop the hints and let
+    # the co-partitioned (w1, w2) shuffle join run instead.
+    scored = doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"]).join(
+        F.broadcast(corpus_left), ["w1"]
+    )
     return scored.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),
         (

@@ -6,9 +6,11 @@
   exactly and the result is bit-identical on any engine / any partitioning /
   any aggregation order — the same discipline as the int8-quantization and
   minmax-normalize checksum ops (float PageRank would drift per-iteration
-  with summation order). Spark runs the iteration as a driver-side loop of
-  broadcast joins (the rank vector is node-sized, tiny); the oracle chains
-  one CTE per iteration.
+  with summation order). Spark runs the iteration as a driver-side loop:
+  the node-sized rank vector collects to the driver and re-embeds as a
+  literal map each round (the kmeans_embeddings distribution strategy), so
+  every iteration is one map-only lookup + aggregation over the cached edge
+  relation; the oracle chains one CTE per iteration.
 - ``dedup_prefix_boilerplate`` — boilerplate/prefix duplicate detection:
   documents sharing their first K tokens (the news-wire / template header
   case exact-hash dedup misses when tails differ). Hashes the K-token
@@ -93,9 +95,10 @@ def _pagerank_oracle() -> str:
     doc=f"Weighted PageRank ({PR_ITERS} iterations, damping "
     f"{PR_DAMP_NUM}/{PR_DAMP_DEN}) over the customer-nation → supplier-"
     "nation trade graph. The edge weights aggregate once from the fact "
-    "tables (the only wide shuffle); the rank vector is node-sized, so "
-    "every iteration is a broadcast join + an aggregation over the edge "
-    "relation — the standard Pregel-as-joins shape. Fixed-point BIGINT "
+    "tables (the only wide shuffle) and cache; the rank vector is "
+    "node-sized, so every iteration embeds it as a literal map and runs a "
+    "map-only lookup + aggregation over the cached edge relation — the "
+    "collect-and-rebroadcast Pregel shape. Fixed-point BIGINT "
     "micro-units make every contribution exact: integer partial sums "
     "commute, so the result is independent of partitioning and engine.",
 )
@@ -121,41 +124,45 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_n.persist()
 
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
-    n = nodes.count()
+    node_ids = [r["node"] for r in nodes.collect()]
+    n = len(node_ids)
     base_num = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
 
-    pr = nodes.select("node", F.lit(PR_SCALE // n).cast("bigint").alias("pr"))
+    # The rank vector is node-sized, so each iteration collects it to the
+    # driver and re-embeds it as a literal map (the kmeans_embeddings
+    # distribution strategy): the edge relation — the only big thing — is
+    # computed once, cached, and re-scanned per iteration with a map-only
+    # literal lookup, instead of growing a 3-deep broadcast-join lineage.
+    # `div` (integer division) throughout: pr * w reaches ~2.4e17, past
+    # double's 2^53 exact-integer range, so float `/` + cast would be
+    # wrong, not just drifty.
+    pr_map = {node: PR_SCALE // n for node in node_ids}
     for _ in range(PR_ITERS):
-        # `div` (integer division) throughout: pr * w reaches ~2.4e17, past
-        # double's 2^53 exact-integer range, so float `/` + cast would be
-        # wrong, not just drifty.
-        inflow = (
-            edges_n.join(F.broadcast(pr), edges_n["src"] == pr["node"])
-            .select(
-                "dst",
-                F.expr("pr * w div total_w").alias("contrib"),
-            )
+        pr_col = F.create_map(
+            *[F.lit(x) for node, pr_v in pr_map.items() for x in (node, pr_v)]
+        )
+        inflow_rows = (
+            edges_n.withColumn("pr", pr_col[F.col("src")])
+            .select("dst", F.expr("pr * w div total_w").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").cast("bigint").alias("s"))
+            .collect()
         )
-        pr = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_num // n)
-                    + F.expr(
-                        f"{PR_DAMP_NUM} * coalesce(s, 0L) div {PR_DAMP_DEN}"
-                    )
-                )
-                .cast("bigint")
-                .alias("pr"),
-            )
-        )
-    return pr.join(F.broadcast(nation), pr["node"] == nation["n_nationkey"]).select(
+        inflow = {r["dst"]: r["s"] for r in inflow_rows}
+        pr_map = {
+            node: base_num // n
+            + PR_DAMP_NUM * inflow.get(node, 0) // PR_DAMP_DEN
+            for node in node_ids
+        }
+    edges_n.unpersist()
+    edges.unpersist()
+    pr_final = F.create_map(
+        *[F.lit(x) for node, pr_v in pr_map.items() for x in (node, pr_v)]
+    )
+    return nation.select(
         F.col("n_name").alias("nation"),
-        F.col("pr").alias("pr_fixed"),
-        (F.col("pr") / PR_SCALE).alias("pagerank"),
+        pr_final[F.col("n_nationkey")].cast("bigint").alias("pr_fixed"),
+        (pr_final[F.col("n_nationkey")] / PR_SCALE).alias("pagerank"),
     )
 
 

@@ -47,13 +47,15 @@ def test_pagerank_mass_conserved_and_partition_invariant(spark):
     assert rows7 == rows
 
 
-def test_pagerank_iterates_via_broadcast_joins(spark):
-    """The rank vector is node-sized: every iteration's join against the edge
-    relation must broadcast, never shuffle the edges again."""
+def test_pagerank_final_plan_is_map_only(spark):
+    """The iterations run as driver-loop jobs over the cached edge relation;
+    the RETURNED DataFrame must be a map-only literal lookup over the nation
+    dimension — no exchange, no join left in its plan."""
     from mongodb_nats_connector_spark.operators.graph2 import pagerank_nations
 
     s = plan_string(pagerank_nations(spark, SF))
-    assert "BroadcastHashJoin" in s
+    assert "Exchange" not in s
+    assert "Join" not in s
     assert "CartesianProduct" not in s
 
 
