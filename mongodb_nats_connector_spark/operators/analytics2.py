@@ -106,7 +106,7 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                / stddev_samp(n) OVER (PARTITION BY event_type) AS zscore
       FROM daily
     )
-    SELECT event_type, day, n, zscore
+    SELECT event_type, day, n, round(zscore, 4) AS zscore
     FROM scored
     WHERE abs(zscore) > 2.0
     """,
@@ -125,7 +125,7 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > 2.0)
-        .select("event_type", "day", "n", "zscore")
+        .select("event_type", "day", "n", F.round("zscore", 4).alias("zscore"))
     )
 
 

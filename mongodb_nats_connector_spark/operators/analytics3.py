@@ -43,13 +43,13 @@ DECAY_BASE = 0.9
     oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value * pow({DECAY_BASE},
-               date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}')))
+           round(sum(value * pow({DECAY_BASE},
+               date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}'))), 4)
              AS decayed_value,
-           sum(value * pow({DECAY_BASE},
+           round(sum(value * pow({DECAY_BASE},
                date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}')))
              / sum(pow({DECAY_BASE},
-                   date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}')))
+                   date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}'))), 4)
              AS decayed_avg
     FROM events
     GROUP BY user_id
@@ -66,8 +66,8 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.pow(F.lit(DECAY_BASE), days)
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value") * w).alias("decayed_value"),
-        (F.sum(F.col("value") * w) / F.sum(w)).alias("decayed_avg"),
+        F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
+        F.round(F.sum(F.col("value") * w) / F.sum(w), 4).alias("decayed_avg"),
     )
 
 

@@ -50,7 +50,7 @@ def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_distinct,
-           ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy_nats
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_nats
     FROM counts
     GROUP BY doc_id
     """,
@@ -69,7 +69,9 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        (F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("entropy_nats"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4).alias(
+            "entropy_nats"
+        ),
     )
 
 
@@ -85,8 +87,8 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank
       FROM freq
     )
-    SELECT regr_slope(ln(c), ln(rank)) AS zipf_slope,
-           regr_intercept(ln(c), ln(rank)) AS zipf_intercept,
+    SELECT round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept,
            CAST(count(*) AS BIGINT) AS vocab_size
     FROM ranked
     """,
@@ -105,8 +107,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), "word"))
     )
     return ranked.agg(
-        F.expr("regr_slope(ln(c), ln(rank))").alias("zipf_slope"),
-        F.expr("regr_intercept(ln(c), ln(rank))").alias("zipf_intercept"),
+        F.expr("round(regr_slope(ln(c), ln(rank)), 4)").alias("zipf_slope"),
+        F.expr("round(regr_intercept(ln(c), ln(rank)), 4)").alias("zipf_intercept"),
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
     )
 
@@ -185,8 +187,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
-           sum((c * 1.0 / n_doc)
-               * ln((c * 1.0 / n_doc) / (cc * 1.0 / total))) AS kl_nats
+           round(sum((c * 1.0 / n_doc)
+               * ln((c * 1.0 / n_doc) / (cc * 1.0 / total))), 4) AS kl_nats
     FROM with_n JOIN corpus USING (word), totals
     GROUP BY doc_id
     """,
@@ -216,9 +218,9 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
-        F.sum(F.col("p_doc") * F.log(F.col("p_doc") / F.col("p_corpus"))).alias(
-            "kl_nats"
-        ),
+        F.round(
+            F.sum(F.col("p_doc") * F.log(F.col("p_doc") / F.col("p_corpus"))), 4
+        ).alias("kl_nats"),
     )
 
 
@@ -325,74 +327,71 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
-    doc_bg AS (
-      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
-             CAST(count(*) AS BIGINT) AS c
+    inst AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
       FROM toks, unnest(range(1, len(t))) u(i)
       WHERE len(t) >= 2
-      GROUP BY doc_id, w1, w2
     ),
     corpus_bg AS (
-      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2
-      FROM doc_bg GROUP BY w1, w2
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM inst GROUP BY w1, w2
     ),
     corpus_left AS (
       SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
       FROM corpus_bg GROUP BY w1
     )
     SELECT doc_id,
-           CAST(sum(d.c) AS BIGINT) AS n_bigrams,
-           sum(d.c * -ln(b.c2 * 1.0 / l.c1)) / sum(d.c) AS avg_surprisal_nats
-    FROM doc_bg d
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(b.c2 * 1.0 / l.c1)), 4) AS avg_surprisal_nats
+    FROM inst d
     JOIN corpus_bg b USING (w1, w2)
     JOIN corpus_left l USING (w1)
     GROUP BY doc_id
     """,
     doc="Per-document average surprisal under the corpus bigram MLE model "
     "-ln C(w1,w2)/C(w1·) — the n-gram-LM quality score (documents that the "
-    "corpus model finds surprising are outliers/noise). Plan: per-doc "
-    "bigram counts shuffle once on (doc, w1, w2); the corpus model derives "
-    "from that already-reduced relation with co-partitioned (w1, w2) "
-    "aggregation; probabilities join back on the same key. Counts are "
-    "exact integers, so the only float op is the final ln.",
+    "corpus model finds surprising are outliers/noise). Plan: bigram "
+    "instances are map-only (explode); the corpus model reduces them with "
+    "map-side combine on (w1, w2) — the only shuffle proportional to the "
+    "model, not the corpus; c1 folds into the model by a window over the "
+    "already-tiny aggregate. Scoring joins the broadcast model back to the "
+    "instance stream and aggregates once on doc_id, so the corpus-sized "
+    "data shuffles only as per-doc partial rows. At trillion-token scale "
+    "with an unpruned model, drop the broadcast and let the co-partitioned "
+    "(w1, w2) shuffle join run instead.",
 )
 def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    ).filter(F.size(toks) >= 2)
-    doc_bg = (
-        bg.select("doc_id", "p.w1", "p.w2")
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    inst = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", "p.w1", "p.w2")
     )
-    doc_bg.persist()
-    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
-    corpus_left = corpus_bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # The LM relations are vocab-bounded (|bigrams| <= vocab², and in
-    # practice the model is min-count-pruned before use) — broadcast them so
-    # scoring is map-side; per-doc bigrams then flow straight from their one
-    # shuffle into the final doc aggregation with no re-shuffle on (w1, w2).
-    # At trillion-token scale with an unpruned model, drop the hints and let
-    # the co-partitioned (w1, w2) shuffle join run instead.
-    scored = doc_bg.join(F.broadcast(corpus_bg), ["w1", "w2"]).join(
-        F.broadcast(corpus_left), ["w1"]
+    inst.persist()
+    corpus_bg = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
     )
+    model = corpus_bg.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1")).cast("bigint")
+    )
+    scored = inst.join(F.broadcast(model), ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_bigrams"),
-        (
-            F.sum(F.col("c") * -F.log(F.col("c2") / F.col("c1"))) / F.sum("c")
-        ).alias("avg_surprisal_nats"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
+            "avg_surprisal_nats"
+        ),
     )
 
 

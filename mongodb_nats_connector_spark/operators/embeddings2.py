@@ -30,7 +30,7 @@ from mongodb_nats_connector_spark.sources.tables import table
     SELECT dim,
            CAST(count(*) AS BIGINT) AS n,
            avg(v) AS mean_v,
-           stddev_samp(v) AS std_v,
+           round(stddev_samp(v), 4) AS std_v,
            min(v) AS min_v,
            max(v) AS max_v
     FROM flat
@@ -51,7 +51,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy(F.col("dim").cast("int").alias("dim")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.avg("v").alias("mean_v"),
-        F.stddev_samp("v").alias("std_v"),
+        F.round(F.stddev_samp("v"), 4).alias("std_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )

@@ -41,7 +41,7 @@ BAND_LO, BAND_WIDTH, N_BANDS = 900.0, 10.0, 10
     )
     SELECT band_id,
            CAST(count(*) AS BIGINT) AS n_parts,
-           sum(p_retailprice) AS sum_price,
+           round(sum(p_retailprice), 4) AS sum_price,
            avg(p_size * 1.0) AS avg_size
     FROM part JOIN bands
       ON p_retailprice >= lo AND p_retailprice < hi
@@ -62,7 +62,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            F.sum("p_retailprice").alias("sum_price"),
+            F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
             F.avg(F.col("p_size") * 1.0).alias("avg_size"),
         )
     )
@@ -86,7 +86,7 @@ PROMO_START = "2024-01-01"
     SELECT promo_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           sum(value) AS sum_value
+           round(sum(value), 4) AS sum_value
     FROM events JOIN promos
       ON ts >= start_ts AND ts < end_ts
     GROUP BY promo_id
@@ -130,7 +130,7 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.sum("value").alias("sum_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
 
