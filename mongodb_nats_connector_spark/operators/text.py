@@ -524,18 +524,21 @@ PASSAGE_MAX_DUP_RATIO = 0.5
     doc="Passage-level dedup (RefinedWeb-style repeated-span removal): each "
     "document is cut into consecutive 8-word passages map-side, passage "
     "frequency is counted corpus-wide, and documents whose duplicated-passage "
-    "ratio exceeds the threshold are dropped. Two shuffles, both on "
-    "fine-grained keys (passage string, then doc_id) — no giant groups, so "
-    "the plan holds at 100 TB; at that scale the passage string would be "
-    "replaced by xxhash64(passage) to shrink shuffle bytes, which changes "
-    "nothing structural.",
+    "ratio exceeds the threshold are dropped. The instance stream shuffles "
+    "ONCE, by passage: the (passage, doc) reduction, the frequency count "
+    "above it, and the flag join back all reuse that partitioning (all "
+    "their keys contain the partition key), so the only other exchange is "
+    "the final fine-grained doc_id aggregation. A viral boilerplate "
+    "passage skews its partition; AQE's skew handling splits the join "
+    "side, and the reduction bounds each group at one row per distinct "
+    "doc.",
 )
 def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
     # the passage string never materializes: each 8-word span hashes
     # directly off the token tuple (same trick as hashed_word_shingles), so
-    # the two shuffles move 8-byte keys instead of ~50-byte strings. The
+    # the shuffles move 8-byte keys instead of ~50-byte strings. The
     # oracle groups by the passage STRING — per-doc outputs agree because
     # they only depend on span equality, which the 64-bit hash preserves
     # w.h.p. (a collision would merely merge two frequency groups).
@@ -553,14 +556,19 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("passage"),
     )
-    freq = passages.groupBy("passage").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # partition by passage once; (passage, doc) reduction, passage-level
+    # frequency, and the join back are all exchange-free on top of it.
+    doc_pass = (
+        passages.repartition("passage")
+        .groupBy("passage", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     )
-    dup = F.sum((F.col("n_docs") > 1).cast("int"))
-    n = F.count(F.lit(1))
+    freq = doc_pass.groupBy("passage").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(F.col("k") * (F.col("n_docs") > 1).cast("bigint"))
+    n = F.sum("k")
     ratio = dup / n
     return (
-        passages.join(freq, "passage")
+        doc_pass.join(freq, "passage")
         .groupBy("doc_id")
         .agg(
             n.cast("bigint").alias("n_passages"),

@@ -50,6 +50,24 @@ def count_exchanges(df: DataFrame) -> int:
     return sum(1 for line in s.splitlines() if "Exchange" in line and "Broadcast" not in line)
 
 
+def count_key_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges that move data BY KEY (hash/range partitioning).
+
+    Round-robin exchanges are excluded: ``table(..., parallel=True)`` adds one
+    to fan a single-file scan out across cores, which disappears at real scale
+    (the scan itself yields splits) — it says nothing about the operator's
+    algorithmic shuffle structure, which is what plan tests assert.
+    """
+    s = plan_string(df, "simple")
+    return sum(
+        1
+        for line in s.splitlines()
+        if "Exchange" in line
+        and "Broadcast" not in line
+        and "roundrobin" not in line.lower()
+    )
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """Two-phase agg: a HashAggregate below the exchange with partial funcs."""
     s = plan_string(df)

@@ -16,6 +16,7 @@ from mongodb_nats_connector_spark.operators.relational import (
 )
 from mongodb_nats_connector_spark.plans.explain import (
     count_exchanges,
+    count_key_exchanges,
     has_broadcast_join,
     has_partial_aggregation,
     has_take_ordered,
@@ -218,17 +219,18 @@ def test_q17_broadcasts_part_dim(spark):
 
 
 def test_chunking_is_map_only(spark):
-    """Sliding-window chunking must not shuffle: tokenize + explode + slice
-    are all map-side, so the plan has zero exchanges."""
+    """Sliding-window chunking must not shuffle by key: tokenize + explode +
+    slice are all map-side (the only exchange allowed is the round-robin scan
+    fan-out from table(parallel=True))."""
     from mongodb_nats_connector_spark.operators.text import text_chunk_tokens
 
-    assert count_exchanges(text_chunk_tokens(spark, SF)) == 0
+    assert count_key_exchanges(text_chunk_tokens(spark, SF)) == 0
 
 
 def test_pii_scrub_is_map_only(spark):
     from mongodb_nats_connector_spark.operators.text import text_pii_scrub
 
-    assert count_exchanges(text_pii_scrub(spark, SF)) == 0
+    assert count_key_exchanges(text_pii_scrub(spark, SF)) == 0
 
 
 def test_contamination_broadcasts_eval_side(spark):
