@@ -59,10 +59,17 @@ def table(
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Newer fixtures write ts as TIMESTAMP(MICROS, isAdjustedToUTC
+            # =false), which Spark infers as TIMESTAMP_NTZ. Session tz is
+            # pinned to UTC, so casting to the LTZ type keeps the same wall
+            # time while restoring the type every consumer (epoch casts,
+            # watermarks, window()) was written against.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _maybe_repartition(spark, df, parallel)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _maybe_repartition(spark, df, parallel)
