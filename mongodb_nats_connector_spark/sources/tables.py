@@ -61,14 +61,22 @@ def table(
                 spark.conf.set(conf_key, prev)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        elif ts_type == "timestamp_ntz":
             # Newer fixtures write ts as TIMESTAMP(MICROS, isAdjustedToUTC
-            # =false), which Spark infers as TIMESTAMP_NTZ. Session tz is
-            # pinned to UTC, so casting to the LTZ type keeps the same wall
-            # time while restoring the type every consumer (epoch casts,
-            # watermarks, window()) was written against.
+            # =false), which Spark infers as TIMESTAMP_NTZ. The cast to the
+            # LTZ type is epoch-preserving ONLY under a UTC session tz (it
+            # reinterprets the wall time in the session zone), so fail
+            # loudly instead of silently shifting epochs if the session was
+            # built without session.configure()'s UTC pin.
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise RuntimeError(
+                    "events.ts is TIMESTAMP_NTZ; converting to TIMESTAMP "
+                    f"requires a UTC session timezone, got {tz!r}"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _maybe_repartition(spark, df, parallel)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

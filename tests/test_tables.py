@@ -30,6 +30,62 @@ def test_events_nanos_conf_scoped_to_read(spark):
     assert spark.conf.get(key) == before
 
 
+def test_events_ntz_fixture_epoch_preserved(spark, tmp_path):
+    """Newer fixtures write events.ts as TIMESTAMP(MICROS, NTZ). table() must
+    return ts as plain TIMESTAMP with the epoch micros unchanged (the cast is
+    epoch-preserving because the session tz is pinned to UTC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_009_999_000_001]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(micros, pa.timestamp("us")),  # no tz => NTZ
+        }
+    )
+    sf_dir = tmp_path / "sf_ntz"
+    sf_dir.mkdir()
+    pq.write_table(tbl, sf_dir / "events.parquet")
+
+    ev = table(spark, str(sf_dir), "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    got = [
+        r.us
+        for r in ev.select(F.unix_micros("ts").alias("us"))
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == micros
+
+
+def test_events_ntz_requires_utc_session(spark, tmp_path):
+    """A non-UTC session must fail loudly on the NTZ branch instead of
+    silently shifting epochs."""
+    import pytest
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+        }
+    )
+    sf_dir = tmp_path / "sf_ntz_tz"
+    sf_dir.mkdir()
+    pq.write_table(tbl, sf_dir / "events.parquet")
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="UTC session timezone"):
+            table(spark, str(sf_dir), "events")
+    finally:
+        spark.conf.set(tz_key, prev)
+
+
 def test_concurrent_queries_shared_session(spark):
     """Multi-tenant smoke: 8 queries across threads on one session — several
     reading events (whose loader scopes the nanos conf around the read) and
