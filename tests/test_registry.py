@@ -74,14 +74,18 @@ def test_stale_digest_demotes_verified_name(monkeypatch):
     if name not in hv:
         pytest.skip("q1 not driver-verified in this checkout")
 
-    monkeypatch.setattr(
-        registry, "_verified_digests", lambda: {name: real}
-    )
+    # Model the steady state: every name verified and current, then q1's
+    # implementation is edited (digest goes stale). Wiping the OTHER names'
+    # digests instead would demote all 187 to rank 0 and q1 would sort at
+    # its registration position, not the front.
+    all_current = {
+        n: registry.query_digest(q2) for n, q2 in registry._REGISTRY.items()
+    }
+    monkeypatch.setattr(registry, "_verified_digests", lambda: all_current)
     pos_current = list(registry.all_queries()).index(name)
 
-    monkeypatch.setattr(
-        registry, "_verified_digests", lambda: {name: "0" * 16}
-    )
+    stale = dict(all_current, **{name: "0" * 16})
+    monkeypatch.setattr(registry, "_verified_digests", lambda: stale)
     pos_stale = list(registry.all_queries()).index(name)
     assert pos_stale < pos_current, "stale digest must move the name forward"
     assert pos_stale < 50, "stale name must re-enter the driver's 50-row window"
