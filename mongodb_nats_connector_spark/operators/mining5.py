@@ -1,0 +1,350 @@
+"""Mining/sketch operators (round 5): count-min-sketch heavy hitters,
+triangle counting, sequence pattern matching, a distributed Gram matrix,
+and streaming enrich/top-k shapes in batch-checkable form.
+
+Scale notes:
+
+- ``agg_heavy_hitters_cms`` — a Count-Min sketch is the mergeable,
+  fixed-size answer to "top keys" at 100 TB: the sketch is d×w counters
+  (4×256 here) built with ONE partial-aggregated shuffle keyed on
+  (depth, slot), then broadcast back to estimate per-key counts. Counter
+  updates commute, so map-side combine does almost all the work; the
+  estimate is min over depths (classic CMS overestimate bound).
+- ``graph_triangle_count`` — triangles over the part co-purchase graph.
+  Edges are oriented a<b so each triangle is found exactly once; the
+  wedge join (e1.b = e2.a) and the closing join are both equi-joins on
+  part keys, so the whole thing is hash-partitioned — no cartesian, no
+  driver-side graph. The support threshold bounds edge density before the
+  quadratic wedge step, which is the standard trick for web-scale graphs.
+- ``window_pattern_match`` — MATCH_RECOGNIZE-lite: per-user event-type
+  sequences (ordered within the key only — no global sort) matched against
+  a funnel regex. One shuffle on user_id; the per-key sequence is bounded
+  by session length, not table size.
+- ``embedding_gram_matrix`` — X^T X computed as a sum of per-partition
+  outer products: each Arrow batch contributes a dense d×d partial via
+  BLAS (numpy matmul), and only d(d+1)/2 upper-triangle cells per batch
+  flow into the final shuffle. The 100 TB form of every covariance / PCA
+  prelude — shuffle volume is O(partitions · d²), independent of row count.
+- ``stream_static_enrich`` / ``stream_window_topk`` — the two workhorse
+  streaming shapes (dimension enrich via broadcast, windowed top-k), in
+  batch-checkable form; stream-vs-batch equivalence for the same specs is
+  covered by the streaming suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+# Count-Min sketch parameters: d=4 universal-hash rows, width 256.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PRIME = 2147483647
+CMS_A = (999331, 87251, 412021, 65537)
+CMS_B = (12345, 54321, 7, 999983)
+EMB_DIM = 64
+
+
+def _cms_values_sql() -> str:
+    rows = ", ".join(
+        f"({d}, {CMS_A[d]}, {CMS_B[d]})" for d in range(CMS_DEPTH)
+    )
+    return f"(VALUES {rows}) par(d, a, b)"
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH par AS (SELECT * FROM {_cms_values_sql()}),
+    sketch AS (
+      SELECT d, ((a * l_suppkey + b) % {CMS_PRIME}) % {CMS_WIDTH} AS slot,
+             count(*) AS c
+      FROM lineitem CROSS JOIN par
+      GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT l_suppkey, count(*) AS true_count FROM lineitem GROUP BY 1
+    ),
+    est AS (
+      SELECT k.l_suppkey,
+             min(s.c) AS est_count,
+             min(k.true_count) AS true_count
+      FROM keys k
+      CROSS JOIN par p
+      JOIN sketch s
+        ON s.d = p.d
+       AND s.slot = ((p.a * k.l_suppkey + p.b) % {CMS_PRIME}) % {CMS_WIDTH}
+      GROUP BY 1
+    )
+    SELECT l_suppkey, CAST(est_count AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count
+    FROM est ORDER BY est_count DESC, l_suppkey LIMIT 20
+    """,
+    doc=f"Top-20 heavy hitters on lineitem.l_suppkey via a Count-Min sketch "
+    f"({CMS_DEPTH}×{CMS_WIDTH} counters, universal hashing mod "
+    f"{CMS_PRIME}): the sketch builds in one partial-aggregated shuffle, "
+    "is small enough to broadcast, and the per-key estimate is the min "
+    "across depths (never under the true count). true_count rides along "
+    "to exhibit the overestimate bound.",
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    a_arr = F.array(*[F.lit(x) for x in CMS_A])
+    b_arr = F.array(*[F.lit(x) for x in CMS_B])
+
+    def slot(key_col, d_col):
+        a = F.element_at(a_arr, d_col + 1).cast("bigint")
+        b = F.element_at(b_arr, d_col + 1).cast("bigint")
+        return ((a * key_col + b) % CMS_PRIME) % CMS_WIDTH
+
+    depths = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    sketch = (
+        li.select(F.col("l_suppkey"), depths)
+        .select("d", slot(F.col("l_suppkey"), F.col("d")).alias("slot"))
+        .groupBy("d", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
+    key_slots = keys.select(
+        "l_suppkey", "true_count", depths
+    ).withColumn("slot", slot(F.col("l_suppkey"), F.col("d")))
+    est = (
+        key_slots.join(F.broadcast(sketch), ["d", "slot"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.min("c").cast("bigint").alias("est_count"),
+            F.min("true_count").cast("bigint").alias("true_count"),
+        )
+    )
+    return est.orderBy(F.desc("est_count"), "l_suppkey").limit(20)
+
+
+MIN_SUPPORT = 2
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    )
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.pb = e2.pa
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    doc=f"Triangle enumeration over the part co-purchase graph (edges = "
+    f"part pairs sharing ≥{MIN_SUPPORT} orders, oriented a<b so each "
+    "triangle appears once). Wedge join + closing join are plain hash "
+    "equi-joins on part keys; the support threshold prunes edge density "
+    "before the quadratic wedge step — the standard scale guard for "
+    "triangle counting on web-scale graphs.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    return tri.select(
+        F.col("e1.pa").alias("a"),
+        F.col("e1.pb").alias("b"),
+        F.col("e2.pb").alias("c"),
+    )
+
+
+FUNNEL_RE = "signup.*purchase"
+
+
+@register(
+    "window_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN regexp_matches(seq, '{FUNNEL_RE}')
+                THEN 1 ELSE 0 END AS BIGINT) AS converted,
+           CAST(length(seq) - length(replace(seq, 'purchase', ''))
+                AS BIGINT) / 8 AS n_purchases
+    FROM seqs
+    """,
+    doc="MATCH_RECOGNIZE-lite sequence pattern match: per-user event-type "
+    f"sequences (ordered by ts within the key — no global sort) tested "
+    f"against the funnel regex '{FUNNEL_RE}'. One shuffle on user_id; "
+    "collect_list+sort_array keeps ordering deterministic under ties via "
+    "the (ts, event_id) sort key. The streaming analogue applies the same "
+    "regex inside applyInPandasWithState per key.",
+)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("seq"),
+    )
+    n_purch = (
+        F.length("seq") - F.length(F.regexp_replace("seq", "purchase", ""))
+    ).cast("bigint") / F.lit(8)
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("seq").rlike(FUNNEL_RE), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted"),
+        n_purch.alias("n_purchases"),
+    )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+    )
+    SELECT a.i AS i, b.i AS j, round(sum(a.v * b.v), 4) AS g
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    doc=f"Distributed Gram matrix X^T X over the {EMB_DIM}-d embedding "
+    "table (upper triangle, 1-based indices): each Arrow batch computes a "
+    "dense d×d partial with one BLAS matmul and emits only d(d+1)/2 cells, "
+    "so shuffle volume is O(partitions · d²) — independent of row count. "
+    "The prelude to covariance/PCA at 100 TB. Oracle expands the same sum "
+    "via unnest+self-join.",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True).select("embedding")
+    iu = np.triu_indices(EMB_DIM)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int64),
+                    "j": (iu[1] + 1).astype(np.int64),
+                    "partial": g[iu],
+                }
+            )
+
+    schema = StructType.fromDDL("i bigint, j bigint, partial double")
+    partials = emb.mapInPandas(gram_partials, schema)
+    return partials.groupBy("i", "j").agg(F.round(F.sum("partial"), 4).alias("g"))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           e.event_type, round(e.value, 4) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    doc="Stream-static dimension enrich, batch-checkable form: events join "
+    "the customer dimension on user_id with an explicit broadcast — the "
+    "shape Structured Streaming executes per micro-batch with zero stream "
+    "shuffle (stream-static joins never repartition the stream side when "
+    "the static side broadcasts). The streaming mirror is covered by the "
+    "streaming suite's stream-vs-batch equivalence test.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(c), ev.user_id == c.c_custkey).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "stream_window_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type) AS rn
+      FROM w
+    ) WHERE rn <= {TOPK_PER_WINDOW}
+    """,
+    doc=f"Windowed top-{TOPK_PER_WINDOW}: tumbling 1-hour windows, event "
+    "types ranked by count within each window, rank filter rewritten to "
+    "WindowGroupLimit (per-task pre-pruning). In streaming this runs as a "
+    "foreachBatch top-k over the watermarked windowed aggregate — the "
+    "aggregation state is the same tumbling-window state the streaming "
+    "suite already exercises.",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rn") <= TOPK_PER_WINDOW)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "rn",
+        )
+    )

@@ -1,0 +1,255 @@
+"""Data-quality and sampling operators (round 5): a declarative rule engine,
+key-skew profiling for shuffle planning, and deterministic per-key sampling.
+
+Scale notes:
+
+- ``dq_rule_violations`` — all row-local rules on a table evaluate in ONE
+  scan as conditional aggregates (sum-of-CASE partial-aggregates map-side);
+  cross-table rules (referential integrity, date ordering) are the only
+  joins, each keyed on the natural join key so AQE can pick broadcast vs
+  shuffle by actual build-side size. The result is a handful of rows — the
+  classic DQ sweep a warehouse runs nightly over every fact table.
+- ``profile_key_skew`` — the pre-flight check for any big join/agg: per-key
+  frequencies reduce map-side (groupBy count), then a second tiny aggregate
+  derives max-share and the Herfindahl concentration index. This is how you
+  decide a key needs salting BEFORE launching the 100 TB shuffle.
+- ``sample_reservoir_perkey`` — deterministic per-key k-sample: order rows
+  within each key by a cryptographic hash of their id and keep the first k.
+  Equivalent in distribution to per-key reservoir sampling but fully
+  reproducible and embarrassingly parallel; Spark rewrites the rank filter
+  to WindowGroupLimit, so each map task pre-prunes to k rows per key before
+  the shuffle (no full sort of the fact table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+SAMPLE_K = 7
+
+
+@register(
+    "dq_rule_violations",
+    oracle="""
+    WITH li AS (
+      SELECT count(*) AS checked,
+             sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS v_discount,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+             sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT count(*) AS checked,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS v_total,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_cust
+      FROM orders
+    ),
+    orphan_li AS (
+      SELECT count(*) AS v FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    orphan_ord AS (
+      SELECT count(*) AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    shiporder AS (
+      SELECT count(*) AS checked,
+             sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT rule, CAST(violations AS BIGINT) AS violations,
+           CAST(checked AS BIGINT) AS checked
+    FROM (
+      SELECT 'li_discount_range' AS rule, v_discount AS violations, checked FROM li
+      UNION ALL SELECT 'li_nonpositive_qty', v_qty, checked FROM li
+      UNION ALL SELECT 'li_nonpositive_price', v_price, checked FROM li
+      UNION ALL SELECT 'li_orphan_order', v, (SELECT checked FROM li) FROM orphan_li
+      UNION ALL SELECT 'li_ship_before_order', v, checked FROM shiporder
+      UNION ALL SELECT 'ord_negative_total', v_total, checked FROM ord
+      UNION ALL SELECT 'ord_null_custkey', v_null_cust, checked FROM ord
+      UNION ALL SELECT 'ord_orphan_customer', v, (SELECT checked FROM ord) FROM orphan_ord
+    )
+    """,
+    doc="Declarative data-quality rule engine: 8 rules over lineitem/orders "
+    "— range, non-positivity, null, referential-integrity (anti-join) and "
+    "cross-table date-order checks — emitted as (rule, violations, checked) "
+    "rows. Row-local rules per table share ONE scan via conditional "
+    "aggregation; only the referential/date rules join.",
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        _cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_discount"),
+        _cnt(F.col("l_quantity") <= 0).alias("v_qty"),
+        _cnt(F.col("l_extendedprice") <= 0).alias("v_price"),
+    )
+    ord_agg = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        _cnt(F.col("o_totalprice") < 0).alias("v_total"),
+        _cnt(F.col("o_custkey").isNull()).alias("v_null_cust"),
+    )
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    orphan_ord = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    shiporder = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("checked"),
+            _cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"),
+        )
+    )
+
+    def row(name, violations, checked):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            violations.cast("bigint").alias("violations"),
+            checked.cast("bigint").alias("checked"),
+        )
+
+    li_rows = li_agg.select(
+        F.explode(
+            F.array(
+                row("li_discount_range", F.col("v_discount"), F.col("checked")),
+                row("li_nonpositive_qty", F.col("v_qty"), F.col("checked")),
+                row("li_nonpositive_price", F.col("v_price"), F.col("checked")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    ord_rows = ord_agg.select(
+        F.explode(
+            F.array(
+                row("ord_negative_total", F.col("v_total"), F.col("checked")),
+                row("ord_null_custkey", F.col("v_null_cust"), F.col("checked")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    li_checked = li_agg.select(F.col("checked").alias("li_checked"))
+    ord_checked = ord_agg.select(F.col("checked").alias("ord_checked"))
+    orphan_li_rows = orphan_li.crossJoin(F.broadcast(li_checked)).select(
+        F.lit("li_orphan_order").alias("rule"),
+        F.col("v").cast("bigint").alias("violations"),
+        F.col("li_checked").cast("bigint").alias("checked"),
+    )
+    orphan_ord_rows = orphan_ord.crossJoin(F.broadcast(ord_checked)).select(
+        F.lit("ord_orphan_customer").alias("rule"),
+        F.col("v").cast("bigint").alias("violations"),
+        F.col("ord_checked").cast("bigint").alias("checked"),
+    )
+    shiporder_rows = shiporder.select(
+        F.lit("li_ship_before_order").alias("rule"),
+        F.col("v").cast("bigint").alias("violations"),
+        F.col("checked").cast("bigint").alias("checked"),
+    )
+    return (
+        li_rows.unionByName(orphan_li_rows)
+        .unionByName(shiporder_rows)
+        .unionByName(ord_rows)
+        .unionByName(orphan_ord_rows)
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             round(max(c) * 1.0 / sum(c), 6) AS max_share,
+             round(sum(c * c) * 1.0 / (sum(c) * sum(c)), 6) AS herfindahl,
+             round(avg(c), 4) AS avg_key_rows
+      FROM per_key
+    ),
+    top AS (SELECT k AS top_key FROM per_key ORDER BY c DESC, k LIMIT 1)
+    SELECT n_keys, n_rows, top_key, max_key_rows, max_share, herfindahl,
+           avg_key_rows
+    FROM stats CROSS JOIN top
+    """,
+    doc="Shuffle-key skew profile for lineitem.l_suppkey: key count, total "
+    "rows, heaviest key and its share, and the Herfindahl concentration "
+    "index (sum of squared key shares — 1/n_keys when uniform, 1.0 when one "
+    "key owns everything). Per-key counts partial-aggregate map-side; the "
+    "stats pass runs over the tiny per-key relation. This is the pre-flight "
+    "that decides whether a join key needs salting before a 100 TB shuffle.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
+        F.round(F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 6).alias(
+            "herfindahl"
+        ),
+        F.round(F.avg("c"), 4).alias("avg_key_rows"),
+    )
+    top = per_key.orderBy(F.desc("c"), "k").limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "top_key",
+        "max_key_rows",
+        "max_share",
+        "herfindahl",
+        "avg_key_rows",
+    )
+
+
+@register(
+    "sample_reservoir_perkey",
+    oracle=f"""
+    SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    WHERE rn <= {SAMPLE_K}
+    """,
+    doc=f"Deterministic per-key {SAMPLE_K}-sample: within each event_type, "
+    "rows order by md5(event_id) — a reproducible stand-in for a uniform "
+    "random draw — and the first k survive. Catalyst rewrites the "
+    "rank-filter to WindowGroupLimit, so every map task keeps only k rows "
+    "per key BEFORE the shuffle; the sort never touches the full table. "
+    "The hash-ordered form is the scalable, restart-stable alternative to "
+    "stateful reservoir sampling.",
+)
+def sample_reservoir_perkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )

@@ -58,7 +58,9 @@ def _load_all() -> None:
         dedup,
         formats,
         graph2,
+        mining5,
         multimodal,
+        quality5,
         relational,
         similarity,
         text,

@@ -177,6 +177,8 @@ _ALLOWED_NESTED_LOOP = {
     "q20_heavy_shippers",         # 1-row qty-threshold scalar broadcast crossJoin
     "text_kl_divergence",         # 1-row corpus-token-total scalar broadcast crossJoin
     "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
+    "dq_rule_violations",         # 1-row checked-count scalars broadcast crossJoin
+    "profile_key_skew",           # 1-row top-key scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -285,3 +287,75 @@ def test_q13_aggregates_orders_before_join(spark):
     assert "HashAggregate" in s[join_pos:], (
         "orders must pre-aggregate below the join"
     )
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """The per-key rank filter must rewrite to WindowGroupLimit so each map
+    task pre-prunes to k rows per key before the shuffle."""
+    from mongodb_nats_connector_spark.operators.quality5 import (
+        sample_reservoir_perkey,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(sample_reservoir_perkey(spark, SF))
+    assert "WindowGroupLimit" in s, f"rank filter not pushed down:\n{s}"
+
+
+def test_window_topk_uses_window_group_limit(spark):
+    from mongodb_nats_connector_spark.operators.mining5 import stream_window_topk
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(stream_window_topk(spark, SF))
+    assert "WindowGroupLimit" in s, f"rank filter not pushed down:\n{s}"
+
+
+def test_cms_sketch_broadcasts_into_estimate_join(spark):
+    """The d×w counter table (≤1024 rows) must broadcast into the per-key
+    estimate join — never shuffle the key relation against it."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        agg_heavy_hitters_cms,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    df = agg_heavy_hitters_cms(spark, SF)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df), "top-20 must plan TakeOrderedAndProject"
+    assert "CartesianProduct" not in plan_string(df)
+
+
+def test_triangle_count_all_hash_joins(spark):
+    """Wedge + closing joins must be hash equi-joins on part keys: no
+    cartesian, no broadcast nested loop."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        graph_triangle_count,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(graph_triangle_count(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_stream_static_enrich_broadcasts_dim(spark):
+    """The dimension side must broadcast: in streaming this is the zero-
+    stream-shuffle stream-static join shape."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        stream_static_enrich,
+    )
+
+    assert has_broadcast_join(stream_static_enrich(spark, SF))
+
+
+def test_gram_matrix_shuffles_only_cells(spark):
+    """Only the d(d+1)/2 partial cells may shuffle: a single exchange keyed
+    on (i, j) after the Arrow-batched partials, plus at most the input
+    repartition round-robin."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        embedding_gram_matrix,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    df = embedding_gram_matrix(spark, SF)
+    s = plan_string(df)
+    assert "BatchEvalPython" not in s, "gram partials must be Arrow-batched"
+    assert count_key_exchanges(df) == 1, f"expected one keyed exchange:\n{s}"
