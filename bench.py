@@ -47,6 +47,12 @@ HEADLINE_QUERIES = [
     "pagerank_nations",
     "bigram_lm_surprisal",
     "events_time_rollup",
+    # round 5: sketching, graph mining, DQ sweep, BLAS-batched linear algebra
+    "agg_heavy_hitters_cms",
+    "graph_triangle_count",
+    "dq_rule_violations",
+    "embedding_gram_matrix",
+    "stream_window_topk",
 ]
 
 
