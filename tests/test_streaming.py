@@ -408,3 +408,78 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
         for u, p, c in df.values.tolist()
     )
     assert key(out) == key(batch)
+
+
+def test_stream_static_enrich_matches_batch_query(spark, events_feed):
+    """The registered stream_static_enrich spec (events ⋈ broadcast customer
+    on user_id) run as a real stream equals its batch-checkable form."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        stream_static_enrich,
+    )
+
+    c = table(spark, SF, "customer")
+    stream = _stream(spark, events_feed)
+    enriched = stream.join(
+        F.broadcast(c), stream.user_id == c.c_custkey
+    ).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    out = _run_to_memory(spark, enriched, "append")
+    batch = stream_static_enrich(spark, SF).toPandas()
+    assert len(out) == len(batch)
+    s = out.sort_values("event_id").reset_index(drop=True)
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    assert (s["c_mktsegment"].values == b["c_mktsegment"].values).all()
+    assert (s["c_name"].values == b["c_name"].values).all()
+
+
+def test_stream_window_topk_matches_batch_query(spark, events_feed):
+    """Windowed top-k as a stream: the watermarked tumbling aggregate runs
+    in the engine; the per-window rank filter runs in foreachBatch over the
+    (tiny) aggregate — the standard streaming top-k split. Final result ==
+    the registered batch form."""
+    from pyspark.sql import Window as W
+
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        TOPK_PER_WINDOW,
+        stream_window_topk,
+    )
+
+    stream = _stream(spark, events_feed)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "topk" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    # foreachBatch side: rank within window over the aggregate snapshot
+    rank_w = W.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    topk = (
+        spark.sql(f"SELECT * FROM {name}")
+        .withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rn") <= TOPK_PER_WINDOW)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "rn"
+        )
+        .toPandas()
+    )
+    q.stop()
+    batch = stream_window_topk(spark, SF).toPandas()
+    key = ["window_start", "rn"]
+    s = topk.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["event_type"].values == b["event_type"].values).all()
+    assert (s["n"].values == b["n"].values).all()
