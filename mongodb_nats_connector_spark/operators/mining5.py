@@ -362,3 +362,50 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+EMB_STUB_DIM = 8
+
+
+@register(
+    "inference_embed_stub",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+      FROM documents
+    )
+    SELECT doc_id, CAST((p - 1) % {EMB_STUB_DIM} AS BIGINT) AS j,
+           CAST(sum(unicode(substr(text, p, 1))) AS BIGINT) AS v
+    FROM pos GROUP BY 1, 2
+    """,
+    doc=f"Batched pseudo-inference plumbing: an Arrow-batched mapInPandas "
+    "'model' embeds each document as strided code-point sums "
+    f"(dim j = sum of every {EMB_STUB_DIM}th code point) — a deterministic "
+    "stand-in with the exact shape of a quality-classifier / embedding "
+    "forward pass (batch in via Arrow, vectorized numpy per doc, long-form "
+    "(doc_id, dim, value) out). Swap the stride sums for model.forward and "
+    "the Spark-side plumbing — batching, schema, partition parallelism — "
+    "is unchanged. Map-only: zero shuffles before the caller's sink.",
+)
+def inference_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
+
+    def embed(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_doc, out_j, out_v = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                n = min(EMB_STUB_DIM, len(codes))
+                for j in range(n):
+                    out_doc.append(doc_id)
+                    out_j.append(j)
+                    out_v.append(int(codes[j::EMB_STUB_DIM].sum()))
+            yield pd.DataFrame({"doc_id": out_doc, "j": out_j, "v": out_v})
+
+    schema = StructType.fromDDL("doc_id bigint, j bigint, v bigint")
+    return docs.mapInPandas(embed, schema)

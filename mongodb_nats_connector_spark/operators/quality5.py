@@ -253,3 +253,55 @@ def sample_reservoir_perkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= SAMPLE_K)
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY 1
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           CAST(epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+                AS BIGINT) AS micros_to_convert
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+    doc="Funnel latency: per user, first signup and the first purchase at "
+    "or after it (NULL if never converted), gap in epoch micros. The "
+    "signup relation reduces to one row per user and BROADCASTS back into "
+    "the purchase filter, so the fact table is scanned with a pushed "
+    "event_type filter and shuffles only per-user partial minimums — the "
+    "time-to-convert shape behind every activation dashboard.",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            (
+                F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+            ).cast("bigint").alias("micros_to_convert"),
+        )
+    )
