@@ -1,0 +1,181 @@
+"""Round-5 operator invariants, beyond the DuckDB-parity gate: the
+mathematical properties each operator must keep on ANY data (the parity
+suite pins exact values on the fixture; these pin the semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mongodb_nats_connector_spark.operators.mining5 import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    EMB_STUB_DIM,
+    MIN_SUPPORT,
+    TOPK_PER_WINDOW,
+    agg_heavy_hitters_cms,
+    embedding_gram_matrix,
+    graph_triangle_count,
+    inference_embed_stub,
+    stream_window_topk,
+    window_pattern_match,
+)
+from mongodb_nats_connector_spark.operators.quality5 import (
+    SAMPLE_K,
+    dq_rule_violations,
+    events_time_to_convert,
+    profile_key_skew,
+    sample_reservoir_perkey,
+)
+from mongodb_nats_connector_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_never_underestimates(spark):
+    """The defining CMS property: est >= true for every reported key, and
+    the heaviest key survives sketching (top-1 by estimate == exact top-1
+    when its true count is strictly dominant)."""
+    out = agg_heavy_hitters_cms(spark, SF).toPandas()
+    n_keys = table(spark, SF, "lineitem").select("l_suppkey").distinct().count()
+    assert len(out) == min(20, n_keys)
+    assert (out["est_count"] >= out["true_count"]).all()
+    exact = (
+        table(spark, SF, "lineitem")
+        .groupBy("l_suppkey")
+        .count()
+        .toPandas()
+        .sort_values(["count", "l_suppkey"], ascending=[False, True])
+    )
+    # the estimate's top key must be among the true heavy hitters (its true
+    # count within the additive CMS error bound of the true max)
+    eps_bound = len(table(spark, SF, "lineitem").toPandas()) * 2.0 / CMS_WIDTH
+    top_est = out.iloc[0]
+    assert top_est["true_count"] >= exact["count"].max() - eps_bound
+
+
+def test_triangles_are_closed_and_ordered(spark):
+    """Every reported (a, b, c) is strictly ordered and all three edges
+    exist in the ≥MIN_SUPPORT co-purchase edge set."""
+    tri = graph_triangle_count(spark, SF).toPandas()
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    pp = li.drop_duplicates()
+    merged = pp.merge(pp, on="l_orderkey")
+    pairs = merged[merged["l_partkey_x"] < merged["l_partkey_y"]]
+    support = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(support[support >= MIN_SUPPORT].index)
+    for r in tri.itertuples():
+        assert r.a < r.b < r.c
+        assert (r.a, r.b) in edges and (r.b, r.c) in edges and (r.a, r.c) in edges
+    # and completeness: count matches an independent enumeration
+    n_expected = sum(
+        1
+        for (a, b) in edges
+        for c in {y for (x, y) in edges if x == b}
+        if (a, c) in edges
+    )
+    assert len(tri) == n_expected
+
+
+def test_reservoir_sample_is_deterministic_and_capped(spark):
+    one = sample_reservoir_perkey(spark, SF).toPandas()
+    two = sample_reservoir_perkey(spark, SF).toPandas()
+    key = ["event_type", "rn"]
+    a = one.sort_values(key).reset_index(drop=True)
+    b = two.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "sample must be reproducible across runs"
+    per_key = one.groupby("event_type").size()
+    assert (per_key <= SAMPLE_K).all()
+    # every key with >= K rows yields exactly K
+    ev = table(spark, SF, "events").toPandas()
+    full = ev.groupby("event_type").size()
+    for k, n in full.items():
+        assert per_key.get(k, 0) == min(n, SAMPLE_K)
+
+
+def test_pattern_match_agrees_with_pandas_replay(spark):
+    out = window_pattern_match(spark, SF).toPandas().set_index("user_id")
+    ev = (
+        table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import re
+
+    for uid, g in ev.groupby("user_id"):
+        seq = ">".join(g["event_type"])
+        row = out.loc[uid]
+        assert row["n_events"] == len(g)
+        assert row["converted"] == (1 if re.search("signup.*purchase", seq) else 0)
+        assert row["n_purchases"] == (g["event_type"] == "purchase").sum()
+
+
+def test_gram_matrix_matches_numpy(spark):
+    out = embedding_gram_matrix(spark, SF).toPandas()
+    emb = table(spark, SF, "embeddings").select("embedding").toPandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    g = m.T @ m
+    d = m.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    for r in out.itertuples():
+        assert abs(r.g - round(g[r.i - 1, r.j - 1], 4)) < 1e-9
+
+
+def test_dq_rules_complete_and_bounded(spark):
+    out = dq_rule_violations(spark, SF).toPandas()
+    assert sorted(out["rule"]) == [
+        "li_discount_range",
+        "li_nonpositive_price",
+        "li_nonpositive_qty",
+        "li_orphan_order",
+        "li_ship_before_order",
+        "ord_negative_total",
+        "ord_null_custkey",
+        "ord_orphan_customer",
+    ]
+    assert (out["violations"] >= 0).all()
+    assert (out["violations"] <= out["checked"]).all()
+
+
+def test_key_skew_profile_invariants(spark):
+    row = profile_key_skew(spark, SF).toPandas().iloc[0]
+    n_keys = row["n_keys"]
+    assert row["max_share"] >= 1.0 / n_keys - 1e-9
+    assert 1.0 / n_keys - 1e-6 <= row["herfindahl"] <= 1.0
+    assert row["max_key_rows"] >= row["avg_key_rows"] - 1e-9
+    li = table(spark, SF, "lineitem").toPandas()
+    counts = li.groupby("l_suppkey").size()
+    assert row["n_rows"] == len(li)
+    assert row["top_key"] == counts.sort_values(ascending=False).index[0] or (
+        counts[row["top_key"]] == counts.max()
+    )
+
+
+def test_inference_stub_matches_numpy_replay(spark):
+    out = inference_embed_stub(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    got = {(r.doc_id, r.j): r.v for r in out.itertuples()}
+    for r in docs.head(50).itertuples():
+        codes = np.frombuffer(r.text.encode("utf-32-le"), dtype=np.uint32)
+        for j in range(min(EMB_STUB_DIM, len(codes))):
+            assert got[(r.doc_id, j)] == int(codes[j::EMB_STUB_DIM].sum())
+
+
+def test_time_to_convert_nonnegative_and_consistent(spark):
+    out = events_time_to_convert(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    signups = set(ev[ev["event_type"] == "signup"]["user_id"])
+    assert set(out["user_id"]) == signups
+    conv = out.dropna(subset=["micros_to_convert"])
+    assert (conv["micros_to_convert"] >= 0).all()
+    assert (conv["first_purchase_ts"] >= conv["signup_ts"]).all()
+
+
+def test_window_topk_bounded_and_descending(spark):
+    out = stream_window_topk(spark, SF).toPandas()
+    for _, g in out.groupby("window_start"):
+        g = g.sort_values("rn")
+        assert len(g) <= TOPK_PER_WINDOW
+        assert (g["rn"].values == np.arange(1, len(g) + 1)).all()
+        assert (np.diff(g["n"].values) <= 0).all(), "counts must be non-increasing"
