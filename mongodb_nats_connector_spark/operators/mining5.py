@@ -218,8 +218,10 @@ FUNNEL_RE = "signup.*purchase"
     f"sequences (ordered by ts within the key — no global sort) tested "
     f"against the funnel regex '{FUNNEL_RE}'. One shuffle on user_id; "
     "collect_list+sort_array keeps ordering deterministic under ties via "
-    "the (ts, event_id) sort key. The streaming analogue applies the same "
-    "regex inside applyInPandasWithState per key.",
+    "the (ts, event_id) sort key. The streaming analogue is "
+    "streaming/windows.py:funnel_conversions — O(1) automaton state per "
+    "key instead of a sequence buffer, equivalence-tested against this "
+    "query.",
 )
 def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

@@ -160,3 +160,62 @@ def per_key_offsets_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- stateful funnel pattern matching: the streaming analogue of the batch
+#     window_pattern_match query (operators/mining5.py) ---
+
+FUNNEL_STATE_SCHEMA = (
+    "signup_us BIGINT, signup_id BIGINT, "
+    "purchase_us BIGINT, purchase_id BIGINT, n_events BIGINT"
+)
+FUNNEL_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, converted BIGINT"
+
+
+def _funnel_state(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-insensitive 'signup then purchase' detection with O(1) state:
+    instead of buffering the per-user event sequence (unbounded at 100 TB)
+    the state holds only the EARLIEST signup and LATEST purchase as
+    (epoch_us, event_id) tuples — the pattern matched iff the latest
+    purchase sorts after the earliest signup under the same (ts, event_id)
+    order the batch regex uses. Late/out-of-order events fold in correctly
+    because min/max commute with arrival order."""
+    (user_id,) = key
+    if state.exists:
+        s_us, s_id, p_us, p_id, n = state.get
+    else:
+        s_us, s_id, p_us, p_id, n = None, None, None, None, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        types = pdf["event_type"].to_numpy()
+        for t, i, ty in zip(us, ids, types):
+            t, i = int(t), int(i)
+            if ty == "signup" and (s_us is None or (t, i) < (s_us, s_id)):
+                s_us, s_id = t, i
+            elif ty == "purchase" and (p_us is None or (t, i) > (p_us, p_id)):
+                p_us, p_id = t, i
+    state.update((s_us, s_id, p_us, p_id, n))
+    converted = int(
+        s_us is not None and p_us is not None and (p_us, p_id) > (s_us, s_id)
+    )
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "converted": [converted]}
+    )
+
+
+def funnel_conversions(stream: DataFrame) -> DataFrame:
+    """groupBy(user).applyInPandasWithState funnel detector — emits the
+    current (n_events, converted) row for each key touched in the batch."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_state,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

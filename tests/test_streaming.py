@@ -483,3 +483,26 @@ def test_stream_window_topk_matches_batch_query(spark, events_feed):
     assert len(s) == len(b)
     assert (s["event_type"].values == b["event_type"].values).all()
     assert (s["n"].values == b["n"].values).all()
+
+
+def test_stateful_funnel_matches_batch_pattern_match(spark, events_feed):
+    """The O(1)-state streaming funnel (earliest-signup / latest-purchase
+    tuples) agrees with the batch regex over the full closed event set —
+    including across micro-batch boundaries, where events arrive out of
+    event-time order (the feed splits by event_id % 3, not by time)."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        window_pattern_match,
+    )
+    from mongodb_nats_connector_spark.streaming.windows import funnel_conversions
+
+    out = _run_to_memory(
+        spark, funnel_conversions(_stream(spark, events_feed)), "update"
+    )
+    # update mode re-emits a row per touched key per batch: the final row
+    # per user is the closed-set answer
+    final = out.groupby("user_id").last()
+    batch = window_pattern_match(spark, SF).toPandas().set_index("user_id")
+    assert len(final) == len(batch)
+    joined = final.join(batch, lsuffix="_s")
+    assert (joined["n_events_s"] == joined["n_events"]).all()
+    assert (joined["converted_s"] == joined["converted"]).all()
