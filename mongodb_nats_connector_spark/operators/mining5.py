@@ -29,6 +29,13 @@ Scale notes:
   streaming shapes (dimension enrich via broadcast, windowed top-k), in
   batch-checkable form; stream-vs-batch equivalence for the same specs is
   covered by the streaming suite.
+- ``inference_embed_stub`` — Arrow-batched pseudo-model forward pass over
+  documents (map-only); swap the stride sums for a real model and the
+  plumbing is unchanged.
+- ``embedding_pca_power_iteration`` — distributed PCA the way it actually
+  runs at scale: ONE corpus pass builds the Gram summary, then the power
+  method iterates on the d×d relation (sketch-sized work); the oracle
+  unrolls the same iterations as chained CTEs.
 """
 
 from __future__ import annotations
@@ -411,3 +418,114 @@ def inference_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = StructType.fromDDL("doc_id bigint, j bigint, v bigint")
     return docs.mapInPandas(embed, schema)
+
+
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled 3-iteration power method over the (round-4) Gram matrix —
+    the same chained-CTE trick the kmeans oracle uses."""
+    d = EMB_DIM
+    cte = f"""
+    WITH ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, range(1, {d + 1}) t(i)
+    ),
+    g_up AS (
+      SELECT a.i AS i, b.i AS j, round(sum(a.v * b.v), 4) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT i, j, g FROM g_up
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM g_up WHERE i < j
+    ),
+    v0 AS (SELECT i, 0.125 AS val FROM range(1, {d + 1}) t(i))"""
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        cte += f""",
+    m{k} AS (
+      SELECT g.i AS i, sum(g.g * {prev}.val) AS val
+      FROM g JOIN {prev} ON g.j = {prev}.i GROUP BY 1
+    ),
+    n{k} AS (SELECT sqrt(sum(val * val)) AS nrm FROM m{k}),
+    v{k} AS (SELECT i, round(val / nrm, 8) AS val FROM m{k}, n{k})"""
+        prev = f"v{k}"
+    cte += f"""
+    SELECT v{PCA_ITERS}.i AS dim,
+           round(v{PCA_ITERS}.val, 4) AS component,
+           round(n{PCA_ITERS}.nrm, 4) AS eigenvalue
+    FROM v{PCA_ITERS}, n{PCA_ITERS}"""
+    return cte
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=f"Top principal component of the embedding corpus by {PCA_ITERS} "
+    "power-method iterations over the Gram matrix: the ONE corpus-scale "
+    "pass is the BLAS-batched Gram reduction (shuffle volume O(partitions "
+    "· d²), row-count-independent); every iteration after that is a "
+    "matvec on the d×d relation — sketch-sized work, exactly how "
+    "distributed PCA runs at 100 TB (compute X^T X once, iterate on the "
+    "summary). Iterates on the 4-decimal Gram and renormalizes to 8 "
+    "decimals per step so both engines walk identical fixed points; the "
+    "oracle unrolls the same iterations as chained CTEs (the kmeans "
+    "trick). Eigenvalue = ||G v|| of the final pre-normalized iterate.",
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True).select("embedding")
+    iu = np.triu_indices(EMB_DIM)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int64),
+                    "j": (iu[1] + 1).astype(np.int64),
+                    "partial": g[iu],
+                }
+            )
+
+    schema = StructType.fromDDL("i bigint, j bigint, partial double")
+    g_up = (
+        emb.mapInPandas(gram_partials, schema)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("partial"), 4).alias("g"))
+    )
+    g = g_up.unionByName(
+        g_up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    g.persist()
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").alias("i"), F.lit(0.125).alias("val")
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        m = (
+            g.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("val"))
+        )
+        nrm = m.agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        )
+        v = m.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("val") / F.col("nrm"), 8).alias("val")
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").alias("dim"),
+        F.round("val", 4).alias("component"),
+        F.round("nrm", 4).alias("eigenvalue"),
+    )
