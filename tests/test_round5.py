@@ -179,3 +179,37 @@ def test_window_topk_bounded_and_descending(spark):
         assert len(g) <= TOPK_PER_WINDOW
         assert (g["rn"].values == np.arange(1, len(g) + 1)).all()
         assert (np.diff(g["n"].values) <= 0).all(), "counts must be non-increasing"
+
+
+def test_pca_matches_numpy_power_iteration(spark):
+    """The distributed power iteration must walk the exact same fixed point
+    as a numpy replay over the same round-4 Gram matrix, and after 3
+    iterations the eigenvalue estimate must be close to numpy's true top
+    eigenvalue of that matrix."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        PCA_ITERS,
+        embedding_pca_power_iteration,
+    )
+
+    out = (
+        embedding_pca_power_iteration(spark, SF)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    emb = table(spark, SF, "embeddings").select("embedding").toPandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    g = np.round(m.T @ m, 4)
+    v = np.full(g.shape[0], 0.125)
+    for _ in range(PCA_ITERS):
+        mv = g @ v
+        nrm = float(np.sqrt((mv * mv).sum()))
+        v = np.round(mv / nrm, 8)
+    assert np.abs(out["component"].to_numpy() - np.round(v, 4)).max() < 1e-9
+    # ||G v|| for unit v never exceeds the true top eigenvalue (Rayleigh
+    # bound); 3 iterations from a uniform start must already recover a
+    # dominant fraction of it (exact convergence depends on the eigengap)
+    true_top = float(np.linalg.eigvalsh(g).max())
+    eig = out["eigenvalue"].iloc[0]
+    assert 0 < eig <= true_top * (1 + 1e-9)
+    assert eig >= 0.5 * true_top
