@@ -138,3 +138,91 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _ensure_text_documents(spark: SparkSession, sf_dir: str) -> str:
+    path = _format_dir(sf_dir, "documents", "txt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # one line per document: "<doc_id>\t<text>" (corpus text is
+        # newline-free by construction; the oracle comparison would catch
+        # any line splitting)
+        table(spark, sf_dir, "documents").select(
+            F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("value")
+        ).write.mode("overwrite").text(path)
+    return path
+
+
+@register(
+    "source_text_scan",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Raw-text source scan (the format every crawled corpus starts in): "
+    "documents round-trip through line-oriented text files "
+    "(doc_id\\ttext), are re-parsed with substring_index — map-only, no "
+    "inferSchema — and joined back to the parquet dimension for labels. "
+    "The oracle aggregates the parquet original, so any line splitting, "
+    "encoding drift, or truncation in the text round-trip breaks parity.",
+)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_text_documents(spark, sf_dir)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    labels = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        parsed.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    if not spark.catalog.tableExists(to):
+        table(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "path", _format_dir(sf_dir, "orders", "bucketed")
+        ).bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+    if not spark.catalog.tableExists(tc):
+        table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "path", _format_dir(sf_dir, "customer", "bucketed")
+        ).bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+    return to, tc
+
+
+@register(
+    "join_bucketed_colocate",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Bucket-colocated join: orders and customer are written ONCE as "
+    "8-bucket tables on the join key, so the recurring join reads "
+    "co-located buckets with ZERO shuffle on either side (the only "
+    "exchange is the final groupBy — asserted shuffle-free in "
+    "tests/test_plans.py's bucketed-join test for the same layout). The "
+    "100 TB answer to 'this equi-join runs every hour': pay the shuffle "
+    "at write time, never at read time. Oracle joins the plain parquet.",
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    to, tc = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(to)
+    c = spark.table(tc).hint("merge")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

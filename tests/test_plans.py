@@ -360,3 +360,17 @@ def test_gram_matrix_shuffles_only_cells(spark):
     s = plan_string(df)
     assert "BatchEvalPython" not in s, "gram partials must be Arrow-batched"
     assert count_key_exchanges(df) == 1, f"expected one keyed exchange:\n{s}"
+
+
+def test_registered_bucketed_join_is_colocated(spark):
+    """The registered bucketed-join query must read both sides bucketed and
+    shuffle only for the final aggregation."""
+    from mongodb_nats_connector_spark.operators.formats import (
+        join_bucketed_colocate,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    df = join_bucketed_colocate(spark, SF)
+    s = plan_string(df)
+    assert "Bucketed: true" in s
+    assert count_exchanges(df) == 1, f"bucketed join still shuffles:\n{s}"
