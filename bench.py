@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "dq_rule_violations",
     "embedding_gram_matrix",
     "stream_window_topk",
+    "bpe_learn_merges",
+    "embedding_pca_power_iteration",
 ]
 
 

@@ -529,3 +529,101 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("val", 4).alias("component"),
         F.round("nrm", 4).alias("eigenvalue"),
     )
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    cte = r"""
+    WITH freq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY 1
+    ),
+    lex0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, c FROM freq)"""
+    for k in range(1, BPE_ROUNDS + 1):
+        prev = f"lex{k - 1}"
+        cte += f""",
+    pr{k} AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS p, sum(c) AS pc
+      FROM (SELECT string_split(w, ' ') AS toks, c,
+                   unnest(range(1, len(string_split(w, ' ')))) AS i
+            FROM {prev}) t
+      GROUP BY 1
+    ),
+    b{k} AS (SELECT p, replace(p, ' ', '') AS m, pc
+             FROM pr{k} ORDER BY pc DESC, p LIMIT 1),
+    lex{k} AS (SELECT replace(w, (SELECT p FROM b{k}), (SELECT m FROM b{k}))
+                 AS w, c FROM {prev})"""
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_round, p AS pair, m AS merged, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return cte + "\n    " + sel
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    doc=f"BPE tokenizer training, {BPE_ROUNDS} merge rounds over the corpus "
+    "word lexicon: each round counts adjacent symbol pairs weighted by "
+    "word frequency (one shuffle over the DIMENSION-sized lexicon, never "
+    "the corpus — the corpus reduces to (word, count) once up front), "
+    "collects the argmax pair to the driver as a literal (the kmeans/"
+    "PageRank driver-loop precedent: bytes moved per round = one row) and "
+    "rewrites the lexicon map-side with a literal string replace. "
+    "Left-to-right non-overlapping replace semantics are identical on "
+    "both engines; ties break on (count desc, pair asc). The oracle "
+    "unrolls all rounds as chained CTEs with scalar-subquery merges.",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lex = freq.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "c"
+    )
+    lex.persist()
+    merges = []
+    for k in range(1, BPE_ROUNDS + 1):
+        toks = F.split("w", " ")
+        pairs = (
+            lex.filter(F.size(toks) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                        ),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
+        merged = best["p"].replace(" ", "")
+        merges.append((k, best["p"], merged, int(best["pc"])))
+        nxt = lex.select(
+            F.replace(F.col("w"), F.lit(best["p"]), F.lit(merged)).alias("w"),
+            "c",
+        )
+        nxt.persist()
+        lex.unpersist()
+        lex = nxt
+    lex.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round INT, pair STRING, merged STRING, pair_count BIGINT"
+    ).select(
+        F.col("merge_round").cast("bigint").alias("merge_round"),
+        "pair",
+        "merged",
+        "pair_count",
+    )
