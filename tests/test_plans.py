@@ -179,7 +179,6 @@ _ALLOWED_NESTED_LOOP = {
     "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
     "dq_rule_violations",         # 1-row checked-count scalars broadcast crossJoin
     "profile_key_skew",           # 1-row top-key scalar broadcast crossJoin
-    "embedding_pca_power_iteration",  # 1-row norm scalar broadcast crossJoin per iteration
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
