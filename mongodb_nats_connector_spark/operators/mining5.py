@@ -623,3 +623,85 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+LIFT_TOPK = 10
+
+
+@register(
+    "orders_basket_lift",
+    oracle=f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pp),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM pp GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_n
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    )
+    SELECT pa, pb, CAST(pair_n AS BIGINT) AS pair_n,
+           round(pair_n * 1.0 * n_orders / (ia.cnt * ib.cnt), 4) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = pair.pa
+    JOIN item ib ON ib.l_partkey = pair.pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa, pb LIMIT {LIFT_TOPK}
+    """,
+    doc=f"Association-rule lift over order baskets: top-{LIFT_TOPK} part "
+    "pairs by lift = P(a,b)/(P(a)·P(b)) among pairs with support ≥ "
+    f"{MIN_SUPPORT}. Pair counts expand map-side from per-order baskets "
+    "(same one-shuffle shape as the triangle edges); item supports are a "
+    "second aggregate over the already-distinct basket relation and "
+    "BROADCAST into the lift join along with the 1-row order total. "
+    "TakeOrderedAndProject caps the output. The market-basket recommender "
+    "primitive at any scale.",
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    arr.persist()
+    n_orders = arr.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    item = arr.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size("ps")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            F.round(
+                F.col("pair_n") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)

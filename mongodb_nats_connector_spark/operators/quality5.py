@@ -305,3 +305,64 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("micros_to_convert"),
         )
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             avg(value) AS mean_v,
+             var_samp(value) AS var_v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    p AS (SELECT n, mean_v, var_v FROM s WHERE event_type = 'purchase'),
+    c AS (SELECT n, mean_v, var_v FROM s WHERE event_type = 'click')
+    SELECT CAST(p.n AS BIGINT) AS n_purchase, CAST(c.n AS BIGINT) AS n_click,
+           round(p.mean_v, 4) AS mean_purchase,
+           round(c.mean_v, 4) AS mean_click,
+           round((p.mean_v - c.mean_v)
+                 / sqrt(p.var_v / p.n + c.var_v / c.n), 4) AS welch_t
+    FROM p CROSS JOIN c
+    """,
+    doc="Welch two-sample t statistic between purchase and click event "
+    "values: ONE pushed-filter scan, conditional aggregation per group "
+    "(count/mean/var_samp all partial-aggregate map-side), then pure "
+    "arithmetic on the two 1-row summaries. The A/B-test primitive — at "
+    "100 TB the whole query is a single map-combined shuffle of 2 keys.",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_purchase"),
+        F.col("mean_v").alias("mean_p"),
+        F.col("var_v").alias("var_p"),
+    )
+    c = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"),
+        F.col("mean_v").alias("mean_c"),
+        F.col("var_v").alias("var_c"),
+    )
+    return p.crossJoin(F.broadcast(c)).select(
+        F.col("n_purchase").cast("bigint").alias("n_purchase"),
+        F.col("n_click").cast("bigint").alias("n_click"),
+        F.round("mean_p", 4).alias("mean_purchase"),
+        F.round("mean_c", 4).alias("mean_click"),
+        F.round(
+            (F.col("mean_p") - F.col("mean_c"))
+            / F.sqrt(
+                F.col("var_p") / F.col("n_purchase")
+                + F.col("var_c") / F.col("n_click")
+            ),
+            4,
+        ).alias("welch_t"),
+    )

@@ -71,8 +71,16 @@ def table(
             # reinterprets the wall time in the session zone), so fail
             # loudly instead of silently shifting epochs if the session was
             # built without session.configure()'s UTC pin.
-            tz = spark.conf.get("spark.sql.session.timeZone", "")
-            if tz not in ("UTC", "Etc/UTC", "GMT"):
+            # No default arg: RuntimeConfig.get validates an explicit
+            # default through the entry's converter, and '' is not a legal
+            # timezone — with no default it returns the session's RESOLVED
+            # value (the JVM zone when unset), which is what the cast uses.
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                tz = None
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "Zulu",
+                          "Universal", "Etc/Universal", "Etc/Zulu"):
                 raise RuntimeError(
                     "events.ts is TIMESTAMP_NTZ; converting to TIMESTAMP "
                     f"requires a UTC session timezone, got {tz!r}"
