@@ -117,3 +117,30 @@ def test_concurrent_queries_shared_session(spark):
     # serial re-run agrees (no cross-thread conf bleed changed semantics)
     for name in ("join_asof", "q1_pricing_summary"):
         assert qs[name](spark, sf).count() == results[name]
+
+
+def test_events_reads_on_untuned_foreign_session(spark):
+    """The driver brings its own session and may call queries() without
+    entry()/tune_existing: a fresh session (no UTC pin, no legacy confs)
+    must still read events with identical epochs. Regression for the NTZ
+    guard crashing on conf.get(key, '') default-validation."""
+    fresh = spark.newSession()
+    tz_key = "spark.sql.session.timeZone"
+    # newSession state: session confs cleared -> resolved JVM default zone
+    assert fresh.conf.get(tz_key) is not None
+    def digest(sess, sf):
+        return (
+            table(sess, sf, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .agg(
+                F.min("us").alias("lo"),
+                F.max("us").alias("hi"),
+                F.avg("us").alias("mean"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        a, b = digest(spark, sf), digest(fresh, sf)
+        assert a == b, f"epoch drift between tuned and foreign session at {sf}"
