@@ -366,3 +366,67 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_t"),
     )
+
+
+PARETO_BUCKETS = 10
+
+
+@register(
+    "orders_pareto_curve",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT revenue,
+             ntile({PARETO_BUCKETS}) OVER (ORDER BY revenue DESC, o_custkey)
+               AS bucket
+      FROM per_cust
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM per_cust)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(revenue), 2) AS revenue,
+           round(sum(revenue) / total, 4) AS revenue_share
+    FROM ranked, tot
+    GROUP BY bucket, total
+    """,
+    doc=f"Pareto concentration curve: customers bucketed into revenue-"
+    f"ranked {PARETO_BUCKETS}-tiles with each bucket's revenue share — "
+    "the 80/20 diagnostic behind every whale-risk and sampling-strategy "
+    "decision. Two-phase so it scales: the fact table pre-aggregates to "
+    "one row per customer (map-combined shuffle), and only the customer-"
+    "sized relation flows through the ntile window; the grand total rides "
+    "in as a broadcast 1-row scalar.",
+)
+def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    per_cust.persist()
+    ranked = per_cust.withColumn(
+        "bucket",
+        F.ntile(PARETO_BUCKETS).over(
+            Window.orderBy(F.desc("revenue"), "o_custkey")
+        ),
+    )
+    tot = per_cust.agg(F.sum("revenue").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.round(F.sum("revenue") / F.first("total"), 4).alias(
+                "revenue_share"
+            ),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_customers",
+            "revenue",
+            "revenue_share",
+        )
+    )

@@ -179,6 +179,9 @@ _ALLOWED_NESTED_LOOP = {
     "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
     "dq_rule_violations",         # 1-row checked-count scalars broadcast crossJoin
     "profile_key_skew",           # 1-row top-key scalar broadcast crossJoin
+    "orders_pareto_curve",        # 1-row revenue-total scalar broadcast crossJoin
+    "agg_welch_ttest",            # two 1-row group summaries broadcast crossJoin
+    "orders_basket_lift",         # 1-row order-total scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
