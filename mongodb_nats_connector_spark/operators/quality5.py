@@ -430,3 +430,124 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share",
         )
     )
+
+
+INCR_CUTOFF = "2001-01-01"
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             count(*) AS n, sum(o_totalprice) AS rev
+      FROM orders WHERE o_orderdate < DATE '{INCR_CUTOFF}'
+      GROUP BY 1
+    ),
+    delta AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             count(*) AS n, sum(o_totalprice) AS rev
+      FROM orders WHERE o_orderdate >= DATE '{INCR_CUTOFF}'
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT month, sum(n) AS n, sum(rev) AS rev
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY 1
+    )
+    SELECT month, CAST(n AS BIGINT) AS n_orders,
+           round(rev, 2) AS revenue,
+           round(rev / n, 4) AS avg_price
+    FROM merged
+    """,
+    doc="Incremental aggregate maintenance: the historical partition "
+    "reduces once to algebraic partials (count, sum) per month and the "
+    "fresh delta partition reduces separately; the merged rollup — "
+    "including the non-algebraic-looking avg — re-aggregates ONLY the "
+    "partials. The nightly-ETL pattern at 100 TB: yesterday's partials "
+    "are a stored table, today's delta is the only raw scan, and the "
+    "merge shuffles rows proportional to the GROUP-key domain, not the "
+    "fact table. Both scans push their date predicate to parquet.",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit(INCR_CUTOFF).cast("date")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("n").alias("n"), F.sum("rev").alias("rev"))
+    )
+    return merged.select(
+        "month",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.col("n"), 4).alias("avg_price"),
+    )
+
+
+FORECAST_TRAIN_DAYS = 23
+
+
+@register(
+    "events_seasonal_baseline",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    baseline AS (
+      SELECT hour, avg(n) AS expected
+      FROM hourly WHERE day < DATE '2024-01-01' + {FORECAST_TRAIN_DAYS}
+      GROUP BY 1
+    )
+    SELECT h.day, CAST(h.hour AS BIGINT) AS hour,
+           CAST(h.n AS BIGINT) AS actual,
+           round(b.expected, 4) AS expected,
+           round(h.n - b.expected, 4) AS residual
+    FROM hourly h JOIN baseline b ON b.hour = h.hour
+    WHERE h.day >= DATE '2024-01-01' + {FORECAST_TRAIN_DAYS}
+    """,
+    doc=f"Seasonal-naive forecast baseline: hour-of-day traffic averaged "
+    f"over the first {FORECAST_TRAIN_DAYS} training days, scored against "
+    "the holdout days as actual/expected/residual. ONE shuffle reduces "
+    "events to (day, hour) counts; the 24-row baseline broadcasts back "
+    "into the holdout probe. The capacity-planning/anomaly-detection "
+    "baseline every event pipeline carries.",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly.persist()
+    split = F.lit("2024-01-01").cast("date")
+    train_end = F.date_add(split, FORECAST_TRAIN_DAYS)
+    baseline = (
+        hourly.filter(F.col("day") < train_end)
+        .groupBy("hour")
+        .agg(F.avg("n").alias("expected"))
+    )
+    return (
+        hourly.filter(F.col("day") >= train_end)
+        .join(F.broadcast(baseline), "hour")
+        .select(
+            "day",
+            F.col("hour").cast("bigint").alias("hour"),
+            F.col("n").cast("bigint").alias("actual"),
+            F.round("expected", 4).alias("expected"),
+            F.round(F.col("n") - F.col("expected"), 4).alias("residual"),
+        )
+    )
