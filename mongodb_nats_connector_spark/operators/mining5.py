@@ -705,3 +705,124 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)
+
+
+JACCARD_NEIGHBOR_TOPK = 15
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, count(*) AS deg FROM pp GROUP BY 1),
+    common AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS both_n
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    )
+    SELECT pa, pb, CAST(both_n AS BIGINT) AS both_n,
+           round(both_n * 1.0 / (da.deg + db.deg - both_n), 4) AS jaccard
+    FROM common
+    JOIN deg da ON da.l_partkey = common.pa
+    JOIN deg db ON db.l_partkey = common.pb
+    ORDER BY jaccard DESC, pa, pb LIMIT {JACCARD_NEIGHBOR_TOPK}
+    """,
+    doc=f"Neighbor-set Jaccard similarity between parts in the order-"
+    "basket bipartite graph — |orders(a)∩orders(b)| / |orders(a)∪orders(b)| "
+    f"for pairs co-occurring ≥{MIN_SUPPORT} times — the item-item "
+    "collaborative-filtering / link-prediction primitive. Co-occurrence "
+    "counts expand map-side from per-order baskets (one shuffle); degrees "
+    "are a second aggregate over the distinct basket relation, BROADCAST "
+    "into the similarity join; TakeOrderedAndProject caps output. The "
+    "union size folds from degrees (inclusion-exclusion) — no second "
+    "pass over the graph.",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    arr.persist()
+    deg = arr.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("deg"))
+    common = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size("ps")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+        .filter(F.col("both_n") >= MIN_SUPPORT)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("deg").alias("deg_b"))
+    out = (
+        common.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("both_n").cast("bigint").alias("both_n"),
+            F.round(
+                F.col("both_n")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("both_n")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard"), "pa", "pb").limit(JACCARD_NEIGHBOR_TOPK)
+
+
+PATHS_TOPK = 10
+
+
+@register(
+    "events_funnel_paths_topk",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM seqs GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATHS_TOPK}
+    """,
+    doc=f"Top-{PATHS_TOPK} most common full event paths: per-user ordered "
+    "event-type sequences (deterministic (ts, event_id) tie-break) counted "
+    "corpus-wide — the path-analysis complement to the funnel regex. One "
+    "user_id shuffle builds sequences, one path shuffle counts them "
+    "(map-combined — identical paths collapse per task first), "
+    "TakeOrderedAndProject caps output.",
+)
+def events_funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        seqs.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(PATHS_TOPK)
+    )

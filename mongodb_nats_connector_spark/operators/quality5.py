@@ -551,3 +551,66 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") - F.col("expected"), 4).alias("residual"),
         )
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             count(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, sum(n) AS seg_n FROM obs GROUP BY 1
+    ),
+    pmargins AS (
+      SELECT pri, sum(n) AS pri_n FROM obs GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(total) AS BIGINT) AS n_obs,
+           round(sum(pow(n - seg_n * pri_n * 1.0 / total, 2)
+                     / (seg_n * pri_n * 1.0 / total)), 4) AS chi_square
+    FROM obs
+    JOIN margins USING (seg)
+    JOIN pmargins USING (pri)
+    CROSS JOIN tot
+    """,
+    doc="Chi-square independence test between customer market segment and "
+    "order priority: the contingency table is ONE map-combined shuffle "
+    "(orders join broadcast customer, groupBy cell), margins and the "
+    "grand total derive from the tiny cell relation and broadcast back "
+    "for the expected-count arithmetic. The categorical-association "
+    "primitive next to agg_welch_ttest's numeric one; at 100 TB the only "
+    "fact-sized work is the first aggregation.",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    obs.persist()
+    margins = obs.groupBy("seg").agg(F.sum("n").alias("seg_n"))
+    pmargins = obs.groupBy("pri").agg(F.sum("n").alias("pri_n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    expected = F.col("seg_n") * F.col("pri_n") / F.col("total")
+    return (
+        obs.join(F.broadcast(margins), "seg")
+        .join(F.broadcast(pmargins), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("total").cast("bigint").alias("n_obs"),
+            F.round(
+                F.sum(F.pow(F.col("n") - expected, 2) / expected), 4
+            ).alias("chi_square"),
+        )
+    )

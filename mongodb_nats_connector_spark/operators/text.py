@@ -633,3 +633,64 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+KEYWORD_TOPK = 3
+
+
+@register(
+    "text_keywords_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= {KEYWORD_TOPK}
+    """,
+    doc=f"Per-document top-{KEYWORD_TOPK} TF-IDF keywords: the tf-idf "
+    "relation (same two-aggregation, broadcast-idf shape as text_tfidf) "
+    "capped per doc by a rank filter that Catalyst rewrites to "
+    "WindowGroupLimit — map tasks pre-prune to k terms per doc before the "
+    "shuffle. The keyword-extraction / doc-tagging primitive over any "
+    "corpus size.",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rn") <= KEYWORD_TOPK)
+    )
