@@ -213,3 +213,81 @@ def test_pca_matches_numpy_power_iteration(spark):
     eig = out["eigenvalue"].iloc[0]
     assert 0 < eig <= true_top * (1 + 1e-9)
     assert eig >= 0.5 * true_top
+
+
+def test_r5c_statistics_invariants(spark):
+    """Sanity bounds that hold on ANY data: chi² >= 0 with the right cell
+    count; Welch t finite with positive group sizes; Pareto shares sum to 1
+    and decrease; lift and Jaccard positive with Jaccard <= 1."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        graph_jaccard_neighbors,
+        orders_basket_lift,
+    )
+    from mongodb_nats_connector_spark.operators.quality5 import (
+        agg_chi_square,
+        agg_welch_ttest,
+        orders_pareto_curve,
+    )
+
+    chi = agg_chi_square(spark, SF).toPandas().iloc[0]
+    assert chi["chi_square"] >= 0
+    assert chi["n_cells"] > 0 and chi["n_obs"] > 0
+
+    t = agg_welch_ttest(spark, SF).toPandas().iloc[0]
+    assert t["n_purchase"] > 0 and t["n_click"] > 0
+    assert np.isfinite(t["welch_t"])
+
+    par = orders_pareto_curve(spark, SF).toPandas().sort_values("bucket")
+    assert abs(par["revenue_share"].sum() - 1.0) < 1e-3
+    assert (np.diff(par["revenue_share"].values) <= 1e-9).all(), (
+        "revenue share must be non-increasing across rank buckets"
+    )
+
+    lift = orders_basket_lift(spark, SF).toPandas()
+    assert (lift["lift"] > 0).all()
+
+    jac = graph_jaccard_neighbors(spark, SF).toPandas()
+    assert ((jac["jaccard"] > 0) & (jac["jaccard"] <= 1.0)).all()
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The defining property: merging base+delta partials must equal the
+    single-pass aggregation over the whole table."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.operators.quality5 import (
+        agg_incremental_merge,
+    )
+
+    merged = (
+        agg_incremental_merge(spark, SF)
+        .toPandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    full = (
+        table(spark, SF, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("o_totalprice") / F.count(F.lit(1)), 4).alias(
+                "avg_price"
+            ),
+        )
+        .toPandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert merged.equals(full)
+
+
+def test_funnel_paths_counts_partition_users(spark):
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        events_funnel_paths_topk,
+    )
+
+    out = events_funnel_paths_topk(spark, SF).toPandas()
+    n_users = table(spark, SF, "events").select("user_id").distinct().count()
+    assert out["n_users"].sum() <= n_users
+    assert (np.diff(out["n_users"].values) <= 0).all()
