@@ -104,6 +104,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "note": "r5: timings now include DataFrame BUILD time, so "
+                "driver-loop queries (pagerank, kmeans-style, BPE, PCA) "
+                "charge their iteration jobs here (r4 timed only the final "
+                "write); headline set grew 24 -> 31 queries",
             }
         )
     )
