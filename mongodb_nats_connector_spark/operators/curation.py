@@ -407,3 +407,94 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "curate_gate_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS punct_ratio,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({QUALITY_STOPWORDS!r}, lower(w)))) * 1.0
+               / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    ),
+    flags AS (
+      SELECT *,
+             CASE WHEN n_words >= 10 THEN 1 ELSE 0 END AS p1,
+             CASE WHEN n_words >= 10 AND punct_ratio <= 0.2
+                  THEN 1 ELSE 0 END AS p2,
+             CASE WHEN n_words >= 10 AND punct_ratio <= 0.2
+                       AND stopword_ratio >= 0.05 THEN 1 ELSE 0 END AS p3
+      FROM scored
+    ),
+    agg AS (
+      SELECT count(*) AS total, sum(p1) AS s1, sum(p2) AS s2, sum(p3) AS s3,
+             count(DISTINCT CASE WHEN p3 = 1 THEN text END) AS s4
+      FROM flags
+    )
+    SELECT gate, CAST(survivors AS BIGINT) AS survivors,
+           CAST(rejected AS BIGINT) AS rejected,
+           round(survivors * 1.0 / total, 4) AS survival_rate
+    FROM (
+      SELECT 1 AS ord, 'input' AS gate, total AS survivors, 0 AS rejected, total FROM agg
+      UNION ALL SELECT 2, 'min_length', s1, total - s1, total FROM agg
+      UNION ALL SELECT 3, 'max_punct', s2, s1 - s2, total FROM agg
+      UNION ALL SELECT 4, 'min_stopwords', s3, s2 - s3, total FROM agg
+      UNION ALL SELECT 5, 'exact_dedup', s4, s3 - s4, total FROM agg
+    )
+    """,
+    doc="Curation-funnel observability: per-gate survivor/rejected counts "
+    "and survival rate for the same gate sequence curate_training_set "
+    "applies (length -> punctuation -> stopwords -> exact dedup). All "
+    "row-local gates fold into ONE conditional-aggregation scan (the "
+    "cumulative flags are nested CASEs, so each doc is scanned once); the "
+    "dedup stage is the one count-distinct. The report every production "
+    "corpus pipeline emits per snapshot — at 100 TB it costs one read.",
+)
+def curate_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    scored = docs.select(
+        "text",
+        F.size(words).cast("bigint").alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")) / F.length("text")
+        ).alias("punct_ratio"),
+        (n_stop / F.size(words)).alias("stopword_ratio"),
+    )
+    p1 = F.col("n_words") >= 10
+    p2 = p1 & (F.col("punct_ratio") <= 0.2)
+    p3 = p2 & (F.col("stopword_ratio") >= 0.05)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(p1.cast("int")).alias("s1"),
+        F.sum(p2.cast("int")).alias("s2"),
+        F.sum(p3.cast("int")).alias("s3"),
+        F.count_distinct(F.when(p3, F.col("text"))).alias("s4"),
+    )
+
+    def row(gate, survivors, rejected):
+        return F.struct(
+            F.lit(gate).alias("gate"),
+            survivors.cast("bigint").alias("survivors"),
+            rejected.cast("bigint").alias("rejected"),
+            F.round(survivors / F.col("total"), 4).alias("survival_rate"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                row("input", F.col("total"), F.lit(0)),
+                row("min_length", F.col("s1"), F.col("total") - F.col("s1")),
+                row("max_punct", F.col("s2"), F.col("s1") - F.col("s2")),
+                row("min_stopwords", F.col("s3"), F.col("s2") - F.col("s3")),
+                row("exact_dedup", F.col("s4"), F.col("s3") - F.col("s4")),
+            )
+        ).alias("r")
+    ).select("r.*")
