@@ -826,3 +826,195 @@ def events_funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(PATHS_TOPK)
     )
+
+
+def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Run the merge-learning loop (same arithmetic as bpe_learn_merges)
+    and return [(pair, merged), ...] as driver literals."""
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lex = freq.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "c"
+    )
+    lex.persist()
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_ROUNDS):
+        toks = F.split("w", " ")
+        pairs = (
+            lex.filter(F.size(toks) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                        ),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
+        merged = best["p"].replace(" ", "")
+        merges.append((best["p"], merged))
+        nxt = lex.select(
+            F.replace(F.col("w"), F.lit(best["p"]), F.lit(merged)).alias("w"), "c"
+        )
+        nxt.persist()
+        lex.unpersist()
+        lex = nxt
+    lex.unpersist()
+    return merges
+
+
+def _bpe_apply_oracle() -> str:
+    # reuse the learn CTEs; apply the three merges per word via lambdas that
+    # capture the b_k scalars (cross-joined in as plain columns)
+    learn = _bpe_oracle().split("SELECT 1 AS merge_round")[0].rstrip().rstrip(",")
+    word_expr = (
+        "len(string_split("
+        "replace(replace(replace("
+        "trim(regexp_replace(w, '(.)', '\\1 ', 'g')),"
+        " p1, m1), p2, m2), p3, m3), ' '))"
+    )
+    return f"""{learn},
+    m AS (
+      SELECT b1.p AS p1, b1.m AS m1, b2.p AS p2, b2.m AS m2,
+             b3.p AS p3, b3.m AS m3
+      FROM b1, b2, b3
+    )
+    SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_symbols_chars,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> {word_expr})) AS BIGINT) AS n_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / list_sum(list_transform(string_split(text, ' '),
+                      w -> {word_expr})), 4) AS chars_per_token
+    FROM documents, m
+    """
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=_bpe_apply_oracle(),
+    doc=f"Tokenizer application: the {BPE_ROUNDS} learned BPE merges are "
+    "collected once as driver literals (the learn loop's arithmetic is "
+    "shared with bpe_learn_merges) and applied corpus-wide as literal "
+    "string replaces per word — a MAP-ONLY pass at any corpus size; per-"
+    "doc output is the char-level symbol count, the post-merge token "
+    "count, and chars-per-token (the compression dial tokenizer teams "
+    "actually tune). The oracle re-learns the merges in chained CTEs and "
+    "applies them through lambda-captured scalars, so learn AND apply are "
+    "verified end-to-end.",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_learned_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents", parallel=True)
+
+    def tokenize(w):
+        spaced = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for pair, merged in merges:
+            spaced = F.replace(spaced, F.lit(pair), F.lit(merged))
+        return F.size(F.split(spaced, " "))
+
+    per_word = F.transform(F.split("text", " "), tokenize)
+    n_tokens = F.aggregate(
+        per_word, F.lit(0), lambda acc, x: acc + x
+    ).cast("bigint")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_symbols_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_signup_ts,
+             min(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_signup_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_signup_ts IS NULL THEN next_signup_ts
+             WHEN next_signup_ts IS NULL THEN prev_signup_ts
+             WHEN epoch_us(ts) - epoch_us(prev_signup_ts)
+                  <= epoch_us(next_signup_ts) - epoch_us(ts)
+               THEN prev_signup_ts
+             ELSE next_signup_ts
+           END AS nearest_signup_ts,
+           CAST(least(coalesce(epoch_us(ts) - epoch_us(prev_signup_ts),
+                               9223372036854775807),
+                      coalesce(epoch_us(next_signup_ts) - epoch_us(ts),
+                               9223372036854775807)) AS BIGINT) AS gap_micros
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    doc="Nearest-direction as-of join (kdb nearest-aj): each purchase "
+    "matches its closest signup in EITHER time direction (tie -> the "
+    "earlier one). Same union+window trick as join_asof — both the "
+    "backward running-max and the forward running-min ride ONE shuffle "
+    "and ONE sort on (user_id, ts): no second window sort (Spark reuses "
+    "the ordering for the mirrored frame), no range self-join, linear at "
+    "any scale.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.max("signup_ts")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prev_signup_ts"),
+        F.min("signup_ts")
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("next_signup_ts"),
+    )
+    prev_gap = F.unix_micros("ts") - F.unix_micros("prev_signup_ts")
+    next_gap = F.unix_micros("next_signup_ts") - F.unix_micros("ts")
+    big = F.lit(9223372036854775807)
+    nearest = (
+        F.when(F.col("prev_signup_ts").isNull(), F.col("next_signup_ts"))
+        .when(F.col("next_signup_ts").isNull(), F.col("prev_signup_ts"))
+        .when(prev_gap <= next_gap, F.col("prev_signup_ts"))
+        .otherwise(F.col("next_signup_ts"))
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_signup_ts"),
+        F.least(
+            F.coalesce(prev_gap, big), F.coalesce(next_gap, big)
+        ).cast("bigint").alias("gap_micros"),
+    )
