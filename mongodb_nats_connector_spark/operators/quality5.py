@@ -82,6 +82,12 @@ SAMPLE_K = 7
     "aggregation; only the referential/date rules join.",
 )
 def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Five scans total, one job: the three row-local lineitem rules share
+    # one scan; the orphan-lineitem AND ship-before-order rules share one
+    # lineitem⟕orders pass (the anti-join is the null side of the left
+    # join); orders contributes its row-local scan, the join probe, and
+    # the orphan-customer anti-join. The four 1-row summaries broadcast-
+    # crossJoin into a single row and explode into the 8 rule rows.
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -90,30 +96,29 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
     li_agg = li.agg(
-        F.count(F.lit(1)).alias("checked"),
+        F.count(F.lit(1)).alias("li_checked"),
         _cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_discount"),
         _cnt(F.col("l_quantity") <= 0).alias("v_qty"),
         _cnt(F.col("l_extendedprice") <= 0).alias("v_price"),
     )
     ord_agg = o.agg(
-        F.count(F.lit(1)).alias("checked"),
+        F.count(F.lit(1)).alias("ord_checked"),
         _cnt(F.col("o_totalprice") < 0).alias("v_total"),
         _cnt(F.col("o_custkey").isNull()).alias("v_null_cust"),
     )
-    orphan_li = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("v"))
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    jagg = joined.agg(
+        _cnt(F.col("o_orderkey").isNull()).alias("v_orphan_li"),
+        _cnt(F.col("o_orderkey").isNotNull()).alias("ship_checked"),
+        _cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("v_ship"),
     )
     orphan_ord = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    shiporder = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .agg(
-            F.count(F.lit(1)).alias("checked"),
-            _cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"),
-        )
+        .agg(F.count(F.lit(1)).alias("v_orphan_ord"))
     )
 
     def row(name, violations, checked):
@@ -123,46 +128,25 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             checked.cast("bigint").alias("checked"),
         )
 
-    li_rows = li_agg.select(
+    one = (
+        li_agg.crossJoin(F.broadcast(jagg))
+        .crossJoin(F.broadcast(ord_agg))
+        .crossJoin(F.broadcast(orphan_ord))
+    )
+    return one.select(
         F.explode(
             F.array(
-                row("li_discount_range", F.col("v_discount"), F.col("checked")),
-                row("li_nonpositive_qty", F.col("v_qty"), F.col("checked")),
-                row("li_nonpositive_price", F.col("v_price"), F.col("checked")),
+                row("li_discount_range", F.col("v_discount"), F.col("li_checked")),
+                row("li_nonpositive_qty", F.col("v_qty"), F.col("li_checked")),
+                row("li_nonpositive_price", F.col("v_price"), F.col("li_checked")),
+                row("li_orphan_order", F.col("v_orphan_li"), F.col("li_checked")),
+                row("li_ship_before_order", F.col("v_ship"), F.col("ship_checked")),
+                row("ord_negative_total", F.col("v_total"), F.col("ord_checked")),
+                row("ord_null_custkey", F.col("v_null_cust"), F.col("ord_checked")),
+                row("ord_orphan_customer", F.col("v_orphan_ord"), F.col("ord_checked")),
             )
         ).alias("r")
     ).select("r.*")
-    ord_rows = ord_agg.select(
-        F.explode(
-            F.array(
-                row("ord_negative_total", F.col("v_total"), F.col("checked")),
-                row("ord_null_custkey", F.col("v_null_cust"), F.col("checked")),
-            )
-        ).alias("r")
-    ).select("r.*")
-    li_checked = li_agg.select(F.col("checked").alias("li_checked"))
-    ord_checked = ord_agg.select(F.col("checked").alias("ord_checked"))
-    orphan_li_rows = orphan_li.crossJoin(F.broadcast(li_checked)).select(
-        F.lit("li_orphan_order").alias("rule"),
-        F.col("v").cast("bigint").alias("violations"),
-        F.col("li_checked").cast("bigint").alias("checked"),
-    )
-    orphan_ord_rows = orphan_ord.crossJoin(F.broadcast(ord_checked)).select(
-        F.lit("ord_orphan_customer").alias("rule"),
-        F.col("v").cast("bigint").alias("violations"),
-        F.col("ord_checked").cast("bigint").alias("checked"),
-    )
-    shiporder_rows = shiporder.select(
-        F.lit("li_ship_before_order").alias("rule"),
-        F.col("v").cast("bigint").alias("violations"),
-        F.col("checked").cast("bigint").alias("checked"),
-    )
-    return (
-        li_rows.unionByName(orphan_li_rows)
-        .unionByName(shiporder_rows)
-        .unionByName(ord_rows)
-        .unionByName(orphan_ord_rows)
-    )
 
 
 @register(
