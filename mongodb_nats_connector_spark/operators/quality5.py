@@ -181,20 +181,20 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = li.groupBy(F.col("l_suppkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    stats = per_key.agg(
+    # ONE pass over the per-key relation: the top key folds into the same
+    # aggregation via max_by on (count, -key) — max count, ties to the
+    # smallest key — instead of a second sort+limit job.
+    return per_key.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("c").cast("bigint").alias("n_rows"),
+        F.max_by("k", F.struct(F.col("c"), -F.col("k"))).alias("top_key"),
         F.max("c").cast("bigint").alias("max_key_rows"),
         F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
         F.round(F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 6).alias(
             "herfindahl"
         ),
         F.round(F.avg("c"), 4).alias("avg_key_rows"),
-    )
-    top = per_key.orderBy(F.desc("c"), "k").limit(1).select(
-        F.col("k").alias("top_key")
-    )
-    return stats.crossJoin(F.broadcast(top)).select(
+    ).select(
         "n_keys",
         "n_rows",
         "top_key",

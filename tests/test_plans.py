@@ -178,7 +178,6 @@ _ALLOWED_NESTED_LOOP = {
     "text_kl_divergence",         # 1-row corpus-token-total scalar broadcast crossJoin
     "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
     "dq_rule_violations",         # 1-row checked-count scalars broadcast crossJoin
-    "profile_key_skew",           # 1-row top-key scalar broadcast crossJoin
     "orders_pareto_curve",        # 1-row revenue-total scalar broadcast crossJoin
     "agg_welch_ttest",            # two 1-row group summaries broadcast crossJoin
     "orders_basket_lift",         # 1-row order-total scalar broadcast crossJoin
