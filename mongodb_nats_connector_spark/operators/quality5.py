@@ -318,27 +318,25 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the whole query is a single map-combined shuffle of 2 keys.",
 )
 def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE conditional-aggregation scan, no join: avg/var_samp over
+    # when(cond, value) skip the nulls, so each group's moments compute
+    # from the same pass (aggregate-FILTER semantics without a groupBy).
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    s = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("mean_v"),
-        F.var_samp("value").alias("var_v"),
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    cv = F.when(F.col("event_type") == "click", F.col("value"))
+    agg = ev.agg(
+        F.count(pv).cast("bigint").alias("n_purchase"),
+        F.count(cv).cast("bigint").alias("n_click"),
+        F.avg(pv).alias("mean_p"),
+        F.avg(cv).alias("mean_c"),
+        F.var_samp(pv).alias("var_p"),
+        F.var_samp(cv).alias("var_c"),
     )
-    p = s.filter(F.col("event_type") == "purchase").select(
-        F.col("n").alias("n_purchase"),
-        F.col("mean_v").alias("mean_p"),
-        F.col("var_v").alias("var_p"),
-    )
-    c = s.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n_click"),
-        F.col("mean_v").alias("mean_c"),
-        F.col("var_v").alias("var_c"),
-    )
-    return p.crossJoin(F.broadcast(c)).select(
-        F.col("n_purchase").cast("bigint").alias("n_purchase"),
-        F.col("n_click").cast("bigint").alias("n_click"),
+    return agg.select(
+        "n_purchase",
+        "n_click",
         F.round("mean_p", 4).alias("mean_purchase"),
         F.round("mean_c", 4).alias("mean_click"),
         F.round(

@@ -179,7 +179,6 @@ _ALLOWED_NESTED_LOOP = {
     "events_time_gap_fill",       # dimension × calendar scaffold broadcast crossJoin
     "dq_rule_violations",         # 1-row checked-count scalars broadcast crossJoin
     "orders_pareto_curve",        # 1-row revenue-total scalar broadcast crossJoin
-    "agg_welch_ttest",            # two 1-row group summaries broadcast crossJoin
     "orders_basket_lift",         # 1-row order-total scalar broadcast crossJoin
     "agg_chi_square",             # 1-row grand-total scalar broadcast crossJoin
     "text_keywords_topk",         # 1-row corpus-size scalar broadcast crossJoin
