@@ -291,3 +291,39 @@ def test_funnel_paths_counts_partition_users(spark):
     n_users = table(spark, SF, "events").select("user_id").distinct().count()
     assert out["n_users"].sum() <= n_users
     assert (np.diff(out["n_users"].values) <= 0).all()
+
+
+def test_bpe_apply_compression_invariants(spark):
+    """Applying merges can only shrink token counts: chars/token >= 1,
+    n_tokens <= char count, and every learned merge is a 2-symbol pair."""
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    out = bpe_apply_merges(spark, SF).toPandas()
+    assert (out["n_tokens"] <= out["n_symbols_chars"]).all()
+    assert (out["chars_per_token"] >= 1.0).all()
+    merges = bpe_learn_merges(spark, SF).toPandas()
+    for r in merges.itertuples():
+        a, b = r.pair.split(" ")
+        assert r.merged == a + b
+        assert r.pair_count > 0
+
+
+def test_asof_nearest_never_farther_than_backward(spark):
+    """The nearest match is at most as far as the backward-only match for
+    every purchase that has a preceding signup."""
+    from mongodb_nats_connector_spark.operators.mining5 import join_asof_nearest
+    from mongodb_nats_connector_spark.operators.relational import join_asof
+
+    near = (
+        join_asof_nearest(spark, SF).toPandas().set_index("event_id")
+    )
+    back = join_asof(spark, SF).toPandas().set_index("event_id")
+    joined = near.join(back[["last_signup_ts"]], how="inner")
+    has_back = joined.dropna(subset=["last_signup_ts"])
+    back_gap = (
+        has_back["ts"] - has_back["last_signup_ts"]
+    ).dt.total_seconds() * 1e6
+    assert (has_back["gap_micros"] <= back_gap + 0.5).all()
