@@ -536,6 +536,39 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 BPE_ROUNDS = 3
 
 
+def _duck_merge(w_expr: str, p_expr: str, m_expr: str) -> str:
+    """DuckDB expression: greedy left-to-right merge of symbol pair
+    ``p_expr`` ('a b') into ``m_expr`` ('ab') within the space-joined
+    symbol string ``w_expr`` — merging WHOLE symbols only (a fold over
+    the token list, never a substring replace, so a pair can't match
+    across a previously-merged symbol boundary)."""
+    return (
+        f"list_reduce(string_split({w_expr}, ' '), (acc, x) -> "
+        f"CASE WHEN regexp_extract(acc, '[^ ]*$') = string_split({p_expr}, ' ')[1] "
+        f"AND x = string_split({p_expr}, ' ')[2] "
+        f"THEN regexp_replace(acc, '[^ ]*$', '') || {m_expr} "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def _merge_pair_arr(arr, p1: str, p2: str, merged: str):
+    """Spark expression: greedy left-to-right BPE merge of the adjacent
+    symbol pair (p1, p2) -> merged over a symbol array — same whole-symbol
+    fold semantics as :func:`_duck_merge` (validated pairwise in tests)."""
+    return F.aggregate(
+        arr,
+        F.slice(arr, 1, 0),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def _bpe_oracle() -> str:
     cte = r"""
     WITH freq AS (
@@ -546,6 +579,9 @@ def _bpe_oracle() -> str:
     lex0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, c FROM freq)"""
     for k in range(1, BPE_ROUNDS + 1):
         prev = f"lex{k - 1}"
+        # DuckDB forbids subqueries inside lambdas: cross-join the 1-row
+        # b{k} so its p/m are plain columns the fold lambda can capture
+        merge_expr = _duck_merge("w", "p", "m")
         cte += f""",
     pr{k} AS (
       SELECT toks[i] || ' ' || toks[i + 1] AS p, sum(c) AS pc
@@ -556,8 +592,7 @@ def _bpe_oracle() -> str:
     ),
     b{k} AS (SELECT p, replace(p, ' ', '') AS m, pc
              FROM pr{k} ORDER BY pc DESC, p LIMIT 1),
-    lex{k} AS (SELECT replace(w, (SELECT p FROM b{k}), (SELECT m FROM b{k}))
-                 AS w, c FROM {prev})"""
+    lex{k} AS (SELECT {merge_expr} AS w, c FROM {prev}, b{k})"""
     sel = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_round, p AS pair, m AS merged, "
         f"CAST(pc AS BIGINT) AS pair_count FROM b{k}"
@@ -575,10 +610,11 @@ def _bpe_oracle() -> str:
     "the corpus — the corpus reduces to (word, count) once up front), "
     "collects the argmax pair to the driver as a literal (the kmeans/"
     "PageRank driver-loop precedent: bytes moved per round = one row) and "
-    "rewrites the lexicon map-side with a literal string replace. "
-    "Left-to-right non-overlapping replace semantics are identical on "
-    "both engines; ties break on (count desc, pair asc). The oracle "
-    "unrolls all rounds as chained CTEs with scalar-subquery merges.",
+    "rewrites the lexicon map-side with a greedy left-to-right WHOLE-"
+    "SYMBOL fold (true BPE: a pair never matches across a previously-"
+    "merged symbol's boundary). Ties break on (count desc, pair asc). "
+    "The oracle unrolls all rounds as chained CTEs whose lexicon rewrite "
+    "is the identical fold via list_reduce.",
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
@@ -612,9 +648,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
         merged = best["p"].replace(" ", "")
+        p1, p2 = best["p"].split(" ")
         merges.append((k, best["p"], merged, int(best["pc"])))
         nxt = lex.select(
-            F.replace(F.col("w"), F.lit(best["p"]), F.lit(merged)).alias("w"),
+            F.array_join(
+                _merge_pair_arr(F.split("w", " "), p1, p2, merged), " "
+            ).alias("w"),
             "c",
         )
         nxt.persist()
@@ -868,9 +907,13 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str
         )
         best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
         merged = best["p"].replace(" ", "")
+        p1, p2 = best["p"].split(" ")
         merges.append((best["p"], merged))
         nxt = lex.select(
-            F.replace(F.col("w"), F.lit(best["p"]), F.lit(merged)).alias("w"), "c"
+            F.array_join(
+                _merge_pair_arr(F.split("w", " "), p1, p2, merged), " "
+            ).alias("w"),
+            "c",
         )
         nxt.persist()
         lex.unpersist()
@@ -881,19 +924,21 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str
 
 def _bpe_apply_oracle() -> str:
     # reuse the learn CTEs; apply the three merges per word via lambdas that
-    # capture the b_k scalars (cross-joined in as plain columns)
+    # capture the b_k scalars (cross-joined in as plain columns), each merge
+    # the same whole-symbol list_reduce fold the learn loop uses
     learn = _bpe_oracle().split("SELECT 1 AS merge_round")[0].rstrip().rstrip(",")
-    word_expr = (
-        "len(string_split("
-        "replace(replace(replace("
-        "trim(regexp_replace(w, '(.)', '\\1 ', 'g')),"
-        " p1, m1), p2, m2), p3, m3), ' '))"
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for k in range(1, BPE_ROUNDS + 1):
+        expr = _duck_merge(f"({expr})", f"p{k}", f"m{k}")
+    word_expr = f"len(string_split({expr}, ' '))"
+    m_cols = ", ".join(
+        f"b{k}.p AS p{k}, b{k}.m AS m{k}" for k in range(1, BPE_ROUNDS + 1)
     )
+    m_from = ", ".join(f"b{k}" for k in range(1, BPE_ROUNDS + 1))
     return f"""{learn},
     m AS (
-      SELECT b1.p AS p1, b1.m AS m1, b2.p AS p2, b2.m AS m2,
-             b3.p AS p3, b3.m AS m3
-      FROM b1, b2, b3
+      SELECT {m_cols}
+      FROM {m_from}
     )
     SELECT doc_id,
            CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_symbols_chars,
@@ -912,7 +957,8 @@ def _bpe_apply_oracle() -> str:
     doc=f"Tokenizer application: the {BPE_ROUNDS} learned BPE merges are "
     "collected once as driver literals (the learn loop's arithmetic is "
     "shared with bpe_learn_merges) and applied corpus-wide as literal "
-    "string replaces per word — a MAP-ONLY pass at any corpus size; per-"
+    "whole-symbol greedy folds per word — a MAP-ONLY pass at any corpus "
+    "size; per-"
     "doc output is the char-level symbol count, the post-merge token "
     "count, and chars-per-token (the compression dial tokenizer teams "
     "actually tune). The oracle re-learns the merges in chained CTEs and "
@@ -924,10 +970,11 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
 
     def tokenize(w):
-        spaced = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        syms = F.split(F.trim(F.regexp_replace(w, "(.)", "$1 ")), " ")
         for pair, merged in merges:
-            spaced = F.replace(spaced, F.lit(pair), F.lit(merged))
-        return F.size(F.split(spaced, " "))
+            p1, p2 = pair.split(" ")
+            syms = _merge_pair_arr(syms, p1, p2, merged)
+        return F.size(syms)
 
     per_word = F.transform(F.split("text", " "), tokenize)
     n_tokens = F.aggregate(
