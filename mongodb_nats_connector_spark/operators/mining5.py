@@ -1015,10 +1015,13 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN prev_signup_ts
              ELSE next_signup_ts
            END AS nearest_signup_ts,
-           CAST(least(coalesce(epoch_us(ts) - epoch_us(prev_signup_ts),
-                               9223372036854775807),
-                      coalesce(epoch_us(next_signup_ts) - epoch_us(ts),
-                               9223372036854775807)) AS BIGINT) AS gap_micros
+           CAST(CASE WHEN prev_signup_ts IS NULL AND next_signup_ts IS NULL
+                     THEN NULL
+                     ELSE least(coalesce(epoch_us(ts) - epoch_us(prev_signup_ts),
+                                         9223372036854775807),
+                                coalesce(epoch_us(next_signup_ts) - epoch_us(ts),
+                                         9223372036854775807))
+                END AS BIGINT) AS gap_micros
     FROM filled WHERE event_type = 'purchase'
     """,
     doc="Nearest-direction as-of join (kdb nearest-aj): each purchase "
@@ -1027,7 +1030,9 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "backward running-max and the forward running-min ride ONE shuffle "
     "and ONE sort on (user_id, ts): no second window sort (Spark reuses "
     "the ordering for the mirrored frame), no range self-join, linear at "
-    "any scale.",
+    "any scale. Purchases whose user never signed up get NULL "
+    "nearest_signup_ts AND NULL gap_micros (not a Long.MAX sentinel), so "
+    "downstream latency aggregates skip them.",
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
@@ -1067,7 +1072,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         nearest.alias("nearest_signup_ts"),
-        F.least(
-            F.coalesce(prev_gap, big), F.coalesce(next_gap, big)
+        F.when(
+            F.col("prev_signup_ts").isNotNull()
+            | F.col("next_signup_ts").isNotNull(),
+            F.least(F.coalesce(prev_gap, big), F.coalesce(next_gap, big)),
         ).cast("bigint").alias("gap_micros"),
     )

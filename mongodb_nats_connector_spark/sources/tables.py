@@ -79,8 +79,7 @@ def table(
                 tz = spark.conf.get("spark.sql.session.timeZone")
             except Exception:
                 tz = None
-            if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "Zulu",
-                          "Universal", "Etc/Universal", "Etc/Zulu"):
+            if not _is_utc_zone(spark, tz):
                 raise RuntimeError(
                     "events.ts is TIMESTAMP_NTZ; converting to TIMESTAMP "
                     f"requires a UTC session timezone, got {tz!r}"
@@ -89,6 +88,34 @@ def table(
         return _maybe_repartition(spark, df, parallel)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _maybe_repartition(spark, df, parallel)
+
+
+# common spellings, fast path only — _is_utc_zone resolves anything else
+# (e.g. '+00:00', 'GMT0', 'UTC0') through java.time.ZoneId so every
+# zero-offset zone id Spark itself accepts is treated as epoch-preserving
+_UTC_ZONES = frozenset(
+    ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "Zulu", "Universal",
+     "Etc/Universal", "Etc/Zulu", "+00:00", "-00:00", "+0000", "GMT0",
+     "Etc/GMT0", "Etc/GMT+0", "Etc/GMT-0", "UTC0", "Greenwich",
+     "Etc/Greenwich", "GMT+00:00", "GMT-00:00")
+)
+
+
+def _is_utc_zone(spark: SparkSession, tz: str | None) -> bool:
+    """True iff ``tz`` is a zero-offset (UTC-equivalent) zone id, so the
+    NTZ->LTZ cast is epoch-preserving. Resolves through java.time.ZoneId
+    rather than string-matching: any spelling Spark accepted for the
+    session conf normalizes to ZoneOffset.UTC when it is truly UTC."""
+    if tz is None:
+        return False
+    if tz in _UTC_ZONES:
+        return True
+    try:
+        jvm = spark.sparkContext._jvm
+        zone = jvm.java.time.ZoneId.of(tz, jvm.java.time.ZoneId.SHORT_IDS)
+        return bool(zone.normalized().equals(jvm.java.time.ZoneOffset.UTC))
+    except Exception:
+        return False
 
 
 def _maybe_repartition(spark: SparkSession, df: DataFrame, parallel: bool) -> DataFrame:

@@ -4,6 +4,7 @@ unpersist discipline, NTZ-guard zone equivalence, asof-nearest NULL gaps."""
 from __future__ import annotations
 
 import duckdb
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -51,3 +52,53 @@ def test_bpe_merge_whole_symbols_duckdb(w, pair, merged, expect):
     q = f"SELECT {_duck_merge(repr(w), repr(pair), repr(merged))} AS r"
     assert con.execute(q).fetchone()[0] == expect
     con.close()
+
+
+@pytest.mark.parametrize(
+    "tz,ok",
+    [
+        ("UTC", True),
+        ("Etc/UTC", True),
+        ("+00:00", True),
+        ("GMT0", True),
+        ("UTC0", True),
+        ("Greenwich", True),
+        ("America/New_York", False),
+        ("+02:00", False),
+        ("Etc/GMT-2", False),
+        (None, False),
+    ],
+)
+def test_ntz_guard_resolves_utc_equivalents(spark, tz, ok):
+    """The NTZ fail-loud guard accepts every zero-offset zone spelling
+    (resolved via ZoneId, not a string allowlist) and still rejects
+    genuinely shifted zones."""
+    from mongodb_nats_connector_spark.sources.tables import _is_utc_zone
+
+    assert _is_utc_zone(spark, tz) is ok
+
+
+def test_asof_nearest_null_gap_when_no_signup(spark, tmp_path):
+    """A purchase whose user never signed up gets NULL nearest_signup_ts
+    AND NULL gap_micros — not a Long.MAX sentinel that downstream latency
+    aggregates would absorb as a real value."""
+    import datetime as dt
+
+    from mongodb_nats_connector_spark.operators.mining5 import join_asof_nearest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("uA", t0, "e1", "signup"),
+        ("uA", t0 + dt.timedelta(minutes=5), "e2", "purchase"),
+        ("uB", t0, "e3", "purchase"),  # never signed up
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id string, event_type string"
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = (
+        join_asof_nearest(spark, str(tmp_path)).toPandas().set_index("event_id")
+    )
+    assert out.loc["e2", "gap_micros"] == 5 * 60 * 1_000_000
+    assert pd.isna(out.loc["e3", "nearest_signup_ts"])
+    assert pd.isna(out.loc["e3", "gap_micros"])
