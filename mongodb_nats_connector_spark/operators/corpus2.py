@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.text import LANG_MARKERS, _occ_sql, _occurrences
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -213,7 +214,7 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_doc = F.sum("c").over(Window.partitionBy("doc_id"))
     scored = (
         doc_counts.withColumn("n_doc", n_doc)
-        .join(F.broadcast(corpus_p), F.col("word") == F.col("c_word"))
+        .join(maybe_broadcast(corpus_p), F.col("word") == F.col("c_word"))
         .withColumn("p_doc", F.col("c") / F.col("n_doc"))
     )
     return scored.groupBy("doc_id").agg(
@@ -386,7 +387,7 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = corpus_bg.withColumn(
         "c1", F.sum("c2").over(Window.partitionBy("w1")).cast("bigint")
     )
-    scored = inst.join(F.broadcast(model), ["w1", "w2"])
+    scored = inst.join(maybe_broadcast(model), ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
@@ -444,7 +445,7 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     blocked = misspells.join(
-        F.broadcast(words),
+        maybe_broadcast(words),
         (F.substring("m", 1, 1) == F.substring("w", 1, 1))
         & (F.abs(F.length("m") - F.length("w")) <= 1),
     ).withColumn("dist", F.levenshtein("m", "w"))

@@ -29,6 +29,7 @@ from mongodb_nats_connector_spark.functions.texthash import (
     minhash_signature,
     simhash_signature,
 )
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -169,8 +170,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(maybe_broadcast(na), "doc_a")
+        .join(maybe_broadcast(nb), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -222,9 +223,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("h_a", "h_b"))
     union = F.size(F.array_union("h_a", "h_b"))
     jac = inter / union
-    cand_with_a = sa.join(F.broadcast(candidates), "doc_a")
+    cand_with_a = sa.join(maybe_broadcast(candidates), "doc_a")
     return (
-        sb.join(F.broadcast(cand_with_a), "doc_b")
+        sb.join(maybe_broadcast(cand_with_a), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -418,13 +419,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = None
     for _ in range(CC_MAX_ITERS):
         nbr = (
-            F.broadcast(edges)
+            maybe_broadcast(edges)
             .join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         stepped = (
-            labels.join(F.broadcast(nbr), labels["doc_id"] == nbr["src"], "left")
+            labels.join(maybe_broadcast(nbr), labels["doc_id"] == nbr["src"], "left")
             .select(
                 "doc_id",
                 F.least(
@@ -550,13 +551,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_g = grams.filter(F.col("doc_id") % 50 == 0)
     train_g = grams.filter(F.col("doc_id") % 50 != 0).select("s").distinct()
     hits = (
-        train_g.join(F.broadcast(test_g), "s")
+        train_g.join(maybe_broadcast(test_g), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     totals = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     contamination = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams")
-    return totals.join(F.broadcast(hits), "doc_id", "left").select(
+    return totals.join(maybe_broadcast(hits), "doc_id", "left").select(
         "doc_id",
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_in_train"),
@@ -601,7 +602,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns"))
     containment = F.col("inter") / F.col("ns")
     return (
-        inter.join(F.broadcast(na), "doc_a")
+        inter.join(maybe_broadcast(na), "doc_a")
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )

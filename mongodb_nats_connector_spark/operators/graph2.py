@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -111,8 +112,8 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -207,9 +208,9 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = bits.select(F.col("pos").alias("p2"))
     truth = keys.select(F.col("o_custkey").alias("t_key"))
     flagged = (
-        probe.join(F.broadcast(b1), F.col("h1") == F.col("p1"), "left")
-        .join(F.broadcast(b2), F.col("h2") == F.col("p2"), "left")
-        .join(F.broadcast(truth), F.col("probe_key") == F.col("t_key"), "left")
+        probe.join(maybe_broadcast(b1), F.col("h1") == F.col("p1"), "left")
+        .join(maybe_broadcast(b2), F.col("h2") == F.col("p2"), "left")
+        .join(maybe_broadcast(truth), F.col("probe_key") == F.col("t_key"), "left")
         .select(
             (F.col("p1").isNotNull() & F.col("p2").isNotNull()).alias("bloom_member"),
             F.col("t_key").isNotNull().alias("actual_member"),

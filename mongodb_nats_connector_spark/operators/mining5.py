@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -189,13 +190,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.persist()
     # The support-pruned edge relation is sketch-sized relative to the fact
     # table (measured 3.6k edges from 600k lineitems at sf0.1), so it
-    # BROADCASTS into the wedge and closing joins — zero shuffles after the
-    # edge build. On graphs where the pruned edge set outgrows the
-    # broadcast threshold, drop the two hints and the identical plan runs
-    # as hash equi-joins on the part keys.
+    # broadcasts into the wedge and closing joins — zero shuffles after the
+    # edge build. The hint is size-gated: on graphs where the pruned edge
+    # set outgrows the broadcast threshold it is declined and the identical
+    # plan runs as hash equi-joins on the part keys.
     e1 = edges.alias("e1")
-    e2 = F.broadcast(edges.alias("e2"))
-    e3 = F.broadcast(edges.alias("e3"))
+    e2 = maybe_broadcast(edges.alias("e2"))
+    e3 = maybe_broadcast(edges.alias("e3"))
     wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
     tri = wedges.join(
         e3,
@@ -316,8 +317,8 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     """,
     doc="Stream-static dimension enrich, batch-checkable form: events join "
-    "the customer dimension on user_id with an explicit broadcast — the "
-    "shape Structured Streaming executes per micro-batch with zero stream "
+    "the customer dimension on user_id with a size-gated broadcast hint — "
+    "the shape Structured Streaming executes per micro-batch with zero stream "
     "shuffle (stream-static joins never repartition the stream side when "
     "the static side broadcasts). The streaming mirror is covered by the "
     "streaming suite's stream-vs-batch equivalence test.",
@@ -325,7 +326,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     c = table(spark, sf_dir, "customer")
-    return ev.join(F.broadcast(c), ev.user_id == c.c_custkey).select(
+    return ev.join(maybe_broadcast(c), ev.user_id == c.c_custkey).select(
         "event_id",
         "user_id",
         "c_name",
@@ -736,8 +737,8 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
     out = (
-        pairs.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        pairs.join(maybe_broadcast(ia), "pa")
+        .join(maybe_broadcast(ib), "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",
@@ -814,8 +815,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("deg").alias("deg_b"))
     out = (
-        common.join(F.broadcast(da), "pa")
-        .join(F.broadcast(db), "pb")
+        common.join(maybe_broadcast(da), "pa")
+        .join(maybe_broadcast(db), "pb")
         .select(
             "pa",
             "pb",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -117,7 +118,7 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("v_ship"),
     )
     orphan_ord = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("v_orphan_ord"))
     )
 
@@ -273,7 +274,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s), "user_id")
+        .join(maybe_broadcast(s), "user_id")
         .filter(F.col("ts") >= F.col("signup_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase_ts"))
@@ -572,7 +573,7 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     obs = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("pri"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -264,7 +265,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -403,7 +404,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -442,9 +443,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1496,7 +1497,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(rev, 2).alias("revenue"))
@@ -1530,7 +1531,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct"))
     )
 
@@ -1567,7 +1568,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
@@ -1592,7 +1593,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    j = li.join(maybe_broadcast(p), p["p_partkey"] == li["l_partkey"])
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -1700,8 +1701,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -1768,12 +1769,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.round(F.sum(nation_vol) / F.sum(volume), 4).alias("mkt_share"))
@@ -1815,9 +1816,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
@@ -1887,7 +1888,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(maybe_broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -2009,7 +2010,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))

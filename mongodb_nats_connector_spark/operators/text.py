@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -218,7 +219,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(maybe_broadcast(df), "word")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "word", "tf", "df", F.round(tfidf, 6).alias("tfidf"))
     )
@@ -677,7 +678,7 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(maybe_broadcast(df), "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

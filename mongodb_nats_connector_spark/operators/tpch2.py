@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -78,8 +79,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     per_supp = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_name", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -123,7 +124,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     nat_value = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
@@ -204,8 +205,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
@@ -250,7 +251,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         pair.join(F.broadcast(threshold))
         .filter(F.col("qty") > F.col("t"))
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"),
+        .join(maybe_broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"),
               "left_semi")
         .select("l_suppkey")
     )
@@ -261,7 +262,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_3", "NATION_13"))
     )
     return supp.join(
-        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        maybe_broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name", "n_name")
 
 
@@ -317,7 +318,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        cand.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -36,6 +36,7 @@ from mongodb_nats_connector_spark.functions.texthash import (
     hashed_word_shingles,
 )
 from mongodb_nats_connector_spark.operators.text import QUALITY_STOPWORDS
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 
 INGEST_SCHEMA = "doc_id bigint, text string, lang string, source string"
 
@@ -147,7 +148,7 @@ class CorpusIngestSink:
         # corpus shingle sets ONLY for collided docs (semi-join pruned scan)
         old_sets = _with_shingles(
             self.corpus(exclude_epoch=epoch_id).join(
-                F.broadcast(cand.select(F.col("old_id").alias("doc_id")).distinct()),
+                maybe_broadcast(cand.select(F.col("old_id").alias("doc_id")).distinct()),
                 "doc_id",
                 "left_semi",
             )
@@ -157,7 +158,7 @@ class CorpusIngestSink:
             F.array_union("h64", "h_old")
         )
         dup_vs_corpus = (
-            new_sets.join(F.broadcast(cand), "new_id")
+            new_sets.join(maybe_broadcast(cand), "new_id")
             .join(old_sets, "old_id")
             .filter(jac >= NEAR_DUP_JACCARD)
             .select(F.col("new_id").alias("doc_id"))
@@ -182,7 +183,7 @@ class CorpusIngestSink:
         )
         dup_in_batch = (
             new_sets.select(F.col("new_id").alias("b_id"), "h64")
-            .join(F.broadcast(pair), "b_id")
+            .join(maybe_broadcast(pair), "b_id")
             .join(sets_a, "a_id")
             .filter(jac_ab >= NEAR_DUP_JACCARD)
             .select(F.col("b_id").alias("doc_id"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mongodb_nats_connector_spark.config import PUBLISHABLE_OPERATION_TYPES
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 
 STATE_COLUMNS = ("document_key_id", "full_document", "_id_data", "bucket")
 
@@ -80,10 +81,10 @@ class MaterializedTableSink:
             return
         touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
         # partition-pruned read of ONLY the touched buckets; keep rows whose
-        # key is not superseded in this epoch (latest is epoch-sized: broadcast)
+        # key is not superseded in this epoch (latest is epoch-sized: size-gated broadcast)
         cur = self.current().filter(F.col("bucket").isin(touched))
         keep = cur.join(
-            F.broadcast(latest.select("document_key_id")), "document_key_id", "left_anti"
+            maybe_broadcast(latest.select("document_key_id")), "document_key_id", "left_anti"
         )
         upserts = latest.filter(F.col("operation_type") != "delete").select(
             "document_key_id", "full_document", "_id_data", "bucket"

@@ -78,6 +78,37 @@ def test_ntz_guard_resolves_utc_equivalents(spark, tz, ok):
     assert _is_utc_zone(spark, tz) is ok
 
 
+def test_maybe_broadcast_hints_only_under_threshold(spark):
+    """maybe_broadcast applies the hint when Catalyst's estimate is under
+    the threshold and declines it (returning the frame unchanged, so AQE
+    keeps the runtime decision) when the side is estimated too big."""
+    from mongodb_nats_connector_spark.plans.hints import (
+        estimated_size_bytes,
+        maybe_broadcast,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    est = estimated_size_bytes(cust)
+    assert est is not None and est > 0
+    hinted = maybe_broadcast(cust, threshold_bytes=est + 1)
+    assert hinted is not cust
+    # a dangling hint is erased by the optimizer; the analyzed plan keeps it
+    plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan
+    declined = maybe_broadcast(cust, threshold_bytes=1)
+    assert declined is cust
+
+
+def test_maybe_broadcast_conf_parsing():
+    from mongodb_nats_connector_spark.plans.hints import _parse_bytes
+
+    assert _parse_bytes("10485760b") == 10 << 20
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("-1") == -1
+    assert _parse_bytes("1048576") == 1 << 20
+
+
 def test_asof_nearest_null_gap_when_no_signup(spark, tmp_path):
     """A purchase whose user never signed up gets NULL nearest_signup_ts
     AND NULL gap_micros — not a Long.MAX sentinel that downstream latency
