@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.text import LANG_MARKERS, _occ_sql, _occurrences
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -205,7 +206,6 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    doc_counts.persist()
     corpus = doc_counts.groupBy("word").agg(F.sum("c").alias("cc"))
     total = corpus.agg(F.sum("cc").alias("total"))
     corpus_p = corpus.join(F.broadcast(total)).select(
@@ -217,11 +217,15 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(corpus_p), F.col("word") == F.col("c_word"))
         .withColumn("p_doc", F.col("c") / F.col("n_doc"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("p_doc") * F.log(F.col("p_doc") / F.col("p_corpus"))), 4
-        ).alias("kl_nats"),
+    return persist_until_collected(
+        doc_counts,
+        scored.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("p_doc") * F.log(F.col("p_doc") / F.col("p_corpus"))),
+                4,
+            ).alias("kl_nats"),
+        ),
     )
 
 
@@ -380,7 +384,6 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= 2)
         .select("doc_id", "p.w1", "p.w2")
     )
-    inst.persist()
     corpus_bg = inst.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
@@ -388,10 +391,13 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1", F.sum("c2").over(Window.partitionBy("w1")).cast("bigint")
     )
     scored = inst.join(maybe_broadcast(model), ["w1", "w2"])
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
-            "avg_surprisal_nats"
+    return persist_until_collected(
+        inst,
+        scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias(
+                "avg_surprisal_nats"
+            ),
         ),
     )
 
@@ -434,7 +440,6 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         part.select(F.explode(F.split("p_name", " ")).alias("w")).distinct()
     )
-    words.persist()
     misspells = (
         words.filter(F.length("w") >= FUZZY_MIN_LEN)
         .select(
@@ -449,6 +454,11 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.substring("m", 1, 1) == F.substring("w", 1, 1))
         & (F.abs(F.length("m") - F.length("w")) <= 1),
     ).withColumn("dist", F.levenshtein("m", "w"))
-    return blocked.filter(F.col("dist") <= 1).select(
-        "m", F.col("w").alias("matched_word"), F.col("dist").cast("int").alias("dist")
+    return persist_until_collected(
+        words,
+        blocked.filter(F.col("dist") <= 1).select(
+            "m",
+            F.col("w").alias("matched_word"),
+            F.col("dist").cast("int").alias("dist"),
+        ),
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -205,7 +206,6 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.split("text", " "), 1, PREFIX_K), " ")
         ).alias("prefix_hash"),
     )
-    pre.persist()
     clusters = (
         pre.groupBy("prefix_hash")
         .agg(
@@ -214,12 +214,15 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") > 1)
     )
-    return pre.join(clusters, "prefix_hash").select(
-        "doc_id",
-        "prefix_hash",
-        "cluster_size",
-        "canonical_doc_id",
-        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+    return persist_until_collected(
+        pre,
+        pre.join(clusters, "prefix_hash").select(
+            "doc_id",
+            "prefix_hash",
+            "cluster_size",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        ),
     )
 
 

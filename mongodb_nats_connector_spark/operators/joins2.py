@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -193,7 +194,6 @@ def _pos_col(salt: str, key: Column) -> Column:
 def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     keys = orders.select("o_custkey").distinct()
-    keys.persist()
     bits = (
         keys.select(_pos_col("b1:", F.col("o_custkey")).alias("pos"))
         .union(keys.select(_pos_col("b2:", F.col("o_custkey")).alias("pos")))
@@ -216,6 +216,9 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_key").isNotNull().alias("actual_member"),
         )
     )
-    return flagged.groupBy("bloom_member", "actual_member").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    return persist_until_collected(
+        keys,
+        flagged.groupBy("bloom_member", "actual_member").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys")
+        ),
     )

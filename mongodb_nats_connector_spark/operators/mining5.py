@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -187,7 +188,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= MIN_SUPPORT)
         .select("pa", "pb")
     )
-    edges.persist()
     # The support-pruned edge relation is sketch-sized relative to the fact
     # table (measured 3.6k edges from 600k lineitems at sf0.1), so it
     # broadcasts into the wedge and closing joins — zero shuffles after the
@@ -202,11 +202,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3,
         (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
     )
-    return tri.select(
+    out = tri.select(
         F.col("e1.pa").alias("a"),
         F.col("e1.pb").alias("b"),
         F.col("e2.pb").alias("c"),
     )
+    return persist_until_collected(edges, out)
 
 
 FUNNEL_RE = "signup.*purchase"
@@ -708,7 +709,6 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    arr.persist()
     n_orders = arr.select(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
@@ -750,7 +750,9 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)
+    return persist_until_collected(
+        arr, out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)
+    )
 
 
 JACCARD_NEIGHBOR_TOPK = 15
@@ -789,7 +791,6 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    arr.persist()
     deg = arr.select(F.explode("ps").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count(F.lit(1)).alias("deg"))
@@ -828,7 +829,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return out.orderBy(F.desc("jaccard"), "pa", "pb").limit(JACCARD_NEIGHBOR_TOPK)
+    return persist_until_collected(
+        arr,
+        out.orderBy(F.desc("jaccard"), "pa", "pb").limit(JACCARD_NEIGHBOR_TOPK),
+    )
 
 
 PATHS_TOPK = 10

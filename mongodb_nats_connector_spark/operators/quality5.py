@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -388,7 +389,6 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
-    per_cust.persist()
     ranked = per_cust.withColumn(
         "bucket",
         F.ntile(PARETO_BUCKETS).over(
@@ -396,7 +396,7 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tot = per_cust.agg(F.sum("revenue").alias("total"))
-    return (
+    return persist_until_collected(per_cust, (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("bucket", "total")
         .agg(
@@ -412,7 +412,7 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "revenue_share",
         )
-    )
+    ))
 
 
 INCR_CUTOFF = "2001-01-01"
@@ -515,7 +515,6 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.hour("ts").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    hourly.persist()
     split = F.lit("2024-01-01").cast("date")
     train_end = F.date_add(split, FORECAST_TRAIN_DAYS)
     baseline = (
@@ -523,7 +522,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour")
         .agg(F.avg("n").alias("expected"))
     )
-    return (
+    return persist_until_collected(hourly, (
         hourly.filter(F.col("day") >= train_end)
         .join(F.broadcast(baseline), "hour")
         .select(
@@ -533,7 +532,7 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("expected", 4).alias("expected"),
             F.round(F.col("n") - F.col("expected"), 4).alias("residual"),
         )
-    )
+    ))
 
 
 @register(
@@ -580,12 +579,11 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    obs.persist()
     margins = obs.groupBy("seg").agg(F.sum("n").alias("seg_n"))
     pmargins = obs.groupBy("pri").agg(F.sum("n").alias("pri_n"))
     tot = obs.agg(F.sum("n").alias("total"))
     expected = F.col("seg_n") * F.col("pri_n") / F.col("total")
-    return (
+    return persist_until_collected(obs, (
         obs.join(F.broadcast(margins), "seg")
         .join(F.broadcast(pmargins), "pri")
         .crossJoin(F.broadcast(tot))
@@ -596,4 +594,4 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.pow(F.col("n") - expected, 2) / expected), 4
             ).alias("chi_square"),
         )
-    )
+    ))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -243,7 +244,6 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
-    pair.persist()
     threshold = pair.agg((F.lit(2.0) * F.avg("qty")).alias("t"))
     small_parts = table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
@@ -261,9 +261,14 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name").isin("NATION_3", "NATION_13"))
     )
-    return supp.join(
-        maybe_broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
-    ).select("s_name", "n_name")
+    return persist_until_collected(
+        pair,
+        supp.join(
+            maybe_broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        ).select("s_name", "n_name"),
+    )
 
 
 @register(
@@ -304,7 +309,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("late", F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
     )
-    li.persist()
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
@@ -317,10 +321,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               "l_orderkey")
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
+    return persist_until_collected(li, (
         cand.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
-    )
+    ))

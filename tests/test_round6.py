@@ -99,6 +99,58 @@ def test_maybe_broadcast_hints_only_under_threshold(spark):
     assert declined is cust
 
 
+def test_no_sql_cache_leak_after_results_dropped(spark):
+    """Operators that persist() an intermediate referenced by the returned
+    plan must release it once the caller drops the result — the SQL
+    CacheManager entry count returns to its pre-call level (it is NOT
+    GC-reclaimed on its own, so a missing finalizer would leak here)."""
+    import gc
+
+    from mongodb_nats_connector_spark.operators.corpus2 import (
+        bigram_lm_surprisal,
+        fuzzy_join_blocked,
+    )
+    from mongodb_nats_connector_spark.operators.graph2 import (
+        dedup_prefix_boilerplate,
+    )
+    from mongodb_nats_connector_spark.operators.joins2 import join_bloom_semi
+    from mongodb_nats_connector_spark.operators.mining5 import (
+        graph_jaccard_neighbors,
+        graph_triangle_count,
+        orders_basket_lift,
+    )
+    from mongodb_nats_connector_spark.operators.quality5 import (
+        orders_pareto_curve,
+    )
+    from mongodb_nats_connector_spark.operators.tpch2 import (
+        q20_heavy_shippers,
+        q21_waiting_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
+    for fn in [
+        graph_triangle_count,
+        orders_basket_lift,
+        graph_jaccard_neighbors,
+        orders_pareto_curve,
+        join_bloom_semi,
+        q20_heavy_shippers,
+        q21_waiting_suppliers,
+        dedup_prefix_boilerplate,
+        bigram_lm_surprisal,
+        fuzzy_join_blocked,
+    ]:
+        df = fn(spark, sf)
+        df.collect()
+        del df
+        gc.collect()
+        assert cm.cachedData().size() == before, (
+            f"{fn.__name__} leaked a CacheManager entry"
+        )
+
+
 def test_maybe_broadcast_conf_parsing():
     from mongodb_nats_connector_spark.plans.hints import _parse_bytes
 
