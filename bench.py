@@ -86,14 +86,21 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    build_s: dict[str, float] = {}
+    exec_s: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        # time build + execute: driver-loop queries (kmeans, pagerank, BPE,
-        # PCA) run their iteration jobs while the DataFrame is being BUILT,
-        # so timing only the final write would hide their real cost
+        # bill build and execute separately: driver-loop queries (kmeans,
+        # pagerank, BPE, PCA) run their iteration jobs while the DataFrame
+        # is being BUILT (charged to build_s); everything else should be
+        # ~all exec_s. The headline total still counts both.
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t2 = time.perf_counter()
+        build_s[name] = round(t1 - t0, 3)
+        exec_s[name] = round(t2 - t1, 3)
+        timings[name] = round(t2 - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -103,11 +110,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build_s": build_s,
+                "exec_s": exec_s,
                 "sf": sf,
-                "note": "r5: timings now include DataFrame BUILD time, so "
-                "driver-loop queries (pagerank, kmeans-style, BPE, PCA) "
-                "charge their iteration jobs here (r4 timed only the final "
-                "write); headline set grew 24 -> 31 queries",
+                "note": "r6: per-query build_s (DataFrame construction, "
+                "incl. driver-loop iteration jobs for pagerank/BPE/PCA) and "
+                "exec_s (noop-sink write) are reported separately; "
+                "'queries' remains their sum, comparable to r5",
             }
         )
     )

@@ -161,6 +161,35 @@ def test_maybe_broadcast_conf_parsing():
     assert _parse_bytes("1048576") == 1 << 20
 
 
+def test_sink_bounded_dedup_window(spark, tmp_path):
+    """With dedup_window_epochs set, a msg_id re-published after the window
+    expires is delivered AGAIN (JetStream window semantics); within the
+    window it is dropped; duplicates never refresh the window because only
+    stored messages do. Default stays unbounded: one delivery ever."""
+    from mongodb_nats_connector_spark.streaming.sink import JetStreamLikeSink
+
+    sink = JetStreamLikeSink(spark, str(tmp_path / "stream"), "COLL")
+    sink.add_stream()
+    batch = spark.createDataFrame(
+        [("tok-1", "COLL.insert", "{}")], "msg_id string, subject string, payload string"
+    )
+    for epoch in (0, 2, 5):  # 2 is within a 3-epoch window of 0; 5 is not
+        sink.publish_batch(batch, epoch)
+
+    unbounded = sink.read_messages().collect()
+    assert len(unbounded) == 1 and unbounded[0]["epoch"] == 0
+
+    windowed = sorted(
+        r["epoch"] for r in sink.read_messages(dedup_window_epochs=3).collect()
+    )
+    # epoch 2 deduped against stored epoch 0; epoch 5 redelivered (5-0 >= 3
+    # — and the dropped epoch-2 duplicate must not have refreshed the window)
+    assert windowed == [0, 5]
+
+    raw = sink.read_messages(deduped=False).count()
+    assert raw == 3
+
+
 def test_asof_nearest_null_gap_when_no_signup(spark, tmp_path):
     """A purchase whose user never signed up gets NULL nearest_signup_ts
     AND NULL gap_micros — not a Long.MAX sentinel that downstream latency
