@@ -91,15 +91,28 @@ class JetStreamLikeSink:
                 "seq_in_epoch", F.row_number().over(w)
             ).withColumn("epoch", F.lit(int(epoch_id)))
             writer = ordered.coalesce(1)
-        # per-subject message counts for the NATS metrics — a tiny (<= #op
-        # types) aggregation per epoch, collected BEFORE the publish so the
-        # failure path can still label its counters
-        subject_counts: list = []
+        # Per-subject message counts for the NATS metrics ride the WRITE job
+        # itself via Observation (no extra Spark job per epoch). Subjects are
+        # enumerable — `<STREAM>.<operationType>` over the four publishable
+        # op types — so the observation is a row of conditional counts.
+        observation = None
+        op_subjects: list[str] = []
         if self.metrics is not None:
-            subject_counts = [
-                (r["subject"], r["n"])
-                for r in batch.groupBy("subject").agg(F.count(F.lit(1)).alias("n")).collect()
+            from pyspark.sql import Observation
+
+            op_subjects = [
+                f"{self.stream_name}.{op}"
+                for op in ("insert", "update", "replace", "delete")
             ]
+            observation = Observation()
+            writer = writer.observe(
+                observation,
+                *[
+                    F.count_if(F.col("subject") == s).alias(f"n_{i}")
+                    for i, s in enumerate(op_subjects)
+                ],
+                F.count(F.lit(1)).alias("n_total"),
+            )
         t0 = time.perf_counter()
         try:
             # Epoch-keyed overwrite = replay-safe (idempotent) publish.
@@ -110,15 +123,37 @@ class JetStreamLikeSink:
             )
         except Exception:
             if self.metrics is not None:
-                for subject, n in subject_counts:
-                    self.metrics.inc("nats_messages_failed_total", {"subject": subject}, n)
+                # the observation never materialized — fall back to counting
+                # the failed batch directly so failure counters stay labeled
+                # (rare path; one extra job only on publish failure)
+                for r in (
+                    batch.groupBy("subject").agg(F.count(F.lit(1)).alias("n")).collect()
+                ):
+                    self.metrics.inc(
+                        "nats_messages_failed_total", {"subject": r["subject"]}, r["n"]
+                    )
             raise
         if self.metrics is not None:
             elapsed = time.perf_counter() - t0
-            for subject, n in subject_counts:
-                self.metrics.inc("nats_messages_published_total", {"subject": subject}, n)
+            got = observation.get  # blocks until the write's listener fires
+            counted = 0
+            for i, subject in enumerate(op_subjects):
+                n = int(got[f"n_{i}"])
+                counted += n
+                if n:
+                    self.metrics.inc(
+                        "nats_messages_published_total", {"subject": subject}, n
+                    )
+                    self.metrics.observe(
+                        "nats_message_duration_seconds", {"subject": subject}, elapsed
+                    )
+            other = int(got["n_total"]) - counted
+            if other:
+                self.metrics.inc(
+                    "nats_messages_published_total", {"subject": "other"}, other
+                )
                 self.metrics.observe(
-                    "nats_message_duration_seconds", {"subject": subject}, elapsed
+                    "nats_message_duration_seconds", {"subject": "other"}, elapsed
                 )
 
     # Consumer view — dedup by msg id. Default mirrors durable storage:
