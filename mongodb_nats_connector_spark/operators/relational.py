@@ -525,6 +525,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
+             event_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_signup_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, next_signup_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    doc="Forward as-of join (purchase -> EARLIEST signup at-or-after it per "
+    "user) — completes the asof quartet (backward / +tolerance / nearest / "
+    "forward, kdb aj directions). Identical plan shape to join_asof with "
+    "the frame mirrored: the running-min rides the SAME user_id shuffle "
+    "and sort (Spark reuses the ordering for the mirrored frame), so it "
+    "stays one exchange and linear at any scale.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = ev.withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_signup_ts", F.min("signup_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "next_signup_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
@@ -578,6 +622,31 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("bigint").alias("wealth_quartile"),
+    )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(cume_dist()    OVER w, 6) AS cume_dist,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="cume_dist / percent_rank per nation ordered by account balance — "
+    "the distribution-position windows that complete the ranking family "
+    "(row_number/rank/dense_rank/ntile are registered separately). One "
+    "shuffle on the partition key; both functions ride one sort.",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 

@@ -255,6 +255,27 @@ def test_multimodal_full_decode_gated():
             real_decode(_golden_png(640, 360))
 
 
+def test_asof_forward_never_before_purchase(spark):
+    """Forward as-of matches only signups AT-OR-AFTER the purchase, and the
+    nearest-direction gap is never larger than the forward-only gap."""
+    from mongodb_nats_connector_spark.operators.mining5 import join_asof_nearest
+    from mongodb_nats_connector_spark.operators.relational import join_asof_forward
+
+    sf = "/root/testdata/sf0.001"
+    fwd = join_asof_forward(spark, sf).toPandas().set_index("event_id")
+    has_next = fwd.dropna(subset=["next_signup_ts"])
+    assert (has_next["next_signup_ts"] >= has_next["ts"]).all()
+
+    near = join_asof_nearest(spark, sf).toPandas().set_index("event_id")
+    joined = near.join(fwd[["next_signup_ts"]], how="inner").dropna(
+        subset=["next_signup_ts", "gap_micros"]
+    )
+    fwd_gap = (
+        joined["next_signup_ts"] - joined["ts"]
+    ).dt.total_seconds() * 1e6
+    assert (joined["gap_micros"] <= fwd_gap + 0.5).all()
+
+
 def test_maybe_broadcast_conf_parsing():
     from mongodb_nats_connector_spark.plans.hints import _parse_bytes
 
