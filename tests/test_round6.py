@@ -120,6 +120,8 @@ def test_no_sql_cache_leak_after_results_dropped(spark):
         orders_basket_lift,
     )
     from mongodb_nats_connector_spark.operators.quality5 import (
+        agg_chi_square,
+        events_seasonal_baseline,
         orders_pareto_curve,
     )
     from mongodb_nats_connector_spark.operators.tpch2 import (
@@ -135,6 +137,8 @@ def test_no_sql_cache_leak_after_results_dropped(spark):
         orders_basket_lift,
         graph_jaccard_neighbors,
         orders_pareto_curve,
+        events_seasonal_baseline,
+        agg_chi_square,
         join_bloom_semi,
         q20_heavy_shippers,
         q21_waiting_suppliers,
