@@ -6,6 +6,8 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.mining5 import (
@@ -52,6 +54,38 @@ def test_bpe_merge_whole_symbols_duckdb(w, pair, merged, expect):
     q = f"SELECT {_duck_merge(repr(w), repr(pair), repr(merged))} AS r"
     assert con.execute(q).fetchone()[0] == expect
     con.close()
+
+
+def _greedy_merge_reference(tokens: list[str], p1: str, p2: str, merged: str) -> list[str]:
+    """Plain-Python greedy left-to-right BPE pair merge — the semantics the
+    SQL/Spark folds must reproduce."""
+    out: list[str] = []
+    for tok in tokens:
+        if out and out[-1] == p1 and tok == p2:
+            out[-1] = merged
+        else:
+            out.append(tok)
+    return out
+
+
+@given(
+    tokens=st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=0, max_size=12),
+    pair=st.sampled_from([("a", "b"), ("b", "a"), ("a", "a"), ("ab", "a"), ("b", "ab")]),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_fold_matches_greedy_reference(tokens, pair):
+    """Property: the DuckDB list_reduce fold equals plain greedy merging on
+    arbitrary token sequences, including self-pairs and merged-symbol
+    tokens (the boundary cases substring replace got wrong)."""
+    p1, p2 = pair
+    merged = p1 + p2
+    w = " ".join(tokens)
+    expect = " ".join(_greedy_merge_reference(tokens, p1, p2, merged))
+    con = duckdb.connect()
+    q = f"SELECT {_duck_merge(repr(w), repr(p1 + ' ' + p2), repr(merged))} AS r"
+    got = con.execute(q).fetchone()[0]
+    con.close()
+    assert got == expect
 
 
 @pytest.mark.parametrize(
