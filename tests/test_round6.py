@@ -314,6 +314,36 @@ def test_asof_forward_never_before_purchase(spark):
     assert (joined["gap_micros"] <= fwd_gap + 0.5).all()
 
 
+def test_no_new_bare_persists():
+    """Bare .persist() in an operator leaks a session-lifetime cache entry
+    unless the function itself unpersists (driver-loop pattern) or the
+    cache is a documented cross-query share. Every allowed site is pinned
+    here; new intermediates that outlive the function must go through
+    plans.caching.persist_until_collected instead."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    allowed = {
+        # file -> bare-persist count, each paired with an in-function
+        # unpersist (BPE/dedup-clusters/pagerank driver loops) or the
+        # documented session-scoped shingle cache
+        "operators/mining5.py": 4,   # 2x BPE learn loops (lex + nxt)
+        "operators/dedup.py": 3,     # shingle cache + dedup_clusters loop
+        "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
+    }
+    pkg = root / "mongodb_nats_connector_spark"
+    found = {}
+    for sub in ("operators", "streaming", "sources", "functions"):
+        for f in sorted((pkg / sub).glob("*.py")):
+            n = f.read_text().count(".persist()")
+            if n:
+                found[f"{sub}/{f.name}"] = n
+    assert found == allowed, (
+        f"bare persist() sites changed: {found} != {allowed} — use "
+        "persist_until_collected for intermediates the returned plan needs"
+    )
+
+
 def test_maybe_broadcast_conf_parsing():
     from mongodb_nats_connector_spark.plans.hints import _parse_bytes
 
