@@ -60,6 +60,7 @@ def _load_all() -> None:
         graph2,
         mining5,
         multimodal,
+        pipeline6,
         quality5,
         relational,
         similarity,

@@ -170,6 +170,7 @@ _ALLOWED_NESTED_LOOP = {
     "q22_no_order_customers",     # 1-row avg-balance scalar broadcast crossJoin
     "curate_dataset_mix",         # 1-row units scalar broadcast crossJoin
     "text_unigram_surprisal",     # 1-row corpus-token-total scalar broadcast crossJoin
+    "text_perplexity_bucket",     # 1-row corpus-token-total scalar broadcast crossJoin
     "events_attribution_last_touch",  # 1-row purchase-total scalar broadcast crossJoin
     "corpus_shard_plan",          # 1-row corpus-size scalar broadcast crossJoin
     "agg_equidepth_histogram",    # 1-row percentile-boundary array broadcast crossJoin

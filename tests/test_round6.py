@@ -330,6 +330,8 @@ def test_no_new_bare_persists():
         "operators/mining5.py": 4,   # 2x BPE learn loops (lex + nxt)
         "operators/dedup.py": 3,     # shingle cache + dedup_clusters loop
         "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
+        "operators/pipeline6.py": 1,  # label-propagation loop (edges;
+        # unpersisted after the eager localCheckpoint materializes labels)
     }
     pkg = root / "mongodb_nats_connector_spark"
     found = {}
@@ -407,3 +409,66 @@ def test_asof_nearest_null_gap_when_no_signup(spark, tmp_path):
     assert out.loc["e2", "gap_micros"] == 5 * 60 * 1_000_000
     assert pd.isna(out.loc["e3", "nearest_signup_ts"])
     assert pd.isna(out.loc["e3", "gap_micros"])
+
+
+def test_dedup_embedding_cosine_subset_of_exact(spark):
+    """Precision is 1.0 by construction: the bucketing only GENERATES
+    candidates, the exact cosine verify decides — so the emitted pair set
+    must be a subset of the quadratic baseline's."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        dedup_embedding_cosine,
+    )
+    from mongodb_nats_connector_spark.operators.similarity import (
+        similarity_neardup_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert exact, "baseline found no near-dup pairs; threshold too high"
+    assert lsh, "LSH path found no pairs at all"
+    assert lsh <= exact, f"LSH emitted non-duplicate pairs: {lsh - exact}"
+
+
+def test_dedup_embedding_cosine_recall_on_planted_dups(spark, tmp_path):
+    """Recall on TRUE near-duplicates: plant 40 high-similarity pairs
+    (cos >= 0.95 — tiny additive noise on a copy) among random vectors;
+    the 10x8-bit sign-LSH misses such a pair with probability
+    (1 - agree^8)^10 < 1e-3, so all-but-at-most-two must be recovered."""
+    import random as _random
+
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        dedup_embedding_cosine,
+    )
+
+    rng = _random.Random(99)
+    rows = []
+    n_base, dim = 40, 64
+    for i in range(n_base):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        dup = [x + rng.gauss(0.0, 0.08) for x in v]
+        rows.append((i, [float(x) for x in v], 0))
+        rows.append((i + 1000, [float(x) for x in dup], 0))
+    for i in range(200):  # background noise vectors
+        rows.append(
+            (i + 5000, [float(rng.gauss(0.0, 1.0)) for _ in range(dim)], 1)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    }
+    planted = {(i, i + 1000) for i in range(n_base)}
+    found = len(planted & got)
+    assert found >= n_base - 2, (
+        f"recall {found}/{n_base} on planted cos>=0.95 duplicates"
+    )
