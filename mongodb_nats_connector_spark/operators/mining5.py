@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from mongodb_nats_connector_spark.plans.caching import persist_until_collected
-from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.hints import (
+    counted_fits_broadcast,
+    maybe_broadcast,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -191,12 +194,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The support-pruned edge relation is sketch-sized relative to the fact
     # table (measured 3.6k edges from 600k lineitems at sf0.1), so it
     # broadcasts into the wedge and closing joins — zero shuffles after the
-    # edge build. The hint is size-gated: on graphs where the pruned edge
-    # set outgrows the broadcast threshold it is declined and the identical
-    # plan runs as hash equi-joins on the part keys.
+    # edge build. Catalyst's static estimate for this aggregate inherits
+    # lineitem's scale (so maybe_broadcast would decline and the probe side
+    # would shuffle), but the relation is persisted anyway: one count() on
+    # the cache gives the TRUE size, and the hint is granted only when the
+    # materialized edges fit — runtime statistics, not a forced broadcast,
+    # so an edge set that outgrows the threshold at 100x degrades to hash
+    # equi-joins instead of an executor OOM.
+    edges = edges.persist()
+    hint_edges = counted_fits_broadcast(edges, row_bytes=48)
     e1 = edges.alias("e1")
-    e2 = maybe_broadcast(edges.alias("e2"))
-    e3 = maybe_broadcast(edges.alias("e3"))
+    e2 = F.broadcast(edges.alias("e2")) if hint_edges else edges.alias("e2")
+    e3 = F.broadcast(edges.alias("e3")) if hint_edges else edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
     tri = wedges.join(
         e3,

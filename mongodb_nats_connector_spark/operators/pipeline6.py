@@ -700,11 +700,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.persist()
     try:
+        # labels/votes/best are all bounded by NATION cardinality (25, fixed
+        # at every TPC-H scale factor by construction), so the forced
+        # broadcast is safe by invariant, not by measurement — Catalyst's
+        # static estimate would decline it after round 1 (the lineage runs
+        # through the fact-built edge list) and shuffle 25 rows per round.
         nodes = nation.select(F.col("n_nationkey").alias("node"))
         labels = nodes.select("node", F.col("node").alias("label"))
         for _ in range(LP_ROUNDS):
             votes = (
-                maybe_broadcast(labels)
+                F.broadcast(labels)
                 .join(edges, labels["node"] == edges["src"])
                 .groupBy(F.col("dst").alias("vnode"), "label")
                 .agg(F.sum("w").alias("mass"))
@@ -716,7 +721,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vnode", F.col("label").alias("new_label"))
             )
             labels = (
-                nodes.join(maybe_broadcast(best), nodes["node"] == best["vnode"], "left")
+                nodes.join(F.broadcast(best), nodes["node"] == best["vnode"], "left")
                 .select(
                     "node",
                     F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
