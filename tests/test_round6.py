@@ -474,3 +474,29 @@ def test_dedup_embedding_cosine_recall_on_planted_dups(spark, tmp_path):
     assert found >= n_base - 2, (
         f"recall {found}/{n_base} on planted cos>=0.95 duplicates"
     )
+
+
+def test_counted_fits_broadcast_requires_persist_and_gates_on_count(spark):
+    """The runtime-count gate must (a) refuse un-persisted inputs — the
+    count would recompute the full lineage and diverge from what the join
+    reads, (b) hint small persisted relations, (c) decline when the
+    materialized count exceeds the threshold."""
+    from mongodb_nats_connector_spark.plans.hints import (
+        broadcast_if_counted_small,
+        counted_fits_broadcast,
+    )
+
+    df = spark.range(100)
+    with pytest.raises(ValueError, match="persisted"):
+        counted_fits_broadcast(df)
+    df = df.persist()
+    try:
+        assert counted_fits_broadcast(df, row_bytes=8)
+        hinted = broadcast_if_counted_small(df, row_bytes=8)
+        plan = hinted._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in plan
+        # 100 rows * 1 MiB/row >> 64 MiB session threshold -> declined
+        assert not counted_fits_broadcast(df, row_bytes=1 << 20)
+        assert broadcast_if_counted_small(df, row_bytes=1 << 20) is df
+    finally:
+        df.unpersist()
