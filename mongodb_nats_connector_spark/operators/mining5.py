@@ -754,11 +754,19 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= MIN_SUPPORT)
     )
+    # Item supports are part-cardinality-sized — data-proportional, so the
+    # static estimate (inherited from lineitem) declines the hint; decide
+    # from the materialized count instead (item is persisted and released
+    # with the result below).
+    item = item.persist()
+    hint_items = counted_fits_broadcast(item, row_bytes=32)
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
+    if hint_items:
+        ia, ib = F.broadcast(ia), F.broadcast(ib)
     out = (
-        pairs.join(maybe_broadcast(ia), "pa")
-        .join(maybe_broadcast(ib), "pb")
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",
@@ -771,7 +779,10 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return persist_until_collected(
-        arr, out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)
+        item,
+        persist_until_collected(
+            arr, out.orderBy(F.desc("lift"), "pa", "pb").limit(LIFT_TOPK)
+        ),
     )
 
 
@@ -833,11 +844,18 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("both_n"))
         .filter(F.col("both_n") >= MIN_SUPPORT)
     )
+    # Same runtime-count gate as orders_basket_lift: degrees are
+    # part-cardinality-sized, so the static estimate declines; the
+    # materialized count decides (deg persisted, released with the result).
+    deg = deg.persist()
+    hint_deg = counted_fits_broadcast(deg, row_bytes=32)
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("deg").alias("deg_b"))
+    if hint_deg:
+        da, db = F.broadcast(da), F.broadcast(db)
     out = (
-        common.join(maybe_broadcast(da), "pa")
-        .join(maybe_broadcast(db), "pb")
+        common.join(da, "pa")
+        .join(db, "pb")
         .select(
             "pa",
             "pb",
@@ -850,8 +868,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return persist_until_collected(
-        arr,
-        out.orderBy(F.desc("jaccard"), "pa", "pb").limit(JACCARD_NEIGHBOR_TOPK),
+        deg,
+        persist_until_collected(
+            arr,
+            out.orderBy(F.desc("jaccard"), "pa", "pb").limit(
+                JACCARD_NEIGHBOR_TOPK
+            ),
+        ),
     )
 
 

@@ -327,9 +327,10 @@ def test_no_new_bare_persists():
         # file -> bare-persist count, each paired with an in-function
         # unpersist (BPE/dedup-clusters/pagerank driver loops) or the
         # documented session-scoped shingle cache
-        "operators/mining5.py": 5,   # 2x BPE learn loops (lex + nxt);
-        # triangle edges (runtime-stat broadcast gate; released by
-        # persist_until_collected on the same frame)
+        "operators/mining5.py": 7,   # 2x BPE learn loops (lex + nxt);
+        # triangle edges / basket-lift item / jaccard deg (runtime-stat
+        # broadcast gates; each released by persist_until_collected on
+        # the same frame)
         "operators/dedup.py": 3,     # shingle cache + dedup_clusters loop
         "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
         "operators/pipeline6.py": 1,  # label-propagation loop (edges;
