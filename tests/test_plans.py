@@ -338,6 +338,51 @@ def test_triangle_count_all_hash_joins(spark):
     s = plan_string(graph_triangle_count(spark, SF))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+    # the runtime-count gate must grant the hint at test scale: both wedge
+    # and closing joins broadcast the cached edge relation, so no exchange
+    # follows the edge build (the r5->r6 estimate-gate regression pinned)
+    assert s.count("BroadcastHashJoin") >= 2
+
+
+def test_interval_overlap_is_tile_hash_join(spark):
+    """The interval-overlap join must equi-join on the day tile with the
+    range predicate as a post-filter — a hash/broadcast join, never a
+    cartesian range join."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        join_interval_overlap,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(join_interval_overlap(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_merge_upsert_single_copartitioned_join(spark):
+    """MERGE executes as ONE full-outer join co-partitioned on the natural
+    key — no broadcast (both sides are data-proportional), no extra
+    exchanges beyond the two join-side shuffles."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        merge_upsert_snapshot,
+    )
+    from mongodb_nats_connector_spark.plans.explain import plan_string
+
+    s = plan_string(merge_upsert_snapshot(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" not in s
+    # exactly one shuffle join in the TREE section (plan_string repeats the
+    # node name once more in the detail section below the tree)
+    assert s.count("SortMergeJoin FullOuter") == 1
+
+
+def test_epoch_upsample_is_map_only(spark):
+    """Hash-tiered explode must not shuffle: tiering + sequence + explode
+    are all map-side."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        sample_epoch_upsample,
+    )
+
+    assert count_key_exchanges(sample_epoch_upsample(spark, SF)) == 0
 
 
 def test_stream_static_enrich_broadcasts_dim(spark):
