@@ -501,3 +501,96 @@ def test_counted_fits_broadcast_requires_persist_and_gates_on_count(spark):
         assert broadcast_if_counted_small(df, row_bytes=1 << 20) is df
     finally:
         df.unpersist()
+
+
+def test_topp_quality_invariants(spark):
+    """Per-source nucleus selection: kept docs must (a) be a prefix of the
+    score-desc ranking, (b) cover >= TOPP_PCT% of the source's score mass,
+    (c) be minimal — dropping the last kept doc falls below the target."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        TOPP_PCT,
+        docs_topp_quality,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    kept = docs_topp_quality(spark, sf).toPandas()
+    full = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("source", "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS score")
+        .toPandas()
+    )
+    for source, grp in full.groupby("source"):
+        grp = grp.sort_values(["score", "doc_id"], ascending=[False, True])
+        total = grp["score"].sum()
+        k = kept[kept["source"] == source]
+        n = len(k)
+        # (a) prefix of the deterministic ranking
+        assert set(k["doc_id"]) == set(grp.head(n)["doc_id"])
+        mass = grp.head(n)["score"].sum()
+        # (b) coverage reaches the target
+        assert mass * 100 >= TOPP_PCT * total
+        # (c) minimality
+        assert (mass - grp.head(n)["score"].iloc[-1]) * 100 < TOPP_PCT * total
+
+
+def test_epoch_upsample_invariants(spark):
+    """Every document appears exactly n_copies times with copy_idx 1..n,
+    n_copies in {1,2,3}, and sample_id is unique."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        sample_epoch_upsample,
+    )
+
+    out = sample_epoch_upsample(spark, "/root/testdata/sf0.01").toPandas()
+    assert out["n_copies"].isin([1, 2, 3]).all()
+    assert out["sample_id"].is_unique
+    per_doc = out.groupby("doc_id").agg(
+        n=("copy_idx", "size"), declared=("n_copies", "first"),
+        mx=("copy_idx", "max"), mn=("copy_idx", "min"),
+    )
+    assert (per_doc["n"] == per_doc["declared"]).all()
+    assert (per_doc["mx"] == per_doc["declared"]).all()
+    assert (per_doc["mn"] == 1).all()
+
+
+def test_merge_upsert_invariants(spark):
+    """MERGE row accounting: |result| = |base| - |deletes| + |inserts|;
+    updated keys carry the new status, deleted keys are gone, inserted keys
+    exist above the shift, untouched rows pass through unchanged."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        _MERGE_INSERT_SHIFT,
+        merge_upsert_snapshot,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = merge_upsert_snapshot(spark, sf).toPandas().set_index("o_orderkey")
+    base = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderstatus", "round(o_totalprice, 2) AS p")
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    deletes = {k for k in base.index if k % 10 == 0}
+    updates = {k for k in base.index if k % 10 in (1, 2)}
+    inserts = {k + _MERGE_INSERT_SHIFT for k in base.index if k % 10 == 7}
+    assert len(out) == len(base) - len(deletes) + len(inserts)
+    assert not (set(out.index) & deletes)
+    assert inserts <= set(out.index)
+    assert (out.loc[sorted(updates), "o_orderstatus"] == "UPDATED").all()
+    untouched = sorted(set(base.index) - deletes - updates)[:100]
+    assert (
+        out.loc[untouched, "o_orderstatus"] == base.loc[untouched, "o_orderstatus"]
+    ).all()
+
+
+def test_label_propagation_labels_are_reachable_nodes(spark):
+    """Every community label must itself be a nation key, and at least one
+    community must contain more than one nation (the trade graph is
+    connected enough that propagation actually groups)."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        graph_label_propagation,
+    )
+
+    out = graph_label_propagation(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) == 25
+    assert out["community"].between(0, 24).all()
+    assert (out.groupby("community").size() > 1).any()
