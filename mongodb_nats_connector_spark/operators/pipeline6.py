@@ -743,3 +743,155 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# events_stickiness_dau_wau — rolling distinct actives via tile explode
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), covered AS (
+      SELECT ud.user_id,
+             CAST(unnest(generate_series(
+               ud.day, ud.day + INTERVAL {WAU_DAYS - 1} DAY,
+               INTERVAL 1 DAY)) AS DATE) AS rday
+      FROM ud
+    ), wau AS (
+      SELECT c.rday AS day, count(DISTINCT c.user_id) AS wau
+      FROM covered c JOIN days d ON d.day = c.rday
+      GROUP BY 1
+    ), dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    doc=f"DAU/WAU stickiness per day: daily actives over trailing-"
+    f"{WAU_DAYS}-day actives. Exact rolling COUNT(DISTINCT) does not "
+    "decompose over window frames, so the scale formulation is the TILE "
+    "EXPLODE: each (user, active-day) row fans out map-side to the "
+    f"{WAU_DAYS} report days it supports, then one distinct-aggregate per "
+    "report day — shuffle volume is exactly (user, day) pairs x window/"
+    "granularity, never raw events, and the fan-out factor is a constant "
+    "chosen by the report (7 here, 30 for MAU). Early days aggregate their "
+    "partial window, identically in both engines.",
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), WAU_DAYS - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("rday"),
+    )
+    wau = (
+        covered.join(maybe_broadcast(days), covered["rday"] == days["day"])
+        .groupBy("rday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    return dau.join(wau, dau["day"] == wau["rday"]).select(
+        dau["day"],
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_ngram_novelty — first-occurrence novelty scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS sh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), u AS (
+      SELECT doc_id, unnest(sh) AS g FROM d
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM u GROUP BY g
+    )
+    SELECT u.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           round(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty_ratio
+    FROM u JOIN first_seen f USING (g)
+    GROUP BY u.doc_id
+    """,
+    doc="First-occurrence n-gram novelty (dedup-aware quality signal, the "
+    "per-document form of RefinedWeb's repeated-span accounting): the "
+    "fraction of a document's distinct word-3-grams whose FIRST corpus "
+    "occurrence (min doc_id — deterministic under any partitioning) is "
+    "this document. Low novelty = mostly-boilerplate/near-dup content "
+    "even when no single pair crosses a dedup threshold. Two keyed "
+    "aggregations (gram, then doc_id); at 100 TB the gram key hashes to "
+    "64-bit ints exactly as the shared shingle relation in dedup.py does "
+    "(string grams here keep the oracle engine-identical).",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
+                    lambda x, i: F.concat_ws(
+                        " ",
+                        x,
+                        F.element_at(F.col("ws"), i + 2),
+                        F.element_at(F.col("ws"), i + 3),
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("novel_grams"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
