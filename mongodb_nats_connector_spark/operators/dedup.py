@@ -29,7 +29,10 @@ from mongodb_nats_connector_spark.functions.texthash import (
     minhash_signature,
     simhash_signature,
 )
-from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.hints import (
+    counted_fits_broadcast,
+    maybe_broadcast,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -410,8 +413,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # near-dup edge lists are a vanishing fraction of the corpus: persist the
-    # verified pairs once, broadcast them every round
+    # verified pairs once, broadcast them every round. The hint is decided
+    # ONCE from the materialized count (the static estimate inherits the
+    # corpus scale through the LSH lineage and would wrongly decline);
+    # above-threshold edge sets fall back to hash joins — the
+    # large-star/small-star regime documented below.
     edges = edges.persist()
+    edges_hinted = (
+        F.broadcast(edges) if counted_fits_broadcast(edges, row_bytes=32) else edges
+    )
 
     labels = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("label")
@@ -419,7 +429,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = None
     for _ in range(CC_MAX_ITERS):
         nbr = (
-            maybe_broadcast(edges)
+            edges_hinted
             .join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
