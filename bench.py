@@ -55,6 +55,12 @@ HEADLINE_QUERIES = [
     "stream_window_topk",
     "bpe_learn_merges",
     "embedding_pca_power_iteration",
+    # round 6: MERGE upsert, semantic LSH dedup, nucleus curation,
+    # tile-explode rolling distinct
+    "merge_upsert_snapshot",
+    "dedup_embedding_cosine",
+    "docs_topp_quality",
+    "events_stickiness_dau_wau",
 ]
 
 
