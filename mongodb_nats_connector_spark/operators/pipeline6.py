@@ -255,6 +255,13 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# deterministic per-(table, bucket) membership cap — same defense as the
+# text-LSH MAX_BUCKET_MEMBERS: a degenerate cell (e.g. near-zero vectors all
+# hashing to one signature) otherwise expands quadratically. Truncation is
+# by vec_id, so both engines drop the identical members.
+EMB_BUCKET_CAP = 1024
+
+
 def _emb_dedup_oracle() -> str:
     from mongodb_nats_connector_spark.operators.similarity import (
         HYPERPLANES,
@@ -273,13 +280,21 @@ def _emb_dedup_oracle() -> str:
     planes(tbl, bit, h) AS (VALUES
       {plane_rows}
     ),
-    buckets AS (
+    buckets0 AS (
       SELECT e.vec_id, p.tbl,
              CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, p.h),
                                  x -> x[1] * x[2])) > 0
                            THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS bucket
       FROM e CROSS JOIN planes p
       GROUP BY e.vec_id, p.tbl
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY vec_id) AS rn
+        FROM buckets0
+      ) WHERE rn <= {EMB_BUCKET_CAP}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -305,9 +320,11 @@ def _emb_dedup_oracle() -> str:
     "(table, bucket) cell, then verified with an exact cosine at the "
     "threshold. Only (vec_id, tbl, bucket) triples shuffle — never the "
     "vectors, which re-join by id for the verify step; the candidate "
-    "volume tracks true duplicate density, not n². The oracle replays the "
-    "hyperplanes as SQL literals, so the approximate index is itself "
-    "hash-verified. Every emitted pair is exact-verified (precision 1.0, "
+    "volume tracks true duplicate density, not n², and a deterministic "
+    f"per-cell membership cap ({EMB_BUCKET_CAP}, truncated by vec_id — the "
+    "same defense as the text-LSH bucket cap) bounds the worst degenerate "
+    "cell. The oracle replays the hyperplanes AND the cap as SQL literals, "
+    "so the approximate index is itself hash-verified. Every emitted pair is exact-verified (precision 1.0, "
     "asserted as a subset of the quadratic baseline); recall is the "
     "standard sign-LSH amplification curve — >=0.95 for true near-dups "
     "(cos >= 0.95, asserted on planted duplicates in tests/test_round6.py) "
@@ -325,6 +342,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     buckets = e.select(
         "vec_id", F.posexplode(_bucket_udf(F.col("v"))).alias("tbl", "bucket")
+    )
+    cap_w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    buckets = (
+        buckets.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= EMB_BUCKET_CAP)
+        .drop("rn")
     )
     a = buckets.select(
         F.col("vec_id").alias("vec_a"), F.col("tbl"), F.col("bucket")
