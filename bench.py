@@ -120,6 +120,11 @@ def main() -> None:
         timings[name] = round(build_s[name] + exec_s[name], 3)
 
     total = round(sum(timings.values()), 3)
+    # the 24-query set benchmarked since round 4, summed over exec_s only —
+    # directly comparable to BENCH_r04 (which timed just the noop write):
+    # the honest answer to "did execution regress or did accounting change"
+    common24 = HEADLINE_QUERIES[:24]
+    common24_exec = round(sum(exec_s[q] for q in common24), 3)
     print(
         json.dumps(
             {
@@ -130,6 +135,7 @@ def main() -> None:
                 "build_s": build_s,
                 "exec_s": exec_s,
                 "exec_warm_s": exec_warm_s,
+                "common24_exec_total": common24_exec,
                 "sf": sf,
                 "note": "r6: build_s = DataFrame construction (incl. "
                 "driver-loop iteration jobs for pagerank/BPE/PCA); exec_s "
