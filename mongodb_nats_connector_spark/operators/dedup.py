@@ -616,3 +616,60 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )
+
+
+@register(
+    "dedup_survivorship_report",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    cedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM simpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM simpairs
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN cedges e ON r.v = e.src
+    ),
+    clusters AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_dropped,
+           CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_saved
+    FROM clusters c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Dedup SURVIVORSHIP report: joins the connected-component cluster "
+    "labels (dedup_clusters' canonical-keeper rule — min doc_id survives) "
+    "back to the corpus and accounts per source: documents kept vs dropped "
+    "and the bytes the drop list saves. This is the deliverable a curation "
+    "run actually ships — the drop list's impact statement — and it "
+    "composes the whole dedup chain (MinHash-LSH candidates -> exact "
+    "verify -> clustering -> survivorship) into one verified query. Costs "
+    "one extra source-keyed aggregation over the node-sized label "
+    "relation; everything upstream is the already-cached cluster "
+    "computation.",
+)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    dropped = F.col("doc_id") != F.col("cluster_id")
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+            F.sum((~dropped).cast("int")).cast("bigint").alias("docs_kept"),
+            F.sum(dropped.cast("int")).cast("bigint").alias("docs_dropped"),
+            F.sum(F.when(dropped, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+    )
