@@ -594,3 +594,74 @@ def test_label_propagation_labels_are_reachable_nodes(spark):
     assert len(out) == 25
     assert out["community"].between(0, 24).all()
     assert (out.groupby("community").size() > 1).any()
+
+
+def test_stickiness_bounds_and_wau_dominates_dau(spark):
+    """stickiness = dau/wau must lie in (0, 1]; WAU >= DAU every day (the
+    trailing window contains the day itself); and WAU never exceeds the
+    total user population."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        events_stickiness_dau_wau,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = events_stickiness_dau_wau(spark, sf).toPandas()
+    users = (
+        spark.read.parquet(f"{sf}/events.parquet").select("user_id").distinct().count()
+    )
+    assert len(out) > 0
+    assert (out["wau"] >= out["dau"]).all()
+    assert (out["dau"] >= 1).all()
+    assert (out["wau"] <= users).all()
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1)).all()
+
+
+def test_ngram_novelty_bounds_and_first_doc_is_fully_novel(spark):
+    """novelty_ratio in [0, 1]; novel_grams <= n_grams; and the smallest
+    doc_id (nothing precedes it) is 100% novel."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        docs_ngram_novelty,
+    )
+
+    out = docs_ngram_novelty(spark, "/root/testdata/sf0.01").toPandas()
+    assert (out["novel_grams"] <= out["n_grams"]).all()
+    assert ((out["novelty_ratio"] >= 0) & (out["novelty_ratio"] <= 1)).all()
+    first = out.loc[out["doc_id"].idxmin()]
+    assert first["novel_grams"] == first["n_grams"]
+
+
+def test_max_concurrency_bounded_by_daily_actives(spark):
+    """Peak concurrent sessions on a day can never exceed the number of
+    users active that day, and is at least 1 on every reported day."""
+    from mongodb_nats_connector_spark.operators.pipeline6 import (
+        events_max_concurrency,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = events_max_concurrency(spark, sf).toPandas().set_index("day")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dau = (
+        ev.selectExpr("CAST(date_trunc('day', ts) AS TIMESTAMP) AS day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .count()
+        .toPandas()
+        .set_index("day")["count"]
+    )
+    assert (out["max_concurrent"] >= 1).all()
+    joined = out.join(dau.rename("dau"), how="left")
+    assert (joined["max_concurrent"] <= joined["dau"]).all()
+
+
+def test_survivorship_report_accounts_for_every_document(spark):
+    """kept + dropped = total per source, and totals sum to the corpus."""
+    from mongodb_nats_connector_spark.operators.dedup import (
+        dedup_survivorship_report,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = dedup_survivorship_report(spark, sf).toPandas()
+    assert (out["docs_kept"] + out["docs_dropped"] == out["docs_total"]).all()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert out["docs_total"].sum() == n_docs
+    assert (out.loc[out["docs_dropped"] == 0, "chars_saved"] == 0).all()
