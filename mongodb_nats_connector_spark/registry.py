@@ -61,6 +61,7 @@ def _load_all() -> None:
         mining5,
         multimodal,
         pipeline6,
+        pipeline6b,
         quality5,
         relational,
         similarity,
