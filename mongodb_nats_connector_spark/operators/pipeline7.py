@@ -1,0 +1,540 @@
+"""Round-7 operators: graph traversal, change detection, mergeable
+set-operation sketches, temperature-based corpus resampling, and
+gaps-and-islands streaks.
+
+- ``graph_bfs_levels`` adds breadth-first reachability (hop levels) to the
+  graph family (PageRank / label propagation / connected components already
+  cover rank, community, and components) — the traversal primitive behind
+  "within N hops" features.
+- ``events_cusum_changepoint`` is the classic CUSUM mean-shift detector over
+  a daily event series, computed with an exact integer formulation so the
+  changepoint argmax is engine-exact.
+- ``agg_kmv_distinct_setops`` implements K-Minimum-Values sketches — the
+  mergeable distinct-count sketch that, unlike HyperLogLog, also estimates
+  set INTERSECTIONS — with the md5-derived 60-bit hash both engines compute
+  identically, so even the estimates are hash-verifiable.
+- ``curate_temperature_resample`` is the multilingual-LLM sampling strategy
+  (weight group g proportional to ``count^alpha``, alpha = 0.5) that
+  up-weights rare languages/sources in a training mix.
+- ``events_activity_streaks`` is the gaps-and-islands shape: longest run of
+  consecutive active days per user.
+
+Cross-engine determinism notes: every comparison that picks a row (BFS
+levels, CUSUM argmax, streak tie-breaks, KMV sketch membership) is decided
+on integers or dates; doubles appear only in final reported values, rounded
+to 4 decimals after identical arithmetic on exact integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# graph_bfs_levels — BFS hop levels over the top-k trade graph
+# ---------------------------------------------------------------------------
+
+BFS_SOURCE_NODE = 0
+BFS_TOP_OUT = 3  # keep each nation's 3 heaviest outgoing trade edges
+BFS_MAX_HOPS = 8
+
+_TRADE_EDGES_CTE = """
+    dir_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_TRADE_EDGES_CTE},
+    g AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+                 AS rn
+        FROM dir_edges
+      ) WHERE rn <= {BFS_TOP_OUT}
+    ),
+    bfs AS (
+      SELECT CAST({BFS_SOURCE_NODE} AS BIGINT) AS node, 0 AS hop
+      UNION
+      SELECT g.dst, bfs.hop + 1
+      FROM bfs JOIN g ON g.src = bfs.node
+      WHERE bfs.hop < {BFS_MAX_HOPS}
+    ),
+    lv AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+    SELECT n.n_name AS nation, CAST(lv.hop AS INT) AS hop
+    FROM nation n LEFT JOIN lv ON lv.node = n.n_nationkey
+    """,
+    doc=f"Breadth-first hop levels from nation {BFS_SOURCE_NODE} over the "
+    f"top-{BFS_TOP_OUT}-out-degree trade graph (each nation keeps its "
+    f"{BFS_TOP_OUT} heaviest outgoing customer->supplier edges; ties break "
+    "to the smaller destination, so the graph is engine-exact). Unreachable "
+    "nations report NULL. The edge list aggregates once from the facts (the "
+    "only corpus-proportional shuffle) and is cached; each BFS round joins "
+    "the frontier to the edges and anti-joins the visited set — on this "
+    "nation-bounded graph those are broadcast joins by invariant, and on a "
+    "billion-node graph the SAME loop runs with hash-partitioned frontier/"
+    "visited relations (this is how Pregel-style BFS is expressed in pure "
+    "DataFrame ops). Rounds are bounded by the hop cap, and each round is "
+    "localCheckpoint-ed so the logical plan stays flat instead of doubling "
+    "per iteration.",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    dir_edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    topw = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    g = (
+        dir_edges.withColumn("rn", F.row_number().over(topw))
+        .filter(F.col("rn") <= BFS_TOP_OUT)
+        .select("src", "dst")
+    )
+    g = g.persist()
+    try:
+        # visited/frontier are node-bounded (<= 25 nations at every TPC-H
+        # scale factor); the forced broadcast on the frontier side is safe by
+        # invariant. At general graph scale the identical loop runs with the
+        # hint dropped: frontier JOIN edges and the visited anti-join both
+        # become co-partitioned hash joins on the node key.
+        visited = spark.createDataFrame(
+            [(BFS_SOURCE_NODE, 0)], "node bigint, hop int"
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            nxt = (
+                F.broadcast(frontier)
+                .join(g, frontier["node"] == g["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(F.broadcast(visited), "node", "left_anti")
+                .select("node", F.lit(hop).cast("int").alias("hop"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        g.unpersist()
+    return (
+        nation.join(
+            maybe_broadcast(visited),
+            nation["n_nationkey"] == visited["node"],
+            "left",
+        )
+        .select(F.col("n_name").alias("nation"), F.col("hop").cast("int").alias("hop"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — exact-integer CUSUM mean-shift detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS total
+      FROM d
+    ),
+    c AS (
+      SELECT day, cnt,
+             CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+      FROM d
+    ),
+    sc AS (
+      SELECT c.day, c.cnt, (c.prefix * t.n - c.rk * t.total) AS s_scaled,
+             t.n AS n
+      FROM c, t
+    ),
+    cp AS (
+      SELECT day AS cp_day FROM sc
+      ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1
+    )
+    SELECT sc.day, sc.cnt,
+           round(s_scaled * 1.0 / sc.n, 4) AS cusum,
+           (sc.day = cp.cp_day) AS is_changepoint
+    FROM sc, cp
+    """,
+    doc="CUSUM mean-shift detection over the daily event-count series: "
+    "S_i = sum_{j<=i}(cnt_j - mean), and the changepoint is the day with "
+    "the largest |S_i| (ties -> earliest day). Computed via the exact "
+    "integer identity n*S_i = n*prefix_i - i*total, so the argmax is "
+    "decided on BIGINTs — engine-bit-exact — and the reported double is a "
+    "single correctly-rounded division. The series reduces from the facts "
+    "with map-side combine (one shuffle proportional to DAYS, not events); "
+    "the running sum and the limit-1 argmax operate on the day-sized "
+    "aggregate, and the 1-row changepoint broadcasts back. n*prefix stays "
+    "under 2^63 up to ~10^15 daily events over decades.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rk"),
+    )
+    sc = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        "cnt",
+        (F.col("prefix") * F.col("n") - F.col("rk") * F.col("total")).alias(
+            "s_scaled"
+        ),
+        "n",
+    )
+    cp = (
+        sc.orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("cp_day"))
+    )
+    return sc.crossJoin(F.broadcast(cp)).select(
+        "day",
+        "cnt",
+        F.round(F.col("s_scaled") / F.col("n"), 4).alias("cusum"),
+        (F.col("day") == F.col("cp_day")).alias("is_changepoint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_distinct_setops — K-Minimum-Values sketch union/intersection
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_M = float(1 << 60)  # hash domain size: 60-bit md5-derived values
+_KMV_A, _KMV_B = "click", "purchase"
+
+
+@register(
+    "agg_kmv_distinct_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS t,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS BIGINT) AS h
+      FROM events WHERE event_type IN ('{_KMV_A}', '{_KMV_B}')
+    ),
+    sketch AS (
+      SELECT t, h, rn FROM (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    ka AS (SELECT max(rn) AS n, max(h) AS hk FROM sketch WHERE t = '{_KMV_A}'),
+    kb AS (SELECT max(rn) AS n, max(h) AS hk FROM sketch WHERE t = '{_KMV_B}'),
+    usketch AS (
+      SELECT h, rn FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sketch)
+      ) WHERE rn <= {KMV_K}
+    ),
+    ku AS (SELECT max(rn) AS n, max(h) AS hk FROM usketch),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM usketch u
+      WHERE EXISTS (SELECT 1 FROM sketch s
+                    WHERE s.t = '{_KMV_A}' AND s.h = u.h)
+        AND EXISTS (SELECT 1 FROM sketch s
+                    WHERE s.t = '{_KMV_B}' AND s.h = u.h)
+    ),
+    ex AS (
+      SELECT
+        count(DISTINCT CASE WHEN event_type = '{_KMV_A}' THEN user_id END)
+          AS exact_a,
+        count(DISTINCT CASE WHEN event_type = '{_KMV_B}' THEN user_id END)
+          AS exact_b,
+        count(DISTINCT user_id) AS exact_union
+      FROM events WHERE event_type IN ('{_KMV_A}', '{_KMV_B}')
+    ),
+    exi AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT user_id FROM events WHERE event_type = '{_KMV_A}'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = '{_KMV_B}'
+      )
+    )
+    SELECT
+      CASE WHEN ka.n < {KMV_K} THEN ka.n
+           ELSE CAST(round(({KMV_K} - 1) * {_KMV_M!r} / ka.hk) AS BIGINT)
+      END AS est_a,
+      CASE WHEN kb.n < {KMV_K} THEN kb.n
+           ELSE CAST(round(({KMV_K} - 1) * {_KMV_M!r} / kb.hk) AS BIGINT)
+      END AS est_b,
+      CASE WHEN ku.n < {KMV_K} THEN ku.n
+           ELSE CAST(round(({KMV_K} - 1) * {_KMV_M!r} / ku.hk) AS BIGINT)
+      END AS est_union,
+      CAST(round(inter.m * (
+        CASE WHEN ku.n < {KMV_K} THEN ku.n
+             ELSE round(({KMV_K} - 1) * {_KMV_M!r} / ku.hk)
+        END) * 1.0 / ku.n) AS BIGINT) AS est_inter,
+      CAST(ex.exact_a AS BIGINT) AS exact_a,
+      CAST(ex.exact_b AS BIGINT) AS exact_b,
+      CAST(ex.exact_union AS BIGINT) AS exact_union,
+      exi.exact_inter AS exact_inter
+    FROM ka, kb, ku, inter, ex, exi
+    """,
+    doc=f"K-Minimum-Values distinct sketches (k={KMV_K}) for two event "
+    "cohorts, with the sketch algebra HyperLogLog lacks: the union sketch "
+    "is the k smallest of the merged sketches, and the intersection is "
+    "estimated by Jaccard-on-the-union-sketch (fraction of union-sketch "
+    "members present in both input sketches, scaled by the union estimate). "
+    "The hash is the 60-bit md5 prefix both engines compute identically, so "
+    "even the ESTIMATES hash-verify — rare for an approximate operator. "
+    "Exact counterparts ride along for calibration. Plan: one distinct over "
+    "(cohort, hash) with map-side combine, then every relation is "
+    f"sketch-sized (<= {KMV_K} rows) — at 100 TB only (cohort, 8-byte hash) "
+    "pairs shuffle, and per-partition pre-aggregation means each partition "
+    "contributes at most k survivors; the driver-side state is O(k).",
+)
+def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KMV_A, _KMV_B)
+    )
+    h = ev.select(
+        F.col("event_type").alias("t"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    sk_w = Window.partitionBy("t").orderBy("h")
+    sketch = (
+        h.withColumn("rn", F.row_number().over(sk_w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    sketch = sketch.persist()
+    try:
+        def _tail(t: str, n_name: str, hk_name: str) -> DataFrame:
+            return sketch.filter(F.col("t") == t).agg(
+                F.max("rn").cast("bigint").alias(n_name),
+                F.max("h").alias(hk_name),
+            )
+
+        ka = _tail(_KMV_A, "na", "hka")
+        kb = _tail(_KMV_B, "nb", "hkb")
+        usketch = (
+            sketch.select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+            .filter(F.col("rn") <= KMV_K)
+        )
+        usketch = usketch.persist()
+        ku = usketch.agg(
+            F.max("rn").cast("bigint").alias("nu"), F.max("h").alias("hku")
+        )
+        in_a = sketch.filter(F.col("t") == _KMV_A).select("h")
+        in_b = sketch.filter(F.col("t") == _KMV_B).select("h")
+        m = (
+            usketch.join(maybe_broadcast(in_a), "h", "left_semi")
+            .join(maybe_broadcast(in_b), "h", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        )
+        ex = ev.agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == _KMV_A, F.col("user_id"))
+            ).cast("bigint").alias("exact_a"),
+            F.countDistinct(
+                F.when(F.col("event_type") == _KMV_B, F.col("user_id"))
+            ).cast("bigint").alias("exact_b"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_union"),
+        )
+        exi = (
+            ev.filter(F.col("event_type") == _KMV_A)
+            .select("user_id")
+            .intersect(
+                ev.filter(F.col("event_type") == _KMV_B).select("user_id")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+        )
+
+        def _est(n_col: str, hk_col: str):
+            return F.when(F.col(n_col) < KMV_K, F.col(n_col)).otherwise(
+                F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col(hk_col))
+                .cast("bigint")
+            )
+
+        est_union_d = F.when(
+            F.col("nu") < KMV_K, F.col("nu").cast("double")
+        ).otherwise(F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("hku")))
+        out = (
+            ka.crossJoin(F.broadcast(kb))
+            .crossJoin(F.broadcast(ku))
+            .crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(ex))
+            .crossJoin(F.broadcast(exi))
+            .select(
+                _est("na", "hka").alias("est_a"),
+                _est("nb", "hkb").alias("est_b"),
+                _est("nu", "hku").alias("est_union"),
+                F.round(F.col("m") * est_union_d / F.col("nu"))
+                .cast("bigint")
+                .alias("est_inter"),
+                "exact_a",
+                "exact_b",
+                "exact_union",
+                "exact_inter",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        usketch.unpersist()
+        sketch.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# curate_temperature_resample — count^alpha sampling weights (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_BUDGET = 10_000
+
+
+@register(
+    "curate_temperature_resample",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             sqrt(count(*)) AS w
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT sum(w) AS tw FROM g)
+    SELECT g.lang, g.source, g.n_docs,
+           round(g.w / t.tw, 4) AS share,
+           CAST(round(g.w / t.tw * {RESAMPLE_BUDGET}) AS BIGINT)
+             AS alloc_docs,
+           round(g.w / t.tw * {RESAMPLE_BUDGET} / g.n_docs, 4)
+             AS sample_rate
+    FROM g, t
+    """,
+    doc="Temperature-based corpus resampling (the multilingual-LLM recipe: "
+    "group weight proportional to count^alpha, alpha = 0.5 i.e. sqrt — "
+    "IEEE-correctly-rounded, so both engines compute the identical weight): "
+    "rare (lang, source) slices are up-weighted relative to their raw "
+    "share, head slices down-weighted, and each group's document allocation "
+    "and per-doc sampling rate against a fixed budget of "
+    f"{RESAMPLE_BUDGET} fall out. One map-side-combined aggregation over "
+    "the corpus (the only data-proportional shuffle); everything after is "
+    "group-cardinality-sized with the 1-row total broadcast back. The "
+    "sample_rate column is what a downstream Bernoulli/hash sampler "
+    "consumes, making this the planning half of sample_hash_split.",
+)
+def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).withColumn("w", F.sqrt(F.col("n_docs")))
+    t = g.agg(F.sum("w").alias("tw"))
+    share = F.col("w") / F.col("tw")
+    return g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(share, 4).alias("share"),
+        F.round(share * RESAMPLE_BUDGET).cast("bigint").alias("alloc_docs"),
+        F.round(share * RESAMPLE_BUDGET / F.col("n_docs"), 4).alias(
+            "sample_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_activity_streaks — gaps-and-islands longest consecutive-day run
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      FROM d
+    ),
+    streaks AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_days,
+             min(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_days, streak_start FROM (
+      SELECT user_id, streak_days, streak_start,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start ASC) AS rn
+      FROM streaks
+    ) WHERE rn = 1
+    """,
+    doc="Gaps-and-islands: longest run of consecutive active days per user "
+    "(ties -> earliest streak), via the classic day-minus-row_number anchor "
+    "— consecutive days share an anchor date, so runs become groups without "
+    "any self-join. All decisions are on dates and counts: engine-exact. "
+    "Plan: exactly two exchanges (plan-asserted) — the (user, day) distinct, "
+    "then one hash-partition on user_id whose clustering satisfies the "
+    "anchor window, the (user, anchor) streak aggregation, AND the per-user "
+    "argmax, so nothing downstream re-shuffles. Per-user state is bounded "
+    "by the calendar, not event volume, which is what makes the shape safe "
+    "at 100 TB.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    anchor = F.date_sub(
+        F.col("day"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .cast("int"),
+    )
+    grp = d.select("user_id", "day", anchor.alias("anchor"))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )

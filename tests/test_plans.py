@@ -183,6 +183,8 @@ _ALLOWED_NESTED_LOOP = {
     "orders_basket_lift",         # 1-row order-total scalar broadcast crossJoin
     "agg_chi_square",             # 1-row grand-total scalar broadcast crossJoin
     "text_keywords_topk",         # 1-row corpus-size scalar broadcast crossJoin
+    "events_cusum_changepoint",   # 1-row totals + 1-row argmax broadcast crossJoin
+    "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

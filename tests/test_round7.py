@@ -1,0 +1,190 @@
+"""Invariants for the round-7 operators: BFS levels, CUSUM changepoint,
+KMV sketch set-ops, temperature resampling, activity streaks.
+
+These pin semantic properties the DuckDB parity gate cannot distinguish from
+a shared bug (both engines run the registered formulations): BFS level
+consistency against the edge relation, the CUSUM telescoping identity, KMV
+error bounds against exact counts, budget conservation, and a pandas
+re-derivation of one user's streak.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bfs_parts(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        BFS_SOURCE_NODE,
+        BFS_TOP_OUT,
+        graph_bfs_levels,
+    )
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    levels = {
+        r["nation"]: r["hop"] for r in graph_bfs_levels(spark, SF).collect()
+    }
+    key_by_name = {
+        r["n_name"]: r["n_nationkey"] for r in nation.collect()
+    }
+    return BFS_SOURCE_NODE, BFS_TOP_OUT, levels, key_by_name
+
+
+def test_bfs_levels_consistent_with_edges(spark):
+    """hop(source) = 0; every hop-h>0 node has an in-edge from some node at
+    hop h-1 and none from any node at hop < h-1 that would give it a
+    shorter path; unreachable nations are NULL."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import BFS_TOP_OUT
+
+    src, _topk, levels, key_by_name = _bfs_parts(spark)
+    # rebuild the same top-k graph independently (pandas, not the operator)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    ed = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .count()
+        .toPandas()
+    )
+    ed = ed.sort_values(["a", "count", "b"], ascending=[True, False, True])
+    g: dict[int, list[int]] = {}
+    for a, grp in ed.groupby("a", sort=True):
+        g[a] = list(grp["b"].head(BFS_TOP_OUT))
+    # reference BFS
+    ref = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in g.get(u, []):
+                if v not in ref:
+                    ref[v] = ref[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    got = {key_by_name[name]: hop for name, hop in levels.items()}
+    assert {k: v for k, v in got.items() if v is not None} == ref
+    assert all(v is None for k, v in got.items() if k not in ref)
+
+
+def test_cusum_telescopes_and_flags_unique_argmax(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        events_cusum_changepoint,
+    )
+
+    rows = events_cusum_changepoint(spark, SF).orderBy("day").collect()
+    # telescoping identity: S_n = prefix_n - n*mean = 0 exactly
+    assert rows[-1]["cusum"] == 0.0
+    flagged = [r for r in rows if r["is_changepoint"]]
+    assert len(flagged) == 1
+    peak = max(abs(r["cusum"]) for r in rows)
+    assert abs(flagged[0]["cusum"]) == peak
+    # ties break to the earliest day
+    first_at_peak = min(r["day"] for r in rows if abs(r["cusum"]) == peak)
+    assert flagged[0]["day"] == first_at_peak
+
+
+def test_kmv_estimates_within_bounds(spark):
+    """KMV standard error is ~1/sqrt(k-2) (~13% at k=64); assert a loose
+    3-sigma envelope vs the exact counts it carries, plus sketch algebra
+    sanity (union >= each side, intersection <= union)."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        agg_kmv_distinct_setops,
+    )
+
+    r = agg_kmv_distinct_setops(spark, SF).collect()[0]
+    for est, exact in [
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+        (r["est_inter"], r["exact_inter"]),
+    ]:
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.4, (est, exact)
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.6
+    assert r["est_inter"] <= r["est_union"]
+
+
+def test_kmv_exact_below_k(spark):
+    """When a cohort has fewer than k distinct members the sketch IS the
+    set and the estimate must be exact. sf0.001 has fewer than k=64
+    distinct users per cohort, so the registered query itself exercises
+    the exact branch here (sf0.01+ exercises the estimation branch)."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        KMV_K,
+        agg_kmv_distinct_setops,
+    )
+
+    r = agg_kmv_distinct_setops(spark, SF).collect()[0]
+    if r["exact_a"] < KMV_K:
+        assert r["est_a"] == r["exact_a"]
+    if r["exact_union"] < KMV_K:
+        assert r["est_union"] == r["exact_union"]
+        assert r["est_inter"] == r["exact_inter"]
+
+
+def test_temperature_resample_conserves_budget_and_flattens(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        RESAMPLE_BUDGET,
+        curate_temperature_resample,
+    )
+
+    rows = curate_temperature_resample(spark, SF).collect()
+    # per-group rounding drifts at most 0.5 docs/group
+    assert abs(sum(r["alloc_docs"] for r in rows) - RESAMPLE_BUDGET) <= len(rows) / 2
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
+    # sqrt weighting flattens: the sample rate must be (weakly) decreasing
+    # in group size — rare groups are upsampled relative to head groups
+    by_size = sorted(rows, key=lambda r: r["n_docs"])
+    rates = [r["sample_rate"] for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+
+
+def test_streaks_match_pandas_rederivation(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        events_activity_streaks,
+    )
+
+    got = {
+        r["user_id"]: (r["streak_days"], r["streak_start"])
+        for r in events_activity_streaks(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    pdf = ev.toPandas().drop_duplicates()
+    ref = {}
+    for uid, grp in pdf.groupby("user_id"):
+        days = sorted(grp["day"])
+        best_len, best_start = 0, None
+        run_len, run_start = 0, None
+        prev = None
+        for d in days:
+            if prev is not None and (d - prev) == pd.Timedelta(days=1):
+                run_len += 1
+            else:
+                run_len, run_start = 1, d
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+            prev = d
+        ref[uid] = (best_len, best_start)
+    assert got == ref
+
+
+def test_streaks_two_exchanges_only(spark):
+    """The plan claim in the docstring: (user, day) distinct plus ONE
+    user_id exchange that serves the window, the streak aggregation, and
+    the per-user argmax."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        events_activity_streaks,
+    )
+    from mongodb_nats_connector_spark.plans.explain import count_key_exchanges
+
+    assert count_key_exchanges(events_activity_streaks(spark, SF)) == 2
