@@ -61,6 +61,9 @@ HEADLINE_QUERIES = [
     "dedup_embedding_cosine",
     "docs_topp_quality",
     "events_stickiness_dau_wau",
+    # round 7: mergeable KMV sketch set-ops, exchange-reusing streaks
+    "agg_kmv_distinct_setops",
+    "events_activity_streaks",
 ]
 
 

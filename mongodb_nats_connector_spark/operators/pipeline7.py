@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -341,84 +342,84 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(sk_w))
         .filter(F.col("rn") <= KMV_K)
     )
-    sketch = sketch.persist()
-    try:
-        def _tail(t: str, n_name: str, hk_name: str) -> DataFrame:
-            return sketch.filter(F.col("t") == t).agg(
-                F.max("rn").cast("bigint").alias(n_name),
-                F.max("h").alias(hk_name),
-            )
 
-        ka = _tail(_KMV_A, "na", "hka")
-        kb = _tail(_KMV_B, "nb", "hkb")
-        usketch = (
-            sketch.select("h")
-            .distinct()
-            .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-            .filter(F.col("rn") <= KMV_K)
-        )
-        usketch = usketch.persist()
-        ku = usketch.agg(
-            F.max("rn").cast("bigint").alias("nu"), F.max("h").alias("hku")
-        )
-        in_a = sketch.filter(F.col("t") == _KMV_A).select("h")
-        in_b = sketch.filter(F.col("t") == _KMV_B).select("h")
-        m = (
-            usketch.join(maybe_broadcast(in_a), "h", "left_semi")
-            .join(maybe_broadcast(in_b), "h", "left_semi")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-        )
-        ex = ev.agg(
-            F.countDistinct(
-                F.when(F.col("event_type") == _KMV_A, F.col("user_id"))
-            ).cast("bigint").alias("exact_a"),
-            F.countDistinct(
-                F.when(F.col("event_type") == _KMV_B, F.col("user_id"))
-            ).cast("bigint").alias("exact_b"),
-            F.countDistinct("user_id").cast("bigint").alias("exact_union"),
-        )
-        exi = (
-            ev.filter(F.col("event_type") == _KMV_A)
-            .select("user_id")
-            .intersect(
-                ev.filter(F.col("event_type") == _KMV_B).select("user_id")
-            )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    def _tail(t: str, n_name: str, hk_name: str) -> DataFrame:
+        return sketch.filter(F.col("t") == t).agg(
+            F.max("rn").cast("bigint").alias(n_name),
+            F.max("h").alias(hk_name),
         )
 
-        def _est(n_col: str, hk_col: str):
-            return F.when(F.col(n_col) < KMV_K, F.col(n_col)).otherwise(
-                F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col(hk_col))
-                .cast("bigint")
-            )
-
-        est_union_d = F.when(
-            F.col("nu") < KMV_K, F.col("nu").cast("double")
-        ).otherwise(F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("hku")))
-        out = (
-            ka.crossJoin(F.broadcast(kb))
-            .crossJoin(F.broadcast(ku))
-            .crossJoin(F.broadcast(m))
-            .crossJoin(F.broadcast(ex))
-            .crossJoin(F.broadcast(exi))
-            .select(
-                _est("na", "hka").alias("est_a"),
-                _est("nb", "hkb").alias("est_b"),
-                _est("nu", "hku").alias("est_union"),
-                F.round(F.col("m") * est_union_d / F.col("nu"))
-                .cast("bigint")
-                .alias("est_inter"),
-                "exact_a",
-                "exact_b",
-                "exact_union",
-                "exact_inter",
-            )
-            .localCheckpoint(eager=True)
+    ka = _tail(_KMV_A, "na", "hka")
+    kb = _tail(_KMV_B, "nb", "hkb")
+    usketch = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    ku = usketch.agg(
+        F.max("rn").cast("bigint").alias("nu"), F.max("h").alias("hku")
+    )
+    in_a = sketch.filter(F.col("t") == _KMV_A).select("h")
+    in_b = sketch.filter(F.col("t") == _KMV_B).select("h")
+    m = (
+        usketch.join(maybe_broadcast(in_a), "h", "left_semi")
+        .join(maybe_broadcast(in_b), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _KMV_A, F.col("user_id"))
+        ).cast("bigint").alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _KMV_B, F.col("user_id"))
+        ).cast("bigint").alias("exact_b"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_union"),
+    )
+    exi = (
+        ev.filter(F.col("event_type") == _KMV_A)
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == _KMV_B).select("user_id")
         )
-    finally:
-        usketch.unpersist()
-        sketch.unpersist()
-    return out
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+
+    def _est(n_col: str, hk_col: str):
+        return F.when(F.col(n_col) < KMV_K, F.col(n_col)).otherwise(
+            F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col(hk_col))
+            .cast("bigint")
+        )
+
+    est_union_d = F.when(
+        F.col("nu") < KMV_K, F.col("nu").cast("double")
+    ).otherwise(F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("hku")))
+    out = (
+        ka.crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ku))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            _est("na", "hka").alias("est_a"),
+            _est("nb", "hkb").alias("est_b"),
+            _est("nu", "hku").alias("est_union"),
+            F.round(F.col("m") * est_union_d / F.col("nu"))
+            .cast("bigint")
+            .alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )
+    # the lazy plan references the per-cohort sketch 5x and the union sketch
+    # 2x: result-scoped persists keep them single-computed per execution
+    # without eagerly running jobs at build time (lineage stays visible to
+    # the plan lint; caches release when the caller drops the result)
+    return persist_until_collected(
+        sketch, persist_until_collected(usketch, out)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -185,6 +185,7 @@ _ALLOWED_NESTED_LOOP = {
     "text_keywords_topk",         # 1-row corpus-size scalar broadcast crossJoin
     "events_cusum_changepoint",   # 1-row totals + 1-row argmax broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
+    "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
