@@ -539,3 +539,346 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_widest_path — max-min bottleneck capacity (Bellman rounds)
+# ---------------------------------------------------------------------------
+
+WIDEST_SOURCE = 0
+WIDEST_ROUNDS = 3
+_CAP_INF = (1 << 62)
+
+
+def _widest_oracle() -> str:
+    base = f"""
+    WITH {_TRADE_EDGES_CTE},
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    cap0 AS (
+      SELECT node,
+             CASE WHEN node = {WIDEST_SOURCE}
+                  THEN CAST({_CAP_INF} AS BIGINT) END AS cap
+      FROM nodes)"""
+    step = """,
+    relax{next} AS (
+      SELECT e.dst AS node, max(least(p.cap, e.w)) AS best
+      FROM cap{cur} p JOIN dir_edges e ON e.src = p.node
+      WHERE p.cap IS NOT NULL
+      GROUP BY e.dst
+    ),
+    cap{next} AS (
+      SELECT n.node,
+             CASE WHEN greatest(coalesce(c.cap, -1), coalesce(r.best, -1)) < 0
+                  THEN NULL
+                  ELSE greatest(coalesce(c.cap, -1), coalesce(r.best, -1))
+             END AS cap
+      FROM nodes n
+      LEFT JOIN cap{cur} c ON c.node = n.node
+      LEFT JOIN relax{next} r ON r.node = n.node
+    )"""
+    for i in range(WIDEST_ROUNDS):
+        base += step.format(next=i + 1, cur=i)
+    return (
+        base
+        + f"""
+    SELECT n.n_name AS nation,
+           CASE WHEN c.node = {WIDEST_SOURCE} THEN NULL
+                ELSE CAST(c.cap AS BIGINT) END AS capacity
+    FROM cap{WIDEST_ROUNDS} c JOIN nation n ON n.n_nationkey = c.node
+    """
+    )
+
+
+@register(
+    "graph_widest_path",
+    oracle=_widest_oracle(),
+    doc=f"Widest-path (maximum bottleneck capacity) from nation "
+    f"{WIDEST_SOURCE} over the weighted trade graph: cap(v) maximizes, "
+    "over all paths, the MINIMUM edge weight along the path — the "
+    "throughput question ('how much can route from A to v') that neither "
+    f"BFS (hops) nor PageRank (mass) answers. {WIDEST_ROUNDS} synchronous "
+    "Bellman rounds of cap(v) <- max(cap(v), max over in-edges of "
+    "least(cap(u), w)) — a fixed round count mirrored in the oracle's "
+    "chained CTEs, and every comparison is on BIGINTs, so the result is "
+    "engine-exact whether or not the fixpoint is reached. The edge list "
+    "aggregates once from the facts and is cached; per round the "
+    "node-sized capacity relation broadcast-joins the edges (nation-"
+    "bounded by invariant — at general scale drop the hint and the round "
+    "is one co-partitioned hash join + groupBy, the Pregel message "
+    "pattern). The source reports NULL capacity (its sentinel is not a "
+    "real bottleneck).",
+)
+def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = edges.persist()
+    try:
+        nodes = nation.select(F.col("n_nationkey").alias("node"))
+        cap = nodes.select(
+            "node",
+            F.when(F.col("node") == WIDEST_SOURCE, F.lit(_CAP_INF))
+            .cast("bigint")
+            .alias("cap"),
+        )
+        for _ in range(WIDEST_ROUNDS):
+            relax = (
+                F.broadcast(cap.filter(F.col("cap").isNotNull()))
+                .join(edges, F.col("node") == edges["src"])
+                .groupBy(F.col("dst").alias("rnode"))
+                .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("best"))
+            )
+            cap = (
+                cap.join(
+                    F.broadcast(relax), cap["node"] == relax["rnode"], "left"
+                )
+                .select(
+                    "node",
+                    F.greatest(
+                        F.coalesce(F.col("cap"), F.lit(-1)),
+                        F.coalesce(F.col("best"), F.lit(-1)),
+                    ).alias("g"),
+                )
+                .select(
+                    "node",
+                    F.when(F.col("g") >= 0, F.col("g"))
+                    .cast("bigint")
+                    .alias("cap"),
+                )
+            )
+        out = (
+            cap.join(maybe_broadcast(nation), cap["node"] == nation["n_nationkey"])
+            .select(
+                F.col("n_name").alias("nation"),
+                F.when(F.col("node") != WIDEST_SOURCE, F.col("cap"))
+                .cast("bigint")
+                .alias("capacity"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_registers — engine-exact HyperLogLog with group merge
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213475204444817  # alpha_m for m >= 128: 0.7213/(1+1.079/m)
+_HLL_REST_BITS = 60 - HLL_P  # 52; rho in [1, 53]
+_HLL_POW = 1 << (_HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
+
+
+@register(
+    "agg_hll_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS cohort,
+        CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' ||
+             CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)
+          AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT cohort, h & {_HLL_M - 1} AS bucket,
+             CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_REST_BITS + 1}
+                  ELSE {_HLL_REST_BITS + 1} - length(bin(h >> {HLL_P}))
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT cohort, bucket, max(rho) AS r FROM reg GROUP BY cohort, bucket
+      UNION ALL
+      SELECT 'ALL', bucket, max(rho) FROM reg GROUP BY bucket
+    ),
+    s AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_registers,
+             CAST(({_HLL_M} - count(*)) AS BIGINT) * {_HLL_POW} +
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_REST_BITS + 1} - r))
+                  AS BIGINT) AS z_int
+      FROM regs GROUP BY cohort
+    ),
+    e AS (
+      SELECT cohort, n_registers,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+               * {float(_HLL_POW)!r} / z_int AS raw
+      FROM s
+    ),
+    ex AS (
+      SELECT event_type AS cohort,
+             CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+               AS exact_userdays
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL',
+             CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+      FROM events
+    )
+    SELECT e.cohort, e.n_registers,
+           CAST(round(CASE WHEN raw <= 2.5 * {_HLL_M}
+                            AND n_registers < {_HLL_M}
+                      THEN {_HLL_M} * ln({float(_HLL_M)!r} /
+                                         ({_HLL_M} - n_registers))
+                      ELSE raw END) AS BIGINT) AS est_userdays,
+           ex.exact_userdays
+    FROM e JOIN ex ON ex.cohort = e.cohort
+    """,
+    doc=f"HyperLogLog with ENGINE-EXACT registers (p={HLL_P}, m={_HLL_M}): "
+    "the 60-bit md5 hash both engines share splits into bucket and rank "
+    "(rho via binary length — no float log), the register array is "
+    "max-per-bucket, and Z = sum 2^-rho is accumulated as a SCALED BIGINT "
+    "(2^53-rho), so the only float ops are one division and the standard "
+    "small-range ln correction — the estimate itself hash-verifies against "
+    "DuckDB, which a native HLL (Spark's approx_count_distinct) cannot. "
+    "Cohorts are per-event-type user-days, and the 'ALL' row demonstrates "
+    "the merge property: max of the cohort registers, never a re-scan of "
+    "the union. Plan: one distinct over (cohort, 8-byte hash) with "
+    "map-side combine, then register-sized relations only; at 100 TB each "
+    "partition emits at most m register partials per cohort — the standard "
+    "two-level HLL aggregation tree in DataFrame form.",
+)
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h = ev.select(
+        F.col("event_type").alias("cohort"),
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    rest = F.shiftright(F.col("h"), HLL_P)
+    reg = h.select(
+        "cohort",
+        F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
+        F.when(rest == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest)))
+        .alias("rho"),
+    )
+    per = reg.groupBy("cohort", "bucket").agg(F.max("rho").alias("r"))
+    merged = reg.groupBy("bucket").agg(F.max("rho").alias("r")).select(
+        F.lit("ALL").alias("cohort"), "bucket", "r"
+    )
+    regs = per.select("cohort", "bucket", "r").unionAll(merged)
+    # shiftleft's bit-count arg must be a literal in the classic column API;
+    # the per-row shift comes from SQL expr instead
+    z_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS + 1} - r)")
+    s = regs.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        (
+            (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint") * F.lit(_HLL_POW)
+            + F.sum(z_term).cast("bigint")
+        ).alias("z_int"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(_HLL_POW))
+        / F.col("z_int")
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_registers") < _HLL_M),
+        F.round(
+            F.lit(_HLL_M)
+            * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers")))
+        ),
+    ).otherwise(F.round(raw))
+    day = F.col("ts").cast("date")
+    ex_per = ev.groupBy(F.col("event_type").alias("cohort")).agg(
+        F.countDistinct(F.col("user_id"), day).cast("bigint").alias(
+            "exact_userdays"
+        )
+    )
+    ex_all = ev.agg(
+        F.countDistinct(F.col("user_id"), day).cast("bigint").alias(
+            "exact_userdays"
+        )
+    ).select(F.lit("ALL").alias("cohort"), "exact_userdays")
+    ex = ex_per.unionAll(ex_all)
+    return (
+        s.join(maybe_broadcast(ex), "cohort")
+        .select(
+            "cohort",
+            "n_registers",
+            est.cast("bigint").alias("est_userdays"),
+            "exact_userdays",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_gini_hhi — revenue concentration (Gini + HHI)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_gini_hhi",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT o_custkey, rev,
+             CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC)
+                  AS BIGINT) AS i
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS total_revenue,
+           round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM rk
+    """,
+    doc="Revenue-concentration readout per the two standard inequality "
+    "metrics: Herfindahl-Hirschman index (sum of squared revenue shares) "
+    "and the Gini coefficient via the rank formula G = 2*sum(i*x_(i))/"
+    "(n*sum(x)) - (n+1)/n over revenues sorted ascending (ties broken by "
+    "customer key, so ranks are engine-exact). One shuffle to per-customer "
+    "totals; the rank runs over the customer-sized aggregate and "
+    "everything reduces to a single row. The single-partition window is "
+    "the documented global-sort cost on a DIMENSION-sized relation — at "
+    "100 TB replace with a range-partitioned two-pass rank (the "
+    "events_max_concurrency pattern) without changing the algebra.",
+)
+def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    rk = per.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return rk.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            F.sum(F.col("rev") * F.col("rev")) / (F.sum("rev") * F.sum("rev")), 6
+        ).alias("hhi"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev")) / (n * F.sum("rev"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -188,3 +188,96 @@ def test_streaks_two_exchanges_only(spark):
     from mongodb_nats_connector_spark.plans.explain import count_key_exchanges
 
     assert count_key_exchanges(events_activity_streaks(spark, SF)) == 2
+
+
+def test_widest_path_matches_python_reference(spark):
+    """Max-min capacities recomputed in pure Python over the collected
+    (nation-sized) edge list via iterate-to-fixpoint — the operator's fixed
+    3 rounds must already be at the fixpoint on this dense graph."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        WIDEST_SOURCE,
+        graph_widest_path,
+    )
+
+    got = {
+        r["nation"]: r["capacity"] for r in graph_widest_path(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    ew = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .count()
+        .collect()
+    )
+    INF = 1 << 62
+    cap = {WIDEST_SOURCE: INF}
+    for _ in range(30):  # fixpoint on a 25-node graph
+        nxt = dict(cap)
+        for r in ew:
+            if r["a"] in cap:
+                cand = min(cap[r["a"]], r["count"])
+                if cand > nxt.get(r["b"], -1):
+                    nxt[r["b"]] = cand
+        if nxt == cap:
+            break
+        cap = nxt
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    ref = {
+        name: (None if k == WIDEST_SOURCE else cap.get(k))
+        for k, name in names.items()
+    }
+    assert got == ref
+
+
+def test_hll_registers_error_bound_and_merge_monotone(spark):
+    """HLL relative error at m=256 is sigma ~ 1.04/16 = 6.5%; assert a
+    loose 4-sigma envelope per cohort, and that the merged-register row
+    dominates every cohort estimate (registers are pointwise >=, and the
+    estimate is monotone in the registers)."""
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        agg_hll_registers,
+    )
+
+    rows = {r["cohort"]: r for r in agg_hll_registers(spark, SF).collect()}
+    assert "ALL" in rows
+    for cohort, r in rows.items():
+        assert abs(r["est_userdays"] - r["exact_userdays"]) <= max(
+            0.3 * r["exact_userdays"], 3
+        ), (cohort, r)
+    all_est = rows["ALL"]["est_userdays"]
+    for cohort, r in rows.items():
+        if cohort != "ALL":
+            assert all_est >= r["est_userdays"]
+
+
+def test_gini_hhi_matches_pandas_and_bounds(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import orders_gini_hhi
+
+    r = orders_gini_hhi(spark, SF).collect()[0]
+    per = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+        .sort_values(["rev", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    n = len(per)
+    tot = per["rev"].sum()
+    hhi = float(((per["rev"] / tot) ** 2).sum())
+    i = pd.Series(range(1, n + 1), dtype="float64")
+    gini = float(2.0 * (i * per["rev"].values).sum() / (n * tot) - (n + 1.0) / n)
+    assert r["n_customers"] == n
+    assert abs(r["hhi"] - hhi) < 1e-4
+    assert abs(r["gini"] - gini) < 1e-4
+    assert 0.0 <= r["gini"] < 1.0
+    assert 1.0 / n <= r["hhi"] <= 1.0
