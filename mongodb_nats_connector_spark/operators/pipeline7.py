@@ -882,3 +882,167 @@ def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_log2_histogram_quantiles — HDR-style power-of-2 latency buckets
+# ---------------------------------------------------------------------------
+
+_LOG2_SCALE = 100  # centi-unit fixed point: value 6.55 -> tick 655
+
+
+@register(
+    "agg_log2_histogram_quantiles",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(round(value * {_LOG2_SCALE}) AS BIGINT) AS tick
+      FROM events WHERE value > 0
+    ),
+    b AS (
+      SELECT length(bin(tick)) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+    c AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      FROM b
+    )
+    SELECT c.bucket,
+           round((CAST(1 AS BIGINT) << (c.bucket - 1)) * 1.0
+                 / {_LOG2_SCALE}, 2) AS lo,
+           round(((CAST(1 AS BIGINT) << c.bucket) - 1) * 1.0
+                 / {_LOG2_SCALE}, 2) AS hi,
+           c.cnt, c.cum,
+           (c.cum - c.cnt) * 2 < n.n AND c.cum * 2 >= n.n AS is_p50_bucket,
+           (c.cum - c.cnt) * 10 < n.n * 9 AND c.cum * 10 >= n.n * 9
+             AS is_p90_bucket,
+           (c.cum - c.cnt) * 100 < n.n * 99 AND c.cum * 100 >= n.n * 99
+             AS is_p99_bucket
+    FROM c, n
+    """,
+    doc="HDR-histogram-style latency profile: positive measurements quantize "
+    f"to 1/{_LOG2_SCALE} ticks and bucket by power of two (bucket = bit "
+    "length of the tick — an integer op, no float log), the mergeable "
+    "fixed-width sketch behind every production latency dashboard. "
+    "Cumulative counts mark which bucket contains p50/p90/p99 with pure "
+    "integer comparisons (cum crossing q*n), so the row set is engine-"
+    "exact. Plan: one map-side-combined groupBy over the facts into at "
+    "most 64 buckets; the cumulative window and the 1-row total run on the "
+    "bucket-sized aggregate. Merging shards or days = summing bucket "
+    "counts — the same merge contract as the KMV/HLL sketches.",
+)
+def agg_log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    t = ev.select(
+        F.round(F.col("value") * _LOG2_SCALE).cast("bigint").alias("tick")
+    )
+    b = t.groupBy(F.length(F.bin("tick")).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n = b.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select("bucket", "cnt", F.sum("cnt").over(w).cast("bigint").alias("cum"))
+    prev = F.col("cum") - F.col("cnt")
+
+    def _is_bucket(num: int, den: int):
+        return (prev * den < F.col("n") * num) & (
+            F.col("cum") * den >= F.col("n") * num
+        )
+
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    return c.crossJoin(F.broadcast(n)).select(
+        "bucket",
+        F.round(lo / _LOG2_SCALE, 2).alias("lo"),
+        F.round(hi / _LOG2_SCALE, 2).alias("hi"),
+        "cnt",
+        "cum",
+        _is_bucket(1, 2).alias("is_p50_bucket"),
+        _is_bucket(9, 10).alias("is_p90_bucket"),
+        _is_bucket(99, 100).alias("is_p99_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ks_test — two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+_KS_G1, _KS_G2 = "F", "O"
+_KS_COEF_05 = 1.3581015157406195  # sqrt(-ln(0.05/2)/2): alpha = 0.05
+
+
+@register(
+    "agg_ks_test",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = '{_KS_G1}' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN o_orderstatus = '{_KS_G2}' THEN 1 ELSE 0 END AS g2
+      FROM orders WHERE o_orderstatus IN ('{_KS_G1}', '{_KS_G2}')
+    ),
+    n AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1, CAST(sum(g2) AS BIGINT) AS n2
+      FROM x
+    ),
+    c AS (
+      SELECT CAST(sum(g1) OVER (ORDER BY v) AS BIGINT) AS c1,
+             CAST(sum(g2) OVER (ORDER BY v) AS BIGINT) AS c2
+      FROM x
+    )
+    SELECT any_value(n.n1) AS n1, any_value(n.n2) AS n2,
+           round(max(abs(c.c1 * 1.0 / n.n1 - c.c2 * 1.0 / n.n2)), 6)
+             AS ks_d,
+           round(CAST({_KS_COEF_05!r} AS DOUBLE)
+                 * sqrt((any_value(n.n1) + any_value(n.n2)) * 1.0
+                        / (any_value(n.n1) * any_value(n.n2))), 6)
+             AS crit_05,
+           max(abs(c.c1 * 1.0 / n.n1 - c.c2 * 1.0 / n.n2)) >
+             CAST({_KS_COEF_05!r} AS DOUBLE)
+             * sqrt((any_value(n.n1) + any_value(n.n2)) * 1.0
+                    / (any_value(n.n1) * any_value(n.n2))) AS reject_05
+    FROM c, n
+    """,
+    doc=f"Two-sample Kolmogorov-Smirnov test: D = sup |ECDF_{_KS_G1} - "
+    f"ECDF_{_KS_G2}| over order totals, with the alpha=0.05 critical value "
+    "and reject decision — completing the statistical-test family next to "
+    "Welch-t (means) and chi-square (frequencies) with the distribution-"
+    "shape test. The default RANGE window frame makes ties contribute "
+    "their full mass at each distinct value in BOTH engines, and each "
+    "candidate |c1/n1 - c2/n2| is the same pair of exact-integer divisions "
+    "on each engine, so the supremum (an order-independent max of "
+    "identical doubles) is engine-exact; overflow-free at any scale since "
+    "no count product is formed. The global ordered window over fact rows "
+    "is the documented single-partition cost — at 100 TB replace with the "
+    "range-partitioned two-pass prefix sum (events_max_concurrency "
+    "pattern), or bin values first (the log2 histogram) for a sketched D.",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin(_KS_G1, _KS_G2)
+    )
+    x = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == _KS_G1, 1).otherwise(0).alias("g1"),
+        F.when(F.col("o_orderstatus") == _KS_G2, 1).otherwise(0).alias("g2"),
+    )
+    n = x.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum("g2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v")  # default RANGE frame: ties aggregate together
+    c = x.select(
+        F.sum("g1").over(w).cast("bigint").alias("c1"),
+        F.sum("g2").over(w).cast("bigint").alias("c2"),
+    )
+    d = F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))
+    crit = F.lit(_KS_COEF_05) * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+    )
+    return c.crossJoin(F.broadcast(n)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.round(F.first(crit), 6).alias("crit_05"),
+        (F.max(d) > F.first(crit)).alias("reject_05"),
+    )

@@ -186,6 +186,8 @@ _ALLOWED_NESTED_LOOP = {
     "events_cusum_changepoint",   # 1-row totals + 1-row argmax broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
+    "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
+    "agg_ks_test",                # 1-row group-size scalars broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

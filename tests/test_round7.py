@@ -281,3 +281,66 @@ def test_gini_hhi_matches_pandas_and_bounds(spark):
     assert abs(r["gini"] - gini) < 1e-4
     assert 0.0 <= r["gini"] < 1.0
     assert 1.0 / n <= r["hhi"] <= 1.0
+
+
+def test_log2_histogram_counts_and_quantile_flags(spark):
+    """Bucket counts tile the positive measurements; each quantile flag
+    marks exactly one bucket, and that bucket's [lo, hi] range contains
+    the numpy-exact quantile of the tick-quantized values."""
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        _LOG2_SCALE,
+        agg_log2_histogram_quantiles,
+    )
+
+    rows = agg_log2_histogram_quantiles(spark, SF).orderBy("bucket").collect()
+    vals = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value") > 0)
+        .select("value")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    ticks = np.round(vals * _LOG2_SCALE).astype("int64")
+    assert sum(r["cnt"] for r in rows) == len(ticks)
+    assert rows[-1]["cum"] == len(ticks)
+    for flag, q in [
+        ("is_p50_bucket", 0.5),
+        ("is_p90_bucket", 0.9),
+        ("is_p99_bucket", 0.99),
+    ]:
+        marked = [r for r in rows if r[flag]]
+        assert len(marked) == 1, flag
+        # the q-quantile by the inverted-CDF definition lands in the bucket
+        k = int(np.ceil(q * len(ticks)))  # 1-indexed order statistic
+        qv = np.sort(ticks)[k - 1] / _LOG2_SCALE
+        assert marked[0]["lo"] <= qv <= marked[0]["hi"], (flag, qv, marked)
+
+
+def test_ks_statistic_matches_pandas(spark):
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline7 import (
+        _KS_G1,
+        _KS_G2,
+        agg_ks_test,
+    )
+
+    r = agg_ks_test(spark, SF).collect()[0]
+    o = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    a = np.sort(o[o.o_orderstatus == _KS_G1].o_totalprice.to_numpy())
+    b = np.sort(o[o.o_orderstatus == _KS_G2].o_totalprice.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = float(np.abs(f1 - f2).max())
+    assert r["n1"] == len(a) and r["n2"] == len(b)
+    assert abs(r["ks_d"] - d) < 1e-6
+    crit = 1.3581015157406195 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    assert abs(r["crit_05"] - crit) < 1e-6
+    assert r["reject_05"] == (d > crit)
