@@ -1,28 +1,43 @@
 """Round-7 operators: graph traversal, change detection, mergeable
-set-operation sketches, temperature-based corpus resampling, and
-gaps-and-islands streaks.
+sketches, statistical tests, resampling, and gaps-and-islands shapes.
 
-- ``graph_bfs_levels`` adds breadth-first reachability (hop levels) to the
-  graph family (PageRank / label propagation / connected components already
-  cover rank, community, and components) — the traversal primitive behind
-  "within N hops" features.
-- ``events_cusum_changepoint`` is the classic CUSUM mean-shift detector over
-  a daily event series, computed with an exact integer formulation so the
-  changepoint argmax is engine-exact.
-- ``agg_kmv_distinct_setops`` implements K-Minimum-Values sketches — the
-  mergeable distinct-count sketch that, unlike HyperLogLog, also estimates
-  set INTERSECTIONS — with the md5-derived 60-bit hash both engines compute
-  identically, so even the estimates are hash-verifiable.
-- ``curate_temperature_resample`` is the multilingual-LLM sampling strategy
-  (weight group g proportional to ``count^alpha``, alpha = 0.5) that
-  up-weights rare languages/sources in a training mix.
-- ``events_activity_streaks`` is the gaps-and-islands shape: longest run of
-  consecutive active days per user.
+Graph family (beyond PageRank / label propagation / connected components):
 
-Cross-engine determinism notes: every comparison that picks a row (BFS
-levels, CUSUM argmax, streak tie-breaks, KMV sketch membership) is decided
-on integers or dates; doubles appear only in final reported values, rounded
-to 4 decimals after identical arithmetic on exact integer inputs.
+- ``graph_bfs_levels`` — breadth-first hop levels (Pregel-style frontier
+  loop in pure DataFrame ops), the "within N hops" traversal primitive.
+- ``graph_widest_path`` — max-min bottleneck capacity via fixed synchronous
+  Bellman rounds, all comparisons on BIGINTs.
+
+Mergeable sketches (each with the merge demo the family contract demands):
+
+- ``agg_kmv_distinct_setops`` — K-Minimum-Values sketches: the distinct
+  sketch that, unlike HyperLogLog, also estimates set INTERSECTIONS; the
+  md5-derived 60-bit hash makes even the estimates hash-verifiable.
+- ``agg_hll_registers`` — HyperLogLog whose registers (and so estimate)
+  are engine-exact: rho from binary length, Z as a scaled-BIGINT sum, and
+  an 'ALL' row proving register-max merge.
+- ``agg_log2_histogram_quantiles`` — HDR-style power-of-2 latency buckets
+  with integer-exact p50/p90/p99 bucket flags; merge = sum counts.
+
+Statistics / analytics:
+
+- ``events_cusum_changepoint`` — CUSUM mean-shift detection with an exact
+  integer argmax (n*S_i = n*prefix_i - i*total).
+- ``agg_ks_test`` — two-sample Kolmogorov-Smirnov D + critical value,
+  the distribution-shape test beside Welch-t and chi-square.
+- ``orders_gini_hhi`` — Gini + HHI revenue concentration.
+- ``events_activity_streaks`` — longest consecutive-day run per user
+  (gaps-and-islands via the day-minus-row_number anchor).
+
+Curation:
+
+- ``curate_temperature_resample`` — the multilingual-LLM count^alpha
+  sampling recipe (alpha = 0.5 via IEEE-exact sqrt).
+
+Cross-engine determinism: every comparison that picks a row (BFS levels,
+CUSUM argmax, streak/widest-path/quantile-bucket decisions, sketch
+membership) is decided on integers or dates; doubles appear only in final
+reported values after identical arithmetic on exact integer inputs.
 """
 
 from __future__ import annotations

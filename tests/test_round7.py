@@ -1,11 +1,13 @@
-"""Invariants for the round-7 operators: BFS levels, CUSUM changepoint,
-KMV sketch set-ops, temperature resampling, activity streaks.
+"""Invariants for the round-7 operators: BFS levels, widest path, CUSUM
+changepoint, KMV/HLL/log2-histogram sketches, KS test, Gini/HHI,
+temperature resampling, activity streaks.
 
-These pin semantic properties the DuckDB parity gate cannot distinguish from
-a shared bug (both engines run the registered formulations): BFS level
-consistency against the edge relation, the CUSUM telescoping identity, KMV
-error bounds against exact counts, budget conservation, and a pandas
-re-derivation of one user's streak.
+These pin semantic properties the DuckDB parity gate cannot distinguish
+from a shared bug (both engines run the registered formulations):
+independent Python/pandas/numpy re-derivations (BFS, widest path, streaks,
+KS, Gini/HHI, quantile buckets), the CUSUM telescoping identity, sketch
+error bounds against exact counts, merge monotonicity, and budget
+conservation.
 """
 
 from __future__ import annotations
