@@ -700,6 +700,31 @@ _HLL_REST_BITS = 60 - HLL_P  # 52; rho in [1, 53]
 _HLL_POW = 1 << (_HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
 
 
+def hll_reg_rows(ev: DataFrame) -> DataFrame:
+    """Per-event (cohort, bucket, rho) register contributions — shared by
+    the batch query below and the streaming register merge
+    (streaming/windows.py:hll_register_stream). No distinct is needed:
+    max-per-bucket absorbs duplicate hashes, which is exactly the
+    idempotence that makes HLL safe under at-least-once replay."""
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h = ev.select(
+        F.col("event_type").alias("cohort"),
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    rest = F.shiftright(F.col("h"), HLL_P)
+    return h.select(
+        "cohort",
+        F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
+        F.when(rest == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest)))
+        .alias("rho"),
+    )
+
+
 @register(
     "agg_hll_registers",
     oracle=f"""
@@ -763,30 +788,18 @@ _HLL_POW = 1 << (_HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
     "DuckDB, which a native HLL (Spark's approx_count_distinct) cannot. "
     "Cohorts are per-event-type user-days, and the 'ALL' row demonstrates "
     "the merge property: max of the cohort registers, never a re-scan of "
-    "the union. Plan: one distinct over (cohort, 8-byte hash) with "
-    "map-side combine, then register-sized relations only; at 100 TB each "
-    "partition emits at most m register partials per cohort — the standard "
-    "two-level HLL aggregation tree in DataFrame form.",
+    "the union. Plan: one map-side-combined max over (cohort, bucket) — no "
+    "distinct pass is needed, because register max absorbs duplicates — "
+    "then register-sized relations only; at 100 TB each partition emits at "
+    "most m register partials per cohort: the standard two-level HLL "
+    "aggregation tree in DataFrame form. The same register mapping "
+    "(hll_reg_rows) feeds the streaming merge in streaming/windows.py, "
+    "where max-idempotence gives exactly-once estimates under "
+    "at-least-once replay.",
 )
 def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    key = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit("@"),
-        F.col("ts").cast("date").cast("string"),
-    )
-    h = ev.select(
-        F.col("event_type").alias("cohort"),
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint").alias("h"),
-    ).distinct()
-    rest = F.shiftright(F.col("h"), HLL_P)
-    reg = h.select(
-        "cohort",
-        F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
-        F.when(rest == 0, F.lit(_HLL_REST_BITS + 1))
-        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest)))
-        .alias("rho"),
-    )
+    reg = hll_reg_rows(ev)
     per = reg.groupBy("cohort", "bucket").agg(F.max("rho").alias("r"))
     merged = reg.groupBy("bucket").agg(F.max("rho").alias("r")).select(
         F.lit("ALL").alias("cohort"), "bucket", "r"
@@ -1061,3 +1074,58 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first(crit), 6).alias("crit_05"),
         (F.max(d) > F.first(crit)).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# udf_map_in_arrow — the Arrow-RecordBatch UDF API (zero-pandas path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS n_words
+    FROM documents
+    """,
+    doc="``DataFrame.mapInArrow`` — the remaining entry of the Python UDF "
+    "surface (scalar / pandas / grouped / mapInPandas / UDTF are covered "
+    "by the udf_* family): batches arrive as ``pyarrow.RecordBatch`` and "
+    "the transform runs entirely in Arrow compute kernels, skipping the "
+    "Arrow->pandas conversion mapInPandas pays (no index materialization, "
+    "no object boxing for strings — the fastest Python boundary Spark "
+    "offers). Same map-only plan shape as mapInPandas: scan -> Arrow eval, "
+    "no shuffle, pushdown intact; batch size is governed by "
+    "spark.sql.execution.arrow.maxRecordsPerBatch exactly as the other "
+    "Arrow UDFs.",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column("text")
+            n_chars = pc.utf8_length(text)
+            # words = chars - spaces + 1, all in Arrow kernels
+            spaces = pc.subtract(
+                n_chars,
+                pc.utf8_length(pc.replace_substring(text, " ", "")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.cast(pc.add(spaces, 1), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_words"],
+            )
+
+    docs = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    return docs.mapInArrow(stats, "doc_id BIGINT, n_chars BIGINT, n_words BIGINT")

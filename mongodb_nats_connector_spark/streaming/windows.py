@@ -219,3 +219,23 @@ def funnel_conversions(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def hll_register_stream(stream: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog register merge over an events-shaped stream.
+
+    Register update is max-per-(cohort, bucket) — idempotent and
+    commutative — so micro-batch order, retries, and at-least-once replay
+    all converge to the identical register table (and therefore the
+    identical estimate) as the batch ``agg_hll_registers`` computed over
+    the same rows: the sketch IS the streaming state, m registers per
+    cohort, O(m) forever. Run in complete output mode; the downstream
+    estimate math is batch code applied to the memorized register table.
+    """
+    from mongodb_nats_connector_spark.operators.pipeline7 import hll_reg_rows
+
+    return (
+        hll_reg_rows(stream)
+        .groupBy("cohort", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )

@@ -346,3 +346,48 @@ def test_ks_statistic_matches_pandas(spark):
     crit = 1.3581015157406195 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
     assert abs(r["crit_05"] - crit) < 1e-6
     assert r["reject_05"] == (d > crit)
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming register merge (max per (cohort, bucket), complete
+    mode, 3 micro-batches) must produce the IDENTICAL register table the
+    batch query derives — the idempotent-merge property that makes HLL
+    state exactly-once under replay. Estimates follow from registers."""
+    import uuid
+
+    from mongodb_nats_connector_spark.operators.pipeline7 import hll_reg_rows
+    from mongodb_nats_connector_spark.streaming.windows import (
+        EVENTS_DDL,
+        hll_register_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "hll_feed")
+    # 3 micro-batches, with batch overlap on user-days (replay-like dupes)
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 != 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 7 == 0).write.parquet(path, mode="append")
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(path)
+    name = "hll" + uuid.uuid4().hex[:10]
+    q = (
+        hll_register_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    streamed = {
+        (r["cohort"], r["bucket"]): r["r"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    q.stop()
+    batch = {
+        (r["cohort"], r["bucket"]): r["r"]
+        for r in hll_reg_rows(ev)
+        .groupBy("cohort", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .collect()
+    }
+    assert streamed == batch
