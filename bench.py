@@ -61,9 +61,11 @@ HEADLINE_QUERIES = [
     "dedup_embedding_cosine",
     "docs_topp_quality",
     "events_stickiness_dau_wau",
-    # round 7: mergeable KMV sketch set-ops, exchange-reusing streaks
+    # round 7: mergeable KMV sketch set-ops, exchange-reusing streaks,
+    # engine-exact HLL registers
     "agg_kmv_distinct_setops",
     "events_activity_streaks",
+    "agg_hll_registers",
 ]
 
 

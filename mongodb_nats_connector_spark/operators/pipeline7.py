@@ -1129,3 +1129,46 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return docs.mapInArrow(stats, "doc_id BIGINT, n_chars BIGINT, n_words BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# events_locf_fill — last-observation-carried-forward (IGNORE NULLS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_locf_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type <> 'error' THEN value END AS v,
+           last_value(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM events
+    """,
+    doc="Last-observation-carried-forward (LOCF) gap fill: per user, carry "
+    "the most recent valid reading over gaps (error events contribute "
+    "NULL) via last_value IGNORE NULLS over an unbounded-preceding ROWS "
+    "frame — the sensor/price-series forward-fill every time-series store "
+    "exposes, and the IGNORE NULLS window semantic the rest of the window "
+    "family doesn't cover. Ordering ties break on event_id, so the filled "
+    "series is engine-exact. One hash partition on user_id; the running "
+    "frame is O(1) state per row — at 100 TB this is a single exchange of "
+    "the fact table and a linear scan within each user partition, the "
+    "same cost profile as any per-key cumulative window.",
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -391,3 +391,16 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_locf_matches_pandas_ffill(spark):
+    from mongodb_nats_connector_spark.operators.pipeline7 import events_locf_fill
+
+    got = events_locf_fill(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["v"] = ev["value"].where(ev["event_type"] != "error")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["v_filled"] = ev.groupby("user_id")["v"].ffill()
+    ref = ev.set_index("event_id")[["v", "v_filled"]]
+    g = got.set_index("event_id")[["v", "v_filled"]].reindex(ref.index)
+    assert ((g["v_filled"] == ref["v_filled"]) | (g["v_filled"].isna() & ref["v_filled"].isna())).all()
