@@ -1151,8 +1151,9 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the most recent valid reading over gaps (error events contribute "
     "NULL) via last_value IGNORE NULLS over an unbounded-preceding ROWS "
     "frame — the sensor/price-series forward-fill every time-series store "
-    "exposes, and the IGNORE NULLS window semantic the rest of the window "
-    "family doesn't cover. Ordering ties break on event_id, so the filled "
+    "exposes, as a standalone query (the same IGNORE NULLS primitive also "
+    "powers join_asof_tolerance and last-touch attribution internally). "
+    "Ordering ties break on event_id, so the filled "
     "series is engine-exact. One hash partition on user_id; the running "
     "frame is O(1) state per row — at 100 TB this is a single exchange of "
     "the fact table and a linear scan within each user partition, the "

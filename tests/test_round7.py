@@ -398,9 +398,17 @@ def test_locf_matches_pandas_ffill(spark):
 
     got = events_locf_fill(spark, SF).toPandas()
     ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
-    ev["v"] = ev["value"].where(ev["event_type"] != "error")
+    # match the operator's SQL semantics: event_type <> 'error' is NULL (not
+    # true) for NULL event_type, so those rows must be gaps too
+    ev["v"] = ev["value"].where(
+        ev["event_type"].notna() & (ev["event_type"] != "error")
+    )
     ev = ev.sort_values(["user_id", "ts", "event_id"])
     ev["v_filled"] = ev.groupby("user_id")["v"].ffill()
     ref = ev.set_index("event_id")[["v", "v_filled"]]
+    assert len(got) == len(ev)  # LOCF is 1:1 — no rows dropped
     g = got.set_index("event_id")[["v", "v_filled"]].reindex(ref.index)
-    assert ((g["v_filled"] == ref["v_filled"]) | (g["v_filled"].isna() & ref["v_filled"].isna())).all()
+    for col in ("v", "v_filled"):
+        assert (
+            (g[col] == ref[col]) | (g[col].isna() & ref[col].isna())
+        ).all(), col
