@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.operators.graph_common import trade_edges
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -696,22 +697,8 @@ def _lp_oracle() -> str:
     "data-dependent.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
-
-    dir_edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
+    dir_edges = trade_edges(spark, sf_dir)
     edges = (
         dir_edges.unionAll(
             dir_edges.select(

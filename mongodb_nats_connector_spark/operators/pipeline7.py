@@ -45,6 +45,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.operators.graph_common import (
+    md5_hash60,
+    trade_edges,
+)
 from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
@@ -109,22 +113,8 @@ _TRADE_EDGES_CTE = """
     "per iteration.",
 )
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
-
-    dir_edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
+    dir_edges = trade_edges(spark, sf_dir)
     topw = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
     g = (
         dir_edges.withColumn("rn", F.row_number().over(topw))
@@ -212,8 +202,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single correctly-rounded division. The series reduces from the facts "
     "with map-side combine (one shuffle proportional to DAYS, not events); "
     "the running sum and the limit-1 argmax operate on the day-sized "
-    "aggregate, and the 1-row changepoint broadcasts back. n*prefix stays "
-    "under 2^63 up to ~10^15 daily events over decades.",
+    "aggregate, and the 1-row changepoint broadcasts back. The BIGINT "
+    "products stay under 2^63 while n_days^2 * daily_rate < 9.2e18 — e.g. "
+    "~1.7e11 events/day over two decades; past that, cast the identity to "
+    "DECIMAL(38) (same algebra).",
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -348,9 +340,7 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = ev.select(
         F.col("event_type").alias("t"),
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+        md5_hash60(F.col("user_id").cast("string")).alias("h"),
     ).distinct()
     sk_w = Window.partitionBy("t").orderBy("h")
     sketch = (
@@ -449,10 +439,10 @@ RESAMPLE_BUDGET = 10_000
     oracle=f"""
     WITH g AS (
       SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-             sqrt(count(*)) AS w
+             CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
       FROM documents GROUP BY lang, source
     ),
-    t AS (SELECT sum(w) AS tw FROM g)
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g)
     SELECT g.lang, g.source, g.n_docs,
            round(g.w / t.tw, 4) AS share,
            CAST(round(g.w / t.tw * {RESAMPLE_BUDGET}) AS BIGINT)
@@ -475,10 +465,16 @@ RESAMPLE_BUDGET = 10_000
 )
 def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # weights quantize to integers (floor(sqrt * 1e6)) so the total is an
+    # order-independent BIGINT sum: shares/allocations are bit-identical
+    # across engines AND across Spark's own shuffle orders — a float sum of
+    # sqrt weights could flip a .5 rounding boundary between runs
     g = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    ).withColumn("w", F.sqrt(F.col("n_docs")))
-    t = g.agg(F.sum("w").alias("tw"))
+    ).withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs")) * 1000000).cast("bigint")
+    )
+    t = g.agg(F.sum("w").cast("bigint").alias("tw"))
     share = F.col("w") / F.col("tw")
     return g.crossJoin(F.broadcast(t)).select(
         "lang",
@@ -624,23 +620,8 @@ def _widest_oracle() -> str:
     "real bottleneck).",
 )
 def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
-
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    edges = edges.persist()
+    edges = trade_edges(spark, sf_dir).persist()
     try:
         nodes = nation.select(F.col("n_nationkey").alias("node"))
         cap = nodes.select(
@@ -695,7 +676,7 @@ def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HLL_P = 8  # 2^8 = 256 registers
 _HLL_M = 1 << HLL_P
-_HLL_ALPHA = 0.7213475204444817  # alpha_m for m >= 128: 0.7213/(1+1.079/m)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)  # alpha_m, m>=128 (Flajolet et al.)
 _HLL_REST_BITS = 60 - HLL_P  # 52; rho in [1, 53]
 _HLL_POW = 1 << (_HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
 
@@ -713,7 +694,7 @@ def hll_reg_rows(ev: DataFrame) -> DataFrame:
     )
     h = ev.select(
         F.col("event_type").alias("cohort"),
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint").alias("h"),
+        md5_hash60(key).alias("h"),
     )
     rest = F.shiftright(F.col("h"), HLL_P)
     return h.select(
@@ -923,7 +904,8 @@ _LOG2_SCALE = 100  # centi-unit fixed point: value 6.55 -> tick 655
     "agg_log2_histogram_quantiles",
     oracle=f"""
     WITH t AS (
-      SELECT CAST(round(value * {_LOG2_SCALE}) AS BIGINT) AS tick
+      SELECT greatest(CAST(round(value * {_LOG2_SCALE}) AS BIGINT), 1)
+               AS tick
       FROM events WHERE value > 0
     ),
     b AS (
@@ -962,8 +944,12 @@ _LOG2_SCALE = 100  # centi-unit fixed point: value 6.55 -> tick 655
 )
 def agg_log2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # sub-half-tick positives clamp to tick 1 (bucket 1's true floor),
+    # instead of tick 0 silently aliasing into bucket 1 via bin(0)
     t = ev.select(
-        F.round(F.col("value") * _LOG2_SCALE).cast("bigint").alias("tick")
+        F.greatest(
+            F.round(F.col("value") * _LOG2_SCALE).cast("bigint"), F.lit(1)
+        ).alias("tick")
     )
     b = t.groupBy(F.length(F.bin("tick")).alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
@@ -1022,13 +1008,12 @@ _KS_COEF_05 = 1.3581015157406195  # sqrt(-ln(0.05/2)/2): alpha = 0.05
            round(max(abs(c.c1 * 1.0 / n.n1 - c.c2 * 1.0 / n.n2)), 6)
              AS ks_d,
            round(CAST({_KS_COEF_05!r} AS DOUBLE)
-                 * sqrt((any_value(n.n1) + any_value(n.n2)) * 1.0
-                        / (any_value(n.n1) * any_value(n.n2))), 6)
+                 * sqrt(1.0 / any_value(n.n1) + 1.0 / any_value(n.n2)), 6)
              AS crit_05,
            max(abs(c.c1 * 1.0 / n.n1 - c.c2 * 1.0 / n.n2)) >
              CAST({_KS_COEF_05!r} AS DOUBLE)
-             * sqrt((any_value(n.n1) + any_value(n.n2)) * 1.0
-                    / (any_value(n.n1) * any_value(n.n2))) AS reject_05
+             * sqrt(1.0 / any_value(n.n1) + 1.0 / any_value(n.n2))
+             AS reject_05
     FROM c, n
     """,
     doc=f"Two-sample Kolmogorov-Smirnov test: D = sup |ECDF_{_KS_G1} - "
@@ -1039,8 +1024,8 @@ _KS_COEF_05 = 1.3581015157406195  # sqrt(-ln(0.05/2)/2): alpha = 0.05
     "their full mass at each distinct value in BOTH engines, and each "
     "candidate |c1/n1 - c2/n2| is the same pair of exact-integer divisions "
     "on each engine, so the supremum (an order-independent max of "
-    "identical doubles) is engine-exact; overflow-free at any scale since "
-    "no count product is formed. The global ordered window over fact rows "
+    "identical doubles) is engine-exact, and neither D nor the critical "
+    "value forms a count product, so nothing overflows at any scale. The global ordered window over fact rows "
     "is the documented single-partition cost — at 100 TB replace with the "
     "range-partitioned two-pass prefix sum (events_max_concurrency "
     "pattern), or bin values first (the log2 histogram) for a sketched D.",
@@ -1064,8 +1049,10 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g2").over(w).cast("bigint").alias("c2"),
     )
     d = F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))
+    # sqrt(1/n1 + 1/n2): algebraically (n1+n2)/(n1*n2) but with no count
+    # product, so it cannot overflow BIGINT at any scale
     crit = F.lit(_KS_COEF_05) * F.sqrt(
-        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+        F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2")
     )
     return c.crossJoin(F.broadcast(n)).agg(
         F.first("n1").alias("n1"),
