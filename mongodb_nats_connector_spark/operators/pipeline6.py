@@ -173,7 +173,7 @@ _CODE_KEYWORDS = r"\b(def|class|return|import|function|var|const|void|int)\b"
     "+ \\b alternation).",
 )
 def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", parallel=True)
     sym = F.regexp_count("text", F.lit(_CODE_SYMBOLS)).cast("bigint")
     kw = F.regexp_count(F.lower("text"), F.lit(_CODE_KEYWORDS)).cast("bigint")
     return docs.select(
@@ -229,7 +229,7 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
-        w.join(F.broadcast(vocab), "word")
+        w.join(maybe_broadcast(vocab), "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_surprisal"))
@@ -307,7 +307,8 @@ def _emb_dedup_oracle() -> str:
     FROM cand c
     JOIN e ea ON ea.vec_id = c.vec_a
     JOIN e eb ON eb.vec_id = c.vec_b
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {NEARDUP_COS}
+    WHERE NOT isnan(list_cosine_similarity(ea.v, eb.v))
+      AND round(list_cosine_similarity(ea.v, eb.v), 6) >= {NEARDUP_COS}
     """
 
 
@@ -372,7 +373,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(cosine_fast(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        # NaN (zero-norm/degenerate vectors) compares greater-than in both
+        # engines' float ordering — guard explicitly or garbage pairs leak
+        .filter(~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= NEARDUP_COS))
     )
 
 
@@ -492,7 +495,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge_upsert_snapshot — MERGE (upsert + delete + insert) semantics
 # ---------------------------------------------------------------------------
 
-_MERGE_INSERT_SHIFT = 100_000_000
+# insert keys shift past the snapshot's max key (computed from the data,
+# never a constant: a fixed shift collides with real o_orderkey values at
+# large scale factors and would silently overwrite unrelated orders)
 
 
 @register(
@@ -507,9 +512,10 @@ _MERGE_INSERT_SHIFT = 100_000_000
              'UPDATED' AS status, round(o_totalprice + 100.0, 2) AS total
       FROM orders WHERE o_orderkey % 10 < 3
       UNION ALL
-      SELECT o_orderkey + {_MERGE_INSERT_SHIFT}, 'I', 'NEW',
+      SELECT o_orderkey + mx.shift, 'I', 'NEW',
              round(o_totalprice, 2)
-      FROM orders WHERE o_orderkey % 10 = 7
+      FROM orders, (SELECT max(o_orderkey) + 1 AS shift FROM orders) mx
+      WHERE o_orderkey % 10 = 7
     )
     SELECT coalesce(b.o_orderkey, c.key) AS o_orderkey,
            CASE WHEN c.op IN ('U', 'I') THEN c.status
@@ -521,7 +527,7 @@ _MERGE_INSERT_SHIFT = 100_000_000
     """,
     doc="MERGE INTO semantics (the Delta/Iceberg upsert shape) expressed "
     "as one full-outer join: a change batch of updates (keys %10 in 1..2), "
-    "deletes (%10 = 0) and inserts (shifted new keys from %10 = 7) applies "
+    "deletes (%10 = 0) and inserts (%10 = 7 keys shifted past the snapshot max — disjoint at every scale factor by construction) applies "
     "onto the orders snapshot — matched+U rewrites, matched+D drops, "
     "unmatched+I appends, untouched rows pass through. The join is "
     "co-partitioned on the natural key (both sides shuffle once; AQE "
@@ -541,11 +547,16 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATED").alias("status"),
         F.round(F.col("o_totalprice") + 100.0, 2).alias("total"),
     )
-    ins = o.filter(F.col("o_orderkey") % 10 == 7).select(
-        (F.col("o_orderkey") + _MERGE_INSERT_SHIFT).alias("key"),
-        F.lit("I").alias("op"),
-        F.lit("NEW").alias("status"),
-        F.round("o_totalprice", 2).alias("total"),
+    mx = o.agg((F.max("o_orderkey") + 1).alias("shift"))
+    ins = (
+        o.filter(F.col("o_orderkey") % 10 == 7)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("shift")).alias("key"),
+            F.lit("I").alias("op"),
+            F.lit("NEW").alias("status"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
     )
     changes = src.unionAll(ins)
     merged = base.join(changes, base["o_orderkey"] == changes["key"], "full_outer")
@@ -967,9 +978,9 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     )
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # one ordering spec: the running frame derives from `order` so the gap
+    # detection and session-id sum can never use different orderings
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
     sess = marked.withColumn("sid", F.sum("is_new").over(run))
     intervals = sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")

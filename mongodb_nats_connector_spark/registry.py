@@ -60,11 +60,15 @@ def _load_all() -> None:
         graph2,
         mining5,
         multimodal,
+        # similarity must import BEFORE pipeline6: pipeline6's embedding-LSH
+        # oracle builder imports it at module level, so listing it later
+        # would silently register its queries here anyway — the list order
+        # now matches the true insertion order the verify window relies on
+        similarity,
         pipeline6,
         pipeline6b,
         quality5,
         relational,
-        similarity,
         text,
         tpch2,
         udfs,

@@ -188,6 +188,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
     "agg_ks_test",                # 1-row group-size scalars broadcast crossJoin
+    "merge_upsert_snapshot",      # 1-row max-key shift broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -562,7 +562,6 @@ def test_merge_upsert_invariants(spark):
     updated keys carry the new status, deleted keys are gone, inserted keys
     exist above the shift, untouched rows pass through unchanged."""
     from mongodb_nats_connector_spark.operators.pipeline6 import (
-        _MERGE_INSERT_SHIFT,
         merge_upsert_snapshot,
     )
 
@@ -576,7 +575,9 @@ def test_merge_upsert_invariants(spark):
     )
     deletes = {k for k in base.index if k % 10 == 0}
     updates = {k for k in base.index if k % 10 in (1, 2)}
-    inserts = {k + _MERGE_INSERT_SHIFT for k in base.index if k % 10 == 7}
+    # the operator derives the insert shift from the data: max key + 1
+    shift = max(base.index) + 1
+    inserts = {k + shift for k in base.index if k % 10 == 7}
     assert len(out) == len(base) - len(deletes) + len(inserts)
     assert not (set(out.index) & deletes)
     assert inserts <= set(out.index)
