@@ -278,7 +278,9 @@ BITMAP_CHUNK_BITS = 63  # bits 0..62 only: identical two's-complement-free
       SELECT event_type, user_id // {BITMAP_CHUNK_BITS} AS bucket,
              bit_or(CAST(1 AS BIGINT)
                     << CAST(user_id % {BITMAP_CHUNK_BITS} AS INT)) AS bm
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE user_id >= 0
+      GROUP BY 1, 2
     )
     SELECT event_type,
            CAST(sum(bit_count(bm)) AS BIGINT) AS n_users,
@@ -296,10 +298,16 @@ BITMAP_CHUNK_BITS = 63  # bits 0..62 only: identical two's-complement-free
     "100 TB with billions of duplicate key references this is orders of "
     "magnitude less exchange than exact count-distinct, with none of "
     "HLL's error. Chunks use bits 0..62 so the two's-complement sign bit "
-    "never differs between engines.",
+    "never differs between engines; ids must be nonnegative (filtered explicitly, NULLs drop with them).",
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # the bitmap contract requires dense NONNEGATIVE ids: a negative id
+    # would shift by a negative count (engine-divergent: Spark masks the
+    # count, DuckDB errors) and a NULL id would create a phantom NULL
+    # bucket inflating n_buckets — filter both out explicitly (NULL fails
+    # >= 0 too), mirrored in the oracle
+    ev = ev.filter(F.col("user_id") >= 0)
     chunks = ev.select(
         "event_type",
         F.expr(f"user_id DIV {BITMAP_CHUNK_BITS}").alias("bucket"),

@@ -192,9 +192,13 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("k", F.struct(F.col("c"), -F.col("k"))).alias("top_key"),
         F.max("c").cast("bigint").alias("max_key_rows"),
         F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
-        F.round(F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 6).alias(
-            "herfindahl"
-        ),
+        # squares in DOUBLE: int64 c*c (and sum*sum) wraps past ~3e9 rows —
+        # exactly the 100 TB regime this profiler exists for
+        F.round(
+            F.sum(F.col("c").cast("double") * F.col("c"))
+            / (F.sum("c").cast("double") * F.sum("c")),
+            6,
+        ).alias("herfindahl"),
         F.round(F.avg("c"), 4).alias("avg_key_rows"),
     ).select(
         "n_keys",
@@ -329,8 +333,12 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = F.when(F.col("event_type") == "purchase", F.col("value"))
     cv = F.when(F.col("event_type") == "click", F.col("value"))
     agg = ev.agg(
-        F.count(pv).cast("bigint").alias("n_purchase"),
-        F.count(cv).cast("bigint").alias("n_click"),
+        # count ROWS per group (the oracle's count(*)), not non-null values:
+        # a NULL-valued purchase row must still count toward n
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.count_if(F.col("event_type") == "click").cast("bigint").alias("n_click"),
         F.avg(pv).alias("mean_p"),
         F.avg(cv).alias("mean_c"),
         F.var_samp(pv).alias("var_p"),
@@ -424,7 +432,8 @@ INCR_CUTOFF = "2001-01-01"
     WITH base AS (
       SELECT date_trunc('month', o_orderdate) AS month,
              count(*) AS n, sum(o_totalprice) AS rev
-      FROM orders WHERE o_orderdate < DATE '{INCR_CUTOFF}'
+      FROM orders
+      WHERE o_orderdate < DATE '{INCR_CUTOFF}' OR o_orderdate IS NULL
       GROUP BY 1
     ),
     delta AS (
@@ -464,7 +473,11 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("rev"),
         )
 
-    base = partials(o.filter(F.col("o_orderdate") < cutoff))
+    # NULL dates satisfy neither predicate and would vanish from the merge,
+    # breaking merged == full-recompute; route them to the base partition
+    base = partials(
+        o.filter((F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull())
+    )
     delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
     merged = (
         base.unionByName(delta)
@@ -582,7 +595,9 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins = obs.groupBy("seg").agg(F.sum("n").alias("seg_n"))
     pmargins = obs.groupBy("pri").agg(F.sum("n").alias("pri_n"))
     tot = obs.agg(F.sum("n").alias("total"))
-    expected = F.col("seg_n") * F.col("pri_n") / F.col("total")
+    # seg_n*pri_n in DOUBLE: the int64 product wraps once margins pass
+    # ~3e9 rows (the oracle's *1.0 promotes the same way)
+    expected = F.col("seg_n").cast("double") * F.col("pri_n") / F.col("total")
     return persist_until_collected(obs, (
         obs.join(F.broadcast(margins), "seg")
         .join(F.broadcast(pmargins), "pri")
