@@ -171,6 +171,16 @@ def cdc_serialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    return latest_state_per_key(ev)
+
+
+def latest_state_per_key(ev: DataFrame) -> DataFrame:
+    """Newest row per user_id (ts DESC, event_id DESC tiebreak) projected to
+    the materialized-state schema. The upsert-compaction core shared by
+    ``cdc_apply_latest`` (full log) and ``cdc_apply_asof`` (log pre-filtered
+    to a snapshot ts): one shuffle on the key; Catalyst rewrites the
+    rank-1 filter to WindowGroupLimit so each map task keeps one candidate
+    row per key before shuffling."""
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))

@@ -44,3 +44,47 @@ def md5_hash60(col: Column) -> Column:
     hash-verifiable cross-engine. Any change here must change the oracle
     side in lockstep."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# --- HyperLogLog register mapping (shared by batch agg_hll_registers and
+# the streaming register merge in streaming/windows.py). Lives here, in the
+# registration-free module, so streaming can import it without triggering
+# pipeline7's @register side effects (which would reorder the driver
+# verification window — see registry._load_all).
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)  # alpha_m, m>=128 (Flajolet et al.)
+HLL_REST_BITS = 60 - HLL_P  # 52; rho in [1, 53]
+HLL_POW = 1 << (HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
+
+
+def hll_reg_rows(ev: DataFrame) -> DataFrame:
+    """Per-event (cohort, bucket, rho) register contributions — shared by
+    the batch ``agg_hll_registers`` query and the streaming register merge
+    (streaming/windows.py:hll_register_stream). No distinct is needed:
+    max-per-bucket absorbs duplicate hashes, which is exactly the
+    idempotence that makes HLL safe under at-least-once replay. Rows with a
+    NULL user_id or ts are dropped up front — a NULL key would hash to a
+    NULL bucket/rho row that silently inflates the register count (and
+    pollutes the streaming register state), so it never enters the sketch.
+    """
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    h = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("cohort"),
+        md5_hash60(key).alias("h"),
+    )
+    rest = F.shiftright(F.col("h"), HLL_P)
+    return h.select(
+        "cohort",
+        F.col("h").bitwiseAND(HLL_M - 1).alias("bucket"),
+        F.when(rest == 0, F.lit(HLL_REST_BITS + 1))
+        .otherwise(F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest)))
+        .alias("rho"),
+    )

@@ -187,20 +187,12 @@ ASOF_SNAPSHOT_TS = "2024-01-16 00:00:00"
     "at any scale.",
 )
 def cdc_apply_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.cdc import latest_state_per_key
+
     ev = table(spark, sf_dir, "events").filter(
         F.col("ts") <= F.lit(ASOF_SNAPSHOT_TS).cast("timestamp")
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-            F.col("ts").alias("last_ts"),
-        )
-    )
+    return latest_state_per_key(ev)
 
 
 # ---------------------------------------------------------------------------

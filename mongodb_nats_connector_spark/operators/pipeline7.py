@@ -46,6 +46,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.graph_common import (
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_P,
+    HLL_POW as _HLL_POW,
+    HLL_REST_BITS as _HLL_REST_BITS,
+    hll_reg_rows,
     md5_hash60,
     trade_edges,
 )
@@ -262,6 +268,7 @@ _KMV_A, _KMV_B = "click", "purchase"
              CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
                   AS BIGINT) AS BIGINT) AS h
       FROM events WHERE event_type IN ('{_KMV_A}', '{_KMV_B}')
+        AND user_id IS NOT NULL
     ),
     sketch AS (
       SELECT t, h, rn FROM (
@@ -338,7 +345,10 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_KMV_A, _KMV_B)
     )
-    h = ev.select(
+    # NULL user_id would hash to a NULL sketch member that Spark's
+    # row_number orders FIRST while DuckDB orders it LAST — drop it before
+    # it can evict the k-th real hash (mirrors agg_bitmap_distinct)
+    h = ev.filter(F.col("user_id").isNotNull()).select(
         F.col("event_type").alias("t"),
         md5_hash60(F.col("user_id").cast("string")).alias("h"),
     ).distinct()
@@ -672,38 +682,9 @@ def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # agg_hll_registers — engine-exact HyperLogLog with group merge
+# (register mapping + constants live in graph_common.hll_reg_rows so the
+# streaming merge can import them without @register side effects)
 # ---------------------------------------------------------------------------
-
-HLL_P = 8  # 2^8 = 256 registers
-_HLL_M = 1 << HLL_P
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)  # alpha_m, m>=128 (Flajolet et al.)
-_HLL_REST_BITS = 60 - HLL_P  # 52; rho in [1, 53]
-_HLL_POW = 1 << (_HLL_REST_BITS + 1)  # 2^53: integer scale for sum(2^-rho)
-
-
-def hll_reg_rows(ev: DataFrame) -> DataFrame:
-    """Per-event (cohort, bucket, rho) register contributions — shared by
-    the batch query below and the streaming register merge
-    (streaming/windows.py:hll_register_stream). No distinct is needed:
-    max-per-bucket absorbs duplicate hashes, which is exactly the
-    idempotence that makes HLL safe under at-least-once replay."""
-    key = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit("@"),
-        F.col("ts").cast("date").cast("string"),
-    )
-    h = ev.select(
-        F.col("event_type").alias("cohort"),
-        md5_hash60(key).alias("h"),
-    )
-    rest = F.shiftright(F.col("h"), HLL_P)
-    return h.select(
-        "cohort",
-        F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
-        F.when(rest == 0, F.lit(_HLL_REST_BITS + 1))
-        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest)))
-        .alias("rho"),
-    )
 
 
 @register(
@@ -715,6 +696,7 @@ def hll_reg_rows(ev: DataFrame) -> DataFrame:
              CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)
           AS h
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     reg AS (
       SELECT cohort, h & {_HLL_M - 1} AS bucket,
@@ -745,11 +727,12 @@ def hll_reg_rows(ev: DataFrame) -> DataFrame:
       SELECT event_type AS cohort,
              CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
                AS exact_userdays
-      FROM events GROUP BY event_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type
       UNION ALL
       SELECT 'ALL',
              CAST(count(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     )
     SELECT e.cohort, e.n_registers,
            CAST(round(CASE WHEN raw <= 2.5 * {_HLL_M}
@@ -810,6 +793,7 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.round(raw))
     day = F.col("ts").cast("date")
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     ex_per = ev.groupBy(F.col("event_type").alias("cohort")).agg(
         F.countDistinct(F.col("user_id"), day).cast("bigint").alias(
             "exact_userdays"

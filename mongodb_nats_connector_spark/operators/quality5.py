@@ -208,6 +208,11 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_share",
         "herfindahl",
         "avg_key_rows",
+    ).filter(
+        # empty-input parity: the oracle's CROSS JOIN with its empty LIMIT-1
+        # `top` CTE yields ZERO rows, where Spark's global agg yields one
+        # all-NULL row — drop it so both engines agree on degenerate input
+        F.col("n_keys") > 0
     )
 
 
@@ -284,16 +289,19 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase_ts"))
     )
-    return (
-        s.join(p, "user_id", "left")
-        .select(
+    # the signup aggregate feeds BOTH the purchase probe and the left-join
+    # spine: persist it for the life of the result so the fact-side signup
+    # scan+agg runs once, not twice
+    return persist_until_collected(
+        s,
+        s.join(p, "user_id", "left").select(
             "user_id",
             "signup_ts",
             "first_purchase_ts",
             (
                 F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
             ).cast("bigint").alias("micros_to_convert"),
-        )
+        ),
     )
 
 
@@ -357,6 +365,11 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("welch_t"),
+    ).filter(
+        # empty-group parity: if either cohort is absent the oracle's
+        # p CROSS JOIN c is ZERO rows, but Spark's global agg emits one
+        # NULL-laden row — drop it so a degenerate fixture can't diverge
+        (F.col("n_purchase") > 0) & (F.col("n_click") > 0)
     )
 
 
@@ -503,24 +516,30 @@ FORECAST_TRAIN_DAYS = 23
              count(*) AS n
       FROM events GROUP BY 1, 2
     ),
+    cutoff AS (
+      SELECT min(day) + {FORECAST_TRAIN_DAYS} AS train_end FROM hourly
+    ),
     baseline AS (
       SELECT hour, avg(n) AS expected
-      FROM hourly WHERE day < DATE '2024-01-01' + {FORECAST_TRAIN_DAYS}
+      FROM hourly, cutoff WHERE day < train_end
       GROUP BY 1
     )
     SELECT h.day, CAST(h.hour AS BIGINT) AS hour,
            CAST(h.n AS BIGINT) AS actual,
            round(b.expected, 4) AS expected,
            round(h.n - b.expected, 4) AS residual
-    FROM hourly h JOIN baseline b ON b.hour = h.hour
-    WHERE h.day >= DATE '2024-01-01' + {FORECAST_TRAIN_DAYS}
+    FROM hourly h JOIN baseline b ON b.hour = h.hour, cutoff
+    WHERE h.day >= train_end
     """,
     doc=f"Seasonal-naive forecast baseline: hour-of-day traffic averaged "
     f"over the first {FORECAST_TRAIN_DAYS} training days, scored against "
-    "the holdout days as actual/expected/residual. ONE shuffle reduces "
-    "events to (day, hour) counts; the 24-row baseline broadcasts back "
-    "into the holdout probe. The capacity-planning/anomaly-detection "
-    "baseline every event pipeline carries.",
+    "the holdout days as actual/expected/residual. The train/holdout split "
+    "derives from min(day) in BOTH engines (never a hard-coded date, so a "
+    "fixture whose range moves cannot silently empty either side). ONE "
+    "shuffle reduces events to (day, hour) counts; the 24-row baseline "
+    "and 1-row cutoff broadcast back into the holdout probe. The "
+    "capacity-planning/anomaly-detection baseline every event pipeline "
+    "carries.",
 )
 def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -528,15 +547,19 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.hour("ts").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    split = F.lit("2024-01-01").cast("date")
-    train_end = F.date_add(split, FORECAST_TRAIN_DAYS)
+    cutoff = hourly.agg(
+        F.date_add(F.min("day"), FORECAST_TRAIN_DAYS).alias("train_end")
+    )
+    train_end = F.col("train_end")
     baseline = (
-        hourly.filter(F.col("day") < train_end)
+        hourly.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") < train_end)
         .groupBy("hour")
         .agg(F.avg("n").alias("expected"))
     )
     return persist_until_collected(hourly, (
-        hourly.filter(F.col("day") >= train_end)
+        hourly.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") >= train_end)
         .join(F.broadcast(baseline), "hour")
         .select(
             "day",

@@ -622,8 +622,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("cnt").alias("n"))
     surprisal = -F.log(F.col("cnt") / F.col("n"))
     avg_s = F.avg(surprisal)
+    # the vocab grows with the corpus (Heaps-law slow but unbounded), so
+    # the broadcast is size-GATED: past the session threshold AQE picks the
+    # hash join instead of OOMing the driver at 100 TB. The 1-row total
+    # stays force-broadcast.
     return (
-        w.join(broadcast(vocab), "word")
+        w.join(maybe_broadcast(vocab), "word")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(

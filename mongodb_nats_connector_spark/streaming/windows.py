@@ -232,7 +232,9 @@ def hll_register_stream(stream: DataFrame) -> DataFrame:
     cohort, O(m) forever. Run in complete output mode; the downstream
     estimate math is batch code applied to the memorized register table.
     """
-    from mongodb_nats_connector_spark.operators.pipeline7 import hll_reg_rows
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        hll_reg_rows,
+    )
 
     return (
         hll_reg_rows(stream)
