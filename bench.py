@@ -66,6 +66,11 @@ HEADLINE_QUERIES = [
     "agg_kmv_distinct_setops",
     "events_activity_streaks",
     "agg_hll_registers",
+    # round 7 (cont.): the shuffle-only 100 TB CC workhorse, point-in-time
+    # CDC state reconstruction, sweep-line concurrency
+    "graph_cc_bigstar",
+    "cdc_apply_asof",
+    "events_max_concurrency",
 ]
 
 

@@ -1,0 +1,1266 @@
+"""Round-8 operator family: decision-analytics and curation primitives the
+reference's users run downstream of the connector — skyline/Pareto frontiers,
+iterative k-core mining, rank/statistical tests (Mann-Whitney, Benford,
+Wilson, CUPED), deterministic smoothing folds, interval algebra, link
+prediction, balanced sampling, ensemble document ranking, kNN labeling,
+out-of-order delivery audits, and a Heaps-law corpus fit.
+
+Reference provenance: these extend the analytics surface over the change
+streams the connector publishes (SURVEY.md §2.3/§2.4); none of them exist in
+the reference's Go core (internal/server/connector.go) — they are the
+engine-side query library a connector consumer needs.
+
+Cross-engine determinism rules (same discipline as pipeline7):
+- integer outputs wherever possible (micros, counts, ranks);
+- double outputs rounded at fixed decimals AFTER identical arithmetic;
+- sequential folds (exp smoothing) round at EVERY step so both engines
+  walk the identical representable-double path;
+- window sums evaluate in frame order on both engines, so running shares
+  are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.operators.graph_common import trade_edges
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# orders_skyline_pareto — 2-D skyline (Pareto frontier) via running max
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_skyline_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    grp AS (
+      SELECT spend_c, max(n_orders) AS gmax FROM per_cust GROUP BY 1
+    ),
+    ranked AS (
+      SELECT spend_c, gmax,
+             max(gmax) OVER (ORDER BY spend_c DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+      FROM grp
+    )
+    SELECT p.o_custkey, round(p.spend_c / 100.0, 2) AS spend, p.n_orders
+    FROM per_cust p JOIN ranked r ON r.spend_c = p.spend_c
+    WHERE coalesce(r.prev_max, -1) < p.n_orders
+      AND r.gmax <= p.n_orders
+    """,
+    doc="2-D skyline (Pareto frontier) over customers on (total spend, order "
+    "count): a customer survives iff no other customer is >= on both axes "
+    "and > on one. The naive formulation is an O(n^2) dominance anti-join; "
+    "this is the sort-based 2-D skyline instead — group to distinct spend "
+    "keys (map-side combine), one ordered window computing the running max "
+    "of order counts over STRICTLY higher spend, then a hash join back. "
+    "Spend keys are integer cents so group equality is exact. The running "
+    "window runs on the compacted distinct-spend relation, not the fact "
+    "table; at 100 TB the general recipe is range-partition that relation, "
+    "take per-bucket prefix maxima, and broadcast the tiny per-bucket "
+    "offsets — same two-pass shape as any distributed prefix aggregate.",
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    grp = per_cust.groupBy("spend_c").agg(F.max("n_orders").alias("gmax"))
+    w = (
+        Window.orderBy(F.desc("spend_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.withColumn("prev_max", F.max("gmax").over(w))
+    out = (
+        per_cust.join(ranked, "spend_c")
+        .filter(
+            (F.coalesce(F.col("prev_max"), F.lit(-1)) < F.col("n_orders"))
+            & (F.col("gmax") <= F.col("n_orders"))
+        )
+        .select(
+            "o_custkey",
+            F.round(F.col("spend_c") / 100.0, 2).alias("spend"),
+            "n_orders",
+        )
+    )
+    return persist_until_collected(per_cust, out)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — iterative k-core peeling over the thresholded trade graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_MAX_ROUNDS = 8
+KCORE_W_FACTOR = 1.15  # edge kept iff weight >= factor * mean weight
+
+_KCORE_EDGE_CTES = f"""
+    dir_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ),
+    uw AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+      FROM dir_edges GROUP BY 1, 2
+    ),
+    avgw AS (SELECT avg(w) AS aw FROM uw),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM uw, avgw WHERE w >= {KCORE_W_FACTOR} * aw
+    )
+"""
+
+
+def _kcore_peel_ctes(rounds: int) -> str:
+    """Unrolled peel rounds: nodes_i = nodes with degree >= K among edges
+    induced by nodes_{i-1}. A fixed unroll keeps the oracle plain chained
+    SQL (no recursive-CTE-with-aggregation, which SQL disallows); the Spark
+    side asserts convergence within the same bound."""
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    n{i} AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT a AS u FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY u HAVING count(*) >= {KCORE_K}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT u FROM n{i}) AND b IN (SELECT u FROM n{i})
+    )""")
+        prev = f"e{i}"
+    return ",".join(parts), prev
+
+
+_PEEL_SQL, _FINAL_E = _kcore_peel_ctes(KCORE_MAX_ROUNDS)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_KCORE_EDGE_CTES},{_PEEL_SQL}
+    SELECT nn.n_name AS nation, d.deg AS core_degree
+    FROM (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS u FROM {_FINAL_E} UNION ALL SELECT b FROM {_FINAL_E}
+      ) GROUP BY u
+    ) d JOIN nation nn ON nn.n_nationkey = d.u
+    """,
+    doc=f"k-core decomposition (k={KCORE_K}) of the nation trade graph, "
+    f"edges thresholded at {KCORE_W_FACTOR}x the mean weight so the graph "
+    "stays sparse at every scale factor (an absolute weight cutoff would "
+    "degenerate as volume grows): iteratively peel nodes with degree < k "
+    "until fixpoint — the standard dense-subgraph/community-seed mining "
+    "primitive. Each round is ONE map-side-combined degree count plus two "
+    "hash semi-joins keyed on node id — no broadcast of anything "
+    "data-proportional, so the loop is the same shuffle-only shape as "
+    "graph_cc_bigstar and survives a web-scale edge list; rounds are "
+    "bounded by the peeling depth (logarithmic in practice), asserted "
+    f"<= {KCORE_MAX_ROUNDS} here with lineage truncated per round. The "
+    "oracle unrolls the identical peel as chained CTEs.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = trade_edges(spark, sf_dir)
+    uw = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    avgw = uw.agg(F.avg("w").alias("aw"))
+    edges = (
+        uw.crossJoin(F.broadcast(avgw))
+        .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("u"))
+            .unionAll(edges.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        nxt = (
+            edges.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+        n = nxt.count()
+        if n == prev_n:
+            edges = nxt
+            break
+        prev_n = n
+        edges = nxt
+    else:
+        raise AssertionError(
+            f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds"
+        )
+    nation = table(spark, sf_dir, "nation")
+    core_deg = (
+        edges.select(F.col("a").alias("u"))
+        .unionAll(edges.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    return core_deg.join(
+        maybe_broadcast(nation), core_deg["u"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), "core_degree")
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_whitney — rank-sum test with tie correction
+# ---------------------------------------------------------------------------
+
+_MW_A, _MW_B = "purchase", "click"
+
+
+@register(
+    "agg_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT value AS v, event_type AS t FROM events
+      WHERE event_type IN ('{_MW_A}', '{_MW_B}') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT v, count(*) AS cnt,
+             sum(CASE WHEN t = '{_MW_A}' THEN 1 ELSE 0 END) AS cnt_a
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT cnt, cnt_a,
+             sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS avg_rank
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS n2,
+             sum(cnt_a * avg_rank) AS r1,
+             sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_t
+      FROM r
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+           round(CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0), 2)
+             AS u2,
+           round(((r1 - n1 * (n1 + 1) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+                        ((n1 + n2 + 1) - tie_t /
+                         (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
+             AS z
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test (purchase vs click values) with "
+    "midrank tie handling and the tie-corrected normal approximation — the "
+    "nonparametric sibling of agg_welch_ttest for skewed metrics. Ranks "
+    "never materialize per row: grouping by distinct value first (map-side "
+    "combine) makes the midrank a closed form over the ordered value-group "
+    "relation (cumulative count window), so the fact table contributes one "
+    "fine-grained shuffle and the ordered window touches only distinct "
+    "values. U, and z round identically from identical double arithmetic.",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B) & F.col("value").isNotNull()
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == _MW_A, 1).otherwise(0)
+        ).alias("cnt_a"),
+    )
+    w = Window.orderBy("v")
+    r = g.select(
+        "cnt",
+        "cnt_a",
+        (
+            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = r.agg(
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r1"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_t"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n1d = F.col("n1").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    sigma = F.sqrt(
+        n1d * F.col("n2") / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_t") / (nd * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 2).alias("u1"),
+        F.round(n1d * F.col("n2") - u1, 2).alias("u2"),
+        F.round((u1 - n1d * F.col("n2") / 2) / sigma, 4).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford_test — first-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_benford_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+    SELECT o.digit, o.n,
+           round(o.n * 1.0 / t.total, 6) AS share,
+           round(log10(1 + 1.0 / o.digit), 6) AS benford_share,
+           round(pow(o.n - t.total * log10(1 + 1.0 / o.digit), 2)
+                 / (t.total * log10(1 + 1.0 / o.digit)), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+    doc="Benford first-digit audit over order totals: observed leading-digit "
+    "shares vs log10(1+1/d) with per-digit chi-square contributions — the "
+    "classic synthetic-data / fraud / ingest-corruption screen. The digit "
+    "comes from the INTEGER part formatted as a string (both engines print "
+    "integers identically; float formatting would not be portable). One "
+    "map-side-combined 9-key aggregation; everything after is 9-row math.",
+)
+def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    bshare = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round(
+            F.pow(F.col("n") - F.col("total") * bshare, 2)
+            / (F.col("total") * bshare),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_abc_xyz — ABC revenue classification x XYZ variability classification
+# ---------------------------------------------------------------------------
+
+ABC_A, ABC_B = 0.8, 0.95
+XYZ_X, XYZ_Y = 0.5, 1.0
+
+
+@register(
+    "orders_abc_xyz",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+    cum AS (
+      SELECT l_partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+               * 1.0 / t.total_c AS cum_share
+      FROM rev CROSS JOIN tot t
+    ),
+    monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS mrev_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT l_partkey,
+             CASE WHEN count(*) > 1 AND avg(mrev_c) <> 0
+                  THEN round(stddev_samp(mrev_c) / avg(mrev_c), 4) END AS cv
+      FROM monthly GROUP BY 1
+    )
+    SELECT c.l_partkey, round(c.rev_c / 100.0, 2) AS revenue,
+           round(c.cum_share, 6) AS cum_share,
+           CASE WHEN c.cum_share <= {ABC_A} THEN 'A'
+                WHEN c.cum_share <= {ABC_B} THEN 'B' ELSE 'C' END AS abc,
+           v.cv,
+           CASE WHEN v.cv IS NULL THEN 'Z'
+                WHEN v.cv < {XYZ_X} THEN 'X'
+                WHEN v.cv < {XYZ_Y} THEN 'Y' ELSE 'Z' END AS xyz
+    FROM cum c JOIN cv v ON v.l_partkey = c.l_partkey
+    """,
+    doc="ABC/XYZ inventory classification per part: ABC buckets by "
+    f"cumulative revenue share ({ABC_A}/{ABC_B} cuts over the revenue-DESC "
+    "running total) and XYZ buckets by demand variability (coefficient of "
+    "variation of monthly revenue; single-month or zero-mean parts fall to "
+    "Z). Two map-side-combined aggregations of the fact table — in exact "
+    "INTEGER CENTS, so the per-part revenue is summation-order-independent "
+    "and both engines agree bit-for-bit — then ALL window/ranking work "
+    "happens on the compacted per-part relation. The ordered window over "
+    "parts is the same distributed-prefix-sum shape as "
+    "orders_running_share.",
+)
+def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    money_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(money_c).cast("bigint").alias("rev_c")
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share", F.sum("rev_c").over(w) * 1.0 / F.col("total_c")
+        )
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(money_c).cast("bigint").alias("mrev_c"))
+    cv = monthly.groupBy("l_partkey").agg(
+        F.when(
+            (F.count(F.lit(1)) > 1) & (F.avg("mrev_c") != 0),
+            F.round(F.stddev_samp("mrev_c") / F.avg("mrev_c"), 4),
+        ).alias("cv")
+    )
+    return cum.join(cv, "l_partkey").select(
+        "l_partkey",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round("cum_share", 6).alias("cum_share"),
+        F.when(F.col("cum_share") <= ABC_A, "A")
+        .when(F.col("cum_share") <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "cv",
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") < XYZ_X, "X")
+        .when(F.col("cv") < XYZ_Y, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_wilson_ci — Wilson score interval for monthly return rates
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+
+
+@register(
+    "agg_wilson_ci",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, n, r,
+           round(r * 1.0 / n, 6) AS p_hat,
+           round(((r * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  - {WILSON_Z} * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_lo,
+           round(((r * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  + {WILSON_Z} * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n) / n
+                    + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_hi
+    FROM m
+    """,
+    doc="Wilson score 95% confidence interval for the monthly return rate "
+    "(share of l_returnflag='R'): the binomial-proportion interval that "
+    "stays inside [0,1] and behaves at small n, i.e. the correct error bar "
+    "for every rate metric a dashboard shows. One conditional "
+    "map-side-combined aggregation per month; the interval itself is pure "
+    "per-row arithmetic on the tiny month relation.",
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    z = F.lit(WILSON_Z)
+    p = F.col("r") * 1.0 / F.col("n")
+    nd = F.col("n")
+    half = z * F.sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd))
+    center = p + z * z / (2.0 * nd)
+    denom = 1 + z * z / nd
+    return m.select(
+        "month",
+        "n",
+        "r",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cuped_adjust — CUPED variance reduction for A/B metrics
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DAYS = 15
+
+
+@register(
+    "events_cuped_adjust",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    cutoff AS (SELECT min(day) + {CUPED_SPLIT_DAYS} AS split FROM b),
+    per_user AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN day < split THEN value END), 0), 4)
+               AS pre,
+             round(coalesce(sum(CASE WHEN day >= split THEN value END), 0), 4)
+               AS post
+      FROM b, cutoff GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS th,
+             avg(pre) AS pre_mean
+      FROM per_user
+    )
+    SELECT u.user_id, u.pre, u.post,
+           round(t.th, 4) AS theta,
+           round(u.post - t.th * (u.pre - t.pre_mean), 4) AS post_adj
+    FROM per_user u CROSS JOIN theta t
+    """,
+    doc="CUPED (Controlled-experiment Using Pre-Experiment Data) variance "
+    "reduction: per-user pre-period and post-period metric sums around a "
+    "split derived from min(day), theta = cov(pre,post)/var(pre) fit on "
+    "the per-user relation, and the adjusted post metric that removes the "
+    "pre-period component — the industry-standard trick that shrinks A/B "
+    "confidence intervals 30-50% at zero bias. Pre/post sums round before "
+    "the covariance so both engines feed identical doubles into the fit; "
+    "one fact shuffle to per-user rows, a 1-row theta broadcast back.",
+)
+def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    cutoff = b.agg(
+        F.date_add(F.min("day"), CUPED_SPLIT_DAYS).alias("split")
+    )
+    per_user = (
+        b.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("day") < F.col("split"), F.col("value"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("pre"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") >= F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("post"),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    out = per_user.crossJoin(F.broadcast(theta)).select(
+        "user_id",
+        "pre",
+        "post",
+        F.round("th", 4).alias("theta"),
+        F.round(
+            F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean")), 4
+        ).alias("post_adj"),
+    )
+    return persist_until_collected(per_user, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_exp_smoothing — exponential smoothing as a deterministic fold
+# ---------------------------------------------------------------------------
+
+SMOOTH_ALPHA = 0.3
+
+
+@register(
+    "orders_exp_smoothing",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT priority, month, rev_c / 100.0 AS x,
+             list(rev_c / 100.0) OVER (
+               PARTITION BY priority ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM monthly
+    )
+    SELECT priority, month, round(x, 2) AS revenue,
+           round(list_reduce(CAST(xs AS DOUBLE[]),
+                 (acc, x) -> round({SMOOTH_ALPHA} * x
+                                   + {1 - SMOOTH_ALPHA} * acc, 6)), 4)
+             AS smoothed
+    FROM series
+    """,
+    doc=f"Simple exponential smoothing (alpha={SMOOTH_ALPHA}) of monthly "
+    "revenue per order priority — the recursive filter S_t = aX_t + "
+    "(1-a)S_(t-1), which no plain window sum can express order-safely. The "
+    "recursion runs as an explicit sequential FOLD over the series prefix "
+    "(Spark `aggregate` HOF / DuckDB list_reduce), rounding at EVERY step "
+    "so both engines traverse the identical representable-double path — "
+    "the same discipline as the BPE merge fold. Inputs are exact integer "
+    "cents. The fact table reduces map-side to (priority, month) rows; "
+    "prefix arrays exist only on that tiny relation, partitioned per "
+    "series — at 100 TB the per-series state is months-long, never "
+    "fact-proportional.",
+)
+def orders_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = monthly.select(
+        "priority",
+        "month",
+        (F.col("rev_c") / 100.0).alias("x"),
+        F.collect_list(F.col("rev_c") / 100.0).over(w).alias("xs"),
+    )
+    fold = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+        f"(acc, x) -> round({SMOOTH_ALPHA}D * x "
+        f"+ {1 - SMOOTH_ALPHA}D * acc, 6))"
+    )
+    return series.select(
+        "priority",
+        "month",
+        F.round("x", 2).alias("revenue"),
+        F.round(fold, 4).alias("smoothed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_intervals_union — interval merge / coverage via prefix-max sweep
+# ---------------------------------------------------------------------------
+
+INTERVAL_US = 600 * 1_000_000  # each event opens a 10-minute activity window
+
+
+@register(
+    "events_intervals_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {INTERVAL_US} AS e_us, event_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    sweep AS (
+      SELECT user_id, s_us, e_us,
+             max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(greatest(0, e_us - greatest(s_us,
+                coalesce(prev_end, s_us)))) AS BIGINT) AS covered_us,
+           CAST(sum(CASE WHEN prev_end IS NULL OR s_us >= prev_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks
+    FROM sweep GROUP BY user_id
+    """,
+    doc="Interval union per user (each event opens a 10-minute activity "
+    "interval): total covered time and the number of merged activity "
+    "blocks — the classic overlapping-interval coalescing every "
+    "sessionization, SLA, and utilization query needs. The textbook "
+    "algorithm is a sequential sweep; here it is ONE ordered window "
+    "computing the running max of interval ends over preceding rows, so "
+    "each row knows how much genuinely new time it contributes — no "
+    "self-join, no explode to minutes. Pure integer micros end-to-end "
+    "(exact cross-engine). Partitioned per user: the sort is within-key, "
+    "so the operator scales as far as the per-user event count does.",
+)
+def events_intervals_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + INTERVAL_US).alias("e_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("prev_end", F.max("e_us").over(w))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e_us")
+        - F.greatest(F.col("s_us"), F.coalesce("prev_end", "s_us")),
+    )
+    new_block = F.when(
+        F.col("prev_end").isNull() | (F.col("s_us") >= F.col("prev_end")), 1
+    ).otherwise(0)
+    return sweep.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(contrib).cast("bigint").alias("covered_us"),
+        F.sum(new_block).cast("bigint").alias("n_blocks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — common-neighbor link prediction scores
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_KCORE_EDGE_CTES},
+    sym AS (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    wedges AS (
+      SELECT s1.u AS na, s2.u AS nb, s1.v AS z
+      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+    ),
+    scored AS (
+      SELECT w.na, w.nb,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(sum(round(1.0 / ln(d.d), 9)), 6) AS aa_score
+      FROM wedges w JOIN deg d ON d.u = w.z
+      WHERE d.d > 1
+      GROUP BY w.na, w.nb
+    )
+    SELECT x.n_name AS nation_a, y.n_name AS nation_b, s.n_common,
+           s.aa_score,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM e0
+                                  WHERE a = s.na AND b = s.nb)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+    FROM scored s
+    JOIN nation x ON x.n_nationkey = s.na
+    JOIN nation y ON y.n_nationkey = s.nb
+    """,
+    doc="Adamic-Adar link prediction over the thresholded trade graph: for "
+    "each node pair, sum 1/ln(degree) across common neighbors — the "
+    "standard 'who should be connected next' score, down-weighting hub "
+    "neighbors. Wedges enumerate through ONE equi-self-join on the shared "
+    "neighbor (hash-partitioned on z, the same wedge shape as "
+    "graph_triangle_count, so the skew gate there applies here); each "
+    "term rounds to 9 decimals before the sum rounds to 6, keeping the "
+    "double path identical cross-engine. The existing-edge flag makes the "
+    "output directly usable as a ranked candidate list.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = trade_edges(spark, sf_dir)
+    uw = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    avgw = uw.agg(F.avg("w").alias("aw"))
+    e0 = (
+        uw.crossJoin(F.broadcast(avgw))
+        .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
+        .select("a", "b")
+    )
+    e0 = persist_until_collected(e0, e0)
+    sym = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("u").alias("na"), F.col("v").alias("z"))
+    s2 = sym.select(F.col("u").alias("nb"), F.col("v").alias("z2"))
+    wedges = s1.join(
+        s2, (F.col("z") == F.col("z2")) & (F.col("na") < F.col("nb"))
+    ).select("na", "nb", "z")
+    scored = (
+        wedges.join(
+            maybe_broadcast(deg.filter(F.col("d") > 1)),
+            wedges["z"] == F.col("u"),
+        )
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum(F.round(1.0 / F.log(F.col("d")), 9)), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    flagged = scored.join(
+        maybe_broadcast(e0.withColumn("is_e", F.lit(1))),
+        (scored["na"] == e0["a"]) & (scored["nb"] == e0["b"]),
+        "left",
+    ).select(
+        "na",
+        "nb",
+        "n_common",
+        "aa_score",
+        F.coalesce("is_e", F.lit(0)).cast("bigint").alias("is_edge"),
+    )
+    nation = table(spark, sf_dir, "nation")
+    nx = nation.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a")
+    )
+    ny = nation.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        flagged.join(maybe_broadcast(nx), F.col("na") == F.col("ka"))
+        .join(maybe_broadcast(ny), F.col("nb") == F.col("kb"))
+        .select("nation_a", "nation_b", "n_common", "aa_score", "is_edge")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_balanced_class — downsample every class to the minority count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_class",
+    oracle="""
+    WITH m AS (
+      SELECT min(cnt) AS m FROM (
+        SELECT count(*) AS cnt FROM events GROUP BY event_type
+      )
+    ),
+    ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked, m WHERE rn <= m.m
+    """,
+    doc="Class-balanced downsampling: every event_type keeps exactly "
+    "min-class-count rows, chosen by deterministic hash order (md5 of the "
+    "id — a reproducible, restart-stable stand-in for a uniform draw). "
+    "The training-data primitive behind balanced classifier corpora and "
+    "per-domain LLM mixes. One 5-row count aggregate broadcasts the "
+    "minority size; the rank filter shuffles each class once. At 100 TB "
+    "the two passes stay map-side-combined + windowed per key; with a "
+    "LITERAL k the rank filter becomes WindowGroupLimit (see "
+    "sample_reservoir_perkey) — the data-dependent threshold trades that "
+    "pushdown for exact balance.",
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("event_type", "event_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_quality_ensemble_rank — Borda-count ensemble of quality signals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_quality_ensemble_rank",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_chars,
+             row_number() OVER (ORDER BY n_words DESC, doc_id) AS r_words,
+             row_number() OVER (
+               ORDER BY n_uniq * 1.0 / n_words DESC, doc_id) AS r_uniq
+      FROM sig
+    )
+    SELECT doc_id, CAST(r_chars AS BIGINT) AS r_chars,
+           CAST(r_words AS BIGINT) AS r_words,
+           CAST(r_uniq AS BIGINT) AS r_uniq,
+           CAST(r_chars + r_words + r_uniq AS BIGINT) AS borda,
+           CAST(row_number() OVER (
+             ORDER BY r_chars + r_words + r_uniq, doc_id) AS BIGINT)
+             AS final_rank
+    FROM ranked
+    """,
+    doc="Borda-count ensemble ranking of documents across three quality "
+    "signals (length in chars, length in words, lexical diversity): each "
+    "signal contributes its rank, the rank SUM orders the final list — "
+    "rank aggregation is robust to signals with incomparable scales, "
+    "which is why curation pipelines ensemble this way rather than "
+    "averaging raw scores. Integer ranks end-to-end (exact parity). "
+    "Ranks are global sorts over the per-doc SIGNAL relation (3 columns), "
+    "not the corpus text; at 100 TB each is a range-partitioned sort of "
+    "fixed-width rows — the standard distributed ranking shape.",
+)
+def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sig = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq"),
+    )
+    r1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r2 = Window.orderBy(F.desc("n_words"), F.asc("doc_id"))
+    r3 = Window.orderBy(
+        F.desc(F.col("n_uniq") * 1.0 / F.col("n_words")), F.asc("doc_id")
+    )
+    ranked = sig.select(
+        "doc_id",
+        F.row_number().over(r1).cast("bigint").alias("r_chars"),
+        F.row_number().over(r2).cast("bigint").alias("r_words"),
+        F.row_number().over(r3).cast("bigint").alias("r_uniq"),
+    )
+    borda = (F.col("r_chars") + F.col("r_words") + F.col("r_uniq")).cast(
+        "bigint"
+    )
+    wf = Window.orderBy(
+        (F.col("r_chars") + F.col("r_words") + F.col("r_uniq")).asc(),
+        F.asc("doc_id"),
+    )
+    return ranked.select(
+        "doc_id",
+        "r_chars",
+        "r_words",
+        "r_uniq",
+        borda.alias("borda"),
+        F.row_number().over(wf).cast("bigint").alias("final_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_knn_classify — kNN majority-label classification on embeddings
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = 50  # labeled query set: vec_id < 50
+KNN_K = 5
+
+
+@register(
+    "docs_knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id < {KNN_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim,
+             e.vec_id
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM top GROUP BY 1, 2, 3
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS pred_label, n_votes,
+           CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    doc=f"k-nearest-neighbor label assignment (k={KNN_K}) over the "
+    "embedding table: each of the "
+    f"{KNN_QUERIES} query vectors takes the majority label of its nearest "
+    "neighbors by exact cosine (ties break to the smallest label) — the "
+    "semi-supervised labeling / weak-supervision primitive a curation "
+    "pipeline uses to propagate a seed taxonomy over an unlabeled corpus. "
+    "This is the exact broadcast-NLJ baseline over a BOUNDED query set "
+    "(same contract as similarity_topk_bruteforce); the corpus-scale path "
+    "swaps the scorer for the IVF/LSH candidate generators "
+    "(similarity_ann_ivf / similarity_ann_lsh) and keeps the vote stages "
+    "unchanged — votes shuffle only (query_id, label) pairs.",
+)
+def docs_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.functions.vectors import cosine_fast
+
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        "label",
+        F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        "vec_id",
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("label").cast("bigint").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_out_of_order_audit — delivery-order lateness profile per subject
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(CASE WHEN ts_us < prev_max_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ts_us < prev_max_us THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS late_share,
+           CAST(max(CASE WHEN ts_us < prev_max_us
+                         THEN prev_max_us - ts_us END) AS BIGINT)
+             AS max_lateness_us,
+           CAST(sum(CASE WHEN ts_us < prev_max_us
+                         THEN prev_max_us - ts_us ELSE 0 END) AS BIGINT)
+             AS total_lateness_us
+    FROM seq GROUP BY event_type
+    """,
+    doc="Out-of-order delivery audit per subject: within each event_type's "
+    "stream (delivery order = the monotone event_id, mirroring the "
+    "connector's per-collection publish order), count events whose "
+    "event TIME regressed below the running max — i.e. late data — and "
+    "report the worst and total lateness. This is the measurement that "
+    "CALIBRATES a streaming watermark: max_lateness_us is exactly the "
+    "delay bound withWatermark needs to avoid dropping rows "
+    "(streaming/windows.py). Window partitions per subject, so no global "
+    "sort exists; integer micros end-to-end.",
+)
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("prev_max_us", F.max("ts_us").over(w))
+    late = F.col("ts_us") < F.col("prev_max_us")
+    lateness = F.col("prev_max_us") - F.col("ts_us")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.when(late, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+        F.max(F.when(late, lateness)).cast("bigint").alias("max_lateness_us"),
+        F.sum(F.when(late, lateness).otherwise(0))
+        .cast("bigint")
+        .alias("total_lateness_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law_fit — vocabulary-growth exponent over the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+            FROM w GROUP BY 1),
+    firsts AS (
+      SELECT min(doc_id) AS first_doc FROM w GROUP BY word
+    ),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    ),
+    curve AS (
+      SELECT t.doc_id,
+             sum(t.n_tok) OVER (ORDER BY t.doc_id) AS cum_tok,
+             sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.doc_id) AS cum_vocab
+      FROM tok t LEFT JOIN new_per_doc n ON n.doc_id = t.doc_id
+    )
+    SELECT round(regr_slope(ln(cum_vocab), ln(cum_tok)), 4) AS beta,
+           round(exp(regr_intercept(ln(cum_vocab), ln(cum_tok))), 4) AS k,
+           CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
+           CAST(max(cum_tok) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM curve
+    """,
+    doc="Heaps-law fit of vocabulary growth: V(N) ~ k * N^beta, fit as a "
+    "log-log linear regression over the cumulative (tokens, vocab) curve "
+    "in doc_id order. The curve needs no per-row dedup state: each word's "
+    "FIRST document (one min-aggregate per word) tells exactly where it "
+    "adds 1 to the vocabulary, so cumulative vocab is a prefix sum of "
+    "per-doc first-occurrence counts — both cumulative series are exact "
+    "integers. beta (~0.5 for natural text) is the capacity-planning "
+    "input for any vocabulary-keyed state (BPE lexicons, unigram LMs, "
+    "surprisal filters): it says how the [[text-unigram-surprisal]]-style "
+    "vocab relation grows when the corpus 100x-es. One explode shuffle "
+    "per aggregation; the regression runs over the doc-count-sized curve.",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tok = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    firsts = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(wc).alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wc).alias("cum_vocab"),
+        )
+    )
+    ln_v, ln_n = F.log(F.col("cum_vocab")), F.log(F.col("cum_tok"))
+    return curve.agg(
+        F.round(F.regr_slope(ln_v, ln_n), 4).alias("beta"),
+        F.round(F.exp(F.regr_intercept(ln_v, ln_n)), 4).alias("k"),
+        F.max("cum_vocab").cast("bigint").alias("total_vocab"),
+        F.max("cum_tok").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )

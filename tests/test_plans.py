@@ -189,6 +189,14 @@ _ALLOWED_NESTED_LOOP = {
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
     "agg_ks_test",                # 1-row group-size scalars broadcast crossJoin
     "merge_upsert_snapshot",      # 1-row max-key shift broadcast crossJoin
+    "events_seasonal_baseline",   # 1-row min-day cutoff broadcast crossJoin
+    "graph_kcore",                # 1-row mean-edge-weight scalar broadcast crossJoin
+    "graph_adamic_adar",          # 1-row mean-edge-weight scalar broadcast crossJoin
+    "agg_benford_test",           # 1-row digit-total scalar broadcast crossJoin
+    "orders_abc_xyz",             # 1-row revenue-total scalar broadcast crossJoin
+    "events_cuped_adjust",        # 1-row cutoff + 1-row theta broadcast crossJoins
+    "sample_balanced_class",      # 1-row minority-count scalar broadcast crossJoin
+    "docs_knn_classify",          # broadcast NLJ of tiny query set (by design)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -1,0 +1,370 @@
+"""Invariants for the round-8 operators: skyline dominance, k-core
+fixpoint, Mann-Whitney midranks, Benford/Wilson/CUPED statistics,
+exponential-smoothing recursion, interval union, Adamic-Adar, balanced
+sampling, Borda ranking, kNN labeling, lateness audit, Heaps-law fit.
+
+These pin semantic properties the DuckDB parity gate cannot distinguish
+from a shared bug (both engines run the registered formulations):
+independent Python/pandas re-derivations (brute-force skyline, peeling
+loop, scipy-free U statistic, recursive smoothing, sweep-line interval
+union), plus closed-form identities (U1+U2 = n1*n2, Wilson bounds inside
+[0,1], Benford shares summing to 1).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skyline_no_dominated_survivor_and_no_missing(spark):
+    """Brute-force O(n^2) dominance over the per-customer points must agree
+    exactly with the sort-based skyline."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        orders_skyline_pareto,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    per = (
+        o.groupby("o_custkey")
+        .agg(spend=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        .reset_index()
+    )
+    per["spend_c"] = (per["spend"] * 100).round().astype("int64")
+    pts = list(per[["o_custkey", "spend_c", "n_orders"]].itertuples(index=False))
+    expected = set()
+    for p in pts:
+        dominated = any(
+            (q.spend_c >= p.spend_c and q.n_orders >= p.n_orders)
+            and (q.spend_c > p.spend_c or q.n_orders > p.n_orders)
+            for q in pts
+        )
+        if not dominated:
+            expected.add(p.o_custkey)
+    got = {
+        r["o_custkey"] for r in orders_skyline_pareto(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def _peel_reference(edges, k):
+    nodes = {x for e in edges for x in e}
+    es = list(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n in nodes if deg[n] >= k}
+        if keep == nodes:
+            return es
+        nodes = keep
+        es = [(a, b) for a, b in es if a in nodes and b in nodes]
+
+
+def test_kcore_matches_python_peel(spark):
+    """The DataFrame peel loop must land on the same core (nodes AND
+    degrees) as a plain-Python peeling reference over the same thresholded
+    edge list."""
+    from mongodb_nats_connector_spark.operators.graph_common import trade_edges
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        KCORE_K,
+        KCORE_W_FACTOR,
+        graph_kcore,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    de["a"] = de[["src", "dst"]].min(axis=1)
+    de["b"] = de[["src", "dst"]].max(axis=1)
+    uw = de.groupby(["a", "b"])["w"].sum().reset_index()
+    thr = KCORE_W_FACTOR * uw["w"].mean()
+    edges = [
+        (int(r.a), int(r.b)) for r in uw.itertuples(index=False) if r.w >= thr
+    ]
+    core_edges = _peel_reference(edges, KCORE_K)
+    deg = defaultdict(int)
+    for a, b in core_edges:
+        deg[a] += 1
+        deg[b] += 1
+    nation = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    expected = {name_of[n]: d for n, d in deg.items()}
+    got = {
+        r["nation"]: r["core_degree"] for r in graph_kcore(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_mann_whitney_identities(spark):
+    """U1 + U2 = n1*n2 exactly, and U1 recomputed from scipy-free midranks
+    in pandas matches."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        _MW_A,
+        _MW_B,
+        agg_mann_whitney,
+    )
+
+    row = agg_mann_whitney(spark, SF).collect()[0]
+    assert abs((row["u1"] + row["u2"]) - row["n1"] * row["n2"]) < 1e-6
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["event_type"].isin([_MW_A, _MW_B]) & ev["value"].notna()]
+    ranks = ev["value"].rank(method="average")
+    r1 = ranks[ev["event_type"] == _MW_A].sum()
+    n1 = int((ev["event_type"] == _MW_A).sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert abs(row["u1"] - round(u1, 2)) < 1e-6
+    assert row["n1"] == n1
+
+
+def test_benford_shares_and_chi2(spark):
+    """Observed shares sum to 1; expected shares are exactly Benford's law;
+    chi2 terms are nonnegative."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        agg_benford_test,
+    )
+
+    out = agg_benford_test(spark, SF).toPandas().sort_values("digit")
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    for _, r in out.iterrows():
+        assert abs(r["benford_share"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+        assert r["chi2_term"] >= 0
+
+
+def test_wilson_interval_bounds(spark):
+    """Wilson bounds are inside [0,1] and bracket p_hat."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import agg_wilson_ci
+
+    out = agg_wilson_ci(spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["ci_lo"] >= 0).all() and (out["ci_hi"] <= 1).all()
+    assert (out["ci_lo"] <= out["p_hat"] + 1e-9).all()
+    assert (out["ci_hi"] >= out["p_hat"] - 1e-9).all()
+
+
+def test_cuped_reduces_variance(spark):
+    """The CUPED-adjusted metric has variance <= the raw post metric (the
+    whole point of the transform), and adjusted means match raw means."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        events_cuped_adjust,
+    )
+
+    out = events_cuped_adjust(spark, SF).toPandas()
+    assert out["post_adj"].var() <= out["post"].var() + 1e-9
+    # theta*(pre - mean(pre)) has mean ~0, so means agree
+    assert abs(out["post_adj"].mean() - out["post"].mean()) < 1e-2
+
+
+def test_exp_smoothing_matches_recursion(spark):
+    """The fold result equals the plain recursive filter computed in
+    Python over the same monthly series."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        SMOOTH_ALPHA,
+        orders_exp_smoothing,
+    )
+
+    out = orders_exp_smoothing(spark, SF).toPandas()
+    for prio, g in out.groupby("priority"):
+        g = g.sort_values("month")
+        s = None
+        for _, r in g.iterrows():
+            s = (
+                r["revenue"]
+                if s is None
+                else round(SMOOTH_ALPHA * r["revenue"] + (1 - SMOOTH_ALPHA) * s, 6)
+            )
+            # tolerance: Python's round() is binary half-even while both
+            # engines round HALF_UP on the decimal repr — at an exact
+            # x.xxxxx50 step boundary the paths differ by 1e-6, visible as
+            # 1e-4 after the final 4-decimal round. Any real recursion bug
+            # (wrong alpha, wrong order) diverges by orders of magnitude.
+            assert abs(r["smoothed"] - round(s, 4)) < 2.1e-4, (prio, r["month"])
+
+
+def test_intervals_union_matches_sweep(spark):
+    """Covered time and block count per user equal a plain-Python
+    interval-merge sweep."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        INTERVAL_US,
+        events_intervals_union,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["ts"].notna()].copy()
+    ev["s"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        ivs = sorted((s, s + INTERVAL_US) for s in g["s"])
+        covered = blocks = 0
+        cur_end = None
+        for s, e in ivs:
+            if cur_end is None or s >= cur_end:
+                blocks += 1
+                covered += e - s
+                cur_end = e
+            elif e > cur_end:
+                covered += e - cur_end
+                cur_end = e
+        exp[uid] = (len(ivs), covered, blocks)
+    got = {
+        r["user_id"]: (r["n_events"], r["covered_us"], r["n_blocks"])
+        for r in events_intervals_union(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_adamic_adar_matches_python(spark):
+    """AA scores recomputed from the thresholded edge list in plain Python
+    agree for every pair."""
+    from mongodb_nats_connector_spark.operators.graph_common import trade_edges
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        KCORE_W_FACTOR,
+        graph_adamic_adar,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    de["a"] = de[["src", "dst"]].min(axis=1)
+    de["b"] = de[["src", "dst"]].max(axis=1)
+    uw = de.groupby(["a", "b"])["w"].sum().reset_index()
+    thr = KCORE_W_FACTOR * uw["w"].mean()
+    edges = {
+        (int(r.a), int(r.b)) for r in uw.itertuples(index=False) if r.w >= thr
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    nation = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    exp = {}
+    nodes = sorted(nbrs)
+    for i, na in enumerate(nodes):
+        for nb in nodes[i + 1:]:
+            common = [
+                z for z in nbrs[na] & nbrs[nb] if len(nbrs[z]) > 1
+            ]
+            if not common:
+                continue
+            score = round(
+                sum(round(1.0 / math.log(len(nbrs[z])), 9) for z in common), 6
+            )
+            exp[(name_of[na], name_of[nb])] = (
+                len(common),
+                score,
+                1 if (na, nb) in edges else 0,
+            )
+    got = {
+        (r["nation_a"], r["nation_b"]): (
+            r["n_common"],
+            r["aa_score"],
+            r["is_edge"],
+        )
+        for r in graph_adamic_adar(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_balanced_class_exact_counts(spark):
+    """Every class is sampled to exactly the minority count, and the kept
+    ids are the hash-order prefix (deterministic across runs)."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        sample_balanced_class,
+    )
+
+    out = sample_balanced_class(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    m = int(ev.groupby("event_type").size().min())
+    counts = out.groupby("event_type").size()
+    assert (counts == m).all()
+    out2 = sample_balanced_class(spark, SF).toPandas()
+    assert sorted(out["event_id"]) == sorted(out2["event_id"])
+
+
+def test_borda_rank_is_permutation_and_monotone(spark):
+    """final_rank is a permutation of 1..n and ordering by borda (ties by
+    doc_id) reproduces it."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        docs_quality_ensemble_rank,
+    )
+
+    out = docs_quality_ensemble_rank(spark, SF).toPandas()
+    n = len(out)
+    assert sorted(out["final_rank"]) == list(range(1, n + 1))
+    ordered = out.sort_values(["borda", "doc_id"]).reset_index(drop=True)
+    assert list(ordered["final_rank"]) == list(range(1, n + 1))
+
+
+def test_knn_classify_matches_python_vote(spark):
+    """Predictions recomputed with a plain numpy cosine + Counter vote
+    (same rounding, same tiebreaks) agree exactly. (The synthetic labels
+    are NOT clustered in embedding space, so accuracy is chance-level by
+    construction — the operator's contract is the vote, not the corpus.)"""
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        KNN_K,
+        KNN_QUERIES,
+        docs_knn_classify,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples(index=False)}
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    exp = {}
+    for qid in sorted(vecs):
+        if qid >= KNN_QUERIES:
+            continue
+        qv = vecs[qid]
+        sims = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            cs = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sims.append((-round(cs, 6), vid))
+        top = sorted(sims)[:KNN_K]
+        votes = defaultdict(int)
+        for _, vid in top:
+            votes[labels[vid]] += 1
+        pred, n = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp[qid] = (pred, n, 1 if pred == labels[qid] else 0)
+    got = {
+        r["query_id"]: (r["pred_label"], r["n_votes"], r["correct"])
+        for r in docs_knn_classify(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_lateness_audit_integers_consistent(spark):
+    """n_late <= n_msgs; total lateness >= max lateness when any row is
+    late; zero-late subjects report NULL max and 0 total."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        cdc_out_of_order_audit,
+    )
+
+    out = cdc_out_of_order_audit(spark, SF).toPandas()
+    assert (out["n_late"] <= out["n_msgs"]).all()
+    late = out[out["n_late"] > 0]
+    assert (late["total_lateness_us"] >= late["max_lateness_us"]).all()
+    clean = out[out["n_late"] == 0]
+    assert clean["max_lateness_us"].isna().all()
+    assert (clean["total_lateness_us"] == 0).all()
+
+
+def test_heaps_fit_sane(spark):
+    """beta in (0, 1) (vocabulary grows sublinearly), totals consistent
+    with direct counts."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        text_heaps_law_fit,
+    )
+
+    row = text_heaps_law_fit(spark, SF).collect()[0]
+    assert 0 < row["beta"] < 1
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    all_words = [w for t in docs["text"] for w in t.split(" ")]
+    assert row["total_tokens"] == len(all_words)
+    assert row["total_vocab"] == len(set(all_words))
+    assert row["n_docs"] == len(docs)
