@@ -367,7 +367,9 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
     bshare = F.log10(1 + 1.0 / F.col("digit"))
-    return obs.crossJoin(F.broadcast(tot)).select(
+    # obs feeds both the total and the output join: persist the 9-row
+    # relation so the orders scan+agg runs once
+    return persist_until_collected(obs, obs.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n",
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
@@ -377,7 +379,7 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total") * bshare),
             6,
         ).alias("chi2_term"),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +466,9 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("mrev_c") / F.avg("mrev_c"), 4),
         ).alias("cv")
     )
-    return cum.join(cv, "l_partkey").select(
+    # rev feeds both the grand total and the ranked running share: persist
+    # the per-part relation so the lineitem scan+agg runs once
+    return persist_until_collected(rev, cum.join(cv, "l_partkey").select(
         "l_partkey",
         F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
         F.round("cum_share", 6).alias("cum_share"),
@@ -478,7 +482,7 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cv") < XYZ_Y, "Y")
         .otherwise("Z")
         .alias("xyz"),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -839,7 +843,6 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
         .select("a", "b")
     )
-    e0 = persist_until_collected(e0, e0)
     sym = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -880,11 +883,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ny = nation.select(
         F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b")
     )
-    return (
+    out = (
         flagged.join(maybe_broadcast(nx), F.col("na") == F.col("ka"))
         .join(maybe_broadcast(ny), F.col("nb") == F.col("kb"))
         .select("nation_a", "nation_b", "n_common", "aa_score", "is_edge")
     )
+    # e0 (the 4-table trade-edge join + threshold) feeds sym twice, deg,
+    # and the is_edge probe — persist it for the LIFE OF THE RESULT (tying
+    # the release to e0 itself would unpersist the moment this function
+    # returns, before the caller ever executes the plan)
+    return persist_until_collected(e0, out)
 
 
 # ---------------------------------------------------------------------------
