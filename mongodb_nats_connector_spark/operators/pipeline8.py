@@ -174,7 +174,11 @@ _PEEL_SQL, _FINAL_E = _kcore_peel_ctes(KCORE_MAX_ROUNDS)
     f"<= {KCORE_MAX_ROUNDS} here with lineage truncated per round. The "
     "oracle unrolls the identical peel as chained CTEs.",
 )
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _thresholded_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trade edges kept iff summed weight >= KCORE_W_FACTOR x the
+    mean weight (scale-relative, so the graph stays sparse at any SF) —
+    shared by graph_kcore, graph_adamic_adar, and graph_assortativity; its
+    SQL twin is the e0 CTE in _KCORE_EDGE_CTES."""
     de = trade_edges(spark, sf_dir)
     uw = (
         de.select(
@@ -186,12 +190,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("w"))
     )
     avgw = uw.agg(F.avg("w").alias("aw"))
-    edges = (
+    return (
         uw.crossJoin(F.broadcast(avgw))
         .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
         .select("a", "b")
-        .localCheckpoint(eager=True)
     )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _thresholded_und_edges(spark, sf_dir).localCheckpoint(eager=True)
     prev_n = -1
     for _ in range(KCORE_MAX_ROUNDS):
         deg = (
@@ -827,22 +834,7 @@ def events_intervals_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output directly usable as a ranked candidate list.",
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    de = trade_edges(spark, sf_dir)
-    uw = (
-        de.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
-    avgw = uw.agg(F.avg("w").alias("aw"))
-    e0 = (
-        uw.crossJoin(F.broadcast(avgw))
-        .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
-        .select("a", "b")
-    )
+    e0 = _thresholded_und_edges(spark, sf_dir)
     sym = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -1272,3 +1264,441 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_tok").cast("bigint").alias("total_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_windowed — conversion funnel with a max-window constraint
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_DAYS = 3
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + CAST(s2.t2 IS NOT NULL AS INT)
+                  + CAST(s3.t3 IS NOT NULL AS INT) AS BIGINT) AS level
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    doc="Windowed funnel (the windowFunnel shape): view -> click -> "
+    f"purchase must ALL land within {FUNNEL_WINDOW_DAYS} days of the "
+    "user's first view — the constraint that separates a real conversion "
+    "journey from coincidental events months apart, which the plain "
+    "`events_funnel` cannot express. Each step is one pushed-filter scan "
+    "aggregated per user, with the previous step's per-user anchor joined "
+    "back (size-gated broadcast): step ordering and the anchored deadline "
+    "ride in the join predicate, never in per-row state. Timestamps stay "
+    "integer micros end-to-end.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(maybe_broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(maybe_broadcast(s2), "user_id")
+        .join(maybe_broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                1
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("bigint").alias("level"),
+        )
+    )
+    return persist_until_collected(s1, persist_until_collected(s2, out))
+
+
+# ---------------------------------------------------------------------------
+# docs_pmi_collocations — PMI-scored bigram collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "docs_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS pos
+      FROM toks
+    ),
+    big AS (
+      SELECT word AS a,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM w
+    ),
+    bc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM big WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    uc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM w),
+    m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM bc)
+    SELECT bc.a, bc.b, bc.c_ab,
+           round(ln((bc.c_ab * 1.0 / m.n_big)
+                 / ((ua.c * 1.0 / n.n_tok) * (ub.c * 1.0 / n.n_tok))), 6)
+             AS pmi
+    FROM bc JOIN uc ua ON ua.word = bc.a
+    JOIN uc ub ON ub.word = bc.b, n, m
+    WHERE bc.c_ab >= {PMI_MIN_COUNT}
+    """,
+    doc=f"PMI-scored bigram collocations (count >= {PMI_MIN_COUNT}): "
+    "pointwise mutual information ln(p(ab)/(p(a)p(b))) over adjacent word "
+    "pairs — the phrase-mining signal behind multi-word tokenizer entries "
+    "and stop-phrase lists. Adjacency comes from ONE per-doc ordered "
+    "window (lead over token position — no self-join on position); both "
+    "count relations reduce map-side; the PMI arithmetic runs on the "
+    "thresholded bigram relation with the two 1-row totals broadcast. "
+    "Identical division order keeps the doubles engine-exact at 6 "
+    "decimals.",
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    big = w.select(
+        F.col("word").alias("a"), F.lead("word").over(lw).alias("b")
+    ).filter(F.col("b").isNotNull())
+    bc = big.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    bc = bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    uc = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    m_tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    ua = uc.select(F.col("word").alias("wa"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("word").alias("wb"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * 1.0 / F.col("n_big"))
+            / (
+                (F.col("ca") * 1.0 / F.col("n_tok"))
+                * (F.col("cb") * 1.0 / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(maybe_broadcast(ua), F.col("a") == F.col("wa"))
+        .join(maybe_broadcast(ub), F.col("b") == F.col("wb"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m_tot))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_autocorrelation — ACF of the daily revenue series, lags 1..7
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "agg_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev_c, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    stats AS (
+      SELECT avg(rev_c) AS mu,
+             sum((rev_c - (SELECT avg(rev_c) FROM daily))
+                 * (rev_c - (SELECT avg(rev_c) FROM daily))) AS ss
+      FROM daily
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag)
+    SELECT l.lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((i1.rev_c - s.mu) * (i2.rev_c - s.mu)) / s.ss, 4)
+             AS acf
+    FROM lags l
+    JOIN idx i1 ON true
+    JOIN idx i2 ON i2.rn = i1.rn + l.lag
+    CROSS JOIN stats s
+    GROUP BY l.lag, s.ss ORDER BY l.lag
+    """,
+    doc=f"Autocorrelation function of daily revenue, lags 1..{ACF_MAX_LAG}: "
+    "the seasonality detector that tells a forecaster (and "
+    "events_seasonal_baseline) which period to model — a weekly cycle "
+    "shows as an acf(7) spike. The series first reduces map-side to "
+    "exact-integer daily cents (summation-order-proof); lagged pairs come "
+    "from ONE row-index self-join on the day-count-sized series, lags "
+    "expanded from a 7-row literal; the mean and sum-of-squares compute "
+    "once and broadcast. At 100 TB the fact table contributes one "
+    "aggregation — everything else is calendar-sized.",
+)
+def agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    idx = daily.select(
+        "rev_c", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    # the mean must exist before the deviation sum (no nested aggregates):
+    # 1-row mean broadcast back into a second moment pass
+    mus = daily.agg(F.avg("rev_c").alias("mu"))
+    stats = (
+        daily.crossJoin(F.broadcast(mus))
+        .agg(
+            F.first("mu").alias("mu"),
+            F.sum(
+                (F.col("rev_c") - F.col("mu"))
+                * (F.col("rev_c") - F.col("mu"))
+            ).alias("ss"),
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    i1 = idx.select(F.col("rev_c").alias("x1"), F.col("rn").alias("rn1"))
+    i2 = idx.select(F.col("rev_c").alias("x2"), F.col("rn").alias("rn2"))
+    pairs = (
+        i1.crossJoin(F.broadcast(lags))
+        .join(i2, F.col("rn2") == F.col("rn1") + F.col("lag"))
+        .crossJoin(F.broadcast(stats))
+    )
+    out = (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum((F.col("x1") - F.col("mu")) * (F.col("x2") - F.col("mu")))
+                / F.first("ss"),
+                4,
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+    )
+    return persist_until_collected(daily, persist_until_collected(idx, out))
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_km — Kaplan-Meier repeat-purchase survival curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_survival_km",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS t1 FROM o2 WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS t2 FROM o2 WHERE rn = 2),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(s.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE), CAST(m.tmax AS DATE))
+             END AS BIGINT) AS dur,
+             CAST(CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey, mx m
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+    by_d AS (
+      SELECT dur, CAST(sum(ev) AS BIGINT) AS d_ev,
+             CAST(count(*) - sum(ev) AS BIGINT) AS d_cens
+      FROM obs GROUP BY 1
+    ),
+    sw AS (
+      SELECT dur, d_ev, d_cens,
+             t.n - coalesce(sum(d_ev + d_cens) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM by_d, tot t
+    )
+    SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d_ev AS n_events, d_cens AS n_censored,
+           CASE WHEN n_risk = d_ev THEN 0.0
+                ELSE round(exp(sum(CASE WHEN n_risk > d_ev
+                      THEN round(ln((n_risk - d_ev) * 1.0 / n_risk), 9)
+                      END) OVER (ORDER BY dur)), 6) END AS survival
+    FROM sw
+    """,
+    doc="Kaplan-Meier survival curve for repeat purchase: time from each "
+    "customer's first to second order, right-CENSORED at the observation "
+    "horizon for one-order customers — the estimator that makes churn/"
+    "retention math honest when most subjects haven't converted yet "
+    "(naive conversion rates ignore censoring). Risk sets are exact "
+    "integers via one cumulative window over the duration-grouped "
+    "relation; the product-limit estimate runs as exp-sum-ln with "
+    "per-term rounding (the no-cumprod-in-SQL standard form, "
+    "deterministic in frame order), and total-extinction rows guard the "
+    "log domain on both engines. Fact work is one per-customer window; "
+    "the curve itself is duration-cardinality-sized.",
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o2 = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
+    )
+    firsts = o2.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("t1")
+    )
+    seconds = o2.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("t2")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("tmax").cast("date"), F.col("t1").cast("date"))
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.col("t2").isNotNull().cast("bigint").alias("ev"),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    by_d = obs.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d_ev"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("d_cens"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    sw = by_d.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d_ev",
+        "d_cens",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d_ev") + F.col("d_cens")).over(wprev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_risk") > F.col("d_ev"),
+        F.round(
+            F.log((F.col("n_risk") - F.col("d_ev")) * 1.0 / F.col("n_risk")), 9
+        ),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = sw.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_ev").alias("n_events"),
+        F.col("d_cens").alias("n_censored"),
+        F.when(F.col("n_risk") == F.col("d_ev"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(wcum)), 6))
+        .alias("survival"),
+    )
+    return persist_until_collected(obs, out)
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_KCORE_EDGE_CTES},
+    sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u)
+    SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+           round(corr(du.d, dv.d), 4) AS assortativity,
+           round(avg(du.d), 4) AS mean_deg
+    FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+    """,
+    doc="Degree assortativity (Newman): the Pearson correlation of endpoint "
+    "degrees over the directed edge list of the thresholded trade graph — "
+    "negative means hubs connect to leaves (dissortative, typical of "
+    "trade/technology networks), positive means hubs cluster. One degree "
+    "count plus two joins of the edge list against the node-sized degree "
+    "relation (size-gated broadcast); the correlation is a single "
+    "map-side-combined moment aggregation. The number every skew "
+    "mitigation decision about a graph workload starts from.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _thresholded_und_edges(spark, sf_dir)
+    sym = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("ku"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("u").alias("kv"), F.col("d").alias("d_v"))
+    out = (
+        sym.join(maybe_broadcast(du), F.col("u") == F.col("ku"))
+        .join(maybe_broadcast(dv), F.col("v") == F.col("kv"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+            F.round(F.corr("d_u", "d_v"), 4).alias("assortativity"),
+            F.round(F.avg("d_u"), 4).alias("mean_deg"),
+        )
+    )
+    return persist_until_collected(e0, out)

@@ -197,6 +197,10 @@ _ALLOWED_NESTED_LOOP = {
     "events_cuped_adjust",        # 1-row cutoff + 1-row theta broadcast crossJoins
     "sample_balanced_class",      # 1-row minority-count scalar broadcast crossJoin
     "docs_knn_classify",          # broadcast NLJ of tiny query set (by design)
+    "docs_pmi_collocations",      # 1-row token/bigram totals broadcast crossJoins
+    "agg_autocorrelation",        # 7-row lag literal + 1-row moment scalars broadcast crossJoins
+    "orders_survival_km",         # 1-row horizon + 1-row cohort-size broadcast crossJoins
+    "graph_assortativity",        # 1-row mean-edge-weight scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -368,3 +368,172 @@ def test_heaps_fit_sane(spark):
     assert row["total_tokens"] == len(all_words)
     assert row["total_vocab"] == len(set(all_words))
     assert row["n_docs"] == len(docs)
+
+
+def test_funnel_windowed_ordering_and_window(spark):
+    """t1 <= t2 <= t3, every step within the window of t1, level counts
+    monotone, and levels match a plain-pandas recompute."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        FUNNEL_WINDOW_DAYS,
+        events_funnel_windowed,
+    )
+
+    out = events_funnel_windowed(spark, SF).toPandas()
+    w = pd.Timedelta(days=FUNNEL_WINDOW_DAYS)
+    got2 = out[out["t2"].notna()]
+    assert (got2["t2"] >= got2["t1"]).all()
+    assert (got2["t2"] <= got2["t1"] + w).all()
+    got3 = out[out["t3"].notna()]
+    assert (got3["t3"] >= got3["t2"]).all()
+    assert (got3["t3"] <= got3["t1"] + w).all()
+    n1, n2, n3 = (out["level"] >= 1).sum(), (out["level"] >= 2).sum(), (
+        out["level"] >= 3
+    ).sum()
+    assert n1 >= n2 >= n3
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    exp_levels = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]["ts"]
+        if views.empty:
+            continue
+        t1 = views.min()
+        lvl = 1
+        clicks = g[(g.event_type == "click") & (g.ts >= t1) & (g.ts <= t1 + w)]["ts"]
+        if not clicks.empty:
+            t2 = clicks.min()
+            lvl = 2
+            buys = g[(g.event_type == "purchase") & (g.ts >= t2) & (g.ts <= t1 + w)]["ts"]
+            if not buys.empty:
+                lvl = 3
+        exp_levels[uid] = lvl
+    got_levels = dict(zip(out["user_id"], out["level"]))
+    assert got_levels == exp_levels
+
+
+def test_pmi_matches_python(spark):
+    """PMI recomputed from raw counts in Python matches for every pair."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        PMI_MIN_COUNT,
+        docs_pmi_collocations,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok = sum(uni.values())
+    n_big = sum(big.values())
+    exp = {}
+    for (a, b), c in big.items():
+        if c >= PMI_MIN_COUNT:
+            exp[(a, b)] = (
+                c,
+                round(
+                    math.log(
+                        (c / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok))
+                    ),
+                    6,
+                ),
+            )
+    got = {
+        (r["a"], r["b"]): (r["c_ab"], r["pmi"])
+        for r in docs_pmi_collocations(spark, SF).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-5, k
+
+
+def test_autocorrelation_bounds_and_lag1(spark):
+    """|acf| <= 1, and lag-1 matches a numpy recompute."""
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        agg_autocorrelation,
+    )
+
+    out = agg_autocorrelation(spark, SF).toPandas().sort_values("lag")
+    assert (out["acf"].abs() <= 1.0 + 1e-9).all()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["day"] = o["o_orderdate"].dt.date
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby("day")["cents"].sum().sort_index().to_numpy(dtype=float)
+    mu = daily.mean()
+    dev = daily - mu
+    ss = (dev * dev).sum()
+    r1 = (dev[:-1] * dev[1:]).sum() / ss
+    got1 = float(out[out["lag"] == 1]["acf"].iloc[0])
+    assert abs(got1 - round(r1, 4)) < 1e-3
+
+
+def test_survival_km_matches_python(spark):
+    """The KM curve recomputed with a plain-Python product-limit estimator
+    agrees at every duration, and survival is non-increasing in [0,1]."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        orders_survival_km,
+    )
+
+    out = orders_survival_km(spark, SF).toPandas().sort_values("duration_days")
+    s = out["survival"].to_numpy()
+    assert ((s >= 0) & (s <= 1)).all()
+    assert (s[1:] <= s[:-1] + 1e-9).all()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    tmax = o["o_orderdate"].max().date()
+    durs = []
+    for cust, g in o.groupby("o_custkey"):
+        dates = list(g["o_orderdate"])
+        t1 = dates[0].date()
+        if len(dates) >= 2:
+            durs.append(((dates[1].date() - t1).days, 1))
+        else:
+            durs.append(((tmax - t1).days, 0))
+    from collections import Counter
+
+    ev_at = Counter(d for d, e in durs if e)
+    all_at = Counter(d for d, e in durs)
+    n = len(durs)
+    surv, at_risk = 1.0, n
+    exp = {}
+    for d in sorted(all_at):
+        d_ev = ev_at.get(d, 0)
+        if at_risk == d_ev:
+            surv = 0.0
+        elif d_ev:
+            surv *= (at_risk - d_ev) / at_risk
+        exp[d] = (at_risk, d_ev, all_at[d] - d_ev, surv)
+        at_risk -= all_at[d]
+    for _, r in out.iterrows():
+        e = exp[r["duration_days"]]
+        assert r["n_risk"] == e[0] and r["n_events"] == e[1]
+        assert r["n_censored"] == e[2]
+        assert abs(r["survival"] - e[3]) < 1e-4, r["duration_days"]
+
+
+def test_assortativity_matches_numpy(spark):
+    """Degree assortativity equals numpy's corrcoef over endpoint degrees
+    of the same thresholded edge list."""
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        _thresholded_und_edges,
+        graph_assortativity,
+    )
+
+    row = graph_assortativity(spark, SF).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    edges = [(r["a"], r["b"]) for r in _thresholded_und_edges(spark, SF).collect()]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    du = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    dv = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    r = float(np.corrcoef(du, dv)[0, 1])
+    assert abs(row["assortativity"] - round(r, 4)) < 1e-3
+    assert row["n_dir_edges"] == 2 * len(edges)
