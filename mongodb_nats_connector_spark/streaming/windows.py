@@ -241,3 +241,34 @@ def hll_register_stream(stream: DataFrame) -> DataFrame:
         .groupBy("cohort", "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def latest_state_stream(stream: DataFrame) -> DataFrame:
+    """Streaming materialized latest-state view over an events-shaped
+    change stream — the continuously-maintained form of the batch
+    ``cdc_apply_latest`` compaction (operators/cdc.py:latest_state_per_key,
+    reference semantics: applying the connector's published change log
+    back into a table; internal/mongo/client.go:211).
+
+    State update is max_by keyed on (ts, event_id) — idempotent and
+    commutative, so micro-batch order, retries, and at-least-once replay
+    all converge to the identical per-key newest row the batch window
+    computes over the same rows. State is one row per live key, O(keys)
+    forever; run in update mode for a changelog sink or complete mode for
+    a table sink. The ts DESC, event_id DESC tiebreak matches the batch
+    operator exactly (stream-vs-batch equality pinned in tests).
+    """
+    newest = F.max_by(
+        F.struct("event_type", "value", "ts"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        stream.groupBy("user_id")
+        .agg(newest.alias("s"))  # ONE aggregate: per-key state is 1 struct
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+            F.col("s.ts").alias("last_ts"),
+        )
+    )

@@ -537,3 +537,46 @@ def test_assortativity_matches_numpy(spark):
     r = float(np.corrcoef(du, dv)[0, 1])
     assert abs(row["assortativity"] - round(r, 4)) < 1e-3
     assert row["n_dir_edges"] == 2 * len(edges)
+
+
+def test_streaming_latest_state_matches_batch(spark, tmp_path):
+    """The streaming latest-state view (max_by per key, complete mode,
+    3 overlapping micro-batches simulating at-least-once replay) must
+    produce the IDENTICAL per-key newest rows as the batch
+    latest_state_per_key window over the same events."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.operators.cdc import latest_state_per_key
+    from mongodb_nats_connector_spark.streaming.windows import (
+        EVENTS_DDL,
+        latest_state_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "ls_feed")
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 3 != 0).write.parquet(path, mode="append")
+    ev.filter(F.col("event_id") % 5 == 0).write.parquet(path, mode="append")
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(path)
+    name = "ls" + uuid.uuid4().hex[:10]
+    q = (
+        latest_state_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    streamed = {
+        r["user_id"]: (r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    q.stop()
+    batch = {
+        r["user_id"]: (r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in latest_state_per_key(ev).collect()
+    }
+    assert streamed == batch
