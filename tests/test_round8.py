@@ -580,3 +580,125 @@ def test_streaming_latest_state_matches_batch(spark, tmp_path):
         for r in latest_state_per_key(ev).collect()
     }
     assert streamed == batch
+
+
+def _write_orders(spark, path, rows):
+    """rows: (o_orderkey, o_custkey, o_totalprice, o_orderdate str)."""
+    df = spark.createDataFrame(
+        [
+            (k, c, "O", p, pd.Timestamp(d).to_pydatetime(), "1-URGENT")
+            for k, c, p, d in rows
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def test_skyline_tie_torture(spark, tmp_path):
+    """Adversarial ties: equal spend with different order counts, equal
+    order counts with different spend, exact duplicates (both kept), and a
+    strictly dominated point — against brute-force dominance."""
+    rows = [
+        # cust 1: spend 300, 1 order  (frontier: highest spend)
+        (1, 1, 300.0, "2024-01-01"),
+        # cust 2: spend 200, 2 orders (frontier)
+        (2, 2, 100.0, "2024-01-01"),
+        (3, 2, 100.0, "2024-01-02"),
+        # cust 3: spend 200, 2 orders — duplicate point of cust 2: BOTH kept
+        (4, 3, 150.0, "2024-01-01"),
+        (5, 3, 50.0, "2024-01-02"),
+        # cust 4: spend 200, 1 order — dominated by cust 2 (same spend, fewer)
+        (6, 4, 200.0, "2024-01-01"),
+        # cust 5: spend 100, 2 orders — dominated by cust 2 (less spend, same)
+        (7, 5, 60.0, "2024-01-01"),
+        (8, 5, 40.0, "2024-01-02"),
+        # cust 6: spend 50, 3 orders (frontier: most orders)
+        (9, 6, 20.0, "2024-01-01"),
+        (10, 6, 20.0, "2024-01-02"),
+        (11, 6, 10.0, "2024-01-03"),
+    ]
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        orders_skyline_pareto,
+    )
+
+    _write_orders(spark, str(tmp_path), rows)
+    got = {
+        r["o_custkey"]: (r["spend"], r["n_orders"])
+        for r in orders_skyline_pareto(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 6}
+    assert got[2] == (200.0, 2) and got[3] == (200.0, 2)
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts str, user_id)."""
+    df = spark.createDataFrame(
+        [
+            (i, pd.Timestamp(t).to_pydatetime(), u, "view", 1.0, "{}")
+            for i, t, u in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_intervals_union_nesting_and_ties(spark, tmp_path):
+    """Adversarial interval shapes: identical timestamps (fully nested),
+    back-to-back touching intervals (half-open semantics: coverage never
+    double counts; touching intervals are adjacent-but-disjoint, so they
+    count as separate blocks), and a disjoint gap (two blocks)."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        INTERVAL_US,
+        events_intervals_union,
+    )
+
+    ten_min = INTERVAL_US // 1_000_000  # 600 s
+    rows = [
+        # user 1: two identical events -> one 600 s block
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 00:00:00", 1),
+        # user 2: touching intervals [0,600) + [600,1200): 1200 s covered,
+        # TWO blocks (half-open — adjacent, not overlapping)
+        (3, "2024-01-01 00:00:00", 2),
+        (4, f"2024-01-01 00:{ten_min // 60:02d}:00", 2),
+        # user 3: overlap by half -> one block, 900 s
+        (5, "2024-01-01 00:00:00", 3),
+        (6, "2024-01-01 00:05:00", 3),
+        # user 4: disjoint -> two blocks, 1200 s total
+        (7, "2024-01-01 00:00:00", 4),
+        (8, "2024-01-01 01:00:00", 4),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["user_id"]: (r["n_events"], r["covered_us"], r["n_blocks"])
+        for r in events_intervals_union(spark, str(tmp_path)).collect()
+    }
+    M = 1_000_000
+    assert got[1] == (2, 600 * M, 1)
+    assert got[2] == (2, 1200 * M, 2)
+    assert got[3] == (2, 900 * M, 1)
+    assert got[4] == (2, 1200 * M, 2)
+
+
+def test_survival_km_total_extinction_guard(spark, tmp_path):
+    """If every cohort member converts at the same duration (risk set ==
+    events at the last duration), survival must be exactly 0 with no
+    log-domain error."""
+    rows = [
+        (1, 1, 10.0, "2024-01-01"),
+        (2, 1, 10.0, "2024-01-03"),
+        (3, 2, 10.0, "2024-01-01"),
+        (4, 2, 10.0, "2024-01-03"),
+    ]
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        orders_survival_km,
+    )
+
+    _write_orders(spark, str(tmp_path), rows)
+    out = orders_survival_km(spark, str(tmp_path)).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["duration_days"] == 2 and r["n_risk"] == 2
+    assert r["n_events"] == 2 and r["survival"] == 0.0

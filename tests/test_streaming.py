@@ -238,8 +238,12 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas requires google.protobuf (optional "
-    "pyspark dependency, not installed in this container); the "
-    "applyInPandasWithState variant covers the same semantics above",
+    "pyspark dependency, not installed in this container; the environment "
+    "has no package index access — `pip download protobuf` returns 'no "
+    "matching distribution' — and no wheel is cached on disk, so the dep "
+    "cannot be vendored either; re-verified round 7). The "
+    "applyInPandasWithState variant covers the same semantics above and "
+    "this test runs unmodified the moment protobuf exists",
 )
 def test_stateful_offsets_transform_with_state(spark, events_feed):
     """transformWithStateInPandas (Spark 4 stateful API) tracks the same
