@@ -150,6 +150,31 @@ def _kcore_peel_ctes(rounds: int) -> str:
 _PEEL_SQL, _FINAL_E = _kcore_peel_ctes(KCORE_MAX_ROUNDS)
 
 
+def _thresholded_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trade edges kept iff summed weight >= KCORE_W_FACTOR x the
+    mean weight (scale-relative, so the graph stays sparse at any SF) —
+    shared by graph_kcore, graph_adamic_adar, and graph_assortativity; its
+    SQL twin is the e0 CTE in _KCORE_EDGE_CTES. (Defined ABOVE the
+    @register block: a def between a decorator call and its target would
+    capture the registration.)"""
+    de = trade_edges(spark, sf_dir)
+    uw = (
+        de.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    avgw = uw.agg(F.avg("w").alias("aw"))
+    return (
+        uw.crossJoin(F.broadcast(avgw))
+        .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
+        .select("a", "b")
+    )
+
+
 @register(
     "graph_kcore",
     oracle=f"""
@@ -174,29 +199,6 @@ _PEEL_SQL, _FINAL_E = _kcore_peel_ctes(KCORE_MAX_ROUNDS)
     f"<= {KCORE_MAX_ROUNDS} here with lineage truncated per round. The "
     "oracle unrolls the identical peel as chained CTEs.",
 )
-def _thresholded_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected trade edges kept iff summed weight >= KCORE_W_FACTOR x the
-    mean weight (scale-relative, so the graph stays sparse at any SF) —
-    shared by graph_kcore, graph_adamic_adar, and graph_assortativity; its
-    SQL twin is the e0 CTE in _KCORE_EDGE_CTES."""
-    de = trade_edges(spark, sf_dir)
-    uw = (
-        de.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
-    avgw = uw.agg(F.avg("w").alias("aw"))
-    return (
-        uw.crossJoin(F.broadcast(avgw))
-        .filter(F.col("w") >= KCORE_W_FACTOR * F.col("aw"))
-        .select("a", "b")
-    )
-
-
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _thresholded_und_edges(spark, sf_dir).localCheckpoint(eager=True)
     prev_n = -1
