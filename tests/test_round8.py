@@ -702,3 +702,19 @@ def test_survival_km_total_extinction_guard(spark, tmp_path):
     r = out.iloc[0]
     assert r["duration_days"] == 2 and r["n_risk"] == 2
     assert r["n_events"] == 2 and r["survival"] == 0.0
+
+
+def test_registered_name_matches_function_name():
+    """Every registry key equals its function's __name__ — a def slipped
+    between a @register(...) call and its intended target silently
+    registers the WRONG callable (this caught graph_kcore serving raw
+    edges in round 7)."""
+    from mongodb_nats_connector_spark import registry
+
+    registry._load_all()
+    mismatched = [
+        (n, q.fn.__name__)
+        for n, q in registry._REGISTRY.items()
+        if q.fn.__name__ != n
+    ]
+    assert not mismatched, f"registry key != function name: {mismatched}"

@@ -37,14 +37,20 @@ def main() -> None:
     registry._load_all()
     digests = registry._verified_digests()
     hash_verified, _ = registry._driver_verified()
-    pending = [
-        n
-        for n, q in registry._REGISTRY.items()
-        if q.oracle is not None
-        and not (
-            n in hash_verified and digests.get(n) == registry.query_digest(q)
-        )
-    ]
+    if "--all" in sys.argv:  # every oracle-bearing query, proven or not
+        pending = [
+            n for n, q in registry._REGISTRY.items() if q.oracle is not None
+        ]
+    else:
+        pending = [
+            n
+            for n, q in registry._REGISTRY.items()
+            if q.oracle is not None
+            and not (
+                n in hash_verified
+                and digests.get(n) == registry.query_digest(q)
+            )
+        ]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
