@@ -1704,3 +1704,192 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return persist_until_collected(e0, out)
+
+
+# ---------------------------------------------------------------------------
+# events_did_uplift — difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+DID_SPLIT_DAYS = 15
+
+
+@register(
+    "events_did_uplift",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    cutoff AS (SELECT min(day) + {DID_SPLIT_DAYS} AS split FROM b),
+    cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(CASE WHEN day >= split THEN 1 ELSE 0 END AS BIGINT)
+               AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS mean_v
+      FROM b, cutoff GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN mean_v END) AS t_post,
+        max(CASE WHEN treat = 1 AND post = 0 THEN mean_v END) AS t_pre,
+        max(CASE WHEN treat = 0 AND post = 1 THEN mean_v END) AS c_post,
+        max(CASE WHEN treat = 0 AND post = 0 THEN mean_v END) AS c_pre
+      FROM cells
+    )
+    SELECT c.treat, c.post, c.n, c.mean_v,
+           round((w.t_post - w.t_pre) - (w.c_post - w.c_pre), 6) AS did
+    FROM cells c CROSS JOIN w
+    """,
+    doc="Difference-in-differences uplift estimator over the classic 2x2 "
+    "(treatment x pre/post around a min(day)-derived split; the synthetic "
+    "assignment is the deterministic user_id parity — in production the "
+    "treat column is the experiment flag): DiD = (T_post - T_pre) - "
+    "(C_post - C_pre), the estimator that nets out secular trends a naive "
+    "post-only comparison absorbs. ONE conditional aggregation collapses "
+    "the fact table to 4 cells; cell means round before the 4-cell pivot "
+    "so the estimate is engine-exact. Companion to events_cuped_adjust "
+    "(variance reduction) and events_ab_uplift (post-only readout).",
+)
+def events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    cutoff = b.agg(F.date_add(F.min("day"), DID_SPLIT_DAYS).alias("split"))
+    cells = (
+        b.crossJoin(F.broadcast(cutoff))
+        .groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("treat"),
+            (F.col("day") >= F.col("split")).cast("bigint").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+    )
+    cell = lambda t, p: F.max(  # noqa: E731 - 4-cell pivot extractor
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col("mean_v"))
+    )
+    w = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+    )
+    out = cells.crossJoin(F.broadcast(w)).select(
+        "treat",
+        "post",
+        "n",
+        "mean_v",
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did"),
+    )
+    return persist_until_collected(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# similarity_contamination_check — eval-vs-train embedding contamination
+# ---------------------------------------------------------------------------
+
+CONTAM_EVAL_N = 25  # held-out eval set: vec_id < 25
+CONTAM_COS = 0.5
+
+
+@register(
+    "similarity_contamination_check",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+           WHERE vec_id < {CONTAM_EVAL_N}),
+    tr AS (SELECT vec_id AS train_id, v AS trv FROM e
+           WHERE vec_id >= {CONTAM_EVAL_N}),
+    hits AS (
+      SELECT ev.eval_id, tr.train_id,
+             round(list_cosine_similarity(ev.evv, tr.trv), 6) AS cos_sim
+      FROM ev JOIN tr ON true
+      WHERE round(list_cosine_similarity(ev.evv, tr.trv), 6) >= {CONTAM_COS}
+    ),
+    ranked AS (
+      SELECT eval_id, train_id, cos_sim,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY cos_sim DESC, train_id) AS rn
+      FROM hits
+    ),
+    agg AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+             max(cos_sim) AS worst_cos
+      FROM hits GROUP BY eval_id
+    )
+    SELECT e2.eval_id,
+           coalesce(a.n_contaminated, 0) AS n_contaminated,
+           a.worst_cos,
+           r.train_id AS worst_train_id
+    FROM ev e2
+    LEFT JOIN agg a ON a.eval_id = e2.eval_id
+    LEFT JOIN ranked r ON r.eval_id = e2.eval_id AND r.rn = 1
+    """,
+    doc="Embedding-space contamination audit: for each held-out eval "
+    f"vector, every training vector with cosine >= {CONTAM_COS} is a "
+    "potential leak — the semantic companion to the n-gram "
+    "`contamination_ngram_overlap` audit (paraphrased or reformatted "
+    "leaks that exact n-grams miss). Per eval row: hit count, the worst "
+    "similarity, and the offending train id (ties to the smaller id). "
+    "This is the exact small-eval-set scorer (the eval side broadcasts, "
+    "the same contract as every eval-vs-corpus audit here); at corpus "
+    "scale the train side streams through the scorer map-only, or the "
+    "sign-LSH bucketer (similarity_ann_lsh) pre-filters candidates and "
+    "this verify stage keeps its shape.",
+)
+def similarity_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.functions.vectors import cosine_fast
+
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = e.filter(F.col("vec_id") < CONTAM_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("evv")
+    )
+    tr = e.filter(F.col("vec_id") >= CONTAM_EVAL_N).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("trv")
+    )
+    cos = F.round(cosine_fast(F.col("evv"), F.col("trv")), 6)
+    hits = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("eval_id", "train_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= CONTAM_COS)
+    )
+    # hits feeds both the worst-hit rank and the count/max agg; the persist
+    # is tied to the RESULT at the return below (never to hits itself —
+    # that releases the cache the moment this function returns)
+    wr = Window.partitionBy("eval_id").orderBy(
+        F.desc("cos_sim"), F.asc("train_id")
+    )
+    worst = (
+        hits.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", F.col("train_id").alias("worst_train_id"))
+    )
+    agg = hits.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.max("cos_sim").alias("worst_cos"),
+    )
+    out = (
+        ev.select("eval_id")
+        .join(agg, "eval_id", "left")
+        .join(worst, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            "worst_cos",
+            "worst_train_id",
+        )
+    )
+    return persist_until_collected(hits, out)

@@ -201,6 +201,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_autocorrelation",        # 7-row lag literal + 1-row moment scalars broadcast crossJoins
     "orders_survival_km",         # 1-row horizon + 1-row cohort-size broadcast crossJoins
     "graph_assortativity",        # 1-row mean-edge-weight scalar broadcast crossJoin
+    "events_did_uplift",          # 1-row cutoff + 1-row 4-cell pivot broadcast crossJoins
+    "similarity_contamination_check",  # broadcast NLJ of tiny eval set (by design)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -718,3 +718,72 @@ def test_registered_name_matches_function_name():
         if q.fn.__name__ != n
     ]
     assert not mismatched, f"registry key != function name: {mismatched}"
+
+
+def test_did_identity_and_cells(spark):
+    """The DiD estimate equals (T_post-T_pre)-(C_post-C_pre) recomputed
+    from the emitted cell means, and the 4 cells partition all valued
+    events."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        events_did_uplift,
+    )
+
+    out = events_did_uplift(spark, SF).toPandas()
+    assert len(out) == 4
+    cells = {(r["treat"], r["post"]): r["mean_v"] for _, r in out.iterrows()}
+    did = round(
+        (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)]), 6
+    )
+    assert (out["did"] - did).abs().max() < 1e-9
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    assert out["n"].sum() == ev["value"].notna().sum()
+
+
+def test_contamination_check_matches_numpy(spark):
+    """Hit counts and worst matches recomputed with numpy cosine agree
+    exactly; clean eval rows carry NULLs and a zero count."""
+    import numpy as np
+
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        CONTAM_COS,
+        CONTAM_EVAL_N,
+        similarity_contamination_check,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples(index=False)}
+    exp = {}
+    for eid, evv in vecs.items():
+        if eid >= CONTAM_EVAL_N:
+            continue
+        hits = []
+        for tid, trv in vecs.items():
+            if tid < CONTAM_EVAL_N:
+                continue
+            cs = round(
+                float(evv @ trv / (np.linalg.norm(evv) * np.linalg.norm(trv))),
+                6,
+            )
+            if cs >= CONTAM_COS:
+                hits.append((cs, tid))
+        if hits:
+            worst = sorted(hits, key=lambda h: (-h[0], h[1]))[0]
+            exp[eid] = (len(hits), worst[0], worst[1])
+        else:
+            exp[eid] = (0, None, None)
+    got = {}
+    for r in similarity_contamination_check(spark, SF).collect():
+        got[r["eval_id"]] = (
+            r["n_contaminated"],
+            r["worst_cos"],
+            r["worst_train_id"],
+        )
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        if exp[k][1] is None:
+            assert got[k][1] is None and got[k][2] is None
+        else:
+            assert abs(got[k][1] - exp[k][1]) < 1e-9
+            assert got[k][2] == exp[k][2]
