@@ -102,7 +102,7 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_kcore — iterative k-core peeling over the thresholded trade graph
 # ---------------------------------------------------------------------------
 
-KCORE_K = 4
+KCORE_K = 3  # non-empty core at every test SF (k=4 peels sf0.1 to empty)
 KCORE_MAX_ROUNDS = 8
 KCORE_W_FACTOR = 1.15  # edge kept iff weight >= factor * mean weight
 

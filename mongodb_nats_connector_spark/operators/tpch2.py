@@ -108,12 +108,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey, part_value
     FROM nat_value
-    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM nat_value)
+    WHERE part_value > (SELECT 2.0 * avg(part_value) FROM nat_value)
     """,
     doc="TPC-H Q11 adaptation (no partsupp: per-part 'stock value' is the "
     "shipped value sum(extendedprice*quantity) via NATION_7's suppliers). "
-    "Share-of-total threshold: scalar subquery over the same aggregate, "
-    "broadcast back as a 1-row literal join.",
+    "Importance threshold is MEAN-RELATIVE (> 2x the average part value) "
+    "rather than TPC-H's fixed share-of-total: the spec scales its "
+    "fraction by 1/SF precisely because a fixed share degenerates to an "
+    "empty answer as the part population grows — the mean-relative form "
+    "is the scale-free equivalent (verified non-degenerate at sf0.01 and "
+    "sf0.1). Scalar subquery over the same aggregate, broadcast back as "
+    "a 1-row literal join.",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -130,7 +135,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
     threshold = nat_value.agg(
-        (F.lit(0.001) * F.sum("part_value")).alias("threshold")
+        (F.lit(2.0) * F.avg("part_value")).alias("threshold")
     )
     # 1-row threshold broadcast: a BroadcastNestedLoopJoin over a scalar,
     # not a cartesian blow-up (same pattern as curate_dataset_mix).
