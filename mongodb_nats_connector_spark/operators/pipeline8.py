@@ -1414,13 +1414,17 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = w.select(
         F.col("word").alias("a"), F.lead("word").over(lw).alias("b")
     ).filter(F.col("b").isNotNull())
-    bc = big.groupBy("a", "b").agg(
+    # the exploded corpus is scanned exactly TWICE (bigram count, unigram
+    # count); the scalar totals derive from the count relations, not from
+    # fresh corpus scans, and those relations persist for the result's
+    # lifetime since each feeds 2-3 consumers
+    bc0 = big.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_ab")
     )
-    bc = bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    bc = bc0.filter(F.col("c_ab") >= PMI_MIN_COUNT)
     uc = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
-    m_tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    n = uc.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    m_tot = bc0.agg(F.sum("c_ab").cast("bigint").alias("n_big"))
     ua = uc.select(F.col("word").alias("wa"), F.col("c").alias("ca"))
     ub = uc.select(F.col("word").alias("wb"), F.col("c").alias("cb"))
     pmi = F.round(
@@ -1433,12 +1437,15 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
+    out = (
         bc.join(maybe_broadcast(ua), F.col("a") == F.col("wa"))
         .join(maybe_broadcast(ub), F.col("b") == F.col("wb"))
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(m_tot))
         .select("a", "b", "c_ab", pmi.alias("pmi"))
+    )
+    return persist_until_collected(
+        bc0, persist_until_collected(uc, out)
     )
 
 
@@ -1597,19 +1604,23 @@ def agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    o2 = o.select(
-        "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
-    )
-    firsts = o2.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("o_orderdate").alias("t1")
-    )
-    seconds = o2.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("o_orderdate").alias("t2")
+    # first + second order in ONE windowed pass (rank filter rewrites to
+    # WindowGroupLimit, then a conditional pivot per customer) — no
+    # separate firsts/seconds scans, no self-join
+    first_two = (
+        o.select(
+            "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+        )
     )
     mx = o.agg(F.max("o_orderdate").alias("tmax"))
     obs = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(mx))
+        first_two.crossJoin(F.broadcast(mx))
         .select(
             F.when(
                 F.col("t2").isNotNull(),
