@@ -125,7 +125,7 @@ _KCORE_EDGE_CTES = f"""
 """
 
 
-def _kcore_peel_ctes(rounds: int) -> str:
+def _kcore_peel_ctes(rounds: int) -> tuple[str, str]:
     """Unrolled peel rounds: nodes_i = nodes with degree >= K among edges
     induced by nodes_{i-1}. A fixed unroll keeps the oracle plain chained
     SQL (no recursive-CTE-with-aggregation, which SQL disallows); the Spark
@@ -201,8 +201,13 @@ def _thresholded_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _thresholded_und_edges(spark, sf_dir).localCheckpoint(eager=True)
-    prev_n = -1
-    for _ in range(KCORE_MAX_ROUNDS):
+    # KCORE_MAX_ROUNDS PEEL rounds need MAX_ROUNDS+1 loop iterations: a
+    # depth-d peel changes the count for d rounds and needs one further
+    # confirming round to certify the fixpoint (count equality certifies
+    # set equality — peeling only ever removes edges). Seeding prev_n with
+    # the starting count makes an already-k-core graph confirm in one.
+    prev_n = edges.count()
+    for _ in range(KCORE_MAX_ROUNDS + 1):
         deg = (
             edges.select(F.col("a").alias("u"))
             .unionAll(edges.select(F.col("b").alias("u")))
@@ -563,6 +568,23 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUPED_SPLIT_DAYS = 15
 
 
+def _valued_events_prepost(spark: SparkSession, sf_dir: str):
+    """(b, split-crossed b) shared by the experiment-analysis pair
+    (events_cuped_adjust, events_did_uplift): valued events projected to
+    (user_id, day, value) with the min(day)+CUPED_SPLIT_DAYS cutoff
+    broadcast in as a `split` column — one definition so a split-handling
+    fix can never skew only one estimator. (Defined OUTSIDE any
+    @register/def gap; see _thresholded_und_edges.)"""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    cutoff = b.agg(
+        F.date_add(F.min("day"), CUPED_SPLIT_DAYS).alias("split")
+    )
+    return b.crossJoin(F.broadcast(cutoff))
+
+
 @register(
     "events_cuped_adjust",
     oracle=f"""
@@ -599,15 +621,8 @@ CUPED_SPLIT_DAYS = 15
     "one fact shuffle to per-user rows, a 1-row theta broadcast back.",
 )
 def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    b = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "value"
-    )
-    cutoff = b.agg(
-        F.date_add(F.min("day"), CUPED_SPLIT_DAYS).alias("split")
-    )
     per_user = (
-        b.crossJoin(F.broadcast(cutoff))
+        _valued_events_prepost(spark, sf_dir)
         .groupBy("user_id")
         .agg(
             F.round(
@@ -1045,6 +1060,7 @@ KNN_K = 5
              round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim,
              e.vec_id
       FROM q JOIN e ON e.vec_id <> q.query_id
+      WHERE NOT isnan(round(list_cosine_similarity(q.qv, e.v), 6))
     ),
     top AS (
       SELECT query_id, true_label, label FROM (
@@ -1091,12 +1107,19 @@ def docs_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "true_label",
-        "label",
-        F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-        "vec_id",
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "label",
+            F.round(cosine_fast(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            "vec_id",
+        )
+        # NaN guard: Spark's DESC ordering puts NaN FIRST, so one
+        # degenerate (zero-norm) vector would enter EVERY query's top-k
+        # and shift the vote — drop it before ranking (oracle mirrors)
+        .filter(~F.isnan(F.col("cos_sim")))
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
@@ -1721,7 +1744,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_did_uplift — difference-in-differences estimator
 # ---------------------------------------------------------------------------
 
-DID_SPLIT_DAYS = 15
+# DiD shares the CUPED pre/post split (one definition, one constant)
+DID_SPLIT_DAYS = CUPED_SPLIT_DAYS
 
 
 @register(
@@ -1763,13 +1787,8 @@ DID_SPLIT_DAYS = 15
     "(variance reduction) and events_ab_uplift (post-only readout).",
 )
 def events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    b = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "value"
-    )
-    cutoff = b.agg(F.date_add(F.min("day"), DID_SPLIT_DAYS).alias("split"))
     cells = (
-        b.crossJoin(F.broadcast(cutoff))
+        _valued_events_prepost(spark, sf_dir)
         .groupBy(
             (F.col("user_id") % 2).cast("bigint").alias("treat"),
             (F.col("day") >= F.col("split")).cast("bigint").alias("post"),
@@ -1824,7 +1843,8 @@ CONTAM_COS = 0.5
       SELECT ev.eval_id, tr.train_id,
              round(list_cosine_similarity(ev.evv, tr.trv), 6) AS cos_sim
       FROM ev JOIN tr ON true
-      WHERE round(list_cosine_similarity(ev.evv, tr.trv), 6) >= {CONTAM_COS}
+      WHERE NOT isnan(round(list_cosine_similarity(ev.evv, tr.trv), 6))
+        AND round(list_cosine_similarity(ev.evv, tr.trv), 6) >= {CONTAM_COS}
     ),
     ranked AS (
       SELECT eval_id, train_id, cos_sim,
@@ -1859,10 +1879,9 @@ CONTAM_COS = 0.5
 )
 def similarity_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_nats_connector_spark.functions.vectors import cosine_fast
+    from mongodb_nats_connector_spark.operators.similarity import _emb
 
-    e = table(spark, sf_dir, "embeddings", parallel=True).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    e = _emb(spark, sf_dir)
     ev = e.filter(F.col("vec_id") < CONTAM_EVAL_N).select(
         F.col("vec_id").alias("eval_id"), F.col("v").alias("evv")
     )
@@ -1873,7 +1892,10 @@ def similarity_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
     hits = (
         tr.crossJoin(F.broadcast(ev))
         .select("eval_id", "train_id", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= CONTAM_COS)
+        # NaN guard (zero-norm / degenerate vectors): Spark sorts NaN
+        # ABOVE every real similarity, so an unguarded NaN would pass the
+        # >= filter and win worst_cos — same fix as dedup_embedding_cosine
+        .filter(~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= CONTAM_COS))
     )
     # hits feeds both the worst-hit rank and the count/max agg; the persist
     # is tied to the RESULT at the return below (never to hits itself —
