@@ -607,11 +607,12 @@ SURPRISAL_KEEP_HI = 9.0
     """,
     doc="Unigram-LM surprisal scoring (perplexity-proxy quality filter, as in "
     "CCNet/Gopher pipelines): corpus unigram probabilities, then the mean "
-    "negative log-probability per document, with a keep band. The vocabulary "
-    "is Heaps-law small relative to the corpus, so both the vocab and the "
-    "1-row total broadcast; the token stream joins map-side and aggregates "
-    "per doc_id with partial aggregation — one fine-grained shuffle at any "
-    "scale.",
+    "negative log-probability per document, with a keep band. The vocab "
+    "grows Heaps-law slow but UNBOUNDED, so its broadcast is size-GATED "
+    "(maybe_broadcast: hash join past the threshold instead of OOMing the "
+    "driver at 100 TB); only the 1-row total is force-broadcast. The token "
+    "stream joins map-side while the vocab fits and aggregates per doc_id "
+    "with partial aggregation.",
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast

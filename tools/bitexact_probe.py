@@ -55,20 +55,22 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df.columns = [c.lower() for c in df.columns]
-        df = df.reindex(sorted(df.columns), axis=1)
-        for c in df.columns:
-            if pd.api.types.is_datetime64_any_dtype(df[c]):
-                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-            elif pd.api.types.is_float_dtype(df[c]):
-                df[c] = df[c].astype("float64")
-            elif pd.api.types.is_integer_dtype(df[c]):
-                df[c] = df[c].astype("Int64")
-        return df.sort_values(
-            by=list(df.columns), na_position="last"
-        ).reset_index(drop=True)
+    # reuse the parity suite's normalization so this probe and the pytest
+    # gate can never disagree about row/column alignment (tests/ is not a
+    # package, so load the module by path)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_parity_mod",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests",
+            "test_oracle_parity.py",
+        ),
+    )
+    parity_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(parity_mod)
+    norm = parity_mod._normalize
 
     bad = []
     for n in sorted(pending):
@@ -92,7 +94,10 @@ def main() -> None:
                                 f"e.g. {af[i]!r} vs {bf[i]!r}")
                         )
                 else:
-                    mism = ~(a.eq(b) | (a.isna() & b.isna()))
+                    # fillna(False): nullable dtypes propagate NA through
+                    # eq(), and BooleanArray.any() SKIPS NA — an unguarded
+                    # NULL-vs-value diff would read as ALL EXACT
+                    mism = ~(a.eq(b).fillna(False) | (a.isna() & b.isna()))
                     if mism.any():
                         bad.append((n, f"{c}: {int(mism.sum())} value diffs"))
         except Exception as e:  # noqa: BLE001 - report and keep probing
