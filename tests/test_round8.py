@@ -787,3 +787,60 @@ def test_contamination_check_matches_numpy(spark):
         else:
             assert abs(got[k][1] - exp[k][1]) < 1e-9
             assert got[k][2] == exp[k][2]
+
+
+def test_streaming_latest_state_survives_restart(spark, tmp_path):
+    """The latest-state view's aggregation state must survive a
+    stop/restart from checkpoint: batch 1 runs, the query stops, batch 2
+    (with replayed duplicates) lands, a NEW query restarts from the same
+    checkpoint — the final snapshot equals the batch compaction over ALL
+    events, proving state recovery + replay idempotence together."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.operators.cdc import latest_state_per_key
+    from mongodb_nats_connector_spark.streaming.windows import (
+        EVENTS_DDL,
+        latest_state_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    feed = str(tmp_path / "feed")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(feed)
+
+        def write_snapshot(batch_df, _epoch):
+            batch_df.write.mode("overwrite").parquet(snap)
+
+        return (
+            latest_state_stream(stream)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_snapshot)
+            .start()
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(feed, mode="append")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # second delivery overlaps the first (at-least-once replay) and adds
+    # the remaining events
+    ev.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 6 == 0)
+    ).write.parquet(feed, mode="append")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    streamed = {
+        r["user_id"]: (r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    batch = {
+        r["user_id"]: (r["last_event_type"], r["last_value"], r["last_ts"])
+        for r in latest_state_per_key(ev).collect()
+    }
+    assert streamed == batch
