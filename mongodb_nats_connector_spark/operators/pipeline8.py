@@ -1926,3 +1926,142 @@ def similarity_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return persist_until_collected(hits, out)
+
+
+# ---------------------------------------------------------------------------
+# events_paired_ttest — paired pre/post t statistic per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_paired_ttest",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    cutoff AS (SELECT min(day) + {CUPED_SPLIT_DAYS} AS split FROM b),
+    per_user AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN day < split THEN value END), 0), 4)
+               AS pre,
+             round(coalesce(sum(CASE WHEN day >= split THEN value END), 0), 4)
+               AS post
+      FROM b, cutoff GROUP BY user_id
+    ),
+    d AS (SELECT round(post - pre, 4) AS diff FROM per_user)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(diff), 4) AS mean_diff,
+           round(stddev_samp(diff), 4) AS sd_diff,
+           round(avg(diff) / (stddev_samp(diff) / sqrt(count(*))), 4)
+             AS t_stat
+    FROM d
+    """,
+    doc="Paired t statistic on per-user pre/post metric sums (the same "
+    "min(day)-derived split as CUPED/DiD — one shared definition): each "
+    "user is their own control, so the pairing removes between-user "
+    "variance that the unpaired agg_welch_ttest must carry. Differences "
+    "round to 4 decimals before the moments so both engines feed the "
+    "identical doubles into the t. One fact shuffle to per-user rows, "
+    "then a single 1-row moment aggregation — the before/after readout "
+    "every feature launch asks for.",
+)
+def events_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _valued_events_prepost(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("day") < F.col("split"), F.col("value"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("pre"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") >= F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("post"),
+        )
+    )
+    d = per_user.select(
+        F.round(F.col("post") - F.col("pre"), 4).alias("diff")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("diff"), 4).alias("mean_diff"),
+        F.round(F.stddev_samp("diff"), 4).alias("sd_diff"),
+        F.round(
+            F.avg("diff")
+            / (F.stddev_samp("diff") / F.sqrt(F.count(F.lit(1)))),
+            4,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_shewhart_control — 3-sigma control chart over the daily series
+# ---------------------------------------------------------------------------
+
+SHEWHART_SIGMA = 3.0
+
+
+@register(
+    "orders_shewhart_control",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    lim AS (
+      SELECT avg(rev_c) AS center, stddev_samp(rev_c) AS sigma FROM daily
+    )
+    SELECT d.day, round(d.rev_c / 100.0, 2) AS revenue,
+           round(l.center / 100.0, 2) AS center,
+           round((l.center - {SHEWHART_SIGMA} * l.sigma) / 100.0, 2) AS lcl,
+           round((l.center + {SHEWHART_SIGMA} * l.sigma) / 100.0, 2) AS ucl,
+           CAST(CASE WHEN d.rev_c < l.center - {SHEWHART_SIGMA} * l.sigma
+                       OR d.rev_c > l.center + {SHEWHART_SIGMA} * l.sigma
+                THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM daily d CROSS JOIN lim l
+    """,
+    doc=f"Shewhart individuals control chart ({SHEWHART_SIGMA}-sigma) over "
+    "daily revenue: center line, lower/upper control limits, and the "
+    "out-of-control flag per day — the SPC primitive behind every "
+    "pipeline-health dashboard (its event-series siblings here are "
+    "events_daily_anomaly's rolling z-score and the CUSUM changepoint; "
+    "Shewhart detects SPIKES, CUSUM detects sustained shifts). The fact "
+    "table reduces map-side to exact-integer daily cents; limits are one "
+    "1-row moment aggregation broadcast back over the calendar-sized "
+    "series. Flags are decided on the same arithmetic in both engines.",
+)
+def orders_shewhart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    lim = daily.agg(
+        F.avg("rev_c").alias("center"), F.stddev_samp("rev_c").alias("sigma")
+    )
+    lo = F.col("center") - SHEWHART_SIGMA * F.col("sigma")
+    hi = F.col("center") + SHEWHART_SIGMA * F.col("sigma")
+    out = daily.crossJoin(F.broadcast(lim)).select(
+        "day",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.col("center") / 100.0, 2).alias("center"),
+        F.round(lo / 100.0, 2).alias("lcl"),
+        F.round(hi / 100.0, 2).alias("ucl"),
+        ((F.col("rev_c") < lo) | (F.col("rev_c") > hi))
+        .cast("bigint")
+        .alias("out_of_control"),
+    )
+    return persist_until_collected(daily, out)

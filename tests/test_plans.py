@@ -203,6 +203,8 @@ _ALLOWED_NESTED_LOOP = {
     "graph_assortativity",        # 1-row mean-edge-weight scalar broadcast crossJoin
     "events_did_uplift",          # 1-row cutoff + 1-row 4-cell pivot broadcast crossJoins
     "similarity_contamination_check",  # broadcast NLJ of tiny eval set (by design)
+    "events_paired_ttest",        # 1-row cutoff scalar broadcast crossJoin
+    "orders_shewhart_control",    # 1-row control-limit scalars broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -844,3 +844,51 @@ def test_streaming_latest_state_survives_restart(spark, tmp_path):
         for r in latest_state_per_key(ev).collect()
     }
     assert streamed == batch
+
+
+def test_paired_ttest_matches_pandas(spark):
+    """t statistic recomputed from per-user pre/post sums in pandas
+    matches; pairing uses the same split as CUPED (shared helper)."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        CUPED_SPLIT_DAYS,
+        events_paired_ttest,
+    )
+
+    row = events_paired_ttest(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["value"].notna()].copy()
+    ev["day"] = ev["ts"].dt.date
+    import datetime
+
+    split = min(ev["day"]) + datetime.timedelta(days=CUPED_SPLIT_DAYS)
+    diffs = []
+    for _, g in ev.groupby("user_id"):
+        pre = round(g[g["day"] < split]["value"].sum(), 4)
+        post = round(g[g["day"] >= split]["value"].sum(), 4)
+        diffs.append(round(post - pre, 4))
+    s = pd.Series(diffs)
+    t = s.mean() / (s.std(ddof=1) / (len(s) ** 0.5))
+    assert row["n_users"] == len(diffs)
+    assert abs(row["t_stat"] - round(t, 4)) < 1e-3
+
+
+def test_shewhart_limits_and_flags(spark):
+    """Control limits bracket the center symmetrically, flags agree with a
+    pandas recompute, and in-control days dominate (3-sigma ~ 0.3%)."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        SHEWHART_SIGMA,
+        orders_shewhart_control,
+    )
+
+    out = orders_shewhart_control(spark, SF).toPandas()
+    assert ((out["ucl"] - out["center"]) - (out["center"] - out["lcl"])).abs().max() < 0.02
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["day"] = o["o_orderdate"].dt.date
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby("day")["cents"].sum()
+    mu, sd = daily.mean(), daily.std(ddof=1)
+    exp_flags = ((daily < mu - SHEWHART_SIGMA * sd) | (daily > mu + SHEWHART_SIGMA * sd))
+    got = dict(zip(out["day"], out["out_of_control"]))
+    for day, f in exp_flags.items():
+        assert got[day] == int(f), day
+    assert out["out_of_control"].mean() < 0.2
