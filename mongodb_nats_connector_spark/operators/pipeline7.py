@@ -174,7 +174,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     t AS (
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS total
@@ -214,7 +214,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL(38) (same algebra).",
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL ts guard: a NULL day group would sort FIRST in Spark's ordered
+    # windows but LAST in DuckDB's, corrupting every prefix
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = (
         ev.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -508,6 +510,7 @@ def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL
     ),
     grp AS (
       SELECT user_id, day,
@@ -539,7 +542,10 @@ def curate_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB.",
 )
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL ts guard: a NULL day would make a streak row with NULL
+    # streak_start whose argmax tiebreak sorts FIRST in Spark, LAST in
+    # DuckDB — different winners per engine
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     anchor = F.date_sub(
         F.col("day"),
@@ -630,54 +636,55 @@ def _widest_oracle() -> str:
     "real bottleneck).",
 )
 def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the loop is pure lazy DataFrame algebra over a FIXED round count, so
+    # no eager checkpoint is needed: the edge aggregation persists for the
+    # result's lifetime (the plan references it once per round) and the
+    # whole computation runs when the caller collects — build time stays
+    # plan-construction only
     nation = table(spark, sf_dir, "nation")
-    edges = trade_edges(spark, sf_dir).persist()
-    try:
-        nodes = nation.select(F.col("n_nationkey").alias("node"))
-        cap = nodes.select(
-            "node",
-            F.when(F.col("node") == WIDEST_SOURCE, F.lit(_CAP_INF))
-            .cast("bigint")
-            .alias("cap"),
+    edges = trade_edges(spark, sf_dir)
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    cap = nodes.select(
+        "node",
+        F.when(F.col("node") == WIDEST_SOURCE, F.lit(_CAP_INF))
+        .cast("bigint")
+        .alias("cap"),
+    )
+    for _ in range(WIDEST_ROUNDS):
+        relax = (
+            F.broadcast(cap.filter(F.col("cap").isNotNull()))
+            .join(edges, F.col("node") == edges["src"])
+            .groupBy(F.col("dst").alias("rnode"))
+            .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("best"))
         )
-        for _ in range(WIDEST_ROUNDS):
-            relax = (
-                F.broadcast(cap.filter(F.col("cap").isNotNull()))
-                .join(edges, F.col("node") == edges["src"])
-                .groupBy(F.col("dst").alias("rnode"))
-                .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("best"))
+        cap = (
+            cap.join(
+                F.broadcast(relax), cap["node"] == relax["rnode"], "left"
             )
-            cap = (
-                cap.join(
-                    F.broadcast(relax), cap["node"] == relax["rnode"], "left"
-                )
-                .select(
-                    "node",
-                    F.greatest(
-                        F.coalesce(F.col("cap"), F.lit(-1)),
-                        F.coalesce(F.col("best"), F.lit(-1)),
-                    ).alias("g"),
-                )
-                .select(
-                    "node",
-                    F.when(F.col("g") >= 0, F.col("g"))
-                    .cast("bigint")
-                    .alias("cap"),
-                )
-            )
-        out = (
-            cap.join(maybe_broadcast(nation), cap["node"] == nation["n_nationkey"])
             .select(
-                F.col("n_name").alias("nation"),
-                F.when(F.col("node") != WIDEST_SOURCE, F.col("cap"))
-                .cast("bigint")
-                .alias("capacity"),
+                "node",
+                F.greatest(
+                    F.coalesce(F.col("cap"), F.lit(-1)),
+                    F.coalesce(F.col("best"), F.lit(-1)),
+                ).alias("g"),
             )
-            .localCheckpoint(eager=True)
+            .select(
+                "node",
+                F.when(F.col("g") >= 0, F.col("g"))
+                .cast("bigint")
+                .alias("cap"),
+            )
         )
-    finally:
-        edges.unpersist()
-    return out
+    out = (
+        cap.join(maybe_broadcast(nation), cap["node"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("node") != WIDEST_SOURCE, F.col("cap"))
+            .cast("bigint")
+            .alias("capacity"),
+        )
+    )
+    return persist_until_collected(edges, out)
 
 
 # ---------------------------------------------------------------------------
@@ -765,7 +772,11 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     reg = hll_reg_rows(ev)
     per = reg.groupBy("cohort", "bucket").agg(F.max("rho").alias("r"))
-    merged = reg.groupBy("bucket").agg(F.max("rho").alias("r")).select(
+    # the 'ALL' row is the true register MERGE — max of the per-cohort
+    # registers, never a second scan of the fact-level reg relation (per
+    # is persisted for the result's lifetime at the return below, so the
+    # fact table is scanned once)
+    merged = per.groupBy("bucket").agg(F.max("r").alias("r")).select(
         F.lit("ALL").alias("cohort"), "bucket", "r"
     )
     regs = per.select("cohort", "bucket", "r").unionAll(merged)
@@ -805,14 +816,14 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("ALL").alias("cohort"), "exact_userdays")
     ex = ex_per.unionAll(ex_all)
-    return (
-        s.join(maybe_broadcast(ex), "cohort")
-        .select(
+    return persist_until_collected(
+        per,
+        s.join(maybe_broadcast(ex), "cohort").select(
             "cohort",
             "n_registers",
             est.cast("bigint").alias("est_userdays"),
             "exact_userdays",
-        )
+        ),
     )
 
 
@@ -825,19 +836,23 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_gini_hhi",
     oracle="""
     WITH per AS (
-      SELECT o_custkey, sum(o_totalprice) AS rev
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
       FROM orders GROUP BY o_custkey
     ),
     rk AS (
-      SELECT o_custkey, rev,
-             CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC)
+      SELECT o_custkey, rev_c,
+             CAST(row_number() OVER (ORDER BY rev_c ASC, o_custkey ASC)
                   AS BIGINT) AS i
       FROM per
     )
     SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(rev), 2) AS total_revenue,
-           round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi,
-           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+           round(sum(rev_c) / 100.0, 2) AS total_revenue,
+           round(sum((rev_c / 100.0) * (rev_c / 100.0))
+                 / ((sum(rev_c) / 100.0) * (sum(rev_c) / 100.0)), 6) AS hhi,
+           round(2.0 * sum(i * (rev_c / 100.0))
+                 / (count(*) * (sum(rev_c) / 100.0))
                  - (count(*) + 1.0) / count(*), 6) AS gini
     FROM rk
     """,
@@ -845,32 +860,40 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metrics: Herfindahl-Hirschman index (sum of squared revenue shares) "
     "and the Gini coefficient via the rank formula G = 2*sum(i*x_(i))/"
     "(n*sum(x)) - (n+1)/n over revenues sorted ascending (ties broken by "
-    "customer key, so ranks are engine-exact). One shuffle to per-customer "
-    "totals; the rank runs over the customer-sized aggregate and "
-    "everything reduces to a single row. The single-partition window is "
-    "the documented global-sort cost on a DIMENSION-sized relation — at "
-    "100 TB replace with a range-partitioned two-pass rank (the "
-    "events_max_concurrency pattern) without changing the algebra.",
+    "customer key). Per-customer totals are EXACT INTEGER CENTS, so the "
+    "rank — the one comparison that decides which row gets which i — is "
+    "summation-order-independent and engine-exact (a double sum's last "
+    "ulp depends on partial-aggregate merge order). One shuffle to "
+    "per-customer totals; the rank runs over the customer-sized "
+    "aggregate and everything reduces to a single row. The "
+    "single-partition window is the documented global-sort cost on a "
+    "DIMENSION-sized relation — at 100 TB replace with a "
+    "range-partitioned two-pass rank (the events_max_concurrency "
+    "pattern) without changing the algebra.",
 )
 def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
     rk = per.select(
-        "rev",
+        "rev_c",
         F.row_number()
-        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .over(Window.orderBy(F.asc("rev_c"), F.asc("o_custkey")))
         .cast("bigint")
         .alias("i"),
     )
     n = F.count(F.lit(1))
+    rev = F.col("rev_c") / 100.0
+    tot = F.sum("rev_c") / 100.0
     return rk.agg(
         n.cast("bigint").alias("n_customers"),
-        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(tot, 2).alias("total_revenue"),
+        F.round(F.sum(rev * rev) / (tot * tot), 6).alias("hhi"),
         F.round(
-            F.sum(F.col("rev") * F.col("rev")) / (F.sum("rev") * F.sum("rev")), 6
-        ).alias("hhi"),
-        F.round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("rev")) / (n * F.sum("rev"))
+            F.lit(2.0) * F.sum(F.col("i") * rev) / (n * tot)
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
@@ -1023,14 +1046,24 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == _KS_G1, 1).otherwise(0).alias("g1"),
         F.when(F.col("o_orderstatus") == _KS_G2, 1).otherwise(0).alias("g2"),
     )
-    n = x.agg(
-        F.sum("g1").cast("bigint").alias("n1"),
-        F.sum("g2").cast("bigint").alias("n2"),
-    )
     w = Window.orderBy("v")  # default RANGE frame: ties aggregate together
     c = x.select(
         F.sum("g1").over(w).cast("bigint").alias("c1"),
         F.sum("g2").over(w).cast("bigint").alias("c2"),
+    )
+    # n1/n2 fall out of the cumulative counts themselves (the last value
+    # of a non-decreasing running count IS the group total), via a
+    # full-frame window over the already-single-partition ordered relation
+    # — so the fact table is scanned ONCE: no separate totals aggregate,
+    # no crossJoin. The per-row division order matches the oracle exactly.
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ct = c.select(
+        "c1",
+        "c2",
+        F.max("c1").over(w_all).alias("n1"),
+        F.max("c2").over(w_all).alias("n2"),
     )
     d = F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))
     # sqrt(1/n1 + 1/n2): algebraically (n1+n2)/(n1*n2) but with no count
@@ -1038,7 +1071,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.lit(_KS_COEF_05) * F.sqrt(
         F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2")
     )
-    return c.crossJoin(F.broadcast(n)).agg(
+    return ct.agg(
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
         F.round(F.max(d), 6).alias("ks_d"),
@@ -1116,7 +1149,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                       IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS v_filled
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="Last-observation-carried-forward (LOCF) gap fill: per user, carry "
     "the most recent valid reading over gaps (error events contribute "
@@ -1131,7 +1164,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same cost profile as any per-key cumulative window.",
 )
 def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL ts guard: Spark orders NULL ts FIRST in the fill window, DuckDB
+    # LAST — a NULL-ts reading would seed or trail the carried series
+    # differently per engine, so it never enters the fill
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = F.when(F.col("event_type") != "error", F.col("value"))
     w = (
         Window.partitionBy("user_id")

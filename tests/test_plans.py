@@ -187,7 +187,6 @@ _ALLOWED_NESTED_LOOP = {
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
-    "agg_ks_test",                # 1-row group-size scalars broadcast crossJoin
     "merge_upsert_snapshot",      # 1-row max-key shift broadcast crossJoin
     "events_seasonal_baseline",   # 1-row min-day cutoff broadcast crossJoin
     "graph_kcore",                # 1-row mean-edge-weight scalar broadcast crossJoin
