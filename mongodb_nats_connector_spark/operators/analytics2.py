@@ -134,17 +134,21 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             sum(o_totalprice) AS revenue
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
       FROM orders
       GROUP BY 1
     )
-    SELECT month, revenue,
-           revenue - lag(revenue) OVER (ORDER BY month) AS revenue_delta,
-           (revenue - lag(revenue) OVER (ORDER BY month))
-             / lag(revenue) OVER (ORDER BY month) AS growth_rate
+    SELECT month, round(rev_c / 100.0, 2) AS revenue,
+           round((rev_c - lag(rev_c) OVER (ORDER BY month)) / 100.0, 2)
+             AS revenue_delta,
+           round((rev_c - lag(rev_c) OVER (ORDER BY month))
+             * 1.0 / lag(rev_c) OVER (ORDER BY month), 6) AS growth_rate
     FROM monthly
     """,
-    doc="Month-over-month revenue growth: monthly rollup (one shuffle), then "
+    doc="Month-over-month revenue growth: monthly rollup in EXACT INTEGER "
+    "CENTS (a raw double sum's last ulp depends on partition combine "
+    "order, which diverges cross-engine the moment the scan splits), then "
     "lag deltas and growth rate over the ~80-row month series. The global "
     "orderBy window is safe — it sorts months, not orders.",
 )
@@ -152,14 +156,18 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.sum("o_totalprice").alias("revenue"))
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
     w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
+    prev = F.lag("rev_c").over(w)
     return monthly.select(
         "month",
-        "revenue",
-        (F.col("revenue") - prev).alias("revenue_delta"),
-        ((F.col("revenue") - prev) / prev).alias("growth_rate"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round((F.col("rev_c") - prev) / 100.0, 2).alias("revenue_delta"),
+        F.round((F.col("rev_c") - prev) * 1.0 / prev, 6).alias("growth_rate"),
     )
 
 
@@ -167,44 +175,49 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_ltv_deciles",
     oracle="""
     WITH ltv AS (
-      SELECT o_custkey, sum(o_totalprice) AS lifetime_value
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS ltv_c
       FROM orders
       GROUP BY 1
     ),
     ranked AS (
-      SELECT o_custkey, lifetime_value,
-             ntile(10) OVER (ORDER BY lifetime_value DESC, o_custkey) AS decile
+      SELECT o_custkey, ltv_c,
+             ntile(10) OVER (ORDER BY ltv_c DESC, o_custkey) AS decile
       FROM ltv
     )
     SELECT decile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           sum(lifetime_value) AS total_value,
-           min(lifetime_value) AS min_value,
-           max(lifetime_value) AS max_value
+           round(sum(ltv_c) / 100.0, 2) AS total_value,
+           round(min(ltv_c) / 100.0, 2) AS min_value,
+           round(max(ltv_c) / 100.0, 2) AS max_value
     FROM ranked
     GROUP BY decile
     """,
     doc="Customer lifetime-value decile distribution: per-customer revenue "
-    "rollup, ntile(10) with a deterministic tie-break (value desc, custkey), "
-    "then per-decile summary. The ntile sort runs over customers (1 row "
-    "each), not orders; at 100 TB swap ntile for a percentile-boundary "
-    "broadcast (agg_equidepth_histogram's pattern) to avoid the single-"
-    "partition sort.",
+    "rollup in EXACT INTEGER CENTS (so both the decile RANK and the decile "
+    "sums are summation-order-independent — a double sum's last ulp could "
+    "flip a tie-broken ntile boundary), then per-decile summary. The ntile "
+    "sort runs over customers (1 row each), not orders; at 100 TB swap "
+    "ntile for a percentile-boundary broadcast (agg_equidepth_histogram's "
+    "pattern) to avoid the single-partition sort.",
 )
 def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     ltv = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("lifetime_value")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("ltv_c")
     )
-    w = Window.orderBy(F.col("lifetime_value").desc(), "o_custkey")
+    w = Window.orderBy(F.col("ltv_c").desc(), "o_custkey")
     return (
         ltv.withColumn("decile", F.ntile(10).over(w))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum("lifetime_value").alias("total_value"),
-            F.min("lifetime_value").alias("min_value"),
-            F.max("lifetime_value").alias("max_value"),
+            F.round(F.sum("ltv_c") / 100.0, 2).alias("total_value"),
+            F.round(F.min("ltv_c") / 100.0, 2).alias("min_value"),
+            F.round(F.max("ltv_c") / 100.0, 2).alias("max_value"),
         )
     )
 
@@ -259,34 +272,44 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH yearly AS (
       SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c,
              CAST(count(*) AS BIGINT) AS n_lineitems
       FROM lineitem
       GROUP BY 1
     )
-    SELECT ship_year, revenue, n_lineitems,
-           revenue / lag(revenue) OVER (ORDER BY ship_year) - 1.0
+    SELECT ship_year, round(rev_c / 100.0, 2) AS revenue, n_lineitems,
+           round(rev_c * 1.0 / lag(rev_c) OVER (ORDER BY ship_year) - 1.0, 6)
              AS yoy_growth
     FROM yearly
     """,
     doc="Year-over-year revenue: yearly rollup of discounted lineitem "
-    "revenue (map-side partial agg, one shuffle to ~7 rows), then lag-based "
-    "growth over the year series.",
+    "revenue in EXACT INTEGER CENTS (map-side partial agg, one shuffle to "
+    "~7 rows; order-independent, so the growth ratio is engine-exact at "
+    "any partitioning), then lag-based growth over the year series.",
 )
 def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     yearly = li.groupBy(
         F.year("l_shipdate").cast("int").alias("ship_year")
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
     )
     w = Window.orderBy("ship_year")
     return yearly.select(
         "ship_year",
-        "revenue",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
         "n_lineitems",
-        (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias("yoy_growth"),
+        F.round(
+            F.col("rev_c") * 1.0 / F.lag("rev_c").over(w) - 1.0, 6
+        ).alias("yoy_growth"),
     )
 
 
