@@ -335,9 +335,9 @@ def test_no_new_bare_persists():
         "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
         "operators/pipeline6.py": 1,  # label-propagation loop (edges;
         # unpersisted after the eager localCheckpoint materializes labels)
-        "operators/pipeline7.py": 2,  # BFS + widest-path loops (edge
-        # lists; try/finally-unpersisted after each loop checkpoints its
-        # node-sized result)
+        "operators/pipeline7.py": 1,  # BFS loop (edge list;
+        # unpersisted after the loop checkpoints its node-sized result —
+        # widest-path's edge cache moved to persist_until_collected)
         # (pipeline6b's big-star CC loop uses eager localCheckpoint per
         # round — plan truncation, not a bare persist)
     }
