@@ -1,0 +1,1593 @@
+"""Round-9 operator family: retrieval ranking (BM25), closed-form
+multi-feature OLS, distributional tests (Jarque-Bera, Brown-Forsythe),
+Poisson-bootstrap confidence intervals, nonparametric changepoint (Pettitt),
+Weibull reliability fits, information-theoretic dependence (mutual
+information), newsvendor stocking fractiles, corpus dataset cards, 2x2 odds
+ratios, forecast backtesting (MAPE), and standardized effect sizes.
+
+Reference provenance: like pipeline7/pipeline8, none of these exist in the
+reference's Go core (internal/server/connector.go) — they extend the
+engine-side analytics surface a consumer of the connector's published change
+streams runs downstream (SURVEY.md §2.3/§2.4).
+
+REGISTRATION ORDER: this module must import LAST in ``registry._load_all()``
+(after pipeline8) so its brand-new queries rank behind every already-pending
+rank-0 query — a full driver verification window spills past them instead of
+displacing edited queries awaiting re-proof.
+
+Cross-engine determinism rules (same discipline as pipeline7/8):
+- integer outputs wherever possible (cents, micros, counts, ranks, ppm);
+- per-row float terms are scaled to integers (micro/nano units) BEFORE any
+  cross-row sum, so aggregation order can never move a bit — the only
+  doubles that flow between rows are exact integers;
+- squared/power sums that could exceed 2^63 accumulate as DECIMAL(38,0) in
+  Spark and HUGEINT in DuckDB (both exact), cast to DOUBLE only at the
+  final scalar arithmetic, which is written with identical association on
+  both engines;
+- md5-prefix hashing (graph_common.md5_hash60) is the one hash both
+  engines compute identically — it powers the deterministic Poisson
+  bootstrap weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.operators.graph_common import md5_hash60
+from mongodb_nats_connector_spark.plans.caching import persist_until_collected
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 retrieval ranking over the documents corpus
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "fast")
+BM25_TOPK = 20
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY 1
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_w
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w
+      WHERE word IN ({_BM25_IN}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w
+      WHERE word IN ({_BM25_IN}) GROUP BY 1
+    ),
+    term AS (
+      SELECT tf.doc_id,
+             CAST(round(1000000.0
+               * ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {BM25_K1 + 1.0!r})
+               / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+                  * dl.dl / (CAST(c.total_w AS DOUBLE) / c.n_docs))))
+             AS BIGINT) AS score_u
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_u
+      FROM term GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, score_u,
+             row_number() OVER (ORDER BY score_u DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(score_u / 1000000.0, 6) AS bm25,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {BM25_TOPK}
+    """,
+    doc=f"BM25 (k1={BM25_K1}, b={BM25_B}) document ranking for the fixed "
+    f"query {BM25_TERMS}: the standard retrieval scorer TF-IDF lacks — "
+    "term-frequency saturation and document-length normalization. Per-term "
+    "scores scale to integer micro-units BEFORE the per-doc sum, so "
+    "summation order can never move a bit and even the float scores "
+    "hash-verify. Plan: one explode pass aggregates doc lengths (map-side "
+    "combine on doc_id); the query-term filter prunes the posting relation "
+    "to the 3 requested terms before tf/df aggregate, so the only "
+    "corpus-proportional shuffles carry (doc_id) and (doc_id, word) keys; "
+    "df (3 rows) and the corpus scalar broadcast. Top-k is a "
+    "TakeOrderedAndProject, not a full sort. At 100 TB this is the classic "
+    "sparse-retrieval shape: score only docs containing query terms, never "
+    "the corpus.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_w"),
+    )
+    wq = w.filter(F.col("word").isin(*BM25_TERMS))
+    tf = wq.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = wq.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    avgdl = F.col("total_w").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    term = (
+        tf.join(maybe_broadcast(df_), "word")
+        .join(maybe_broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000.0) * score).cast("bigint").alias("score_u"),
+        )
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.sum("score_u").cast("bigint").alias("score_u")
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("score_u"), F.asc("doc_id"))),
+    )
+    # dl feeds both the corpus scalar and the per-term join; pin it for the
+    # result's lifetime so the explode pass isn't recomputed per consumer
+    out = ranked.filter(F.col("rn") <= BM25_TOPK).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+    return persist_until_collected(dl, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_ols_multifactor — closed-form 2-feature OLS via normal equations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ols_multifactor",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS sx11,
+             CAST(sum(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS sx12,
+             CAST(sum(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS sx22,
+             CAST(sum(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS sx1y,
+             CAST(sum(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS sx2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM b
+    ),
+    d AS (
+      SELECT s.*,
+        n * (sx11 * sx22 - sx12 * sx12)
+          - sx1 * (sx1 * sx22 - sx12 * sx2)
+          + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+        sy * (sx11 * sx22 - sx12 * sx12)
+          - sx1 * (sx1y * sx22 - sx12 * sx2y)
+          + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+        n * (sx1y * sx22 - sx12 * sx2y)
+          - sy * (sx1 * sx22 - sx12 * sx2)
+          + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+        n * (sx11 * sx2y - sx1y * sx12)
+          - sx1 * (sx1 * sx2y - sx1y * sx2)
+          + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+      FROM s
+    ),
+    c AS (
+      SELECT n, sy, sx1y, sx2y, syy,
+             det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+      FROM d
+    )
+    SELECT n AS n_rows,
+           round(b0, 6) AS intercept_c,
+           round(b1, 6) AS coef_qty,
+           round(b2, 6) AS coef_disc_pct,
+           round(1.0 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+                 / (syy - sy * sy / n), 6) AS r2
+    FROM c
+    """,
+    doc="Multi-feature OLS (extendedprice-cents ~ quantity + discount-pct) "
+    "solved in CLOSED FORM from one pass of sufficient statistics: 9 sums "
+    "of integer products accumulate exactly (DECIMAL(38,0) in Spark, "
+    "HUGEINT in DuckDB — immune to both 2^53 double truncation and 2^63 "
+    "overflow), then Cramer's rule on the 3x3 normal equations runs on two "
+    "1-row projections. This is how distributed linear regression actually "
+    "scales: the fact table is touched ONCE by a map-combined aggregation "
+    "whose reduce state is 10 numbers — no gradient iterations, no "
+    "driver-side data. R^2 comes from the same sums. At 100 TB the whole "
+    "query is one shuffle of a single 80-byte row per partition.",
+)
+def orders_ols_multifactor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+
+    def dsum(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("x1")).alias("sx1"),
+        dsum(F.col("x2")).alias("sx2"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x1") * F.col("x1")).alias("sx11"),
+        dsum(F.col("x1") * F.col("x2")).alias("sx12"),
+        dsum(F.col("x2") * F.col("x2")).alias("sx22"),
+        dsum(F.col("x1") * F.col("y")).alias("sx1y"),
+        dsum(F.col("x2") * F.col("y")).alias("sx2y"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sx1y, sx2y, syy = F.col("sx1y"), F.col("sx2y"), F.col("syy")
+    d = s.select(
+        "*",
+        (
+            n * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx12 - sx11 * sx2)
+        ).alias("det"),
+        (
+            sy * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1y * sx22 - sx12 * sx2y)
+            + sx2 * (sx1y * sx12 - sx11 * sx2y)
+        ).alias("det0"),
+        (
+            n * (sx1y * sx22 - sx12 * sx2y)
+            - sy * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx2y - sx1y * sx2)
+        ).alias("det1"),
+        (
+            n * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1 * sx2y - sx1y * sx2)
+            + sy * (sx1 * sx12 - sx11 * sx2)
+        ).alias("det2"),
+    )
+    c = d.select(
+        "n",
+        "sy",
+        "sx1y",
+        "sx2y",
+        "syy",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"),
+    )
+    return c.select(
+        F.col("n").alias("n_rows"),
+        F.round("b0", 6).alias("intercept_c"),
+        F.round("b1", 6).alias("coef_qty"),
+        F.round("b2", 6).alias("coef_disc_pct"),
+        F.round(
+            1.0
+            - (
+                F.col("syy")
+                - F.col("b0") * F.col("sy")
+                - F.col("b1") * F.col("sx1y")
+                - F.col("b2") * F.col("sx2y")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_jarque_bera — normality test from exact power sums, per returnflag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_jarque_bera",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(x * x * x AS HUGEINT)) AS DOUBLE) AS s3,
+             CAST(sum(CAST(x * x * x * x AS HUGEINT)) AS DOUBLE) AS s4
+      FROM b GROUP BY 1
+    ),
+    r AS (
+      SELECT l_returnflag, n, s1 / n AS m1,
+             s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+      FROM s
+    ),
+    m AS (
+      SELECT l_returnflag, n, m1,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                - 3.0 * m1 * m1 * m1 * m1 AS m4
+      FROM r
+    ),
+    k AS (
+      SELECT l_returnflag, n,
+             m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) AS kurt
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           round(skew, 6) AS skewness,
+           round(kurt, 6) AS kurtosis,
+           round(n / 6.0 * (skew * skew
+                 + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4) AS jb_stat
+    FROM k
+    """,
+    doc="Jarque-Bera normality statistic per returnflag over quantity: "
+    "central moments derived from raw power sums S1..S4, which accumulate "
+    "as exact integers (DECIMAL/HUGEINT — quantity^4 stays well inside the "
+    "exact range, and the decimal sum is order-independent, so both "
+    "engines produce the identical doubles before any float division). "
+    "skew = m3/m2^1.5 written as m2*sqrt(m2) to avoid pow() ulp "
+    "divergence. One map-combined scan, k 1-row groups, O(1) reduce state "
+    "— the moment-sketch pattern that survives any scale.",
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag", F.round("l_quantity").cast("bigint").alias("x")
+    )
+    x = F.col("x")
+
+    def dsum(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x).alias("s3"),
+        dsum(x * x * x * x).alias("s4"),
+    )
+    r = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    m1 = F.col("m1")
+    m = r.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        (F.col("r2") - m1 * m1).alias("m2"),
+        (F.col("r3") - 3.0 * m1 * F.col("r2") + 2.0 * m1 * m1 * m1).alias("m3"),
+        (
+            F.col("r4")
+            - 4.0 * m1 * F.col("r3")
+            + 6.0 * m1 * m1 * F.col("r2")
+            - 3.0 * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+    k = m.select(
+        "l_returnflag",
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("kurt"),
+    )
+    return k.select(
+        "l_returnflag",
+        "n",
+        F.round("skew", 6).alias("skewness"),
+        F.round("kurt", 6).alias("kurtosis"),
+        F.round(
+            F.col("n")
+            / 6.0
+            * (
+                F.col("skew") * F.col("skew")
+                + (F.col("kurt") - 3.0) * (F.col("kurt") - 3.0) / 4.0
+            ),
+            4,
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_levene_bf — Brown-Forsythe variance-homogeneity test across groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_levene_bf",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x_c
+      FROM orders
+    ),
+    med AS (
+      SELECT grp, CAST(round(quantile_cont(x_c, 0.5) * 2) AS BIGINT) AS med2
+      FROM b GROUP BY 1
+    ),
+    z AS (
+      SELECT b.grp, abs(2 * b.x_c - med.med2) AS z
+      FROM b JOIN med USING (grp)
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(CAST(z * z AS HUGEINT)) AS DOUBLE) AS szz
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS DOUBLE) / sum(n_i) AS zbar,
+             CAST(sum(n_i) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT
+        CAST(round(szz - CAST(sz AS DOUBLE) * sz / n_i) AS BIGINT) AS ssw_i,
+        CAST(round(n_i * ((CAST(sz AS DOUBLE) / n_i - tot.zbar)
+             * (CAST(sz AS DOUBLE) / n_i - tot.zbar))) AS BIGINT) AS ssb_i,
+        tot.nn, tot.k
+      FROM g CROSS JOIN tot
+    ),
+    f AS (
+      SELECT CAST(sum(ssw_i) AS BIGINT) AS ssw,
+             CAST(sum(ssb_i) AS BIGINT) AS ssb,
+             CAST(min(nn) AS BIGINT) AS nn, CAST(min(k) AS BIGINT) AS k
+      FROM terms
+    )
+    SELECT k AS n_groups, nn AS n_rows,
+           round((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS bf_stat
+    FROM f WHERE k > 1 AND nn > k
+    """,
+    doc="Brown-Forsythe variance-homogeneity test (Levene with group "
+    "MEDIANS — robust to the heavy tails that break the mean-based form) "
+    "on order totals across the 5 order priorities. Doubled-median "
+    "integers (2*x - 2*median) eliminate the .5-cent half so every "
+    "absolute deviation is an exact BIGINT; per-group SSW/SSB terms round "
+    "to integers before the k-row sum, so the final F is identical "
+    "regardless of which engine (or partition order) adds the groups. "
+    "Plan: one grouped exact-median pass (the only full-group state), a "
+    "5-row broadcast back onto the facts, then a map-combined moment "
+    "aggregation — deviations never leave their partition unaggregated.",
+)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
+    )
+    med = b.groupBy("grp").agg(
+        F.round(F.percentile("x_c", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    z = b.join(maybe_broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("x_c") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("szz"),
+    )
+    tot = g.agg(
+        (F.sum("sz").cast("double") / F.sum("n_i")).alias("zbar"),
+        F.sum("n_i").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    zbar_i = F.col("sz").cast("double") / F.col("n_i")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("szz") - F.col("sz").cast("double") * F.col("sz") / F.col("n_i")
+        )
+        .cast("bigint")
+        .alias("ssw_i"),
+        F.round(
+            F.col("n_i")
+            * ((zbar_i - F.col("zbar")) * (zbar_i - F.col("zbar")))
+        )
+        .cast("bigint")
+        .alias("ssb_i"),
+        "nn",
+        "k",
+    )
+    f = terms.agg(
+        F.sum("ssw_i").cast("bigint").alias("ssw"),
+        F.sum("ssb_i").cast("bigint").alias("ssb"),
+        F.min("nn").cast("bigint").alias("nn"),
+        F.min("k").cast("bigint").alias("k"),
+    )
+    out = f.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(
+            (F.col("ssb").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw").cast("double") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    ).filter((F.col("n_groups") > 1) & (F.col("n_rows") > F.col("n_groups")))
+    return persist_until_collected(b, persist_until_collected(g, out))
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_poisson — deterministic Poisson-bootstrap CI of the mean
+# ---------------------------------------------------------------------------
+
+BOOT_B = 40  # replicates; CI = 2nd / 39th ranked replicate mean (5% / 95%)
+# Poisson(1) CDF thresholds (exact double literals, mirrored in SQL): a
+# 60-bit-hash uniform below threshold k gets resample weight k.
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_POIS_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    + f" ELSE {len(_POIS_CUM)} END"
+)
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "agg_bootstrap_poisson",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y_c
+      FROM orders
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_c) AS BIGINT) AS sy
+      FROM base
+    ),
+    r AS (
+      SELECT reps.b, base.y_c,
+             CAST(CAST('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR)
+                  || ':' || CAST(reps.b AS VARCHAR)), 1, 15) AS BIGINT)
+                  AS BIGINT) / {_TWO60!r} AS u
+      FROM base
+      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) reps
+    ),
+    w AS (SELECT b, y_c, {_POIS_CASE} AS w FROM r),
+    rep AS (
+      SELECT b,
+             CAST(round(sum(w * y_c) * 1000.0 / sum(w)) AS BIGINT) AS mean_mc
+      FROM w GROUP BY b
+    ),
+    rk AS (
+      SELECT mean_mc, row_number() OVER (ORDER BY mean_mc, b) AS rn FROM rep
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             CAST(sum(mean_mc) AS BIGINT) AS s
+      FROM rep
+    )
+    SELECT agg.n_reps,
+           round(ex.sy * 1.0 / ex.n / 100.0, 6) AS exact_mean,
+           round(agg.s * 1.0 / agg.n_reps / 100000.0, 6) AS boot_mean,
+           round(lo.mean_mc / 100000.0, 6) AS ci_lo,
+           round(hi.mean_mc / 100000.0, 6) AS ci_hi
+    FROM agg CROSS JOIN ex
+    CROSS JOIN (SELECT mean_mc FROM rk WHERE rn = 2) lo
+    CROSS JOIN (SELECT mean_mc FROM rk WHERE rn = {BOOT_B - 1}) hi
+    """,
+    doc=f"Poisson bootstrap ({BOOT_B} replicates) of the mean order value — "
+    "the bootstrap that actually works at 100 TB: instead of materializing "
+    "B resamples, every row draws its per-replicate multiplicity from "
+    "Poisson(1), so the whole procedure is a map-side explode followed by "
+    f"a {BOOT_B}-key map-combined aggregation; no data is ever resampled "
+    "or collected. The Poisson draw inverts the exact CDF ladder against "
+    "a 60-bit md5 uniform that both engines compute bit-identically, so "
+    "the 'random' weights — and therefore the CI — hash-verify "
+    "cross-engine. Replicate means quantize to integer milli-cents before "
+    "ranking; the CI is the 2nd/39th ranked replicate (5%/95%). The exact "
+    "mean rides along for calibration.",
+)
+def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y_c"),
+    )
+    ex = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y_c").cast("bigint").alias("sy"),
+    )
+    r = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+    ).select(
+        "b",
+        "y_c",
+        (
+            md5_hash60(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            / F.lit(_TWO60)
+        ).alias("u"),
+    )
+    w_expr = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w_expr = F.when(F.col("u") < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(
+            w_expr
+        )
+    w = r.select("b", "y_c", w_expr.alias("w"))
+    rep = w.groupBy("b").agg(
+        F.round(F.sum(F.col("w") * F.col("y_c")) * 1000.0 / F.sum("w"))
+        .cast("bigint")
+        .alias("mean_mc")
+    )
+    rk = rep.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_mc", "b"))
+    )
+    agg = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.sum("mean_mc").cast("bigint").alias("s"),
+    )
+    lo = rk.filter(F.col("rn") == 2).select("mean_mc")
+    hi = rk.filter(F.col("rn") == BOOT_B - 1).select("mean_mc")
+    out = (
+        agg.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi.withColumnRenamed("mean_mc", "mean_hi")))
+        .select(
+            "n_reps",
+            F.round(F.col("sy") * 1.0 / F.col("n") / 100.0, 6).alias(
+                "exact_mean"
+            ),
+            F.round(F.col("s") * 1.0 / F.col("n_reps") / 100000.0, 6).alias(
+                "boot_mean"
+            ),
+            F.round(F.col("mean_mc") / 100000.0, 6).alias("ci_lo"),
+            F.round(F.col("mean_hi") / 100000.0, 6).alias("ci_hi"),
+        )
+    )
+    return persist_until_collected(base, persist_until_collected(rep, out))
+
+
+# ---------------------------------------------------------------------------
+# events_pettitt_changepoint — nonparametric changepoint on the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pettitt_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    r AS (
+      SELECT day,
+             rank() OVER (ORDER BY cnt)
+               + (count(*) OVER (PARTITION BY cnt) - 1) / 2.0 AS r
+      FROM d
+    ),
+    u AS (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(2.0 * sum(r) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s2
+      FROM r
+    ),
+    v AS (
+      SELECT day, t, s2 - t * (nn.n + 1) AS ut
+      FROM u CROSS JOIN nn
+    ),
+    k AS (
+      SELECT CAST(max(abs(ut)) AS BIGINT) AS k_stat
+      FROM v, nn WHERE t < nn.n
+    ),
+    cp AS (
+      SELECT min(day) AS cp_day
+      FROM v, nn, k WHERE t < nn.n AND abs(ut) = k.k_stat
+    )
+    SELECT nn.n AS n_days, k.k_stat, cp.cp_day,
+           round(least(1.0, 2.0 * exp((-6.0 * k.k_stat * k.k_stat)
+                 / (nn.n * nn.n * nn.n + nn.n * nn.n))), 6) AS p_approx
+    FROM nn CROSS JOIN k CROSS JOIN cp
+    """,
+    doc="Pettitt changepoint test on the daily event-count series: the "
+    "rank-based statistic U_t = 2*S_t - t(n+1) (tie-adjusted via average "
+    "ranks, computed as min-rank + (ties-1)/2 — exact halves), maximized "
+    "over split points; ties on the argmax break to the earliest day. "
+    "2*S_t is an exact integer so K hash-verifies; the approximate "
+    "significance 2*exp(-6K^2/(n^3+n^2)) is capped at 1. The windows run "
+    "on the day-grain series, which is already aggregated from the facts "
+    "by a map-combined count — at 100 TB the ordered scan touches ~365 "
+    "rows/year, not the events. The streaming counterpart is a tumbling "
+    "daily count feeding the same batch tail.",
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = d.select(
+        "day",
+        (
+            F.rank().over(Window.orderBy("cnt"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("cnt")) - 1) / 2.0
+        ).alias("r"),
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = r.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        (2.0 * F.sum("r").over(wday)).cast("bigint").alias("s2"),
+    )
+    v = u.crossJoin(F.broadcast(nn)).select(
+        "day", "t", (F.col("s2") - F.col("t") * (F.col("n") + 1)).alias("ut"), "n"
+    )
+    k = v.filter(F.col("t") < F.col("n")).agg(
+        F.max(F.abs(F.col("ut"))).cast("bigint").alias("k_stat")
+    )
+    cp = (
+        v.filter(F.col("t") < F.col("n"))
+        .join(F.broadcast(k), F.abs(F.col("ut")) == F.col("k_stat"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    out = (
+        nn.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            F.col("n").alias("n_days"),
+            "k_stat",
+            "cp_day",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2.0
+                    * F.exp(
+                        (-6.0 * F.col("k_stat") * F.col("k_stat"))
+                        / (
+                            F.col("n") * F.col("n") * F.col("n")
+                            + F.col("n") * F.col("n")
+                        )
+                    ),
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+    )
+    return persist_until_collected(d, persist_until_collected(v, out))
+
+
+# ---------------------------------------------------------------------------
+# events_weibull_gaps — Weibull fit of inter-event gaps via rank regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weibull_gaps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, event_id,
+             tus - lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS gap_us
+      FROM e
+    ),
+    p AS (SELECT event_id, gap_us FROM g WHERE gap_us > 0),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    xy AS (
+      SELECT
+        CAST(round(1000000.0 * ln(CAST(gap_us AS DOUBLE))) AS BIGINT) AS x,
+        CAST(round(1000000.0 * ln(0.0 - ln(1.0
+             - (row_number() OVER (ORDER BY gap_us, event_id) - 0.3)
+               / (nn.n + 0.4)))) AS BIGINT) AS y
+      FROM p CROSS JOIN nn
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM xy
+    ),
+    b AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM s
+    ),
+    f AS (
+      SELECT n, slope,
+             (sy - slope * sx) / n / 1000000.0 AS icpt
+      FROM b
+    )
+    SELECT n AS n_gaps,
+           round(slope, 4) AS weibull_shape,
+           round(exp((0.0 - icpt) / slope) / 1000000.0, 3) AS weibull_scale_s
+    FROM f
+    """,
+    doc="Weibull reliability fit of positive inter-event gaps (per-user "
+    "consecutive timestamps) via median-rank regression: empirical CDF "
+    "F_i = (i-0.3)/(n+0.4) from the global gap order, then OLS of "
+    "ln(-ln(1-F)) on ln(gap) — slope = shape k, scale = exp(-icpt/k). "
+    "Both regression coordinates quantize to integer micro-units BEFORE "
+    "the sums (exact DECIMAL/HUGEINT accumulation), so the fitted "
+    "parameters hash-verify. Plan: per-user lag needs one (user_id)-keyed "
+    "shuffle; the global empirical ranks are the scale bound — a single "
+    "ordered window (documented: at 100 TB rank within hash-strata or fit "
+    "per cohort; the estimator only needs the CDF positions, which a "
+    "2-pass range-partitioned rank also provides exactly). k<1 means "
+    "burstiness (decreasing hazard), k=1 Poisson arrivals.",
+)
+def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "user_id",
+        "event_id",
+        (F.col("tus") - F.lag("tus").over(wlag)).alias("gap_us"),
+    )
+    p = g.filter(F.col("gap_us") > 0).select("event_id", "gap_us")
+    nn = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    xy = p.crossJoin(F.broadcast(nn)).select(
+        F.round(1000000.0 * F.log(F.col("gap_us").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.round(
+            1000000.0
+            * F.log(
+                0.0
+                - F.log(
+                    1.0
+                    - (
+                        F.row_number().over(
+                            Window.orderBy("gap_us", "event_id")
+                        )
+                        - 0.3
+                    )
+                    / (F.col("n") + 0.4)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def dsum(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+    )
+    f = b.select(
+        "n",
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n") / 1000000.0)
+        .alias("icpt"),
+    )
+    out = f.select(
+        F.col("n").alias("n_gaps"),
+        F.round("slope", 4).alias("weibull_shape"),
+        F.round(
+            F.exp((0.0 - F.col("icpt")) / F.col("slope")) / 1000000.0, 3
+        ).alias("weibull_scale_s"),
+    )
+    return persist_until_collected(p, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_mutual_information — MI / entropies between event type and weekday
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS x,
+             (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM e GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM j),
+    t AS (
+      SELECT CAST(round(1000000000.0 * (nxy * 1.0 / tot.nn)
+             * ln((nxy * 1.0 / mx.nx) * (tot.nn * 1.0 / my.ny)))
+             AS BIGINT) AS v
+      FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    ts_ AS (SELECT CAST(sum(v) AS BIGINT) AS s FROM t),
+    ex AS (
+      SELECT CAST(sum(CAST(round(1000000000.0 * (nx * 1.0 / tot.nn)
+             * ln(tot.nn * 1.0 / nx)) AS BIGINT)) AS BIGINT) AS s
+      FROM mx CROSS JOIN tot
+    ),
+    ey AS (
+      SELECT CAST(sum(CAST(round(1000000000.0 * (ny * 1.0 / tot.nn)
+             * ln(tot.nn * 1.0 / ny)) AS BIGINT)) AS BIGINT) AS s
+      FROM my CROSS JOIN tot
+    )
+    SELECT tot.nn AS n_events,
+           round(ts_.s / 1000000000.0, 6) AS mi_nats,
+           round(ex.s / 1000000000.0, 6) AS h_event_type,
+           round(ey.s / 1000000000.0, 6) AS h_weekday,
+           round(CAST(ts_.s AS DOUBLE)
+                 / sqrt(CAST(ex.s AS DOUBLE) * CAST(ey.s AS DOUBLE)), 6)
+             AS nmi
+    FROM tot CROSS JOIN ts_ CROSS JOIN ex CROSS JOIN ey
+    """,
+    doc="Mutual information (and marginal entropies, normalized MI) "
+    "between event type and weekday — the dependence screen that catches "
+    "what correlation can't (categorical, non-monotonic). Weekday is "
+    "epoch-day mod 7, identical in both engines regardless of locale "
+    "DOW conventions. Every p*ln(p) term quantizes to integer nano-nats "
+    "before its sum, so MI hash-verifies. Plan: ONE map-combined count "
+    "over the (x, y) cross-cells (|types| x 7 rows); marginals and total "
+    "re-aggregate the tiny joint relation, never the facts. At 100 TB "
+    "this is a single shuffle of ~35 keys with partial aggregation — the "
+    "joint-histogram sketch pattern.",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    e = ev.select(
+        F.col("event_type").alias("x"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).alias("y"),
+    )
+    j = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    mx = j.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = j.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = j.agg(F.sum("nxy").cast("bigint").alias("nn"))
+    t = (
+        j.join(maybe_broadcast(mx), "x")
+        .join(maybe_broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1000000000.0
+                * (F.col("nxy") * 1.0 / F.col("nn"))
+                * F.log(
+                    (F.col("nxy") * 1.0 / F.col("nx"))
+                    * (F.col("nn") * 1.0 / F.col("ny"))
+                )
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ts_ = t.agg(F.sum("v").cast("bigint").alias("s"))
+    ex = (
+        mx.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1000000000.0
+                * (F.col("nx") * 1.0 / F.col("nn"))
+                * F.log(F.col("nn") * 1.0 / F.col("nx"))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    ey = (
+        my.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1000000000.0
+                * (F.col("ny") * 1.0 / F.col("nn"))
+                * F.log(F.col("nn") * 1.0 / F.col("ny"))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(ts_.withColumnRenamed("s", "smi")))
+        .crossJoin(F.broadcast(ex.withColumnRenamed("s", "shx")))
+        .crossJoin(F.broadcast(ey.withColumnRenamed("s", "shy")))
+        .select(
+            F.col("nn").alias("n_events"),
+            F.round(F.col("smi") / 1000000000.0, 6).alias("mi_nats"),
+            F.round(F.col("shx") / 1000000000.0, 6).alias("h_event_type"),
+            F.round(F.col("shy") / 1000000000.0, 6).alias("h_weekday"),
+            F.round(
+                F.col("smi").cast("double")
+                / F.sqrt(
+                    F.col("shx").cast("double") * F.col("shy").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+    return persist_until_collected(j, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_newsvendor_fractile — critical-fractile stocking per market segment
+# ---------------------------------------------------------------------------
+
+NV_Q = 0.9  # critical fractile cu/(cu+co) with cu=9, co=1
+
+
+@register(
+    "orders_newsvendor_fractile",
+    oracle=f"""
+    WITH d AS (
+      SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT segment,
+             CAST(round(quantile_cont(cnt, {NV_Q!r}) * 10) AS BIGINT)
+               AS stock_d10
+      FROM d GROUP BY 1
+    ),
+    j AS (
+      SELECT d.segment, d.cnt, q.stock_d10,
+             greatest(0, q.stock_d10 - d.cnt * 10) AS over_d10,
+             greatest(0, d.cnt * 10 - q.stock_d10) AS under_d10
+      FROM d JOIN q USING (segment)
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_days,
+           round(max(stock_d10) / 10.0, 1) AS stock_q90,
+           round(sum(over_d10) * 1.0 / count(*) / 10.0, 4) AS exp_overage,
+           round(sum(under_d10) * 1.0 / count(*) / 10.0, 4) AS exp_underage,
+           round(1.0 - sum(under_d10) * 1.0 / (10.0 * sum(cnt)), 6)
+             AS fill_rate
+    FROM j GROUP BY 1
+    """,
+    doc=f"Newsvendor stocking per market segment: the {NV_Q} critical "
+    "fractile (cu=9, co=1) of daily order demand — the exact interpolated "
+    "quantile both engines define identically — plus the expected "
+    "overage/underage and fill rate that stock level implies, evaluated "
+    "against the same demand history. Quantiles quantize to integer "
+    "tenths so the comparison arithmetic is exact integer math. Plan: "
+    "facts aggregate once to (segment, day) counts (map-side combine "
+    "behind a broadcast customer join); the quantile and the evaluation "
+    "re-read only that compacted daily relation, pinned for the result's "
+    "lifetime. The decision-science sibling of the plain percentile op.",
+)
+def orders_newsvendor_fractile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    d = (
+        o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    q = d.groupBy("segment").agg(
+        F.round(F.percentile("cnt", F.lit(NV_Q)) * 10)
+        .cast("bigint")
+        .alias("stock_d10")
+    )
+    j = d.join(maybe_broadcast(q), "segment").select(
+        "segment",
+        "cnt",
+        "stock_d10",
+        F.greatest(F.lit(0), F.col("stock_d10") - F.col("cnt") * 10).alias(
+            "over_d10"
+        ),
+        F.greatest(F.lit(0), F.col("cnt") * 10 - F.col("stock_d10")).alias(
+            "under_d10"
+        ),
+    )
+    out = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("stock_d10") / 10.0, 1).alias("stock_q90"),
+        F.round(
+            F.sum("over_d10") * 1.0 / F.count(F.lit(1)) / 10.0, 4
+        ).alias("exp_overage"),
+        F.round(
+            F.sum("under_d10") * 1.0 / F.count(F.lit(1)) / 10.0, 4
+        ).alias("exp_underage"),
+        F.round(
+            1.0 - F.sum("under_d10") * 1.0 / (10.0 * F.sum("cnt")), 6
+        ).alias("fill_rate"),
+    )
+    return persist_until_collected(d, out)
+
+
+# ---------------------------------------------------------------------------
+# curate_dataset_card — per-source corpus report card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_docs,
+             CAST(round(quantile_cont(n_chars, 0.5) * 10) AS BIGINT) AS p50c10
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS tt FROM g)
+    SELECT source, n_docs, total_chars, total_tokens, n_langs, dup_docs,
+           round(p50c10 / 10.0, 1) AS p50_chars,
+           CAST(round(10000.0 * total_tokens / tot.tt) AS BIGINT)
+             AS token_share_bp
+    FROM g CROSS JOIN tot
+    """,
+    doc="Per-source dataset card — the one-page report a training-data "
+    "curator reads before mixing sources: document and token volumes, "
+    "language spread, exact-duplicate count (md5 text identity), median "
+    "document length, and each source's token share of the corpus in "
+    "basis points. ONE scan computes everything (tokenize + hash are "
+    "map-side; count/sum/distinct/median all partial-aggregate into the "
+    "10 source groups); the corpus total re-aggregates the 10-row card, "
+    "not the documents. The registry's curation gates (curate_gate_report, "
+    "curate_dataset_mix) decide; this op is the evidence they decide on.",
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias(
+            "dup_docs"
+        ),
+        F.round(F.percentile("n_chars", F.lit(0.5)) * 10)
+        .cast("bigint")
+        .alias("p50c10"),
+    )
+    tot = g.agg(F.sum("total_tokens").cast("bigint").alias("tt"))
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "dup_docs",
+        F.round(F.col("p50c10") / 10.0, 1).alias("p50_chars"),
+        F.round(10000.0 * F.col("total_tokens") / F.col("tt"))
+        .cast("bigint")
+        .alias("token_share_bp"),
+    )
+    return persist_until_collected(g, out)
+
+
+# ---------------------------------------------------------------------------
+# events_odds_ratio — user-level 2x2 conversion odds with Woolf CI
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_odds_ratio",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    med AS (
+      SELECT CAST(round(quantile_cont(np, 0.5) * 2) AS BIGINT) AS med2 FROM p
+    ),
+    u AS (
+      SELECT cohort,
+             CASE WHEN p.np * 2 > med.med2 THEN 1 ELSE 0 END AS conv
+      FROM p CROSS JOIN med
+    ),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN cohort = 1 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN cohort = 0 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN cohort = 0 AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00
+      FROM u
+    )
+    SELECT n11, n10, n01, n00,
+           round(n11 * n00 * 1.0 / (n10 * n01), 4) AS odds_ratio,
+           round(exp(ln(n11 * n00 * 1.0 / (n10 * n01))
+                 - 1.96 * sqrt(1.0 / n11 + 1.0 / n10
+                               + 1.0 / n01 + 1.0 / n00)), 4) AS ci_lo,
+           round(exp(ln(n11 * n00 * 1.0 / (n10 * n01))
+                 + 1.96 * sqrt(1.0 / n11 + 1.0 / n10
+                               + 1.0 / n01 + 1.0 / n00)), 4) AS ci_hi
+    FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+    """,
+    doc="User-level 2x2 odds ratio of heavy purchasing (strictly above the "
+    "median per-user purchase count — a scale-free outcome that cannot "
+    "degenerate unless every user is identical) between hash cohorts, "
+    "with the Woolf log-normal 95% CI — the epidemiology-grade readout "
+    "for binary outcomes (events_ab_uplift reports the risk difference; "
+    "the odds ratio transfers across baseline rates). The doubled-median "
+    "integer comparison keeps the split exact in both engines. Plan: one "
+    "(user_id)-keyed map-combined collapse to per-user counts, a 1-row "
+    "median broadcast back over that compacted relation, then a single "
+    "conditional aggregation to the 4 cells — at 100 TB one fact shuffle "
+    "plus user-table-sized follow-ups. Degenerate tables (any empty cell) "
+    "emit zero rows on both engines rather than NULL-laden arithmetic.",
+)
+def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    p = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np")
+    ).select((F.col("user_id") % 2).alias("cohort"), "np")
+    med = p.agg(
+        F.round(F.percentile("np", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    u = p.crossJoin(F.broadcast(med)).select(
+        "cohort",
+        F.when(F.col("np") * 2 > F.col("med2"), 1).otherwise(0).alias("conv"),
+    )
+
+    def cell(coh: int, cv: int, name: str) -> F.Column:
+        return (
+            F.sum(
+                F.when(
+                    (F.col("cohort") == coh) & (F.col("conv") == cv), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    c = u.agg(
+        cell(1, 1, "n11"), cell(1, 0, "n10"), cell(0, 1, "n01"), cell(0, 0, "n00")
+    )
+    or_ = F.col("n11") * F.col("n00") * 1.0 / (F.col("n10") * F.col("n01"))
+    se = F.sqrt(
+        1.0 / F.col("n11")
+        + 1.0 / F.col("n10")
+        + 1.0 / F.col("n01")
+        + 1.0 / F.col("n00")
+    )
+    out = c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(or_, 4).alias("odds_ratio"),
+        F.round(F.exp(F.log(or_) - 1.96 * se), 4).alias("ci_lo"),
+        F.round(F.exp(F.log(or_) + 1.96 * se), 4).alias("ci_hi"),
+    ).filter(
+        (F.col("n11") > 0)
+        & (F.col("n10") > 0)
+        & (F.col("n01") > 0)
+        & (F.col("n00") > 0)
+    )
+    return persist_until_collected(p, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_mape_backtest — forecast backtest: naive vs 3-month moving average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mape_backtest",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT month, rev_c,
+             lag(rev_c, 1) OVER (ORDER BY month) AS l1,
+             lag(rev_c, 2) OVER (ORDER BY month) AS l2,
+             lag(rev_c, 3) OVER (ORDER BY month) AS l3
+      FROM m
+    ),
+    s AS (
+      SELECT rev_c, l1 AS naive_c,
+             CAST(round((l1 + l2 + l3) / 3.0) AS BIGINT) AS ma3_c
+      FROM f WHERE l3 IS NOT NULL
+    ),
+    a AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_months,
+        CAST(sum(CAST(round(1000000.0 * abs(rev_c - naive_c) / rev_c)
+             AS BIGINT)) AS BIGINT) AS ape_naive,
+        CAST(sum(CAST(round(1000000.0 * abs(rev_c - ma3_c) / rev_c)
+             AS BIGINT)) AS BIGINT) AS ape_ma3
+      FROM s
+    )
+    SELECT n_months,
+           round(ape_naive * 1.0 / n_months / 10000.0, 4) AS mape_naive_pct,
+           round(ape_ma3 * 1.0 / n_months / 10000.0, 4) AS mape_ma3_pct,
+           CASE WHEN ape_ma3 < ape_naive THEN 'ma3'
+                WHEN ape_ma3 > ape_naive THEN 'naive'
+                ELSE 'tie' END AS winner
+    FROM a
+    """,
+    doc="Rolling-origin forecast backtest on monthly revenue: last-value "
+    "(naive) vs trailing 3-month moving average, scored by MAPE over "
+    "every month where both forecasts exist. Per-month absolute "
+    "percentage errors quantize to integer ppm before averaging, so the "
+    "winner verdict and both MAPEs hash-verify. The month series "
+    "aggregates from facts with map-side combine (exact integer cents); "
+    "the lag windows then run on ~80 rows. This is the evaluation "
+    "harness for the registry's forecasters (orders_exp_smoothing, "
+    "events_seasonal_baseline): a model that can't beat naive MAPE here "
+    "has no business running at 100 TB.",
+)
+def orders_mape_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    wm = Window.orderBy("month")
+    f = m.select(
+        "month",
+        "rev_c",
+        F.lag("rev_c", 1).over(wm).alias("l1"),
+        F.lag("rev_c", 2).over(wm).alias("l2"),
+        F.lag("rev_c", 3).over(wm).alias("l3"),
+    )
+    s = f.filter(F.col("l3").isNotNull()).select(
+        "rev_c",
+        F.col("l1").alias("naive_c"),
+        F.round((F.col("l1") + F.col("l2") + F.col("l3")) / 3.0)
+        .cast("bigint")
+        .alias("ma3_c"),
+    )
+
+    def ape(fc: str) -> F.Column:
+        return F.sum(
+            F.round(
+                1000000.0 * F.abs(F.col("rev_c") - F.col(fc)) / F.col("rev_c")
+            ).cast("bigint")
+        ).cast("bigint")
+
+    a = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        ape("naive_c").alias("ape_naive"),
+        ape("ma3_c").alias("ape_ma3"),
+    )
+    return a.select(
+        "n_months",
+        F.round(F.col("ape_naive") * 1.0 / F.col("n_months") / 10000.0, 4)
+        .alias("mape_naive_pct"),
+        F.round(F.col("ape_ma3") * 1.0 / F.col("n_months") / 10000.0, 4)
+        .alias("mape_ma3_pct"),
+        F.when(F.col("ape_ma3") < F.col("ape_naive"), F.lit("ma3"))
+        .when(F.col("ape_ma3") > F.col("ape_naive"), F.lit("naive"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_effect_size — Cohen's d / Hedges' g between hash cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_effect_size",
+    oracle="""
+    WITH e AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(round(value * 10000) AS BIGINT) AS v4
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN cohort = 1 THEN v4 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN cohort = 0 THEN v4 ELSE 0 END) AS BIGINT) AS s0,
+        CAST(sum(CAST(CASE WHEN cohort = 1 THEN v4 * v4 ELSE 0 END
+             AS HUGEINT)) AS DOUBLE) AS q1,
+        CAST(sum(CAST(CASE WHEN cohort = 0 THEN v4 * v4 ELSE 0 END
+             AS HUGEINT)) AS DOUBLE) AS q0
+      FROM e
+    ),
+    v AS (
+      SELECT n1, n0,
+             s1 * 1.0 / n1 AS m1, s0 * 1.0 / n0 AS m0,
+             (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+             (q0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0
+      FROM s
+    ),
+    d AS (
+      SELECT n1, n0, m1, m0,
+             (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                              / (n1 + n0 - 2)) AS cohens_d
+      FROM v
+    )
+    SELECT n1, n0,
+           round((m1 - m0) / 10000.0, 4) AS mean_diff,
+           round(cohens_d, 4) AS cohens_d,
+           round(cohens_d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)), 4)
+             AS hedges_g
+    FROM d WHERE n1 > 1 AND n0 > 1
+    """,
+    doc="Standardized effect size between the two hash cohorts on event "
+    "value: Cohen's d on the pooled standard deviation, plus the small-"
+    "sample Hedges' g correction — the magnitude readout that p-values "
+    "(agg_welch_ttest) don't give. Values quantize to 1e-4 units; counts, "
+    "sums and exact DECIMAL/HUGEINT squared sums make every moment "
+    "deterministic before the one float division chain, which is written "
+    "identically on both engines. ONE conditional-aggregation scan, 6 "
+    "numbers of reduce state — the same shape as Welch, and the same "
+    "empty-cohort guard (zero rows, not NULLs).",
+)
+def events_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    e = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+    )
+    s = e.agg(
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("v4")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("v4")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(
+            F.when(F.col("cohort") == 1, F.col("v4") * F.col("v4"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("cohort") == 0, F.col("v4") * F.col("v4"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("q0"),
+    )
+    v = s.select(
+        "n1",
+        "n0",
+        (F.col("s1") * 1.0 / F.col("n1")).alias("m1"),
+        (F.col("s0") * 1.0 / F.col("n0")).alias("m0"),
+        (
+            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("q0") - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
+            / (F.col("n0") - 1)
+        ).alias("v0"),
+    )
+    d = v.select(
+        "n1",
+        "n0",
+        "m1",
+        "m0",
+        (
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(
+                ((F.col("n1") - 1) * F.col("v1") + (F.col("n0") - 1) * F.col("v0"))
+                / (F.col("n1") + F.col("n0") - 2)
+            )
+        ).alias("cohens_d"),
+    )
+    return d.select(
+        "n1",
+        "n0",
+        F.round((F.col("m1") - F.col("m0")) / 10000.0, 4).alias("mean_diff"),
+        F.round("cohens_d", 4).alias("cohens_d"),
+        F.round(
+            F.col("cohens_d")
+            * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n0")) - 9.0)),
+            4,
+        ).alias("hedges_g"),
+    ).filter((F.col("n1") > 1) & (F.col("n0") > 1))

@@ -74,12 +74,13 @@ def _load_all() -> None:
         udfs,
         windows_batch,
     )
-    # pipeline7 then pipeline8 import LAST (newest module last): brand-new
-    # queries must rank behind every already-pending rank-0 query so a full
-    # driver window never displaces an edited query awaiting re-proof (see
-    # all_queries() ordering).
+    # pipeline7 then pipeline8 then pipeline9 import LAST (newest module
+    # last): brand-new queries must rank behind every already-pending rank-0
+    # query so a full driver window never displaces an edited query awaiting
+    # re-proof (see all_queries() ordering).
     from mongodb_nats_connector_spark.operators import pipeline7  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline8  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline9  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"

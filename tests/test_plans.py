@@ -204,6 +204,14 @@ _ALLOWED_NESTED_LOOP = {
     "similarity_contamination_check",  # broadcast NLJ of tiny eval set (by design)
     "events_paired_ttest",        # 1-row cutoff scalar broadcast crossJoin
     "orders_shewhart_control",    # 1-row control-limit scalars broadcast crossJoin
+    "text_bm25_topk",             # 1-row corpus (n_docs, total_w) scalar broadcast crossJoin
+    "agg_levene_bf",              # 1-row grand-mean/count scalar broadcast crossJoin
+    "agg_bootstrap_poisson",      # 1-row exact-mean + CI-rank scalars broadcast crossJoins
+    "events_pettitt_changepoint", # 1-row n + K-argmax scalars broadcast crossJoins
+    "events_weibull_gaps",        # 1-row gap-count scalar broadcast crossJoin
+    "agg_mutual_information",     # 1-row total + entropy scalars broadcast crossJoins
+    "curate_dataset_card",        # 1-row corpus-token-total scalar broadcast crossJoin
+    "events_odds_ratio",          # 1-row doubled-median scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -1,0 +1,343 @@
+"""Invariants for the round-9 operators: BM25 vs a brute-force scorer, OLS
+vs numpy lstsq, Jarque-Bera moments vs numpy, Brown-Forsythe vs a pandas
+re-derivation, Poisson-bootstrap CI bracketing + determinism, Pettitt vs the
+O(n^2) sign double-sum, Weibull rank regression vs numpy, mutual information
+vs a crosstab re-derivation and its entropy bounds, newsvendor quantile
+arithmetic, dataset-card share closure, odds-ratio CI bracketing, MAPE
+winner consistency, and Cohen's d / Hedges' g identities.
+
+These pin semantic properties the DuckDB parity gate cannot distinguish
+from a shared bug (both engines run the registered formulations): every
+check below is an INDEPENDENT pandas/numpy re-derivation or a closed-form
+identity, not a re-run of the registered SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_bm25_matches_bruteforce(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    words = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n_docs
+    scores = {}
+    for term in BM25_TERMS:
+        df_t = sum(1 for w in words.values() if term in w)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        for doc_id, w in words.items():
+            tf = w.count(term)
+            if tf == 0:
+                continue
+            s = (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(w) / avgdl))
+            )
+            scores[doc_id] = scores.get(doc_id, 0.0) + s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = (
+        text_bm25_topk(spark, SF)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [d for d, _ in expected]
+    for (_, exp_s), got_s in zip(expected, got["bm25"]):
+        assert abs(exp_s - got_s) < 1e-5
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        orders_ols_multifactor,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    x1 = li["l_quantity"].round().to_numpy(dtype="float64")
+    x2 = (li["l_discount"] * 100).round().to_numpy(dtype="float64")
+    y = (li["l_extendedprice"] * 100).round().to_numpy(dtype="float64")
+    a = np.column_stack([np.ones_like(x1), x1, x2])
+    coef, _, _, _ = np.linalg.lstsq(a, y, rcond=None)
+    pred = a @ coef
+    r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    row = orders_ols_multifactor(spark, SF).collect()[0]
+    assert row["n_rows"] == len(li)
+    assert abs(row["intercept_c"] - coef[0]) < max(1e-3, abs(coef[0]) * 1e-6)
+    assert abs(row["coef_qty"] - coef[1]) < max(1e-3, abs(coef[1]) * 1e-6)
+    assert abs(row["coef_disc_pct"] - coef[2]) < max(1e-3, abs(coef[2]) * 1e-6)
+    assert abs(row["r2"] - r2) < 1e-6
+
+
+def test_jarque_bera_matches_numpy(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import agg_jarque_bera
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    got = {r["l_returnflag"]: r for r in agg_jarque_bera(spark, SF).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        x = grp["l_quantity"].round().to_numpy(dtype="float64")
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2
+        jb = n / 6.0 * (skew**2 + (kurt - 3.0) ** 2 / 4.0)
+        r = got[flag]
+        assert r["n"] == n
+        assert abs(r["skewness"] - skew) < 1e-5
+        assert abs(r["kurtosis"] - kurt) < 1e-5
+        assert abs(r["jb_stat"] - jb) < max(1e-3, jb * 1e-5)
+
+
+def test_levene_bf_matches_pandas(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import agg_levene_bf
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["x"] = (o["o_totalprice"] * 100).round()
+    z = o.groupby("o_orderpriority")["x"].transform(
+        lambda s: (s - s.median()).abs()
+    )
+    g = pd.DataFrame({"grp": o["o_orderpriority"], "z": z})
+    k = g["grp"].nunique()
+    n = len(g)
+    zbar = g["z"].mean()
+    per = g.groupby("grp")["z"]
+    ssb = (per.size() * (per.mean() - zbar) ** 2).sum()
+    ssw = ((g["z"] - per.transform("mean")) ** 2).sum()
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = agg_levene_bf(spark, SF).collect()[0]
+    assert row["n_groups"] == k and row["n_rows"] == n
+    # the registered op works on doubled-median integers; F is
+    # scale-invariant, so it must agree with the raw-cents re-derivation
+    assert abs(row["bf_stat"] - f) < max(1e-4, f * 1e-5)
+
+
+def test_bootstrap_poisson_ci_brackets_and_deterministic(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        BOOT_B,
+        agg_bootstrap_poisson,
+    )
+
+    r1 = agg_bootstrap_poisson(spark, SF).collect()[0]
+    r2 = agg_bootstrap_poisson(spark, SF).collect()[0]
+    assert r1 == r2  # hash-seeded weights: no run-to-run randomness
+    assert r1["n_reps"] == BOOT_B
+    assert r1["ci_lo"] <= r1["boot_mean"] <= r1["ci_hi"]
+    assert r1["ci_lo"] < r1["ci_hi"]
+    # Poisson(1) resampling is unbiased: the bootstrap mean lands near the
+    # exact mean (loose 5% band — 15 orders at sf0.001)
+    assert abs(r1["boot_mean"] - r1["exact_mean"]) < 0.05 * r1["exact_mean"]
+
+
+def test_pettitt_matches_sign_double_sum(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_pettitt_changepoint,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["ts"].notna()]
+    daily = (
+        ev.groupby(ev["ts"].dt.date).size().sort_index().reset_index(name="cnt")
+    )
+    x = daily["cnt"].to_numpy()
+    n = len(x)
+    best_k, best_day = -1, None
+    for t in range(1, n):  # split after position t-1 (1..n-1 prefix sizes)
+        u = int(np.sign(x[:t][:, None] - x[t:][None, :]).sum())
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), daily.iloc[t - 1, 0]
+    row = events_pettitt_changepoint(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["k_stat"] == best_k
+    assert row["cp_day"] == best_day
+    assert 0.0 <= row["p_approx"] <= 1.0
+
+
+def test_weibull_gaps_matches_numpy(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_weibull_gaps,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["user_id"].notna() & ev["ts"].notna()].copy()
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "tus", "event_id"])
+    gaps = ev.groupby("user_id")["tus"].diff().dropna()
+    gaps = gaps[gaps > 0].to_numpy()
+    gaps.sort()
+    n = len(gaps)
+    i = np.arange(1, n + 1)
+    fi = (i - 0.3) / (n + 0.4)
+    xv = np.log(gaps)
+    yv = np.log(-np.log(1.0 - fi))
+    slope, icpt = np.polyfit(xv, yv, 1)
+    row = events_weibull_gaps(spark, SF).collect()[0]
+    assert row["n_gaps"] == n
+    assert abs(row["weibull_shape"] - slope) < 1e-3
+    assert abs(row["weibull_scale_s"] - math.exp(-icpt / slope) / 1e6) < max(
+        1e-2, row["weibull_scale_s"] * 1e-3
+    )
+    assert row["weibull_shape"] > 0 and row["weibull_scale_s"] > 0
+
+
+def test_mutual_information_matches_crosstab(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_mutual_information,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["ts"].notna() & ev["event_type"].notna()].copy()
+    epoch = pd.Timestamp("1970-01-01")
+    ev["dow"] = (ev["ts"].dt.normalize() - epoch).dt.days % 7
+    ct = pd.crosstab(ev["event_type"], ev["dow"]).to_numpy(dtype="float64")
+    nn = ct.sum()
+    pxy = ct / nn
+    px = pxy.sum(axis=1, keepdims=True)
+    py = pxy.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(pxy > 0, pxy * np.log(pxy / (px * py)), 0.0)
+    mi = terms.sum()
+    hx = -(px * np.log(px)).sum()
+    hy = -(py * np.log(py)).sum()
+    row = agg_mutual_information(spark, SF).collect()[0]
+    assert row["n_events"] == int(nn)
+    assert abs(row["mi_nats"] - mi) < 1e-5
+    assert abs(row["h_event_type"] - hx) < 1e-5
+    assert abs(row["h_weekday"] - hy) < 1e-5
+    assert -1e-9 <= row["mi_nats"] <= min(hx, hy) + 1e-9
+    assert 0.0 <= row["nmi"] <= 1.0
+
+
+def test_newsvendor_matches_numpy_quantile(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        NV_Q,
+        orders_newsvendor_fractile,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["day"] = j["o_orderdate"].dt.date
+    d = (
+        j.groupby(["c_mktsegment", "day"]).size().reset_index(name="cnt")
+    )
+    rows = {r["segment"]: r for r in orders_newsvendor_fractile(spark, SF).collect()}
+    for seg, grp in d.groupby("c_mktsegment"):
+        cnt = grp["cnt"].to_numpy(dtype="float64")
+        stock = round(np.quantile(cnt, NV_Q, method="linear") * 10) / 10.0
+        r = rows[seg]
+        assert r["n_days"] == len(cnt)
+        assert abs(r["stock_q90"] - stock) < 1e-9
+        over = np.maximum(0.0, stock - cnt).mean()
+        under = np.maximum(0.0, cnt - stock).mean()
+        assert abs(r["exp_overage"] - over) < 1e-3
+        assert abs(r["exp_underage"] - under) < 1e-3
+        fill = 1.0 - np.maximum(0.0, cnt - stock).sum() / cnt.sum()
+        assert abs(r["fill_rate"] - fill) < 1e-5
+
+
+def test_dataset_card_share_closure_and_counts(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        curate_dataset_card,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    card = curate_dataset_card(spark, SF).toPandas()
+    assert card["n_docs"].sum() == len(docs)
+    assert card["total_chars"].sum() == docs["n_chars"].sum()
+    exp_tokens = docs["text"].str.split(" ").str.len().sum()
+    assert card["total_tokens"].sum() == exp_tokens
+    # rounded basis points must close to ~10000 (one bp slack per source)
+    assert abs(card["token_share_bp"].sum() - 10000) <= len(card)
+    assert (card["dup_docs"] >= 0).all()
+    for r in card.itertuples():
+        sub = docs[docs["source"] == r.source]["n_chars"]
+        assert sub.min() <= r.p50_chars <= sub.max()
+        assert r.n_langs == docs[docs["source"] == r.source]["lang"].nunique()
+
+
+def test_odds_ratio_ci_brackets_point(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_odds_ratio,
+    )
+
+    rows = events_odds_ratio(spark, SF01).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ci_lo"] <= r["odds_ratio"] <= r["ci_hi"]
+    expected = r["n11"] * r["n00"] / (r["n10"] * r["n01"])
+    assert abs(r["odds_ratio"] - expected) < 1e-3
+    # median split: conv=1 is the strict-majority-above side, so each
+    # cohort keeps both converters and non-converters
+    assert min(r["n11"], r["n10"], r["n01"], r["n00"]) > 0
+
+
+def test_mape_backtest_winner_consistent(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        orders_mape_backtest,
+    )
+
+    r = orders_mape_backtest(spark, SF).collect()[0]
+    assert r["n_months"] > 0
+    assert r["mape_naive_pct"] >= 0 and r["mape_ma3_pct"] >= 0
+    if r["mape_ma3_pct"] < r["mape_naive_pct"]:
+        assert r["winner"] == "ma3"
+    elif r["mape_ma3_pct"] > r["mape_naive_pct"]:
+        assert r["winner"] == "naive"
+    # independent re-derivation of the naive MAPE on monthly integer cents
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["rev_c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    m = (
+        o.groupby(o["o_orderdate"].dt.to_period("M"))["rev_c"]
+        .sum()
+        .sort_index()
+    )
+    rev = m.to_numpy(dtype="float64")
+    scored = rev[3:]
+    naive = rev[2:-1]
+    ape = np.round(1e6 * np.abs(scored - naive) / scored)
+    exp_naive = ape.mean() / 1e4
+    assert r["n_months"] == len(scored)
+    assert abs(r["mape_naive_pct"] - exp_naive) < 1e-3
+
+
+def test_effect_size_matches_numpy(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_effect_size,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["user_id"].notna() & ev["value"].notna()].copy()
+    v = (ev["value"] * 10000).round() / 10000.0
+    coh = (ev["user_id"] % 2).to_numpy()
+    a, b = v[coh == 1].to_numpy(), v[coh == 0].to_numpy()
+    n1, n0 = len(a), len(b)
+    pooled = math.sqrt(
+        ((n1 - 1) * a.var(ddof=1) + (n0 - 1) * b.var(ddof=1)) / (n1 + n0 - 2)
+    )
+    d = (a.mean() - b.mean()) / pooled
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))
+    r = events_effect_size(spark, SF).collect()[0]
+    assert r["n1"] == n1 and r["n0"] == n0
+    assert abs(r["mean_diff"] - (a.mean() - b.mean())) < 1e-3
+    assert abs(r["cohens_d"] - d) < 1e-4
+    assert abs(r["hedges_g"] - g) < 1e-4
+    assert abs(r["hedges_g"]) < abs(r["cohens_d"])
