@@ -71,6 +71,11 @@ HEADLINE_QUERIES = [
     "graph_cc_bigstar",
     "cdc_apply_asof",
     "events_max_concurrency",
+    # round 9: sparse retrieval scoring, one-pass closed-form OLS, hashed
+    # Poisson-bootstrap resampling (40x map-side explode)
+    "text_bm25_topk",
+    "orders_ols_multifactor",
+    "agg_bootstrap_poisson",
 ]
 
 

@@ -24,9 +24,10 @@ Cross-engine determinism rules (same discipline as pipeline7/8):
   Spark and HUGEINT in DuckDB (both exact), cast to DOUBLE only at the
   final scalar arithmetic, which is written with identical association on
   both engines;
-- md5-prefix hashing (graph_common.md5_hash60) is the one hash both
-  engines compute identically — it powers the deterministic Poisson
-  bootstrap weights.
+- md5-prefix hashing (the graph_common.md5_hash60 construction) is the
+  one hash both engines compute identically — it powers the
+  deterministic Poisson bootstrap weights (four 28-bit uniforms per
+  digest).
 """
 
 from __future__ import annotations
@@ -34,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongodb_nats_connector_spark.operators.graph_common import md5_hash60
 from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
@@ -573,7 +573,7 @@ _POIS_CASE = (
     )
     + f" ELSE {len(_POIS_CUM)} END"
 )
-_TWO60 = float(1 << 60)
+_TWO28 = float(1 << 28)  # one md5 yields four 28-bit uniforms (28 hex chars)
 
 
 @register(
@@ -590,12 +590,13 @@ _TWO60 = float(1 << 60)
       FROM base
     ),
     r AS (
-      SELECT reps.b, base.y_c,
+      SELECT g.g * 4 + s.slot AS b, base.y_c,
              CAST(CAST('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR)
-                  || ':' || CAST(reps.b AS VARCHAR)), 1, 15) AS BIGINT)
-                  AS BIGINT) / {_TWO60!r} AS u
+                  || ':' || CAST(g.g AS VARCHAR)), 1 + s.slot * 7, 7)
+                  AS BIGINT) AS BIGINT) / {_TWO28!r} AS u
       FROM base
-      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) reps
+      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B // 4 - 1})) AS g) g
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot) s
     ),
     w AS (SELECT b, y_c, {_POIS_CASE} AS w FROM r),
     rep AS (
@@ -626,9 +627,11 @@ _TWO60 = float(1 << 60)
     "Poisson(1), so the whole procedure is a map-side explode followed by "
     f"a {BOOT_B}-key map-combined aggregation; no data is ever resampled "
     "or collected. The Poisson draw inverts the exact CDF ladder against "
-    "a 60-bit md5 uniform that both engines compute bit-identically, so "
-    "the 'random' weights — and therefore the CI — hash-verify "
-    "cross-engine. Replicate means quantize to integer milli-cents before "
+    "md5 uniforms both engines compute bit-identically — each hash "
+    "yields FOUR independent 28-bit uniforms (7 hex chars per replicate "
+    "slot), quartering the per-row hash cost — so the 'random' weights, "
+    "and therefore the CI, hash-verify cross-engine. Replicate means "
+    "quantize to integer milli-cents before "
     "ranking; the CI is the 2nd/39th ranked replicate (5%/95%). The exact "
     "mean rides along for calibration.",
 )
@@ -642,21 +645,33 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y_c").cast("bigint").alias("sy"),
     )
-    r = base.withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
-    ).select(
-        "b",
-        "y_c",
-        (
-            md5_hash60(
+    r = (
+        base.withColumn(
+            "g", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1)))
+        )
+        .withColumn(
+            "h",
+            F.md5(
                 F.concat(
                     F.col("o_orderkey").cast("string"),
                     F.lit(":"),
-                    F.col("b").cast("string"),
+                    F.col("g").cast("string"),
                 )
-            )
-            / F.lit(_TWO60)
-        ).alias("u"),
+            ),
+        )
+        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            (F.col("g") * 4 + F.col("slot")).alias("b"),
+            "y_c",
+            (
+                F.conv(
+                    F.substring(F.col("h"), F.lit(1) + F.col("slot") * 7, F.lit(7)),
+                    16,
+                    10,
+                ).cast("bigint")
+                / F.lit(_TWO28)
+            ).alias("u"),
+        )
     )
     w_expr = F.lit(len(_POIS_CUM))
     for k in range(len(_POIS_CUM) - 1, -1, -1):
