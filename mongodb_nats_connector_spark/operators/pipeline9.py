@@ -1606,3 +1606,519 @@ def events_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hedges_g"),
     ).filter((F.col("n1") > 1) & (F.col("n0") > 1))
+
+
+# ---------------------------------------------------------------------------
+# orders_holt_linear — Holt's linear-trend smoothing per priority series
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.55
+HOLT_BETA = 0.3
+
+
+@register(
+    "orders_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT priority, month, rev_c,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY month)
+                  AS BIGINT) AS i
+      FROM monthly
+    ),
+    rec AS (
+      SELECT priority, i, month, rev_c,
+             rev_c AS l, CAST(0 AS BIGINT) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.priority, idx.i, idx.month, idx.rev_c,
+             CAST(round(CAST({HOLT_ALPHA} AS DOUBLE) * idx.rev_c
+                   + CAST({1 - HOLT_ALPHA!r} AS DOUBLE) * (rec.l + rec.b))
+                  AS BIGINT),
+             CAST(round(CAST({HOLT_BETA} AS DOUBLE)
+                   * (CAST(round(CAST({HOLT_ALPHA} AS DOUBLE) * idx.rev_c
+                        + CAST({1 - HOLT_ALPHA!r} AS DOUBLE)
+                          * (rec.l + rec.b)) AS BIGINT) - rec.l)
+                   + CAST({1 - HOLT_BETA!r} AS DOUBLE) * rec.b) AS BIGINT)
+      FROM rec JOIN idx
+        ON idx.priority = rec.priority AND idx.i = rec.i + 1
+    )
+    SELECT priority, month, round(rev_c / 100.0, 2) AS revenue,
+           round(l / 100.0, 2) AS level, round(b / 100.0, 2) AS trend,
+           round((l + b) / 100.0, 2) AS forecast_1
+    FROM rec
+    """,
+    doc=f"Holt's linear-trend double exponential smoothing (alpha="
+    f"{HOLT_ALPHA}, beta={HOLT_BETA}) of monthly revenue per order "
+    "priority — the (level, trend) recursion simple smoothing "
+    "(orders_exp_smoothing) cannot carry, giving a one-step-ahead "
+    "forecast with slope. The pair-state fold runs as an explicit "
+    "sequential aggregate-HOF over a struct accumulator whose state is "
+    "INTEGER CENTS, re-quantized every step — decimal-place rounding of "
+    "large doubles is where Spark (BigDecimal shortest-repr half-up) "
+    "and DuckDB (FP-scaled half-away) disagree, while round-to-integer "
+    "of the identical double only diverges on exact .5 doubles, which "
+    "the dyadic smoothing products cannot produce (the DuckDB oracle "
+    "expresses the same fold as a recursive CTE: its list_reduce cannot "
+    "carry struct state faithfully). Facts reduce map-side to (priority, month); the fold "
+    "touches only the months-long series per key — at 100 TB the "
+    "recursion state is 2 doubles per series, never fact-proportional.",
+)
+def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = monthly.select(
+        "priority",
+        "month",
+        "rev_c",
+        F.collect_list("rev_c").over(w).alias("xs"),
+    )
+    fold = F.expr(
+        f"aggregate("
+        f"transform(slice(xs, 2, size(xs) - 1), "
+        f"  x -> named_struct('l', x, 'b', CAST(0 AS BIGINT))), "
+        f"named_struct('l', element_at(xs, 1), 'b', CAST(0 AS BIGINT)), "
+        f"(acc, e) -> named_struct("
+        f"'l', CAST(round({HOLT_ALPHA}D * e.l "
+        f"     + {1 - HOLT_ALPHA}D * (acc.l + acc.b)) AS BIGINT), "
+        f"'b', CAST(round({HOLT_BETA}D * (CAST(round({HOLT_ALPHA}D * e.l "
+        f"       + {1 - HOLT_ALPHA}D * (acc.l + acc.b)) AS BIGINT) - acc.l) "
+        f"     + {1 - HOLT_BETA}D * acc.b) AS BIGINT)))"
+    )
+    return series.select(
+        "priority",
+        "month",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(fold.getField("l") / 100.0, 2).alias("level"),
+        F.round(fold.getField("b") / 100.0, 2).alias("trend"),
+        F.round((fold.getField("l") + fold.getField("b")) / 100.0, 2).alias(
+            "forecast_1"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keyphrases — RAKE keyphrase extraction over the corpus
+# ---------------------------------------------------------------------------
+
+RAKE_TOPK = 15
+_RAKE_STOPS: tuple[str, ...] = (
+    "the", "of", "and", "to", "in", "a", "is", "it", "for", "on",
+)
+_RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(t) AS word,
+             generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    nw AS (
+      SELECT doc_id, word, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM w WHERE lower(word) NOT IN ({_RAKE_IN})
+    ),
+    ph AS (
+      SELECT doc_id, island,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM nw GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT nw.word, ph.plen, ph.phrase, ph.doc_id, ph.island
+      FROM nw JOIN ph USING (doc_id, island)
+    ),
+    ws AS (
+      SELECT word,
+             CAST(round(1000000.0 * sum(plen) / count(*)) AS BIGINT) AS s_u
+      FROM pw GROUP BY 1
+    ),
+    scored AS (
+      SELECT pw.phrase, pw.doc_id, pw.island,
+             CAST(sum(ws.s_u) AS BIGINT) AS score_u
+      FROM pw JOIN ws USING (word)
+      GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(min(score_u) AS BIGINT) AS score_u
+      FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT phrase, n_occ, score_u,
+             row_number() OVER (ORDER BY score_u DESC, phrase) AS rn
+      FROM agg
+    )
+    SELECT phrase, n_occ, round(score_u / 1000000.0, 6) AS rake_score,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {RAKE_TOPK}
+    """,
+    doc=f"RAKE keyphrase extraction (Rose et al.): candidate phrases are "
+    "maximal stopword-delimited word runs (gaps-and-islands on word "
+    "positions — pos minus non-stop row_number), each word scores "
+    "degree/frequency where degree sums the lengths of every phrase "
+    "containing it, and a phrase scores the sum of its word scores. "
+    "Word scores quantize to integer micro-units before the phrase sum, "
+    f"so the top-{RAKE_TOPK} ranking hash-verifies. Identical phrase "
+    "texts share one score by construction (min(score_u) is a no-op "
+    "collapse both engines apply). Plan: one posexplode pass, shuffles "
+    "keyed on (doc, island) then (word) then (phrase) — every relation "
+    "after the explode is phrase- or vocab-sized, the multi-word phrase "
+    "mining shape tokenizer prep runs beside docs_pmi_collocations.",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    nw = w.filter(~F.lower(F.col("word")).isin(*_RAKE_STOPS)).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = nw.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.getField("word"),
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    pw = nw.join(ph, ["doc_id", "island"]).select(
+        "word", "plen", "phrase", "doc_id", "island"
+    )
+    ws = pw.groupBy("word").agg(
+        F.round(1000000.0 * F.sum("plen") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("s_u")
+    )
+    scored = (
+        pw.join(maybe_broadcast(ws), "word")
+        .groupBy("phrase", "doc_id", "island")
+        .agg(F.sum("s_u").cast("bigint").alias("score_u"))
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.min("score_u").cast("bigint").alias("score_u"),
+    )
+    ranked = agg.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("score_u"), F.asc("phrase"))),
+    )
+    out = ranked.filter(F.col("rn") <= RAKE_TOPK).select(
+        "phrase",
+        "n_occ",
+        F.round(F.col("score_u") / 1000000.0, 6).alias("rake_score"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+    return persist_until_collected(nw, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_price_index — Laspeyres / Paasche / Fisher vs the base year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS y, l_partkey,
+             CAST(round(10000.0 * sum(CAST(round(l_extendedprice * 100)
+                  AS BIGINT)) / sum(CAST(round(l_quantity) AS BIGINT)))
+                  AS BIGINT) AS p_u,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, p_u AS p0, q AS q0 FROM py
+      WHERE y = (SELECT min(y) FROM py)
+    ),
+    j AS (
+      SELECT py.y, py.p_u, py.q, base.p0, base.q0
+      FROM py JOIN base USING (l_partkey)
+      WHERE py.y > (SELECT min(y) FROM py)
+    ),
+    s AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(p_u * q0) AS DOUBLE) AS l_num,
+             CAST(sum(p0 * q0) AS DOUBLE) AS l_den,
+             CAST(sum(p_u * q) AS DOUBLE) AS p_num,
+             CAST(sum(p0 * q) AS DOUBLE) AS p_den
+      FROM j GROUP BY 1
+    )
+    SELECT y AS year, n_parts,
+           round(l_num / l_den, 6) AS laspeyres,
+           round(p_num / p_den, 6) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+    FROM s
+    """,
+    doc="Laspeyres, Paasche, and Fisher price indices per ship year "
+    "against the base (first) year, over per-(part, year) unit prices — "
+    "the canonical inflation/price-drift readout for a transactional "
+    "fact table. Unit prices quantize to integer hundredths-of-a-cent, "
+    "so every index numerator/denominator is an exact integer sum "
+    "(price x base-quantity products), and the three ratios divide "
+    "identically in both engines. Plan: one map-combined (part, year) "
+    "aggregation, the base-year slice joins back hash-partitioned on "
+    "partkey, then a per-year reduce of 4 exact sums — index state is "
+    "O(years), never fact-proportional.",
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("y"),
+        "l_partkey",
+    ).agg(
+        F.round(
+            10000.0
+            * F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            / F.sum(F.round("l_quantity").cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("p_u"),
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+    )
+    y0 = py.agg(F.min("y").alias("y0"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .filter(F.col("y") == F.col("y0"))
+        .select(
+            "l_partkey", F.col("p_u").alias("p0"), F.col("q").alias("q0")
+        )
+    )
+    j = (
+        py.crossJoin(F.broadcast(y0))
+        .filter(F.col("y") > F.col("y0"))
+        .join(maybe_broadcast(base), "l_partkey")
+    )
+    s = j.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("p_u") * F.col("q0")).cast("double").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("double").alias("l_den"),
+        F.sum(F.col("p_u") * F.col("q")).cast("double").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q")).cast("double").alias("p_den"),
+    )
+    out = s.select(
+        F.col("y").alias("year"),
+        "n_parts",
+        F.round(F.col("l_num") / F.col("l_den"), 6).alias("laspeyres"),
+        F.round(F.col("p_num") / F.col("p_den"), 6).alias("paasche"),
+        F.round(
+            F.sqrt(
+                (F.col("l_num") / F.col("l_den"))
+                * (F.col("p_num") / F.col("p_den"))
+            ),
+            6,
+        ).alias("fisher"),
+    )
+    return persist_until_collected(py, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_dispersion_test — Poisson overdispersion of daily counts per type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dispersion_test",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(CAST(cnt * cnt AS HUGEINT)) AS DOUBLE) AS s2
+      FROM d GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n_days,
+             s1 * 1.0 / n_days AS mean_cnt,
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n_days) / (n_days - 1) AS var_cnt
+      FROM s WHERE n_days > 1
+    )
+    SELECT event_type, n_days,
+           round(mean_cnt, 4) AS mean_cnt,
+           round(var_cnt, 4) AS var_cnt,
+           round(var_cnt / mean_cnt, 6) AS dispersion,
+           round((n_days - 1) * (var_cnt / mean_cnt), 4) AS chi2_stat,
+           CAST(CASE WHEN var_cnt / mean_cnt > 1.5 THEN 1 ELSE 0 END
+                AS BIGINT) AS overdispersed
+    FROM m
+    """,
+    doc="Index-of-dispersion (variance-to-mean) test per event type over "
+    "daily counts — the screen that tells a Poisson arrival model from "
+    "bursty/clumped traffic before anyone fits one (chi-square form "
+    "(n-1)*D, flag at D > 1.5). Exact integer count sums "
+    "(DECIMAL/HUGEINT squares) make the moments engine-identical before "
+    "the two divisions. The events reduce map-side to (type, day) — at "
+    "100 TB the test state is one row per type per day, and the moment "
+    "reduce is 3 numbers per type. Pairs with events_weibull_gaps: "
+    "dispersion screens the count process, Weibull fits the gap process.",
+)
+def agg_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("s1"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    m = s.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        (F.col("s1") * 1.0 / F.col("n_days")).alias("mean_cnt"),
+        (
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_days"))
+            / (F.col("n_days") - 1)
+        ).alias("var_cnt"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round("mean_cnt", 4).alias("mean_cnt"),
+        F.round("var_cnt", 4).alias("var_cnt"),
+        F.round(F.col("var_cnt") / F.col("mean_cnt"), 6).alias("dispersion"),
+        F.round(
+            (F.col("n_days") - 1) * (F.col("var_cnt") / F.col("mean_cnt")), 4
+        ).alias("chi2_stat"),
+        F.when(F.col("var_cnt") / F.col("mean_cnt") > 1.5, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_runs_test — Wald-Wolfowitz runs test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(round(quantile_cont(rev_c, 0.5) * 2) AS BIGINT) AS med2
+      FROM d
+    ),
+    f AS (
+      SELECT day, CASE WHEN d.rev_c * 2 > med.med2 THEN 1 ELSE 0 END AS hi
+      FROM d CROSS JOIN med
+    ),
+    r AS (
+      SELECT hi,
+             CASE WHEN lag(hi) OVER (ORDER BY day) IS NULL
+                  OR lag(hi) OVER (ORDER BY day) <> hi
+                  THEN 1 ELSE 0 END AS new_run
+      FROM f
+    ),
+    s AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+             CAST(sum(hi) AS BIGINT) AS n_hi,
+             CAST(count(*) - sum(hi) AS BIGINT) AS n_lo
+      FROM r
+    )
+    SELECT runs, n_hi, n_lo,
+           round(2.0 * n_hi * n_lo / (n_hi + n_lo) + 1.0, 4) AS expected_runs,
+           round((runs - (2.0 * n_hi * n_lo / (n_hi + n_lo) + 1.0))
+                 / sqrt(2.0 * n_hi * n_lo * (2.0 * n_hi * n_lo - n_hi - n_lo)
+                        / ((n_hi + n_lo) * (n_hi + n_lo) * 1.0
+                           * (n_hi + n_lo - 1))), 4) AS z_stat
+    FROM s WHERE n_hi > 0 AND n_lo > 0
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily revenue "
+    "series around its median (doubled-median integer split, so the "
+    "above/below labeling is exact): too few runs means trending/"
+    "clustered days, too many means oscillation — the nonparametric "
+    "is-this-series-random screen beside the parametric control charts. "
+    "Run boundaries come from one lag over the compacted daily series; "
+    "counts are exact integers and the z arithmetic is written "
+    "identically in both engines. Facts reduce map-side to day grain — "
+    "the ordered scan is ~365 rows/year at any corpus size.",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    med = d.agg(
+        F.round(F.percentile("rev_c", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("med2")
+    )
+    f = d.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("rev_c") * 2 > F.col("med2"), 1).otherwise(0).alias("hi"),
+    )
+    lag_hi = F.lag("hi").over(Window.orderBy("day"))
+    r = f.select(
+        "hi",
+        F.when(lag_hi.isNull() | (lag_hi != F.col("hi")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = r.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("hi").cast("bigint").alias("n_hi"),
+        (F.count(F.lit(1)) - F.sum("hi")).cast("bigint").alias("n_lo"),
+    )
+    n_hi, n_lo = F.col("n_hi"), F.col("n_lo")
+    mu = 2.0 * n_hi * n_lo / (n_hi + n_lo) + 1.0
+    sigma = F.sqrt(
+        2.0
+        * n_hi
+        * n_lo
+        * (2.0 * n_hi * n_lo - n_hi - n_lo)
+        / ((n_hi + n_lo) * (n_hi + n_lo) * 1.0 * (n_hi + n_lo - 1))
+    )
+    out = s.select(
+        "runs",
+        "n_hi",
+        "n_lo",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / sigma, 4).alias("z_stat"),
+    ).filter((n_hi > 0) & (n_lo > 0))
+    return persist_until_collected(d, out)

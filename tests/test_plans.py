@@ -212,6 +212,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_mutual_information",     # 1-row total + entropy scalars broadcast crossJoins
     "curate_dataset_card",        # 1-row corpus-token-total scalar broadcast crossJoin
     "events_odds_ratio",          # 1-row doubled-median scalar broadcast crossJoin
+    "orders_price_index",         # 1-row base-year scalar broadcast crossJoins
+    "agg_runs_test",              # 1-row doubled-median scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -341,3 +341,154 @@ def test_effect_size_matches_numpy(spark):
     assert abs(r["cohens_d"] - d) < 1e-4
     assert abs(r["hedges_g"] - g) < 1e-4
     assert abs(r["hedges_g"]) < abs(r["cohens_d"])
+
+
+def test_holt_linear_matches_python_fold(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        orders_holt_linear,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["rev_c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    o["month"] = o["o_orderdate"].dt.to_period("M")
+    got = orders_holt_linear(spark, SF).toPandas()
+    for prio, grp in o.groupby("o_orderpriority"):
+        series = grp.groupby("month")["rev_c"].sum().sort_index()
+        l, b = int(series.iloc[0]), 0
+        rows = (
+            got[got["priority"] == prio]
+            .sort_values("month")
+            .reset_index(drop=True)
+        )
+        assert abs(rows.loc[0, "level"] - l / 100.0) < 1e-9
+        def round_away(v: float) -> int:
+            # both engines round .5 away from zero; python round() is
+            # half-to-even, so mirror the engine convention explicitly
+            return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+        for i in range(1, len(series)):
+            x = int(series.iloc[i])
+            l_new = round_away(HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b))
+            b = round_away(HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b)
+            l = l_new
+            assert abs(rows.loc[i, "level"] - l / 100.0) < 1e-6, (prio, i)
+            assert abs(rows.loc[i, "trend"] - b / 100.0) < 1e-6, (prio, i)
+        assert abs(
+            rows.loc[len(series) - 1, "forecast_1"] - (l + b) / 100.0
+        ) < 1e-6
+
+
+def test_rake_phrases_are_stopword_free_runs(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        _RAKE_STOPS,
+        text_rake_keyphrases,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    # independent phrase extraction: split each text on stopwords
+    phrases = {}
+    for t in docs["text"]:
+        run = []
+        for w in t.split(" ") + [next(iter(_RAKE_STOPS))]:
+            if w.lower() in _RAKE_STOPS:
+                if run:
+                    phrases[" ".join(run)] = phrases.get(" ".join(run), 0) + 1
+                run = []
+            else:
+                run.append(w)
+    got = text_rake_keyphrases(spark, SF).toPandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        # every ranked phrase is a real extracted run with the right count
+        assert r.phrase in phrases, r.phrase
+        assert r.n_occ == phrases[r.phrase]
+        assert not any(w.lower() in _RAKE_STOPS for w in r.phrase.split(" "))
+        assert r.rake_score > 0
+    # ranking is by score desc then phrase
+    scores = list(got.sort_values("rn")["rake_score"])
+    assert scores == sorted(scores, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(scores, scores[1:])
+    )
+
+
+def test_price_index_identities(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        orders_price_index,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    got = orders_price_index(spark, SF).toPandas().sort_values("year")
+    years = sorted(li["l_shipdate"].dt.year.unique())
+    # one row per non-base year, base = min year
+    assert list(got["year"]) == years[1:]
+    for r in got.itertuples():
+        # Fisher is the geometric mean of Laspeyres and Paasche
+        assert abs(r.fisher - math.sqrt(r.laspeyres * r.paasche)) < 1e-4
+        assert r.laspeyres > 0 and r.paasche > 0
+        assert r.n_parts > 0
+    # independent Laspeyres re-derivation for the first comparison year
+    li["y"] = li["l_shipdate"].dt.year
+    li["price_c"] = (li["l_extendedprice"] * 100).round()
+    li["qty"] = li["l_quantity"].round()
+    py = (
+        li.groupby(["y", "l_partkey"])
+        .agg(ext=("price_c", "sum"), q=("qty", "sum"))
+        .reset_index()
+    )
+    py["p_u"] = (1e4 * py["ext"] / py["q"]).round()
+    y0, y1 = years[0], years[1]
+    base = py[py["y"] == y0].set_index("l_partkey")
+    cur = py[py["y"] == y1].set_index("l_partkey")
+    common = base.index.intersection(cur.index)
+    lasp = (cur.loc[common, "p_u"] * base.loc[common, "q"]).sum() / (
+        base.loc[common, "p_u"] * base.loc[common, "q"]
+    ).sum()
+    assert abs(got.iloc[0]["laspeyres"] - lasp) < 1e-4
+
+
+def test_dispersion_matches_pandas(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_dispersion_test,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["ts"].notna() & ev["event_type"].notna()]
+    daily = (
+        ev.groupby(["event_type", ev["ts"].dt.date]).size().reset_index(name="cnt")
+    )
+    got = {r["event_type"]: r for r in agg_dispersion_test(spark, SF).collect()}
+    for et, grp in daily.groupby("event_type"):
+        cnt = grp["cnt"].to_numpy(dtype="float64")
+        if len(cnt) < 2:
+            assert et not in got
+            continue
+        r = got[et]
+        assert r["n_days"] == len(cnt)
+        assert abs(r["mean_cnt"] - cnt.mean()) < 1e-3
+        assert abs(r["var_cnt"] - cnt.var(ddof=1)) < 1e-3
+        d = cnt.var(ddof=1) / cnt.mean()
+        assert abs(r["dispersion"] - d) < 1e-4
+        assert r["overdispersed"] == (1 if d > 1.5 else 0)
+
+
+def test_runs_test_matches_python(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import agg_runs_test
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["rev_c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby(o["o_orderdate"].dt.date)["rev_c"].sum().sort_index()
+    med = daily.median()
+    hi = (daily > med).astype(int).to_numpy()
+    runs = 1 + int((hi[1:] != hi[:-1]).sum())
+    a, b = int(hi.sum()), int(len(hi) - hi.sum())
+    r = agg_runs_test(spark, SF).collect()[0]
+    assert r["runs"] == runs
+    assert r["n_hi"] == a and r["n_lo"] == b
+    mu = 2.0 * a * b / (a + b) + 1.0
+    sig = math.sqrt(
+        2.0 * a * b * (2.0 * a * b - a - b) / ((a + b) ** 2 * (a + b - 1))
+    )
+    assert abs(r["expected_runs"] - mu) < 1e-3
+    assert abs(r["z_stat"] - (runs - mu) / sig) < 1e-3
