@@ -212,7 +212,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT n, sy, sx1y, sx2y, syy,
              det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
-      FROM d
+      FROM d WHERE det <> 0
     )
     SELECT n AS n_rows,
            round(b0, 6) AS intercept_c,
@@ -282,7 +282,10 @@ def orders_ols_multifactor(spark: SparkSession, sf_dir: str) -> DataFrame:
             + sy * (sx1 * sx12 - sx11 * sx2)
         ).alias("det2"),
     )
-    c = d.select(
+    # singular normal equations (e.g. a constant feature) have det
+    # EXACTLY 0 — the sums are exact, so both engines agree; emit zero
+    # rows instead of engine-specific inf/NaN coefficients
+    c = d.filter(F.col("det") != 0).select(
         "n",
         "sy",
         "sx1y",
@@ -603,6 +606,7 @@ _TWO28 = float(1 << 28)  # one md5 yields four 28-bit uniforms (28 hex chars)
       SELECT b,
              CAST(round(sum(w * y_c) * 1000.0 / sum(w)) AS BIGINT) AS mean_mc
       FROM w GROUP BY b
+      HAVING sum(w) > 0
     ),
     rk AS (
       SELECT mean_mc, row_number() OVER (ORDER BY mean_mc, b) AS rn FROM rep
@@ -679,10 +683,19 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_expr
         )
     w = r.select("b", "y_c", w_expr.alias("w"))
-    rep = w.groupBy("b").agg(
-        F.round(F.sum(F.col("w") * F.col("y_c")) * 1000.0 / F.sum("w"))
-        .cast("bigint")
-        .alias("mean_mc")
+    # a replicate whose Poisson weights all drew 0 has no mean: drop it
+    # BEFORE ranking (NULL means would rank FIRST in Spark but LAST in
+    # DuckDB); only reachable on near-empty tables — P(sum w = 0) = e^-n
+    rep = (
+        w.groupBy("b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.round(F.sum(F.col("w") * F.col("y_c")) * 1000.0 / F.sum("w"))
+            .cast("bigint")
+            .alias("mean_mc"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("b", "mean_mc")
     )
     rk = rep.withColumn(
         "rn", F.row_number().over(Window.orderBy("mean_mc", "b"))
@@ -864,7 +877,7 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT n, sx, sy,
              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-      FROM s
+      FROM s WHERE n > 1 AND n * sxx - sx * sx > 0
     ),
     f AS (
       SELECT n, slope,
@@ -938,7 +951,12 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x") * F.col("x")).alias("sxx"),
         dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    b = s.select(
+    # all-equal gaps make the regression denominator exactly 0 (sums are
+    # exact integers): emit zero rows instead of engine-specific inf/NaN
+    b = s.filter(
+        (F.col("n") > 1)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    ).select(
         "n",
         "sx",
         "sy",
@@ -1005,6 +1023,7 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(CAST(ex.s AS DOUBLE) * CAST(ey.s AS DOUBLE)), 6)
              AS nmi
     FROM tot CROSS JOIN ts_ CROSS JOIN ex CROSS JOIN ey
+    WHERE ex.s > 0 AND ey.s > 0
     """,
     doc="Mutual information (and marginal entropies, normalized MI) "
     "between event type and weekday — the dependence screen that catches "
@@ -1080,6 +1099,9 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.crossJoin(F.broadcast(ts_.withColumnRenamed("s", "smi")))
         .crossJoin(F.broadcast(ex.withColumnRenamed("s", "shx")))
         .crossJoin(F.broadcast(ey.withColumnRenamed("s", "shy")))
+        # a single-valued marginal has zero entropy and an undefined NMI:
+        # both engines emit zero rows rather than a NaN the hash can't match
+        .filter((F.col("shx") > 0) & (F.col("shy") > 0))
         .select(
             F.col("nn").alias("n_events"),
             F.round(F.col("smi") / 1000000000.0, 6).alias("mi_nats"),

@@ -492,3 +492,122 @@ def test_runs_test_matches_python(spark):
     )
     assert abs(r["expected_runs"] - mu) < 1e-3
     assert abs(r["z_stat"] - (runs - mu) / sig) < 1e-3
+
+
+def _write_orders9(spark, path, rows):
+    """rows: (o_orderkey, o_custkey, o_totalprice, o_orderdate str)."""
+    df = spark.createDataFrame(
+        [
+            (k, c, p, pd.Timestamp(d).to_pydatetime(), "O", "1-URGENT")
+            for k, c, p, d in rows
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderstatus string, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def _write_events9(spark, path, rows):
+    """rows: (event_id, ts str, user_id, event_type)."""
+    df = spark.createDataFrame(
+        [
+            (i, pd.Timestamp(t).to_pydatetime(), u, et, 1.0, "{}")
+            for i, t, u, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_pettitt_argmax_tie_breaks_to_earliest_day(spark, tmp_path):
+    """A symmetric step series where multiple split points share the max
+    |U|: the changepoint must be the EARLIEST argmax day in both engines."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_pettitt_changepoint,
+    )
+
+    # counts per day: 1,1,2,2 -> |U| peaks identically at t=2 (and t=2 only
+    # by construction), then extend with a flat tail creating a tie plateau
+    rows = []
+    eid = 0
+    counts = [1, 1, 3, 3, 3]
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", 1, "view"))
+    _write_events9(spark, str(tmp_path), rows)
+    r = events_pettitt_changepoint(spark, str(tmp_path)).collect()[0]
+    # brute force
+    x = np.array(counts)
+    n = len(x)
+    us = [
+        abs(int(np.sign(x[:t][:, None] - x[t:][None, :]).sum()))
+        for t in range(1, n)
+    ]
+    k = max(us)
+    first_t = us.index(k) + 1
+    assert r["k_stat"] == k
+    assert str(r["cp_day"]) == f"2024-01-{first_t:02d}"
+
+
+def test_pettitt_constant_series_k_zero(spark, tmp_path):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_pettitt_changepoint,
+    )
+
+    rows = [
+        (i * 10 + d, f"2024-02-{d:02d} 00:30:00", 1, "view")
+        for d in range(1, 6)
+        for i in range(2)
+    ]
+    _write_events9(spark, str(tmp_path), rows)
+    r = events_pettitt_changepoint(spark, str(tmp_path)).collect()[0]
+    assert r["k_stat"] == 0
+    assert r["p_approx"] == 1.0  # capped: 2*exp(0) -> least(1, 2)
+
+
+def test_bootstrap_single_row_table_no_null_rank_divergence(spark, tmp_path):
+    """One order: many replicates draw total weight 0 and MUST be dropped
+    before ranking (a NULL mean would rank first in Spark, last in DuckDB).
+    Surviving replicate means all equal the single order's value."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_bootstrap_poisson,
+    )
+
+    _write_orders9(spark, str(tmp_path), [(1, 1, 123.45, "2024-01-01")])
+    out = agg_bootstrap_poisson(spark, str(tmp_path)).collect()
+    # either the 2nd/39th ranked replicates exist (all equal 123.45) or too
+    # few survive and the result is empty — never a NULL-polluted row
+    if out:
+        r = out[0]
+        assert r["exact_mean"] == 123.45
+        assert r["ci_lo"] == 123.45 and r["ci_hi"] == 123.45
+        assert r["boot_mean"] == 123.45
+
+
+def test_weibull_periodic_gaps_zero_rows(spark, tmp_path):
+    """Perfectly periodic events: every gap identical, regression
+    denominator exactly 0 -> zero rows, not inf/NaN."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_weibull_gaps,
+    )
+
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", 7, "view") for i in range(10)
+    ]
+    _write_events9(spark, str(tmp_path), rows)
+    assert events_weibull_gaps(spark, str(tmp_path)).count() == 0
+
+
+def test_mutual_information_single_type_zero_rows(spark, tmp_path):
+    """One event type -> H(X) = 0 -> NMI undefined -> zero rows."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_mutual_information,
+    )
+
+    rows = [
+        (i, f"2024-01-{1 + i % 7:02d} 09:00:00", 1, "view") for i in range(20)
+    ]
+    _write_events9(spark, str(tmp_path), rows)
+    assert agg_mutual_information(spark, str(tmp_path)).count() == 0
