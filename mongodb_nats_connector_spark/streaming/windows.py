@@ -272,3 +272,41 @@ def latest_state_stream(stream: DataFrame) -> DataFrame:
             F.col("s.ts").alias("last_ts"),
         )
     )
+
+
+def moment_state_stream(stream: DataFrame) -> DataFrame:
+    """Streaming sufficient-statistics state per event type — the
+    continuously-maintained (n, sum, sum-of-squares) every control-chart /
+    z-score / effect-size readout derives from (the batch siblings:
+    orders_shewhart_control, events_effect_size, agg_dispersion_test).
+
+    Counting aggregations are NOT replay-idempotent on their own (an
+    at-least-once duplicate double-counts where a max-merge would absorb
+    it), so the state sits behind an event_id dropDuplicates: with that
+    dedup, micro-batch order, retries, and overlapping replays all
+    converge to the identical moments a batch distinct-aggregation
+    computes over the same rows (stream-vs-batch equality pinned in
+    tests). Values quantize to exact integer 1e-4 units and the squared
+    sum accumulates as DECIMAL(38,0), so the state — not just the derived
+    limits — is engine- and replay-deterministic. State is one row per
+    event type plus the bounded dedup set (watermark-bounded in
+    production: add ``withWatermark("ts", ...)`` upstream so the dedup
+    buffer ages out). Run in complete or update mode; control limits
+    (mean ± 3σ) are one stateless projection over the state table.
+    """
+    v4 = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        stream.filter(
+            F.col("value").isNotNull() & F.col("event_id").isNotNull()
+        )
+        .dropDuplicates(["event_id"])
+        .select("event_type", v4.alias("v4"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v4").cast("bigint").alias("s1"),
+            F.sum((F.col("v4") * F.col("v4")).cast("decimal(38,0)")).alias(
+                "s2"
+            ),
+        )
+    )
