@@ -2144,3 +2144,368 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("runs") - mu) / sigma, 4).alias("z_stat"),
     ).filter((n_hi > 0) & (n_lo > 0))
     return persist_until_collected(d, out)
+
+
+# ---------------------------------------------------------------------------
+# embedding_triplet_mining — hardest positive/negative per anchor
+# ---------------------------------------------------------------------------
+
+TRIPLET_ANCHORS = 12  # bounded anchor set, same contract as docs_knn_classify
+TRIPLET_MARGIN = 0.2
+
+
+@register(
+    "embedding_triplet_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+      FROM e WHERE vec_id < {TRIPLET_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+             round(list_cosine_similarity(a.av, e.v), 6) AS cos_sim
+      FROM a JOIN e ON e.vec_id <> a.anchor_id
+      WHERE NOT isnan(round(list_cosine_similarity(a.av, e.v), 6))
+    ),
+    hard_pos AS (
+      SELECT anchor_id, anchor_label, vec_id AS pos_id,
+             cos_sim AS pos_sim
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cos_sim ASC, vec_id) AS rn
+        FROM scored WHERE label = anchor_label
+      ) WHERE rn = 1
+    ),
+    hard_neg AS (
+      SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_sim
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE label <> anchor_label
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, CAST(p.anchor_label AS BIGINT) AS anchor_label,
+           p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           round(n.neg_sim - p.pos_sim + {TRIPLET_MARGIN!r}, 6)
+             AS triplet_loss_term,
+           CAST(CASE WHEN n.neg_sim - p.pos_sim + {TRIPLET_MARGIN!r} > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_active
+    FROM hard_pos p JOIN hard_neg n USING (anchor_id)
+    """,
+    doc=f"Hard-triplet mining for contrastive training over the labeled "
+    f"embedding table: for each of {TRIPLET_ANCHORS} anchors, the hardest "
+    "positive (same label, LOWEST cosine) and hardest negative "
+    "(different label, HIGHEST cosine), plus the hinge term "
+    f"neg - pos + {TRIPLET_MARGIN} and its active flag — the batch-hard "
+    "sampling strategy (FaceNet-style) a representation-learning "
+    "pipeline runs between training epochs. Cosines round to 1e-6 with "
+    "vec_id tiebreaks and a NaN guard (same contract as "
+    "docs_knn_classify); exact broadcast scoring over the bounded anchor "
+    "set, with the IVF/LSH candidate generators as the corpus-scale "
+    "swap-in. At 100 TB anchors batch through the same bucketed index "
+    "the ANN queries use — the scorer, not the mining logic, changes.",
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.functions.vectors import cosine_fast
+
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    scored = (
+        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(cosine_fast(F.col("av"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .filter(~F.isnan(F.col("cos_sim")))
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.asc("cos_sim"), F.asc("vec_id")
+    )
+    hard_pos = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    hard_neg = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    hinge = F.col("neg_sim") - F.col("pos_sim") + F.lit(TRIPLET_MARGIN)
+    out = hard_pos.join(hard_neg, "anchor_id").select(
+        "anchor_id",
+        F.col("anchor_label").cast("bigint").alias("anchor_label"),
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(hinge, 6).alias("triplet_loss_term"),
+        F.when(hinge > 0, 1).otherwise(0).cast("bigint").alias("is_active"),
+    )
+    return persist_until_collected(scored, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_median_test — Mood's median test across order priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_test",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x_c
+      FROM orders
+    ),
+    med AS (
+      SELECT CAST(round(quantile_cont(x_c, 0.5) * 2) AS BIGINT) AS med2
+      FROM b
+    ),
+    f AS (
+      SELECT grp,
+             CASE WHEN b.x_c * 2 > med.med2 THEN 1 ELSE 0 END AS hi
+      FROM b CROSS JOIN med
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(hi) AS BIGINT) AS a_i
+      FROM f GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS nn, CAST(sum(a_i) AS BIGINT) AS aa,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT
+        CAST(round(1000000000.0
+          * ((a_i - n_i * (aa * 1.0 / nn)) * (a_i - n_i * (aa * 1.0 / nn)))
+          / (n_i * (aa * 1.0 / nn))) AS BIGINT)
+        + CAST(round(1000000000.0
+          * (((n_i - a_i) - n_i * ((nn - aa) * 1.0 / nn))
+             * ((n_i - a_i) - n_i * ((nn - aa) * 1.0 / nn)))
+          / (n_i * ((nn - aa) * 1.0 / nn))) AS BIGINT) AS t_nn,
+        tot.k, tot.nn
+      FROM g CROSS JOIN tot
+    )
+    SELECT CAST(min(k) AS BIGINT) AS n_groups,
+           CAST(min(nn) AS BIGINT) AS n_rows,
+           round(CAST(sum(t_nn) AS BIGINT) / 1000000000.0, 4) AS chi2_stat,
+           CAST(min(k) - 1 AS BIGINT) AS dof
+    FROM terms
+    """,
+    doc="Mood's median test across the 5 order priorities: classify every "
+    "order strictly-above / at-or-below the GRAND doubled-median (exact "
+    "integer comparison), then the k x 2 contingency chi-square against "
+    "the pooled proportion. The location complement to agg_levene_bf's "
+    "spread test — together they say whether priorities differ in center "
+    "or in dispersion without any normality assumption. Per-group "
+    "chi-square terms quantize to nano-units before the k-row sum, so "
+    "the statistic hash-verifies. One 1-row exact-median pass, one "
+    "map-combined conditional count per group — two tiny shuffles at "
+    "any scale.",
+)
+def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
+    )
+    med = b.agg(
+        F.round(F.percentile("x_c", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("med2")
+    )
+    f = b.crossJoin(F.broadcast(med)).select(
+        "grp",
+        F.when(F.col("x_c") * 2 > F.col("med2"), 1).otherwise(0).alias("hi"),
+    )
+    g = f.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("hi").cast("bigint").alias("a_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("nn"),
+        F.sum("a_i").cast("bigint").alias("aa"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p_hi = F.col("aa") * 1.0 / F.col("nn")
+    p_lo = (F.col("nn") - F.col("aa")) * 1.0 / F.col("nn")
+    hi_dev = F.col("a_i") - F.col("n_i") * p_hi
+    lo_dev = (F.col("n_i") - F.col("a_i")) - F.col("n_i") * p_lo
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        (
+            F.round(1000000000.0 * (hi_dev * hi_dev) / (F.col("n_i") * p_hi))
+            .cast("bigint")
+            + F.round(
+                1000000000.0 * (lo_dev * lo_dev) / (F.col("n_i") * p_lo)
+            ).cast("bigint")
+        ).alias("t_nn"),
+        "k",
+        "nn",
+    )
+    out = terms.agg(
+        F.min("k").cast("bigint").alias("n_groups"),
+        F.min("nn").cast("bigint").alias("n_rows"),
+        F.round(F.sum("t_nn").cast("bigint") / 1000000000.0, 4).alias(
+            "chi2_stat"
+        ),
+        (F.min("k") - 1).cast("bigint").alias("dof"),
+    )
+    return persist_until_collected(b, persist_until_collected(g, out))
+
+
+# ---------------------------------------------------------------------------
+# events_power_analysis — two-proportion A/B sample-size / MDE planner
+# ---------------------------------------------------------------------------
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621  # power = 0.80
+POWER_MDE_PP = (1.0, 2.0, 5.0)  # candidate detectable lifts, percent points
+_POWER_VALUES = ", ".join(f"({m!r})" for m in POWER_MDE_PP)
+
+
+@register(
+    "events_power_analysis",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    med AS (
+      SELECT CAST(round(quantile_cont(np, 0.5) * 2) AS BIGINT) AS med2 FROM p
+    ),
+    u AS (
+      SELECT CASE WHEN p.np * 2 > med.med2 THEN 1 ELSE 0 END AS conv
+      FROM p CROSS JOIN med
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS conv_users
+      FROM u
+    ),
+    mde(lift_pp) AS (VALUES {_POWER_VALUES}),
+    calc AS (
+      SELECT base.n_users, base.conv_users, mde.lift_pp,
+             conv_users * 1.0 / n_users AS p1,
+             conv_users * 1.0 / n_users + lift_pp / 100.0 AS p2
+      FROM base CROSS JOIN mde
+    )
+    SELECT n_users, conv_users, lift_pp,
+           round(p1, 6) AS baseline_rate,
+           CAST(ceil(
+             ({POWER_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                * (1.0 - (p1 + p2) / 2.0))
+              + {POWER_Z_BETA!r} * sqrt(p1 * (1.0 - p1)
+                + p2 * (1.0 - p2)))
+             * ({POWER_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                * (1.0 - (p1 + p2) / 2.0))
+              + {POWER_Z_BETA!r} * sqrt(p1 * (1.0 - p1)
+                + p2 * (1.0 - p2)))
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+           CAST(CASE WHEN n_users / 2 >= CAST(ceil(
+             ({POWER_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                * (1.0 - (p1 + p2) / 2.0))
+              + {POWER_Z_BETA!r} * sqrt(p1 * (1.0 - p1)
+                + p2 * (1.0 - p2)))
+             * ({POWER_Z_ALPHA!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                * (1.0 - (p1 + p2) / 2.0))
+              + {POWER_Z_BETA!r} * sqrt(p1 * (1.0 - p1)
+                + p2 * (1.0 - p2)))
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+             THEN 1 ELSE 0 END AS BIGINT) AS currently_powered
+    FROM calc WHERE p2 < 1.0
+    """,
+    doc="Two-proportion A/B sample-size planner: for candidate lifts of "
+    f"{POWER_MDE_PP} percent points over the observed heavy-purchaser rate "
+    "(strictly above the median per-user purchase count — the same "
+    "scale-free outcome events_odds_ratio tests, never saturated at "
+    "1.0), the required users per arm at alpha=0.05 "
+    "(two-sided) and 80% power — the pooled-variance normal "
+    "approximation every experimentation platform quotes — plus whether "
+    "the CURRENT population already powers that lift. Closes the "
+    "experiment-design loop around the readout family (welch / CUPED / "
+    "DiD / odds-ratio / effect-size): those analyze a finished test, "
+    "this says whether a planned one can work. z constants are fixed "
+    "literals, so the only data dependency is one (user_id)-keyed "
+    "collapse to a 2-number summary — a single map-combined shuffle at "
+    "any scale, then per-candidate scalar arithmetic written identically "
+    "in both engines.",
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    p = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np")
+    )
+    med = p.agg(
+        F.round(F.percentile("np", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    u = p.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("np") * 2 > F.col("med2"), 1).otherwise(0).alias("conv")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("conv_users"),
+    )
+    base = persist_until_collected(p, base)
+    mde = F.explode(
+        F.array(*[F.lit(m) for m in POWER_MDE_PP])
+    ).alias("lift_pp")
+    calc = base.select("*", mde).select(
+        "n_users",
+        "conv_users",
+        "lift_pp",
+        (F.col("conv_users") * 1.0 / F.col("n_users")).alias("p1"),
+        (
+            F.col("conv_users") * 1.0 / F.col("n_users")
+            + F.col("lift_pp") / 100.0
+        ).alias("p2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    pbar = (p1 + p2) / 2.0
+    num = F.lit(POWER_Z_ALPHA) * F.sqrt(2.0 * pbar * (1.0 - pbar)) + F.lit(
+        POWER_Z_BETA
+    ) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("bigint")
+    return calc.filter(p2 < 1.0).select(
+        "n_users",
+        "conv_users",
+        "lift_pp",
+        F.round(p1, 6).alias("baseline_rate"),
+        n_req.alias("n_per_arm"),
+        F.when(F.col("n_users") / 2 >= n_req, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("currently_powered"),
+    )

@@ -214,6 +214,9 @@ _ALLOWED_NESTED_LOOP = {
     "events_odds_ratio",          # 1-row doubled-median scalar broadcast crossJoin
     "orders_price_index",         # 1-row base-year scalar broadcast crossJoins
     "agg_runs_test",              # 1-row doubled-median scalar broadcast crossJoin
+    "embedding_triplet_mining",   # broadcast NLJ of bounded anchor set (by design)
+    "agg_median_test",            # 1-row doubled-median scalar broadcast crossJoin
+    "events_power_analysis",      # 1-row doubled-median scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -673,3 +673,103 @@ def test_streaming_moment_state_matches_batch(spark, tmp_path):
             mean = s1 / n
             var = (s2 - s1 * s1 / n) / (n - 1)
             assert var >= 0
+
+
+def test_triplet_mining_matches_bruteforce(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        TRIPLET_ANCHORS,
+        TRIPLET_MARGIN,
+        embedding_triplet_mining,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {
+        r.vec_id: (np.array(r.embedding, dtype="float64"), r.label)
+        for r in emb.itertuples()
+    }
+    got = {
+        r["anchor_id"]: r
+        for r in embedding_triplet_mining(spark, SF).collect()
+    }
+    for aid, (av, albl) in vecs.items():
+        if aid >= TRIPLET_ANCHORS:
+            continue
+        pos, neg = [], []
+        for vid, (v, lbl) in vecs.items():
+            if vid == aid:
+                continue
+            denom = np.linalg.norm(av) * np.linalg.norm(v)
+            if denom == 0:
+                continue
+            c = round(float(av @ v / denom), 6)
+            (pos if lbl == albl else neg).append((c, vid))
+        if not pos or not neg:
+            assert aid not in got
+            continue
+        hard_p = min(pos)  # lowest cosine, then smallest id
+        hard_n = max(neg, key=lambda t: (t[0], -t[1]))
+        # engine tiebreak: highest cosine, then SMALLEST vec_id
+        best_c = max(c for c, _ in neg)
+        hard_n = (best_c, min(v for c, v in neg if c == best_c))
+        r = got[aid]
+        assert (r["pos_sim"], r["pos_id"]) == hard_p
+        assert (r["neg_sim"], r["neg_id"]) == hard_n
+        loss = round(hard_n[0] - hard_p[0] + TRIPLET_MARGIN, 6)
+        assert abs(r["triplet_loss_term"] - loss) < 1e-9
+        assert r["is_active"] == (1 if loss > 0 else 0)
+
+
+def test_median_test_matches_pandas(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import agg_median_test
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    x = (o["o_totalprice"] * 100).round()
+    hi = (x > x.median()).astype(int)
+    tab = pd.crosstab(o["o_orderpriority"], hi)
+    if 1 not in tab.columns:
+        tab[1] = 0
+    if 0 not in tab.columns:
+        tab[0] = 0
+    n = len(o)
+    a = int(hi.sum())
+    chi2 = 0.0
+    for _, row in tab.iterrows():
+        n_i = row.sum()
+        for col, tot_col in ((1, a), (0, n - a)):
+            exp = n_i * tot_col / n
+            chi2 += (row.get(col, 0) - exp) ** 2 / exp
+    r = agg_median_test(spark, SF).collect()[0]
+    assert r["n_groups"] == tab.shape[0]
+    assert r["n_rows"] == n
+    assert r["dof"] == tab.shape[0] - 1
+    assert abs(r["chi2_stat"] - chi2) < 1e-3
+
+
+def test_power_analysis_formula_and_monotonicity(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        POWER_MDE_PP,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+        events_power_analysis,
+    )
+
+    rows = sorted(
+        events_power_analysis(spark, SF01).collect(),
+        key=lambda r: r["lift_pp"],
+    )
+    assert len(rows) == len([m for m in POWER_MDE_PP])
+    # bigger detectable lifts need fewer users per arm
+    ns = [r["n_per_arm"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        p1 = r["conv_users"] / r["n_users"]
+        p2 = p1 + r["lift_pp"] / 100.0
+        pbar = (p1 + p2) / 2
+        num = POWER_Z_ALPHA * math.sqrt(
+            2 * pbar * (1 - pbar)
+        ) + POWER_Z_BETA * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        expect = math.ceil(num * num / (p2 - p1) ** 2)
+        assert r["n_per_arm"] == expect
+        assert r["currently_powered"] == (
+            1 if r["n_users"] // 2 >= expect else 0
+        )
