@@ -1762,15 +1762,11 @@ _RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
                AS island
       FROM w WHERE lower(word) NOT IN ({_RAKE_IN})
     ),
-    ph AS (
-      SELECT doc_id, island,
-             string_agg(word, ' ' ORDER BY pos) AS phrase,
-             CAST(count(*) AS BIGINT) AS plen
-      FROM nw GROUP BY 1, 2
-    ),
     pw AS (
-      SELECT nw.word, ph.plen, ph.phrase, ph.doc_id, ph.island
-      FROM nw JOIN ph USING (doc_id, island)
+      SELECT doc_id, island, word, pos,
+             CAST(count(*) OVER (PARTITION BY doc_id, island) AS BIGINT)
+               AS plen
+      FROM nw
     ),
     ws AS (
       SELECT word,
@@ -1778,10 +1774,10 @@ _RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
       FROM pw GROUP BY 1
     ),
     scored AS (
-      SELECT pw.phrase, pw.doc_id, pw.island,
+      SELECT string_agg(pw.word, ' ' ORDER BY pw.pos) AS phrase,
              CAST(sum(ws.s_u) AS BIGINT) AS score_u
       FROM pw JOIN ws USING (word)
-      GROUP BY 1, 2, 3
+      GROUP BY pw.doc_id, pw.island
     ),
     agg AS (
       SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
@@ -1805,10 +1801,12 @@ _RAKE_IN = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
     "Word scores quantize to integer micro-units before the phrase sum, "
     f"so the top-{RAKE_TOPK} ranking hash-verifies. Identical phrase "
     "texts share one score by construction (min(score_u) is a no-op "
-    "collapse both engines apply). Plan: one posexplode pass, shuffles "
-    "keyed on (doc, island) then (word) then (phrase) — every relation "
-    "after the explode is phrase- or vocab-sized, the multi-word phrase "
-    "mining shape tokenizer prep runs beside docs_pmi_collocations.",
+    "collapse both engines apply). Plan: one posexplode pass; phrase "
+    "lengths come from a window on the SAME (doc, island) keys the "
+    "phrase aggregation groups by (exchange reused, no exploded "
+    "self-join); word scores are a vocab-sized broadcast back — the "
+    "multi-word phrase mining shape tokenizer prep runs beside "
+    "docs_pmi_collocations.",
 )
 def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
@@ -1820,18 +1818,18 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
     )
-    ph = nw.groupBy("doc_id", "island").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s.getField("word"),
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("bigint").alias("plen"),
-    )
-    pw = nw.join(ph, ["doc_id", "island"]).select(
-        "word", "plen", "phrase", "doc_id", "island"
+    # phrase length via a window on the SAME (doc_id, island) keys the
+    # phrase groupBy uses — no exploded-relation self-join, and the
+    # island exchange is reused across both
+    pw = nw.select(
+        "doc_id",
+        "island",
+        "word",
+        "pos",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id", "island"))
+        .cast("bigint")
+        .alias("plen"),
     )
     ws = pw.groupBy("word").agg(
         F.round(1000000.0 * F.sum("plen") / F.count(F.lit(1)))
@@ -1840,8 +1838,17 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         pw.join(maybe_broadcast(ws), "word")
-        .groupBy("phrase", "doc_id", "island")
-        .agg(F.sum("s_u").cast("bigint").alias("score_u"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+            ).alias("phrase"),
+            F.sum("s_u").cast("bigint").alias("score_u"),
+        )
     )
     agg = scored.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ"),
@@ -1857,7 +1864,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score_u") / 1000000.0, 6).alias("rake_score"),
         F.col("rn").cast("bigint").alias("rn"),
     )
-    return persist_until_collected(nw, out)
+    return persist_until_collected(pw, out)
 
 
 # ---------------------------------------------------------------------------
