@@ -773,3 +773,127 @@ def test_power_analysis_formula_and_monotonicity(spark):
         assert r["currently_powered"] == (
             1 if r["n_users"] // 2 >= expect else 0
         )
+
+
+def test_streaming_moment_state_survives_restart(spark, tmp_path):
+    """The moment state (and its event_id dedup buffer) must survive a
+    stop/restart from checkpoint: batch 1 runs, the query stops, batch 2
+    (with replayed duplicates) lands, a NEW query restarts from the same
+    checkpoint — final moments equal the batch distinct-aggregation over
+    ALL events, proving state recovery + replay idempotence together."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.streaming.windows import (
+        EVENTS_DDL,
+        moment_state_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    feed = str(tmp_path / "feed")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(feed)
+
+        def write_snapshot(batch_df, _epoch):
+            batch_df.write.mode("overwrite").parquet(snap)
+
+        return (
+            moment_state_stream(stream)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_snapshot)
+            .start()
+        )
+
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(feed, mode="append")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    ev.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 6 == 0)
+    ).write.parquet(feed, mode="append")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    streamed = {
+        r["event_type"]: (r["n"], r["s1"], int(r["s2"]))
+        for r in spark.read.parquet(snap).collect()
+    }
+    batch = {
+        r["event_type"]: (r["n"], r["s1"], int(r["s2"]))
+        for r in ev.filter(
+            F.col("value").isNotNull() & F.col("event_id").isNotNull()
+        )
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_type",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v4").cast("bigint").alias("s1"),
+            F.sum((F.col("v4") * F.col("v4")).cast("decimal(38,0)")).alias("s2"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_poisson_weight_ladder_calibration(spark):
+    """The md5-uniform CDF ladder must actually produce Poisson(1)
+    weights: over the replicated (order, replicate) grid, the empirical
+    mean weight is ~1 and P(w=0) is ~1/e — validating the hard-coded
+    thresholds end-to-end rather than trusting the constants."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        _POIS_CUM,
+        agg_bootstrap_poisson,  # noqa: F401 - ladder constants under test
+    )
+
+    # re-derive thresholds independently from the Poisson(1) pmf
+    pmf, cum, fact = [], [], 1
+    for k in range(len(_POIS_CUM)):
+        if k:
+            fact *= k
+        pmf.append(math.exp(-1.0) / fact)
+        cum.append(sum(pmf))
+        assert abs(_POIS_CUM[k] - cum[k]) < 1e-15, k
+    # empirical check over a deterministic hash grid
+    n, b = 2000, 40
+    df = (
+        spark.range(n)
+        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(b // 4 - 1))))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("id").cast("string"), F.lit(":"), F.col("g").cast("string")
+                )
+            ),
+        )
+        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.col("h"), F.lit(1) + F.col("slot") * 7, F.lit(7)),
+                    16,
+                    10,
+                ).cast("bigint")
+                / F.lit(float(1 << 28))
+            ).alias("u")
+        )
+    )
+    w_expr = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w_expr = F.when(F.col("u") < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w_expr)
+    stats = df.select(w_expr.alias("w")).agg(
+        F.avg("w").alias("mean_w"),
+        F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+    ).collect()[0]
+    assert abs(stats["mean_w"] - 1.0) < 0.01
+    assert abs(stats["p0"] - math.exp(-1.0)) < 0.01
