@@ -156,14 +156,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.orderBy(F.desc("score_u"), F.asc("doc_id"))),
     )
-    # dl feeds both the corpus scalar and the per-term join; pin it for the
-    # result's lifetime so the explode pass isn't recomputed per consumer
+    # dl feeds both the corpus scalar and the per-term join, and wq feeds
+    # both tf and df: pin BOTH for the result's lifetime so the corpus
+    # explode runs twice (lengths + filtered postings), not three times
     out = ranked.filter(F.col("rn") <= BM25_TOPK).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
         F.col("rn").cast("bigint").alias("rn"),
     )
-    return persist_until_collected(dl, out)
+    return persist_until_collected(wq, persist_until_collected(dl, out))
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +353,7 @@ def orders_ols_multifactor(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag, n,
              m3 / (m2 * sqrt(m2)) AS skew,
              m4 / (m2 * m2) AS kurt
-      FROM m
+      FROM m WHERE m2 > 0
     )
     SELECT l_returnflag, n,
            round(skew, 6) AS skewness,
@@ -409,7 +410,10 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3.0 * m1 * m1 * m1 * m1
         ).alias("m4"),
     )
-    k = m.select(
+    # a constant group has m2 exactly 0 (sums are exact): drop it in both
+    # engines rather than emit a 0/0 whose NULL-vs-NaN spelling is a
+    # DuckDB-version detail (ieee_floating_point_ops default flipped in 1.1)
+    k = m.filter(F.col("m2") > 0).select(
         "l_returnflag",
         "n",
         (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skew"),
@@ -467,22 +471,21 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT
-        CAST(round(szz - CAST(sz AS DOUBLE) * sz / n_i) AS BIGINT) AS ssw_i,
+        CAST(round(szz - CAST(sz AS DOUBLE) * sz / n_i) AS HUGEINT) AS ssw_i,
         CAST(round(n_i * ((CAST(sz AS DOUBLE) / n_i - tot.zbar)
-             * (CAST(sz AS DOUBLE) / n_i - tot.zbar))) AS BIGINT) AS ssb_i,
+             * (CAST(sz AS DOUBLE) / n_i - tot.zbar))) AS HUGEINT) AS ssb_i,
         tot.nn, tot.k
       FROM g CROSS JOIN tot
     ),
     f AS (
-      SELECT CAST(sum(ssw_i) AS BIGINT) AS ssw,
-             CAST(sum(ssb_i) AS BIGINT) AS ssb,
+      SELECT CAST(sum(ssw_i) AS DOUBLE) AS ssw,
+             CAST(sum(ssb_i) AS DOUBLE) AS ssb,
              CAST(min(nn) AS BIGINT) AS nn, CAST(min(k) AS BIGINT) AS k
       FROM terms
     )
     SELECT k AS n_groups, nn AS n_rows,
-           round((CAST(ssb AS DOUBLE) / (k - 1))
-                 / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS bf_stat
-    FROM f WHERE k > 1 AND nn > k
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS bf_stat
+    FROM f WHERE k > 1 AND nn > k AND ssw > 0
     """,
     doc="Brown-Forsythe variance-homogeneity test (Levene with group "
     "MEDIANS — robust to the heavy tails that break the mean-based form) "
@@ -520,36 +523,45 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
     zbar_i = F.col("sz").cast("double") / F.col("n_i")
+    # ssw_i alone reaches ~6e18 at sf0.1 and the k-row sum exceeds
+    # INT64: accumulate as DECIMAL(38,0)/HUGEINT (the module's rule for
+    # any squared-sum), exact and order-free, cast to DOUBLE only at the
+    # final ratio
     terms = g.crossJoin(F.broadcast(tot)).select(
         F.round(
             F.col("szz") - F.col("sz").cast("double") * F.col("sz") / F.col("n_i")
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("ssw_i"),
         F.round(
             F.col("n_i")
             * ((zbar_i - F.col("zbar")) * (zbar_i - F.col("zbar")))
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("ssb_i"),
         "nn",
         "k",
     )
     f = terms.agg(
-        F.sum("ssw_i").cast("bigint").alias("ssw"),
-        F.sum("ssb_i").cast("bigint").alias("ssb"),
+        F.sum("ssw_i").cast("double").alias("ssw"),
+        F.sum("ssb_i").cast("double").alias("ssb"),
         F.min("nn").cast("bigint").alias("nn"),
         F.min("k").cast("bigint").alias("k"),
     )
     out = f.select(
         F.col("k").alias("n_groups"),
         F.col("nn").alias("n_rows"),
+        F.col("ssw").alias("ssw_d"),
         F.round(
-            (F.col("ssb").cast("double") / (F.col("k") - 1))
-            / (F.col("ssw").cast("double") / (F.col("nn") - F.col("k"))),
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
             6,
         ).alias("bf_stat"),
-    ).filter((F.col("n_groups") > 1) & (F.col("n_rows") > F.col("n_groups")))
+    ).filter(
+        (F.col("n_groups") > 1)
+        & (F.col("n_rows") > F.col("n_groups"))
+        & (F.col("ssw_d") > 0)
+    ).drop("ssw_d")
     return persist_until_collected(b, persist_until_collected(g, out))
 
 
@@ -1535,7 +1547,7 @@ def orders_mape_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n1, n0, m1, m0,
              (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
                               / (n1 + n0 - 2)) AS cohens_d
-      FROM v
+      FROM v WHERE (n1 - 1) * v1 + (n0 - 1) * v0 > 0
     )
     SELECT n1, n0,
            round((m1 - m0) / 10000.0, 4) AS mean_diff,
@@ -1604,7 +1616,12 @@ def events_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n0") - 1)
         ).alias("v0"),
     )
-    d = v.select(
+    # identical constant values in both cohorts make the pooled variance
+    # exactly 0: drop the row in both engines (0/0 spelling is a DuckDB
+    # version detail)
+    d = v.filter(
+        (F.col("n1") - 1) * F.col("v1") + (F.col("n0") - 1) * F.col("v0") > 0
+    ).select(
         "n1",
         "n0",
         "m1",
@@ -1894,10 +1911,10 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT y, CAST(count(*) AS BIGINT) AS n_parts,
-             CAST(sum(p_u * q0) AS DOUBLE) AS l_num,
-             CAST(sum(p0 * q0) AS DOUBLE) AS l_den,
-             CAST(sum(p_u * q) AS DOUBLE) AS p_num,
-             CAST(sum(p0 * q) AS DOUBLE) AS p_den
+             CAST(sum(CAST(p_u * q0 AS HUGEINT)) AS DOUBLE) AS l_num,
+             CAST(sum(CAST(p0 * q0 AS HUGEINT)) AS DOUBLE) AS l_den,
+             CAST(sum(CAST(p_u * q AS HUGEINT)) AS DOUBLE) AS p_num,
+             CAST(sum(CAST(p0 * q AS HUGEINT)) AS DOUBLE) AS p_den
       FROM j GROUP BY 1
     )
     SELECT y AS year, n_parts,
@@ -1947,10 +1964,18 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = j.groupBy("y").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-        F.sum(F.col("p_u") * F.col("q0")).cast("double").alias("l_num"),
-        F.sum(F.col("p0") * F.col("q0")).cast("double").alias("l_den"),
-        F.sum(F.col("p_u") * F.col("q")).cast("double").alias("p_num"),
-        F.sum(F.col("p0") * F.col("q")).cast("double").alias("p_den"),
+        F.sum((F.col("p_u") * F.col("q0")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("l_num"),
+        F.sum((F.col("p0") * F.col("q0")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("l_den"),
+        F.sum((F.col("p_u") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("p_num"),
+        F.sum((F.col("p0") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("p_den"),
     )
     out = s.select(
         F.col("y").alias("year"),
@@ -2095,6 +2120,7 @@ def agg_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / ((n_hi + n_lo) * (n_hi + n_lo) * 1.0
                            * (n_hi + n_lo - 1))), 4) AS z_stat
     FROM s WHERE n_hi > 0 AND n_lo > 0
+      AND 2.0 * n_hi * n_lo - n_hi - n_lo > 0
     """,
     doc="Wald-Wolfowitz runs test for randomness of the daily revenue "
     "series around its median (doubled-median integer split, so the "
@@ -2143,13 +2169,19 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (2.0 * n_hi * n_lo - n_hi - n_lo)
         / ((n_hi + n_lo) * (n_hi + n_lo) * 1.0 * (n_hi + n_lo - 1))
     )
+    # n_hi = n_lo = 1 makes sigma exactly 0: drop the row in both
+    # engines rather than divide by zero
     out = s.select(
         "runs",
         "n_hi",
         "n_lo",
         F.round(mu, 4).alias("expected_runs"),
         F.round((F.col("runs") - mu) / sigma, 4).alias("z_stat"),
-    ).filter((n_hi > 0) & (n_lo > 0))
+    ).filter(
+        (n_hi > 0)
+        & (n_lo > 0)
+        & (2.0 * n_hi * n_lo - n_hi - n_lo > 0)
+    )
     return persist_until_collected(d, out)
 
 
@@ -2485,7 +2517,6 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("conv").cast("bigint").alias("conv_users"),
     )
-    base = persist_until_collected(p, base)
     mde = F.explode(
         F.array(*[F.lit(m) for m in POWER_MDE_PP])
     ).alias("lift_pp")
@@ -2505,7 +2536,7 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         POWER_Z_BETA
     ) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
     n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("bigint")
-    return calc.filter(p2 < 1.0).select(
+    out = calc.filter(p2 < 1.0).select(
         "n_users",
         "conv_users",
         "lift_pp",
@@ -2516,3 +2547,4 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("currently_powered"),
     )
+    return persist_until_collected(p, out)
