@@ -897,3 +897,89 @@ def test_poisson_weight_ladder_calibration(spark):
     ).collect()[0]
     assert abs(stats["mean_w"] - 1.0) < 0.01
     assert abs(stats["p0"] - math.exp(-1.0)) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure python) — the mathematical identities the round-9
+# operators rest on, checked over random inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=40))
+def test_pettitt_rank_identity_under_ties(xs):
+    """The operator's rank formulation U_t = 2*S_t - t*(n+1) (with
+    average-rank ties) must equal the defining sign double-sum
+    U_t = sum_{i<=t, j>t} sign(x_i - x_j) for EVERY split point — the
+    identity that lets the distributed plan avoid the O(n^2) pairs."""
+    n = len(xs)
+    # average ranks: min-rank + (ties - 1) / 2
+    order = sorted(range(n), key=lambda i: xs[i])
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[order[j]] == xs[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of positions i+1 .. j
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    s = 0.0
+    for t in range(1, n):
+        s += ranks[t - 1]
+        u_rank = 2.0 * s - t * (n + 1)
+        u_sign = sum(
+            (xs[i] > xs[j]) - (xs[i] < xs[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        assert abs(u_rank - u_sign) < 1e-9, (t, u_rank, u_sign)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+def test_poisson_ladder_inverts_cdf(u):
+    """The CASE ladder is the inverse CDF: for any uniform u, the weight k
+    it assigns satisfies CDF(k-1) <= u < CDF(k)."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import _POIS_CUM
+
+    k = next((i for i, t in enumerate(_POIS_CUM) if u < t), len(_POIS_CUM))
+    if k > 0:
+        assert u >= _POIS_CUM[k - 1]
+    if k < len(_POIS_CUM):
+        assert u < _POIS_CUM[k]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60
+    )
+)
+def test_holt_integer_fold_is_float_smoothing(xs):
+    """The integer-cent Holt fold stays within 1 cent per step of the
+    unquantized float recursion — re-quantization bounds the drift."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    li, bi = xs[0], 0  # integer state
+    lf, bf = float(xs[0]), 0.0  # float state
+    for x in xs[1:]:
+        l_new = math.floor(HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (li + bi) + 0.5)
+        bi = math.floor(
+            HOLT_BETA * (l_new - li) + (1 - HOLT_BETA) * bi + 0.5
+        )
+        li = l_new
+        lf_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lf + bf)
+        bf = HOLT_BETA * (lf_new - lf) + (1 - HOLT_BETA) * bf
+        lf = lf_new
+        # quantization error is a geometric series with ratio < 1: the
+        # integer state tracks the float recursion within a few cents
+        assert abs(li - lf) < 5.0
+        assert abs(bi - bf) < 5.0
