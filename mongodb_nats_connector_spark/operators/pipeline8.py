@@ -677,16 +677,17 @@ SMOOTH_ALPHA = 0.3
       FROM orders GROUP BY 1, 2
     ),
     series AS (
-      SELECT priority, month, rev_c / 100.0 AS x,
-             list(rev_c / 100.0) OVER (
+      SELECT priority, month, rev_c,
+             list(rev_c) OVER (
                PARTITION BY priority ORDER BY month
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
       FROM monthly
     )
-    SELECT priority, month, round(x, 2) AS revenue,
-           round(list_reduce(CAST(xs AS DOUBLE[]),
-                 (acc, x) -> round({SMOOTH_ALPHA} * x
-                                   + {1 - SMOOTH_ALPHA} * acc, 6)), 4)
+    SELECT priority, month, round(rev_c / 100.0, 2) AS revenue,
+           round(list_reduce(xs,
+                 (acc, x) -> CAST(round(CAST({SMOOTH_ALPHA} AS DOUBLE) * x
+                     + CAST({1 - SMOOTH_ALPHA!r} AS DOUBLE) * acc)
+                   AS BIGINT)) / 100.0, 2)
              AS smoothed
     FROM series
     """,
@@ -694,10 +695,13 @@ SMOOTH_ALPHA = 0.3
     "revenue per order priority — the recursive filter S_t = aX_t + "
     "(1-a)S_(t-1), which no plain window sum can express order-safely. The "
     "recursion runs as an explicit sequential FOLD over the series prefix "
-    "(Spark `aggregate` HOF / DuckDB list_reduce), rounding at EVERY step "
-    "so both engines traverse the identical representable-double path — "
-    "the same discipline as the BPE merge fold. Inputs are exact integer "
-    "cents. The fact table reduces map-side to (priority, month) rows; "
+    "(Spark `aggregate` HOF / DuckDB list_reduce) whose state is INTEGER "
+    "CENTS, re-quantized every step: decimal-place rounding of large "
+    "doubles is where the engines' round() conventions diverge (Spark "
+    "rounds the shortest decimal repr half-up, DuckDB the FP-scaled "
+    "product — a real 1-ulp divergence surfaced at sf0.1), while "
+    "round-to-integer only differs on exact .5 doubles, which the dyadic "
+    "smoothing products cannot hit. Inputs are exact integer cents. The fact table reduces map-side to (priority, month) rows; "
     "prefix arrays exist only on that tiny relation, partitioned per "
     "series — at 100 TB the per-series state is months-long, never "
     "fact-proportional.",
@@ -720,19 +724,19 @@ def orders_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = monthly.select(
         "priority",
         "month",
-        (F.col("rev_c") / 100.0).alias("x"),
-        F.collect_list(F.col("rev_c") / 100.0).over(w).alias("xs"),
+        "rev_c",
+        F.collect_list("rev_c").over(w).alias("xs"),
     )
     fold = F.expr(
         f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
-        f"(acc, x) -> round({SMOOTH_ALPHA}D * x "
-        f"+ {1 - SMOOTH_ALPHA}D * acc, 6))"
+        f"(acc, x) -> CAST(round({SMOOTH_ALPHA}D * x "
+        f"+ {1 - SMOOTH_ALPHA}D * acc) AS BIGINT))"
     )
     return series.select(
         "priority",
         "month",
-        F.round("x", 2).alias("revenue"),
-        F.round(fold, 4).alias("smoothed"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(fold / 100.0, 2).alias("smoothed"),
     )
 
 

@@ -166,22 +166,24 @@ def test_exp_smoothing_matches_recursion(spark):
         orders_exp_smoothing,
     )
 
+    import math
+
     out = orders_exp_smoothing(spark, SF).toPandas()
     for prio, g in out.groupby("priority"):
         g = g.sort_values("month")
         s = None
         for _, r in g.iterrows():
+            x_c = round(r["revenue"] * 100)
+            # integer-cent fold, half rounding AWAY from zero like both
+            # engines (python round() is half-to-even)
             s = (
-                r["revenue"]
+                x_c
                 if s is None
-                else round(SMOOTH_ALPHA * r["revenue"] + (1 - SMOOTH_ALPHA) * s, 6)
+                else math.floor(
+                    SMOOTH_ALPHA * x_c + (1 - SMOOTH_ALPHA) * s + 0.5
+                )
             )
-            # tolerance: Python's round() is binary half-even while both
-            # engines round HALF_UP on the decimal repr — at an exact
-            # x.xxxxx50 step boundary the paths differ by 1e-6, visible as
-            # 1e-4 after the final 4-decimal round. Any real recursion bug
-            # (wrong alpha, wrong order) diverges by orders of magnitude.
-            assert abs(r["smoothed"] - round(s, 4)) < 2.1e-4, (prio, r["month"])
+            assert abs(r["smoothed"] - s / 100.0) < 1e-9, (prio, r["month"])
 
 
 def test_intervals_union_matches_sweep(spark):

@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("PROBE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
