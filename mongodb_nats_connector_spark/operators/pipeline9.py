@@ -2548,3 +2548,461 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("currently_powered"),
     )
     return persist_until_collected(p, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_spearman_corr — Spearman rank correlation with midrank ties
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_spearman_corr",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    r AS (
+      SELECT
+        CAST(2 * rank() OVER (ORDER BY x)
+             + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+        CAST(2 * rank() OVER (ORDER BY y)
+             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM b
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(rx2 * rx2 AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ry2 * ry2 AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(sum(CAST(rx2 * ry2 AS HUGEINT)) AS DOUBLE) AS sxy
+      FROM r
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho,
+           round(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * sqrt((n - 2)
+                   / (1.0 - ((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                     * ((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))))),
+                 4) AS t_stat
+    FROM s
+    WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="Spearman rank correlation between quantity and extended price "
+    "with proper midrank tie handling — the monotonic-association "
+    "complement to Pearson (agg_regression): doubled midranks "
+    "(2*rank + ties - 1) are exact integers, the five sufficient sums "
+    "accumulate as DECIMAL/HUGEINT, and rho plus its t statistic are "
+    "closed-form double arithmetic written identically in both engines. "
+    "Zero-variance sides (all-equal values) emit zero rows. The ranks "
+    "are the scale bound: one ordered window per variable at bench "
+    "scale, the standard range-partitioned two-pass rank at 100 TB — "
+    "the moment aggregation itself is one map-combined shuffle.",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    r = b.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("ry2"),
+    )
+
+    def dsum(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("rx2")).alias("sx"),
+        dsum(F.col("ry2")).alias("sy"),
+        dsum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        dsum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        dsum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary)
+    return s.filter((n > 2) & (varx > 0) & (vary > 0)).select(
+        "n",
+        F.round(rho, 6).alias("spearman_rho"),
+        F.round(rho * F.sqrt((n - 2) / (1.0 - rho * rho)), 4).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_nelson_aalen — cumulative hazard of repeat purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_nelson_aalen",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS t1 FROM o2 WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS t2 FROM o2 WHERE rn = 2),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(s.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE), CAST(m.tmax AS DATE))
+             END AS BIGINT) AS dur,
+             CAST(CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey, mx m
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM obs),
+    g AS (
+      SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur, d,
+             tot.n0 - coalesce(sum(leaving) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    haz AS (
+      SELECT dur, d, n_risk,
+             CAST(sum(CAST(round(1000000000.0 * d / n_risk) AS BIGINT))
+                  OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS h_nn
+      FROM risk WHERE d > 0
+    )
+    SELECT dur AS duration_days, d AS n_events, n_risk,
+           round(h_nn / 1000000000.0, 6) AS cum_hazard,
+           round(exp(0.0 - h_nn / 1000000000.0), 6) AS survival_na
+    FROM haz
+    """,
+    doc="Nelson-Aalen cumulative hazard of the second purchase (with "
+    "right-censoring at the horizon) — the estimator-of-choice when the "
+    "HAZARD, not the survival curve, is the readout (its exp(-H) "
+    "Fleming-Harrington survival rides along, the low-risk-set-robust "
+    "sibling of orders_survival_km's product-limit). Per-duration "
+    "increments d/n quantize to integer nano-units BEFORE the cumulative "
+    "sum, so the running hazard is an exact-integer prefix sum that "
+    "hash-verifies. Same plan shape as KM: one per-customer window for "
+    "first/second orders, risk sets as a cumulative window over the "
+    "duration-grouped relation — everything after the first shuffle is "
+    "duration-cardinality-sized.",
+)
+def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o2 = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
+    )
+    firsts = o2.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("t1")
+    )
+    seconds = o2.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("t2")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("tmax").cast("date"), F.col("t1").cast("date"))
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).cast("bigint").alias("ev"),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    g = obs.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = g.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    haz = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.sum(
+            F.round(1000000000.0 * F.col("d") / F.col("n_risk")).cast("bigint")
+        )
+        .over(wcum)
+        .cast("bigint")
+        .alias("h_nn"),
+    )
+    out = haz.select(
+        F.col("dur").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.round(F.col("h_nn") / 1000000000.0, 6).alias("cum_hazard"),
+        F.round(F.exp(0.0 - F.col("h_nn") / 1000000000.0), 6).alias(
+            "survival_na"
+        ),
+    )
+    return persist_until_collected(obs, out)
+
+
+# ---------------------------------------------------------------------------
+# docs_js_divergence — Jensen-Shannon divergence between two sources
+# ---------------------------------------------------------------------------
+
+JS_SOURCE_A = "src0"
+JS_SOURCE_B = "src1"
+
+
+@register(
+    "docs_js_divergence",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE source IN ('{JS_SOURCE_A}', '{JS_SOURCE_B}')
+    ),
+    c AS (
+      SELECT word,
+             CAST(sum(CASE WHEN source = '{JS_SOURCE_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = '{JS_SOURCE_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM w GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM c
+    ),
+    terms AS (
+      SELECT
+        CASE WHEN ca > 0 THEN
+          CAST(round(1000000000.0 * (ca * 1.0 / tot.na)
+            * ln((ca * 1.0 / tot.na)
+                 / ((ca * 1.0 / tot.na + cb * 1.0 / tot.nb) / 2.0)))
+          AS BIGINT) ELSE 0 END AS ta,
+        CASE WHEN cb > 0 THEN
+          CAST(round(1000000000.0 * (cb * 1.0 / tot.nb)
+            * ln((cb * 1.0 / tot.nb)
+                 / ((ca * 1.0 / tot.na + cb * 1.0 / tot.nb) / 2.0)))
+          AS BIGINT) ELSE 0 END AS tb
+      FROM c CROSS JOIN tot
+    )
+    SELECT tot.na AS n_tokens_a, tot.nb AS n_tokens_b,
+           CAST(count(*) AS BIGINT) AS vocab_union,
+           round((CAST(sum(ta) AS BIGINT) + CAST(sum(tb) AS BIGINT))
+                 / 2.0 / 1000000000.0, 6) AS js_nats
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    HAVING tot.na > 0 AND tot.nb > 0
+    """,
+    doc=f"Jensen-Shannon divergence between the '{JS_SOURCE_A}' and "
+    f"'{JS_SOURCE_B}' word distributions — the SYMMETRIC, bounded "
+    "(<= ln 2) distribution distance for comparing corpus slices "
+    "(text_kl_divergence compares each doc to the corpus; JS compares "
+    "source to source, the drift metric dataset mixers watch). Each "
+    "word's two KL(P||M)/KL(Q||M) contributions quantize to integer "
+    "nano-nats BEFORE the vocab-wide sums, so the divergence "
+    "hash-verifies. One pushed-filter scan, one (word)-keyed "
+    "map-combined count, then vocab-sized arithmetic — at 100 TB the "
+    "only corpus-proportional work is the token count shuffle.",
+)
+def docs_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("source").isin(JS_SOURCE_A, JS_SOURCE_B)
+    )
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    c = w.groupBy("word").agg(
+        F.sum(F.when(F.col("source") == JS_SOURCE_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == JS_SOURCE_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    m = (F.col("ca") * 1.0 / F.col("na") + F.col("cb") * 1.0 / F.col("nb")) / 2.0
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.when(
+            F.col("ca") > 0,
+            F.round(1000000000.0 * pa * F.log(pa / m)).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("ta"),
+        F.when(
+            F.col("cb") > 0,
+            F.round(1000000000.0 * pb * F.log(pb / m)).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("tb"),
+    )
+    out = (
+        terms.groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+            F.round(
+                (F.sum("ta").cast("bigint") + F.sum("tb").cast("bigint"))
+                / 2.0
+                / 1000000000.0,
+                6,
+            ).alias("js_nats"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            "vocab_union",
+            "js_nats",
+        )
+    )
+    return persist_until_collected(c, out)
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_rate — entropy rate of the empirical event-type chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    tr AS (
+      SELECT prev, event_type AS nxt FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM e
+      ) WHERE prev IS NOT NULL
+    ),
+    j AS (
+      SELECT prev, nxt, CAST(count(*) AS BIGINT) AS nij FROM tr GROUP BY 1, 2
+    ),
+    mi AS (SELECT prev, CAST(sum(nij) AS BIGINT) AS ni FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM j),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM mi),
+    t AS (
+      SELECT CAST(round(1000000000.0 * (nij * 1.0 / tot.nn)
+               * ln(mi.ni * 1.0 / nij)) AS BIGINT) AS v
+      FROM j JOIN mi USING (prev) CROSS JOIN tot
+    ),
+    s AS (SELECT CAST(sum(v) AS BIGINT) AS s FROM t)
+    SELECT tot.nn AS n_transitions, st.n_states,
+           round(s.s / 1000000000.0, 6) AS entropy_rate_nats,
+           round(ln(CAST(st.n_states AS DOUBLE)), 6) AS max_entropy_nats,
+           round((s.s / 1000000000.0) / ln(CAST(st.n_states AS DOUBLE)), 6)
+             AS efficiency
+    FROM tot CROSS JOIN st CROSS JOIN s
+    WHERE st.n_states > 1
+    """,
+    doc="Entropy rate of the empirical per-user event-type Markov chain: "
+    "H = -sum pi_i p_ij ln p_ij with the empirical visit distribution as "
+    "pi — how PREDICTABLE the next action is given the current one "
+    "(efficiency = rate / ln(states): 1.0 means memoryless uniform, near "
+    "0 means deterministic journeys; the sequence-information complement "
+    "to events_user_transitions' raw matrix). Per-cell terms quantize to "
+    "integer nano-nats before the cell-count-sized sum. Plan: one "
+    "(user_id)-keyed lag window over pushed-filter events, one "
+    "map-combined count to the |types|^2 joint relation — everything "
+    "after is constant-size. Single-state chains emit zero rows.",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "event_type", F.lag("event_type").over(wlag).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("nxt"))
+    )
+    j = tr.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    mi = j.groupBy("prev").agg(F.sum("nij").cast("bigint").alias("ni"))
+    tot = j.agg(F.sum("nij").cast("bigint").alias("nn"))
+    st = mi.agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
+    t = (
+        j.join(maybe_broadcast(mi), "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1000000000.0
+                * (F.col("nij") * 1.0 / F.col("nn"))
+                * F.log(F.col("ni") * 1.0 / F.col("nij"))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    s = t.agg(F.sum("v").cast("bigint").alias("s"))
+    out = (
+        tot.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(s))
+        .filter(F.col("n_states") > 1)
+        .select(
+            F.col("nn").alias("n_transitions"),
+            "n_states",
+            F.round(F.col("s") / 1000000000.0, 6).alias("entropy_rate_nats"),
+            F.round(F.log(F.col("n_states").cast("double")), 6).alias(
+                "max_entropy_nats"
+            ),
+            F.round(
+                (F.col("s") / 1000000000.0)
+                / F.log(F.col("n_states").cast("double")),
+                6,
+            ).alias("efficiency"),
+        )
+    )
+    return persist_until_collected(j, out)

@@ -217,6 +217,9 @@ _ALLOWED_NESTED_LOOP = {
     "embedding_triplet_mining",   # broadcast NLJ of bounded anchor set (by design)
     "agg_median_test",            # 1-row doubled-median scalar broadcast crossJoin
     "events_power_analysis",      # 1-row doubled-median scalar broadcast crossJoin
+    "orders_nelson_aalen",        # 1-row horizon + cohort-size broadcast crossJoins
+    "docs_js_divergence",         # 1-row token-total scalar broadcast crossJoin
+    "events_entropy_rate",        # 1-row total/state/sum scalars broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -983,3 +983,126 @@ def test_holt_integer_fold_is_float_smoothing(xs):
         # integer state tracks the float recursion within a few cents
         assert abs(li - lf) < 5.0
         assert abs(bi - bf) < 5.0
+
+
+def test_spearman_matches_scipy_free_rederivation(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_spearman_corr,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    x = li["l_quantity"].round()
+    y = (li["l_extendedprice"] * 100).round()
+    rx = x.rank(method="average")
+    ry = y.rank(method="average")
+    rho = np.corrcoef(rx, ry)[0, 1]
+    r = agg_spearman_corr(spark, SF).collect()[0]
+    assert r["n"] == len(li)
+    assert abs(r["spearman_rho"] - rho) < 1e-5
+    t = rho * math.sqrt((len(li) - 2) / (1.0 - rho * rho))
+    assert abs(r["t_stat"] - t) < 1e-3
+
+
+def test_nelson_aalen_matches_lifelines_free_rederivation(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        orders_nelson_aalen,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    tmax = o["o_orderdate"].max().date()
+    durs, evs = [], []
+    for _, g in o.groupby("o_custkey"):
+        t1 = g.iloc[0]["o_orderdate"].date()
+        if len(g) > 1:
+            durs.append((g.iloc[1]["o_orderdate"].date() - t1).days)
+            evs.append(1)
+        else:
+            durs.append((tmax - t1).days)
+            evs.append(0)
+    df = pd.DataFrame({"dur": durs, "ev": evs}).sort_values("dur")
+    n = len(df)
+    got = {
+        r["duration_days"]: r for r in orders_nelson_aalen(spark, SF).collect()
+    }
+    h_nn = 0
+    seen = 0
+    for dur, g in df.groupby("dur"):
+        n_risk = n - seen
+        d = int(g["ev"].sum())
+        seen += len(g)
+        if d == 0:
+            assert dur not in got
+            continue
+        h_nn += round(1e9 * d / n_risk)
+        r = got[dur]
+        assert r["n_events"] == d and r["n_risk"] == n_risk
+        assert abs(r["cum_hazard"] - h_nn / 1e9) < 1e-6
+        assert abs(r["survival_na"] - math.exp(-h_nn / 1e9)) < 1e-6
+    # hazard is nondecreasing, survival nonincreasing, NA >= KM pointwise
+    hs = [got[k]["cum_hazard"] for k in sorted(got)]
+    assert hs == sorted(hs)
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        JS_SOURCE_A,
+        JS_SOURCE_B,
+        docs_js_divergence,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    from collections import Counter
+
+    ca = Counter(
+        w
+        for t in docs[docs["source"] == JS_SOURCE_A]["text"]
+        for w in t.split(" ")
+    )
+    cb = Counter(
+        w
+        for t in docs[docs["source"] == JS_SOURCE_B]["text"]
+        for w in t.split(" ")
+    )
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for w in set(ca) | set(cb):
+        p = ca.get(w, 0) / na
+        q = cb.get(w, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log(q / m)
+    r = docs_js_divergence(spark, SF).collect()[0]
+    assert r["n_tokens_a"] == na and r["n_tokens_b"] == nb
+    assert r["vocab_union"] == len(set(ca) | set(cb))
+    assert abs(r["js_nats"] - js) < 1e-5
+    assert 0.0 <= r["js_nats"] <= math.log(2) + 1e-9
+
+
+def test_entropy_rate_matches_crosstab(spark):
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_entropy_rate,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev[ev["user_id"].notna() & ev["ts"].notna() & ev["event_type"].notna()]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    pairs = []
+    for _, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        pairs += list(zip(types, types[1:]))
+    from collections import Counter
+
+    nij = Counter(pairs)
+    ni = Counter(p for p, _ in pairs)
+    nn = len(pairs)
+    h = sum(
+        (c / nn) * math.log(ni[p] / c) for (p, _), c in nij.items()
+    )
+    r = events_entropy_rate(spark, SF).collect()[0]
+    assert r["n_transitions"] == nn
+    assert r["n_states"] == len(ni)
+    assert abs(r["entropy_rate_nats"] - h) < 1e-5
+    assert 0.0 <= r["efficiency"] <= 1.0 + 1e-9
