@@ -40,6 +40,14 @@ from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
+def _dsum(expr: F.Column) -> F.Column:
+    """Exact order-independent sum for integer-valued terms that can
+    exceed 2^53 (or whose total can exceed 2^63): accumulate as
+    DECIMAL(38,0) — the Spark twin of the oracles' HUGEINT sums — and
+    hand back a DOUBLE only once, at the final scalar arithmetic."""
+    return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # text_bm25_topk — BM25 retrieval ranking over the documents corpus
 # ---------------------------------------------------------------------------
@@ -242,20 +250,17 @@ def orders_ols_multifactor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
 
-    def dsum(expr) -> F.Column:
-        return F.sum(expr.cast("decimal(38,0)")).cast("double")
-
     s = b.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(F.col("x1")).alias("sx1"),
-        dsum(F.col("x2")).alias("sx2"),
-        dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x1") * F.col("x1")).alias("sx11"),
-        dsum(F.col("x1") * F.col("x2")).alias("sx12"),
-        dsum(F.col("x2") * F.col("x2")).alias("sx22"),
-        dsum(F.col("x1") * F.col("y")).alias("sx1y"),
-        dsum(F.col("x2") * F.col("y")).alias("sx2y"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
+        _dsum(F.col("x1")).alias("sx1"),
+        _dsum(F.col("x2")).alias("sx2"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x1") * F.col("x1")).alias("sx11"),
+        _dsum(F.col("x1") * F.col("x2")).alias("sx12"),
+        _dsum(F.col("x2") * F.col("x2")).alias("sx22"),
+        _dsum(F.col("x1") * F.col("y")).alias("sx1y"),
+        _dsum(F.col("x2") * F.col("y")).alias("sx2y"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
     )
     n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
     sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
@@ -378,15 +383,12 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = F.col("x")
 
-    def dsum(expr) -> F.Column:
-        return F.sum(expr.cast("decimal(38,0)")).cast("double")
-
     s = b.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(x).alias("s1"),
-        dsum(x * x).alias("s2"),
-        dsum(x * x * x).alias("s3"),
-        dsum(x * x * x * x).alias("s4"),
+        _dsum(x).alias("s1"),
+        _dsum(x * x).alias("s2"),
+        _dsum(x * x * x).alias("s3"),
+        _dsum(x * x * x * x).alias("s4"),
     )
     r = s.select(
         "l_returnflag",
@@ -953,15 +955,12 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
 
-    def dsum(expr) -> F.Column:
-        return F.sum(expr.cast("decimal(38,0)")).cast("double")
-
     s = xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(F.col("x")).alias("sx"),
-        dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
     # all-equal gaps make the regression denominator exactly 0 (sums are
     # exact integers): emit zero rows instead of engine-specific inf/NaN
@@ -2629,16 +2628,13 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ry2"),
     )
 
-    def dsum(expr) -> F.Column:
-        return F.sum(expr.cast("decimal(38,0)")).cast("double")
-
     s = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(F.col("rx2")).alias("sx"),
-        dsum(F.col("ry2")).alias("sy"),
-        dsum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        dsum(F.col("ry2") * F.col("ry2")).alias("syy"),
-        dsum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        _dsum(F.col("rx2")).alias("sx"),
+        _dsum(F.col("ry2")).alias("sy"),
+        _dsum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        _dsum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        _dsum(F.col("rx2") * F.col("ry2")).alias("sxy"),
     )
     n = F.col("n")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
