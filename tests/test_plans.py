@@ -459,3 +459,49 @@ def test_registered_bucketed_join_is_colocated(spark):
     s = plan_string(df)
     assert "Bucketed: true" in s
     assert count_exchanges(df) == 1, f"bucketed join still shuffles:\n{s}"
+
+
+def test_ols_is_single_shuffle_moment_sketch(spark):
+    """Closed-form OLS must be ONE map-combined aggregation: a single
+    exchange carrying the 10-number sufficient-statistic row — the shape
+    that makes distributed regression O(1) reduce state."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        orders_ols_multifactor,
+    )
+
+    df = orders_ols_multifactor(spark, SF)
+    assert has_partial_aggregation(df), "sums must combine map-side"
+    assert count_exchanges(df) <= 1, "OLS needs exactly one shuffle"
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The BM25 ranking must end in TakeOrderedAndProject, never a full
+    sort of the scored relation."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import text_bm25_topk
+
+    assert has_take_ordered(text_bm25_topk(spark, SF))
+
+
+def test_bootstrap_replicate_agg_combines_map_side(spark):
+    """The Poisson bootstrap's 40-key replicate aggregation must partial-
+    aggregate before the exchange — the property that keeps the resample
+    'shuffle' at 40 rows per partition regardless of fact volume."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        agg_bootstrap_poisson,
+    )
+
+    assert has_partial_aggregation(agg_bootstrap_poisson(spark, SF))
+
+
+def test_entropy_rate_single_fact_exchange(spark):
+    """Everything after the (user_id)-keyed lag window and the joint count
+    is cell-sized: the plan may shuffle the facts once for the window and
+    once for the (prev, nxt) count, nothing more."""
+    from mongodb_nats_connector_spark.operators.pipeline9 import (
+        events_entropy_rate,
+    )
+
+    # fact-sized exchanges: user_id (window) + prev/nxt (count); the
+    # remaining exchanges move cell-sized relations only
+    df = events_entropy_rate(spark, SF)
+    assert has_partial_aggregation(df)
