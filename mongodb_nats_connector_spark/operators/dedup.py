@@ -258,18 +258,30 @@ _SIMHASH_ORACLE = f"""
       SELECT doc_id, simhash, c AS chunk_id,
              (simhash >> ({{cb}} * c)) & {{mask}} AS chunk_val
       FROM sigs, LATERAL (SELECT unnest(range({{chunks}})) AS c)
+    ), capped AS (
+      -- mirror the Spark side's MAX_BUCKET_MEMBERS mega-bucket guard
+      -- (functions/texthash.py): sort_array(collect_set(struct(doc_id,
+      -- simhash))) sliced to the cap keeps the lexicographically-lowest
+      -- members per (chunk_id, chunk_val); row_number over the same order
+      -- is the SQL equivalent, applied to BOTH join sides.
+      SELECT doc_id, simhash, chunk_id, chunk_val,
+             row_number() OVER (PARTITION BY chunk_id, chunk_val
+                                ORDER BY doc_id, simhash) AS rn
+      FROM chunks
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM chunks a
-    JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+    FROM capped a
+    JOIN capped b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
                  AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE a.rn <= {{cap}} AND b.rn <= {{cap}}
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """.format(
     bits=texthash.SIMHASH_BITS,
     chunks=texthash.SIMHASH_CHUNKS,
     cb=texthash.SIMHASH_CHUNK_BITS,
     mask=(1 << texthash.SIMHASH_CHUNK_BITS) - 1,
+    cap=texthash.MAX_BUCKET_MEMBERS,
 )
 
 
@@ -282,7 +294,9 @@ _SIMHASH_ORACLE = f"""
     "candidate-join shape as MinHash-LSH. The base token hash is the first "
     "15 md5 hex chars as int64 — identical in Spark and DuckDB, so the "
     "whole approximate pipeline (votes, signature, pigeonhole, Hamming "
-    "verify) is hash-verified end-to-end, not just executed.",
+    "verify) is hash-verified end-to-end, not just executed. The oracle "
+    "mirrors MAX_BUCKET_MEMBERS (row_number <= cap per chunk bucket on both "
+    "join sides), so parity holds even at SFs where buckets hit the cap.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)

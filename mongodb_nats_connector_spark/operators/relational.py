@@ -629,24 +629,38 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cume_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(cume_dist()    OVER w, 6) AS cume_dist,
-           round(percent_rank() OVER w, 6) AS pct_rank
-    FROM customer
+           CAST(row_number() OVER w AS DOUBLE) / CAST(cnt AS DOUBLE)
+             AS cume_dist,
+           CASE WHEN cnt = 1 THEN 0.0
+                ELSE CAST(row_number() OVER w - 1 AS DOUBLE)
+                     / CAST(cnt - 1 AS DOUBLE) END AS pct_rank
+    FROM (SELECT *, count(*) OVER (PARTITION BY c_nationkey) AS cnt
+          FROM customer)
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     doc="cume_dist / percent_rank per nation ordered by account balance — "
     "the distribution-position windows that complete the ranking family "
     "(row_number/rank/dense_rank/ntile are registered separately). One "
-    "shuffle on the partition key; both functions ride one sort.",
+    "shuffle on the partition key; both functions ride one sort. The "
+    "fractions are computed as exact integer row_number/count with ONE "
+    "IEEE division (c_custkey tie-break makes the order unique, so "
+    "row_number = rank = peer-inclusive position): correctly-rounded "
+    "division of identical integers is bit-identical across engines, "
+    "unlike the builtins' internal float paths (1-ulp divergence measured "
+    "at sf0.1).",
 )
 def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("c_nationkey"))
+    rn = F.row_number().over(w)
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        (rn.cast("double") / cnt.cast("double")).alias("cume_dist"),
+        F.when(cnt == 1, F.lit(0.0))
+        .otherwise((rn - 1).cast("double") / (cnt - 1).cast("double"))
+        .alias("pct_rank"),
     )
 
 
