@@ -35,7 +35,7 @@ from mongodb_nats_connector_spark.sources.tables import table
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type,
            CAST(count(*) AS BIGINT) AS n_transitions
@@ -46,10 +46,12 @@ from mongodb_nats_connector_spark.sources.tables import table
     doc="Event-sequence transition mining: per-user lag over (ts, event_id) "
     "order, then corpus-wide (prev, next) pair counts — the Markov-chain "
     "transition matrix of the event stream. One shuffle on user_id for the "
-    "window, one on the pair for the count.",
+    "window, one on the pair for the count. NULL event times are filtered "
+    "on both engines (Spark orders NULLs first, DuckDB last — an unguarded "
+    "lag would pair boundary events differently).",
 )
 def events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -102,18 +104,21 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT event_type, day, n,
-             (n - avg(n) OVER (PARTITION BY event_type))
-               / stddev_samp(n) OVER (PARTITION BY event_type) AS zscore
+             round((n - avg(n) OVER (PARTITION BY event_type))
+               / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS zscore
       FROM daily
     )
-    SELECT event_type, day, n, round(zscore, 4) AS zscore
+    SELECT event_type, day, n, zscore
     FROM scored
     WHERE abs(zscore) > 2.0
     """,
     doc="Daily-volume anomaly detection: per-type daily counts, population "
     "mean/stddev via an unordered window over the same partition (no second "
     "scan or self-join), flag |z| > 2 days. Window partitions by event_type "
-    "over the post-rollup series.",
+    "over the post-rollup series. The threshold filter runs on the ROUNDED "
+    "z-score on both engines: filtering the raw double would let a "
+    "stddev-algorithm ulp flip membership of a row that sits exactly on "
+    "the 2.0 boundary after rounding.",
 )
 def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -121,11 +126,13 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    z = F.round(
+        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+    )
     return (
         daily.withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > 2.0)
-        .select("event_type", "day", "n", F.round("zscore", 4).alias("zscore"))
+        .select("event_type", "day", "n", "zscore")
     )
 
 
@@ -316,22 +323,31 @@ def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_stats",
     oracle="""
+    WITH extracted AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(props->>'$.k', '^-?[0-9]+$')
+                  THEN TRY_CAST(props->>'$.k' AS INT) END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(count(CAST(props->>'$.k' AS INT)) AS BIGINT) AS n_with_k,
-           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
-           avg(CAST(props->>'$.k' AS INT)) AS avg_k,
-           CAST(count(DISTINCT CAST(props->>'$.k' AS INT)) AS BIGINT)
-             AS n_distinct_k
-    FROM events
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           avg(k) AS avg_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM extracted
     GROUP BY event_type
     """,
     doc="Semi-structured aggregation: extract the JSON payload field once "
     "(get_json_object -> typed int), then count/sum/avg/distinct per event "
-    "type. The extraction is a JVM expression inside codegen, not a UDF.",
+    "type. The extraction is a JVM expression inside codegen, not a UDF. "
+    "An integer-format regex gates the cast on BOTH engines: a malformed "
+    "or fractional value ('1.7', 'abc') becomes NULL identically, instead "
+    "of a strict-cast error (DuckDB) or engine-specific rounding.",
 )
 def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k_str = F.get_json_object("props", "$.k")
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.try_cast("int"))
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")

@@ -76,15 +76,17 @@ def cdc_subject_route(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id, ts,
              row_number() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) WHERE rn = 1
     """,
     doc="O9/Nats-Msg-Id dedup generalized: keep the first event per key — "
     "deterministic dropDuplicates via row_number (the consumer-side dedup "
-    "the reference delegates to NATS, internal/nats/client.go:124).",
+    "the reference delegates to NATS, internal/nats/client.go:124). NULL "
+    "event times are filtered on both engines: Spark orders NULLs first, "
+    "DuckDB last, which would flip which event counts as 'first'.",
 )
 def cdc_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.withColumn("rn", F.row_number().over(w))

@@ -1044,6 +1044,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
       FROM events WHERE event_type IN ('signup', 'purchase')
+        AND ts IS NOT NULL
     ), filled AS (
       SELECT user_id, ts, event_id, event_type,
              max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1083,8 +1084,11 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "downstream latency aggregates skip them.",
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-ts guard on both engines: an unordered-able row would land at
+    # opposite partition ends (Spark NULLS FIRST asc, DuckDB NULLS LAST).
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("signup", "purchase")
+        & F.col("ts").isNotNull()
     )
     tagged = ev.select(
         "user_id",

@@ -395,7 +395,7 @@ ROLL_FRAME = 6  # trailing 7-row frame (6 preceding + current)
              ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW), 6)
              AS rolling_median
     FROM events
-    WHERE user_id < 25
+    WHERE user_id < 25 AND ts IS NOT NULL
     """,
     doc="Exact rolling median (robust smoother for metric streams): per "
     "user, the interpolated median of the trailing 7-row frame. Spark's "
@@ -406,7 +406,11 @@ ROLL_FRAME = 6  # trailing 7-row frame (6 preceding + current)
     "the user_id pushdown predicate reaches the parquet scan.",
 )
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    # NULL-ts guard on both engines (Spark NULLS FIRST asc vs DuckDB LAST
+    # would put such rows in different frames).
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 25) & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -931,7 +935,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id,
@@ -972,7 +976,9 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "because sessions are day-contained in this dataset.",
 )
 def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL-ts guard on both engines: unordered-able rows would land at
+    # opposite partition ends and corrupt the sweep's +1/-1 endpoints.
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order)
     marked = ev.withColumn(

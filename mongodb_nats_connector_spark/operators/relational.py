@@ -494,6 +494,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
              event_type
       FROM events WHERE event_type IN ('signup', 'purchase')
+        AND ts IS NOT NULL
     ), filled AS (
       SELECT user_id, ts, event_id, event_type,
              max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -506,10 +507,14 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="As-of join (purchase -> most recent signup per user) via the "
     "union+last_value window trick: one shuffle on user_id, no per-row "
-    "backward scan; scales linearly unlike a naive range self-join.",
+    "backward scan; scales linearly unlike a naive range self-join. "
+    "NULL-ts rows are filtered on both engines (Spark NULLS FIRST asc vs "
+    "DuckDB LAST would place them at opposite partition ends).",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type").isin("signup", "purchase"))
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase") & F.col("ts").isNotNull()
+    )
     tagged = ev.withColumn(
         "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
     )
@@ -533,6 +538,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
              event_type
       FROM events WHERE event_type IN ('signup', 'purchase')
+        AND ts IS NOT NULL
     ), filled AS (
       SELECT user_id, ts, event_id, event_type,
              min(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -551,8 +557,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stays one exchange and linear at any scale.",
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-ts guard on both engines (cross-engine NULL ordering differs).
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "purchase")
+        F.col("event_type").isin("signup", "purchase") & F.col("ts").isNotNull()
     )
     tagged = ev.withColumn(
         "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
@@ -672,13 +679,15 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lead(value) OVER w, 2) AS next_value,
            round(first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW), 2) AS first_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
-    doc="lag/lead/first_value analytics per user ordered by event time.",
+    doc="lag/lead/first_value analytics per user ordered by event time. "
+    "NULL-ts rows are filtered on both engines (Spark orders NULLs first, "
+    "DuckDB last — lag/lead neighbors would differ).",
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -2370,7 +2379,7 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ORDER BY ts, event_id) = 1
                   THEN 1 ELSE 0 END AS first_seen,
              ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id,
            CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2387,7 +2396,8 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grows beyond the partition.",
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL-ts guard on both engines (cross-engine NULL ordering differs).
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first_seen = (
         F.row_number()
         .over(Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id"))
@@ -2419,6 +2429,7 @@ ASOF_TOLERANCE_MIN = 60
              CASE WHEN event_type = 'click' THEN event_id END AS click_id,
              event_type
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND ts IS NOT NULL
     ), filled AS (
       SELECT user_id, ts, event_id, event_type,
              max(click_ts) OVER w AS last_click_ts,
@@ -2443,8 +2454,9 @@ ASOF_TOLERANCE_MIN = 60
     "form and scales the same way.",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-ts guard on both engines (cross-engine NULL ordering differs).
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
+        F.col("event_type").isin("click", "purchase") & F.col("ts").isNotNull()
     )
     tagged = ev.select(
         "user_id",
@@ -2592,7 +2604,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS channel
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), attributed AS (
       SELECT coalesce(channel, 'none') AS channel
       FROM filled WHERE event_type = 'purchase'
@@ -2609,7 +2621,8 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar — the standard marketing/conversion analysis at any scale.",
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # NULL-ts guard on both engines (cross-engine NULL ordering differs).
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

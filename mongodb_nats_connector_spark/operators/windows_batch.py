@@ -21,13 +21,17 @@ from mongodb_nats_connector_spark.sources.tables import table
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type, count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events GROUP BY window_start, event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY window_start, event_type
     """,
     doc="Tumbling 1-hour event-time window aggregation "
-    "(groupBy(window(ts, '1 hour'))).",
+    "(groupBy(window(ts, '1 hour'))). NULL event times carry no window "
+    "assignment: Spark's window() drops them silently, so both engines "
+    "filter them explicitly — the guard keeps the semantics "
+    "engine-independent instead of leaning on that implicit drop.",
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -38,22 +42,25 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_window",
     oracle="""
-    WITH assigned AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+    WITH timed AS (
+      SELECT ts, value FROM events WHERE ts IS NOT NULL
+    ), assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM timed
       UNION ALL
       SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
                AS window_start, value
-      FROM events
+      FROM timed
     )
     SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
     FROM assigned GROUP BY window_start
     """,
     doc="Sliding window (1 h length, 30 min slide): each event lands in "
     "exactly two windows; the oracle materializes the same assignment with a "
-    "dual-bucket union.",
+    "dual-bucket union. NULL event times are filtered on both engines "
+    "(Spark's window() would drop them implicitly).",
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -67,7 +74,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN prev_ts IS NULL
@@ -88,10 +95,12 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Session windows (10-minute gap) per user via session_window(); the "
     "oracle reproduces gap-merge semantics with lag + cumulative-sum "
     "sessionization. Streaming variant (with watermark + state store) in "
-    "streaming/windows.py.",
+    "streaming/windows.py. NULL event times are filtered on both engines "
+    "(session_window() would drop them implicitly; the oracle's lag-order "
+    "would otherwise place them engine-dependently).",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
@@ -114,7 +123,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new,
              event_id, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts, event_id, value,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -132,12 +141,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then per-session stats. Two window passes over ONE partitioning "
     "(user_id) — a single shuffle; the batch analogue of "
     "session_window(ts, '30 minutes') and the standard formulation when "
-    "session ids must be stable/joinable downstream.",
+    "session ids must be stable/joinable downstream. NULL event times are "
+    "filtered on both engines: Spark orders NULLs first, DuckDB last, so "
+    "an unguarded ordered window would sessionize them differently.",
 )
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # unix_micros keeps exact sub-second precision as int64: the boundary
     # comparison must match the oracle's microsecond-exact interval
@@ -264,7 +275,7 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_trunc('month', o_orderdate) AS month,
              round(sum(o_totalprice), 2) AS revenue
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month, revenue,
            round(sum(revenue) OVER (ORDER BY month), 2) AS running_total,
@@ -276,12 +287,14 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate shrinks the data to one row per month BEFORE the windows, "
     "so the unpartitioned frames run over a month-count-sized relation — "
     "the right order of operations at any fact-table size (windowing the "
-    "raw facts first would serialize the corpus through one task).",
+    "raw facts first would serialize the corpus through one task). "
+    "NULL order dates are filtered on both engines: a NULL month would "
+    "sort first in Spark's running frame but last in DuckDB's.",
 )
 def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
