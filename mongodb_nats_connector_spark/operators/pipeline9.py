@@ -2562,22 +2562,31 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
       FROM lineitem
     ),
-    r AS (
-      SELECT
-        CAST(2 * rank() OVER (ORDER BY x)
-             + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
-        CAST(2 * rank() OVER (ORDER BY y)
-             + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
-      FROM b
+    cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY x, y
+    ),
+    xm AS (
+      SELECT x, CAST(2 * sum(cx) OVER (ORDER BY x) - cx + 1 AS BIGINT) AS rx2
+      FROM (SELECT x, CAST(sum(cnt) AS BIGINT) AS cx FROM cells GROUP BY x)
+    ),
+    ym AS (
+      SELECT y, CAST(2 * sum(cy) OVER (ORDER BY y) - cy + 1 AS BIGINT) AS ry2
+      FROM (SELECT y, CAST(sum(cnt) AS BIGINT) AS cy FROM cells GROUP BY y)
+    ),
+    j AS (
+      SELECT CAST(c.cnt AS HUGEINT) AS cnt,
+             CAST(xm.rx2 AS HUGEINT) AS rx2,
+             CAST(ym.ry2 AS HUGEINT) AS ry2
+      FROM cells c JOIN xm ON c.x = xm.x JOIN ym ON c.y = ym.y
     ),
     s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
-             CAST(sum(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
-             CAST(sum(CAST(rx2 * rx2 AS HUGEINT)) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(ry2 * ry2 AS HUGEINT)) AS DOUBLE) AS syy,
-             CAST(sum(CAST(rx2 * ry2 AS HUGEINT)) AS DOUBLE) AS sxy
-      FROM r
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * rx2) AS DOUBLE) AS sx,
+             CAST(sum(cnt * ry2) AS DOUBLE) AS sy,
+             CAST(sum(cnt * rx2 * rx2) AS DOUBLE) AS sxx,
+             CAST(sum(cnt * ry2 * ry2) AS DOUBLE) AS syy,
+             CAST(sum(cnt * rx2 * ry2) AS DOUBLE) AS sxy
+      FROM j
     )
     SELECT n,
            round((n * sxy - sx * sy)
@@ -2596,14 +2605,16 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Spearman rank correlation between quantity and extended price "
     "with proper midrank tie handling — the monotonic-association "
-    "complement to Pearson (agg_regression): doubled midranks "
-    "(2*rank + ties - 1) are exact integers, the five sufficient sums "
-    "accumulate as DECIMAL/HUGEINT, and rho plus its t statistic are "
-    "closed-form double arithmetic written identically in both engines. "
-    "Zero-variance sides (all-equal values) emit zero rows. The ranks "
-    "are the scale bound: one ordered window per variable at bench "
-    "scale, the standard range-partitioned two-pass rank at 100 TB — "
-    "the moment aggregation itself is one map-combined shuffle.",
+    "complement to Pearson (agg_regression). The fact table compacts to "
+    "distinct (x, y) cells first (map-side combine), doubled midranks "
+    "(2*cumcount - ties + 1, exact integers) come from cumulative-count "
+    "windows over the DISTINCT-VALUE marginals — the Mann-Whitney shape, "
+    "so no ordered window ever touches fact-sized data — and the five "
+    "sufficient sums multiply in DECIMAL(38,0)/HUGEINT (ranks grow with "
+    "row count, so a BIGINT product would wrap past ~1.5e9 rows; "
+    "cnt*rx2*ry2 <= 4n^3 stays inside 38 digits up to ~3e12 rows). Rho "
+    "plus its t statistic are closed-form double arithmetic written "
+    "identically in both engines; zero-variance sides emit zero rows.",
 )
 def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -2611,30 +2622,48 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
-    r = b.select(
-        (
-            2 * F.rank().over(Window.orderBy("x"))
-            + F.count(F.lit(1)).over(Window.partitionBy("x"))
-            - 1
+    cells = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    xm = (
+        cells.groupBy("x")
+        .agg(F.sum("cnt").cast("bigint").alias("cx"))
+        .select(
+            "x",
+            (2 * F.sum("cx").over(run) - F.col("cx") + 1)
+            .cast("bigint")
+            .alias("rx2"),
         )
-        .cast("bigint")
-        .alias("rx2"),
-        (
-            2 * F.rank().over(Window.orderBy("y"))
-            + F.count(F.lit(1)).over(Window.partitionBy("y"))
-            - 1
-        )
-        .cast("bigint")
-        .alias("ry2"),
     )
-
-    s = r.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        _dsum(F.col("rx2")).alias("sx"),
-        _dsum(F.col("ry2")).alias("sy"),
-        _dsum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        _dsum(F.col("ry2") * F.col("ry2")).alias("syy"),
-        _dsum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    runy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ym = (
+        cells.groupBy("y")
+        .agg(F.sum("cnt").cast("bigint").alias("cy"))
+        .select(
+            "y",
+            (2 * F.sum("cy").over(runy) - F.col("cy") + 1)
+            .cast("bigint")
+            .alias("ry2"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cells.join(F.broadcast(xm), "x").join(ym, "y").select(
+        dec(F.col("cnt")).alias("cnt"),
+        dec(F.col("rx2")).alias("rx2"),
+        dec(F.col("ry2")).alias("ry2"),
+    )
+    s = j.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("rx2")).cast("double").alias("sx"),
+        F.sum(F.col("cnt") * F.col("ry2")).cast("double").alias("sy"),
+        F.sum(F.col("cnt") * F.col("rx2") * F.col("rx2"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("cnt") * F.col("ry2") * F.col("ry2"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("cnt") * F.col("rx2") * F.col("ry2"))
+        .cast("double")
+        .alias("sxy"),
     )
     n = F.col("n")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")

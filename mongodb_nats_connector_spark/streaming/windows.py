@@ -274,7 +274,9 @@ def latest_state_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-def moment_state_stream(stream: DataFrame) -> DataFrame:
+def moment_state_stream(
+    stream: DataFrame, dedup_watermark: str = "1 hour"
+) -> DataFrame:
     """Streaming sufficient-statistics state per event type — the
     continuously-maintained (n, sum, sum-of-squares) every control-chart /
     z-score / effect-size readout derives from (the batch siblings:
@@ -282,24 +284,29 @@ def moment_state_stream(stream: DataFrame) -> DataFrame:
 
     Counting aggregations are NOT replay-idempotent on their own (an
     at-least-once duplicate double-counts where a max-merge would absorb
-    it), so the state sits behind an event_id dropDuplicates: with that
-    dedup, micro-batch order, retries, and overlapping replays all
+    it), so the state sits behind an event_id
+    dropDuplicatesWithinWatermark bounded by ``dedup_watermark`` — the
+    same watermarked form as dedup_within_watermark, applied INSIDE the
+    helper so production callers cannot silently get unbounded dedup
+    state. Duplicates replayed within the horizon are absorbed: with
+    that dedup, micro-batch order, retries, and overlapping replays all
     converge to the identical moments a batch distinct-aggregation
     computes over the same rows (stream-vs-batch equality pinned in
-    tests). Values quantize to exact integer 1e-4 units and the squared
-    sum accumulates as DECIMAL(38,0), so the state — not just the derived
+    tests, which pass a horizon spanning their whole replay window).
+    Values quantize to exact integer 1e-4 units and the squared sum
+    accumulates as DECIMAL(38,0), so the state — not just the derived
     limits — is engine- and replay-deterministic. State is one row per
-    event type plus the bounded dedup set (watermark-bounded in
-    production: add ``withWatermark("ts", ...)`` upstream so the dedup
-    buffer ages out). Run in complete or update mode; control limits
-    (mean ± 3σ) are one stateless projection over the state table.
+    event type plus the watermark-bounded dedup set. Run in complete or
+    update mode; control limits (mean ± 3σ) are one stateless
+    projection over the state table.
     """
     v4 = F.round(F.col("value") * 10000).cast("bigint")
     return (
         stream.filter(
             F.col("value").isNotNull() & F.col("event_id").isNotNull()
         )
-        .dropDuplicates(["event_id"])
+        .withWatermark("ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_type", v4.alias("v4"))
         .groupBy("event_type")
         .agg(

@@ -635,8 +635,10 @@ def test_streaming_moment_state_matches_batch(spark, tmp_path):
 
     stream = spark.readStream.schema(EVENTS_DDL).parquet(path)
     name = "mom" + uuid.uuid4().hex[:10]
+    # horizon spans the fixture's whole time range so every replayed
+    # duplicate falls inside the watermarked dedup buffer
     q = (
-        moment_state_stream(stream)
+        moment_state_stream(stream, dedup_watermark="3650 days")
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
@@ -800,7 +802,7 @@ def test_streaming_moment_state_survives_restart(spark, tmp_path):
             batch_df.write.mode("overwrite").parquet(snap)
 
         return (
-            moment_state_stream(stream)
+            moment_state_stream(stream, dedup_watermark="3650 days")
             .writeStream.outputMode("complete")
             .option("checkpointLocation", ckpt)
             .foreachBatch(write_snapshot)
