@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.ranking import (
+    ntile_from_rank,
+    two_pass_global_rank,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -104,8 +108,11 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT event_type, day, n,
-             round((n - avg(n) OVER (PARTITION BY event_type))
-               / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS zscore
+             CASE WHEN min(n) OVER (PARTITION BY event_type)
+                    <> max(n) OVER (PARTITION BY event_type) THEN
+               round((n - avg(n) OVER (PARTITION BY event_type))
+                 / stddev_samp(n) OVER (PARTITION BY event_type), 4)
+             END AS zscore
       FROM daily
     )
     SELECT event_type, day, n, zscore
@@ -118,7 +125,9 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the post-rollup series. The threshold filter runs on the ROUNDED "
     "z-score on both engines: filtering the raw double would let a "
     "stddev-algorithm ulp flip membership of a row that sits exactly on "
-    "the 2.0 boundary after rounding.",
+    "the 2.0 boundary after rounding. A constant daily series (sd = 0) "
+    "emits NULL z via the exact-integer min<>max guard — never a 0/0 "
+    "whose NULL-vs-NaN result is a DuckDB-version coin flip.",
 )
 def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -126,8 +135,11 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     w = Window.partitionBy("event_type")
-    z = F.round(
-        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+    z = F.when(
+        F.min("n").over(w) != F.max("n").over(w),
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+        ),
     )
     return (
         daily.withColumn("zscore", z)
@@ -204,10 +216,14 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Customer lifetime-value decile distribution: per-customer revenue "
     "rollup in EXACT INTEGER CENTS (so both the decile RANK and the decile "
     "sums are summation-order-independent — a double sum's last ulp could "
-    "flip a tie-broken ntile boundary), then per-decile summary. The ntile "
-    "sort runs over customers (1 row each), not orders; at 100 TB swap "
-    "ntile for a percentile-boundary broadcast (agg_equidepth_histogram's "
-    "pattern) to avoid the single-partition sort.",
+    "flip a tie-broken ntile boundary), then per-decile summary. The "
+    "per-customer relation is data-proportional, so ntile's global "
+    "single-partition sort is replaced by the two-pass range-partitioned "
+    "rank (plans/ranking.py): quantile-boundary broadcast -> per-bucket "
+    "row_number + bucket-offset prefix sum -> exact ntile arithmetic from "
+    "(rank, n). Identical output to ntile(10) by construction — the "
+    "oracle keeps the ntile formulation — with every data-proportional "
+    "window partitioned by bucket.",
 )
 def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
@@ -216,9 +232,12 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_c")
     )
-    w = Window.orderBy(F.col("ltv_c").desc(), "o_custkey")
+    ranked = two_pass_global_rank(
+        ltv, "ltv_c", "o_custkey", descending=True
+    )
+    decile = ntile_from_rank(F.col("_rank"), F.col("_n"), 10)
     return (
-        ltv.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

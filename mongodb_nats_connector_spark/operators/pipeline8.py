@@ -270,6 +270,7 @@ _MW_A, _MW_B = "purchase", "click"
     agg AS (
       SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
              CAST(sum(cnt - cnt_a) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n_distinct_v,
              sum(cnt_a * avg_rank) AS r1,
              sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_t
       FROM r
@@ -278,11 +279,12 @@ _MW_A, _MW_B = "purchase", "click"
            round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
            round(CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0), 2)
              AS u2,
-           round(((r1 - n1 * (n1 + 1) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2)
-                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
-                        ((n1 + n2 + 1) - tie_t /
-                         (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
-             AS z
+           CASE WHEN n1 > 0 AND n2 > 0 AND n_distinct_v > 1 THEN
+             round(((r1 - n1 * (n1 + 1) / 2.0) - CAST(n1 AS DOUBLE) * n2 / 2)
+                   / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+                          ((n1 + n2 + 1) - tie_t /
+                           (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
+           END AS z
     FROM agg
     """,
     doc="Mann-Whitney U rank-sum test (purchase vs click values) with "
@@ -292,7 +294,11 @@ _MW_A, _MW_B = "purchase", "click"
     "combine) makes the midrank a closed form over the ordered value-group "
     "relation (cumulative count window), so the fact table contributes one "
     "fine-grained shuffle and the ordered window touches only distinct "
-    "values. U, and z round identically from identical double arithmetic.",
+    "values. U, and z round identically from identical double arithmetic. "
+    "Degenerate inputs (one group empty, or every value identical — "
+    "sigma = 0) emit NULL z via an exact-INTEGER guard on both engines: "
+    "a float sigma > 0 test would hand DuckDB >= 1.1 a 0/0 NaN that "
+    "compares greater-than where Spark yields NULL.",
 )
 def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
@@ -315,6 +321,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = r.agg(
         F.sum("cnt_a").cast("bigint").alias("n1"),
         F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_v"),
         F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r1"),
         F.sum(
             F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
@@ -331,12 +338,17 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("tie_t") / (nd * (F.col("n1") + F.col("n2") - 1))
         )
     )
+    ok = (
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n_distinct_v") > 1)
+    )
     return agg.select(
         "n1",
         "n2",
         F.round(u1, 2).alias("u1"),
         F.round(n1d * F.col("n2") - u1, 2).alias("u2"),
-        F.round((u1 - n1d * F.col("n2") / 2) / sigma, 4).alias("z"),
+        F.when(
+            ok, F.round((u1 - n1d * F.col("n2") / 2) / sigma, 4)
+        ).alias("z"),
     )
 
 
@@ -602,7 +614,8 @@ def _valued_events_prepost(spark: SparkSession, sf_dir: str):
       FROM b, cutoff GROUP BY user_id
     ),
     theta AS (
-      SELECT covar_samp(pre, post) / var_samp(pre) AS th,
+      SELECT CASE WHEN count(DISTINCT pre) > 1
+                  THEN covar_samp(pre, post) / var_samp(pre) END AS th,
              avg(pre) AS pre_mean
       FROM per_user
     )
@@ -618,7 +631,10 @@ def _valued_events_prepost(spark: SparkSession, sf_dir: str):
     "pre-period component — the industry-standard trick that shrinks A/B "
     "confidence intervals 30-50% at zero bias. Pre/post sums round before "
     "the covariance so both engines feed identical doubles into the fit; "
-    "one fact shuffle to per-user rows, a 1-row theta broadcast back.",
+    "one fact shuffle to per-user rows, a 1-row theta broadcast back. "
+    "A constant pre column (var = 0) yields NULL theta/post_adj via an "
+    "exact-integer distinct-count guard on both engines, never a 0/0 "
+    "whose NULL-vs-NaN result is a DuckDB-version coin flip.",
 )
 def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
@@ -644,7 +660,10 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     theta = per_user.agg(
-        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("th"),
+        F.when(
+            F.count_distinct(F.col("pre")) > 1,
+            F.covar_samp("pre", "post") / F.var_samp("pre"),
+        ).alias("th"),
         F.avg("pre").alias("pre_mean"),
     )
     out = per_user.crossJoin(F.broadcast(theta)).select(
@@ -1957,8 +1976,9 @@ def similarity_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            round(avg(diff), 4) AS mean_diff,
            round(stddev_samp(diff), 4) AS sd_diff,
-           round(avg(diff) / (stddev_samp(diff) / sqrt(count(*))), 4)
-             AS t_stat
+           CASE WHEN count(*) > 1 AND count(DISTINCT diff) > 1 THEN
+             round(avg(diff) / (stddev_samp(diff) / sqrt(count(*))), 4)
+           END AS t_stat
     FROM d
     """,
     doc="Paired t statistic on per-user pre/post metric sums (the same "
@@ -1996,14 +2016,20 @@ def events_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = per_user.select(
         F.round(F.col("post") - F.col("pre"), 4).alias("diff")
     )
+    # NULL t on degenerate inputs (n < 2 or all diffs equal -> sd = 0) via
+    # exact-integer guards both engines: 0/0's NULL-vs-NaN depends on the
+    # DuckDB version, so the division must never run.
     return d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.round(F.avg("diff"), 4).alias("mean_diff"),
         F.round(F.stddev_samp("diff"), 4).alias("sd_diff"),
-        F.round(
-            F.avg("diff")
-            / (F.stddev_samp("diff") / F.sqrt(F.count(F.lit(1)))),
-            4,
+        F.when(
+            (F.count(F.lit(1)) > 1) & (F.count_distinct(F.col("diff")) > 1),
+            F.round(
+                F.avg("diff")
+                / (F.stddev_samp("diff") / F.sqrt(F.count(F.lit(1)))),
+                4,
+            ),
         ).alias("t_stat"),
     )
 

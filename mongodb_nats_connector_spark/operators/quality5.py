@@ -311,25 +311,31 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              count(*) AS n,
+             count(DISTINCT value) AS ndv,
              avg(value) AS mean_v,
              var_samp(value) AS var_v
       FROM events WHERE event_type IN ('purchase', 'click')
       GROUP BY 1
     ),
-    p AS (SELECT n, mean_v, var_v FROM s WHERE event_type = 'purchase'),
-    c AS (SELECT n, mean_v, var_v FROM s WHERE event_type = 'click')
+    p AS (SELECT n, ndv, mean_v, var_v FROM s WHERE event_type = 'purchase'),
+    c AS (SELECT n, ndv, mean_v, var_v FROM s WHERE event_type = 'click')
     SELECT CAST(p.n AS BIGINT) AS n_purchase, CAST(c.n AS BIGINT) AS n_click,
            round(p.mean_v, 4) AS mean_purchase,
            round(c.mean_v, 4) AS mean_click,
-           round((p.mean_v - c.mean_v)
-                 / sqrt(p.var_v / p.n + c.var_v / c.n), 4) AS welch_t
+           CASE WHEN p.ndv > 1 OR c.ndv > 1 THEN
+             round((p.mean_v - c.mean_v)
+                   / sqrt(p.var_v / p.n + c.var_v / c.n), 4)
+           END AS welch_t
     FROM p CROSS JOIN c
     """,
     doc="Welch two-sample t statistic between purchase and click event "
     "values: ONE pushed-filter scan, conditional aggregation per group "
     "(count/mean/var_samp all partial-aggregate map-side), then pure "
     "arithmetic on the two 1-row summaries. The A/B-test primitive — at "
-    "100 TB the whole query is a single map-combined shuffle of 2 keys.",
+    "100 TB the whole query is a single map-combined shuffle of 2 keys. "
+    "Both-groups-constant inputs (pooled variance 0) emit NULL t via an "
+    "exact-integer distinct-count guard on both engines — never an x/0 "
+    "whose NULL-vs-Inf result is a DuckDB-version coin flip.",
 )
 def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE conditional-aggregation scan, no join: avg/var_samp over
@@ -351,19 +357,24 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(cv).alias("mean_c"),
         F.var_samp(pv).alias("var_p"),
         F.var_samp(cv).alias("var_c"),
+        F.count_distinct(pv).alias("ndv_p"),
+        F.count_distinct(cv).alias("ndv_c"),
     )
     return agg.select(
         "n_purchase",
         "n_click",
         F.round("mean_p", 4).alias("mean_purchase"),
         F.round("mean_c", 4).alias("mean_click"),
-        F.round(
-            (F.col("mean_p") - F.col("mean_c"))
-            / F.sqrt(
-                F.col("var_p") / F.col("n_purchase")
-                + F.col("var_c") / F.col("n_click")
+        F.when(
+            (F.col("ndv_p") > 1) | (F.col("ndv_c") > 1),
+            F.round(
+                (F.col("mean_p") - F.col("mean_c"))
+                / F.sqrt(
+                    F.col("var_p") / F.col("n_purchase")
+                    + F.col("var_c") / F.col("n_click")
+                ),
+                4,
             ),
-            4,
         ).alias("welch_t"),
     ).filter(
         # empty-group parity: if either cohort is absent the oracle's

@@ -82,3 +82,29 @@ def wholestage_codegen_ids(df: DataFrame) -> int:
     """How many WholeStageCodegen spans cover the plan (wider = better)."""
     s = plan_string(df, "simple")
     return s.count("WholeStageCodegen")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window expressions evaluated with an EMPTY partition spec — each one
+    funnels its whole input relation through a single task. Returns one
+    string per offending logical Window node (its window expressions), so
+    tests can assert the set is exactly the documented bounded-relation
+    cases. Walks the optimized logical plan via py4j: the flattened explain
+    string cannot distinguish partition columns from order columns inside
+    ``windowspecdefinition(...)``.
+    """
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().size() == 0:
+                out.append(node.windowExpressions().mkString(", "))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            walk(inner.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out

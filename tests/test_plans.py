@@ -220,6 +220,7 @@ _ALLOWED_NESTED_LOOP = {
     "orders_nelson_aalen",        # 1-row horizon + cohort-size broadcast crossJoins
     "docs_js_divergence",         # 1-row token-total scalar broadcast crossJoin
     "events_entropy_rate",        # 1-row total/state/sum scalars broadcast crossJoins
+    "customer_ltv_deciles",       # 1-row quantile-boundary array broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -245,6 +246,72 @@ def test_registry_wide_plan_lint(spark):
         if "BatchEvalPython" in s and name not in _ALLOWED_ROW_PYTHON:
             offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
     assert not offenders, f"plan lint failures: {offenders}"
+
+
+# Every query whose logical plan contains an EMPTY-partition-spec Window,
+# pinned with its count and classification. "bounded": the window input is
+# bounded by construction (a calendar series, a bucket/replicate/stage
+# count, a value DOMAIN compacted via distinct-value grouping) — the
+# single task sees a relation that does not grow with the fact table.
+# "data-proportional": the input grows with the data; each carries a
+# documented scale path — the two-pass range-partitioned rank in
+# plans/ranking.py (landed with customer_ltv_deciles' conversion) is the
+# drop-in swap. This dict can only SHRINK or reclassify toward "bounded";
+# any query not listed here must have zero unpartitioned windows.
+_GLOBAL_WINDOWS = {
+    "agg_bootstrap_poisson": (2, "bounded: 40-replicate CDF ladder"),
+    "agg_ks_test": (2, "bounded: distinct-value marginals"),
+    "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
+    "agg_mann_whitney": (1, "bounded: distinct-value groups"),
+    "agg_runs_test": (1, "bounded: daily series"),
+    "agg_spearman_corr": (2, "bounded: distinct-value marginals"),
+    "customer_ltv_deciles": (2, "bounded: n_buckets offset/total windows"),
+    "customer_rfm_segments": (3, "data-proportional: per-customer ntile x3"),
+    "docs_quality_ensemble_rank": (4, "data-proportional: per-doc ranks"),
+    "events_cusum_changepoint": (2, "bounded: daily series"),
+    "events_dau_rolling": (1, "bounded: daily series"),
+    "events_funnel": (1, "bounded: funnel stages"),
+    "events_max_concurrency": (1, "data-proportional: 2-per-session sweep"),
+    "events_weibull_gaps": (1, "data-proportional: per-gap median ranks"),
+    "orders_abc_xyz": (1, "data-proportional: per-part cumulative share"),
+    "orders_gini_hhi": (1, "data-proportional: per-customer rank"),
+    "orders_mape_backtest": (1, "bounded: monthly series"),
+    "orders_monthly_growth": (1, "bounded: monthly series"),
+    "orders_nelson_aalen": (2, "bounded: distinct-duration risk sets"),
+    "orders_pareto_curve": (1, "data-proportional: per-customer ntile"),
+    "orders_price_records": (1, "bounded: distinct-day series"),
+    "orders_running_share": (2, "bounded: monthly series"),
+    "orders_skyline_pareto": (1, "data-proportional: distinct spend ladder"),
+    "orders_survival_km": (2, "bounded: distinct-duration risk sets"),
+    "revenue_yoy": (1, "bounded: yearly series"),
+    "text_bm25_topk": (1, "bounded: query-term posting lists"),
+    "text_heaps_law_fit": (1, "bounded: vocabulary (sub-linear) relation"),
+    "text_rake_keyphrases": (1, "bounded: candidate-phrase scores"),
+    "text_vocab_coverage": (1, "bounded: vocabulary relation"),
+    "text_zipf_slope": (1, "bounded: vocabulary relation"),
+}
+
+
+def test_registry_wide_global_window_lint(spark):
+    """Single-partition windows are pinned query-by-query: every
+    empty-partition-spec Window in the whole registry must match the
+    documented inventory above — a new data-proportional global sort
+    cannot land silently, and converted queries (customer_ltv_deciles ->
+    plans/ranking.py two-pass rank) cannot regress."""
+    from mongodb_nats_connector_spark.plans.explain import unpartitioned_windows
+    from mongodb_nats_connector_spark.registry import all_queries
+
+    found = {}
+    for name, q in sorted(all_queries().items()):
+        n = len(unpartitioned_windows(q.fn(spark, SF)))
+        if n:
+            found[name] = n
+    expected = {name: cnt for name, (cnt, _why) in _GLOBAL_WINDOWS.items()}
+    assert found == expected, (
+        f"unpartitioned-window inventory drifted: "
+        f"unexpected={ {k: v for k, v in found.items() if expected.get(k) != v} } "
+        f"missing={ {k: v for k, v in expected.items() if found.get(k) != v} }"
+    )
 
 
 def test_q17_broadcasts_part_dim(spark):

@@ -894,3 +894,83 @@ def test_shewhart_limits_and_flags(spark):
     for day, f in exp_flags.items():
         assert got[day] == int(f), day
     assert out["out_of_control"].mean() < 0.2
+
+
+# ---------------------------------------------------------------------------
+# round 8: two-pass distributed rank (plans/ranking.py)
+# ---------------------------------------------------------------------------
+
+
+def _reference_ntile(n: int, k: int) -> list[int]:
+    """SQL ntile(k) semantics: tile sizes n//k, the first n%k tiles one
+    larger; returns the tile of each 1-based rank."""
+    base, rem = divmod(n, k)
+    out = []
+    for tile in range(1, k + 1):
+        out.extend([tile] * (base + (1 if tile <= rem else 0)))
+    return out
+
+
+def test_ntile_from_rank_formula_matches_sql_semantics():
+    """The exact-integer ntile arithmetic (remainder-first allocation)
+    agrees with the reference allocation for every (n, k) shape class:
+    n < k, n == k, n % k == 0, and ragged remainders."""
+    for n in [1, 3, 7, 10, 11, 19, 20, 100, 101, 997]:
+        for k in [1, 2, 3, 10]:
+            ref = _reference_ntile(n, k)
+            for r in range(1, n + 1):
+                base, rem = divmod(n, k)
+                cut = rem * (base + 1)
+                if r <= cut:
+                    got = (r - 1) // (base + 1) + 1
+                else:
+                    got = rem + (r - 1 - cut) // max(base, 1) + 1
+                assert got == ref[r - 1], (n, k, r)
+
+
+def test_two_pass_rank_matches_global_window(spark):
+    """two_pass_global_rank + ntile_from_rank reproduce the single-partition
+    ntile window exactly — heavy ties included — while every
+    data-proportional window in its plan partitions by bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import (
+        ntile_from_rank,
+        two_pass_global_rank,
+    )
+
+    for n_rows, k in [(7, 10), (1000, 10), (9973, 7)]:
+        df = spark.range(n_rows).select(
+            F.col("id").alias("tie"),
+            ((F.col("id") * 2654435761) % 97).cast("bigint").alias("v"),
+        )
+        expected = df.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(F.col("v").desc(), "tie"))
+        )
+        ranked = two_pass_global_rank(df, "v", "tie", descending=True)
+        got = ranked.withColumn(
+            "t", ntile_from_rank(F.col("_rank"), F.col("_n"), k)
+        )
+        exp = {r["tie"]: r["t"] for r in expected.collect()}
+        act = {r["tie"]: r["t"] for r in got.collect()}
+        assert act == exp, (n_rows, k)
+
+
+def test_two_pass_rank_ascending(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import two_pass_global_rank
+
+    df = spark.range(500).select(
+        F.col("id").alias("tie"), ((F.col("id") * 31) % 13).alias("v")
+    )
+    w = Window.orderBy(F.col("v").asc(), "tie")
+    exp = {
+        r["tie"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    ranked = two_pass_global_rank(df, "v", "tie", descending=False)
+    act = {r["tie"]: r["_rank"] for r in ranked.collect()}
+    assert act == exp
