@@ -264,7 +264,9 @@ _GLOBAL_WINDOWS = {
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
     "agg_runs_test": (1, "bounded: daily series"),
-    "agg_spearman_corr": (2, "bounded: distinct-value marginals"),
+    "agg_spearman_corr": (2, "distinct-value marginals; the y (price-cent) "
+                             "domain grows with the part dimension — "
+                             "two-pass swap applies if it outgrows a task"),
     "customer_ltv_deciles": (2, "bounded: n_buckets offset/total windows"),
     "customer_rfm_segments": (3, "data-proportional: per-customer ntile x3"),
     "docs_quality_ensemble_rank": (4, "data-proportional: per-doc ranks"),
