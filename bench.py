@@ -76,6 +76,10 @@ HEADLINE_QUERIES = [
     "text_bm25_topk",
     "orders_ols_multifactor",
     "agg_bootstrap_poisson",
+    # round 8: the two-pass range-partitioned rank (no single-partition
+    # ntile) and the distinct-cell-compacted Spearman moments
+    "customer_ltv_deciles",
+    "agg_spearman_corr",
 ]
 
 

@@ -974,3 +974,33 @@ def test_two_pass_rank_ascending(spark):
     ranked = two_pass_global_rank(df, "v", "tie", descending=False)
     act = {r["tie"]: r["_rank"] for r in ranked.collect()}
     assert act == exp
+
+
+def test_two_pass_rank_edge_cases(spark):
+    """Degenerate shapes: all-equal values (every row one bucket — the cap
+    on correctness is the tie column), fewer rows than boundaries, and an
+    empty relation."""
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import two_pass_global_rank
+
+    allsame = spark.range(100).select(
+        F.col("id").alias("tie"), F.lit(7).cast("bigint").alias("v")
+    )
+    got = {
+        r["tie"]: r["_rank"]
+        for r in two_pass_global_rank(allsame, "v", "tie").collect()
+    }
+    assert got == {i: i + 1 for i in range(100)}
+
+    tiny = spark.range(3).select(
+        F.col("id").alias("tie"), (10 - F.col("id")).alias("v")
+    )
+    ranked = two_pass_global_rank(tiny, "v", "tie", descending=True)
+    assert {r["tie"]: r["_rank"] for r in ranked.collect()} == {0: 1, 1: 2, 2: 3}
+    assert ranked.select("_n").first()["_n"] == 3
+
+    empty = spark.range(0).select(
+        F.col("id").alias("tie"), F.col("id").alias("v")
+    )
+    assert two_pass_global_rank(empty, "v", "tie").count() == 0
