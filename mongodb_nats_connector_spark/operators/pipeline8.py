@@ -264,15 +264,17 @@ _MW_A, _MW_B = "purchase", "click"
     ),
     r AS (
       SELECT cnt, cnt_a,
-             sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS avg_rank
+             2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS avg_rank2
       FROM g
     ),
     agg AS (
       SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
              CAST(sum(cnt - cnt_a) AS BIGINT) AS n2,
              CAST(count(*) AS BIGINT) AS n_distinct_v,
-             sum(cnt_a * avg_rank) AS r1,
-             sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_t
+             CAST(sum(CAST(cnt_a AS HUGEINT) * avg_rank2) AS DOUBLE) / 2
+               AS r1,
+             CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE)
+               AS tie_t
       FROM r
     )
     SELECT n1, n2,
@@ -311,22 +313,34 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cnt_a"),
     )
     w = Window.orderBy("v")
+    # DOUBLED midranks stay exact integers (2*cum - cnt + 1); the r1 and
+    # tie_t sums accumulate as DECIMAL(38,0) (the oracle's HUGEINT) and
+    # convert to double ONCE — an inexact double sum past 2^53 would be
+    # partition-order-dependent and diverge cross-engine
     r = g.select(
         "cnt",
         "cnt_a",
-        (
-            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
-        ).alias("avg_rank"),
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("avg_rank2"),
     )
     agg = r.agg(
         F.sum("cnt_a").cast("bigint").alias("n1"),
         F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_v"),
-        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r1"),
+        (
+            F.sum(
+                F.col("cnt_a").cast("decimal(38,0)") * F.col("avg_rank2")
+            ).cast("double")
+            / 2
+        ).alias("r1"),
+        # exact integer accumulation (DECIMAL(38,0) = the oracle's HUGEINT):
+        # cnt^3 terms pass 2^53 long before 100 TB, and an inexact double
+        # sum is partition-order-dependent — cast to double ONCE at the end
         F.sum(
-            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
             - F.col("cnt")
-        ).alias("tie_t"),
+        )
+        .cast("double")
+        .alias("tie_t"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     n1d = F.col("n1").cast("double")
