@@ -43,6 +43,12 @@ def two_pass_global_rank(
     ``total_col``, computed without any data-proportional single-partition
     window. ``tie_col`` must make the order total (unique per value group)
     for the rank to be deterministic.
+
+    ``value_col`` must be non-NULL (a NULL value gets a NULL bucket and
+    silently drops out of the inner offset join — filter first, exactly as
+    the NULL-ordering discipline already requires). A single dominant value
+    degrades gracefully to one big bucket (correct ranks, one loaded task)
+    — the same behavior as any range partitioner under total key skew.
     """
     fracs = F.array(
         *[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]
