@@ -20,7 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = "/root/testdata/sf0.01"
+# override with PROBE_SF_DIR=/root/testdata/sf0.1 for the bench-scale sweep
+# (with --all: the full-registry raw-bit parity check that round 7's manual
+# sweep ran by hand — it caught dedup_simhash's uncapped oracle there)
+SF = os.environ.get("PROBE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
