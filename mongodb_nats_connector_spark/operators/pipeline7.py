@@ -864,27 +864,27 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank — the one comparison that decides which row gets which i — is "
     "summation-order-independent and engine-exact (a double sum's last "
     "ulp depends on partial-aggregate merge order). One shuffle to "
-    "per-customer totals; the rank runs over the customer-sized "
-    "aggregate and everything reduces to a single row. The "
-    "single-partition window is the documented global-sort cost on a "
-    "DIMENSION-sized relation — at 100 TB replace with a "
-    "range-partitioned two-pass rank (the events_max_concurrency "
-    "pattern) without changing the algebra.",
+    "per-customer totals; the per-customer relation is data-proportional, "
+    "so the rank i is the two-pass range-partitioned rank "
+    "(plans/ranking.py: boundary literals, per-bucket row_number + "
+    "bucket-offset prefix sum) — identical to row_number() by "
+    "construction (the oracle keeps the window formulation) — and "
+    "everything reduces to a single row.",
 )
 def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_global_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("rev_c")
     )
-    rk = per.select(
-        "rev_c",
-        F.row_number()
-        .over(Window.orderBy(F.asc("rev_c"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("i"),
-    )
+    rk = two_pass_global_rank(
+        per, "rev_c", "o_custkey", descending=False, rank_col="i"
+    ).select("rev_c", "i")
     n = F.count(F.lit(1))
     rev = F.col("rev_c") / 100.0
     tot = F.sum("rev_c") / 100.0

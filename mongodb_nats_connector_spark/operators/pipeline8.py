@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mongodb_nats_connector_spark.operators.graph_common import trade_edges
 from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.ranking import two_pass_global_rank
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -65,24 +66,31 @@ from mongodb_nats_connector_spark.sources.tables import table
     "this is the sort-based 2-D skyline instead — group to distinct spend "
     "keys (map-side combine), one ordered window computing the running max "
     "of order counts over STRICTLY higher spend, then a hash join back. "
-    "Spend keys are integer cents so group equality is exact. The running "
-    "window runs on the compacted distinct-spend relation, not the fact "
-    "table; at 100 TB the general recipe is range-partition that relation, "
-    "take per-bucket prefix maxima, and broadcast the tiny per-bucket "
-    "offsets — same two-pass shape as any distributed prefix aggregate.",
+    "Spend keys are integer cents so group equality is exact. The "
+    "distinct-spend relation is data-proportional, so the running max of "
+    "order counts over strictly higher spend is the two-pass "
+    "range-partitioned prefix max (plans/ranking.py two_pass_prefix_max, "
+    "exclusive frame: per-bucket prefix maxima partitioned by "
+    "range-bucket + NULL-skipping greatest with the strictly-earlier "
+    "bucket maxima) — max is idempotent and associative, so the "
+    "decomposition is identical to the oracle's single window by "
+    "construction.",
 )
 def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_max,
+    )
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
     grp = per_cust.groupBy("spend_c").agg(F.max("n_orders").alias("gmax"))
-    w = (
-        Window.orderBy(F.desc("spend_c"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = two_pass_prefix_max(
+        grp, "spend_c", "spend_c", "gmax",
+        descending=True, cum_col="prev_max", exclusive=True,
     )
-    ranked = grp.withColumn("prev_max", F.max("gmax").over(w))
     out = (
         per_cust.join(ranked, "spend_c")
         .filter(
@@ -475,11 +483,18 @@ XYZ_X, XYZ_Y = 0.5, 1.0
     "Z). Two map-side-combined aggregations of the fact table — in exact "
     "INTEGER CENTS, so the per-part revenue is summation-order-independent "
     "and both engines agree bit-for-bit — then ALL window/ranking work "
-    "happens on the compacted per-part relation. The ordered window over "
-    "parts is the same distributed-prefix-sum shape as "
-    "orders_running_share.",
+    "happens on the compacted per-part relation. That relation is "
+    "data-proportional, so the revenue-DESC running total is the two-pass "
+    "range-partitioned prefix sum (plans/ranking.py two_pass_prefix_sum: "
+    "boundary literals, per-bucket running sums, bucket-total offsets) — "
+    "exact-integer addition is associative, so the re-ordered summation "
+    "is identical to the oracle's single window by construction.",
 )
 def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_sum,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     money_c = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -488,13 +503,14 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money_c).cast("bigint").alias("rev_c")
     )
     tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
-    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     cum = (
-        rev.crossJoin(F.broadcast(tot))
+        two_pass_prefix_sum(
+            rev, "rev_c", "l_partkey", "rev_c",
+            descending=True, cum_col="_cumrev",
+        )
+        .crossJoin(F.broadcast(tot))
         .withColumn(
-            "cum_share", F.sum("rev_c").over(w) * 1.0 / F.col("total_c")
+            "cum_share", F.col("_cumrev") * 1.0 / F.col("total_c")
         )
     )
     monthly = li.groupBy(
@@ -1035,9 +1051,12 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank aggregation is robust to signals with incomparable scales, "
     "which is why curation pipelines ensemble this way rather than "
     "averaging raw scores. Integer ranks end-to-end (exact parity). "
-    "Ranks are global sorts over the per-doc SIGNAL relation (3 columns), "
-    "not the corpus text; at 100 TB each is a range-partitioned sort of "
-    "fixed-width rows — the standard distributed ranking shape.",
+    "The per-doc signal relation is data-proportional, so each of the "
+    "four ranks is the two-pass range-partitioned rank (plans/ranking.py: "
+    "quantile-boundary literals, per-bucket row_number + bucket-offset "
+    "prefix sum) — no data-proportional single-partition sort anywhere; "
+    "identical to row_number() by construction (the oracle keeps the "
+    "window formulation).",
 )
 def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1047,32 +1066,36 @@ def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(words).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq"),
+    ).withColumn("_lexdiv", F.col("n_uniq") * 1.0 / F.col("n_words"))
+    ranked = two_pass_global_rank(
+        sig, "n_chars", "doc_id", descending=True,
+        rank_col="r_chars", total_col="_n1",
     )
-    r1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    r2 = Window.orderBy(F.desc("n_words"), F.asc("doc_id"))
-    r3 = Window.orderBy(
-        F.desc(F.col("n_uniq") * 1.0 / F.col("n_words")), F.asc("doc_id")
+    ranked = two_pass_global_rank(
+        ranked, "n_words", "doc_id", descending=True,
+        rank_col="r_words", total_col="_n2",
     )
-    ranked = sig.select(
-        "doc_id",
-        F.row_number().over(r1).cast("bigint").alias("r_chars"),
-        F.row_number().over(r2).cast("bigint").alias("r_words"),
-        F.row_number().over(r3).cast("bigint").alias("r_uniq"),
+    ranked = two_pass_global_rank(
+        ranked, "_lexdiv", "doc_id", descending=True,
+        rank_col="r_uniq", total_col="_n3",
     )
-    borda = (F.col("r_chars") + F.col("r_words") + F.col("r_uniq")).cast(
-        "bigint"
+    ranked = ranked.withColumn(
+        "borda",
+        (F.col("r_chars") + F.col("r_words") + F.col("r_uniq")).cast(
+            "bigint"
+        ),
     )
-    wf = Window.orderBy(
-        (F.col("r_chars") + F.col("r_words") + F.col("r_uniq")).asc(),
-        F.asc("doc_id"),
+    ranked = two_pass_global_rank(
+        ranked, "borda", "doc_id", descending=False,
+        rank_col="final_rank", total_col="_n4",
     )
     return ranked.select(
         "doc_id",
         "r_chars",
         "r_words",
         "r_uniq",
-        borda.alias("borda"),
-        F.row_number().over(wf).cast("bigint").alias("final_rank"),
+        "borda",
+        F.col("final_rank").cast("bigint").alias("final_rank"),
     )
 
 

@@ -2723,20 +2723,23 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM risk WHERE d > 0
     )
     SELECT dur AS duration_days, d AS n_events, n_risk,
-           round(h_nn / 1000000000.0, 6) AS cum_hazard,
-           round(exp(0.0 - h_nn / 1000000000.0), 6) AS survival_na
+           h_nn AS cum_hazard_nn,
+           CAST(h_nn AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS cum_hazard
     FROM haz
     """,
     doc="Nelson-Aalen cumulative hazard of the second purchase (with "
     "right-censoring at the horizon) — the estimator-of-choice when the "
-    "HAZARD, not the survival curve, is the readout (its exp(-H) "
-    "Fleming-Harrington survival rides along, the low-risk-set-robust "
-    "sibling of orders_survival_km's product-limit). Per-duration "
-    "increments d/n quantize to integer nano-units BEFORE the cumulative "
-    "sum, so the running hazard is an exact-integer prefix sum that "
-    "hash-verifies. Same plan shape as KM: one per-customer window for "
-    "first/second orders, risk sets as a cumulative window over the "
-    "duration-grouped relation — everything after the first shuffle is "
+    "HAZARD, not the survival curve, is the readout (the "
+    "low-risk-set-robust sibling of orders_survival_km's product-limit). "
+    "Per-duration increments d/n quantize to integer nano-units BEFORE "
+    "the cumulative sum, so the running hazard is an exact-integer prefix "
+    "sum emitted both as raw nano-units and via ONE IEEE division "
+    "(correctly-rounded division of identical integers is bit-identical "
+    "across engines; the previous round(exp(-H),6) display columns "
+    "diverged by a libm ulp + round-boundary flip on foreign platforms). "
+    "Same plan shape as KM: one per-customer window for first/second "
+    "orders, risk sets as a cumulative window over the duration-grouped "
+    "relation — everything after the first shuffle is "
     "duration-cardinality-sized.",
 )
 def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,9 +2803,9 @@ def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dur").alias("duration_days"),
         F.col("d").alias("n_events"),
         "n_risk",
-        F.round(F.col("h_nn") / 1000000000.0, 6).alias("cum_hazard"),
-        F.round(F.exp(0.0 - F.col("h_nn") / 1000000000.0), 6).alias(
-            "survival_na"
+        F.col("h_nn").alias("cum_hazard_nn"),
+        (F.col("h_nn").cast("double") / F.lit(1000000000).cast("double")).alias(
+            "cum_hazard"
         ),
     )
     return persist_until_collected(obs, out)

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.plans.caching import persist_until_collected
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.ranking import (
+    ntile_from_rank,
+    two_pass_global_rank,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -412,20 +416,23 @@ PARETO_BUCKETS = 10
     f"ranked {PARETO_BUCKETS}-tiles with each bucket's revenue share — "
     "the 80/20 diagnostic behind every whale-risk and sampling-strategy "
     "decision. Two-phase so it scales: the fact table pre-aggregates to "
-    "one row per customer (map-combined shuffle), and only the customer-"
-    "sized relation flows through the ntile window; the grand total rides "
-    "in as a broadcast 1-row scalar.",
+    "one row per customer (map-combined shuffle), and the customer-sized "
+    "relation — data-proportional — takes its ntile from the two-pass "
+    "range-partitioned rank (plans/ranking.py: boundary literals, "
+    "per-bucket row_number + offset prefix sum, exact ntile arithmetic "
+    "from (rank, n)); the grand total rides in as a broadcast 1-row "
+    "scalar. Identical to ntile() by construction — the oracle keeps the "
+    "window formulation.",
 )
 def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
-    ranked = per_cust.withColumn(
-        "bucket",
-        F.ntile(PARETO_BUCKETS).over(
-            Window.orderBy(F.desc("revenue"), "o_custkey")
-        ),
+    ranked = two_pass_global_rank(
+        per_cust, "revenue", "o_custkey", descending=True
+    ).withColumn(
+        "bucket", ntile_from_rank(F.col("_rank"), F.col("_n"), PARETO_BUCKETS)
     )
     tot = per_cust.agg(F.sum("revenue").alias("total"))
     return persist_until_collected(per_cust, (

@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.ranking import (
+    ntile_from_rank,
+    two_pass_global_rank,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -2675,13 +2679,15 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM scored
     """,
     doc="RFM customer segmentation: per-customer recency/frequency/monetary "
-    "aggregates, quartile scores via ntile, and a rule-based segment label. "
-    "One shuffle on o_custkey for the aggregate; the ntile windows are "
-    "global (empty PARTITION BY) which serializes on one task — acceptable "
-    "because the input is one row per customer (already 5-6 orders of "
-    "magnitude smaller than the fact table); at extreme customer counts the "
-    "quartile boundaries would come from approx_percentile + a broadcast "
-    "join instead. Deterministic ntile tie-break on custkey.",
+    "aggregates, quartile scores, and a rule-based segment label. One "
+    "shuffle on o_custkey for the aggregate; the per-customer relation is "
+    "data-proportional, so each quartile score is an exact ntile(4) "
+    "reconstructed from the two-pass range-partitioned rank "
+    "(plans/ranking.py — quantile-boundary literals, per-bucket "
+    "row_number + bucket-offset prefix sum, exact ntile arithmetic from "
+    "(rank, n)) instead of a global single-partition ntile window. "
+    "Identical output to ntile by construction — the oracle keeps the "
+    "ntile formulation. Deterministic tie-break on custkey.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -2691,18 +2697,33 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recency_days"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    ).withColumnRenamed("o_custkey", "custkey")
+    ranked = two_pass_global_rank(
+        rfm, "recency_days", "custkey", descending=False,
+        rank_col="_rr", total_col="_rn",
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = rfm.select(
-        F.col("o_custkey").alias("custkey"),
+    ranked = two_pass_global_rank(
+        ranked, "frequency", "custkey", descending=True,
+        rank_col="_fr", total_col="_fn",
+    )
+    ranked = two_pass_global_rank(
+        ranked, "monetary", "custkey", descending=True,
+        rank_col="_mr", total_col="_mn",
+    )
+    scored = ranked.select(
+        "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(r_w).cast("bigint").alias("r_quartile"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_quartile"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_quartile"),
+        ntile_from_rank(F.col("_rr"), F.col("_rn"), 4)
+        .cast("bigint")
+        .alias("r_quartile"),
+        ntile_from_rank(F.col("_fr"), F.col("_fn"), 4)
+        .cast("bigint")
+        .alias("f_quartile"),
+        ntile_from_rank(F.col("_mr"), F.col("_mn"), 4)
+        .cast("bigint")
+        .alias("m_quartile"),
     )
     segment = (
         F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1), "champion")

@@ -27,6 +27,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucketize(
+    df: DataFrame, value_col: str, n_buckets: int, accuracy: int
+) -> DataFrame:
+    """Drop NULL ``value_col`` rows, sketch quantile boundaries, collect
+    them to the driver (~``n_buckets`` scalars, bounded) and assign each
+    row an ``_bkt`` range-bucket via the embedded literal array — the
+    shared pass-1 of every two-pass global-order helper below. Literals
+    (not a re-evaluated sketch) guarantee every consumer of ``_bkt`` sees
+    the identical bucketization."""
+    df = df.filter(F.col(value_col).isNotNull())
+    fracs = F.array(
+        *[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]
+    )
+    row = df.agg(
+        F.percentile_approx(value_col, fracs, F.lit(accuracy)).alias("_bs")
+    ).first()
+    bvals = list(row["_bs"] or [])  # native types preserved (int stays int)
+    bounds_lit = (
+        F.array(*[F.lit(b) for b in bvals])
+        if bvals
+        else F.array().cast("array<double>")
+    )
+    return df.withColumn("_bs", bounds_lit).withColumn(
+        "_bkt",
+        F.size(F.filter("_bs", lambda x: F.col(value_col) > x)).cast("int"),
+    )
+
+
 def two_pass_global_rank(
     df: DataFrame,
     value_col: str,
@@ -44,22 +72,24 @@ def two_pass_global_rank(
     window. ``tie_col`` must make the order total (unique per value group)
     for the rank to be deterministic.
 
-    ``value_col`` must be non-NULL (a NULL value gets a NULL bucket and
-    silently drops out of the inner offset join — filter first, exactly as
-    the NULL-ordering discipline already requires). A single dominant value
-    degrades gracefully to one big bucket (correct ranks, one loaded task)
-    — the same behavior as any range partitioner under total key skew.
+    NULL ``value_col`` rows are dropped here (explicit ``isNotNull``
+    filter): a NULL would otherwise land in bucket 0 — ``size(filter(...))``
+    of a NULL comparison is 0, not NULL — silently taking trailing ranks
+    and inflating ``total_col``. Callers that must keep NULL rows should
+    rank the non-NULL subset and re-join. A single dominant value degrades
+    gracefully to one big bucket (correct ranks, one loaded task) — the
+    same behavior as any range partitioner under total key skew.
+
+    Boundaries come from a ``percentile_approx`` sketch whose merge order
+    is non-deterministic, and the bucketization feeds TWO plan branches
+    (counts→offsets and the final join). They are therefore collected to
+    the driver (~``n_buckets`` doubles, bounded) and embedded as literals,
+    so both branches provably see the identical array instead of relying
+    on Spark's exchange-reuse to keep two sketch evaluations in sync.
+    ANY boundary set yields the same final ranks, but only if it is the
+    SAME set in both branches.
     """
-    fracs = F.array(
-        *[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]
-    )
-    bounds = df.agg(
-        F.percentile_approx(value_col, fracs, F.lit(accuracy)).alias("_bs")
-    )
-    assigned = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bkt",
-        F.size(F.filter("_bs", lambda x: F.col(value_col) > x)).cast("int"),
-    )
+    assigned = _bucketize(df, value_col, n_buckets, accuracy)
     counts = assigned.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     bkt_order = F.col("_bkt").desc() if descending else F.col("_bkt").asc()
     before = Window.orderBy(bkt_order).rowsBetween(
@@ -81,6 +111,97 @@ def two_pass_global_rank(
             (F.col("_off") + F.row_number().over(within)).cast("bigint"),
         )
         .drop("_bs", "_bkt", "_off")
+    )
+
+
+def two_pass_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    sum_col: str,
+    *,
+    descending: bool = True,
+    n_buckets: int = 32,
+    accuracy: int = 10_000,
+    cum_col: str = "_cum",
+) -> DataFrame:
+    """Return ``df`` plus the exact running total ``cum_col`` of
+    ``sum_col`` over rows ordered ``(value_col {DESC|ASC}, tie_col ASC)``,
+    inclusive of the current row — the distributed prefix sum: per-bucket
+    running sums partitioned by range-bucket, plus a bucket-count-sized
+    offset window of the per-bucket totals. Same NULL/boundary contract as
+    ``two_pass_global_rank`` (shared ``_bucketize`` pass 1). ``sum_col``
+    should be exact-integer for cross-engine bit parity — the bucket-total
+    offsets re-order the summation, which is only safe when addition is
+    associative (ints), not for raw doubles."""
+    assigned = _bucketize(df, value_col, n_buckets, accuracy)
+    totals = assigned.groupBy("_bkt").agg(F.sum(sum_col).alias("_bsum"))
+    bkt_order = F.col("_bkt").desc() if descending else F.col("_bkt").asc()
+    before = Window.orderBy(bkt_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(before), F.lit(0)).alias("_soff"),
+    )
+    value_order: Column = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    within = Window.partitionBy("_bkt").orderBy(
+        value_order, F.col(tie_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        assigned.join(F.broadcast(offsets), "_bkt")
+        .withColumn(cum_col, F.col("_soff") + F.sum(sum_col).over(within))
+        .drop("_bs", "_bkt", "_soff")
+    )
+
+
+def two_pass_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    max_col: str,
+    *,
+    descending: bool = True,
+    n_buckets: int = 32,
+    accuracy: int = 10_000,
+    cum_col: str = "_runmax",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Return ``df`` plus the running maximum ``cum_col`` of ``max_col``
+    over rows ordered ``(value_col {DESC|ASC}, tie_col ASC)`` — the
+    prefix-max analogue of ``two_pass_prefix_sum``: per-bucket running
+    maxima partitioned by range-bucket, combined with the max over all
+    strictly-earlier buckets via ``greatest`` (NULL-skipping, so an empty
+    prefix yields NULL exactly like a window's empty frame).
+    ``exclusive=True`` uses a ``ROWS ... 1 PRECEDING`` frame; since a ROWS
+    frame among equal sort keys is order-dependent, exclusive mode
+    requires ``(value_col, tie_col)`` to be a total order (e.g. distinct
+    values). Max is idempotent and associative, so the bucket
+    decomposition is exact for any comparable type."""
+    assigned = _bucketize(df, value_col, n_buckets, accuracy)
+    totals = assigned.groupBy("_bkt").agg(F.max(max_col).alias("_bmax"))
+    bkt_order = F.col("_bkt").desc() if descending else F.col("_bkt").asc()
+    before = Window.orderBy(bkt_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt", F.max("_bmax").over(before).alias("_moff")
+    )
+    value_order: Column = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    within = Window.partitionBy("_bkt").orderBy(
+        value_order, F.col(tie_col)
+    ).rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    return (
+        assigned.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            cum_col,
+            F.greatest(F.col("_moff"), F.max(max_col).over(within)),
+        )
+        .drop("_bs", "_bkt", "_moff")
     )
 
 

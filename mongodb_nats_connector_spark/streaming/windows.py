@@ -275,7 +275,7 @@ def latest_state_stream(stream: DataFrame) -> DataFrame:
 
 
 def moment_state_stream(
-    stream: DataFrame, dedup_watermark: str = "1 hour"
+    stream: DataFrame, *, dedup_watermark: str
 ) -> DataFrame:
     """Streaming sufficient-statistics state per event type — the
     continuously-maintained (n, sum, sum-of-squares) every control-chart /
@@ -288,7 +288,10 @@ def moment_state_stream(
     dropDuplicatesWithinWatermark bounded by ``dedup_watermark`` — the
     same watermarked form as dedup_within_watermark, applied INSIDE the
     helper so production callers cannot silently get unbounded dedup
-    state. Duplicates replayed within the horizon are absorbed: with
+    state. ``dedup_watermark`` is a REQUIRED keyword (no default): the
+    horizon trades replay-idempotency for state size, so each caller must
+    consciously size it to its replay window — duplicates arriving beyond
+    the horizon double-count into the moments. Duplicates replayed within the horizon are absorbed: with
     that dedup, micro-batch order, retries, and overlapping replays all
     converge to the identical moments a batch distinct-aggregation
     computes over the same rows (stream-vs-batch equality pinned in
