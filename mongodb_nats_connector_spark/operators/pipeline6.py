@@ -966,14 +966,14 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connections/streams). Ends sort after coincident starts (tie column), "
     "so a session ending exactly when another starts counts both as "
     "concurrent — the inclusive convention, identical in both engines. "
-    "Session building shuffles once on user_id; the sweep is a single "
-    "ordered window over 2 rows per session (NOT per event). A global "
-    "ordered window serializes at 100 TB — the scale form range-partitions "
-    "the sweep by time and prefix-sums per-partition totals (two passes), "
-    "same arithmetic; at session granularity (2 rows/session) a month of "
-    "1e9 sessions is 2e9 skinny rows, still a single-node sort at the "
-    "margin. The daily max here tolerates partitioning at day boundaries "
-    "because sessions are day-contained in this dataset.",
+    "Session building shuffles once on user_id; the sweep runs over 2 "
+    "rows per session (NOT per event) as the two-pass range-partitioned "
+    "prefix sum (plans/ranking.py two_pass_prefix_sum over the "
+    "epoch-micros sort key: time-boundary literals, per-bucket running "
+    "sums, bucket-total offsets) — integer +1/-1 addition is associative, "
+    "so the decomposition equals the oracle's single ordered window; rows "
+    "sharing an exact (t, tie) key all carry the same delta, so the "
+    "per-day MAX is invariant to their relative order on both engines.",
 )
 def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-ts guard on both engines: unordered-able rows would land at
@@ -998,11 +998,19 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_end").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("tie")
         )
     )
-    sweep = Window.orderBy("t", "tie").rowsBetween(Window.unboundedPreceding, 0)
-    swept = pts.select(
-        F.date_trunc("day", "t").alias("day"),
-        F.sum("delta").over(sweep).alias("live"),
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_sum,
     )
+
+    # the sweep's sort key (t, tie) collapses to one bigint — micros are
+    # far below 2^62, so (tus * 2 + tie) is an exact, order-preserving
+    # composite and the range bucketizer sees a single numeric column
+    keyed = pts.withColumn(
+        "_sk", F.unix_micros("t") * 2 + F.col("tie")
+    )
+    swept = two_pass_prefix_sum(
+        keyed, "_sk", "_sk", "delta", descending=False, cum_col="live"
+    ).select(F.date_trunc("day", "t").alias("day"), "live")
     return swept.groupBy("day").agg(
         F.max("live").cast("bigint").alias("max_concurrent")
     )

@@ -642,16 +642,17 @@ _TWO28 = float(1 << 28)  # one md5 yields four 28-bit uniforms (28 hex chars)
     doc=f"Poisson bootstrap ({BOOT_B} replicates) of the mean order value — "
     "the bootstrap that actually works at 100 TB: instead of materializing "
     "B resamples, every row draws its per-replicate multiplicity from "
-    "Poisson(1), so the whole procedure is a map-side explode followed by "
-    f"a {BOOT_B}-key map-combined aggregation; no data is ever resampled "
-    "or collected. The Poisson draw inverts the exact CDF ladder against "
-    "md5 uniforms both engines compute bit-identically — each hash "
-    "yields FOUR independent 28-bit uniforms (7 hex chars per replicate "
-    "slot), quartering the per-row hash cost — so the 'random' weights, "
-    "and therefore the CI, hash-verify cross-engine. Replicate means "
-    "quantize to integer milli-cents before "
-    "ranking; the CI is the 2nd/39th ranked replicate (5%/95%). The exact "
-    "mean rides along for calibration.",
+    f"Poisson(1), and the {BOOT_B} replicate (sum(w*y), sum(w)) pairs are "
+    f"{2 * BOOT_B} aggregate expressions over the UN-EXPLODED relation — "
+    "zero row amplification (the oracle's explode formulation computes "
+    "the same exact-integer sums, so values match by associativity). The "
+    "Poisson draw inverts the exact CDF ladder against md5 uniforms both "
+    "engines compute bit-identically — each hash yields FOUR independent "
+    "28-bit uniforms (7 hex chars per replicate slot), quartering the "
+    "per-row hash cost — so the 'random' weights, and therefore the CI, "
+    "hash-verify cross-engine. Replicate means quantize to integer "
+    "milli-cents before ranking; the CI is the 2nd/39th ranked replicate "
+    "(5%/95%). The exact mean rides along for calibration.",
 )
 def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -663,48 +664,60 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y_c").cast("bigint").alias("sy"),
     )
-    r = (
-        base.withColumn(
-            "g", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1)))
-        )
-        .withColumn(
-            "h",
+
+    def _w(u):  # Poisson(1) weight from a uniform via the exact CDF ladder
+        w_expr = F.lit(len(_POIS_CUM))
+        for k in range(len(_POIS_CUM) - 1, -1, -1):
+            w_expr = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(
+                w_expr
+            )
+        return w_expr
+
+    hashed = base.select(
+        "y_c",
+        *[
             F.md5(
                 F.concat(
                     F.col("o_orderkey").cast("string"),
                     F.lit(":"),
-                    F.col("g").cast("string"),
+                    F.lit(str(g)),
                 )
-            ),
-        )
-        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .select(
-            (F.col("g") * 4 + F.col("slot")).alias("b"),
-            "y_c",
-            (
-                F.conv(
-                    F.substring(F.col("h"), F.lit(1) + F.col("slot") * 7, F.lit(7)),
-                    16,
-                    10,
-                ).cast("bigint")
-                / F.lit(_TWO28)
-            ).alias("u"),
-        )
+            ).alias(f"_h{g}")
+            for g in range(BOOT_B // 4)
+        ],
     )
-    w_expr = F.lit(len(_POIS_CUM))
-    for k in range(len(_POIS_CUM) - 1, -1, -1):
-        w_expr = F.when(F.col("u") < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(
-            w_expr
+    aggs = []
+    for b in range(BOOT_B):
+        g, slot = divmod(b, 4)
+        u = (
+            F.conv(
+                F.substring(F.col(f"_h{g}"), 1 + slot * 7, 7), 16, 10
+            ).cast("bigint")
+            / F.lit(_TWO28)
         )
-    w = r.select("b", "y_c", w_expr.alias("w"))
+        w = _w(u)
+        aggs.append(F.sum(w * F.col("y_c")).alias(f"_swy{b}"))
+        aggs.append(F.sum(w).alias(f"_sw{b}"))
+    wide = hashed.agg(*aggs)  # ONE row, 2*B columns — map-combined, no explode
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.col(f"_sw{b}").alias("sw"),
+                F.col(f"_swy{b}").alias("swy"),
+            )
+            for b in range(BOOT_B)
+        ]
+    )
     # a replicate whose Poisson weights all drew 0 has no mean: drop it
     # BEFORE ranking (NULL means would rank FIRST in Spark but LAST in
     # DuckDB); only reachable on near-empty tables — P(sum w = 0) = e^-n
     rep = (
-        w.groupBy("b")
-        .agg(
-            F.sum("w").alias("sw"),
-            F.round(F.sum(F.col("w") * F.col("y_c")) * 1000.0 / F.sum("w"))
+        wide.select(F.explode(pairs).alias("p"))  # 1 row -> B rows, bounded
+        .select(
+            F.col("p.b").alias("b"),
+            F.col("p.sw").alias("sw"),
+            F.round(F.col("p.swy") * 1000.0 / F.col("p.sw"))
             .cast("bigint")
             .alias("mean_mc"),
         )
@@ -910,11 +923,12 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Both regression coordinates quantize to integer micro-units BEFORE "
     "the sums (exact DECIMAL/HUGEINT accumulation), so the fitted "
     "parameters hash-verify. Plan: per-user lag needs one (user_id)-keyed "
-    "shuffle; the global empirical ranks are the scale bound — a single "
-    "ordered window (documented: at 100 TB rank within hash-strata or fit "
-    "per cohort; the estimator only needs the CDF positions, which a "
-    "2-pass range-partitioned rank also provides exactly). k<1 means "
-    "burstiness (decreasing hazard), k=1 Poisson arrivals.",
+    "shuffle; the global empirical CDF ranks come from the two-pass "
+    "range-partitioned rank (plans/ranking.py: boundary literals, "
+    "per-bucket row_number + bucket-offset prefix sum) — identical to "
+    "row_number() by construction (the oracle keeps the window "
+    "formulation), with no data-proportional single-partition sort. k<1 "
+    "means burstiness (decreasing hazard), k=1 Poisson arrivals.",
 )
 def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
@@ -931,7 +945,15 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = g.filter(F.col("gap_us") > 0).select("event_id", "gap_us")
     nn = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    xy = p.crossJoin(F.broadcast(nn)).select(
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_global_rank,
+    )
+
+    pr = two_pass_global_rank(
+        p, "gap_us", "event_id", descending=False,
+        rank_col="_i", total_col="_pn",
+    )
+    xy = pr.crossJoin(F.broadcast(nn)).select(
         F.round(1000000.0 * F.log(F.col("gap_us").cast("double")))
         .cast("bigint")
         .alias("x"),
@@ -941,13 +963,7 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0.0
                 - F.log(
                     1.0
-                    - (
-                        F.row_number().over(
-                            Window.orderBy("gap_us", "event_id")
-                        )
-                        - 0.3
-                    )
-                    / (F.col("n") + 0.4)
+                    - (F.col("_i") - 0.3) / (F.col("n") + 0.4)
                 )
             )
         )
@@ -2607,9 +2623,14 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with proper midrank tie handling — the monotonic-association "
     "complement to Pearson (agg_regression). The fact table compacts to "
     "distinct (x, y) cells first (map-side combine), doubled midranks "
-    "(2*cumcount - ties + 1, exact integers) come from cumulative-count "
-    "windows over the DISTINCT-VALUE marginals — the Mann-Whitney shape, "
-    "so no ordered window ever touches fact-sized data — and the five "
+    "(2*cumcount - ties + 1, exact integers) come from cumulative counts "
+    "over the DISTINCT-VALUE marginals — the Mann-Whitney shape, so no "
+    "ordered window ever touches fact-sized data. The x marginal (~50 "
+    "quantities) rides one bounded window; the y marginal (price cents, "
+    "grows with the part dimension) is the two-pass range-partitioned "
+    "prefix sum (plans/ranking.py two_pass_prefix_sum — exact-integer "
+    "addition, identical to the oracle's window by construction) — and "
+    "the five "
     "sufficient sums multiply in DECIMAL(38,0)/HUGEINT (ranks grow with "
     "row count, so a BIGINT product would wrap past ~1.5e9 rows; "
     "cnt*rx2*ry2 <= 4n^3 stays inside 38 digits up to ~3e12 rows). Rho "
@@ -2634,16 +2655,16 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rx2"),
         )
     )
-    runy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
-    ym = (
-        cells.groupBy("y")
-        .agg(F.sum("cnt").cast("bigint").alias("cy"))
-        .select(
-            "y",
-            (2 * F.sum("cy").over(runy) - F.col("cy") + 1)
-            .cast("bigint")
-            .alias("ry2"),
-        )
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_sum,
+    )
+
+    ycnt = cells.groupBy("y").agg(F.sum("cnt").cast("bigint").alias("cy"))
+    ym = two_pass_prefix_sum(
+        ycnt, "y", "y", "cy", descending=False, cum_col="_cumcy"
+    ).select(
+        "y",
+        (2 * F.col("_cumcy") - F.col("cy") + 1).cast("bigint").alias("ry2"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     j = cells.join(F.broadcast(xm), "x").join(ym, "y").select(

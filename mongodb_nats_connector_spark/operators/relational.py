@@ -716,12 +716,17 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY o_orderdate, o_orderkey
                                          ROWS BETWEEN 2 PRECEDING
                                          AND CURRENT ROW), 4) AS moving_avg_3
-    FROM orders
+    FROM orders WHERE o_orderdate IS NOT NULL
     """,
-    doc="ROWS frames: running sum + 3-row moving average per customer.",
+    doc="ROWS frames: running sum + 3-row moving average per customer. "
+    "NULL order dates are filtered on both engines (Spark orders NULLs "
+    "first, DuckDB last — every running value after a NULL row would "
+    "differ).",
 )
 def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     moving = base.rowsBetween(-2, Window.currentRow)

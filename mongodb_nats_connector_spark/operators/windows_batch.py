@@ -206,7 +206,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
            round(avg(value) OVER w, 4) AS avg_last_hour
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
@@ -214,13 +214,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "average ordered by event time — the sliding-aggregate shape tumbling "
     "windows can't express (every row gets ITS OWN trailing hour). Ordering "
     "key is epoch MICROSECONDS on both engines so frame boundaries match "
-    "exactly. One shuffle on user_id; frames evaluate in a single sorted "
-    "pass per partition, so the plan is the same at any event volume.",
+    "exactly; NULL-ts rows are filtered on both engines (a NULL ordering "
+    "key sorts first in Spark, last in DuckDB, and its RANGE frame is "
+    "engine-defined). One shuffle on user_id; frames evaluate in a single "
+    "sorted pass per partition, so the plan is the same at any event "
+    "volume.",
 )
 def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -245,18 +248,21 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id) IS NULL
                      THEN 1 ELSE 0 END AS BIGINT) AS is_current
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="SCD-type-2 interval construction: each user's event history becomes "
     "versioned rows with [valid_from, valid_to) ranges and an is_current "
     "flag — the lakehouse dimension-building step downstream of CDC apply. "
-    "One lead() window per user_id partition (ties broken by event_id), "
-    "single shuffle, sorted pass; identical plan at any history length.",
+    "NULL-ts rows are filtered on both engines (Spark orders NULLs first, "
+    "DuckDB last — lead() neighbors and the is_current flag would "
+    "differ). One lead() window per user_id partition (ties broken by "
+    "event_id), single shuffle, sorted pass; identical plan at any "
+    "history length.",
 )
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     valid_to = F.lead("ts").over(w)
     return e.select(

@@ -259,31 +259,39 @@ def test_registry_wide_plan_lint(spark):
 # drop-in swap. This dict can only SHRINK or reclassify toward "bounded";
 # any query not listed here must have zero unpartitioned windows.
 _GLOBAL_WINDOWS = {
-    "agg_bootstrap_poisson": (2, "bounded: 40-replicate CDF ladder"),
+    "agg_bootstrap_poisson": (2, "bounded: 40-replicate rank + total"),
     "agg_ks_test": (2, "bounded: distinct-value marginals"),
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
     "agg_runs_test": (1, "bounded: daily series"),
-    "agg_spearman_corr": (2, "distinct-value marginals; the y (price-cent) "
-                             "domain grows with the part dimension — "
-                             "two-pass swap applies if it outgrows a task"),
+    "agg_spearman_corr": (2, "bounded: ~50-quantity x marginal + "
+                             "n_buckets offset window (y marginal is "
+                             "two-pass)"),
     "customer_ltv_deciles": (2, "bounded: n_buckets offset/total windows"),
-    "customer_rfm_segments": (3, "data-proportional: per-customer ntile x3"),
-    "docs_quality_ensemble_rank": (4, "data-proportional: per-doc ranks"),
+    "customer_rfm_segments": (6, "bounded: n_buckets offset/total x3 "
+                                 "(two-pass converted)"),
+    "docs_quality_ensemble_rank": (7, "bounded: n_buckets offset/total x4 "
+                                      "(two-pass converted; one pruned)"),
     "events_cusum_changepoint": (2, "bounded: daily series"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
-    "events_max_concurrency": (1, "data-proportional: 2-per-session sweep"),
-    "events_weibull_gaps": (1, "data-proportional: per-gap median ranks"),
-    "orders_abc_xyz": (1, "data-proportional: per-part cumulative share"),
-    "orders_gini_hhi": (1, "data-proportional: per-customer rank"),
+    "events_max_concurrency": (1, "bounded: n_buckets offset window "
+                                  "(two-pass sweep)"),
+    "events_weibull_gaps": (1, "bounded: n_buckets offset window "
+                               "(two-pass rank)"),
+    "orders_abc_xyz": (1, "bounded: n_buckets offset window "
+                          "(two-pass prefix sum)"),
+    "orders_gini_hhi": (1, "bounded: n_buckets offset window "
+                           "(two-pass rank)"),
     "orders_mape_backtest": (1, "bounded: monthly series"),
     "orders_monthly_growth": (1, "bounded: monthly series"),
     "orders_nelson_aalen": (2, "bounded: distinct-duration risk sets"),
-    "orders_pareto_curve": (1, "data-proportional: per-customer ntile"),
+    "orders_pareto_curve": (2, "bounded: n_buckets offset/total windows "
+                               "(two-pass converted)"),
     "orders_price_records": (1, "bounded: distinct-day series"),
     "orders_running_share": (2, "bounded: monthly series"),
-    "orders_skyline_pareto": (1, "data-proportional: distinct spend ladder"),
+    "orders_skyline_pareto": (1, "bounded: n_buckets offset window "
+                                 "(two-pass prefix max)"),
     "orders_survival_km": (2, "bounded: distinct-duration risk sets"),
     "revenue_yoy": (1, "bounded: yearly series"),
     "text_bm25_topk": (1, "bounded: query-term posting lists"),
