@@ -221,6 +221,9 @@ _ALLOWED_NESTED_LOOP = {
     "docs_js_divergence",         # 1-row token-total scalar broadcast crossJoin
     "events_entropy_rate",        # 1-row total/state/sum scalars broadcast crossJoins
     "customer_ltv_deciles",       # 1-row quantile-boundary array broadcast crossJoin
+    "agg_kendall_tau",            # bounded domain-grid crossJoin + 1-row scalars
+    "text_kneser_ney_bigram",     # 1-row bigram-type-total scalar broadcast crossJoin
+    "similarity_mmr_topk",        # broadcast NLJ over the bounded candidate pool (by design)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
