@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongodb_nats_connector_spark.plans.caching import persist_until_collected
+from mongodb_nats_connector_spark.plans.caching import (
+    persist_until_collected,
+    release_on_gc,
+)
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -415,6 +418,9 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
     )
+    # persisted NOW (not via persist_until_collected) because the bounded
+    # collects below need the cache during construction; released when the
+    # returned result is GC'd (release_on_gc at the bottom)
     cand = cand.persist()
     # pairwise similarity matrix of the bounded pool, computed distributed
     c1 = cand.select(
@@ -464,15 +470,13 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps_df = spark.createDataFrame(
         [(int(v), int(s)) for v, s in order.items()], "vec_id long, step long"
     )
-    return (
-        cand.join(F.broadcast(steps_df), "vec_id")
-        .select(
-            "step",
-            "vec_id",
-            F.col("label").cast("bigint").alias("label"),
-            F.col("rel").alias("relevance"),
-        )
+    out = cand.join(F.broadcast(steps_df), "vec_id").select(
+        "step",
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("rel").alias("relevance"),
     )
+    return release_on_gc(cand, out)
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +557,8 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
+    # persisted NOW: the Boruvka rounds below collect against uw repeatedly
+    # during construction; released when the returned result is GC'd
     uw = uw.persist()
     nodes = [
         r["n"]
@@ -600,6 +606,7 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 comp[ra] = rb
                 mst_keys.append(r["a"] * 100 + r["b"])
-    return uw.filter(
+    out = uw.filter(
         (F.col("a") * 100 + F.col("b")).isin(mst_keys)
     ).select("a", "b", "w")
+    return release_on_gc(uw, out)

@@ -32,6 +32,15 @@ def persist_until_collected(
 ) -> DataFrame:
     """persist() ``intermediate``; unpersist it when ``result`` is GC'd."""
     intermediate.persist()
+    return release_on_gc(intermediate, result)
+
+
+def release_on_gc(intermediate: DataFrame, result: DataFrame) -> DataFrame:
+    """Attach only the finalizer half of ``persist_until_collected``: the
+    caller already persisted ``intermediate`` (because a driver-side
+    bounded-collect loop needed the cache DURING query construction, before
+    the result plan existed); this releases that cache when ``result`` is
+    GC'd, with the same lifetime contract."""
     jdf = intermediate._jdf
 
     def _release() -> None:

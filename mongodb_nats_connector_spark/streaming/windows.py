@@ -322,6 +322,97 @@ def moment_state_stream(
     )
 
 
+def daily_moment_state_stream(
+    stream: DataFrame, *, dedup_watermark: str
+) -> DataFrame:
+    """Streaming per-(event_type, day) sufficient statistics (n, s1 in
+    exact 1e-4 integer units) — the day-granular refinement of
+    moment_state_stream that feeds the CUSUM changepoint projection
+    below. Same replay-idempotency contract: a watermarked event_id dedup
+    in front (``dedup_watermark`` REQUIRED — size it to the replay
+    window), values quantized to integers BEFORE any cross-row sum, so
+    micro-batch order, retries, and overlapping replays converge to the
+    identical state a batch distinct-aggregation computes. NULL-ts rows
+    are dropped (no day to attribute them to — mirroring the batch
+    changepoint family's NULL-ts guard). State is one row per
+    (event_type, day) plus the watermark-bounded dedup set."""
+    v4 = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        stream.filter(
+            F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_type", F.col("ts").cast("date").alias("day"), v4.alias("v4"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v4").cast("bigint").alias("s1"),
+        )
+    )
+
+
+def cusum_from_daily_state(state: DataFrame) -> DataFrame:
+    """STATELESS CUSUM mean-shift projection over a (event_type, day, n,
+    s1) state table — the streaming closure of the batch
+    events_cusum_changepoint: S_i = sum_{j<=i}(s1_j - n_j * mu) per event
+    type, computed via the exact integer identity total_n * S_i =
+    prefix_s1 * total_n - prefix_n * total_s1 so the argmax-|S| day is
+    decided on BIGINTs; the reported double is one correctly-rounded
+    division. Runs identically on the streamed state (complete-mode
+    sink) and on a batch daily aggregate — the stream-vs-batch test pins
+    that the two inputs are equal, and this shared projection makes the
+    derived changepoint equal by construction. All windows partition by
+    event_type; the relation is day-count-sized, never event-sized."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    c = state.select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        F.sum("n").over(w).cast("bigint").alias("pn"),
+        F.sum("s1").over(w).cast("bigint").alias("ps1"),
+        F.sum("n").over(wt).cast("bigint").alias("tn"),
+        F.sum("s1").over(wt).cast("bigint").alias("ts1"),
+    )
+    sc = c.select(
+        "event_type",
+        "day",
+        "n",
+        "s1",
+        (
+            F.col("ps1").cast("decimal(38,0)") * F.col("tn")
+            - F.col("pn").cast("decimal(38,0)") * F.col("ts1")
+        ).alias("s_scaled"),
+        "tn",
+    )
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.asc("day")
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(wcp))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "s1",
+            (F.col("s_scaled").cast("double") / F.col("tn") / 10000.0).alias(
+                "cusum"
+            ),
+            (F.col("rk") == 1).alias("is_changepoint"),
+        )
+    )
+
+
 # --- streaming K-Minimum-Values distinct sketch (round 8) ---
 #
 # The streaming sibling of agg_kmv_distinct_setops (operators/pipeline7.py).

@@ -338,6 +338,9 @@ def test_no_new_bare_persists():
         "operators/pipeline7.py": 1,  # BFS loop (edge list;
         # unpersisted after the loop checkpoints its node-sized result —
         # widest-path's edge cache moved to persist_until_collected)
+        "operators/pipeline10.py": 2,  # MMR candidate pool + Boruvka edge
+        # list: both cached BEFORE their bounded driver-collect loops and
+        # released by plans.caching.release_on_gc on the returned result
         # (pipeline6b's big-star CC loop uses eager localCheckpoint per
         # round — plan truncation, not a bare persist)
     }
