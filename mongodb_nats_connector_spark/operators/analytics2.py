@@ -232,11 +232,17 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_c")
     )
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the fact rollup; released on result GC
+    ltv = ltv.persist()
     ranked = two_pass_global_rank(
         ltv, "ltv_c", "o_custkey", descending=True
     )
     decile = ntile_from_rank(F.col("_rank"), F.col("_n"), 10)
-    return (
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(
+        ltv,
         ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
@@ -244,7 +250,7 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ltv_c") / 100.0, 2).alias("total_value"),
             F.round(F.min("ltv_c") / 100.0, 2).alias("min_value"),
             F.round(F.max("ltv_c") / 100.0, 2).alias("max_value"),
-        )
+        ),
     )
 
 

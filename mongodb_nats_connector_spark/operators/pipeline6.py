@@ -1004,13 +1004,19 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the sweep's sort key (t, tie) collapses to one bigint — micros are
     # far below 2^62, so (tus * 2 + tie) is an exact, order-preserving
-    # composite and the range bucketizer sees a single numeric column
+    # composite and the range bucketizer sees a single numeric column.
+    # Persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the sessionization windows; released when
+    # the returned result is GC'd.
     keyed = pts.withColumn(
         "_sk", F.unix_micros("t") * 2 + F.col("tie")
-    )
+    ).persist()
     swept = two_pass_prefix_sum(
         keyed, "_sk", "_sk", "delta", descending=False, cum_col="live"
     ).select(F.date_trunc("day", "t").alias("day"), "live")
-    return swept.groupBy("day").agg(
+    out = swept.groupBy("day").agg(
         F.max("live").cast("bigint").alias("max_concurrent")
     )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(keyed, out)

@@ -882,13 +882,18 @@ def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the fact rollup; released on result GC
+    per = per.persist()
     rk = two_pass_global_rank(
         per, "rev_c", "o_custkey", descending=False, rank_col="i"
     ).select("rev_c", "i")
     n = F.count(F.lit(1))
     rev = F.col("rev_c") / 100.0
     tot = F.sum("rev_c") / 100.0
-    return rk.agg(
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(per, rk.agg(
         n.cast("bigint").alias("n_customers"),
         F.round(tot, 2).alias("total_revenue"),
         F.round(F.sum(rev * rev) / (tot * tot), 6).alias("hhi"),
@@ -897,7 +902,7 @@ def orders_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------

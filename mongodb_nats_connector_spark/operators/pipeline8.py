@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.graph_common import trade_edges
-from mongodb_nats_connector_spark.plans.caching import persist_until_collected
+from mongodb_nats_connector_spark.plans.caching import (
+    persist_until_collected,
+    release_on_gc,
+)
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.plans.ranking import two_pass_global_rank
 from mongodb_nats_connector_spark.registry import register
@@ -86,6 +89,9 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("spend_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the fact rollup; released on result GC
+    per_cust = per_cust.persist()
     grp = per_cust.groupBy("spend_c").agg(F.max("n_orders").alias("gmax"))
     ranked = two_pass_prefix_max(
         grp, "spend_c", "spend_c", "gmax",
@@ -103,7 +109,7 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
-    return persist_until_collected(per_cust, out)
+    return release_on_gc(per_cust, out)
 
 
 # ---------------------------------------------------------------------------
@@ -502,6 +508,10 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(money_c).cast("bigint").alias("rev_c")
     )
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the fact-table rollup; released when the
+    # returned result is GC'd (release_on_gc at return)
+    rev = rev.persist()
     tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
     cum = (
         two_pass_prefix_sum(
@@ -522,9 +532,9 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("mrev_c") / F.avg("mrev_c"), 4),
         ).alias("cv")
     )
-    # rev feeds both the grand total and the ranked running share: persist
-    # the per-part relation so the lineitem scan+agg runs once
-    return persist_until_collected(rev, cum.join(cv, "l_partkey").select(
+    # rev feeds the boundary sketch, the grand total and the ranked running
+    # share; it was persisted above so the lineitem scan+agg runs once
+    return release_on_gc(rev, cum.join(cv, "l_partkey").select(
         "l_partkey",
         F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
         F.round("cum_share", 6).alias("cum_share"),
@@ -1067,6 +1077,10 @@ def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_uniq"),
     ).withColumn("_lexdiv", F.col("n_uniq") * 1.0 / F.col("n_words"))
+    # persisted NOW: FOUR chained two-pass boundary sketches run at
+    # construction; without the cache each would re-tokenize the corpus.
+    # Released on result GC.
+    sig = sig.persist()
     ranked = two_pass_global_rank(
         sig, "n_chars", "doc_id", descending=True,
         rank_col="r_chars", total_col="_n1",
@@ -1089,13 +1103,16 @@ def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, "borda", "doc_id", descending=False,
         rank_col="final_rank", total_col="_n4",
     )
-    return ranked.select(
-        "doc_id",
-        "r_chars",
-        "r_words",
-        "r_uniq",
-        "borda",
-        F.col("final_rank").cast("bigint").alias("final_rank"),
+    return release_on_gc(
+        sig,
+        ranked.select(
+            "doc_id",
+            "r_chars",
+            "r_words",
+            "r_uniq",
+            "borda",
+            F.col("final_rank").cast("bigint").alias("final_rank"),
+        ),
     )
 
 

@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongodb_nats_connector_spark.plans.caching import persist_until_collected
+from mongodb_nats_connector_spark.plans.caching import (
+    persist_until_collected,
+    release_on_gc,
+)
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -642,20 +645,27 @@ _TWO28 = float(1 << 28)  # one md5 yields four 28-bit uniforms (28 hex chars)
     doc=f"Poisson bootstrap ({BOOT_B} replicates) of the mean order value — "
     "the bootstrap that actually works at 100 TB: instead of materializing "
     "B resamples, every row draws its per-replicate multiplicity from "
-    f"Poisson(1), and the {BOOT_B} replicate (sum(w*y), sum(w)) pairs are "
-    f"{2 * BOOT_B} aggregate expressions over the UN-EXPLODED relation — "
-    "zero row amplification (the oracle's explode formulation computes "
-    "the same exact-integer sums, so values match by associativity). The "
-    "Poisson draw inverts the exact CDF ladder against md5 uniforms both "
-    "engines compute bit-identically — each hash yields FOUR independent "
-    "28-bit uniforms (7 hex chars per replicate slot), quartering the "
-    "per-row hash cost — so the 'random' weights, and therefore the CI, "
-    "hash-verify cross-engine. Replicate means quantize to integer "
-    "milli-cents before ranking; the CI is the 2nd/39th ranked replicate "
-    "(5%/95%). The exact mean rides along for calibration.",
+    "Poisson(1). One explode per HASH GROUP (4x fewer rows than one per "
+    "replicate: each md5 yields FOUR independent 28-bit uniforms, 7 hex "
+    "chars per slot), with the four slot weights folded as per-group "
+    "aggregate expressions — map-side combine reduces each partition to "
+    f"{BOOT_B // 4} rows of 8 exact-integer sums before any shuffle, so "
+    "the shuffled volume is replicate-count-sized regardless of input. "
+    f"(The fully de-exploded {2 * BOOT_B}-aggregate form was measured "
+    "SLOWER: 80 CASE-ladder aggregates exceed Janino's 64KB method limit, "
+    "dropping the whole aggregate out of codegen — a 2x steady-state "
+    "loss; this shape keeps every operator inside WholeStageCodegen.) "
+    "The Poisson draw inverts the exact CDF ladder against md5 uniforms "
+    "both engines compute bit-identically, so the 'random' weights, and "
+    "therefore the CI, hash-verify cross-engine. Replicate means quantize "
+    "to integer milli-cents before ranking; the CI is the 2nd/39th ranked "
+    "replicate (5%/95%). The exact mean rides along for calibration.",
 )
 def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # parallel=True: ~10 md5 evaluations per row serialize on the
+    # single-file scan partition otherwise — this is the compute-heavy
+    # per-row case the repartition exists for
+    o = table(spark, sf_dir, "orders", parallel=True)
     base = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y_c"),
@@ -673,47 +683,45 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return w_expr
 
-    hashed = base.select(
-        "y_c",
-        *[
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.lit(str(g)),
-                )
-            ).alias(f"_h{g}")
-            for g in range(BOOT_B // 4)
-        ],
+    r = base.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1)))
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ),
     )
     aggs = []
-    for b in range(BOOT_B):
-        g, slot = divmod(b, 4)
+    for slot in range(4):
         u = (
             F.conv(
-                F.substring(F.col(f"_h{g}"), 1 + slot * 7, 7), 16, 10
+                F.substring(F.col("h"), 1 + slot * 7, 7), 16, 10
             ).cast("bigint")
             / F.lit(_TWO28)
         )
         w = _w(u)
-        aggs.append(F.sum(w * F.col("y_c")).alias(f"_swy{b}"))
-        aggs.append(F.sum(w).alias(f"_sw{b}"))
-    wide = hashed.agg(*aggs)  # ONE row, 2*B columns — map-combined, no explode
+        aggs.append(F.sum(w * F.col("y_c")).alias(f"_swy{slot}"))
+        aggs.append(F.sum(w).alias(f"_sw{slot}"))
+    rep_g = r.groupBy("g").agg(*aggs)
     pairs = F.array(
         *[
             F.struct(
-                F.lit(b).alias("b"),
-                F.col(f"_sw{b}").alias("sw"),
-                F.col(f"_swy{b}").alias("swy"),
+                (F.col("g") * 4 + slot).alias("b"),
+                F.col(f"_sw{slot}").alias("sw"),
+                F.col(f"_swy{slot}").alias("swy"),
             )
-            for b in range(BOOT_B)
+            for slot in range(4)
         ]
     )
     # a replicate whose Poisson weights all drew 0 has no mean: drop it
     # BEFORE ranking (NULL means would rank FIRST in Spark but LAST in
     # DuckDB); only reachable on near-empty tables — P(sum w = 0) = e^-n
     rep = (
-        wide.select(F.explode(pairs).alias("p"))  # 1 row -> B rows, bounded
+        rep_g.select(F.explode(pairs).alias("p"))  # B//4 rows -> B, bounded
         .select(
             F.col("p.b").alias("b"),
             F.col("p.sw").alias("sw"),
@@ -944,6 +952,10 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tus") - F.lag("tus").over(wlag)).alias("gap_us"),
     )
     p = g.filter(F.col("gap_us") > 0).select("event_id", "gap_us")
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the per-user lag window; released when the
+    # returned result is GC'd
+    p = p.persist()
     nn = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     from mongodb_nats_connector_spark.plans.ranking import (
         two_pass_global_rank,
@@ -1005,7 +1017,7 @@ def events_weibull_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((0.0 - F.col("icpt")) / F.col("slope")) / 1000000.0, 3
         ).alias("weibull_scale_s"),
     )
-    return persist_until_collected(p, out)
+    return release_on_gc(p, out)
 
 
 # ---------------------------------------------------------------------------
@@ -2644,6 +2656,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
     cells = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # persisted NOW: the two-pass helper's boundary sketch below runs a job
+    # at construction time; without the cache it would recompute the full
+    # fact-table cell aggregation, and the final plan a third time.
+    # Released when the returned result is GC'd (release_on_gc at return).
+    cells = cells.persist()
     run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     xm = (
         cells.groupBy("x")
@@ -2690,11 +2707,12 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
     rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary)
-    return s.filter((n > 2) & (varx > 0) & (vary > 0)).select(
+    out = s.filter((n > 2) & (varx > 0) & (vary > 0)).select(
         "n",
         F.round(rho, 6).alias("spearman_rho"),
         F.round(rho * F.sqrt((n - 2) / (1.0 - rho * rho)), 4).alias("t_stat"),
     )
+    return release_on_gc(cells, out)
 
 
 # ---------------------------------------------------------------------------

@@ -429,13 +429,18 @@ def orders_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
+    # persisted NOW: the two-pass boundary sketch runs at construction and
+    # would otherwise recompute the fact rollup; released on result GC
+    per_cust = per_cust.persist()
     ranked = two_pass_global_rank(
         per_cust, "revenue", "o_custkey", descending=True
     ).withColumn(
         "bucket", ntile_from_rank(F.col("_rank"), F.col("_n"), PARETO_BUCKETS)
     )
     tot = per_cust.agg(F.sum("revenue").alias("total"))
-    return persist_until_collected(per_cust, (
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(per_cust, (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("bucket", "total")
         .agg(

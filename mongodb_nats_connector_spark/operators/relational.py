@@ -2703,6 +2703,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     ).withColumnRenamed("o_custkey", "custkey")
+    # persisted NOW: three two-pass boundary sketches run at construction;
+    # without the cache each would recompute the per-customer rollup.
+    # Released on result GC (release_on_gc at return).
+    rfm = rfm.persist()
     ranked = two_pass_global_rank(
         rfm, "recency_days", "custkey", descending=False,
         rank_col="_rr", total_col="_rn",
@@ -2735,7 +2739,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_quartile") >= 3) & (F.col("f_quartile") >= 3), "at_risk")
         .otherwise("regular")
     )
-    return scored.withColumn("segment", segment)
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(rfm, scored.withColumn("segment", segment))
 
 
 @register(

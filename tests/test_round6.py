@@ -335,12 +335,22 @@ def test_no_new_bare_persists():
         "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
         "operators/pipeline6.py": 1,  # label-propagation loop (edges;
         # unpersisted after the eager localCheckpoint materializes labels)
-        "operators/pipeline7.py": 1,  # BFS loop (edge list;
+        "operators/pipeline7.py": 2,  # BFS loop (edge list;
         # unpersisted after the loop checkpoints its node-sized result —
-        # widest-path's edge cache moved to persist_until_collected)
+        # widest-path's edge cache moved to persist_until_collected) +
+        # gini's two-pass-rank input (released by release_on_gc)
         "operators/pipeline10.py": 2,  # MMR candidate pool + Boruvka edge
         # list: both cached BEFORE their bounded driver-collect loops and
         # released by plans.caching.release_on_gc on the returned result
+        # --- two-pass-rank inputs: each cached BEFORE the helper's
+        # construction-time boundary-sketch job (else the upstream rollup
+        # recomputes per pass) and released by release_on_gc at return ---
+        "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
+        "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
+        "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
+        "operators/relational.py": 1,  # rfm per-customer rollup
+        "operators/quality5.py": 1,    # pareto per-customer rollup
+        "operators/analytics2.py": 1,  # ltv per-customer rollup
         # (pipeline6b's big-star CC loop uses eager localCheckpoint per
         # round — plan truncation, not a bare persist)
     }
