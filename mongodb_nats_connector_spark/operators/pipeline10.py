@@ -610,3 +610,463 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a") * 100 + F.col("b")).isin(mst_keys)
     ).select("a", "b", "w")
     return release_on_gc(uw, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_sen — robust trend slope via the median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev_c,
+             CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t
+      FROM d
+    ),
+    pairs AS (
+      SELECT CAST(round((b.rev_c - a.rev_c) * 1000.0 / (b.t - a.t))
+                  AS BIGINT) AS slope_mc
+      FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(round(quantile_cont(slope_mc, 0.5) * 2) AS BIGINT)
+               AS slope_mc_x2
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT nd.n_days, m.n_pairs, m.slope_mc_x2,
+           CAST(m.slope_mc_x2 AS DOUBLE) / CAST(200000 AS DOUBLE)
+             AS theil_sen_slope
+    FROM nd, m
+    WHERE nd.n_days > 1
+    """,
+    doc="Theil-Sen robust trend estimator over the daily revenue series: "
+    "the median of all pairwise slopes — up to ~29% contamination cannot "
+    "move it, unlike the OLS trend every dashboard defaults to. Slopes "
+    "quantize to integer MILLI-CENTS/DAY before the median, and the "
+    "median itself is carried as the exact doubled-integer (the proven "
+    "agg_median_test recipe: quantile*2 of integers is exact on both "
+    "engines even at even counts); the reported slope is ONE IEEE "
+    "division (/2 for the doubling, /1000 for milli, /100 for cents — "
+    "fused to /200000, dollars/day). The pair join is CALENDAR-bounded "
+    "(days^2, independent of fact rows): ~3M pairs for the 7-year TPC-H "
+    "range, ~50M for two decades — a bounded nested-loop the plan lint "
+    "allowlists by design, with the windowed repeated-median variant as "
+    "the fallback if the calendar ever outgrows it. Everything upstream "
+    "is one map-combined day rollup.",
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    idx = d.select(
+        "rev_c",
+        F.date_diff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    # persisted NOW (bounded: one row per calendar day); the pair join
+    # consumes it twice, released on result GC
+    idx = idx.persist()
+    a = idx.select(F.col("rev_c").alias("ra"), F.col("t").alias("ta"))
+    b = idx.select(F.col("rev_c").alias("rb"), F.col("t").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
+        F.round((F.col("rb") - F.col("ra")) * 1000.0 / (F.col("tb") - F.col("ta")))
+        .cast("bigint")
+        .alias("slope_mc")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("slope_mc", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("slope_mc_x2"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = (
+        nd.crossJoin(F.broadcast(m))
+        .filter(F.col("n_days") > 1)
+        .select(
+            "n_days",
+            "n_pairs",
+            "slope_mc_x2",
+            (
+                F.col("slope_mc_x2").cast("double")
+                / F.lit(200000).cast("double")
+            ).alias("theil_sen_slope"),
+        )
+    )
+    return release_on_gc(idx, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_cramers_v — Cramér's V association between event type and weekday
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS x,
+             (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    obs AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM obs GROUP BY 1),
+    my AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM obs GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(DISTINCT x) AS BIGINT) AS r,
+             CAST(count(DISTINCT y) AS BIGINT) AS c
+      FROM obs
+    ),
+    terms AS (
+      SELECT CAST(round(1000000000.0
+               * (o.n - mx.nx * (my.ny * 1.0 / tot.nn))
+               * (o.n - mx.nx * (my.ny * 1.0 / tot.nn))
+               / (mx.nx * (my.ny * 1.0 / tot.nn))) AS BIGINT) AS t_nn,
+             tot.nn, tot.r, tot.c
+      FROM obs o JOIN mx ON mx.x = o.x JOIN my ON my.y = o.y CROSS JOIN tot
+    )
+    SELECT CAST(min(nn) AS BIGINT) AS n_obs,
+           CAST(min(r) AS BIGINT) AS n_rows,
+           CAST(min(c) AS BIGINT) AS n_cols,
+           CAST(sum(t_nn) AS BIGINT) AS chi2_nn,
+           sqrt(CAST(sum(t_nn) AS DOUBLE) / 1000000000.0
+                / (min(nn) * least(min(r) - 1, min(c) - 1)))
+             AS cramers_v
+    FROM terms
+    WHERE nn > 0 AND r > 1 AND c > 1
+    GROUP BY ()
+    """,
+    doc="Cramér's V — the [0,1]-normalized effect size chi-square lacks — "
+    "between event type and weekday (epoch-day mod 7, locale-proof; the "
+    "same axes as agg_mutual_information, giving the family both an "
+    "information-theoretic and a chi-square-based dependence readout). "
+    "Per-cell chi-square terms quantize to integer nano-units BEFORE the "
+    "cell sum (the proven agg_median_test discipline — summation order "
+    "cannot move a bit), and V itself is IEEE division + correctly-"
+    "rounded sqrt over exact integers. One fact-sized map-combined "
+    "shuffle to the ~35-cell joint histogram; everything after is "
+    "cell-relation-sized. Degenerate single-row/column tables emit zero "
+    "rows on both engines.",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    e = ev.select(
+        F.col("event_type").alias("x"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        ).alias("y"),
+    )
+    obs = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = obs.groupBy("x").agg(F.sum("n").cast("bigint").alias("nx"))
+    my = obs.groupBy("y").agg(F.sum("n").cast("bigint").alias("ny"))
+    tot = obs.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count_distinct("x").cast("bigint").alias("r"),
+        F.count_distinct("y").cast("bigint").alias("c"),
+    )
+    expect = F.col("nx") * (F.col("ny") * 1.0 / F.col("nn"))
+    t_nn = F.round(
+        1000000000.0
+        * (F.col("n") - expect)
+        * (F.col("n") - expect)
+        / expect
+    ).cast("bigint")
+    terms = (
+        obs.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(t_nn.alias("t_nn"), "nn", "r", "c")
+    )
+    return persist_until_collected(obs, (
+        terms.filter((F.col("nn") > 0) & (F.col("r") > 1) & (F.col("c") > 1))
+        .agg(
+            F.min("nn").cast("bigint").alias("n_obs"),
+            F.min("r").cast("bigint").alias("n_rows"),
+            F.min("c").cast("bigint").alias("n_cols"),
+            F.sum("t_nn").cast("bigint").alias("chi2_nn"),
+            F.sqrt(
+                F.sum("t_nn").cast("double")
+                / 1000000000.0
+                / (
+                    F.min("nn")
+                    * F.least(F.min("r") - 1, F.min("c") - 1)
+                )
+            ).alias("cramers_v"),
+        )
+    ))
+
+
+# ---------------------------------------------------------------------------
+# agg_info_gain_split — decision-tree split scoring over the quantity domain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_info_gain_split",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp
+      FROM cells
+    ),
+    pre AS (
+      SELECT q,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(p) OVER w AS BIGINT) AS pl
+      FROM cells
+      WINDOW w AS (ORDER BY q ROWS UNBOUNDED PRECEDING)
+    ),
+    ent AS (
+      SELECT pre.q, pre.nl, pre.pl, tot.nn, tot.pp,
+             tot.nn - pre.nl AS nr, tot.pp - pre.pl AS pr
+      FROM pre CROSS JOIN tot WHERE pre.nl < tot.nn
+    ),
+    scored AS (
+      SELECT q, nl, nr,
+             CAST(round(1000000000.0 * (
+               (CASE WHEN pp IN (0, nn) THEN 0.0
+                     ELSE 0.0 - (pp * 1.0 / nn) * ln(pp * 1.0 / nn)
+                          - ((nn - pp) * 1.0 / nn) * ln((nn - pp) * 1.0 / nn)
+                END)
+               - (nl * 1.0 / nn) * (CASE WHEN pl IN (0, nl) THEN 0.0
+                     ELSE 0.0 - (pl * 1.0 / nl) * ln(pl * 1.0 / nl)
+                          - ((nl - pl) * 1.0 / nl) * ln((nl - pl) * 1.0 / nl)
+                END)
+               - (nr * 1.0 / nn) * (CASE WHEN pr IN (0, nr) THEN 0.0
+                     ELSE 0.0 - (pr * 1.0 / nr) * ln(pr * 1.0 / nr)
+                          - ((nr - pr) * 1.0 / nr) * ln((nr - pr) * 1.0 / nr)
+                END))) AS BIGINT) AS gain_nn
+      FROM ent
+    )
+    SELECT q AS split_at, nl AS n_left, nr AS n_right, gain_nn,
+           CAST(gain_nn AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+             AS info_gain_nats
+    FROM scored
+    """,
+    doc="Decision-tree split scoring: information gain of every candidate "
+    "threshold 'quantity <= q' for predicting returns — the inner loop of "
+    "tree/GBDT training (XGBoost/LightGBM histogram-based split finding "
+    "is exactly this shape). The fact table compacts to the ~50-value "
+    "quantity DOMAIN histogram in one map-combined shuffle; candidate "
+    "thresholds are prefix sums over that bounded relation (the "
+    "histogram trick — no per-row sorting, no data-proportional window), "
+    "so the plan is identical at any fact size. Entropy terms quantize "
+    "to integer nano-nats per threshold (the agg_mutual_information ln "
+    "discipline), degenerate pure nodes short-circuit to 0.0 exactly on "
+    "both engines, and the reported gain is one IEEE division.",
+)
+def agg_info_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("p").cast("bigint").alias("pp"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        "q",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("p").over(w).cast("bigint").alias("pl"),
+    )
+    ent = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nn"))
+        .select(
+            "q",
+            "nl",
+            "pl",
+            "nn",
+            "pp",
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+        )
+    )
+
+    def _h(p, n):  # binary entropy of p positives among n, exact-0 guarded
+        frac = F.col(p) * 1.0 / F.col(n)
+        return F.when(
+            F.col(p).isin(0) | (F.col(p) == F.col(n)), F.lit(0.0)
+        ).otherwise(0.0 - frac * F.log(frac) - (1 - frac) * F.log(1 - frac))
+
+    gain = (
+        _h("pp", "nn")
+        - (F.col("nl") * 1.0 / F.col("nn")) * _h("pl", "nl")
+        - (F.col("nr") * 1.0 / F.col("nn")) * _h("pr", "nr")
+    )
+    gain_nn = F.round(1000000000.0 * gain).cast("bigint")
+    return ent.select(
+        F.col("q").alias("split_at"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        gain_nn.alias("gain_nn"),
+        (gain_nn.cast("double") / F.lit(1000000000).cast("double")).alias(
+            "info_gain_nats"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary — stationary distribution via fixed-point power
+# iteration over the event-type transition matrix
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 3
+_PPB = 1_000_000_000
+
+
+def _markov_oracle() -> str:
+    steps = []
+    for i in range(1, MARKOV_ITERS + 1):
+        prev = f"pi{i - 1}"
+        steps.append(f"""
+    pi{i} AS MATERIALIZED (
+      SELECT t.dst AS state,
+             CAST(sum((p.w * t.p_ppb) // {_PPB}) AS BIGINT) AS w
+      FROM {prev} p JOIN tmat t ON t.src = p.state
+      GROUP BY t.dst
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM e
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    rowt AS (SELECT src, CAST(sum(c) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+    tmat AS MATERIALIZED (
+      SELECT c.src, c.dst, (c.c * {_PPB}) // r.rt AS p_ppb
+      FROM cnt c JOIN rowt r ON r.src = c.src
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT src AS state FROM tmat),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+    pi0 AS MATERIALIZED (
+      SELECT state, CAST({_PPB} // ns.k AS BIGINT) AS w FROM states, ns
+    ),{",".join(steps)}
+    SELECT s.state,
+           coalesce(p.w, 0) AS stationary_ppb,
+           CAST(coalesce(p.w, 0) AS DOUBLE) / CAST({_PPB} AS DOUBLE)
+             AS stationary_prob
+    FROM states s LEFT JOIN pi{MARKOV_ITERS} p ON p.state = s.state
+    """
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    doc=f"Stationary distribution of the per-user event-type Markov chain "
+    f"via {MARKOV_ITERS} synchronous power-iteration rounds — where the "
+    "user journey settles in the long run, completing the Markov family "
+    "(events_user_transitions builds the matrix, events_entropy_rate "
+    "scores its information): the long-run occupancy is what staffing / "
+    "capacity / exposure models consume. All iteration arithmetic is "
+    "BIGINT fixed-point parts-per-billion with integer floor-division "
+    "(the pagerank_nations discipline: partial sums commute exactly, so "
+    "any engine/partitioning produces identical bits; the oracle unrolls "
+    "the same integer recurrence as chained CTEs). Transition counts are "
+    "one per-user lead window + one map-combined shuffle; every "
+    "iteration joins STATE-cardinality relations (~5 rows) — bounded by "
+    "the event-type domain at any corpus size.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wseq).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rowt = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("rt"))
+    tmat = cnt.join(maybe_broadcast(rowt), "src").select(
+        "src",
+        "dst",
+        # `div` (exact BIGINT division, the pagerank_nations discipline) —
+        # float division + cast would lose bits past 2^53
+        F.expr(f"(c * {_PPB}) div rt").cast("bigint").alias("p_ppb"),
+    )
+    # state-cardinality relations: persist the matrix consumed every round
+    tmat = tmat.persist()
+    states = tmat.select(F.col("src").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr(f"{_PPB} div k").cast("bigint").alias("w")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(
+                tmat, pi["state"] == tmat["src"]
+            )
+            .select(
+                F.col("dst").alias("state"),
+                F.expr(f"(w * p_ppb) div {_PPB}")
+                .cast("bigint")
+                .alias("wi"),
+            )
+            .groupBy("state")
+            .agg(F.sum("wi").cast("bigint").alias("w"))
+        )
+    out = states.join(pi, "state", "left").select(
+        "state",
+        F.coalesce("w", F.lit(0)).cast("bigint").alias("stationary_ppb"),
+        (
+            F.coalesce("w", F.lit(0)).cast("double")
+            / F.lit(_PPB).cast("double")
+        ).alias("stationary_prob"),
+    )
+    return release_on_gc(tmat, out)

@@ -224,6 +224,10 @@ _ALLOWED_NESTED_LOOP = {
     "agg_kendall_tau",            # bounded domain-grid crossJoin + 1-row scalars
     "text_kneser_ney_bigram",     # 1-row bigram-type-total scalar broadcast crossJoin
     "similarity_mmr_topk",        # broadcast NLJ over the bounded candidate pool (by design)
+    "agg_theil_sen",              # calendar-bounded pairwise-slope NLJ (by design) + 1-row scalars
+    "agg_cramers_v",              # 1-row total scalar broadcast crossJoin
+    "agg_info_gain_split",        # 1-row total scalar broadcast crossJoin
+    "events_markov_stationary",   # 1-row state-count scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -263,6 +267,7 @@ def test_registry_wide_plan_lint(spark):
 # any query not listed here must have zero unpartitioned windows.
 _GLOBAL_WINDOWS = {
     "agg_bootstrap_poisson": (2, "bounded: 40-replicate rank + total"),
+    "agg_info_gain_split": (1, "bounded: ~50-value quantity-domain prefix"),
     "agg_ks_test": (2, "bounded: distinct-value marginals"),
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
