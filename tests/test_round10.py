@@ -337,3 +337,146 @@ def test_streaming_daily_cusum_matches_batch(spark):
                 last[et] = (d, c)
         for et, (_d, c) in last.items():
             assert abs(c) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# plans/ranking.py helper contracts (round-9 ADVICE items + new helpers)
+# ---------------------------------------------------------------------------
+
+
+def test_two_pass_rank_matches_window_and_drops_nulls(spark):
+    """The two-pass rank must equal a plain row_number() window on the
+    non-NULL subset, and NULL value rows must be dropped (the documented
+    contract — silently ranking them into bucket 0 shifted every ntile
+    boundary before the fix)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import (
+        ntile_from_rank,
+        two_pass_global_rank,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 8, 3, 9, 1, 7, 2])]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = two_pass_global_rank(
+        df, "v", "id", descending=True, n_buckets=3
+    ).collect()
+    assert len(got) == 8  # NULLs dropped
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .collect()
+    }
+    for r in got:
+        assert r["_rank"] == exp[r["id"]]
+        assert r["_n"] == 8
+    # ntile reconstruction equals SQL ntile on the same rank
+    wn = Window.orderBy(F.desc("v"), F.asc("id"))
+    nt = {
+        r["id"]: r["nt"]
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("nt", F.ntile(3).over(wn))
+        .collect()
+    }
+    for r in got:
+        recon = ntile_from_rank(F.lit(r["_rank"]), F.lit(r["_n"]), 3)
+        val = spark.range(1).select(recon.alias("x")).collect()[0]["x"]
+        assert val == nt[r["id"]]
+
+
+def test_two_pass_prefix_sum_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 11, (i % 5) - 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v long, d long")
+    got = {
+        r["id"]: r["cum"]
+        for r in two_pass_prefix_sum(
+            df, "v", "id", "d", descending=False, n_buckets=4, cum_col="cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("d").over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_two_pass_prefix_max_exclusive_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mongodb_nats_connector_spark.plans.ranking import (
+        two_pass_prefix_max,
+    )
+
+    # distinct v values (exclusive ROWS frames require a total order)
+    rows = [(i, (i * 13) % 97, (i * 7) % 23) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v long, m long")
+    got = {
+        r["v"]: r["pm"]
+        for r in two_pass_prefix_max(
+            df, "v", "v", "m",
+            descending=True, n_buckets=4, cum_col="pm", exclusive=True,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exp = {
+        r["v"]: r["pm"]
+        for r in df.withColumn("pm", F.max("m").over(w)).collect()
+    }
+    assert got == exp  # including NULL for the first row
+
+
+def test_markov_stationary_sums_to_one(spark):
+    """Fixed-point probabilities must sum to ~1e9 ppb (floor-division loss
+    bounded by states x iterations) and every state must be emitted."""
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, SF).collect()
+    assert len(rows) >= 2
+    total = sum(r["stationary_ppb"] for r in rows)
+    assert 1_000_000_000 - len(rows) * 10 <= total <= 1_000_000_000
+    for r in rows:
+        assert 0 <= r["stationary_ppb"] <= 1_000_000_000
+
+
+def test_theil_sen_robust_to_outlier(spark, tmp_path):
+    """A single wild outlier day must not move Theil-Sen (OLS would): slope
+    of a clean +100c/day series stays 1.0 dollars/day... scaled check."""
+    import datetime
+
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        agg_theil_sen,
+    )
+
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    for i in range(30):
+        price = 100.0 + i  # +1 dollar/day trend
+        if i == 15:
+            price = 100000.0  # outlier day
+        rows.append((i, base + datetime.timedelta(days=i), price))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet", mode="overwrite")
+    r = agg_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 30
+    assert abs(r["theil_sen_slope"] - 1.0) < 0.05
