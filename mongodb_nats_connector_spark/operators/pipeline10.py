@@ -1070,3 +1070,410 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stationary_prob"),
     )
     return release_on_gc(tmat, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_ljung_box — portmanteau whiteness test over the daily revenue series
+# ---------------------------------------------------------------------------
+
+LB_MAX_LAG = 7
+_LB_CHI2_CRIT_5PCT = 14.067140449340169  # chi-square 0.95 quantile, df=7
+
+
+@register(
+    "agg_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev_c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev_c) AS BIGINT) AS s
+      FROM idx
+    ),
+    ss AS (
+      SELECT CAST(sum(CAST(i.rev_c * t.n - t.s AS HUGEINT)
+                      * CAST(i.rev_c * t.n - t.s AS HUGEINT)) AS DOUBLE)
+               AS ss2
+      FROM idx i CROSS JOIN tot t
+    ),
+    lags AS (SELECT unnest(range(1, {LB_MAX_LAG + 1})) AS lag),
+    cov AS (
+      SELECT l.lag,
+             CAST(sum(CAST(i1.rev_c * t.n - t.s AS HUGEINT)
+                      * CAST(i2.rev_c * t.n - t.s AS HUGEINT)) AS DOUBLE)
+               AS c2
+      FROM lags l
+      JOIN idx i1 ON true
+      JOIN idx i2 ON i2.rn = i1.rn + l.lag
+      CROSS JOIN tot t
+      GROUP BY l.lag
+    ),
+    terms AS (
+      SELECT CAST(round(1000000000.0 * (cov.c2 / ss.ss2) * (cov.c2 / ss.ss2)
+                        / (t.n - cov.lag)) AS BIGINT) AS t_nn
+      FROM cov CROSS JOIN ss CROSS JOIN tot t
+    ),
+    q AS (
+      SELECT CAST(sum(t_nn) AS BIGINT) AS q_nn FROM terms
+    )
+    SELECT t.n AS n_days, CAST({LB_MAX_LAG} AS BIGINT) AS max_lag,
+           q.q_nn,
+           t.n * (t.n + 2) * (CAST(q.q_nn AS DOUBLE)
+                              / CAST(1000000000 AS DOUBLE)) AS q_stat,
+           t.n * (t.n + 2) * (CAST(q.q_nn AS DOUBLE)
+                              / CAST(1000000000 AS DOUBLE))
+             > {_LB_CHI2_CRIT_5PCT!r} AS reject_whiteness_5pct
+    FROM q CROSS JOIN tot t
+    WHERE t.n > {LB_MAX_LAG + 1}
+    """,
+    doc=f"Ljung-Box portmanteau test (lags 1..{LB_MAX_LAG}) for whiteness "
+    "of the daily revenue series — the one-number autocorrelation "
+    "verdict a forecaster checks RESIDUALS with (agg_autocorrelation "
+    "shows the per-lag picture; Q aggregates it against a chi-square "
+    "bar). Deviations are kept exact by n-scaling (n*x - S is an exact "
+    "integer — no float mean subtraction), covariance/variance products "
+    "accumulate in HUGEINT/DECIMAL(38,0), each lag's r_k^2/(n-k) term "
+    "quantizes to integer nano-units before the lag sum (summation order "
+    "cannot move a bit), and the reported Q is one fixed-order IEEE "
+    "expression. Lagged pairs ride ONE row-index self-join on the "
+    "calendar-sized series; the fact table contributes a single "
+    "map-combined rollup.",
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    idx = daily.select(
+        "rev_c",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+    )
+    idx = idx.persist()  # consumed by tot/ss/cov; released on result GC
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    dev = (F.col("rev_c") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    ss = (
+        idx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dev * dev).cast("double").alias("ss2"))
+    )
+    lags = spark.range(1, LB_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    i1 = idx.select(F.col("rev_c").alias("x1"), F.col("rn").alias("rn1"))
+    i2 = idx.select(F.col("rev_c").alias("x2"), F.col("rn").alias("rn2"))
+    d1 = (F.col("x1") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    d2 = (F.col("x2") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    cov = (
+        i1.crossJoin(F.broadcast(lags))
+        .join(i2, F.col("rn2") == F.col("rn1") + F.col("lag"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(F.sum(d1 * d2).cast("double").alias("c2"))
+    )
+    r = F.col("c2") / F.col("ss2")
+    terms = (
+        cov.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(1000000000.0 * r * r / (F.col("n") - F.col("lag")))
+            .cast("bigint")
+            .alias("t_nn")
+        )
+    )
+    q = terms.agg(F.sum("t_nn").cast("bigint").alias("q_nn"))
+    qd = F.col("q_nn").cast("double") / F.lit(1000000000).cast("double")
+    out = (
+        q.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > LB_MAX_LAG + 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(LB_MAX_LAG).cast("bigint").alias("max_lag"),
+            "q_nn",
+            (F.col("n") * (F.col("n") + 2) * qd).alias("q_stat"),
+            (
+                F.col("n") * (F.col("n") + 2) * qd
+                > F.lit(_LB_CHI2_CRIT_5PCT)
+            ).alias("reject_whiteness_5pct"),
+        )
+    )
+    return release_on_gc(idx, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonal_decompose — classical additive decomposition of monthly
+# revenue (2x12 centered moving-average trend, centered seasonal indices)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT month, rev_c,
+             CASE WHEN count(*) OVER w13 = 13
+                  THEN 2 * sum(rev_c) OVER w13
+                       - first_value(rev_c) OVER w13
+                       - last_value(rev_c) OVER w13
+             END AS trend24_c
+      FROM monthly
+      WINDOW w13 AS (ORDER BY month
+                     ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    si AS (
+      SELECT CAST(month(month) AS BIGINT) AS moy,
+             CAST(sum(24 * rev_c - trend24_c) AS BIGINT) AS dsum24,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tr WHERE trend24_c IS NOT NULL GROUP BY 1
+    ),
+    su AS (
+      SELECT moy,
+             CAST(round(1000000.0 * dsum24 / (24.0 * cnt)) AS BIGINT) AS s_u
+      FROM si
+    ),
+    ctr AS (
+      SELECT CAST(sum(s_u) AS BIGINT) AS su_tot,
+             CAST(count(*) AS BIGINT) AS n_moy
+      FROM su
+    )
+    SELECT tr.month, round(tr.rev_c / 100.0, 2) AS revenue,
+           CAST(tr.trend24_c AS DOUBLE) / CAST(2400 AS DOUBLE) AS trend,
+           (CAST(su.s_u AS DOUBLE)
+            - CAST(ctr.su_tot AS DOUBLE) / CAST(ctr.n_moy AS DOUBLE))
+             / CAST(100000000 AS DOUBLE) AS seasonal,
+           CASE WHEN tr.trend24_c IS NOT NULL THEN
+             round(tr.rev_c / 100.0, 2)
+             - CAST(tr.trend24_c AS DOUBLE) / CAST(2400 AS DOUBLE)
+             - (CAST(su.s_u AS DOUBLE)
+                - CAST(ctr.su_tot AS DOUBLE) / CAST(ctr.n_moy AS DOUBLE))
+               / CAST(100000000 AS DOUBLE)
+           END AS residual
+    FROM tr
+    JOIN su ON su.moy = CAST(month(tr.month) AS BIGINT)
+    CROSS JOIN ctr
+    """,
+    doc="Classical additive seasonal decomposition of monthly revenue: "
+    "trend = centered 2x12 moving average, seasonal = mean detrended "
+    "value per calendar month re-centered to sum to zero, residual = the "
+    "rest — the decomposition every seasonal-adjustment and "
+    "anomaly-on-deseasonalized-data pipeline starts from (STL's simpler, "
+    "exactly-reproducible ancestor). Exactness discipline: the 13-month "
+    "window computes 24x the trend as a pure INTEGER combination "
+    "(2*sum - first - last over exact cents), detrended values stay "
+    "integer (24*rev - trend24), per-month indices quantize to integer "
+    "micro-units, and every reported double is a fixed-order IEEE "
+    "expression over those integers — no engine-divergent rounding "
+    "anywhere on the hash surface. All windows run over the "
+    "month-count-sized series (bounded by the calendar); the fact table "
+    "contributes one map-combined rollup.",
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w13 = Window.orderBy("month").rowsBetween(-6, 6)
+    tr = monthly.select(
+        "month",
+        "rev_c",
+        F.when(
+            F.count(F.lit(1)).over(w13) == 13,
+            2 * F.sum("rev_c").over(w13)
+            - F.first("rev_c").over(w13)
+            - F.last("rev_c").over(w13),
+        ).alias("trend24_c"),
+    )
+    tr = tr.persist()  # consumed by the index agg AND the output join
+    si = (
+        tr.filter(F.col("trend24_c").isNotNull())
+        .groupBy(F.month("month").cast("bigint").alias("moy"))
+        .agg(
+            F.sum(24 * F.col("rev_c") - F.col("trend24_c"))
+            .cast("bigint")
+            .alias("dsum24"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    su = si.select(
+        "moy",
+        F.round(1000000.0 * F.col("dsum24") / (24.0 * F.col("cnt")))
+        .cast("bigint")
+        .alias("s_u"),
+    )
+    ctr = su.agg(
+        F.sum("s_u").cast("bigint").alias("su_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_moy"),
+    )
+    seasonal = (
+        F.col("s_u").cast("double")
+        - F.col("su_tot").cast("double") / F.col("n_moy").cast("double")
+    ) / F.lit(100000000).cast("double")
+    trend = F.col("trend24_c").cast("double") / F.lit(2400).cast("double")
+    revenue = F.round(F.col("rev_c") / 100.0, 2)
+    out = (
+        tr.join(
+            F.broadcast(su),
+            F.month("month").cast("bigint") == F.col("moy"),
+        )
+        .crossJoin(F.broadcast(ctr))
+        .select(
+            "month",
+            revenue.alias("revenue"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.when(
+                F.col("trend24_c").isNotNull(),
+                revenue - trend - seasonal,
+            ).alias("residual"),
+        )
+    )
+    return release_on_gc(tr, out)
+
+
+# ---------------------------------------------------------------------------
+# graph_closeness_centrality — all-pairs shortest paths via min-plus rounds
+# ---------------------------------------------------------------------------
+
+CLOSENESS_ROUNDS = 5  # hop diameter <= 2^5 = 32 >= any 25-node graph
+
+
+def _closeness_oracle() -> str:
+    steps = []
+    for i in range(1, CLOSENESS_ROUNDS + 1):
+        prev = f"d{i - 1}"
+        steps.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT src, dst, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT src, dst, d FROM {prev}
+        UNION ALL
+        SELECT a.src, b.dst, a.d + b.d AS d
+        FROM {prev} a JOIN {prev} b ON b.src = a.dst
+      ) GROUP BY src, dst
+    )""")
+    return f"""
+    WITH dir_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS cnt
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ),
+    uw AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM dir_edges
+        UNION
+        SELECT greatest(src, dst), least(src, dst) FROM dir_edges
+      )
+    ),
+    d0 AS MATERIALIZED (
+      SELECT src, dst, CAST(1 AS BIGINT) AS d FROM uw
+    ),{",".join(steps)}
+    SELECT src AS node,
+           CAST(count(*) AS BIGINT) AS n_reachable,
+           CAST(sum(d) AS BIGINT) AS total_dist,
+           CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
+    FROM d{CLOSENESS_ROUNDS}
+    WHERE src <> dst
+    GROUP BY src
+    """
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=_closeness_oracle(),
+    doc="Closeness centrality (reachable-count / total-hop-distance, the "
+    "harmonic-family variant that handles disconnection gracefully) for "
+    "every nation in the trade graph, via repeated min-plus squaring of "
+    f"the hop-distance relation — {CLOSENESS_ROUNDS} doubling rounds "
+    "cover any diameter <= 32, so the iteration count is FIXED, not "
+    "data-dependent (the oracle unrolls the identical rounds). Each "
+    "round is one self-join + min-groupBy on the distance relation, "
+    "which is bounded by the NATION-dimension squared (<= 625 rows) at "
+    "any fact-table size; distances are exact BIGINTs and closeness is "
+    "one IEEE division. Completes the graph family's centrality axis "
+    "next to pagerank (flow), betweenness-adjacent widest-path "
+    "(capacity), and degree assortativity (structure). At web scale the "
+    "min-plus doubling swaps for the delta-stepping/BFS-frontier forms "
+    "already registered (graph_bfs_levels).",
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+
+    de = trade_edges(spark, sf_dir)
+    fwd = de.select("src", "dst")
+    uw = (
+        fwd.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .unionAll(
+            fwd.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    d = uw.select("src", "dst", F.lit(1).cast("bigint").alias("d"))
+    for _ in range(CLOSENESS_ROUNDS):
+        a = d.select(
+            F.col("src").alias("asrc"),
+            F.col("dst").alias("adst"),
+            F.col("d").alias("ad"),
+        )
+        b = d.select(
+            F.col("src").alias("bsrc"),
+            F.col("dst").alias("bdst"),
+            F.col("d").alias("bd"),
+        )
+        two_hop = a.join(b, F.col("bsrc") == F.col("adst")).select(
+            F.col("asrc").alias("src"),
+            F.col("bdst").alias("dst"),
+            (F.col("ad") + F.col("bd")).alias("d"),
+        )
+        d = (
+            d.unionAll(two_hop)
+            .groupBy("src", "dst")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+        # nation-dimension-bounded relation (<= 625 rows): truncate the
+        # doubling lineage so the final plan stays linear in rounds
+        d = d.localCheckpoint(eager=True)
+    # min-plus doubling manufactures src->src round trips: exclude them
+    # from the centrality sums (the oracle filters identically)
+    d = d.filter(F.col("src") != F.col("dst"))
+    return d.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
+        F.sum("d").cast("bigint").alias("total_dist"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sum("d").cast("double")
+        ).alias("closeness"),
+    )

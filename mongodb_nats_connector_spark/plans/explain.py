@@ -94,11 +94,33 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     ``windowspecdefinition(...)``.
     """
     out: list[str] = []
+    seen_caches: set[int] = set()
 
     def walk(node) -> None:
-        if node.getClass().getSimpleName() == "Window":
+        name = node.getClass().getSimpleName()
+        if name == "Window":
             if node.partitionSpec().size() == 0:
                 out.append(node.windowExpressions().mkString(", "))
+        if name == "InMemoryRelation":
+            # a persist() substitutes the cached subtree with this marker in
+            # every downstream OPTIMIZED plan immediately (even before
+            # materialization) — recover the cached subtree's LOGICAL plan
+            # (via the physical root's logicalLink) and keep walking, so an
+            # operator cannot hide a single-partition window from the lint
+            # just by persisting the frame that contains it. The logical
+            # form keeps the count occurrence-free (the physical tree
+            # duplicates Window nodes across reused exchanges).
+            # one logical descent per distinct cache entry: a cached frame
+            # referenced N times downstream must not N-count its windows
+            cp = node.cachedPlan()
+            key = cp.hashCode()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                if cp.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                    cp = cp.inputPlan()  # AQE wrapper never carries the link
+                link = cp.logicalLink()
+                if link.isDefined():
+                    walk(link.get())
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i))

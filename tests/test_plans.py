@@ -228,6 +228,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_cramers_v",              # 1-row total scalar broadcast crossJoin
     "agg_info_gain_split",        # 1-row total scalar broadcast crossJoin
     "events_markov_stationary",   # 1-row state-count scalar broadcast crossJoin
+    "agg_ljung_box",              # 7-row lag literal + 1-row moment scalars broadcast crossJoins
+    "orders_seasonal_decompose",  # 1-row seasonal-center scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -268,6 +270,13 @@ def test_registry_wide_plan_lint(spark):
 _GLOBAL_WINDOWS = {
     "agg_bootstrap_poisson": (2, "bounded: 40-replicate rank + total"),
     "agg_info_gain_split": (1, "bounded: ~50-value quantity-domain prefix"),
+    "agg_ljung_box": (1, "bounded: daily series row index"),
+    "orders_seasonal_decompose": (1, "bounded: monthly series MA window"),
+    # surfaced when unpartitioned_windows learned to descend into persisted
+    # (InMemoryRelation) subtrees — hidden-by-cache before, bounded all along
+    "agg_autocorrelation": (1, "bounded: daily series row index"),
+    "agg_kmv_distinct_setops": (1, "bounded: 64-hash sketch rank"),
+    "events_pettitt_changepoint": (2, "bounded: daily series"),
     "agg_ks_test": (2, "bounded: distinct-value marginals"),
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
