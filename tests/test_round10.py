@@ -480,3 +480,105 @@ def test_theil_sen_robust_to_outlier(spark, tmp_path):
     r = agg_theil_sen(spark, str(tmp_path)).collect()[0]
     assert r["n_days"] == 30
     assert abs(r["theil_sen_slope"] - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# agg_ljung_box / orders_seasonal_decompose / graph_closeness_centrality
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_matches_reference(spark):
+    """Q must equal the textbook statistic computed independently in numpy
+    over the same quantized daily series."""
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        LB_MAX_LAG,
+        agg_ljung_box,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()]
+    daily = (
+        o.assign(rev_c=(o["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("o_orderdate")["rev_c"]
+        .sum()
+        .sort_index()
+        .to_numpy(dtype="float64")
+    )
+    n = len(daily)
+    x = daily - daily.mean()
+    ss = (x * x).sum()
+    q = 0.0
+    for k in range(1, LB_MAX_LAG + 1):
+        r = (x[k:] * x[:-k]).sum() / ss
+        q += r * r / (n - k)
+    q *= n * (n + 2)
+    row = agg_ljung_box(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    # per-lag terms quantize to nano-units before the n(n+2) scale-up, so
+    # the worst-case drift is ~ n(n+2) * lags * 0.5e-9 (~0.02 here)
+    assert row["q_stat"] == pytest.approx(q, abs=n * (n + 2) * 7 * 1e-9)
+    assert row["reject_whiteness_5pct"] == (q > 14.067140449340169)
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    """revenue = trend + seasonal + residual wherever trend exists, the
+    seasonal indices are centered (sum ~ 0 across the 12 calendar months),
+    and edge months carry NULL trend/residual."""
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        orders_seasonal_decompose,
+    )
+
+    rows = orders_seasonal_decompose(spark, SF).collect()
+    assert len(rows) > 24
+    by_moy = {}
+    n_null = 0
+    for r in rows:
+        if r["trend"] is None:
+            n_null += 1
+            assert r["residual"] is None
+        else:
+            assert r["residual"] == pytest.approx(
+                r["revenue"] - r["trend"] - r["seasonal"], abs=1e-6
+            )
+        by_moy[r["month"].month] = r["seasonal"]
+    assert n_null == 12  # 6 head + 6 tail months lack the centered window
+    assert len(by_moy) == 12
+    assert sum(by_moy.values()) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_closeness_matches_bfs(spark):
+    """Min-plus doubling distances must equal an independent BFS over the
+    same undirected nation graph."""
+    from collections import deque
+
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        graph_closeness_centrality,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    adj = {}
+    for r in de.itertuples():
+        a, b = int(r.src), int(r.dst)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        r["node"]: (r["n_reachable"], r["total_dist"], r["closeness"])
+        for r in graph_closeness_centrality(spark, SF).collect()
+    }
+    for src in adj:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        reach = len(dist) - 1
+        total = sum(d for n_, d in dist.items() if n_ != src)
+        assert got[src][0] == reach
+        assert got[src][1] == total
+        assert got[src][2] == pytest.approx(reach / total)
