@@ -1361,7 +1361,10 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLOSENESS_ROUNDS = 5  # hop diameter <= 2^5 = 32 >= any 25-node graph
 
 
-def _closeness_oracle() -> str:
+def _minplus_ctes() -> str:
+    """Shared WITH-body: all-pairs hop distances of the undirected nation
+    graph via unrolled min-plus doubling (the oracle twin of
+    ``_minplus_distances``). Final relation: ``d{CLOSENESS_ROUNDS}``."""
     steps = []
     for i in range(1, CLOSENESS_ROUNDS + 1):
         prev = f"d{i - 1}"
@@ -1392,7 +1395,11 @@ def _closeness_oracle() -> str:
     ),
     d0 AS MATERIALIZED (
       SELECT src, dst, CAST(1 AS BIGINT) AS d FROM uw
-    ),{",".join(steps)}
+    ),{",".join(steps)}"""
+
+
+def _closeness_oracle() -> str:
+    return f"""{_minplus_ctes()}
     SELECT src AS node,
            CAST(count(*) AS BIGINT) AS n_reachable,
            CAST(sum(d) AS BIGINT) AS total_dist,
@@ -1403,25 +1410,12 @@ def _closeness_oracle() -> str:
     """
 
 
-@register(
-    "graph_closeness_centrality",
-    oracle=_closeness_oracle(),
-    doc="Closeness centrality (reachable-count / total-hop-distance, the "
-    "harmonic-family variant that handles disconnection gracefully) for "
-    "every nation in the trade graph, via repeated min-plus squaring of "
-    f"the hop-distance relation — {CLOSENESS_ROUNDS} doubling rounds "
-    "cover any diameter <= 32, so the iteration count is FIXED, not "
-    "data-dependent (the oracle unrolls the identical rounds). Each "
-    "round is one self-join + min-groupBy on the distance relation, "
-    "which is bounded by the NATION-dimension squared (<= 625 rows) at "
-    "any fact-table size; distances are exact BIGINTs and closeness is "
-    "one IEEE division. Completes the graph family's centrality axis "
-    "next to pagerank (flow), betweenness-adjacent widest-path "
-    "(capacity), and degree assortativity (structure). At web scale the "
-    "min-plus doubling swaps for the delta-stepping/BFS-frontier forms "
-    "already registered (graph_bfs_levels).",
-)
-def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minplus_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs hop distances (src, dst, d) over the undirected nation
+    trade graph by min-plus doubling — CLOSENESS_ROUNDS fixed rounds,
+    each one self-join + min-groupBy on the nation-bounded (<= 625-row)
+    distance relation, lineage truncated per round. Self-pairs are
+    EXCLUDED (the doubling manufactures src->src round trips)."""
     from mongodb_nats_connector_spark.operators.graph_common import (
         trade_edges,
     )
@@ -1466,9 +1460,29 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nation-dimension-bounded relation (<= 625 rows): truncate the
         # doubling lineage so the final plan stays linear in rounds
         d = d.localCheckpoint(eager=True)
-    # min-plus doubling manufactures src->src round trips: exclude them
-    # from the centrality sums (the oracle filters identically)
-    d = d.filter(F.col("src") != F.col("dst"))
+    return d.filter(F.col("src") != F.col("dst"))
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=_closeness_oracle(),
+    doc="Closeness centrality (reachable-count / total-hop-distance, the "
+    "harmonic-family variant that handles disconnection gracefully) for "
+    "every nation in the trade graph, via repeated min-plus squaring of "
+    f"the hop-distance relation — {CLOSENESS_ROUNDS} doubling rounds "
+    "cover any diameter <= 32, so the iteration count is FIXED, not "
+    "data-dependent (the oracle unrolls the identical rounds). Each "
+    "round is one self-join + min-groupBy on the distance relation, "
+    "which is bounded by the NATION-dimension squared (<= 625 rows) at "
+    "any fact-table size; distances are exact BIGINTs and closeness is "
+    "one IEEE division. Completes the graph family's centrality axis "
+    "next to pagerank (flow), betweenness-adjacent widest-path "
+    "(capacity), and degree assortativity (structure). At web scale the "
+    "min-plus doubling swaps for the delta-stepping/BFS-frontier forms "
+    "already registered (graph_bfs_levels).",
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _minplus_distances(spark, sf_dir)
     return d.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
         F.sum("d").cast("bigint").alias("total_dist"),
@@ -1476,4 +1490,209 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double")
             / F.sum("d").cast("double")
         ).alias("closeness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_eccentricity_diameter — eccentricity per node, graph diameter/radius
+# ---------------------------------------------------------------------------
+
+
+def _eccentricity_oracle() -> str:
+    return f"""{_minplus_ctes()},
+    ecc AS MATERIALIZED (
+      SELECT src AS node,
+             CAST(count(*) AS BIGINT) AS n_reachable,
+             CAST(max(d) AS BIGINT) AS eccentricity
+      FROM d{CLOSENESS_ROUNDS} WHERE src <> dst GROUP BY src
+    ),
+    g AS (
+      SELECT CAST(max(eccentricity) AS BIGINT) AS diameter,
+             CAST(min(eccentricity) AS BIGINT) AS radius
+      FROM ecc
+    )
+    SELECT e.node, e.n_reachable, e.eccentricity, g.diameter, g.radius,
+           e.eccentricity = g.diameter AS is_peripheral,
+           e.eccentricity = g.radius AS is_central
+    FROM ecc e CROSS JOIN g
+    """
+
+
+@register(
+    "graph_eccentricity_diameter",
+    oracle=_eccentricity_oracle(),
+    doc="Per-node eccentricity (worst-case hop distance) plus the graph "
+    "diameter, radius, and peripheral/central flags — the worst-case "
+    "companion to graph_closeness_centrality's average-case readout "
+    "(capacity planning asks 'how far is the farthest', not 'how far on "
+    "average'). Shares the exact min-plus doubling distance relation "
+    "(one ~625-row nation-bounded fixpoint, fixed round count, oracle "
+    "unrolled identically); eccentricity/diameter/radius are exact "
+    "BIGINT max/min aggregates with a 1-row broadcast back — nothing "
+    "float on the hash surface at all.",
+)
+def graph_eccentricity_diameter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _minplus_distances(spark, sf_dir)
+    ecc = d.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
+        F.max("d").cast("bigint").alias("eccentricity"),
+    )
+    ecc = ecc.persist()  # nation-sized; feeds the 1-row extremes + output
+    g = ecc.agg(
+        F.max("eccentricity").cast("bigint").alias("diameter"),
+        F.min("eccentricity").cast("bigint").alias("radius"),
+    )
+    out = ecc.crossJoin(F.broadcast(g)).select(
+        "node",
+        "n_reachable",
+        "eccentricity",
+        "diameter",
+        "radius",
+        (F.col("eccentricity") == F.col("diameter")).alias("is_peripheral"),
+        (F.col("eccentricity") == F.col("radius")).alias("is_central"),
+    )
+    return release_on_gc(ecc, out)
+
+
+# ---------------------------------------------------------------------------
+# events_wilcoxon_signed_rank — nonparametric paired pre/post test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_wilcoxon_signed_rank",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    cutoff AS (SELECT min(day) + 15 AS split FROM b),
+    per_user AS (
+      SELECT user_id,
+             round(coalesce(sum(CASE WHEN day < split THEN value END), 0), 4)
+               AS pre,
+             round(coalesce(sum(CASE WHEN day >= split THEN value END), 0), 4)
+               AS post
+      FROM b, cutoff GROUP BY user_id
+    ),
+    d AS (
+      SELECT CAST(round((post - pre) * 10000) AS BIGINT) AS d4
+      FROM per_user
+      WHERE CAST(round((post - pre) * 10000) AS BIGINT) <> 0
+    ),
+    g AS (
+      SELECT abs(d4) AS ad,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN d4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT ad, t, tp,
+             CAST(2 * sum(t) OVER (ORDER BY ad) - t + 1 AS BIGINT) AS mr2
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(tp * mr2) AS BIGINT) AS w2,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties3
+      FROM r
+    )
+    SELECT n AS n_nonzero, w2 AS w_plus_x2,
+           CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE) AS w_plus,
+           (CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)
+            - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+           / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                  - CAST(ties3 AS DOUBLE) / 48.0) AS z_stat
+    FROM s
+    WHERE n > 0
+      AND CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+          - CAST(ties3 AS DOUBLE) / 48.0 > 0
+    """,
+    doc="Wilcoxon signed-rank test on the per-user pre/post metric (the "
+    "same min(day)+15 split shared by CUPED/DiD/paired-t): the "
+    "nonparametric complement to events_paired_ttest — rank-based, so a "
+    "few whale users cannot dominate the verdict the way they dominate a "
+    "mean-based t. Differences quantize to exact integer 1e-4 units, "
+    "zero differences drop (standard practice), midranks of |d| come "
+    "from cumulative counts over the DISTINCT-|difference| relation as "
+    "exact doubled integers (the Mann-Whitney shape — no per-row rank "
+    "materialization), the tie-corrected variance term sums t^3 - t in "
+    "HUGEINT, and W+ plus its z statistic are fixed-order IEEE "
+    "expressions over those integers (sqrt is correctly rounded). "
+    "Degenerate inputs (no non-zero diffs, or all |d| equal making the "
+    "variance 0) emit zero rows via exact-integer guards on both "
+    "engines.",
+)
+def events_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        _valued_events_prepost,
+    )
+
+    per_user = (
+        _valued_events_prepost(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") < F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("pre"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") >= F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("post"),
+        )
+    )
+    d4 = F.round((F.col("post") - F.col("pre")) * 10000).cast("bigint")
+    d = per_user.select(d4.alias("d4")).filter(F.col("d4") != 0)
+    g = d.groupBy(F.abs(F.col("d4")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum((F.col("d4") > 0).cast("int")).cast("bigint").alias("tp"),
+    )
+    wmr = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "ad",
+        "t",
+        "tp",
+        (2 * F.sum("t").over(wmr) - F.col("t") + 1)
+        .cast("bigint")
+        .alias("mr2"),
+    )
+    s = r.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("tp") * F.col("mr2")).cast("bigint").alias("w2"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("w2").cast("double") / F.lit(2).cast("double")
+    var = (
+        nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+        - F.col("ties3").cast("double") / 48.0
+    )
+    return s.filter((F.col("n") > 0) & (var > 0)).select(
+        F.col("n").alias("n_nonzero"),
+        F.col("w2").alias("w_plus_x2"),
+        w_plus.alias("w_plus"),
+        ((w_plus - nd * (F.col("n") + 1) / 4.0) / F.sqrt(var)).alias(
+            "z_stat"
+        ),
     )

@@ -230,6 +230,8 @@ _ALLOWED_NESTED_LOOP = {
     "events_markov_stationary",   # 1-row state-count scalar broadcast crossJoin
     "agg_ljung_box",              # 7-row lag literal + 1-row moment scalars broadcast crossJoins
     "orders_seasonal_decompose",  # 1-row seasonal-center scalar broadcast crossJoin
+    "graph_eccentricity_diameter",  # 1-row diameter/radius extremes broadcast crossJoin
+    "events_wilcoxon_signed_rank",  # 1-row cutoff scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -277,6 +279,7 @@ _GLOBAL_WINDOWS = {
     "agg_autocorrelation": (1, "bounded: daily series row index"),
     "agg_kmv_distinct_setops": (1, "bounded: 64-hash sketch rank"),
     "events_pettitt_changepoint": (2, "bounded: daily series"),
+    "events_wilcoxon_signed_rank": (1, "bounded: distinct-value groups"),
     "agg_ks_test": (2, "bounded: distinct-value marginals"),
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),

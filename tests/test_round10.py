@@ -582,3 +582,160 @@ def test_closeness_matches_bfs(spark):
         assert got[src][0] == reach
         assert got[src][1] == total
         assert got[src][2] == pytest.approx(reach / total)
+
+
+# ---------------------------------------------------------------------------
+# graph_eccentricity_diameter / events_wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+
+def test_eccentricity_matches_bfs(spark):
+    """Per-node eccentricity, the diameter, the radius, and the
+    peripheral/central flags must all agree with an independent BFS over
+    the same undirected nation graph."""
+    from collections import deque
+
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        graph_eccentricity_diameter,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    adj = {}
+    for r in de.itertuples():
+        a, b = int(r.src), int(r.dst)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ecc = {}
+    reach = {}
+    for src in adj:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        ecc[src] = max(d for n_, d in dist.items() if n_ != src)
+        reach[src] = len(dist) - 1
+    diameter = max(ecc.values())
+    radius = min(ecc.values())
+    rows = graph_eccentricity_diameter(spark, SF).collect()
+    assert len(rows) == len(adj)
+    for r in rows:
+        assert r["eccentricity"] == ecc[r["node"]]
+        assert r["n_reachable"] == reach[r["node"]]
+        assert r["diameter"] == diameter
+        assert r["radius"] == radius
+        assert r["is_peripheral"] == (ecc[r["node"]] == diameter)
+        assert r["is_central"] == (ecc[r["node"]] == radius)
+
+
+def test_wilcoxon_matches_pure_python(spark):
+    """W+ and z must equal the textbook signed-rank statistic (sorted
+    midranks, tie-corrected variance) computed independently in numpy over
+    the same quantized per-user differences."""
+    from mongodb_nats_connector_spark.operators.pipeline8 import (
+        _valued_events_prepost,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        events_wilcoxon_signed_rank,
+    )
+
+    per_user = (
+        _valued_events_prepost(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") < F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("pre"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("day") >= F.col("split"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("post"),
+        )
+        .toPandas()
+    )
+    d4 = np.rint(
+        (per_user["post"] - per_user["pre"]).to_numpy() * 10000
+    ).astype(np.int64)
+    d4 = d4[d4 != 0]
+    n = len(d4)
+    assert n > 10  # the sf0.001 sample must actually exercise the test
+    ad = np.abs(d4)
+    order = np.argsort(ad, kind="mergesort")
+    ranks = np.empty(n, dtype="float64")
+    sorted_ad = ad[order]
+    i, next_rank = 0, 1
+    while i < n:
+        j = i
+        while j < n and sorted_ad[j] == sorted_ad[i]:
+            j += 1
+        ranks[order[i:j]] = (next_rank + (next_rank + (j - i) - 1)) / 2.0
+        next_rank += j - i
+        i = j
+    w_plus = float(ranks[d4 > 0].sum())
+    _, counts = np.unique(ad, return_counts=True)
+    c = counts.astype("int64")
+    ties3 = int((c.astype(object) ** 3 - c).sum())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties3 / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+    row = events_wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert row["n_nonzero"] == n
+    assert row["w_plus_x2"] == int(round(2 * w_plus))
+    assert row["w_plus"] == pytest.approx(w_plus)
+    assert row["z_stat"] == pytest.approx(z, rel=1e-12)
+
+
+def test_wilcoxon_known_answer_and_degenerate(spark, tmp_path):
+    """Classic hand-checkable case: diffs {+1,+2,+3,-4,+5} give W+ = 11,
+    n = 5, no ties; and an all-zero-difference table emits zero rows."""
+    import datetime
+
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        events_wilcoxon_signed_rank,
+    )
+
+    base = datetime.datetime(1995, 1, 1, 12, 0, 0)
+    post_day = base + datetime.timedelta(days=20)  # past the +15 split
+    diffs = {1: 1.0, 2: 2.0, 3: 3.0, 4: -4.0, 5: 5.0}
+    rows = []
+    for uid, d in diffs.items():
+        rows.append((uid * 10, base, uid, "click", 10.0, None))
+        rows.append((uid * 10 + 1, post_day, uid, "click", 10.0 + d, None))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{tmp_path}/a/events.parquet", mode="overwrite"
+    )
+    r = events_wilcoxon_signed_rank(spark, f"{tmp_path}/a").collect()
+    assert len(r) == 1
+    assert r[0]["n_nonzero"] == 5
+    assert r[0]["w_plus"] == pytest.approx(11.0)
+    expected_z = (11.0 - 5 * 6 / 4.0) / math.sqrt(5 * 6 * 11 / 24.0)
+    assert r[0]["z_stat"] == pytest.approx(expected_z)
+
+    zero_rows = []
+    for uid in range(1, 6):
+        zero_rows.append((uid * 10, base, uid, "click", 7.0, None))
+        zero_rows.append((uid * 10 + 1, post_day, uid, "click", 7.0, None))
+    spark.createDataFrame(zero_rows, schema).write.parquet(
+        f"{tmp_path}/b/events.parquet", mode="overwrite"
+    )
+    assert events_wilcoxon_signed_rank(spark, f"{tmp_path}/b").count() == 0

@@ -339,12 +339,13 @@ def test_no_new_bare_persists():
         # unpersisted after the loop checkpoints its node-sized result —
         # widest-path's edge cache moved to persist_until_collected) +
         # gini's two-pass-rank input (released by release_on_gc)
-        "operators/pipeline10.py": 6,  # MMR candidate pool + Boruvka edge
+        "operators/pipeline10.py": 7,  # MMR candidate pool + Boruvka edge
         # list (cached BEFORE their bounded driver-collect loops), plus
         # Theil-Sen's + Ljung-Box's day series, Markov's state-sized
-        # transition matrix, and seasonal-decompose's month series
-        # (multi-consumer bounded relations); all released by
-        # plans.caching.release_on_gc on the returned result
+        # transition matrix, seasonal-decompose's month series, and the
+        # eccentricity query's nation-sized relation (multi-consumer
+        # bounded relations); all released by plans.caching.release_on_gc
+        # on the returned result
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
