@@ -232,6 +232,15 @@ _ALLOWED_NESTED_LOOP = {
     "orders_seasonal_decompose",  # 1-row seasonal-center scalar broadcast crossJoin
     "graph_eccentricity_diameter",  # 1-row diameter/radius extremes broadcast crossJoin
     "events_wilcoxon_signed_rank",  # 1-row cutoff scalar broadcast crossJoin
+    # pipeline11 (round 10): all 1-row scalar broadcast crossJoins
+    "agg_roc_auc",                # 1-row class-total scalars broadcast crossJoin
+    "agg_kruskal_wallis",         # 1-row N/ties + 1-row H-sum broadcast crossJoins
+    "agg_ansari_bradley",         # 1-row N/n1 scalar broadcast crossJoin
+    "orders_wasserstein_1d",      # 1-row sample-size scalars broadcast crossJoin
+    "events_page_hinkley",        # 1-row totals + 1-row PH-extremes broadcast crossJoins
+    "agg_grubbs_test",            # 1-row moments + 1-row max-dev broadcast crossJoins
+    "agg_mcnemar_test",           # 1-row cutoff + 1-row doubled-median broadcast crossJoins
+    "agg_cochran_q",              # 1-row k/N/R2/C2 scalar broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -319,6 +328,15 @@ _GLOBAL_WINDOWS = {
     "text_rake_keyphrases": (1, "bounded: candidate-phrase scores"),
     "text_vocab_coverage": (1, "bounded: vocabulary relation"),
     "text_zipf_slope": (1, "bounded: vocabulary relation"),
+    # pipeline11 (round 10): every one runs over a value-DOMAIN histogram
+    # (~50-105 distinct buckets) or the calendar-bounded daily series
+    "agg_roc_auc": (1, "bounded: ~105-bucket score-domain prefix"),
+    "agg_kruskal_wallis": (1, "bounded: ~50-value quantity-domain prefix"),
+    "agg_ansari_bradley": (1, "bounded: ~105-bucket price-domain prefix"),
+    "orders_wasserstein_1d": (1, "bounded: ~55-bucket price-domain "
+                                 "prefix + lead (one Window node)"),
+    "events_page_hinkley": (4, "bounded: daily series (row index, cumsum, "
+                               "running min/max)"),
 }
 
 

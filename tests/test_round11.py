@@ -1,0 +1,233 @@
+"""Round-10 batch-2 pins: pipeline11 operators vs scipy-free brute-force
+references on the sf0.001 sample (ROC AUC pairwise definition,
+Kruskal-Wallis/Ansari-Bradley from literal rank formulas, Wasserstein CDF
+integral, Page-Hinkley recurrence replay, Grubbs/McNemar/Cochran direct
+formulas)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+
+
+def test_roc_auc_matches_pairwise_definition(spark):
+    """AUC from the bucketed Mann-Whitney identity must equal the O(n^2)
+    pair-counting definition (ties at half credit) on the same buckets."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import agg_roc_auc
+
+    li = _li(spark)
+    s = (li["l_extendedprice"] / 1000).round().astype("int64").to_numpy()
+    pos = (li["l_returnflag"] == "R").to_numpy()
+    sp, sn = s[pos], s[~pos]
+    gt = (sp[:, None] > sn[None, :]).sum()
+    eq = (sp[:, None] == sn[None, :]).sum()
+    expected = (gt + 0.5 * eq) / (len(sp) * len(sn))
+    r = agg_roc_auc(spark, SF).collect()[0]
+    assert r["n_pos"] == len(sp) and r["n_neg"] == len(sn)
+    assert r["u_x2"] == 2 * gt + eq
+    assert abs(r["roc_auc"] - expected) < 1e-12
+    assert abs(r["gini_coefficient"] - (2 * expected - 1)) < 1e-12
+
+
+def test_kruskal_wallis_matches_rank_formula(spark):
+    """H (and its tie correction) must match the direct midrank formula
+    computed with pandas average ranks."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_kruskal_wallis,
+    )
+
+    li = _li(spark)
+    v = li["l_quantity"].round().astype("int64")
+    g = li["l_returnflag"]
+    ranks = v.rank(method="average")
+    n = len(v)
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[g == grp].sum() ** 2 / (g == grp).sum() for grp in g.unique()
+    ) - 3 * (n + 1)
+    ties = v.value_counts().to_numpy()
+    corr = 1 - (ties**3 - ties).sum() / (n**3 - n)
+    rows = {r["grp"]: r for r in agg_kruskal_wallis(spark, SF).collect()}
+    assert set(rows) == set(g.unique())
+    for grp, r in rows.items():
+        assert r["n_g"] == (g == grp).sum()
+        assert r["rank_sum_x2"] == int(round(2 * ranks[g == grp].sum()))
+        assert abs(r["h_stat"] - h) < 1e-6  # nano-quantization granularity
+        assert abs(r["h_tie_corrected"] - h / corr) < 1e-6
+
+
+def test_ansari_bradley_matches_score_formula(spark):
+    """AB statistic and its z must match the literal both-ends score
+    definition score = min(rank, N+1-rank) with average midranks."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_ansari_bradley,
+    )
+
+    li = _li(spark)
+    v = (li["l_extendedprice"] / 1000).round().astype("int64")
+    g1 = (li["l_linestatus"] == "O").to_numpy()
+    ranks = v.rank(method="average").to_numpy()
+    n = len(v)
+    scores = np.minimum(ranks, n + 1 - ranks)
+    ab = scores[g1].sum()
+    n1, n0 = int(g1.sum()), int((~g1).sum())
+    a1, a2 = scores.sum(), (scores**2).sum()
+    mean = n1 * a1 / n
+    var = n1 * n0 * (n * a2 - a1**2) / (n**2 * (n - 1))
+    r = agg_ansari_bradley(spark, SF).collect()[0]
+    assert r["n1"] == n1 and r["n0"] == n0
+    assert r["ab_x2"] == int(round(2 * ab))
+    assert abs(r["ab_stat"] - ab) < 1e-9
+    assert abs(r["z_stat"] - (ab - mean) / math.sqrt(var)) < 1e-9
+
+
+def test_wasserstein_matches_cdf_integral(spark):
+    """W1 must equal the numpy CDF-difference integral over the bucketed
+    values, and be symmetric-positive."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        orders_wasserstein_1d,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+    v = (o["o_totalprice"] / 10000).round().astype("int64")
+    u = np.sort(v[o["o_orderpriority"] == "1-URGENT"].to_numpy())
+    l_ = np.sort(v[o["o_orderpriority"] == "5-LOW"].to_numpy())
+    grid = np.unique(np.concatenate([u, l_]))
+    f1 = np.searchsorted(u, grid, side="right") / len(u)
+    f2 = np.searchsorted(l_, grid, side="right") / len(l_)
+    expected = float(np.sum(np.abs(f1 - f2)[:-1] * np.diff(grid)))
+    r = orders_wasserstein_1d(spark, SF).collect()[0]
+    assert r["n_urgent"] == len(u) and r["n_low"] == len(l_)
+    assert abs(r["wasserstein_buckets"] - expected) < 1e-9
+    assert r["wasserstein_dollars"] >= 0
+    assert abs(r["wasserstein_dollars"] - expected * 10000) < 1e-5
+
+
+def test_page_hinkley_matches_recurrence_replay(spark):
+    """The scaled PH columns must replay the textbook recurrence
+    m_t = sum(x_i - mean), PH+ = m - min, PH- = max - m (scaled by T)."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        events_page_hinkley,
+    )
+
+    rows = sorted(
+        events_page_hinkley(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    x = np.array([r["value_x10k"] for r in rows], dtype=object)
+    t = len(x)
+    s = int(x.sum())
+    cum, mn, mx = 0, None, None
+    for i, r in enumerate(rows):
+        cum += int(x[i])
+        m = t * cum - (i + 1) * s
+        # running extremes over the OBSERVED prefix only (no virtual m_0)
+        mn = m if mn is None else min(mn, m)
+        mx = m if mx is None else max(mx, m)
+        assert r["m_scaled"] == m
+        # running extremes INCLUDE the current row (inclusive frame)
+        assert r["ph_inc"] == m - mn and r["ph_inc"] >= 0
+        assert r["ph_dec"] == mx - m and r["ph_dec"] >= 0
+    assert rows[-1]["m_scaled"] == 0  # telescopes to zero at t = T
+    assert sum(r["is_upshift_peak"] for r in rows) >= 1
+    assert sum(r["is_downshift_peak"] for r in rows) >= 1
+
+
+def test_grubbs_matches_numpy(spark):
+    """G must equal max|x - mean| / sd(ddof=1) over the daily revenue
+    series, and the flagged day must attain the max deviation."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_grubbs_test,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()]
+    daily = (
+        (o["o_totalprice"] * 100).round().astype("int64")
+        .groupby(o["o_orderdate"].astype("datetime64[ns]").dt.date)
+        .sum()
+    )
+    x = daily.to_numpy(dtype="float64")
+    g_exp = np.max(np.abs(x - x.mean())) / x.std(ddof=1)
+    r = agg_grubbs_test(spark, SF).collect()[0]
+    assert r["n_days"] == len(x)
+    assert abs(r["grubbs_g"] - g_exp) < 1e-9
+    assert abs(r["grubbs_g2"] - g_exp**2) < 1e-9
+    dev = np.abs(daily.to_numpy() * len(x) - daily.sum())
+    assert r["max_dev_n"] == dev.max()
+    assert r["outlier_day"] == min(
+        d for d, dv in zip(daily.index, dev) if dv == dev.max()
+    )
+
+
+def test_mcnemar_matches_pandas(spark):
+    """The 2x2 discordance table and both chi-squares must match a pandas
+    recomputation of the above-median flags."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_mcnemar_test,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e = e[e["value"].notna()].copy()
+    e["day"] = pd.to_datetime(e["ts"]).dt.date
+    split = e["day"].min() + pd.Timedelta(days=15).to_pytimedelta()
+    pre = e[e["day"] < split].groupby("user_id")["value"].sum()
+    post = e[e["day"] >= split].groupby("user_id")["value"].sum()
+    users = e["user_id"].unique()
+    pre4 = np.array(
+        [int(round(round(pre.get(u, 0.0), 4) * 10000)) for u in users]
+    )
+    post4 = np.array(
+        [int(round(round(post.get(u, 0.0), 4) * 10000)) for u in users]
+    )
+    pre_a = 2 * pre4 > int(round(np.median(pre4) * 2))
+    post_a = 2 * post4 > int(round(np.median(post4) * 2))
+    b = int((pre_a & ~post_a).sum())
+    c = int((~pre_a & post_a).sum())
+    r = agg_mcnemar_test(spark, SF).collect()[0]
+    assert r["n_users"] == len(users)
+    assert r["pre_only"] == b and r["post_only"] == c
+    assert r["both_above"] == int((pre_a & post_a).sum())
+    assert abs(r["mcnemar_chi2"] - (b - c) ** 2 / (b + c)) < 1e-12
+    assert (
+        abs(r["mcnemar_chi2_cc"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-12
+    )
+
+
+def test_cochran_q_matches_direct_formula(spark):
+    """Q must match the direct (k-1)(k*sum C^2 - N^2)/(kN - sum R^2) on the
+    pandas-built engagement matrix."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        COCHRAN_MIN_DAYS,
+        agg_cochran_q,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e = e[e["user_id"].notna() & e["event_type"].notna() & e["ts"].notna()]
+    days = (
+        e.assign(day=pd.to_datetime(e["ts"]).dt.date)
+        .groupby(["user_id", "event_type"])["day"]
+        .nunique()
+    )
+    mat = (days >= COCHRAN_MIN_DAYS).unstack(fill_value=False)
+    # include types engaged by nobody and users engaging nothing: both are
+    # implicit zeros that only enter through k and n_users
+    k = e["event_type"].nunique()
+    rr = mat.sum(axis=1).to_numpy()
+    cc = mat.sum(axis=0).to_numpy()
+    n = int(rr.sum())
+    q_num = (k - 1) * (k * int((cc**2).sum()) - n * n)
+    q_den = k * n - int((rr**2).sum())
+    r = agg_cochran_q(spark, SF).collect()[0]
+    assert r["k"] == k
+    assert r["n_users"] == e["user_id"].nunique()
+    assert r["n_presences"] == n
+    assert r["q_num"] == q_num and r["q_den"] == q_den
+    assert abs(r["cochran_q"] - q_num / q_den) < 1e-12
