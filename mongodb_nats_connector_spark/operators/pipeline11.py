@@ -1017,3 +1017,404 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_nats_connector_spark.plans.caching import release_on_gc
 
     return release_on_gc(pres, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_friedman_test — blocked rank test: priority effect on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT date_trunc('month', o_orderdate) AS blk, o_orderpriority AS trt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM cell),
+    full_blk AS (
+      SELECT blk FROM cell, k GROUP BY blk, k.k HAVING count(*) = min(k.k)
+    ),
+    ranked AS (
+      SELECT a.blk, a.trt,
+             CAST(2 * sum(CASE WHEN b.s * a.c < a.s * b.c THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.s * a.c = a.s * b.c THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS mr2
+      FROM cell a
+      JOIN cell b ON b.blk = a.blk
+      JOIN full_blk f ON f.blk = a.blk
+      GROUP BY a.blk, a.trt
+    ),
+    rsum AS (
+      SELECT trt, CAST(sum(mr2) AS BIGINT) AS r_x2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked GROUP BY trt
+    ),
+    q AS (
+      SELECT CAST(sum(CAST(round(1000000000.0 * 3.0
+               * (CAST(r_x2 AS DOUBLE) * r_x2)
+               / (CAST(n AS DOUBLE) * k.k * (k.k + 1))) AS BIGINT))
+             AS BIGINT) AS q_nn,
+             CAST(min(n) AS BIGINT) AS n_blocks
+      FROM rsum, k GROUP BY ()
+    )
+    SELECT r.trt AS priority, r.r_x2 AS rank_sum_x2, q.n_blocks, k.k,
+           CAST(q.q_nn AS DOUBLE) / 1000000000.0
+             - 3.0 * q.n_blocks * (k.k + 1) AS q_stat
+    FROM rsum r CROSS JOIN q CROSS JOIN k
+    WHERE q.n_blocks > 0
+    """,
+    doc="Friedman test on the month x order-priority design: do the five "
+    "priority classes earn systematically different AVERAGE order values, "
+    "blocking out the month-to-month trend? — the repeated-measures "
+    "complement to agg_kruskal_wallis (which pools all observations and "
+    "would confound the calendar). Within each complete block the k=5 "
+    "treatment means rank by CROSS-MULTIPLIED integer comparison "
+    "(s_i*c_j vs s_j*c_i — never a float division before ranking), "
+    "midranks doubled to stay integer; the within-block pair join is "
+    "k^2-bounded per month, so the whole ranked relation is "
+    "calendar x k^2-sized at any fact scale. Per-treatment Q "
+    "contributions 3*R^2/(n*k(k+1)) quantize to integer nano-units "
+    "before the k-term sum, and Q itself is one fixed-order IEEE "
+    "expression. Incomplete months (a missing priority) drop on both "
+    "engines — the balanced-design requirement made explicit.",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    cell = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    cell = cell.persist()  # feeds k, the block filter AND both pair sides
+    k = cell.agg(F.count_distinct("trt").cast("bigint").alias("k"))
+    full_blk = (
+        cell.crossJoin(F.broadcast(k))
+        .groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_trt"), F.min("k").alias("k_")
+        )
+        .filter(F.col("n_trt") == F.col("k_"))
+        .select("blk")
+    )
+    a = cell.select(
+        F.col("blk"), F.col("trt"), F.col("s").alias("sa"),
+        F.col("c").alias("ca"),
+    )
+    b = cell.select(
+        F.col("blk").alias("blk_b"), F.col("s").alias("sb"),
+        F.col("c").alias("cb"),
+    )
+    ranked = (
+        a.join(F.broadcast(full_blk), "blk")
+        .join(b, F.col("blk") == F.col("blk_b"))
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                2
+                * F.sum(
+                    (
+                        F.col("sb") * F.col("ca") < F.col("sa") * F.col("cb")
+                    ).cast("int")
+                )
+                + F.sum(
+                    (
+                        F.col("sb") * F.col("ca") == F.col("sa") * F.col("cb")
+                    ).cast("int")
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("mr2")
+        )
+    )
+    rsum = ranked.groupBy("trt").agg(
+        F.sum("mr2").cast("bigint").alias("r_x2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    rsum = rsum.persist()  # k-sized; feeds the Q sum AND the output rows
+    rd = F.col("r_x2").cast("double")
+    q = rsum.crossJoin(F.broadcast(k)).agg(
+        F.sum(
+            F.round(
+                1000000000.0
+                * 3.0
+                * (rd * F.col("r_x2"))
+                / (F.col("n").cast("double") * F.col("k") * (F.col("k") + 1))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("q_nn"),
+        F.min("n").cast("bigint").alias("n_blocks"),
+    )
+    out = (
+        rsum.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("n_blocks") > 0)
+        .select(
+            F.col("trt").alias("priority"),
+            F.col("r_x2").alias("rank_sum_x2"),
+            "n_blocks",
+            "k",
+            (
+                F.col("q_nn").cast("double") / 1000000000.0
+                - 3.0 * F.col("n_blocks") * (F.col("k") + 1)
+            ).alias("q_stat"),
+        )
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    out = release_on_gc(cell, out)
+    return release_on_gc(rsum, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_hodges_lehmann — robust location estimate of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev_c,
+             CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS t
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.rev_c + b.rev_c AS w2
+      FROM idx a JOIN idx b ON b.t >= a.t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(round(quantile_cont(w2, 0.5) * 2) AS BIGINT) AS w_x4
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT nd.n_days, m.n_pairs, m.w_x4 AS walsh_med_x4,
+           CAST(m.w_x4 AS DOUBLE) / CAST(400 AS DOUBLE) AS hl_dollars
+    FROM nd, m
+    WHERE nd.n_days > 0
+    """,
+    doc="Hodges-Lehmann robust location estimator of daily revenue: the "
+    "median of all Walsh averages (x_i + x_j)/2 over day pairs i <= j — "
+    "the estimator the Wilcoxon test inverts, ~29% breakdown like "
+    "agg_theil_sen's slope (its exact pairwise-median twin for LEVEL "
+    "rather than trend; the plain median and mean are both already "
+    "registered, HL completes the efficiency/robustness tradeoff "
+    "curve). Walsh sums stay exact integer cents (never halved before "
+    "the median), the median is carried as the exact doubled integer "
+    "(quantile*2 of integers — the agg_median_test recipe), and the "
+    "reported estimate is ONE IEEE division (/4 doubling+pair, /100 "
+    "cents). The pair join is CALENDAR-bounded (days^2, independent of "
+    "fact rows — the agg_theil_sen contract, allowlisted by design); "
+    "everything upstream is one map-combined day rollup.",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    idx = d.select(
+        "rev_c",
+        F.date_diff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    idx = idx.persist()  # calendar-bounded; consumed by both pair sides
+    a = idx.select(F.col("rev_c").alias("ra"), F.col("t").alias("ta"))
+    b = idx.select(F.col("rev_c").alias("rb"), F.col("t").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("tb") >= F.col("ta")).select(
+        (F.col("ra") + F.col("rb")).alias("w2")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("w2", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("w_x4"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = (
+        nd.crossJoin(F.broadcast(m))
+        .filter(F.col("n_days") > 0)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("w_x4").alias("walsh_med_x4"),
+            (
+                F.col("w_x4").cast("double") / F.lit(400).cast("double")
+            ).alias("hl_dollars"),
+        )
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(idx, out)
+
+
+# ---------------------------------------------------------------------------
+# docs_simpson_diversity — lexical concentration of the documents corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_simpson_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) AS c2m,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS c2
+      FROM cnt
+    )
+    SELECT n AS n_tokens, vocab,
+           c2m / (CAST(n AS DOUBLE) * (n - 1)) AS simpson_d,
+           1.0 - c2m / (CAST(n AS DOUBLE) * (n - 1)) AS gini_simpson,
+           (CAST(n AS DOUBLE) * n) / c2 AS inv_simpson
+    FROM s
+    WHERE n > 1
+    """,
+    doc="Simpson diversity of the documents corpus vocabulary: the "
+    "probability two random tokens coincide (unbiased c(c-1)/(N(N-1)) "
+    "form), its Gini-Simpson complement, and the inverse-Simpson "
+    "effective vocabulary size — the concentration-side companions to "
+    "text_word_entropy (entropy weights rare types logarithmically; "
+    "Simpson squares relative abundance, so it reads the HEAD of the "
+    "Zipf curve — together they bound the corpus's diversity profile). "
+    "All three reduce to two exact integer sums over the vocabulary "
+    "relation (sum c(c-1), sum c^2 in HUGEINT/DECIMAL(38,0)) from one "
+    "map-combined token count — no window, no sort; each index is one "
+    "fixed-order IEEE expression over exact integers.",
+)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = cnt.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        _dsum(F.col("c") * (F.col("c") - 1)).alias("c2m"),
+        _dsum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    nd = F.col("n").cast("double")
+    simpson = F.col("c2m") / (nd * (F.col("n") - 1))
+    return s.filter(F.col("n") > 1).select(
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        simpson.alias("simpson_d"),
+        (1.0 - simpson).alias("gini_simpson"),
+        ((nd * F.col("n")) / F.col("c2")).alias("inv_simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_harmonic_centrality — disconnection-robust closeness variant
+# ---------------------------------------------------------------------------
+
+# lcm(1..32): every min-plus hop distance d <= 32 divides it exactly, so
+# sum(LCM / d) is an EXACT integer numerator for the harmonic sum
+_HARMONIC_LCM = 144403552893600
+
+
+def _harmonic_oracle() -> str:
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        CLOSENESS_ROUNDS,
+        _minplus_ctes,
+    )
+
+    return f"""{_minplus_ctes()},
+    nn AS (
+      SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes
+      FROM d{CLOSENESS_ROUNDS}
+    ),
+    h AS (
+      SELECT src AS node,
+             CAST(count(*) AS BIGINT) AS n_reachable,
+             CAST(sum({_HARMONIC_LCM} // d) AS BIGINT) AS harmonic_num
+      FROM d{CLOSENESS_ROUNDS}
+      WHERE src <> dst
+      GROUP BY src
+    )
+    SELECT h.node, h.n_reachable, h.harmonic_num,
+           CAST(h.harmonic_num AS DOUBLE) / {_HARMONIC_LCM} AS harmonic,
+           CAST(h.harmonic_num AS DOUBLE) / {_HARMONIC_LCM}
+             / (nn.n_nodes - 1) AS harmonic_normalized
+    FROM h CROSS JOIN nn
+    WHERE nn.n_nodes > 1
+    """
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    doc="Harmonic centrality (sum of 1/distance over reachable peers, "
+    "normalized by n-1) for every nation in the trade graph — the "
+    "centrality that stays finite and comparable under DISCONNECTION, "
+    "where closeness degrades (Boldi-Vigna's axiomatically preferred "
+    "variant); shares graph_closeness_centrality's min-plus doubling "
+    "distance relation (nation-bounded, fixed rounds, oracle unrolled "
+    "identically). Exactness trick: every hop distance d <= 32, and "
+    "lcm(1..32) = 144403552893600, so sum(LCM div d) is an EXACT BIGINT "
+    "numerator — integer floor-division that never floors anything — "
+    "making the harmonic sum itself exact with ONE final IEEE division "
+    "(+ the n-1 normalization), no per-term float addition at all.",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        _minplus_distances,
+    )
+
+    d = _minplus_distances(spark, sf_dir)
+    d = d.persist()  # nation-bounded; feeds the node count AND the rollup
+    nn = d.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    h = d.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
+        F.sum(F.expr(f"{_HARMONIC_LCM} div d"))
+        .cast("bigint")
+        .alias("harmonic_num"),
+    )
+    harm = F.col("harmonic_num").cast("double") / F.lit(
+        _HARMONIC_LCM
+    ).cast("double")
+    out = (
+        h.crossJoin(F.broadcast(nn))
+        .filter(F.col("n_nodes") > 1)
+        .select(
+            "node",
+            "n_reachable",
+            "harmonic_num",
+            harm.alias("harmonic"),
+            (harm / (F.col("n_nodes") - 1)).alias("harmonic_normalized"),
+        )
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(d, out)

@@ -241,6 +241,9 @@ _ALLOWED_NESTED_LOOP = {
     "agg_grubbs_test",            # 1-row moments + 1-row max-dev broadcast crossJoins
     "agg_mcnemar_test",           # 1-row cutoff + 1-row doubled-median broadcast crossJoins
     "agg_cochran_q",              # 1-row k/N/R2/C2 scalar broadcast crossJoins
+    "agg_friedman_test",          # 1-row k + Q scalar broadcast crossJoins
+    "agg_hodges_lehmann",         # calendar-bounded Walsh-pair NLJ (by design) + 1-row scalars
+    "graph_harmonic_centrality",  # 1-row node-count scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

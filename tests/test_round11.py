@@ -231,3 +231,133 @@ def test_cochran_q_matches_direct_formula(spark):
     assert r["n_presences"] == n
     assert r["q_num"] == q_num and r["q_den"] == q_den
     assert abs(r["cochran_q"] - q_num / q_den) < 1e-12
+
+
+def test_friedman_matches_rank_formula(spark):
+    """Per-treatment rank sums and Q must match a pandas within-block
+    average-rank recomputation over complete months."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_friedman_test,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()].copy()
+    o["blk"] = pd.to_datetime(o["o_orderdate"]).dt.to_period("M")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    cell = (
+        o.groupby(["blk", "o_orderpriority"])["cents"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+    k = o["o_orderpriority"].nunique()
+    full = cell.groupby("blk").size()
+    full_blocks = set(full[full == k].index)
+    cell = cell[cell["blk"].isin(full_blocks)].copy()
+    # rank treatment means within each block; compare as exact fractions
+    from fractions import Fraction
+
+    cell["avg"] = [
+        Fraction(int(s), int(c)) for s, c in zip(cell["sum"], cell["count"])
+    ]
+    cell["rank"] = cell.groupby("blk")["avg"].rank(method="average")
+    rsum = cell.groupby("o_orderpriority")["rank"].sum()
+    n = len(full_blocks)
+    q = 12.0 / (n * k * (k + 1)) * float((rsum**2).sum()) - 3 * n * (k + 1)
+    rows = {r["priority"]: r for r in agg_friedman_test(spark, SF).collect()}
+    assert set(rows) == set(rsum.index)
+    for trt, r in rows.items():
+        assert r["k"] == k and r["n_blocks"] == n
+        assert r["rank_sum_x2"] == int(round(2 * rsum[trt]))
+        assert abs(r["q_stat"] - q) < 1e-6  # nano-quantization granularity
+
+
+def test_hodges_lehmann_matches_walsh_median(spark):
+    """HL must equal the numpy median of all Walsh averages (i <= j) of the
+    daily revenue series."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_hodges_lehmann,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()]
+    daily = (
+        (o["o_totalprice"] * 100).round().astype("int64")
+        .groupby(o["o_orderdate"])
+        .sum()
+        .to_numpy()
+    )
+    i, j = np.triu_indices(len(daily))
+    walsh = (daily[i] + daily[j]) / 2.0
+    r = agg_hodges_lehmann(spark, SF).collect()[0]
+    assert r["n_days"] == len(daily)
+    assert r["n_pairs"] == len(walsh)
+    assert abs(r["hl_dollars"] - np.median(walsh) / 100.0) < 1e-9
+    # robustness: HL sits between the min and max daily revenue
+    assert daily.min() / 100.0 <= r["hl_dollars"] <= daily.max() / 100.0
+
+
+def test_simpson_diversity_matches_token_counts(spark):
+    """All three indices must match a direct pandas token-count
+    recomputation, and satisfy their algebraic bounds."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        docs_simpson_diversity,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    counts = pd.Series(
+        [w for t in docs["text"] for w in t.split(" ")]
+    ).value_counts()
+    n = int(counts.sum())
+    d = float((counts * (counts - 1)).sum()) / (n * (n - 1))
+    inv = n * n / float((counts**2).sum())
+    r = docs_simpson_diversity(spark, SF).collect()[0]
+    assert r["n_tokens"] == n
+    assert r["vocab"] == len(counts)
+    assert abs(r["simpson_d"] - d) < 1e-12
+    assert abs(r["gini_simpson"] - (1 - d)) < 1e-12
+    assert abs(r["inv_simpson"] - inv) < 1e-9
+    assert 0.0 <= r["simpson_d"] <= 1.0
+    assert 1.0 <= r["inv_simpson"] <= r["vocab"]
+
+
+def test_harmonic_centrality_matches_bfs(spark):
+    """Harmonic sums must equal an independent BFS recomputation, and the
+    exact-LCM numerator must reconstruct them without float error."""
+    from collections import deque
+
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        _HARMONIC_LCM,
+        graph_harmonic_centrality,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    adj = {}
+    for r in de.itertuples():
+        a, b = int(r.src), int(r.dst)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {r["node"]: r for r in graph_harmonic_centrality(spark, SF).collect()}
+    assert set(got) == set(adj)
+    for src in adj:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        num = sum(_HARMONIC_LCM // d for n_, d in dist.items() if n_ != src)
+        assert got[src]["n_reachable"] == len(dist) - 1
+        assert got[src]["harmonic_num"] == num  # exact: every d divides LCM
+        assert got[src]["harmonic"] == num / _HARMONIC_LCM
+        assert (
+            abs(
+                got[src]["harmonic_normalized"]
+                - got[src]["harmonic"] / (len(adj) - 1)
+            )
+            < 1e-15
+        )
