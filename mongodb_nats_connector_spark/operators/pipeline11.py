@@ -1418,3 +1418,413 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_nats_connector_spark.plans.caching import release_on_gc
 
     return release_on_gc(d, out)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codebook / similarity_ann_pq — product quantization
+# ---------------------------------------------------------------------------
+
+PQ_M = 2        # subspaces
+PQ_SUBDIM = 32  # dims per subspace (embeddings are 64-dim)
+PQ_K = 4        # centroids per subspace codebook
+PQ_ITERS = 2    # assignment rounds (centroids recomputed between)
+ANN_PQ_QUERY_ID = 1
+ANN_PQ_TOPK = 10
+
+
+def _pq_d2(sv_col, cv: list[float]):
+    """Squared L2 distance between a subvector column and a literal
+    centroid, as the left-fold sum both engines evaluate in order."""
+    lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+    return F.aggregate(
+        F.zip_with(sv_col, lit_cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_best(cents: list[tuple[int, list[float]]], sv="sv"):
+    """argmin-by-(d2, cid) struct over the literal codebook — assignment is
+    a MAP-ONLY projection (the kmeans_embeddings distribution strategy).
+    ``sv`` is a column name or a Column expression for the subvector."""
+    col = F.col(sv) if isinstance(sv, str) else sv
+    structs = [
+        F.struct(_pq_d2(col, cv).alias("d2"), F.lit(cid).alias("cid"))
+        for cid, cv in cents
+    ]
+    return F.array_min(F.array(*structs))
+
+
+def _pq_train_subspace(se) -> list[tuple[int, list[float]]]:
+    """k-means codebook for one subspace relation (vec_id, sv):
+    deterministic first-K init, PQ_ITERS assignment rounds; centroids live
+    on the driver as K x SUBDIM literals (bounded, corpus-independent)."""
+    cents = sorted(
+        (r["vec_id"], list(r["sv"]))
+        for r in se.filter(F.col("vec_id") < PQ_K).collect()
+    )
+    for _ in range(PQ_ITERS - 1):
+        assigned = se.select(
+            "vec_id", "sv", _pq_best(cents)["cid"].alias("cid")
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode("sv").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(F.avg("val").alias("a"))
+            .collect()  # bounded: K x SUBDIM rows
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in per_dim:
+            by.setdefault(r["cid"], {})[r["idx"]] = r["a"]
+        cents = sorted(
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in by.items()
+        )
+    return cents
+
+
+def _pq_sub_ctes(m: int) -> str:
+    """Oracle twin of one subspace's training: slice, first-K init, one
+    recompute round, final assignment with squared-L2 argmin (ties to the
+    smallest cid). Final relations: s{m} (subvectors), c{m}1 (codebook),
+    a{m}2 (vec_id, cid, d2)."""
+    lo, hi = 1 + m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, c.cv),"
+        " t -> (t[1]-t[2])*(t[1]-t[2])))"
+    )
+    return f"""
+    s{m} AS MATERIALIZED (
+      SELECT vec_id, v[{lo}:{hi}] AS sv FROM e
+    ),
+    c{m}0 AS (SELECT vec_id AS cid, sv AS cv FROM s{m} WHERE vec_id < {PQ_K}),
+    a{m}1 AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT s.vec_id, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM s{m} s CROSS JOIN c{m}0 c) WHERE rn = 1
+    ),
+    x{m}1 AS (
+      SELECT cid, unnest(sv) AS val, unnest(range(len(sv))) AS idx
+      FROM a{m}1
+    ),
+    c{m}1 AS MATERIALIZED (
+      SELECT cid, list(avg_val ORDER BY idx) AS cv FROM (
+        SELECT cid, idx, avg(val) AS avg_val FROM x{m}1 GROUP BY cid, idx)
+      GROUP BY cid
+    ),
+    a{m}2 AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT s.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM s{m} s CROSS JOIN c{m}1 c) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),{_pq_sub_ctes(0)},{_pq_sub_ctes(1)}
+    SELECT subspace, cid, n_assigned, d2_sum_x10k,
+           CAST(d2_sum_x10k AS DOUBLE) / 10000.0 / n_assigned AS avg_sq_dist
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+             CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) AS BIGINT)
+               AS d2_sum_x10k
+      FROM a02 GROUP BY cid
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), CAST(cid AS BIGINT),
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) AS BIGINT)
+      FROM a12 GROUP BY cid
+    )
+    """,
+    doc=f"Product-quantization codebook training over the embedding corpus: "
+    f"split each 64-dim vector into {PQ_M} x {PQ_SUBDIM}-dim subspaces and "
+    f"k-means each independently (k={PQ_K}, {PQ_ITERS} assignment rounds, "
+    "deterministic first-K init) — the compression stage of "
+    "PQ/IVF-PQ indexes (Jegou et al.), storing each vector as "
+    f"{PQ_M} byte-codes instead of 64 floats. Distribution strategy is "
+    "kmeans_embeddings': per-round centroids collect to the driver "
+    "(K x SUBDIM doubles, corpus-independent) and re-enter as LITERALS, "
+    "so every assignment is a map-only projection — no joins or shuffles "
+    "of vectors; the recompute is one map-combined (cid, dim) rollup. "
+    "Per-cell distortions quantize to integer 1e-4 units per ROW before "
+    "the cell sum (exact integer addition; the rounded d2 itself is the "
+    "per-row anchor, the kmeans dist-rounding precedent), and the "
+    "reported average distortion is one fixed-order IEEE expression.",
+)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.persist()  # feeds every subspace's training collects + scans
+    parts = []
+    for m in range(PQ_M):
+        se = e.select(
+            "vec_id",
+            F.slice("v", 1 + m * PQ_SUBDIM, PQ_SUBDIM).alias("sv"),
+        )
+        cents = _pq_train_subspace(se)
+        best = _pq_best(cents)
+        a2 = se.select(best["cid"].alias("cid"), best["d2"].alias("d2"))
+        parts.append(
+            a2.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+                F.sum(F.round(F.col("d2") * 10000).cast("bigint"))
+                .cast("bigint")
+                .alias("d2_sum_x10k"),
+            ).select(
+                F.lit(m).cast("bigint").alias("subspace"),
+                F.col("cid").cast("bigint").alias("cid"),
+                "n_assigned",
+                "d2_sum_x10k",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    out = u.select(
+        "subspace",
+        "cid",
+        "n_assigned",
+        "d2_sum_x10k",
+        (
+            F.col("d2_sum_x10k").cast("double") / 10000.0 / F.col("n_assigned")
+        ).alias("avg_sq_dist"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(e, out)
+
+
+def _ann_pq_oracle() -> str:
+    qd2 = (
+        "list_sum(list_transform(list_zip(q.sv, c.cv),"
+        " t -> (t[1]-t[2])*(t[1]-t[2])))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),{_pq_sub_ctes(0)},{_pq_sub_ctes(1)},
+    dt0 AS (
+      SELECT c.cid, {qd2} AS qd2
+      FROM c01 c, (SELECT sv FROM s0 WHERE vec_id = {ANN_PQ_QUERY_ID}) q
+    ),
+    dt1 AS (
+      SELECT c.cid, {qd2} AS qd2
+      FROM c11 c, (SELECT sv FROM s1 WHERE vec_id = {ANN_PQ_QUERY_ID}) q
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(a0.cid AS BIGINT) AS code0, CAST(a1.cid AS BIGINT) AS code1,
+           round(d0.qd2 + d1.qd2, 6) + 0.0 AS approx_d2
+    FROM e
+    JOIN a02 a0 ON a0.vec_id = e.vec_id
+    JOIN a12 a1 ON a1.vec_id = e.vec_id
+    JOIN dt0 d0 ON d0.cid = a0.cid
+    JOIN dt1 d1 ON d1.cid = a1.cid
+    WHERE e.vec_id <> {ANN_PQ_QUERY_ID}
+    ORDER BY round(d0.qd2 + d1.qd2, 6), e.vec_id
+    LIMIT {ANN_PQ_TOPK}
+    """
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=_ann_pq_oracle(),
+    doc=f"Approximate nearest-neighbor search by asymmetric distance "
+    f"computation (ADC) over the PQ codes: encode every vector as "
+    f"{PQ_M} centroid ids (embedding_pq_codebook's codebooks), "
+    "precompute the query's squared distance to each centroid (a "
+    f"{PQ_M} x {PQ_K} lookup table), and rank candidates by the SUM of "
+    f"table lookups — top-{ANN_PQ_TOPK} for query vector "
+    f"{ANN_PQ_QUERY_ID}. This is the memory-bandwidth-bound inner loop "
+    "of IVF-PQ indexes: per-vector work is two code lookups + one add, "
+    "never a 64-dim scan. Encoding is a map-only literal projection (the "
+    "kmeans distribution strategy); the lookup tables are "
+    "centroid-cardinality relations broadcast to the codes; the approx "
+    "distance is ONE fixed-order IEEE add of the two table entries "
+    "(never a multi-term float sum), rounded to 6 as the cross-engine "
+    "ordering anchor with vec_id tie-breaks; the top-k ships via "
+    "TakeOrderedAndProject. The exact-cosine twin is "
+    "similarity_topk_bruteforce — comparing the two quantifies PQ "
+    "recall, the standard index-quality readout.",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.persist()  # feeds training collects, encoding AND the output
+    enc = e
+    dts = []
+    for m in range(PQ_M):
+        sv = F.slice("v", 1 + m * PQ_SUBDIM, PQ_SUBDIM)
+        se = e.select("vec_id", sv.alias("sv"))
+        cents = _pq_train_subspace(se)
+        enc = enc.withColumn(f"code{m}", _pq_best(cents, sv)["cid"])
+        # query distance table: centroid-cardinality relation whose qd2 is
+        # the SAME literal-fold expression the oracle evaluates
+        qsv = se.filter(F.col("vec_id") == ANN_PQ_QUERY_ID).select("sv")
+        dt = qsv.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(cid, cv) for cid, cv in cents],
+                    f"cid int, cv array<double>",
+                )
+            )
+        ).select(
+            F.col("cid").alias(f"dcid{m}"),
+            F.aggregate(
+                F.zip_with(
+                    "sv", "cv", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"qd2_{m}"),
+        )
+        dts.append(dt)
+    approx = F.round(F.col("qd2_0") + F.col("qd2_1"), 6) + F.lit(0.0)
+    out = (
+        enc.filter(F.col("vec_id") != ANN_PQ_QUERY_ID)
+        .join(F.broadcast(dts[0]), F.col("code0") == F.col("dcid0"))
+        .join(F.broadcast(dts[1]), F.col("code1") == F.col("dcid1"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("code0").cast("bigint").alias("code0"),
+            F.col("code1").cast("bigint").alias("code1"),
+            approx.alias("approx_d2"),
+        )
+        .orderBy("approx_d2", "vec_id")
+        .limit(ANN_PQ_TOPK)
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(e, out)
+
+
+# ---------------------------------------------------------------------------
+# events_burst_detection — two-threshold (hysteresis) burst state machine
+# ---------------------------------------------------------------------------
+
+BURST_HI_NUM = 51  # enter burst when rate > 1.02x the global mean (51/50)
+BURST_LO_NUM = 49  # leave burst when rate < 0.98x the global mean (49/50)
+
+
+@register(
+    "events_burst_detection",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(c) AS BIGINT) AS n
+      FROM daily
+    ),
+    crossed AS (
+      SELECT d.day, d.c,
+             CASE WHEN 50 * d.c * t.t > {BURST_HI_NUM} * t.n THEN 1
+                  WHEN 50 * d.c * t.t < {BURST_LO_NUM} * t.n THEN 0
+             END AS cross_dir
+      FROM daily d CROSS JOIN tot t
+    ),
+    st AS (
+      SELECT day, c,
+             CAST(coalesce(last_value(cross_dir IGNORE NULLS) OVER w, 0)
+                  AS BIGINT) AS state
+      FROM crossed
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    marked AS (
+      SELECT day, c, state,
+             CASE WHEN state = 1
+                   AND coalesce(lag(state) OVER (ORDER BY day), 0) = 0
+                  THEN 1 ELSE 0 END AS is_start
+      FROM st
+    )
+    SELECT day, c AS n_events, state,
+           is_start = 1 AS is_burst_start,
+           CAST(CASE WHEN state = 1
+                THEN sum(is_start) OVER (ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)
+                ELSE 0 END AS BIGINT) AS burst_id
+    FROM marked
+    """,
+    doc=f"Burst detection over the daily event series with a two-threshold "
+    f"hysteresis state machine: enter the burst state when the day's rate "
+    f"exceeds {BURST_HI_NUM / 50}x the global mean rate, leave only when "
+    f"it drops below {BURST_LO_NUM / 50}x, hold otherwise — the "
+    "Schmitt-trigger simplification of Kleinberg's two-state burst "
+    "automaton (same high/low state structure; hysteresis replaces the "
+    "Viterbi transition cost, trading optimality for a backtrack-free "
+    "single pass that streams). The sequential state dependence is NOT a "
+    "loop: it is the last-crossing LOCF identity (state = most recent "
+    "threshold crossing's direction), one last_value(IGNORE NULLS) "
+    "window; burst ids are a running count of entries. Thresholds "
+    "compare as cross-multiplied exact integers (50*c*T vs k*N — no "
+    "rate division), so every emitted column is an exact integer, date, "
+    "or bool — nothing float on the hash surface. All windows run over "
+    "the calendar-bounded daily rollup.",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    rate = 50 * F.col("c") * F.col("t")
+    crossed = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "c",
+        F.when(rate > BURST_HI_NUM * F.col("n"), F.lit(1))
+        .when(rate < BURST_LO_NUM * F.col("n"), F.lit(0))
+        .alias("cross_dir"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wlag = Window.orderBy("day")
+    st = crossed.select(
+        "day",
+        "c",
+        F.coalesce(
+            F.last("cross_dir", ignorenulls=True).over(wcum), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("state"),
+    )
+    marked = st.select(
+        "day",
+        "c",
+        "state",
+        F.when(
+            (F.col("state") == 1)
+            & (F.coalesce(F.lag("state").over(wlag), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    out = marked.select(
+        "day",
+        F.col("c").alias("n_events"),
+        "state",
+        (F.col("is_start") == 1).alias("is_burst_start"),
+        F.when(
+            F.col("state") == 1, F.sum("is_start").over(wcum)
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("burst_id"),
+    )
+    return persist_until_collected(daily, out)

@@ -244,6 +244,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_friedman_test",          # 1-row k + Q scalar broadcast crossJoins
     "agg_hodges_lehmann",         # calendar-bounded Walsh-pair NLJ (by design) + 1-row scalars
     "graph_harmonic_centrality",  # 1-row node-count scalar broadcast crossJoin
+    "similarity_ann_pq",          # 1-row query-subvector x K-centroid distance tables
+    "events_burst_detection",     # 1-row day/event-total scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -340,6 +342,8 @@ _GLOBAL_WINDOWS = {
                                  "prefix + lead (one Window node)"),
     "events_page_hinkley": (4, "bounded: daily series (row index, cumsum, "
                                "running min/max)"),
+    "events_burst_detection": (3, "bounded: daily series (LOCF state, lag, "
+                                  "running burst count)"),
 }
 
 

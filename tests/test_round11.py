@@ -361,3 +361,118 @@ def test_harmonic_centrality_matches_bfs(spark):
             )
             < 1e-15
         )
+
+
+def test_pq_codebook_lloyd_semantics(spark):
+    """The trained codebook must satisfy Lloyd's invariants per subspace:
+    round-2 centroids are the means of the round-1 assignment, and the
+    reported per-cell counts/distortions match a numpy recomputation
+    against those centroids."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_train_subspace,
+        embedding_pq_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = np.stack(
+        e.sort_values("vec_id")["embedding"].map(np.asarray)
+    ).astype("float64")
+    ids = e.sort_values("vec_id")["vec_id"].to_numpy()
+    got = {
+        (r["subspace"], r["cid"]): r
+        for r in embedding_pq_codebook(spark, SF).collect()
+    }
+    sdf = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    for m in range(PQ_M):
+        sub = vecs[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        se = sdf.select(
+            "vec_id", F.slice("v", 1 + m * PQ_SUBDIM, PQ_SUBDIM).alias("sv")
+        )
+        cents = _pq_train_subspace(se)
+        # Lloyd invariant: final centroids = means of the init-assignment
+        init = {cid: np.asarray(cv) for cid, cv in zip(range(PQ_K), sub[:PQ_K])}
+        d0 = np.stack(
+            [((sub - init[c]) ** 2).sum(axis=1) for c in range(PQ_K)]
+        )
+        a0 = d0.argmin(axis=0)  # ties to smallest cid via argmin order
+        for cid, cv in cents:
+            np.testing.assert_allclose(
+                np.asarray(cv), sub[a0 == cid].mean(axis=0), rtol=1e-9
+            )
+        # reported cells match the numpy re-assignment against them
+        cmat = np.stack([np.asarray(cv) for _, cv in cents])
+        d1 = np.stack([((sub - c) ** 2).sum(axis=1) for c in cmat])
+        a1 = d1.argmin(axis=0)
+        for j, (cid, _) in enumerate(cents):
+            sel = a1 == j
+            r = got[(m, cid)]
+            assert r["n_assigned"] == int(sel.sum())
+            exp = sum(int(round(x * 10000)) for x in d1[j][sel])
+            assert abs(r["d2_sum_x10k"] - exp) <= len(ids)  # ulp-slack
+            assert r["avg_sq_dist"] >= 0
+    assert sum(r["n_assigned"] for (s, _), r in got.items() if s == 0) == len(
+        ids
+    )
+
+
+def test_ann_pq_adc_consistency(spark):
+    """Every returned candidate's approx distance must equal the sum of its
+    two codebook-table entries, the list must be sorted by (approx,
+    vec_id), and the query itself must be excluded."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        ANN_PQ_QUERY_ID,
+        ANN_PQ_TOPK,
+        similarity_ann_pq,
+    )
+
+    rows = similarity_ann_pq(spark, SF).collect()
+    assert len(rows) == ANN_PQ_TOPK
+    keys = [(r["approx_d2"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["vec_id"] != ANN_PQ_QUERY_ID for r in rows)
+    assert all(r["approx_d2"] >= 0 for r in rows)
+    # vectors sharing both codes must have identical approx distance
+    by_code = {}
+    for r in rows:
+        by_code.setdefault((r["code0"], r["code1"]), set()).add(
+            r["approx_d2"]
+        )
+    assert all(len(v) == 1 for v in by_code.values())
+
+
+def test_burst_detection_hysteresis_replay(spark):
+    """State, starts and burst ids must replay the two-threshold machine
+    exactly from the daily counts."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        BURST_HI_NUM,
+        BURST_LO_NUM,
+        events_burst_detection,
+    )
+
+    rows = sorted(
+        events_burst_detection(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    t = len(rows)
+    n = sum(r["n_events"] for r in rows)
+    state, bid = 0, 0
+    for r in rows:
+        lhs = 50 * r["n_events"] * t
+        prev = state
+        if lhs > BURST_HI_NUM * n:
+            state = 1
+        elif lhs < BURST_LO_NUM * n:
+            state = 0
+        start = state == 1 and prev == 0
+        if start:
+            bid += 1
+        assert r["state"] == state
+        assert r["is_burst_start"] == start
+        assert r["burst_id"] == (bid if state == 1 else 0)
+    assert sum(r["is_burst_start"] for r in rows) >= 1  # machine fires
