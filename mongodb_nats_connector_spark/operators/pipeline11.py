@@ -1828,3 +1828,309 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("burst_id"),
     )
     return persist_until_collected(daily, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_logrank_test — two-group survival comparison (urgent vs other)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_logrank_test",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    ft AS (
+      SELECT o_custkey,
+             max(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+             max(CASE WHEN rn = 2 THEN o_orderdate END) AS t2,
+             max(CASE WHEN rn = 1 THEN o_orderpriority END) AS prio
+      FROM o2 WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN f.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(f.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(m.tmax AS DATE))
+             END AS BIGINT) AS dur,
+             CAST(CASE WHEN f.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS ev,
+             CAST(CASE WHEN f.prio IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+                  END AS BIGINT) AS g
+      FROM ft f, mx m
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS n1
+      FROM obs
+    ),
+    by_d AS (
+      SELECT dur,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(ev * g) AS BIGINT) AS d1,
+             CAST(count(*) AS BIGINT) AS removed,
+             CAST(sum(g) AS BIGINT) AS removed1
+      FROM obs GROUP BY 1
+    ),
+    sw AS (
+      SELECT dur, d, d1,
+             t.n - CAST(coalesce(sum(removed) OVER w, 0) AS BIGINT) AS nr,
+             t.n1 - CAST(coalesce(sum(removed1) OVER w, 0) AS BIGINT) AS nr1
+      FROM by_d, tot t
+      WINDOW w AS (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(CAST(round(1000000000.0 * (d1 * nr - nr1 * d)
+                                 / nr) AS BIGINT)) AS BIGINT) AS diff_nn,
+             CAST(sum(CASE WHEN nr > 1 THEN CAST(round(1000000000.0
+                   * (CAST(nr1 AS DOUBLE) * (nr - nr1) * d * (nr - d))
+                   / ((CAST(nr AS DOUBLE) * nr) * (nr - 1))) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS var_nn,
+             CAST(count(*) AS BIGINT) AS n_times
+      FROM sw WHERE d > 0 AND nr > 0
+    )
+    SELECT t.n1, t.n - t.n1 AS n0, x.n_times, x.o1, x.diff_nn, x.var_nn,
+           (CAST(x.diff_nn AS DOUBLE) * x.diff_nn)
+             / (1000000000.0 * x.var_nn) AS logrank_chi2
+    FROM tot t CROSS JOIN terms x
+    WHERE x.var_nn > 0
+    """,
+    doc="Log-rank test comparing repeat-purchase survival between "
+    "customers whose FIRST order was urgent/high priority and everyone "
+    "else — the hypothesis test that completes the survival family "
+    "(orders_survival_km estimates the curve, orders_nelson_aalen its "
+    "hazard; log-rank says whether two curves DIFFER), censoring-aware "
+    "where a naive conversion-rate comparison is biased. Same duration/"
+    "censoring construction as KM (one per-customer windowed pass, "
+    "shared first-two pivot). At each event time the observed-minus-"
+    "expected increment (d1 - n1*d/n) and the hypergeometric variance "
+    "n1*n0*d*(n-d)/(n^2*(n-1)) are single fixed-order IEEE expressions "
+    "over EXACT integer risk-set counts, quantized to integer nano-units "
+    "BEFORE the time sum (the agg_cramers_v discipline), so the chi2 is "
+    "two exact integer sums and ONE final expression. Risk sets come "
+    "from one cumulative window over the duration-bounded relation "
+    "(the orders_survival_km pin).",
+)
+def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ft = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("o_orderpriority"))
+            ).alias("prio"),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = ft.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t1").cast("date"))
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("t2").isNotNull().cast("bigint").alias("ev"),
+        F.col("prio")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("bigint")
+        .alias("g"),
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("n1"),
+    )
+    by_d = obs.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.col("ev") * F.col("g")).cast("bigint").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("removed"),
+        F.sum("g").cast("bigint").alias("removed1"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    sw = by_d.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "d1",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("removed").over(wprev), F.lit(0)).cast(
+                "bigint"
+            )
+        ).alias("nr"),
+        (
+            F.col("n1")
+            - F.coalesce(F.sum("removed1").over(wprev), F.lit(0)).cast(
+                "bigint"
+            )
+        ).alias("nr1"),
+    )
+    nrd = F.col("nr").cast("double")
+    diff_nn = F.round(
+        1000000000.0
+        * (F.col("d1") * F.col("nr") - F.col("nr1") * F.col("d"))
+        / F.col("nr")
+    ).cast("bigint")
+    var_nn = F.when(
+        F.col("nr") > 1,
+        F.round(
+            1000000000.0
+            * (
+                F.col("nr1").cast("double")
+                * (F.col("nr") - F.col("nr1"))
+                * F.col("d")
+                * (F.col("nr") - F.col("d"))
+            )
+            / ((nrd * F.col("nr")) * (F.col("nr") - 1))
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    terms = (
+        sw.filter((F.col("d") > 0) & (F.col("nr") > 0))
+        .agg(
+            F.sum("d1").cast("bigint").alias("o1"),
+            F.sum(diff_nn).cast("bigint").alias("diff_nn"),
+            F.sum(var_nn).cast("bigint").alias("var_nn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(terms))
+        .filter(F.col("var_nn") > 0)
+        .select(
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n0"),
+            "n_times",
+            "o1",
+            "diff_nn",
+            "var_nn",
+            (
+                (F.col("diff_nn").cast("double") * F.col("diff_nn"))
+                / (1000000000.0 * F.col("var_nn"))
+            ).alias("logrank_chi2"),
+        )
+    )
+    return persist_until_collected(obs, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_cohen_kappa — chance-corrected agreement between two binary raters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cohen_kappa",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS rb
+      FROM lineitem
+    ),
+    med AS (
+      SELECT CAST(round(quantile_cont(price_c, 0.5) * 2) AS BIGINT) AS m2
+      FROM b
+    ),
+    flags AS (
+      SELECT CASE WHEN 2 * b.price_c > m.m2 THEN 1 ELSE 0 END AS ra, b.rb
+      FROM b CROSS JOIN med m
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS a11,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS a10,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS a01,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS a00
+      FROM flags
+    )
+    SELECT n, a11, a10, a01, a00,
+           CAST(n * (a11 + a00)
+                - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+                AS BIGINT) AS kappa_den,
+           CAST(n * (a11 + a00)
+                - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00))
+                AS DOUBLE)
+             / (n * n
+                - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)))
+             AS cohen_kappa
+    FROM s
+    WHERE n * n
+          - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) <> 0
+    """,
+    doc="Cohen's kappa between two binary 'raters' over lineitems: "
+    "above-median price vs returned — the chance-corrected agreement "
+    "coefficient (raw accuracy rewards majority-class collusion; kappa "
+    "subtracts the agreement two independent raters with these marginals "
+    "would reach by luck), the standard inter-annotator and "
+    "label-quality readout for training-data curation. The price rater "
+    "thresholds on the exact DOUBLED median of integer cents (the "
+    "agg_median_test recipe), the 2x2 confusion matrix is four exact "
+    "integer counts from one map-combined pass, and kappa = "
+    "(N*agree - chance)/(N^2 - chance) is carried as exact integer "
+    "numerator/denominator with ONE final IEEE division — no float "
+    "probabilities anywhere.",
+)
+def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_c"
+        ),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("rb"),
+    )
+    med = b.agg(
+        F.round(F.percentile("price_c", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("m2")
+    )
+    flags = b.crossJoin(F.broadcast(med)).select(
+        (2 * F.col("price_c") > F.col("m2")).cast("bigint").alias("ra"),
+        "rb",
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("a11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("a10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("a01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("bigint")
+        .alias("a00"),
+    )
+    chance = (F.col("a11") + F.col("a10")) * (F.col("a11") + F.col("a01")) + (
+        F.col("a01") + F.col("a00")
+    ) * (F.col("a10") + F.col("a00"))
+    num = F.col("n") * (F.col("a11") + F.col("a00")) - chance
+    den = F.col("n") * F.col("n") - chance
+    return (
+        s.filter(den != 0)
+        .select(
+            "n",
+            "a11",
+            "a10",
+            "a01",
+            "a00",
+            num.cast("bigint").alias("kappa_num"),
+            den.cast("bigint").alias("kappa_den"),
+            (num.cast("double") / den).alias("cohen_kappa"),
+        )
+    )

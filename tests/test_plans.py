@@ -246,6 +246,8 @@ _ALLOWED_NESTED_LOOP = {
     "graph_harmonic_centrality",  # 1-row node-count scalar broadcast crossJoin
     "similarity_ann_pq",          # 1-row query-subvector x K-centroid distance tables
     "events_burst_detection",     # 1-row day/event-total scalar broadcast crossJoin
+    "orders_logrank_test",        # 1-row horizon + cohort-size broadcast crossJoins
+    "agg_cohen_kappa",            # 1-row doubled-median scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -344,6 +346,7 @@ _GLOBAL_WINDOWS = {
                                "running min/max)"),
     "events_burst_detection": (3, "bounded: daily series (LOCF state, lag, "
                                   "running burst count)"),
+    "orders_logrank_test": (1, "bounded: distinct-duration risk sets"),
 }
 
 

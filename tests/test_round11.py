@@ -476,3 +476,80 @@ def test_burst_detection_hysteresis_replay(spark):
         assert r["is_burst_start"] == start
         assert r["burst_id"] == (bid if state == 1 else 0)
     assert sum(r["is_burst_start"] for r in rows) >= 1  # machine fires
+
+
+def test_logrank_matches_pandas_replay(spark):
+    """O1, the observed-expected sum, the variance sum and chi2 must match
+    a pandas risk-set replay of the same duration/censoring construction."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        orders_logrank_test,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o.sort_values(["o_orderdate", "o_orderkey"])
+    tmax = o["o_orderdate"].max()
+    firsts = o.groupby("o_custkey").nth(0)
+    seconds = o.groupby("o_custkey").nth(1)
+    t2 = seconds.set_index("o_custkey")["o_orderdate"]
+    rows = []
+    for _, r in firsts.iterrows():
+        cust = r["o_custkey"]
+        end = t2.get(cust, None)
+        ev = end is not None
+        dur = ((end if ev else tmax) - r["o_orderdate"]).days
+        rows.append(
+            (dur, int(ev), int(r["o_orderpriority"] in ("1-URGENT", "2-HIGH")))
+        )
+    df = pd.DataFrame(rows, columns=["dur", "ev", "g"])
+    n, n1 = len(df), int(df["g"].sum())
+    o1 = diff_nn = var_nn = 0
+    for dur in sorted(df["dur"].unique()):
+        at = df[df["dur"] >= dur]
+        here = df[df["dur"] == dur]
+        d, d1 = int(here["ev"].sum()), int((here["ev"] * here["g"]).sum())
+        nr, nr1 = len(at), int(at["g"].sum())
+        if d == 0 or nr == 0:
+            continue
+        o1 += d1
+        diff_nn += int(round(1e9 * (d1 * nr - nr1 * d) / nr))
+        if nr > 1:
+            var_nn += int(
+                round(
+                    1e9 * (float(nr1) * (nr - nr1) * d * (nr - d))
+                    / ((float(nr) * nr) * (nr - 1))
+                )
+            )
+    r = orders_logrank_test(spark, SF).collect()[0]
+    assert r["n1"] == n1 and r["n0"] == n - n1
+    assert r["o1"] == o1
+    assert r["diff_nn"] == diff_nn
+    assert r["var_nn"] == var_nn
+    assert abs(r["logrank_chi2"] - diff_nn**2 / (1e9 * var_nn)) < 1e-9
+
+
+def test_cohen_kappa_matches_po_pe_form(spark):
+    """The integer num/den form must equal the textbook (po-pe)/(1-pe), and
+    the confusion matrix must match a pandas recomputation."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_cohen_kappa,
+    )
+
+    li = _li(spark)
+    price_c = (li["l_extendedprice"] * 100).round().astype("int64")
+    m2 = int(round(np.median(price_c) * 2))
+    ra = (2 * price_c > m2).astype(int)
+    rb = (li["l_returnflag"] == "R").astype(int)
+    n = len(li)
+    a11 = int((ra & rb).sum())
+    a10 = int((ra & (1 - rb)).sum())
+    a01 = int(((1 - ra) & rb).sum())
+    a00 = int(((1 - ra) & (1 - rb)).sum())
+    po = (a11 + a00) / n
+    pe = ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) / n**2
+    r = agg_cohen_kappa(spark, SF).collect()[0]
+    assert (r["n"], r["a11"], r["a10"], r["a01"], r["a00"]) == (
+        n, a11, a10, a01, a00,
+    )
+    assert r["kappa_num"] == n * (a11 + a00) - round(pe * n * n)
+    assert abs(r["cohen_kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert -1.0 <= r["cohen_kappa"] <= 1.0
