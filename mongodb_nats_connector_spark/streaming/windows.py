@@ -486,3 +486,68 @@ def kmv_sketch_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def page_hinkley_from_daily_state(state: DataFrame) -> DataFrame:
+    """STATELESS Page-Hinkley projection over a (event_type, day, n, s1)
+    state table — the streaming closure of the batch events_page_hinkley
+    (which runs the same recurrence over the type-pooled daily series):
+    per event type, m_t = T*cumsum(s1) - t*total(s1) is the n-scaled
+    exact-integer CUSUM of deviations from the type's mean, PH+ =
+    m - running-min(m) flags upward mean shifts, PH- = running-max(m) - m
+    downward ones, and the peak rows are the detected shift onsets.
+    Shares daily_moment_state_stream's state contract with
+    cusum_from_daily_state, so one streamed state table feeds both
+    detectors; every window PARTITIONS by event_type and the relation is
+    day-count-sized, never event-sized. Every emitted column is an exact
+    integer, date, string, or an equality flag on exact integers —
+    nothing float, so stream and batch agree bit-for-bit whenever their
+    state tables agree (which the replay-idempotent dedup guarantees)."""
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wrow = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    c = state.select(
+        "event_type",
+        "day",
+        "s1",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("tt"),
+        F.sum("s1").over(wt).cast("bigint").alias("ts"),
+        F.row_number().over(wrow).cast("bigint").alias("rn"),
+        F.sum("s1").over(wcum).cast("bigint").alias("cum"),
+    )
+    m = c.select(
+        "event_type",
+        "day",
+        F.col("s1").alias("value_x10k"),
+        (F.col("tt") * F.col("cum") - F.col("rn") * F.col("ts")).alias(
+            "m_scaled"
+        ),
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        "value_x10k",
+        "m_scaled",
+        (F.col("m_scaled") - F.min("m_scaled").over(wcum)).alias("ph_inc"),
+        (F.max("m_scaled").over(wcum) - F.col("m_scaled")).alias("ph_dec"),
+    )
+    return ph.select(
+        "event_type",
+        "day",
+        "value_x10k",
+        "m_scaled",
+        "ph_inc",
+        "ph_dec",
+        (F.col("ph_inc") == F.max("ph_inc").over(wt)).alias(
+            "is_upshift_peak"
+        ),
+        (F.col("ph_dec") == F.max("ph_dec").over(wt)).alias(
+            "is_downshift_peak"
+        ),
+    )
