@@ -2134,3 +2134,232 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / den).alias("cohen_kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hellinger_distance — Bhattacharyya/Hellinger between priority classes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hellinger_distance",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice / 10000) AS BIGINT) AS v,
+             CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                  AS BIGINT) AS g
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cells AS (
+      SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+             CAST(count(*) - sum(g) AS BIGINT) AS c0
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0
+      FROM cells
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(round(1000000000.0
+               * sqrt(CAST(c1 AS DOUBLE) * c0)) AS BIGINT)) AS BIGINT)
+               AS bc_nn
+      FROM cells
+    )
+    SELECT t.n1 AS n_urgent, t.n0 AS n_low, x.bc_nn,
+           CAST(x.bc_nn AS DOUBLE) / 1000000000.0
+             / sqrt(CAST(t.n1 AS DOUBLE) * t.n0) AS bhattacharyya_coef,
+           sqrt(1.0 - CAST(x.bc_nn AS DOUBLE) / 1000000000.0
+                / sqrt(CAST(t.n1 AS DOUBLE) * t.n0)) AS hellinger_dist
+    FROM tot t CROSS JOIN terms x
+    WHERE t.n1 > 0 AND t.n0 > 0
+      AND 1.0 - CAST(x.bc_nn AS DOUBLE) / 1000000000.0
+          / sqrt(CAST(t.n1 AS DOUBLE) * t.n0) >= 0
+    """,
+    doc="Bhattacharyya coefficient and Hellinger distance between the "
+    "URGENT and LOW order-value distributions over the same bounded "
+    "~55-bucket domain as orders_wasserstein_1d — completing the "
+    "distribution-distance family (KL is asymmetric and blows up on "
+    "disjoint support, JS fixes symmetry, Wasserstein adds geometry; "
+    "Hellinger is the bounded [0,1] metric with sqrt affinity "
+    "semantics). Identity: BC = sum sqrt(p*q) = sum sqrt(c1*c0) / "
+    "sqrt(n1*n0), so each per-bucket term is ONE correctly-rounded sqrt "
+    "of an exact integer product, quantized to integer nano-units "
+    "BEFORE the bucket sum (summation order cannot move a bit); BC and "
+    "H = sqrt(1-BC) are fixed-order IEEE expressions. One filtered "
+    "map-combined rollup; no window at all.",
+)
+def agg_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    b = o.select(
+        F.round(F.col("o_totalprice") / 10000).cast("bigint").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("g"),
+    )
+    cells = b.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("bigint").alias("c0"),
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+    )
+    terms = cells.agg(
+        F.sum(
+            F.round(
+                1000000000.0
+                * F.sqrt(F.col("c1").cast("double") * F.col("c0"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("bc_nn")
+    )
+    bc = (
+        F.col("bc_nn").cast("double")
+        / 1000000000.0
+        / F.sqrt(F.col("n1").cast("double") * F.col("n0"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(terms))
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0) & (1.0 - bc >= 0))
+        .select(
+            F.col("n1").alias("n_urgent"),
+            F.col("n0").alias("n_low"),
+            "bc_nn",
+            bc.alias("bhattacharyya_coef"),
+            F.sqrt(1.0 - bc).alias("hellinger_dist"),
+        )
+    )
+    return persist_until_collected(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_tukey_pairwise — all pairwise priority mean contrasts (post-hoc)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_tukey_pairwise",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum((ss * n - CAST(s AS HUGEINT) * s)
+                      // (CAST(n AS HUGEINT) * 1000000)) AS BIGINT)
+               AS ssw_m
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b2.grp AS grp_b,
+             a.n AS na, b2.n AS nb, a.s AS sa, b2.s AS sb,
+             t.nn, t.k, t.ssw_m
+      FROM g a JOIN g b2 ON a.grp < b2.grp CROSS JOIN tot t
+    )
+    SELECT grp_a, grp_b, na, nb,
+           (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100.0
+             AS mean_diff,
+           sqrt((CAST(ssw_m AS DOUBLE) * 1000000.0 / (nn - k))
+                * (1.0 / na + 1.0 / nb)) / 100.0 AS se_diff,
+           abs((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100.0)
+             / (sqrt((CAST(ssw_m AS DOUBLE) * 1000000.0 / (nn - k))
+                     * (1.0 / na + 1.0 / nb)) / 100.0)
+             AS t_stat
+    FROM pairs
+    WHERE nn > k AND ssw_m > 0
+    """,
+    doc="All pairwise order-priority mean contrasts with the pooled "
+    "within-group error (the post-hoc table behind a Tukey HSD: mean "
+    "difference, its standard error under the one-way ANOVA pooled MSE, "
+    "and |t| — the studentized-range critical value is a lookup the "
+    "caller applies): WHICH priorities differ after agg_kruskal_wallis/"
+    "agg_friedman_test says SOME do. Exactness: each group's "
+    "within-SS numerator n*SS - S^2 stays EXACT in DECIMAL/HUGEINT and "
+    "floor-divides by n*1e6 down to an integer BELOW 2^53 before any "
+    "double conversion — integer-to-double casts above 2^53 are where "
+    "engines disagree (DuckDB truncates, Spark rounds to nearest; found "
+    "the hard way at sf0.1), so the hash surface never crosses one. "
+    "Mean differences, SE and |t| are fixed-order IEEE expressions over "
+    "those exact integers; the pair join is k^2-bounded (k=5). "
+    "Degenerate zero-variance inputs emit zero rows on both engines.",
+)
+def orders_tukey_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    g = g.persist()  # k-sized; feeds the total AND both pair sides
+    # exact integer micro-cents^2 within-SS per group: (n*SS - S^2) div
+    # (n*1e6) — never casts a >2^53 integer to double (engine-divergent)
+    ssw_m = F.expr(
+        "CAST((ss * n - CAST(s AS DECIMAL(38,0)) * s)"
+        " div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+    )
+    tot = g.select(ssw_m.alias("t6"), "n").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("t6").cast("bigint").alias("ssw_m"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b2 = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b2), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    mean_diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    ) / 100.0
+    se = (
+        F.sqrt(
+            (
+                F.col("ssw_m").cast("double")
+                * 1000000.0
+                / (F.col("nn") - F.col("k"))
+            )
+            * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        )
+        / 100.0
+    )
+    out = (
+        pairs.filter((F.col("nn") > F.col("k")) & (F.col("ssw_m") > 0))
+        .select(
+            "grp_a",
+            "grp_b",
+            "na",
+            "nb",
+            mean_diff.alias("mean_diff"),
+            se.alias("se_diff"),
+            (F.abs(mean_diff) / se).alias("t_stat"),
+        )
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    return release_on_gc(g, out)

@@ -248,6 +248,8 @@ _ALLOWED_NESTED_LOOP = {
     "events_burst_detection",     # 1-row day/event-total scalar broadcast crossJoin
     "orders_logrank_test",        # 1-row horizon + cohort-size broadcast crossJoins
     "agg_cohen_kappa",            # 1-row doubled-median scalar broadcast crossJoin
+    "agg_hellinger_distance",     # 1-row sample-size scalars broadcast crossJoin
+    "orders_tukey_pairwise",      # k^2-bounded (k=5) group-pair NLJ + 1-row scalars
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -643,3 +643,62 @@ def test_streaming_page_hinkley_matches_batch(spark):
             assert r["m_scaled"] == m
             assert r["ph_inc"] == m - mn and r["ph_dec"] == mx - m
         assert rows[-1]["m_scaled"] == 0
+
+
+def test_hellinger_matches_numpy(spark):
+    """BC and H must match the numpy sum-of-sqrt over the same bucketed
+    histograms, and satisfy 0 <= BC <= 1, H = sqrt(1-BC)."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_hellinger_distance,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+    v = (o["o_totalprice"] / 10000).round().astype("int64")
+    u = v[o["o_orderpriority"] == "1-URGENT"].value_counts()
+    l_ = v[o["o_orderpriority"] == "5-LOW"].value_counts()
+    grid = sorted(set(u.index) | set(l_.index))
+    bc_nn = sum(
+        int(round(1e9 * math.sqrt(float(u.get(x, 0)) * l_.get(x, 0))))
+        for x in grid
+    )
+    n1, n0 = int(u.sum()), int(l_.sum())
+    bc = bc_nn / 1e9 / math.sqrt(float(n1) * n0)
+    r = agg_hellinger_distance(spark, SF).collect()[0]
+    assert r["n_urgent"] == n1 and r["n_low"] == n0
+    assert r["bc_nn"] == bc_nn
+    assert abs(r["bhattacharyya_coef"] - bc) < 1e-12
+    assert 0.0 <= r["bhattacharyya_coef"] <= 1.0
+    assert abs(r["hellinger_dist"] - math.sqrt(1 - bc)) < 1e-12
+
+
+def test_tukey_pairwise_matches_anova_pooling(spark):
+    """Every pair's mean difference, pooled-MSE standard error and |t|
+    must match a pandas one-way ANOVA recomputation (micro-cents^2
+    within-SS quantization respected)."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        orders_tukey_pairwise,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    grp = o["o_orderpriority"]
+    stats = {}
+    ssw_m = 0
+    for gname, gvals in cents.groupby(grp):
+        n, s, ss = len(gvals), int(gvals.sum()), int((gvals.astype(object) ** 2).sum())
+        stats[gname] = (n, s)
+        ssw_m += (ss * n - s * s) // (n * 1000000)
+    nn, k = len(cents), len(stats)
+    mse = ssw_m * 1e6 / (nn - k)
+    rows = orders_tukey_pairwise(spark, SF).collect()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        na, sa = stats[r["grp_a"]]
+        nb, sb = stats[r["grp_b"]]
+        diff = (sa / na - sb / nb) / 100.0
+        se = math.sqrt(mse * (1 / na + 1 / nb)) / 100.0
+        assert r["na"] == na and r["nb"] == nb
+        assert abs(r["mean_diff"] - diff) < 1e-9
+        assert abs(r["se_diff"] - se) < 1e-9
+        assert abs(r["t_stat"] - abs(diff) / se) < 1e-9
