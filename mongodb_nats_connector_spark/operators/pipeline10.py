@@ -44,7 +44,14 @@ from mongodb_nats_connector_spark.sources.tables import table
 def _dsum(expr: F.Column) -> F.Column:
     """Exact order-independent sum for integer-valued terms whose total can
     exceed 2^63: DECIMAL(38,0) accumulation (the oracles' HUGEINT twin),
-    cast to DOUBLE once at the final scalar arithmetic."""
+    cast to DOUBLE once at the final scalar arithmetic.
+
+    HASH-SURFACE BOUND: the final integer->double cast is only bit-portable
+    while the total stays under 2^53 — above it DuckDB TRUNCATES
+    HUGEINT/DECIMAL->DOUBLE while Spark rounds to nearest (caught live in
+    orders_tukey_pairwise at sf0.1). For totals that can cross 2^53 at the
+    verified scale, keep the numerator exact and integer-`div` it below
+    2^53 first (the ssw_m recipe in orders_tukey_pairwise)."""
     return F.sum(expr.cast("decimal(38,0)")).cast("double")
 
 
