@@ -171,3 +171,75 @@ def test_int8_quantization_scale_invariant(v, c):
     _, q2 = _quantize([x * c for x in v])
     # float roundoff in x*c can flip an exact .5 boundary; allow only that
     assert sum(1 for a, b in zip(q1, q2) if a != b) <= len(v) // 8
+
+
+# --- doubled-midrank identity (the pipeline8-11 rank-statistic kernel) ---
+
+ints = st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=200)
+
+
+@given(ints)
+@settings(max_examples=200, deadline=None)
+def test_doubled_midrank_identity(values):
+    """mr2(v) = 2*count_below(v) + tie_count(v) + 1 must equal twice the
+    average (midrank) rank for EVERY value of EVERY multiset — the exact
+    integer identity the Mann-Whitney / Wilcoxon / Kruskal-Wallis /
+    Ansari-Bradley / ROC-AUC family rides instead of materializing
+    per-row ranks."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    below = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        mr2 = 2 * below + t + 1
+        # reference: average rank of the t copies in the sorted order is
+        # ((below+1) + (below+t)) / 2
+        assert mr2 == (below + 1) + (below + t)
+        below += t
+    assert below == len(values)
+
+
+@given(ints)
+@settings(max_examples=200, deadline=None)
+def test_doubled_midrank_sum_invariant(values):
+    """sum over the multiset of doubled midranks = n*(n+1) — the rank-sum
+    conservation every rank statistic's expectation terms rely on."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    below, total = 0, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        total += t * (2 * below + t + 1)
+        below += t
+    n = len(values)
+    assert total == n * (n + 1)
+
+
+@given(ints)
+@settings(max_examples=200, deadline=None)
+def test_ansari_doubled_score_bounds(values):
+    """Doubled Ansari scores s2 = min(mr2, 2(N+1)-mr2) are even-count
+    symmetric: they lie in [2, N+1] and the multiset sum is invariant
+    under reversing the sort order (both-ends symmetry)."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    n = len(values)
+    below = 0
+    fwd = []
+    for v in sorted(cnt):
+        t = cnt[v]
+        mr2 = 2 * below + t + 1
+        fwd.extend([min(mr2, 2 * (n + 1) - mr2)] * t)
+        below += t
+    below = 0
+    rev = []
+    for v in sorted(cnt, reverse=True):
+        t = cnt[v]
+        mr2 = 2 * below + t + 1
+        rev.extend([min(mr2, 2 * (n + 1) - mr2)] * t)
+        below += t
+    assert all(2 <= s <= n + 1 for s in fwd)
+    assert sorted(fwd) == sorted(rev)
