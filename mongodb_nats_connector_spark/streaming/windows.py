@@ -551,3 +551,73 @@ def page_hinkley_from_daily_state(state: DataFrame) -> DataFrame:
             "is_downshift_peak"
         ),
     )
+
+
+def burst_from_daily_state(state: DataFrame) -> DataFrame:
+    """STATELESS two-threshold burst projection over a (event_type, day, n,
+    s1) state table — the streaming closure of events_burst_detection's
+    hysteresis machine, per event type: enter the burst state when the
+    day's event count exceeds 51/50 of the type's mean daily rate, leave
+    below 49/50, hold otherwise; burst ids count entries. The sequential
+    state is the last-crossing LOCF identity (one last_value IGNORE NULLS
+    window), thresholds compare as cross-multiplied exact integers
+    (50*n*T vs k*Total — no rate division), and every emitted column is
+    an exact integer, date, string or bool, so stream and batch agree
+    bit-for-bit whenever their state tables agree. Shares
+    daily_moment_state_stream's replay-idempotent state with the CUSUM
+    and Page-Hinkley projections — one streamed table, three detectors;
+    every window PARTITIONS by event_type over the day-count-sized
+    relation."""
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    rate = 50 * F.col("n") * F.count(F.lit(1)).over(wt).cast("bigint")
+    total = F.sum("n").over(wt).cast("bigint")
+    crossed = state.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(rate > 51 * total, F.lit(1))
+        .when(rate < 49 * total, F.lit(0))
+        .alias("cross_dir"),
+    )
+    st = crossed.select(
+        "event_type",
+        "day",
+        "n",
+        F.coalesce(
+            F.last("cross_dir", ignorenulls=True).over(wcum), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("state"),
+    )
+    marked = st.select(
+        "event_type",
+        "day",
+        "n",
+        "state",
+        F.when(
+            (F.col("state") == 1)
+            & (F.coalesce(F.lag("state").over(wlag), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return marked.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        "state",
+        (F.col("is_start") == 1).alias("is_burst_start"),
+        F.when(F.col("state") == 1, F.sum("is_start").over(wcum))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("burst_id"),
+    )
