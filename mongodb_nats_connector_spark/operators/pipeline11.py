@@ -2416,3 +2416,404 @@ def orders_tukey_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_nats_connector_spark.plans.caching import release_on_gc
 
     return release_on_gc(g, out)
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — per-node triangle density of the trade graph
+# ---------------------------------------------------------------------------
+
+_UND_EDGES_SQL = """
+    dir_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS cnt
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM (
+        SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM dir_edges
+        UNION
+        SELECT greatest(src, dst), least(src, dst) FROM dir_edges
+      )
+    )"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_UND_EDGES_SQL},
+    deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1
+    ),
+    tri AS (
+      SELECT w1.a AS node, CAST(count(*) AS BIGINT) AS triangles
+      FROM adj w1
+      JOIN adj w2 ON w2.a = w1.a AND w2.b > w1.b
+      JOIN adj e ON e.a = w1.b AND e.b = w2.b
+      GROUP BY w1.a
+    ),
+    pn AS (
+      SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles
+      FROM deg d LEFT JOIN tri t ON t.node = d.node
+    ),
+    g AS (
+      SELECT CAST(sum(triangles) AS BIGINT) AS closed_x3,
+             CAST(sum(degree * (degree - 1)) AS BIGINT) AS wedges_x2
+      FROM pn
+    )
+    SELECT p.node, p.degree, p.triangles,
+           CASE WHEN p.degree > 1
+                THEN CAST(2 * p.triangles AS DOUBLE)
+                     / (CAST(p.degree AS DOUBLE) * (p.degree - 1))
+                ELSE 0.0 END AS clustering,
+           CAST(2 * g.closed_x3 AS DOUBLE) / g.wedges_x2 AS transitivity
+    FROM pn p CROSS JOIN g
+    WHERE g.wedges_x2 > 0
+    """,
+    doc="Local clustering coefficient per nation (2*triangles-through-node "
+    "/ deg*(deg-1)) plus the global transitivity ratio — how clique-like "
+    "each node's trade neighborhood is, the per-node refinement of "
+    "graph_triangle_count's single global number (and the standard "
+    "small-world diagnostic next to closeness/eccentricity). Triangles "
+    "count by the ordered wedge join (neighbors b < c of the same node, "
+    "closed by an edge lookup — every join a hash equi-join on the "
+    "nation-bounded symmetric adjacency; each triangle contributes "
+    "exactly once per member node, so sum(per-node triangles) = "
+    "3*global-triangles, checked in tests). Degrees, triangle counts "
+    "and wedge counts are exact BIGINTs; each coefficient is ONE "
+    "fixed-order IEEE division. Zero-wedge graphs emit zero rows; "
+    "degree-1 nodes emit an exact 0.0.",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+
+    de = trade_edges(spark, sf_dir)
+    fwd = de.select("src", "dst")
+    adj = (
+        fwd.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .unionAll(
+            fwd.select(
+                F.greatest("src", "dst").alias("a"),
+                F.least("src", "dst").alias("b"),
+            )
+        )
+        .distinct()
+    )
+    adj = adj.persist()  # nation-bounded; feeds degree, wedge AND closing
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    w1 = adj.select(F.col("a").alias("node"), F.col("b").alias("v"))
+    w2 = adj.select(F.col("a").alias("node2"), F.col("b").alias("w"))
+    closing = adj.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
+    tri = (
+        w1.join(
+            w2,
+            (F.col("node2") == F.col("node")) & (F.col("w") > F.col("v")),
+        )
+        .join(
+            closing,
+            (F.col("ea") == F.col("v")) & (F.col("eb") == F.col("w")),
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    pn = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+    )
+    pn = pn.persist()  # nation-sized; feeds the global ratio AND the output
+    g = pn.agg(
+        F.sum("triangles").cast("bigint").alias("closed_x3"),
+        F.sum(F.col("degree") * (F.col("degree") - 1))
+        .cast("bigint")
+        .alias("wedges_x2"),
+    )
+    out = (
+        pn.crossJoin(F.broadcast(g))
+        .filter(F.col("wedges_x2") > 0)
+        .select(
+            "node",
+            "degree",
+            "triangles",
+            F.when(
+                F.col("degree") > 1,
+                (2 * F.col("triangles")).cast("double")
+                / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+            (
+                (2 * F.col("closed_x3")).cast("double") / F.col("wedges_x2")
+            ).alias("transitivity"),
+        )
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    out = release_on_gc(adj, out)
+    return release_on_gc(pn, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_trimmed_mean — robust location: 10% trimmed + winsorized daily revenue
+# ---------------------------------------------------------------------------
+
+TRIM_PCT_NUM = 1  # trim fraction = 1/10 per tail
+TRIM_PCT_DEN = 10
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    rk AS (
+      SELECT rev_c,
+             CAST(row_number() OVER (ORDER BY rev_c, day) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    k AS (
+      SELECT n, (n * {TRIM_PCT_NUM}) // {TRIM_PCT_DEN} AS k FROM rk LIMIT 1
+    ),
+    mid AS (
+      SELECT CAST(sum(r.rev_c) AS BIGINT) AS mid_sum,
+             CAST(count(*) AS BIGINT) AS mid_n
+      FROM rk r, k WHERE r.rn > k.k AND r.rn <= k.n - k.k
+    ),
+    fences AS (
+      SELECT CAST(min(CASE WHEN r.rn = k.k + 1 THEN r.rev_c END) AS BIGINT)
+               AS low_c,
+             CAST(min(CASE WHEN r.rn = k.n - k.k THEN r.rev_c END) AS BIGINT)
+               AS high_c
+      FROM rk r, k
+    )
+    SELECT k.n AS n_days, k.k AS n_trimmed_per_tail,
+           m.mid_sum, f.low_c AS lower_fence_c, f.high_c AS upper_fence_c,
+           CAST(m.mid_sum AS DOUBLE) / m.mid_n / 100.0 AS trimmed_mean,
+           CAST(m.mid_sum + k.k * f.low_c + k.k * f.high_c AS DOUBLE)
+             / k.n / 100.0 AS winsorized_mean
+    FROM k CROSS JOIN mid m CROSS JOIN fences f
+    WHERE m.mid_n > 0
+    """,
+    doc=f"Robust location of daily revenue: the "
+    f"{TRIM_PCT_NUM * 100 // TRIM_PCT_DEN}%-per-tail trimmed mean (drop "
+    "the k lowest and k highest days) and the winsorized mean (clamp "
+    "them to the fence values instead) — the efficiency middle ground "
+    "between the mean (0% breakdown) and agg_hodges_lehmann/median "
+    "(robust but less efficient at clean data); the pair also exposes "
+    "the fences themselves, the same quantities a winsorizing feature "
+    "pipeline clips training data with. Ranks come from one window over "
+    "the calendar-bounded daily series with the unique (rev_c, day) tie "
+    "order; k = n div 10 is exact integer arithmetic; both means are "
+    "exact integer-cent sums (winsorized = mid_sum + k*low + k*high) "
+    "with ONE final IEEE division each — nothing above 2^53, nothing "
+    "float until the reported dollars.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    wrk = Window.orderBy("rev_c", "day")
+    rk = daily.select(
+        "rev_c",
+        F.row_number().over(wrk).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias(
+            "n"
+        ),
+    )
+    rk = rk.persist()  # calendar-bounded; feeds mid, fences AND k
+    kk = F.expr(f"(n * {TRIM_PCT_NUM}) div {TRIM_PCT_DEN}")
+    k = rk.select("n", kk.alias("k")).limit(1)
+    mid = (
+        rk.crossJoin(F.broadcast(k.select(F.col("k").alias("k_"))))
+        .filter((F.col("rn") > F.col("k_")) & (F.col("rn") <= F.col("n") - F.col("k_")))
+        .agg(
+            F.sum("rev_c").cast("bigint").alias("mid_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("mid_n"),
+        )
+    )
+    fences = (
+        rk.crossJoin(F.broadcast(k.select(F.col("k").alias("kf"))))
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("kf") + 1, F.col("rev_c"))
+            )
+            .cast("bigint")
+            .alias("low_c"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.col("n") - F.col("kf"), F.col("rev_c")
+                )
+            )
+            .cast("bigint")
+            .alias("high_c"),
+        )
+    )
+    out = (
+        k.crossJoin(F.broadcast(mid))
+        .crossJoin(F.broadcast(fences))
+        .filter(F.col("mid_n") > 0)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("n_trimmed_per_tail"),
+            "mid_sum",
+            F.col("low_c").alias("lower_fence_c"),
+            F.col("high_c").alias("upper_fence_c"),
+            (
+                F.col("mid_sum").cast("double") / F.col("mid_n") / 100.0
+            ).alias("trimmed_mean"),
+            (
+                (
+                    F.col("mid_sum")
+                    + F.col("k") * F.col("low_c")
+                    + F.col("k") * F.col("high_c")
+                ).cast("double")
+                / F.col("n")
+                / 100.0
+            ).alias("winsorized_mean"),
+        )
+    )
+    return persist_until_collected(rk, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_impurity_split — CART-criterion split scoring (info-gain twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_impurity_split",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp
+      FROM cells
+    ),
+    pre AS (
+      SELECT q,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(p) OVER w AS BIGINT) AS pl
+      FROM cells
+      WINDOW w AS (ORDER BY q ROWS UNBOUNDED PRECEDING)
+    ),
+    ent AS (
+      SELECT pre.q, pre.nl, pre.pl, tot.nn, tot.pp,
+             tot.nn - pre.nl AS nr, tot.pp - pre.pl AS pr
+      FROM pre CROSS JOIN tot WHERE pre.nl < tot.nn
+    ),
+    scored AS (
+      SELECT q, nl, nr,
+             CAST(round(1000000000.0 * (
+               2.0 * pp * (nn - pp) / (CAST(nn AS DOUBLE) * nn)
+               - (2.0 * pl * (nl - pl) / (CAST(nl AS DOUBLE) * nl))
+                 * (CAST(nl AS DOUBLE) / nn)
+               - (2.0 * pr * (nr - pr) / (CAST(nr AS DOUBLE) * nr))
+                 * (CAST(nr AS DOUBLE) / nn))) AS BIGINT) AS gain_nn
+      FROM ent
+    )
+    SELECT q AS split_at, nl AS n_left, nr AS n_right, gain_nn,
+           CAST(gain_nn AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+             AS gini_gain
+    FROM scored
+    """,
+    doc="CART-criterion split scoring: Gini-impurity decrease of every "
+    "'quantity <= q' threshold for predicting returns — the criterion "
+    "twin of agg_info_gain_split (ID3/C4.5 uses entropy, CART/sklearn "
+    "default to Gini; scoring both over the same histogram is how a "
+    "criterion-sensitivity check is actually run). Same histogram-trick "
+    "plan: one map-combined domain rollup, prefix sums over the "
+    "~50-value bounded grid — but UNLIKE the entropy form this one has "
+    "NO logarithm anywhere: binary Gini 2p(1-p) is a pure rational in "
+    "the exact integer counts (2*p*(n-p)/n^2), so the whole gain is one "
+    "fixed-order IEEE expression with no libm call at all, "
+    "nano-quantized per threshold. Empty children contribute zero "
+    "impurity through the n>0 guard implicit in nl<nn and pr<=nr.",
+)
+def agg_gini_impurity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("p").cast("bigint").alias("pp"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        "q",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("p").over(w).cast("bigint").alias("pl"),
+    )
+    ent = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nn"))
+        .select(
+            "q",
+            "nl",
+            "pl",
+            "nn",
+            "pp",
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+        )
+    )
+
+    def _gini2(p, n):  # 2 * p/n * (1 - p/n), written as 2p(n-p)/n^2
+        return (
+            2.0
+            * F.col(p)
+            * (F.col(n) - F.col(p))
+            / (F.col(n).cast("double") * F.col(n))
+        )
+
+    gain = (
+        _gini2("pp", "nn")
+        - _gini2("pl", "nl") * (F.col("nl").cast("double") / F.col("nn"))
+        - _gini2("pr", "nr") * (F.col("nr").cast("double") / F.col("nn"))
+    )
+    gain_nn = F.round(1000000000.0 * gain).cast("bigint")
+    out = ent.select(
+        F.col("q").alias("split_at"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        gain_nn.alias("gain_nn"),
+        (gain_nn.cast("double") / F.lit(1000000000).cast("double")).alias(
+            "gini_gain"
+        ),
+    )
+    return persist_until_collected(cells, out)

@@ -250,6 +250,9 @@ _ALLOWED_NESTED_LOOP = {
     "agg_cohen_kappa",            # 1-row doubled-median scalar broadcast crossJoin
     "agg_hellinger_distance",     # 1-row sample-size scalars broadcast crossJoin
     "orders_tukey_pairwise",      # k^2-bounded (k=5) group-pair NLJ + 1-row scalars
+    "graph_clustering_coefficient",  # 1-row global-ratio scalar broadcast crossJoin
+    "agg_trimmed_mean",           # 1-row k/fence/mid scalars broadcast crossJoins
+    "agg_gini_impurity_split",    # 1-row total scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -349,6 +352,9 @@ _GLOBAL_WINDOWS = {
     "events_burst_detection": (3, "bounded: daily series (LOCF state, lag, "
                                   "running burst count)"),
     "orders_logrank_test": (1, "bounded: distinct-duration risk sets"),
+    "agg_trimmed_mean": (2, "bounded: daily series rank + total"),
+    "agg_gini_impurity_split": (1, "bounded: ~50-value quantity-domain "
+                                   "prefix"),
 }
 
 

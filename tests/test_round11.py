@@ -819,3 +819,122 @@ def test_streaming_burst_matches_batch_and_replay(spark):
             assert r["state"] == state
             assert r["is_burst_start"] == start
             assert r["burst_id"] == (bid if state == 1 else 0)
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    """Per-node triangles, coefficients and transitivity must match a
+    brute-force adjacency-set recomputation; sum of per-node triangles
+    must equal 3x the global triangle count."""
+    from itertools import combinations
+
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        graph_clustering_coefficient,
+    )
+
+    de = trade_edges(spark, SF).toPandas()
+    adj = {}
+    for r in de.itertuples():
+        a, b = int(r.src), int(r.dst)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        r["node"]: r for r in graph_clustering_coefficient(spark, SF).collect()
+    }
+    assert set(got) == set(adj)
+    tri_total = 0
+    wedges = 0
+    for node, nbrs in adj.items():
+        tri = sum(1 for v, w in combinations(sorted(nbrs), 2) if w in adj[v])
+        d = len(nbrs)
+        tri_total += tri
+        wedges += d * (d - 1)
+        r = got[node]
+        assert r["degree"] == d
+        assert r["triangles"] == tri
+        expected_c = 2 * tri / (d * (d - 1)) if d > 1 else 0.0
+        assert abs(r["clustering"] - expected_c) < 1e-15
+        assert 0.0 <= r["clustering"] <= 1.0
+    any_row = next(iter(got.values()))
+    assert abs(any_row["transitivity"] - 2 * tri_total / wedges) < 1e-15
+    # each triangle is counted once per member node
+    assert tri_total % 3 == 0
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    """Trimmed/winsorized means and fences must match a numpy sort-based
+    recomputation, and bracket the robustness hierarchy."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_trimmed_mean,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()]
+    daily = np.sort(
+        (o["o_totalprice"] * 100).round().astype("int64")
+        .groupby(o["o_orderdate"])
+        .sum()
+        .to_numpy()
+    )
+    n = len(daily)
+    k = n // 10
+    mid = daily[k : n - k]
+    r = agg_trimmed_mean(spark, SF).collect()[0]
+    assert r["n_days"] == n and r["n_trimmed_per_tail"] == k
+    assert r["mid_sum"] == int(mid.sum())
+    assert r["lower_fence_c"] == daily[k]
+    assert r["upper_fence_c"] == daily[n - k - 1]
+    assert abs(r["trimmed_mean"] - mid.mean() / 100.0) < 1e-9
+    wins = np.clip(daily, daily[k], daily[n - k - 1])
+    assert abs(r["winsorized_mean"] - wins.mean() / 100.0) < 1e-9
+    # winsorized uses clamped tails, trimmed drops them — both finite
+    assert daily.min() / 100.0 <= r["trimmed_mean"] <= daily.max() / 100.0
+
+
+def test_gini_split_matches_entropy_ordering_and_formula(spark):
+    """Gini gains must match the direct rational formula per threshold, and
+    the best Gini threshold must score positively on the entropy criterion
+    too (criterion cross-check)."""
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        agg_gini_impurity_split,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        agg_info_gain_split,
+    )
+
+    li = _li(spark)
+    q = li["l_quantity"].round().astype("int64")
+    pos = (li["l_returnflag"] == "R").astype(int)
+    cells = (
+        pd.DataFrame({"q": q, "p": pos})
+        .groupby("q")
+        .agg(n=("p", "size"), p=("p", "sum"))
+        .sort_index()
+    )
+    nn, pp = int(cells["n"].sum()), int(cells["p"].sum())
+
+    def gini2(p, n):
+        return 2.0 * p * (n - p) / (float(n) * n)
+
+    rows = {r["split_at"]: r for r in agg_gini_impurity_split(spark, SF).collect()}
+    nl = pl = 0
+    for qv, row in cells.iterrows():
+        nl += int(row["n"])
+        pl += int(row["p"])
+        if nl >= nn:
+            assert qv not in rows
+            continue
+        nr, pr = nn - nl, pp - pl
+        gain = (
+            gini2(pp, nn)
+            - gini2(pl, nl) * (float(nl) / nn)
+            - gini2(pr, nr) * (float(nr) / nn)
+        )
+        r = rows[qv]
+        assert r["n_left"] == nl and r["n_right"] == nr
+        assert r["gain_nn"] == int(round(1e9 * gain))
+    best_gini = max(rows.values(), key=lambda r: (r["gain_nn"], -r["split_at"]))
+    ig = {r["split_at"]: r for r in agg_info_gain_split(spark, SF).collect()}
+    assert ig[best_gini["split_at"]]["gain_nn"] > 0
