@@ -253,6 +253,8 @@ _ALLOWED_NESTED_LOOP = {
     "graph_clustering_coefficient",  # 1-row global-ratio scalar broadcast crossJoin
     "agg_trimmed_mean",           # 1-row k/fence/mid scalars broadcast crossJoins
     "agg_gini_impurity_split",    # 1-row total scalar broadcast crossJoin
+    # pipeline12 (round-11 bank)
+    "agg_mann_kendall",           # calendar-bounded sign-pair NLJ (by design) + 1-row scalars
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -355,6 +357,7 @@ _GLOBAL_WINDOWS = {
     "agg_trimmed_mean": (2, "bounded: daily series rank + total"),
     "agg_gini_impurity_split": (1, "bounded: ~50-value quantity-domain "
                                    "prefix"),
+    "orders_theil_u": (1, "bounded: monthly series lag window"),
 }
 
 

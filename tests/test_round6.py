@@ -358,6 +358,8 @@ def test_no_new_bare_persists():
         # adjacency + per-node relations, and the trimmed-mean ranked
         # day series; all released by release_on_gc /
         # persist_until_collected on the returned result
+        "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
+        # both sign-pair sides; released by release_on_gc)
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
