@@ -413,3 +413,79 @@ def orders_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_demands").desc(), "partkey")
         .limit(CROSTON_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_flesch — readability scoring as a curation signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             AS flesch_score,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59 AS fk_grade
+    FROM f
+    WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease and Flesch-Kincaid grade level per document — "
+    "the readability axis of the curation stack next to text_quality's "
+    "Gopher-style gates (readability filters are standard in web-corpus "
+    "pipelines for separating prose from boilerplate/code, and the FK "
+    "grade is a routing feature for difficulty-staged training mixes). "
+    "Words from the whitespace split, sentences from terminal-punctuation "
+    "counts with the whole-doc-is-one-sentence fallback (greatest(1, .)), "
+    "syllables by the vowel-group heuristic (one regexp_extract_all per "
+    "doc — the character-class-only pattern both regex dialects agree "
+    "on, the text_pii_scrub contract). All three counts are exact "
+    "integers; each score is one fixed-order IEEE expression (the "
+    "constants 206.835/1.015/84.6/0.39/11.8/15.59 parse to identical "
+    "doubles on both engines). Pure map-side projection — zero shuffles, "
+    "trivially scales.",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return f.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (206.835 - 1.015 * wps - 84.6 * spw).alias("flesch_score"),
+        (0.39 * wps + 11.8 * spw - 15.59).alias("fk_grade"),
+    )

@@ -123,3 +123,34 @@ def test_croston_matches_integer_fold_replay(spark):
     # the report picks the highest-traffic parts
     kth = sorted(counts.to_numpy())[-len(rows)]
     assert all(r["n_demands"] >= kth for r in rows)
+
+
+def test_flesch_matches_direct_formula(spark):
+    """Per-doc counts and both readability scores must match a direct
+    Python recomputation with the same vowel-group heuristic."""
+    import re
+
+    from mongodb_nats_connector_spark.operators.pipeline12 import (
+        text_readability_flesch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    got = {
+        r["doc_id"]: r for r in text_readability_flesch(spark, SF).collect()
+    }
+    assert set(got) == set(docs["doc_id"])
+    for _, d in docs.iterrows():
+        text = d["text"]
+        w = len(text.split(" "))
+        s = max(1, len(re.findall(r"[.!?]", text)))
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        r = got[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            w, s, syl,
+        )
+        assert abs(
+            r["flesch_score"] - (206.835 - 1.015 * (w / s) - 84.6 * (syl / w))
+        ) < 1e-9
+        assert abs(
+            r["fk_grade"] - (0.39 * (w / s) + 11.8 * (syl / w) - 15.59)
+        ) < 1e-9
