@@ -2755,7 +2755,7 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     haz AS (
       SELECT dur, d, n_risk,
-             CAST(sum(CAST(round(1000000000.0 * d / n_risk) AS BIGINT))
+             CAST(sum((2000000000 * d + n_risk) // (2 * n_risk))
                   OVER (ORDER BY dur
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS h_nn
@@ -2770,12 +2770,14 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "right-censoring at the horizon) — the estimator-of-choice when the "
     "HAZARD, not the survival curve, is the readout (the "
     "low-risk-set-robust sibling of orders_survival_km's product-limit). "
-    "Per-duration increments d/n quantize to integer nano-units BEFORE "
-    "the cumulative sum, so the running hazard is an exact-integer prefix "
-    "sum emitted both as raw nano-units and via ONE IEEE division "
-    "(correctly-rounded division of identical integers is bit-identical "
-    "across engines; the previous round(exp(-H),6) display columns "
-    "diverged by a libm ulp + round-boundary flip on foreign platforms). "
+    "Per-duration increments d/n quantize to integer nano-units with "
+    "ALL-INTEGER half-away division (2e9*d + n) div (2n) — no float "
+    "multiply/divide/round anywhere before the single final h_nn/1e9 "
+    "display division, which is one correctly-rounded IEEE op on "
+    "identical integers and therefore bit-identical across engines. "
+    "(Two prior variants each left one float round() on the hash "
+    "surface and diverged on the driver platform while probing "
+    "bit-exact locally.) "
     "Same plan shape as KM: one per-customer window for first/second "
     "orders, risk sets as a cumulative window over the duration-grouped "
     "relation — everything after the first shuffle is "
@@ -2832,7 +2834,9 @@ def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "n_risk",
         F.sum(
-            F.round(1000000000.0 * F.col("d") / F.col("n_risk")).cast("bigint")
+            F.expr(
+                "(CAST(2000000000 AS BIGINT) * d + n_risk) div (2 * n_risk)"
+            )
         )
         .over(wcum)
         .cast("bigint")
