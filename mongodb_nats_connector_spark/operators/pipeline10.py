@@ -1602,7 +1602,7 @@ def graph_eccentricity_diameter(
     ),
     s AS (
       SELECT CAST(sum(t) AS BIGINT) AS n,
-             CAST(sum(tp * mr2) AS BIGINT) AS w2,
+             CAST(sum(CAST(tp AS HUGEINT) * mr2) AS BIGINT) AS w2,
              CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties3
       FROM r
     )
@@ -1680,11 +1680,12 @@ def events_wilcoxon_signed_rank(
     )
     s = r.agg(
         F.sum("t").cast("bigint").alias("n"),
-        F.sum(F.col("tp") * F.col("mr2")).cast("bigint").alias("w2"),
+        F.sum(F.col("tp").cast("decimal(38,0)") * F.col("mr2"))
+        .cast("bigint")
+        .alias("w2"),
         F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
-                "decimal(38,0)"
-            )
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         )
         .cast("bigint")
         .alias("ties3"),

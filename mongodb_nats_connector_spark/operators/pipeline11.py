@@ -134,7 +134,10 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n0").cast("bigint").alias("q"),
     )
     u = pre.agg(
-        _dsum(F.col("n1") * (2 * F.col("cum0") + F.col("n0"))).alias("u_x2")
+        _dsum(
+            F.col("n1").cast("decimal(38,0)")
+            * (2 * F.col("cum0") + F.col("n0"))
+        ).alias("u_x2")
     )
     auc = F.col("u_x2") / (2.0 * F.col("p") * F.col("q"))
     out = (
@@ -248,16 +251,15 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(
             F.sum("c").cast("bigint").alias("n_g"),
-            F.sum((F.col("c") * F.col("mr2")).cast("decimal(38,0)"))
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("mr2"))
             .cast("bigint")
             .alias("t2"),
         )
     )
     ties3 = colv.agg(
         F.sum(
-            (F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")).cast(
-                "decimal(38,0)"
-            )
+            F.col("tv").cast("decimal(38,0)") * F.col("tv") * F.col("tv")
+            - F.col("tv")
         )
         .cast("decimal(38,0)")
         .alias("ties3")
@@ -426,10 +428,10 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sc.agg(
         F.min("n").cast("bigint").alias("n"),
         F.min("n1").cast("bigint").alias("n1"),
-        F.sum((F.col("c1") * F.col("s2")).cast("decimal(38,0)"))
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("s2"))
         .cast("bigint")
         .alias("ab_x2"),
-        F.sum((F.col("tv") * F.col("s2")).cast("decimal(38,0)"))
+        F.sum(F.col("tv").cast("decimal(38,0)") * F.col("s2"))
         .cast("bigint")
         .alias("a1"),
         # a2 ~ N^3/3 crosses 2^53 at sf0.1 — stays DECIMAL, never a double
@@ -502,7 +504,8 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
     ),
     terms AS (
-      SELECT CAST(sum(CAST(abs(c.cum1 * t.n0 - c.cum0 * t.n1) AS HUGEINT)
+      SELECT CAST(sum(abs(CAST(c.cum1 AS HUGEINT) * t.n0
+                          - CAST(c.cum0 AS HUGEINT) * t.n1)
                       * (c.v_next - c.v)) AS BIGINT) AS w1_num
       FROM cum c CROSS JOIN tot t
       WHERE c.v_next IS NOT NULL
@@ -558,13 +561,11 @@ def orders_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v_next").isNotNull())
         .agg(
             F.sum(
-                (
-                    F.abs(
-                        F.col("cum1") * F.col("n0")
-                        - F.col("cum0") * F.col("n1")
-                    )
-                    * (F.col("v_next") - F.col("v"))
-                ).cast("decimal(38,0)")
+                F.abs(
+                    F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+                    - F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+                )
+                * (F.col("v_next") - F.col("v"))
             )
             .cast("bigint")
             .alias("w1_num")
@@ -1371,8 +1372,10 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cnt.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
-        _dsum(F.col("c") * (F.col("c") - 1)).alias("c2m"),
-        _dsum(F.col("c") * F.col("c")).alias("c2"),
+        _dsum(
+            F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
+        ).alias("c2m"),
+        _dsum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
     )
     nd = F.col("n").cast("double")
     simpson = F.col("c2m") / (nd * (F.col("n") - 1))
@@ -1529,7 +1532,10 @@ def _pq_train_subspace(se) -> list[tuple[int, list[float]]]:
         per_dim = (
             assigned.select("cid", F.posexplode("sv").alias("idx", "val"))
             .groupBy("cid", "idx")
-            .agg(F.avg("val").alias("a"))
+            # round(avg, 6) anchors each coordinate cross-engine: an
+            # unrounded distributed avg depends on partial-agg order, and
+            # a last-ulp drift could flip an argmin assignment downstream
+            .agg(F.round(F.avg("val"), 6).alias("a"))
             .collect()  # bounded: K x SUBDIM rows
         )
         by: dict[int, dict[int, float]] = {}
@@ -1570,7 +1576,8 @@ def _pq_sub_ctes(m: int) -> str:
     ),
     c{m}1 AS MATERIALIZED (
       SELECT cid, list(avg_val ORDER BY idx) AS cv FROM (
-        SELECT cid, idx, avg(val) AS avg_val FROM x{m}1 GROUP BY cid, idx)
+        SELECT cid, idx, round(avg(val), 6) AS avg_val
+        FROM x{m}1 GROUP BY cid, idx)
       GROUP BY cid
     ),
     a{m}2 AS MATERIALIZED (

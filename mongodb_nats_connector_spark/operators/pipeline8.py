@@ -1036,7 +1036,7 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS n_uniq
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
       SELECT doc_id,
@@ -1069,7 +1069,12 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window formulation).",
 )
 def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # shared NULL-text guard on BOTH engines: two_pass_global_rank drops
+    # NULL rank keys while the oracle's row_number() would keep them, so
+    # a NULL text row must never reach the rank inputs on either side
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     words = F.split("text", " ")
     sig = docs.select(
         "doc_id",
