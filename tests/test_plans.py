@@ -358,6 +358,9 @@ _GLOBAL_WINDOWS = {
     "agg_gini_impurity_split": (1, "bounded: ~50-value quantity-domain "
                                    "prefix"),
     "orders_theil_u": (1, "bounded: monthly series lag window"),
+    "agg_hodges_lehmann": (1, "bounded: n_buckets offset window "
+                              "(two-pass order-statistic selection over "
+                              "the calendar-bounded Walsh-value domain)"),
 }
 
 

@@ -349,15 +349,17 @@ def test_no_new_bare_persists():
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
-        "operators/pipeline11.py": 11,  # cochran-q presence matrix,
+        "operators/pipeline11.py": 12,  # cochran-q presence matrix,
         # friedman month x priority cells + k-sized rank sums,
-        # hodges-lehmann day series, harmonic-centrality distance
-        # relation, PQ codebook + ANN-PQ embedding relations (cached
-        # BEFORE their bounded k-means training collects), the tukey
-        # k-sized group-stat relation, the clustering-coefficient
-        # adjacency + per-node relations, and the trimmed-mean ranked
-        # day series; all released by release_on_gc /
-        # persist_until_collected on the returned result
+        # hodges-lehmann day series + its days^2-bounded Walsh-value
+        # groups (cached BEFORE the two-pass selection's boundary
+        # sketch), harmonic-centrality distance relation, PQ codebook +
+        # ANN-PQ embedding relations (cached BEFORE their bounded
+        # k-means training collects), the tukey k-sized group-stat
+        # relation, the clustering-coefficient adjacency + per-node
+        # relations, and the trimmed-mean ranked day series; all
+        # released by release_on_gc / persist_until_collected on the
+        # returned result
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
