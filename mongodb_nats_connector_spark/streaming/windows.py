@@ -553,6 +553,74 @@ def page_hinkley_from_daily_state(state: DataFrame) -> DataFrame:
     )
 
 
+def pettitt_from_daily_state(state: DataFrame) -> DataFrame:
+    """STATELESS Pettitt changepoint projection over a (event_type, day,
+    n, s1) state table — the streaming closure of the batch
+    events_pettitt_changepoint, and the last member of the daily-moment
+    detector family (CUSUM, Page-Hinkley, burst) to gain a streaming
+    twin; one streamed state table now feeds all four. Per event type the
+    Pettitt statistic U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j) is
+    computed WITHOUT materializing pairs via the midrank identity
+    U_t = (sum_{i<=t} mr2_i) - t*(n+1), where mr2 = 2*midrank =
+    2*cnt_less + cnt_equal + 1 (sum over all j of sgn(x_i - x_j) equals
+    mr2_i - (n+1) exactly, ties contributing zero; within-prefix pairs
+    cancel by antisymmetry). Doubled midranks keep every quantity an
+    exact integer: mr2 from one rank() plus one per-value count window,
+    U from one cumulative sum — all PARTITIONED by event_type over the
+    day-count-sized relation, never event-sized. The changepoint is the
+    argmax-|U| day (earliest wins ties); U_n == 0 by construction is the
+    built-in self-check. Every emitted column is an exact integer, date,
+    string or bool, so stream and batch agree bit-for-bit whenever their
+    state tables agree (which the replay-idempotent dedup guarantees)."""
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    wval = Window.partitionBy("event_type").orderBy("s1")
+    weq = Window.partitionBy("event_type", "s1")
+    wday = Window.partitionBy("event_type").orderBy("day")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = state.select(
+        "event_type",
+        "day",
+        F.col("s1").alias("value_x10k"),
+        (
+            2 * F.rank().over(wval)
+            + F.count(F.lit(1)).over(weq)
+            - 1
+        )
+        .cast("bigint")
+        .alias("mr2"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n_days"),
+    )
+    u = ranked.select(
+        "event_type",
+        "day",
+        "value_x10k",
+        "mr2",
+        "n_days",
+        (
+            F.sum("mr2").over(wcum)
+            - F.row_number().over(wday).cast("bigint")
+            * (F.col("n_days") + 1)
+        )
+        .cast("bigint")
+        .alias("u_stat"),
+    )
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u_stat")).desc(), F.asc("day")
+    )
+    return u.withColumn(
+        "is_changepoint", F.row_number().over(wcp) == 1
+    ).select(
+        "event_type",
+        "day",
+        "value_x10k",
+        "mr2",
+        "u_stat",
+        "is_changepoint",
+    )
+
+
 def burst_from_daily_state(state: DataFrame) -> DataFrame:
     """STATELESS two-threshold burst projection over a (event_type, day, n,
     s1) state table — the streaming closure of events_burst_detection's
