@@ -658,3 +658,602 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("page_z"),
     )
     return release_on_gc(m, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_youden_threshold — optimal operating point on the ROC curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_youden_threshold",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice / 1000) AS BIGINT) AS s,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS n1,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n0
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS p, CAST(sum(n0) AS BIGINT) AS q
+      FROM cells
+    ),
+    pre AS (
+      SELECT c.s,
+             t.p - CAST(coalesce(sum(c.n1) OVER w, 0) AS BIGINT) AS tp,
+             t.q - CAST(coalesce(sum(c.n0) OVER w, 0) AS BIGINT) AS fp,
+             t.p, t.q
+      FROM cells c CROSS JOIN tot t
+      WINDOW w AS (ORDER BY c.s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT s, tp, fp, p, q,
+             CAST(q AS HUGEINT) * tp - CAST(p AS HUGEINT) * fp AS j_scaled
+      FROM pre
+    )
+    SELECT s AS threshold_bucket, tp AS true_pos, fp AS false_pos,
+           p - tp AS false_neg, q - fp AS true_neg,
+           CAST(j_scaled AS BIGINT) AS j_scaled,
+           CAST(tp AS DOUBLE) / p AS tpr,
+           CAST(fp AS DOUBLE) / q AS fpr,
+           CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / q AS youden_j
+    FROM scored
+    WHERE p > 0 AND q > 0
+    ORDER BY j_scaled DESC, s ASC
+    LIMIT 1
+    """,
+    doc="Youden's J optimal operating point on agg_roc_auc's curve: the "
+    "price threshold that maximizes TPR - FPR for predicting returns — "
+    "AUC says how good the ranking is, Youden says WHERE to cut it "
+    "(the standard threshold-choice rule when false positives and false "
+    "negatives cost the same). The classifier 'predict positive when "
+    "score >= threshold' is evaluated at every bucket of the ~105-value "
+    "score DOMAIN: tp/fp come from the exclusive below-prefix subtracted "
+    "from broadcast totals, and the argmax runs on the exact integer "
+    "J_scaled = Q*tp - P*fp (equal to P*Q*J, so the float division "
+    "never decides the winner; ties break to the lowest threshold via "
+    "the secondary sort). TPR/FPR/J are one IEEE division each on the "
+    "winning row only. One map-combined rollup, one bounded prefix "
+    "window, TakeOrdered(1).",
+)
+def agg_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("s"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n0"),
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("bigint").alias("p"),
+        F.sum("n0").cast("bigint").alias("q"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cells.crossJoin(F.broadcast(tot)).select(
+        "s",
+        (F.col("p") - F.coalesce(F.sum("n1").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("tp"),
+        (F.col("q") - F.coalesce(F.sum("n0").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("fp"),
+        "p",
+        "q",
+    )
+    scored = pre.select(
+        "s",
+        "tp",
+        "fp",
+        "p",
+        "q",
+        F.expr(
+            "CAST(CAST(q AS DECIMAL(38,0)) * tp"
+            " - CAST(p AS DECIMAL(38,0)) * fp AS BIGINT)"
+        ).alias("j_scaled"),
+    )
+    return (
+        scored.filter((F.col("p") > 0) & (F.col("q") > 0))
+        .select(
+            F.col("s").alias("threshold_bucket"),
+            F.col("tp").alias("true_pos"),
+            F.col("fp").alias("false_pos"),
+            (F.col("p") - F.col("tp")).alias("false_neg"),
+            (F.col("q") - F.col("fp")).alias("true_neg"),
+            "j_scaled",
+            (F.col("tp").cast("double") / F.col("p")).alias("tpr"),
+            (F.col("fp").cast("double") / F.col("q")).alias("fpr"),
+            (
+                F.col("tp").cast("double") / F.col("p")
+                - F.col("fp").cast("double") / F.col("q")
+            ).alias("youden_j"),
+        )
+        .orderBy(F.col("j_scaled").desc(), F.col("threshold_bucket").asc())
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_decile_lift — decile lift/gains table for a value-based targeting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_decile_lift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey,
+             CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                  AS BIGINT) AS resp
+      FROM orders
+    ),
+    tiled AS (
+      SELECT resp,
+             ntile(10) OVER (ORDER BY cents DESC, o_orderkey) AS decile
+      FROM b
+    ),
+    d AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(resp) AS BIGINT) AS r_d
+      FROM tiled GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n_d) AS BIGINT) AS n, CAST(sum(r_d) AS BIGINT) AS r
+      FROM d
+    ),
+    c AS (
+      SELECT d.decile, d.n_d, d.r_d, t.n, t.r,
+             CAST(sum(d.r_d) OVER (ORDER BY d.decile) AS BIGINT) AS cum_r,
+             CAST(sum(d.n_d) OVER (ORDER BY d.decile) AS BIGINT) AS cum_n
+      FROM d CROSS JOIN t
+    )
+    SELECT decile, n_d, r_d,
+           CAST(CAST(r_d AS HUGEINT) * n * 1000000000
+                // (CAST(n_d AS HUGEINT) * r) AS BIGINT) AS lift_ppb,
+           CAST(CAST(r_d AS HUGEINT) * n * 1000000000
+                // (CAST(n_d AS HUGEINT) * r) AS BIGINT) / 1000000000.0
+             AS lift,
+           CAST(CAST(cum_r AS HUGEINT) * 1000000000 // r AS BIGINT)
+             AS cum_gain_ppb,
+           CAST(CAST(cum_r AS HUGEINT) * n * 1000000000
+                // (CAST(cum_n AS HUGEINT) * r) AS BIGINT) AS cum_lift_ppb
+    FROM c
+    WHERE r > 0
+    ORDER BY decile
+    """,
+    doc="Decile lift/gains table: rank orders by total price (highest "
+    "first), cut into 10 equal tiles, and measure how concentrated "
+    "urgent-priority orders are in the top tiles — the model-evaluation "
+    "table every targeting/propensity pipeline prints (lift(d) = "
+    "response rate in decile d over base rate; cumulative gain(d) = "
+    "share of all responders captured by deciles 1..d). Deciles come "
+    "from plans/ranking.two_pass_global_rank + ntile_from_rank — the "
+    "EXACT global rank over (cents DESC, o_orderkey) built from "
+    "range-bucket counts plus per-bucket row_numbers, so no "
+    "data-proportional single-partition window exists anywhere in the "
+    "plan, and the remainder-first tile allocation reproduces SQL "
+    "ntile(10) bit-for-bit (the customer_ltv_deciles contract). Lift "
+    "and gain ship as exact ppb integers — (r_d*N*1e9) div (n_d*R) "
+    "with every operand provably non-negative — plus one-division "
+    "display twins; the 10-row decile relation is the only window "
+    "input. Scale path: the rank is two-pass range-partitioned; "
+    "everything downstream is decile-cardinality-sized.",
+)
+def orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.plans.ranking import (
+        ntile_from_rank,
+        two_pass_global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("resp"),
+    )
+    o = o.persist()  # boundary sketch in two_pass runs at construction time
+    ranked = two_pass_global_rank(
+        o, "cents", "o_orderkey", descending=True
+    )
+    tiled = ranked.select(
+        "resp",
+        ntile_from_rank(F.col("_rank"), F.col("_n"), 10)
+        .cast("bigint")
+        .alias("decile"),
+    )
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("resp").cast("bigint").alias("r_d"),
+    )
+    t = d.agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.sum("r_d").cast("bigint").alias("r"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_d",
+        "r_d",
+        "n",
+        "r",
+        F.sum("r_d").over(wc).cast("bigint").alias("cum_r"),
+        F.sum("n_d").over(wc).cast("bigint").alias("cum_n"),
+    )
+    lift_ppb = F.expr(
+        "CAST(CAST(r_d AS DECIMAL(38,0)) * n * 1000000000"
+        " div (CAST(n_d AS DECIMAL(38,0)) * r) AS BIGINT)"
+    )
+    out = (
+        c.filter(F.col("r") > 0)
+        .select(
+            "decile",
+            "n_d",
+            "r_d",
+            lift_ppb.alias("lift_ppb"),
+            (lift_ppb / 1000000000.0).alias("lift"),
+            F.expr(
+                "CAST(CAST(cum_r AS DECIMAL(38,0)) * 1000000000 div r"
+                " AS BIGINT)"
+            ).alias("cum_gain_ppb"),
+            F.expr(
+                "CAST(CAST(cum_r AS DECIMAL(38,0)) * n * 1000000000"
+                " div (CAST(cum_n AS DECIMAL(38,0)) * r) AS BIGINT)"
+            ).alias("cum_lift_ppb"),
+        )
+        .orderBy("decile")
+    )
+    return release_on_gc(o, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_cindex — concordance index of price as a churn-risk score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_survival_cindex",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, o_orderdate AS t1,
+             CAST(round(o_totalprice / 5000) AS BIGINT) AS sb
+      FROM o2 WHERE rn = 1
+    ),
+    seconds AS (SELECT o_custkey, o_orderdate AS t2 FROM o2 WHERE rn = 2),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(s.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE), CAST(m.tmax AS DATE))
+             END AS BIGINT) AS dur,
+             CAST(CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS ev,
+             f.sb
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey, mx m
+    ),
+    cells0 AS (
+      SELECT dur, sb, CAST(sum(ev) AS BIGINT) AS n_ev,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM obs GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT dd.dur, ss.sb,
+             coalesce(c.n_ev, 0) AS n_ev, coalesce(c.n_all, 0) AS n_all
+      FROM (SELECT DISTINCT dur FROM cells0) dd
+      CROSS JOIN (SELECT DISTINCT sb FROM cells0) ss
+      LEFT JOIN cells0 c ON c.dur = dd.dur AND c.sb = ss.sb
+    ),
+    h AS (
+      SELECT dur, sb, n_ev,
+             CAST(sum(n_all) OVER (PARTITION BY sb) -
+                  sum(n_all) OVER (PARTITION BY sb ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS h_gt
+      FROM grid
+    ),
+    pfx AS (
+      SELECT dur, sb, n_ev, h_gt,
+             CAST(coalesce(sum(h_gt) OVER (PARTITION BY dur ORDER BY sb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS h_lower,
+             CAST(sum(h_gt) OVER (PARTITION BY dur) AS BIGINT) AS h_any
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(n_ev AS HUGEINT) * (2 * h_lower + h_gt))
+                  AS HUGEINT) AS conc2,
+             CAST(sum(CAST(n_ev AS HUGEINT) * h_any) AS HUGEINT) AS usable
+      FROM pfx
+    )
+    SELECT CAST(conc2 AS BIGINT) AS concordant_x2,
+           CAST(usable AS BIGINT) AS usable_pairs,
+           CAST(conc2 * 1000000000 // (2 * usable) AS BIGINT) AS cindex_ppb,
+           CAST(CAST(conc2 * 1000000000 // (2 * usable) AS BIGINT)
+                AS DOUBLE) / 1000000000.0 AS c_index
+    FROM s
+    WHERE usable > 0
+    """,
+    doc="Harrell's concordance index for orders_survival_km's "
+    "repeat-purchase analysis: does a LOWER first-order total predict a "
+    "LONGER wait until the second order? — the standard discrimination "
+    "metric for survival models (C = P(risk ranks agree with outcome "
+    "order among usable pairs), the censoring-aware cousin of AUC). A "
+    "pair is usable when the earlier subject's duration is an observed "
+    "EVENT (repeat purchase) strictly before the other's time; it "
+    "counts concordant when the event subject carries the HIGHER "
+    "first-price bucket, half credit on score ties. The O(n^2) pair "
+    "space collapses onto the bounded (distinct-duration x ~120-bucket "
+    "price-domain) GRID, densified so the two factorized masses "
+    "evaluate everywhere: h_gt = subjects surviving strictly past t in "
+    "bucket d (per-bucket suffix via total minus inclusive prefix), "
+    "h_lower = the same mass over strictly-lower buckets (per-duration "
+    "prefix), h_any = all survivors past t. conc2 = sum n_ev*(2*h_lower "
+    "+ h_gt) and usable = sum n_ev*h_any are exact HUGEINT/DECIMAL "
+    "integers; cindex_ppb = conc2*1e9 div (2*usable) floor-divides the "
+    "provably non-negative numerator below 2^53 before the one double "
+    "display division. The first/second-order extraction reuses "
+    "orders_survival_km's single-window per-customer pivot; every later "
+    "window is partitioned with bounded per-partition input.",
+)
+def orders_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first_two = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+            F.max(
+                F.when(
+                    F.col("rn") == 1,
+                    F.round(F.col("o_totalprice") / 5000).cast("bigint"),
+                )
+            ).alias("sb"),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = first_two.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t1").cast("date"))
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("t2").isNotNull().cast("bigint").alias("ev"),
+        "sb",
+    )
+    cells0 = obs.groupBy("dur", "sb").agg(
+        F.sum("ev").cast("bigint").alias("n_ev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    cells0 = cells0.persist()  # bounded grid feeds both distinct sides
+    dd = cells0.select("dur").distinct()
+    ss = cells0.select("sb").distinct()
+    grid = (
+        dd.crossJoin(ss)
+        .join(cells0, ["dur", "sb"], "left")
+        .select(
+            "dur",
+            "sb",
+            F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_ev"),
+            F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"),
+        )
+    )
+    w_tot = Window.partitionBy("sb")
+    w_le = (
+        Window.partitionBy("sb")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = grid.select(
+        "dur",
+        "sb",
+        "n_ev",
+        (F.sum("n_all").over(w_tot) - F.sum("n_all").over(w_le))
+        .cast("bigint")
+        .alias("h_gt"),
+    )
+    w_lower = (
+        Window.partitionBy("dur")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_any = Window.partitionBy("dur")
+    pfx = h.select(
+        "n_ev",
+        "h_gt",
+        F.coalesce(F.sum("h_gt").over(w_lower), F.lit(0))
+        .cast("bigint")
+        .alias("h_lower"),
+        F.sum("h_gt").over(w_any).cast("bigint").alias("h_any"),
+    )
+    s = pfx.agg(
+        _dsum(F.col("n_ev") * (2 * F.col("h_lower") + F.col("h_gt"))).alias(
+            "conc2"
+        ),
+        _dsum(F.col("n_ev") * F.col("h_any")).alias("usable"),
+    )
+    cppb = F.expr("CAST(conc2 * 1000000000 div (2 * usable) AS BIGINT)")
+    out = s.filter(F.col("usable") > 0).select(
+        F.col("conc2").cast("bigint").alias("concordant_x2"),
+        F.col("usable").cast("bigint").alias("usable_pairs"),
+        cppb.alias("cindex_ppb"),
+        (cppb.cast("double") / 1000000000.0).alias("c_index"),
+    )
+    return release_on_gc(cells0, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_partial_corr — partial correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_partial_corr",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM b
+    ),
+    q AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS vx,
+             CAST((n * syy - sy * sy) // (n * n) AS BIGINT) AS vy,
+             CAST((n * szz - sz * sz) // (n * n) AS BIGINT) AS vz,
+             CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                  * (abs(n * sxy - sx * sy) // (n * n)) AS BIGINT) AS cxy,
+             CAST(CASE WHEN n * sxz - sx * sz < 0 THEN -1 ELSE 1 END
+                  * (abs(n * sxz - sx * sz) // (n * n)) AS BIGINT) AS cxz,
+             CAST(CASE WHEN n * syz - sy * sz < 0 THEN -1 ELSE 1 END
+                  * (abs(n * syz - sy * sz) // (n * n)) AS BIGINT) AS cyz
+      FROM m WHERE n > 1
+    ),
+    r AS (
+      SELECT n, vx, vy, vz, cxy, cxz, cyz,
+             CAST(cxy AS DOUBLE)
+               / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS rxy,
+             CAST(cxz AS DOUBLE)
+               / sqrt(CAST(vx AS DOUBLE) * CAST(vz AS DOUBLE)) AS rxz,
+             CAST(cyz AS DOUBLE)
+               / sqrt(CAST(vy AS DOUBLE) * CAST(vz AS DOUBLE)) AS ryz
+      FROM q WHERE vx > 0 AND vy > 0 AND vz > 0
+    )
+    SELECT n, vx, vy, vz, cxy, cxz, cyz, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+             AS partial_rxy_given_z
+    FROM r
+    WHERE (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+    """,
+    doc="Partial Pearson correlation of quantity and extended price "
+    "CONTROLLING for discount — the confound-removal primitive "
+    "agg_corr_matrix can't express (raw corr conflates the discount "
+    "pathway; the partial r_xy.z = (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)"
+    "(1-r_yz^2)) removes the linear z effect from both sides). All "
+    "three marginal correlations derive from EXACT integer moment sums "
+    "(cents-scaled; HUGEINT/DECIMAL(38,0)) rather than float corr(): "
+    "each covariance/variance ships as the centered numerator "
+    "n*Sab - Sa*Sb floor-divided by n^2 — value-range-bounded (it IS "
+    "the plain covariance, row-count independent), so every "
+    "integer-to-double cast sits far below 2^53 at any SF; negative "
+    "covariances split into |num| div n^2 with an explicit sign (div "
+    "on negatives is engine-divergent). Each r is then one fixed-order "
+    "IEEE expression over identical integers, and the partial is a "
+    "fixed composition of the three — no distributed float sum "
+    "anywhere. One map-combined moment pass, one scalar row.",
+)
+def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("z"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("z")).alias("sz"),
+        _dsum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        _dsum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+        _dsum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x").cast("decimal(38,0)") * F.col("z")).alias("sxz"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("z")).alias("syz"),
+    )
+
+    def _signed_cov(sab: str, sa: str, sb_: str) -> F.Column:
+        return F.expr(
+            f"CAST(CASE WHEN n * {sab} - {sa} * {sb_} < 0 THEN -1 ELSE 1 END"
+            f" * (abs(n * {sab} - {sa} * {sb_}) div (n * n)) AS BIGINT)"
+        )
+
+    q = m.filter(F.col("n") > 1).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST((n * sxx - sx * sx) div (n * n) AS BIGINT)").alias("vx"),
+        F.expr("CAST((n * syy - sy * sy) div (n * n) AS BIGINT)").alias("vy"),
+        F.expr("CAST((n * szz - sz * sz) div (n * n) AS BIGINT)").alias("vz"),
+        _signed_cov("sxy", "sx", "sy").alias("cxy"),
+        _signed_cov("sxz", "sx", "sz").alias("cxz"),
+        _signed_cov("syz", "sy", "sz").alias("cyz"),
+    )
+    rxy = F.col("cxy").cast("double") / F.sqrt(
+        F.col("vx").cast("double") * F.col("vy").cast("double")
+    )
+    rxz = F.col("cxz").cast("double") / F.sqrt(
+        F.col("vx").cast("double") * F.col("vz").cast("double")
+    )
+    ryz = F.col("cyz").cast("double") / F.sqrt(
+        F.col("vy").cast("double") * F.col("vz").cast("double")
+    )
+    r = q.filter(
+        (F.col("vx") > 0) & (F.col("vy") > 0) & (F.col("vz") > 0)
+    ).select(
+        "n",
+        "vx",
+        "vy",
+        "vz",
+        "cxy",
+        "cxz",
+        "cyz",
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    denom = (1.0 - F.col("rxz") * F.col("rxz")) * (
+        1.0 - F.col("ryz") * F.col("ryz")
+    )
+    return r.filter(denom > 0).select(
+        "n",
+        "vx",
+        "vy",
+        "vz",
+        "cxy",
+        "cxz",
+        "cyz",
+        "rxy",
+        "rxz",
+        "ryz",
+        (
+            (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(denom)
+        ).alias("partial_rxy_given_z"),
+    )
