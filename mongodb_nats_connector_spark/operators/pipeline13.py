@@ -1257,3 +1257,708 @@ def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(denom)
         ).alias("partial_rxy_given_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_eoq_policy — economic order quantity + reorder policy per part
+# ---------------------------------------------------------------------------
+
+EOQ_TOPK = 25        # highest-demand parts (bounded output)
+EOQ_ORDER_COST = 100  # fixed cost per replenishment order (currency units)
+EOQ_HOLD_COST = 3     # holding cost per unit per year
+EOQ_LEAD_DAYS = 7     # replenishment lead time
+EOQ_Z95 = 1.645       # one-sided 95% service-level factor
+
+
+@register(
+    "orders_eoq_policy",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                            max(CAST(l_shipdate AS DATE))) + 1 AS BIGINT)
+               AS span_days
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    dem AS (
+      SELECT l_partkey AS part,
+             CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(q) AS BIGINT) AS q_tot,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS q2
+      FROM dem GROUP BY part HAVING count(*) >= 2
+    ),
+    pol AS (
+      SELECT part, n_days, q_tot,
+             CAST(CAST(q_tot AS HUGEINT) * 365000 // s.span_days AS BIGINT)
+               AS d_milli,
+             CAST((CAST(n_days AS HUGEINT) * q2
+                   - CAST(q_tot AS HUGEINT) * q_tot)
+                  // (CAST(n_days AS HUGEINT) * (n_days - 1)) AS BIGINT)
+               AS var_q
+      FROM per_part CROSS JOIN span s
+    )
+    SELECT part AS partkey, n_days, q_tot, d_milli, var_q,
+           sqrt(CAST(2 * {EOQ_ORDER_COST} AS DOUBLE) * d_milli
+                / ({EOQ_HOLD_COST} * 1000.0)) AS eoq_units,
+           CAST(CAST(d_milli AS HUGEINT) * {EOQ_LEAD_DAYS} // 365 AS BIGINT)
+             AS rop_milli,
+           {EOQ_Z95} * sqrt(CAST(var_q AS DOUBLE) * {EOQ_LEAD_DAYS})
+             AS safety_stock_units,
+           365000.0 * sqrt(CAST(2 * {EOQ_ORDER_COST} AS DOUBLE) * d_milli
+                           / ({EOQ_HOLD_COST} * 1000.0)) / d_milli
+             AS cycle_days
+    FROM pol
+    WHERE d_milli > 0
+    ORDER BY q_tot DESC, part
+    LIMIT {EOQ_TOPK}
+    """,
+    doc=f"Economic order quantity policy per part: EOQ = "
+    "sqrt(2*K*D/h) with literal ordering cost K = "
+    f"{EOQ_ORDER_COST}, holding cost h = {EOQ_HOLD_COST}/unit-year, "
+    "annualized demand D from the part's shipped quantity over the "
+    "observed calendar span — plus the reorder point D*LT/365 and a "
+    f"z = {EOQ_Z95} safety stock from the part's demand-day variance "
+    f"(lead time {EOQ_LEAD_DAYS} days) — the classic inventory-control "
+    "triple (Harris/Wilson EOQ) that turns the demand history the "
+    "engine already aggregates into an operating policy. Hash surface: "
+    "demand totals, the milli-scaled annualized rate q_tot*365000 div "
+    "span, and the demand-day variance (n*sum(q^2) - S^2) div (n(n-1)) "
+    "are EXACT integers (HUGEINT/DECIMAL-kept, floor-divided on "
+    "provably non-negative numerators to sub-2^53 values); EOQ, safety "
+    "stock and cycle length are fixed-order IEEE expressions over "
+    "those integers. Per-part series aggregate map-side; the top-"
+    f"{EOQ_TOPK} by demand ship via TakeOrderedAndProject.",
+)
+def orders_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    span = li.agg(
+        (
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("span_days")
+    )
+    dem = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q")
+    )
+    per_part = (
+        dem.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("q").cast("bigint").alias("q_tot"),
+            _dsum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("q2"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    pol = per_part.crossJoin(F.broadcast(span)).select(
+        "part",
+        "n_days",
+        "q_tot",
+        F.expr(
+            "CAST(CAST(q_tot AS DECIMAL(38,0)) * 365000 div span_days"
+            " AS BIGINT)"
+        ).alias("d_milli"),
+        F.expr(
+            "CAST((CAST(n_days AS DECIMAL(38,0)) * q2"
+            " - CAST(q_tot AS DECIMAL(38,0)) * q_tot)"
+            " div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)) AS BIGINT)"
+        ).alias("var_q"),
+    )
+    eoq = F.sqrt(
+        F.lit(float(2 * EOQ_ORDER_COST))
+        * F.col("d_milli")
+        / (EOQ_HOLD_COST * 1000.0)
+    )
+    return (
+        pol.filter(F.col("d_milli") > 0)
+        .select(
+            F.col("part").alias("partkey"),
+            "n_days",
+            "q_tot",
+            "d_milli",
+            "var_q",
+            eoq.alias("eoq_units"),
+            F.expr(
+                f"CAST(CAST(d_milli AS DECIMAL(38,0)) * {EOQ_LEAD_DAYS}"
+                " div 365 AS BIGINT)"
+            ).alias("rop_milli"),
+            (
+                F.lit(EOQ_Z95)
+                * F.sqrt(F.col("var_q").cast("double") * EOQ_LEAD_DAYS)
+            ).alias("safety_stock_units"),
+            (365000.0 * eoq / F.col("d_milli")).alias("cycle_days"),
+        )
+        .orderBy(F.col("q_tot").desc(), "partkey")
+        .limit(EOQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_arc_elasticity — midpoint price elasticity of demand per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_arc_elasticity",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(CASE WHEN date_part('year', CAST(l.l_shipdate AS DATE))
+                            >= 1996 THEN 2 ELSE 1 END AS BIGINT) AS period,
+             CAST(round(l.l_quantity) AS BIGINT) AS q,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL
+    ),
+    agg2 AS (
+      SELECT brand,
+             CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(sum(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT)
+               AS q2,
+             CAST(sum(CASE WHEN period = 1 THEN r ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(sum(CASE WHEN period = 2 THEN r ELSE 0 END) AS BIGINT)
+               AS r2
+      FROM b GROUP BY brand
+    ),
+    e AS (
+      SELECT brand, q1, q2, r1, r2,
+             CAST(q2 - q1 AS HUGEINT)
+               * (CAST(r2 AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * q2)
+               AS num,
+             CAST(q2 + q1 AS HUGEINT)
+               * (CAST(r2 AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * q2)
+               AS den
+      FROM agg2
+      WHERE q1 > 0 AND q2 > 0
+    )
+    SELECT brand, q1, q2, r1, r2,
+           CAST(CASE WHEN (num < 0) != (den < 0) THEN -1 ELSE 1 END
+                AS BIGINT) AS e_sign,
+           CAST(abs(num) * 1000000000 // abs(den) AS BIGINT) AS e_abs_ppb,
+           CAST(CASE WHEN (num < 0) != (den < 0) THEN -1 ELSE 1 END
+                AS DOUBLE)
+             * CAST(abs(num) * 1000000000 // abs(den) AS BIGINT)
+             / 1000000000.0 AS arc_elasticity
+    FROM e
+    WHERE den != 0
+    ORDER BY brand
+    """,
+    doc="Arc (midpoint) price elasticity of demand per part brand between "
+    "the 1992-1995 and 1996-1998 halves of the calendar: e = "
+    "(dQ/Q_mid)/(dP/P_mid), the two-period elasticity estimator that is "
+    "symmetric in direction (unlike point elasticity) and needs no log "
+    "regression — the pricing-analytics primitive. With period prices "
+    "as exact rationals P_i = R_i/Q_i (revenue cents over units), the "
+    "midpoint formula cross-multiplies to pure integers: num = "
+    "(Q2-Q1)*(R2*Q1 + R1*Q2), den = (Q2+Q1)*(R2*Q1 - R1*Q2) — both "
+    "signed, so the statistic ships as |num|*1e9 div |den| (non-negative"
+    " floor-division, identical on both engines) with an explicit "
+    "sign column; HUGEINT/DECIMAL keeps the ~1e31 products exact and "
+    "the ppb quotient sits far below 2^53 before its one display "
+    "division. The part join broadcasts the dimension; one "
+    "map-combined conditional rollup per brand (~25 rows).",
+)
+def orders_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(
+            F.year(F.col("l_shipdate").cast("date")) >= 1996, F.lit(2)
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("period"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("r"),
+    )
+    agg2 = b.groupBy("brand").agg(
+        F.sum(F.when(F.col("period") == 1, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("period") == 2, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+        F.sum(F.when(F.col("period") == 1, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("period") == 2, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    e = agg2.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "brand",
+        "q1",
+        "q2",
+        "r1",
+        "r2",
+        F.expr(
+            "CAST(q2 - q1 AS DECIMAL(38,0))"
+            " * (CAST(r2 AS DECIMAL(38,0)) * q1"
+            "    + CAST(r1 AS DECIMAL(38,0)) * q2)"
+        ).alias("num"),
+        F.expr(
+            "CAST(q2 + q1 AS DECIMAL(38,0))"
+            " * (CAST(r2 AS DECIMAL(38,0)) * q1"
+            "    - CAST(r1 AS DECIMAL(38,0)) * q2)"
+        ).alias("den"),
+    )
+    sign = F.when(
+        (F.col("num") < 0) != (F.col("den") < 0), F.lit(-1)
+    ).otherwise(F.lit(1))
+    abs_ppb = F.expr("CAST(abs(num) * 1000000000 div abs(den) AS BIGINT)")
+    return (
+        e.filter(F.col("den") != 0)
+        .select(
+            "brand",
+            "q1",
+            "q2",
+            "r1",
+            "r2",
+            sign.cast("bigint").alias("e_sign"),
+            abs_ppb.alias("e_abs_ppb"),
+            (sign.cast("double") * abs_ppb / 1000000000.0).alias(
+                "arc_elasticity"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_cpk_capability — process capability indices per part type
+# ---------------------------------------------------------------------------
+
+CPK_LSL = 5   # lower spec limit on lineitem quantity
+CPK_USL = 45  # upper spec limit
+
+
+@register(
+    "orders_cpk_capability",
+    oracle=f"""
+    WITH b AS (
+      SELECT p.p_type AS ptype,
+             CAST(round(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (
+      SELECT ptype, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+      FROM b GROUP BY ptype HAVING count(*) > 1
+    ),
+    q AS (
+      SELECT ptype, n,
+             CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS mu_u,
+             CAST((CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+                  * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+               AS var_u
+      FROM m
+    )
+    SELECT ptype, n, mu_u, var_u,
+           ({CPK_USL} - {CPK_LSL})
+             / (6.0 * sqrt(CAST(var_u AS DOUBLE) / 1000000.0)) AS cp,
+           ({CPK_USL} - CAST(mu_u AS DOUBLE) / 1000000.0)
+             / (3.0 * sqrt(CAST(var_u AS DOUBLE) / 1000000.0)) AS cpu,
+           (CAST(mu_u AS DOUBLE) / 1000000.0 - {CPK_LSL})
+             / (3.0 * sqrt(CAST(var_u AS DOUBLE) / 1000000.0)) AS cpl,
+           least(({CPK_USL} - CAST(mu_u AS DOUBLE) / 1000000.0)
+                   / (3.0 * sqrt(CAST(var_u AS DOUBLE) / 1000000.0)),
+                 (CAST(mu_u AS DOUBLE) / 1000000.0 - {CPK_LSL})
+                   / (3.0 * sqrt(CAST(var_u AS DOUBLE) / 1000000.0)))
+             AS cpk
+    FROM q
+    WHERE var_u > 0
+    ORDER BY ptype
+    """,
+    doc=f"Process capability indices Cp / Cpu / Cpl / Cpk of shipped "
+    f"quantity per part type against literal spec limits "
+    f"[{CPK_LSL}, {CPK_USL}] — the SPC acceptance summary "
+    "(Cp: spread vs tolerance; Cpk: the one-sided worst case that "
+    "catches off-center processes Cp ignores; Cpk >= 1.33 is the "
+    "conventional capability bar). Mean and variance per part type are "
+    "micro-scaled exact integers — mu_u = S*1e6 div n, var_u = "
+    "(n*sum(q^2) - S^2)*1e6 div (n(n-1)), both numerators provably "
+    "non-negative and HUGEINT/DECIMAL-kept, quotients far below 2^53 "
+    "(quantity is value-range-bounded) — so each index is a fixed-order "
+    "IEEE expression over identical integers on both engines; least() "
+    "of two identically-computed doubles is deterministic. Broadcast "
+    "part-dimension join, one map-combined rollup, ~150 rows.",
+)
+def orders_cpk_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    b = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        F.col("p_type").alias("ptype"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+    m = (
+        b.groupBy("ptype")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s"),
+            _dsum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    q = m.select(
+        "ptype",
+        "n",
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("mu_u"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+        ).alias("var_u"),
+    )
+    sigma = F.sqrt(F.col("var_u").cast("double") / 1000000.0)
+    mu = F.col("mu_u").cast("double") / 1000000.0
+    cpu = (CPK_USL - mu) / (3.0 * sigma)
+    cpl = (mu - CPK_LSL) / (3.0 * sigma)
+    return (
+        q.filter(F.col("var_u") > 0)
+        .select(
+            "ptype",
+            "n",
+            "mu_u",
+            "var_u",
+            ((CPK_USL - CPK_LSL) / (6.0 * sigma)).alias("cp"),
+            cpu.alias("cpu"),
+            cpl.alias("cpl"),
+            F.least(cpu, cpl).alias("cpk"),
+        )
+        .orderBy("ptype")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_ewma_control — EWMA control chart over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ewma_control",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    ser AS (
+      SELECT list(struct_pack(day := day, x := x) ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM d
+    ),
+    folded AS (
+      SELECT n,
+             CAST(CAST(s1 AS HUGEINT) * 1000000 // n AS BIGINT) AS mu_u,
+             CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                  // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_q,
+             list_reduce(
+               list_prepend(
+                 [struct_pack(day := xs[1].day, x := xs[1].x, s := xs[1].x)],
+                 list_transform(xs[2:],
+                   e -> [struct_pack(day := e.day, x := e.x,
+                                     s := CAST(0 AS BIGINT))])),
+               (acc, el) -> list_append(acc,
+                 struct_pack(day := el[1].day, x := el[1].x,
+                             s := CAST((el[1].x + 3 * acc[-1].s + 2) // 4
+                                       AS BIGINT)))
+             ) AS path
+      FROM ser
+      WHERE n > 1
+    ),
+    rows_out AS (
+      SELECT u.day, u.x, u.s, f.mu_u, f.var_q
+      FROM folded f, unnest(f.path) AS t(u)
+    )
+    SELECT day, x AS rev_c, s AS ewma_c,
+           CAST(mu_u AS DOUBLE) / 1000000.0
+             + 3.0 * sqrt(CAST(var_q AS DOUBLE) / 7.0) AS ucl,
+           CAST(mu_u AS DOUBLE) / 1000000.0
+             - 3.0 * sqrt(CAST(var_q AS DOUBLE) / 7.0) AS lcl,
+           CAST(s AS DOUBLE) > CAST(mu_u AS DOUBLE) / 1000000.0
+             + 3.0 * sqrt(CAST(var_q AS DOUBLE) / 7.0)
+           OR CAST(s AS DOUBLE) < CAST(mu_u AS DOUBLE) / 1000000.0
+             - 3.0 * sqrt(CAST(var_q AS DOUBLE) / 7.0) AS breach
+    FROM rows_out
+    ORDER BY day
+    """,
+    doc="EWMA control chart over daily revenue (lambda = 1/4): the "
+    "small-shift-sensitive complement to orders_shewhart_control "
+    "(Shewhart needs a 3-sigma single-day spike; the EWMA accumulates "
+    "persistent small drifts, catching them far sooner — the standard "
+    "SPC pairing, Lucas & Saccucci 1990). The recurrence s_t = "
+    "(x_t + 3*s_{t-1} + 2) div 4 is FULLY INTEGER round-half-up of a "
+    "dyadic product on provably positive cents (the orders_croston "
+    "discipline), folded over the calendar-bounded daily series with "
+    "the whole PATH accumulated (list-of-state fold: elements lifted "
+    "to singleton lists so DuckDB's init-by-prepend list_reduce and "
+    "Spark's explicit-init aggregate replay identical bits), then "
+    "exploded back to one row per day. Control limits use the "
+    "steady-state EWMA variance sigma^2*lambda/(2-lambda) = var/7 with "
+    "mean and variance as micro-scaled floor-divided exact integers; "
+    "the breach flag compares identically-computed doubles, so it is "
+    "deterministic cross-engine. One map-combined day rollup; the fold "
+    "input is bounded by the calendar, never the fact rows.",
+)
+def orders_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ser = d.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        _dsum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+    )
+    folded = ser.filter(F.col("n") > 1).select(
+        F.expr(
+            "CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("mu_u"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+        ).alias("var_q"),
+        F.expr(
+            "aggregate("
+            "  slice(xs, 2, size(xs) - 1),"
+            "  array(named_struct("
+            "    'day', element_at(xs, 1).day,"
+            "    'x', element_at(xs, 1).x,"
+            "    's', element_at(xs, 1).x)),"
+            "  (acc, e) -> array_append(acc, named_struct("
+            "    'day', e.day,"
+            "    'x', e.x,"
+            "    's', CAST((e.x + 3 * element_at(acc, -1).s + 2) div 4"
+            "         AS BIGINT))))"
+        ).alias("path"),
+    )
+    rows_out = folded.select(
+        "mu_u", "var_q", F.explode("path").alias("u")
+    ).select(
+        F.col("u.day").alias("day"),
+        F.col("u.x").alias("rev_c"),
+        F.col("u.s").alias("ewma_c"),
+        "mu_u",
+        "var_q",
+    )
+    mu = F.col("mu_u").cast("double") / 1000000.0
+    band = 3.0 * F.sqrt(F.col("var_q").cast("double") / 7.0)
+    return rows_out.select(
+        "day",
+        "rev_c",
+        "ewma_c",
+        (mu + band).alias("ucl"),
+        (mu - band).alias("lcl"),
+        (
+            (F.col("ewma_c").cast("double") > mu + band)
+            | (F.col("ewma_c").cast("double") < mu - band)
+        ).alias("breach"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# orders_holt_winters — additive Holt-Winters with a fully integer fold
+# ---------------------------------------------------------------------------
+
+
+def _hw_lambda_spark() -> str:
+    """Spark HOF lambda for one Holt-Winters step, alpha=beta=1/4,
+    gamma=1/2, all updates round-half-up dyadic with EXPLICIT floor
+    division (pmod-subtract, since `div` truncates and seasonal terms go
+    negative)."""
+    x = "(12 * e.x)"
+    sold = "element_at(acc.s, 1)"
+    a_l = f"(({x} - {sold}) + 3 * (acc.l + acc.b) + 2)"
+    lt = f"((({a_l}) - pmod(({a_l}), 4)) div 4)"
+    a_b = f"(({lt} - acc.l) + 3 * acc.b + 2)"
+    bt = f"((({a_b}) - pmod(({a_b}), 4)) div 4)"
+    a_s = f"(({x} - {lt}) + {sold} + 1)"
+    st = f"((({a_s}) - pmod(({a_s}), 2)) div 2)"
+    return (
+        "(acc, e) -> named_struct("
+        f"'l', {lt}, 'b', {bt},"
+        f" 's', concat(slice(acc.s, 2, 11), array({st})))"
+    )
+
+
+def _hw_oracle() -> str:
+    """DuckDB twin as a RECURSIVE CTE over the month index — identical
+    recurrence, same pmod-subtract floor construction (DuckDB's integer
+    `//` TRUNCATES toward zero exactly like Spark's `div`; witness
+    -7 // 4 = -1). A list_reduce + struct_pack fold is deliberately NOT
+    used: DuckDB evaluates struct_pack fields SEQUENTIALLY with the
+    accumulator updated IN PLACE, so a field expression referencing
+    acc.l after l := ... silently reads the NEW level (verified
+    numerically) — the recursive CTE has plain tuple semantics and no
+    such hazard."""
+    a_l = "((12 * mi.x - f.s[1]) + 3 * (f.l + f.b) + 2)"
+    lt = f"((({a_l}) - ((({a_l}) % 4 + 4) % 4)) // 4)"
+    a_b = "((t.lt - t.lp) + 3 * t.bp + 2)"
+    bt = f"((({a_b}) - ((({a_b}) % 4 + 4) % 4)) // 4)"
+    a_s = "((12 * t.x - t.lt) + t.sp[1] + 1)"
+    st = f"((({a_s}) - ((({a_s}) % 2 + 2) % 2)) // 2)"
+    return f"""
+    WITH RECURSIVE m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mi AS (
+      SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i, x
+      FROM m
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    init AS (
+      SELECT CAST(sum(x) AS BIGINT) AS l0 FROM mi WHERE i <= 12
+    ),
+    s0 AS (
+      SELECT list(CAST(12 * mi.x - init.l0 AS BIGINT) ORDER BY mi.i) AS s
+      FROM mi, init WHERE mi.i <= 12
+    ),
+    f AS (
+      SELECT CAST(12 AS BIGINT) AS i, init.l0 AS l, CAST(0 AS BIGINT) AS b,
+             s0.s AS s
+      FROM init, s0, nn WHERE nn.n >= 24
+      UNION ALL
+      SELECT t.i,
+             CAST(t.lt AS BIGINT) AS l,
+             CAST({bt} AS BIGINT) AS b,
+             list_append(t.sp[2:], CAST({st} AS BIGINT)) AS s
+      FROM (
+        SELECT f.i + 1 AS i, mi.x, f.l AS lp, f.b AS bp, f.s AS sp,
+               {lt} AS lt
+        FROM f JOIN mi ON mi.i = f.i + 1
+      ) t
+    ),
+    folded AS (
+      SELECT f.l, f.b, f.s FROM f, nn WHERE f.i = nn.n
+    )
+    SELECT CAST(g.h AS BIGINT) AS horizon_months,
+           fo.l AS level_s12, fo.b AS trend_s12,
+           fo.s[CAST(g.h AS INTEGER)] AS seasonal_s12,
+           fo.l + CAST(g.h AS BIGINT) * fo.b
+             + fo.s[CAST(g.h AS INTEGER)] AS forecast_s12,
+           CAST(fo.l + CAST(g.h AS BIGINT) * fo.b
+                + fo.s[CAST(g.h AS INTEGER)] AS DOUBLE) / 1200.0
+             AS forecast
+    FROM folded fo, generate_series(1, 12) g(h)
+    ORDER BY horizon_months
+    """
+
+
+@register(
+    "orders_holt_winters",
+    oracle=_hw_oracle(),
+    doc="Additive Holt-Winters (alpha = beta = 1/4, gamma = 1/2, period "
+    "12) over the monthly revenue series, emitting the final level, "
+    "trend, all 12 seasonal indices and the next year's 12 forecasts — "
+    "the seasonal extension of orders_holt_linear (which is blind to "
+    "the strong month-of-year cycle orders_seasonal_decompose "
+    "established). The ENTIRE recurrence is integer: the series is "
+    "lifted to twelfth-cents (X = 12x) so the seasonal-init deviations "
+    "12*x_i - sum(x_1..12) are exact; every smoothing update is "
+    "round-half-up of a dyadic product via EXPLICIT floor division — "
+    "(a - pmod(a, 4)) div 4, needed because BOTH Spark's div and "
+    "DuckDB's integer // truncate toward zero on the NEGATIVE "
+    "seasonal/trend terms (witness -7 // 4 = -1); subtracting the "
+    "positive modulus makes the numerator an exact multiple, where "
+    "truncation IS floor. State is (level, trend, rolling 12-vector) "
+    "folded with Spark's aggregate HOF; the DuckDB twin replays it as "
+    "a RECURSIVE CTE because DuckDB's list_reduce evaluates "
+    "struct_pack fields sequentially with the accumulator mutated in "
+    "place (a field reading acc.l after l := ... sees the NEW level — "
+    "verified numerically, see _hw_oracle). Forecasts F_h = L + h*T + "
+    "S_h are exact BIGINTs with one display division each. The fold "
+    "input is the ~84-month calendar series — bounded, one "
+    "map-combined rollup upstream.",
+)
+def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ser = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "x"))).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fin = (
+        ser.filter(F.col("n") >= 24)
+        .withColumn(
+            "l0",
+            F.expr(
+                "aggregate(slice(xs, 1, 12), CAST(0 AS BIGINT),"
+                " (a, e) -> a + e.x)"
+            ),
+        )
+        .withColumn(
+            "s0", F.expr("transform(slice(xs, 1, 12), e -> 12 * e.x - l0)")
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                "aggregate(slice(xs, 13, size(xs) - 12),"
+                " named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0),"
+                f" {_hw_lambda_spark()})"
+            ),
+        )
+    )
+    out = fin.select(
+        F.posexplode(F.col("st.s")).alias("pos", "seasonal_s12"),
+        F.col("st.l").alias("level_s12"),
+        F.col("st.b").alias("trend_s12"),
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("horizon_months"),
+        "level_s12",
+        "trend_s12",
+        "seasonal_s12",
+        (
+            F.col("level_s12")
+            + (F.col("pos") + 1).cast("bigint") * F.col("trend_s12")
+            + F.col("seasonal_s12")
+        ).alias("forecast_s12"),
+        (
+            (
+                F.col("level_s12")
+                + (F.col("pos") + 1).cast("bigint") * F.col("trend_s12")
+                + F.col("seasonal_s12")
+            ).cast("double")
+            / 1200.0
+        ).alias("forecast"),
+    )
+    return out.orderBy("horizon_months")
