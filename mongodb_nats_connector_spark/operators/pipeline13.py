@@ -1962,3 +1962,638 @@ def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("forecast"),
     )
     return out.orderBy("horizon_months")
+
+
+# ---------------------------------------------------------------------------
+# events_kleinberg_burst — two-state Viterbi burst decoder, integer costs
+# ---------------------------------------------------------------------------
+
+
+def _kleinberg_oracle() -> str:
+    """DuckDB twin of the integer two-state Viterbi: a RECURSIVE CTE over
+    the day index carrying (cost0, cost1, path0, path1) — recursive-CTE
+    tuple semantics, per the list_reduce struct-mutation hazard documented
+    on orders_holt_winters."""
+    return """
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    di AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, day, c
+      FROM d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    params AS (
+      SELECT CAST(sum(c) // count(*) AS BIGINT) AS r0,
+             CAST((51 * (sum(c) // count(*))) // 50 AS BIGINT) AS r1,
+             CAST((sum(c) // count(*)) // 100 + 1 AS BIGINT) AS gam
+      FROM d
+    ),
+    v AS (
+      SELECT CAST(1 AS BIGINT) AS i,
+             abs(di.c - p.r0) AS c0,
+             p.gam + abs(di.c - p.r1) AS c1,
+             [CAST(0 AS BIGINT)] AS p0,
+             [CAST(1 AS BIGINT)] AS p1
+      FROM di, params p, nn WHERE di.i = 1 AND p.r0 >= 1
+      UNION ALL
+      SELECT t.i,
+             least(t.c0, t.c1) + abs(t.c - t.r0) AS c0,
+             least(t.c0 + t.gam, t.c1) + abs(t.c - t.r1) AS c1,
+             list_append(CASE WHEN t.c0 <= t.c1 THEN t.p0 ELSE t.p1 END,
+                         CAST(0 AS BIGINT)) AS p0,
+             list_append(CASE WHEN t.c0 + t.gam <= t.c1 THEN t.p0
+                         ELSE t.p1 END, CAST(1 AS BIGINT)) AS p1
+      FROM (
+        SELECT v.i + 1 AS i, di.c, p.r0, p.r1, p.gam, v.c0, v.c1,
+               v.p0, v.p1
+        FROM v JOIN di ON di.i = v.i + 1, params p
+      ) t
+    ),
+    fin AS (
+      SELECT CASE WHEN v.c0 <= v.c1 THEN v.p0 ELSE v.p1 END AS path
+      FROM v, nn WHERE v.i = nn.n
+    ),
+    lab AS (
+      SELECT di.i, di.day, di.c,
+             f.path[CAST(di.i AS INTEGER)] AS s
+      FROM di, fin f
+    ),
+    isl AS (
+      SELECT i, day, c, s,
+             i - row_number() OVER (PARTITION BY s ORDER BY i) AS grp
+      FROM lab
+    )
+    SELECT s AS burst_state, min(day) AS start_day, max(day) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS total_events
+    FROM isl
+    GROUP BY s, grp
+    ORDER BY start_day
+    """
+
+
+@register(
+    "events_kleinberg_burst",
+    oracle=_kleinberg_oracle(),
+    doc="Kleinberg-style two-state burst decoder over the daily event "
+    "series, solved EXACTLY by Viterbi dynamic programming with integer "
+    "costs: state 0 emits at the base rate r0 = total div n_days, state "
+    "1 at the 2%-elevated rate (51*r0) div 50 (the "
+    "events_burst_detection threshold scale — the synthetic daily rates "
+    "concentrate within a few percent of the mean, so a 2x burst state "
+    "would never fire); emission cost is the L1 deviation |c_t - r_s| "
+    "(the integer-exact stand-in for Kleinberg's -log Poisson "
+    "likelihood, which would put libm transcendentals on the hash "
+    "surface), and entering the burst state costs gamma = r0 div 100 + "
+    "1 while leaving is free, "
+    "matching Kleinberg's asymmetric transition. Unlike "
+    "events_burst_detection's greedy hysteresis, the DP optimizes the "
+    "WHOLE sequence — brief dips inside a burst do not end it unless "
+    "the global tradeoff says so. All costs/comparisons are exact "
+    "BIGINTs with <= ties preferring state 0, so the decoded path is "
+    "unique and engine-independent; the Spark side collects the "
+    "calendar-bounded daily series to the driver (the similarity_mmr_"
+    "topk contract: a constant-size loop, never fact rows) and runs "
+    "the O(n) DP in Python; the DuckDB twin replays it as a recursive "
+    "CTE carrying both candidate paths. Output is EVERY decoded "
+    "segment (state-0 and state-1 runs) with its event total, so the "
+    "result is non-degenerate even when the optimal path never "
+    "bursts.",
+)
+def events_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy("day")
+    )
+    rows = daily.collect()  # calendar-bounded daily series (driver DP)
+    schema = StructType(
+        [
+            StructField("burst_state", LongType()),
+            StructField("start_day", DateType()),
+            StructField("end_day", DateType()),
+            StructField("n_days", LongType()),
+            StructField("total_events", LongType()),
+        ]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    days = [r["day"] for r in rows]
+    cs = [int(r["c"]) for r in rows]
+    n = len(cs)
+    r0 = sum(cs) // n
+    if r0 < 1:
+        return spark.createDataFrame([], schema)
+    r1 = (51 * r0) // 50
+    gam = r0 // 100 + 1
+    c0, c1 = abs(cs[0] - r0), gam + abs(cs[0] - r1)
+    p0, p1 = [0], [1]
+    for t in range(1, n):
+        n0 = (c0 if c0 <= c1 else c1) + abs(cs[t] - r0)
+        np0 = (p0 if c0 <= c1 else p1) + [0]
+        n1 = (c0 + gam if c0 + gam <= c1 else c1) + abs(cs[t] - r1)
+        np1 = (p0 if c0 + gam <= c1 else p1) + [1]
+        c0, c1, p0, p1 = n0, n1, np0, np1
+    path = p0 if c0 <= c1 else p1
+    out = []
+    start = 0
+    for t in range(1, n + 1):
+        if t == n or path[t] != path[start]:
+            out.append(
+                (
+                    path[start],
+                    days[start],
+                    days[t - 1],
+                    t - start,
+                    sum(cs[start:t]),
+                )
+            )
+            start = t
+    return spark.createDataFrame(out, schema).orderBy("start_day")
+
+
+# ---------------------------------------------------------------------------
+# events_mosum_changepoint — moving-sum change detection on daily counts
+# ---------------------------------------------------------------------------
+
+MOSUM_H = 7  # window width in days (events span ~30 days)
+
+
+@register(
+    "events_mosum_changepoint",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    di AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, day, c
+      FROM d
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM d
+    ),
+    ms AS (
+      SELECT i, day,
+             CAST(sum(c) OVER (ORDER BY i
+                    ROWS BETWEEN {MOSUM_H - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS left_sum,
+             CAST(sum(c) OVER (ORDER BY i
+                    ROWS BETWEEN 1 FOLLOWING AND {MOSUM_H} FOLLOWING)
+                  AS BIGINT) AS right_sum,
+             CAST(count(c) OVER (ORDER BY i
+                    ROWS BETWEEN {MOSUM_H - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS nl,
+             CAST(count(c) OVER (ORDER BY i
+                    ROWS BETWEEN 1 FOLLOWING AND {MOSUM_H} FOLLOWING)
+                  AS BIGINT) AS nr
+      FROM di
+    ),
+    full_w AS (
+      SELECT i, day, right_sum - left_sum AS g
+      FROM ms WHERE nl = {MOSUM_H} AND nr = {MOSUM_H}
+    ),
+    q AS (
+      SELECT f.i, f.day, f.g, t.n,
+             CAST((CAST(t.n AS HUGEINT) * t.s2
+                   - CAST(t.s1 AS HUGEINT) * t.s1)
+                  // (CAST(t.n AS HUGEINT) * (t.n - 1)) AS BIGINT) AS var_q
+      FROM full_w f CROSS JOIN tot t
+    )
+    SELECT day AS center_day, g AS mosum_diff,
+           abs(g) AS abs_diff,
+           CAST(abs(g) AS DOUBLE)
+             / sqrt(2.0 * {MOSUM_H} * CAST(var_q AS DOUBLE)) AS mosum_stat
+    FROM q
+    WHERE var_q > 0
+    ORDER BY abs_diff DESC, day ASC
+    LIMIT 5
+    """,
+    doc=f"MOSUM (moving-sum) changepoint scan over the daily event "
+    f"series: G(t) = sum of the {MOSUM_H} days after t minus the sum "
+    f"of the {MOSUM_H} days ending at t — the localized alternative "
+    "to events_cusum_changepoint/events_pettitt_changepoint (CUSUM "
+    "accumulates against the GLOBAL mean and smears gradual drift; "
+    "the MOSUM difference of adjacent windows pinpoints level shifts "
+    "and is the standard multiple-changepoint scan statistic, "
+    "Eichinger & Kirch 2018). Window sums and their difference are "
+    "exact BIGINTs over the calendar-bounded day-index series "
+    "(edge-incomplete windows are excluded by exact window counts on "
+    "both engines); the studentizing variance is the usual "
+    "floor-divided integer quantization, and the reported statistic "
+    "|G|/sqrt(2h*var) is one fixed-order IEEE expression. The top-5 "
+    "|G| days ship via TakeOrderedAndProject; the exact-integer "
+    "abs_diff decides the order, never the float.",
+)
+def events_mosum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wi = Window.orderBy("day")
+    di = d.select(
+        F.row_number().over(wi).cast("bigint").alias("i"), "day", "c"
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        _dsum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    w_left = Window.orderBy("i").rowsBetween(-(MOSUM_H - 1), 0)
+    w_right = Window.orderBy("i").rowsBetween(1, MOSUM_H)
+    ms = di.select(
+        "i",
+        "day",
+        F.sum("c").over(w_left).cast("bigint").alias("left_sum"),
+        F.sum("c").over(w_right).cast("bigint").alias("right_sum"),
+        F.count("c").over(w_left).cast("bigint").alias("nl"),
+        F.count("c").over(w_right).cast("bigint").alias("nr"),
+    )
+    full_w = ms.filter(
+        (F.col("nl") == MOSUM_H) & (F.col("nr") == MOSUM_H)
+    ).select("i", "day", (F.col("right_sum") - F.col("left_sum")).alias("g"))
+    q = full_w.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "g",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+        ).alias("var_q"),
+    )
+    return (
+        q.filter(F.col("var_q") > 0)
+        .select(
+            F.col("day").alias("center_day"),
+            F.col("g").alias("mosum_diff"),
+            F.abs(F.col("g")).alias("abs_diff"),
+            (
+                F.abs(F.col("g")).cast("double")
+                / F.sqrt(2.0 * MOSUM_H * F.col("var_q").cast("double"))
+            ).alias("mosum_stat"),
+        )
+        .orderBy(F.col("abs_diff").desc(), F.col("center_day").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_rescaled_range — Hurst-style R/S analysis per dyadic block scale
+# ---------------------------------------------------------------------------
+
+RS_SCALES = [8, 16, 32, 64]  # block lengths in days (dyadic ladder)
+
+
+@register(
+    "orders_rescaled_range",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    di AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, x
+      FROM d
+    ),
+    blocks AS (
+      SELECT s.scale, di.t // s.scale AS blk, di.t, di.x
+      FROM di CROSS JOIN (SELECT unnest({RS_SCALES}) AS scale) s
+    ),
+    pre AS (
+      SELECT scale, blk, t, x,
+             CAST(sum(x) OVER (PARTITION BY scale, blk ORDER BY t)
+                  AS BIGINT) AS cum,
+             CAST(sum(x) OVER (PARTITION BY scale, blk) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS HUGEINT) * x)
+                  OVER (PARTITION BY scale, blk) AS BIGINT) AS s2,
+             CAST(count(*) OVER (PARTITION BY scale, blk) AS BIGINT) AS m,
+             CAST(row_number() OVER (PARTITION BY scale, blk ORDER BY t)
+                  AS BIGINT) AS k
+      FROM blocks
+    ),
+    cd AS (
+      SELECT scale, blk, m, s1, s2,
+             CAST(scale AS BIGINT) * cum - k * s1 AS cdev
+      FROM pre WHERE m = scale
+    ),
+    agg AS (
+      SELECT scale, blk,
+             greatest(max(cdev), 0) - least(min(cdev), 0) AS r_scaled,
+             CAST(min(scale) AS BIGINT) * min(s2)
+               - CAST(min(s1) AS BIGINT) * min(s1) AS s2_scaled
+      FROM cd
+      GROUP BY scale, blk
+    )
+    SELECT CAST(scale AS BIGINT) AS scale, CAST(blk AS BIGINT) AS block,
+           CAST(r_scaled AS BIGINT) AS r_scaled,
+           CAST(s2_scaled AS BIGINT) AS s2_scaled,
+           CAST(r_scaled AS DOUBLE) / sqrt(CAST(s2_scaled AS DOUBLE))
+             AS rs_ratio
+    FROM agg
+    WHERE s2_scaled > 0
+    ORDER BY scale, block
+    """,
+    doc="Rescaled-range (R/S) analysis of daily revenue at the dyadic "
+    f"block scales {RS_SCALES}: per full block of tau days, R = range "
+    "of the mean-adjusted partial sums and S = the block's standard "
+    "deviation — the Hurst-exponent diagnostic (long-memory series "
+    "show R/S growing like tau^H with H > 1/2; the final log-log "
+    "slope fit is left to the reader because a logarithm on the hash "
+    "surface is forbidden by the determinism contract, and the "
+    "per-block ratios are the actual evidence). Everything stays "
+    "integer until one division and one sqrt per row: daily revenue "
+    "quantizes to kilodollar units (floor-div 1e5 on non-negative "
+    "cents) so tau*sum(x^2) sits far below 2^53 at any SF; the "
+    "tau-scaled partial-sum deviations tau*cum_k - k*S are exact "
+    "BIGINTs whose range includes the zero baseline "
+    "(greatest/least against 0), and S^2's numerator tau*sum(x^2) - "
+    "S^2 is the usual exact form. All windows are partitioned by "
+    "(scale, block) with at most 64 rows per partition; partial "
+    "blocks are excluded by exact counts on both engines.",
+)
+def orders_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    wi = Window.orderBy("day")
+    di = d.select(
+        (F.row_number().over(wi) - 1).cast("bigint").alias("t"), "x"
+    )
+    scales = ",".join(str(s) for s in RS_SCALES)
+    blocks = di.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.expr(f"array({scales})")).alias("scale")
+            )
+        )
+    ).select(
+        F.col("scale").cast("bigint").alias("scale"),
+        F.expr("t div scale").alias("blk"),
+        "t",
+        "x",
+    )
+    w_ord = Window.partitionBy("scale", "blk").orderBy("t")
+    w_all = Window.partitionBy("scale", "blk")
+    pre = blocks.select(
+        "scale",
+        "blk",
+        "x",
+        F.sum("x")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("x").over(w_all).cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("s2"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+        F.row_number().over(w_ord).cast("bigint").alias("k"),
+    )
+    cd = pre.filter(F.col("m") == F.col("scale")).select(
+        "scale",
+        "blk",
+        "s1",
+        "s2",
+        (F.col("scale") * F.col("cum") - F.col("k") * F.col("s1")).alias(
+            "cdev"
+        ),
+    )
+    agg = cd.groupBy("scale", "blk").agg(
+        (
+            F.greatest(F.max("cdev"), F.lit(0))
+            - F.least(F.min("cdev"), F.lit(0))
+        ).alias("r_scaled"),
+        (
+            F.min("scale").cast("bigint") * F.min("s2")
+            - F.min("s1").cast("bigint") * F.min("s1")
+        ).alias("s2_scaled"),
+    )
+    return (
+        agg.filter(F.col("s2_scaled") > 0)
+        .select(
+            "scale",
+            F.col("blk").alias("block"),
+            F.col("r_scaled").cast("bigint").alias("r_scaled"),
+            F.col("s2_scaled").cast("bigint").alias("s2_scaled"),
+            (
+                F.col("r_scaled").cast("double")
+                / F.sqrt(F.col("s2_scaled").cast("double"))
+            ).alias("rs_ratio"),
+        )
+        .orderBy("scale", "block")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_permutation_test — hash-randomized relabeling test on daily revenue
+# ---------------------------------------------------------------------------
+
+PERM_B = 200  # relabelings
+PERM_SALT = "permv1_"
+
+
+@register(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(CASE WHEN (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                            % 7 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT) AS g
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1, 3
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+      FROM d
+    ),
+    perms AS (
+      SELECT b.b, d.x,
+             CAST(CASE WHEN substr(md5('{PERM_SALT}'
+                    || CAST(d.day AS VARCHAR) || '_'
+                    || CAST(b.b AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS BIGINT) AS pg
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, {PERM_B - 1}))
+                         AS b) b
+    ),
+    per_b AS (
+      SELECT b, CAST(sum(pg) AS BIGINT) AS n1b,
+             CAST(count(*) - sum(pg) AS BIGINT) AS n0b,
+             CAST(sum(CASE WHEN pg = 1 THEN x ELSE 0 END) AS BIGINT) AS s1b,
+             CAST(sum(CASE WHEN pg = 0 THEN x ELSE 0 END) AS BIGINT) AS s0b
+      FROM perms GROUP BY b
+    ),
+    judged AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_valid,
+             CAST(sum(CASE WHEN
+               abs(CAST(p.s1b AS HUGEINT) * p.n0b
+                   - CAST(p.s0b AS HUGEINT) * p.n1b)
+                 * (CAST(o.n1 AS HUGEINT) * o.n0)
+               >= abs(CAST(o.s1 AS HUGEINT) * o.n0
+                      - CAST(o.s0 AS HUGEINT) * o.n1)
+                 * (CAST(p.n1b AS HUGEINT) * p.n0b)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM per_b p CROSS JOIN obs o
+      WHERE p.n1b > 0 AND p.n0b > 0
+    )
+    SELECT o.n_days, o.n1 AS n_weekend, o.n0 AS n_weekday,
+           CAST(abs(CAST(o.s1 AS HUGEINT) * o.n0
+                    - CAST(o.s0 AS HUGEINT) * o.n1) AS BIGINT) AS a_obs_h,
+           j.n_valid, j.n_extreme,
+           CAST(1 + j.n_extreme AS DOUBLE) / (1 + j.n_valid) AS p_value
+    FROM obs o CROSS JOIN judged j
+    WHERE o.n1 > 0 AND o.n0 > 0
+    """,
+    doc=f"Randomization test for the weekend-vs-weekday daily revenue "
+    "difference: relabel each day {PERM_B} times by a salted-md5 coin "
+    "and ask how often the relabeled |mean difference| meets or beats "
+    "the observed one — the assumption-free complement to "
+    "agg_welch_ttest (no normality, no variance model; the reference "
+    "distribution IS the data under exchangeability). The 'as extreme' "
+    "comparison never divides: |S1b*n0b - S0b*n1b| * (n1*n0) >= "
+    "|A_obs| * (n1b*n0b) cross-multiplies the two rational mean "
+    "differences into exact HUGEINT/DECIMAL integers, so every "
+    "per-permutation verdict is exact; the coin is the first md5 hex "
+    "nibble of salt||day||perm (< '8'), the sample_hash_split idiom "
+    "both engines compute byte-identically. Hash-randomized "
+    "relabeling means group sizes vary binomially (a Monte-Carlo "
+    "randomization test, documented; degenerate one-sided relabelings "
+    "are excluded from the denominator and p = (1+extreme)/(1+valid) "
+    "is one IEEE division). Work: the calendar-bounded daily relation "
+    f"x {PERM_B} labels — volume-independent of the fact table. Note "
+    "the day rollup groups by (day, weekday-flag): the flag is "
+    "day-functional so the relation IS the daily series.",
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    wk = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1970-01-01")),
+        )
+        % 7
+    ).isin(2, 3)
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        wk.cast("bigint").alias("g"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    d = d.persist()  # daily series feeds obs AND the perm fan-out
+    obs = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("g").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    perms = d.crossJoin(
+        F.broadcast(
+            spark.range(PERM_B).select(F.col("id").alias("b"))
+        )
+    ).select(
+        "b",
+        "x",
+        (
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(PERM_SALT),
+                            F.col("day").cast("string"),
+                            F.lit("_"),
+                            F.col("b").cast("string"),
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+        .cast("bigint")
+        .alias("pg"),
+    )
+    per_b = perms.groupBy("b").agg(
+        F.sum("pg").cast("bigint").alias("n1b"),
+        (F.count(F.lit(1)) - F.sum("pg")).cast("bigint").alias("n0b"),
+        F.sum(F.when(F.col("pg") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1b"),
+        F.sum(F.when(F.col("pg") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0b"),
+    )
+    judged = (
+        per_b.crossJoin(F.broadcast(obs))
+        .filter((F.col("n1b") > 0) & (F.col("n0b") > 0))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_valid"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "abs(CAST(s1b AS DECIMAL(38,0)) * n0b"
+                        " - CAST(s0b AS DECIMAL(38,0)) * n1b)"
+                        " * (CAST(n1 AS DECIMAL(38,0)) * n0)"
+                        " >= abs(CAST(s1 AS DECIMAL(38,0)) * n0"
+                        " - CAST(s0 AS DECIMAL(38,0)) * n1)"
+                        " * (CAST(n1b AS DECIMAL(38,0)) * n0b)"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+    )
+    out = (
+        obs.crossJoin(F.broadcast(judged))
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "n_days",
+            F.col("n1").alias("n_weekend"),
+            F.col("n0").alias("n_weekday"),
+            F.expr(
+                "CAST(abs(CAST(s1 AS DECIMAL(38,0)) * n0"
+                " - CAST(s0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+            ).alias("a_obs_h"),
+            "n_valid",
+            "n_extreme",
+            (
+                (1 + F.col("n_extreme")).cast("double")
+                / (1 + F.col("n_valid"))
+            ).alias("p_value"),
+        )
+    )
+    return release_on_gc(d, out)
