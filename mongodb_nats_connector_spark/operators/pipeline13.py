@@ -2597,3 +2597,450 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return release_on_gc(d, out)
+
+
+# ---------------------------------------------------------------------------
+# text_yule_k — Yule's characteristic K vocabulary-richness per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t != '')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM cnt GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           CAST(s2 AS BIGINT) AS sum_c2,
+           CAST((s2 - n_tokens) * 10000000 //
+                (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+             AS yule_k_milli,
+           CAST(CAST((s2 - n_tokens) * 10000000 //
+                     (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+                AS DOUBLE) / 1000.0 AS yule_k
+    FROM agg
+    WHERE n_tokens > 0
+    ORDER BY lang
+    """,
+    doc="Yule's characteristic K per language — the classic "
+    "author/corpus-level vocabulary-richness constant (K = 1e4 * "
+    "(sum m^2*V(m) - N)/N^2 over the frequency spectrum; repetitive "
+    "vocabularies score high, and unlike raw type-token ratios K is "
+    "approximately length-invariant, which is why stylometry uses it). "
+    "The spectrum moment sum m^2*V(m) IS simply sum over the "
+    "vocabulary of c^2, so one (lang, word) rollup plus one "
+    "lang-rollup computes everything; s2 - N >= 0 always (c^2 >= c), "
+    "so the milli-scaled statistic (s2 - N)*1e7 div N^2 floor-divides "
+    "a non-negative HUGEINT/DECIMAL numerator to a sub-2^53 BIGINT "
+    "before its one display division. Shuffle volume is "
+    "vocabulary-sized (the text.py contract), never corpus-sized.",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("word"),
+    )
+    cnt = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        _dsum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    km = F.expr(
+        "CAST((s2 - n_tokens) * 10000000"
+        " div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+    )
+    return (
+        agg.filter(F.col("n_tokens") > 0)
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            F.col("s2").cast("bigint").alias("sum_c2"),
+            km.alias("yule_k_milli"),
+            (km.cast("double") / 1000.0).alias("yule_k"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_ari — ARI + Coleman-Liau character-based readability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_ari",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS n_chars_an,
+             CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars_an, n_words, n_sentences,
+           4.71 * (CAST(n_chars_an AS DOUBLE) / n_words)
+             + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 21.43 AS ari_score,
+           0.0588 * (100.0 * n_chars_an / n_words)
+             - 0.296 * (100.0 * n_sentences / n_words)
+             - 15.8 AS coleman_liau_index
+    FROM f
+    WHERE n_words > 0
+    """,
+    doc="Automated Readability Index and Coleman-Liau index per document "
+    "— the CHARACTER-based readability pair next to "
+    "text_readability_flesch's syllable heuristic (ARI/CLI were "
+    "designed for machine scoring precisely because character counts "
+    "are exact while syllable counts are guesses; routing on both "
+    "families catches documents the vowel heuristic misjudges). "
+    "Alphanumeric characters come from one global character-class "
+    "regexp_replace (the dialect-safe pattern family), words from the "
+    "empty-filtered whitespace split, sentences from terminal "
+    "punctuation with the whole-doc fallback. All three counts are "
+    "exact BIGINTs; each score is one fixed-order IEEE expression "
+    "whose literal coefficients parse identically on both engines. "
+    "Pure map-side projection — zero shuffles.",
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+        .cast("bigint")
+        .alias("n_chars_an"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    cpw = F.col("n_chars_an").cast("double") / F.col("n_words")
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    return f.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "n_chars_an",
+        "n_words",
+        "n_sentences",
+        (4.71 * cpw + 0.5 * wps - 21.43).alias("ari_score"),
+        (
+            0.0588 * (100.0 * F.col("n_chars_an") / F.col("n_words"))
+            - 0.296 * (100.0 * F.col("n_sentences") / F.col("n_words"))
+            - 15.8
+        ).alias("coleman_liau_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_mtld_diversity — MTLD lexical diversity via a per-document fold
+# ---------------------------------------------------------------------------
+
+MTLD_TTR_NUM = 72  # factor completes when 100*types < 72*tokens
+MTLD_TOPK = 50
+
+
+def _mtld_merge_spark() -> str:
+    newty = (
+        "(CASE WHEN array_contains(acc.ty, w) THEN acc.ty"
+        " ELSE array_append(acc.ty, w) END)"
+    )
+    newtk = "(acc.tk + CAST(1 AS BIGINT))"
+    cond = f"(100 * size({newty}) < {MTLD_TTR_NUM} * {newtk})"
+    return (
+        f"(acc, w) -> IF({cond},"
+        " named_struct('f', acc.f + CAST(1 AS BIGINT),"
+        " 'ty', CAST(array() AS ARRAY<STRING>), 'tk', CAST(0 AS BIGINT)),"
+        f" named_struct('f', acc.f, 'ty', {newty}, 'tk', {newtk}))"
+    )
+
+
+def _mtld_oracle() -> str:
+    """DuckDB twin as a RECURSIVE CTE over (doc, token index) — the fold
+    state (factors, types-list, tokens) is fully interdependent, exactly
+    the shape DuckDB's list_reduce struct-mutation hazard corrupts (see
+    orders_holt_winters), so tuple-semantics recursion is mandatory."""
+    newty = (
+        "(CASE WHEN list_contains(f.ty, t.w) THEN f.ty"
+        " ELSE list_append(f.ty, t.w) END)"
+    )
+    newtk = "(f.tk + 1)"
+    cond = f"(100 * len({newty}) < {MTLD_TTR_NUM} * {newtk})"
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t != '')
+               AS words
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM d WHERE
+      len(words) > 0
+    ),
+    nums AS (
+      SELECT unnest(generate_series(1, (SELECT max(len(words)) FROM d)))
+        AS i
+    ),
+    tok AS (
+      SELECT d.doc_id, CAST(n.i AS BIGINT) AS i,
+             d.words[CAST(n.i AS INTEGER)] AS w
+      FROM d JOIN nums n ON n.i <= len(d.words)
+    ),
+    f AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS fac,
+             CAST([] AS VARCHAR[]) AS ty, CAST(0 AS BIGINT) AS tk
+      FROM wc
+      UNION ALL
+      SELECT t.doc_id, t.i,
+             CASE WHEN {cond} THEN f.fac + 1 ELSE f.fac END AS fac,
+             CASE WHEN {cond} THEN CAST([] AS VARCHAR[])
+                  ELSE {newty} END AS ty,
+             CASE WHEN {cond} THEN CAST(0 AS BIGINT)
+                  ELSE {newtk} END AS tk
+      FROM f JOIN tok t ON t.doc_id = f.doc_id AND t.i = f.i + 1
+    ),
+    fin AS (
+      SELECT f.doc_id, w.nw, f.fac,
+             CAST(len(f.ty) AS BIGINT) AS ty_end, f.tk AS tk_end
+      FROM f JOIN wc w ON w.doc_id = f.doc_id AND f.i = w.nw
+    ),
+    scored AS (
+      SELECT doc_id, nw, fac,
+             fac * 1000000
+               + CASE WHEN tk_end > 0
+                 THEN CAST((tk_end * 100 - ty_end * 100) * 1000000
+                      // ((100 - {MTLD_TTR_NUM}) * tk_end) AS BIGINT)
+                 ELSE 0 END AS factors_ppm
+      FROM fin
+    )
+    SELECT doc_id, nw AS n_words, fac AS full_factors, factors_ppm,
+           CAST(CAST(nw AS HUGEINT) * 1000000000 // factors_ppm AS BIGINT)
+             AS mtld_milli,
+           CAST(CAST(CAST(nw AS HUGEINT) * 1000000000 // factors_ppm
+                     AS BIGINT) AS DOUBLE) / 1000.0 AS mtld
+    FROM scored
+    WHERE factors_ppm > 0
+    ORDER BY mtld_milli DESC, doc_id
+    LIMIT {MTLD_TOPK}
+    """
+
+
+@register(
+    "text_mtld_diversity",
+    oracle=_mtld_oracle(),
+    doc="MTLD (Measure of Textual Lexical Diversity, McCarthy & Jarvis "
+    "2010) per document: walk the token stream, and each time the "
+    "running type-token ratio of the current segment drops below 0.72, "
+    "close a 'factor' and reset; MTLD = tokens / factors (with the "
+    "standard partial-factor remainder (1 - TTR_end)/(1 - 0.72) — the "
+    "forward pass only, documented). Unlike raw TTR (text_stats) or "
+    "Yule's K, MTLD is explicitly designed to be text-LENGTH invariant, "
+    "which is what a curation mix needs when documents vary 100x in "
+    "size. The threshold check is exact integer cross-multiplication "
+    "(100*types < 72*tokens — no float TTR anywhere), the partial "
+    "factor is ppm-scaled integer division on non-negative numerators "
+    "(TTR_end <= 1 always), and mtld_milli = nw*1e9 div factors_ppm "
+    "anchors the hash. Spark folds per document with the aggregate HOF "
+    "(simultaneous-field semantics); the DuckDB twin is a RECURSIVE "
+    "CTE over (doc, token index) because its fold state is exactly the "
+    "interdependent-struct shape list_reduce corrupts (the "
+    "orders_holt_winters finding). Per-document state never crosses "
+    "documents — embarrassingly parallel at any scale; top-"
+    f"{MTLD_TOPK} by diversity ship via TakeOrderedAndProject.",
+)
+def text_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    d = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+        ).alias("words"),
+    ).filter(F.size("words") > 0)
+    folded = d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("nw"),
+        F.expr(
+            "aggregate(words,"
+            " named_struct('f', CAST(0 AS BIGINT),"
+            " 'ty', CAST(array() AS ARRAY<STRING>),"
+            " 'tk', CAST(0 AS BIGINT)),"
+            f" {_mtld_merge_spark()})"
+        ).alias("st"),
+    )
+    scored = folded.select(
+        "doc_id",
+        "nw",
+        F.col("st.f").alias("fac"),
+        (
+            F.col("st.f") * 1000000
+            + F.when(
+                F.col("st.tk") > 0,
+                F.expr(
+                    "CAST((st.tk * 100 - size(st.ty) * 100) * 1000000"
+                    f" div ((100 - {MTLD_TTR_NUM}) * st.tk) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("factors_ppm"),
+    )
+    mtld_milli = F.expr(
+        "CAST(CAST(nw AS DECIMAL(38,0)) * 1000000000 div factors_ppm"
+        " AS BIGINT)"
+    )
+    return (
+        scored.filter(F.col("factors_ppm") > 0)
+        .select(
+            "doc_id",
+            F.col("nw").alias("n_words"),
+            F.col("fac").alias("full_factors"),
+            "factors_ppm",
+            mtld_milli.alias("mtld_milli"),
+            (mtld_milli.cast("double") / 1000.0).alias("mtld"),
+        )
+        .orderBy(F.col("mtld_milli").desc(), "doc_id")
+        .limit(MTLD_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_katz_centrality — fixed-iteration Katz index over the trade graph
+# ---------------------------------------------------------------------------
+
+KATZ_ITERS = 5
+KATZ_ALPHA_DEN = 10  # alpha = 1/10 (below 1/lambda_max for this graph)
+KATZ_SCALE = 1_000_000
+
+
+def _katz_oracle() -> str:
+    from mongodb_nats_connector_spark.operators.pipeline11 import (
+        _UND_EDGES_SQL,
+    )
+
+    base = f"""
+    WITH {_UND_EDGES_SQL},
+    nodes AS (SELECT DISTINCT a AS node FROM adj),
+    k0 AS (SELECT node, CAST({KATZ_SCALE} AS BIGINT) AS x FROM nodes)
+    """
+    step = """,
+    k{nxt} AS (
+      SELECT n.node,
+             CAST({scale} + coalesce(inf.s, 0) // {aden} AS BIGINT) AS x
+      FROM nodes n
+      LEFT JOIN (
+        SELECT adj.a AS node, CAST(sum(p.x) AS BIGINT) AS s
+        FROM k{cur} p JOIN adj ON adj.b = p.node
+        GROUP BY adj.a
+      ) inf ON inf.node = n.node
+    )"""
+    for i in range(KATZ_ITERS):
+        base += step.format(
+            nxt=i + 1, cur=i, scale=KATZ_SCALE, aden=KATZ_ALPHA_DEN
+        )
+    return (
+        base
+        + f"""
+    SELECT nt.n_name AS nation, k.x AS katz_fixed,
+           k.x / {KATZ_SCALE}.0 AS katz
+    FROM k{KATZ_ITERS} k JOIN nation nt ON nt.n_nationkey = k.node
+    ORDER BY katz_fixed DESC, nation
+    """
+    )
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    doc=f"Katz centrality ({KATZ_ITERS} fixed Jacobi iterations, alpha = "
+    f"1/{KATZ_ALPHA_DEN}) over the undirected nation trade graph: x = 1 "
+    "+ alpha*A*x counts ALL walks into a node with geometric damping — "
+    "the global-influence complement to pagerank_nations (no "
+    "out-degree normalization: a nation trading with well-connected "
+    "partners scores high even if those partners trade widely, where "
+    "PageRank would dilute the contribution). Fixed-point integer "
+    "micro-units make every iteration exact: x' = SCALE + (sum of "
+    "neighbor x) div {KATZ_ALPHA_DEN} on provably positive values, so "
+    "integer partial sums commute and the result is partitioning- and "
+    "engine-independent; isolated nodes keep the base score via the "
+    "left join. The adjacency aggregates once from the fact tables "
+    "(the only wide shuffle — pipeline11's shared symmetric-edge "
+    "construction) and is nation-bounded, so each iteration is a "
+    "bounded hash join; the DuckDB twin unrolls the same "
+    f"{KATZ_ITERS} steps as CTEs (the pagerank_nations recipe).",
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        trade_edges,
+    )
+
+    de = trade_edges(spark, sf_dir)
+    fwd = de.select("src", "dst")
+    adj = (
+        fwd.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .unionAll(
+            fwd.select(
+                F.greatest("src", "dst").alias("a"),
+                F.least("src", "dst").alias("b"),
+            )
+        )
+        .distinct()
+    )
+    adj = adj.persist()  # nation-bounded; reused by every iteration
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    x = nodes.select("node", F.lit(KATZ_SCALE).cast("bigint").alias("x"))
+    for _ in range(KATZ_ITERS):
+        inflow = (
+            adj.join(x, adj["b"] == x["node"])
+            .groupBy(adj["a"].alias("nd"))
+            .agg(F.sum("x").cast("bigint").alias("s"))
+        )
+        x = nodes.join(
+            F.broadcast(inflow), nodes["node"] == inflow["nd"], "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({KATZ_SCALE} + coalesce(s, 0) div {KATZ_ALPHA_DEN}"
+                " AS BIGINT)"
+            ).alias("x"),
+        )
+    nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = (
+        x.join(F.broadcast(nt), x["node"] == nt["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("x").alias("katz_fixed"),
+            (F.col("x") / float(KATZ_SCALE)).alias("katz"),
+        )
+        .orderBy(F.col("katz_fixed").desc(), "nation")
+    )
+    return release_on_gc(adj, out)
