@@ -54,7 +54,8 @@ def _dsum(expr: F.Column) -> F.Column:
     "agg_brunner_munzel",
     oracle="""
     WITH b AS (
-      SELECT CAST(round(l_extendedprice / 1000) AS BIGINT) AS v,
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS v,
              CAST(CASE WHEN round(l_discount * 100) >= 6 THEN 1
                   ELSE 0 END AS BIGINT) AS g
       FROM lineitem
@@ -112,7 +113,9 @@ def _dsum(expr: F.Column) -> F.Column:
     "variances of the rank distributions; it studentizes the placement "
     "estimate p_hat = P(X<Y) + P(X=Y)/2 by within-sample placement "
     "variances, Brunner & Munzel 2000). Everything runs over the "
-    "~105-bucket price DOMAIN: combined doubled midranks mr2 = "
+    "~105-bucket price DOMAIN (cents + 50000 div 100000 — the all-"
+    "integer half-up bucketing, no round()-of-float): combined doubled "
+    "midranks mr2 = "
     "2*cum_below + tv + 1, and the placement deviation for a group-0 row "
     "is EXACTLY the other group's mass at-or-below its bucket (rankc - "
     "rankwithin = 2*cum1_below + c1, doubled — provably non-negative, so "
@@ -130,7 +133,10 @@ def _dsum(expr: F.Column) -> F.Column:
 def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     b = li.select(
-        F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("v"),
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("v"),
         (F.round(F.col("l_discount") * 100) >= 6).cast("bigint").alias("g"),
     )
     cells = b.groupBy("v").agg(
@@ -226,7 +232,7 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT CAST(CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT)
                AS g,
-             CAST(round(o_totalprice / 1000) AS BIGINT) AS v
+             (CAST(round(o_totalprice * 100) AS BIGINT) + 50000) // 100000 AS v
       FROM orders
     ),
     cnt AS (
@@ -311,7 +317,10 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.select(
         F.substring("o_orderpriority", 1, 1).cast("int").cast("bigint")
         .alias("g"),
-        F.round(F.col("o_totalprice") / 1000).cast("bigint").alias("v"),
+        F.expr(
+            "(CAST(round(o_totalprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("v"),
     )
     cnt = b.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     cnt = cnt.persist()  # bounded grid feeds grid + group sums
@@ -669,7 +678,8 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_youden_threshold",
     oracle="""
     WITH b AS (
-      SELECT CAST(round(l_extendedprice / 1000) AS BIGINT) AS s,
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS s,
              CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
                AS pos
       FROM lineitem
@@ -725,7 +735,10 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     b = li.select(
-        F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("s"),
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("s"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
     )
     cells = b.groupBy("s").agg(
@@ -931,7 +944,7 @@ def orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     firsts AS (
       SELECT o_custkey, o_orderdate AS t1,
-             CAST(round(o_totalprice / 5000) AS BIGINT) AS sb
+             (CAST(round(o_totalprice * 100) AS BIGINT) + 250000) // 500000 AS sb
       FROM o2 WHERE rn = 1
     ),
     seconds AS (SELECT o_custkey, o_orderdate AS t2 FROM o2 WHERE rn = 2),
@@ -1028,7 +1041,10 @@ def orders_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(
                 F.when(
                     F.col("rn") == 1,
-                    F.round(F.col("o_totalprice") / 5000).cast("bigint"),
+                    F.expr(
+                        "(CAST(round(o_totalprice * 100) AS BIGINT)"
+                        " + 250000) div 500000"
+                    ),
                 )
             ).alias("sb"),
         )

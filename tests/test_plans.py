@@ -361,6 +361,17 @@ _GLOBAL_WINDOWS = {
     "agg_hodges_lehmann": (1, "bounded: n_buckets offset window "
                               "(two-pass order-statistic selection over "
                               "the calendar-bounded Walsh-value domain)"),
+    # pipeline13 (round 11): value-DOMAIN histograms, the calendar-bounded
+    # daily series, or n_buckets/decile offset relations — all bounded
+    "agg_brunner_munzel": (1, "bounded: ~105-bucket price-domain prefix"),
+    "agg_cvm_two_sample": (1, "bounded: ~50-value quantity-domain prefix"),
+    "agg_youden_threshold": (1, "bounded: ~105-bucket score-domain "
+                                "prefix"),
+    "events_mosum_changepoint": (2, "bounded: daily series (row index + "
+                                    "moving sums)"),
+    "orders_decile_lift": (5, "bounded: n_buckets offset/total windows "
+                              "(two-pass rank) + 10-row decile cums"),
+    "orders_rescaled_range": (1, "bounded: daily series row index"),
 }
 
 

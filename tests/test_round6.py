@@ -362,6 +362,14 @@ def test_no_new_bare_persists():
         # returned result
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
+        "operators/pipeline13.py": 6,  # JT priority x price-domain cells
+        # (grid + group sums), page-test monthly grid (gate + join
+        # sides), decile-lift input (cached BEFORE the two-pass boundary
+        # sketch), c-index duration x bucket cells (grid + distinct
+        # sides), permutation-test daily series (obs + 200-perm
+        # fan-out), katz adjacency (reused across the 5 fixed
+        # iterations); all released by release_on_gc on the returned
+        # result
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
