@@ -3060,3 +3060,569 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("katz_fixed").desc(), "nation")
     )
     return release_on_gc(adj, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_quade_test — Quade's range-weighted blocked rank test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_quade_test",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    ),
+    full_years AS (SELECT yr FROM m GROUP BY yr HAVING count(*) = 12),
+    mm AS (
+      SELECT m.yr, m.mo, m.rev_c FROM m JOIN full_years f ON f.yr = m.yr
+    ),
+    ranked AS (
+      SELECT a.yr, a.mo,
+             CAST(2 * sum(CASE WHEN b.rev_c < a.rev_c THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.rev_c = a.rev_c THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS mr2
+      FROM mm a JOIN mm b ON b.yr = a.yr
+      GROUP BY a.yr, a.mo
+    ),
+    ranges AS (
+      SELECT yr, CAST(max(rev_c) - min(rev_c) AS BIGINT) AS rng
+      FROM mm GROUP BY yr
+    ),
+    qrank AS (
+      SELECT a.yr,
+             CAST(2 * sum(CASE WHEN b.rng < a.rng THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.rng = a.rng THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS q2
+      FROM ranges a CROSS JOIN ranges b
+      GROUP BY a.yr, a.rng
+    ),
+    cells AS (
+      SELECT r.yr, r.mo,
+             CAST(q.q2 * (r.mr2 - 13) AS BIGINT) AS s4
+      FROM ranked r JOIN qrank q ON q.yr = r.yr
+    ),
+    sums AS (
+      SELECT CAST(count(DISTINCT yr) AS BIGINT) AS b,
+             CAST(sum(CAST(s4 AS HUGEINT) * s4) AS BIGINT) AS a16
+      FROM cells
+    ),
+    tsum AS (
+      SELECT mo, CAST(sum(s4) AS BIGINT) AS sj4 FROM cells GROUP BY mo
+    ),
+    bsum AS (
+      SELECT CAST(sum(CAST(sj4 AS HUGEINT) * sj4) AS BIGINT) AS sb16
+      FROM tsum
+    )
+    SELECT s.b AS n_blocks, s.a16 AS total_ss_x16, bs.sb16 AS treat_ss_x16b,
+           CAST((s.b - 1) AS DOUBLE) * bs.sb16
+             / (CAST(s.b AS DOUBLE) * s.a16 - bs.sb16) AS quade_f
+    FROM sums s CROSS JOIN bsum bs
+    WHERE s.b > 1 AND CAST(s.b AS DOUBLE) * s.a16 - bs.sb16 > 0
+    """,
+    doc="Quade test for month-of-year effects across complete calendar "
+    "years — the range-WEIGHTED refinement of agg_friedman_test: years "
+    "with a wider revenue spread carry proportionally more rank weight "
+    "(Friedman treats a flat block and a volatile block identically; "
+    "Quade multiplies each within-year centered rank by the year's "
+    "range rank, which is the more powerful test for k <= ~5 effects "
+    "and a different sensitivity profile for k = 12). All quantities "
+    "are exact integers in doubled-rank units: within-year midranks "
+    "mr2 from the bounded 12x12 self-join (the agg_page_trend_test "
+    "kernel), year-range ranks q2 from the years^2 self-join, centered "
+    "scores S*4 = q2*(mr2 - 13) (13 = k+1 with k = 12), and the "
+    "Quade F = (b-1)*B/(A - B) ships as ((b-1)*16B) / (b*16A - 16B) "
+    "over exact BIGINTs with ONE float division. Everything after the "
+    "monthly rollup is year/month-cardinality-sized.",
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    m = m.persist()  # bounded monthly grid: gate + rank/range consumers
+    full_years = (
+        m.groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") == 12)
+        .select("yr")
+    )
+    mm = m.join(F.broadcast(full_years), "yr")
+    mm = mm.persist()  # feeds ranked (both sides) AND ranges
+    a = mm.select("yr", "mo", F.col("rev_c").alias("ra"))
+    bb = mm.select("yr", F.col("rev_c").alias("rb"))
+    ranked = (
+        a.join(F.broadcast(bb), "yr")
+        .groupBy("yr", "mo", "ra")
+        .agg(
+            (
+                2 * F.sum((F.col("rb") < F.col("ra")).cast("bigint"))
+                + F.sum((F.col("rb") == F.col("ra")).cast("bigint"))
+                + 1
+            )
+            .cast("bigint")
+            .alias("mr2")
+        )
+    )
+    ranges = mm.groupBy("yr").agg(
+        (F.max("rev_c") - F.min("rev_c")).cast("bigint").alias("rng")
+    )
+    ra_ = ranges.select(F.col("yr"), F.col("rng").alias("rga"))
+    rb_ = ranges.select(F.col("rng").alias("rgb"))
+    qrank = (
+        ra_.crossJoin(F.broadcast(rb_))
+        .groupBy("yr", "rga")
+        .agg(
+            (
+                2 * F.sum((F.col("rgb") < F.col("rga")).cast("bigint"))
+                + F.sum((F.col("rgb") == F.col("rga")).cast("bigint"))
+                + 1
+            )
+            .cast("bigint")
+            .alias("q2")
+        )
+        .select("yr", "q2")
+    )
+    cells = ranked.join(F.broadcast(qrank), "yr").select(
+        "yr",
+        "mo",
+        (F.col("q2") * (F.col("mr2") - 13)).cast("bigint").alias("s4"),
+    )
+    cells = cells.persist()  # bounded year x month grid, two consumers
+    sums = cells.agg(
+        F.countDistinct("yr").cast("bigint").alias("b"),
+        _dsum(F.col("s4").cast("decimal(38,0)") * F.col("s4"))
+        .cast("bigint")
+        .alias("a16"),
+    )
+    bsum = (
+        cells.groupBy("mo")
+        .agg(F.sum("s4").cast("bigint").alias("sj4"))
+        .agg(
+            _dsum(F.col("sj4").cast("decimal(38,0)") * F.col("sj4"))
+            .cast("bigint")
+            .alias("sb16")
+        )
+    )
+    denom = (
+        F.col("b").cast("double") * F.col("a16") - F.col("sb16")
+    )
+    out = (
+        sums.crossJoin(F.broadcast(bsum))
+        .filter((F.col("b") > 1) & (denom > 0))
+        .select(
+            F.col("b").alias("n_blocks"),
+            F.col("a16").alias("total_ss_x16"),
+            F.col("sb16").alias("treat_ss_x16b"),
+            ((F.col("b") - 1).cast("double") * F.col("sb16") / denom).alias(
+                "quade_f"
+            ),
+        )
+    )
+    return release_on_gc(
+        m, release_on_gc(mm, release_on_gc(cells, out))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_allan_variance — Allan variance of the daily event rate
+# ---------------------------------------------------------------------------
+
+ALLAN_TAUS = [1, 2, 4]  # block lengths in days
+
+
+@register(
+    "events_allan_variance",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    di AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, c
+      FROM d
+    ),
+    blocks AS (
+      SELECT s.tau, di.t // s.tau AS blk, di.c
+      FROM di CROSS JOIN (SELECT unnest({ALLAN_TAUS}) AS tau) s
+    ),
+    bsum AS (
+      SELECT tau, blk, CAST(sum(c) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM blocks GROUP BY 1, 2
+    ),
+    fullb AS (
+      SELECT tau, blk, s,
+             lead(s) OVER (PARTITION BY tau ORDER BY blk) AS s_next
+      FROM bsum WHERE m = tau
+    ),
+    diffs AS (
+      SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(s_next - s AS HUGEINT) * (s_next - s))
+                  AS BIGINT) AS ss
+      FROM fullb WHERE s_next IS NOT NULL
+      GROUP BY tau
+    )
+    SELECT CAST(tau AS BIGINT) AS tau_days, n_pairs, ss AS sum_sq_diff,
+           CAST(ss AS DOUBLE)
+             / (2.0 * tau * tau * n_pairs) AS allan_variance,
+           sqrt(CAST(ss AS DOUBLE) / (2.0 * tau * tau * n_pairs))
+             AS allan_deviation
+    FROM diffs
+    WHERE n_pairs > 0
+    ORDER BY tau_days
+    """,
+    doc=f"Allan variance of the daily event rate at averaging times "
+    f"{ALLAN_TAUS} days: AVAR(tau) = E[(y_next - y)^2]/2 over adjacent "
+    "tau-day block means — the stability ladder that separates white "
+    "noise (AVAR ~ 1/tau) from drift (AVAR flat or rising), which a "
+    "plain variance cannot do (agg_dispersion_test sees only the "
+    "pooled spread; the Allan curve localizes WHICH timescale the "
+    "instability lives at — the clock-stability tool applied to event "
+    "pipelines). Block sums are exact BIGINTs over the calendar-"
+    "bounded day-index series (partial tail blocks excluded by exact "
+    "counts), adjacent differences come from one lead() per tau "
+    "partition, and the sum of squared integer differences stays "
+    "HUGEINT/DECIMAL-exact; AVAR = ss/(2*tau^2*n_pairs) and its sqrt "
+    "are one fixed-order IEEE expression each (block means never "
+    "materialize as floats — the tau^2 lives in the denominator).",
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wi = Window.orderBy("day")
+    di = d.select(
+        (F.row_number().over(wi) - 1).cast("bigint").alias("t"), "c"
+    )
+    taus = ",".join(str(t) for t in ALLAN_TAUS)
+    blocks = di.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.expr(f"array({taus})")).alias("tau")
+            )
+        )
+    ).select(
+        F.col("tau").cast("bigint").alias("tau"),
+        F.expr("t div tau").alias("blk"),
+        "c",
+    )
+    bsum = blocks.groupBy("tau", "blk").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    w_lead = Window.partitionBy("tau").orderBy("blk")
+    fullb = bsum.filter(F.col("m") == F.col("tau")).select(
+        "tau", "s", F.lead("s").over(w_lead).alias("s_next")
+    )
+    diffs = (
+        fullb.filter(F.col("s_next").isNotNull())
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            _dsum(
+                (F.col("s_next") - F.col("s")).cast("decimal(38,0)")
+                * (F.col("s_next") - F.col("s"))
+            )
+            .cast("bigint")
+            .alias("ss"),
+        )
+    )
+    av = F.col("ss").cast("double") / (
+        2.0 * F.col("tau") * F.col("tau") * F.col("n_pairs")
+    )
+    return (
+        diffs.filter(F.col("n_pairs") > 0)
+        .select(
+            F.col("tau").alias("tau_days"),
+            "n_pairs",
+            F.col("ss").alias("sum_sq_diff"),
+            av.alias("allan_variance"),
+            F.sqrt(av).alias("allan_deviation"),
+        )
+        .orderBy("tau_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_regression_diagnostics — leverage / studentized residuals / Cook's D
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_regression_diagnostics",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mi AS (
+      SELECT month, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t,
+             x
+      FROM m
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS BIGINT) AS stt,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(t AS HUGEINT) * x) AS BIGINT) AS stx
+      FROM mi
+    ),
+    co AS (
+      SELECT n, st, sx,
+             CAST(n AS HUGEINT) * stx - CAST(st AS HUGEINT) * sx AS bn,
+             CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS bd
+      FROM mo WHERE n > 2
+    ),
+    res AS (
+      SELECT mi.month, mi.t, mi.x, c.n, c.st, c.bn, c.bd,
+             CAST(c.n AS HUGEINT) * c.bd * mi.x
+               - (c.bd * CAST(c.sx AS HUGEINT) - c.bn * c.st
+                  + CAST(c.n AS HUGEINT) * c.bn * mi.t) AS r_s,
+             c.bd + CAST(c.n * mi.t - c.st AS HUGEINT)
+                    * (c.n * mi.t - c.st) AS h_num
+      FROM mi CROSS JOIN co c
+      WHERE c.bd > 0
+    ),
+    sse AS (
+      SELECT CAST(min(n) AS BIGINT) AS n,
+             CAST(sum(r_s * r_s)
+                  // (CAST(min(n) AS HUGEINT) * min(bd)
+                      * (CAST(min(n) AS HUGEINT) * min(bd))
+                      * (min(n) - 2)) AS BIGINT) AS s2_q
+      FROM res
+    )
+    SELECT r.month, r.t AS t_index, r.x AS rev_kilo,
+           CAST(r.r_s AS BIGINT) AS resid_scaled,
+           CAST(r.h_num AS BIGINT) AS leverage_num,
+           CAST(r.h_num AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.bd AS
+             BIGINT)) AS leverage,
+           (CAST(r.r_s AS BIGINT) / (CAST(r.n AS DOUBLE) * CAST(r.bd AS
+             BIGINT)))
+             / (sqrt(CAST(s.s2_q AS DOUBLE))
+                * sqrt(1.0 - CAST(r.h_num AS DOUBLE)
+                       / (CAST(r.n AS DOUBLE) * CAST(r.bd AS BIGINT))))
+             AS studentized_resid,
+           ((CAST(r.r_s AS BIGINT) / (CAST(r.n AS DOUBLE) * CAST(r.bd AS
+             BIGINT)))
+             / (sqrt(CAST(s.s2_q AS DOUBLE))
+                * sqrt(1.0 - CAST(r.h_num AS DOUBLE)
+                       / (CAST(r.n AS DOUBLE) * CAST(r.bd AS BIGINT)))))
+           * ((CAST(r.r_s AS BIGINT) / (CAST(r.n AS DOUBLE) * CAST(r.bd AS
+             BIGINT)))
+             / (sqrt(CAST(s.s2_q AS DOUBLE))
+                * sqrt(1.0 - CAST(r.h_num AS DOUBLE)
+                       / (CAST(r.n AS DOUBLE) * CAST(r.bd AS BIGINT)))))
+           * (CAST(r.h_num AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.bd
+             AS BIGINT)))
+           / (2.0 * (1.0 - CAST(r.h_num AS DOUBLE)
+                     / (CAST(r.n AS DOUBLE) * CAST(r.bd AS BIGINT))))
+             AS cooks_d
+    FROM res r CROSS JOIN sse s
+    WHERE s.s2_q > 0
+    ORDER BY r.month
+    """,
+    doc="Per-month OLS diagnostics for the linear revenue trend: raw and "
+    "studentized residuals, leverage, and Cook's distance — the "
+    "influence analysis that tells you WHICH months drive "
+    "agg_regression's fit (a fit statistic without its diagnostics "
+    "hides single-point leverage; Cook's D > 4/n is the standard "
+    "triage bar). The slope/intercept never materialize: residuals "
+    "stay in the EXACT integer frame r_s = n*Bd*x_i - (Bd*Sx - Bn*St "
+    "+ n*Bn*t_i) with Bn/Bd the integer normal-equation terms, and "
+    "leverage is the exact rational (Bd + (n*t_i - St)^2)/(n*Bd) — "
+    "revenue quantizes to kilodollars (floor-div on non-negative "
+    "cents) so every scaled square stays inside DECIMAL(38,0) and the "
+    "floor-divided MSE s2_q sits far below 2^53. Studentized "
+    "residuals and Cook's D are fixed-order IEEE compositions of "
+    "those integers (float division handles the signed residual — no "
+    "integer div ever touches a negative). One monthly rollup; "
+    "everything downstream is month-cardinality-sized.",
+)
+def orders_regression_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    wi = Window.orderBy("month")
+    mi = m.select(
+        "month", F.row_number().over(wi).cast("bigint").alias("t"), "x"
+    )
+    mi = mi.persist()  # month-bounded; feeds moments AND residual rows
+    mo = mi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        _dsum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("bigint")
+        .alias("stt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        _dsum(F.col("t").cast("decimal(38,0)") * F.col("x"))
+        .cast("bigint")
+        .alias("stx"),
+    )
+    co = mo.filter(F.col("n") > 2).select(
+        "n",
+        "st",
+        "sx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * stx - CAST(st AS DECIMAL(38,0))"
+            " * sx"
+        ).alias("bn"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0))"
+            " * st"
+        ).alias("bd"),
+    )
+    res = mi.crossJoin(F.broadcast(co)).filter(F.col("bd") > 0).select(
+        "month",
+        "t",
+        "x",
+        "n",
+        "bd",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * bd * x"
+            " - (bd * CAST(sx AS DECIMAL(38,0)) - bn * st"
+            "    + CAST(n AS DECIMAL(38,0)) * bn * t)"
+        ).alias("r_s"),
+        F.expr(
+            "bd + CAST(n * t - st AS DECIMAL(38,0)) * (n * t - st)"
+        ).alias("h_num"),
+    )
+    res = res.persist()  # month-bounded; feeds SSE AND the output rows
+    sse = res.agg(
+        F.expr(
+            "CAST(sum(r_s * r_s)"
+            " div (CAST(min(n) AS DECIMAL(38,0)) * min(bd)"
+            "      * (CAST(min(n) AS DECIMAL(38,0)) * min(bd))"
+            "      * (min(n) - 2)) AS BIGINT)"
+        ).alias("s2_q")
+    )
+    nbd = F.col("n").cast("double") * F.col("bd").cast("bigint")
+    lev = F.col("h_num").cast("double") / nbd
+    rd = F.col("r_s").cast("bigint") / nbd
+    stud = rd / (
+        F.sqrt(F.col("s2_q").cast("double")) * F.sqrt(1.0 - lev)
+    )
+    out = (
+        res.crossJoin(F.broadcast(sse))
+        .filter(F.col("s2_q") > 0)
+        .select(
+            "month",
+            F.col("t").alias("t_index"),
+            F.col("x").alias("rev_kilo"),
+            F.col("r_s").cast("bigint").alias("resid_scaled"),
+            F.col("h_num").cast("bigint").alias("leverage_num"),
+            lev.alias("leverage"),
+            stud.alias("studentized_resid"),
+            (stud * stud * lev / (2.0 * (1.0 - lev))).alias("cooks_d"),
+        )
+        .orderBy("month")
+    )
+    return release_on_gc(mi, release_on_gc(res, out))
+
+
+# ---------------------------------------------------------------------------
+# similarity_recall_at_k — ANN quality evaluation against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from mongodb_nats_connector_spark.operators.similarity import (
+        _lsh_oracle,
+        similarity_topk_bruteforce,
+    )
+    from mongodb_nats_connector_spark.registry import _REGISTRY
+
+    truth_sql = _REGISTRY["similarity_topk_bruteforce"].oracle
+    assert similarity_topk_bruteforce is not None
+    return f"""
+    WITH truth AS ({truth_sql}),
+    approx AS ({_lsh_oracle()}),
+    hits AS (
+      SELECT t.query_id,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+             CAST(count(*) AS BIGINT) AS k
+      FROM truth t
+      LEFT JOIN approx a ON a.query_id = t.query_id
+                        AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id, n_matched, k,
+           CAST(n_matched AS DOUBLE) / k AS recall_at_k
+    FROM hits
+    ORDER BY query_id
+    """
+
+
+@register(
+    "similarity_recall_at_k",
+    oracle=_recall_oracle(),
+    doc="Recall@k of the sign-LSH ANN index against the exact brute-force "
+    "baseline, per query — the evaluation loop every ANN deployment "
+    "needs CLOSED (similarity_ann_lsh ships an index; this measures "
+    "whether its bucket recall actually holds, per query, as data "
+    "drifts — the pytest recall assertion promoted to a first-class, "
+    "oracle-checked operator). Both sides are the registry's own "
+    "constructions: the exact top-k (broadcast query set, JVM dot "
+    "products, per-query window) and the LSH top-k (10x8 sign-bit "
+    "tables, bucket-join candidates, exact re-scoring), joined on "
+    "(query, neighbor); matches are exact integer counts and recall "
+    "is one IEEE division per query row. The DuckDB twin composes the "
+    "two ops' own oracle texts as CTEs, so the evaluation is "
+    "hash-verified end-to-end. Scale path: inherited from the "
+    "composed ops — candidates bucket-join, never all-pairs; the "
+    "ground-truth side is query-bounded.",
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.similarity import (
+        similarity_ann_lsh,
+        similarity_topk_bruteforce,
+    )
+
+    truth = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").cast("bigint").alias("n_matched"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_matched",
+        "k",
+        (F.col("n_matched").cast("double") / F.col("k")).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("query_id")

@@ -372,6 +372,9 @@ _GLOBAL_WINDOWS = {
     "orders_decile_lift": (5, "bounded: n_buckets offset/total windows "
                               "(two-pass rank) + 10-row decile cums"),
     "orders_rescaled_range": (1, "bounded: daily series row index"),
+    "events_allan_variance": (1, "bounded: daily series row index"),
+    "orders_regression_diagnostics": (1, "bounded: monthly series row "
+                                         "index"),
 }
 
 

@@ -362,7 +362,10 @@ def test_no_new_bare_persists():
         # returned result
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
-        "operators/pipeline13.py": 6,  # JT priority x price-domain cells
+        "operators/pipeline13.py": 11,  # quade monthly grid + gated grid
+        # + score cells (bounded, multi-consumer), regression-diagnostics
+        # month index + residual rows (moments + output consumers),
+        # JT priority x price-domain cells
         # (grid + group sums), page-test monthly grid (gate + join
         # sides), decile-lift input (cached BEFORE the two-pass boundary
         # sketch), c-index duration x bucket cells (grid + distinct
