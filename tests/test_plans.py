@@ -255,6 +255,20 @@ _ALLOWED_NESTED_LOOP = {
     "agg_gini_impurity_split",    # 1-row total scalar broadcast crossJoin
     # pipeline12 (round-11 bank)
     "agg_mann_kendall",           # calendar-bounded sign-pair NLJ (by design) + 1-row scalars
+    # pipeline13 (round 11): 1-row scalar / bounded-literal broadcast
+    # crossJoins only — no data-proportional NLJ
+    "agg_jonckheere_terpstra",    # 1-row group-moment scalars broadcast crossJoin
+    "agg_permutation_test",       # 200-row perm-id literal + 1-row obs/judged scalars
+    "agg_quade_test",             # years^2-bounded range-rank NLJ + 1-row scalars
+    "agg_youden_threshold",       # 1-row class-total scalars broadcast crossJoin
+    "events_allan_variance",      # 3-row tau literal broadcast crossJoin
+    "events_mosum_changepoint",   # 1-row moment scalars broadcast crossJoin
+    "orders_decile_lift",         # 1-row response-total scalars broadcast crossJoin
+    "orders_eoq_policy",          # 1-row calendar-span scalar broadcast crossJoin
+    "orders_regression_diagnostics",  # 1-row normal-equation scalars broadcast crossJoins
+    "orders_rescaled_range",      # 4-row scale literal broadcast crossJoin
+    "orders_survival_cindex",     # 1-row horizon scalar broadcast crossJoin
+    "similarity_recall_at_k",     # inherits the bruteforce op's bounded query-set NLJ
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
