@@ -30,10 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongodb_nats_connector_spark.plans.caching import (
-    persist_until_collected,
-    release_on_gc,
-)
+from mongodb_nats_connector_spark.plans.caching import release_on_gc
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -99,7 +96,9 @@ def _dsum(expr: F.Column) -> F.Column:
            s20 AS s2_group0, s21 AS s2_group1,
            (CAST(t21 AS DOUBLE) / n1 - (n1 + 1)) / (2.0 * n0) AS p_hat,
            (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
-             * CAST(abs(num) // (2 * (n0 + n1)) AS DOUBLE)
+             * (CAST((abs(num) // (2 * (n0 + n1))) // 67108864 AS DOUBLE)
+                  * 67108864.0
+                + CAST((abs(num) // (2 * (n0 + n1))) % 67108864 AS DOUBLE))
              / sqrt(CAST(n0 AS DOUBLE) * s20 + CAST(n1 AS DOUBLE) * s21)
              AS w_bm
     FROM q
@@ -124,7 +123,13 @@ def _dsum(expr: F.Column) -> F.Column:
     " - (sum(c*d2))^2) div (4*n_k*(n_k-1)) stay exact in DECIMAL/HUGEINT "
     "and floor-divide to sub-2^53 integers before the one double "
     "conversion each; the statistic numerator n0*T2_1 - n1*T2_0 (which "
-    "can be negative) ships as |num| div 2N with an explicit sign factor. "
+    "can be negative) enters the float frame as |num| div 2N split into "
+    "hi*2^26 + lo doubles (each piece far below 2^53 at any realistic "
+    "scale, their IEEE sum exactly reproducing the quotient below 2^53 "
+    "and correctly rounding it above — no engine-divergent wide cast, "
+    "no precision loss) with an explicit sign factor; the placement "
+    "variances share the ansari-family bound note (exact below "
+    "~1e8-row groups at the verified scales). "
     "W = num / ((n0+n1)*sqrt(n0*S0^2 + n1*S1^2)) is then a fixed-order "
     "IEEE expression over identical integers on both engines. One "
     "map-combined domain rollup, one bounded prefix window, one scalar "
@@ -214,7 +219,10 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.when(F.col("num") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
             * F.expr(
-                "CAST(abs(num) div (2 * (n0 + n1)) AS DOUBLE)"
+                "CAST((abs(num) div (2 * (n0 + n1))) div 67108864"
+                " AS DOUBLE) * 67108864.0"
+                " + CAST((abs(num) div (2 * (n0 + n1))) % 67108864"
+                " AS DOUBLE)"
             )
             / F.sqrt(denom)
         ).alias("w_bm"),
@@ -276,15 +284,15 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.j2, gs.n, gs.k,
              CAST(gs.n AS HUGEINT) * gs.n - gs.sn2 AS e4,
              CAST((CAST(gs.n AS HUGEINT) * gs.n * (2 * gs.n + 3) - gs.sn23)
-                  // gs.n AS BIGINT) AS vd
+                  // (CAST(gs.n AS HUGEINT) * gs.n) AS BIGINT) AS vd
       FROM s CROSS JOIN gs
     )
     SELECT k AS n_groups, n AS n_total, j2 AS jt_x2,
            CAST(e4 AS BIGINT) AS null_mean_x4,
-           vd AS var_div_n_x16_mul_9_inv,
+           vd AS var_div_n2,
            CAST(2 * j2 - e4 AS DOUBLE)
-             / sqrt(CAST(vd AS DOUBLE) * CAST(n AS DOUBLE) * 2.0 / 9.0)
-             AS jt_z
+             / sqrt(CAST(vd AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) * 2.0 / 9.0) AS jt_z
     FROM fin
     WHERE n > 2 AND vd > 0
     """,
@@ -306,8 +314,9 @@ def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correction term is < 1e-5 of Var here): E[J]*4 = N^2 - sum n_i^2 "
     "exact, and the variance numerator N^2(2N+3) - sum n_i^2(2n_i+3) "
     "(which crosses 2^53 at sf1) stays HUGEINT/DECIMAL-exact and "
-    "floor-divides by N to a sub-2^53 integer before the one double "
-    "conversion; z = (4J - 4E)/sqrt(16*Var) with 16*Var = 2*vd*N/9 in "
+    "floor-divides by N^2 to a ~4N integer — sub-2^53 at ANY realistic "
+    "scale, not just the verified one — before the one double "
+    "conversion; z = (4J - 4E)/sqrt(16*Var) with 16*Var = 2*vd*N^2/9 in "
     "fixed IEEE order. Both windows are partitioned with bounded "
     "per-partition inputs; the fact table compacts in one map-combined "
     "rollup.",
@@ -386,7 +395,7 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e4"),
         F.expr(
             "CAST((CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - sn23)"
-            " div n AS BIGINT)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("vd"),
     )
     out = fin.filter((F.col("n") > 2) & (F.col("vd") > 0)).select(
@@ -394,11 +403,12 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_total"),
         F.col("j2").alias("jt_x2"),
         F.col("e4").alias("null_mean_x4"),
-        F.col("vd").alias("var_div_n_x16_mul_9_inv"),
+        F.col("vd").alias("var_div_n2"),
         (
             (2 * F.col("j2") - F.col("e4")).cast("double")
             / F.sqrt(
                 F.col("vd").cast("double")
+                * F.col("n").cast("double")
                 * F.col("n").cast("double")
                 * 2.0
                 / 9.0
@@ -413,9 +423,33 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pyramidal_sql(n: str, div: str) -> str:
+    """Exact n(n+1)(2n+1)/6 with NO wide division: the /2 and /3 reduce
+    whichever small FACTOR they divide (case analysis over n mod 6 —
+    every branch divides exactly), then the three reduced factors
+    multiply in DECIMAL/HUGEINT. ``div`` is the dialect's integer
+    division token (Spark: div, DuckDB: //)."""
+    fa = f"(CASE WHEN ({n}) % 2 = 0 THEN ({n}) {div} 2 ELSE ({n}) END)"
+    fb = (
+        f"(CASE WHEN ({n}) % 2 = 0 THEN ({n}) + 1"
+        f" ELSE (({n}) + 1) {div} 2 END)"
+    )
+    fa2 = f"(CASE WHEN ({n}) % 3 = 0 THEN {fa} {div} 3 ELSE {fa} END)"
+    fb2 = f"(CASE WHEN ({n}) % 3 = 2 THEN {fb} {div} 3 ELSE {fb} END)"
+    fc2 = (
+        f"(CASE WHEN ({n}) % 3 = 1 THEN (2 * ({n}) + 1) {div} 3"
+        f" ELSE 2 * ({n}) + 1 END)"
+    )
+    return f"(CAST({fa2} AS DECIMAL(38,0)) * {fb2} * {fc2})"
+
+
+def _pyramidal_duck(n: str) -> str:
+    return _pyramidal_sql(n, "//").replace("DECIMAL(38,0)", "HUGEINT")
+
+
 @register(
     "agg_cvm_two_sample",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT CAST(round(l_quantity) AS BIGINT) AS v,
              CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
@@ -437,19 +471,23 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                    AND 1 PRECEDING)
     ),
-    terms AS (
-      SELECT cr, ca,
-             CAST(mr2 - 2 * pr AS HUGEINT) AS dr,
-             CAST(mr2 - 2 * pa AS HUGEINT) AS da
+    parts AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ca) AS BIGINT) AS na,
+             sum(CAST(cr AS HUGEINT) * mr2 * mr2
+                 - CAST(4 AS HUGEINT) * mr2
+                   * (CAST(cr AS HUGEINT) * pr
+                      + (CAST(cr AS HUGEINT) * (cr + 1)) // 2)) AS s4r_part,
+             sum(CAST(ca AS HUGEINT) * mr2 * mr2
+                 - CAST(4 AS HUGEINT) * mr2
+                   * (CAST(ca AS HUGEINT) * pa
+                      + (CAST(ca AS HUGEINT) * (ca + 1)) // 2)) AS s4a_part
       FROM pre
     ),
     s AS (
-      SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ca) AS BIGINT) AS na,
-             sum(cr * dr * dr - 2 * dr * cr * (cr + 1)
-                 + (2 * cr * (cr + 1) * (2 * cr + 1)) // 3) AS s4r,
-             sum(ca * da * da - 2 * da * ca * (ca + 1)
-                 + (2 * ca * (ca + 1) * (2 * ca + 1)) // 3) AS s4a
-      FROM terms
+      SELECT nr, na,
+             s4r_part + 4 * {_pyramidal_duck("nr")} AS s4r,
+             s4a_part + 4 * {_pyramidal_duck("na")} AS s4a
+      FROM parts
     ),
     u AS (
       SELECT nr, na, nr + na AS n,
@@ -474,18 +512,20 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supremum distance (CvM weighs the WHOLE curve, KS only the worst "
     "point, so CvM catches broad mild shifts KS misses). Anderson's "
     "rank form U = n_r*sum_i(r_i - i)^2 + n_a*sum_j(s_j - j)^2 runs "
-    "entirely over the ~50-value quantity DOMAIN: for a bucket with c "
-    "tied members at doubled midrank mr2 and p within-group predecessors, "
-    "sum over the tied block of (2r - 2i)^2 telescopes to the closed "
-    "form c*D^2 - 2*D*c*(c+1) + 2c(c+1)(2c+1)/3 with D = mr2 - 2p "
-    "(c(c+1)(2c+1) is divisible by 6, so the //3 is exact; D >= 1 "
-    "always, no negative divisions). 4U crosses 2^53 already at sf0.1 "
-    "so it stays HUGEINT/DECIMAL-exact end-to-end; the statistic "
-    "T = U/(n_r*n_a*N) - (4*n_r*n_a - 1)/(6N) ships as the difference "
-    "of two floor-divided nano-scaled integers (each numerator "
-    "provably non-negative) — t_nano is the exact BIGINT hash anchor "
-    "and cvm_t its one-division display twin. One map-combined domain "
-    "rollup, one bounded prefix window, one scalar row.",
+    "entirely over the ~50-value quantity DOMAIN, factorized so that "
+    "NO per-bucket cubic division exists: per bucket only c*mr2^2 and "
+    "4*mr2*(c*p + c(c+1) div 2) accumulate (the triangular div 2 is "
+    "exact and long-safe to c ~ 4e9), and the single sum-of-squares "
+    "term 4*P(n_g) per GROUP uses the division-free pyramidal "
+    "construction: /2 and /3 reduce whichever SMALL factor of "
+    "n(n+1)(2n+1) they divide exactly (n mod 6 case analysis), so the "
+    "cubic never meets an integer division and stays HUGEINT/DECIMAL-"
+    "exact at ANY scale. The statistic T = U/(n_r*n_a*N) - "
+    "(4*n_r*n_a - 1)/(6N) ships as the difference of two floor-divided "
+    "nano-scaled integers (each numerator provably non-negative); "
+    "t_nano is the exact BIGINT hash anchor and cvm_t its one-division "
+    "display twin. One map-combined domain rollup, one bounded prefix "
+    "window, one scalar row.",
 )
 def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
@@ -510,29 +550,33 @@ def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cr").over(w), F.lit(0)).cast("bigint").alias("pr"),
         F.coalesce(F.sum("ca").over(w), F.lit(0)).cast("bigint").alias("pa"),
     )
-    terms = pre.select(
-        "cr",
-        "ca",
-        (F.col("mr2") - 2 * F.col("pr")).cast("decimal(38,0)").alias("dr"),
-        (F.col("mr2") - 2 * F.col("pa")).cast("decimal(38,0)").alias("da"),
-    )
-    s = terms.agg(
+    parts = pre.agg(
         F.sum("cr").cast("bigint").alias("nr"),
         F.sum("ca").cast("bigint").alias("na"),
         F.sum(
             F.expr(
-                "cr * dr * dr - 2 * dr * cr * (cr + 1)"
-                " + (CAST(2 AS DECIMAL(38,0)) * cr * (cr + 1)"
-                "    * (2 * cr + 1)) div 3"
+                "CAST(cr AS DECIMAL(38,0)) * mr2 * mr2"
+                " - CAST(4 AS DECIMAL(38,0)) * mr2"
+                "   * (CAST(cr AS DECIMAL(38,0)) * pr"
+                "      + (CAST(cr AS DECIMAL(38,0)) * (cr + 1)) div 2)"
             )
-        ).alias("s4r"),
+        ).alias("s4r_part"),
         F.sum(
             F.expr(
-                "ca * da * da - 2 * da * ca * (ca + 1)"
-                " + (CAST(2 AS DECIMAL(38,0)) * ca * (ca + 1)"
-                "    * (2 * ca + 1)) div 3"
+                "CAST(ca AS DECIMAL(38,0)) * mr2 * mr2"
+                " - CAST(4 AS DECIMAL(38,0)) * mr2"
+                "   * (CAST(ca AS DECIMAL(38,0)) * pa"
+                "      + (CAST(ca AS DECIMAL(38,0)) * (ca + 1)) div 2)"
             )
-        ).alias("s4a"),
+        ).alias("s4a_part"),
+    )
+    pyr_r = _pyramidal_sql("nr", "div")
+    pyr_a = _pyramidal_sql("na", "div")
+    s = parts.select(
+        "nr",
+        "na",
+        F.expr(f"s4r_part + 4 * {pyr_r}").alias("s4r"),
+        F.expr(f"s4a_part + 4 * {pyr_a}").alias("s4a"),
     )
     u = s.filter((F.col("nr") > 0) & (F.col("na") > 0)).select(
         "nr",
@@ -554,7 +598,6 @@ def agg_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_nano.alias("t_nano"),
         (t_nano.cast("double") / 1000000000.0).alias("cvm_t"),
     )
-
 
 # ---------------------------------------------------------------------------
 # agg_page_trend_test — Page's L test for ordered trend within blocks
@@ -2485,7 +2528,7 @@ PERM_SALT = "permv1_"
     WHERE o.n1 > 0 AND o.n0 > 0
     """,
     doc=f"Randomization test for the weekend-vs-weekday daily revenue "
-    "difference: relabel each day {PERM_B} times by a salted-md5 coin "
+    f"difference: relabel each day {PERM_B} times by a salted-md5 coin "
     "and ask how often the relabeled |mean difference| meets or beats "
     "the observed one — the assumption-free complement to "
     "agg_welch_ttest (no normality, no variance model; the reference "
@@ -3002,7 +3045,7 @@ def _katz_oracle() -> str:
     "partners scores high even if those partners trade widely, where "
     "PageRank would dilute the contribution). Fixed-point integer "
     "micro-units make every iteration exact: x' = SCALE + (sum of "
-    "neighbor x) div {KATZ_ALPHA_DEN} on provably positive values, so "
+    f"neighbor x) div {KATZ_ALPHA_DEN} on provably positive values, so "
     "integer partial sums commute and the result is partitioning- and "
     "engine-independent; isolated nodes keep the base score via the "
     "left join. The adjacency aggregates once from the fact tables "
