@@ -3669,3 +3669,202 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonality_strength — F_S / F_T variance-decomposition strengths
+# ---------------------------------------------------------------------------
+
+SEAS_L = 1_000_000  # seasonal-mean quantization (per-month counts vary)
+
+
+def _sgn_div(num: str, den: str, div: str) -> str:
+    """Deterministic signed scaled division: sign(num) * (|num| * L div
+    den) — floor on the non-negative magnitude, identical on both engines
+    (integer division on negatives is engine-divergent)."""
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -(abs({num}) * {SEAS_L} {div} ({den}))"
+        f" ELSE (({num}) * {SEAS_L} {div} ({den})) END)"
+    )
+
+
+@register(
+    "orders_seasonality_strength",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS moy,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    ),
+    mi AS (
+      SELECT month, moy, x,
+             CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i
+      FROM m
+    ),
+    tr AS (
+      SELECT month, moy, x,
+             lag(x, 6) OVER w + 2 * sum(x) OVER (ORDER BY i
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+               + lead(x, 6) OVER w AS t24,
+             CAST(count(*) OVER (ORDER BY i
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS wn
+      FROM mi
+      WINDOW w AS (ORDER BY i)
+    ),
+    dt AS (
+      SELECT month, moy, x, CAST(24 * x - t24 AS BIGINT) AS detr24
+      FROM tr WHERE wn = 13 AND t24 IS NOT NULL
+    ),
+    sm AS (
+      SELECT moy, CAST(sum(detr24) AS BIGINT) AS s_num,
+             CAST(count(*) AS BIGINT) AS d
+      FROM dt GROUP BY moy
+    ),
+    su AS (
+      SELECT moy, CAST({_sgn_div("s_num", "d", "//")} AS HUGEINT) AS s_u
+      FROM sm
+    ),
+    rows_u AS (
+      SELECT CAST(dt.detr24 AS HUGEINT) * {SEAS_L} AS detr_u,
+             CAST(dt.x AS HUGEINT) * 24 * {SEAS_L} - su.s_u AS deseas_u,
+             CAST(dt.detr24 AS HUGEINT) * {SEAS_L} - su.s_u AS resid_u
+      FROM dt JOIN su ON su.moy = dt.moy
+    ),
+    ss AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(resid_u) AS sr, sum(resid_u * resid_u) AS srr,
+             sum(detr_u) AS sd, sum(detr_u * detr_u) AS sdd,
+             sum(deseas_u) AS se, sum(deseas_u * deseas_u) AS see
+      FROM rows_u
+    ),
+    f AS (
+      SELECT CAST(n AS BIGINT) AS n_months,
+             CAST(greatest(CAST(0 AS HUGEINT), 1000000000
+               - (n * srr - sr * sr) * 1000000000
+                 // (n * sdd - sd * sd)) AS BIGINT) AS fs_ppb,
+             CAST(greatest(CAST(0 AS HUGEINT), 1000000000
+               - (n * srr - sr * sr) * 1000000000
+                 // (n * see - se * se)) AS BIGINT) AS ft_ppb
+      FROM ss
+      WHERE n > 1 AND n * sdd - sd * sd > 0 AND n * see - se * se > 0
+    )
+    SELECT n_months, fs_ppb, ft_ppb,
+           fs_ppb / 1000000000.0 AS f_seasonal,
+           ft_ppb / 1000000000.0 AS f_trend
+    FROM f
+    """,
+    doc="Seasonal and trend STRENGTH of the monthly revenue series via "
+    "the STL variance decomposition (Hyndman's FPP measures: F_S = "
+    "max(0, 1 - Var(R)/Var(S+R)), F_T = max(0, 1 - Var(R)/Var(T+R))) "
+    "— the single-number summary that says HOW seasonal/trending the "
+    "series is, turning orders_seasonal_decompose's component table "
+    "into routable features (orders_holt_winters assumes strong "
+    "seasonality; this measures it). Components stay integer: trend "
+    "is the classical 2x12 MA as the exact 24x combination lag6 + "
+    "2*sum(+-5) + lead6 over the month index (full 13-windows only), "
+    "seasonal means are the signed-magnitude quantized s_num*1e6 div "
+    "count per month-of-year (counts vary 5-7, so exact rational rows "
+    "would carry mixed denominators; the 1e-6 relative quantization "
+    "is deterministic on both engines), and revenue quantizes to "
+    "kilodollars so every squared sum fits DECIMAL(38,0). Both "
+    "strengths are RATIOS of exact centered sums-of-squares, so no "
+    "wide integer ever casts to double: fs/ft ship as 1e9 - SSR*1e9 "
+    "div SS (floor on non-negative numerators, greatest(0, .) on "
+    "exact integers) with one display division each. One monthly "
+    "rollup; everything downstream is month-cardinality-sized.",
+)
+def orders_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.month("o_orderdate").cast("bigint").alias("moy"),
+    ).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    wi = Window.orderBy("month")
+    mi = m.select(
+        "month",
+        "moy",
+        "x",
+        F.row_number().over(wi).cast("bigint").alias("i"),
+    )
+    w_ord = Window.orderBy("i")
+    w_mid = w_ord.rowsBetween(-5, 5)
+    w_full = w_ord.rowsBetween(-6, 6)
+    tr = mi.select(
+        "month",
+        "moy",
+        "x",
+        (
+            F.lag("x", 6).over(w_ord)
+            + 2 * F.sum("x").over(w_mid)
+            + F.lead("x", 6).over(w_ord)
+        ).alias("t24"),
+        F.count(F.lit(1)).over(w_full).cast("bigint").alias("wn"),
+    )
+    dt = tr.filter((F.col("wn") == 13) & F.col("t24").isNotNull()).select(
+        "moy", "x", (24 * F.col("x") - F.col("t24")).cast("bigint").alias(
+            "detr24"
+        )
+    )
+    dt = dt.persist()  # month-bounded; feeds seasonal means AND rows
+    sm = dt.groupBy("moy").agg(
+        F.sum("detr24").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    su = sm.select(
+        "moy",
+        F.expr(
+            f"CAST({_sgn_div('s_num', 'd', 'div')} AS DECIMAL(38,0))"
+        ).alias("s_u"),
+    )
+    rows_u = dt.join(F.broadcast(su), "moy").select(
+        (F.col("detr24").cast("decimal(38,0)") * SEAS_L).alias("detr_u"),
+        (
+            F.col("x").cast("decimal(38,0)") * 24 * SEAS_L - F.col("s_u")
+        ).alias("deseas_u"),
+        (
+            F.col("detr24").cast("decimal(38,0)") * SEAS_L - F.col("s_u")
+        ).alias("resid_u"),
+    )
+    ss = rows_u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("resid_u").alias("sr"),
+        F.sum(F.col("resid_u") * F.col("resid_u")).alias("srr"),
+        F.sum("detr_u").alias("sd"),
+        F.sum(F.col("detr_u") * F.col("detr_u")).alias("sdd"),
+        F.sum("deseas_u").alias("se"),
+        F.sum(F.col("deseas_u") * F.col("deseas_u")).alias("see"),
+    )
+    f = ss.filter(
+        (F.col("n") > 1)
+        & (F.expr("n * sdd - sd * sd") > 0)
+        & (F.expr("n * see - se * se") > 0)
+    ).select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)), 1000000000"
+            " - (n * srr - sr * sr) * 1000000000"
+            "   div (n * sdd - sd * sd)) AS BIGINT)"
+        ).alias("fs_ppb"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)), 1000000000"
+            " - (n * srr - sr * sr) * 1000000000"
+            "   div (n * see - se * se)) AS BIGINT)"
+        ).alias("ft_ppb"),
+    )
+    out = f.select(
+        "n_months",
+        "fs_ppb",
+        "ft_ppb",
+        (F.col("fs_ppb") / 1000000000.0).alias("f_seasonal"),
+        (F.col("ft_ppb") / 1000000000.0).alias("f_trend"),
+    )
+    return release_on_gc(dt, out)

@@ -389,6 +389,8 @@ _GLOBAL_WINDOWS = {
     "events_allan_variance": (1, "bounded: daily series row index"),
     "orders_regression_diagnostics": (1, "bounded: monthly series row "
                                          "index"),
+    "orders_seasonality_strength": (2, "bounded: monthly series (row "
+                                       "index + MA windows)"),
 }
 
 
