@@ -3868,3 +3868,79 @@ def orders_seasonality_strength(
         (F.col("ft_ppb") / 1000000000.0).alias("f_trend"),
     )
     return release_on_gc(dt, out)
+
+
+# ---------------------------------------------------------------------------
+# text_gunning_fog — complex-word readability per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_gunning_fog",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+                  AS BIGINT) AS n_complex
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_complex,
+           0.4 * (CAST(n_words AS DOUBLE) / n_sentences
+                  + 100.0 * n_complex / n_words) AS fog_index
+    FROM f
+    WHERE n_words > 0
+    """,
+    doc="Gunning fog index per document: 0.4*(words/sentence + 100*"
+    "complex/words) with 'complex' = three or more vowel groups (the "
+    "same dialect-safe [aeiouy]+ heuristic as text_readability_flesch, "
+    "applied per word) — the third readability family beside Flesch's "
+    "per-syllable rate and ARI/CLI's character counts: fog keys on the "
+    "TAIL of the syllable distribution (share of polysyllabic words), "
+    "so it separates jargon-dense prose from merely long-winded prose "
+    "the averages conflate. Word/sentence/complex counts are exact "
+    "integers from one map-side projection (the per-word filter is a "
+    "JVM higher-order function over the whitespace split — no UDF); "
+    "the index is one fixed-order IEEE expression. Zero shuffles.",
+)
+def text_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(
+            F.expr(
+                "filter(split(lower(text), ' '),"
+                " w -> size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_complex"),
+    )
+    return f.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_complex",
+        (
+            0.4
+            * (
+                F.col("n_words").cast("double") / F.col("n_sentences")
+                + 100.0 * F.col("n_complex") / F.col("n_words")
+            )
+        ).alias("fog_index"),
+    )
