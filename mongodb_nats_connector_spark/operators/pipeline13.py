@@ -3944,3 +3944,333 @@ def text_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fog_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cochran_armitage — trend test for a binary outcome across dose groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cochran_armitage",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(4 AS BIGINT),
+                   (CAST(round(l_quantity) AS BIGINT) - 1) // 10) AS g,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(y) AS BIGINT) AS r_g
+      FROM b GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(r_g) AS BIGINT) AS r,
+             CAST(sum(CAST(g AS HUGEINT) * n_g) AS BIGINT) AS swn,
+             CAST(sum(CAST(g AS HUGEINT) * r_g) AS BIGINT) AS swr,
+             CAST(sum(CAST(g AS HUGEINT) * g * n_g) AS BIGINT) AS sw2n
+      FROM cells
+    ),
+    q AS (
+      SELECT n, r,
+             CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn AS t_num,
+             CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn
+               AS var_w
+      FROM m WHERE n > 1 AND r > 0 AND r < n
+    )
+    SELECT n AS n_total, r AS n_pos,
+           CAST(t_num AS BIGINT) AS trend_num,
+           CAST(var_w AS BIGINT) AS weight_var_num,
+           (CASE WHEN t_num < 0 THEN -1.0 ELSE 1.0 END)
+             * (CAST((abs(t_num) // 67108864) AS DOUBLE) * 67108864.0
+                + CAST(abs(t_num) % 67108864 AS DOUBLE))
+             / sqrt(CAST(r AS DOUBLE) * (n - r) / n
+                    * (CAST((var_w // 67108864) AS DOUBLE) * 67108864.0
+                       + CAST(var_w % 67108864 AS DOUBLE)))
+             AS ca_z
+    FROM q
+    WHERE var_w > 0
+    """,
+    doc="Cochran-Armitage trend test: does the probability of a RETURN "
+    "rise monotonically across the five quantity dose groups (1-10, "
+    "11-20, ..., 41+)? — the 2xk companion of agg_jonckheere_terpstra "
+    "for a BINARY outcome (chi-square asks 'any difference', CA asks "
+    "'a linear-in-dose trend', the standard epidemiology/AB-testing "
+    "form). With integer dose scores w = 0..4, the statistic T = "
+    "N*sum(w*r_g) - R*sum(w*n_g) and the score variance piece "
+    "N*sum(w^2*n_g) - (sum(w*n_g))^2 are exact HUGEINT/DECIMAL "
+    "integers (both emitted as BIGINT anchors); z = T / sqrt(R(N-R)/N "
+    "* var_w) enters the float frame through the hi*2^26 + lo split "
+    "on BOTH wide integers (the agg_brunner_munzel recipe — "
+    "bit-identical to a plain cast below 2^53, correctly rounded "
+    "above, never engine-divergent), with the signed numerator "
+    "handled by an explicit sign factor. One map-combined 5-cell "
+    "rollup; nothing row-proportional.",
+)
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.least(
+            F.lit(4).cast("bigint"),
+            F.expr("(CAST(round(l_quantity) AS BIGINT) - 1) div 10"),
+        ).alias("g"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    cells = b.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("r_g"),
+    )
+    m = cells.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("r_g").cast("bigint").alias("r"),
+        _dsum(F.col("g") * F.col("n_g")).cast("bigint").alias("swn"),
+        _dsum(F.col("g") * F.col("r_g")).cast("bigint").alias("swr"),
+        _dsum(F.col("g").cast("decimal(38,0)") * F.col("g") * F.col("n_g"))
+        .cast("bigint")
+        .alias("sw2n"),
+    )
+    q = m.filter(
+        (F.col("n") > 1) & (F.col("r") > 0) & (F.col("r") < F.col("n"))
+    ).select(
+        "n",
+        "r",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * swr - CAST(r AS DECIMAL(38,0))"
+            " * swn"
+        ).alias("t_num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0))"
+            " * swn"
+        ).alias("var_w"),
+    )
+    hi_lo_t = F.expr(
+        "CAST((abs(t_num) div 67108864) AS DOUBLE) * 67108864.0"
+        " + CAST(abs(t_num) % 67108864 AS DOUBLE)"
+    )
+    hi_lo_v = F.expr(
+        "CAST((var_w div 67108864) AS DOUBLE) * 67108864.0"
+        " + CAST(var_w % 67108864 AS DOUBLE)"
+    )
+    return q.filter(F.col("var_w") > 0).select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_pos"),
+        F.col("t_num").cast("bigint").alias("trend_num"),
+        F.col("var_w").cast("bigint").alias("weight_var_num"),
+        (
+            F.when(F.col("t_num") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * hi_lo_t
+            / F.sqrt(
+                F.col("r").cast("double")
+                * (F.col("n") - F.col("r"))
+                / F.col("n")
+                * hi_lo_v
+            )
+        ).alias("ca_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_profile — hour-of-day x day-of-week activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS hod,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+               AS dow
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT hod, dow, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+    mx AS (SELECT CAST(max(n) AS BIGINT) AS peak FROM cells)
+    SELECT c.hod AS hour_of_day, c.dow AS day_of_week_thu0, c.n AS n_events,
+           CAST(CAST(c.n AS HUGEINT) * 1000000000 // t.total AS BIGINT)
+             AS share_ppb,
+           c.n = m.peak AS is_peak_cell,
+           CAST(CAST(c.n AS HUGEINT) * 1000000 // m.peak AS BIGINT)
+             AS rel_intensity_ppm
+    FROM cells c CROSS JOIN tot t CROSS JOIN mx m
+    ORDER BY hour_of_day, day_of_week_thu0
+    """,
+    doc="Hour-of-day x day-of-week activity heatmap over the event "
+    "stream: per-cell counts, corpus share, and intensity relative to "
+    "the peak cell — the capacity-planning / anomaly-baseline profile "
+    "every event pipeline dashboards (events_daily_anomaly needs "
+    "exactly this expectation surface to de-seasonalize intra-week "
+    "cycles). Weekday uses the epoch-day mod-7 idiom (0 = Thursday) "
+    "both engines compute identically on DATEs; counts, ppb shares "
+    "and ppm intensities are exact integers (non-negative floor "
+    "divisions); the peak flag compares exact counts. One "
+    "map-combined rollup onto the bounded 24x7 grid; the scalar "
+    "total/peak broadcast. Trivially scale-free.",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        F.hour("ts").cast("bigint").alias("hod"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            )
+            % 7
+        )
+        .cast("bigint")
+        .alias("dow"),
+    )
+    cells = e.groupBy("hod", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = cells.persist()  # 24x7-bounded grid; feeds total, peak, rows
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    mx = cells.agg(F.max("n").cast("bigint").alias("peak"))
+    out = (
+        cells.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("hod").alias("hour_of_day"),
+            F.col("dow").alias("day_of_week_thu0"),
+            F.col("n").alias("n_events"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000000 div total"
+                " AS BIGINT)"
+            ).alias("share_ppb"),
+            (F.col("n") == F.col("peak")).alias("is_peak_cell"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div peak"
+                " AS BIGINT)"
+            ).alias("rel_intensity_ppm"),
+        )
+        .orderBy("hour_of_day", "day_of_week_thu0")
+    )
+    return release_on_gc(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_median_polish — Tukey's two-way robust decomposition
+# ---------------------------------------------------------------------------
+
+
+def _med2_duck(col: str) -> str:
+    """Median x2-then-halved over a DuckDB list aggregate: sum of the two
+    middles of the ordered list, divided by 2 — exact (the sum of two
+    same-parity-scaled integers is even by the x16 pre-scaling), so sign
+    never meets a flooring division."""
+    return (
+        f"(list({col} ORDER BY {col})"
+        f"   [(count(*) + 1) // 2]"
+        f" + list({col} ORDER BY {col})"
+        f"   [count(*) // 2 + 1]) // 2"
+    )
+
+
+@register(
+    "orders_median_polish",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+             CAST(16 * sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    ),
+    full_years AS (SELECT yr FROM m GROUP BY yr HAVING count(*) = 12),
+    g0 AS (SELECT m.yr, m.mo, m.v FROM m JOIN full_years f ON f.yr = m.yr),
+    r1 AS (SELECT yr, CAST({_med2_duck("v")} AS BIGINT) AS rm FROM g0
+           GROUP BY yr),
+    g1 AS (SELECT g.yr, g.mo, g.v - r.rm AS v, r.rm AS re
+           FROM g0 g JOIN r1 r ON r.yr = g.yr),
+    c1 AS (SELECT mo, CAST({_med2_duck("v")} AS BIGINT) AS cm FROM g1
+           GROUP BY mo),
+    g2 AS (SELECT g.yr, g.mo, g.v - c.cm AS v, g.re, c.cm AS ce
+           FROM g1 g JOIN c1 c ON c.mo = g.mo),
+    r2 AS (SELECT yr, CAST({_med2_duck("v")} AS BIGINT) AS rm FROM g2
+           GROUP BY yr),
+    g3 AS (SELECT g.yr, g.mo, g.v - r.rm AS v, g.re + r.rm AS re, g.ce
+           FROM g2 g JOIN r2 r ON r.yr = g.yr),
+    c2 AS (SELECT mo, CAST({_med2_duck("v")} AS BIGINT) AS cm FROM g3
+           GROUP BY mo),
+    g4 AS (SELECT g.yr, g.mo, g.v - c.cm AS v, g.re, g.ce + c.cm AS ce
+           FROM g3 g JOIN c2 c ON c.mo = g.mo)
+    SELECT yr AS year, mo AS month,
+           CAST(v AS BIGINT) AS resid_x16,
+           CAST(re AS BIGINT) AS year_effect_x16,
+           CAST(ce AS BIGINT) AS month_effect_x16,
+           CAST(v AS DOUBLE) / 1600.0 AS residual,
+           CAST(re AS DOUBLE) / 1600.0 AS year_effect,
+           CAST(ce AS DOUBLE) / 1600.0 AS month_effect
+    FROM g4
+    ORDER BY year, month
+    """,
+    doc="Tukey's median polish of the year x month revenue grid (two "
+    "full row/column cycles): robust additive decomposition value = "
+    "year effect + month effect + residual, where effects are MEDIANS "
+    "instead of means — outlier months cannot drag the seasonal "
+    "profile the way orders_seasonal_decompose's moving averages can "
+    "(this is THE classical robust two-way EDA tool, and its residual "
+    "grid is the month-level anomaly surface). Everything is exact "
+    "integer: cents pre-scale by 16 so each of the four median "
+    "subtractions (median = sum of the two order-statistic middles "
+    "div 2) divides an EVEN number exactly — sign never meets a "
+    "flooring division, and both engines select identical middles "
+    "from identically-sorted integer lists. Partial years are "
+    "excluded by the complete-12-months gate; every aggregation runs "
+    "on the bounded year/month grid (<= ~84 cells), the effects join "
+    "back by broadcast. The 2-cycle stopping rule (not "
+    "iterate-to-convergence) is part of the operator contract and "
+    "replayed identically by the oracle.",
+)
+def orders_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        (16 * F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+        .cast("bigint")
+        .alias("v")
+    )
+    m = m.persist()  # bounded monthly grid: gate + polish input
+    full_years = (
+        m.groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") == 12)
+        .select("yr")
+    )
+    g = m.join(F.broadcast(full_years), "yr").select(
+        "yr", "mo", "v", F.lit(0).cast("bigint").alias("re"),
+        F.lit(0).cast("bigint").alias("ce"),
+    )
+    med2 = (
+        "CAST((element_at(sort_array(collect_list(v)),"
+        " CAST((count(v) + 1) div 2 AS INT))"
+        " + element_at(sort_array(collect_list(v)),"
+        " CAST(count(v) div 2 + 1 AS INT))) div 2 AS BIGINT)"
+    )
+    for i, key in enumerate(["yr", "mo", "yr", "mo"]):
+        eff = "re" if key == "yr" else "ce"
+        med = g.groupBy(key).agg(F.expr(med2).alias("_m"))
+        g = (
+            g.join(F.broadcast(med), key)
+            .withColumn("v", F.col("v") - F.col("_m"))
+            .withColumn(eff, F.col(eff) + F.col("_m"))
+            .drop("_m")
+        )
+    out = g.select(
+        F.col("yr").alias("year"),
+        F.col("mo").alias("month"),
+        F.col("v").alias("resid_x16"),
+        F.col("re").alias("year_effect_x16"),
+        F.col("ce").alias("month_effect_x16"),
+        (F.col("v").cast("double") / 1600.0).alias("residual"),
+        (F.col("re").cast("double") / 1600.0).alias("year_effect"),
+        (F.col("ce").cast("double") / 1600.0).alias("month_effect"),
+    ).orderBy("year", "month")
+    return release_on_gc(m, out)

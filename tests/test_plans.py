@@ -269,6 +269,7 @@ _ALLOWED_NESTED_LOOP = {
     "orders_rescaled_range",      # 4-row scale literal broadcast crossJoin
     "orders_survival_cindex",     # 1-row horizon scalar broadcast crossJoin
     "similarity_recall_at_k",     # inherits the bruteforce op's bounded query-set NLJ
+    "events_hourly_profile",      # 1-row total + 1-row peak scalar broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

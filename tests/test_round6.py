@@ -362,7 +362,8 @@ def test_no_new_bare_persists():
         # returned result
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
-        "operators/pipeline13.py": 12,  # seasonality-strength detrended
+        "operators/pipeline13.py": 14,  # hourly-profile 24x7 grid,
+        # median-polish monthly grid, seasonality-strength detrended
         # rows (seasonal means + SS consumers), quade monthly grid + gated grid
         # + score cells (bounded, multi-consumer), regression-diagnostics
         # month index + residual rows (moments + output consumers),
