@@ -244,3 +244,87 @@ def test_survival_cindex_matches_pairwise(spark):
     assert r["concordant_x2"] == conc2
     assert r["usable_pairs"] == usable
     assert r["cindex_ppb"] == (conc2 * 10**9) // (2 * usable)
+
+
+def test_pyramidal_construction_exact_for_all_residues():
+    """The division-free pyramidal-number SQL must equal n(n+1)(2n+1)/6
+    for every n mod 6 residue class, at small and astronomically large n
+    (DuckDB evaluation; the Spark text differs only in the div token)."""
+    import duckdb
+
+    from mongodb_nats_connector_spark.operators.pipeline13 import (
+        _pyramidal_duck,
+    )
+
+    con = duckdb.connect()
+    ns = list(range(1, 50)) + [
+        10**6 + r for r in range(6)
+    ] + [10**9 + r for r in range(6)]
+    for n in ns:
+        got = con.execute(
+            f"SELECT {_pyramidal_duck(f'CAST({n} AS HUGEINT)')}"
+        ).fetchone()[0]
+        assert int(got) == n * (n + 1) * (2 * n + 1) // 6, n
+    con.close()
+
+
+def test_hi_lo_split_reproduces_wide_casts():
+    """(q div 2^26)*2^26.0 + (q % 2^26) must equal float(q) exactly below
+    2^53 and the correctly-rounded double above it — on BOTH engines."""
+    import duckdb
+
+    con = duckdb.connect()
+    qs = [
+        0,
+        1,
+        2**26 - 1,
+        2**26,
+        2**53 - 1,
+        2**53,
+        2**53 + 1,
+        2**60 + 123456789,
+        10**17 + 7,
+    ]
+    for q in qs:
+        duck = con.execute(
+            f"SELECT CAST(CAST({q} AS HUGEINT) // 67108864 AS DOUBLE)"
+            f" * 67108864.0"
+            f" + CAST(CAST({q} AS HUGEINT) % 67108864 AS DOUBLE)"
+        ).fetchone()[0]
+        assert duck == float(q), (q, duck)  # python float() rounds-half-even
+    con.close()
+
+
+def test_median_polish_reconstructs_grid(spark):
+    """effects + residual must reconstruct the original x16 cell values
+    exactly, and each row/column residual median after the final sweep
+    must be zero for the dimension polished LAST."""
+    from mongodb_nats_connector_spark.operators.pipeline13 import (
+        orders_median_polish,
+    )
+
+    rows = orders_median_polish(spark, SF).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o = o[o["o_orderdate"].notna()]
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    dt = pd.to_datetime(o["o_orderdate"])
+    grid = (16 * cents).groupby([dt.dt.year, dt.dt.month]).sum()
+    for r in rows:
+        v16 = int(grid.loc[(r["year"], r["month"])])
+        assert (
+            r["resid_x16"] + r["year_effect_x16"] + r["month_effect_x16"]
+            == v16
+        )
+    # the last sweep polished columns (months): per-month residual median
+    # must be exactly zero (even count -> two middles average to 0 or the
+    # exact doubled-median is 0)
+    import collections
+
+    bymo = collections.defaultdict(list)
+    for r in rows:
+        bymo[r["month"]].append(r["resid_x16"])
+    for mo, vals in bymo.items():
+        s = sorted(vals)
+        n = len(s)
+        assert s[(n + 1) // 2 - 1] + s[n // 2] == 0, (mo, s)
