@@ -2761,7 +2761,8 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS h_nn
       FROM risk WHERE d > 0
     )
-    SELECT dur AS duration_days, d AS n_events, n_risk,
+    SELECT dur AS duration_days, d AS n_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
            h_nn AS cum_hazard_nn,
            CAST(h_nn AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS cum_hazard
     FROM haz

@@ -187,6 +187,52 @@ def test_no_new_float_round_on_hash_surface():
     )
 
 
+def test_no_hugeint_on_oracle_output_surface():
+    """No oracle may emit a HUGEINT/UHUGEINT output column.
+
+    The orders_nelson_aalen r8-r10 triple-red root cause: DuckDB promotes
+    ``BIGINT - sum(BIGINT) OVER (...)`` (and several other wide-int
+    operations) to int128.  pandas has no int128, so ``.df()``
+    materializes the column as float64 while Spark emits int64 — values
+    compare equal, serialized value-hashes don't, and the failure is
+    INVISIBLE to every local value-parity probe.  ``DESCRIBE`` binds the
+    query without executing it, so this sweep over all ~360 oracles costs
+    milliseconds per query and mechanically closes the channel: any
+    int128-typed output column must be ``CAST(... AS BIGINT)`` (or
+    DOUBLE, if the Spark side is float) in the oracle's final SELECT.
+    """
+    import duckdb
+
+    from mongodb_nats_connector_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, q in sorted(all_queries().items()):
+        if not q.oracle:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE ({q.oracle})").fetchall()
+        except Exception as e:  # pragma: no cover - surfaced as a failure
+            offenders[name] = f"DESCRIBE failed: {e}"
+            continue
+        bad = [c for c, typ, *_ in desc if "HUGEINT" in typ.upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle output surface carries int128 columns (pandas will "
+        "materialize them as float64 and the driver value-hash will "
+        f"diverge from Spark's int64): {offenders}"
+    )
+
+
 def test_nelson_aalen_hash_surface_is_all_integer():
     """The twice-red query specifically: its increment must stay integer
     (div), with the single h_nn/1e9 display division as the only float op
