@@ -295,6 +295,71 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("bits", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def sniff_wav_meta(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """Real WAV metadata by RIFF-header parsing (pure stdlib): sample rate,
+    channels, bit depth, byte rate, block align, data size from the canonical
+    44-byte header — no sample decode, the petabyte-scale audio-metadata
+    path. Returns None for non-WAV payloads."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt " or payload[36:40] != b"data":
+        return None
+    _fmt_size, _audio_fmt, channels, rate = struct.unpack(
+        "<IHHI", payload[16:28]
+    )
+    byte_rate, block_align, bits = struct.unpack("<IHH", payload[28:36])
+    (data_size,) = struct.unpack("<I", payload[40:44])
+    return rate, channels, bits, byte_rate, block_align, data_size
+
+
+def _wav_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WAV header extraction: real RIFF parse; non-WAV payloads
+    yield NULL metadata (the typed-miss row, not a crash)."""
+    for pdf in batches:
+        ids, rates, chans, bits_l, samps, durs = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = sniff_wav_meta(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                rates.append(None)
+                chans.append(None)
+                bits_l.append(None)
+                samps.append(None)
+                durs.append(None)
+            else:
+                rate, channels, bits, _br, block_align, data_size = meta
+                n_samples = data_size // block_align
+                rates.append(rate)
+                chans.append(channels)
+                bits_l.append(bits)
+                samps.append(n_samples)
+                durs.append(n_samples * 1000 // rate)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_rate": pd.Series(rates, dtype="Int64"),
+                "channels": pd.Series(chans, dtype="Int64"),
+                "bits": pd.Series(bits_l, dtype="Int64"),
+                "n_samples": pd.Series(samps, dtype="Int64"),
+                "duration_ms": pd.Series(durs, dtype="Int64"),
+            }
+        )
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

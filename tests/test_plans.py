@@ -184,6 +184,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_chi_square",             # 1-row grand-total scalar broadcast crossJoin
     "text_keywords_topk",         # 1-row corpus-size scalar broadcast crossJoin
     "events_cusum_changepoint",   # 1-row totals + 1-row argmax broadcast crossJoin
+    "orders_cusum_control",       # 1-row totals + 1-row decision-limit broadcast crossJoins
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
@@ -331,6 +332,7 @@ _GLOBAL_WINDOWS = {
     "docs_quality_ensemble_rank": (7, "bounded: n_buckets offset/total x4 "
                                       "(two-pass converted; one pruned)"),
     "events_cusum_changepoint": (2, "bounded: daily series"),
+    "orders_cusum_control": (2, "bounded: daily series prefix + prefix-min"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
     "events_max_concurrency": (1, "bounded: n_buckets offset window "
