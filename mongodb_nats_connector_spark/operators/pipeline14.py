@@ -570,3 +570,542 @@ def text_lix_rix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lix"),
         (F.col("n_long").cast("double") / F.col("n_sentences")).alias("rix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_matthews_corr — Matthews correlation coefficient per ship-year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_matthews_corr",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS p
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    c AS (
+      SELECT yr,
+             CAST(sum(y * p) AS BIGINT)             AS tp,
+             CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn,
+             CAST(sum((1 - y) * p) AS BIGINT)       AS fp,
+             CAST(sum(y * (1 - p)) AS BIGINT)       AS fn
+      FROM b GROUP BY yr
+    )
+    SELECT yr, tp, tn, fp, fn,
+           CAST(tp * tn - fp * fn AS DOUBLE)
+             / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE))) AS mcc
+    FROM c
+    WHERE (tp + fp) * (tp + fn) > 0 AND (tn + fp) * (tn + fn) > 0
+    ORDER BY yr
+    """,
+    doc="Matthews correlation coefficient of a discount-based return "
+    "predictor, per ship-year: the single-number binary-classifier "
+    "summary that stays honest under class imbalance (unlike accuracy "
+    "or F1, MCC uses all four confusion cells symmetrically). The "
+    "confusion matrix is one map-side aggregation of 0/1 products; the "
+    "marginal products stay below 2^53 through sf10 (documented bound "
+    "— each marginal is at most the row count), so the two sqrt's see "
+    "exactly-converted integers and the MCC is one fixed-order IEEE "
+    "expression. Complements agg_roc_auc (threshold-free rank view) "
+    "and agg_cohen_kappa (chance-corrected agreement).",
+)
+def agg_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    b = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("p"),
+    )
+    c = b.groupBy("yr").agg(
+        F.sum(F.col("y") * F.col("p")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p")))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).cast("bigint").alias("fn"),
+    )
+    return (
+        c.filter(
+            ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) > 0)
+            & ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn")) > 0)
+        )
+        .select(
+            "yr",
+            "tp",
+            "tn",
+            "fp",
+            "fn",
+            (
+                (
+                    F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+                ).cast("double")
+                / (
+                    F.sqrt(
+                        (
+                            (F.col("tp") + F.col("fp"))
+                            * (F.col("tp") + F.col("fn"))
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            (F.col("tn") + F.col("fp"))
+                            * (F.col("tn") + F.col("fn"))
+                        ).cast("double")
+                    )
+                )
+            ).alias("mcc"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_brier_score — probabilistic-forecast calibration per ship-year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_brier_score",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CAST(round(l_discount * 100) AS BIGINT) AS p10,
+             CASE WHEN l_returnflag = 'R' THEN 10 ELSE 0 END AS y10
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(1000000000 * CAST(sum(CAST((p10 - y10) * (p10 - y10)
+                  AS HUGEINT)) AS HUGEINT) // (100 * count(*))
+                AS BIGINT) AS brier_ppb,
+           CAST(1000000000 * CAST(sum(y10 // 10) AS HUGEINT) // count(*)
+                AS BIGINT) AS base_rate_ppb
+    FROM b GROUP BY yr ORDER BY yr
+    """,
+    doc="Brier score of the discount-as-return-probability forecast, per "
+    "ship-year, with the base rate alongside — the proper scoring rule "
+    "that grades PROBABILITIES where agg_roc_auc grades only ranks and "
+    "agg_matthews_corr grades one thresholded cut. The forecast lives "
+    "on a tenths grid (discount percents 0..10), so each squared error "
+    "(p - y)^2 = ((p10 - 10y)/10)^2 is an exact integer over 100: the "
+    "sum accumulates in DECIMAL(38,0)/HUGEINT and one non-negative "
+    "floor-division lands the ppb score — no float ever touches the "
+    "hash surface. One map-side aggregation over seven year groups.",
+)
+def agg_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    b = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("p10"),
+        F.when(F.col("l_returnflag") == "R", 10).otherwise(0).alias("y10"),
+    )
+    g = b.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum((F.col("p10") - F.col("y10")) * (F.col("p10") - F.col("y10")))
+        .alias("se"),
+        F.sum(F.expr("y10 div 10")).cast("decimal(38,0)").alias("pos"),
+    )
+    return g.select(
+        "yr",
+        "n",
+        F.expr("CAST(1000000000 * se div (100 * n) AS BIGINT)").alias(
+            "brier_ppb"
+        ),
+        F.expr("CAST(1000000000 * pos div n AS BIGINT)").alias(
+            "base_rate_ppb"
+        ),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# agg_sign_test — paired-period spend comparison (exact nonparametric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_sign_test",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS early,
+             CAST(sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS late
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN late > early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN late < early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+             CAST(sum(CASE WHEN late = early THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie
+      FROM per
+    )
+    SELECT n_pos, n_neg, n_tie,
+           CAST(least(n_pos, n_neg) AS BIGINT) AS s_statistic,
+           (abs(CAST(n_pos - n_neg AS DOUBLE)) - 1.0)
+             / sqrt(CAST(n_pos + n_neg AS DOUBLE)) AS z_approx
+    FROM c
+    """,
+    doc="Exact sign test on paired per-customer spend (pre-1995 vs from-"
+    "1995): the assumption-free sibling of events_wilcoxon_signed_rank "
+    "(which adds rank weights) and events_paired_ttest (which assumes "
+    "normality) — the sign test needs ONLY the direction of each pair, "
+    "so it survives arbitrary spend skew. Counts are one hash "
+    "aggregation over the customer rollup; the continuity-corrected "
+    "normal z is a fixed-order IEEE expression over exact integers "
+    "(|pos-neg| built with abs-of-double to keep every integer "
+    "division non-negative-free). Two shuffles total, both keyed.",
+)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"),
+                   cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("early"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"),
+                   cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("late"),
+    )
+    c = per.agg(
+        F.sum(F.when(F.col("late") > F.col("early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("late") < F.col("early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("late") == F.col("early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie"),
+    )
+    return c.select(
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.least("n_pos", "n_neg").cast("bigint").alias("s_statistic"),
+        (
+            (
+                F.abs((F.col("n_pos") - F.col("n_neg")).cast("double"))
+                - F.lit(1.0)
+            )
+            / F.sqrt((F.col("n_pos") + F.col("n_neg")).cast("double"))
+        ).alias("z_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_dixon_q — single-outlier screen per nation (extreme-gap ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dixon_q",
+    oracle="""
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY round(c_acctbal * 100) DESC,
+                                         c_custkey) AS rd,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY round(c_acctbal * 100) ASC,
+                                         c_custkey) AS ra,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey,
+             CAST(min(n) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rd = 1 THEN bal END) AS BIGINT) AS x_max,
+             CAST(max(CASE WHEN rd = 2 THEN bal END) AS BIGINT) AS x_max2,
+             CAST(max(CASE WHEN ra = 1 THEN bal END) AS BIGINT) AS x_min,
+             CAST(max(CASE WHEN ra = 2 THEN bal END) AS BIGINT) AS x_min2
+      FROM v GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n, x_min, x_max,
+           CAST(1000000000 * (x_max - x_max2) // (x_max - x_min)
+                AS BIGINT) AS q_high_ppb,
+           CAST(1000000000 * (x_min2 - x_min) // (x_max - x_min)
+                AS BIGINT) AS q_low_ppb
+    FROM g
+    WHERE n >= 3 AND x_max > x_min
+    ORDER BY c_nationkey
+    """,
+    doc="Dixon's Q outlier screen per nation on customer balances: the "
+    "extreme-gap-to-range ratio at BOTH tails — the small-sample "
+    "single-outlier test that needs only four order statistics, no "
+    "moments (agg_grubbs_test is its variance-based sibling; "
+    "agg_mad_outliers the robust bulk screen). The four extremes come "
+    "from two per-nation rank windows (partitioned — never global) "
+    "with a deterministic custkey tie-break; balances are exact cents "
+    "and both Q ratios are non-negative ppb floor-divisions (gap <= "
+    "range by construction). Everything after the one keyed shuffle "
+    "is nation-cardinality-sized.",
+)
+def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    wd = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("bal"), F.col("c_custkey")
+    )
+    wa = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("bal"), F.col("c_custkey")
+    )
+    wn = Window.partitionBy("c_nationkey")
+    v = c.select(
+        "c_nationkey", bal.alias("bal"), "c_custkey"
+    ).select(
+        "c_nationkey",
+        "bal",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    g = v.groupBy("c_nationkey").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rd") == 1, F.col("bal")))
+        .cast("bigint")
+        .alias("x_max"),
+        F.max(F.when(F.col("rd") == 2, F.col("bal")))
+        .cast("bigint")
+        .alias("x_max2"),
+        F.max(F.when(F.col("ra") == 1, F.col("bal")))
+        .cast("bigint")
+        .alias("x_min"),
+        F.max(F.when(F.col("ra") == 2, F.col("bal")))
+        .cast("bigint")
+        .alias("x_min2"),
+    )
+    return (
+        g.filter((F.col("n") >= 3) & (F.col("x_max") > F.col("x_min")))
+        .select(
+            "c_nationkey",
+            "n",
+            "x_min",
+            "x_max",
+            F.expr(
+                "1000000000 * (x_max - x_max2) div (x_max - x_min)"
+            ).alias("q_high_ppb"),
+            F.expr(
+                "1000000000 * (x_min2 - x_min) div (x_max - x_min)"
+            ).alias("q_low_ppb"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cliff_delta — ordinal effect size over the quantity domain grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cliff_delta",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT v,
+             CAST(sum(g) AS BIGINT)     AS n1,
+             CAST(sum(1 - g) AS BIGINT) AS n2
+      FROM b GROUP BY v
+    ),
+    cum AS (
+      SELECT v, n1, n2,
+             coalesce(sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS n2_below,
+             coalesce(sum(n2) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS n2_above
+      FROM cells
+    ),
+    t AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(n2) AS BIGINT) AS t2,
+             CAST(sum(CAST(n1 AS HUGEINT) * n2_below) AS HUGEINT) AS gt,
+             CAST(sum(CAST(n1 AS HUGEINT) * n2_above) AS HUGEINT) AS lt
+      FROM cum
+    )
+    SELECT t1 AS n_treat, t2 AS n_control,
+           CAST(gt AS BIGINT) AS pairs_gt,
+           CAST(lt AS BIGINT) AS pairs_lt,
+           CAST((CASE WHEN gt >= lt THEN 1 ELSE -1 END)
+                * ((1000000000 * abs(gt - lt))
+                   // (CAST(t1 AS HUGEINT) * t2)) AS BIGINT)
+             AS cliff_delta_ppb
+    FROM t
+    """,
+    doc="Cliff's delta between discounted (>=6%) and low-discount line "
+    "quantities: the ordinal effect size P(X>Y) - P(X<Y) that "
+    "agg_mann_whitney's U statistic tests but does not report — delta "
+    "is what you quote when 'significant' needs a MAGNITUDE. The "
+    "pair counts never materialize pairs: quantities collapse to the "
+    "~50-value domain grid, and gt/lt are sums of n1_v times the "
+    "cumulative opposite-group mass strictly below/above v (two "
+    "bounded cumulative windows over the grid). Counts multiply into "
+    "HUGEINT/DECIMAL(38,0); the signed delta divides |gt - lt| (non-"
+    "negative) and restores the sign explicitly. One domain-sized "
+    "shuffle; the window inputs are ~50 rows at any SF.",
+)
+def agg_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    cells = b.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n2"),
+    )
+    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_hi = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cells.select(
+        "v",
+        "n1",
+        "n2",
+        F.coalesce(F.sum("n2").over(w_lo), F.lit(0)).alias("n2_below"),
+        F.coalesce(F.sum("n2").over(w_hi), F.lit(0)).alias("n2_above"),
+    )
+    t = cum.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+        _dsum(F.col("n1").cast("decimal(38,0)") * F.col("n2_below")).alias(
+            "gt"
+        ),
+        _dsum(F.col("n1").cast("decimal(38,0)") * F.col("n2_above")).alias(
+            "lt"
+        ),
+    )
+    return t.select(
+        F.col("t1").alias("n_treat"),
+        F.col("t2").alias("n_control"),
+        F.col("gt").cast("bigint").alias("pairs_gt"),
+        F.col("lt").cast("bigint").alias("pairs_lt"),
+        F.expr(
+            "CAST((CASE WHEN gt >= lt THEN 1 ELSE -1 END)"
+            " * ((1000000000 * abs(gt - lt))"
+            "    div (CAST(t1 AS DECIMAL(38,0)) * t2)) AS BIGINT)"
+        ).alias("cliff_delta_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_turning_points — randomness test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_turning_points",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                  AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT day, x,
+             lag(x)  OVER (ORDER BY day) AS xp,
+             lead(x) OVER (ORDER BY day) AS xn
+      FROM d
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN (x > xp AND x > xn)
+                             OR (x < xp AND x < xn)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM s WHERE xp IS NOT NULL AND xn IS NOT NULL
+    )
+    SELECT n + 2 AS n_days, tp AS turning_points,
+           2.0 * CAST(n AS DOUBLE) / 3.0 AS expected_tp,
+           (CAST(tp AS DOUBLE) - 2.0 * CAST(n AS DOUBLE) / 3.0)
+             / sqrt((16.0 * CAST(n + 2 AS DOUBLE) - 29.0) / 90.0)
+             AS z_score
+    FROM t
+    """,
+    doc="Turning-points randomness test on the daily revenue series: count "
+    "strict local maxima/minima among interior days; under an i.i.d. "
+    "series the count is asymptotically normal with mean 2(n-2)/3 and "
+    "variance (16n-29)/90, so too FEW turning points exposes trend/"
+    "persistence and too MANY exposes negative autocorrelation — the "
+    "oldest nonparametric complement to agg_runs_test (which needs a "
+    "median cut) and agg_autocorrelation (which needs moments). "
+    "Neighbor comparison is one lag/lead pass over the BOUNDED daily "
+    "series; the z-score is a fixed-order IEEE expression over exact "
+    "integers. Ties (equal neighbors) count as non-turning, "
+    "identically in both engines — no float ever enters the count.",
+)
+def orders_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    w = Window.orderBy("day")
+    s = d.select(
+        "day",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    t = s.filter(F.col("xp").isNotNull() & F.col("xn").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+                | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return t.select(
+        (F.col("n") + 2).alias("n_days"),
+        F.col("tp").alias("turning_points"),
+        (F.lit(2.0) * F.col("n").cast("double") / F.lit(3.0)).alias(
+            "expected_tp"
+        ),
+        (
+            (
+                F.col("tp").cast("double")
+                - F.lit(2.0) * F.col("n").cast("double") / F.lit(3.0)
+            )
+            / F.sqrt(
+                (
+                    F.lit(16.0) * (F.col("n") + 2).cast("double")
+                    - F.lit(29.0)
+                )
+                / F.lit(90.0)
+            )
+        ).alias("z_score"),
+    )

@@ -333,6 +333,8 @@ _GLOBAL_WINDOWS = {
                                       "(two-pass converted; one pruned)"),
     "events_cusum_changepoint": (2, "bounded: daily series"),
     "orders_cusum_control": (2, "bounded: daily series prefix + prefix-min"),
+    "agg_cliff_delta": (2, "bounded: ~50-value quantity-domain cumulatives"),
+    "orders_turning_points": (1, "bounded: daily series lag/lead"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
     "events_max_concurrency": (1, "bounded: n_buckets offset window "
