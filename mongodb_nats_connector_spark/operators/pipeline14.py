@@ -1109,3 +1109,657 @@ def orders_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_bartels_rank — rank von Neumann ratio (trend/autocorrelation test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_bartels_rank",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                  AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    cells AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x
+    ),
+    mr AS (
+      SELECT x,
+             2 * coalesce(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+      FROM cells
+    ),
+    s AS (
+      SELECT d.day, mr.r2,
+             lead(mr.r2) OVER (ORDER BY d.day) AS r2n
+      FROM d JOIN mr ON mr.x = d.x
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r2n IS NOT NULL
+                      THEN CAST((r2 - r2n) AS HUGEINT) * (r2 - r2n)
+                      ELSE 0 END) AS HUGEINT) AS num2,
+             CAST(sum(CAST((r2 - t0.nn - 1) AS HUGEINT)
+                      * (r2 - t0.nn - 1)) AS HUGEINT) AS den2
+      FROM s CROSS JOIN (SELECT count(*) AS nn FROM s) t0
+      GROUP BY t0.nn
+    )
+    SELECT n AS n_days,
+           CAST(num2 AS BIGINT) AS num_scaled,
+           CAST(den2 AS BIGINT) AS den_scaled,
+           CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE) AS rvn,
+           (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE) - 2.0)
+             * sqrt(CAST(n AS DOUBLE)) / 2.0 AS z_score
+    FROM t
+    """,
+    doc="Bartels' rank von Neumann ratio on the daily revenue series: the "
+    "rank-based randomness test RVN = sum of squared successive rank "
+    "differences over the centered rank sum of squares — near 2 for "
+    "white noise, below 2 under positive serial dependence — the "
+    "nonparametric sibling of agg_autocorrelation (no moments) and a "
+    "sharper trend probe than agg_runs_test (which bins to a median "
+    "cut). Ranks are DOUBLED midranks from the distinct-daily-value "
+    "grid (2*cum_below + c + 1 — exact integers, engine-identical tie "
+    "handling); both quadratic forms accumulate in HUGEINT/"
+    "DECIMAL(38,0); the x4 rank scaling cancels in the ratio, leaving "
+    "one exact-integer IEEE division and a fixed-order z. The windows "
+    "run over the bounded daily series / value grid only.",
+)
+def orders_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    d = d.persist()
+    cells = d.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mr = cells.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    s = d.join(mr, "x").select("day", "r2")
+    w_day = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    s2 = s.select(
+        "r2",
+        F.lead("r2").over(w_day).alias("r2n"),
+        F.count(F.lit(1)).over(w_all).alias("n_all"),
+    )
+    t = s2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(
+            F.when(
+                F.col("r2n").isNotNull(),
+                (F.col("r2") - F.col("r2n")).cast("decimal(38,0)")
+                * (F.col("r2") - F.col("r2n")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("num2"),
+        _dsum(
+            (F.col("r2") - F.col("n_all") - 1).cast("decimal(38,0)")
+            * (F.col("r2") - F.col("n_all") - 1)
+        ).alias("den2"),
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("num2").cast("bigint").alias("num_scaled"),
+        F.col("den2").cast("bigint").alias("den_scaled"),
+        (F.col("num2").cast("double") / F.col("den2").cast("double")).alias(
+            "rvn"
+        ),
+        (
+            (
+                F.col("num2").cast("double") / F.col("den2").cast("double")
+                - F.lit(2.0)
+            )
+            * F.sqrt(F.col("n").cast("double"))
+            / F.lit(2.0)
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_durbin_watson — serial correlation of the monthly trend residuals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_durbin_watson",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mi AS (
+      SELECT month, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t,
+             x FROM m
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS BIGINT) AS stt,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(t AS HUGEINT) * x) AS BIGINT) AS stx
+      FROM mi
+    ),
+    co AS (
+      SELECT n, st, sx,
+             CAST(n AS HUGEINT) * stx - CAST(st AS HUGEINT) * sx AS bn,
+             CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS bd
+      FROM mo WHERE n > 2
+    ),
+    res AS (
+      SELECT mi.month, mi.t,
+             CAST(c.n AS HUGEINT) * c.bd * mi.x
+               - (c.bd * CAST(c.sx AS HUGEINT) - c.bn * c.st
+                  + CAST(c.n AS HUGEINT) * c.bn * mi.t) AS r_s,
+             CAST(c.n AS HUGEINT) * c.bd AS scale
+      FROM mi CROSS JOIN co c
+      WHERE c.bd > 0
+    ),
+    rq AS (
+      SELECT month, t,
+             CAST((CASE WHEN r_s >= 0 THEN 1 ELSE -1 END)
+                  * (abs(r_s) // scale) AS BIGINT) AS e
+      FROM res
+    ),
+    dw AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ep IS NOT NULL
+                      THEN CAST((e - ep) AS HUGEINT) * (e - ep)
+                      ELSE 0 END) AS BIGINT) AS num,
+             CAST(sum(CAST(e AS HUGEINT) * e) AS BIGINT) AS den
+      FROM (SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM rq)
+    )
+    SELECT n AS n_months, num AS dw_num, den AS dw_den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS durbin_watson
+    FROM dw WHERE den > 0
+    """,
+    doc="Durbin-Watson statistic on the monthly revenue-trend residuals: "
+    "DW = sum of squared successive residual differences over the "
+    "residual sum of squares — the canonical 'did OLS leave serial "
+    "correlation behind' diagnostic that completes "
+    "orders_regression_diagnostics (point influence) and "
+    "agg_autocorrelation (raw series): DW near 2 clears the fit, "
+    "DW << 2 says the trend line is riding autocorrelated errors and "
+    "its t-stats overstate. Residuals reuse the EXACT integer frame "
+    "r_s = n*Bd*x - (Bd*Sx - Bn*St + n*Bn*t), floor-quantized to "
+    "kilodollars by the positive scale n*Bd with an explicit sign "
+    "(|r_s| div scale — no negative integer division, identical in "
+    "both engines); DW is then one exact-integer IEEE division. "
+    "Month-cardinality work after a single rollup shuffle.",
+)
+def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    wi = Window.orderBy("month")
+    mi = m.select(
+        "month", F.row_number().over(wi).cast("bigint").alias("t"), "x"
+    )
+    mi = mi.persist()
+    mo = mi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        _dsum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("bigint")
+        .alias("stt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        _dsum(F.col("t").cast("decimal(38,0)") * F.col("x"))
+        .cast("bigint")
+        .alias("stx"),
+    )
+    co = mo.filter(F.col("n") > 2).select(
+        "n",
+        "st",
+        "sx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * stx - CAST(st AS DECIMAL(38,0)) * sx"
+        ).alias("bn"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * stt - CAST(st AS DECIMAL(38,0)) * st"
+        ).alias("bd"),
+    )
+    res = mi.crossJoin(F.broadcast(co.filter(F.col("bd") > 0))).select(
+        "month",
+        "t",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * bd * x"
+            " - (bd * CAST(sx AS DECIMAL(38,0)) - bn * st"
+            "    + CAST(n AS DECIMAL(38,0)) * bn * t)"
+        ).alias("r_s"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * bd").alias("scale"),
+    )
+    rq = res.select(
+        "month",
+        "t",
+        F.expr(
+            "CAST((CASE WHEN r_s >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(r_s) div scale) AS BIGINT)"
+        ).alias("e"),
+    )
+    w_t = Window.orderBy("t")
+    dw = rq.select("e", F.lag("e").over(w_t).alias("ep")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")).cast("decimal(38,0)")
+                * (F.col("e") - F.col("ep")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("bigint")
+        .alias("num"),
+        _dsum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .cast("bigint")
+        .alias("den"),
+    )
+    return dw.filter(F.col("den") > 0).select(
+        F.col("n").alias("n_months"),
+        F.col("num").alias("dw_num"),
+        F.col("den").alias("dw_den"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "durbin_watson"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_pacf_lag2 — partial autocorrelation at lag 2 (exact rational)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_pacf_lag2",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mi AS (
+      SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t, x
+      FROM m
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM mi
+    ),
+    a AS (
+      SELECT mi.t, CAST(mo.n AS HUGEINT) * mi.x - mo.sx AS av, mo.n
+      FROM mi CROSS JOIN mo
+    ),
+    c AS (
+      SELECT CAST(min(a1.n) AS BIGINT) AS n,
+             CAST(sum(a1.av * a1.av) AS HUGEINT) AS c0,
+             CAST(sum(CASE WHEN a2.av IS NOT NULL
+                      THEN a1.av * a2.av ELSE 0 END) AS HUGEINT) AS c1,
+             CAST(sum(CASE WHEN a3.av IS NOT NULL
+                      THEN a1.av * a3.av ELSE 0 END) AS HUGEINT) AS c2
+      FROM a a1
+      LEFT JOIN a a2 ON a2.t = a1.t + 1
+      LEFT JOIN a a3 ON a3.t = a1.t + 2
+    ),
+    f AS (
+      SELECT n, c0, c1, c2,
+             c2 * c0 - c1 * c1 AS pnum,
+             c0 * c0 - c1 * c1 AS pden
+      FROM c
+    )
+    SELECT n AS n_months,
+           CAST((CASE WHEN c1 >= 0 THEN 1 ELSE -1 END)
+                * (abs(c1) // (c0 // 1000000000)) AS BIGINT) AS r1_ppb,
+           CAST((CASE WHEN c2 >= 0 THEN 1 ELSE -1 END)
+                * (abs(c2) // (c0 // 1000000000)) AS BIGINT) AS r2_ppb,
+           CAST((CASE WHEN pnum >= 0 THEN 1 ELSE -1 END)
+                * ((1000000000 * (abs(pnum) // CAST(18446744073709551616
+                                                    AS HUGEINT)))
+                   // greatest(pden // CAST(18446744073709551616 AS HUGEINT),
+                               1)) AS BIGINT)
+             AS pacf2_ppb
+    FROM f
+    """,
+    doc="Partial autocorrelation of monthly revenue at lag 2 via the exact "
+    "Durbin-Levinson closed form phi22 = (r2 - r1^2)/(1 - r1^2), kept "
+    "rational: with centered values scaled by n (a_i = n*x_i - Sx — no "
+    "fractional mean), phi22 = (C2*C0 - C1^2)/(C0^2 - C1^2) where C_k "
+    "are integer lag-covariance sums in HUGEINT/DECIMAL(38,0). The "
+    "lag-1/lag-2 ppb readouts divide |C_k| by (C0 div 1e9); the pacf "
+    "ratio's quadratic terms are too wide for that, so BOTH sides "
+    "pre-reduce by 2^64 before the ppb floor-division (quotients stay "
+    "below Spark's 2^63 IntegralDivide ceiling through sf1; the "
+    "identical integer reduction runs in both engines) with explicit "
+    "sign restoration on non-negative operands. Distinguishes a true "
+    "AR(2) echo from the AR(1) "
+    "carry-over that agg_autocorrelation's raw r2 conflates. "
+    "Month-cardinality work; the lag joins are 84-row self-joins.",
+)
+def orders_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    wi = Window.orderBy("month")
+    mi = m.select(F.row_number().over(wi).cast("bigint").alias("t"), "x")
+    mi = mi.persist()
+    mo = mi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    a = mi.crossJoin(F.broadcast(mo)).select(
+        "t",
+        F.expr("CAST(n AS DECIMAL(38,0)) * x - sx").alias("av"),
+        "n",
+    )
+    a = a.persist()
+    a1 = a.alias("a1")
+    a2 = a.select(F.col("t").alias("t2"), F.col("av").alias("av2"))
+    a3 = a.select(F.col("t").alias("t3"), F.col("av").alias("av3"))
+    j = (
+        a1.join(F.broadcast(a2), F.col("t2") == F.col("t") + 1, "left")
+        .join(F.broadcast(a3), F.col("t3") == F.col("t") + 2, "left")
+    )
+    c = j.agg(
+        F.min("n").cast("bigint").alias("n"),
+        _dsum(F.col("av") * F.col("av")).alias("c0"),
+        _dsum(
+            F.when(F.col("av2").isNotNull(), F.col("av") * F.col("av2"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("c1"),
+        _dsum(
+            F.when(F.col("av3").isNotNull(), F.col("av") * F.col("av3"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("c2"),
+    )
+    f = c.select(
+        "n",
+        "c0",
+        "c1",
+        "c2",
+        (F.col("c2") * F.col("c0") - F.col("c1") * F.col("c1")).alias("pnum"),
+        (F.col("c0") * F.col("c0") - F.col("c1") * F.col("c1")).alias("pden"),
+    )
+    return f.select(
+        F.col("n").alias("n_months"),
+        F.expr(
+            "CAST((CASE WHEN c1 >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(c1) div (c0 div 1000000000)) AS BIGINT)"
+        ).alias("r1_ppb"),
+        F.expr(
+            "CAST((CASE WHEN c2 >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(c2) div (c0 div 1000000000)) AS BIGINT)"
+        ).alias("r2_ppb"),
+        F.expr(
+            "CAST((CASE WHEN pnum >= 0 THEN 1 ELSE -1 END)"
+            " * ((CAST(1000000000 AS DECIMAL(38,0))"
+            "     * (abs(pnum) div 18446744073709551616))"
+            "    div greatest(pden div 18446744073709551616, 1))"
+            " AS BIGINT)"
+        ).alias("pacf2_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_over_threshold — extreme-value exceedance profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_over_threshold",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(v) // count(*) AS BIGINT) AS u,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type
+    ),
+    x AS (
+      SELECT e.event_type, e.v, mu.u, mu.n, g.m
+      FROM e JOIN mu ON mu.event_type = e.event_type
+      CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS m) g
+      WHERE e.v > g.m * mu.u
+    )
+    SELECT event_type, CAST(m AS BIGINT) AS mult,
+           CAST(min(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_exceed,
+           CAST(sum(v - m * u) // count(*) AS BIGINT) AS mean_excess_micro,
+           CAST(max(v) AS BIGINT) AS max_micro
+    FROM x
+    GROUP BY event_type, m
+    ORDER BY event_type, mult
+    """,
+    doc="Peak-over-threshold exceedance profile per event type: at "
+    "thresholds of 1x/2x/4x/8x the type mean, the exceedance count and "
+    "the MEAN EXCESS E[X - u | X > u] — the empirical mean-residual-"
+    "life curve that extreme-value theory reads for tail heaviness "
+    "(linear growth in u implies a Pareto-type tail; flat implies "
+    "exponential) — the EVT complement to events_weibull_gaps' "
+    "body-distribution fit. Values quantize to exact micro-units; the "
+    "threshold is an integer floor-mean, the 4-point grid is a literal "
+    "explode (no pair blowup), and every division is a non-negative "
+    "integer floor-div. Two keyed shuffles (type mean, type-mult "
+    "rollup); the broadcast mean join keeps the scan single-pass.",
+)
+def events_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    mu = e.groupBy("event_type").agg(
+        F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("u"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    x = (
+        e.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "v",
+            "u",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))).alias(
+                "m"
+            ),
+        )
+        .filter(F.col("v") > F.col("m") * F.col("u"))
+    )
+    return (
+        x.groupBy("event_type", "m")
+        .agg(
+            F.min("n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+            F.expr(
+                "CAST(sum(v - m * u) div count(*) AS BIGINT)"
+            ).alias("mean_excess_micro"),
+            F.max("v").cast("bigint").alias("max_micro"),
+        )
+        .select(
+            "event_type",
+            F.col("m").cast("bigint").alias("mult"),
+            "n_total",
+            "n_exceed",
+            "mean_excess_micro",
+            "max_micro",
+        )
+        .orderBy("event_type", "mult")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_smog_index — polysyllable readability per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_smog_index",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+                  AS BIGINT) AS n_poly
+      FROM documents
+    )
+    SELECT doc_id, lang, n_sentences, n_poly,
+           1.0430 * sqrt(30.0 * CAST(n_poly AS DOUBLE) / n_sentences)
+             + 3.1291 AS smog_index
+    FROM f
+    """,
+    doc="SMOG grade per document: 1.0430*sqrt(polysyllables * 30/"
+    "sentences) + 3.1291, with polysyllabic = three or more vowel "
+    "groups ([aeiouy]+, the same dialect-safe heuristic as "
+    "text_gunning_fog's complex-word count) — SMOG is the readability "
+    "formula health literacy standardized on, and unlike fog's linear "
+    "blend it is PURELY tail-driven (sentence length never enters "
+    "except as the normalizer). Counts are exact integers from one "
+    "map-side projection (JVM higher-order filter — no UDF); the "
+    "index is a fixed-order IEEE expression (one exact-int division, "
+    "one sqrt, one multiply-add). Zero shuffles.",
+)
+def text_smog_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(
+            F.expr(
+                "filter(split(lower(text), ' '),"
+                " w -> size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_poly"),
+    )
+    return f.select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        "n_poly",
+        (
+            F.lit(1.0430)
+            * F.sqrt(
+                F.lit(30.0)
+                * F.col("n_poly").cast("double")
+                / F.col("n_sentences")
+            )
+            + F.lit(3.1291)
+        ).alias("smog_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lexical_richness — vocabulary growth / hapax profile per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_richness",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t != '')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY doc_id, word
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, n_hapax, n_dis,
+           CAST(1000000000 * n_types // n_tokens AS BIGINT) AS ttr_ppb,
+           CAST(1000000000 * n_hapax // n_tokens AS BIGINT) AS hapax_ppb,
+           CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+             AS guiraud_r
+    FROM d WHERE n_tokens > 0
+    """,
+    doc="Lexical-richness profile per document: type count, hapax and dis "
+    "legomena counts, type-token ratio, hapax ratio, and Guiraud's "
+    "R = V/sqrt(N) (the length-corrected TTR that stays comparable "
+    "across documents of different sizes without MTLD's sequential "
+    "factor machinery) — the vocabulary-growth quality signals an LLM "
+    "curation pipeline thresholds on (hapax-heavy docs are noisy/"
+    "OCR-damaged; hapax-starved docs are boilerplate, complementing "
+    "text_yule_k's repeat-rate view). One explode + per-(doc, word) "
+    "count + per-doc rollup — both shuffles keyed, no global state; "
+    "ratios are non-negative ppb floor-divisions and Guiraud is one "
+    "fixed-order IEEE expression.",
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    wc = w.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    d = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+    )
+    return d.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "n_dis",
+        F.expr("1000000000 * n_types div n_tokens").alias("ttr_ppb"),
+        F.expr("1000000000 * n_hapax div n_tokens").alias("hapax_ppb"),
+        (
+            F.col("n_types").cast("double")
+            / F.sqrt(F.col("n_tokens").cast("double"))
+        ).alias("guiraud_r"),
+    )

@@ -185,6 +185,8 @@ _ALLOWED_NESTED_LOOP = {
     "text_keywords_topk",         # 1-row corpus-size scalar broadcast crossJoin
     "events_cusum_changepoint",   # 1-row totals + 1-row argmax broadcast crossJoin
     "orders_cusum_control",       # 1-row totals + 1-row decision-limit broadcast crossJoins
+    "orders_durbin_watson",       # 1-row normal-equation scalars broadcast crossJoin
+    "orders_pacf_lag2",           # 1-row moment scalars broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
@@ -335,6 +337,9 @@ _GLOBAL_WINDOWS = {
     "orders_cusum_control": (2, "bounded: daily series prefix + prefix-min"),
     "agg_cliff_delta": (2, "bounded: ~50-value quantity-domain cumulatives"),
     "orders_turning_points": (1, "bounded: daily series lag/lead"),
+    "orders_bartels_rank": (3, "bounded: daily value-grid + series"),
+    "orders_durbin_watson": (2, "bounded: monthly series"),
+    "orders_pacf_lag2": (1, "bounded: monthly series index"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
     "events_max_concurrency": (1, "bounded: n_buckets offset window "
