@@ -1763,3 +1763,610 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n_tokens").cast("double"))
         ).alias("guiraud_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_bullwhip_effect — demand-variance amplification (order vs ship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_bullwhip_effect",
+    oracle="""
+    WITH lo AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+             'demand' AS side
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    ls AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             'ship' AS side
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ),
+    u AS (SELECT * FROM lo UNION ALL SELECT * FROM ls),
+    m AS (
+      SELECT side,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      FROM u GROUP BY side
+    ),
+    cv AS (
+      SELECT side, n,
+             CAST((1000000000 * CAST(n AS HUGEINT) * (n * ss
+                    - CAST(s AS HUGEINT) * s))
+                  // ((n - 1) * CAST(s AS HUGEINT) * s) AS BIGINT)
+               AS cv2_ppb
+      FROM m WHERE n > 1 AND s > 0
+    )
+    SELECT max(CASE WHEN side = 'demand' THEN n END)       AS n_months,
+           max(CASE WHEN side = 'demand' THEN cv2_ppb END) AS cv2_demand_ppb,
+           max(CASE WHEN side = 'ship' THEN cv2_ppb END)   AS cv2_ship_ppb,
+           CAST(1000000000 * max(CASE WHEN side = 'ship' THEN cv2_ppb END)
+                // greatest(max(CASE WHEN side = 'demand'
+                            THEN cv2_ppb END), 1) AS BIGINT)
+             AS bullwhip_ppb
+    FROM cv
+    """,
+    doc="Bullwhip-effect ratio: squared coefficient of variation of the "
+    "monthly SHIPPED quantity over that of the monthly ORDERED quantity "
+    "— the canonical supply-chain variance-amplification diagnostic "
+    "(ship-side scheduling batches and delays demand, so CV2 grows "
+    "moving upstream; a ratio well above 1e9 ppb = 1.0 quantifies the "
+    "whip). Both monthly series come from keyed rollups (the demand "
+    "side rides the co-partitioned lineitem-orders join); CV2 = "
+    "n(n*SS - S^2)/((n-1)S^2) is an exact HUGEINT/DECIMAL(38,0) "
+    "rational floor-divided to ppb on non-negative operands, and the "
+    "final ratio divides two ppb integers — no float anywhere. The "
+    "two-sided union pivots to one row with conditional aggregation, "
+    "not a join.",
+)
+def orders_bullwhip_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint"))
+             .cast("bigint").alias("q"))
+        .select("month", "q", F.lit("demand").alias("side"))
+    )
+    ls = (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint"))
+             .cast("bigint").alias("q"))
+        .select("month", "q", F.lit("ship").alias("side"))
+    )
+    u = lo.unionAll(ls)
+    m = u.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        _dsum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+    )
+    cv = m.filter((F.col("n") > 1) & (F.col("s") > 0)).select(
+        "side",
+        "n",
+        F.expr(
+            "CAST((1000000000 * CAST(n AS DECIMAL(38,0)) * (n * ss"
+            "       - CAST(s AS DECIMAL(38,0)) * s))"
+            " div ((n - 1) * CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("cv2_ppb"),
+    )
+    return cv.agg(
+        F.max(F.when(F.col("side") == "demand", F.col("n"))).alias(
+            "n_months"
+        ),
+        F.max(F.when(F.col("side") == "demand", F.col("cv2_ppb"))).alias(
+            "cv2_demand_ppb"
+        ),
+        F.max(F.when(F.col("side") == "ship", F.col("cv2_ppb"))).alias(
+            "cv2_ship_ppb"
+        ),
+        F.expr(
+            "CAST(1000000000 * max(CASE WHEN side = 'ship' THEN cv2_ppb END)"
+            " div greatest(max(CASE WHEN side = 'demand'"
+            "              THEN cv2_ppb END), 1) AS BIGINT)"
+        ).alias("bullwhip_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_price_volume_mix — exact revenue-bridge decomposition per part type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_volume_mix",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(l.l_quantity AS BIGINT) AS q,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS s
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+      WHERE o.o_orderdate IS NOT NULL
+    ),
+    g AS (
+      SELECT p_type,
+             CAST(sum(CASE WHEN yr = 1996 THEN q ELSE 0 END) AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN yr = 1997 THEN q ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN yr = 1996 THEN s ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN yr = 1997 THEN s ELSE 0 END) AS BIGINT) AS s1
+      FROM j GROUP BY p_type
+    )
+    SELECT p_type, q0, q1,
+           CAST(s0 // 100 AS BIGINT) AS r0_dollars,
+           CAST(s1 // 100 AS BIGINT) AS r1_dollars,
+           CAST((s1 - s0) // 100 AS BIGINT) AS delta_dollars,
+           CAST((CASE WHEN CAST(s1 AS HUGEINT) * q0
+                           - CAST(s0 AS HUGEINT) * q1 >= 0
+                 THEN 1 ELSE -1 END)
+                * (abs(CAST(s1 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * q1)
+                   // (CAST(q0 AS HUGEINT) * 100)) AS BIGINT)
+             AS price_effect_dollars,
+           CAST((CASE WHEN (q1 - q0) * CAST(s0 AS HUGEINT) >= 0
+                 THEN 1 ELSE -1 END)
+                * (abs((q1 - q0) * CAST(s0 AS HUGEINT))
+                   // (CAST(q0 AS HUGEINT) * 100)) AS BIGINT)
+             AS volume_effect_dollars
+    FROM g
+    WHERE q0 > 0 AND q1 > 0
+    ORDER BY p_type
+    """,
+    doc="Price-volume revenue bridge per part type, 1996 -> 1997: "
+    "decomposes the revenue delta into a PRICE effect (S1*Q0 - S0*Q1, "
+    "the unit-price move valued at new volume) and a VOLUME effect "
+    "((Q1-Q0)*S0, the quantity move at old prices) — the exact "
+    "identity price+volume = (S1-S0)*Q0 holds in the Q0-scaled "
+    "integer frame, so the bridge reconciles to the cent BEFORE the "
+    "one dollars floor-division (management PVM waterfalls that "
+    "compute avg prices as floats never reconcile). Unit prices never "
+    "materialize as rationals: everything stays HUGEINT/DECIMAL(38,0) "
+    "cross-products with |numerator| floor-divided on non-negative "
+    "operands and explicit sign restoration. Two co-partitioned "
+    "equi-joins feed one part-type-sized rollup.",
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "p_type",
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    g = j.groupBy("p_type").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    return (
+        g.filter((F.col("q0") > 0) & (F.col("q1") > 0))
+        .select(
+            "p_type",
+            "q0",
+            "q1",
+            F.expr("s0 div 100").alias("r0_dollars"),
+            F.expr("s1 div 100").alias("r1_dollars"),
+            F.expr("(s1 - s0) div 100").alias("delta_dollars"),
+            F.expr(
+                "CAST((CASE WHEN CAST(s1 AS DECIMAL(38,0)) * q0"
+                "                - CAST(s0 AS DECIMAL(38,0)) * q1 >= 0"
+                "      THEN 1 ELSE -1 END)"
+                " * (abs(CAST(s1 AS DECIMAL(38,0)) * q0"
+                "        - CAST(s0 AS DECIMAL(38,0)) * q1)"
+                "    div (CAST(q0 AS DECIMAL(38,0)) * 100)) AS BIGINT)"
+            ).alias("price_effect_dollars"),
+            F.expr(
+                "CAST((CASE WHEN (q1 - q0) * CAST(s0 AS DECIMAL(38,0)) >= 0"
+                "      THEN 1 ELSE -1 END)"
+                " * (abs((q1 - q0) * CAST(s0 AS DECIMAL(38,0)))"
+                "    div (CAST(q0 AS DECIMAL(38,0)) * 100)) AS BIGINT)"
+            ).alias("volume_effect_dollars"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_safety_stock — per-brand safety stock and reorder point
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_safety_stock",
+    oracle="""
+    WITH d AS (
+      SELECT p.p_brand, l.l_shipdate AS day,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL
+      GROUP BY p.p_brand, l.l_shipdate
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS ss
+      FROM d GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_days, s AS total_units,
+           CAST(s AS DOUBLE) / n AS mean_daily,
+           sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n - 1))) AS sigma_daily,
+           1.645 * sqrt(7.0 * (CAST(n * ss - CAST(s AS HUGEINT) * s
+                                    AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * (n - 1))))
+             AS safety_stock_units,
+           7.0 * (CAST(s AS DOUBLE) / n)
+             + 1.645 * sqrt(7.0 * (CAST(n * ss - CAST(s AS HUGEINT) * s
+                                        AS DOUBLE)
+                                   / (CAST(n AS DOUBLE) * (n - 1))))
+             AS reorder_point_units
+    FROM m WHERE n > 1
+    ORDER BY p_brand
+    """,
+    doc="Safety stock and reorder point per part brand at a 95% service "
+    "level (z = 1.645) over a 7-day lead time: SS = z*sigma_d*sqrt(LT) "
+    "and ROP = LT*mu_d + SS from the daily-demand mean and standard "
+    "deviation — the inventory policy pair that consumes "
+    "orders_eoq_policy's lot size (EOQ says how much, ROP says when). "
+    "Daily demand variance uses the exact integer frame n*SS - S^2 "
+    "(sub-2^53 by the daily-quantity value range through sf1, "
+    "documented); mean, sigma, and both policy outputs are fixed-order "
+    "IEEE expressions over exactly-converted integers. One keyed "
+    "(brand, day) rollup then a brand-sized aggregate.",
+)
+def orders_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").alias("day"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    m = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        _dsum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    v = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    sigma = F.sqrt(v)
+    mean = F.col("s").cast("double") / F.col("n")
+    ss_units = F.lit(1.645) * F.sqrt(F.lit(7.0) * v)
+    return (
+        m.filter(F.col("n") > 1)
+        .select(
+            "p_brand",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_units"),
+            mean.alias("mean_daily"),
+            sigma.alias("sigma_daily"),
+            ss_units.alias("safety_stock_units"),
+            (F.lit(7.0) * mean + ss_units).alias("reorder_point_units"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_word_burstiness — Fano factor of top words across documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_word_burstiness",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t != '')) AS word
+      FROM documents
+    ),
+    dt AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY doc_id, word
+    ),
+    top AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS total
+      FROM wc GROUP BY word
+      ORDER BY total DESC, word LIMIT 50
+    ),
+    st AS (
+      SELECT wc.word,
+             CAST(count(*) AS BIGINT) AS n_docs_present,
+             CAST(sum(wc.c) AS BIGINT) AS s,
+             CAST(sum(CAST(wc.c AS HUGEINT) * wc.c) AS BIGINT) AS ss
+      FROM wc JOIN top ON top.word = wc.word
+      GROUP BY wc.word
+    )
+    SELECT st.word, st.n_docs_present, st.s AS total_count,
+           CAST(1000000000 * st.s // dt.d AS BIGINT) AS mean_ppb,
+           CAST((1000000000 * (CAST(dt.d AS HUGEINT) * st.ss
+                               - CAST(st.s AS HUGEINT) * st.s))
+                // (CAST(dt.d AS HUGEINT) * st.s) AS BIGINT) AS fano_ppb
+    FROM st CROSS JOIN dt
+    ORDER BY st.s DESC, st.word
+    """,
+    doc="Church-Gale burstiness of the 50 most frequent words: the Fano "
+    "factor Var/Mean of the per-document count (zeros included — the "
+    "population moments use the FULL document count D, so absence "
+    "carries weight), near 1.0e9 ppb for Poisson-scattered function "
+    "words and far above it for bursty content words — the signal "
+    "that separates topical vocabulary from glue without any stopword "
+    "list, and flags template/boilerplate shards (uniformly LOW "
+    "burstiness) in corpus curation. Fano = (D*SS - S^2)/(D*S) stays "
+    "an exact HUGEINT/DECIMAL(38,0) rational floor-divided to ppb on "
+    "non-negative operands. One explode into a keyed (doc, word) "
+    "count, a top-50 TakeOrderedAndProject with a deterministic "
+    "(total DESC, word) tie-break, and a broadcast semi-join back — "
+    "vocabulary-sized shuffles only.",
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    wc = w.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wc = wc.persist()
+    top = (
+        wc.groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("total"))
+        .orderBy(F.desc("total"), "word")
+        .limit(50)
+        .select("word")
+    )
+    dt = docs.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    st = (
+        wc.join(F.broadcast(top), "word")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_present"),
+            F.sum("c").cast("bigint").alias("s"),
+            _dsum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("bigint")
+            .alias("ss"),
+        )
+    )
+    return (
+        st.crossJoin(F.broadcast(dt))
+        .select(
+            "word",
+            "n_docs_present",
+            F.col("s").alias("total_count"),
+            F.expr("CAST(1000000000 * s div d AS BIGINT)").alias("mean_ppb"),
+            F.expr(
+                "CAST((1000000000 * (CAST(d AS DECIMAL(38,0)) * ss"
+                "                    - CAST(s AS DECIMAL(38,0)) * s))"
+                " div (CAST(d AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("fano_ppb"),
+        )
+        .orderBy(F.desc("total_count"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hosmer_lemeshow — calibration table for the discount-as-probability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hosmer_lemeshow",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS p10,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT p10,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS observed
+      FROM b WHERE p10 BETWEEN 1 AND 9 GROUP BY p10
+    )
+    SELECT p10 AS prob_tenths, n, observed,
+           CAST(n * p10 AS BIGINT) AS expected_tenths,
+           CAST((1000000 * CAST((10 * observed - n * p10) AS HUGEINT)
+                 * (10 * observed - n * p10))
+                // (CAST(n AS HUGEINT) * p10 * (10 - p10)) AS BIGINT)
+             AS hl_contribution_micro
+    FROM g
+    ORDER BY p10
+    """,
+    doc="Hosmer-Lemeshow calibration table for the discount-as-return-"
+    "probability forecast: per probability cell (tenths grid 0.1..0.9), "
+    "observed vs expected positives and the exact chi-square "
+    "contribution (O - np)^2/(np(1-p)) — the goodness-of-CALIBRATION "
+    "decomposition that tells you WHICH probability band is "
+    "mis-calibrated where agg_brier_score gives one blended number "
+    "and agg_roc_auc ignores calibration entirely. In the tenths "
+    "frame the contribution is the exact integer rational "
+    "(10O - n*p10)^2 / (n*p10*(10-p10)), accumulated in HUGEINT/"
+    "DECIMAL(38,0) and floor-divided to micro-units on non-negative "
+    "operands (the square kills the sign). One map-side aggregation "
+    "over nine cells.",
+)
+def agg_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("p10"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = (
+        b.filter((F.col("p10") >= 1) & (F.col("p10") <= 9))
+        .groupBy("p10")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("observed"),
+        )
+    )
+    return g.select(
+        F.col("p10").alias("prob_tenths"),
+        "n",
+        "observed",
+        (F.col("n") * F.col("p10")).cast("bigint").alias("expected_tenths"),
+        F.expr(
+            "CAST((1000000 * CAST((10 * observed - n * p10) AS DECIMAL(38,0))"
+            "      * (10 * observed - n * p10))"
+            " div (CAST(n AS DECIMAL(38,0)) * p10 * (10 - p10)) AS BIGINT)"
+        ).alias("hl_contribution_micro"),
+    ).orderBy("prob_tenths")
+
+
+# ---------------------------------------------------------------------------
+# docs_winnowing_fingerprint — MOSS-style winnowed document fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_winnowing_fingerprint",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t != '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             CAST(CAST('0x' || substr(md5(array_to_string(a[i+1:i+5], ' ')),
+                                      1, 15) AS BIGINT) AS BIGINT) AS h
+      FROM arr, unnest(range(0, greatest(len(a) - 4, 0))) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
+    )
+    SELECT s.doc_id,
+           CAST(max(g2.pos) + 1 AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT s.fp) AS BIGINT) AS n_fingerprints,
+           CAST(min(s.fp) AS BIGINT) AS fp_min,
+           CAST(max(s.fp) AS BIGINT) AS fp_max,
+           CAST(sum(DISTINCT CAST(s.fp AS HUGEINT)) % 9007199254740993
+                AS BIGINT) AS fp_checksum
+    FROM sel s JOIN g g2 ON g2.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the "
+    "MOSS algorithm): hash every 5-word shingle, slide a window of 4 "
+    "hashes, keep each window's minimum — the selection guarantees any "
+    "match of 8+ words shares a fingerprint while storing only "
+    "~2/(w+1) of the hashes, which is the property that makes "
+    "plagiarism/near-dup detection INDEX-SIZED instead of text-sized "
+    "(text_fingerprint keeps every rolling hash; winnowing is its "
+    "sublinear production form). The shingle hash is the first 15 md5 "
+    "hex chars as int64 (the dedup_simhash cross-engine idiom); "
+    "window-min runs PARTITIONED per doc (never global), and the "
+    "per-doc digest (count, min/max, sum-mod-prime checksum of the "
+    "distinct fingerprint set) is order-independent exact integer "
+    "arithmetic. Zero unkeyed shuffles.",
+)
+def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    arr = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias(
+            "a"
+        ),
+    )
+    g = arr.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("a") - 5, F.lit(-1)),
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.array_join(
+                                    F.slice(F.col("a"), i + 1, 5), " "
+                                ),
+                                "utf-8",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("pos", "h"),
+    )
+    g = g.persist()
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, 0)
+    )
+    wm = g.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+    sel = wm.filter(F.col("pos") >= 3).select("doc_id", "fp").distinct()
+    ng = g.groupBy("doc_id").agg(
+        (F.max("pos") + 1).cast("bigint").alias("n_grams")
+    )
+    agg = sel.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+        F.min("fp").cast("bigint").alias("fp_min"),
+        F.max("fp").cast("bigint").alias("fp_max"),
+        F.expr(
+            "CAST(sum(DISTINCT CAST(fp AS DECIMAL(38,0)))"
+            " % 9007199254740993 AS BIGINT)"
+        ).alias("fp_checksum"),
+    )
+    return agg.join(ng, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        "fp_min",
+        "fp_max",
+        "fp_checksum",
+    )

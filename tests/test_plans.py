@@ -187,6 +187,7 @@ _ALLOWED_NESTED_LOOP = {
     "orders_cusum_control",       # 1-row totals + 1-row decision-limit broadcast crossJoins
     "orders_durbin_watson",       # 1-row normal-equation scalars broadcast crossJoin
     "orders_pacf_lag2",           # 1-row moment scalars broadcast crossJoin
+    "text_word_burstiness",       # 1-row document-count scalar broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
