@@ -2370,3 +2370,724 @@ def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_max",
         "fp_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_siegel_tukey — alternating-extreme-rank scale test (domain grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_siegel_tukey",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT v,
+             CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY v
+    ),
+    pos AS (
+      SELECT v, n1, c,
+             coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS lo0,
+             (SELECT sum(c) FROM cells) AS nn
+      FROM cells
+    ),
+    st AS (
+      SELECT v, n1, c, nn,
+             -- G(p): prefix sum of Siegel-Tukey ranks over positions 1..p
+             -- bottom j ranks 1,4,5,8,9..: SB(j) = j(j+1) - (j+1)//2
+             -- top j ranks 2,3,6,7..:     ST(j) = j(j+1) - j//2
+             -- B = (nn+1)//2 bottom-assigned positions
+             ((least(lo0 + c, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) * (least(lo0 + c, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END))
+                + 1)) - (least(lo0 + c, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) + 1) // 2
+              + CASE WHEN lo0 + c > (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END) THEN
+                  ((nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) * (nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END) + 1)
+                     - (nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) // 2)
+                  - ((nn - lo0 - c) * (nn - lo0 - c + 1)
+                     - (nn - lo0 - c) // 2)
+                ELSE 0 END)
+             -
+             ((least(lo0, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) * (least(lo0, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) + 1))
+                - (least(lo0, (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) + 1) // 2
+              + CASE WHEN lo0 > (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END) THEN
+                  ((nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) * (nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END) + 1)
+                     - (nn - (2 * (nn // 4) + CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END)) // 2)
+                  - ((nn - lo0) * (nn - lo0 + 1) - (nn - lo0) // 2)
+                ELSE 0 END) AS block_sum
+      FROM pos
+    ),
+    terms AS (
+      SELECT v, nn,
+             (2000000 * CAST(n1 AS HUGEINT) * block_sum) // c AS term_q
+      FROM st
+    ),
+    acc AS (
+      SELECT CAST(min(nn) AS BIGINT) AS nn,
+             CAST(sum(term_q) AS HUGEINT) AS tq
+      FROM terms
+    ),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(c - n1) AS BIGINT) AS t2,
+             CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie3
+      FROM cells
+    )
+    SELECT tot.t1 AS n_treat, tot.t2 AS n_control,
+           CAST(acc.tq // 1000000 AS BIGINT) AS w2_units,
+           CAST(acc.tq % 1000000 AS BIGINT) AS w2_micro_frac,
+           CAST(tot.t1 * (acc.nn + 1) AS BIGINT) AS w2_null_mean,
+           (CAST(acc.tq // 1000000 AS BIGINT)
+              + CAST(acc.tq % 1000000 AS BIGINT) / 1000000.0
+              - CAST(tot.t1 * (acc.nn + 1) AS DOUBLE))
+             / sqrt(CAST(tot.t1 AS DOUBLE) * tot.t2 / 3.0
+                    * ((acc.nn + 1)
+                       - CAST((1000000000 * tot.tie3)
+                              // (CAST(acc.nn AS HUGEINT) * (acc.nn - 1))
+                              AS DOUBLE) / 1000000000.0)) AS z_score
+    FROM acc CROSS JOIN tot
+    """,
+    doc="Siegel-Tukey scale test between discounted (>=6%) and low-"
+    "discount line quantities: relabel the pooled sample with "
+    "ALTERNATING EXTREME ranks (1 to the minimum; 2,3 to the two "
+    "maxima; 4,5 to the next two minima; ...) and run the Wilcoxon "
+    "rank-sum on the relabeled ranks — a dispersion test with the "
+    "exact Wilcoxon null, no moments (agg_ansari_bradley is its "
+    "center-out mirror; agg_levene_bf the moment-based sibling). The "
+    "alternating ranks never materialize per row: over the ~50-value "
+    "quantity domain, each tie block's rank SUM comes from the exact "
+    "closed-form prefix G(p) = SB(min(p,B)) + [p>B](ST(N-B) - ST(N-p)) "
+    "with SB(j) = j(j+1) - ceil(j/2), ST(j) = j(j+1) - floor(j/2), "
+    "B = 2*floor(N/4) + (N mod 4 != 0) bottom-assigned positions (brute-force property-pinned for N=1..299 in tests) — pure integer arithmetic, identical in both "
+    "engines. Midrank averaging micro-quantizes each tie block's "
+    "doubled rank-sum contribution by ONE non-negative floor-division "
+    "((2e6*n1*block_sum) div c), so the cross-block total is an exact "
+    "order-free integer sum (a first draft summed per-cell FLOATS "
+    "through an ordered window and diverged: DuckDB's windowed sum "
+    "associates via segment trees, Spark's sequentially); the hi/lo "
+    "units+frac split converts the >2^53 micro total to double "
+    "bit-identically. The z uses the tie-corrected Wilcoxon variance "
+    "with the tie term ppb-quantized. One domain-sized shuffle.",
+)
+def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    cells = b.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    cells = cells.persist()
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    pos = cells.select(
+        "v",
+        "n1",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("lo0"),
+        F.sum("c").over(w_all).alias("nn"),
+    )
+
+    def _sb(j: str) -> str:
+        return f"(({j}) * (({j}) + 1) - (({j}) + 1) div 2)"
+
+    def _st(j: str) -> str:
+        return f"(({j}) * (({j}) + 1) - ({j}) div 2)"
+
+    def _g(p: str) -> str:
+        bb = "(2 * (nn div 4) + (CASE WHEN nn % 4 = 0 THEN 0 ELSE 1 END))"
+        return (
+            f"({_sb(f'least({p}, {bb})')}"
+            f" + CASE WHEN ({p}) > {bb} THEN"
+            f"     {_st(f'(nn - {bb})')} - {_st(f'(nn - ({p}))')}"
+            f"   ELSE 0 END)"
+        )
+
+    st = pos.select(
+        "v",
+        "n1",
+        "c",
+        "nn",
+        F.expr(f"{_g('lo0 + c')} - {_g('lo0')}").alias("block_sum"),
+    )
+    terms = st.select(
+        "v",
+        "nn",
+        F.expr(
+            "(2000000 * CAST(n1 AS DECIMAL(38,0)) * block_sum) div c"
+        ).alias("term_q"),
+    )
+    acc = terms.agg(
+        F.min("nn").cast("bigint").alias("nn"),
+        _dsum(F.col("term_q")).alias("tq"),
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum(F.col("c") - F.col("n1")).cast("bigint").alias("t2"),
+        _dsum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie3"),
+    )
+    return acc.crossJoin(F.broadcast(tot)).select(
+        F.col("t1").alias("n_treat"),
+        F.col("t2").alias("n_control"),
+        F.expr("CAST(tq div 1000000 AS BIGINT)").alias("w2_units"),
+        F.expr("CAST(tq % 1000000 AS BIGINT)").alias("w2_micro_frac"),
+        (F.col("t1") * (F.col("nn") + 1)).cast("bigint").alias(
+            "w2_null_mean"
+        ),
+        (
+            (
+                F.expr("CAST(tq div 1000000 AS BIGINT)").cast("double")
+                + F.expr("CAST(tq % 1000000 AS BIGINT)").cast("double")
+                / F.lit(1000000.0)
+                - (F.col("t1") * (F.col("nn") + 1)).cast("double")
+            )
+            / F.sqrt(
+                F.col("t1").cast("double")
+                * F.col("t2")
+                / F.lit(3.0)
+                * (
+                    (F.col("nn") + 1)
+                    - F.expr(
+                        "CAST((1000000000 * tie3)"
+                        " div (CAST(nn AS DECIMAL(38,0)) * (nn - 1))"
+                        " AS DOUBLE)"
+                    )
+                    / F.lit(1000000000.0)
+                )
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mantel_haenszel — stratified common odds ratio (year strata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mantel_haenszel",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS e,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    s AS (
+      SELECT yr,
+             CAST(sum(e * y) AS BIGINT)             AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT)       AS bb,
+             CAST(sum((1 - e) * y) AS BIGINT)       AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT)               AS n
+      FROM b GROUP BY yr
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum((1000000 * CAST(a AS HUGEINT) * d) // n) AS HUGEINT)
+               AS r_micro,
+             CAST(sum((1000000 * CAST(bb AS HUGEINT) * c) // n) AS HUGEINT)
+               AS s_micro,
+             CAST(sum(a) AS BIGINT) AS ta, CAST(sum(bb) AS BIGINT) AS tb,
+             CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td
+      FROM s
+    )
+    SELECT n_strata,
+           CAST(r_micro AS BIGINT) AS sum_ad_micro,
+           CAST(s_micro AS BIGINT) AS sum_bc_micro,
+           CAST((1000000000 * r_micro) // greatest(s_micro, 1) AS BIGINT)
+             AS mh_odds_ratio_ppb,
+           CAST((1000000000 * CAST(ta AS HUGEINT) * td)
+                // greatest(CAST(tb AS HUGEINT) * tc, 1) AS BIGINT)
+             AS pooled_odds_ratio_ppb
+    FROM t
+    """,
+    doc="Mantel-Haenszel common odds ratio of discount exposure vs "
+    "returns, stratified by ship-year: MH = sum(a_i*d_i/n_i) / "
+    "sum(b_i*c_i/n_i) — the stratum-weighted estimator that survives "
+    "confounding-by-year where the pooled 2x2 odds ratio (emitted "
+    "alongside, for the Simpson's-paradox contrast with "
+    "events_odds_ratio's single-table view) does not. Each stratum "
+    "term micro-quantizes by one non-negative floor-division "
+    "(1e6*a*d div n — exact HUGEINT/DECIMAL(38,0) products), so the "
+    "cross-stratum sums are plain integer additions (order-free) and "
+    "the final ratio is one more integer division. One map-side "
+    "aggregation over seven strata.",
+)
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    b = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("e"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    s = b.groupBy("yr").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("bb"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(
+            F.expr("(1000000 * CAST(a AS DECIMAL(38,0)) * d) div n")
+        )
+        .cast("decimal(38,0)")
+        .alias("r_micro"),
+        F.sum(
+            F.expr("(1000000 * CAST(bb AS DECIMAL(38,0)) * c) div n")
+        )
+        .cast("decimal(38,0)")
+        .alias("s_micro"),
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("bb").cast("bigint").alias("tb"),
+        F.sum("c").cast("bigint").alias("tc"),
+        F.sum("d").cast("bigint").alias("td"),
+    )
+    return t.select(
+        "n_strata",
+        F.col("r_micro").cast("bigint").alias("sum_ad_micro"),
+        F.col("s_micro").cast("bigint").alias("sum_bc_micro"),
+        F.expr(
+            "CAST((1000000000 * r_micro) div greatest(s_micro, 1)"
+            " AS BIGINT)"
+        ).alias("mh_odds_ratio_ppb"),
+        F.expr(
+            "CAST((1000000000 * CAST(ta AS DECIMAL(38,0)) * td)"
+            " div greatest(CAST(tb AS DECIMAL(38,0)) * tc, 1) AS BIGINT)"
+        ).alias("pooled_odds_ratio_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_breslow_day — homogeneity of odds ratios across strata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_breslow_day",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS e,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    s AS (
+      SELECT yr,
+             CAST(sum(e * y) AS BIGINT)             AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT)       AS bb,
+             CAST(sum((1 - e) * y) AS BIGINT)       AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT)               AS n
+      FROM b GROUP BY yr
+    ),
+    mh AS (
+      SELECT CAST((1000000000 *
+                   CAST(sum((1000000 * CAST(a AS HUGEINT) * d) // n)
+                        AS HUGEINT))
+                  // greatest(CAST(sum((1000000 * CAST(bb AS HUGEINT) * c)
+                                       // n) AS HUGEINT), 1) AS BIGINT)
+               AS psi_ppb
+      FROM s
+    ),
+    q AS (
+      SELECT s.yr, s.a, s.bb, s.c, s.d,
+             s.a + s.bb AS r1, s.a + s.c AS c1, s.n,
+             CAST(mh.psi_ppb AS DOUBLE) / 1000000000.0 AS psi
+      FROM s CROSS JOIN mh
+    ),
+    r AS (
+      SELECT yr, a, bb, c, d, r1, c1, n, psi,
+             (1.0 - psi) AS qa,
+             (CAST(n - r1 - c1 AS DOUBLE)) + psi * (r1 + c1) AS qb,
+             -(psi * CAST(r1 AS DOUBLE) * c1) AS qc
+      FROM q
+    ),
+    ah AS (
+      SELECT yr, a, bb, c, d, r1, c1, n, psi,
+             CASE WHEN abs(qa) < 1e-12
+                  THEN -qc / qb
+                  ELSE (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+             END AS a_hat
+      FROM r
+    )
+    SELECT yr,
+           a, bb AS b, c, d,
+           CAST((1000000000 * CAST(a AS HUGEINT) * d)
+                // greatest(CAST(bb AS HUGEINT) * c, 1) AS BIGINT)
+             AS or_ppb,
+           a_hat,
+           (CAST(a AS DOUBLE) - a_hat) * (CAST(a AS DOUBLE) - a_hat)
+             / (1.0 / (1.0 / a_hat + 1.0 / (CAST(r1 AS DOUBLE) - a_hat)
+                       + 1.0 / (CAST(c1 AS DOUBLE) - a_hat)
+                       + 1.0 / (CAST(n - r1 - c1 AS DOUBLE) + a_hat)))
+             AS bd_contribution
+    FROM ah
+    ORDER BY yr
+    """,
+    doc="Breslow-Day homogeneity test (per-stratum table): given "
+    "agg_mantel_haenszel's common odds ratio psi, solve the per-"
+    "stratum quadratic (1-psi)*a^2 + [(n-r1-c1) + psi(r1+c1)]*a - "
+    "psi*r1*c1 = 0 for the fitted cell a_hat and report each "
+    "stratum's chi-square contribution (a - a_hat)^2 / Var(a_hat) — "
+    "the diagnostic that says whether ONE common odds ratio is even "
+    "the right summary before quoting MH (effect-modification check). "
+    "The 2x2 cells and psi's ppb frame are exact integers; a_hat and "
+    "the contribution are fixed-order IEEE compositions (quadratic "
+    "formula with the positive root, harmonic variance), identical "
+    "in both engines because every input converts exactly. The "
+    "psi = 1 degenerate case falls back to the exact linear root. "
+    "Seven-stratum output from one map-side aggregation.",
+)
+def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    b = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("e"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    s = b.groupBy("yr").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("bb"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    s = s.persist()
+    mh = s.agg(
+        F.expr(
+            "CAST((1000000000 *"
+            " CAST(sum((1000000 * CAST(a AS DECIMAL(38,0)) * d) div n)"
+            "      AS DECIMAL(38,0)))"
+            " div greatest(CAST(sum((1000000 * CAST(bb AS DECIMAL(38,0))"
+            "                         * c) div n) AS DECIMAL(38,0)), 1)"
+            " AS BIGINT)"
+        ).alias("psi_ppb")
+    )
+    q = s.crossJoin(F.broadcast(mh)).select(
+        "yr",
+        "a",
+        "bb",
+        "c",
+        "d",
+        (F.col("a") + F.col("bb")).alias("r1"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        "n",
+        (F.col("psi_ppb").cast("double") / F.lit(1000000000.0)).alias(
+            "psi"
+        ),
+    )
+    r = q.select(
+        "*",
+        (F.lit(1.0) - F.col("psi")).alias("qa"),
+        (
+            (F.col("n") - F.col("r1") - F.col("c1")).cast("double")
+            + F.col("psi") * (F.col("r1") + F.col("c1"))
+        ).alias("qb"),
+        (-(F.col("psi") * F.col("r1").cast("double") * F.col("c1"))).alias(
+            "qc"
+        ),
+    )
+    ah = r.select(
+        "*",
+        F.when(
+            F.abs(F.col("qa")) < 1e-12, -F.col("qc") / F.col("qb")
+        )
+        .otherwise(
+            (
+                -F.col("qb")
+                + F.sqrt(
+                    F.col("qb") * F.col("qb")
+                    - F.lit(4.0) * F.col("qa") * F.col("qc")
+                )
+            )
+            / (F.lit(2.0) * F.col("qa"))
+        )
+        .alias("a_hat"),
+    )
+    return ah.select(
+        "yr",
+        "a",
+        F.col("bb").alias("b"),
+        "c",
+        "d",
+        F.expr(
+            "CAST((1000000000 * CAST(a AS DECIMAL(38,0)) * d)"
+            " div greatest(CAST(bb AS DECIMAL(38,0)) * c, 1) AS BIGINT)"
+        ).alias("or_ppb"),
+        "a_hat",
+        (
+            (F.col("a").cast("double") - F.col("a_hat"))
+            * (F.col("a").cast("double") - F.col("a_hat"))
+            / (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0) / F.col("a_hat")
+                    + F.lit(1.0)
+                    / (F.col("r1").cast("double") - F.col("a_hat"))
+                    + F.lit(1.0)
+                    / (F.col("c1").cast("double") - F.col("a_hat"))
+                    + F.lit(1.0)
+                    / (
+                        (F.col("n") - F.col("r1") - F.col("c1")).cast(
+                            "double"
+                        )
+                        + F.col("a_hat")
+                    )
+                )
+            )
+        ).alias("bd_contribution"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# text_dale_chall — familiar-word readability with a corpus-derived list
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dale_chall",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t != '')) AS word
+      FROM documents
+    ),
+    easy AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+        ORDER BY cnt DESC, word LIMIT 200
+      )
+    ),
+    per AS (
+      SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN e.word IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_difficult
+      FROM w LEFT JOIN easy e ON e.word = w.word
+      GROUP BY w.doc_id
+    ),
+    sent AS (
+      SELECT doc_id,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT p.doc_id, p.n_words, p.n_difficult, s.n_sentences,
+           0.1579 * (100.0 * CAST(p.n_difficult AS DOUBLE) / p.n_words)
+             + 0.0496 * (CAST(p.n_words AS DOUBLE) / s.n_sentences)
+             + CASE WHEN 20 * p.n_difficult > p.n_words
+                    THEN 3.6365 ELSE 0.0 END AS dale_chall
+    FROM per p JOIN sent s ON s.doc_id = p.doc_id
+    WHERE p.n_words > 0
+    """,
+    doc="Dale-Chall readability with a corpus-derived familiar-word list: "
+    "the 200 most frequent corpus words (deterministic count-desc, "
+    "word-asc tie-break) stand in for the static Dale list — the "
+    "familiarity-based readability family (word LOOKUP, not length "
+    "or syllables), which is the strongest single predictor in the "
+    "classic comprehension studies and, with a corpus-derived list, "
+    "doubles as an out-of-domain detector: documents scoring high "
+    "use vocabulary the corpus itself rarely sees. The raw-score "
+    "adjustment (+3.6365 when difficult share exceeds 5%) gates on "
+    "the EXACT integer comparison 20*difficult > words — no float "
+    "threshold; the score is a fixed-order IEEE expression. One "
+    "explode, a 200-row TakeOrderedAndProject, and a broadcast "
+    "anti-style left join — vocabulary-sized shuffles.",
+)
+def text_dale_chall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    w = w.persist()
+    easy = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(200)
+        .select("word", F.lit(1).alias("is_easy"))
+    )
+    per = (
+        w.join(F.broadcast(easy), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("is_easy").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_difficult"),
+        )
+    )
+    sent = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    return (
+        per.join(sent, "doc_id")
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_difficult",
+            "n_sentences",
+            (
+                F.lit(0.1579)
+                * (
+                    F.lit(100.0)
+                    * F.col("n_difficult").cast("double")
+                    / F.col("n_words")
+                )
+                + F.lit(0.0496)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                + F.when(
+                    20 * F.col("n_difficult") > F.col("n_words"),
+                    F.lit(3.6365),
+                ).otherwise(F.lit(0.0))
+            ).alias("dale_chall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_xmr_chart — individuals / moving-range control chart
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_xmr_chart",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                  AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mr AS (
+      SELECT day, x,
+             abs(x - lag(x) OVER (ORDER BY day)) AS mrange
+      FROM d
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(count(mrange) AS BIGINT) AS m,
+             CAST(sum(mrange) AS BIGINT) AS smr
+      FROM mr
+    )
+    SELECT mr.day, mr.x, CAST(mr.mrange AS BIGINT) AS mrange,
+           CAST(t.sx AS DOUBLE) / t.n AS center,
+           CAST(t.sx AS DOUBLE) / t.n
+             + 2.66 * CAST(t.smr AS DOUBLE) / t.m AS ucl,
+           CAST(t.sx AS DOUBLE) / t.n
+             - 2.66 * CAST(t.smr AS DOUBLE) / t.m AS lcl,
+           CAST(CASE WHEN 100 * abs(t.m * (t.n * mr.x - t.sx))
+                          > 266 * t.n * t.smr
+                THEN 1 ELSE 0 END AS BIGINT) AS x_alarm,
+           CAST(CASE WHEN mr.mrange IS NOT NULL
+                      AND 1000 * mr.mrange * t.m > 3267 * t.smr
+                THEN 1 ELSE 0 END AS BIGINT) AS mr_alarm
+    FROM mr CROSS JOIN t
+    ORDER BY mr.day
+    """,
+    doc="XmR (individuals / moving-range) control chart on daily revenue: "
+    "center = mean, natural process limits = mean +/- 2.66*MRbar, and "
+    "a separate range chart alarm at 3.267*MRbar — Wheeler's "
+    "individuals chart, which needs NO subgrouping and estimates "
+    "sigma from successive differences, so it stays valid when "
+    "orders_shewhart_control's within-day subgroup assumption breaks "
+    "(slow drifts inflate the global sigma but not MRbar). Both alarm "
+    "rules are EXACT integer cross-multiplications (100*|m*(n*x - "
+    "Sx)| > 266*n*SMR and 1000*mr*m > 3267*SMR — the rational "
+    "constants never become floats on the decision path); the "
+    "displayed limits are fixed-order IEEE expressions. One daily "
+    "rollup, one bounded lag window, one 1-row scalar broadcast.",
+)
+def orders_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    w = Window.orderBy("day")
+    mr = d.select(
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mrange"),
+    )
+    mr = mr.persist()
+    t = mr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.count("mrange").cast("bigint").alias("m"),
+        F.sum("mrange").cast("bigint").alias("smr"),
+    )
+    center = F.col("sx").cast("double") / F.col("n")
+    band = F.lit(2.66) * F.col("smr").cast("double") / F.col("m")
+    return (
+        mr.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "x",
+            F.col("mrange").cast("bigint").alias("mrange"),
+            center.alias("center"),
+            (center + band).alias("ucl"),
+            (center - band).alias("lcl"),
+            F.when(
+                100
+                * F.abs(
+                    F.col("m") * (F.col("n") * F.col("x") - F.col("sx"))
+                )
+                > 266 * F.col("n") * F.col("smr"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("x_alarm"),
+            F.when(
+                F.col("mrange").isNotNull()
+                & (1000 * F.col("mrange") * F.col("m")
+                   > 3267 * F.col("smr")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("mr_alarm"),
+        )
+        .orderBy("day")
+    )

@@ -188,6 +188,9 @@ _ALLOWED_NESTED_LOOP = {
     "orders_durbin_watson",       # 1-row normal-equation scalars broadcast crossJoin
     "orders_pacf_lag2",           # 1-row moment scalars broadcast crossJoin
     "text_word_burstiness",       # 1-row document-count scalar broadcast crossJoin
+    "agg_siegel_tukey",           # 1-row totals scalar broadcast crossJoin
+    "agg_breslow_day",            # 1-row MH-psi scalar broadcast crossJoin
+    "orders_xmr_chart",           # 1-row control-limit scalars broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
@@ -341,6 +344,8 @@ _GLOBAL_WINDOWS = {
     "orders_bartels_rank": (3, "bounded: daily value-grid + series"),
     "orders_durbin_watson": (2, "bounded: monthly series"),
     "orders_pacf_lag2": (1, "bounded: monthly series index"),
+    "agg_siegel_tukey": (2, "bounded: ~50-value quantity-domain grid"),
+    "orders_xmr_chart": (1, "bounded: daily series lag"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
     "events_max_concurrency": (1, "bounded: n_buckets offset window "
