@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -3090,4 +3091,665 @@ def orders_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mr_alarm"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cucconi — joint location-scale rank test (squared ranks + antiranks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cucconi",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT v,
+             CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY v
+    ),
+    mr AS (
+      SELECT v, n1, c,
+             2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2,
+             (SELECT sum(c) FROM cells) AS nn
+      FROM cells
+    ),
+    s AS (
+      SELECT CAST(min(nn) AS BIGINT) AS nn,
+             CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(c - n1) AS BIGINT) AS t2,
+             CAST(sum(CAST(n1 AS HUGEINT) * r2 * r2) AS HUGEINT) AS a4,
+             CAST(sum(CAST(n1 AS HUGEINT) * (2 * (nn + 1) - r2)
+                      * (2 * (nn + 1) - r2)) AS HUGEINT) AS b4
+      FROM mr
+    ),
+    f AS (
+      SELECT nn, t1, t2,
+             3 * a4 - 2 * CAST(t1 AS HUGEINT) * (nn + 1) * (2 * nn + 1)
+               AS un2,
+             3 * b4 - 2 * CAST(t1 AS HUGEINT) * (nn + 1) * (2 * nn + 1)
+               AS vn2,
+             sqrt(CAST(t1 AS DOUBLE) * t2 * (nn + 1) * (2.0 * nn + 1)
+                  * (8.0 * nn + 11) / 5.0) AS dd,
+             2.0 * (CAST(nn AS DOUBLE) * nn - 4)
+               / ((2.0 * nn + 1) * (8.0 * nn + 11)) - 1.0 AS rho
+      FROM s
+    ),
+    uv AS (
+      SELECT nn, t1, t2, rho,
+             (CASE WHEN un2 >= 0 THEN 1.0 ELSE -1.0 END)
+               * (CAST((abs(un2) // 67108864) AS DOUBLE) * 67108864.0
+                  + CAST((abs(un2) % 67108864) AS DOUBLE))
+               / (2.0 * dd) AS u,
+             (CASE WHEN vn2 >= 0 THEN 1.0 ELSE -1.0 END)
+               * (CAST((abs(vn2) // 67108864) AS DOUBLE) * 67108864.0
+                  + CAST((abs(vn2) % 67108864) AS DOUBLE))
+               / (2.0 * dd) AS w
+      FROM f
+    )
+    SELECT t1 AS n_treat, t2 AS n_control, u AS u_stat, w AS v_stat, rho,
+           (u * u + w * w - 2.0 * rho * u * w)
+             / (2.0 * (1.0 - rho * rho)) AS cucconi_c
+    FROM uv
+    """,
+    doc="Cucconi joint location-scale test between discounted (>=6%) and "
+    "low-discount line quantities: U standardizes the group-1 sum of "
+    "SQUARED ranks, V the sum of squared ANTIRANKS (N+1-R), and "
+    "C = (U^2 + V^2 - 2*rho*U*V) / (2(1-rho^2)) rejects when EITHER "
+    "center or spread moved — the single-statistic alternative to "
+    "running agg_mann_whitney and agg_siegel_tukey separately (it "
+    "predates and typically out-powers the Lepage combination). "
+    "Doubled midranks off the ~50-value domain grid keep the squared-"
+    "rank sums exact HUGEINT/DECIMAL(38,0) integers; the x2-scaled "
+    "numerators 3*Sum(r2^2) - 2*n1(N+1)(2N+1) stay integer to the "
+    "end and convert to double through the hi/lo 2^26 split (exact "
+    "below 2^53, correctly rounded above — plain casts of int128 "
+    "DIVERGE between engines) with explicit sign handling; rho and "
+    "the final C are fixed-order IEEE expressions. One domain-sized "
+    "shuffle.",
+)
+def agg_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    cells = b.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    mr = cells.select(
+        "v",
+        "n1",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+        F.sum("c").over(w_all).alias("nn"),
+    )
+    s = mr.agg(
+        F.min("nn").cast("bigint").alias("nn"),
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum(F.col("c") - F.col("n1")).cast("bigint").alias("t2"),
+        _dsum(
+            F.col("n1").cast("decimal(38,0)") * F.col("r2") * F.col("r2")
+        ).alias("a4"),
+        _dsum(
+            F.col("n1").cast("decimal(38,0)")
+            * (2 * (F.col("nn") + 1) - F.col("r2"))
+            * (2 * (F.col("nn") + 1) - F.col("r2"))
+        ).alias("b4"),
+    )
+    f = s.select(
+        "nn",
+        "t1",
+        "t2",
+        F.expr(
+            "3 * a4 - 2 * CAST(t1 AS DECIMAL(38,0)) * (nn + 1)"
+            " * (2 * nn + 1)"
+        ).alias("un2"),
+        F.expr(
+            "3 * b4 - 2 * CAST(t1 AS DECIMAL(38,0)) * (nn + 1)"
+            " * (2 * nn + 1)"
+        ).alias("vn2"),
+        F.sqrt(
+            F.col("t1").cast("double")
+            * F.col("t2")
+            * (F.col("nn") + 1)
+            * (F.lit(2.0) * F.col("nn") + 1)
+            * (F.lit(8.0) * F.col("nn") + 11)
+            / F.lit(5.0)
+        ).alias("dd"),
+        (
+            F.lit(2.0)
+            * (F.col("nn").cast("double") * F.col("nn") - 4)
+            / (
+                (F.lit(2.0) * F.col("nn") + 1)
+                * (F.lit(8.0) * F.col("nn") + 11)
+            )
+            - F.lit(1.0)
+        ).alias("rho"),
+    )
+    hi_lo = (
+        "(CASE WHEN {x} >= 0 THEN 1.0 ELSE -1.0 END)"
+        " * (CAST((abs({x}) div 67108864) AS DOUBLE) * 67108864.0"
+        "    + CAST((abs({x}) % 67108864) AS DOUBLE))"
+    )
+    uv = f.select(
+        "nn",
+        "t1",
+        "t2",
+        "rho",
+        (F.expr(hi_lo.format(x="un2")) / (F.lit(2.0) * F.col("dd"))).alias(
+            "u"
+        ),
+        (F.expr(hi_lo.format(x="vn2")) / (F.lit(2.0) * F.col("dd"))).alias(
+            "w"
+        ),
+    )
+    return uv.select(
+        F.col("t1").alias("n_treat"),
+        F.col("t2").alias("n_control"),
+        F.col("u").alias("u_stat"),
+        F.col("w").alias("v_stat"),
+        "rho",
+        (
+            (
+                F.col("u") * F.col("u")
+                + F.col("w") * F.col("w")
+                - F.lit(2.0) * F.col("rho") * F.col("u") * F.col("w")
+            )
+            / (F.lit(2.0) * (F.lit(1.0) - F.col("rho") * F.col("rho")))
+        ).alias("cucconi_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_source_vocab_overlap — cross-source vocabulary Jaccard matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                    t -> t != '')) AS word
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM w GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.n_shared,
+           CAST(1000000000 * i.n_shared
+                // (sa.vocab + sb.vocab - i.n_shared) AS BIGINT)
+             AS jaccard_ppb
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+    doc="Pairwise vocabulary Jaccard between corpus sources: distinct-word "
+    "sets per source, intersected through one word-keyed equi-join "
+    "(source count is small, so the pair fan-out per word is bounded "
+    "by a constant) — the corpus-drift matrix a curation pipeline "
+    "watches across snapshots: a source whose overlap with every "
+    "other source suddenly drops went off-distribution (scraper broke, "
+    "language flipped), and a pair approaching 1e9 ppb is a mirror-"
+    "site duplication signal at the SOURCE level, upstream of the "
+    "per-document dedup_* operators. Vocabulary-sized shuffles; the "
+    "Jaccard is one non-negative integer floor-division.",
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("word"),
+    ).distinct()
+    w = w.persist()
+    sizes = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    a = w.select(F.col("source").alias("source_a"), "word")
+    bb = w.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(bb, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.expr(
+                "CAST(1000000000 * n_shared"
+                " div (vocab_a + vocab_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppb"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_churn_rates — per-nation churn against a recency horizon
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_churn_rates",
+    oracle="""
+    WITH last AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    hz AS (SELECT max(o_orderdate) AS horizon FROM orders),
+    j AS (
+      SELECT c.c_nationkey,
+             CAST(date_diff('day', CAST(l.last_order AS DATE),
+                            CAST(h.horizon AS DATE)) AS BIGINT) AS recency
+      FROM last l
+      JOIN customer c ON c.c_custkey = l.o_custkey
+      CROSS JOIN hz h
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_active_customers,
+           CAST(sum(CASE WHEN recency > 180 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(1000000000 * sum(CASE WHEN recency > 180 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS churn_ppb,
+           CAST(sum(recency) // count(*) AS BIGINT) AS avg_recency_days
+    FROM j
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Churn rate per nation: customers whose LAST order predates the "
+    "data horizon by more than 180 days, over customers who ever "
+    "ordered — the recency cut of customer_rfm_segments promoted to a "
+    "cohort health metric, with average recency alongside (a nation "
+    "can have low churn but drifting recency — the leading "
+    "indicator). The horizon is the data's own max date (1-row "
+    "broadcast scalar), so the metric is reproducible on any "
+    "snapshot; rates are non-negative ppb floor-divisions. One "
+    "per-customer rollup (keyed), one broadcast dim join, one "
+    "25-group aggregate.",
+)
+def customer_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    last = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order")
+    )
+    hz = o.agg(F.max("o_orderdate").alias("horizon"))
+    j = (
+        last.join(c, last.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "c_nationkey",
+            F.datediff(
+                F.col("horizon").cast("date"),
+                F.col("last_order").cast("date"),
+            )
+            .cast("bigint")
+            .alias("recency"),
+        )
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_customers"),
+            F.sum(F.when(F.col("recency") > 180, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.expr(
+                "CAST(1000000000 * sum(CASE WHEN recency > 180 THEN 1"
+                " ELSE 0 END) div count(*) AS BIGINT)"
+            ).alias("churn_ppb"),
+            F.expr(
+                "CAST(sum(recency) div count(*) AS BIGINT)"
+            ).alias("avg_recency_days"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bowley_moors — robust quantile-based skewness and kurtosis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bowley_moors",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, v, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, v,
+             sum(c) OVER (PARTITION BY c_nationkey ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cm,
+             sum(c) OVER (PARTITION BY c_nationkey) AS n
+      FROM cells
+    ),
+    oct AS (
+      SELECT c_nationkey, CAST(min(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN 8 * cm >= 1 * n THEN v END) AS BIGINT) AS e1,
+             CAST(min(CASE WHEN 8 * cm >= 2 * n THEN v END) AS BIGINT) AS e2,
+             CAST(min(CASE WHEN 8 * cm >= 3 * n THEN v END) AS BIGINT) AS e3,
+             CAST(min(CASE WHEN 8 * cm >= 4 * n THEN v END) AS BIGINT) AS e4,
+             CAST(min(CASE WHEN 8 * cm >= 5 * n THEN v END) AS BIGINT) AS e5,
+             CAST(min(CASE WHEN 8 * cm >= 6 * n THEN v END) AS BIGINT) AS e6,
+             CAST(min(CASE WHEN 8 * cm >= 7 * n THEN v END) AS BIGINT) AS e7
+      FROM cum GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           e2 AS q1_cents, e4 AS median_cents, e6 AS q3_cents,
+           CAST((CASE WHEN e2 + e6 - 2 * e4 >= 0 THEN 1 ELSE -1 END)
+                * (1000000000 * abs(e2 + e6 - 2 * e4) // (e6 - e2))
+                AS BIGINT) AS bowley_skew_ppb,
+           CAST(1000000000 * ((e7 - e5) + (e3 - e1)) // (e6 - e2)
+                AS BIGINT) AS moors_kurtosis_ppb
+    FROM oct
+    WHERE e6 > e2
+    ORDER BY c_nationkey
+    """,
+    doc="Bowley quantile skewness and Moors octile kurtosis of customer "
+    "balances per nation: shape diagnostics built ENTIRELY from order "
+    "statistics — Bowley = (Q1 + Q3 - 2*median)/(Q3 - Q1), Moors = "
+    "((E7-E5) + (E3-E1))/(E6-E2) — so they exist and stay stable for "
+    "the heavy-tailed balances where agg_jarque_bera's moment-based "
+    "skew/kurtosis explode (robust-shape complement to "
+    "agg_mad_outliers' robust-scale view). Each octile is the exact "
+    "type-1 quantile: the smallest cents value whose per-nation "
+    "cumulative count satisfies the INTEGER predicate 8*cum >= k*n — "
+    "no interpolation, no float thresholds; both ratios are "
+    "floor-divisions of exact integers with explicit sign handling "
+    "(Moors' numerator is non-negative by octile monotonicity). All "
+    "windows are PARTITIONED per nation; one value-grid shuffle.",
+)
+def agg_bowley_moors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    cells = b.groupBy("c_nationkey", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("c_nationkey")
+    cum = cells.select(
+        "c_nationkey",
+        "v",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    octs = [
+        F.min(
+            F.when(8 * F.col("cm") >= k * F.col("n"), F.col("v"))
+        )
+        .cast("bigint")
+        .alias(f"e{k}")
+        for k in range(1, 8)
+    ]
+    oct_df = cum.groupBy("c_nationkey").agg(
+        F.min("n").cast("bigint").alias("n"), *octs
+    )
+    return (
+        oct_df.filter(F.col("e6") > F.col("e2"))
+        .select(
+            "c_nationkey",
+            "n",
+            F.col("e2").alias("q1_cents"),
+            F.col("e4").alias("median_cents"),
+            F.col("e6").alias("q3_cents"),
+            F.expr(
+                "CAST((CASE WHEN e2 + e6 - 2 * e4 >= 0 THEN 1 ELSE -1 END)"
+                " * (1000000000 * abs(e2 + e6 - 2 * e4) div (e6 - e2))"
+                " AS BIGINT)"
+            ).alias("bowley_skew_ppb"),
+            F.expr(
+                "CAST(1000000000 * ((e7 - e5) + (e3 - e1)) div (e6 - e2)"
+                " AS BIGINT)"
+            ).alias("moors_kurtosis_ppb"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_type_cooccurrence — behavioral lift between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS total
+      FROM ud
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY 1
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, ma.n AS n_a, mb.n AS n_b, p.n_both,
+           CAST((1000000000 * CAST(p.n_both AS HUGEINT) * t.total)
+                // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppb
+    FROM p
+    JOIN m ma ON ma.event_type = p.type_a
+    JOIN m mb ON mb.event_type = p.type_b
+    CROSS JOIN t
+    ORDER BY p.type_a, p.type_b
+    """,
+    doc="Event-type co-occurrence lift at the user-day grain: for every "
+    "type pair, P(A and B together) / (P(A)*P(B)) — the behavioral "
+    "association matrix (docs_pmi_collocations' idea applied to event "
+    "streams; orders_basket_lift's idea applied to sessions): lift "
+    "far above 1e9 ppb marks types that travel together (view -> "
+    "purchase funnels), far below marks substitutes or segmentation. "
+    "The pair join runs on the DEDUPLICATED (user, day, type) grain "
+    "keyed by (user, day), so per-key fan-out is bounded by the "
+    "constant type-domain size squared — never a data-proportional "
+    "pair set. Lift is an exact HUGEINT/DECIMAL(38,0) rational "
+    "floor-divided to ppb on non-negative operands; one 1-row total "
+    "broadcast.",
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    ud = ud.persist()
+    t = ud.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    m = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    bb = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    p = (
+        a.join(bb, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ma = m.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    mb = m.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        p.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST((1000000000 * CAST(n_both AS DECIMAL(38,0)) * total)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppb"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_reciprocity — weighted reciprocity of the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_reciprocity",
+    oracle="""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT e.src, e.dst, e.w,
+             coalesce(b.w, 0) AS w_back,
+             least(e.w, coalesce(b.w, 0)) AS w_recip
+      FROM edges e
+      LEFT JOIN edges b ON b.src = e.dst AND b.dst = e.src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN w_back > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reciprocated,
+           CAST(sum(w) AS BIGINT) AS total_weight,
+           CAST(sum(w_recip) AS BIGINT) AS reciprocated_weight,
+           CAST(1000000000 * sum(CASE WHEN w_back > 0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS edge_reciprocity_ppb,
+           CAST(1000000000 * sum(w_recip) // sum(w) AS BIGINT)
+             AS weight_reciprocity_ppb
+    FROM r
+    """,
+    doc="Weighted reciprocity of the directed nation trade graph (customer "
+    "nation -> supplier nation): the share of edges with a reverse "
+    "edge, and Squartini's weighted form sum(min(w_ij, w_ji))/sum(w) "
+    "— the graph-level symmetry diagnostic that "
+    "complements graph_assortativity (degree mixing) and "
+    "graph_clustering_coefficient (local closure): high reciprocity "
+    "means bilateral trade, low means hub-and-spoke supply flow. "
+    "Edge weights aggregate once from the fact table (same keyed "
+    "plan as graph_katz_centrality); the reverse lookup is a "
+    "nation-cardinality self-join; ratios are non-negative integer "
+    "floor-divisions. Self-loops excluded so reciprocity is not "
+    "inflated by domestic trade.",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = edges.persist()
+    back = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_back"),
+    )
+    r = edges.join(back, ["src", "dst"], "left").select(
+        "w",
+        F.coalesce(F.col("w_back"), F.lit(0)).alias("w_back"),
+        F.least(
+            F.col("w"), F.coalesce(F.col("w_back"), F.lit(0))
+        ).alias("w_recip"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("w_back") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+        F.sum("w_recip").cast("bigint").alias("reciprocated_weight"),
+        F.expr(
+            "CAST(1000000000 * sum(CASE WHEN w_back > 0 THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("edge_reciprocity_ppb"),
+        F.expr(
+            "CAST(1000000000 * sum(w_recip) div sum(w) AS BIGINT)"
+        ).alias("weight_reciprocity_ppb"),
     )

@@ -191,6 +191,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_siegel_tukey",           # 1-row totals scalar broadcast crossJoin
     "agg_breslow_day",            # 1-row MH-psi scalar broadcast crossJoin
     "orders_xmr_chart",           # 1-row control-limit scalars broadcast crossJoin
+    "customer_churn_rates",       # 1-row horizon scalar broadcast crossJoin
+    "events_type_cooccurrence",   # 1-row user-day total broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
@@ -345,6 +347,7 @@ _GLOBAL_WINDOWS = {
     "orders_durbin_watson": (2, "bounded: monthly series"),
     "orders_pacf_lag2": (1, "bounded: monthly series index"),
     "agg_siegel_tukey": (2, "bounded: ~50-value quantity-domain grid"),
+    "agg_cucconi": (2, "bounded: ~50-value quantity-domain grid"),
     "orders_xmr_chart": (1, "bounded: daily series lag"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
