@@ -3753,3 +3753,698 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000000 * sum(w_recip) div sum(w) AS BIGINT)"
         ).alias("weight_reciprocity_ppb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_mean_difference — pairwise dispersion without pair materialization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_mean_difference",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, v, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, v, c,
+             coalesce(sum(c) OVER (PARTITION BY c_nationkey ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             sum(c) OVER (PARTITION BY c_nationkey) AS n
+      FROM cells
+    ),
+    s AS (
+      SELECT c_nationkey,
+             CAST(min(n) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * v
+                      * (below - (n - below - c))) AS HUGEINT) AS sdiff,
+             CAST(sum(CAST(c AS HUGEINT) * v) AS BIGINT) AS sx
+      FROM cum GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           CAST(2000 * sdiff // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+             AS gmd_millicents,
+           CAST(CASE WHEN sx > 0
+                THEN (1000000000 * sdiff) // (CAST(n - 1 AS HUGEINT) * sx)
+                ELSE NULL END AS BIGINT) AS gini_ppb
+    FROM s WHERE n > 1
+    ORDER BY c_nationkey
+    """,
+    doc="Gini mean difference of customer balances per nation: the "
+    "expected |X - X'| over all pairs, plus the Gini coefficient "
+    "GMD/(2*mean) — the L1 dispersion measure that is finite and "
+    "stable under the heavy tails that break variance, and the "
+    "inequality index at the CUSTOMER grain (orders_gini_hhi measures "
+    "revenue concentration across SKUs). The n^2 pair sum never "
+    "materializes: over the per-nation sorted value grid, each cell "
+    "contributes c*v*(n_below - n_above) exactly (the classic sorted "
+    "identity), accumulated in HUGEINT/DECIMAL(38,0) — the "
+    "contribution sum is provably non-negative, so the milli-cent and "
+    "ppb floor-divisions are engine-portable; Gini is emitted only "
+    "where the mean is positive (it is undefined under a negative "
+    "total). All windows PARTITIONED per nation; one value-grid "
+    "shuffle.",
+)
+def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    cells = b.groupBy("c_nationkey", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("c_nationkey")
+    cum = cells.select(
+        "c_nationkey",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("below"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    s = cum.groupBy("c_nationkey").agg(
+        F.min("n").cast("bigint").alias("n"),
+        _dsum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("v")
+            * (F.col("below") - (F.col("n") - F.col("below") - F.col("c")))
+        ).alias("sdiff"),
+        _dsum(F.col("c").cast("decimal(38,0)") * F.col("v"))
+        .cast("bigint")
+        .alias("sx"),
+    )
+    return (
+        s.filter(F.col("n") > 1)
+        .select(
+            "c_nationkey",
+            "n",
+            F.expr(
+                "CAST(2000 * sdiff div (CAST(n AS DECIMAL(38,0)) * (n - 1))"
+                " AS BIGINT)"
+            ).alias("gmd_millicents"),
+            F.expr(
+                "CAST(CASE WHEN sx > 0"
+                " THEN (1000000000 * sdiff)"
+                "      div (CAST(n - 1 AS DECIMAL(38,0)) * sx)"
+                " ELSE NULL END AS BIGINT)"
+            ).alias("gini_ppb"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_mean — clamp-at-decile robust location per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, v, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, v, c,
+             sum(c) OVER (PARTITION BY c_nationkey ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(c) OVER (PARTITION BY c_nationkey) AS n
+      FROM cells
+    ),
+    bounds AS (
+      SELECT c_nationkey, CAST(min(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cm >= n // 10 + 1 THEN v END) AS BIGINT)
+               AS lo,
+             CAST(min(CASE WHEN cm >= n - n // 10 THEN v END) AS BIGINT)
+               AS hi
+      FROM cum GROUP BY c_nationkey
+    ),
+    w AS (
+      SELECT cu.c_nationkey, bo.n, bo.lo, bo.hi,
+             CAST(sum(cu.c * greatest(bo.lo, least(bo.hi, cu.v)))
+                  AS HUGEINT) AS sw
+      FROM cum cu JOIN bounds bo ON bo.c_nationkey = cu.c_nationkey
+      GROUP BY cu.c_nationkey, bo.n, bo.lo, bo.hi
+    )
+    SELECT c_nationkey, n, lo AS lower_clamp_cents,
+           hi AS upper_clamp_cents,
+           CAST((CASE WHEN sw >= 0 THEN 1 ELSE -1 END)
+                * ((1000 * abs(sw)) // n) AS BIGINT)
+             AS winsorized_mean_millicents
+    FROM w
+    ORDER BY c_nationkey
+    """,
+    doc="10% winsorized mean of customer balances per nation: clamp "
+    "values below the 10th / above the 90th percentile TO the "
+    "percentile and average — the robust location estimator that "
+    "keeps sample size (unlike agg_trimmed_mean, which discards the "
+    "tails and so under-uses small groups) while capping tail "
+    "leverage. The clamp bounds are exact type-1 order statistics "
+    "from the per-nation cumulative value grid (integer predicate "
+    "cm >= n div 10 + 1 — no interpolation); the clamped sum is one "
+    "more pass over the SAME grid (cells, not rows), and the "
+    "milli-cent mean floor-divides |sum| with explicit sign (balances "
+    "go negative). All windows PARTITIONED; two grid-sized passes.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    cells = b.groupBy("c_nationkey", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("c_nationkey")
+    cum = cells.select(
+        "c_nationkey",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    cum = cum.persist()
+    bounds = cum.groupBy("c_nationkey").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("n div 10") + 1, F.col("v"))
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.min(
+            F.when(F.col("cm") >= F.col("n") - F.expr("n div 10"),
+                   F.col("v"))
+        )
+        .cast("bigint")
+        .alias("hi"),
+    )
+    w = (
+        cum.select("c_nationkey", "v", "c")
+        .join(F.broadcast(bounds), "c_nationkey")
+        .groupBy("c_nationkey", "n", "lo", "hi")
+        .agg(
+            _dsum(
+                F.col("c")
+                * F.greatest(
+                    F.col("lo"), F.least(F.col("hi"), F.col("v"))
+                )
+            ).alias("sw")
+        )
+    )
+    return w.select(
+        "c_nationkey",
+        "n",
+        F.col("lo").alias("lower_clamp_cents"),
+        F.col("hi").alias("upper_clamp_cents"),
+        F.expr(
+            "CAST((CASE WHEN sw >= 0 THEN 1 ELSE -1 END)"
+            " * ((1000 * abs(sw)) div n) AS BIGINT)"
+        ).alias("winsorized_mean_millicents"),
+    ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# agg_ranking_concordance — Kendall distance between two nation rankings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ranking_concordance",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT nation,
+             CAST(row_number() OVER (ORDER BY rev DESC, nation)
+                  AS BIGINT) AS r_rev,
+             CAST(row_number() OVER (ORDER BY n_orders DESC, nation)
+                  AS BIGINT) AS r_cnt
+      FROM m
+    ),
+    p AS (
+      SELECT CAST(sum(CASE WHEN (a.r_rev - b.r_rev)
+                              * (a.r_cnt - b.r_cnt) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(sum(CASE WHEN (a.r_rev - b.r_rev)
+                              * (a.r_cnt - b.r_cnt) < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+      FROM r a JOIN r b ON a.nation < b.nation
+    ),
+    f AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS nn,
+             CAST(max(concordant) AS BIGINT) AS concordant,
+             CAST(max(discordant) AS BIGINT) AS discordant,
+             (SELECT CAST(sum(abs(r_rev - r_cnt)) AS BIGINT) FROM r)
+               AS footrule
+      FROM p
+    )
+    SELECT nn AS n_nations, concordant, discordant, footrule,
+           CAST((CASE WHEN concordant >= discordant THEN 1 ELSE -1 END)
+                * (2000000000 * abs(concordant - discordant)
+                   // (nn * (nn - 1))) AS BIGINT) AS kendall_tau_ppb
+    FROM f
+    """,
+    doc="Rank concordance between two NATION rankings — by revenue and by "
+    "order count: Kendall's tau from concordant/discordant pairs plus "
+    "Spearman's footrule distance sum|r1 - r2| — the ranking-STABILITY "
+    "diagnostic (agg_kendall_tau correlates raw row values; this "
+    "compares two derived leaderboards, the question dashboards "
+    "actually ask: 'does ranking by volume tell the same story as "
+    "ranking by value?'). Both rankings are deterministic "
+    "(metric DESC, nation tie-break) row_numbers over the bounded "
+    "25-nation aggregate, the pair join is 25x25 literal-bounded, and "
+    "tau floor-divides exact integers with explicit sign. One keyed "
+    "rollup shuffle; everything downstream is nation-sized.",
+)
+def agg_ranking_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    r = m.select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), "nation"))
+        .cast("bigint")
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), "nation"))
+        .cast("bigint")
+        .alias("r_cnt"),
+    )
+    r = r.persist()
+    a = r.select(
+        F.col("nation").alias("na"),
+        F.col("r_rev").alias("ra1"),
+        F.col("r_cnt").alias("ra2"),
+    )
+    bb = r.select(
+        F.col("nation").alias("nb"),
+        F.col("r_rev").alias("rb1"),
+        F.col("r_cnt").alias("rb2"),
+    )
+    p = (
+        a.join(F.broadcast(bb), F.col("na") < F.col("nb"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("ra1") - F.col("rb1"))
+                    * (F.col("ra2") - F.col("rb2"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    (F.col("ra1") - F.col("rb1"))
+                    * (F.col("ra2") - F.col("rb2"))
+                    < 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("discordant"),
+        )
+    )
+    foot = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.abs(F.col("r_rev") - F.col("r_cnt")))
+        .cast("bigint")
+        .alias("footrule"),
+    )
+    return p.crossJoin(F.broadcast(foot)).select(
+        F.col("nn").alias("n_nations"),
+        "concordant",
+        "discordant",
+        "footrule",
+        F.expr(
+            "CAST((CASE WHEN concordant >= discordant THEN 1 ELSE -1 END)"
+            " * (2000000000 * abs(concordant - discordant)"
+            "    div (nn * (nn - 1))) AS BIGINT)"
+        ).alias("kendall_tau_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_reliability_mtbf — inter-failure gap distribution (exact quantiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_reliability_mtbf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+    ),
+    g AS (
+      SELECT a.user_id,
+             CAST(date_diff('second', CAST(a.ts AS TIMESTAMP),
+                            CAST(b.ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+      FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ),
+    cells AS (
+      SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1
+    ),
+    cum AS (
+      SELECT gap_s, c,
+             sum(c) OVER (ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cm,
+             (SELECT sum(c) FROM cells) AS n
+      FROM cells
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_gaps,
+           CAST(sum(CAST(gap_s AS HUGEINT) * c) // min(n) AS BIGINT)
+             AS mtbf_mean_s,
+           CAST(min(CASE WHEN 2 * cm >= n THEN gap_s END) AS BIGINT)
+             AS median_gap_s,
+           CAST(min(CASE WHEN 10 * cm >= 9 * n THEN gap_s END) AS BIGINT)
+             AS p90_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM cum
+    """,
+    doc="Mean time between failures from per-user 'error' event gaps: "
+    "exact mean, median, p90, and max inter-failure interval — the "
+    "reliability readout (MTBF plus the gap DISTRIBUTION, since a "
+    "healthy mean with a collapsing median means failures are "
+    "clustering — the same burstiness events_kleinberg_burst models "
+    "generatively). Gap construction is per-user sequenced "
+    "(PARTITIONED rank windows with an event_id tie-break, never a "
+    "global sort of the event stream); quantiles are exact type-1 "
+    "order statistics over the distinct-gap-seconds grid via integer "
+    "predicates (2*cum >= n), and the mean is one non-negative "
+    "floor-division of a HUGEINT/DECIMAL(38,0) sum. Two keyed "
+    "shuffles + one bounded grid window.",
+)
+def events_reliability_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & (F.col("event_type") == "error")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "ts", F.row_number().over(w_seq).alias("rn")
+    )
+    a = e.select("user_id", F.col("ts").alias("ts_a"), "rn")
+    bnext = e.select(
+        "user_id",
+        F.col("ts").alias("ts_b"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    g = a.join(bnext, ["user_id", "rn"]).select(
+        (
+            F.col("ts_b").cast("timestamp").cast("long")
+            - F.col("ts_a").cast("timestamp").cast("long")
+        ).alias("gap_s")
+    )
+    cells = g.groupBy("gap_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        "gap_s",
+        "c",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.min("n").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "CAST(sum(CAST(gap_s AS DECIMAL(38,0)) * c) div min(n)"
+            " AS BIGINT)"
+        ).alias("mtbf_mean_s"),
+        F.min(F.when(2 * F.col("cm") >= F.col("n"), F.col("gap_s")))
+        .cast("bigint")
+        .alias("median_gap_s"),
+        F.min(
+            F.when(10 * F.col("cm") >= 9 * F.col("n"), F.col("gap_s"))
+        )
+        .cast("bigint")
+        .alias("p90_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_mase_seasonal_naive — scale-free forecast accuracy baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mase_seasonal_naive",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) // 100000 AS BIGINT) AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT month, x,
+             lag(x, 1)  OVER (ORDER BY month) AS x1,
+             lag(x, 12) OVER (ORDER BY month) AS x12
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x1 IS NOT NULL
+                      THEN abs(x - x1) ELSE 0 END) AS BIGINT) AS mae1_sum,
+             CAST(count(x1) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN x12 IS NOT NULL
+                      THEN abs(x - x12) ELSE 0 END) AS BIGINT) AS mae12_sum,
+             CAST(count(x12) AS BIGINT) AS n12
+      FROM s
+    )
+    SELECT n AS n_months, n1 AS n_naive_errors, n12 AS n_seasonal_errors,
+           CAST(mae1_sum // n1 AS BIGINT) AS naive_mae_kilo,
+           CAST(mae12_sum // n12 AS BIGINT) AS seasonal_mae_kilo,
+           CAST((1000000000 * CAST(mae12_sum AS HUGEINT) * n1)
+                // (CAST(mae1_sum AS HUGEINT) * n12) AS BIGINT)
+             AS mase_ppb
+    FROM t WHERE n1 > 0 AND n12 > 0 AND mae1_sum > 0
+    """,
+    doc="MASE of the seasonal-naive forecast on monthly revenue: the mean "
+    "absolute error of 'predict month t with month t-12' scaled by "
+    "the in-sample naive (t-1) MAE — Hyndman's scale-free accuracy "
+    "measure, the denominator every forecasting bake-off "
+    "(orders_holt_winters, orders_croston, orders_mape_backtest) "
+    "should be reported against: MASE >= 1e9 ppb means the method "
+    "loses to 'no model at all', and unlike MAPE it survives "
+    "zero-revenue months. Both error sums are exact integer "
+    "kilodollar |differences| from two bounded lag windows over the "
+    "monthly series; MASE is one exact HUGEINT/DECIMAL(38,0) "
+    "cross-ratio floor-divided to ppb on non-negative operands.",
+)
+def orders_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    w = Window.orderBy("month")
+    s = m.select(
+        "month",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 12).over(w).alias("x12"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("x1").isNotNull(), F.abs(F.col("x") - F.col("x1"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mae1_sum"),
+        F.count("x1").cast("bigint").alias("n1"),
+        F.sum(
+            F.when(
+                F.col("x12").isNotNull(), F.abs(F.col("x") - F.col("x12"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mae12_sum"),
+        F.count("x12").cast("bigint").alias("n12"),
+    )
+    return t.filter(
+        (F.col("n1") > 0) & (F.col("n12") > 0) & (F.col("mae1_sum") > 0)
+    ).select(
+        F.col("n").alias("n_months"),
+        F.col("n1").alias("n_naive_errors"),
+        F.col("n12").alias("n_seasonal_errors"),
+        F.expr("CAST(mae1_sum div n1 AS BIGINT)").alias("naive_mae_kilo"),
+        F.expr("CAST(mae12_sum div n12 AS BIGINT)").alias(
+            "seasonal_mae_kilo"
+        ),
+        F.expr(
+            "CAST((1000000000 * CAST(mae12_sum AS DECIMAL(38,0)) * n1)"
+            " div (CAST(mae1_sum AS DECIMAL(38,0)) * n12) AS BIGINT)"
+        ).alias("mase_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_demand_classification — Syntetos-Boylan ADI / CV^2 quadrants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_demand_classification",
+    oracle="""
+    WITH d AS (
+      SELECT p.p_brand, l.l_shipdate AS day,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS total_days FROM d
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      FROM d GROUP BY p_brand
+    ),
+    k AS (
+      SELECT m.p_brand, m.n AS demand_days, t.total_days,
+             CAST(1000000000 * t.total_days // m.n AS BIGINT) AS adi_ppb,
+             CAST((1000000000 * CAST(m.n AS HUGEINT)
+                   * (m.n * m.ss - CAST(m.s AS HUGEINT) * m.s))
+                  // ((m.n - 1) * CAST(m.s AS HUGEINT) * m.s) AS BIGINT)
+               AS cv2_ppb
+      FROM m CROSS JOIN t WHERE m.n > 1 AND m.s > 0
+    )
+    SELECT p_brand, demand_days, total_days, adi_ppb, cv2_ppb,
+           CASE WHEN adi_ppb < 1320000000 AND cv2_ppb < 490000000
+                THEN 'smooth'
+                WHEN adi_ppb >= 1320000000 AND cv2_ppb < 490000000
+                THEN 'intermittent'
+                WHEN adi_ppb < 1320000000 THEN 'erratic'
+                ELSE 'lumpy' END AS demand_class
+    FROM k
+    ORDER BY p_brand
+    """,
+    doc="Syntetos-Boylan demand classification per part brand: average "
+    "demand interval (ADI = total days / demand days) against the "
+    "squared coefficient of variation of demand sizes, cut at the "
+    "published 1.32 / 0.49 thresholds into smooth / intermittent / "
+    "erratic / lumpy — the decision chart that says WHICH forecaster "
+    "applies (smooth -> orders_exp_smoothing or holt_winters; "
+    "intermittent/lumpy -> orders_croston; erratic -> "
+    "orders_safety_stock on fatter buffers). Both axes are exact "
+    "integer ppb floor-divisions (the CV^2 frame is "
+    "n(n*SS - S^2)/((n-1)S^2) in HUGEINT/DECIMAL(38,0)); the quadrant "
+    "cuts compare INTEGERS against integer ppb constants — no float "
+    "ever decides a class. One keyed (brand, day) rollup + a 1-row "
+    "day-count broadcast.",
+)
+def orders_demand_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").alias("day"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    d = d.persist()
+    t = d.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_days")
+    )
+    m = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        _dsum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("ss"),
+    )
+    k = (
+        m.filter((F.col("n") > 1) & (F.col("s") > 0))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "p_brand",
+            F.col("n").alias("demand_days"),
+            "total_days",
+            F.expr(
+                "CAST(1000000000 * total_days div n AS BIGINT)"
+            ).alias("adi_ppb"),
+            F.expr(
+                "CAST((1000000000 * CAST(n AS DECIMAL(38,0))"
+                "      * (n * ss - CAST(s AS DECIMAL(38,0)) * s))"
+                " div ((n - 1) * CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("cv2_ppb"),
+        )
+    )
+    return k.select(
+        "p_brand",
+        "demand_days",
+        "total_days",
+        "adi_ppb",
+        "cv2_ppb",
+        F.when(
+            (F.col("adi_ppb") < 1320000000)
+            & (F.col("cv2_ppb") < 490000000),
+            "smooth",
+        )
+        .when(
+            (F.col("adi_ppb") >= 1320000000)
+            & (F.col("cv2_ppb") < 490000000),
+            "intermittent",
+        )
+        .when(F.col("adi_ppb") < 1320000000, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    ).orderBy("p_brand")

@@ -193,6 +193,8 @@ _ALLOWED_NESTED_LOOP = {
     "orders_xmr_chart",           # 1-row control-limit scalars broadcast crossJoin
     "customer_churn_rates",       # 1-row horizon scalar broadcast crossJoin
     "events_type_cooccurrence",   # 1-row user-day total broadcast crossJoin
+    "agg_ranking_concordance",    # 25-nation rank pair NLJ + 1-row footrule crossJoin
+    "orders_demand_classification",  # 1-row day-count scalar broadcast crossJoin
     "curate_temperature_resample",  # 1-row weight-total scalar broadcast crossJoin
     "agg_kmv_distinct_setops",    # 1-row sketch-tail scalars broadcast crossJoin
     "agg_log2_histogram_quantiles",  # 1-row total broadcast crossJoin
@@ -348,6 +350,9 @@ _GLOBAL_WINDOWS = {
     "orders_pacf_lag2": (1, "bounded: monthly series index"),
     "agg_siegel_tukey": (2, "bounded: ~50-value quantity-domain grid"),
     "agg_cucconi": (2, "bounded: ~50-value quantity-domain grid"),
+    "agg_ranking_concordance": (2, "bounded: 25-nation rank windows"),
+    "events_reliability_mtbf": (2, "bounded: distinct-gap-seconds grid"),
+    "orders_mase_seasonal_naive": (1, "bounded: monthly series lags"),
     "orders_xmr_chart": (1, "bounded: daily series lag"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
