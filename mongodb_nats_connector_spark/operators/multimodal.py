@@ -334,6 +334,10 @@ def _wav_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             meta = sniff_wav_meta(bytes(payload))
             ids.append(doc_id)
+            # degenerate-but-magic-valid headers (block_align or rate 0)
+            # are typed misses too, never a ZeroDivisionError in the task
+            if meta is not None and (meta[0] == 0 or meta[4] == 0):
+                meta = None
             if meta is None:
                 rates.append(None)
                 chans.append(None)

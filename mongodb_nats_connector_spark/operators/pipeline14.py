@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.plans.caching import release_on_gc
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -486,7 +487,7 @@ def orders_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("hlim")
     )
-    return (
+    _out = (
         c.crossJoin(F.broadcast(h))
         .select(
             "day",
@@ -504,6 +505,8 @@ def orders_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+    return release_on_gc(d, release_on_gc(s, _out))
+
 
 
 # ---------------------------------------------------------------------------
@@ -1212,7 +1215,7 @@ def orders_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("r2") - F.col("n_all") - 1)
         ).alias("den2"),
     )
-    return t.select(
+    _out = t.select(
         F.col("n").alias("n_days"),
         F.col("num2").cast("bigint").alias("num_scaled"),
         F.col("den2").cast("bigint").alias("den_scaled"),
@@ -1228,6 +1231,8 @@ def orders_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
         ).alias("z_score"),
     )
+    return release_on_gc(d, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -1372,7 +1377,7 @@ def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("den"),
     )
-    return dw.filter(F.col("den") > 0).select(
+    _out = dw.filter(F.col("den") > 0).select(
         F.col("n").alias("n_months"),
         F.col("num").alias("dw_num"),
         F.col("den").alias("dw_den"),
@@ -1380,6 +1385,8 @@ def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "durbin_watson"
         ),
     )
+    return release_on_gc(mi, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -1427,9 +1434,9 @@ def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_months,
            CAST((CASE WHEN c1 >= 0 THEN 1 ELSE -1 END)
-                * (abs(c1) // (c0 // 1000000000)) AS BIGINT) AS r1_ppb,
+                * (abs(c1) // greatest(c0 // 1000000000, 1)) AS BIGINT) AS r1_ppb,
            CAST((CASE WHEN c2 >= 0 THEN 1 ELSE -1 END)
-                * (abs(c2) // (c0 // 1000000000)) AS BIGINT) AS r2_ppb,
+                * (abs(c2) // greatest(c0 // 1000000000, 1)) AS BIGINT) AS r2_ppb,
            CAST((CASE WHEN pnum >= 0 THEN 1 ELSE -1 END)
                 * ((1000000000 * (abs(pnum) // CAST(18446744073709551616
                                                     AS HUGEINT)))
@@ -1501,15 +1508,15 @@ def orders_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") * F.col("c0") - F.col("c1") * F.col("c1")).alias("pnum"),
         (F.col("c0") * F.col("c0") - F.col("c1") * F.col("c1")).alias("pden"),
     )
-    return f.select(
+    _out = f.select(
         F.col("n").alias("n_months"),
         F.expr(
             "CAST((CASE WHEN c1 >= 0 THEN 1 ELSE -1 END)"
-            " * (abs(c1) div (c0 div 1000000000)) AS BIGINT)"
+            " * (abs(c1) div greatest(c0 div 1000000000, 1)) AS BIGINT)"
         ).alias("r1_ppb"),
         F.expr(
             "CAST((CASE WHEN c2 >= 0 THEN 1 ELSE -1 END)"
-            " * (abs(c2) div (c0 div 1000000000)) AS BIGINT)"
+            " * (abs(c2) div greatest(c0 div 1000000000, 1)) AS BIGINT)"
         ).alias("r2_ppb"),
         F.expr(
             "CAST((CASE WHEN pnum >= 0 THEN 1 ELSE -1 END)"
@@ -1519,6 +1526,8 @@ def orders_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("pacf2_ppb"),
     )
+    return release_on_gc(mi, release_on_gc(a, _out))
+
 
 
 # ---------------------------------------------------------------------------
@@ -2171,7 +2180,7 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ss"),
         )
     )
-    return (
+    _out = (
         st.crossJoin(F.broadcast(dt))
         .select(
             "word",
@@ -2186,6 +2195,8 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_count"), "word")
     )
+    return release_on_gc(wc, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -2320,10 +2331,14 @@ def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("a") - 5, F.lit(-1)),
-                ),
+                # short docs must yield ZERO grams, not sequence(0,-1) —
+                # Spark sequences DESCEND when stop < start and slice(_, 0,
+                # 5) then throws; the oracle's range(0, greatest(len-4, 0))
+                # is naturally empty
+                F.when(
+                    F.size("a") >= 5,
+                    F.sequence(F.lit(0), F.size("a") - 5),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
                 lambda i: F.conv(
                     F.substring(
                         F.md5(
@@ -2363,7 +2378,7 @@ def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " % 9007199254740993 AS BIGINT)"
         ).alias("fp_checksum"),
     )
-    return agg.join(ng, "doc_id").select(
+    _out = agg.join(ng, "doc_id").select(
         "doc_id",
         "n_grams",
         "n_fingerprints",
@@ -2371,6 +2386,8 @@ def docs_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_max",
         "fp_checksum",
     )
+    return release_on_gc(g, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -2539,7 +2556,7 @@ def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c")
         ).alias("tie3"),
     )
-    return acc.crossJoin(F.broadcast(tot)).select(
+    _out = acc.crossJoin(F.broadcast(tot)).select(
         F.col("t1").alias("n_treat"),
         F.col("t2").alias("n_control"),
         F.expr("CAST(tq div 1000000 AS BIGINT)").alias("w2_units"),
@@ -2570,6 +2587,8 @@ def agg_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+    return release_on_gc(cells, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -2832,7 +2851,7 @@ def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("a_hat"),
     )
-    return ah.select(
+    _out = ah.select(
         "yr",
         "a",
         F.col("bb").alias("b"),
@@ -2865,6 +2884,8 @@ def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bd_contribution"),
     ).orderBy("yr")
+    return release_on_gc(s, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -2957,7 +2978,7 @@ def text_dale_chall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sentences"),
     )
-    return (
+    _out = (
         per.join(sent, "doc_id")
         .filter(F.col("n_words") > 0)
         .select(
@@ -2981,6 +3002,8 @@ def text_dale_chall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dale_chall"),
         )
     )
+    return release_on_gc(w, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -3060,7 +3083,7 @@ def orders_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     center = F.col("sx").cast("double") / F.col("n")
     band = F.lit(2.66) * F.col("smr").cast("double") / F.col("m")
-    return (
+    _out = (
         mr.crossJoin(F.broadcast(t))
         .select(
             "day",
@@ -3092,6 +3115,8 @@ def orders_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+    return release_on_gc(mr, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -3346,7 +3371,7 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(
         F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
     )
-    return (
+    _out = (
         inter.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
         .select(
@@ -3362,6 +3387,8 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+    return release_on_gc(w, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -3641,7 +3668,7 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     mb = m.select(
         F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
     )
-    return (
+    _out = (
         p.join(F.broadcast(ma), "type_a")
         .join(F.broadcast(mb), "type_b")
         .crossJoin(F.broadcast(t))
@@ -3658,6 +3685,8 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+    return release_on_gc(ud, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -3738,7 +3767,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w"), F.coalesce(F.col("w_back"), F.lit(0))
         ).alias("w_recip"),
     )
-    return r.agg(
+    _out = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
         F.sum(F.when(F.col("w_back") > 0, 1).otherwise(0))
         .cast("bigint")
@@ -3753,6 +3782,8 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000000 * sum(w_recip) div sum(w) AS BIGINT)"
         ).alias("weight_reciprocity_ppb"),
     )
+    return release_on_gc(edges, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -3972,7 +4003,7 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sw")
         )
     )
-    return w.select(
+    _out = w.select(
         "c_nationkey",
         "n",
         F.col("lo").alias("lower_clamp_cents"),
@@ -3982,6 +4013,8 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((1000 * abs(sw)) div n) AS BIGINT)"
         ).alias("winsorized_mean_millicents"),
     ).orderBy("c_nationkey")
+    return release_on_gc(cum, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -4110,7 +4143,7 @@ def agg_ranking_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("footrule"),
     )
-    return p.crossJoin(F.broadcast(foot)).select(
+    _out = p.crossJoin(F.broadcast(foot)).select(
         F.col("nn").alias("n_nations"),
         "concordant",
         "discordant",
@@ -4121,6 +4154,8 @@ def agg_ranking_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    div (nn * (nn - 1))) AS BIGINT)"
         ).alias("kendall_tau_ppb"),
     )
+    return release_on_gc(r, _out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -4428,7 +4463,7 @@ def orders_demand_classification(
             ).alias("cv2_ppb"),
         )
     )
-    return k.select(
+    _out = k.select(
         "p_brand",
         "demand_days",
         "total_days",
@@ -4448,3 +4483,4 @@ def orders_demand_classification(
         .otherwise("lumpy")
         .alias("demand_class"),
     ).orderBy("p_brand")
+    return release_on_gc(d, _out)

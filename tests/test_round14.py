@@ -154,3 +154,56 @@ def test_image_header_golden_bytes():
         + b"\x00"
     )
     assert sniff_image_dims(jpeg) == (1920, 1080, "jpeg")
+
+
+def test_wav_degenerate_header_yields_null_not_crash():
+    """A magic-valid WAV header with block_align = 0 must produce a NULL
+    metadata row (typed miss), never a ZeroDivisionError in the task."""
+    import struct
+
+    import pandas as pd
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        _wav_meta_batches,
+    )
+
+    bad = (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 0, 0, 0, 0, 16)
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [bad]})
+    out = pd.concat(list(_wav_meta_batches(iter([pdf]))))
+    assert len(out) == 1
+    assert out["sample_rate"].isna().all()
+
+
+def test_winnowing_short_doc_yields_zero_grams(spark):
+    """Documents with fewer than 5 words must contribute ZERO shingles —
+    the first draft's sequence(0, -1) descended and crashed slice()."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    arr = df.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias(
+            "a"
+        ),
+    )
+    g = arr.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("a") >= 5, F.sequence(F.lit(0), F.size("a") - 5)
+            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        ).alias("pos", "i"),
+    )
+    rows = g.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in rows}
+    assert 1 not in counts
+    assert counts[2] == 2

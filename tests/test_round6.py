@@ -375,6 +375,15 @@ def test_no_new_bare_persists():
         # fan-out), katz adjacency (reused across the 5 fixed
         # iterations); all released by release_on_gc on the returned
         # result
+        "operators/pipeline14.py": 18,  # cusum daily grid + scaled
+        # increments, bartels day series, durbin-watson + pacf month
+        # indexes + centered values, burstiness (doc, word) counts,
+        # winnowing gram hashes, siegel cells, breslow strata, xmr
+        # moving ranges, dale-chall tokens, vocab-overlap word sets,
+        # cooccurrence user-day grain, reciprocity edges, winsorized
+        # cumulative grid, concordance ranks, demand-class daily grid
+        # (multi-consumer bounded relations); all released by
+        # plans.caching.release_on_gc on the returned result
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
