@@ -415,6 +415,9 @@ _GLOBAL_WINDOWS = {
                                          "index"),
     "orders_seasonality_strength": (2, "bounded: monthly series (row "
                                        "index + MA windows)"),
+    # pipeline15 (round 11): value-DOMAIN histograms only
+    "agg_mood_scale": (2, "bounded: ~50-value quantity-domain grid"),
+    "agg_lepage": (2, "bounded: ~50-value quantity-domain grid"),
 }
 
 
