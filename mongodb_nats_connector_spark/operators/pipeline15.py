@@ -130,7 +130,15 @@ def _dsum(expr: F.Column) -> F.Column:
     "units+frac splits for the statistic and its mean) before the one "
     "fixed-shape double expression for z — bit-identical in both "
     "engines. One domain-sized shuffle; the two unpartitioned windows "
-    "run over the ~50-row grid.",
+    "run over the ~50-row grid. SCALE BOUND (explicit, loud): the "
+    "quartic su2 = sum(c*dev2^4) ~ N^5/5 crosses DECIMAL(38,0)/HUGEINT "
+    "near N ~ 3e7 rows (sf5) — past that BOTH engines fail loudly "
+    "(Spark ANSI raises, DuckDB overflows), never silently; the dial "
+    "is the three reduction literals (2^30/2^60/1e9), bumped in "
+    "lockstep for a larger target SF, where the induced relative error "
+    "2^k/N^2 SHRINKS as N grows — no fixed constant spans sf0.01 to "
+    "sf100000 for a quartic, so the literals pin the deployment's SF "
+    "band.",
 )
 def agg_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -487,7 +495,10 @@ SBA_TOPK = 25  # report the highest-traffic suppliers (bounded output)
     "by demand count ship via TakeOrderedAndProject. The DuckDB twin "
     "PREPENDS the init state because list_reduce folds from the first "
     "element (Spark's aggregate takes an explicit init) — same "
-    "recurrence, same bits.",
+    "recurrence, same bits. The pipeline deliberately mirrors "
+    "orders_croston's driver-proven idiom (pipeline12.py:358) — same "
+    "fold skeleton, different grain/alpha/deflator — so the two "
+    "estimators stay comparable line-for-line.",
 )
 def orders_sba_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
@@ -527,11 +538,19 @@ def orders_sba_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    'p', CAST(((x.t - acc.t) * 1000 + 7 * acc.p + 4) div 8"
         "         AS BIGINT)))"
     )
+    # explode(array(fold)) forces ONE evaluation of the O(n_demands)
+    # fold per supplier (two getFields on the raw expression would run
+    # it twice: lambda-bearing exprs are excluded from subexpression
+    # elimination, and CollapseProject would inline a two-step select)
     folded = series.select(
         F.col("supp").alias("suppkey"),
         "n_demands",
-        fold.getField("q").alias("size_x1000"),
-        fold.getField("p").alias("interval_x1000"),
+        F.explode(F.array(fold)).alias("st"),
+    ).select(
+        "suppkey",
+        "n_demands",
+        F.col("st").getField("q").alias("size_x1000"),
+        F.col("st").getField("p").alias("interval_x1000"),
     )
     return (
         folded.filter(F.col("interval_x1000") > 0)
@@ -912,8 +931,10 @@ def orders_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_word_burstiness is the lexical analogue). Gaps floor to "
     "whole seconds (non-negative by the ordering), moments accumulate "
     "HUGEINT/DECIMAL(38,0) exactly, BOTH ratio sides pre-reduce by "
-    "2^44 so the ppb numerator stays inside 128 bits at any scale "
-    "factor, and the signed result uses an explicit sign split over "
+    "2^44 (chosen so sf0.01 still resolves ~1e7 quantized units, ppb "
+    "noise < 1e-4; the int64 quantization ceiling lands near sf150 = "
+    "1.5e8 events, where the same literal is the dial), and the signed "
+    "result uses an explicit sign split over "
     "non-negative floor-divisions (the cross-engine div rule). The "
     "per-key lag shuffles once on (user, type) — state bounded by one "
     "user's history per type; the final rollup is type-sized.",
