@@ -87,6 +87,7 @@ def _load_all() -> None:
     from mongodb_nats_connector_spark.operators import pipeline13  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline14  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline15  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"

@@ -418,6 +418,15 @@ _GLOBAL_WINDOWS = {
     # pipeline15 (round 11): value-DOMAIN histograms only
     "agg_mood_scale": (2, "bounded: ~50-value quantity-domain grid"),
     "agg_lepage": (2, "bounded: ~50-value quantity-domain grid"),
+    # pipeline16 (round-12 bank): value-DOMAIN histograms only
+    "agg_kuiper_test": (2, "bounded: ~50-value quantity-domain grid"),
+    "agg_energy_distance": (2, "bounded: ~50-value quantity-domain grid"),
+    "agg_anderson_darling": (2, "bounded: ~105-bucket price-domain grid"),
+    "graph_hits_scores": (15, "bounded: 25-nation normalization max per "
+                              "half-step (8 in the authority branch + the "
+                              "hub branch's 7-step prefix duplicated under "
+                              "the final hub-x-authority join; all read "
+                              "the persisted nation-bounded adjacency)"),
 }
 
 

@@ -384,6 +384,9 @@ def test_no_new_bare_persists():
         # cumulative grid, concordance ranks, demand-class daily grid
         # (multi-consumer bounded relations); all released by
         # plans.caching.release_on_gc on the returned result
+        "operators/pipeline16.py": 1,  # HITS adjacency (reused across
+        # the 8 normalize half-steps; released by release_on_gc on the
+        # returned result)
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
