@@ -985,3 +985,609 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hub_fixed").desc(), "nation")
     )
     return release_on_gc(de, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_cohens_d — standardized mean difference with Hedges' correction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cohens_d",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice) AS BIGINT) AS x,
+             CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n2,
+             CAST(sum(g * x) AS BIGINT) AS s1,
+             CAST(sum((1 - g) * x) AS BIGINT) AS s2,
+             CAST(sum(g * CAST(x AS HUGEINT) * x) AS HUGEINT) AS q1,
+             CAST(sum((1 - g) * CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+      FROM b
+    ),
+    v AS (
+      SELECT n1, n2, s1, s2,
+             CAST(((q1 - (CAST(s1 AS HUGEINT) * s1) // n1)
+                   + (q2 - (CAST(s2 AS HUGEINT) * s2) // n2))
+                  // (n1 + n2 - 2) AS BIGINT) AS var_q
+      FROM s
+    )
+    SELECT n1 AS n_treat, n2 AS n_control,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS mean_diff,
+           sqrt(CAST(var_q AS DOUBLE)) AS pooled_sd,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(CAST(var_q AS DOUBLE)) AS cohens_d,
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(CAST(var_q AS DOUBLE)))
+             * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 - 2 AS DOUBLE) - 1.0))
+             AS hedges_g
+    FROM v
+    """,
+    doc="Cohen's d effect size of the discount on line price (discounted "
+    ">=6% vs low-discount), with Hedges' small-sample correction "
+    "g = d*(1 - 3/(4*df - 1)): the standardized mean difference that "
+    "turns agg_welch_ttest's 'is it significant' into 'how BIG is it' "
+    "— the meta-analysis standard (agg_cliff_delta is its rank-based "
+    "robust sibling). The pooled variance comes from exact integer "
+    "dollar moments — ((Q1 - S1^2/n1) + (Q2 - S2^2/n2))/(n1+n2-2) with "
+    "each S^2/n quantized by ONE non-negative floor-division — and the "
+    "group sums stay under 2^53 so the final d/g are fixed-shape "
+    "double expressions over exactly-cast integers. One scalar "
+    "aggregation; no windows, no joins.",
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("x"),
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    s = b.agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("bigint").alias("n2"),
+        F.sum(F.col("g") * F.col("x")).cast("bigint").alias("s1"),
+        F.sum((1 - F.col("g")) * F.col("x")).cast("bigint").alias("s2"),
+        _dsum(F.expr("g * CAST(x AS DECIMAL(38,0)) * x")).alias("q1"),
+        _dsum(F.expr("(1 - g) * CAST(x AS DECIMAL(38,0)) * x")).alias("q2"),
+    )
+    v = s.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.expr(
+            "CAST(((q1 - (CAST(s1 AS DECIMAL(38,0)) * s1) div n1)"
+            " + (q2 - (CAST(s2 AS DECIMAL(38,0)) * s2) div n2))"
+            " div (n1 + n2 - 2) AS BIGINT)"
+        ).alias("var_q"),
+    )
+    return v.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        F.expr(
+            "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        ).alias("mean_diff"),
+        F.expr("sqrt(CAST(var_q AS DOUBLE))").alias("pooled_sd"),
+        F.expr(
+            "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+            " / sqrt(CAST(var_q AS DOUBLE))"
+        ).alias("cohens_d"),
+        F.expr(
+            "((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+            "  / sqrt(CAST(var_q AS DOUBLE)))"
+            " * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 - 2 AS DOUBLE) - 1.0))"
+        ).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_goodman_kruskal_gamma — ordinal association on the 2D domain grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_goodman_kruskal_gamma",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT q, dc, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT qs.q, ds.dc, coalesce(ce.c, 0) AS c
+      FROM (SELECT DISTINCT q FROM cells) qs
+      CROSS JOIN (SELECT DISTINCT dc FROM cells) ds
+      LEFT JOIN cells ce ON ce.q = qs.q AND ce.dc = ds.dc
+    ),
+    a AS (
+      SELECT q, dc, c,
+             coalesce(sum(c) OVER (PARTITION BY q ORDER BY dc
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS up_dc,
+             coalesce(sum(c) OVER (PARTITION BY q ORDER BY dc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS dn_dc
+      FROM grid
+    ),
+    gh AS (
+      SELECT q, dc, c,
+             coalesce(sum(up_dc) OVER (PARTITION BY dc ORDER BY q
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS gmass,
+             coalesce(sum(dn_dc) OVER (PARTITION BY dc ORDER BY q
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS hmass
+      FROM a
+    ),
+    cd AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT) * gmass) AS HUGEINT) AS cc,
+             CAST(sum(CAST(c AS HUGEINT) * hmass) AS HUGEINT) AS dd
+      FROM gh
+    ),
+    ties AS (
+      SELECT
+        CAST((sum(CAST(m AS HUGEINT) * m) - sum(CAST(cs AS HUGEINT)))
+             AS HUGEINT) AS ty2
+      FROM (
+        SELECT dc, CAST(sum(c) AS BIGINT) AS m,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS cs
+        FROM cells GROUP BY dc
+      )
+    )
+    SELECT CAST(cc AS BIGINT) AS n_concordant,
+           CAST(dd AS BIGINT) AS n_discordant,
+           CAST(ty2 // 2 AS BIGINT) AS n_tied_y,
+           CAST(CASE WHEN cc >= dd
+                THEN (1000000000 * (cc - dd)) // greatest(cc + dd, 1)
+                ELSE -((1000000000 * (dd - cc)) // greatest(cc + dd, 1))
+                END AS BIGINT) AS gamma_ppb,
+           CAST(CASE WHEN cc >= dd
+                THEN (1000000000 * (cc - dd))
+                     // greatest(cc + dd + ty2 // 2, 1)
+                ELSE -((1000000000 * (dd - cc))
+                       // greatest(cc + dd + ty2 // 2, 1))
+                END AS BIGINT) AS somers_d_ppb
+    FROM cd CROSS JOIN ties
+    """,
+    doc="Goodman-Kruskal gamma and Somers' D between line quantity and "
+    "discount level: gamma = (C - D)/(C + D) over concordant/discordant "
+    "pairs (ties excluded), Somers' D_yx = (C - D)/(C + D + T_y) "
+    "(Y-ties penalize) — the ordinal-association pair that "
+    "agg_kendall_tau (tau-b, both-ties corrected) and "
+    "agg_spearman_corr (rank-linear) bracket; Somers' D is also the "
+    "Gini coefficient of a binary classifier (2*AUC - 1). The O(n^2) "
+    "pair counts factorize onto the DENSIFIED ~50x11 quantity x "
+    "discount grid: per cell, the strictly-greater-in-both mass comes "
+    "from a within-row suffix (PARTITION BY q over the 11 discounts) "
+    "followed by an across-row suffix (PARTITION BY dc over the 50 "
+    "quantities) — two bounded partitioned window passes, every pair "
+    "counted exactly once, pure integers; Y-ties come from the "
+    "discount marginals (sum m^2 - sum c^2)/2. The densifying "
+    "50x11 cross join is two tiny DISTINCT relations (the "
+    "agg_jonckheere_terpstra precedent). Signed ppb outputs via the "
+    "non-negative floor-division sign split.",
+)
+def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("dc"),
+    )
+    cells = b.groupBy("q", "dc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cells = cells.persist()  # grid-sized; feeds densify + tie marginals
+    qs = cells.select("q").distinct()
+    ds = cells.select("dc").distinct()
+    grid = (
+        qs.crossJoin(F.broadcast(ds))
+        .join(cells, ["q", "dc"], "left")
+        .select("q", "dc", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_up = (
+        Window.partitionBy("q")
+        .orderBy("dc")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_dn = (
+        Window.partitionBy("q")
+        .orderBy("dc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = grid.select(
+        "q",
+        "dc",
+        "c",
+        F.coalesce(F.sum("c").over(w_up), F.lit(0)).alias("up_dc"),
+        F.coalesce(F.sum("c").over(w_dn), F.lit(0)).alias("dn_dc"),
+    )
+    w_q = (
+        Window.partitionBy("dc")
+        .orderBy("q")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    gh = a.select(
+        "q",
+        "dc",
+        "c",
+        F.coalesce(F.sum("up_dc").over(w_q), F.lit(0)).alias("gmass"),
+        F.coalesce(F.sum("dn_dc").over(w_q), F.lit(0)).alias("hmass"),
+    )
+    cd = gh.agg(
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * gmass")).alias("cc"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * hmass")).alias("dd"),
+    )
+    ties = (
+        cells.groupBy("dc")
+        .agg(
+            F.sum("c").cast("bigint").alias("m"),
+            _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("cs"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(m AS DECIMAL(38,0)) * m) - sum(cs)"
+                " AS DECIMAL(38,0))"
+            ).alias("ty2")
+        )
+    )
+    out = cd.crossJoin(F.broadcast(ties)).select(
+        F.expr("CAST(cc AS BIGINT)").alias("n_concordant"),
+        F.expr("CAST(dd AS BIGINT)").alias("n_discordant"),
+        F.expr("CAST(ty2 div 2 AS BIGINT)").alias("n_tied_y"),
+        F.expr(
+            "CAST(CASE WHEN cc >= dd"
+            " THEN (1000000000 * (cc - dd)) div greatest(cc + dd, 1)"
+            " ELSE -((1000000000 * (dd - cc)) div greatest(cc + dd, 1))"
+            " END AS BIGINT)"
+        ).alias("gamma_ppb"),
+        F.expr(
+            "CAST(CASE WHEN cc >= dd"
+            " THEN (1000000000 * (cc - dd))"
+            "      div greatest(cc + dd + ty2 div 2, 1)"
+            " ELSE -((1000000000 * (dd - cc))"
+            "        div greatest(cc + dd + ty2 div 2, 1))"
+            " END AS BIGINT)"
+        ).alias("somers_d_ppb"),
+    )
+    return release_on_gc(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# text_mattr — moving-average type-token ratio (strided windows)
+# ---------------------------------------------------------------------------
+
+MATTR_WIN = 50
+MATTR_STEP = 10
+
+
+@register(
+    "text_mattr",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(lower(text), ' '), t -> t != '') AS a
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, lang, source,
+             CAST(len(a) AS BIGINT) AS n_words,
+             CAST((len(a) - {MATTR_WIN}) // {MATTR_STEP} + 1 AS BIGINT)
+               AS n_windows,
+             CAST(list_sum(list_transform(
+                    range(0, (len(a) - {MATTR_WIN}) // {MATTR_STEP} + 1),
+                    i -> len(list_distinct(
+                           a[{MATTR_STEP} * i + 1 : {MATTR_STEP} * i
+                             + {MATTR_WIN}]))))
+                  AS BIGINT) AS ttr_sum
+      FROM arr
+      WHERE len(a) >= {MATTR_WIN}
+    )
+    SELECT doc_id, lang, source, n_words, n_windows,
+           CAST((1000000 * ttr_sum) // (n_windows * {MATTR_WIN})
+                AS BIGINT) AS mattr_ppm
+    FROM seg
+    """,
+    doc=f"Moving-average type-token ratio (MATTR, Covington-McFall) per "
+    f"document: mean distinct-word ratio over {MATTR_WIN}-word windows "
+    f"slid at stride {MATTR_STEP} — the OVERLAPPING-window diversity "
+    "measure that smooths text_sttr_segments' segment-boundary "
+    "artifacts (STTR jumps when a repetition straddles a boundary; "
+    "MATTR's sliding windows see it either way — MTLD is the "
+    "adaptive-threshold third of the family). The stride bounds work "
+    f"per document at ~{MATTR_WIN}/{MATTR_STEP}x the token count, and "
+    "the whole computation stays MAP-SIDE: one higher-order "
+    "`aggregate` over the window starts slices the word array in-row "
+    "— ZERO shuffles, a pure scan at any corpus size. Exact ppm via "
+    "one non-negative floor-division.",
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    arr = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias(
+            "a"
+        ),
+    )
+    seg = arr.filter(F.size("a") >= MATTR_WIN).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("a").cast("bigint").alias("n_words"),
+        F.expr(
+            f"CAST((size(a) - {MATTR_WIN}) div {MATTR_STEP} + 1 AS BIGINT)"
+        ).alias("n_windows"),
+        F.expr(
+            f"CAST(aggregate(sequence(0,"
+            f" (size(a) - {MATTR_WIN}) div {MATTR_STEP}),"
+            f" 0L, (acc, i) -> acc + size(array_distinct("
+            f"slice(a, {MATTR_STEP} * i + 1, {MATTR_WIN})))) AS BIGINT)"
+        ).alias("ttr_sum"),
+    )
+    return seg.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "n_windows",
+        F.expr(
+            f"CAST((1000000 * ttr_sum) div (n_windows * {MATTR_WIN})"
+            " AS BIGINT)"
+        ).alias("mattr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_gries_dp — corpus-part dispersion of the top words
+# ---------------------------------------------------------------------------
+
+GRIES_TOPK = 50
+
+
+@register(
+    "text_gries_dp",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t != '')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT word, source, CAST(count(*) AS BIGINT) AS v
+      FROM w GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT source, CAST(sum(v) AS BIGINT) AS s FROM wc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM parts),
+    topw AS (
+      SELECT word, CAST(sum(v) AS BIGINT) AS f
+      FROM wc GROUP BY word
+      ORDER BY f DESC, word LIMIT {GRIES_TOPK}
+    ),
+    dev AS (
+      SELECT t.word, t.f,
+             CAST(sum(abs(CAST(coalesce(wc.v, 0) AS HUGEINT) * tot.st
+                          - CAST(p.s AS HUGEINT) * t.f)) AS HUGEINT)
+               AS sad
+      FROM topw t
+      CROSS JOIN parts p
+      CROSS JOIN tot
+      LEFT JOIN wc ON wc.word = t.word AND wc.source = p.source
+      GROUP BY t.word, t.f
+    )
+    SELECT d.word, d.f AS corpus_count,
+           CAST((500000000 * d.sad)
+                // (CAST(d.f AS HUGEINT) * tot.st) AS BIGINT) AS dp_ppb
+    FROM dev d CROSS JOIN tot
+    ORDER BY corpus_count DESC, word
+    """,
+    doc=f"Gries' DP (deviation of proportions) for the top-{GRIES_TOPK} "
+    "corpus words across the source parts: DP = (1/2) * sum_p "
+    "|v_p/f - s_p/S| — 0 means the word spreads across sources exactly "
+    "as their sizes predict, 1 means it lives in one source; THE "
+    "corpus-linguistics dispersion measure that separates genuinely "
+    "common words from one-source artifacts (text_word_burstiness "
+    "measures doc-level clumping; text_source_vocab_overlap compares "
+    "whole vocabularies; DP scores each word's spread). Exact "
+    "cross-multiplication clears both denominators — per part "
+    "|v_p*S - s_p*f| is an integer and DP = sum/(2*f*S) — so the ppb "
+    "output is ONE non-negative floor-division per word. The "
+    "(word, source) rollup is the only corpus-sized shuffle; the "
+    f"top-{GRIES_TOPK} selection ships via TakeOrderedAndProject and "
+    "the 5-row part sizes broadcast into the deviation join.",
+)
+def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    w = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    wc = w.groupBy("word", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    wc = wc.persist()  # vocabulary-sized; feeds parts, topk, and deviations
+    parts = wc.groupBy("source").agg(F.sum("v").cast("bigint").alias("s"))
+    tot = parts.agg(F.sum("s").cast("bigint").alias("st"))
+    topw = (
+        wc.groupBy("word")
+        .agg(F.sum("v").cast("bigint").alias("f"))
+        .orderBy(F.col("f").desc(), "word")
+        .limit(GRIES_TOPK)
+    )
+    dev = (
+        topw.crossJoin(F.broadcast(parts))
+        .crossJoin(F.broadcast(tot))
+        .join(wc, ["word", "source"], "left")
+        .groupBy("word", "f", "st")
+        .agg(
+            _dsum(
+                F.abs(
+                    F.coalesce(F.col("v"), F.lit(0)).cast("decimal(38,0)")
+                    * F.col("st")
+                    - F.col("s").cast("decimal(38,0)") * F.col("f")
+                )
+            ).alias("sad")
+        )
+    )
+    out = dev.select(
+        "word",
+        F.col("f").alias("corpus_count"),
+        F.expr(
+            "CAST((500000000 * sad)"
+            " div (CAST(f AS DECIMAL(38,0)) * st) AS BIGINT)"
+        ).alias("dp_ppb"),
+    ).orderBy(F.col("corpus_count").desc(), "word")
+    return release_on_gc(wc, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_welch_anova — unequal-variance k-group mean comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_welch_anova",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice) AS BIGINT) AS x
+      FROM orders
+    ),
+    g AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM b GROUP BY priority
+    ),
+    wq AS (
+      SELECT priority, n,
+             CAST((1000000 * s) // n AS BIGINT) AS meanq,
+             CAST((1000000000000 * CAST(n AS HUGEINT) * n * (n - 1))
+                  // greatest(n * q - CAST(s AS HUGEINT) * s, 1)
+                  AS BIGINT) AS w
+      FROM g WHERE n >= 2
+    ),
+    tw AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(w) AS BIGINT) AS ww,
+             CAST(sum(CAST(w AS HUGEINT) * meanq) AS HUGEINT) AS wm
+      FROM wq
+    ),
+    ctr AS (
+      SELECT k, ww, CAST(wm // ww AS BIGINT) AS mw FROM tw
+    ),
+    nums AS (
+      SELECT c.k, c.ww,
+             CAST(sum(CAST(w.w AS HUGEINT) * (w.meanq - c.mw)
+                      * (w.meanq - c.mw)) // 1000000000000 AS BIGINT)
+               AS numq,
+             CAST(sum((1000000000 * CAST(c.ww - w.w AS HUGEINT)
+                       * (c.ww - w.w))
+                      // (CAST(c.ww AS HUGEINT) * c.ww * (w.n - 1)))
+                  AS BIGINT) AS lamq
+      FROM wq w CROSS JOIN ctr c
+      GROUP BY c.k, c.ww
+    )
+    SELECT k AS n_groups,
+           (CAST(numq AS DOUBLE) / 1000000000000.0
+            / CAST(k - 1 AS DOUBLE))
+           / (1.0 + (2.0 * CAST(k - 2 AS DOUBLE)
+                     / (CAST(k AS DOUBLE) * k - 1.0))
+                    * (CAST(lamq AS DOUBLE) / 1000000000.0))
+             AS welch_f,
+           CAST(lamq AS BIGINT) AS lambda_nano
+    FROM nums
+    """,
+    doc="Welch's heteroscedastic one-way ANOVA across the 5 priority "
+    "classes: F* = [sum w_i(mean_i - mean_w)^2/(k-1)] / "
+    "[1 + (2(k-2)/(k^2-1)) * sum (1 - w_i/W)^2/(n_i-1)] with precision "
+    "weights w_i = n_i/s_i^2 — the k-group mean test that does NOT "
+    "assume equal variances (agg_oneway_anova is the classical "
+    "equal-variance F; agg_welch_ttest the k=2 case; "
+    "agg_kruskal_wallis the rank escape hatch). Every piece quantizes "
+    "to integers with documented scales: w_i = 1e12 * n^2(n-1) / "
+    "(nQ - S^2) by ONE floor-division per group, means in micro-units, "
+    "the weighted between-group sum reduced to pico-scale (1e12*1e12 -> div 1e12) and "
+    "lambda in nano-units — each div RESULT < 2^62 at sf10 — and the "
+    "final F is one fixed-shape double expression over sub-2^53 "
+    "integers. One priority-keyed aggregation + 5-row rollups; no "
+    "windows.",
+)
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("x"),
+    )
+    g = b.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q"),
+    )
+    wq = g.filter(F.col("n") >= 2).select(
+        "priority",
+        "n",
+        F.expr("CAST((1000000 * s) div n AS BIGINT)").alias("meanq"),
+        F.expr(
+            "CAST((1000000000000 * CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            " div greatest(n * q - CAST(s AS DECIMAL(38,0)) * s, 1)"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    wq = wq.persist()  # 5-row relation; feeds the total and the deviations
+    tw = wq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("w").cast("bigint").alias("ww"),
+        _dsum(F.expr("CAST(w AS DECIMAL(38,0)) * meanq")).alias("wm"),
+    )
+    ctr = tw.select(
+        "k", "ww", F.expr("CAST(wm div ww AS BIGINT)").alias("mw")
+    )
+    nums = (
+        wq.crossJoin(F.broadcast(ctr))
+        .groupBy("k", "ww")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(w AS DECIMAL(38,0)) * (meanq - mw)"
+                " * (meanq - mw)) div 1000000000000 AS BIGINT)"
+            ).alias("numq"),
+            F.expr(
+                "CAST(sum((1000000000 * CAST(ww - w AS DECIMAL(38,0))"
+                " * (ww - w))"
+                " div (CAST(ww AS DECIMAL(38,0)) * ww * (n - 1)))"
+                " AS BIGINT)"
+            ).alias("lamq"),
+        )
+    )
+    out = nums.select(
+        F.col("k").alias("n_groups"),
+        F.expr(
+            "(CAST(numq AS DOUBLE) / 1000000000000.0"
+            " / CAST(k - 1 AS DOUBLE))"
+            " / (1.0 + (2.0 * CAST(k - 2 AS DOUBLE)"
+            "           / (CAST(k AS DOUBLE) * k - 1.0))"
+            "          * (CAST(lamq AS DOUBLE) / 1000000000.0))"
+        ).alias("welch_f"),
+        F.expr("CAST(lamq AS BIGINT)").alias("lambda_nano"),
+    )
+    return release_on_gc(wq, out)

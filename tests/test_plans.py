@@ -281,6 +281,12 @@ _ALLOWED_NESTED_LOOP = {
     "orders_survival_cindex",     # 1-row horizon scalar broadcast crossJoin
     "similarity_recall_at_k",     # inherits the bruteforce op's bounded query-set NLJ
     "events_hourly_profile",      # 1-row total + 1-row peak scalar broadcast crossJoins
+    # pipeline16 (round-12 bank): bounded-domain densification + 1-row /
+    # 5-row scalar broadcast crossJoins only
+    "agg_goodman_kruskal_gamma",  # ~50x11 domain-grid densify (two DISTINCT
+    #                               relations; the jonckheere precedent)
+    "text_gries_dp",              # 5-row part-size + 1-row total broadcast crossJoins
+    "agg_welch_anova",            # 1-row weighted-center scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -305,3 +305,178 @@ def test_hits_integer_power_iteration():
         for int_v, flt_v in ((a_i, a_f), (h_i, h_f)):
             for iv, fv in zip(int_v, flt_v):
                 assert abs(iv / scale - fv) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g moments (agg_cohens_d)
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_pooled_variance_moments():
+    rng = random.Random(21)
+    for _ in range(30):
+        xs = [rng.randint(0, 900) for _ in range(rng.randint(2, 60))]
+        ys = [rng.randint(0, 900) for _ in range(rng.randint(2, 60))]
+        n1, n2 = len(xs), len(ys)
+        s1, s2 = sum(xs), sum(ys)
+        q1 = sum(x * x for x in xs)
+        q2 = sum(y * y for y in ys)
+        ssq_ref = sum((Fraction(x) - Fraction(s1, n1)) ** 2 for x in xs)
+        ssq_ref += sum((Fraction(y) - Fraction(s2, n2)) ** 2 for y in ys)
+        exact = (q1 - Fraction(s1 * s1, n1)) + (q2 - Fraction(s2 * s2, n2))
+        assert exact == ssq_ref
+        var_q = ((q1 - (s1 * s1) // n1) + (q2 - (s2 * s2) // n2)) // (
+            n1 + n2 - 2
+        )
+        var_ref = ssq_ref / (n1 + n2 - 2)
+        assert abs(var_q - var_ref) <= 2
+        # Hedges J factor matches the textbook form
+        df = n1 + n2 - 2
+        assert abs((1 - 3 / (4 * df - 1)) - (1 - 3.0 / (4.0 * df - 1.0))) == 0
+
+
+# ---------------------------------------------------------------------------
+# Gamma / Somers' D 2D suffix factorization (agg_goodman_kruskal_gamma)
+# ---------------------------------------------------------------------------
+
+
+def test_gamma_grid_factorization_bruteforce():
+    rng = random.Random(31)
+    for _ in range(25):
+        n = rng.randint(2, 120)
+        pts = [(rng.randint(1, 6), rng.randint(1, 4)) for _ in range(n)]
+        c_ref = d_ref = ty_ref = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                (x1, y1), (x2, y2) = pts[i], pts[j]
+                if (x1 - x2) * (y1 - y2) > 0:
+                    c_ref += 1
+                elif (x1 - x2) * (y1 - y2) < 0:
+                    d_ref += 1
+                elif y1 == y2 and x1 != x2:
+                    ty_ref += 1
+        # grid form: per cell, strictly-greater-in-both / greater-x-less-y
+        cells = {}
+        for p in pts:
+            cells[p] = cells.get(p, 0) + 1
+        cc = dd = 0
+        for (x, y), c in cells.items():
+            g = sum(
+                c2 for (x2, y2), c2 in cells.items() if x2 > x and y2 > y
+            )
+            h = sum(
+                c2 for (x2, y2), c2 in cells.items() if x2 > x and y2 < y
+            )
+            cc += c * g
+            dd += c * h
+        assert (cc, dd) == (c_ref, d_ref)
+        # Y-tie count from marginals
+        my = {}
+        for (x, y), c in cells.items():
+            my[y] = my.get(y, 0) + c
+        ty2 = sum(m * m for m in my.values()) - sum(
+            c * c for c in cells.values()
+        )
+        assert ty2 // 2 == ty_ref
+
+
+# ---------------------------------------------------------------------------
+# MATTR strided windows (text_mattr)
+# ---------------------------------------------------------------------------
+
+
+def test_mattr_strided_windows():
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(20)]
+    for _ in range(30):
+        nw = rng.randint(50, 400)
+        words = [rng.choice(vocab) for _ in range(nw)]
+        n_win = (nw - 50) // 10 + 1
+        ttr_sum = sum(
+            len(set(words[10 * i: 10 * i + 50])) for i in range(n_win)
+        )
+        ppm = (1000000 * ttr_sum) // (n_win * 50)
+        assert abs(ppm / 1e6 - ttr_sum / (n_win * 50)) < 1e-5
+        assert 0 < ppm <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# Gries DP cross-multiplied identity (text_gries_dp)
+# ---------------------------------------------------------------------------
+
+
+def test_gries_dp_cross_multiplication():
+    rng = random.Random(51)
+    for _ in range(40):
+        k = rng.randint(2, 6)
+        sizes = [rng.randint(100, 5000) for _ in range(k)]
+        big_s = sum(sizes)
+        f = rng.randint(1, 200)
+        # split f across parts
+        vs = [0] * k
+        for _ in range(f):
+            vs[rng.randrange(k)] += 1
+        dp_ref = (
+            sum(
+                abs(Fraction(v, f) - Fraction(s, big_s))
+                for v, s in zip(vs, sizes)
+            )
+            / 2
+        )
+        sad = sum(abs(v * big_s - s * f) for v, s in zip(vs, sizes))
+        assert Fraction(sad, 2 * f * big_s) == dp_ref
+        ppb = (500000000 * sad) // (f * big_s)
+        assert 0 <= ppb <= 10**9
+
+
+# ---------------------------------------------------------------------------
+# Welch ANOVA quantized pipeline (agg_welch_anova)
+# ---------------------------------------------------------------------------
+
+
+def test_welch_anova_quantized_matches_float():
+    rng = random.Random(71)
+    for _ in range(25):
+        groups = []
+        for _ in range(rng.randint(3, 6)):
+            n = rng.randint(50, 400)
+            base = rng.randint(100, 800)
+            groups.append([base + rng.randint(-90, 90) for _ in range(n)])
+        # float reference
+        k = len(groups)
+        w = [
+            len(g)
+            / (
+                sum((x - sum(g) / len(g)) ** 2 for x in g)
+                / (len(g) - 1)
+            )
+            for g in groups
+        ]
+        ww = sum(w)
+        mw = sum(wi * (sum(g) / len(g)) for wi, g in zip(w, groups)) / ww
+        num = sum(
+            wi * ((sum(g) / len(g)) - mw) ** 2 for wi, g in zip(w, groups)
+        ) / (k - 1)
+        lam = sum(
+            (1 - wi / ww) ** 2 / (len(g) - 1) for wi, g in zip(w, groups)
+        )
+        f_ref = num / (1 + (2 * (k - 2) / (k * k - 1)) * lam)
+        # quantized engine pipeline
+        wq = []
+        mq = []
+        for g in groups:
+            n, s = len(g), sum(g)
+            q = sum(x * x for x in g)
+            wq.append((10**12 * n * n * (n - 1)) // max(n * q - s * s, 1))
+            mq.append((10**6 * s) // n)
+        wwq = sum(wq)
+        mwq = sum(wi * mi for wi, mi in zip(wq, mq)) // wwq
+        numq = sum(wi * (mi - mwq) ** 2 for wi, mi in zip(wq, mq)) // 10**12
+        lamq = sum(
+            (10**9 * (wwq - wi) ** 2) // (wwq * wwq * (len(g) - 1))
+            for wi, g in zip(wq, groups)
+        )
+        f_q = (numq / 1e12 / (k - 1)) / (
+            1 + (2 * (k - 2) / (k * k - 1)) * (lamq / 1e9)
+        )
+        assert abs(f_q - f_ref) < 1e-3 * max(1.0, abs(f_ref))
