@@ -1412,7 +1412,7 @@ GRIES_TOPK = 50
     "output is ONE non-negative floor-division per word. The "
     "(word, source) rollup is the only corpus-sized shuffle; the "
     f"top-{GRIES_TOPK} selection ships via TakeOrderedAndProject and "
-    "the 5-row part sizes broadcast into the deviation join.",
+    "the 20-row source sizes broadcast into the deviation join.",
 )
 def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
@@ -1483,7 +1483,8 @@ def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT priority, n,
              CAST((1000000 * s) // n AS BIGINT) AS meanq,
              CAST((1000000000000 * CAST(n AS HUGEINT) * n * (n - 1))
-                  // greatest(n * q - CAST(s AS HUGEINT) * s, 1)
+                  // greatest(n * q - CAST(s AS HUGEINT) * s,
+                              CAST(n AS HUGEINT) * n)
                   AS BIGINT) AS w
       FROM g WHERE n >= 2
     ),
@@ -1526,7 +1527,9 @@ def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equal-variance F; agg_welch_ttest the k=2 case; "
     "agg_kruskal_wallis the rank escape hatch). Every piece quantizes "
     "to integers with documented scales: w_i = 1e12 * n^2(n-1) / "
-    "(nQ - S^2) by ONE floor-division per group, means in micro-units, "
+    "(nQ - S^2) by ONE floor-division per group (variance floored at "
+    "n^2 so the degenerate constant-group branch keeps the div RESULT "
+    "under 2^62 instead of wrapping), means in micro-units, "
     "the weighted between-group sum reduced to pico-scale (1e12*1e12 -> div 1e12) and "
     "lambda in nano-units — each div RESULT < 2^62 at sf10 — and the "
     "final F is one fixed-shape double expression over sub-2^53 "
@@ -1550,7 +1553,8 @@ def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * s) div n AS BIGINT)").alias("meanq"),
         F.expr(
             "CAST((1000000000000 * CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
-            " div greatest(n * q - CAST(s AS DECIMAL(38,0)) * s, 1)"
+            " div greatest(n * q - CAST(s AS DECIMAL(38,0)) * s,"
+            "              CAST(n AS DECIMAL(38,0)) * n)"
             " AS BIGINT)"
         ).alias("w"),
     )

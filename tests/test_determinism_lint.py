@@ -29,6 +29,10 @@ import re
 
 # query-name -> number of round()-of-float sites (Spark source + oracle)
 _ALLOWED_FLOAT_ROUND = {
+    # round(l_extendedprice / 1000) price-kilobucket GROUPING construct on
+    # both engine sides — identical double input -> identical rounding
+    # (the agg_ansari_bradley precedent, same domain)
+    "agg_anderson_darling": 2,
     "agg_ansari_bradley": 2,
     "agg_autocorrelation": 3,
     "agg_benford_test": 5,

@@ -285,7 +285,7 @@ _ALLOWED_NESTED_LOOP = {
     # 5-row scalar broadcast crossJoins only
     "agg_goodman_kruskal_gamma",  # ~50x11 domain-grid densify (two DISTINCT
     #                               relations; the jonckheere precedent)
-    "text_gries_dp",              # 5-row part-size + 1-row total broadcast crossJoins
+    "text_gries_dp",              # 20-row source-size + 1-row total broadcast crossJoins
     "agg_welch_anova",            # 1-row weighted-center scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
