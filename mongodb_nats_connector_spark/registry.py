@@ -87,6 +87,21 @@ def _load_all() -> None:
     from mongodb_nats_connector_spark.operators import pipeline13  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline14  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline15  # noqa: F401
+
+
+def _load_deferred() -> None:
+    """Import the round-12 bank modules (registration side effects).
+
+    The driver proves at most 50 queries per round; pipeline14+15 plus the
+    re-proof of orders_nelson_aalen fill the round-11 window exactly, so the
+    13 pipeline16 queries (and any later bank module) are NOT loaded into
+    the driver-facing registry this round — ``tools/verify_window.py`` flags
+    an over-budget window otherwise, and a spilled query sits unproven at
+    round end. The bank is still fully linted and unit-tested: registry-wide
+    lint tests call ``_load_deferred()`` so plan/determinism discipline is
+    enforced from day one, and ``tests/test_round16.py`` pins the
+    statistics. Round 12: move these imports back into ``_load_all``.
+    """
     from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
 
 

@@ -300,8 +300,9 @@ def test_registry_wide_plan_lint(spark):
     one query that exists to demonstrate it. This is the 'would this plan
     survive 100x scale-up' gate, applied to the WHOLE surface."""
     from mongodb_nats_connector_spark.plans.explain import plan_string
-    from mongodb_nats_connector_spark.registry import all_queries
+    from mongodb_nats_connector_spark.registry import _load_deferred, all_queries
 
+    _load_deferred()  # the round-12 bank is linted from day one
     offenders = []
     for name, q in sorted(all_queries().items()):
         s = plan_string(q.fn(spark, SF))
@@ -443,8 +444,9 @@ def test_registry_wide_global_window_lint(spark):
     cannot land silently, and converted queries (customer_ltv_deciles ->
     plans/ranking.py two-pass rank) cannot regress."""
     from mongodb_nats_connector_spark.plans.explain import unpartitioned_windows
-    from mongodb_nats_connector_spark.registry import all_queries
+    from mongodb_nats_connector_spark.registry import _load_deferred, all_queries
 
+    _load_deferred()  # the round-12 bank is linted from day one
     found = {}
     for name, q in sorted(all_queries().items()):
         n = len(unpartitioned_windows(q.fn(spark, SF)))
