@@ -1,0 +1,1787 @@
+"""Round-12 bank, second tranche: classifier-evaluation completions
+(PR-AUC, KS separation, calibration error), variance-homogeneity and
+agreement statistics, rank-concordance and records/trend tests,
+change-point homogeneity (Buishand/SNHT/KPSS), inequality measures
+(Atkinson, Palma, Lorenz asymmetry), spatial/graph autocorrelation
+(Moran/Geary, rich-club), intermittent-demand TSB, restricted mean
+survival time, and cross-document n-gram novelty.
+
+This module is imported by ``registry._load_deferred()`` (NOT
+``_load_all``): the round-11 driver window is exactly full, so these
+queries stay out of the driver-facing registry until the round-12 window
+opens — while the registry-wide lint and parity tests load the bank
+explicitly and enforce the full discipline from day one.
+
+Reference provenance: like pipeline7-16, none of these operators exist in
+the reference's Go core (a MongoDB change-stream -> NATS connector,
+/root/reference/internal/server/connector.go) — they extend the
+engine-side analytics surface documented in SURVEY.md §2.3/§2.4
+downstream of the connector's change streams.
+
+Cross-engine determinism rules (the pipeline11-16 discipline):
+- exact integers end-to-end on the hash surface; cumulative masses over
+  value DOMAINS (never row-proportional rank windows);
+- any total that can cross 2^53 stays DECIMAL(38,0)/HUGEINT and
+  floor-divides (`div` / ``//``) to a sub-2^53 integer before the ONE
+  double conversion;
+- `div` on NEGATIVES differs between engines (Spark truncates, DuckDB
+  floors) — every integer division here is applied to a provably
+  non-negative numerator (abs + explicit sign column where needed);
+- no exp/ln/pow/round-of-float anywhere on the hash surface; +,-,*,/,
+  sqrt are IEEE-correctly-rounded and bit-portable in fixed operand
+  order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+
+def _dsum(expr: F.Column) -> F.Column:
+    """Exact order-independent sum for integer terms whose total can cross
+    2^63: DECIMAL(38,0) accumulation (the oracles' HUGEINT twin). The
+    caller must floor-divide below 2^53 before any double conversion."""
+    return F.sum(expr.cast("decimal(38,0)"))
+
+
+# ---------------------------------------------------------------------------
+# agg_pr_auc — average precision (step-interpolated PR-AUC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pr_auc",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS n1,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n0
+      FROM b GROUP BY s
+    ),
+    cum AS (
+      SELECT s, n1,
+             sum(n1) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n1 + n0) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred
+      FROM cells
+    ),
+    acc AS (
+      SELECT CAST(sum((CAST(n1 AS HUGEINT) * tp * 1000000000000) // pred)
+                  AS HUGEINT) AS ap_num,
+             CAST(sum(n1) AS BIGINT) AS p,
+             CAST(count(*) AS BIGINT) AS n_thresholds
+      FROM cum WHERE n1 > 0
+    )
+    SELECT p AS positives,
+           n_thresholds,
+           CAST(ap_num // (p * 1000) AS BIGINT) AS ap_ppb,
+           CAST(ap_num // (p * 1000) AS DOUBLE) / 1000000000.0
+             AS average_precision
+    FROM acc
+    """,
+    doc="Average precision (step-interpolated area under the precision-"
+    "recall curve) for predicting returned lineitems from the price "
+    "score — the rank metric that, unlike agg_roc_auc, does not reward "
+    "a classifier for ranking easy negatives low when positives are "
+    "rare (the class-imbalance standard in retrieval and LLM data "
+    "quality filtering). AP = sum over positive-bearing thresholds of "
+    "delta-recall * precision; on the ~105-value price-kilobucket "
+    "DOMAIN each term is the exact rational n1*tp/(P*pred), quantized "
+    "per-cell to picounits by ONE non-negative floor-division (both "
+    "engines floor identically; error < 1e-12 per cell, bounded by "
+    "1e-10 overall) and accumulated in HUGEINT/DECIMAL(38,0). Only "
+    "cells that contain positives contribute (delta-recall = 0 "
+    "elsewhere), matching the step interpolation exactly. One map-"
+    "combined rollup, one bounded descending prefix window over the "
+    "domain grid, a 1-row result.",
+)
+def agg_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("s"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n0"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "s",
+        "n1",
+        F.sum("n1").over(w).alias("tp"),
+        F.sum(F.col("n1") + F.col("n0")).over(w).alias("pred"),
+    )
+    acc = cum.filter(F.col("n1") > 0).agg(
+        _dsum(
+            F.expr(
+                "(CAST(n1 AS DECIMAL(38,0)) * tp * 1000000000000) div pred"
+            )
+        ).alias("ap_num"),
+        F.sum("n1").cast("bigint").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_thresholds"),
+    )
+    return acc.select(
+        F.col("p").alias("positives"),
+        "n_thresholds",
+        F.expr("CAST(ap_num div (p * 1000) AS BIGINT)").alias("ap_ppb"),
+        (
+            F.expr("CAST(ap_num div (p * 1000) AS BIGINT)").cast("double")
+            / F.lit(1000000000.0)
+        ).alias("average_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ks_separation — Kolmogorov-Smirnov score-separation statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ks_separation",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS n1,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n0
+      FROM b GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS p, CAST(sum(n0) AS BIGINT) AS q
+      FROM cells
+    ),
+    cum AS (
+      SELECT s,
+             sum(n1) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(n0) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+      FROM cells
+    ),
+    d AS (
+      SELECT s,
+             abs(CAST(t.q AS HUGEINT) * c1 - CAST(t.p AS HUGEINT) * c0)
+               AS dev,
+             t.p AS p, t.q AS q
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT s AS threshold_bucket, p AS positives, q AS negatives,
+           CAST(dev AS BIGINT) AS ks_scaled,
+           CAST(dev AS DOUBLE)
+             / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)) AS ks_stat
+    FROM d ORDER BY dev DESC, s ASC LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov separation of the price score "
+    "between returned and kept lineitems, reported WITH the maximizing "
+    "threshold — the credit-scoring 'KS statistic' that complements "
+    "agg_roc_auc (integral quality) and agg_youden_threshold (additive "
+    "cut): KS is the sup-norm ECDF gap and its argmax is the natural "
+    "cutoff when costs are proportional to class priors. On the "
+    "~105-value price-kilobucket domain the deviation Q*cum1 - P*cum0 "
+    "= P*Q*(F1 - F0) is an exact integer (HUGEINT/DECIMAL-widened "
+    "cross-multiplication); the winner is decided on integers with "
+    "ties broken to the LOWEST bucket, and the display statistic is "
+    "one fixed IEEE division on the winning row. One rollup, one "
+    "bounded prefix window, TakeOrdered(1).",
+)
+def agg_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("s"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n0"),
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("bigint").alias("p"),
+        F.sum("n0").cast("bigint").alias("q"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "s",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n0").over(w).alias("c0"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "p",
+        "q",
+        F.expr(
+            "abs(CAST(q AS DECIMAL(38,0)) * c1"
+            " - CAST(p AS DECIMAL(38,0)) * c0)"
+        ).alias("dev"),
+    )
+    return (
+        d.orderBy(F.col("dev").desc(), F.col("s").asc())
+        .limit(1)
+        .select(
+            F.col("s").alias("threshold_bucket"),
+            F.col("p").alias("positives"),
+            F.col("q").alias("negatives"),
+            F.col("dev").cast("bigint").alias("ks_scaled"),
+            (
+                F.col("dev").cast("double")
+                / (F.col("p").cast("double") * F.col("q").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_expected_calibration_error — ECE + MCE on the tenths grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_expected_calibration_error",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS p10,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT p10, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS o
+      FROM b GROUP BY p10
+    ),
+    dev AS (
+      SELECT p10, n, o,
+             abs(10 * o - n * p10) AS adev,
+             (1000000000 * CAST(abs(10 * o - n * p10) AS HUGEINT))
+               // (10 * n) AS cell_ppb
+      FROM cells
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((1000000000 * CAST(sum(CAST(adev AS HUGEINT)) AS HUGEINT))
+                // (10 * sum(n)) AS BIGINT) AS ece_ppb,
+           CAST(max(cell_ppb) AS BIGINT) AS mce_ppb
+    FROM dev
+    """,
+    doc="Expected and maximum calibration error of the discount-as-"
+    "return-probability forecast on its native tenths grid — the "
+    "reliability summary that complements agg_brier_score (which mixes "
+    "calibration with refinement) and agg_hosmer_lemeshow (which "
+    "chi-squares the same table): ECE = sum_cells (n_c/N)|obs_c - "
+    "p_c|, MCE = max_cells |obs_c - p_c|. Each cell deviation "
+    "|obs - p| = |10*O - n*p10|/(10n) is an exact integer ratio: the "
+    "ECE numerator sum(n_c * dev_c) telescopes to the exact integer "
+    "sum|10 O - n p10| (the n_c cancels), one non-negative floor-"
+    "division lands ppb; MCE takes the max of per-cell ppb quantized "
+    "by the same floor rule in both engines. One map-side rollup over "
+    "the 11-cell grid; no windows, no joins.",
+)
+def agg_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("p10"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    cells = b.groupBy("p10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("o"),
+    )
+    dev = cells.select(
+        "n",
+        F.expr("abs(10 * o - n * p10)").alias("adev"),
+        F.expr(
+            "(1000000000 * CAST(abs(10 * o - n * p10) AS DECIMAL(38,0)))"
+            " div (10 * n)"
+        )
+        .cast("bigint")
+        .alias("cell_ppb"),
+    )
+    return dev.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.expr(
+            "CAST((1000000000 * CAST(sum(CAST(adev AS DECIMAL(38,0))) AS"
+            " DECIMAL(38,0))) div (10 * sum(n)) AS BIGINT)"
+        ).alias("ece_ppb"),
+        F.max("cell_ppb").cast("bigint").alias("mce_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cochran_hartley — variance-homogeneity ratios across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cochran_hartley",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM b GROUP BY grp
+    ),
+    v AS (
+      SELECT grp, n,
+             CAST((n * sxx - sx * sx) // (n * (n - 1)) AS BIGINT) AS s2
+      FROM g WHERE n >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_groups,
+           CAST(min(n) AS BIGINT) AS min_n,
+           CAST(max(s2) AS BIGINT) AS max_var_cents2,
+           CAST(min(s2) AS BIGINT) AS min_var_cents2,
+           CAST((1000000000 * CAST(max(s2) AS HUGEINT))
+                // sum(CAST(s2 AS HUGEINT)) AS BIGINT) AS cochran_c_ppb,
+           CAST((1000000 * CAST(max(s2) AS HUGEINT))
+                // greatest(min(s2), 1) AS BIGINT) AS hartley_fmax_ppm
+    FROM v
+    """,
+    doc="Cochran's C (max variance / summed variance) and Hartley's "
+    "F_max (max variance / min variance) across the 5 order-priority "
+    "groups on order totals — the quick variance-homogeneity screens "
+    "that gate classical ANOVA (agg_oneway_anova assumes equal "
+    "variances; agg_welch_anova is the escape hatch these statistics "
+    "justify). Unlike Bartlett's test, C and F_max need NO logarithm, "
+    "so the whole surface stays exact: per-group sample variances come "
+    "from integer cent moments as (n*Sxx - Sx^2) div (n(n-1)) (exact "
+    "to < 1 cent^2, HUGEINT/DECIMAL-widened), and each ratio is one "
+    "non-negative floor-division to ppb/ppm. One map-side rollup over "
+    "5 groups + a 5-row scalar aggregate; no windows, no joins.",
+)
+def agg_cochran_hartley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    v = g.filter(F.col("n") >= 2).select(
+        "n",
+        F.expr(
+            "CAST((n * sxx - sx * sx) div (n * (n - 1)) AS BIGINT)"
+        ).alias("s2"),
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.max("s2").cast("bigint").alias("max_var_cents2"),
+        F.min("s2").cast("bigint").alias("min_var_cents2"),
+        F.expr(
+            "CAST((1000000000 * CAST(max(s2) AS DECIMAL(38,0)))"
+            " div sum(CAST(s2 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("cochran_c_ppb"),
+        F.expr(
+            "CAST((1000000 * CAST(max(s2) AS DECIMAL(38,0)))"
+            " div greatest(min(s2), 1) AS BIGINT)"
+        ).alias("hartley_fmax_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_gwet_ac1 — chance-robust multi-rater agreement (Fleiss frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gwet_ac1",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    f AS (SELECT * FROM r WHERE m = 4),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS i,
+             CAST(sum(nr * (nr - 1) + na * (na - 1) + nn_ * (nn_ - 1))
+                  AS BIGINT) AS a,
+             CAST(sum(nr) AS BIGINT) AS tr,
+             CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nn_) AS BIGINT) AS tn
+      FROM f
+    ),
+    k AS (
+      SELECT i, a,
+             CAST(tr AS HUGEINT) * (4 * i - tr)
+               + CAST(ta AS HUGEINT) * (4 * i - ta)
+               + CAST(tn AS HUGEINT) * (4 * i - tn) AS b
+      FROM s
+    ),
+    z AS (
+      SELECT i, a, b,
+             8 * CAST(i AS HUGEINT) * a - 3 * b AS num,
+             greatest(96 * CAST(i AS HUGEINT) * i - 3 * b, 1) AS den
+      FROM k
+    )
+    SELECT i AS n_items, CAST(4 AS BIGINT) AS n_raters,
+           CAST((1000000000 * CAST(a AS HUGEINT)) // (12 * i) AS BIGINT)
+             AS p_obs_ppb,
+           CAST((1000000000 * b) // (32 * CAST(i AS HUGEINT) * i)
+                AS BIGINT) AS p_exp_ppb,
+           CAST(CASE WHEN num >= 0
+                THEN (1000000000 * num) // den
+                ELSE -((1000000000 * -num) // den) END AS BIGINT)
+             AS ac1_ppb
+    FROM z
+    """,
+    doc="Gwet's AC1 chance-robust agreement over orders with EXACTLY 4 "
+    "lineitems (return flag as 4 raters x 3 categories — the "
+    "agg_fleiss_kappa frame): AC1 replaces kappa's chance term with "
+    "P_e = (1/(Q-1)) sum_q pi_q (1 - pi_q), which stays stable when "
+    "category prevalence is extreme — the documented 'kappa paradox' "
+    "fix used to audit crowd/ensemble label quality where one class "
+    "dominates (exactly the regime of return flags). With I items, A "
+    "= sum of n(n-1) cell agreements and B = sum_q T_q(4I - T_q), the "
+    "statistic collapses to the exact integer ratio (8IA - 3B) / "
+    "(96I^2 - 3B): sign-split non-negative floor-divisions emit ppb "
+    "(observed and expected agreement alongside). One orderkey-keyed "
+    "aggregation + one scalar rollup; no windows, no joins.",
+)
+def agg_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nr"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_"),
+    )
+    s = r.filter(F.col("m") == 4).agg(
+        F.count(F.lit(1)).cast("bigint").alias("i"),
+        F.sum(
+            F.expr("nr * (nr - 1) + na * (na - 1) + nn_ * (nn_ - 1)")
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum("nr").cast("bigint").alias("tr"),
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nn_").cast("bigint").alias("tn"),
+    )
+    k = s.select(
+        "i",
+        "a",
+        F.expr(
+            "CAST(tr AS DECIMAL(38,0)) * (4 * i - tr)"
+            " + CAST(ta AS DECIMAL(38,0)) * (4 * i - ta)"
+            " + CAST(tn AS DECIMAL(38,0)) * (4 * i - tn)"
+        ).alias("b"),
+    )
+    z = k.select(
+        "i",
+        "a",
+        "b",
+        F.expr("8 * CAST(i AS DECIMAL(38,0)) * a - 3 * b").alias("num"),
+        F.expr(
+            "greatest(96 * CAST(i AS DECIMAL(38,0)) * i - 3 * b, 1)"
+        ).alias("den"),
+    )
+    return z.select(
+        F.col("i").alias("n_items"),
+        F.lit(4).cast("bigint").alias("n_raters"),
+        F.expr(
+            "CAST((1000000000 * CAST(a AS DECIMAL(38,0))) div (12 * i)"
+            " AS BIGINT)"
+        ).alias("p_obs_ppb"),
+        F.expr(
+            "CAST((1000000000 * b) div (32 * CAST(i AS DECIMAL(38,0)) * i)"
+            " AS BIGINT)"
+        ).alias("p_exp_ppb"),
+        F.expr(
+            "CAST(CASE WHEN num >= 0"
+            " THEN (1000000000 * num) div den"
+            " ELSE -((1000000000 * -num) div den) END AS BIGINT)"
+        ).alias("ac1_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kendall_w — Kendall's coefficient of concordance (years x months)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kendall_w",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    yrs AS (
+      SELECT yr FROM m GROUP BY yr HAVING count(*) = 12
+    ),
+    f AS (SELECT m.* FROM m JOIN yrs USING (yr)),
+    ranked AS (
+      SELECT yr, mo,
+             2 * (SELECT count(*) FROM f b
+                  WHERE b.yr = f.yr AND b.v < f.v)
+               + (SELECT count(*) FROM f b
+                  WHERE b.yr = f.yr AND b.v = f.v) + 1 AS r2
+      FROM f
+    ),
+    ties AS (
+      SELECT yr, CAST(sum(c * c * c - c) AS BIGINT) AS t
+      FROM (SELECT yr, v, CAST(count(*) AS BIGINT) AS c
+            FROM f GROUP BY yr, v) GROUP BY yr
+    ),
+    rsum AS (
+      SELECT mo, CAST(sum(r2) AS BIGINT) AS r2sum,
+             (SELECT CAST(count(*) AS BIGINT) FROM yrs) AS m_blk
+      FROM ranked GROUP BY mo
+    ),
+    s AS (
+      SELECT CAST(max(m_blk) AS BIGINT) AS m_blk,
+             CAST(sum(CAST((r2sum - m_blk * 13) AS HUGEINT)
+                      * (r2sum - m_blk * 13)) AS HUGEINT) AS s4
+      FROM rsum
+    ),
+    tt AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS tsum FROM ties)
+    SELECT s.m_blk AS n_blocks, CAST(12 AS BIGINT) AS n_items,
+           CAST(s4 // 4 AS BIGINT) AS s_exact,
+           CAST((1000000000 * (3 * s4))
+                // greatest(CAST(s.m_blk AS HUGEINT) * s.m_blk * 6864
+                            - 4 * s.m_blk * tt.tsum, 1) AS BIGINT)
+             AS w_ppb,
+           CAST(((s.m_blk * 11) * ((1000000000 * (3 * s4))
+                // greatest(CAST(s.m_blk AS HUGEINT) * s.m_blk * 6864
+                            - 4 * s.m_blk * tt.tsum, 1))) AS DOUBLE)
+             / 1000000000.0 AS chi2_approx
+    FROM s, tt
+    """,
+    doc="Kendall's coefficient of concordance W across complete ship-"
+    "years: do the 12 months keep the SAME volume ranking year after "
+    "year? W is the multi-judge agreement on ORDERINGS (blocks = "
+    "years as judges, items = months), the effect size behind "
+    "agg_friedman_test and the seasonal-stability readout next to "
+    "orders_seasonality_strength (which measures amplitude, not rank "
+    "agreement). Within-year DOUBLED midranks 2m = 2*lo + c + 1 come "
+    "from bounded 12-cell per-year count subqueries (Spark: one "
+    "partitioned 12-row window per year — never a global sort); S' = "
+    "sum_j (R'_j - m*13)^2 is 4S exactly, and the tie-corrected "
+    "denominator m^2(n^3-n) - m*sumT with n=12 gives W = 3*S' / "
+    "(6864 m^2 - 4 m sumT) as ONE exact integer ratio -> ppb floor-"
+    "division (chi2 = m(n-1)W displayed from the same integer). All "
+    "relations after the month rollup are <= 12*years rows.",
+)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    m = li.groupBy(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.month(F.col("l_shipdate").cast("date")).cast("bigint").alias("mo"),
+    ).agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("v"))
+    yrs = m.groupBy("yr").agg(F.count(F.lit(1)).alias("nmo")).filter(
+        F.col("nmo") == 12
+    )
+    f = m.join(yrs.select("yr"), "yr")
+    w_lo = (
+        Window.partitionBy("yr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = f.groupBy("yr", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.collect_list("mo").alias("mos"),
+    )
+    pos = cells.select(
+        "yr",
+        "c",
+        "mos",
+        (
+            2 * F.coalesce(F.sum("c").over(w_lo), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    ranked = pos.select("yr", "r2", F.explode("mos").alias("mo"))
+    ties = (
+        cells.groupBy("yr")
+        .agg(
+            F.sum(F.expr("c * c * c - c")).cast("bigint").alias("t")
+        )
+    )
+    mblk = yrs.agg(F.count(F.lit(1)).cast("bigint").alias("m_blk"))
+    rsum = (
+        ranked.groupBy("mo")
+        .agg(F.sum("r2").cast("bigint").alias("r2sum"))
+        .crossJoin(F.broadcast(mblk))
+    )
+    s = rsum.agg(
+        F.max("m_blk").cast("bigint").alias("m_blk"),
+        _dsum(
+            F.expr(
+                "CAST((r2sum - m_blk * 13) AS DECIMAL(38,0))"
+                " * (r2sum - m_blk * 13)"
+            )
+        ).alias("s4"),
+    )
+    tt = ties.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("tsum")
+    )
+    z = s.crossJoin(F.broadcast(tt))
+    return z.select(
+        F.col("m_blk").alias("n_blocks"),
+        F.lit(12).cast("bigint").alias("n_items"),
+        F.expr("CAST(s4 div 4 AS BIGINT)").alias("s_exact"),
+        F.expr(
+            "CAST((1000000000 * (3 * s4))"
+            " div greatest(CAST(m_blk AS DECIMAL(38,0)) * m_blk * 6864"
+            " - 4 * m_blk * tsum, 1) AS BIGINT)"
+        ).alias("w_ppb"),
+        F.expr(
+            "CAST(((m_blk * 11) * ((1000000000 * (3 * s4))"
+            " div greatest(CAST(m_blk AS DECIMAL(38,0)) * m_blk * 6864"
+            " - 4 * m_blk * tsum, 1))) AS DOUBLE) / 1000000000.0"
+        ).alias("chi2_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_krippendorff_alpha — nominal inter-rater reliability (Fleiss frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_krippendorff_alpha",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    f AS (SELECT * FROM r WHERE m = 4),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS i,
+             CAST(sum(nr * nr + na * na + nn_ * nn_) AS BIGINT) AS sa,
+             CAST(sum(nr) AS BIGINT) AS tr,
+             CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nn_) AS BIGINT) AS tn
+      FROM f
+    ),
+    k AS (
+      SELECT i, sa,
+             CAST(tr AS HUGEINT) * tr + CAST(ta AS HUGEINT) * ta
+               + CAST(tn AS HUGEINT) * tn AS sb
+      FROM s
+    ),
+    z AS (
+      SELECT i, sa, sb,
+             CAST(16 * CAST(i AS HUGEINT) * i - sb AS HUGEINT) AS de3,
+             CAST((16 * i - sa) AS HUGEINT) * (4 * i - 1) AS do3
+      FROM k
+    )
+    SELECT i AS n_items, CAST(4 AS BIGINT) AS n_raters,
+           CAST(16 * i - sa AS BIGINT) AS disagree_num,
+           CAST(CASE WHEN 3 * de3 - do3 >= 0
+                THEN (1000000000 * (3 * de3 - do3)) // greatest(3 * de3, 1)
+                ELSE -((1000000000 * (do3 - 3 * de3))
+                       // greatest(3 * de3, 1)) END AS BIGINT)
+             AS alpha_ppb
+    FROM z
+    """,
+    doc="Krippendorff's alpha (nominal metric) over the agg_fleiss_kappa "
+    "frame (orders with exactly 4 lineitems, return flag as 4 raters x "
+    "3 categories) — the reliability index content-analysis "
+    "methodology prefers over kappa because its expected disagreement "
+    "conditions on the OBSERVED value totals without assuming rater "
+    "exchangeability: alpha = 1 - D_o/D_e with D_o = (16I - SA)/3 per "
+    "the coincidence-matrix construction (m_u - 1 = 3 pairable "
+    "companions per value) and D_e = (16I^2 - SB)/(4I - 1). The whole "
+    "statistic collapses to alpha = 1 - (16I - SA)(4I - 1) / "
+    "(3(16I^2 - SB)) — exact integers, sign-split ppb floor-division. "
+    "Completes the agreement triptych (Fleiss = chance-corrected, "
+    "Gwet = prevalence-robust, Krippendorff = sampling-corrected). "
+    "One orderkey-keyed aggregation + one scalar rollup.",
+)
+def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nr"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_"),
+    )
+    s = r.filter(F.col("m") == 4).agg(
+        F.count(F.lit(1)).cast("bigint").alias("i"),
+        F.sum(F.expr("nr * nr + na * na + nn_ * nn_"))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum("nr").cast("bigint").alias("tr"),
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nn_").cast("bigint").alias("tn"),
+    )
+    k = s.select(
+        "i",
+        "sa",
+        F.expr(
+            "CAST(tr AS DECIMAL(38,0)) * tr + CAST(ta AS DECIMAL(38,0)) * ta"
+            " + CAST(tn AS DECIMAL(38,0)) * tn"
+        ).alias("sb"),
+    )
+    z = k.select(
+        "i",
+        "sa",
+        F.expr("16 * CAST(i AS DECIMAL(38,0)) * i - sb").alias("de3"),
+        F.expr(
+            "CAST((16 * i - sa) AS DECIMAL(38,0)) * (4 * i - 1)"
+        ).alias("do3"),
+    )
+    return z.select(
+        F.col("i").alias("n_items"),
+        F.lit(4).cast("bigint").alias("n_raters"),
+        F.expr("CAST(16 * i - sa AS BIGINT)").alias("disagree_num"),
+        F.expr(
+            "CAST(CASE WHEN 3 * de3 - do3 >= 0"
+            " THEN (1000000000 * (3 * de3 - do3)) div greatest(3 * de3, 1)"
+            " ELSE -((1000000000 * (do3 - 3 * de3))"
+            " div greatest(3 * de3, 1)) END AS BIGINT)"
+        ).alias("alpha_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_conover_squared_ranks — squared-rank dispersion test (price domain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_conover_squared_ranks",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    gs AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM b GROUP BY g
+    ),
+    sc AS (
+      SELECT max(CASE WHEN g = 1 THEN n END) AS n1,
+             max(CASE WHEN g = 1 THEN s END) AS s1,
+             max(CASE WHEN g = 0 THEN n END) AS n0,
+             max(CASE WHEN g = 0 THEN s END) AS s0
+      FROM gs
+    ),
+    u AS (
+      SELECT b.g,
+             CASE WHEN b.g = 1
+                  THEN sc.n0 * abs(sc.n1 * b.x - sc.s1)
+                  ELSE sc.n1 * abs(sc.n0 * b.x - sc.s0) END AS v
+      FROM b CROSS JOIN sc
+    ),
+    cells AS (
+      SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY v
+    ),
+    pos AS (
+      SELECT v, c1, c,
+             2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) + c + 1 AS a2
+      FROM cells
+    ),
+    acc AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nn,
+             CAST(sum(c1) AS BIGINT) AS n_t,
+             CAST(sum(CAST(c1 AS HUGEINT) * a2 * a2) AS HUGEINT) AS t4,
+             CAST(sum(CAST(c AS HUGEINT) * a2 * a2) AS HUGEINT) AS su,
+             CAST(sum(CAST(c AS HUGEINT) * a2 * a2 * a2 * a2)
+                  AS HUGEINT) AS su2
+      FROM pos
+    ),
+    d AS (
+      SELECT nn, n_t, t4, su,
+             n_t * (nn - n_t) AS nm,
+             CAST(t4 // 1000000000 AS BIGINT) AS s_giga,
+             CAST(t4 % 1000000000 AS BIGINT) AS s_gfrac,
+             CAST((CAST(n_t AS HUGEINT) * su)
+                  // (CAST(nn AS HUGEINT) * 1000000000) AS BIGINT) AS mg,
+             CAST(((CAST(n_t AS HUGEINT) * su)
+                   % (CAST(nn AS HUGEINT) * 1000000000)) // nn
+                  AS BIGINT) AS mu2,
+             CAST(su // 1073741824 AS BIGINT) AS suq,
+             CAST(su2 // 1152921504606846976 AS BIGINT) AS su2q
+      FROM acc
+    ),
+    f AS (
+      SELECT nn, n_t, nm, s_giga, s_gfrac, mg, mu2,
+             greatest(CAST((nn * CAST(su2q AS HUGEINT)
+                            - CAST(suq AS HUGEINT) * suq) // (nn - 1)
+                           AS BIGINT), 1) AS a3
+      FROM d
+    )
+    SELECT n_t AS n_treat,
+           CAST(nn - n_t AS BIGINT) AS n_control,
+           s_giga, s_gfrac,
+           ((CAST(s_giga AS DOUBLE) * 1000000000.0
+             + CAST(s_gfrac AS DOUBLE)
+             - (CAST(mg AS DOUBLE) * 1000000000.0 + CAST(mu2 AS DOUBLE)))
+            * CAST(nn AS DOUBLE))
+           / (1073741824.0
+              * sqrt(CAST(nm AS DOUBLE) * CAST(a3 AS DOUBLE))) AS z_score
+    FROM f
+    """,
+    doc="Conover's squared-rank test for equal DISPERSION of returned vs "
+    "kept line prices: score each pooled observation by the SQUARED "
+    "rank of its absolute deviation from its own group mean — the "
+    "rank test whose null does NOT require equal locations (Mood's "
+    "agg_mood_scale assumes common medians; Conover centers per "
+    "group first), the standard nonparametric Levene alternative. "
+    "The deviations never touch floats: |x - mean_g| scales to the "
+    "integer n_other*|n_g*x - S_g| (common n1*n0 scale across "
+    "groups), whose ~100-cell price-kilobucket DOMAIN carries doubled "
+    "midranks a2 = 2*lo + c + 1; the statistic sum of squared ranks, "
+    "its exact permutation mean n1*SumA/N, and variance "
+    "n1*n0*(N*SumA2 - SumA^2)/(N^2(N-1)) are integer aggregates with "
+    "the agg_mood_scale reduction ladder (2^30/2^60/1e9 splits) "
+    "before the one fixed-shape double z. SCALE BOUND (same as "
+    "Mood): the quartic SumA2 ~ 16N^5 crosses DECIMAL(38,0) near "
+    "N ~ 2e7 rows — both engines then fail loudly; the reduction "
+    "literals are the SF-band dial. One domain-sized shuffle; "
+    "bounded grid windows only.",
+)
+def agg_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("x"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("g"),
+    )
+    gs = b.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    sc = gs.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+    )
+    u = b.crossJoin(F.broadcast(sc)).select(
+        "g",
+        F.expr(
+            "CASE WHEN g = 1 THEN n0 * abs(n1 * x - s1)"
+            " ELSE n1 * abs(n0 * x - s0) END"
+        ).alias("v"),
+    )
+    cells = u.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pos = cells.select(
+        "c1",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w_lo), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).alias("a2"),
+    )
+    acc = pos.agg(
+        F.sum("c").cast("bigint").alias("nn"),
+        F.sum("c1").cast("bigint").alias("n_t"),
+        _dsum(F.expr("CAST(c1 AS DECIMAL(38,0)) * a2 * a2")).alias("t4"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * a2 * a2")).alias("su"),
+        _dsum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * a2 * a2 * a2 * a2")
+        ).alias("su2"),
+    )
+    d = acc.select(
+        "nn",
+        "n_t",
+        (F.col("n_t") * (F.col("nn") - F.col("n_t"))).alias("nm"),
+        F.expr("CAST(t4 div 1000000000 AS BIGINT)").alias("s_giga"),
+        F.expr("CAST(t4 % 1000000000 AS BIGINT)").alias("s_gfrac"),
+        F.expr(
+            "CAST((n_t * su) div (CAST(nn AS DECIMAL(38,0)) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("mg"),
+        F.expr(
+            "CAST(((n_t * su) % (CAST(nn AS DECIMAL(38,0)) * 1000000000))"
+            " div nn AS BIGINT)"
+        ).alias("mu2"),
+        F.expr("CAST(su div 1073741824 AS BIGINT)").alias("suq"),
+        F.expr("CAST(su2 div 1152921504606846976 AS BIGINT)").alias("su2q"),
+    )
+    f = d.select(
+        "nn",
+        "n_t",
+        "nm",
+        "s_giga",
+        "s_gfrac",
+        "mg",
+        "mu2",
+        F.expr(
+            "greatest(CAST((nn * CAST(su2q AS DECIMAL(38,0))"
+            " - CAST(suq AS DECIMAL(38,0)) * suq) div (nn - 1)"
+            " AS BIGINT), 1)"
+        ).alias("a3"),
+    )
+    return f.select(
+        F.col("n_t").alias("n_treat"),
+        (F.col("nn") - F.col("n_t")).cast("bigint").alias("n_control"),
+        "s_giga",
+        "s_gfrac",
+        F.expr(
+            "((CAST(s_giga AS DOUBLE) * 1000000000.0"
+            "  + CAST(s_gfrac AS DOUBLE)"
+            "  - (CAST(mg AS DOUBLE) * 1000000000.0"
+            "     + CAST(mu2 AS DOUBLE)))"
+            " * CAST(nn AS DOUBLE))"
+            " / (1073741824.0"
+            "    * sqrt(CAST(nm AS DOUBLE) * CAST(a3 AS DOUBLE)))"
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_cox_stuart — paired-halves trend test on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev, row_number() OVER (ORDER BY d) AS i,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.rev AS x, b.rev AS y
+      FROM idx a JOIN idx b ON b.i = a.i + (a.n + 1) // 2
+      WHERE a.i <= a.n - (a.n + 1) // 2
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT)
+               AS plus,
+             CAST(sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT)
+               AS minus
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(max(n) AS BIGINT) AS n_days FROM idx)
+    SELECT nd.n_days, s.plus + s.minus AS n_pairs, s.plus AS n_plus,
+           s.minus AS n_minus,
+           CASE WHEN abs(2 * s.plus - (s.plus + s.minus)) <= 1 THEN 0.0
+                ELSE (CASE WHEN 2 * s.plus > s.plus + s.minus
+                      THEN 1.0 ELSE -1.0 END)
+                     * CAST(abs(2 * s.plus - (s.plus + s.minus)) - 1
+                            AS DOUBLE)
+                     / sqrt(CAST(s.plus + s.minus AS DOUBLE)) END AS z_cc
+    FROM s, nd
+    """,
+    doc="Cox-Stuart trend test on daily order revenue: pair each day in "
+    "the first half of the series with its opposite number half a "
+    "series later and sign-test the differences — the assumption-free "
+    "monotone-trend screen that reads ONLY signs (agg_mann_kendall "
+    "reads all O(n^2) pair orientations; Cox-Stuart is its n/2-pair "
+    "sibling, robust to any monotone transform of revenue). The "
+    "daily rollup is exact integer cents; pairing is one equi-join "
+    "of the ~2.4k-day grid on i + ceil(n/2) (hash join on a computed "
+    "key, no theta join); plus/minus counts are integers; z carries "
+    "the standard +-1 continuity correction via an explicit sign "
+    "CASE so no negative ever meets a floor-division, and the "
+    "statistic is one fixed IEEE expression. The two grid windows "
+    "(row_number + count) are daily-grid-bounded.",
+)
+def orders_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w_i = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        "rev",
+        F.row_number().over(w_i).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    a = idx.select(
+        F.col("rev").alias("x"),
+        (F.col("i") + F.expr("(n + 1) div 2")).alias("j"),
+        F.col("i").alias("i"),
+        F.col("n").alias("n"),
+    ).filter(F.col("i") <= F.col("n") - F.expr("(n + 1) div 2"))
+    bjoin = idx.select(F.col("rev").alias("y"), F.col("i").alias("j"))
+    pairs = a.join(bjoin, "j")
+    s = pairs.agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("plus"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("minus"),
+    )
+    nd = idx.agg(F.max("n").cast("bigint").alias("n_days"))
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        (F.col("plus") + F.col("minus")).alias("n_pairs"),
+        F.col("plus").alias("n_plus"),
+        F.col("minus").alias("n_minus"),
+        F.expr(
+            "CASE WHEN abs(2 * plus - (plus + minus)) <= 1 THEN 0.0"
+            " ELSE (CASE WHEN 2 * plus > plus + minus"
+            " THEN 1.0 ELSE -1.0 END)"
+            " * CAST(abs(2 * plus - (plus + minus)) - 1 AS DOUBLE)"
+            " / sqrt(CAST(plus + minus AS DOUBLE)) END"
+        ).alias("z_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_foster_stuart — records test on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_foster_stuart",
+    oracle="""
+    WITH mon AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, row_number() OVER (ORDER BY mo) AS t,
+             max(rev) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS prevmax,
+             min(rev) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS prevmin
+      FROM mon
+    ),
+    rec AS (
+      SELECT t,
+             CASE WHEN t > 1 AND rev > prevmax THEN 1 ELSE 0 END AS u,
+             CASE WHEN t > 1 AND rev < prevmin THEN 1 ELSE 0 END AS l,
+             CASE WHEN t > 1 THEN 2000000 // t ELSE 0 END AS h2_micro
+      FROM seq
+    ),
+    s AS (
+      SELECT CAST(max(t) AS BIGINT) AS n_months,
+             CAST(sum(u) AS BIGINT) AS n_upper,
+             CAST(sum(l) AS BIGINT) AS n_lower,
+             CAST(sum(h2_micro) AS BIGINT) AS var_d_micro
+      FROM rec
+    )
+    SELECT n_months, n_upper, n_lower,
+           n_upper - n_lower AS d_stat,
+           n_upper + n_lower AS s_stat,
+           var_d_micro,
+           CAST(n_upper - n_lower AS DOUBLE) * 1000.0
+             / sqrt(CAST(var_d_micro AS DOUBLE)) AS z_trend
+    FROM s
+    """,
+    doc="Foster-Stuart records test on monthly order revenue: count "
+    "upper records (new all-time highs) and lower records (new "
+    "all-time lows); under exchangeability D = U - L has mean 0 and "
+    "variance ~ 2*sum_{t=2..n} 1/t, so a records IMBALANCE is trend "
+    "evidence that is immune to the magnitude of the moves — the "
+    "extreme-value cousin of orders_turning_points (which reads local "
+    "extrema) and orders_cox_stuart (which reads paired signs). "
+    "Record flags come from bounded prefix-max/min windows over the "
+    "~84-month grid; the harmonic variance term quantizes per-month "
+    "to exact micro-units via the non-negative floor 2000000 div t "
+    "(identical in both engines, error < 1e-4 overall); z is one "
+    "fixed IEEE expression (plain float division — a NEGATIVE "
+    "numerator never meets an integer division). Everything after "
+    "the month rollup is 84 rows.",
+)
+def orders_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mon = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mo")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w_t = Window.orderBy("mo")
+    w_pre = Window.orderBy("mo").rowsBetween(Window.unboundedPreceding, -1)
+    seq = mon.select(
+        "rev",
+        F.row_number().over(w_t).alias("t"),
+        F.max("rev").over(w_pre).alias("prevmax"),
+        F.min("rev").over(w_pre).alias("prevmin"),
+    )
+    rec = seq.select(
+        "t",
+        F.when(
+            (F.col("t") > 1) & (F.col("rev") > F.col("prevmax")), 1
+        )
+        .otherwise(0)
+        .alias("u"),
+        F.when(
+            (F.col("t") > 1) & (F.col("rev") < F.col("prevmin")), 1
+        )
+        .otherwise(0)
+        .alias("l"),
+        F.when(F.col("t") > 1, F.expr("2000000 div t"))
+        .otherwise(0)
+        .alias("h2_micro"),
+    )
+    s = rec.agg(
+        F.max("t").cast("bigint").alias("n_months"),
+        F.sum("u").cast("bigint").alias("n_upper"),
+        F.sum("l").cast("bigint").alias("n_lower"),
+        F.sum("h2_micro").cast("bigint").alias("var_d_micro"),
+    )
+    return s.select(
+        "n_months",
+        "n_upper",
+        "n_lower",
+        (F.col("n_upper") - F.col("n_lower")).alias("d_stat"),
+        (F.col("n_upper") + F.col("n_lower")).alias("s_stat"),
+        "var_d_micro",
+        (
+            (F.col("n_upper") - F.col("n_lower")).cast("double")
+            * F.lit(1000.0)
+            / F.sqrt(F.col("var_d_micro").cast("double"))
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_buishand_range — cumulative-deviation homogeneity (monthly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_buishand_range",
+    oracle="""
+    WITH mon AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM mon
+    ),
+    pre AS (
+      SELECT t.n, t.s, t.sxx,
+             t.n * sum(m.x) OVER (ORDER BY m.mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (row_number() OVER (ORDER BY m.mo)) * t.s AS a_k
+      FROM mon m CROSS JOIN tot t
+    ),
+    r AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS BIGINT) AS s,
+             CAST(max(sxx) AS HUGEINT) AS sxx,
+             CAST(max(a_k) AS BIGINT) AS a_max,
+             CAST(min(a_k) AS BIGINT) AS a_min
+      FROM pre
+    ),
+    f AS (
+      SELECT n, a_max, a_min, a_max - a_min AS rstar,
+             CAST(((n * sxx - CAST(s AS HUGEINT) * s) * n) // 1073741824
+                  AS BIGINT) AS vnq
+      FROM r
+    )
+    SELECT n AS n_months, a_max, a_min, rstar AS range_nscaled,
+           CAST(rstar AS DOUBLE)
+             / (32768.0 * sqrt(CAST(greatest(vnq, 1) AS DOUBLE)))
+             AS rescaled_range
+    FROM f
+    """,
+    doc="Buishand range test for homogeneity of monthly order revenue: "
+    "the adjusted partial sums S_k = sum_{i<=k}(x_i - mean) wander "
+    "near zero for a homogeneous series and bulge when the level "
+    "shifts; R/(s*sqrt(n)) is the classical rescaled range readout "
+    "(the hydrology change-point screen; orders_cusum_control is its "
+    "sequential SPC sibling, orders_rescaled_range its long-memory "
+    "cousin). Everything is n-scaled to stay integer: A_k = n*P_k - "
+    "k*S is exact (one bounded prefix window over the ~84-month "
+    "kilodollar grid), R* = max A - min A, and R/(s sqrt(n)) = "
+    "R*/sqrt(n*V) with V = n*Sxx - S^2 — the HUGEINT/DECIMAL product "
+    "n*V floor-divides by 2^30 (both engines identically; relative "
+    "error < 2^30/nV ~ 1e-9) so the one final sqrt sees a sub-2^53 "
+    "integer, divisor 2^15 restores the scale. No negative integer "
+    "division anywhere (A_k may be negative but only max/min/subtract "
+    "touch it).",
+)
+def orders_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mon = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mo")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    tot = mon.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    w_cum = Window.orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rn = Window.orderBy("mo")
+    pre = mon.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        "sxx",
+        (
+            F.col("n") * F.sum("x").over(w_cum)
+            - F.row_number().over(w_rn) * F.col("s")
+        ).alias("a_k"),
+    )
+    r = pre.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("s"),
+        F.max("sxx").alias("sxx"),
+        F.max("a_k").cast("bigint").alias("a_max"),
+        F.min("a_k").cast("bigint").alias("a_min"),
+    )
+    f = r.select(
+        "n",
+        "a_max",
+        "a_min",
+        (F.col("a_max") - F.col("a_min")).alias("rstar"),
+        F.expr(
+            "CAST(((n * sxx - CAST(s AS DECIMAL(38,0)) * s) * n)"
+            " div 1073741824 AS BIGINT)"
+        ).alias("vnq"),
+    )
+    return f.select(
+        F.col("n").alias("n_months"),
+        "a_max",
+        "a_min",
+        F.col("rstar").alias("range_nscaled"),
+        (
+            F.col("rstar").cast("double")
+            / (
+                F.lit(32768.0)
+                * F.sqrt(F.expr("CAST(greatest(vnq, 1) AS DOUBLE)"))
+            )
+        ).alias("rescaled_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_snht_test — standard normal homogeneity test (monthly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_snht_test",
+    oracle="""
+    WITH mon AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM mon
+    ),
+    pre AS (
+      SELECT t.n,
+             row_number() OVER (ORDER BY m.mo) AS k,
+             t.n * sum(m.x) OVER (ORDER BY m.mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (row_number() OVER (ORDER BY m.mo)) * t.s AS a_k,
+             t.n * t.sxx - CAST(t.s AS HUGEINT) * t.s AS v
+      FROM mon m CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT n, k, a_k,
+             CAST((CAST(a_k AS HUGEINT) * a_k * n * 1000000)
+                  // (k * (n - k) * greatest(v, 1)) AS BIGINT) AS t_micro
+      FROM pre WHERE k < n
+    )
+    SELECT n AS n_months, k AS k_best, a_k AS a_best,
+           t_micro AS t_snht_micro,
+           CAST(t_micro AS DOUBLE) / 1000000.0 AS t_snht
+    FROM scored ORDER BY t_micro DESC, k ASC LIMIT 1
+    """,
+    doc="Alexandersson's standard normal homogeneity test (SNHT) on "
+    "monthly order revenue: T_k = k*zbar1^2 + (n-k)*zbar2^2 peaks at "
+    "the most likely mean-shift point — the parametric complement of "
+    "orders_buishand_range (range of the SAME partial sums) and "
+    "agg_pettitt_test (its rank twin), most sensitive to breaks near "
+    "the series ends. The identity T_k = A_k^2 * n / (k(n-k)V) with "
+    "A_k = n*P_k - k*S and V = n*Sxx - S^2 makes every candidate an "
+    "exact integer ratio: one micro-unit floor-division per k (both "
+    "engines identical; A_k^2 is non-negative), the winner decided "
+    "on integers with ties to the earliest month, display T = one "
+    "cast. One bounded prefix window over the ~84-month kilodollar "
+    "grid, TakeOrdered(1).",
+)
+def orders_snht_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mon = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mo")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    tot = mon.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    w_cum = Window.orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rn = Window.orderBy("mo")
+    pre = mon.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.row_number().over(w_rn).alias("k"),
+        (
+            F.col("n") * F.sum("x").over(w_cum)
+            - F.row_number().over(w_rn) * F.col("s")
+        ).alias("a_k"),
+        F.expr("n * sxx - CAST(s AS DECIMAL(38,0)) * s").alias("v"),
+    )
+    scored = pre.filter(F.col("k") < F.col("n")).select(
+        "n",
+        "k",
+        "a_k",
+        F.expr(
+            "CAST((CAST(a_k AS DECIMAL(38,0)) * a_k * n * 1000000)"
+            " div (k * (n - k) * greatest(v, 1)) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    return (
+        scored.orderBy(F.col("t_micro").desc(), F.col("k").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_months"),
+            F.col("k").alias("k_best"),
+            F.col("a_k").alias("a_best"),
+            F.col("t_micro").alias("t_snht_micro"),
+            (F.col("t_micro").cast("double") / F.lit(1000000.0)).alias(
+                "t_snht"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_kpss_level — level-stationarity statistic (daily, lag-0)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_kpss_level",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    pre AS (
+      SELECT t.n, t.s, t.sxx,
+             t.n * sum(dd.x) OVER (ORDER BY dd.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (row_number() OVER (ORDER BY dd.d)) * t.s AS a_k
+      FROM daily dd CROSS JOIN tot t
+    ),
+    acc AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS BIGINT) AS s,
+             CAST(max(sxx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(a_k AS HUGEINT) * a_k) AS HUGEINT) AS sa2
+      FROM pre
+    )
+    SELECT n AS n_days,
+           CAST((1000000000 * sa2)
+                // (CAST(n AS HUGEINT) * n
+                    * greatest(n * sxx - CAST(s AS HUGEINT) * s, 1))
+                AS BIGINT) AS eta_ppb,
+           CAST(CAST((1000000000 * sa2)
+                // (CAST(n AS HUGEINT) * n
+                    * greatest(n * sxx - CAST(s AS HUGEINT) * s, 1))
+                AS BIGINT) AS DOUBLE) / 1000000000.0 AS kpss_eta
+    FROM acc
+    """,
+    doc="KPSS level-stationarity statistic (lag-0 / iid short-run "
+    "variance — the EXACT-arithmetic bandwidth; the HAC long-run "
+    "variant trades exactness for autocorrelation robustness, which "
+    "agg_ljung_box and orders_durbin_watson already measure "
+    "separately) over daily order revenue: eta = n^-2 sum_k S_k^2 / "
+    "sigma^2, the mirror-image null of the unit-root tests — HERE the "
+    "null is stationarity, so a LARGE eta rejects level-stability. "
+    "With A_k = n*P_k - k*S (exact integers from one bounded prefix "
+    "window over the ~2.4k-day dollar grid), eta = sum A_k^2 / "
+    "(n^2 V): ONE non-negative HUGEINT/DECIMAL floor-division "
+    "(1e9 * sumA2) div (n^2 * V) lands ppb identically in both "
+    "engines — never a sub-2^63 intermediate quotient. SCALE BOUND: "
+    "1e9 * sum A_k^2 ~ 1e9 n^2 V / 6 crosses DECIMAL(38,0) near "
+    "sf~10 on this grid; the dollar quantizer (div 100) is the "
+    "dial.",
+)
+def orders_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rn = Window.orderBy("d")
+    pre = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        "sxx",
+        (
+            F.col("n") * F.sum("x").over(w_cum)
+            - F.row_number().over(w_rn) * F.col("s")
+        ).alias("a_k"),
+    )
+    acc = pre.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("s"),
+        F.max("sxx").alias("sxx"),
+        _dsum(F.expr("CAST(a_k AS DECIMAL(38,0)) * a_k")).alias("sa2"),
+    )
+    return acc.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST((1000000000 * sa2)"
+            " div (CAST(n AS DECIMAL(38,0)) * n"
+            " * greatest(n * sxx - CAST(s AS DECIMAL(38,0)) * s, 1))"
+            " AS BIGINT)"
+        ).alias("eta_ppb"),
+        F.expr(
+            "CAST(CAST((1000000000 * sa2)"
+            " div (CAST(n AS DECIMAL(38,0)) * n"
+            " * greatest(n * sxx - CAST(s AS DECIMAL(38,0)) * s, 1))"
+            " AS BIGINT) AS DOUBLE) / 1000000000.0"
+        ).alias("kpss_eta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_gap_memory — Goh-Barabasi memory coefficient of inter-arrivals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_memory",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, user_id, event_id, tus,
+             (tus - lag(tus) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY tus, event_id)) // 1000000
+               AS gap_s
+      FROM e
+    ),
+    pairs AS (
+      SELECT event_type, gap_s AS x,
+             lead(gap_s) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tus, event_id) AS y
+      FROM g WHERE gap_s IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n,
+             CAST(CASE WHEN n * sxy - sx * sy >= 0
+                  THEN (n * sxy - sx * sy) // 17592186044416
+                  ELSE -((-(n * sxy - sx * sy)) // 17592186044416)
+                  END AS BIGINT) AS numq,
+             CAST((n * sxx - sx * sx) // 17592186044416 AS BIGINT) AS vxq,
+             CAST((n * syy - sy * sy) // 17592186044416 AS BIGINT) AS vyq
+      FROM s WHERE n >= 2
+    )
+    SELECT event_type, n AS n_gap_pairs, numq, vxq, vyq,
+           CAST(numq AS DOUBLE)
+             / sqrt(CAST(greatest(vxq, 1) AS DOUBLE)
+                    * CAST(greatest(vyq, 1) AS DOUBLE)) AS memory_coeff
+    FROM f ORDER BY event_type
+    """,
+    doc="Goh-Barabasi memory coefficient M per event type: the Pearson "
+    "correlation of CONSECUTIVE inter-arrival gaps within each user's "
+    "per-type stream — the second axis of the (B, M) burstiness plane "
+    "(events_gap_burstiness measures the gap-size dispersion B; M "
+    "measures whether long gaps FOLLOW long gaps, which separates "
+    "human cascades from modulated Poisson traffic). Gap pairs come "
+    "from one lag + one lead over the same partitioned per-user-type "
+    "window order (no extra shuffle); the five HUGEINT/DECIMAL "
+    "moments reduce the covariance and both variance terms by the "
+    "shared 2^44 literal (the events_gap_burstiness dial — relative "
+    "error < 2^44/nV ~ 1e-6 here) so the one signed double division "
+    "sees sub-2^53 integers. The covariance numerator is the ONE "
+    "signed quantity: BOTH engines quantize it by an explicit "
+    "sign-split (abs, divide, re-sign), so neither engine's native "
+    "negative-division convention ever touches the hash surface — "
+    "the pipeline15 discipline applied to a signed reduction.",
+)
+def events_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+    )
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy(
+        "tus", "event_id"
+    )
+    g = e.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "tus",
+        F.expr(
+            "(tus - lag(tus) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY tus, event_id)) div 1000000"
+        ).alias("gap_s"),
+    )
+    pairs = g.filter(F.col("gap_s").isNotNull()).select(
+        "event_type",
+        F.col("gap_s").alias("x"),
+        F.lead("gap_s").over(w_seq).alias("y"),
+    )
+    s = pairs.filter(F.col("y").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    f = s.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy >= 0"
+            " THEN (n * sxy - sx * sy) div 17592186044416"
+            " ELSE -((-(n * sxy - sx * sy)) div 17592186044416)"
+            " END AS BIGINT)"
+        ).alias("numq"),
+        F.expr(
+            "CAST((n * sxx - sx * sx) div 17592186044416 AS BIGINT)"
+        ).alias("vxq"),
+        F.expr(
+            "CAST((n * syy - sy * sy) div 17592186044416 AS BIGINT)"
+        ).alias("vyq"),
+    )
+    out = f.select(
+        "event_type",
+        F.col("n").alias("n_gap_pairs"),
+        "numq",
+        "vxq",
+        "vyq",
+    )
+    return out.select(
+        "event_type",
+        "n_gap_pairs",
+        "numq",
+        "vxq",
+        "vyq",
+        F.expr(
+            "CAST(numq AS DOUBLE)"
+            " / sqrt(CAST(greatest(vxq, 1) AS DOUBLE)"
+            "        * CAST(greatest(vyq, 1) AS DOUBLE))"
+        ).alias("memory_coeff"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# events_wallis_moore — phase-frequency randomness test on daily counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_wallis_moore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d, c - lag(c) OVER (ORDER BY d) AS df
+      FROM daily
+    ),
+    signs AS (
+      SELECT d, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg
+      FROM diffs WHERE df IS NOT NULL AND df <> 0
+    ),
+    chg AS (
+      SELECT sg, lag(sg) OVER (ORDER BY d) AS prev
+      FROM signs
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_signs,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+      FROM chg
+    )
+    SELECT n_signs + 1 AS n_series, n_signs, n_changes,
+           greatest(n_changes + 1 - 2, 0) AS h_phases,
+           CAST(3 * greatest(n_changes + 1 - 2, 0)
+                - (2 * (n_signs + 1) - 7) AS DOUBLE)
+             / (3.0 * sqrt((16.0 * CAST(n_signs + 1 AS DOUBLE) - 29.0)
+                           / 90.0)) AS z_score
+    FROM s
+    """,
+    doc="Wallis-Moore phase-frequency test on the daily event-count "
+    "series: count PHASES (maximal runs of like-signed first "
+    "differences, first and last phase excluded) and compare to the "
+    "exchangeability moments E[h] = (2n-7)/3, Var[h] = (16n-29)/90 — "
+    "the classical randomness screen that reads oscillation FREQUENCY "
+    "where orders_turning_points reads extrema counts and "
+    "orders_bartels_rank reads rank displacement (here on the events "
+    "table's traffic series, where weekly cycles show up as too-"
+    "regular phases). Zero differences are dropped from the sign "
+    "sequence (documented tie rule; n = retained signs + 1 enters "
+    "the moments). Signs, changes, and the phase count h = changes "
+    "- 1 are exact integers from two bounded windows over the "
+    "~100-day grid; z is one fixed IEEE expression whose numerator "
+    "3h - (2n-7) is integer (never a float-sum).",
+)
+def events_wallis_moore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_d = Window.orderBy("d")
+    diffs = daily.select(
+        "d", (F.col("c") - F.lag("c").over(w_d)).alias("df")
+    )
+    signs = diffs.filter(
+        F.col("df").isNotNull() & (F.col("df") != 0)
+    ).select(
+        "d", F.when(F.col("df") > 0, 1).otherwise(-1).alias("sg")
+    )
+    chg = signs.select("sg", F.lag("sg").over(w_d).alias("prev"))
+    s = chg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signs"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("sg") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changes"),
+    )
+    return s.select(
+        (F.col("n_signs") + 1).alias("n_series"),
+        "n_signs",
+        "n_changes",
+        F.expr("greatest(n_changes + 1 - 2, 0)").alias("h_phases"),
+        F.expr(
+            "CAST(3 * greatest(n_changes + 1 - 2, 0)"
+            " - (2 * (n_signs + 1) - 7) AS DOUBLE)"
+            " / (3.0 * sqrt((16.0 * CAST(n_signs + 1 AS DOUBLE) - 29.0)"
+            " / 90.0))"
+        ).alias("z_score"),
+    )

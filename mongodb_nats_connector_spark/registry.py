@@ -100,9 +100,11 @@ def _load_deferred() -> None:
     round end. The bank is still fully linted and unit-tested: registry-wide
     lint tests call ``_load_deferred()`` so plan/determinism discipline is
     enforced from day one, and ``tests/test_round16.py`` pins the
-    statistics. Round 12: move these imports back into ``_load_all``.
+    statistics. Round 12: move these imports back into ``_load_all``
+    (pipeline16 first, then pipeline17 — bank order is registration order).
     """
     from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline17  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"
