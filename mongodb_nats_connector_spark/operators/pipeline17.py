@@ -1785,3 +1785,622 @@ def events_wallis_moore(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 90.0))"
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_atkinson_index — welfare-based inequality (epsilon = 2) per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_atkinson_index",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x
+      FROM customer
+      WHERE c_acctbal > 0
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(1000000000000000 // x) AS HUGEINT) AS q
+      FROM b GROUP BY seg
+    )
+    SELECT seg AS segment, n AS n_customers, s AS total_balance_cents,
+           CAST(1000000000
+                - (CAST(n AS HUGEINT) * n * 1000000000000000 * 1000000000)
+                  // (q * s) AS BIGINT) AS atkinson2_ppb,
+           CAST(CAST(1000000000
+                - (CAST(n AS HUGEINT) * n * 1000000000000000 * 1000000000)
+                  // (q * s) AS BIGINT) AS DOUBLE) / 1000000000.0
+             AS atkinson2
+    FROM g ORDER BY seg
+    """,
+    doc="Atkinson inequality index at inequality-aversion epsilon = 2 "
+    "over positive customer balances, per market segment: A_2 = 1 - "
+    "(harmonic mean)/(arithmetic mean) — the WELFARE-grounded "
+    "inequality measure (what fraction of total balance could be "
+    "destroyed with no welfare loss if balances were equalized) "
+    "beside the purely descriptive agg_gini_mean_difference and "
+    "agg_hoover_index. epsilon = 2 is the exact-arithmetic member of "
+    "the Atkinson family: the harmonic mean needs only reciprocals, "
+    "quantized per row to exact femto-units by the non-negative "
+    "floor 1e15 div x (identical in both engines; balances are "
+    "positive cents so the quantizer error is < 1e-9 relative for "
+    "x < 1e6 cents), while epsilon = 1 would need a geometric mean "
+    "(logs — banned on the hash surface). A = 1 - n^2*1e15/(q*S) is "
+    "then ONE non-negative HUGEINT/DECIMAL floor-division to ppb. "
+    "Negative/zero balances are excluded (documented domain rule — "
+    "Atkinson is defined on positive incomes). One map-side rollup "
+    "over 5 segments; no windows, no joins. SCALE BOUND: the ppb "
+    "numerator n^2 * 1e24 crosses DECIMAL(38,0) near n ~ 4e6 "
+    "customers per segment (sf~30); the 1e15 quantizer is the dial.",
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+    )
+    g = b.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        _dsum(F.expr("1000000000000000 div x")).alias("q"),
+    )
+    return g.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_balance_cents"),
+        F.expr(
+            "CAST(1000000000"
+            " - (CAST(n AS DECIMAL(38,0)) * n * 1000000000000000"
+            "    * 1000000000) div (q * s) AS BIGINT)"
+        ).alias("atkinson2_ppb"),
+        F.expr(
+            "CAST(CAST(1000000000"
+            " - (CAST(n AS DECIMAL(38,0)) * n * 1000000000000000"
+            "    * 1000000000) div (q * s) AS BIGINT) AS DOUBLE)"
+            " / 1000000000.0"
+        ).alias("atkinson2"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# agg_palma_quintile — tail-share inequality ratios (exact order stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_palma_quintile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer WHERE c_acctbal > 0
+    ),
+    cells AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s
+      FROM cells
+    ),
+    pos AS (
+      SELECT v, c, t.n, t.s,
+             coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS lo
+      FROM cells CROSS JOIN tot t
+    ),
+    shares AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS HUGEINT) AS s,
+             CAST(sum(CAST(greatest(least((2 * n) // 5 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS bot40,
+             CAST(sum(CAST(greatest(least(n // 5 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS bot20,
+             CAST(sum(CAST(greatest(least((9 * n) // 10 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS bot90,
+             CAST(sum(CAST(greatest(least((4 * n) // 5 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS bot80
+      FROM pos
+    )
+    SELECT n AS n_customers,
+           CAST(bot40 AS BIGINT) AS bottom40_cents,
+           CAST(s - bot90 AS BIGINT) AS top10_cents,
+           CAST((1000000000 * (s - bot90)) // greatest(bot40, 1)
+                AS BIGINT) AS palma_ppb,
+           CAST((1000000000 * (s - bot80)) // greatest(bot20, 1)
+                AS BIGINT) AS s80s20_ppb,
+           CAST(CAST((1000000000 * (s - bot90)) // greatest(bot40, 1)
+                AS BIGINT) AS DOUBLE) / 1000000000.0 AS palma_ratio
+    FROM shares
+    """,
+    doc="Palma ratio (top-10% balance share over bottom-40% share) and "
+    "the S80/S20 quintile share ratio over positive customer balances "
+    "— the tail-focused inequality pair preferred in development "
+    "economics because the middle 50% share is empirically stable "
+    "(Palma's observation), complementing the whole-distribution "
+    "agg_gini_mean_difference / agg_hoover_index / agg_atkinson_index. "
+    "Head counts are the exact integers floor(0.4n), floor(0.2n), "
+    "etc. (documented population convention); each bottom-k balance "
+    "sum is computed WITHOUT any sort-and-limit: on the balance-cents "
+    "domain grid, the k-head mass is sum over cells of "
+    "clamp(k - below, 0, c) * v — one cumulative window over the "
+    "bounded cents domain serves all four cuts, HUGEINT/DECIMAL "
+    "products, non-negative ppb floor-divisions. Tail sums are "
+    "total - head so every quantity is exact.",
+)
+def agg_palma_quintile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    cells = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * v")).alias("s"),
+    )
+    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pos = cells.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "c",
+        "n",
+        "s",
+        F.coalesce(F.sum("c").over(w_lo), F.lit(0)).alias("lo"),
+    )
+    shares = pos.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").alias("s"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least((2 * n) div 5 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("bot40"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least(n div 5 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("bot20"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least((9 * n) div 10 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("bot90"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least((4 * n) div 5 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("bot80"),
+    )
+    return shares.select(
+        F.col("n").alias("n_customers"),
+        F.col("bot40").cast("bigint").alias("bottom40_cents"),
+        F.expr("CAST(s - bot90 AS BIGINT)").alias("top10_cents"),
+        F.expr(
+            "CAST((1000000000 * (s - bot90)) div greatest(bot40, 1)"
+            " AS BIGINT)"
+        ).alias("palma_ppb"),
+        F.expr(
+            "CAST((1000000000 * (s - bot80)) div greatest(bot20, 1)"
+            " AS BIGINT)"
+        ).alias("s80s20_ppb"),
+        F.expr(
+            "CAST(CAST((1000000000 * (s - bot90)) div greatest(bot40, 1)"
+            " AS BIGINT) AS DOUBLE) / 1000000000.0"
+        ).alias("palma_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_lorenz_asymmetry — Damgaard-Weiner Lorenz asymmetry coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_lorenz_asymmetry",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal > 0
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM b
+    ),
+    parts AS (
+      SELECT t.n, t.s,
+             CAST(sum(CASE WHEN t.n * b.x < t.s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+             CAST(sum(CASE WHEN t.n * b.x = t.s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eq,
+             CAST(sum(CASE WHEN t.n * b.x < t.s THEN x ELSE 0 END)
+                  AS BIGINT) AS lm
+      FROM b CROSS JOIN tot t
+      GROUP BY t.n, t.s
+    )
+    SELECT n AS n_customers, m AS n_below_mean, eq AS n_at_mean,
+           CAST((1000000000 * CAST(2 * m + eq AS HUGEINT)) // (2 * n)
+                AS BIGINT) AS f_mu_ppb,
+           CAST((1000000000 * (2 * CAST(n AS HUGEINT) * lm
+                               + CAST(eq AS HUGEINT) * s))
+                // (2 * CAST(n AS HUGEINT) * s) AS BIGINT) AS l_mu_ppb,
+           CAST((1000000000 * CAST(2 * m + eq AS HUGEINT)) // (2 * n)
+                + (1000000000 * (2 * CAST(n AS HUGEINT) * lm
+                                 + CAST(eq AS HUGEINT) * s))
+                  // (2 * CAST(n AS HUGEINT) * s) AS BIGINT)
+             AS asymmetry_ppb
+    FROM parts
+    """,
+    doc="Damgaard-Weiner Lorenz asymmetry coefficient S = F(mu) + L(mu) "
+    "over positive customer balances: WHERE the Lorenz curve is "
+    "steepest relative to the diagonal — S > 1 means inequality is "
+    "driven by a few very LARGE balances, S < 1 by many very small "
+    "ones; two distributions with identical Gini (agg_gini_mean_"
+    "difference) routinely differ in S, which is why the pair is "
+    "reported together in ecology and economics. F(mu) = share of "
+    "units below the mean and L(mu) = share of balance held by them "
+    "are exact: x < mu is the integer predicate n*x < S, units AT "
+    "the mean contribute half to each side (documented tie rule), "
+    "so F = (2m + eq)/(2n) and L = (2n*Lm + eq*S)/(2n*S) are two "
+    "non-negative HUGEINT/DECIMAL floor-divisions to ppb. One scalar "
+    "broadcast + one map-side rollup; no windows.",
+)
+def agg_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    b = c.select(F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"))
+    tot = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    parts = (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.sum(F.when(F.col("n") * F.col("x") < F.col("s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("m"),
+            F.sum(F.when(F.col("n") * F.col("x") == F.col("s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("eq"),
+            F.sum(
+                F.when(F.col("n") * F.col("x") < F.col("s"), F.col("x")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("lm"),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_customers"),
+        F.col("m").alias("n_below_mean"),
+        F.col("eq").alias("n_at_mean"),
+        F.expr(
+            "CAST((1000000000 * CAST(2 * m + eq AS DECIMAL(38,0)))"
+            " div (2 * n) AS BIGINT)"
+        ).alias("f_mu_ppb"),
+        F.expr(
+            "CAST((1000000000 * (2 * CAST(n AS DECIMAL(38,0)) * lm"
+            " + CAST(eq AS DECIMAL(38,0)) * s))"
+            " div (2 * CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("l_mu_ppb"),
+        F.expr(
+            "CAST((1000000000 * CAST(2 * m + eq AS DECIMAL(38,0)))"
+            " div (2 * n)"
+            " + (1000000000 * (2 * CAST(n AS DECIMAL(38,0)) * lm"
+            " + CAST(eq AS DECIMAL(38,0)) * s))"
+            " div (2 * CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("asymmetry_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_moran_geary — spatial autocorrelation on the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_moran_geary",
+    oracle="""
+    WITH tr AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT src, dst FROM tr
+      UNION
+      SELECT dst AS src, src AS dst FROM tr
+    ),
+    val AS (
+      SELECT n.n_nationkey AS k,
+             CAST(coalesce(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)),
+                           0) AS BIGINT) AS x
+      FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS sx
+      FROM val
+    ),
+    z AS (
+      SELECT v.k, t.nn * v.x - t.sx AS z, t.nn
+      FROM val v CROSS JOIN tot t
+    ),
+    den AS (
+      SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS sz2,
+             CAST(max(nn) AS BIGINT) AS nn
+      FROM z
+    ),
+    pairs AS (
+      SELECT zi.z AS zi, zj.z AS zj
+      FROM adj a JOIN z zi ON zi.k = a.src JOIN z zj ON zj.k = a.dst
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CAST(zi AS HUGEINT) * zj) AS HUGEINT) AS cross_sum,
+             CAST(sum(CAST(zi - zj AS HUGEINT) * (zi - zj)) AS HUGEINT)
+               AS diff2_sum
+      FROM pairs
+    )
+    SELECT d.nn AS n_nations, a.w AS n_directed_pairs,
+           CAST(CASE WHEN a.cross_sum >= 0
+                THEN (1000000000 * d.nn * a.cross_sum)
+                     // (a.w * greatest(d.sz2, 1))
+                ELSE -((1000000000 * d.nn * -a.cross_sum)
+                       // (a.w * greatest(d.sz2, 1))) END AS BIGINT)
+             AS moran_i_ppb,
+           CAST((1000000000 * (d.nn - 1) * a.diff2_sum)
+                // (2 * a.w * greatest(d.sz2, 1)) AS BIGINT)
+             AS geary_c_ppb
+    FROM den d, acc a
+    """,
+    doc="Moran's I and Geary's C autocorrelation of total customer "
+    "balance over the symmetrized nation trade graph (adjacency = "
+    "any cross-nation lineitem flow, the graph_reciprocity edge "
+    "construction): do trading partners hold SIMILAR balance mass "
+    "(I > 0, C < 1) or is wealth anti-clustered across the trade "
+    "network? The graph analogue of the calendar-lag "
+    "agg_autocorrelation — I is the cross-product (global) form, C "
+    "the squared-difference (local) form, and they disagree exactly "
+    "when outlier nations dominate. n-scaled deviations z_i = N*x_i "
+    "- X are exact integers; I = N*sum_ij(z_i z_j)/(W*sum z^2) and "
+    "C = (N-1)*sum_ij(z_i - z_j)^2/(2W*sum z^2) are HUGEINT/DECIMAL "
+    "ratios (the N^2 scale cancels), sign-split ppb floor-division "
+    "for the one signed numerator. Fact work is one keyed edge "
+    "rollup; everything after is bounded by the 25-nation domain "
+    "(at most 600 directed pairs).",
+)
+def graph_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+    tr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = tr.union(
+        tr.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    val = (
+        F.broadcast(n)
+        .join(
+            c.select("c_nationkey", "c_acctbal"),
+            n.n_nationkey == F.col("c_nationkey"),
+            "left",
+        )
+        .groupBy(F.col("n_nationkey").alias("k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    tot = val.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    z = val.crossJoin(F.broadcast(tot)).select(
+        "k",
+        (F.col("nn") * F.col("x") - F.col("sx")).alias("z"),
+        "nn",
+    )
+    den = z.agg(
+        _dsum(F.expr("CAST(z AS DECIMAL(38,0)) * z")).alias("sz2"),
+        F.max("nn").cast("bigint").alias("nn"),
+    )
+    zi = z.select(F.col("k").alias("src"), F.col("z").alias("zi"))
+    zj = z.select(F.col("k").alias("dst"), F.col("z").alias("zj"))
+    pairs = adj.join(F.broadcast(zi), "src").join(F.broadcast(zj), "dst")
+    acc = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        _dsum(F.expr("CAST(zi AS DECIMAL(38,0)) * zj")).alias("cross_sum"),
+        _dsum(
+            F.expr("CAST(zi - zj AS DECIMAL(38,0)) * (zi - zj)")
+        ).alias("diff2_sum"),
+    )
+    return den.crossJoin(F.broadcast(acc)).select(
+        F.col("nn").alias("n_nations"),
+        F.col("w").alias("n_directed_pairs"),
+        F.expr(
+            "CAST(CASE WHEN cross_sum >= 0"
+            " THEN (1000000000 * nn * cross_sum)"
+            " div (w * greatest(sz2, 1))"
+            " ELSE -((1000000000 * nn * -cross_sum)"
+            " div (w * greatest(sz2, 1))) END AS BIGINT)"
+        ).alias("moran_i_ppb"),
+        F.expr(
+            "CAST((1000000000 * (nn - 1) * diff2_sum)"
+            " div (2 * w * greatest(sz2, 1)) AS BIGINT)"
+        ).alias("geary_c_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_rich_club — rich-club connectivity profile of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_rich_club",
+    oracle="""
+    WITH tr AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    uw AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM tr GROUP BY 1, 2
+    ),
+    tw AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(sum(w) AS BIGINT) AS s
+      FROM uw
+    ),
+    und AS (
+      SELECT a, b FROM uw, tw WHERE 20 * w * tw.cnt >= 23 * tw.s
+    ),
+    deg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS k FROM und UNION ALL SELECT b AS k FROM und)
+      GROUP BY k
+    ),
+    ks AS (SELECT DISTINCT d AS k FROM deg WHERE d > 0),
+    nk AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_k
+      FROM ks JOIN deg ON deg.d >= ks.k
+      GROUP BY ks.k
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM ks
+      JOIN und ON TRUE
+      JOIN deg da ON da.k = und.a
+      JOIN deg db ON db.k = und.b
+      WHERE da.d >= ks.k AND db.d >= ks.k
+      GROUP BY ks.k
+    )
+    SELECT nk.k AS degree_floor, nk.n_k AS n_club_nodes,
+           coalesce(ek.e_k, 0) AS n_club_edges,
+           CAST((2000000000 * CAST(coalesce(ek.e_k, 0) AS HUGEINT))
+                // greatest(nk.n_k * (nk.n_k - 1), 1) AS BIGINT)
+             AS phi_ppb
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_k >= 2
+    ORDER BY nk.k
+    """,
+    doc="Rich-club connectivity profile phi(k) = 2*E_k / (N_k(N_k - 1)) "
+    "of the undirected nation trade graph: for each observed degree "
+    "floor k, how densely interconnected are the nations of degree "
+    ">= k? A rising phi(k) is the 'rich club' signature (hub nations "
+    "trade preferentially with each other) that degree statistics "
+    "alone (graph_assortativity summarizes mixing in ONE number) "
+    "cannot localize — this is its per-level decomposition. The raw "
+    "trade graph is complete at every SF (all nations trade), so the "
+    "profile runs on the HEAVY-edge backbone: keep an undirected "
+    "edge iff its weight is >= 1.15x the mean edge weight, decided "
+    "by the EXACT integer cross-multiplication 20*w*E >= 23*S (the "
+    "graph_kcore threshold made float-free). The degree-threshold "
+    "grid is the set of observed backbone degrees (<= 24 values on "
+    "the 25-nation graph), so club membership and club edges are "
+    "bounded threshold-joins over the <= 300-edge undirected "
+    "relation — integer counts, one non-negative ppb floor-division "
+    "per level. Fact work is one keyed edge rollup; everything "
+    "downstream is nation-domain-bounded.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    tr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    uw = tr.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").cast("bigint").alias("w"))
+    tw = uw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("w").cast("bigint").alias("s"),
+    )
+    und = (
+        uw.crossJoin(F.broadcast(tw))
+        .filter(F.expr("20 * w * cnt >= 23 * s"))
+        .select("a", "b")
+    )
+    deg = (
+        und.select(F.col("a").alias("k"))
+        .unionAll(und.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct().filter(F.col("k") > 0)
+    nk = (
+        ks.join(F.broadcast(deg), deg.d >= ks.k)
+        .groupBy(ks.k)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    da = deg.select(F.col("k").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("k").alias("b"), F.col("d").alias("db"))
+    edged = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    ek = (
+        ks.join(
+            F.broadcast(edged),
+            (F.col("da") >= ks.k) & (F.col("db") >= ks.k),
+        )
+        .groupBy(ks.k)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    out = (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            F.col("k").alias("degree_floor"),
+            F.col("n_k").alias("n_club_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint").alias(
+                "n_club_edges"
+            ),
+            F.expr(
+                "CAST((2000000000 * CAST(coalesce(e_k, 0) AS DECIMAL(38,0)))"
+                " div greatest(n_k * (n_k - 1), 1) AS BIGINT)"
+            ).alias("phi_ppb"),
+        )
+        .orderBy("degree_floor")
+    )
+    return out
