@@ -1370,7 +1370,7 @@ def orders_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   // (k * (n - k) * greatest(v, 1)) AS BIGINT) AS t_micro
       FROM pre WHERE k < n
     )
-    SELECT n AS n_months, k AS k_best, a_k AS a_best,
+    SELECT n AS n_months, k AS k_best, CAST(a_k AS BIGINT) AS a_best,
            t_micro AS t_snht_micro,
            CAST(t_micro AS DOUBLE) / 1000000.0 AS t_snht
     FROM scored ORDER BY t_micro DESC, k ASC LIMIT 1
@@ -2404,3 +2404,661 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("degree_floor")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonal_mann_kendall — deseasonalized monotone-trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonal_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.mo,
+             CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      FROM m a JOIN m b ON b.mo = a.mo AND b.yr > a.yr
+    ),
+    s_by_m AS (
+      SELECT mo, CAST(sum(sg) AS BIGINT) AS s_m FROM pairs GROUP BY mo
+    ),
+    nt AS (
+      SELECT mo, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY mo
+    ),
+    ties AS (
+      SELECT mo, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+      FROM (SELECT mo, v, CAST(count(*) AS BIGINT) AS t
+            FROM m GROUP BY mo, v)
+      GROUP BY mo
+    ),
+    var_by_m AS (
+      SELECT nt.mo,
+             nt.n * (nt.n - 1) * (2 * nt.n + 5)
+               - coalesce(t.tcorr, 0) AS var18
+      FROM nt LEFT JOIN ties t ON t.mo = nt.mo
+    ),
+    acc AS (
+      SELECT (SELECT CAST(sum(s_m) AS BIGINT) FROM s_by_m) AS s,
+             (SELECT CAST(sum(var18) AS BIGINT) FROM var_by_m) AS var18,
+             (SELECT CAST(count(*) AS BIGINT) FROM s_by_m) AS n_strata
+    )
+    SELECT n_strata, s AS s_total, var18 AS var18_total,
+           CASE WHEN abs(s) <= 1 OR var18 <= 0 THEN 0.0
+                ELSE (CASE WHEN s > 0 THEN 1.0 ELSE -1.0 END)
+                     * CAST(abs(s) - 1 AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS z_score
+    FROM acc
+    """,
+    doc="Seasonal Mann-Kendall trend test (Hirsch-Slack) on monthly "
+    "order revenue: run agg_mann_kendall's sign statistic WITHIN each "
+    "month-of-year stratum (January 1992 vs January 1993 vs ...) and "
+    "sum S and Var across the 12 strata — the standard way to detect "
+    "a monotone trend WITHOUT the annual cycle masquerading as one "
+    "(plain MK on seasonal data is biased by the within-year swing "
+    "that orders_seasonality_strength quantifies). Each stratum holds "
+    "at most ~7 yearly values, so the pair join is 12 x C(7,2) "
+    "bounded rows — never data-proportional; S, the tie-corrected "
+    "18*Var = n(n-1)(2n+5) - sum t(t-1)(2t+5), and the stratum "
+    "rollups are exact integers; z applies the +-1 continuity "
+    "correction by explicit sign CASE (no negative division) and one "
+    "fixed IEEE expression. One calendar-bounded shuffle.",
+)
+def orders_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).cast("bigint").alias("mo"),
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    a = m.select("mo", F.col("yr").alias("yr_a"), F.col("v").alias("va"))
+    b = m.select("mo", F.col("yr").alias("yr_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, "mo").filter(F.col("yr_b") > F.col("yr_a"))
+    s_by_m = pairs.groupBy("mo").agg(
+        F.sum(
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_m")
+    )
+    nt = m.groupBy("mo").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        m.groupBy("mo", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("mo")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("bigint")
+            .alias("tcorr")
+        )
+    )
+    var_by_m = nt.join(ties, "mo", "left").select(
+        "mo",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.coalesce(F.col("tcorr"), F.lit(0))
+        ).alias("var18"),
+    )
+    stot = s_by_m.agg(
+        F.sum("s_m").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+    )
+    vtot = var_by_m.agg(F.sum("var18").cast("bigint").alias("var18"))
+    acc = stot.crossJoin(F.broadcast(vtot))
+    return acc.select(
+        "n_strata",
+        F.col("s").alias("s_total"),
+        F.col("var18").alias("var18_total"),
+        F.expr(
+            "CASE WHEN abs(s) <= 1 OR var18 <= 0 THEN 0.0"
+            " ELSE (CASE WHEN s > 0 THEN 1.0 ELSE -1.0 END)"
+            " * CAST(abs(s) - 1 AS DOUBLE)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0) END"
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_burrows_delta — stylometric Delta distance between sources
+# ---------------------------------------------------------------------------
+
+BURROWS_TOPK = 20  # marker-word panel size (the classical 'most frequent
+# words' set); bounded so the source x word grid stays literal-sized
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t.w
+      FROM documents,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS t(w)
+    ),
+    stot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY source
+    ),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    topw AS (
+      SELECT w FROM wc ORDER BY c DESC, w ASC LIMIT {BURROWS_TOPK}
+    ),
+    sw AS (
+      SELECT s.source, t.w,
+             CAST(coalesce(x.c, 0) AS BIGINT) AS c, s.n
+      FROM stot s CROSS JOIN topw t
+      LEFT JOIN (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY source, w) x
+        ON x.source = s.source AND x.w = t.w
+    ),
+    f AS (
+      SELECT source, w, (1000000 * c) // n AS fppm FROM sw
+    ),
+    mom AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(fppm) AS BIGINT) AS sf,
+             CAST(sum(fppm * fppm) AS BIGINT) AS sff
+      FROM f GROUP BY w
+    ),
+    z AS (
+      SELECT f.source, f.w, f.fppm, m.ns,
+             m.ns * m.sff - m.sf * m.sf AS vnum
+      FROM f JOIN mom m ON m.w = f.w
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(CAST(floor(
+               CAST(abs(a.fppm - b.fppm) * a.ns AS DOUBLE) * 1000000.0
+               / sqrt(CAST(greatest(a.vnum, 1) AS DOUBLE))
+             ) AS BIGINT)) AS BIGINT) AS dsum,
+             CAST(count(*) AS BIGINT) AS k
+      FROM z a JOIN z b ON b.w = a.w AND b.source > a.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(dsum // k AS BIGINT) AS delta_micro,
+           CAST(dsum // k AS DOUBLE) / 1000000.0 AS burrows_delta
+    FROM pairs ORDER BY src_a, src_b
+    """,
+    doc=f"Burrows' Delta stylometric distance between every pair of "
+    "document sources: z-score each source's relative frequency of the "
+    f"{BURROWS_TOPK} most frequent corpus words (count-desc, word-asc "
+    "tie-break — the text_dale_chall panel rule) against the across-"
+    "source mean/sd, then average the absolute z differences — THE "
+    "standard authorship/registry-drift measure, here flagging crawl "
+    "sources whose function-word profile diverges (template farms, "
+    "machine translation) before any content-level dedup runs. "
+    "Frequencies quantize to exact ppm integers (floor division by "
+    "the source token count); per-word variance numerators "
+    "S*sum(f^2) - (sum f)^2 are exact integers over the <= 20 "
+    "sources; each pair-word term |f_a - f_b|*S*1e6/sqrt(vnum) is "
+    "floor-quantized to an exact micro-unit integer — the sqrt and "
+    "division see only integers below 2^53, so the two IEEE ops are "
+    "bit-identical in both engines and the floor lands the same "
+    "integer; the Delta is then an integer mean over the word panel. "
+    "Fact work is one tokenize + two keyed rollups; the grid, "
+    "moments, and the source-pair join are all bounded by "
+    f"(sources x {BURROWS_TOPK}).",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    stot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    topw = (
+        wc.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(BURROWS_TOPK)
+        .select("w")
+    )
+    swc = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = stot.join(F.broadcast(topw.withColumnRenamed("w", "gw")), F.lit(True))
+    sw = grid.join(
+        swc,
+        (grid.source == swc.source) & (grid.gw == swc.w),
+        "left",
+    ).select(
+        grid.source.alias("source"),
+        F.col("gw").alias("w"),
+        F.coalesce(swc.c, F.lit(0)).cast("bigint").alias("c"),
+        "n",
+    )
+    f = sw.select(
+        "source", "w", F.expr("(1000000 * c) div n").alias("fppm")
+    )
+    mom = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("fppm").cast("bigint").alias("sf"),
+        F.sum(F.expr("fppm * fppm")).cast("bigint").alias("sff"),
+    )
+    z = f.join(F.broadcast(mom), "w").select(
+        "source",
+        "w",
+        "fppm",
+        "ns",
+        F.expr("ns * sff - sf * sf").alias("vnum"),
+    )
+    za = z.select(
+        F.col("w").alias("w"),
+        F.col("source").alias("src_a"),
+        F.col("fppm").alias("fa"),
+        "ns",
+        "vnum",
+    )
+    zb = z.select(
+        F.col("w").alias("w"),
+        F.col("source").alias("src_b"),
+        F.col("fppm").alias("fb"),
+    )
+    pairs = (
+        za.join(zb, "w")
+        .filter(F.col("src_b") > F.col("src_a"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor("
+                    "CAST(abs(fa - fb) * ns AS DOUBLE) * 1000000.0"
+                    " / sqrt(CAST(greatest(vnum, 1) AS DOUBLE))"
+                    ") AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("dsum"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.expr("CAST(dsum div k AS BIGINT)").alias("delta_micro"),
+        (
+            F.expr("CAST(dsum div k AS BIGINT)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("burrows_delta"),
+    ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# orders_tsb_forecast — Teunter-Syntetos-Babai intermittent demand
+# ---------------------------------------------------------------------------
+
+TSB_TOPK = 25  # report the highest-traffic parts (bounded output)
+
+
+@register(
+    "orders_tsb_forecast",
+    oracle=f"""
+    WITH dem AS (
+      SELECT l_partkey AS part,
+             date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    months AS (
+      SELECT DISTINCT date_trunc('month', CAST(l_shipdate AS DATE)) AS mo
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    cand AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_demands
+      FROM dem GROUP BY part HAVING count(*) >= 2
+      ORDER BY n_demands DESC, part ASC LIMIT {TSB_TOPK}
+    ),
+    grid AS (
+      SELECT c.part, c.n_demands, m.mo,
+             CAST(CASE WHEN d.q IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS occ,
+             CAST(coalesce(d.q, 0) AS BIGINT) AS q
+      FROM cand c CROSS JOIN months m
+      LEFT JOIN dem d ON d.part = c.part AND d.mo = m.mo
+    ),
+    series AS (
+      SELECT part, n_demands,
+             CAST(count(*) AS BIGINT) AS n_periods,
+             list(struct_pack(occ := occ, q := q) ORDER BY mo) AS xs,
+             list(q ORDER BY mo) FILTER (WHERE q > 0) AS dq
+      FROM grid GROUP BY part, n_demands
+    ),
+    folded AS (
+      SELECT part, n_demands, n_periods,
+             list_reduce(
+               list_prepend(
+                 struct_pack(p := CAST(xs[1].occ * 1000 AS BIGINT),
+                             z := CAST(dq[1] * 1000 AS BIGINT)),
+                 list_transform(xs[2:],
+                                e -> struct_pack(p := CAST(e.occ AS BIGINT),
+                                                 z := CAST(e.q AS BIGINT)))),
+               (acc, x) -> struct_pack(
+                 p := CAST((x.p * 1000 + 7 * acc.p + 4) // 8 AS BIGINT),
+                 z := CAST(CASE WHEN x.p = 1
+                           THEN (x.z * 1000 + 3 * acc.z + 2) // 4
+                           ELSE acc.z END AS BIGINT))
+             ) AS st
+      FROM series
+    )
+    SELECT part AS partkey, n_demands, n_periods,
+           st.p AS prob_x1000, st.z AS size_x1000,
+           CAST(st.p AS DOUBLE) * CAST(st.z AS DOUBLE) / 1000000.0
+             AS tsb_rate_per_month
+    FROM folded
+    ORDER BY n_demands DESC, partkey
+    """,
+    doc=f"Teunter-Syntetos-Babai (TSB) intermittent-demand forecast per "
+    "part: exponentially smooth the demand PROBABILITY (alpha = 1/8) "
+    "over EVERY month — including the zero months Croston skips — and "
+    "the demand SIZE (alpha = 1/4) over demand months only; forecast "
+    "= probability x size. TSB is the production fix for Croston/SBA "
+    "obsolescence bias: when an item stops moving, orders_croston's "
+    "rate stays frozen at its last value while TSB decays to zero — "
+    "the behavior an inventory pipeline needs for end-of-life SKUs. "
+    "The fold is FULLY INTEGER in milli-units: probability update "
+    "(occ*1000 + 7p + 4) div 8 and size update (q*1000 + 3z + 2) div "
+    "4 are round-half-up dyadic recurrences (the orders_croston "
+    "discipline), replayed bit-for-bit by the oracle's list_reduce "
+    "with a prepended init (probability seeds at occ_1, size at the "
+    "first demand month's quantity). The dense part x month grid is "
+    f"bounded ({TSB_TOPK} candidate parts x ~84 months, built by a "
+    "bounded cross join on two tiny relations); the fold runs inside "
+    "one partitioned aggregation; top-parts ship via "
+    "TakeOrderedAndProject.",
+)
+def orders_tsb_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    dem = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("mo"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q")
+    )
+    months = li.select(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("mo")
+    ).distinct()
+    cand = (
+        dem.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_demands"))
+        .filter(F.col("n_demands") >= 2)
+        .orderBy(F.col("n_demands").desc(), F.col("part").asc())
+        .limit(TSB_TOPK)
+    )
+    grid = (
+        cand.join(F.broadcast(months), F.lit(True))
+        .join(dem, ["part", "mo"], "left")
+        .select(
+            "part",
+            "n_demands",
+            "mo",
+            F.when(F.col("q").isNull(), 0).otherwise(1)
+            .cast("bigint")
+            .alias("occ"),
+            F.coalesce(F.col("q"), F.lit(0)).cast("bigint").alias("q"),
+        )
+    )
+    series = grid.groupBy("part", "n_demands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.expr(
+            "array_sort(collect_list(struct(mo, occ, q)),"
+            " (l, r) -> CASE WHEN l.mo < r.mo THEN -1"
+            " WHEN l.mo > r.mo THEN 1 ELSE 0 END)"
+        ).alias("xs"),
+    )
+    fold = F.expr(
+        "aggregate("
+        "  slice(xs, 2, size(xs) - 1),"
+        "  named_struct("
+        "    'p', element_at(xs, 1).occ * 1000,"
+        "    'z', element_at(filter(xs, e -> e.q > 0), 1).q * 1000),"
+        "  (acc, x) -> named_struct("
+        "    'p', CAST((x.occ * 1000 + 7 * acc.p + 4) div 8 AS BIGINT),"
+        "    'z', CAST(CASE WHEN x.occ = 1"
+        "         THEN (x.q * 1000 + 3 * acc.z + 2) div 4"
+        "         ELSE acc.z END AS BIGINT)))"
+    )
+    folded = series.select(
+        F.col("part").alias("partkey"),
+        "n_demands",
+        "n_periods",
+        fold.getField("p").alias("prob_x1000"),
+        fold.getField("z").alias("size_x1000"),
+    )
+    return folded.select(
+        "partkey",
+        "n_demands",
+        "n_periods",
+        "prob_x1000",
+        "size_x1000",
+        (
+            F.col("prob_x1000").cast("double")
+            * F.col("size_x1000").cast("double")
+            / F.lit(1000000.0)
+        ).alias("tsb_rate_per_month"),
+    ).orderBy(F.col("n_demands").desc(), F.col("partkey").asc())
+
+
+# ---------------------------------------------------------------------------
+# orders_rmst — restricted mean survival time from the KM frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rmst",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, o_orderdate AS t1 FROM o2 WHERE rn = 1),
+    seconds AS (SELECT o_custkey, o_orderdate AS t2 FROM o2 WHERE rn = 2),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN s.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE), CAST(s.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE), CAST(m.tmax AS DATE))
+             END AS BIGINT) AS dur,
+             CAST(CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey, mx m
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM obs),
+    g AS (
+      SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST(tot.n0 - coalesce(sum(leaving) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM g CROSS JOIN tot
+    ),
+    seq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+             list(struct_pack(dur := dur, d := d, n := n_risk)
+                  ORDER BY dur) AS xs
+      FROM risk WHERE d > 0
+    ),
+    folded AS (
+      SELECT n_event_times,
+             list_reduce(
+               list_prepend(
+                 -- field order matters: DuckDB's list_reduce + struct_pack
+                 -- updates the accumulator FIELD BY FIELD in pack order
+                 -- (the orders_holt_winters engine hazard), so the area
+                 -- accumulators that read acc.s/acc.pd are packed BEFORE
+                 -- pd and s are overwritten
+                 struct_pack(r90 := CAST(0 AS BIGINT),
+                             r365 := CAST(0 AS BIGINT),
+                             r1825 := CAST(0 AS BIGINT),
+                             pd := CAST(0 AS BIGINT),
+                             s := CAST(1000000000 AS BIGINT)),
+                 list_transform(xs, e -> struct_pack(
+                   r90 := e.n, r365 := CAST(0 AS BIGINT),
+                   r1825 := CAST(0 AS BIGINT), pd := e.dur, s := e.d))),
+               (acc, x) -> struct_pack(
+                 r90 := CAST(acc.r90 + acc.s
+                   * (least(x.pd, 90) - least(acc.pd, 90)) AS BIGINT),
+                 r365 := CAST(acc.r365 + acc.s
+                   * (least(x.pd, 365) - least(acc.pd, 365)) AS BIGINT),
+                 r1825 := CAST(acc.r1825 + acc.s
+                   * (least(x.pd, 1825) - least(acc.pd, 1825)) AS BIGINT),
+                 pd := x.pd,
+                 s := CAST((2 * acc.s * (x.r90 - x.s) + x.r90)
+                           // (2 * x.r90) AS BIGINT))
+             ) AS st
+      FROM seq
+    )
+    SELECT n_event_times,
+           st.s AS survival_final_nano,
+           CAST(st.r90 + st.s * greatest(90 - least(st.pd, 90), 0)
+                AS BIGINT) AS rmst90_nanodays,
+           CAST(st.r365 + st.s * greatest(365 - least(st.pd, 365), 0)
+                AS BIGINT) AS rmst365_nanodays,
+           CAST(st.r1825 + st.s * greatest(1825 - least(st.pd, 1825), 0)
+                AS BIGINT) AS rmst1825_nanodays,
+           CAST(CAST(st.r365 + st.s * greatest(365 - least(st.pd, 365), 0)
+                AS BIGINT) AS DOUBLE) / 1000000000.0 AS rmst365_days
+    FROM folded
+    """,
+    doc="Restricted mean survival time (RMST) of the repeat-purchase "
+    "process at horizons 90/365/1825 days — the area under the "
+    "Kaplan-Meier curve up to tau, i.e. the expected number of days a "
+    "new customer stays 'single-order' within the horizon: THE "
+    "recommended survival summary when hazards are non-proportional "
+    "(a single number with a direct business reading, where "
+    "orders_survival_km is the whole curve and orders_nelson_aalen "
+    "the cumulative hazard). The KM product is replayed as a FULLY "
+    "INTEGER fold in nano-units over the event-time sequence (same "
+    "risk-set frame as orders_survival_km): s' = (2s(n-d) + n) div "
+    "(2n) is the orders_nelson_aalen half-away integer division, and "
+    "each step accumulates s * (clamped duration gap) exactly — no "
+    "exp-sum-ln, no float product, so the oracle's list_reduce "
+    "replays it bit-for-bit (init prepended; the incoming event rows "
+    "carry (dur, d, n_risk) in renamed struct fields). The event "
+    "sequence is duration-cardinality-bounded (~600 rows) and folds "
+    "inside one scalar aggregation; fact work is the one per-customer "
+    "window.",
+)
+def orders_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o2 = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
+    )
+    firsts = o2.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("t1")
+    )
+    seconds = o2.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("t2")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("tmax").cast("date"), F.col("t1").cast("date")
+                )
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("t2").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("ev"),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    g = obs.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w_lo = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = g.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(w_lo), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    seq = risk.filter(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.expr(
+            "array_sort(collect_list(struct(dur, d, n_risk)),"
+            " (l, r) -> CASE WHEN l.dur < r.dur THEN -1"
+            " WHEN l.dur > r.dur THEN 1 ELSE 0 END)"
+        ).alias("xs"),
+    )
+    fold = F.expr(
+        "aggregate("
+        "  xs,"
+        "  named_struct("
+        "    'pd', CAST(0 AS BIGINT), 's', CAST(1000000000 AS BIGINT),"
+        "    'r90', CAST(0 AS BIGINT), 'r365', CAST(0 AS BIGINT),"
+        "    'r1825', CAST(0 AS BIGINT)),"
+        "  (acc, x) -> named_struct("
+        "    'pd', x.dur,"
+        "    's', CAST((2 * acc.s * (x.n_risk - x.d) + x.n_risk)"
+        "         div (2 * x.n_risk) AS BIGINT),"
+        "    'r90', CAST(acc.r90 + acc.s"
+        "      * (least(x.dur, 90) - least(acc.pd, 90)) AS BIGINT),"
+        "    'r365', CAST(acc.r365 + acc.s"
+        "      * (least(x.dur, 365) - least(acc.pd, 365)) AS BIGINT),"
+        "    'r1825', CAST(acc.r1825 + acc.s"
+        "      * (least(x.dur, 1825) - least(acc.pd, 1825)) AS BIGINT)))"
+    )
+    folded = seq.select("n_event_times", fold.alias("st"))
+    return folded.select(
+        "n_event_times",
+        F.col("st.s").alias("survival_final_nano"),
+        F.expr(
+            "CAST(st.r90 + st.s * greatest(90 - least(st.pd, 90), 0)"
+            " AS BIGINT)"
+        ).alias("rmst90_nanodays"),
+        F.expr(
+            "CAST(st.r365 + st.s * greatest(365 - least(st.pd, 365), 0)"
+            " AS BIGINT)"
+        ).alias("rmst365_nanodays"),
+        F.expr(
+            "CAST(st.r1825 + st.s * greatest(1825 - least(st.pd, 1825), 0)"
+            " AS BIGINT)"
+        ).alias("rmst1825_nanodays"),
+        F.expr(
+            "CAST(CAST(st.r365 + st.s * greatest(365 - least(st.pd, 365), 0)"
+            " AS BIGINT) AS DOUBLE) / 1000000000.0"
+        ).alias("rmst365_days"),
+    )

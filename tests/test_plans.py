@@ -287,6 +287,23 @@ _ALLOWED_NESTED_LOOP = {
     #                               relations; the jonckheere precedent)
     "text_gries_dp",              # 20-row source-size + 1-row total broadcast crossJoins
     "agg_welch_anova",            # 1-row weighted-center scalar broadcast crossJoin
+    # pipeline17 (round-12 bank, second tranche): 1-row scalar broadcast
+    # crossJoins + two bounded literal grids
+    "agg_conover_squared_ranks",  # 1-row per-group (n, S) scalars broadcast crossJoin
+    "agg_kendall_w",              # 1-row block-count + 1-row tie-total broadcast crossJoins
+    "agg_ks_separation",          # 1-row class-total scalars broadcast crossJoin
+    "agg_lorenz_asymmetry",       # 1-row (n, S) scalars broadcast crossJoin
+    "agg_palma_quintile",         # 1-row (n, S) scalars broadcast crossJoin
+    "graph_moran_geary",          # 1-row denominator x 1-row pair-moment scalars
+    "graph_rich_club",            # 1-row edge-count/weight threshold scalar crossJoin
+    "orders_buishand_range",      # 1-row moment scalars broadcast crossJoin
+    "orders_cox_stuart",          # 1-row day-count scalar broadcast crossJoin
+    "orders_kpss_level",          # 1-row moment scalars broadcast crossJoin
+    "orders_rmst",                # 1-row horizon + 1-row cohort-size broadcast crossJoins
+    "orders_seasonal_mann_kendall",  # 1-row variance-total scalar broadcast crossJoin
+    "orders_snht_test",           # 1-row moment scalars broadcast crossJoin
+    "orders_tsb_forecast",        # 25-part x ~84-month bounded literal grid
+    "text_burrows_delta",         # sources x 20-marker-word bounded literal grid
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -434,6 +451,23 @@ _GLOBAL_WINDOWS = {
                               "hub branch's 7-step prefix duplicated under "
                               "the final hub-x-authority join; all read "
                               "the persisted nation-bounded adjacency)"),
+    # pipeline17 (round-12 bank, second tranche): value-DOMAIN histograms
+    # and calendar-bounded series only
+    "agg_conover_squared_ranks": (1, "bounded: ~200-cell scaled-deviation "
+                                     "domain grid"),
+    "agg_ks_separation": (1, "bounded: ~105-bucket price-domain prefix"),
+    "agg_palma_quintile": (1, "bounded: balance-cents domain grid"),
+    "agg_pr_auc": (1, "bounded: ~105-bucket price-domain prefix (desc)"),
+    "events_wallis_moore": (2, "bounded: daily series lag + sign-sequence "
+                               "lag"),
+    "orders_buishand_range": (1, "bounded: ~84-month series prefix"),
+    "orders_cox_stuart": (4, "bounded: ~2.4k-day series (row index + "
+                             "count, on both join sides)"),
+    "orders_foster_stuart": (1, "bounded: ~84-month series (row index + "
+                                "prefix max/min, one Window node)"),
+    "orders_kpss_level": (1, "bounded: ~2.4k-day series prefix"),
+    "orders_rmst": (1, "bounded: distinct-duration risk sets"),
+    "orders_snht_test": (1, "bounded: ~84-month series prefix"),
 }
 
 

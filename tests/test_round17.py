@@ -1,0 +1,455 @@
+"""Round-12-bank second-tranche (pipeline17) unit pins — no SparkSession.
+
+Pure-python brute-force checks of the derivations both engines share —
+the cross-engine probe can't catch identical-bug-in-both-engines (the
+agg_siegel_tukey lesson), so every closed form here gets an independent
+reference implementation.
+"""
+
+import random
+from fractions import Fraction
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC picounit quantization (agg_pr_auc)
+# ---------------------------------------------------------------------------
+
+
+def test_pr_auc_step_interpolation_identity():
+    rng = random.Random(17)
+    for _ in range(40):
+        n = rng.randint(5, 200)
+        rows = [(rng.randint(1, 12), rng.random() < 0.3) for _ in range(n)]
+        cells = {}
+        for s, pos in rows:
+            n1, n0 = cells.get(s, (0, 0))
+            cells[s] = (n1 + int(pos), n0 + int(not pos))
+        p = sum(n1 for n1, _ in cells.values())
+        if p == 0:
+            continue
+        # reference: AP = sum over desc thresholds of d-recall * precision
+        tp = pred = 0
+        ap_ref = Fraction(0)
+        for s in sorted(cells, reverse=True):
+            n1, n0 = cells[s]
+            tp += n1
+            pred += n1 + n0
+            if n1 > 0:
+                ap_ref += Fraction(n1, p) * Fraction(tp, pred)
+        # engines: per-cell picounit floor, sum, then // (p * 1000)
+        tp = pred = 0
+        acc = 0
+        for s in sorted(cells, reverse=True):
+            n1, n0 = cells[s]
+            tp += n1
+            pred += n1 + n0
+            if n1 > 0:
+                acc += (n1 * tp * 10**12) // pred
+        ap_ppb = acc // (p * 1000)
+        assert abs(Fraction(ap_ppb, 10**9) - ap_ref) < Fraction(2, 10**9)
+
+
+# ---------------------------------------------------------------------------
+# KS separation cross-multiplied sup (agg_ks_separation)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_separation_cross_multiplied_sup():
+    rng = random.Random(71)
+    for _ in range(40):
+        xs = [rng.randint(1, 10) for _ in range(rng.randint(2, 60))]
+        ys = [rng.randint(1, 10) for _ in range(rng.randint(2, 60))]
+        p, q = len(xs), len(ys)
+        dom = sorted(set(xs) | set(ys))
+        best = Fraction(0)
+        c1 = c0 = 0
+        best_scaled = 0
+        for v in dom:
+            c1 += sum(1 for x in xs if x == v)
+            c0 += sum(1 for y in ys if y == v)
+            best = max(best, abs(Fraction(c1, p) - Fraction(c0, q)))
+            best_scaled = max(best_scaled, abs(q * c1 - p * c0))
+        assert Fraction(best_scaled, p * q) == best
+
+
+# ---------------------------------------------------------------------------
+# ECE telescoping numerator (agg_expected_calibration_error)
+# ---------------------------------------------------------------------------
+
+
+def test_ece_numerator_telescopes():
+    rng = random.Random(23)
+    for _ in range(40):
+        cells = [
+            (p10, rng.randint(1, 50), None) for p10 in range(11)
+        ]
+        cells = [
+            (p10, n, rng.randint(0, n)) for p10, n, _ in cells
+        ]
+        nn = sum(n for _, n, _ in cells)
+        ece_ref = sum(
+            Fraction(n, nn) * abs(Fraction(o, n) - Fraction(p10, 10))
+            for p10, n, o in cells
+        )
+        num = sum(abs(10 * o - n * p10) for p10, n, o in cells)
+        assert Fraction(num, 10 * nn) == ece_ref
+
+
+# ---------------------------------------------------------------------------
+# Gwet AC1 + Krippendorff alpha closed forms (m = 4 raters, 3 categories)
+# ---------------------------------------------------------------------------
+
+
+def _units(rng, n_items):
+    units = []
+    for _ in range(n_items):
+        counts = [0, 0, 0]
+        for _ in range(4):
+            counts[rng.randint(0, 2)] += 1
+        units.append(counts)
+    return units
+
+
+def test_gwet_ac1_closed_form():
+    rng = random.Random(41)
+    for _ in range(30):
+        units = _units(rng, rng.randint(2, 80))
+        i = len(units)
+        a = sum(c * (c - 1) for u in units for c in u)
+        t = [sum(u[q] for u in units) for q in range(3)]
+        b = sum(tq * (4 * i - tq) for tq in t)
+        pa = Fraction(a, 12 * i)
+        pe = sum(
+            Fraction(tq, 4 * i) * (1 - Fraction(tq, 4 * i)) for tq in t
+        ) / 2
+        ref = (pa - pe) / (1 - pe) if pe != 1 else Fraction(0)
+        got = Fraction(8 * i * a - 3 * b, 96 * i * i - 3 * b)
+        assert got == ref
+
+
+def test_krippendorff_alpha_closed_form():
+    rng = random.Random(43)
+    for _ in range(30):
+        units = _units(rng, rng.randint(2, 80))
+        i = len(units)
+        sa = sum(c * c for u in units for c in u)
+        t = [sum(u[q] for u in units) for q in range(3)]
+        sb = sum(tq * tq for tq in t)
+        # coincidence-matrix reference (nominal metric, all m_u = 4)
+        d_o = sum(
+            Fraction(sum(u[c] * (4 - u[c]) for c in range(3)), 3)
+            for u in units
+        ) / (4 * i)
+        nn = 4 * i
+        d_e = Fraction(nn * nn - sb, nn * (nn - 1))
+        ref = 1 - d_o / d_e
+        got = 1 - Fraction((16 * i - sa) * (4 * i - 1), 3 * (16 * i * i - sb))
+        assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Kendall W with ties, doubled midranks (agg_kendall_w)
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_w_tie_corrected_identity():
+    rng = random.Random(47)
+    for _ in range(30):
+        m = rng.randint(2, 8)  # blocks (years)
+        blocks = [[rng.randint(1, 6) for _ in range(12)] for _ in range(m)]
+        # reference midranks per block
+        r2sum = [0] * 12
+        tsum = 0
+        for blk in blocks:
+            order = sorted(range(12), key=lambda j: blk[j])
+            ranks = [0.0] * 12
+            k = 0
+            while k < 12:
+                j = k
+                while j < 12 and blk[order[j]] == blk[order[k]]:
+                    j += 1
+                mid = (k + j + 1) / 2.0
+                for idx in order[k:j]:
+                    ranks[idx] = mid
+                c = j - k
+                tsum += c * c * c - c
+                k = j
+            for jj in range(12):
+                r2sum[jj] += int(2 * ranks[jj])
+        s4 = sum((r - m * 13) ** 2 for r in r2sum)  # 4*S exactly
+        s_ref = sum(
+            (Fraction(r, 2) - Fraction(m * 13, 2)) ** 2 for r in r2sum
+        )
+        assert Fraction(s4, 4) == s_ref
+        den = m * m * (12**3 - 12) - m * tsum
+        if den > 0:
+            w = Fraction(3 * s4, den)
+            assert 0 <= w <= 1
+
+
+# ---------------------------------------------------------------------------
+# Conover squared-rank moments (agg_conover_squared_ranks)
+# ---------------------------------------------------------------------------
+
+
+def test_conover_squared_rank_moments_brute_force():
+    from itertools import combinations
+
+    rng = random.Random(53)
+    for _ in range(12):
+        n1 = rng.randint(2, 5)
+        n0 = rng.randint(2, 5)
+        vals = [rng.randint(1, 5) for _ in range(n1 + n0)]
+        nn = n1 + n0
+        # doubled midranks of the pooled values
+        a2 = {}
+        svals = sorted(vals)
+        for v in set(vals):
+            lo = sum(1 for x in svals if x < v)
+            c = sum(1 for x in svals if x == v)
+            a2[v] = 2 * lo + c + 1
+        scores = [a2[v] ** 2 for v in vals]  # 4x the squared midrank
+        suma = sum(scores)
+        suma2 = sum(s * s for s in scores)
+        mean_ref = Fraction(n1 * suma, nn)
+        var_ref = Fraction(
+            n1 * n0 * (nn * suma2 - suma * suma), nn * nn * (nn - 1)
+        )
+        # brute force over all treatment assignments
+        stats = [
+            sum(scores[i] for i in comb)
+            for comb in combinations(range(nn), n1)
+        ]
+        mean_bf = Fraction(sum(stats), len(stats))
+        var_bf = sum((Fraction(s) - mean_bf) ** 2 for s in stats) / len(stats)
+        assert mean_bf == mean_ref
+        # permutation variance is the finite-population form; the classical
+        # linear-rank formula matches it exactly
+        assert var_bf == var_ref
+
+
+# ---------------------------------------------------------------------------
+# SNHT / KPSS / Buishand n-scaled partial-sum identities
+# ---------------------------------------------------------------------------
+
+
+def test_nscaled_partial_sum_identities():
+    rng = random.Random(59)
+    for _ in range(40):
+        xs = [rng.randint(1, 100) for _ in range(rng.randint(3, 40))]
+        n = len(xs)
+        s = sum(xs)
+        sxx = sum(x * x for x in xs)
+        v = n * sxx - s * s
+        if v == 0:
+            continue
+        mean = Fraction(s, n)
+        var = Fraction(v, n * n)
+        pk = 0
+        sa2 = 0
+        for k in range(1, n + 1):
+            pk += xs[k - 1]
+            a_k = n * pk - k * s
+            assert Fraction(a_k, n) == pk - k * mean  # S_k identity
+            sa2 += a_k * a_k
+            if k < n:
+                # SNHT: T_k = k*zbar1^2 + (n-k)*zbar2^2
+                m1 = Fraction(pk, k) - mean
+                m2 = Fraction(s - pk, n - k) - mean
+                t_ref = (k * m1**2 + (n - k) * m2**2) / var
+                t_id = Fraction(a_k * a_k * n, k * (n - k) * v)
+                assert t_id == t_ref
+        # KPSS: eta = sum S_k^2 / (n^2 sigma^2)
+        eta_ref = sum(
+            (Fraction(n * p - k * s, n)) ** 2
+            for k, p in enumerate(_prefixes(xs), 1)
+        ) / (n * n * var)
+        assert Fraction(sa2, n * n * v) == eta_ref
+
+
+def _prefixes(xs):
+    t = 0
+    for x in xs:
+        t += x
+        yield t
+
+
+# ---------------------------------------------------------------------------
+# Foster-Stuart records + Cox-Stuart pairing
+# ---------------------------------------------------------------------------
+
+
+def test_foster_stuart_records_brute_force():
+    rng = random.Random(61)
+    for _ in range(40):
+        xs = [rng.randint(1, 1000) for _ in range(rng.randint(3, 60))]
+        u = sum(
+            1
+            for t in range(1, len(xs))
+            if xs[t] > max(xs[:t])
+        )
+        lo = sum(
+            1
+            for t in range(1, len(xs))
+            if xs[t] < min(xs[:t])
+        )
+        # engine form: prefix max/min windows, t >= 2 flags
+        u2 = l2 = 0
+        pmax, pmin = xs[0], xs[0]
+        for t in range(1, len(xs)):
+            if xs[t] > pmax:
+                u2 += 1
+            if xs[t] < pmin:
+                l2 += 1
+            pmax = max(pmax, xs[t])
+            pmin = min(pmin, xs[t])
+        assert (u, lo) == (u2, l2)
+
+
+def test_cox_stuart_pair_indices():
+    for n in range(2, 41):
+        h = (n + 1) // 2
+        pairs = [(i, i + h) for i in range(1, n - h + 1)]
+        # even n: n/2 pairs covering both halves; odd n: middle dropped
+        assert len(pairs) == n // 2
+        assert all(j <= n for _, j in pairs)
+        if n % 2 == 1:
+            mid = h
+            assert all(i != mid and j != mid for i, j in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Palma head-mass clamp identity + Lorenz asymmetry
+# ---------------------------------------------------------------------------
+
+
+def test_palma_head_mass_clamp_identity():
+    rng = random.Random(67)
+    for _ in range(40):
+        xs = sorted(rng.randint(1, 30) for _ in range(rng.randint(5, 80)))
+        n = len(xs)
+        for num, den in ((2, 5), (1, 5), (9, 10), (4, 5)):
+            k = (num * n) // den
+            head_ref = sum(xs[:k])
+            # engine form over the value grid
+            cells = {}
+            for x in xs:
+                cells[x] = cells.get(x, 0) + 1
+            lo = 0
+            head = 0
+            for v in sorted(cells):
+                c = cells[v]
+                head += max(min(k - lo, c), 0) * v
+                lo += c
+            assert head == head_ref
+
+
+def test_lorenz_asymmetry_tie_rule():
+    rng = random.Random(73)
+    for _ in range(40):
+        xs = [rng.randint(1, 20) for _ in range(rng.randint(3, 60))]
+        n, s = len(xs), sum(xs)
+        m = sum(1 for x in xs if n * x < s)
+        eq = sum(1 for x in xs if n * x == s)
+        lm = sum(x for x in xs if n * x < s)
+        f_ref = Fraction(m, n) + Fraction(eq, 2 * n)
+        l_ref = (Fraction(lm) + Fraction(eq) * Fraction(s, n) / 2) / s
+        assert Fraction(2 * m + eq, 2 * n) == f_ref
+        assert Fraction(2 * n * lm + eq * s, 2 * n * s) == l_ref
+
+
+# ---------------------------------------------------------------------------
+# Moran / Geary n-scaled identities (graph_moran_geary)
+# ---------------------------------------------------------------------------
+
+
+def test_moran_geary_nscaled_identities():
+    rng = random.Random(79)
+    for _ in range(30):
+        nn = rng.randint(3, 10)
+        xs = [rng.randint(-50, 100) for _ in range(nn)]
+        edges = [
+            (i, j)
+            for i in range(nn)
+            for j in range(nn)
+            if i != j and rng.random() < 0.4
+        ]
+        # symmetrize
+        eset = set(edges) | {(j, i) for i, j in edges}
+        if not eset:
+            continue
+        w = len(eset)
+        mean = Fraction(sum(xs), nn)
+        sz2_ref = sum((Fraction(x) - mean) ** 2 for x in xs)
+        if sz2_ref == 0:
+            continue
+        i_ref = (
+            Fraction(nn, w)
+            * sum((xs[i] - mean) * (xs[j] - mean) for i, j in eset)
+            / sz2_ref
+        )
+        c_ref = (
+            Fraction(nn - 1, 2 * w)
+            * sum((xs[i] - xs[j]) ** 2 for i, j in eset)
+            / sz2_ref
+        )
+        z = [nn * x - sum(xs) for x in xs]
+        sz2 = sum(zz * zz for zz in z)
+        i_id = Fraction(nn * sum(z[i] * z[j] for i, j in eset), w * sz2)
+        c_id = Fraction(
+            (nn - 1) * sum((z[i] - z[j]) ** 2 for i, j in eset), 2 * w * sz2
+        )
+        assert i_id == i_ref
+        assert c_id == c_ref
+
+
+# ---------------------------------------------------------------------------
+# TSB + RMST integer folds (python replays of both engines' recurrence)
+# ---------------------------------------------------------------------------
+
+
+def test_tsb_fold_decays_to_zero_and_tracks_probability():
+    # constant demand every period: p -> 1000, z -> q*1000
+    p, z = 1000, 5000
+    for _ in range(200):
+        p = (1 * 1000 + 7 * p + 4) // 8
+        z = (5 * 1000 + 3 * z + 2) // 4
+    assert p == 1000 and z == 5000
+    # demand stops: probability decays toward zero, size freezes
+    for _ in range(200):
+        p = (0 * 1000 + 7 * p + 4) // 8
+    assert p <= 4  # rounding floor of the dyadic decay
+    assert z == 5000
+
+
+def test_rmst_fold_matches_float_km_area():
+    rng = random.Random(83)
+    for _ in range(20):
+        n0 = rng.randint(20, 200)
+        events = []
+        at_risk = n0
+        dur = 0
+        while at_risk > 2 and rng.random() < 0.9:
+            dur += rng.randint(1, 40)
+            d = rng.randint(1, max(1, at_risk // 4))
+            cens = rng.randint(0, max(0, (at_risk - d) // 4))
+            events.append((dur, d, at_risk))
+            at_risk -= d + cens
+        if not events:
+            continue
+        tau = 365
+        # float KM reference
+        s_f, pd_f, area = 1.0, 0, 0.0
+        for dur, d, n in events:
+            area += s_f * (min(dur, tau) - min(pd_f, tau))
+            s_f *= (n - d) / n
+            pd_f = dur
+        area += s_f * max(tau - min(pd_f, tau), 0)
+        # integer nano fold (the engines' recurrence)
+        s_i, pd_i, acc = 10**9, 0, 0
+        for dur, d, n in events:
+            acc += s_i * (min(dur, tau) - min(pd_i, tau))
+            s_i = (2 * s_i * (n - d) + n) // (2 * n)
+            pd_i = dur
+        acc += s_i * max(tau - min(pd_i, tau), 0)
+        assert abs(acc / 1e9 - area) < 1e-4 * tau
