@@ -3062,3 +3062,692 @@ def orders_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS DOUBLE) / 1000000000.0"
         ).alias("rmst365_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_stuart_maxwell — marginal homogeneity of priority drift (3x3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stuart_maxwell",
+    oracle="""
+    WITH fl AS (
+      SELECT o_custkey,
+             min_by(o_orderpriority, o_orderkey) AS p_first,
+             max_by(o_orderpriority, o_orderkey) AS p_last
+      FROM orders GROUP BY o_custkey
+    ),
+    c3 AS (
+      SELECT CASE WHEN p_first IN ('1-URGENT', '2-HIGH') THEN 1
+                  WHEN p_first = '3-MEDIUM' THEN 2 ELSE 3 END AS a,
+             CASE WHEN p_last IN ('1-URGENT', '2-HIGH') THEN 1
+                  WHEN p_last = '3-MEDIUM' THEN 2 ELSE 3 END AS b
+      FROM fl
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM c3 GROUP BY a, b
+    ),
+    piv AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN a = 1 THEN n END), 0)
+             - coalesce(sum(CASE WHEN b = 1 THEN n END), 0) AS BIGINT) AS d1,
+        CAST(coalesce(sum(CASE WHEN a = 2 THEN n END), 0)
+             - coalesce(sum(CASE WHEN b = 2 THEN n END), 0) AS BIGINT) AS d2,
+        CAST(coalesce(sum(CASE WHEN a = 3 THEN n END), 0)
+             - coalesce(sum(CASE WHEN b = 3 THEN n END), 0) AS BIGINT) AS d3,
+        CAST(coalesce(sum(CASE WHEN (a = 1 AND b = 2) OR (a = 2 AND b = 1)
+             THEN n END), 0) AS BIGINT) AS m12,
+        CAST(coalesce(sum(CASE WHEN (a = 1 AND b = 3) OR (a = 3 AND b = 1)
+             THEN n END), 0) AS BIGINT) AS m13,
+        CAST(coalesce(sum(CASE WHEN (a = 2 AND b = 3) OR (a = 3 AND b = 2)
+             THEN n END), 0) AS BIGINT) AS m23,
+        CAST(sum(n) AS BIGINT) AS n_customers
+      FROM cells
+    )
+    SELECT n_customers, d1, d2, d3, m12, m13, m23,
+           CAST((1000000 * (CAST(d1 AS HUGEINT) * d1 * m23
+                            + CAST(d2 AS HUGEINT) * d2 * m13
+                            + CAST(d3 AS HUGEINT) * d3 * m12))
+                // greatest(CAST(m12 AS HUGEINT) * m13
+                            + CAST(m12 AS HUGEINT) * m23
+                            + CAST(m13 AS HUGEINT) * m23, 1) AS BIGINT)
+             AS chi2_micro
+    FROM piv
+    """,
+    doc="Stuart-Maxwell test of MARGINAL homogeneity for first-vs-last "
+    "order priority per customer, on the high/medium/low collapse "
+    "(1-URGENT+2-HIGH / 3-MEDIUM / 4+5): did the overall priority MIX "
+    "shift between a customer's first and last order? The complement "
+    "of agg_bowker_symmetry (Bowker asks whether individual i->j "
+    "flows balance; Stuart-Maxwell asks whether the margins moved — "
+    "a table can fail one and pass the other). For k = 3 the "
+    "chi-square has the exact closed form (d1^2 m23 + d2^2 m13 + "
+    "d3^2 m12)/(m12 m13 + m12 m23 + m13 m23), df = 2, with d_i = "
+    "row - column marginal diffs and m_ij the symmetrized "
+    "off-diagonal counts — all exact integers from ONE conditional "
+    "pivot of the 9-cell transition table; one non-negative "
+    "floor-division lands micro-units. One customer-keyed "
+    "aggregation; no windows, no joins.",
+)
+def agg_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    fl = o.groupBy("o_custkey").agg(
+        F.expr("min_by(o_orderpriority, o_orderkey)").alias("p_first"),
+        F.expr("max_by(o_orderpriority, o_orderkey)").alias("p_last"),
+    )
+    c3 = fl.select(
+        F.expr(
+            "CASE WHEN p_first IN ('1-URGENT', '2-HIGH') THEN 1"
+            " WHEN p_first = '3-MEDIUM' THEN 2 ELSE 3 END"
+        ).alias("a"),
+        F.expr(
+            "CASE WHEN p_last IN ('1-URGENT', '2-HIGH') THEN 1"
+            " WHEN p_last = '3-MEDIUM' THEN 2 ELSE 3 END"
+        ).alias("b"),
+    )
+    cells = c3.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    piv = cells.agg(
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN a = 1 THEN n END), 0)"
+            " - coalesce(sum(CASE WHEN b = 1 THEN n END), 0) AS BIGINT)"
+        ).alias("d1"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN a = 2 THEN n END), 0)"
+            " - coalesce(sum(CASE WHEN b = 2 THEN n END), 0) AS BIGINT)"
+        ).alias("d2"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN a = 3 THEN n END), 0)"
+            " - coalesce(sum(CASE WHEN b = 3 THEN n END), 0) AS BIGINT)"
+        ).alias("d3"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN (a = 1 AND b = 2)"
+            " OR (a = 2 AND b = 1) THEN n END), 0) AS BIGINT)"
+        ).alias("m12"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN (a = 1 AND b = 3)"
+            " OR (a = 3 AND b = 1) THEN n END), 0) AS BIGINT)"
+        ).alias("m13"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN (a = 2 AND b = 3)"
+            " OR (a = 3 AND b = 2) THEN n END), 0) AS BIGINT)"
+        ).alias("m23"),
+        F.sum("n").cast("bigint").alias("n_customers"),
+    )
+    return piv.select(
+        "n_customers",
+        "d1",
+        "d2",
+        "d3",
+        "m12",
+        "m13",
+        "m23",
+        F.expr(
+            "CAST((1000000 * (CAST(d1 AS DECIMAL(38,0)) * d1 * m23"
+            " + CAST(d2 AS DECIMAL(38,0)) * d2 * m13"
+            " + CAST(d3 AS DECIMAL(38,0)) * d3 * m12))"
+            " div greatest(CAST(m12 AS DECIMAL(38,0)) * m13"
+            " + CAST(m12 AS DECIMAL(38,0)) * m23"
+            " + CAST(m13 AS DECIMAL(38,0)) * m23, 1) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_dunn_posthoc — pairwise rank comparison after Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dunn_posthoc",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v, g
+    ),
+    vc AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY v
+    ),
+    pos AS (
+      SELECT v, cv,
+             2 * coalesce(sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) + cv + 1 AS a2
+      FROM vc
+    ),
+    gr AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * p.a2) AS HUGEINT) AS s2
+      FROM cells JOIN pos p USING (v) GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(cv) AS BIGINT) AS nn,
+             CAST(sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT) AS tie
+      FROM vc
+    ),
+    vv AS (
+      SELECT nn,
+             CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - tie AS vnum
+      FROM tot
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, bb.g AS g_b, a.n AS n_a, bb.n AS n_b,
+             v.nn, v.vnum,
+             bb.n * a.s2 - a.n * bb.s2 AS dnum
+      FROM gr a JOIN gr bb ON bb.g > a.g CROSS JOIN vv v
+    ),
+    q AS (
+      SELECT g_a, g_b, n_a, n_b, nn,
+             CAST(CASE WHEN dnum >= 0 THEN dnum // 1048576
+                  ELSE -((-dnum) // 1048576) END AS BIGINT) AS dq,
+             CAST((CAST(n_a AS HUGEINT) * n_b * vnum * (n_a + n_b))
+                  // 1099511627776 AS BIGINT) AS bq
+      FROM pairs
+    )
+    SELECT g_a AS group_a, g_b AS group_b, n_a, n_b,
+           dq AS rankdiff_q20,
+           CAST(dq AS DOUBLE) * sqrt(12.0 * CAST(nn - 1 AS DOUBLE))
+             / (2.0 * sqrt(CAST(greatest(bq, 1) AS DOUBLE))) AS z_score
+    FROM q ORDER BY g_a, g_b
+    """,
+    doc="Dunn's post-hoc pairwise rank test between the three return "
+    "flags on line quantity — the follow-up agg_kruskal_wallis needs: "
+    "KW says SOME group differs; Dunn says WHICH pairs, using the "
+    "pooled-rank variance with tie correction (NOT pairwise "
+    "Mann-Whitney, which re-ranks per pair and breaks the family "
+    "error control). Doubled pooled midranks a2 = 2*lo + c + 1 live "
+    "on the ~50-value quantity domain; per-group doubled rank sums "
+    "S2_g, the cross-multiplied mean-rank difference n_b*S2_a - "
+    "n_a*S2_b, and the tie-corrected variance core N(N+1)(N-1) - "
+    "sum(t^3 - t) are exact HUGEINT/DECIMAL integers. The signed "
+    "difference quantizes by 2^20 via explicit sign-split and the "
+    "variance product by 2^40 (the scales cancel: 2^20 = "
+    "sqrt(2^40)), so z = dq*sqrt(12(N-1))/(2*sqrt(bq)) is one fixed "
+    "IEEE expression over sub-2^53 integers. One domain-sized "
+    "shuffle; the pair relation is 3 rows.",
+)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.col("l_returnflag").alias("g"),
+    )
+    cells = b.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vc = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("cv"))
+    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pos = vc.select(
+        "v",
+        "cv",
+        (
+            2 * F.coalesce(F.sum("cv").over(w_lo), F.lit(0))
+            + F.col("cv")
+            + F.lit(1)
+        ).alias("a2"),
+    )
+    gr = (
+        cells.join(F.broadcast(pos.select("v", "a2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * a2")).alias("s2"),
+        )
+    )
+    tot = vc.agg(
+        F.sum("cv").cast("bigint").alias("nn"),
+        _dsum(F.expr("CAST(cv AS DECIMAL(38,0)) * cv * cv - cv")).alias(
+            "tie"
+        ),
+    )
+    vv = tot.select(
+        "nn",
+        F.expr(
+            "CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1) - tie"
+        ).alias("vnum"),
+    )
+    ga = gr.select(
+        F.col("g").alias("g_a"), F.col("n").alias("n_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    gb = gr.select(
+        F.col("g").alias("g_b"), F.col("n").alias("n_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    pairs = (
+        ga.join(F.broadcast(gb), F.col("g_b") > F.col("g_a"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            "nn",
+            F.expr("n_b * s2_a - n_a * s2_b").alias("dnum"),
+            "vnum",
+        )
+    )
+    q = pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        "nn",
+        F.expr(
+            "CAST(CASE WHEN dnum >= 0 THEN dnum div 1048576"
+            " ELSE -((-dnum) div 1048576) END AS BIGINT)"
+        ).alias("dq"),
+        F.expr(
+            "CAST((CAST(n_a AS DECIMAL(38,0)) * n_b * vnum * (n_a + n_b))"
+            " div 1099511627776 AS BIGINT)"
+        ).alias("bq"),
+    )
+    return q.select(
+        F.col("g_a").alias("group_a"),
+        F.col("g_b").alias("group_b"),
+        "n_a",
+        "n_b",
+        F.col("dq").alias("rankdiff_q20"),
+        F.expr(
+            "CAST(dq AS DOUBLE) * sqrt(12.0 * CAST(nn - 1 AS DOUBLE))"
+            " / (2.0 * sqrt(CAST(greatest(bq, 1) AS DOUBLE)))"
+        ).alias("z_score"),
+    ).orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# agg_nemenyi_friedman — critical-difference posthoc on month rankings
+# ---------------------------------------------------------------------------
+
+NEMENYI_Q2_MICRO = 10679824  # q_{0.05, k=12, inf}^2 = 3.268^2 in 1e-6 units
+
+
+@register(
+    "agg_nemenyi_friedman",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+             CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    yrs AS (SELECT yr FROM m GROUP BY yr HAVING count(*) = 12),
+    f AS (SELECT m.* FROM m JOIN yrs USING (yr)),
+    ranked AS (
+      SELECT yr, mo,
+             2 * (SELECT count(*) FROM f b
+                  WHERE b.yr = f.yr AND b.v < f.v)
+               + (SELECT count(*) FROM f b
+                  WHERE b.yr = f.yr AND b.v = f.v) + 1 AS r2
+      FROM f
+    ),
+    rsum AS (
+      SELECT mo, CAST(sum(r2) AS BIGINT) AS r2sum,
+             (SELECT CAST(count(*) AS BIGINT) FROM yrs) AS m_blk
+      FROM ranked GROUP BY mo
+    ),
+    pairs AS (
+      SELECT a.mo AS mo_a, b.mo AS mo_b, a.m_blk,
+             abs(a.r2sum - b.r2sum) AS dr2
+      FROM rsum a JOIN rsum b ON b.mo > a.mo
+    )
+    SELECT mo_a AS month_a, mo_b AS month_b, dr2 AS rankdiff_x2m,
+           CAST(dr2 AS DOUBLE) / (2.0 * CAST(m_blk AS DOUBLE))
+             AS mean_rank_diff,
+           CAST(CASE WHEN CAST(dr2 AS HUGEINT) * dr2 * 1000000
+                     > 4 * CAST(m_blk AS HUGEINT) * 26 * {NEMENYI_Q2_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM pairs ORDER BY mo_a, mo_b
+    """,
+    doc="Nemenyi critical-difference post-hoc on the agg_kendall_w / "
+    "agg_friedman_test frame: which MONTH PAIRS differ in their "
+    "within-year volume rank once Friedman has rejected "
+    "exchangeability? A pair is significant when the mean-rank "
+    "difference exceeds CD = q * sqrt(k(k+1)/(6m)) with k = 12 and "
+    "q_(0.05,12,inf) = 3.268 (the studentized-range constant, a "
+    "fixed literal) — the standard seasonal-pair localization that "
+    "turns the omnibus test into a calendar heatmap. The decision is "
+    "EXACT: |dR2|^2 * 1e6 > 4m * 26 * q^2_micro cross-multiplies the "
+    "doubled integer rank sums against the squared critical "
+    "difference, so no float ever decides significance (the display "
+    "mean-rank difference is one division). All relations after the "
+    "month rollup are <= 66 pair rows; within-year midranks come "
+    "from bounded 12-cell windows.",
+)
+def agg_nemenyi_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    m = li.groupBy(
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("yr"),
+        F.month(F.col("l_shipdate").cast("date")).cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("v")
+    )
+    yrs = m.groupBy("yr").agg(F.count(F.lit(1)).alias("nmo")).filter(
+        F.col("nmo") == 12
+    )
+    f = m.join(yrs.select("yr"), "yr")
+    w_lo = (
+        Window.partitionBy("yr")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = f.groupBy("yr", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.collect_list("mo").alias("mos"),
+    )
+    pos = cells.select(
+        "yr",
+        "c",
+        "mos",
+        (
+            2 * F.coalesce(F.sum("c").over(w_lo), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    ranked = pos.select("yr", "r2", F.explode("mos").alias("mo"))
+    mblk = yrs.agg(F.count(F.lit(1)).cast("bigint").alias("m_blk"))
+    rsum = (
+        ranked.groupBy("mo")
+        .agg(F.sum("r2").cast("bigint").alias("r2sum"))
+        .crossJoin(F.broadcast(mblk))
+    )
+    ra = rsum.select(
+        F.col("mo").alias("mo_a"), F.col("r2sum").alias("ra"), "m_blk"
+    )
+    rb = rsum.select(F.col("mo").alias("mo_b"), F.col("r2sum").alias("rb"))
+    pairs = ra.join(F.broadcast(rb), F.col("mo_b") > F.col("mo_a")).select(
+        "mo_a",
+        "mo_b",
+        "m_blk",
+        F.expr("abs(ra - rb)").alias("dr2"),
+    )
+    return pairs.select(
+        F.col("mo_a").alias("month_a"),
+        F.col("mo_b").alias("month_b"),
+        F.col("dr2").alias("rankdiff_x2m"),
+        (
+            F.col("dr2").cast("double")
+            / (F.lit(2.0) * F.col("m_blk").cast("double"))
+        ).alias("mean_rank_diff"),
+        F.expr(
+            "CAST(CASE WHEN CAST(dr2 AS DECIMAL(38,0)) * dr2 * 1000000"
+            f" > 4 * CAST(m_blk AS DECIMAL(38,0)) * 26 * {NEMENYI_Q2_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("significant"),
+    ).orderBy("month_a", "month_b")
+
+
+# ---------------------------------------------------------------------------
+# agg_games_howell — pairwise Welch comparisons across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_games_howell",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    gr AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+      FROM b GROUP BY g
+    ),
+    v AS (
+      SELECT g, n, s,
+             CAST(((n * ss - s * s) // (n * (n - 1))) // n AS BIGINT)
+               AS vn
+      FROM gr WHERE n >= 2
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, bb.g AS g_b, a.n AS n_a, bb.n AS n_b,
+             a.vn AS vn_a, bb.vn AS vn_b,
+             bb.n * a.s - a.n * bb.s AS dnum
+      FROM v a JOIN v bb ON bb.g > a.g
+    ),
+    q AS (
+      SELECT g_a, g_b, n_a, n_b, vn_a, vn_b,
+             CAST(CASE WHEN dnum >= 0
+                  THEN (100 * dnum) // (CAST(n_a AS HUGEINT) * n_b)
+                  ELSE -((100 * -dnum) // (CAST(n_a AS HUGEINT) * n_b))
+                  END AS BIGINT) AS mudiff_c100
+      FROM pairs
+    )
+    SELECT g_a AS group_a, g_b AS group_b, n_a, n_b,
+           mudiff_c100,
+           CAST(mudiff_c100 AS DOUBLE)
+             / (100.0 * sqrt(CAST(vn_a + vn_b AS DOUBLE))) AS t_welch,
+           (CAST(vn_a + vn_b AS DOUBLE) * CAST(vn_a + vn_b AS DOUBLE))
+             / (CAST(vn_a AS DOUBLE) * CAST(vn_a AS DOUBLE)
+                  / CAST(n_a - 1 AS DOUBLE)
+                + CAST(vn_b AS DOUBLE) * CAST(vn_b AS DOUBLE)
+                  / CAST(n_b - 1 AS DOUBLE)) AS df_welch
+    FROM q ORDER BY g_a, g_b
+    """,
+    doc="Games-Howell pairwise comparisons of order value across the 5 "
+    "priorities — the post-hoc that belongs to agg_welch_anova the "
+    "way agg_dunn_posthoc belongs to agg_kruskal_wallis: every pair "
+    "gets its own Welch t and Welch-Satterthwaite df, so unequal "
+    "variances (which agg_cochran_hartley screens for) never pool. "
+    "Per-group variance-over-n quantizes in two exact non-negative "
+    "floor-divisions ((n*SS - S^2) div (n(n-1)) div n, error < 1 "
+    "cent^2/n); the mean difference cross-multiplies to the exact "
+    "signed integer n_b*S_a - n_a*S_b and sign-splits into "
+    "centi-cent units; t and df are fixed IEEE expressions over "
+    "those sub-2^53 integers. One 5-group rollup; the pair relation "
+    "is 10 rows.",
+)
+def agg_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    gr = b.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("s"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("ss"),
+    )
+    v = gr.filter(F.col("n") >= 2).select(
+        "g",
+        "n",
+        "s",
+        F.expr(
+            "CAST(((n * ss - s * s) div (n * (n - 1))) div n AS BIGINT)"
+        ).alias("vn"),
+    )
+    va = v.select(
+        F.col("g").alias("g_a"), F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"), F.col("vn").alias("vn_a"),
+    )
+    vb = v.select(
+        F.col("g").alias("g_b"), F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"), F.col("vn").alias("vn_b"),
+    )
+    pairs = va.join(F.broadcast(vb), F.col("g_b") > F.col("g_a")).select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        "vn_a",
+        "vn_b",
+        F.expr("n_b * s_a - n_a * s_b").alias("dnum"),
+    )
+    q = pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        "vn_a",
+        "vn_b",
+        F.expr(
+            "CAST(CASE WHEN dnum >= 0"
+            " THEN (100 * dnum) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            " ELSE -((100 * -dnum) div (CAST(n_a AS DECIMAL(38,0)) * n_b))"
+            " END AS BIGINT)"
+        ).alias("mudiff_c100"),
+    )
+    return q.select(
+        F.col("g_a").alias("group_a"),
+        F.col("g_b").alias("group_b"),
+        "n_a",
+        "n_b",
+        "mudiff_c100",
+        F.expr(
+            "CAST(mudiff_c100 AS DOUBLE)"
+            " / (100.0 * sqrt(CAST(vn_a + vn_b AS DOUBLE)))"
+        ).alias("t_welch"),
+        F.expr(
+            "(CAST(vn_a + vn_b AS DOUBLE) * CAST(vn_a + vn_b AS DOUBLE))"
+            " / (CAST(vn_a AS DOUBLE) * CAST(vn_a AS DOUBLE)"
+            "      / CAST(n_a - 1 AS DOUBLE)"
+            "    + CAST(vn_b AS DOUBLE) * CAST(vn_b AS DOUBLE)"
+            "      / CAST(n_b - 1 AS DOUBLE))"
+        ).alias("df_welch"),
+    ).orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# orders_haar_wavelet — dyadic Haar detail-energy decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_haar_wavelet",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, row_number() OVER (ORDER BY d) - 1 AS i,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    pw AS (
+      SELECT CAST(max(p) AS BIGINT) AS m FROM (
+        SELECT unnest([2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                       4096, 8192]) AS p
+      ), idx WHERE p <= idx.n
+    ),
+    lev AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS j),
+    signed AS (
+      SELECT lev.j, idx.i // (1 << lev.j) AS blk,
+             CASE WHEN (idx.i // (1 << (lev.j - 1))) % 2 = 0
+                  THEN idx.x ELSE -idx.x END AS sx
+      FROM idx CROSS JOIN pw CROSS JOIN lev
+      WHERE idx.i < pw.m
+    ),
+    det AS (
+      SELECT j, blk, CAST(sum(sx) AS BIGINT) AS dd
+      FROM signed GROUP BY j, blk
+    ),
+    en AS (
+      SELECT j, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS e_num
+      FROM det GROUP BY j
+    ),
+    tot AS (
+      SELECT CAST(sum(e_num * (1 << (6 - j))) AS HUGEINT) AS t64 FROM en
+    )
+    SELECT j AS level, n_blocks,
+           CAST(e_num AS BIGINT) AS detail_energy_num,
+           CAST((1000000000 * e_num * (1 << (6 - j)))
+                // greatest(t.t64, 1) AS BIGINT) AS energy_share_ppb
+    FROM en, tot t ORDER BY j
+    """,
+    doc="Haar wavelet detail-energy decomposition of daily order revenue "
+    "(dollars) at dyadic scales 2..64 days: the energy of the "
+    "level-j detail coefficients localizes variance BY TIMESCALE — "
+    "day-to-day noise loads level 1, weekly structure levels 2-3, "
+    "monthly drift levels 5-6 — the multi-resolution complement of "
+    "events_allan_variance (block means) and orders_rescaled_range "
+    "(long memory). The series truncates to the largest power of two "
+    "<= n days (integer literal-list max, no log2); the level-j "
+    "detail is the SIGNED block sum sum(+-x) with the sign read off "
+    "bit j-1 of the day index, so D and the energy sum(D^2) are "
+    "exact integers, and true energies E_j = sum D^2/2^j compare "
+    "across levels via the exact common-denominator weights "
+    "2^(6-j); one non-negative floor-division lands each level's "
+    "energy share in ppb. One bounded row_number window over the "
+    "~2.4k-day grid; the level explode is a 6x literal.",
+)
+def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    w_i = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        (F.row_number().over(w_i) - 1).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pw = idx.agg(
+        F.expr(
+            "CAST(aggregate(filter("
+            " array(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,"
+            " 4096, 8192), p -> p <= max(n)),"
+            " 0, (acc, p) -> greatest(acc, p)) AS BIGINT)"
+        ).alias("m")
+    )
+    signed = (
+        idx.crossJoin(F.broadcast(pw))
+        .filter(F.col("i") < F.col("m"))
+        .select(
+            "i",
+            "x",
+            F.explode(F.expr("array(1, 2, 3, 4, 5, 6)")).alias("j"),
+        )
+        .select(
+            "j",
+            F.expr("i div shiftleft(1, j)").alias("blk"),
+            F.expr(
+                "CASE WHEN (i div shiftleft(1, j - 1)) % 2 = 0"
+                " THEN x ELSE -x END"
+            ).alias("sx"),
+        )
+    )
+    det = signed.groupBy("j", "blk").agg(
+        F.sum("sx").cast("bigint").alias("dd")
+    )
+    en = det.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        _dsum(F.expr("CAST(dd AS DECIMAL(38,0)) * dd")).alias("e_num"),
+    )
+    tot = en.agg(
+        F.sum(
+            F.expr("e_num * CAST(shiftleft(1, 6 - j) AS DECIMAL(38,0))")
+        ).alias("t64")
+    )
+    return (
+        en.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("j").alias("level"),
+            "n_blocks",
+            F.col("e_num").cast("bigint").alias("detail_energy_num"),
+            F.expr(
+                "CAST((1000000000 * e_num"
+                " * CAST(shiftleft(1, 6 - j) AS DECIMAL(38,0)))"
+                " div greatest(t64, 1) AS BIGINT)"
+            ).alias("energy_share_ppb"),
+        )
+        .orderBy("level")
+    )

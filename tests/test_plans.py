@@ -304,6 +304,10 @@ _ALLOWED_NESTED_LOOP = {
     "orders_snht_test",           # 1-row moment scalars broadcast crossJoin
     "orders_tsb_forecast",        # 25-part x ~84-month bounded literal grid
     "text_burrows_delta",         # sources x 20-marker-word bounded literal grid
+    "agg_dunn_posthoc",           # 3-row group-moment pair NLJ + 1-row variance scalar
+    "agg_nemenyi_friedman",       # 12-row month rank-sum pair NLJ (66 pairs)
+    "agg_games_howell",           # 5-row priority-moment pair NLJ (10 pairs)
+    "orders_haar_wavelet",        # 1-row power-of-two + 1-row energy-total crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -468,6 +472,12 @@ _GLOBAL_WINDOWS = {
     "orders_kpss_level": (1, "bounded: ~2.4k-day series prefix"),
     "orders_rmst": (1, "bounded: distinct-duration risk sets"),
     "orders_snht_test": (1, "bounded: ~84-month series prefix"),
+    "agg_dunn_posthoc": (2, "bounded: ~50-value quantity-domain prefix "
+                            "(subtree shared by the rank-sum and tie "
+                            "rollups)"),
+    "orders_haar_wavelet": (4, "bounded: ~2.4k-day series (row index + "
+                               "count, duplicated under the signed-sum "
+                               "and power-of-two branches)"),
 }
 
 

@@ -453,3 +453,144 @@ def test_rmst_fold_matches_float_km_area():
             pd_i = dur
         acc += s_i * max(tau - min(pd_i, tau), 0)
         assert abs(acc / 1e9 - area) < 1e-4 * tau
+
+
+# ---------------------------------------------------------------------------
+# Stuart-Maxwell k=3 closed form (agg_stuart_maxwell)
+# ---------------------------------------------------------------------------
+
+
+def test_stuart_maxwell_closed_form_matches_matrix_form():
+    rng = random.Random(89)
+    for _ in range(40):
+        n = [[rng.randint(0, 30) for _ in range(3)] for _ in range(3)]
+        row = [sum(n[i]) for i in range(3)]
+        col = [sum(n[i][j] for i in range(3)) for j in range(3)]
+        d = [row[i] - col[i] for i in range(3)]
+        m12 = n[0][1] + n[1][0]
+        m13 = n[0][2] + n[2][0]
+        m23 = n[1][2] + n[2][1]
+        den = m12 * m13 + m12 * m23 + m13 * m23
+        if den == 0:
+            continue
+        got = Fraction(d[0] ** 2 * m23 + d[1] ** 2 * m13 + d[2] ** 2 * m12,
+                       den)
+        # matrix form on the (k-1)=2 subspace: chi2 = d' V^-1 d with
+        # V_ii = row_i + col_i - 2 n_ii, V_ij = -(n_ij + n_ji)
+        v11 = row[0] + col[0] - 2 * n[0][0]
+        v22 = row[1] + col[1] - 2 * n[1][1]
+        v12 = -(n[0][1] + n[1][0])
+        det = v11 * v22 - v12 * v12
+        if det == 0:
+            continue
+        ref = Fraction(
+            d[0] ** 2 * v22 - 2 * d[0] * d[1] * v12 + d[1] ** 2 * v11, det
+        )
+        assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc variance identity (agg_dunn_posthoc)
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_posthoc_variance_identity():
+    rng = random.Random(97)
+    for _ in range(30):
+        groups = {
+            g: [rng.randint(1, 8) for _ in range(rng.randint(3, 30))]
+            for g in "ABC"
+        }
+        pooled = sorted(v for xs in groups.values() for v in xs)
+        nn = len(pooled)
+        # doubled midranks per distinct value
+        a2 = {}
+        for v in set(pooled):
+            lo = sum(1 for x in pooled if x < v)
+            c = sum(1 for x in pooled if x == v)
+            a2[v] = 2 * lo + c + 1
+        tie = sum(
+            c**3 - c
+            for c in (
+                sum(1 for x in pooled if x == v) for v in set(pooled)
+            )
+        )
+        vnum = nn * (nn + 1) * (nn - 1) - tie
+        for ga, gb in (("A", "B"), ("A", "C"), ("B", "C")):
+            na, nb = len(groups[ga]), len(groups[gb])
+            s2a = sum(a2[v] for v in groups[ga])
+            s2b = sum(a2[v] for v in groups[gb])
+            # reference: z = (Rbar_a - Rbar_b)/sqrt(var), var =
+            # (N(N+1)/12 - tie/(12(N-1))) * (1/na + 1/nb)
+            rbar_a = Fraction(s2a, 2 * na)
+            rbar_b = Fraction(s2b, 2 * nb)
+            var = (
+                Fraction(nn * (nn + 1), 12)
+                - Fraction(tie, 12 * (nn - 1))
+            ) * (Fraction(1, na) + Fraction(1, nb))
+            if var == 0:
+                continue
+            import math
+
+            z_ref = float(rbar_a - rbar_b) / math.sqrt(float(var))
+            dnum = nb * s2a - na * s2b
+            bnum = na * nb * vnum * (na + nb)
+            z_id = (
+                dnum * math.sqrt(12 * (nn - 1)) / (2 * math.sqrt(bnum))
+            )
+            assert abs(z_id - z_ref) < 1e-9 * max(1.0, abs(z_ref))
+
+
+# ---------------------------------------------------------------------------
+# Nemenyi integer significance decision (agg_nemenyi_friedman)
+# ---------------------------------------------------------------------------
+
+
+def test_nemenyi_integer_decision_matches_float_cd():
+    import math
+
+    rng = random.Random(101)
+    q2_micro = 10679824
+    for _ in range(200):
+        m = rng.randint(2, 12)
+        dr2 = rng.randint(0, 24 * m)  # |R2_i - R2_j| <= 2*m*(k-1)... loose
+        mean_diff = dr2 / (2.0 * m)
+        cd = math.sqrt(q2_micro / 1e6) * math.sqrt(12 * 13 / (6.0 * m))
+        int_sig = dr2 * dr2 * 1000000 > 4 * m * 26 * q2_micro
+        float_sig = mean_diff > cd
+        # identical except exact-boundary ties, which integers decide
+        if abs(mean_diff - cd) > 1e-9:
+            assert int_sig == float_sig
+
+
+# ---------------------------------------------------------------------------
+# Haar detail energy identity (orders_haar_wavelet)
+# ---------------------------------------------------------------------------
+
+
+def test_haar_signed_block_sums_match_direct_transform():
+    rng = random.Random(103)
+    for _ in range(20):
+        n = rng.choice([64, 128, 256])
+        xs = [rng.randint(0, 1000) for _ in range(n)]
+        for j in range(1, 7):
+            if (1 << j) > n:
+                continue
+            # direct: pair adjacent level-(j-1) block sums
+            block = 1 << (j - 1)
+            sums = [
+                sum(xs[k : k + block]) for k in range(0, n, block)
+            ]
+            direct = [
+                sums[2 * t] - sums[2 * t + 1]
+                for t in range(len(sums) // 2)
+            ]
+            e_direct = sum(d * d for d in direct)
+            # engine: signed sum with sign from bit j-1 of the index
+            det = {}
+            for i, x in enumerate(xs):
+                blk = i >> j
+                sgn = 1 if ((i >> (j - 1)) % 2 == 0) else -1
+                det[blk] = det.get(blk, 0) + sgn * x
+            e_engine = sum(d * d for d in det.values())
+            assert e_engine == e_direct
