@@ -919,62 +919,60 @@ def _hits_oracle() -> str:
     "depends on the iteration count or graph scale, and every "
     "division is non-negative (weights are counts). The adjacency "
     "aggregates once from the fact tables (the only wide shuffle, "
-    "nation-bounded output) and is reused persisted across all "
-    f"{2 * HITS_ITERS} bounded hash joins; the max rides a 25-row "
-    "unpartitioned window per half-step, keeping the lineage "
-    "single-consumer (an agg + crossJoin would double the evaluated "
-    "plan per step). The DuckDB twin unrolls the same steps as CTEs "
-    "(the katz/pagerank recipe).",
+    "nation-bounded output) and is collected ONCE to the driver — "
+    "~600 rows, nation-domain-bounded at any data size — where the "
+    f"{2 * HITS_ITERS} half-steps run as exact python-int arithmetic "
+    "(the bpe_learn_merges / pagerank driver-loop recipe): an 8-half-"
+    "step lazy plan costs ~8.5s of pure planning/codegen per run — a "
+    "volume-independent constant the driver loop deletes — and "
+    "python ints ARE the same integers both engines would produce, "
+    "so bit-exactness is unchanged. The DuckDB twin unrolls the same "
+    "steps as CTEs (the katz/pagerank recipe).",
 )
 def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_nats_connector_spark.operators.graph_common import (
         trade_edges,
     )
 
-    de = trade_edges(spark, sf_dir).select("src", "dst", "w")
-    de = de.persist()  # nation-bounded; reused by every half-step
-    nodes = (
-        de.select(F.col("src").alias("node"))
-        .unionAll(de.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    a = nodes.select("node", F.lit(HITS_SCALE).cast("bigint").alias("x"))
+    # ONE wide shuffle builds the nation-bounded adjacency; ~600 rows at
+    # ANY data size, so the fixed-iteration power loop runs on the driver
+    # as exact python-int arithmetic (identical integers to the oracle's
+    # unrolled CTEs; same recipe as bpe_learn_merges / pagerank driver
+    # rounds), deleting the ~8.5s volume-independent planning cost of an
+    # 8-half-step lazy plan.
+    edges = [
+        (r["src"], r["dst"], int(r["w"]))
+        for r in trade_edges(spark, sf_dir).select("src", "dst", "w").collect()
+    ]
+    node_set = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
 
-    w_all = Window.partitionBy()
+    def _norm(raw: dict) -> dict:
+        mx = max(list(raw.values()) or [0])
+        return {
+            n: (HITS_SCALE * raw.get(n, 0)) // max(mx, 1) for n in node_set
+        }
 
-    def _norm_step(vec: DataFrame, join_on: str, group_as: str) -> DataFrame:
-        raw = (
-            de.join(F.broadcast(vec), de[join_on] == vec["node"])
-            .groupBy(de[group_as].alias("nd"))
-            .agg(F.sum(F.col("w") * F.col("x")).cast("bigint").alias("s"))
-        )
-        raw = nodes.join(
-            F.broadcast(raw), nodes["node"] == raw["nd"], "left"
-        ).select("node", F.coalesce("s", F.lit(0)).alias("s"))
-        # single-consumer lineage: the max rides a 25-row unpartitioned
-        # window instead of an agg + crossJoin (a second consumer of
-        # `raw` per half-step doubles the evaluated plan per step — 2^8
-        # recompute across the 8 half-steps)
-        return raw.select(
-            "node",
-            F.expr(
-                f"CAST(({HITS_SCALE} * CAST(s AS DECIMAL(38,0)))"
-                " div greatest(max(s) OVER (), 1) AS BIGINT)"
-            ).alias("x"),
-        )
-
-    h = a
+    a = {n: HITS_SCALE for n in node_set}
+    h = dict(a)
     for _ in range(HITS_ITERS):
         # hub step: h(i) = sum over out-edges i->j of w * a(j)
-        h = _norm_step(a, "dst", "src")
+        raw_h: dict = {}
+        for s, d, w in edges:
+            raw_h[s] = raw_h.get(s, 0) + w * a.get(d, 0)
+        h = _norm(raw_h)
         # authority step: a(j) = sum over in-edges i->j of w * h(i)
-        a = _norm_step(h, "src", "dst")
+        raw_a: dict = {}
+        for s, d, w in edges:
+            raw_a[d] = raw_a.get(d, 0) + w * h.get(s, 0)
+        a = _norm(raw_a)
 
+    scores = spark.createDataFrame(
+        [(int(n), int(h[n]), int(a[n])) for n in node_set],
+        "node bigint, hub_fixed bigint, auth_fixed bigint",
+    )
     nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    out = (
-        h.withColumnRenamed("x", "hub_fixed")
-        .join(a.withColumnRenamed("x", "auth_fixed"), "node")
-        .join(F.broadcast(nt), F.col("node") == nt["n_nationkey"])
+    return (
+        scores.join(F.broadcast(nt), F.col("node") == nt["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),
             "hub_fixed",
@@ -984,7 +982,6 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("hub_fixed").desc(), "nation")
     )
-    return release_on_gc(de, out)
 
 
 # ---------------------------------------------------------------------------

@@ -450,11 +450,9 @@ _GLOBAL_WINDOWS = {
     "agg_kuiper_test": (2, "bounded: ~50-value quantity-domain grid"),
     "agg_energy_distance": (2, "bounded: ~50-value quantity-domain grid"),
     "agg_anderson_darling": (2, "bounded: ~105-bucket price-domain grid"),
-    "graph_hits_scores": (15, "bounded: 25-nation normalization max per "
-                              "half-step (8 in the authority branch + the "
-                              "hub branch's 7-step prefix duplicated under "
-                              "the final hub-x-authority join; all read "
-                              "the persisted nation-bounded adjacency)"),
+    # graph_hits_scores dropped from this inventory (round 11): the power
+    # loop moved to exact python-int driver rounds over the collected
+    # nation-bounded adjacency — no Window nodes remain in its plan
     # pipeline17 (round-12 bank, second tranche): value-DOMAIN histograms
     # and calendar-bounded series only
     "agg_conover_squared_ranks": (1, "bounded: ~200-cell scaled-deviation "

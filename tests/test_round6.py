@@ -384,12 +384,12 @@ def test_no_new_bare_persists():
         # cumulative grid, concordance ranks, demand-class daily grid
         # (multi-consumer bounded relations); all released by
         # plans.caching.release_on_gc on the returned result
-        "operators/pipeline16.py": 4,  # HITS adjacency (reused across
-        # the 8 normalize half-steps), gamma's 2D grid cells (densify +
+        "operators/pipeline16.py": 3,  # gamma's 2D grid cells (densify +
         # tie marginals), gries' (word, source) counts (parts + topk +
         # deviation consumers), welch's 5-row weight relation (total +
         # deviation consumers); all released by release_on_gc on the
-        # returned result
+        # returned result (HITS no longer persists: its power loop runs
+        # as driver-round python ints over the collected adjacency)
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
