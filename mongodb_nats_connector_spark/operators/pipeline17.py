@@ -3751,3 +3751,291 @@ def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_theta_forecast — the M3 Theta method on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_theta_forecast",
+    oracle="""
+    WITH mon AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, row_number() OVER (ORDER BY mo) AS t FROM mon
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sy,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+             CAST(sum(CAST(t AS HUGEINT) * x) AS HUGEINT) AS sty
+      FROM idx
+    ),
+    co AS (
+      SELECT n, sy, st,
+             CAST(n * stt - CAST(st AS HUGEINT) * st AS HUGEINT) AS dd,
+             CAST(n * sty - CAST(st AS HUGEINT) * sy AS HUGEINT) AS bn
+      FROM mom
+    ),
+    th AS (
+      SELECT i.t, co.n, co.dd, co.bn,
+             2 * CAST(i.x AS HUGEINT) * co.n * co.dd
+               - ((CAST(co.sy AS HUGEINT) * co.dd - co.bn * co.st)
+                  + co.bn * co.n * i.t) AS x2s
+      FROM idx i CROSS JOIN co
+    ),
+    seq AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(dd) AS HUGEINT) AS dd,
+             CAST(max(bn) AS HUGEINT) AS bn,
+             list(x2s ORDER BY t) AS xs
+      FROM th
+    ),
+    folded AS (
+      SELECT n, dd, bn,
+             list_reduce(xs, (acc, x) -> (x + acc + 1) // 2) AS ses2
+      FROM seq
+    )
+    SELECT n AS n_months,
+           CAST(bn // greatest(dd // 1000000, 1) AS BIGINT)
+             AS slope_micro_dollars,
+           CAST(ses2 // (2 * n * (dd // 1000000)) AS BIGINT)
+             AS theta2_level_micro,
+           (CAST(ses2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)
+                                    * CAST(dd AS DOUBLE))
+            + (CAST(bn AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+               + (CAST(sy AS DOUBLE) * CAST(dd AS DOUBLE)
+                  - CAST(bn AS DOUBLE) * CAST(st AS DOUBLE)) / n)
+              / CAST(dd AS DOUBLE)) / 2.0 AS theta_forecast_next
+    FROM folded CROSS JOIN (SELECT sy, st FROM co)
+    """,
+    doc="Theta-method forecast (Assimakopoulos-Nikolopoulos, the M3 "
+    "competition winner) of next month's revenue: decompose into the "
+    "theta=0 line (the OLS trend, which carries the long-run slope) "
+    "and the theta=2 line (2x - trend, which doubles local "
+    "curvature), SES the theta-2 line with alpha = 1/2, and average "
+    "the two half-forecasts — the classical 'damped trend that "
+    "actually wins benchmarks', beside orders_exp_smoothing / "
+    "orders_holt_winters / orders_sba_forecast. Everything up to the "
+    "display division is EXACT: the OLS coefficients stay as the "
+    "integer pair (bn, dd) = (n*Sty - St*Sy, n*Stt - St^2), the "
+    "theta-2 series is pre-scaled by 2*n*dd so 2x_t - a - b*t is the "
+    "exact integer x2s, and the alpha = 1/2 SES is the round-half-up "
+    "integer fold (x + s + 1) div 2 the oracle's list_reduce replays "
+    "bit-for-bit (scalar state — no struct-field hazard). One "
+    "~84-row bounded window + one scalar fold; quantized level and "
+    "slope land via non-negative floor-divisions (revenue series are "
+    "positive-trend; dd > 0 always).",
+)
+def orders_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mon = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mo")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    w_t = Window.orderBy("mo")
+    idx = mon.select("x", F.row_number().over(w_t).alias("t"))
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sy"),
+        F.sum("t").cast("bigint").alias("st"),
+        _dsum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        _dsum(F.expr("CAST(t AS DECIMAL(38,0)) * x")).alias("sty"),
+    )
+    co = mom.select(
+        "n",
+        "sy",
+        "st",
+        F.expr("n * stt - CAST(st AS DECIMAL(38,0)) * st").alias("dd"),
+        F.expr("n * sty - CAST(st AS DECIMAL(38,0)) * sy").alias("bn"),
+    )
+    th = idx.crossJoin(F.broadcast(co)).select(
+        "t",
+        "n",
+        "sy",
+        "st",
+        "dd",
+        "bn",
+        F.expr(
+            "2 * CAST(x AS DECIMAL(38,0)) * n * dd"
+            " - ((CAST(sy AS DECIMAL(38,0)) * dd - bn * st)"
+            "    + bn * n * t)"
+        ).alias("x2s"),
+    )
+    seq = th.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("sy").cast("bigint").alias("sy"),
+        F.max("st").cast("bigint").alias("st"),
+        F.max("dd").alias("dd"),
+        F.max("bn").alias("bn"),
+        F.expr("array_sort(collect_list(struct(t, x2s)))").alias("xs"),
+    )
+    folded = seq.select(
+        "n",
+        "sy",
+        "st",
+        "dd",
+        "bn",
+        F.expr(
+            "aggregate(slice(transform(xs, e -> e.x2s), 2, size(xs) - 1),"
+            " element_at(xs, 1).x2s,"
+            " (acc, x) -> CAST((x + acc + 1) div 2 AS DECIMAL(38,0)))"
+        ).alias("ses2"),
+    )
+    return folded.select(
+        F.col("n").alias("n_months"),
+        F.expr(
+            "CAST(bn div greatest(dd div 1000000, 1) AS BIGINT)"
+        ).alias("slope_micro_dollars"),
+        F.expr(
+            "CAST(ses2 div (2 * n * (dd div 1000000)) AS BIGINT)"
+        ).alias("theta2_level_micro"),
+        F.expr(
+            "(CAST(ses2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)"
+            " * CAST(dd AS DOUBLE))"
+            " + (CAST(bn AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
+            "    + (CAST(sy AS DOUBLE) * CAST(dd AS DOUBLE)"
+            "       - CAST(bn AS DOUBLE) * CAST(st AS DOUBLE)) / n)"
+            "   / CAST(dd AS DOUBLE)) / 2.0"
+        ).alias("theta_forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_truncation_fidelity — Matryoshka-style half-dim ANN agreement
+# ---------------------------------------------------------------------------
+
+TRUNC_N_QUERIES = 50  # bounded query panel (the similarity_topk convention)
+TRUNC_HALF_DIM = 32  # keep the first half of the 64-dim embedding
+
+
+@register(
+    "embedding_truncation_fidelity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, q AS qq FROM e
+      WHERE vec_id < {TRUNC_N_QUERIES}
+    ),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> qs.qq[i] * e.q[i])) AS BIGINT) AS dot_full,
+             CAST(list_sum(list_transform(range(1, {TRUNC_HALF_DIM} + 1),
+                  i -> qs.qq[i] * e.q[i])) AS BIGINT) AS dot_half
+      FROM qs JOIN e ON e.vec_id <> qs.query_id
+    ),
+    top_full AS (
+      SELECT query_id, neighbor_id AS nb_full FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot_full DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    top_half AS (
+      SELECT query_id, neighbor_id AS nb_half FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot_half DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN f.nb_full = h.nb_half THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(1000000000
+                * sum(CASE WHEN f.nb_full = h.nb_half THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS agreement_ppb
+    FROM top_full f JOIN top_half h USING (query_id)
+    """,
+    doc=f"Matryoshka-style truncation fidelity of the embedding index: "
+    f"for {TRUNC_N_QUERIES} query vectors, does the top-1 neighbor by "
+    f"FULL 64-dim dot product survive truncation to the first "
+    f"{TRUNC_HALF_DIM} dimensions? This is the capacity-planning "
+    "readout for dimension-truncated retrieval (MRL-trained and "
+    "PCA-rotated embeddings ship exactly this trade) — it composes "
+    "with similarity_recall_at_k (which grades the sign-LSH index "
+    "against the same brute-force baseline) to separate 'index "
+    "error' from 'representation error'. Components milli-quantize "
+    "by floor(x * 1000) — one deterministic IEEE multiply + floor "
+    "per component, identical in both engines — so both dot products "
+    "are exact integer folds (JVM zip_with/aggregate; DuckDB "
+    "list_transform/list_sum in the same index order), winners are "
+    "integer argmaxes with neighbor-id tie-break, and agreement is "
+    "one ppb floor-division. The query panel is a bounded literal "
+    "set, so the scoring join is the similarity_topk bounded NLJ "
+    "pattern, never an all-pairs product.",
+)
+def embedding_truncation_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    qs = e.filter(F.col("vec_id") < TRUNC_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qq, q, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_full"),
+            F.expr(
+                f"aggregate(zip_with(slice(qq, 1, {TRUNC_HALF_DIM}),"
+                f" slice(q, 1, {TRUNC_HALF_DIM}), (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_half"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_full"), F.asc("neighbor_id")
+    )
+    w_half = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_half"), F.asc("neighbor_id")
+    )
+    top_full = (
+        scored.withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nb_full"))
+    )
+    top_half = (
+        scored.withColumn("rn", F.row_number().over(w_half))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nb_half"))
+    )
+    j = top_full.join(top_half, "query_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(
+            F.when(F.col("nb_full") == F.col("nb_half"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+        F.expr(
+            "CAST(1000000000"
+            " * sum(CASE WHEN nb_full = nb_half THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("agreement_ppb"),
+    )

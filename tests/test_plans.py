@@ -308,6 +308,8 @@ _ALLOWED_NESTED_LOOP = {
     "agg_nemenyi_friedman",       # 12-row month rank-sum pair NLJ (66 pairs)
     "agg_games_howell",           # 5-row priority-moment pair NLJ (10 pairs)
     "orders_haar_wavelet",        # 1-row power-of-two + 1-row energy-total crossJoins
+    "orders_theta_forecast",      # 1-row OLS-coefficient scalars broadcast crossJoin
+    "embedding_truncation_fidelity",  # bounded 50-query panel NLJ (by design)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -473,6 +475,9 @@ _GLOBAL_WINDOWS = {
     "agg_dunn_posthoc": (2, "bounded: ~50-value quantity-domain prefix "
                             "(subtree shared by the rank-sum and tie "
                             "rollups)"),
+    "orders_theta_forecast": (2, "bounded: ~84-month series row index "
+                                 "(duplicated under the moment and "
+                                 "theta-line branches)"),
     "orders_haar_wavelet": (4, "bounded: ~2.4k-day series (row index + "
                                "count, duplicated under the signed-sum "
                                "and power-of-two branches)"),

@@ -594,3 +594,79 @@ def test_haar_signed_block_sums_match_direct_transform():
                 det[blk] = det.get(blk, 0) + sgn * x
             e_engine = sum(d * d for d in det.values())
             assert e_engine == e_direct
+
+
+# ---------------------------------------------------------------------------
+# Theta-method scaled identities (orders_theta_forecast)
+# ---------------------------------------------------------------------------
+
+
+def test_theta_scaled_line_and_forecast_identity():
+    rng = random.Random(107)
+    for _ in range(30):
+        n = rng.randint(4, 60)
+        xs = [rng.randint(100, 10000) for _ in range(n)]
+        sy = sum(xs)
+        st = n * (n + 1) // 2
+        stt = sum(t * t for t in range(1, n + 1))
+        sty = sum(t * x for t, x in zip(range(1, n + 1), xs))
+        dd = n * stt - st * st
+        bn = n * sty - st * sy
+        b = Fraction(bn, dd)
+        a = Fraction(sy, n) - b * Fraction(st, n)
+        for t, x in zip(range(1, n + 1), xs):
+            x2_ref = 2 * x - (a + b * t)
+            x2s = 2 * x * n * dd - ((sy * dd - bn * st) + bn * n * t)
+            assert Fraction(x2s, n * dd) == x2_ref
+        # forecast composition: ses2/(2 n dd) is the SES level of the
+        # theta-2 line; line extrapolation a + b(n+1) =
+        # (bn(n+1) + (sy dd - bn st)/n)/dd
+        line_next = a + b * (n + 1)
+        comp = Fraction(bn * (n + 1) * n + (sy * dd - bn * st), n * dd)
+        assert comp == line_next
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dot agreement frame (embedding_truncation_fidelity)
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_fidelity_integer_dots():
+    import math
+
+    rng = random.Random(109)
+    for _ in range(20):
+        d = 8
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(d)] for i in range(12)
+        }
+        q = {i: [math.floor(x * 1000) for x in v] for i, v in vecs.items()}
+        qid = 0
+        # full and half integer dots, argmax with id tie-break
+        def top1(dims):
+            best = None
+            for nb in vecs:
+                if nb == qid:
+                    continue
+                dot = sum(q[qid][k] * q[nb][k] for k in range(dims))
+                key = (-dot, nb)
+                if best is None or key < best[0]:
+                    best = (key, nb)
+            return best[1]
+
+        t_full, t_half = top1(d), top1(d // 2)
+        # the engine's zip_with/list_transform folds are plain ordered
+        # sums of the same integers — re-derive via reversed iteration
+        def top1_rev(dims):
+            best = None
+            for nb in sorted(vecs, reverse=True):
+                if nb == qid:
+                    continue
+                dot = sum(q[qid][k] * q[nb][k] for k in reversed(range(dims)))
+                key = (-dot, nb)
+                if best is None or key < best[0]:
+                    best = (key, nb)
+            return best[1]
+
+        assert top1(d) == top1_rev(d) == t_full
+        assert top1(d // 2) == top1_rev(d // 2) == t_half
