@@ -3231,26 +3231,27 @@ def agg_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vv AS (
       SELECT nn,
-             CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - tie AS vnum
+             (CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - tie)
+               // (nn - 1) AS vq
       FROM tot
     ),
     pairs AS (
       SELECT a.g AS g_a, bb.g AS g_b, a.n AS n_a, bb.n AS n_b,
-             v.nn, v.vnum,
+             v.vq,
              bb.n * a.s2 - a.n * bb.s2 AS dnum
       FROM gr a JOIN gr bb ON bb.g > a.g CROSS JOIN vv v
     ),
     q AS (
-      SELECT g_a, g_b, n_a, n_b, nn,
-             CAST(CASE WHEN dnum >= 0 THEN dnum // 1048576
-                  ELSE -((-dnum) // 1048576) END AS BIGINT) AS dq,
-             CAST((CAST(n_a AS HUGEINT) * n_b * vnum * (n_a + n_b))
-                  // 1099511627776 AS BIGINT) AS bq
+      SELECT g_a, g_b, n_a, n_b,
+             CAST(CASE WHEN dnum >= 0 THEN dnum // 1073741824
+                  ELSE -((-dnum) // 1073741824) END AS BIGINT) AS dq,
+             CAST((CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * vq)
+                  // 1152921504606846976 AS BIGINT) AS bq
       FROM pairs
     )
     SELECT g_a AS group_a, g_b AS group_b, n_a, n_b,
-           dq AS rankdiff_q20,
-           CAST(dq AS DOUBLE) * sqrt(12.0 * CAST(nn - 1 AS DOUBLE))
+           dq AS rankdiff_q30,
+           CAST(dq AS DOUBLE) * sqrt(12.0)
              / (2.0 * sqrt(CAST(greatest(bq, 1) AS DOUBLE))) AS z_score
     FROM q ORDER BY g_a, g_b
     """,
@@ -3262,13 +3263,16 @@ def agg_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     "error control). Doubled pooled midranks a2 = 2*lo + c + 1 live "
     "on the ~50-value quantity domain; per-group doubled rank sums "
     "S2_g, the cross-multiplied mean-rank difference n_b*S2_a - "
-    "n_a*S2_b, and the tie-corrected variance core N(N+1)(N-1) - "
-    "sum(t^3 - t) are exact HUGEINT/DECIMAL integers. The signed "
-    "difference quantizes by 2^20 via explicit sign-split and the "
-    "variance product by 2^40 (the scales cancel: 2^20 = "
-    "sqrt(2^40)), so z = dq*sqrt(12(N-1))/(2*sqrt(bq)) is one fixed "
-    "IEEE expression over sub-2^53 integers. One domain-sized "
-    "shuffle; the pair relation is 3 rows.",
+    "n_a*S2_b, and the tie-corrected variance core vq = (N(N+1)(N-1) "
+    "- sum(t^3 - t)) div (N-1) are exact HUGEINT/DECIMAL integers "
+    "(vq's pre-division keeps the pair product n_a n_b (n_a+n_b) vq "
+    "inside DECIMAL(38,0) to sf~10 — the sf0.1 probe caught the "
+    "un-pre-divided form overflowing int64 after reduction). The "
+    "signed difference quantizes by 2^30 via explicit sign-split and "
+    "the variance product by 2^60 (the scales cancel: 2^30 = "
+    "sqrt(2^60)), so z = dq*sqrt(12)/(2*sqrt(bq)) is one fixed IEEE "
+    "expression over sub-2^53 integers. One domain-sized shuffle; "
+    "the pair relation is 3 rows.",
 )
 def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -3307,8 +3311,9 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = tot.select(
         "nn",
         F.expr(
-            "CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1) - tie"
-        ).alias("vnum"),
+            "(CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1) - tie)"
+            " div (nn - 1)"
+        ).alias("vq"),
     )
     ga = gr.select(
         F.col("g").alias("g_a"), F.col("n").alias("n_a"),
@@ -3326,9 +3331,8 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_b",
             "n_a",
             "n_b",
-            "nn",
             F.expr("n_b * s2_a - n_a * s2_b").alias("dnum"),
-            "vnum",
+            "vq",
         )
     )
     q = pairs.select(
@@ -3336,14 +3340,13 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_b",
         "n_a",
         "n_b",
-        "nn",
         F.expr(
-            "CAST(CASE WHEN dnum >= 0 THEN dnum div 1048576"
-            " ELSE -((-dnum) div 1048576) END AS BIGINT)"
+            "CAST(CASE WHEN dnum >= 0 THEN dnum div 1073741824"
+            " ELSE -((-dnum) div 1073741824) END AS BIGINT)"
         ).alias("dq"),
         F.expr(
-            "CAST((CAST(n_a AS DECIMAL(38,0)) * n_b * vnum * (n_a + n_b))"
-            " div 1099511627776 AS BIGINT)"
+            "CAST((CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b) * vq)"
+            " div 1152921504606846976 AS BIGINT)"
         ).alias("bq"),
     )
     return q.select(
@@ -3351,9 +3354,9 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_b").alias("group_b"),
         "n_a",
         "n_b",
-        F.col("dq").alias("rankdiff_q20"),
+        F.col("dq").alias("rankdiff_q30"),
         F.expr(
-            "CAST(dq AS DOUBLE) * sqrt(12.0 * CAST(nn - 1 AS DOUBLE))"
+            "CAST(dq AS DOUBLE) * sqrt(12.0)"
             " / (2.0 * sqrt(CAST(greatest(bq, 1) AS DOUBLE)))"
         ).alias("z_score"),
     ).orderBy("group_a", "group_b")

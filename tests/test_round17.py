@@ -539,6 +539,14 @@ def test_dunn_posthoc_variance_identity():
                 dnum * math.sqrt(12 * (nn - 1)) / (2 * math.sqrt(bnum))
             )
             assert abs(z_id - z_ref) < 1e-9 * max(1.0, abs(z_ref))
+            # the engines' shape: vq = VV div (N-1) pre-divides so the
+            # pair product stays in DECIMAL(38,0); relative error of the
+            # floor is < (N-1)/VV ~ 1/N^2
+            vq = vnum // (nn - 1)
+            z_eng = dnum * math.sqrt(12) / (
+                2 * math.sqrt(na * nb * (na + nb) * vq)
+            )
+            assert abs(z_eng - z_ref) < 2e-2 * max(1.0, abs(z_ref))
 
 
 # ---------------------------------------------------------------------------
