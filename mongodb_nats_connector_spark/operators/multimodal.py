@@ -438,3 +438,102 @@ def _audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(table(spark, sf_dir, "documents", parallel=True))
     return docs.mapInPandas(_audio_energy_batches, AUDIO_SCHEMA)
+
+
+MP4_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("n_top_boxes", LongType(), True),
+        StructField("major_brand", StringType(), True),
+        StructField("timescale", LongType(), True),
+        StructField("duration_ticks", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def sniff_mp4_meta(payload: bytes) -> tuple[int, str, int, int] | None:
+    """Real ISO-BMFF (MP4/MOV) metadata by box walking (pure stdlib): count
+    top-level boxes, read the ftyp major brand, and pull timescale/duration
+    out of moov/mvhd (version 0 or 1) — no sample decode, the
+    petabyte-scale video-metadata path. Returns None for non-BMFF payloads
+    (missing ftyp, truncated or non-positive box sizes)."""
+    import struct
+
+    n = len(payload)
+    if n < 16:
+        return None
+    off = 0
+    n_top = 0
+    brand = None
+    timescale = duration = None
+    while off + 8 <= n:
+        (size,) = struct.unpack(">I", payload[off : off + 4])
+        btype = payload[off + 4 : off + 8]
+        if size < 8 or off + size > n:
+            return None
+        n_top += 1
+        if btype == b"ftyp":
+            brand = payload[off + 8 : off + 12].decode("ascii", "replace")
+        elif btype == b"moov":
+            coff = off + 8
+            while coff + 8 <= off + size:
+                (csize,) = struct.unpack(">I", payload[coff : coff + 4])
+                ctype = payload[coff + 4 : coff + 8]
+                if csize < 8 or coff + csize > off + size:
+                    return None
+                if ctype == b"mvhd" and csize >= 32:
+                    version = payload[coff + 8]
+                    if version == 1 and csize >= 44:
+                        timescale, = struct.unpack(
+                            ">I", payload[coff + 28 : coff + 32]
+                        )
+                        duration, = struct.unpack(
+                            ">Q", payload[coff + 32 : coff + 40]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[coff + 20 : coff + 28]
+                        )
+                coff += csize
+        off += size
+    if brand is None or timescale is None or timescale == 0:
+        return None
+    return n_top, brand, timescale, duration
+
+
+def _mp4_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched MP4 box walking: real ISO-BMFF parse; non-BMFF payloads
+    yield NULL metadata (the typed-miss row, not a crash)."""
+    for pdf in batches:
+        ids, nb, ntop, brands, tss, durs, ms = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            meta = sniff_mp4_meta(raw)
+            ids.append(doc_id)
+            nb.append(len(raw))
+            if meta is None:
+                ntop.append(None)
+                brands.append(None)
+                tss.append(None)
+                durs.append(None)
+                ms.append(None)
+            else:
+                n_top, brand, timescale, duration = meta
+                ntop.append(n_top)
+                brands.append(brand)
+                tss.append(timescale)
+                durs.append(duration)
+                ms.append(1000 * duration // timescale)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(nb, dtype="Int64"),
+                "n_top_boxes": pd.Series(ntop, dtype="Int64"),
+                "major_brand": pd.Series(brands, dtype="object"),
+                "timescale": pd.Series(tss, dtype="Int64"),
+                "duration_ticks": pd.Series(durs, dtype="Int64"),
+                "duration_ms": pd.Series(ms, dtype="Int64"),
+            }
+        )

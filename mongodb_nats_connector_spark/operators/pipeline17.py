@@ -4042,3 +4042,104 @@ def embedding_truncation_fidelity(
             " div count(*) AS BIGINT)"
         ).alias("agreement_ppb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mp4_box_parse — REAL ISO-BMFF (MP4) metadata extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_mp4_box_parse",
+    # Canonical 132-byte ftyp+moov(mvhd v0) containers constructed
+    # column-side (timescale/duration derived from doc_id), parsed back by
+    # the REAL box walker (multimodal.sniff_mp4_meta) inside mapInPandas;
+    # the oracle states the golden expectation arithmetically — the video
+    # sibling of multimodal_image_header_parse / multimodal_wav_header_parse
+    # completes the image/audio/VIDEO metadata trio on the hash surface.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                  WHEN 2 THEN 90000 WHEN 3 THEN 12288 ELSE 48000 END AS ts,
+             doc_id % 100000 + 600 AS dur,
+             CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                  ELSE 'M4A ' END AS brand
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(132 AS BIGINT) AS n_bytes,
+           CAST(2 AS BIGINT) AS n_top_boxes,
+           brand AS major_brand,
+           CAST(ts AS BIGINT) AS timescale,
+           CAST(dur AS BIGINT) AS duration_ticks,
+           CAST((1000 * dur) // ts AS BIGINT) AS duration_ms
+    FROM d
+    """,
+    doc="REAL MP4/ISO-BMFF metadata under the driver's hash check: per "
+    "doc, construct a canonical 132-byte ftyp + moov/mvhd(v0) container "
+    "(major brand, movie timescale and duration derived from doc_id; "
+    "binary built with pure column expressions — unhex of composed "
+    "big-endian hex), then recover brand/timescale/duration with the "
+    "REAL box walker (multimodal.sniff_mp4_meta: top-level size+fourcc "
+    "walk, moov descent, mvhd v0/v1 field extraction) over "
+    "Arrow-batched mapInPandas. This is the petabyte-scale VIDEO "
+    "metadata path — box peek, never a frame decode — completing the "
+    "image (PNG/GIF/JPEG) / audio (RIFF/WAV) / video (BMFF) trio of "
+    "hash-verified real parsers; duration_ms = 1000*dur div timescale "
+    "is the same non-negative integer division in the parser, the "
+    "Spark plan, and the oracle. Zero shuffles; per-partition Arrow "
+    "batches.",
+)
+def multimodal_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        MP4_SCHEMA,
+        _mp4_meta_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000"
+            " WHEN 2 THEN 90000 WHEN 3 THEN 12288 ELSE 48000 END"
+        ).alias("ts"),
+        (F.col("doc_id") % 100000 + 600).alias("dur"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN '69736F6D' WHEN 1 THEN '6D703432'"
+            " ELSE '4D344120' END"
+        ).alias("brand_hex"),
+    )
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    ftyp_hex = F.concat(
+        F.lit("00000010"), F.lit("66747970"), F.col("brand_hex"),
+        F.lit("00000000"),
+    )
+    mvhd_hex = F.concat(
+        F.lit("0000006C"), F.lit("6D766864"),
+        F.lit("00000000"),  # version + flags
+        F.lit("00000000"), F.lit("00000000"),  # creation, modification
+        be32(F.col("ts")), be32(F.col("dur")),
+        F.lit("00010000"), F.lit("0100"), F.lit("0000"),  # rate, volume, rsv
+        F.lit("0000000000000000"),  # reserved2 (8 bytes)
+        F.lit(
+            "000100000000000000000000"
+            "000000000001000000000000"
+            "000000000000000040000000"
+        ),  # unity matrix (36 bytes)
+        F.lit("00" * 24),  # pre_defined
+        F.lit("00000002"),  # next track id
+    )
+    moov_hex = F.concat(F.lit("00000074"), F.lit("6D6F6F76"), mvhd_hex)
+    payload = F.unhex(F.concat(ftyp_hex, moov_hex))
+    parsed = d.select("doc_id", payload.alias("payload")).mapInPandas(
+        _mp4_meta_batches, MP4_SCHEMA
+    )
+    return parsed.select(
+        "doc_id",
+        "n_bytes",
+        "n_top_boxes",
+        "major_brand",
+        "timescale",
+        "duration_ticks",
+        "duration_ms",
+    )

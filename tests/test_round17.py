@@ -678,3 +678,59 @@ def test_truncation_fidelity_integer_dots():
 
         assert top1(d) == top1_rev(d) == t_full
         assert top1(d // 2) == top1_rev(d // 2) == t_half
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF box walker roundtrip (multimodal_mp4_box_parse)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sniffer_roundtrip_and_rejects():
+    import struct
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        sniff_mp4_meta,
+    )
+
+    def build(brand: bytes, ts: int, dur: int) -> bytes:
+        ftyp = struct.pack(">I", 16) + b"ftyp" + brand + b"\x00" * 4
+        mvhd_body = (
+            b"\x00\x00\x00\x00"  # version + flags
+            + b"\x00" * 8  # creation + modification
+            + struct.pack(">II", ts, dur)
+            + b"\x00\x01\x00\x00"  # rate
+            + b"\x01\x00\x00\x00"  # volume + reserved
+            + b"\x00" * 8  # reserved2
+            + b"\x00" * 36  # matrix (content irrelevant to the parse)
+            + b"\x00" * 24  # pre_defined
+            + b"\x00\x00\x00\x02"
+        )
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        return ftyp + moov
+
+    rng = random.Random(113)
+    for _ in range(30):
+        ts = rng.choice([600, 1000, 90000, 12288, 48000])
+        dur = rng.randint(1, 10**7)
+        raw = build(b"isom", ts, dur)
+        assert len(raw) == 132
+        meta = sniff_mp4_meta(raw)
+        assert meta == (2, "isom", ts, dur)
+    # rejects: truncation, bad size, missing ftyp
+    raw = build(b"mp42", 1000, 5000)
+    assert sniff_mp4_meta(raw[:50]) is None
+    assert sniff_mp4_meta(b"\x00\x00\x00\x03abcd" + raw[8:]) is None
+    assert sniff_mp4_meta(raw[16:]) is None  # moov only, no brand
+    # v1 mvhd (64-bit duration) parses too
+    body1 = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + struct.pack(">IQ", 90000, 2**33)
+        + b"\x00" * 80
+    )
+    mvhd1 = struct.pack(">I", 8 + len(body1)) + b"mvhd" + body1
+    moov1 = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    meta = sniff_mp4_meta(ftyp + moov1)
+    assert meta == (2, "isom", 90000, 2**33)
