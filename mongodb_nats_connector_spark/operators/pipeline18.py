@@ -1,0 +1,428 @@
+"""Round-13 bank: uplift/targeting evaluation (Qini-style uplift curve),
+method-agreement statistics (Lin's concordance correlation), and dense-
+subgraph mining (k-truss peeling).
+
+Imported by ``registry._load_deferred()`` AFTER pipeline17: the round-12
+window is already committed to pipeline16+17 (45 of its 50 slots), so
+these queries queue behind them for round 13 — fully linted, unit-pinned,
+and bit-exact-probed from day one, exactly like the earlier bank tranches.
+
+Reference provenance: like pipeline7-17, none of these operators exist in
+the reference's Go core (a MongoDB change-stream -> NATS connector,
+/root/reference/internal/server/connector.go) — they extend the
+engine-side analytics surface documented in SURVEY.md §2.3/§2.4.
+
+Cross-engine determinism rules: the pipeline11-17 discipline (exact
+integers on the hash surface, DECIMAL(38,0)/HUGEINT widening, sign-split
+non-negative floor-divisions, no exp/ln/pow/round-of-float anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_nats_connector_spark.registry import register
+from mongodb_nats_connector_spark.sources.tables import table
+
+
+def _dsum(expr: F.Column) -> F.Column:
+    """Exact order-independent sum for integer terms whose total can cross
+    2^63: DECIMAL(38,0) accumulation (the oracles' HUGEINT twin)."""
+    return F.sum(expr.cast("decimal(38,0)"))
+
+
+# ---------------------------------------------------------------------------
+# agg_uplift_curve — incremental-response (Qini-style) targeting curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_uplift_curve",
+    oracle="""
+    WITH b AS (
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS s,
+             CASE WHEN round(l_discount * 100) >= 5 THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT s,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(count(*) - sum(t) AS BIGINT) AS nc,
+             CAST(sum(t * y) AS BIGINT) AS yt,
+             CAST(sum((1 - t) * y) AS BIGINT) AS yc
+      FROM b GROUP BY s
+    ),
+    cum AS (
+      SELECT s,
+             sum(nt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cnt,
+             sum(nc) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cnc,
+             sum(yt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cyt,
+             sum(yc) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cyc
+      FROM cells
+    )
+    SELECT s AS score_floor,
+           CAST(cnt AS BIGINT) AS n_treated,
+           CAST(cnc AS BIGINT) AS n_control,
+           CAST(cyt AS BIGINT) AS resp_treated,
+           CAST(cyc AS BIGINT) AS resp_control,
+           CAST(CASE WHEN CAST(cyt AS HUGEINT) * cnc
+                          - CAST(cyc AS HUGEINT) * cnt >= 0
+                THEN (1000000000 * (CAST(cyt AS HUGEINT) * cnc
+                                    - CAST(cyc AS HUGEINT) * cnt))
+                     // greatest(CAST(cnt AS HUGEINT) * cnc, 1)
+                ELSE -((1000000000 * (CAST(cyc AS HUGEINT) * cnt
+                                      - CAST(cyt AS HUGEINT) * cnc))
+                       // greatest(CAST(cnt AS HUGEINT) * cnc, 1))
+                END AS BIGINT) AS uplift_ppb
+    FROM cum WHERE cnt > 0 AND cnc > 0
+    ORDER BY s DESC
+    """,
+    doc="Incremental-response (Qini-style) uplift curve: treating "
+    "discounted lineitems (>= 5%) as the TREATED group and returns as "
+    "the response, sweep the price-score threshold from the top and "
+    "report, at every targeted depth, the response-rate difference "
+    "treated-minus-control — the targeting diagnostic that separates "
+    "'the model finds responders' (agg_roc_auc) from 'the model finds "
+    "people the TREATMENT changes', which is the question campaign "
+    "and data-curation interventions actually ask. Every curve point "
+    "is exact: four cumulative masses over the ~105-bucket score "
+    "domain, uplift = (Yt*Nc - Yc*Nt)/(Nt*Nc) cross-multiplied in "
+    "HUGEINT/DECIMAL and sign-split floor-divided to ppb. One "
+    "map-combined rollup + one bounded descending prefix window; "
+    "output is the threshold-indexed curve (<= 105 rows).",
+)
+def agg_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("s"),
+        F.expr(
+            "CASE WHEN round(l_discount * 100) >= 5 THEN 1 ELSE 0 END"
+        ).alias("t"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    cells = b.groupBy("s").agg(
+        F.sum("t").cast("bigint").alias("nt"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("bigint").alias("nc"),
+        F.sum(F.expr("t * y")).cast("bigint").alias("yt"),
+        F.sum(F.expr("(1 - t) * y")).cast("bigint").alias("yc"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "s",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("yc").over(w).alias("cyc"),
+    )
+    return (
+        cum.filter((F.col("cnt") > 0) & (F.col("cnc") > 0))
+        .select(
+            F.col("s").alias("score_floor"),
+            F.col("cnt").cast("bigint").alias("n_treated"),
+            F.col("cnc").cast("bigint").alias("n_control"),
+            F.col("cyt").cast("bigint").alias("resp_treated"),
+            F.col("cyc").cast("bigint").alias("resp_control"),
+            F.expr(
+                "CAST(CASE WHEN CAST(cyt AS DECIMAL(38,0)) * cnc"
+                " - CAST(cyc AS DECIMAL(38,0)) * cnt >= 0"
+                " THEN (1000000000 * (CAST(cyt AS DECIMAL(38,0)) * cnc"
+                " - CAST(cyc AS DECIMAL(38,0)) * cnt))"
+                " div greatest(CAST(cnt AS DECIMAL(38,0)) * cnc, 1)"
+                " ELSE -((1000000000 * (CAST(cyc AS DECIMAL(38,0)) * cnt"
+                " - CAST(cyt AS DECIMAL(38,0)) * cnc))"
+                " div greatest(CAST(cnt AS DECIMAL(38,0)) * cnc, 1))"
+                " END AS BIGINT)"
+            ).alias("uplift_ppb"),
+        )
+        .orderBy(F.col("score_floor").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_lins_ccc — Lin's concordance correlation (price vs list-price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_lins_ccc",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(round(p.p_retailprice * 100) AS BIGINT)
+               * CAST(round(l.l_quantity) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM b
+    ),
+    f AS (
+      SELECT n,
+             n * sxy - sx * sy AS c2,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             (sx - sy) * (sx - sy) AS md2
+      FROM s
+    )
+    SELECT n AS n_lines,
+           CAST(CASE WHEN c2 >= 0
+                THEN (1000000000 * (2 * c2)) // greatest(vx + vy + md2, 1)
+                ELSE -((1000000000 * (-2 * c2))
+                       // greatest(vx + vy + md2, 1)) END AS BIGINT)
+             AS ccc_ppb,
+           CAST(CAST(CASE WHEN c2 >= 0
+                THEN (1000000000 * (2 * c2)) // greatest(vx + vy + md2, 1)
+                ELSE -((1000000000 * (-2 * c2))
+                       // greatest(vx + vy + md2, 1)) END AS BIGINT)
+                AS DOUBLE) / 1000000000.0 AS lins_ccc
+    FROM f
+    """,
+    doc="Lin's concordance correlation coefficient between the actual "
+    "line price and its list-price reconstruction (retail price x "
+    "quantity): CCC = 2*cov / (var_x + var_y + (mean_x - mean_y)^2) "
+    "grades AGREEMENT WITH THE 45-DEGREE LINE, not mere linear "
+    "association — two measurements can correlate perfectly "
+    "(agg_pearson-style) while one is biased or rescaled, and CCC is "
+    "the standard method-comparison statistic that catches exactly "
+    "that (here: how faithful is list-price-times-quantity as a "
+    "proxy label for realized revenue — the proxy-validation question "
+    "every weak-supervision pipeline asks). With n-scaled integer "
+    "moments, CCC = 2(n*Sxy - Sx*Sy) / ((n*Sxx - Sx^2) + (n*Syy - "
+    "Sy^2) + (Sx - Sy)^2) is ONE exact HUGEINT/DECIMAL ratio (the "
+    "n^2 scales cancel), sign-split floor-divided to ppb. One "
+    "broadcast dim join + one scalar rollup; no windows. SCALE "
+    "BOUND: n*Syy ~ n^2 * (3e9 cents)^2 crosses DECIMAL(38,0) near "
+    "sf~100; the cent quantizers are the dial.",
+)
+def agg_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        (
+            F.round(F.col("p_retailprice") * 100).cast("bigint")
+            * F.round(F.col("l_quantity")).cast("bigint")
+        ).alias("y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    f = s.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("c2"),
+        F.expr("n * sxx - sx * sx").alias("vx"),
+        F.expr("n * syy - sy * sy").alias("vy"),
+        F.expr("(sx - sy) * (sx - sy)").alias("md2"),
+    )
+    return f.select(
+        F.col("n").alias("n_lines"),
+        F.expr(
+            "CAST(CASE WHEN c2 >= 0"
+            " THEN (1000000000 * (2 * c2)) div greatest(vx + vy + md2, 1)"
+            " ELSE -((1000000000 * (-2 * c2))"
+            " div greatest(vx + vy + md2, 1)) END AS BIGINT)"
+        ).alias("ccc_ppb"),
+        F.expr(
+            "CAST(CAST(CASE WHEN c2 >= 0"
+            " THEN (1000000000 * (2 * c2)) div greatest(vx + vy + md2, 1)"
+            " ELSE -((1000000000 * (-2 * c2))"
+            " div greatest(vx + vy + md2, 1)) END AS BIGINT)"
+            " AS DOUBLE) / 1000000000.0"
+        ).alias("lins_ccc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_ktruss — k-truss peeling on the heavy-edge trade backbone
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 4  # every surviving edge sits in >= k-2 = 2 triangles
+TRUSS_MAX_ROUNDS = 6  # peel depth bound, fixpoint-asserted on the Spark side
+
+_TRUSS_EDGE_CTES = """
+    dir_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ),
+    uw AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM dir_edges GROUP BY 1, 2
+    ),
+    tw AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(sum(w) AS BIGINT) AS s
+      FROM uw
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM uw, tw WHERE 20 * w * tw.cnt >= 23 * tw.s
+    )
+"""
+
+
+def _truss_peel_ctes(rounds: int) -> tuple[str, str]:
+    """Unrolled truss-peel rounds: e_i keeps the edges of e_{i-1} whose
+    triangle support within e_{i-1} is >= K-2. Plain chained CTEs (the
+    graph_kcore recipe — SQL disallows recursive CTEs with aggregation);
+    the Spark side asserts fixpoint within the same bound."""
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    adj{i} AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM {prev}
+      UNION ALL SELECT b AS u, a AS v FROM {prev}
+    ),
+    sup{i} AS MATERIALIZED (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+      FROM {prev} e
+      JOIN adj{i} x ON x.u = e.a
+      JOIN adj{i} y ON y.u = e.b AND y.v = x.v
+      GROUP BY e.a, e.b
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN sup{i} s ON s.a = e.a AND s.b = e.b
+      WHERE s.sup >= {TRUSS_K - 2}
+    )""")
+        prev = f"e{i}"
+    return ",".join(parts), prev
+
+
+_TRUSS_SQL, _TRUSS_FINAL = _truss_peel_ctes(TRUSS_MAX_ROUNDS)
+
+
+@register(
+    "graph_ktruss",
+    oracle=f"""
+    WITH {_TRUSS_EDGE_CTES},{_TRUSS_SQL},
+    final_sup AS (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+      FROM {_TRUSS_FINAL} e
+      JOIN (SELECT a AS u, b AS v FROM {_TRUSS_FINAL}
+            UNION ALL SELECT b AS u, a AS v FROM {_TRUSS_FINAL}) x
+        ON x.u = e.a
+      JOIN (SELECT a AS u, b AS v FROM {_TRUSS_FINAL}
+            UNION ALL SELECT b AS u, a AS v FROM {_TRUSS_FINAL}) y
+        ON y.u = e.b AND y.v = x.v
+      GROUP BY e.a, e.b
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           f.support AS n_triangles
+    FROM final_sup f
+    JOIN nation na ON na.n_nationkey = f.a
+    JOIN nation nb ON nb.n_nationkey = f.b
+    ORDER BY nation_a, nation_b
+    """,
+    doc=f"k-truss (k = {TRUSS_K}) of the heavy-edge trade backbone (the "
+    "graph_rich_club integer threshold, 20*w*E >= 23*S): iteratively "
+    f"drop edges supported by fewer than {TRUSS_K - 2} triangles until "
+    "fixpoint — the TRIANGLE-grounded dense-subgraph mining primitive "
+    "that is strictly stronger than graph_kcore (every k-truss edge "
+    "sits in a (k-1)-core, not vice versa) and the standard community "
+    "nucleus extractor. Each round is one wedge join over the current "
+    "edge relation (edge x adjacency x adjacency, all keyed hash "
+    "joins — the graph_triangle_count shape, never an all-pairs "
+    "product) followed by a support filter; rounds are bounded by the "
+    f"peel depth, asserted <= {TRUSS_MAX_ROUNDS} with lineage truncated "
+    "per round (localCheckpoint — the graph_kcore recipe). The oracle "
+    "unrolls the identical peel as chained CTEs. Output: surviving "
+    "truss edges as nation pairs with their final triangle support.",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    tr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    uw = tr.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").cast("bigint").alias("w"))
+    tw = uw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("w").cast("bigint").alias("s"),
+    )
+    edges = (
+        uw.crossJoin(F.broadcast(tw))
+        .filter(F.expr("20 * w * cnt >= 23 * s"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+
+    def _support(e: DataFrame) -> DataFrame:
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        x = adj.select(F.col("u").alias("ea"), F.col("v").alias("w1"))
+        y = adj.select(F.col("u").alias("eb"), F.col("v").alias("w2"))
+        return (
+            e.join(x, F.col("a") == F.col("ea"))
+            .join(y, (F.col("b") == F.col("eb")) & (F.col("w2") == F.col("w1")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+
+    prev_n = edges.count()
+    for _ in range(TRUSS_MAX_ROUNDS + 1):
+        sup = _support(edges)
+        edges = (
+            edges.join(sup, ["a", "b"])
+            .filter(F.col("sup") >= TRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:  # pragma: no cover - peel must converge within the bound
+        raise AssertionError("k-truss peel exceeded TRUSS_MAX_ROUNDS")
+
+    final_sup = _support(edges)
+    na = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation_a")
+    )
+    nb = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("b"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        final_sup.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select("nation_a", "nation_b", F.col("sup").alias("n_triangles"))
+        .orderBy("nation_a", "nation_b")
+    )

@@ -105,6 +105,9 @@ def _load_deferred() -> None:
     """
     from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline17  # noqa: F401
+    # pipeline18 is the ROUND-13 tranche: pipeline16+17 fill 45 of round
+    # 12's 50 slots, so these queries queue one further round out
+    from mongodb_nats_connector_spark.operators import pipeline18  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"

@@ -478,6 +478,9 @@ _GLOBAL_WINDOWS = {
     "orders_theta_forecast": (2, "bounded: ~84-month series row index "
                                  "(duplicated under the moment and "
                                  "theta-line branches)"),
+    # pipeline18 (round-13 bank)
+    "agg_uplift_curve": (1, "bounded: ~105-bucket score-domain prefix "
+                            "(desc)"),
     "orders_haar_wavelet": (4, "bounded: ~2.4k-day series (row index + "
                                "count, duplicated under the signed-sum "
                                "and power-of-two branches)"),

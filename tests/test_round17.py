@@ -734,3 +734,92 @@ def test_mp4_sniffer_roundtrip_and_rejects():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
     meta = sniff_mp4_meta(ftyp + moov1)
     assert meta == (2, "isom", 90000, 2**33)
+
+
+# ---------------------------------------------------------------------------
+# pipeline18 (round-13 bank) pins
+# ---------------------------------------------------------------------------
+
+
+def test_uplift_cross_multiplied_identity():
+    rng = random.Random(127)
+    for _ in range(60):
+        cnt = rng.randint(1, 500)
+        cnc = rng.randint(1, 500)
+        cyt = rng.randint(0, cnt)
+        cyc = rng.randint(0, cnc)
+        ref = Fraction(cyt, cnt) - Fraction(cyc, cnc)
+        num = cyt * cnc - cyc * cnt
+        assert Fraction(num, cnt * cnc) == ref
+
+
+def test_lins_ccc_nscaled_identity():
+    rng = random.Random(131)
+    for _ in range(40):
+        n = rng.randint(2, 60)
+        xs = [rng.randint(1, 100) for _ in range(n)]
+        ys = [rng.randint(1, 100) for _ in range(n)]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        mx, my = Fraction(sx, n), Fraction(sy, n)
+        cov = Fraction(sxy, n) - mx * my
+        vx = Fraction(sxx, n) - mx * mx
+        vy = Fraction(syy, n) - my * my
+        den = vx + vy + (mx - my) ** 2
+        if den == 0:
+            continue
+        ref = 2 * cov / den
+        got = Fraction(
+            2 * (n * sxy - sx * sy),
+            (n * sxx - sx * sx) + (n * syy - sy * sy) + (sx - sy) ** 2,
+        )
+        assert got == ref
+        assert -1 <= got <= 1
+
+
+def test_ktruss_peel_brute_force():
+    rng = random.Random(137)
+    for _ in range(25):
+        nn = rng.randint(4, 9)
+        edges = {
+            (i, j)
+            for i in range(nn)
+            for j in range(i + 1, nn)
+            if rng.random() < 0.5
+        }
+
+        def peel(es, k):
+            es = set(es)
+            while True:
+                sup = {}
+                for a, b in es:
+                    s = 0
+                    for c in range(nn):
+                        if c in (a, b):
+                            continue
+                        e1 = (min(a, c), max(a, c))
+                        e2 = (min(b, c), max(b, c))
+                        if e1 in es and e2 in es:
+                            s += 1
+                    sup[(a, b)] = s
+                nxt = {e for e in es if sup[e] >= k - 2}
+                if nxt == es:
+                    return es, sup
+                es = nxt
+
+        final, sup = peel(edges, 4)
+        # every surviving edge has support >= 2 within the final set
+        for e in final:
+            a, b = e
+            s = sum(
+                1
+                for c in range(nn)
+                if c not in e
+                and (min(a, c), max(a, c)) in final
+                and (min(b, c), max(b, c)) in final
+            )
+            assert s >= 2
+        # peel depth is bounded by the edge count (each round removes >= 1)
+        assert len(final) <= len(edges)
