@@ -426,3 +426,141 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation_a", "nation_b", F.col("sup").alias("n_triangles"))
         .orderBy("nation_a", "nation_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_eval_contamination — train/eval split 13-gram overlap audit
+# ---------------------------------------------------------------------------
+
+CONTAM_GRAM = 13  # the standard decontamination shingle width (GPT-3 paper)
+
+
+@register(
+    "docs_eval_contamination",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_eval,
+             list_filter(string_split(lower(text), ' '), t -> t != '') AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source, is_eval,
+             CAST(CAST('0x' || substr(md5(array_to_string(
+                    a[i+1:i+{CONTAM_GRAM}], ' ')), 1, 15) AS BIGINT)
+                  AS BIGINT) AS h
+      FROM arr,
+           unnest(range(0, greatest(len(a) - {CONTAM_GRAM - 1}, 0))) AS t(i)
+    ),
+    train_grams AS (
+      SELECT DISTINCT h FROM g WHERE is_eval = 0
+    ),
+    eval_docs AS (
+      SELECT g.doc_id, g.source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM g LEFT JOIN train_grams t ON t.h = g.h
+      WHERE g.is_eval = 1
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(n_grams) AS BIGINT) AS eval_grams,
+           CAST(sum(n_shared) AS BIGINT) AS shared_grams,
+           CAST(1000000000 * sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS doc_contamination_ppb,
+           CAST(1000000000 * sum(n_shared) // greatest(sum(n_grams), 1)
+                AS BIGINT) AS gram_contamination_ppb
+    FROM eval_docs GROUP BY source ORDER BY source
+    """,
+    doc=f"Train/eval contamination audit at the standard {CONTAM_GRAM}-gram "
+    "decontamination width: split the corpus deterministically (doc_id "
+    "% 10 = 0 is the held-out eval set), hash every distinct "
+    f"{CONTAM_GRAM}-word shingle, and report per source how many eval "
+    "documents share ANY shingle with the training split, plus the "
+    "shingle-level overlap mass — the leakage gate an LLM benchmark "
+    "pipeline runs BEFORE trusting an eval score (docs_ngram_novelty "
+    "measures within-corpus novelty; this measures CROSS-SPLIT "
+    "leakage, the thing that silently inflates benchmarks). Shingles "
+    "reuse the winnowing md5-int64 hash idiom; the audit is one "
+    "distinct (doc, gram) relation, one semi-join-shaped LEFT JOIN "
+    "against the distinct train-gram set (gram-cardinality-sized, "
+    "never pairwise), and two ppb floor-divisions per source. Zero "
+    "windows; zero unkeyed shuffles.",
+)
+def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    arr = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 10 == 0).cast("int").alias("is_eval"),
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("a"),
+    )
+    g = arr.select(
+        "doc_id",
+        "source",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.when(
+                    F.size("a") >= CONTAM_GRAM,
+                    F.sequence(F.lit(0), F.size("a") - CONTAM_GRAM),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.array_join(
+                                    F.slice(F.col("a"), i + 1, CONTAM_GRAM),
+                                    " ",
+                                ),
+                                "utf-8",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("h"),
+    ).distinct()
+    train_grams = (
+        g.filter(F.col("is_eval") == 0).select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_docs = (
+        g.filter(F.col("is_eval") == 1)
+        .join(train_grams, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        eval_docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"),
+            F.sum(F.when(F.col("n_shared") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum("n_grams").cast("bigint").alias("eval_grams"),
+            F.sum("n_shared").cast("bigint").alias("shared_grams"),
+            F.expr(
+                "CAST(1000000000 * sum(CASE WHEN n_shared > 0 THEN 1"
+                " ELSE 0 END) div count(*) AS BIGINT)"
+            ).alias("doc_contamination_ppb"),
+            F.expr(
+                "CAST(1000000000 * sum(n_shared)"
+                " div greatest(sum(n_grams), 1) AS BIGINT)"
+            ).alias("gram_contamination_ppb"),
+        )
+        .orderBy("source")
+    )

@@ -823,3 +823,31 @@ def test_ktruss_peel_brute_force():
             assert s >= 2
         # peel depth is bounded by the edge count (each round removes >= 1)
         assert len(final) <= len(edges)
+
+
+def test_eval_contamination_semi_join_frame():
+    rng = random.Random(139)
+    for _ in range(20):
+        words = [f"w{rng.randint(0, 12)}" for _ in range(300)]
+        docs = {
+            i: words[rng.randint(0, 250) :][: rng.randint(15, 40)]
+            for i in range(20)
+        }
+        k = 13
+        grams = {
+            i: {tuple(a[j : j + k]) for j in range(len(a) - k + 1)}
+            for i, a in docs.items()
+        }
+        train = set().union(
+            *(g for i, g in grams.items() if i % 10 != 0)
+        ) if any(i % 10 != 0 for i in grams) else set()
+        # reference: per eval doc, distinct grams and shared-with-train
+        for i, g in grams.items():
+            if i % 10 != 0 or not g:
+                continue
+            shared_ref = len(g & train)
+            # engine frame: distinct (doc, gram) left-joined to the
+            # distinct train-gram set, summing hit indicators
+            shared_eng = sum(1 for x in g if x in train)
+            assert shared_eng == shared_ref
+            assert 0 <= shared_ref <= len(g)
