@@ -485,13 +485,23 @@ def sniff_mp4_meta(payload: bytes) -> tuple[int, str, int, int] | None:
                     return None
                 if ctype == b"mvhd" and csize >= 32:
                     version = payload[coff + 8]
-                    if version == 1 and csize >= 44:
+                    if version == 1:
+                        # v1 mvhd needs 44 bytes for its 64-bit fields; a
+                        # shorter box is malformed — typed miss, never a
+                        # v0-offset garbage parse
+                        if csize < 44:
+                            return None
                         timescale, = struct.unpack(
                             ">I", payload[coff + 28 : coff + 32]
                         )
                         duration, = struct.unpack(
                             ">Q", payload[coff + 32 : coff + 40]
                         )
+                        # unsigned 64-bit duration can exceed int64 on
+                        # adversarial payloads — bounds-check before it
+                        # lands in an Int64 pandas column
+                        if duration >= 2**63:
+                            return None
                     else:
                         timescale, duration = struct.unpack(
                             ">II", payload[coff + 20 : coff + 28]
@@ -535,5 +545,75 @@ def _mp4_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "timescale": pd.Series(tss, dtype="Int64"),
                 "duration_ticks": pd.Series(durs, dtype="Int64"),
                 "duration_ms": pd.Series(ms, dtype="Int64"),
+            }
+        )
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_samples", LongType(), True),
+        StructField("min_sample", LongType(), True),
+        StructField("max_sample", LongType(), True),
+        StructField("abs_sum", LongType(), True),
+        StructField("weighted_checksum", LongType(), True),
+    ]
+)
+
+
+def decode_wav_pcm16(payload: bytes) -> list[int] | None:
+    """REAL PCM payload decode (pure stdlib): RIFF-walk to the data chunk
+    and unpack its 16-bit little-endian signed samples. This is the first
+    multimodal operator whose SAMPLE DATA (not just container metadata)
+    sits on the oracle-verified hash surface. Returns None for non-WAV /
+    non-16-bit / truncated payloads (typed miss, never a crash)."""
+    import struct
+
+    meta = sniff_wav_meta(payload)
+    if meta is None:
+        return None
+    _rate, _channels, bits, _br, _ba, data_size = meta
+    if bits != 16 or data_size % 2 != 0:
+        return None
+    data = payload[44 : 44 + data_size]
+    if len(data) != data_size:
+        return None
+    return list(struct.unpack("<%dh" % (data_size // 2), data))
+
+
+def _pcm_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PCM sample statistics over decoded 16-bit samples:
+    count / sum / min / max / sum|s| / order-weighted checksum
+    sum((i+1)*s_i). The weighted checksum proves BYTE ORDER survived the
+    construct->Arrow->decode pipeline, not just the sample multiset."""
+    for pdf in batches:
+        ids, ns, sums, mins, maxs, absol, wsum = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = decode_wav_pcm16(bytes(payload))
+            ids.append(doc_id)
+            if samples is None or not samples:
+                ns.append(None)
+                sums.append(None)
+                mins.append(None)
+                maxs.append(None)
+                absol.append(None)
+                wsum.append(None)
+            else:
+                ns.append(len(samples))
+                sums.append(sum(samples))
+                mins.append(min(samples))
+                maxs.append(max(samples))
+                absol.append(sum(abs(s) for s in samples))
+                wsum.append(sum((i + 1) * s for i, s in enumerate(samples)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="Int64"),
+                "sum_samples": pd.Series(sums, dtype="Int64"),
+                "min_sample": pd.Series(mins, dtype="Int64"),
+                "max_sample": pd.Series(maxs, dtype="Int64"),
+                "abs_sum": pd.Series(absol, dtype="Int64"),
+                "weighted_checksum": pd.Series(wsum, dtype="Int64"),
             }
         )

@@ -24,9 +24,11 @@ Cross-engine determinism rules (the pipeline11-16 discipline):
 - any total that can cross 2^53 stays DECIMAL(38,0)/HUGEINT and
   floor-divides (`div` / ``//``) to a sub-2^53 integer before the ONE
   double conversion;
-- `div` on NEGATIVES differs between engines (Spark truncates, DuckDB
-  floors) — every integer division here is applied to a provably
-  non-negative numerator (abs + explicit sign column where needed);
+- integer `div` (Spark) and `//` (DuckDB) BOTH truncate toward zero on
+  negatives (-7//2 = -3 in DuckDB; only Python's // floors), so signed
+  divisions match across engines — the sign-split/abs discipline used
+  in most operators here is belt-and-suspenders, not a correctness
+  requirement;
 - no exp/ln/pow/round-of-float anywhere on the hash surface; +,-,*,/,
   sqrt are IEEE-correctly-rounded and bit-portable in fixed operand
   order.
@@ -585,11 +587,11 @@ def agg_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS tsum FROM ties)
     SELECT s.m_blk AS n_blocks, CAST(12 AS BIGINT) AS n_items,
            CAST(s4 // 4 AS BIGINT) AS s_exact,
-           CAST((1000000000 * (3 * s4))
+           CAST((1000000000 * (12 * s4))
                 // greatest(CAST(s.m_blk AS HUGEINT) * s.m_blk * 6864
                             - 4 * s.m_blk * tt.tsum, 1) AS BIGINT)
              AS w_ppb,
-           CAST(((s.m_blk * 11) * ((1000000000 * (3 * s4))
+           CAST(((s.m_blk * 11) * ((1000000000 * (12 * s4))
                 // greatest(CAST(s.m_blk AS HUGEINT) * s.m_blk * 6864
                             - 4 * s.m_blk * tt.tsum, 1))) AS DOUBLE)
              / 1000000000.0 AS chi2_approx
@@ -605,8 +607,10 @@ def agg_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from bounded 12-cell per-year count subqueries (Spark: one "
     "partitioned 12-row window per year — never a global sort); S' = "
     "sum_j (R'_j - m*13)^2 is 4S exactly, and the tie-corrected "
-    "denominator m^2(n^3-n) - m*sumT with n=12 gives W = 3*S' / "
-    "(6864 m^2 - 4 m sumT) as ONE exact integer ratio -> ppb floor-"
+    "denominator m^2(n^3-n) - m*sumT with n=12 gives W = 12S/(1716 m^2 "
+    "- m sumT) = 12*S' / (6864 m^2 - 4 m sumT) (numerator 12*S' "
+    "because BOTH S'=4S and the doubled denominator carry a factor "
+    "4) as ONE exact integer ratio -> ppb floor-"
     "division (chi2 = m(n-1)W displayed from the same integer). All "
     "relations after the month rollup are <= 12*years rows.",
 )
@@ -672,12 +676,12 @@ def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12).cast("bigint").alias("n_items"),
         F.expr("CAST(s4 div 4 AS BIGINT)").alias("s_exact"),
         F.expr(
-            "CAST((1000000000 * (3 * s4))"
+            "CAST((1000000000 * (12 * s4))"
             " div greatest(CAST(m_blk AS DECIMAL(38,0)) * m_blk * 6864"
             " - 4 * m_blk * tsum, 1) AS BIGINT)"
         ).alias("w_ppb"),
         F.expr(
-            "CAST(((m_blk * 11) * ((1000000000 * (3 * s4))"
+            "CAST(((m_blk * 11) * ((1000000000 * (12 * s4))"
             " div greatest(CAST(m_blk AS DECIMAL(38,0)) * m_blk * 6864"
             " - 4 * m_blk * tsum, 1))) AS DOUBLE) / 1000000000.0"
         ).alias("chi2_approx"),
@@ -3806,9 +3810,9 @@ def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
     )
     SELECT n AS n_months,
-           CAST(bn // greatest(dd // 1000000, 1) AS BIGINT)
+           CAST((1000000 * bn) // dd AS BIGINT)
              AS slope_micro_dollars,
-           CAST(ses2 // (2 * n * (dd // 1000000)) AS BIGINT)
+           CAST((1000000 * ses2) // (2 * n * dd) AS BIGINT)
              AS theta2_level_micro,
            (CAST(ses2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)
                                     * CAST(dd AS DOUBLE))
@@ -3833,8 +3837,11 @@ def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer fold (x + s + 1) div 2 the oracle's list_reduce replays "
     "bit-for-bit (scalar state — no struct-field hazard). One "
     "~84-row bounded window + one scalar fold; quantized level and "
-    "slope land via non-negative floor-divisions (revenue series are "
-    "positive-trend; dd > 0 always).",
+    "slope scale the NUMERATOR by 1e6 before one integer division "
+    "by the exact dd (dd > 0 always; bn MAY be negative — TPC-H's "
+    "truncated final month drags the OLS slope down — which is safe "
+    "because Spark `div` and DuckDB `//` both truncate toward zero "
+    "on integers).",
 )
 def orders_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -3898,10 +3905,10 @@ def orders_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         F.col("n").alias("n_months"),
         F.expr(
-            "CAST(bn div greatest(dd div 1000000, 1) AS BIGINT)"
+            "CAST((1000000 * bn) div dd AS BIGINT)"
         ).alias("slope_micro_dollars"),
         F.expr(
-            "CAST(ses2 div (2 * n * (dd div 1000000)) AS BIGINT)"
+            "CAST((1000000 * ses2) div (2 * n * dd) AS BIGINT)"
         ).alias("theta2_level_micro"),
         F.expr(
             "(CAST(ses2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)"

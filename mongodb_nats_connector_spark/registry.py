@@ -87,27 +87,29 @@ def _load_all() -> None:
     from mongodb_nats_connector_spark.operators import pipeline13  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline14  # noqa: F401
     from mongodb_nats_connector_spark.operators import pipeline15  # noqa: F401
+    # Round-12 window: the pipeline16/17/18 bank (13 + 32 + 4 = 49
+    # pre-verified queries, three-SF bit-exact before banking) moves into
+    # the driver-facing registry this round, filling 49 of the 50 window
+    # slots; the 50th is this round's single new in-window query.
+    from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline17  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline18  # noqa: F401
 
 
 def _load_deferred() -> None:
-    """Import the round-12 bank modules (registration side effects).
+    """Import the round-13 bank modules (registration side effects).
 
-    The driver proves at most 50 queries per round; pipeline14+15 plus the
-    re-proof of orders_nelson_aalen fill the round-11 window exactly, so the
-    13 pipeline16 queries (and any later bank module) are NOT loaded into
-    the driver-facing registry this round — ``tools/verify_window.py`` flags
-    an over-budget window otherwise, and a spilled query sits unproven at
+    The driver proves at most 50 queries per round, so new tranches beyond
+    the current window are staged here, OUT of the driver-facing registry,
+    until their round's window opens — ``tools/verify_window.py`` flags an
+    over-budget window otherwise, and a spilled query sits unproven at
     round end. The bank is still fully linted and unit-tested: registry-wide
     lint tests call ``_load_deferred()`` so plan/determinism discipline is
-    enforced from day one, and ``tests/test_round16.py`` pins the
-    statistics. Round 12: move these imports back into ``_load_all``
-    (pipeline16 first, then pipeline17 — bank order is registration order).
+    enforced from day one, and the per-tranche round test files pin the
+    statistics. Round 13: move these imports into ``_load_all`` (bank order
+    is registration order).
     """
-    from mongodb_nats_connector_spark.operators import pipeline16  # noqa: F401
-    from mongodb_nats_connector_spark.operators import pipeline17  # noqa: F401
-    # pipeline18 is the ROUND-13 tranche: pipeline16+17 fill 45 of round
-    # 12's 50 slots, so these queries queue one further round out
-    from mongodb_nats_connector_spark.operators import pipeline18  # noqa: F401
+    from mongodb_nats_connector_spark.operators import pipeline19  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"

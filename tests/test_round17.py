@@ -185,6 +185,31 @@ def test_kendall_w_tie_corrected_identity():
         if den > 0:
             w = Fraction(3 * s4, den)
             assert 0 <= w <= 1
+            # textbook W from UNdoubled ranks/ties must equal the
+            # operator's doubled-rank ratio 12*s4 / (6864 m^2 - 4 m T)
+            s_plain = s_ref
+            w_ref = Fraction(12 * s_plain, den)
+            assert w == w_ref
+            den2 = 6864 * m * m - 4 * m * tsum
+            assert Fraction(12 * s4, den2) == w_ref
+
+
+def test_kendall_w_operator_literal_constants():
+    """Pin the literal numerator/denominator constants in BOTH the Spark
+    expression and the DuckDB oracle: the doubled-rank form divides
+    12*s4 by 6864 m^2 - 4 m T (a 3*s4 numerator reports W/4 — the
+    round-11 advisor finding)."""
+    import inspect
+
+    from mongodb_nats_connector_spark.operators import pipeline17
+    from mongodb_nats_connector_spark.registry import _REGISTRY
+
+    src = inspect.getsource(pipeline17.agg_kendall_w)
+    oracle = _REGISTRY["agg_kendall_w"].oracle
+    for text in (src, oracle):
+        assert "(12 * s4)" in text
+        assert "(3 * s4)" not in text
+        assert "6864" in text
 
 
 # ---------------------------------------------------------------------------
@@ -734,6 +759,22 @@ def test_mp4_sniffer_roundtrip_and_rejects():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
     meta = sniff_mp4_meta(ftyp + moov1)
     assert meta == (2, "isom", 90000, 2**33)
+    # v1 mvhd too short for its 64-bit fields (32 <= csize < 44): typed
+    # miss, never a v0-offset garbage parse (round-11 advisor finding)
+    short1 = b"\x01\x00\x00\x00" + b"\x00" * 24  # csize = 8 + 28 = 36
+    mvhd_s = struct.pack(">I", 8 + len(short1)) + b"mvhd" + short1
+    moov_s = struct.pack(">I", 8 + len(mvhd_s)) + b"moov" + mvhd_s
+    assert sniff_mp4_meta(ftyp + moov_s) is None
+    # v1 duration >= 2^63 would overflow the Int64 column: typed miss
+    body_big = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + struct.pack(">IQ", 90000, 2**63 + 7)
+        + b"\x00" * 80
+    )
+    mvhd_b = struct.pack(">I", 8 + len(body_big)) + b"mvhd" + body_big
+    moov_b = struct.pack(">I", 8 + len(mvhd_b)) + b"moov" + mvhd_b
+    assert sniff_mp4_meta(ftyp + moov_b) is None
 
 
 # ---------------------------------------------------------------------------
