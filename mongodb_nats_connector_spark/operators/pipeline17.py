@@ -2270,13 +2270,22 @@ def graph_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_rich_club",
     oracle="""
-    WITH tr AS (
-      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+    WITH f AS MATERIALIZED (
+      -- pre-aggregate the fact join to (custkey, suppkey) BEFORE the dim
+      -- joins and pin materialization: with 7 downstream CTE references,
+      -- an inlined 4-table join re-evaluates per reference and spilled
+      -- ~40 GB at sf0.1 (round-12 finding); this form runs in ~1 s
+      SELECT o.o_custkey AS ck, l.l_suppkey AS sk,
              CAST(count(*) AS BIGINT) AS w
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    tr AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM f
+      JOIN customer c ON f.ck = c.c_custkey
+      JOIN supplier s ON f.sk = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY 1, 2
     ),

@@ -819,3 +819,554 @@ def agg_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 4.600149226776579 * ({beta})) AS BIGINT)"
         ).alias("return_level_99_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_log_loss — cross-entropy of the discount-as-probability forecast
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_log_loss",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS p10,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT p10, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS o
+      FROM b GROUP BY p10
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(
+               CAST(floor(1000000.0 * (
+                 - o * ln((10.0 * p10 + 1) / 102.0)
+                 - (n - o) * ln(1.0 - (10.0 * p10 + 1) / 102.0)))
+                 AS HUGEINT)) AS HUGEINT) AS s_micro
+      FROM cells
+    )
+    SELECT nn AS n, CAST(s_micro // nn AS BIGINT) AS avg_logloss_micro,
+           CAST(s_micro // 1000 AS BIGINT) AS total_logloss_milli
+    FROM t
+    """,
+    doc="Binary cross-entropy (log loss) of the discount-as-return-"
+    "probability forecast on its native tenths grid — the PROPER "
+    "scoring rule beside agg_brier_score (quadratic) and the "
+    "calibration-only agg_expected_calibration_error, punishing "
+    "confident misses exponentially harder. The grid probability "
+    "p = p10/10 is Laplace-clamped to p' = (10*p10+1)/102 (exactly "
+    "one pseudo-count per endpoint cell) so ln stays finite; each of "
+    "the 11 DOMAIN cells quantizes -[o ln p' + (n-o) ln(1-p')] to "
+    "integer micro-nats before the exact sum (the mutual-information "
+    "precedent), and the per-row average is one non-negative floor-"
+    "division. One 11-cell map-side rollup; no windows, no joins.",
+)
+def agg_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("p10"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    cells = b.groupBy("p10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("o"),
+    )
+    t = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        _dsum(
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    -F.col("o")
+                    * F.log((10.0 * F.col("p10") + 1) / 102.0)
+                    - (F.col("n") - F.col("o"))
+                    * F.log(1.0 - (10.0 * F.col("p10") + 1) / 102.0)
+                )
+            )
+        ).alias("s_micro"),
+    )
+    return t.select(
+        F.col("nn").alias("n"),
+        F.expr("CAST(s_micro div nn AS BIGINT)").alias("avg_logloss_micro"),
+        F.expr("CAST(s_micro div 1000 AS BIGINT)").alias(
+            "total_logloss_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_tjur_r2 — Tjur's coefficient of discrimination (same forecast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_tjur_r2",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS p10,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n1,
+             CAST(count(*) - sum(y) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN y = 1 THEN p10 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN y = 0 THEN p10 ELSE 0 END) AS BIGINT) AS s0
+      FROM b
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(CASE WHEN CAST(s1 AS HUGEINT) * n0
+                          >= CAST(s0 AS HUGEINT) * n1
+                     THEN 1 ELSE -1 END AS BIGINT) AS tjur_sign,
+           CAST((1000000000 * abs(CAST(s1 AS HUGEINT) * n0
+                                  - CAST(s0 AS HUGEINT) * n1))
+                // (10 * CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+             AS tjur_abs_ppb
+    FROM s
+    WHERE n1 > 0 AND n0 > 0
+    """,
+    doc="Tjur's coefficient of discrimination for the discount-as-return-"
+    "probability forecast: R2_Tjur = mean(p | y=1) - mean(p | y=0) — "
+    "the separation the classifier achieves on average, the intuitive "
+    "discrimination companion to agg_roc_auc (rank-based) and "
+    "agg_brier_score (calibration-mixed). With p = p10/10, "
+    "R2 = (s1*n0 - s0*n1)/(10*n1*n0) — ONE exact integer ratio from "
+    "one conditional map-combined pass, sign-split into tjur_sign and "
+    "a non-negative ppb floor-division. No windows, no joins, no grid "
+    "needed. Empty classes emit zero rows on both engines.",
+)
+def agg_tjur_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("p10"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    s = b.agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("y") == 1, F.col("p10")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("y") == 0, F.col("p10")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    return s.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.expr(
+            "CAST(CASE WHEN CAST(s1 AS DECIMAL(38,0)) * n0"
+            " >= CAST(s0 AS DECIMAL(38,0)) * n1 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("tjur_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(CAST(s1 AS DECIMAL(38,0)) * n0"
+            " - CAST(s0 AS DECIMAL(38,0)) * n1))"
+            " div (10 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)"
+        ).alias("tjur_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_f1_sweep — threshold sweep for best F1 on the price-score grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_f1_sweep",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice / 1000) AS BIGINT) AS s,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+               AS pos
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT s, CAST(sum(pos) AS BIGINT) AS n1,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n0
+      FROM b GROUP BY 1
+    ),
+    suf AS (
+      SELECT s,
+             CAST(sum(n1) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(sum(n0) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST(sum(n1) OVER () AS BIGINT) AS p
+      FROM cells
+    ),
+    f AS (
+      SELECT s AS threshold, tp, fp,
+             CAST((1000000000 * (2 * CAST(tp AS HUGEINT)))
+                  // (CAST(tp AS HUGEINT) + fp + p) AS BIGINT) AS f1_ppb
+      FROM suf
+    )
+    SELECT threshold, tp, fp, f1_ppb,
+           CAST(CASE WHEN f1_ppb = (SELECT max(f1_ppb) FROM f)
+                      AND threshold = (SELECT min(threshold) FROM f
+                                       WHERE f1_ppb =
+                                         (SELECT max(f1_ppb) FROM f))
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM f
+    ORDER BY threshold
+    """,
+    doc="Full F1 threshold sweep for the price-as-returns classifier on "
+    "the ~105-value score DOMAIN: classify positive when score >= t, "
+    "F1(t) = 2TP/(TP+FP+P) (the harmonic mean identity with "
+    "FN = P-TP), per-threshold exact integer counts from ONE "
+    "descending suffix window over the grid — the threshold-selection "
+    "readout that optimizes the precision/recall tradeoff directly "
+    "where agg_youden_threshold optimizes sensitivity+specificity and "
+    "agg_ks_separation the ECDF gap (all three can pick different "
+    "operating points). f1_ppb is one non-negative floor-division per "
+    "grid cell; is_best flags the max with ties to the LOWEST "
+    "threshold, decided on the quantized ppb exactly as emitted. "
+    "Bounded grid windows only; one map-combined rollup.",
+)
+def agg_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("s"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    cells = b.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n0"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suf = cells.select(
+        "s",
+        F.sum("n1").over(w_desc).cast("bigint").alias("tp"),
+        F.sum("n0").over(w_desc).cast("bigint").alias("fp"),
+        F.sum("n1").over(Window.partitionBy()).cast("bigint").alias("p"),
+    )
+    f = suf.select(
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        F.expr(
+            "CAST((1000000000 * (2 * CAST(tp AS DECIMAL(38,0))))"
+            " div (CAST(tp AS DECIMAL(38,0)) + fp + p) AS BIGINT)"
+        ).alias("f1_ppb"),
+    )
+    wb = Window.partitionBy()
+    return (
+        f.select(
+            "threshold",
+            "tp",
+            "fp",
+            "f1_ppb",
+            F.max(F.struct(F.col("f1_ppb"), -F.col("threshold")))
+            .over(wb)
+            .alias("best"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "f1_ppb",
+            F.when(
+                (F.col("f1_ppb") == F.col("best.f1_ppb"))
+                & (-F.col("threshold") == F.col("best.col2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_best"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mrr_retrieval — mean reciprocal rank over the 20-doc query panel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mrr_retrieval",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS qid, source AS qsource FROM documents
+      WHERE doc_id < 20
+    ),
+    qw AS (
+      SELECT q.qid, q.qsource, w.word FROM q JOIN w ON w.doc_id = q.qid
+    ),
+    cand AS (
+      SELECT qw.qid, qw.qsource, w.doc_id AS did,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM qw JOIN w ON w.word = qw.word AND w.doc_id <> qw.qid
+      GROUP BY qw.qid, qw.qsource, w.doc_id
+    ),
+    ranked AS (
+      SELECT qid, qsource, did, shared,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY shared DESC, did) AS rn
+      FROM cand
+    ),
+    rel AS (
+      SELECT r.qid,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(coalesce(min(CASE WHEN d.source = r.qsource
+                                    THEN r.rn END), 0) AS BIGINT)
+               AS first_rel_rank
+      FROM ranked r JOIN documents d ON d.doc_id = r.did
+      GROUP BY r.qid
+    )
+    SELECT qid AS query_id, n_candidates, first_rel_rank,
+           CAST(CASE WHEN first_rel_rank > 0
+                     THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT)
+             AS rr_micro
+    FROM rel
+    ORDER BY query_id
+    """,
+    doc="Mean-reciprocal-rank evaluation of bag-of-words retrieval over "
+    "the deterministic 20-doc query panel (the similarity_topk "
+    "convention): candidates = every doc sharing >= 1 space-token "
+    "with the query doc (the text_bm25_topk tokenizer), scored by "
+    "shared distinct-token count with (score DESC, doc_id) "
+    "determinism; a candidate is RELEVANT when it shares the query's "
+    "source — the weak label the corpus carries. Per query the rank "
+    "of the first relevant candidate and its floor-quantized "
+    "reciprocal 1e6//rank are exact integers (first_rel_rank = 0 "
+    "encodes 'no relevant candidate retrieved', scoring 0 — the "
+    "standard MRR cutoff convention). Sparse inverted-index join "
+    "(only shared-token pairs materialize), one qid-partitioned rank "
+    "window over the bounded panel.",
+)
+def agg_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    q = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), F.col("source").alias("qsource")
+    )
+    qw = q.join(w, F.col("doc_id") == F.col("qid")).select(
+        "qid", "qsource", "word"
+    )
+    cand = (
+        qw.join(
+            w.withColumnRenamed("doc_id", "did").withColumnRenamed(
+                "word", "dword"
+            ),
+            (F.col("dword") == F.col("word")) & (F.col("did") != F.col("qid")),
+        )
+        .groupBy("qid", "qsource", "did")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    ranked = cand.select(
+        "qid",
+        "qsource",
+        "did",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(
+                F.col("shared").desc(), F.col("did")
+            )
+        )
+        .alias("rn"),
+    )
+    rel = (
+        ranked.join(
+            docs.select(F.col("doc_id").alias("did"), "source"), "did"
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("source") == F.col("qsource"), F.col("rn")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+        )
+    )
+    return rel.select(
+        F.col("qid").alias("query_id"),
+        "n_candidates",
+        "first_rel_rank",
+        F.expr(
+            "CAST(CASE WHEN first_rel_rank > 0"
+            " THEN 1000000 div first_rel_rank ELSE 0 END AS BIGINT)"
+        ).alias("rr_micro"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# agg_ndcg_at10 — graded-relevance NDCG@10 over the same panel
+# ---------------------------------------------------------------------------
+
+_NDCG_W = (
+    "[1000000000, 630929753, 500000000, 430676558, 386852807,"
+    " 356207187, 333333333, 315464876, 301029995, 289064826]"
+)
+
+
+@register(
+    "agg_ndcg_at10",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS qid, source AS qsource, lang AS qlang
+      FROM documents WHERE doc_id < 20
+    ),
+    qw AS (
+      SELECT q.qid, q.qsource, q.qlang, w.word
+      FROM q JOIN w ON w.doc_id = q.qid
+    ),
+    cand AS (
+      SELECT qw.qid, qw.qsource, qw.qlang, w.doc_id AS did,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM qw JOIN w ON w.word = qw.word AND w.doc_id <> qw.qid
+      GROUP BY qw.qid, qw.qsource, qw.qlang, w.doc_id
+    ),
+    graded AS (
+      SELECT c.qid, c.did, c.shared,
+             CAST(CASE WHEN d.source = c.qsource AND d.lang = c.qlang
+                       THEN 3
+                       WHEN d.source = c.qsource THEN 1 ELSE 0 END
+                  AS BIGINT) AS gain
+      FROM cand c JOIN documents d ON d.doc_id = c.did
+    ),
+    pos AS (
+      SELECT qid, gain,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY shared DESC, did) AS rn,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY gain DESC, did) AS irn
+      FROM graded
+    ),
+    agg AS (
+      SELECT qid,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN rn <= 10
+                  THEN gain * ({_NDCG_W})[rn] ELSE 0 END) AS BIGINT)
+               AS dcg_nano,
+             CAST(sum(CASE WHEN irn <= 10
+                  THEN gain * ({_NDCG_W})[irn] ELSE 0 END) AS BIGINT)
+               AS idcg_nano
+      FROM pos GROUP BY qid
+    )
+    SELECT qid AS query_id, n_candidates, dcg_nano, idcg_nano,
+           CAST(CASE WHEN idcg_nano > 0
+                THEN (1000000000 * CAST(dcg_nano AS HUGEINT)) // idcg_nano
+                ELSE 0 END AS BIGINT) AS ndcg_ppb
+    FROM agg
+    ORDER BY query_id
+    """,
+    doc="NDCG@10 with GRADED relevance over the 20-doc query panel and "
+    "the shared-token retrieval of agg_mrr_retrieval: gain 3 for "
+    "same-source-same-language candidates, 1 for same-source, 0 "
+    "otherwise (the 2^rel - 1 gains for rel = 0/1/2), discounted by "
+    "the exact integer nano-unit table floor(1e9/log2(i+1)) for "
+    "positions 1..10 — the discounts are SHARED LITERALS, so no "
+    "logarithm runs at query time and DCG/IDCG are exact integer "
+    "dot products. IDCG re-ranks the same retrieved candidate set by "
+    "gain (retrieved-set normalization, declared); NDCG is one "
+    "guarded non-negative ppb floor-division. Two qid-partitioned "
+    "rank windows over the bounded panel; sparse inverted-index "
+    "join.",
+)
+def agg_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    q = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"),
+        F.col("source").alias("qsource"),
+        F.col("lang").alias("qlang"),
+    )
+    qw = q.join(w, F.col("doc_id") == F.col("qid")).select(
+        "qid", "qsource", "qlang", "word"
+    )
+    cand = (
+        qw.join(
+            w.withColumnRenamed("doc_id", "did").withColumnRenamed(
+                "word", "dword"
+            ),
+            (F.col("dword") == F.col("word")) & (F.col("did") != F.col("qid")),
+        )
+        .groupBy("qid", "qsource", "qlang", "did")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    graded = cand.join(
+        docs.select(F.col("doc_id").alias("did"), "source", "lang"), "did"
+    ).select(
+        "qid",
+        "did",
+        "shared",
+        F.expr(
+            "CAST(CASE WHEN source = qsource AND lang = qlang THEN 3"
+            " WHEN source = qsource THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("gain"),
+    )
+    warr = F.expr(f"array{_NDCG_W}".replace("[", "(").replace("]", ")"))
+    pos = graded.select(
+        "qid",
+        "gain",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(
+                F.col("shared").desc(), F.col("did")
+            )
+        )
+        .alias("rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy("qid").orderBy(
+                F.col("gain").desc(), F.col("did")
+            )
+        )
+        .alias("irn"),
+    ).withColumn("warr", warr)
+    agg = pos.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("rn") <= 10,
+                F.col("gain") * F.element_at(F.col("warr"), F.col("rn").cast("int")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_nano"),
+        F.sum(
+            F.when(
+                F.col("irn") <= 10,
+                F.col("gain")
+                * F.element_at(F.col("warr"), F.col("irn").cast("int")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("idcg_nano"),
+    )
+    return agg.select(
+        F.col("qid").alias("query_id"),
+        "n_candidates",
+        "dcg_nano",
+        "idcg_nano",
+        F.expr(
+            "CAST(CASE WHEN idcg_nano > 0 THEN"
+            " (1000000000 * CAST(dcg_nano AS DECIMAL(38,0))) div idcg_nano"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ndcg_ppb"),
+    ).orderBy("query_id")
