@@ -1370,3 +1370,700 @@ def agg_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("ndcg_ppb"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# orders_dft_annual_power — spectral power at the 12-month period
+# ---------------------------------------------------------------------------
+
+# cos/sin(2*pi*(m-1)/12) as shared nano-unit integer literals (month 1..12):
+# NO trig runs at query time — the annual-frequency DFT becomes an exact
+# integer dot product on both engines.
+_DFT_COS = (
+    "[1000000000, 866025404, 500000000, 0, -500000000, -866025404,"
+    " -1000000000, -866025404, -500000000, 0, 500000000, 866025404]"
+)
+_DFT_SIN = (
+    "[0, 500000000, 866025404, 1000000000, 866025404, 500000000,"
+    " 0, -500000000, -866025404, -1000000000, -866025404, -500000000]"
+)
+
+
+@register(
+    "orders_dft_annual_power",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY date_trunc('month', o_orderdate),
+                           month(o_orderdate)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT) * ({_DFT_COS})[mo]) AS HUGEINT)
+               AS cn,
+             CAST(sum(CAST(x AS HUGEINT) * ({_DFT_SIN})[mo]) AS HUGEINT)
+               AS sn,
+             CAST(sum(x) AS HUGEINT) AS tot
+      FROM m
+    ),
+    r AS (
+      SELECT n, tot, cn // 1000000000 AS cr, sn // 1000000000 AS sr
+      FROM s
+    )
+    SELECT n AS n_months,
+           CAST(cr AS BIGINT) AS cos_sum_cents,
+           CAST(sr AS BIGINT) AS sin_sum_cents,
+           CAST((cr * cr + sr * sr) // (greatest(n, 1) * 1000000)
+                AS BIGINT) AS power_mega_cents2,
+           CAST(floor(sqrt(CAST(cr * cr + sr * sr AS DOUBLE)) * 2.0
+                      / CAST(n AS DOUBLE)) AS BIGINT)
+             AS amplitude_cents
+    FROM r
+    """,
+    doc="Discrete-Fourier power of monthly revenue at the ANNUAL "
+    "frequency (period 12): C = sum x_t cos(2pi m_t/12), S = sum x_t "
+    "sin(...), power = (C^2+S^2)/n and seasonal amplitude 2|F|/n — "
+    "the frequency-domain seasonality readout that complements "
+    "orders_seasonality_strength (variance-ratio) and "
+    "agg_autocorrelation (lag-domain): it measures the SINUSOIDAL "
+    "component at exactly one cycle/year. The twelve cos/sin values "
+    "are shared nano-unit integer LITERALS (no trig at query time), "
+    "so C and S are exact integer dot products over the calendar-"
+    "bounded month relation; they reduce by 1e9 before squaring "
+    "(keeping n*power under 2^63 through sf1000), and the amplitude "
+    "is one fixed-shape sqrt over those exact integers. One month "
+    "rollup; no windows, no joins. Spark div and DuckDB // both "
+    "truncate toward zero, so the signed reductions match exactly.",
+)
+def orders_dft_annual_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    cos_arr = "array" + _DFT_COS.replace("[", "(").replace("]", ")")
+    sin_arr = "array" + _DFT_SIN.replace("[", "(").replace("]", ")")
+    s = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(
+            F.expr(
+                f"CAST(x AS DECIMAL(38,0))"
+                f" * element_at({cos_arr}, CAST(mo AS INT))"
+            )
+        ).alias("cn"),
+        _dsum(
+            F.expr(
+                f"CAST(x AS DECIMAL(38,0))"
+                f" * element_at({sin_arr}, CAST(mo AS INT))"
+            )
+        ).alias("sn"),
+        _dsum(F.col("x")).alias("tot"),
+    )
+    r = s.select(
+        "n",
+        F.expr("CAST(cn div 1000000000 AS DECIMAL(38,0))").alias("cr"),
+        F.expr("CAST(sn div 1000000000 AS DECIMAL(38,0))").alias("sr"),
+    )
+    return r.select(
+        F.col("n").alias("n_months"),
+        F.expr("CAST(cr AS BIGINT)").alias("cos_sum_cents"),
+        F.expr("CAST(sr AS BIGINT)").alias("sin_sum_cents"),
+        F.expr(
+            "CAST((cr * cr + sr * sr) div (greatest(n, 1) * 1000000)"
+            " AS BIGINT)"
+        ).alias("power_mega_cents2"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(cr * cr + sr * sr AS DOUBLE)) * 2.0"
+            " / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("amplitude_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_sprt_sequential — Wald SPRT monitor on the daily return rate
+# ---------------------------------------------------------------------------
+
+# floor-quantized micro-nat literals of the hypothesis log-ratios:
+# H0 p0 = 24%, H1 p1 = 26%; ln(p1/p0) = ln(13/12), ln((1-p1)/(1-p0)) =
+# ln(37/38); alpha = beta = 0.05 -> boundaries +-ln(19).
+_SPRT_L1 = 80042
+_SPRT_L0 = -26669
+_SPRT_A = 2944438
+
+
+@register(
+    "orders_sprt_sequential",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n, r,
+             CAST(sum(r * {_SPRT_L1} + (n - r) * ({_SPRT_L0}))
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS llr
+      FROM d
+    ),
+    hit AS (
+      SELECT min(day) AS dday FROM c
+      WHERE llr >= {_SPRT_A} OR llr <= -{_SPRT_A}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(coalesce((SELECT count(*) FROM c
+                          WHERE c.day <= (SELECT dday FROM hit)), 0)
+                AS BIGINT) AS decision_day_index,
+           coalesce((SELECT CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+                                 ELSE 'accept_h0' END
+                     FROM c WHERE c.day = (SELECT dday FROM hit)),
+                    'continue') AS decision,
+           CAST((SELECT llr FROM c ORDER BY day DESC LIMIT 1) AS BIGINT)
+             AS final_llr_micro
+    FROM c
+    """,
+    doc="Wald sequential probability-ratio test (SPRT) monitoring the "
+    "daily return rate: H0 p=24% vs H1 p=26%, alpha=beta=5%. Each "
+    "ship-day contributes the exact integer log-likelihood increment "
+    "r*ln(p1/p0) + (n-r)*ln(q1/q0) in micro-nats — BOTH log-ratios "
+    "and the ln(19) boundaries are floor-quantized shared LITERALS, "
+    "so no logarithm runs at query time and the cumulative LLR path, "
+    "the first boundary crossing, and the decision are exact integer "
+    "arithmetic. This is the always-valid sequential monitor a "
+    "streaming quality gate runs per epoch, beside the fixed-horizon "
+    "tests (agg_welch_ttest) and control charts (orders_shewhart_"
+    "control, orders_cusum_control — CUSUM detects shifts, SPRT "
+    "DECIDES between hypotheses with error guarantees). One day "
+    "rollup; one calendar-bounded prefix window.",
+)
+def orders_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    d = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        "n",
+        "r",
+        F.sum(
+            F.col("r") * F.lit(_SPRT_L1) + (F.col("n") - F.col("r")) * F.lit(_SPRT_L0)
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("llr"),
+    )
+    hit = c.filter(
+        (F.col("llr") >= _SPRT_A) | (F.col("llr") <= -_SPRT_A)
+    ).agg(F.min("day").alias("dday"))
+    last = c.orderBy(F.col("day").desc()).limit(1).select(
+        F.col("llr").alias("final_llr_micro")
+    )
+    agg = c.crossJoin(F.broadcast(hit)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("day") <= F.col("dday"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("decision_day_index"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("day") == F.col("dday"),
+                    F.when(F.col("llr") >= _SPRT_A, "accept_h1").otherwise(
+                        "accept_h0"
+                    ),
+                )
+            ),
+            F.lit("continue"),
+        ).alias("decision"),
+    )
+    return agg.crossJoin(F.broadcast(last)).select(
+        "n_days", "decision_day_index", "decision", "final_llr_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_damped_trend — damped Holt (phi=0.9) per priority, final state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_damped_trend",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT priority, x,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY month)
+                  AS BIGINT) AS i
+      FROM monthly
+    ),
+    nn AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY 1
+    ),
+    rec AS (
+      SELECT priority, i, x AS l, CAST(0 AS BIGINT) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.priority, idx.i,
+             CAST(round(0.3 * idx.x
+                        + 0.7 * (rec.l + 0.9 * rec.b)) AS BIGINT),
+             CAST(round(0.2 * (CAST(round(0.3 * idx.x
+                          + 0.7 * (rec.l + 0.9 * rec.b)) AS BIGINT)
+                          - rec.l)
+                        + 0.72 * rec.b) AS BIGINT)
+      FROM rec JOIN idx
+        ON idx.priority = rec.priority AND idx.i = rec.i + 1
+    ),
+    fin AS (
+      SELECT rec.priority, rec.l, rec.b
+      FROM rec JOIN nn ON rec.priority = nn.priority AND rec.i = nn.n
+    )
+    SELECT f.priority AS priority, nn.n AS n_months,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + CAST(round(0.9 * b) AS BIGINT) AS BIGINT)
+             AS forecast_1_cents,
+           CAST(l + CAST(round(1.71 * b) AS BIGINT) AS BIGINT)
+             AS forecast_2_cents,
+           CAST(l + CAST(round(2.439 * b) AS BIGINT) AS BIGINT)
+             AS forecast_3_cents
+    FROM fin f JOIN nn ON f.priority = nn.priority
+    ORDER BY f.priority
+    """,
+    doc="Damped-trend exponential smoothing (Gardner-McKenzie; alpha=0.3, "
+    "beta=0.2, phi=0.9) of monthly revenue per priority — the variant "
+    "that beat plain Holt across the M-competitions by letting the "
+    "trend decay geometrically instead of extrapolating linearly "
+    "forever: l_t = a*x + (1-a)(l + phi*b), b_t = g(l_t - l) + "
+    "(1-g)phi*b, F_h = l + (phi + ... + phi^h) b. State is INTEGER "
+    "CENTS re-quantized each step with round-to-integer of NON-DYADIC "
+    "double products (the orders_holt_linear determinism argument: "
+    "0.3/0.7/0.9 products cannot land on exact .5 doubles); the "
+    "damped forecast weights 0.9/1.71/2.439 are shared literals. "
+    "Spark folds the calendar-bounded series with the aggregate HOF; "
+    "the oracle replays the identical fold as a recursive CTE. Facts "
+    "reduce map-side to (priority, month); O(1) state per series.",
+)
+def orders_damped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ser = monthly.groupBy("priority").agg(
+        F.expr("array_sort(collect_list(struct(month, x)))").alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fold = F.expr(
+        "aggregate("
+        "transform(slice(ms, 2, size(ms) - 1), e -> e.x), "
+        "named_struct('l', element_at(ms, 1).x, 'b', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'l', CAST(round(0.3D * x + 0.7D * (acc.l + 0.9D * acc.b))"
+        " AS BIGINT), "
+        "'b', CAST(round(0.2D * (CAST(round(0.3D * x"
+        " + 0.7D * (acc.l + 0.9D * acc.b)) AS BIGINT) - acc.l)"
+        " + 0.72D * acc.b) AS BIGINT)))"
+    )
+    fin = ser.select(
+        "priority", F.col("n").alias("n_months"), fold.alias("st")
+    )
+    return fin.select(
+        "priority",
+        "n_months",
+        F.col("st.l").alias("level_cents"),
+        F.col("st.b").alias("trend_cents"),
+        F.expr(
+            "CAST(st.l + CAST(round(0.9D * st.b) AS BIGINT) AS BIGINT)"
+        ).alias("forecast_1_cents"),
+        F.expr(
+            "CAST(st.l + CAST(round(1.71D * st.b) AS BIGINT) AS BIGINT)"
+        ).alias("forecast_2_cents"),
+        F.expr(
+            "CAST(st.l + CAST(round(2.439D * st.b) AS BIGINT) AS BIGINT)"
+        ).alias("forecast_3_cents"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# orders_bass_diffusion — Bass new-adopter model via closed-form quadratic OLS
+# ---------------------------------------------------------------------------
+
+_BASS_DETS = """
+      CAST(t0 AS DOUBLE) AS d_t0, CAST(s1 AS DOUBLE) AS d_s1,
+      CAST(s2 AS DOUBLE) AS d_s2, CAST(s3 AS DOUBLE) AS d_s3,
+      CAST(s4 AS DOUBLE) AS d_s4, CAST(sy AS DOUBLE) AS d_sy,
+      CAST(sy1 AS DOUBLE) AS d_sy1, CAST(sy2 AS DOUBLE) AS d_sy2
+"""
+
+
+@register(
+    "orders_bass_diffusion",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS fm
+      FROM orders GROUP BY 1
+    ),
+    ad AS (
+      SELECT fm, CAST(count(*) AS BIGINT) AS n_new
+      FROM fo GROUP BY 1
+    ),
+    cum AS (
+      SELECT fm, n_new,
+             CAST(coalesce(sum(n_new) OVER (ORDER BY fm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 10 AS BIGINT) AS y
+      FROM ad
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS t0,
+             CAST(sum(y) AS HUGEINT) AS s1,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2,
+             CAST(sum(CAST(y AS HUGEINT) * y * y) AS HUGEINT) AS s3,
+             CAST(sum(CAST(y AS HUGEINT) * y * y * y) AS HUGEINT) AS s4,
+             CAST(sum(n_new) AS HUGEINT) AS sy,
+             CAST(sum(CAST(n_new AS HUGEINT) * y) AS HUGEINT) AS sy1,
+             CAST(sum(CAST(n_new AS HUGEINT) * y * y) AS HUGEINT) AS sy2
+      FROM cum
+    ),
+    d AS (
+      SELECT t0, """ + _BASS_DETS + """
+      FROM s
+    ),
+    det AS (
+      SELECT t0,
+             d_t0 * (d_s2 * d_s4 - d_s3 * d_s3)
+               - d_s1 * (d_s1 * d_s4 - d_s3 * d_s2)
+               + d_s2 * (d_s1 * d_s3 - d_s2 * d_s2) AS dd,
+             d_sy * (d_s2 * d_s4 - d_s3 * d_s3)
+               - d_s1 * (d_sy1 * d_s4 - d_s3 * d_sy2)
+               + d_s2 * (d_sy1 * d_s3 - d_s2 * d_sy2) AS da,
+             d_t0 * (d_sy1 * d_s4 - d_sy2 * d_s3)
+               - d_sy * (d_s1 * d_s4 - d_s3 * d_s2)
+               + d_s2 * (d_s1 * d_sy2 - d_s2 * d_sy1) AS db,
+             d_t0 * (d_s2 * d_sy2 - d_s3 * d_sy1)
+               - d_s1 * (d_s1 * d_sy2 - d_s3 * d_sy)
+               + d_sy * (d_s1 * d_s3 - d_s2 * d_s2) AS dc
+      FROM d
+    )
+    SELECT t0 AS n_months,
+           CAST(floor(1000000.0 * da / dd) AS BIGINT) AS a_micro,
+           CAST(floor(1000000.0 * db / dd) AS BIGINT) AS b_micro,
+           CAST(floor(1000000000.0 * dc / dd) AS BIGINT) AS c_nano,
+           CAST(CASE WHEN dc / dd < 0
+                      AND (db / dd) * (db / dd)
+                          - 4.0 * (da / dd) * (dc / dd) >= 0
+                THEN floor((-(db / dd)
+                     - sqrt((db / dd) * (db / dd)
+                            - 4.0 * (da / dd) * (dc / dd)))
+                     / (2.0 * (dc / dd)))
+                ELSE 0 END AS BIGINT) AS market_size_tens
+    FROM det
+    """,
+    doc="Bass diffusion model of customer adoption (first-order month): "
+    "new adopters n_t = a + b*Y_{t-1} + c*Y_{t-1}^2 with Y the "
+    "cumulative adopter count (scaled to tens for moment headroom) — "
+    "the classic innovation/imitation growth model, fit in CLOSED "
+    "FORM by Cramer's rule on the 3x3 normal equations (the "
+    "orders_ols_multifactor recipe, one order up). All eight moment "
+    "sums are exact HUGEINT/DECIMAL integers from ONE pass over the "
+    "calendar-bounded month relation; the four 3x3 determinants and "
+    "the implied market size m = (-b - sqrt(b^2-4ac))/(2c) are "
+    "fixed-shape double expressions over those exact integers, "
+    "floor-quantized (guarded to 0 when the quadratic has no "
+    "admissible root, i.e. c >= 0 — no diffusion saturation "
+    "detectable). One customer-keyed rollup + one bounded prefix "
+    "window; O(1) reduce state.",
+)
+def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("fm")
+    )
+    ad = fo.groupBy("fm").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = Window.orderBy("fm").rowsBetween(Window.unboundedPreceding, -1)
+    cum = ad.select(
+        "fm",
+        "n_new",
+        F.expr(
+            "CAST(0 AS BIGINT)"
+        ).alias("zero"),
+    ).select(
+        "fm",
+        "n_new",
+        (F.coalesce(F.sum("n_new").over(w), F.col("zero")) / 10)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t0"),
+        _dsum(F.col("y")).alias("s1"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("s2"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y * y")).alias("s3"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y * y * y")).alias("s4"),
+        _dsum(F.col("n_new")).alias("sy"),
+        _dsum(F.expr("CAST(n_new AS DECIMAL(38,0)) * y")).alias("sy1"),
+        _dsum(F.expr("CAST(n_new AS DECIMAL(38,0)) * y * y")).alias("sy2"),
+    )
+    d = s.select(
+        "t0",
+        *[
+            F.col(c).cast("double").alias(f"d_{c}")
+            for c in ["t0", "s1", "s2", "s3", "s4", "sy", "sy1", "sy2"]
+        ],
+    )
+    det = d.select(
+        "t0",
+        F.expr(
+            "d_t0 * (d_s2 * d_s4 - d_s3 * d_s3)"
+            " - d_s1 * (d_s1 * d_s4 - d_s3 * d_s2)"
+            " + d_s2 * (d_s1 * d_s3 - d_s2 * d_s2)"
+        ).alias("dd"),
+        F.expr(
+            "d_sy * (d_s2 * d_s4 - d_s3 * d_s3)"
+            " - d_s1 * (d_sy1 * d_s4 - d_s3 * d_sy2)"
+            " + d_s2 * (d_sy1 * d_s3 - d_s2 * d_sy2)"
+        ).alias("da"),
+        F.expr(
+            "d_t0 * (d_sy1 * d_s4 - d_sy2 * d_s3)"
+            " - d_sy * (d_s1 * d_s4 - d_s3 * d_s2)"
+            " + d_s2 * (d_s1 * d_sy2 - d_s2 * d_sy1)"
+        ).alias("db"),
+        F.expr(
+            "d_t0 * (d_s2 * d_sy2 - d_s3 * d_sy1)"
+            " - d_s1 * (d_s1 * d_sy2 - d_s3 * d_sy)"
+            " + d_sy * (d_s1 * d_s3 - d_s2 * d_s2)"
+        ).alias("dc"),
+    )
+    return det.select(
+        F.col("t0").alias("n_months"),
+        F.expr("CAST(floor(1000000.0 * da / dd) AS BIGINT)").alias("a_micro"),
+        F.expr("CAST(floor(1000000.0 * db / dd) AS BIGINT)").alias("b_micro"),
+        F.expr("CAST(floor(1000000000.0 * dc / dd) AS BIGINT)").alias(
+            "c_nano"
+        ),
+        F.expr(
+            "CAST(CASE WHEN dc / dd < 0"
+            " AND (db / dd) * (db / dd)"
+            "     - 4.0 * (da / dd) * (dc / dd) >= 0"
+            " THEN floor((-(db / dd)"
+            "      - sqrt((db / dd) * (db / dd)"
+            "             - 4.0 * (da / dd) * (dc / dd)))"
+            "      / (2.0 * (dc / dd)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("market_size_tens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_dfa_alpha — detrended fluctuation analysis of the daily event series
+# ---------------------------------------------------------------------------
+
+
+def _dfa_boxes_sql(s: int) -> str:
+    """Per-box detrended residual sum at box size s, micro-quantized:
+    RSS = Syy - Sy^2/s - (Sjy - (s+1)Sy/2)^2 / (s(s^2-1)/12), computed as
+    one fixed-shape double expression over exact integer box sums."""
+    return f"""
+      SELECT {s} AS scale, CAST(count(*) AS BIGINT) AS n_boxes,
+             CAST(sum(rss_micro) AS HUGEINT) AS total_micro
+      FROM (
+        SELECT CAST(floor(
+            1000000.0 * (
+              CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / {s}
+              - (CAST(sjy AS DOUBLE) - {(s + 1)} * CAST(sy AS DOUBLE) / 2.0)
+                * (CAST(sjy AS DOUBLE) - {(s + 1)} * CAST(sy AS DOUBLE) / 2.0)
+                / {s * (s * s - 1) / 12.0}
+            )) AS HUGEINT) AS rss_micro
+        FROM (
+          SELECT (k - 1) // {s} AS box,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(p) AS HUGEINT) AS sy,
+                 CAST(sum((k - ((k - 1) // {s}) * {s}) * CAST(p AS HUGEINT))
+                      AS HUGEINT) AS sjy,
+                 CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS syy
+          FROM prof GROUP BY 1
+        ) WHERE cnt = {s}
+      )
+    """
+
+
+@register(
+    "events_dfa_alpha",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, y
+      FROM d
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS t
+      FROM idx
+    ),
+    prof AS (
+      SELECT k,
+             CAST(tot.n * sum(y) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) - k * tot.t AS BIGINT) AS p
+      FROM idx, tot
+    ),
+    f8 AS ({_dfa_boxes_sql(8)}),
+    f16 AS ({_dfa_boxes_sql(16)}),
+    f32 AS ({_dfa_boxes_sql(32)}),
+    fs AS (
+      SELECT f8.n_boxes AS b8,
+             CAST(f8.total_micro // (f8.n_boxes * 8) AS BIGINT) AS f2_8,
+             CAST(f16.total_micro // (f16.n_boxes * 16) AS BIGINT) AS f2_16,
+             CAST(f32.total_micro // (f32.n_boxes * 32) AS BIGINT) AS f2_32
+      FROM f8, f16, f32
+    )
+    SELECT (SELECT n FROM tot) AS n_days, b8 AS n_boxes_8,
+           f2_8 AS f2_8_micro, f2_16 AS f2_16_micro, f2_32 AS f2_32_micro,
+           CAST(floor(1000000.0
+                * ln(CAST(f2_32 AS DOUBLE) / CAST(f2_8 AS DOUBLE))
+                / (2.0 * 1.3862943611198906)) AS BIGINT) AS alpha_micro
+    FROM fs
+    """,
+    doc="Detrended fluctuation analysis (DFA) of the daily event-count "
+    "series at box scales 8/16/32 days: integrate the mean-centered "
+    "series into the n-scaled EXACT integer profile P_k = n*prefix_k "
+    "- k*total (the events_cusum_changepoint identity), split into "
+    "complete boxes, least-squares-detrend each box via the CLOSED "
+    "FORM RSS = Syy - Sy^2/s - (Sjy - (s+1)Sy/2)^2/(s(s^2-1)/12) "
+    "over exact per-box integer sums, and read the scaling exponent "
+    "alpha = ln(F2(32)/F2(8)) / (2 ln 4) — alpha ~ 0.5 is white "
+    "noise, > 0.5 long-range-correlated activity: the long-memory "
+    "readout beside events_gap_burstiness (B) and events_gap_memory "
+    "(M), on COUNTS rather than gaps (and the fluctuation-function "
+    "sibling of orders_rescaled_range's Hurst R/S). Per-box RSS "
+    "floor-quantizes to micro before the exact box sum; the common "
+    "n^2 profile scale cancels inside the log ratio. One day rollup, "
+    "one calendar-bounded prefix window, box sums via grid "
+    "aggregation.",
+)
+def events_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    idx = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        "y",
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"),
+    )
+    wp = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prof = idx.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        (
+            F.col("n") * F.sum("y").over(wp) - F.col("k") * F.col("t")
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+
+    def boxes(s: int):
+        g = (
+            prof.groupBy(((F.col("k") - 1) / s).cast("bigint").alias("box"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                _dsum(F.col("p")).alias("sy"),
+                _dsum(
+                    (
+                        F.col("k")
+                        - ((F.col("k") - 1) / s).cast("bigint") * s
+                    ).cast("decimal(38,0)")
+                    * F.col("p")
+                ).alias("sjy"),
+                _dsum(F.expr("CAST(p AS DECIMAL(38,0)) * p")).alias("syy"),
+            )
+            .filter(F.col("cnt") == s)
+        )
+        rss = g.select(
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double") / s
+                    - (
+                        F.col("sjy").cast("double")
+                        - (s + 1) * F.col("sy").cast("double") / 2.0
+                    )
+                    * (
+                        F.col("sjy").cast("double")
+                        - (s + 1) * F.col("sy").cast("double") / 2.0
+                    )
+                    / (s * (s * s - 1) / 12.0)
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("rss_micro")
+        )
+        return rss.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"b{s}"),
+            F.sum("rss_micro").alias(f"tm{s}"),
+        )
+
+    fs = (
+        boxes(8)
+        .crossJoin(F.broadcast(boxes(16)))
+        .crossJoin(F.broadcast(boxes(32)))
+        .select(
+            F.col("b8").alias("n_boxes_8"),
+            F.expr("CAST(tm8 div (b8 * 8) AS BIGINT)").alias("f2_8_micro"),
+            F.expr("CAST(tm16 div (b16 * 16) AS BIGINT)").alias(
+                "f2_16_micro"
+            ),
+            F.expr("CAST(tm32 div (b32 * 32) AS BIGINT)").alias(
+                "f2_32_micro"
+            ),
+        )
+    )
+    return fs.crossJoin(F.broadcast(tot.select(F.col("n").alias("n_days")))).select(
+        "n_days",
+        F.col("n_boxes_8"),
+        "f2_8_micro",
+        "f2_16_micro",
+        "f2_32_micro",
+        F.expr(
+            "CAST(floor(1000000.0"
+            " * ln(CAST(f2_32_micro AS DOUBLE) / CAST(f2_8_micro AS DOUBLE))"
+            " / (2.0 * 1.3862943611198906)) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
