@@ -2067,3 +2067,495 @@ def events_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (2.0 * 1.3862943611198906)) AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_circular_stats — circular concentration of event hour-of-day
+# ---------------------------------------------------------------------------
+
+# cos/sin(2*pi*h/24) for h = 0..23 as shared nano-unit integer literals
+_CIRC_COS = (
+    "[1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,"
+    " 0, -258819045, -500000000, -707106781, -866025404, -965925826,"
+    " -1000000000, -965925826, -866025404, -707106781, -500000000,"
+    " -258819045, 0, 258819045, 500000000, 707106781, 866025404,"
+    " 965925826]"
+)
+_CIRC_SIN = (
+    "[0, 258819045, 500000000, 707106781, 866025404, 965925826,"
+    " 1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,"
+    " 0, -258819045, -500000000, -707106781, -866025404, -965925826,"
+    " -1000000000, -965925826, -866025404, -707106781, -500000000,"
+    " -258819045]"
+)
+
+
+@register(
+    "events_circular_stats",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hh, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * ({_CIRC_COS})[hh + 1])
+                  AS HUGEINT) AS cc,
+             CAST(sum(CAST(c AS HUGEINT) * ({_CIRC_SIN})[hh + 1])
+                  AS HUGEINT) AS ss
+      FROM h
+    )
+    SELECT n AS n_events,
+           CAST(cc // 1000000 AS BIGINT) AS cos_sum_milli,
+           CAST(ss // 1000000 AS BIGINT) AS sin_sum_milli,
+           CAST(floor(1000000.0
+                * sqrt(CAST(cc // 1000 AS DOUBLE)
+                       * CAST(cc // 1000 AS DOUBLE)
+                       + CAST(ss // 1000 AS DOUBLE)
+                       * CAST(ss // 1000 AS DOUBLE))
+                / (1000000.0 * n)) AS BIGINT) AS rbar_ppm,
+           CAST(floor((CAST(cc // 1000 AS DOUBLE)
+                       * CAST(cc // 1000 AS DOUBLE)
+                       + CAST(ss // 1000 AS DOUBLE)
+                       * CAST(ss // 1000 AS DOUBLE))
+                / (1000000000000.0 * n)) AS BIGINT) AS rayleigh_z_micro
+    FROM s
+    """,
+    doc="Circular statistics of event HOUR-OF-DAY: mean resultant length "
+    "R-bar = |sum_h n_h e^(i 2pi h/24)| / n and the Rayleigh test "
+    "statistic z = n R-bar^2 for non-uniformity on the 24-hour circle "
+    "— the directional-statistics treatment of daily rhythm that "
+    "events_hourly_profile (raw profile) and linear variance cannot "
+    "give (hour 23 and hour 0 are NEIGHBORS on the circle). The 24 "
+    "cos/sin values are shared nano-unit integer LITERALS (no trig at "
+    "query time), so the resultant components are exact integer dot "
+    "products over the 24-cell hour domain; they reduce by 1e3 "
+    "before squaring (under 2^53 as doubles through sf1000) and "
+    "R-bar/z are fixed-shape floor-quantized doubles. One 24-cell "
+    "rollup; no windows, no joins; signed // and div truncate "
+    "identically.",
+)
+def events_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = ev.groupBy(F.hour("ts").cast("bigint").alias("hh")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cos_arr = "array" + _CIRC_COS.replace("[", "(").replace("]", ")")
+    sin_arr = "array" + _CIRC_SIN.replace("[", "(").replace("]", ")")
+    s = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        _dsum(
+            F.expr(
+                f"CAST(c AS DECIMAL(38,0))"
+                f" * element_at({cos_arr}, CAST(hh + 1 AS INT))"
+            )
+        ).alias("cc"),
+        _dsum(
+            F.expr(
+                f"CAST(c AS DECIMAL(38,0))"
+                f" * element_at({sin_arr}, CAST(hh + 1 AS INT))"
+            )
+        ).alias("ss"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.expr("CAST(cc div 1000000 AS BIGINT)").alias("cos_sum_milli"),
+        F.expr("CAST(ss div 1000000 AS BIGINT)").alias("sin_sum_milli"),
+        F.expr(
+            "CAST(floor(1000000.0"
+            " * sqrt(CAST(cc div 1000 AS DOUBLE)"
+            "        * CAST(cc div 1000 AS DOUBLE)"
+            "        + CAST(ss div 1000 AS DOUBLE)"
+            "        * CAST(ss div 1000 AS DOUBLE))"
+            " / (1000000.0 * n)) AS BIGINT)"
+        ).alias("rbar_ppm"),
+        F.expr(
+            "CAST(floor((CAST(cc div 1000 AS DOUBLE)"
+            "            * CAST(cc div 1000 AS DOUBLE)"
+            "            + CAST(ss div 1000 AS DOUBLE)"
+            "            * CAST(ss div 1000 AS DOUBLE))"
+            " / (1000000000000.0 * n)) AS BIGINT)"
+        ).alias("rayleigh_z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_user_type_entropy — per-user behavioral entropy, corpus summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_type_entropy",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                  AS BIGINT)) AS BIGINT) AS s_clnc
+      FROM ut GROUP BY 1
+    ),
+    he AS (
+      SELECT user_id, n, k,
+             CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+               - s_clnc // n AS h_micro
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_single_type,
+           CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro,
+           CAST(max(h_micro) AS BIGINT) AS max_h_micro,
+           CAST(min(h_micro) AS BIGINT) AS min_h_micro
+    FROM he
+    """,
+    doc="Per-user behavioral entropy over event types, summarized "
+    "corpus-wide: H_u = ln n_u - (1/n_u) sum c ln c via the exact "
+    "c*ln(c) identity, with each user's sum(floor(1e6 * c ln c)) an "
+    "exact integer over the <= |type|-cell per-user distribution and "
+    "ONE non-negative floor-division per user — the user-level "
+    "diversity readout (how specialized is each account's behavior?) "
+    "complementing the corpus-level events_entropy_rate (Markov, "
+    "sequence-aware) and events_type_cooccurrence. Emits the user "
+    "count, single-type (zero-entropy) user count, and mean/max/min "
+    "entropy in micro-nats — all integer. Two keyed aggregations, "
+    "shuffle keyed by user then a scalar reduce; no windows.",
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = ut.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("c")
+                * F.log(F.col("c").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_clnc"),
+    )
+    he = u.select(
+        "k",
+        (
+            F.floor(F.lit(1000000.0) * F.log(F.col("n").cast("double"))).cast(
+                "bigint"
+            )
+            - F.expr("s_clnc div n")
+        ).alias("h_micro"),
+    )
+    return he.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_type"),
+        F.expr("CAST(sum(h_micro) div count(*) AS BIGINT)").alias(
+            "mean_h_micro"
+        ),
+        F.max("h_micro").cast("bigint").alias("max_h_micro"),
+        F.min("h_micro").cast("bigint").alias("min_h_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_p_chart — attribute control chart on the monthly return proportion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_p_chart",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS l, CAST(sum(r) AS BIGINT) AS rr
+      FROM m
+    )
+    SELECT m.month, m.n AS n_lines, m.r AS n_returns,
+           CAST((1000000 * m.r) // m.n AS BIGINT) AS phat_ppm,
+           CAST((1000000 * t.rr) // t.l AS BIGINT) AS pbar_ppm,
+           CAST(CASE WHEN CAST(m.r AS HUGEINT) * t.l > CAST(m.n AS HUGEINT)
+                          * t.rr THEN 1 ELSE 0 END AS BIGINT) AS is_above,
+           CAST(CASE WHEN (CAST(m.r AS HUGEINT) * t.l
+                           - CAST(m.n AS HUGEINT) * t.rr)
+                          * (CAST(m.r AS HUGEINT) * t.l
+                             - CAST(m.n AS HUGEINT) * t.rr)
+                          > 9 * CAST(t.rr AS HUGEINT) * (t.l - t.rr) * m.n
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM m, t
+    ORDER BY m.month
+    """,
+    doc="p-chart (attribute control chart) on the monthly return "
+    "PROPORTION: center p-bar = R/L pooled over all ship months, "
+    "3-sigma binomial limits p-bar +- 3 sqrt(p-bar(1-p-bar)/n_t) — "
+    "the fraction-nonconforming companion to the measurement charts "
+    "(orders_shewhart_control on revenue, orders_xmr_chart, "
+    "orders_ewma_control): variable monthly sample sizes get "
+    "per-month limits automatically. The control decision is the "
+    "EXACT integer cross-multiplication (r_t L - n_t R)^2 > "
+    "9 R (L-R) n_t (both sides under 10^38 through sf100) — no "
+    "square root ever evaluated for the flag; phat/pbar land as ppm "
+    "floor-divisions. One month rollup + 1-row broadcast; no "
+    "windows.",
+)
+def orders_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    m = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    t = m.agg(
+        F.sum("n").cast("bigint").alias("l"),
+        F.sum("r").cast("bigint").alias("rr"),
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "month",
+            F.col("n").alias("n_lines"),
+            F.col("r").alias("n_returns"),
+            F.expr("CAST((1000000 * r) div n AS BIGINT)").alias("phat_ppm"),
+            F.expr("CAST((1000000 * rr) div l AS BIGINT)").alias("pbar_ppm"),
+            F.expr(
+                "CAST(CASE WHEN CAST(r AS DECIMAL(38,0)) * l"
+                " > CAST(n AS DECIMAL(38,0)) * rr THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_above"),
+            F.expr(
+                "CAST(CASE WHEN (CAST(r AS DECIMAL(38,0)) * l"
+                " - CAST(n AS DECIMAL(38,0)) * rr)"
+                " * (CAST(r AS DECIMAL(38,0)) * l"
+                "    - CAST(n AS DECIMAL(38,0)) * rr)"
+                " > 9 * CAST(rr AS DECIMAL(38,0)) * (l - rr) * n"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("out_of_control"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_vmr_windows — index-of-dispersion curve across window sizes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_vmr_windows",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events
+      WHERE ts IS NOT NULL
+    ),
+    sizes AS (
+      SELECT unnest([3600, 21600, 86400]) AS w
+    ),
+    b AS (
+      SELECT sizes.w, e.sec // sizes.w AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM e, sizes GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+      FROM b GROUP BY 1
+    )
+    SELECT CAST(w AS BIGINT) AS window_seconds, k AS n_buckets,
+           CAST(sc // k AS BIGINT) AS mean_count,
+           CAST((1000000000 * (k * sc2 - CAST(sc AS HUGEINT) * sc))
+                // (CAST(k - 1 AS HUGEINT) * k * sc) AS BIGINT)
+             AS vmr_ppb
+    FROM s
+    WHERE k > 1
+    ORDER BY window_seconds
+    """,
+    doc="Index-of-dispersion (variance-to-mean ratio, Fano factor) of "
+    "event counts at THREE window scales — 1 hour, 6 hours, 1 day — "
+    "over occupied buckets: a Poisson process holds VMR = 1 at every "
+    "scale, so the VMR-vs-scale CURVE separates burst clustering "
+    "(rising) from regular spacing (falling) in a way the single-"
+    "scale agg_dispersion_test cannot; the count-domain companion to "
+    "events_dfa_alpha's fluctuation exponent. With sample variance "
+    "(k*S2 - S^2)/(k(k-1)) and mean S/k, VMR = (k*S2 - S^2)/"
+    "((k-1)*S) — ONE exact non-negative integer ratio per scale, ppb "
+    "floor-division. The 3-way size expansion happens on the bucket "
+    "GRID (3 rollups' worth of cells, never 3x the raw rows "
+    "shuffled... the per-(size,bucket) rollup is map-combined). No "
+    "windows, no joins beyond the 3-row size scaffold.",
+)
+def events_vmr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        F.expr("unix_micros(ts) div 1000000").cast("bigint").alias("sec")
+    )
+    sizes = (
+        table(spark, sf_dir, "events")
+        .sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(3600), F.lit(21600), F.lit(86400))
+            ).alias("w")
+        )
+    )
+    b = (
+        e.crossJoin(F.broadcast(sizes))
+        .groupBy("w", F.expr("sec div w").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = b.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("sc"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sc2"),
+    )
+    return (
+        s.filter(F.col("k") > 1)
+        .select(
+            F.col("w").cast("bigint").alias("window_seconds"),
+            F.col("k").alias("n_buckets"),
+            F.expr("CAST(sc div k AS BIGINT)").alias("mean_count"),
+            F.expr(
+                "CAST((1000000000 * (k * sc2 - CAST(sc AS DECIMAL(38,0))"
+                " * sc)) div (CAST(k - 1 AS DECIMAL(38,0)) * k * sc)"
+                " AS BIGINT)"
+            ).alias("vmr_ppb"),
+        )
+        .orderBy("window_seconds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_wright_learning — experience-curve slope (log-log OLS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_wright_learning",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT month, q, rev,
+             CAST(sum(q) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cq,
+             CAST((1000 * rev) // (100 * q) AS BIGINT) AS up_milli
+      FROM m
+    ),
+    pts AS (
+      SELECT CAST(floor(1000000.0 * ln(CAST(cq AS DOUBLE))) AS BIGINT)
+               AS x,
+             CAST(floor(1000000.0 * ln(CAST(up_milli AS DOUBLE)))
+                  AS BIGINT) AS y
+      FROM cum WHERE q > 0 AND up_milli > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_months,
+           CAST(CASE WHEN n * sxy >= sx * sy THEN 1 ELSE -1 END AS BIGINT)
+             AS slope_sign,
+           CAST((1000000 * abs(n * sxy - sx * sy))
+                // greatest(n * sxx - sx * sx, 1) AS BIGINT)
+             AS slope_abs_micro,
+           CAST((1000000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                // greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 1)
+                AS BIGINT) AS r2_ppb
+    FROM s
+    """,
+    doc="Wright's-law experience curve: regress ln(unit price) on "
+    "ln(cumulative quantity) across ship months — the learning-curve "
+    "slope b in price ~ Q^b, the production-economics pattern behind "
+    "cost-decline forecasting (negative slope = costs fall as "
+    "experience doubles). Unit price quantizes to integer milli-"
+    "dollars via one exact floor-division per month, then BOTH "
+    "log-log coordinates floor-quantize to micro-units (the "
+    "events_weibull_gaps median-rank-regression recipe) so all five "
+    "OLS moment sums are exact HUGEINT integers over the calendar-"
+    "bounded relation; slope is sign-split with a non-negative micro "
+    "floor-division and R^2 is one exact ppb ratio (squared-"
+    "covariance cross-multiplication). One month rollup + one "
+    "bounded prefix window.",
+)
+def orders_wright_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    m = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev"),
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = m.select(
+        "q",
+        F.sum("q").over(w).cast("bigint").alias("cq"),
+        F.expr("CAST((1000 * rev) div (100 * q) AS BIGINT)").alias(
+            "up_milli"
+        ),
+    )
+    pts = cum.filter((F.col("q") > 0) & (F.col("up_milli") > 0)).select(
+        F.floor(F.lit(1000000.0) * F.log(F.col("cq").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1000000.0) * F.log(F.col("up_milli").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy >= sx * sy THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("slope_sign"),
+        F.expr(
+            "CAST((1000000 * abs(n * sxy - sx * sy))"
+            " div greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+        ).alias("slope_abs_micro"),
+        F.expr(
+            "CAST((1000000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " div greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 1)"
+            " AS BIGINT)"
+        ).alias("r2_ppb"),
+    )
