@@ -2559,3 +2559,822 @@ def orders_wright_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("r2_ppb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_gini — strength-distribution inequality of the trade graph
+# ---------------------------------------------------------------------------
+
+_TRADE_EDGES_SQL = """
+    f AS MATERIALIZED (
+      SELECT o.o_custkey AS ck, l.l_suppkey AS sk,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    tr AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM f
+      JOIN customer c ON f.ck = c.c_custkey
+      JOIN supplier s ON f.sk = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "graph_degree_gini",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    st AS (
+      SELECT k, CAST(sum(w) AS BIGINT) AS s
+      FROM (SELECT src AS k, w FROM tr
+            UNION ALL SELECT dst AS k, w FROM tr)
+      GROUP BY k
+    ),
+    r AS (
+      SELECT k, s,
+             CAST(row_number() OVER (ORDER BY s, k) AS BIGINT) AS rk
+      FROM st
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS tot,
+             CAST(sum(CAST(rk AS HUGEINT) * s) AS HUGEINT) AS rs,
+             CAST(sum(CASE WHEN rk > (SELECT count(*) - 5 FROM r)
+                  THEN s ELSE 0 END) AS HUGEINT) AS top5
+      FROM r
+    )
+    SELECT n AS n_nodes, CAST(tot AS BIGINT) AS total_strength,
+           CAST((1000000000 * (2 * rs - (n + 1) * tot)) // (n * tot)
+                AS BIGINT) AS gini_ppb,
+           CAST((1000000000 * top5) // tot AS BIGINT) AS top5_share_ppb
+    FROM g
+    """,
+    doc="Gini coefficient of the node STRENGTH distribution (weighted "
+    "degree) of the undirected nation trade graph, plus the top-5 "
+    "strength share: the hub-concentration readout that tells a graph "
+    "workload whether its adjacency is skew-partitioned before a "
+    "shuffle (the graph-shaped sibling of profile_key_skew; "
+    "graph_assortativity measures WHO links to whom, this measures "
+    "how unequal the linkage mass itself is). Rank formula "
+    "G = (2 sum r_i s_i - (n+1) sum s)/(n sum s) over the 25-node "
+    "relation with deterministic (strength, key) rank ties — exact "
+    "integers, ONE non-negative ppb floor-division each. The fact "
+    "join pre-aggregates to (custkey, suppkey) before the dim joins "
+    "(the graph_rich_club r12 lesson, 12x cheaper in the oracle); "
+    "windows run over the 25-node relation only.",
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    tr = (
+        f.join(F.broadcast(c), F.col("ck") == c.c_custkey)
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    st = (
+        tr.select(F.col("src").alias("k"), "w")
+        .unionAll(tr.select(F.col("dst").alias("k"), "w"))
+        .groupBy("k")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    r = st.select(
+        "k",
+        "s",
+        F.row_number()
+        .over(Window.orderBy("s", "k"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    cnt = r.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    g = r.crossJoin(F.broadcast(cnt)).agg(
+        F.max("nn").cast("bigint").alias("n"),
+        _dsum(F.col("s")).alias("tot"),
+        _dsum(F.expr("CAST(rk AS DECIMAL(38,0)) * s")).alias("rs"),
+        _dsum(
+            F.expr("CASE WHEN rk > nn - 5 THEN s ELSE 0 END")
+        ).alias("top5"),
+    )
+    return g.select(
+        F.col("n").alias("n_nodes"),
+        F.expr("CAST(tot AS BIGINT)").alias("total_strength"),
+        F.expr(
+            "CAST((1000000000 * (2 * rs - (n + 1) * tot)) div (n * tot)"
+            " AS BIGINT)"
+        ).alias("gini_ppb"),
+        F.expr("CAST((1000000000 * top5) div tot AS BIGINT)").alias(
+            "top5_share_ppb"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity_split — Newman modularity of the region partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_split",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    uw AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+      FROM tr GROUP BY 1, 2
+    ),
+    com AS (SELECT n_nationkey AS k, n_regionkey AS c FROM nation),
+    lab AS (
+      SELECT uw.w, ca.c AS ca, cb.c AS cb
+      FROM uw JOIN com ca ON uw.a = ca.k JOIN com cb ON uw.b = cb.k
+    ),
+    tot AS (SELECT CAST(sum(w) AS HUGEINT) AS bigw FROM lab),
+    intra AS (
+      SELECT CAST(coalesce(sum(CASE WHEN ca = cb THEN w END), 0)
+                  AS HUGEINT) AS e_in
+      FROM lab
+    ),
+    a AS (
+      SELECT c, CAST(sum(w) AS HUGEINT) AS deg
+      FROM (SELECT ca AS c, w FROM lab UNION ALL SELECT cb AS c, w FROM lab)
+      GROUP BY c
+    ),
+    q AS (
+      SELECT tot.bigw, intra.e_in,
+             (SELECT CAST(sum(deg * deg) AS HUGEINT) FROM a) AS sum_a2
+      FROM tot, intra
+    )
+    SELECT CAST(bigw AS BIGINT) AS total_weight,
+           CAST(e_in AS BIGINT) AS intra_weight,
+           CAST(CASE WHEN 4 * bigw * e_in >= sum_a2 THEN 1 ELSE -1 END
+                AS BIGINT) AS q_sign,
+           CAST((1000000000 * abs(4 * bigw * e_in - sum_a2))
+                // (4 * bigw * bigw) AS BIGINT) AS q_abs_ppb
+    FROM q
+    """,
+    doc="Newman modularity Q of the REGION partition over the undirected "
+    "weighted trade graph: Q = sum_c [e_c/W - (a_c/2W)^2] — does "
+    "geography explain trade clustering better than chance? The "
+    "fixed-partition evaluation companion to graph_label_propagation "
+    "(which SEARCHES for communities; this SCORES a given partition, "
+    "the quantity label propagation implicitly climbs). Clearing the "
+    "4W^2 denominator: Q = (4W*e_in - sum_c a_c^2)/(4W^2) — exact "
+    "HUGEINT integers from the <= 300-edge labeled relation (region "
+    "labels via the 25-row nation dim), sign-split ppb. Fact work is "
+    "the pre-aggregated trade rollup; everything downstream is "
+    "region-domain-bounded (5 communities).",
+)
+def graph_modularity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("c")
+    )
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    tr = (
+        f.join(F.broadcast(c), F.col("ck") == c.c_custkey)
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    uw = tr.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").cast("bigint").alias("w"))
+    lab = (
+        uw.join(
+            F.broadcast(n.withColumnRenamed("k", "ka").withColumnRenamed("c", "ca")),
+            F.col("a") == F.col("ka"),
+        )
+        .join(
+            F.broadcast(
+                n.withColumnRenamed("k", "kb").withColumnRenamed("c", "cb")
+            ),
+            F.col("b") == F.col("kb"),
+        )
+        .select("w", "ca", "cb")
+    )
+    a = (
+        lab.select(F.col("ca").alias("c"), "w")
+        .unionAll(lab.select(F.col("cb").alias("c"), "w"))
+        .groupBy("c")
+        .agg(_dsum(F.col("w")).alias("deg"))
+        .agg(_dsum(F.expr("deg * deg")).alias("sum_a2"))
+    )
+    tot = lab.agg(
+        _dsum(F.col("w")).alias("bigw"),
+        _dsum(
+            F.expr("CASE WHEN ca = cb THEN w ELSE 0 END")
+        ).alias("e_in"),
+    )
+    q = tot.crossJoin(F.broadcast(a))
+    return q.select(
+        F.expr("CAST(bigw AS BIGINT)").alias("total_weight"),
+        F.expr("CAST(e_in AS BIGINT)").alias("intra_weight"),
+        F.expr(
+            "CAST(CASE WHEN 4 * bigw * e_in >= sum_a2 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("q_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(4 * bigw * e_in - sum_a2))"
+            " div (4 * bigw * bigw) AS BIGINT)"
+        ).alias("q_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_rw_visit_probs — 4-step random-walk distribution from the top hub
+# ---------------------------------------------------------------------------
+
+_RW_STEP_SQL = """
+      SELECT tr.dst AS k,
+             CAST(sum((p.p * tr.w) // st.s) AS BIGINT) AS p
+      FROM {prev} p
+      JOIN tr ON tr.src = p.k
+      JOIN st ON st.k = p.k
+      GROUP BY tr.dst
+"""
+
+
+@register(
+    "graph_rw_visit_probs",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    st AS (
+      SELECT src AS k, CAST(sum(w) AS BIGINT) AS s FROM tr GROUP BY 1
+    ),
+    start AS (
+      SELECT k FROM st ORDER BY s DESC, k LIMIT 1
+    ),
+    p0 AS (
+      SELECT k, CAST(1000000000000 AS BIGINT) AS p FROM start
+    ),
+    p1 AS ({_RW_STEP_SQL.format(prev="p0")}),
+    p2 AS ({_RW_STEP_SQL.format(prev="p1")}),
+    p3 AS ({_RW_STEP_SQL.format(prev="p2")}),
+    p4 AS ({_RW_STEP_SQL.format(prev="p3")})
+    SELECT CAST(p4.k AS BIGINT) AS nationkey, n.n_name AS nation,
+           CAST(p4.p AS BIGINT) AS p4_pico
+    FROM p4 JOIN nation n ON n.n_nationkey = p4.k
+    WHERE p4.p > 0
+    ORDER BY nationkey
+    """,
+    doc="4-step random-walk visit distribution on the DIRECTED customer->"
+    "supplier trade graph, started at the highest-out-strength nation "
+    "(deterministic key tie-break): where does trade influence "
+    "diffuse? — the finite-horizon transition view that complements "
+    "the stationary readouts (pagerank_nations, "
+    "events_markov_stationary) with an explicit source. Probabilities "
+    "are pico-scaled integers; each step distributes p(u)*w(u,v) div "
+    "s(u) per edge with the floor INSIDE the per-edge term, so every "
+    "step is an exact integer hash aggregation over the <= 600-row "
+    "nation-bounded adjacency (mass lost to flooring is < 600 pico "
+    "per step, declared). Four chained bounded joins in Spark = four "
+    "chained CTEs in the oracle; fact work is the one pre-aggregated "
+    "trade rollup.",
+)
+def graph_rw_visit_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    tr = (
+        f.join(F.broadcast(c), F.col("ck") == c.c_custkey)
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    tr = tr.persist()
+    st = tr.groupBy(F.col("src").alias("k")).agg(
+        F.sum("w").cast("bigint").alias("s")
+    )
+    start = st.orderBy(F.col("s").desc(), F.col("k")).limit(1).select("k")
+    p = start.select("k", F.lit(1000000000000).cast("bigint").alias("p"))
+    for _ in range(4):
+        p = (
+            p.join(tr, tr.src == p.k)
+            .join(st.withColumnRenamed("k", "sk_").withColumnRenamed("s", "s_"), F.col("sk_") == F.col("src"))
+            .groupBy(F.col("dst").alias("k2"))
+            .agg(
+                F.sum(F.expr("(p * w) div s_")).cast("bigint").alias("p")
+            )
+            .select(F.col("k2").alias("k"), "p")
+        )
+    out = (
+        p.filter(F.col("p") > 0)
+        .join(F.broadcast(nat), F.col("k") == F.col("n_nationkey"))
+        .select(
+            F.col("k").cast("bigint").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("p").cast("bigint").alias("p4_pico"),
+        )
+        .orderBy("nationkey")
+    )
+    return release_on_gc(tr, out)
+
+
+# ---------------------------------------------------------------------------
+# text_coleman_liau — Coleman-Liau readability index (letters, not syllables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_coleman_liau",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+               AS n_letters
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_words, n_sentences, n_letters,
+           0.0588 * (100.0 * n_letters / n_words)
+             - 0.296 * (100.0 * n_sentences / n_words)
+             - 15.8 AS cli_grade
+    FROM f
+    WHERE n_words > 0
+    """,
+    doc="Coleman-Liau readability index per document: CLI = 0.0588*L - "
+    "0.296*S - 15.8 with L = letters and S = sentences per 100 words "
+    "— the readability family member designed around CHARACTER "
+    "counts instead of the syllable heuristic (text_readability_"
+    "flesch, text_smog_index), making it the robust choice for OCR/"
+    "web text where vowel-group syllabification misleads; completes "
+    "the readability panel beside ARI (also character-based but "
+    "different weights), LIX/RIX (long-word-based) and Dale-Chall "
+    "(wordlist-based). All three counts are exact integers from "
+    "character-class-only regexes both dialects share; the grade is "
+    "one fixed-order IEEE expression. Pure map-side projection, zero "
+    "shuffles.",
+)
+def text_coleman_liau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)"))
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]', 0)"))
+        .cast("bigint")
+        .alias("n_letters"),
+    )
+    return f.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_letters",
+        (
+            0.0588 * (100.0 * F.col("n_letters") / F.col("n_words"))
+            - 0.296 * (100.0 * F.col("n_sentences") / F.col("n_words"))
+            - 15.8
+        ).alias("cli_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_richness — Honoré / Sichel / Guiraud / Uber vocabulary panel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_richness",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      FROM wc GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, v AS n_types, v1 AS n_hapax,
+           CAST((1000000000 * v1) // v AS BIGINT) AS hapax_ppb,
+           CAST((1000000000 * v2) // v AS BIGINT) AS sichel_ppb,
+           CAST(CASE WHEN v1 < v THEN
+                floor(100000.0 * ln(CAST(n AS DOUBLE)) * v / (v - v1))
+                ELSE 0 END AS BIGINT) AS honore_r_milli,
+           CAST(floor(1000.0 * v / sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+             AS guiraud_r_milli,
+           CAST(CASE WHEN v < n THEN
+                floor(1000.0 * ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                      / (ln(CAST(n AS DOUBLE)) - ln(CAST(v AS DOUBLE))))
+                ELSE 0 END AS BIGINT) AS uber_u_milli
+    FROM s
+    ORDER BY source
+    """,
+    doc="Per-source vocabulary-richness panel from the token frequency "
+    "spectrum: hapax ratio V1/V, Sichel's S = V2/V (dis legomena), "
+    "Honore's R = 100 ln N / (1 - V1/V), Guiraud's R = V/sqrt(N) and "
+    "the Uber index U = (ln N)^2/(ln N - ln V) — five classical "
+    "length-robust diversity statistics over the SAME (source, word, "
+    "count) relation, the spectrum-shape companions to text_yule_k "
+    "(second moment), text_heaps_law_fit (growth curve) and the "
+    "windowed MTLD/MATTR family. V/N/V1/V2 are exact integers; the "
+    "two ratio statistics are non-negative ppb floor-divisions and "
+    "the three ln/sqrt forms are fixed-shape floor-quantized doubles "
+    "over those exact integers (division-by-zero guarded to 0 when "
+    "V1 = V or V = N). One map-combined (source, word) rollup, one "
+    "10-group reduce; no windows.",
+)
+def text_hapax_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = wc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("n_hapax"),
+        F.expr("CAST((1000000000 * v1) div v AS BIGINT)").alias("hapax_ppb"),
+        F.expr("CAST((1000000000 * v2) div v AS BIGINT)").alias(
+            "sichel_ppb"
+        ),
+        F.expr(
+            "CAST(CASE WHEN v1 < v THEN"
+            " floor(100000.0 * ln(CAST(n AS DOUBLE)) * v / (v - v1))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("honore_r_milli"),
+        F.expr(
+            "CAST(floor(1000.0 * v / sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("guiraud_r_milli"),
+        F.expr(
+            "CAST(CASE WHEN v < n THEN"
+            " floor(1000.0 * ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))"
+            "       / (ln(CAST(n AS DOUBLE)) - ln(CAST(v AS DOUBLE))))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("uber_u_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# text_char_bigram_entropy — conditional character-bigram entropy per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_bigram_entropy",
+    oracle="""
+    WITH bg AS (
+      SELECT source, unnest(list_transform(range(1, length(text)),
+             i -> substr(text, CAST(i AS INT), 2))) AS pair
+      FROM documents WHERE length(text) >= 2
+    ),
+    pc AS (
+      SELECT source, pair, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT source, substr(pair, 1, 1) AS ch, CAST(sum(c) AS BIGINT) AS c
+      FROM pc GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                  AS HUGEINT)) AS HUGEINT) AS s_pair,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pc GROUP BY 1
+    ),
+    sf AS (
+      SELECT source,
+             CAST(sum(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                  AS HUGEINT)) AS HUGEINT) AS s_first,
+             CAST(count(*) AS BIGINT) AS n_chars
+      FROM fc GROUP BY 1
+    )
+    SELECT sp.source AS source, sp.t AS n_bigrams,
+           sp.n_pairs AS n_distinct_pairs, sf.n_chars AS n_distinct_chars,
+           CAST((sf.s_first - sp.s_pair) // sp.t AS BIGINT)
+             AS h_cond_micro
+    FROM sp JOIN sf ON sp.source = sf.source
+    ORDER BY source
+    """,
+    doc="Conditional character-bigram entropy H(c2|c1) per source via the "
+    "chain rule H(pair) - H(first) and the exact c*ln(c) identity: "
+    "H(c2|c1) = (sum_first floor(1e6 c ln c) - sum_pair floor(1e6 c "
+    "ln c)) / T — the ln T terms cancel, the numerator is a "
+    "difference of exact integers (non-negative: the coarser "
+    "partition always has the larger sum), and ONE floor-division "
+    "lands micro-nats. This is the character-level predictability "
+    "signal language-ID and gibberish filters key on (text_word_"
+    "entropy is unigram-word-level; events_entropy_rate is the same "
+    "chain rule on event sequences) — low H(c2|c1) = repetitive or "
+    "templated text. Bigrams explode map-side and immediately reduce "
+    "to the bounded (source, char-pair) DOMAIN; two grid rollups, "
+    "one 10-row join.",
+)
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2
+    )
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    pc = bg.groupBy("source", "pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fc = pc.groupBy(
+        "source", F.substring("pair", 1, 1).alias("ch")
+    ).agg(F.sum("c").cast("bigint").alias("c"))
+    clnc = F.floor(
+        F.lit(1000000.0) * F.col("c") * F.log(F.col("c").cast("double"))
+    )
+    sp = pc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        _dsum(clnc).alias("s_pair"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    sf_ = fc.groupBy("source").agg(
+        _dsum(clnc).alias("s_first"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chars"),
+    )
+    return (
+        sp.join(sf_, "source")
+        .select(
+            "source",
+            F.col("t").alias("n_bigrams"),
+            F.col("n_pairs").alias("n_distinct_pairs"),
+            F.col("n_chars").alias("n_distinct_chars"),
+            F.expr("CAST((s_first - s_pair) div t AS BIGINT)").alias(
+                "h_cond_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_juilland_d — Juilland dispersion of top corpus words across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_juilland_d",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS tot
+      FROM w GROUP BY 1 ORDER BY tot DESC, word LIMIT 20
+    ),
+    srcs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      FROM w GROUP BY 1
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs),
+    cell AS (
+      SELECT cw.word, cw.tot, s.source, s.n_src,
+             CAST(coalesce((SELECT count(*) FROM w
+                    WHERE w.word = cw.word AND w.source = s.source), 0)
+                  AS BIGINT) AS c
+      FROM cw CROSS JOIN srcs s
+    ),
+    q AS (
+      SELECT word, tot, source,
+             CAST((1000000 * c) // n_src AS BIGINT) AS f_ppm
+      FROM cell
+    ),
+    d AS (
+      SELECT word, tot,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(f_ppm) AS BIGINT) AS s,
+             CAST(sum(CAST(f_ppm AS HUGEINT) * f_ppm) AS HUGEINT) AS s2
+      FROM q GROUP BY 1, 2
+    )
+    SELECT word, tot AS n_occurrences,
+           CAST(s // k AS BIGINT) AS mean_f_ppm,
+           CAST(CASE WHEN s > 0 THEN
+                1000000000 - CAST(floor(1000000000.0
+                  * sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * s)
+                         / (CAST(k AS DOUBLE) * (k - 1)))
+                  * k / (sqrt(CAST(k - 1 AS DOUBLE)) * s)) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS juilland_d_ppb
+    FROM d
+    ORDER BY n_occurrences DESC, word
+    """,
+    doc="Juilland's D dispersion for the 20 most frequent corpus words "
+    "across the source partition: D = 1 - CV/sqrt(k-1) over the "
+    "per-source RELATIVE frequencies (each source's count normalized "
+    "by its own token mass) — D ~ 1 means the word is spread evenly "
+    "(a true function word), low D flags source-specific jargon or "
+    "boilerplate; the parametric classic beside text_gries_dp "
+    "(deviation-of-proportions) and text_word_burstiness (doc-level "
+    "clumping). Per-cell frequencies quantize to exact integer ppm "
+    "via one floor-division against the source token mass (absent "
+    "cells = 0 via the bounded 20 x k scaffold); mean/variance "
+    "moments are exact integers and D is one fixed-shape floor-"
+    "quantized double. Token work is one (source, word) rollup; "
+    "everything downstream is 20 x k bounded.",
+)
+def text_juilland_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cw = (
+        sw.groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("tot"))
+        .orderBy(F.col("tot").desc(), "word")
+        .limit(20)
+    )
+    srcs = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    cell = (
+        F.broadcast(cw)
+        .crossJoin(F.broadcast(srcs))
+        .join(sw, ["word", "source"], "left")
+        .select(
+            "word",
+            "tot",
+            "source",
+            "n_src",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    q = cell.select(
+        "word",
+        "tot",
+        F.expr("CAST((1000000 * c) div n_src AS BIGINT)").alias("f_ppm"),
+    )
+    d = q.groupBy("word", "tot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("f_ppm").cast("bigint").alias("s"),
+        _dsum(F.expr("CAST(f_ppm AS DECIMAL(38,0)) * f_ppm")).alias("s2"),
+    )
+    return d.select(
+        "word",
+        F.col("tot").alias("n_occurrences"),
+        F.expr("CAST(s div k AS BIGINT)").alias("mean_f_ppm"),
+        F.expr(
+            "CAST(CASE WHEN s > 0 THEN"
+            " 1000000000 - CAST(floor(1000000000.0"
+            "   * sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "           - CAST(s AS DOUBLE) * s)"
+            "          / (CAST(k AS DOUBLE) * (k - 1)))"
+            "   * k / (sqrt(CAST(k - 1 AS DOUBLE)) * s)) AS BIGINT)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("juilland_d_ppb"),
+    ).orderBy(F.col("n_occurrences").desc(), "word")
+
+
+# ---------------------------------------------------------------------------
+# docs_length_lognormal_fit — lognormal fit of document lengths per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_length_lognormal_fit",
+    oracle="""
+    WITH lv AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT source, c,
+             CAST(floor(1000000.0 * ln(CAST(n_chars AS DOUBLE)))
+                  AS BIGINT) AS x
+      FROM lv
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(c AS HUGEINT) * x * x) AS HUGEINT) AS sx2
+      FROM q GROUP BY 1
+    )
+    SELECT source, n AS n_docs,
+           CAST(sx // n AS BIGINT) AS mu_micro,
+           CAST(CASE WHEN n > 1 THEN
+                (n * sx2 - sx * sx) // (CAST(n AS HUGEINT) * (n - 1)
+                                        * 1000000)
+                ELSE 0 END AS BIGINT) AS sigma2_micro
+    FROM s
+    ORDER BY source
+    """,
+    doc="Lognormal fit of document LENGTH per source by method of "
+    "moments in log space: mu = mean(ln n_chars), sigma^2 = "
+    "var(ln n_chars) — the two-parameter summary every corpus "
+    "datasheet reports (web-document lengths are canonically "
+    "lognormal) and the sanity gate for chunking/packing budgets "
+    "(pack_sequences) and length-based quality filters. ln runs once "
+    "per DISTINCT (source, n_chars) length value (the value-domain "
+    "discipline), floor-quantized to micro; weighted moment sums are "
+    "exact HUGEINT integers and both parameters land via non-"
+    "negative floor-divisions (sigma^2 scaled back to micro-nats^2). "
+    "One domain rollup + one 10-group reduce; no windows, no joins.",
+)
+def docs_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lv = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    q = lv.select(
+        "source",
+        "c",
+        F.floor(
+            F.lit(1000000.0) * F.log(F.col("n_chars").cast("double"))
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    s = q.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        _dsum(F.col("c") * F.col("x")).alias("sx"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * x * x")).alias("sx2"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mu_micro"),
+        F.expr(
+            "CAST(CASE WHEN n > 1 THEN"
+            " (n * sx2 - sx * sx) div (CAST(n AS DECIMAL(38,0)) * (n - 1)"
+            "                          * 1000000)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("sigma2_micro"),
+    ).orderBy("source")
