@@ -617,3 +617,96 @@ def _pcm_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "weighted_checksum": pd.Series(wsum, dtype="Int64"),
             }
         )
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("raster_checksum", LongType(), True),
+    ]
+)
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """REAL uncompressed 24-bit BMP pixel decode (pure stdlib): parse the
+    BITMAPFILEHEADER + BITMAPINFOHEADER, honor the 4-byte row stride and
+    the BOTTOM-UP row order, and return pixels as (r, g, b) in logical
+    raster order (top row first, left to right). This is the second
+    multimodal operator whose PAYLOAD (pixel values, not container
+    metadata) sits on the oracle-verified hash surface. Returns None for
+    non-BMP / compressed / non-24bpp / truncated payloads."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", payload[10:14])
+    bisize, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bisize != 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    stride = (3 * w + 3) // 4 * 4
+    if len(payload) < offset + stride * h:
+        return None
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(h):  # logical top row first
+        row_off = offset + (h - 1 - y) * stride  # stored bottom-up
+        for x in range(w):
+            o = row_off + 3 * x
+            b, g, r = payload[o], payload[o + 1], payload[o + 2]
+            pixels.append((r, g, b))
+    return w, h, pixels
+
+
+def _bmp_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BMP pixel statistics: channel sums plus the raster-
+    order weighted checksum sum((i+1)*(r + 2g + 3b)), which only matches
+    the oracle if the decoder honored BOTH the row stride padding and the
+    bottom-up storage flip."""
+    for pdf in batches:
+        ids, ws, hs, np_, sr, sg, sb, ck = [], [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            decoded = decode_bmp24(bytes(payload))
+            ids.append(doc_id)
+            if decoded is None:
+                ws.append(None)
+                hs.append(None)
+                np_.append(None)
+                sr.append(None)
+                sg.append(None)
+                sb.append(None)
+                ck.append(None)
+            else:
+                w, h, px = decoded
+                ws.append(w)
+                hs.append(h)
+                np_.append(len(px))
+                sr.append(sum(p[0] for p in px))
+                sg.append(sum(p[1] for p in px))
+                sb.append(sum(p[2] for p in px))
+                ck.append(
+                    sum(
+                        (i + 1) * (p[0] + 2 * p[1] + 3 * p[2])
+                        for i, p in enumerate(px)
+                    )
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+                "n_pixels": pd.Series(np_, dtype="Int64"),
+                "sum_r": pd.Series(sr, dtype="Int64"),
+                "sum_g": pd.Series(sg, dtype="Int64"),
+                "sum_b": pd.Series(sb, dtype="Int64"),
+                "raster_checksum": pd.Series(ck, dtype="Int64"),
+            }
+        )

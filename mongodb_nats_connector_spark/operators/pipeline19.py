@@ -3378,3 +3378,1047 @@ def docs_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("sigma2_micro"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# orders_rca_index — Balassa revealed comparative advantage (nation x brand)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rca_index",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_nationkey AS nk, p.p_brand AS brand,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT nk, brand, rev,
+             CAST(sum(rev) OVER (PARTITION BY nk) AS HUGEINT) AS x_n,
+             CAST(sum(rev) OVER (PARTITION BY brand) AS HUGEINT) AS x_b,
+             CAST(sum(rev) OVER () AS HUGEINT) AS x_t
+      FROM x
+    )
+    SELECT n.n_name AS nation, m.brand AS brand,
+           CAST(m.rev AS BIGINT) AS rev_cents,
+           CAST((1000000000 * CAST(m.rev AS HUGEINT) * m.x_t)
+                // (m.x_n * m.x_b) AS BIGINT) AS rca_ppb
+    FROM m JOIN nation n ON n.n_nationkey = m.nk
+    ORDER BY nation, brand
+    """,
+    doc="Balassa revealed-comparative-advantage index over the customer-"
+    "nation x part-brand revenue matrix: RCA = (x_nb/x_n)/(X_b/X) — "
+    "does nation n buy brand b MORE intensively than the world does? "
+    "RCA > 1 (ppb > 1e9) marks specialization; the trade-economics "
+    "localization of what agg_chi_square/agg_cramers_v only test "
+    "globally, and the per-cell companion to orders_grubel_lloyd's "
+    "bilateral symmetry. Cross-multiplied to ONE exact non-negative "
+    "ppb floor-division per cell, 1e9*x_nb*X under 10^38 through "
+    "sf100 (HUGEINT/DECIMAL widened). One fact rollup to the bounded "
+    "nation x brand grid (dims broadcast); margins via grid windows.",
+)
+def orders_rca_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n = table(spark, sf_dir, "nation")
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    m = x.select(
+        "nk",
+        "brand",
+        "rev",
+        F.sum("rev").over(Window.partitionBy("nk")).cast("decimal(38,0)").alias("x_n"),
+        F.sum("rev")
+        .over(Window.partitionBy("brand"))
+        .cast("decimal(38,0)")
+        .alias("x_b"),
+        F.sum("rev").over(Window.partitionBy()).cast("decimal(38,0)").alias("x_t"),
+    )
+    return (
+        m.join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "brand",
+            F.col("rev").cast("bigint").alias("rev_cents"),
+            F.expr(
+                "CAST((1000000000 * CAST(rev AS DECIMAL(38,0)) * x_t)"
+                " div (x_n * x_b) AS BIGINT)"
+            ).alias("rca_ppb"),
+        )
+        .orderBy("nation", "brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_grubel_lloyd — intra-industry (bilateral) trade symmetry index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_grubel_lloyd",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    pairs AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(sum(CASE WHEN src < dst THEN w ELSE 0 END) AS BIGINT)
+               AS x_ab,
+             CAST(sum(CASE WHEN src > dst THEN w ELSE 0 END) AS BIGINT)
+               AS x_ba
+      FROM tr GROUP BY 1, 2
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           x_ab AS flow_ab, x_ba AS flow_ba,
+           CAST(1000000000
+                - (1000000000 * abs(x_ab - x_ba)) // (x_ab + x_ba)
+                AS BIGINT) AS gl_ppb
+    FROM pairs
+    JOIN nation na ON na.n_nationkey = pairs.a
+    JOIN nation nb ON nb.n_nationkey = pairs.b
+    WHERE x_ab + x_ba > 0
+    ORDER BY nation_a, nation_b
+    """,
+    doc="Grubel-Lloyd bilateral trade-overlap index per nation pair: "
+    "GL = 1 - |X_ab - X_ba|/(X_ab + X_ba) over the DIRECTED customer->"
+    "supplier flow counts — GL ~ 1 means two nations trade with each "
+    "other symmetrically in both directions (intra-industry trade), "
+    "GL ~ 0 a one-way relationship; the edgewise symmetry "
+    "decomposition of what graph_reciprocity reports as one number. "
+    "Both directional masses are exact integers from the "
+    "pre-aggregated trade rollup (the graph_rich_club oracle "
+    "discipline); GL is 1e9 minus ONE non-negative ppb floor-"
+    "division. Bounded nation-pair output with broadcast name joins.",
+)
+def orders_grubel_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    tr = (
+        f.join(F.broadcast(c), F.col("ck") == c.c_custkey)
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    pairs = tr.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(
+        F.sum(F.when(F.col("src") < F.col("dst"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("x_ab"),
+        F.sum(F.when(F.col("src") > F.col("dst"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("x_ba"),
+    )
+    na = nat.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a")
+    )
+    nb = nat.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        pairs.filter(F.col("x_ab") + F.col("x_ba") > 0)
+        .join(F.broadcast(na), F.col("a") == F.col("ka"))
+        .join(F.broadcast(nb), F.col("b") == F.col("kb"))
+        .select(
+            "nation_a",
+            "nation_b",
+            F.col("x_ab").alias("flow_ab"),
+            F.col("x_ba").alias("flow_ba"),
+            F.expr(
+                "CAST(1000000000"
+                " - (1000000000 * abs(x_ab - x_ba)) div (x_ab + x_ba)"
+                " AS BIGINT)"
+            ).alias("gl_ppb"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_association_metrics — rule-quality panel for top co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_association_metrics",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+    supp AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+    ),
+    pr AS (
+      SELECT b1.pk AS pa, b2.pk AS pb, CAST(count(*) AS BIGINT) AS cab
+      FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b1.pk < b2.pk
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT pa, pb, cab FROM pr ORDER BY cab DESC, pa, pb LIMIT 20
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b, t.cab AS n_together,
+           sa.c AS n_a, sb.c AS n_b,
+           CAST((1000000 * t.cab) // sa.c AS BIGINT) AS confidence_ppm,
+           CAST((1000000 * CAST(t.cab AS HUGEINT) * nn.n)
+                // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_ppm,
+           CAST(CASE WHEN CAST(t.cab AS HUGEINT) * nn.n
+                          >= CAST(sa.c AS HUGEINT) * sb.c
+                     THEN 1 ELSE -1 END AS BIGINT) AS leverage_sign,
+           CAST((1000000000 * abs(CAST(t.cab AS HUGEINT) * nn.n
+                                  - CAST(sa.c AS HUGEINT) * sb.c))
+                // (CAST(nn.n AS HUGEINT) * nn.n) AS BIGINT)
+             AS leverage_abs_ppb,
+           CAST(CASE WHEN sa.c > t.cab THEN
+                (1000000 * CAST(nn.n - sb.c AS HUGEINT) * sa.c)
+                  // (CAST(nn.n AS HUGEINT) * (sa.c - t.cab))
+                ELSE 0 END AS BIGINT) AS conviction_ppm,
+           CAST((1000000 * t.cab) // (sa.c + sb.c - t.cab) AS BIGINT)
+             AS jaccard_ppm
+    FROM top t
+    JOIN supp sa ON sa.pk = t.pa
+    JOIN supp sb ON sb.pk = t.pb
+    CROSS JOIN nn
+    ORDER BY n_together DESC, part_a, part_b
+    """,
+    doc="Association-rule quality panel for the 20 most frequent "
+    "co-purchase pairs (a -> b with a < b): confidence c_ab/c_a, "
+    "lift c_ab*N/(c_a*c_b), leverage c_ab/N - (c_a/N)(c_b/N), "
+    "conviction (1 - c_b/N)/(1 - c_ab/c_a) and Jaccard overlap — the "
+    "full rule-mining readout beyond orders_basket_lift's lift-only "
+    "ranking (conviction catches implication asymmetry lift is blind "
+    "to; leverage is the additive effect the ratio forms hide). "
+    "Every metric is an exact integer cross-multiplied ratio "
+    "(leverage sign-split; conviction guarded to 0 at confidence = "
+    "1, declared); pair expansion is the bounded per-order self-join "
+    "(baskets are order-sized), supports broadcast back. "
+    "TakeOrderedAndProject keeps the top-20 before the metric "
+    "joins.",
+)
+def orders_association_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    nn = b.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    supp = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b2 = b.withColumnRenamed("pk", "pk2")
+    pr = (
+        b.join(b2, (b.ok == b2.ok) & (b.pk < b2.pk2))
+        .groupBy(F.col("pk").alias("pa"), F.col("pk2").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    )
+    top = pr.orderBy(F.col("cab").desc(), "pa", "pb").limit(20)
+    sa = supp.withColumnRenamed("pk", "ka").withColumnRenamed("c", "n_a")
+    sb = supp.withColumnRenamed("pk", "kb").withColumnRenamed("c", "n_b")
+    return (
+        top.join(F.broadcast(sa), F.col("pa") == F.col("ka"))
+        .join(F.broadcast(sb), F.col("pb") == F.col("kb"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cab").alias("n_together"),
+            "n_a",
+            "n_b",
+            F.expr("CAST((1000000 * cab) div n_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * CAST(cab AS DECIMAL(38,0)) * n)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.expr(
+                "CAST(CASE WHEN CAST(cab AS DECIMAL(38,0)) * n"
+                " >= CAST(n_a AS DECIMAL(38,0)) * n_b"
+                " THEN 1 ELSE -1 END AS BIGINT)"
+            ).alias("leverage_sign"),
+            F.expr(
+                "CAST((1000000000 * abs(CAST(cab AS DECIMAL(38,0)) * n"
+                " - CAST(n_a AS DECIMAL(38,0)) * n_b))"
+                " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("leverage_abs_ppb"),
+            F.expr(
+                "CAST(CASE WHEN n_a > cab THEN"
+                " (1000000 * CAST(n - n_b AS DECIMAL(38,0)) * n_a)"
+                " div (CAST(n AS DECIMAL(38,0)) * (n_a - cab))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("conviction_ppm"),
+            F.expr(
+                "CAST((1000000 * cab) div (n_a + n_b - cab) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("n_together").desc(), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_rademacher_projection — JL sketch with literal sign matrix
+# ---------------------------------------------------------------------------
+
+
+def _rademacher_signs(n_proj: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic +-1 sign matrix from md5 — computed ONCE at import and
+    embedded as literals in BOTH the Spark plan and the oracle (the
+    sign-LSH literal-hyperplane precedent), so no hashing runs at query
+    time."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{j}_{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(n_proj)
+    ]
+
+
+_RP_SIGNS = _rademacher_signs()
+_RP_SQL_ROWS = ", ".join(
+    "[" + ", ".join(str(v) for v in row) + "]" for row in _RP_SIGNS
+)
+_RP_SPARK_ROWS = ", ".join(
+    "array(" + ", ".join(str(v) for v in row) + ")" for row in _RP_SIGNS
+)
+
+
+@register(
+    "embedding_rademacher_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  d -> q[d] * q[d])) AS BIGINT) AS x2,
+             list_transform([{_RP_SQL_ROWS}],
+                  s -> CAST(list_sum(list_transform(range(1, 65),
+                       d -> s[d] * q[d])) AS BIGINT)) AS ys
+      FROM e
+    ),
+    r AS (
+      SELECT vec_id, x2,
+             CAST(list_sum(list_transform(ys, y -> y * y)) AS HUGEINT)
+               AS y2
+      FROM proj
+    ),
+    ratio AS (
+      SELECT vec_id,
+             CAST((1000000 * y2) // greatest(16 * CAST(x2 AS HUGEINT), 1)
+                  AS BIGINT) AS ratio_ppm
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS mean_ratio_ppm,
+           CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+           CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM ratio
+    """,
+    doc="Johnson-Lindenstrauss norm preservation under a 16-dimension "
+    "Rademacher (+-1) random projection: per vector the ratio "
+    "||Sx||^2 / (16 ||x||^2), whose mean is 1 by the JL lemma — the "
+    "measured DISTORTION profile that justifies projection-based "
+    "candidate generation (sign-LSH buckets, similarity_ann_lsh) "
+    "before committing a corpus to it. The 16x64 sign matrix is an "
+    "md5-derived LITERAL shared by both engines (the literal-"
+    "hyperplane precedent — no hashing at query time); embeddings "
+    "quantize to exact integer milli-units, so every projection, "
+    "square and the per-vector ppm ratio are exact integer "
+    "arithmetic, map-only until the final 4-number reduce. Zero "
+    "shuffles before the scalar aggregate.",
+)
+def embedding_rademacher_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(sequence(1, 64), d ->"
+            " element_at(q, d) * element_at(q, d)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("x2"),
+        F.expr(
+            f"transform(array({_RP_SPARK_ROWS}),"
+            f" s -> aggregate(transform(sequence(1, 64),"
+            f" d -> element_at(s, d) * element_at(q, d)),"
+            f" CAST(0 AS BIGINT), (a, v) -> a + v))"
+        ).alias("ys"),
+    )
+    r = proj.select(
+        "vec_id",
+        "x2",
+        F.expr(
+            "aggregate(transform(ys, y -> CAST(y AS DECIMAL(38,0)) * y),"
+            " CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)"
+        ).alias("y2"),
+    )
+    ratio = r.select(
+        F.expr(
+            "CAST((1000000 * y2)"
+            " div greatest(16 * CAST(x2 AS DECIMAL(38,0)), 1) AS BIGINT)"
+        ).alias("ratio_ppm")
+    )
+    return ratio.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.expr("CAST(sum(ratio_ppm) div count(*) AS BIGINT)").alias(
+            "mean_ratio_ppm"
+        ),
+        F.min("ratio_ppm").cast("bigint").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_hubness_skew — k-occurrence skewness over the query panel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_hubness_skew",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < 100),
+    scored AS (
+      SELECT qs.qid, e.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                  d -> qs.qq[d] * e.q[d])) AS BIGINT) AS dot
+      FROM qs JOIN e ON e.vec_id <> qs.qid
+    ),
+    top5 AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, nid) AS rn
+        FROM scored) WHERE rn <= 5
+    ),
+    occ AS (
+      SELECT e.vec_id,
+             CAST(coalesce((SELECT count(*) FROM top5
+                            WHERE top5.nid = e.vec_id), 0) AS BIGINT)
+               AS n5
+      FROM e
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n5) AS BIGINT) AS s1,
+             CAST(sum(CAST(n5 AS HUGEINT) * n5) AS HUGEINT) AS s2,
+             CAST(sum(CAST(n5 AS HUGEINT) * n5 * n5) AS HUGEINT) AS s3,
+             CAST(max(n5) AS BIGINT) AS mx
+      FROM occ
+    )
+    SELECT n AS n_vectors, mx AS max_occurrences,
+           CAST(s1 AS BIGINT) AS total_occurrences,
+           CAST(floor(1000.0
+                * (CAST(n AS DOUBLE) * n * s3
+                   - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+                / (CAST(n AS DOUBLE)
+                   * ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                      / n)
+                   * sqrt((CAST(n AS DOUBLE) * s2
+                           - CAST(s1 AS DOUBLE) * s1) / n))
+                ) AS BIGINT) AS skew_milli
+    FROM mom
+    """,
+    doc="Hubness of the embedding space: the k-occurrence distribution "
+    "N_5(x) (how many of the 100 panel queries rank x in their exact "
+    "top-5) and its population SKEWNESS — high positive skew is the "
+    "high-dimensional hubness pathology (a few points become "
+    "everyone's neighbor) that silently degrades kNN label "
+    "propagation (docs_knn_classify) and ANN recall, measured here "
+    "before trusting them. Top-5 sets use exact integer milli-dot "
+    "products with (dot DESC, vec_id) determinism over the bounded "
+    "panel (the similarity_topk convention); occurrence counts are "
+    "exact integers including the zeros (left-join back to ALL "
+    "vectors), and skewness m3/m2^1.5 evaluates as ONE fixed-shape "
+    "double over exact power sums with m2^1.5 = m2*sqrt(m2) (the "
+    "jarque_bera ulp rule), floor-quantized to milli. One panel-"
+    "bounded scoring join + one qid-partitioned rank window.",
+)
+def embedding_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    e = e.persist()
+    qs = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    scored = qs.join(e, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.expr(
+            "aggregate(zip_with(qq, q, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("dot"),
+    )
+    top5 = (
+        scored.select(
+            "qid",
+            "nid",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("dot").desc(), F.col("nid")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    occ = e.select("vec_id").join(
+        top5, e.vec_id == top5.nid, "left"
+    ).select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n5")
+    )
+    mom = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n5").cast("bigint").alias("s1"),
+        _dsum(F.expr("CAST(n5 AS DECIMAL(38,0)) * n5")).alias("s2"),
+        _dsum(F.expr("CAST(n5 AS DECIMAL(38,0)) * n5 * n5")).alias("s3"),
+        F.max("n5").cast("bigint").alias("mx"),
+    )
+    out = mom.select(
+        F.col("n").alias("n_vectors"),
+        F.col("mx").alias("max_occurrences"),
+        F.expr("CAST(s1 AS BIGINT)").alias("total_occurrences"),
+        F.expr(
+            "CAST(floor(1000.0"
+            " * (CAST(n AS DOUBLE) * n * s3"
+            "    - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)"
+            " / (CAST(n AS DOUBLE)"
+            "    * ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            "       / n)"
+            "    * sqrt((CAST(n AS DOUBLE) * s2"
+            "            - CAST(s1 AS DOUBLE) * s1) / n))"
+            " ) AS BIGINT)"
+        ).alias("skew_milli"),
+    )
+    return release_on_gc(e, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_medcouple — robust skewness of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_medcouple",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS x
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    srt AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM m
+    ),
+    med AS (
+      SELECT CAST(max(CASE WHEN i = (n + 1) // 2 THEN x END)
+                  + max(CASE WHEN i = n // 2 + 1 THEN x END) AS BIGINT)
+               AS med2
+      FROM srt
+    ),
+    pairs AS (
+      SELECT lo.x AS xi, hi.x AS xj, med.med2
+      FROM srt lo, srt hi, med
+      WHERE 2 * lo.x <= med.med2 AND 2 * hi.x >= med.med2
+        AND hi.x > lo.x
+    ),
+    h AS (
+      SELECT CAST(CASE WHEN (2 * xj - med2) + (2 * xi - med2) >= 0
+                       THEN 1 ELSE -1 END
+                  * ((1000000000 * CAST(abs((2 * xj - med2)
+                                            + (2 * xi - med2)) AS HUGEINT))
+                     // (2 * (xj - xi))) AS BIGINT) AS h_ppb
+      FROM pairs
+    ),
+    hs AS (
+      SELECT h_ppb, CAST(row_number() OVER (ORDER BY h_ppb) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM h
+    )
+    SELECT (SELECT max(n) FROM srt) AS n_months,
+           (SELECT med2 FROM med) AS med2_cents,
+           (SELECT max(k) FROM hs) AS n_kernel_pairs,
+           CAST((max(CASE WHEN i = (k + 1) // 2 THEN h_ppb END)
+                 + max(CASE WHEN i = k // 2 + 1 THEN h_ppb END)) // 2
+                AS BIGINT) AS medcouple_ppb
+    FROM hs
+    """,
+    doc="Medcouple robust skewness of monthly revenue: the median over "
+    "all (x_i <= med <= x_j, x_i < x_j) pairs of the kernel "
+    "h = ((x_j - med) - (med - x_i))/(x_j - x_i) — the bounded-"
+    "influence skewness (50% breakdown) that moment skewness "
+    "(agg_jarque_bera's g1) and quantile skewness (agg_bowley_moors) "
+    "bracket, and the statistic behind the adjusted boxplot fence. "
+    "Doubled-median algebra keeps everything integer: 2h's numerator "
+    "(2x_j - med2) + (2x_i - med2) and denominator 2(x_j - x_i) are "
+    "exact, each kernel value floor-quantizes to SIGN-SPLIT ppb, and "
+    "the final medcouple is the doubled-median of the quantized "
+    "kernel set halved (ties at the exact median excluded by the "
+    "strict x_i < x_j guard — declared simplification of the "
+    "sign-matrix tie rule, vacuous on cent-valued revenue sums). The "
+    "pair join is calendar-bounded (<= 84^2 rows); windows run over "
+    "the same bounded relations.",
+)
+def agg_medcouple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    srt = m.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).cast("bigint").alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    med = srt.agg(
+        (
+            F.max(F.when(F.col("i") == F.expr("(n + 1) div 2"), F.col("x")))
+            + F.max(F.when(F.col("i") == F.expr("n div 2 + 1"), F.col("x")))
+        )
+        .cast("bigint")
+        .alias("med2"),
+        F.max("n").cast("bigint").alias("n_months"),
+    )
+    lo = srt.select(F.col("x").alias("xi"))
+    hi = srt.select(F.col("x").alias("xj"))
+    pairs = (
+        lo.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("xi") <= F.col("med2"))
+        .join(
+            hi,
+            F.col("xj") > F.col("xi"),
+        )
+        .filter(2 * F.col("xj") >= F.col("med2"))
+    )
+    h = pairs.select(
+        F.expr(
+            "CAST(CASE WHEN (2 * xj - med2) + (2 * xi - med2) >= 0"
+            " THEN 1 ELSE -1 END"
+            " * ((1000000000 * CAST(abs((2 * xj - med2)"
+            "                           + (2 * xi - med2))"
+            "                       AS DECIMAL(38,0)))"
+            "    div (2 * (xj - xi))) AS BIGINT)"
+        ).alias("h_ppb")
+    )
+    hs = h.select(
+        "h_ppb",
+        F.row_number()
+        .over(Window.orderBy("h_ppb"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("k"),
+    )
+    agg = hs.agg(
+        F.max("k").cast("bigint").alias("n_kernel_pairs"),
+        F.expr(
+            "CAST((max(CASE WHEN i = (k + 1) div 2 THEN h_ppb END)"
+            " + max(CASE WHEN i = k div 2 + 1 THEN h_ppb END)) div 2"
+            " AS BIGINT)"
+        ).alias("medcouple_ppb"),
+    )
+    return F.broadcast(med).crossJoin(agg).select(
+        "n_months",
+        F.col("med2").alias("med2_cents"),
+        "n_kernel_pairs",
+        "medcouple_ppb",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_spearman_footrule — rank displacement between consecutive years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_spearman_footrule",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    yrs AS (
+      SELECT yr FROM m GROUP BY yr HAVING count(*) = 12
+      ORDER BY yr DESC LIMIT 2
+    ),
+    pick AS (
+      SELECT max(yr) AS y2, min(yr) AS y1 FROM yrs
+    ),
+    r AS (
+      SELECT m.yr, m.mo,
+             CAST(row_number() OVER (PARTITION BY m.yr
+               ORDER BY m.v DESC, m.mo) AS BIGINT) AS rk
+      FROM m JOIN yrs ON m.yr = yrs.yr
+    ),
+    d AS (
+      SELECT r1.mo, abs(r1.rk - r2.rk) AS disp
+      FROM r r1 JOIN r r2 ON r1.mo = r2.mo AND r1.yr <> r2.yr
+      JOIN pick ON r1.yr = pick.y1 AND r2.yr = pick.y2
+    )
+    SELECT (SELECT y1 FROM pick) AS year_1,
+           (SELECT y2 FROM pick) AS year_2,
+           CAST(sum(disp) AS BIGINT) AS footrule,
+           CAST((1000000000 * sum(disp)) // 72 AS BIGINT)
+             AS footrule_norm_ppb
+    FROM d
+    """,
+    doc="Spearman's footrule distance between the month-by-revenue "
+    "rankings of the last two COMPLETE order years: F = sum_m "
+    "|r1(m) - r2(m)|, normalized by the n=12 maximum n^2/2 = 72 — "
+    "the L1 rank-displacement metric (Diaconis-Graham: within a "
+    "factor 2 of Kendall distance) answering 'did the seasonal "
+    "ordering SHIFT year-over-year?' pointwise, where agg_kendall_w "
+    "scores multi-year agreement and orders_seasonality_strength "
+    "measures amplitude. Ranks are deterministic integers "
+    "(revenue DESC, month tie-break) from 12-row per-year windows; "
+    "the distance and its ppb normalization are exact integer "
+    "arithmetic. One month rollup; everything downstream is 12-row "
+    "bounded.",
+)
+def agg_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    yrs = (
+        m.groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("nmo"))
+        .filter(F.col("nmo") == 12)
+        .orderBy(F.col("yr").desc())
+        .limit(2)
+        .select("yr")
+    )
+    pick = yrs.agg(
+        F.max("yr").cast("bigint").alias("y2"),
+        F.min("yr").cast("bigint").alias("y1"),
+    )
+    r = m.join(F.broadcast(yrs), "yr").select(
+        "yr",
+        "mo",
+        F.row_number()
+        .over(
+            Window.partitionBy("yr").orderBy(F.col("v").desc(), F.col("mo"))
+        )
+        .cast("bigint")
+        .alias("rk"),
+    )
+    r1 = r.select(
+        F.col("yr").alias("yr1"), F.col("mo").alias("mo1"), F.col("rk").alias("rk1")
+    )
+    r2 = r.select(
+        F.col("yr").alias("yr2"), F.col("mo").alias("mo2"), F.col("rk").alias("rk2")
+    )
+    d = (
+        r1.crossJoin(F.broadcast(pick))
+        .filter(F.col("yr1") == F.col("y1"))
+        .join(
+            r2,
+            (F.col("mo1") == F.col("mo2")) & (F.col("yr2") != F.col("yr1")),
+        )
+        .filter(F.col("yr2") == F.col("y2"))
+        .select(
+            "y1",
+            "y2",
+            F.abs(F.col("rk1") - F.col("rk2")).alias("disp"),
+        )
+    )
+    return d.groupBy().agg(
+        F.max("y1").alias("year_1"),
+        F.max("y2").alias("year_2"),
+        F.sum("disp").cast("bigint").alias("footrule"),
+        F.expr("CAST((1000000000 * sum(disp)) div 72 AS BIGINT)").alias(
+            "footrule_norm_ppb"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_bmp_pixel_decode — REAL 24-bit BMP pixel decode, hash-verified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bmp_pixel_decode",
+    # Payloads are COMPLETE uncompressed 24bpp BMP files built column-side
+    # (file+DIB headers, 4-byte row stride padding, bottom-up row order);
+    # multimodal.decode_bmp24 re-parses them with the real stdlib struct
+    # walk and the oracle recomputes every channel sum and the raster-order
+    # checksum arithmetically — pixel VALUES on the hash surface, the
+    # image twin of multimodal_pcm_sample_stats.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS w,
+             doc_id % 3 + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h), i ->
+               (doc_id * 5 + 3 * (i % w) + 17 * (i // w)) % 256) AS rs,
+             list_transform(range(0, w * h), i ->
+               (doc_id * 3 + 5 * (i % w) + 11 * (i // w)) % 256) AS gs,
+             list_transform(range(0, w * h), i ->
+               (doc_id + 7 * (i % w) + 13 * (i // w)) % 256) AS bs
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(rs) AS BIGINT) AS sum_r,
+           CAST(list_sum(gs) AS BIGINT) AS sum_g,
+           CAST(list_sum(bs) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                (i + 1) * (rs[i + 1] + 2 * gs[i + 1] + 3 * bs[i + 1])))
+                AS BIGINT) AS raster_checksum
+    FROM px
+    ORDER BY doc_id
+    """,
+    doc="REAL BMP pixel decode under the driver's hash check: per doc, "
+    "construct a complete uncompressed 24-bit BMP (BITMAPFILEHEADER + "
+    "40-byte DIB header, 2x1 .. 5x3 deterministic pixels, 4-byte row "
+    "STRIDE padding, BOTTOM-UP stored row order — all composed as hex "
+    "column expressions), then decode the ACTUAL PIXELS back with the "
+    "real stdlib parser (multimodal.decode_bmp24) over Arrow-batched "
+    "mapInPandas and emit channel sums plus the raster-order weighted "
+    "checksum sum((i+1)(r+2g+3b)) — which only matches the arithmetic "
+    "oracle if the decoder honored both the stride padding AND the "
+    "bottom-up flip (an unflipped or stride-confused read scrambles "
+    "the weights). Completes the decode trio: WAV samples "
+    "(multimodal_pcm_sample_stats), mp4/image/WAV headers, now image "
+    "pixels. Map-only; zero shuffles at any scale.",
+)
+def multimodal_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        BMP_STATS_SCHEMA,
+        _bmp_stats_batches,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline14 import _le_hex
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.col("doc_id") % 4 + 2).alias("w"),
+        (F.col("doc_id") % 3 + 1).alias("h"),
+    )
+    stride = F.expr("CAST((3 * w + 3) div 4 AS BIGINT) * 4")
+    data_size = F.col("h") * stride
+    # stored rows: logical y = h-1 downto 0; each row w BGR triples + pad
+    pixel_hex = F.expr(
+        "concat_ws('', transform(sequence(h - 1, 0, -1), y ->"
+        " concat("
+        "  concat_ws('', transform(sequence(0, w - 1), x ->"
+        "   concat("
+        "    lpad(hex((doc_id + 7 * x + 13 * y) % 256), 2, '0'),"
+        "    lpad(hex((doc_id * 3 + 5 * x + 11 * y) % 256), 2, '0'),"
+        "    lpad(hex((doc_id * 5 + 3 * x + 17 * y) % 256), 2, '0')))),"
+        "  repeat('00', CAST((3 * w + 3) div 4 AS INT) * 4 - 3 * w))))"
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),                      # 'BM'
+        _le_hex(data_size + 54, 4),         # file size
+        F.lit("00000000"),                  # reserved
+        F.lit("36000000"),                  # pixel offset = 54
+        F.lit("28000000"),                  # DIB header size = 40
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),                      # planes
+        F.lit("1800"),                      # bpp = 24
+        F.lit("00000000"),                  # BI_RGB
+        _le_hex(data_size, 4),              # image size
+        F.lit("00000000" * 4),              # ppm + palette fields
+        pixel_hex,
+    )
+    return (
+        d.select("doc_id", F.unhex(bmp_hex).alias("payload"))
+        .mapInPandas(_bmp_stats_batches, BMP_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation — optimal stratified sampling design
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sx,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS sx2
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT pri, n,
+             CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * (n - 1))))
+                  AS BIGINT) AS s_cents,
+             CAST(n * CAST(floor(sqrt((CAST(n AS DOUBLE)
+                     * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)
+                  AS HUGEINT) AS wgt
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(sum(wgt) AS HUGEINT) AS wtot,
+             CAST(sum(n) AS BIGINT) AS ntot
+      FROM w
+    )
+    SELECT w.pri AS priority, w.n AS n_population,
+           w.s_cents AS std_cents,
+           CAST((10000 * w.wgt) // t.wtot AS BIGINT) AS neyman_n,
+           CAST((1000000 * w.wgt) // t.wtot AS BIGINT) AS neyman_ppm,
+           CAST((1000000 * CAST(w.n AS HUGEINT)) // t.ntot AS BIGINT)
+             AS proportional_ppm
+    FROM w, t
+    ORDER BY priority
+    """,
+    doc="Neyman-optimal stratified sampling allocation across order "
+    "priorities for a 10,000-row budget: n_h proportional to "
+    "N_h * S_h (stratum size times stratum standard deviation) — the "
+    "design that minimizes estimator variance for a fixed budget, "
+    "emitted NEXT TO the proportional allocation so the gain from "
+    "weighting by within-stratum spread is visible; the design-stage "
+    "companion to the executing samplers (sample_stratified, "
+    "sample_balanced_class, curate_temperature_resample). Stratum "
+    "stddevs come from exact integer cent moments, floor-quantized "
+    "to whole cents per stratum BEFORE the cross-stratum weight sum "
+    "(so the allocation denominator is an exact integer and no "
+    "cross-group double addition order exists); every share is one "
+    "non-negative floor-division. One map-combined rollup; no "
+    "windows, no joins beyond the 1-row total broadcast.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "sx"
+        ),
+        _dsum(
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"
+                " * CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"
+            )
+        ).alias("sx2"),
+    )
+    sd = (
+        "CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)"
+    )
+    w = s.select(
+        "pri",
+        "n",
+        F.expr(sd).alias("s_cents"),
+        F.expr(f"CAST(n * {sd} AS DECIMAL(38,0))").alias("wgt"),
+    )
+    t = w.agg(
+        _dsum(F.col("wgt")).alias("wtot"),
+        F.sum("n").cast("bigint").alias("ntot"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            F.col("pri").alias("priority"),
+            F.col("n").alias("n_population"),
+            F.col("s_cents").alias("std_cents"),
+            F.expr("CAST((10000 * wgt) div wtot AS BIGINT)").alias(
+                "neyman_n"
+            ),
+            F.expr("CAST((1000000 * wgt) div wtot AS BIGINT)").alias(
+                "neyman_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * CAST(n AS DECIMAL(38,0))) div ntot"
+                " AS BIGINT)"
+            ).alias("proportional_ppm"),
+        )
+        .orderBy("priority")
+    )
