@@ -1630,12 +1630,17 @@ def orders_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx WHERE i = 1
       UNION ALL
       SELECT idx.priority, idx.i,
-             CAST(round(0.3 * idx.x
-                        + 0.7 * (rec.l + 0.9 * rec.b)) AS BIGINT),
-             CAST(round(0.2 * (CAST(round(0.3 * idx.x
-                          + 0.7 * (rec.l + 0.9 * rec.b)) AS BIGINT)
-                          - rec.l)
-                        + 0.72 * rec.b) AS BIGINT)
+             CAST(floor(CAST(0.3 AS DOUBLE) * idx.x
+                        + CAST(0.7 AS DOUBLE)
+                          * (rec.l + CAST(0.9 AS DOUBLE) * rec.b)
+                        + 0.5) AS BIGINT),
+             CAST(floor(CAST(0.2 AS DOUBLE)
+                          * (CAST(floor(CAST(0.3 AS DOUBLE) * idx.x
+                               + CAST(0.7 AS DOUBLE)
+                                 * (rec.l + CAST(0.9 AS DOUBLE) * rec.b)
+                               + 0.5) AS BIGINT)
+                             - rec.l)
+                        + CAST(0.72 AS DOUBLE) * rec.b + 0.5) AS BIGINT)
       FROM rec JOIN idx
         ON idx.priority = rec.priority AND idx.i = rec.i + 1
     ),
@@ -1646,12 +1651,12 @@ def orders_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.priority AS priority, nn.n AS n_months,
            CAST(l AS BIGINT) AS level_cents,
            CAST(b AS BIGINT) AS trend_cents,
-           CAST(l + CAST(round(0.9 * b) AS BIGINT) AS BIGINT)
-             AS forecast_1_cents,
-           CAST(l + CAST(round(1.71 * b) AS BIGINT) AS BIGINT)
-             AS forecast_2_cents,
-           CAST(l + CAST(round(2.439 * b) AS BIGINT) AS BIGINT)
-             AS forecast_3_cents
+           CAST(l + CAST(floor(CAST(0.9 AS DOUBLE) * b + 0.5) AS BIGINT)
+                AS BIGINT) AS forecast_1_cents,
+           CAST(l + CAST(floor(CAST(1.71 AS DOUBLE) * b + 0.5) AS BIGINT)
+                AS BIGINT) AS forecast_2_cents,
+           CAST(l + CAST(floor(CAST(2.439 AS DOUBLE) * b + 0.5) AS BIGINT)
+                AS BIGINT) AS forecast_3_cents
     FROM fin f JOIN nn ON f.priority = nn.priority
     ORDER BY f.priority
     """,
@@ -1661,9 +1666,15 @@ def orders_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trend decay geometrically instead of extrapolating linearly "
     "forever: l_t = a*x + (1-a)(l + phi*b), b_t = g(l_t - l) + "
     "(1-g)phi*b, F_h = l + (phi + ... + phi^h) b. State is INTEGER "
-    "CENTS re-quantized each step with round-to-integer of NON-DYADIC "
-    "double products (the orders_holt_linear determinism argument: "
-    "0.3/0.7/0.9 products cannot land on exact .5 doubles); the "
+    "CENTS re-quantized each step via floor(x + 0.5) — NOT round(): "
+    "Spark rounds the double's shortest DECIMAL repr half-up while "
+    "DuckDB rounds the binary double, and they diverged on a real "
+    "near-.5 product at sf0.001 (the r12 finding); floor acts on the "
+    "identical binary double on both engines, so every step is "
+    "bit-deterministic — and every oracle-side constant is CAST(c AS "
+    "DOUBLE) because bare DuckDB decimal literals are exact DECIMALs, "
+    "which diverged from the double path by 1 cent at step 75 of the "
+    "3-MEDIUM series. The "
     "damped forecast weights 0.9/1.71/2.439 are shared literals. "
     "Spark folds the calendar-bounded series with the aggregate HOF; "
     "the oracle replays the identical fold as a recursive CTE. Facts "
@@ -1688,11 +1699,11 @@ def orders_damped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(ms, 2, size(ms) - 1), e -> e.x), "
         "named_struct('l', element_at(ms, 1).x, 'b', CAST(0 AS BIGINT)), "
         "(acc, x) -> named_struct("
-        "'l', CAST(round(0.3D * x + 0.7D * (acc.l + 0.9D * acc.b))"
+        "'l', CAST(floor(0.3D * x + 0.7D * (acc.l + 0.9D * acc.b) + 0.5D)"
         " AS BIGINT), "
-        "'b', CAST(round(0.2D * (CAST(round(0.3D * x"
-        " + 0.7D * (acc.l + 0.9D * acc.b)) AS BIGINT) - acc.l)"
-        " + 0.72D * acc.b) AS BIGINT)))"
+        "'b', CAST(floor(0.2D * (CAST(floor(0.3D * x"
+        " + 0.7D * (acc.l + 0.9D * acc.b) + 0.5D) AS BIGINT) - acc.l)"
+        " + 0.72D * acc.b + 0.5D) AS BIGINT)))"
     )
     fin = ser.select(
         "priority", F.col("n").alias("n_months"), fold.alias("st")
@@ -1703,13 +1714,16 @@ def orders_damped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.l").alias("level_cents"),
         F.col("st.b").alias("trend_cents"),
         F.expr(
-            "CAST(st.l + CAST(round(0.9D * st.b) AS BIGINT) AS BIGINT)"
+            "CAST(st.l + CAST(floor(0.9D * st.b + 0.5D) AS BIGINT)"
+            " AS BIGINT)"
         ).alias("forecast_1_cents"),
         F.expr(
-            "CAST(st.l + CAST(round(1.71D * st.b) AS BIGINT) AS BIGINT)"
+            "CAST(st.l + CAST(floor(1.71D * st.b + 0.5D) AS BIGINT)"
+            " AS BIGINT)"
         ).alias("forecast_2_cents"),
         F.expr(
-            "CAST(st.l + CAST(round(2.439D * st.b) AS BIGINT) AS BIGINT)"
+            "CAST(st.l + CAST(floor(2.439D * st.b + 0.5D) AS BIGINT)"
+            " AS BIGINT)"
         ).alias("forecast_3_cents"),
     ).orderBy("priority")
 

@@ -310,6 +310,21 @@ _ALLOWED_NESTED_LOOP = {
     "orders_haar_wavelet",        # 1-row power-of-two + 1-row energy-total crossJoins
     "orders_theta_forecast",      # 1-row OLS-coefficient scalars broadcast crossJoin
     "embedding_truncation_fidelity",  # bounded 50-query panel NLJ (by design)
+    # pipeline19 (round-13 bank)
+    "agg_fowlkes_mallows",        # 1-row pair-count scalars broadcast crossJoins
+    "agg_rand_adjusted",          # 1-row pair-count scalars broadcast crossJoins
+    "agg_medcouple",              # 1-row doubled-median + bounded 84x84 kernel NLJ
+    "embedding_hubness_skew",     # bounded 100-query panel NLJ (by design)
+    "events_dfa_alpha",           # 1-row totals + 3 per-scale 1-row box sums crossJoins
+    "events_vmr_windows",         # 3-row window-size scaffold broadcast crossJoin
+    "graph_degree_gini",          # 1-row node-count scalar broadcast crossJoin
+    "graph_modularity_split",     # 1-row community-degree scalars broadcast crossJoin
+    "orders_association_metrics", # 1-row basket-total scalar broadcast crossJoin
+    "orders_p_chart",             # 1-row pooled-proportion scalars broadcast crossJoin
+    "orders_sprt_sequential",     # 1-row boundary-hit + 1-row final-LLR crossJoins
+    "sample_neyman_allocation",   # 1-row weight-total scalar broadcast crossJoin
+    "text_juilland_d",            # bounded 20-word x sources scaffold crossJoin
+    "agg_spearman_footrule",      # 2-row year-pick scalar broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -484,6 +499,23 @@ _GLOBAL_WINDOWS = {
     "orders_haar_wavelet": (4, "bounded: ~2.4k-day series (row index + "
                                "count, duplicated under the signed-sum "
                                "and power-of-two branches)"),
+    # pipeline19 (round-13 bank)
+    "agg_g_test": (1, "bounded: 25-cell contingency grid total"),
+    "agg_freeman_tukey": (1, "bounded: 25-cell contingency grid total"),
+    "agg_f1_sweep": (3, "bounded: ~105-bucket score-domain suffix + "
+                        "total + best-flag max"),
+    "agg_medcouple": (6, "bounded: ~84-month sorted series + kernel-set "
+                         "rank/count, duplicated across median/pair "
+                         "branches"),
+    "events_dfa_alpha": (6, "bounded: calendar-day profile prefix + row "
+                            "index, duplicated under the 3 box scales"),
+    "graph_degree_gini": (1, "bounded: 25-node strength rank"),
+    "orders_bass_diffusion": (1, "bounded: monthly adopter series prefix"),
+    "orders_rca_index": (1, "bounded: nation x brand grid total"),
+    "orders_sprt_sequential": (3, "bounded: calendar-day LLR prefix + "
+                                  "day count + last-row pick"),
+    "orders_wright_learning": (1, "bounded: monthly cumulative-quantity "
+                                  "prefix"),
 }
 
 
