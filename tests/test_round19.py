@@ -1,0 +1,519 @@
+"""Pure-python identity pins for the pipeline19 (round-13 bank) operators.
+
+Each test replays an operator's integer/cleared-denominator algebra on
+random small inputs against an independent Fraction/float reference —
+the same discipline as test_round16/test_round17: the identities the
+oracles and Spark expressions share are proven here, so a driver-green
+hash means the STATISTIC is right, not merely that two engines agree.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+from fractions import Fraction
+
+
+# ---------------------------------------------------------------------------
+# Scott's pi (agg_scott_pi) — cleared-denominator identity
+# ---------------------------------------------------------------------------
+
+
+def test_scott_pi_cleared_denominator():
+    rng = random.Random(191)
+    for _ in range(50):
+        cells = [[rng.randint(0, 40) for _ in range(3)] for _ in range(3)]
+        nn = sum(sum(r) for r in cells)
+        if nn == 0:
+            continue
+        diag = sum(cells[i][i] for i in range(3))
+        s = [
+            sum(cells[i][j] for j in range(3))
+            + sum(cells[j][i] for j in range(3))
+            for i in range(3)
+        ]
+        po = Fraction(diag, nn)
+        pe = sum(Fraction(si, 2 * nn) ** 2 for si in s)
+        if pe == 1:
+            continue
+        ref = (po - pe) / (1 - pe)
+        num = 4 * nn * diag - sum(si * si for si in s)
+        den = 4 * nn * nn - sum(si * si for si in s)
+        assert Fraction(num, den) == ref
+
+
+# ---------------------------------------------------------------------------
+# Fowlkes-Mallows + adjusted Rand (doubled pair counts)
+# ---------------------------------------------------------------------------
+
+
+def _contingency(rng, na=4, nb=5, lo=0, hi=30):
+    return [[rng.randint(lo, hi) for _ in range(nb)] for _ in range(na)]
+
+
+def test_fowlkes_mallows_and_ari_identities():
+    rng = random.Random(193)
+    for _ in range(40):
+        t = _contingency(rng)
+        n = sum(sum(r) for r in t)
+        if n < 2:
+            continue
+        a = [sum(r) for r in t]
+        b = [sum(t[i][j] for i in range(len(t))) for j in range(len(t[0]))]
+        c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+        tp = sum(c2(v) for r in t for v in r)
+        pa = sum(c2(x) for x in a)
+        pb = sum(c2(x) for x in b)
+        # doubled counts used by the operators
+        t2 = sum(v * (v - 1) for r in t for v in r)
+        pa2 = sum(x * (x - 1) for x in a)
+        pb2 = sum(x * (x - 1) for x in b)
+        assert (t2, pa2, pb2) == (2 * tp, 2 * pa, 2 * pb)
+        if pa and pb:
+            fm_ref = tp / math.sqrt(pa * pb)
+            fm_op = t2 / math.sqrt(float(pa2) * pb2)
+            assert abs(fm_ref - fm_op) < 1e-12
+        tot = c2(n)
+        if tot == 0:
+            continue
+        exp = Fraction(pa * pb, tot)
+        den_ref = Fraction(pa + pb, 2) - exp
+        if den_ref == 0:
+            continue
+        ari_ref = (tp - exp) / den_ref
+        tot2 = n * (n - 1)
+        num = tot2 * t2 - pa2 * pb2
+        den = tot2 * ((pa2 + pb2) // 2) - pa2 * pb2
+        assert (pa2 + pb2) % 2 == 0
+        assert Fraction(num, den) == ari_ref
+
+
+# ---------------------------------------------------------------------------
+# GE(2) (agg_ge2_index) — half squared CV identity
+# ---------------------------------------------------------------------------
+
+
+def test_ge2_identity():
+    rng = random.Random(197)
+    for _ in range(50):
+        xs = [rng.randint(1, 10**6) for _ in range(rng.randint(2, 60))]
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = Fraction(s, n)
+        ge2_ref = (Fraction(s2, n) / mean**2 - 1) / 2
+        assert Fraction(n * s2 - s * s, 2 * s * s) == ge2_ref
+
+
+# ---------------------------------------------------------------------------
+# Medcouple (agg_medcouple) — doubled kernel vs float reference
+# ---------------------------------------------------------------------------
+
+
+def test_medcouple_doubled_kernel():
+    rng = random.Random(199)
+    for _ in range(30):
+        n = rng.randint(5, 40)
+        xs = sorted(rng.randint(1, 10**6) for _ in range(n))
+        med2 = xs[(n + 1) // 2 - 1] + xs[n // 2]
+        med = med2 / 2.0
+        for _ in range(20):
+            xi, xj = rng.choice(xs), rng.choice(xs)
+            if not (2 * xi <= med2 <= 2 * xj and xi < xj):
+                continue
+            ref = ((xj - med) - (med - xi)) / (xj - xi)
+            num = (2 * xj - med2) + (2 * xi - med2)
+            den = 2 * (xj - xi)
+            assert abs(num / den - ref) < 1e-12
+            # sign-split ppb quantization is the emitted form
+            sign = 1 if num >= 0 else -1
+            q = sign * ((10**9 * abs(num)) // den)
+            assert abs(q / 1e9 - ref) < 2e-9
+
+
+# ---------------------------------------------------------------------------
+# Footrule normalization (agg_spearman_footrule)
+# ---------------------------------------------------------------------------
+
+
+def test_footrule_max_is_72_for_n12():
+    ranks = list(range(1, 13))
+    worst = sum(abs(a - b) for a, b in zip(ranks, ranks[::-1]))
+    assert worst == 72  # n^2/2 for even n = 12
+
+
+# ---------------------------------------------------------------------------
+# NDCG discount literals (agg_ndcg_at10)
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_discount_literals():
+    from mongodb_nats_connector_spark.operators.pipeline19 import _NDCG_W
+
+    table = eval(_NDCG_W)  # noqa: S307 - literal list
+    assert table == [
+        math.floor(1e9 / math.log2(i + 1)) for i in range(1, 11)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# DFT / circular trig literal tables
+# ---------------------------------------------------------------------------
+
+
+def test_trig_literal_tables():
+    from mongodb_nats_connector_spark.operators.pipeline19 import (
+        _CIRC_COS,
+        _CIRC_SIN,
+        _DFT_COS,
+        _DFT_SIN,
+    )
+
+    cos12 = eval(_DFT_COS)  # noqa: S307
+    sin12 = eval(_DFT_SIN)  # noqa: S307
+    for m in range(12):
+        a = 2 * math.pi * m / 12
+        assert abs(cos12[m] - 1e9 * math.cos(a)) < 1.0
+        assert abs(sin12[m] - 1e9 * math.sin(a)) < 1.0
+    cos24 = eval(_CIRC_COS)  # noqa: S307
+    sin24 = eval(_CIRC_SIN)  # noqa: S307
+    for h in range(24):
+        a = 2 * math.pi * h / 24
+        assert abs(cos24[h] - 1e9 * math.cos(a)) < 1.0
+        assert abs(sin24[h] - 1e9 * math.sin(a)) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# SPRT literals (orders_sprt_sequential)
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_literals():
+    from mongodb_nats_connector_spark.operators.pipeline19 import (
+        _SPRT_A,
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+
+    assert _SPRT_L1 == math.floor(1e6 * math.log(Fraction(26, 24)))
+    assert _SPRT_L0 == math.floor(1e6 * math.log(Fraction(74, 76)))
+    assert _SPRT_A == math.floor(1e6 * math.log(19))
+
+
+# ---------------------------------------------------------------------------
+# Damped-trend fold (orders_damped_trend) — floor(x+0.5) replay
+# ---------------------------------------------------------------------------
+
+
+def test_damped_trend_fold_properties():
+    rng = random.Random(211)
+    for _ in range(20):
+        xs = [rng.randint(10**6, 10**8) for _ in range(rng.randint(3, 40))]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            lt = math.floor(0.3 * x + 0.7 * (l + 0.9 * b) + 0.5)
+            bt = math.floor(
+                0.2 * (lt - l) + 0.72 * b + 0.5
+            )
+            l, b = lt, bt
+        # level stays within the observed range expanded by trend slack
+        assert min(xs) - abs(b) * 10 <= l <= max(xs) + abs(b) * 10
+        # constant series => level converges to it with zero trend
+        c = xs[0]
+        l2, b2 = c, 0
+        for _ in range(10):
+            lt = math.floor(0.3 * c + 0.7 * (l2 + 0.9 * b2) + 0.5)
+            b2 = math.floor(0.2 * (lt - l2) + 0.72 * b2 + 0.5)
+            l2 = lt
+        assert l2 == c and b2 == 0
+
+
+# ---------------------------------------------------------------------------
+# p-chart flag (orders_p_chart) — cross-multiplication == 3-sigma test
+# ---------------------------------------------------------------------------
+
+
+def test_p_chart_cross_multiplication():
+    rng = random.Random(223)
+    for _ in range(200):
+        months = [
+            (rng.randint(50, 500), 0) for _ in range(rng.randint(3, 12))
+        ]
+        months = [(n, rng.randint(0, n)) for n, _ in months]
+        big_l = sum(n for n, _ in months)
+        big_r = sum(r for _, r in months)
+        if big_r == 0 or big_r == big_l:
+            continue
+        pbar = big_r / big_l
+        for n, r in months:
+            lhs = (r * big_l - n * big_r) ** 2
+            rhs = 9 * big_r * (big_l - big_r) * n
+            flag_int = lhs > rhs
+            flag_float = (r / n - pbar) ** 2 > 9 * pbar * (1 - pbar) / n
+            # the two decisions agree except within float epsilon of the
+            # boundary; exact integers are the ground truth
+            if abs(lhs - rhs) > 1e-6 * max(1, rhs):
+                assert flag_int == flag_float
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion (orders_bass_diffusion) — Cramer vs lstsq on synthetic
+# ---------------------------------------------------------------------------
+
+
+def test_bass_cramer_solves_quadratic_ols():
+    rng = random.Random(227)
+    for _ in range(20):
+        ys = [rng.randint(0, 500) for _ in range(12)]
+        ns = [rng.randint(1, 80) for _ in range(12)]
+        t0 = len(ys)
+        s1 = sum(ys)
+        s2 = sum(y * y for y in ys)
+        s3 = sum(y**3 for y in ys)
+        s4 = sum(y**4 for y in ys)
+        sy = sum(ns)
+        sy1 = sum(n * y for n, y in zip(ns, ys))
+        sy2 = sum(n * y * y for n, y in zip(ns, ys))
+        dd = (
+            t0 * (s2 * s4 - s3 * s3)
+            - s1 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * s3 - s2 * s2)
+        )
+        if dd == 0:
+            continue
+        da = (
+            sy * (s2 * s4 - s3 * s3)
+            - s1 * (sy1 * s4 - s3 * sy2)
+            + s2 * (sy1 * s3 - s2 * sy2)
+        )
+        db = (
+            t0 * (sy1 * s4 - sy2 * s3)
+            - sy * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * sy2 - s2 * sy1)
+        )
+        dc = (
+            t0 * (s2 * sy2 - s3 * sy1)
+            - s1 * (s1 * sy2 - s3 * sy)
+            + sy * (s1 * s3 - s2 * s2)
+        )
+        a, b, c = (
+            Fraction(da, dd),
+            Fraction(db, dd),
+            Fraction(dc, dd),
+        )
+        # normal equations hold exactly
+        assert a * t0 + b * s1 + c * s2 == sy
+        assert a * s1 + b * s2 + c * s3 == sy1
+        assert a * s2 + b * s3 + c * s4 == sy2
+
+
+# ---------------------------------------------------------------------------
+# DFA box RSS closed form (events_dfa_alpha)
+# ---------------------------------------------------------------------------
+
+
+def test_dfa_box_rss_closed_form():
+    rng = random.Random(229)
+    for s in (8, 16, 32):
+        for _ in range(10):
+            ps = [rng.randint(-(10**6), 10**6) for _ in range(s)]
+            sy = sum(ps)
+            sjy = sum((j + 1) * p for j, p in enumerate(ps))
+            syy = sum(p * p for p in ps)
+            closed = (
+                syy
+                - sy * sy / s
+                - (sjy - (s + 1) * sy / 2.0) ** 2
+                / (s * (s * s - 1) / 12.0)
+            )
+            # explicit OLS residuals
+            js = list(range(1, s + 1))
+            jbar = sum(js) / s
+            pbar = sy / s
+            beta = sum(
+                (j - jbar) * (p - pbar) for j, p in zip(js, ps)
+            ) / sum((j - jbar) ** 2 for j in js)
+            alpha = pbar - beta * jbar
+            rss = sum(
+                (p - alpha - beta * j) ** 2 for j, p in zip(js, ps)
+            )
+            assert abs(closed - rss) < 1e-3 * max(1.0, abs(rss))
+
+
+# ---------------------------------------------------------------------------
+# Modularity cleared denominator (graph_modularity_split)
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_cleared_denominator():
+    rng = random.Random(233)
+    for _ in range(40):
+        k = rng.randint(2, 5)
+        edges = []
+        for _ in range(rng.randint(3, 30)):
+            edges.append(
+                (rng.randrange(k), rng.randrange(k), rng.randint(1, 50))
+            )
+        w_tot = sum(w for _, _, w in edges)
+        e_in = sum(w for a, b, w in edges if a == b)
+        deg = [0] * k
+        for a, b, w in edges:
+            deg[a] += w
+            deg[b] += w
+        q_ref = sum(
+            Fraction(sum(w for a, b, w in edges if a == b == c), w_tot)
+            - Fraction(deg[c], 2 * w_tot) ** 2
+            for c in range(k)
+        )
+        num = 4 * w_tot * e_in - sum(d * d for d in deg)
+        assert Fraction(num, 4 * w_tot * w_tot) == q_ref
+
+
+# ---------------------------------------------------------------------------
+# Theil T / L on the bucketed domain (agg_theil_index)
+# ---------------------------------------------------------------------------
+
+
+def test_theil_bucketed_reference():
+    rng = random.Random(239)
+    for _ in range(20):
+        vals = [rng.randint(1, 300) for _ in range(rng.randint(5, 200))]
+        n, s = len(vals), sum(vals)
+        t_ref = sum((v / s) * math.log(v * n / s) for v in vals)
+        l_ref = sum(math.log(s / (n * v)) for v in vals) / n
+        # the operator's per-cell quantized sums approximate within the
+        # quantization budget (1e-6 per cell, <= #cells cells)
+        from collections import Counter
+
+        cells = Counter(vals)
+        tnum = sum(
+            math.floor(1e6 * c * v * math.log(n * v / s))
+            for v, c in cells.items()
+        )
+        lnum = sum(
+            math.floor(1e6 * c * math.log(s / (n * v)))
+            for v, c in cells.items()
+        )
+        assert abs(tnum / (1e6 * s) - t_ref) < len(cells) / (1e6 * min(1, s) if s else 1)
+        assert abs(tnum / 1e6 / s - t_ref) < 1e-3
+        assert abs(lnum / 1e6 / n - l_ref) < 1e-3
+        assert t_ref >= -1e-12 and l_ref >= -1e-12
+
+
+# ---------------------------------------------------------------------------
+# BMP decoder (multimodal.decode_bmp24) — stride + bottom-up flip
+# ---------------------------------------------------------------------------
+
+
+def _build_bmp(w: int, h: int, px) -> bytes:
+    """px(x, y) -> (r, g, b) with y = 0 the logical TOP row."""
+    stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # stored bottom-up
+        row = b""
+        for x in range(w):
+            r, g, b = px(x, y)
+            row += bytes([b, g, r])
+        rows.append(row + b"\x00" * (stride - 3 * w))
+    data = b"".join(rows)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+        )
+    )
+    return hdr + data
+
+
+def test_bmp_decoder_roundtrip_and_rejects():
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_bmp24,
+    )
+
+    rng = random.Random(241)
+    for _ in range(20):
+        w, h = rng.randint(1, 7), rng.randint(1, 5)
+        vals = {
+            (x, y): (
+                rng.randrange(256),
+                rng.randrange(256),
+                rng.randrange(256),
+            )
+            for x in range(w)
+            for y in range(h)
+        }
+        raw = _build_bmp(w, h, lambda x, y: vals[(x, y)])
+        got = decode_bmp24(raw)
+        assert got is not None
+        gw, gh, pixels = got
+        assert (gw, gh) == (w, h)
+        # logical raster order: y-major from the top
+        assert pixels == [
+            vals[(x, y)] for y in range(h) for x in range(w)
+        ]
+    raw = _build_bmp(3, 2, lambda x, y: (x, y, 7))
+    assert decode_bmp24(raw[:40]) is None  # truncated
+    assert decode_bmp24(b"XX" + raw[2:]) is None  # bad magic
+    bad_bpp = raw[:28] + struct.pack("<H", 8) + raw[30:]
+    assert decode_bmp24(bad_bpp) is None  # non-24bpp
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM decoder (multimodal.decode_wav_pcm16)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_pcm_decoder_roundtrip():
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    rng = random.Random(251)
+    for _ in range(20):
+        samples = [
+            rng.randint(-32768, 32767) for _ in range(rng.randint(1, 100))
+        ]
+        data = struct.pack("<%dh" % len(samples), *samples)
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+        )
+        assert decode_wav_pcm16(hdr + data) == samples
+    assert decode_wav_pcm16(b"RIFX" + b"\x00" * 60) is None
+
+
+# ---------------------------------------------------------------------------
+# Rademacher sign matrix (embedding_rademacher_projection)
+# ---------------------------------------------------------------------------
+
+
+def test_rademacher_signs_deterministic_and_balanced():
+    from mongodb_nats_connector_spark.operators.pipeline19 import (
+        _rademacher_signs,
+    )
+
+    s1 = _rademacher_signs()
+    s2 = _rademacher_signs()
+    assert s1 == s2  # literal stability across calls/engines
+    flat = [v for row in s1 for v in row]
+    assert set(flat) == {-1, 1}
+    # md5 uniformity keeps the matrix roughly balanced
+    assert abs(sum(flat)) < 0.2 * len(flat)
+    # JL expectation: E||Sx||^2 = J * ||x||^2 over random x
+    rng = random.Random(257)
+    ratios = []
+    for _ in range(40):
+        x = [rng.randint(-50, 50) for _ in range(64)]
+        x2 = sum(v * v for v in x)
+        if x2 == 0:
+            continue
+        y2 = sum(
+            sum(s * v for s, v in zip(row, x)) ** 2 for row in s1
+        )
+        ratios.append(y2 / (16 * x2))
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
