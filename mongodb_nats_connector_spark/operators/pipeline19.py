@@ -1785,7 +1785,7 @@ _BASS_DETS = """
                - d_sy * (d_s1 * d_s4 - d_s3 * d_s2)
                + d_s2 * (d_s1 * d_sy2 - d_s2 * d_sy1) AS db,
              d_t0 * (d_s2 * d_sy2 - d_s3 * d_sy1)
-               - d_s1 * (d_s1 * d_sy2 - d_s3 * d_sy)
+               - d_s1 * (d_s1 * d_sy2 - d_sy1 * d_s2)
                + d_sy * (d_s1 * d_s3 - d_s2 * d_s2) AS dc
       FROM d
     )
@@ -1874,7 +1874,7 @@ def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("db"),
         F.expr(
             "d_t0 * (d_s2 * d_sy2 - d_s3 * d_sy1)"
-            " - d_s1 * (d_s1 * d_sy2 - d_s3 * d_sy)"
+            " - d_s1 * (d_s1 * d_sy2 - d_sy1 * d_s2)"
             " + d_sy * (d_s1 * d_s3 - d_s2 * d_s2)"
         ).alias("dc"),
     )

@@ -261,6 +261,11 @@ def test_p_chart_cross_multiplication():
 
 
 def test_bass_cramer_solves_quadratic_ols():
+    """Pins the literal cofactor expansion: the first draft of dc wrote
+    s3*sy for the (2,2) minor term instead of sy1*s2 — IDENTICALLY on
+    both engine surfaces, so the parity probe was green while the
+    statistic was wrong; this exact-Fraction normal-equation check is
+    what caught it (the agg_kendall_w lesson applied in-round)."""
     rng = random.Random(227)
     for _ in range(20):
         ys = [rng.randint(0, 500) for _ in range(12)]
@@ -292,7 +297,7 @@ def test_bass_cramer_solves_quadratic_ols():
         )
         dc = (
             t0 * (s2 * sy2 - s3 * sy1)
-            - s1 * (s1 * sy2 - s3 * sy)
+            - s1 * (s1 * sy2 - sy1 * s2)
             + sy * (s1 * s3 - s2 * s2)
         )
         a, b, c = (
