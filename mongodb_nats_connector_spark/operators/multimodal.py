@@ -710,3 +710,110 @@ def _bmp_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "raster_checksum": pd.Series(ck, dtype="Int64"),
             }
         )
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("total_delay_cs", LongType(), True),
+    ]
+)
+
+
+def walk_gif_frames(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Real animated-GIF structure walking (pure stdlib): header + logical
+    screen descriptor, then the block stream — graphic-control extensions
+    (accumulating frame delays), image descriptors (counting frames,
+    skipping local color tables and LZW sub-blocks BY LENGTH, no pixel
+    decode), other extensions skipped, trailer terminates. Returns
+    (width, height, n_frames, total_delay_centiseconds) or None for
+    non-GIF / truncated / malformed payloads."""
+    import struct
+
+    n = len(payload)
+    if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    off = 13
+    if packed & 0x80:  # global color table present
+        off += 3 * (2 << (packed & 0x07))
+    frames = 0
+    total_delay = 0
+
+    def skip_subblocks(o: int) -> int | None:
+        while True:
+            if o >= n:
+                return None
+            size = payload[o]
+            o += 1
+            if size == 0:
+                return o
+            o += size
+
+    while off < n:
+        b = payload[off]
+        if b == 0x3B:  # trailer
+            return int(w), int(h), frames, total_delay
+        if b == 0x21:  # extension
+            if off + 2 > n:
+                return None
+            label = payload[off + 1]
+            if label == 0xF9 and off + 8 <= n and payload[off + 2] == 4:
+                (delay,) = struct.unpack("<H", payload[off + 4 : off + 6])
+                total_delay += delay
+            nxt = skip_subblocks(off + 2)
+            if nxt is None:
+                return None
+            off = nxt
+        elif b == 0x2C:  # image descriptor
+            if off + 10 > n:
+                return None
+            ipacked = payload[off + 9]
+            off += 10
+            if ipacked & 0x80:  # local color table
+                off += 3 * (2 << (ipacked & 0x07))
+            if off >= n:
+                return None
+            off += 1  # LZW minimum code size
+            nxt = skip_subblocks(off)
+            if nxt is None:
+                return None
+            off = nxt
+            frames += 1
+        else:
+            return None
+    return None  # no trailer
+
+
+def _gif_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched GIF structure walking; non-GIF payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, ws, hs, fr, dl = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_gif_frames(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                ws.append(None)
+                hs.append(None)
+                fr.append(None)
+                dl.append(None)
+            else:
+                w, h, frames, delay = meta
+                ws.append(w)
+                hs.append(h)
+                fr.append(frames)
+                dl.append(delay)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+                "n_frames": pd.Series(fr, dtype="Int64"),
+                "total_delay_cs": pd.Series(dl, dtype="Int64"),
+            }
+        )

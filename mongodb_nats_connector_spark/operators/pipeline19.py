@@ -556,7 +556,8 @@ def agg_rand_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT o_orderpriority AS pri,
-             greatest(CAST(round(o_totalprice / 1000) AS BIGINT), 1) AS v
+             greatest((CAST(round(o_totalprice * 100) AS BIGINT) + 50000)
+                      // 100000, 1) AS v
       FROM orders
     ),
     cells AS (
@@ -607,8 +608,9 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     b = o.select(
         F.col("o_orderpriority").alias("pri"),
-        F.greatest(
-            F.round(F.col("o_totalprice") / 1000).cast("bigint"), F.lit(1)
+        F.expr(
+            "greatest((CAST(round(o_totalprice * 100) AS BIGINT) + 50000)"
+            " div 100000, 1)"
         ).alias("v"),
     )
     cells = b.groupBy("pri", "v").agg(
@@ -979,7 +981,8 @@ def agg_tjur_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_f1_sweep",
     oracle="""
     WITH b AS (
-      SELECT CAST(round(l_extendedprice / 1000) AS BIGINT) AS s,
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)
+               // 100000 AS s,
              CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
                AS pos
       FROM lineitem
@@ -1029,7 +1032,10 @@ def agg_tjur_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     b = li.select(
-        F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("s"),
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 50000)"
+            " div 100000"
+        ).alias("s"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
     )
     cells = b.groupBy("s").agg(
@@ -4436,3 +4442,995 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_sharpe_sortino — risk-adjusted monthly revenue momentum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_sharpe_sortino",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT CAST((1000000 * (x - lag(x) OVER (ORDER BY month)))
+                  // lag(x) OVER (ORDER BY month) AS BIGINT) AS ret
+      FROM m QUALIFY lag(x) OVER (ORDER BY month) IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ret) AS BIGINT) AS s1,
+             CAST(sum(CAST(ret AS HUGEINT) * ret) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN ret < 0
+                  THEN CAST(ret AS HUGEINT) * ret ELSE 0 END) AS HUGEINT)
+               AS sdown
+      FROM r
+    )
+    SELECT n AS n_returns,
+           CAST(s1 // n AS BIGINT) AS mean_ret_ppm,
+           CAST(floor(1000.0 * s1 / n
+                / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)
+             AS sharpe_milli,
+           CAST(CASE WHEN sdown > 0 THEN
+                floor(1000.0 * s1 / n
+                      / sqrt(CAST(sdown AS DOUBLE) / n))
+                ELSE 0 END AS BIGINT) AS sortino_milli
+    FROM s
+    WHERE n > 1
+    """,
+    doc="Sharpe and Sortino ratios of month-over-month revenue growth: "
+    "mean return over total vs DOWNSIDE-only volatility — the risk-"
+    "adjusted momentum readout that separates 'volatile because "
+    "growing' from 'volatile because erratic' (Sortino ignores upside "
+    "variance), complementing the level-based control charts and "
+    "orders_monthly_growth's raw MoM series. Returns quantize to "
+    "exact integer ppm via one signed floor-division per month (both "
+    "engines truncate toward zero identically); the three moment "
+    "sums are exact HUGEINT integers over the calendar-bounded "
+    "series; each ratio is one fixed-shape floor-quantized double. "
+    "One month rollup + one bounded lag window.",
+)
+def orders_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("month")
+    r = (
+        m.select("x", F.lag("x").over(w).alias("px"))
+        .filter(F.col("px").isNotNull())
+        .select(
+            F.expr("CAST((1000000 * (x - px)) div px AS BIGINT)").alias(
+                "ret"
+            )
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ret").cast("bigint").alias("s1"),
+        _dsum(F.expr("CAST(ret AS DECIMAL(38,0)) * ret")).alias("s2"),
+        _dsum(
+            F.expr(
+                "CASE WHEN ret < 0 THEN CAST(ret AS DECIMAL(38,0)) * ret"
+                " ELSE 0 END"
+            )
+        ).alias("sdown"),
+    )
+    return s.filter(F.col("n") > 1).select(
+        F.col("n").alias("n_returns"),
+        F.expr("CAST(s1 div n AS BIGINT)").alias("mean_ret_ppm"),
+        F.expr(
+            "CAST(floor(1000.0 * s1 / n"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "         - CAST(s1 AS DOUBLE) * s1)"
+            "        / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)"
+        ).alias("sharpe_milli"),
+        F.expr(
+            "CAST(CASE WHEN sdown > 0 THEN"
+            " floor(1000.0 * s1 / n / sqrt(CAST(sdown AS DOUBLE) / n))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("sortino_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_max_drawdown — peak-to-trough decline of the monthly series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT month, x,
+             CAST(max(x) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS peak,
+             CAST((1000000000 * CAST(max(x) OVER (ORDER BY month ROWS
+                   BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x
+                   AS HUGEINT))
+                  // max(x) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS dd_ppb
+      FROM m
+    ),
+    best AS (
+      SELECT month, x, peak, dd_ppb FROM dd
+      ORDER BY dd_ppb DESC, month LIMIT 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months,
+           month AS trough_month, peak AS peak_cents,
+           x AS trough_cents, dd_ppb AS max_drawdown_ppb
+    FROM best
+    """,
+    doc="Maximum drawdown of the monthly revenue series: the largest "
+    "peak-to-trough decline, found via one running-max window over "
+    "the calendar-bounded relation — the path-dependent risk number "
+    "beside the distributional ones (orders_sharpe_sortino's "
+    "volatility, the control charts' sigma limits): two series with "
+    "identical return moments can have very different drawdowns. "
+    "Each month's drawdown (peak - x)/peak quantizes to exact "
+    "non-negative ppb via one floor-division (peak >= x > 0 by "
+    "construction); the argmax ties to the EARLIEST month via "
+    "TakeOrderedAndProject. One month rollup + one bounded prefix-"
+    "max window.",
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = m.select(
+        "month",
+        "x",
+        F.max("x").over(w).cast("bigint").alias("peak"),
+    ).select(
+        "month",
+        "x",
+        "peak",
+        F.expr(
+            "CAST((1000000000 * CAST(peak - x AS DECIMAL(38,0)))"
+            " div peak AS BIGINT)"
+        ).alias("dd_ppb"),
+    )
+    best = dd.orderBy(F.col("dd_ppb").desc(), "month").limit(1)
+    cnt = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return F.broadcast(cnt).crossJoin(best).select(
+        "n_months",
+        F.col("month").alias("trough_month"),
+        F.col("peak").alias("peak_cents"),
+        F.col("x").alias("trough_cents"),
+        F.col("dd_ppb").alias("max_drawdown_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_renyi_entropy — entropy spectrum of the event-type distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_renyi_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+             CAST(max(c) AS BIGINT) AS cmax,
+             CAST(sum(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                  AS BIGINT)) AS BIGINT) AS s_clnc
+      FROM c
+    )
+    SELECT t AS n_events, k AS n_types,
+           CAST(floor(1000000.0 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+             - s_clnc // t AS shannon_micro,
+           CAST(floor(2000000.0 * ln(CAST(t AS DOUBLE))
+                      - 1000000.0 * ln(CAST(s2 AS DOUBLE))) AS BIGINT)
+             AS renyi2_micro,
+           CAST(floor(1000000.0 * ln(CAST(t AS DOUBLE))
+                      - 1000000.0 * ln(CAST(cmax AS DOUBLE))) AS BIGINT)
+             AS min_entropy_micro
+    FROM s
+    """,
+    doc="Renyi entropy spectrum of the event-type distribution: Shannon "
+    "H1 (via the exact c ln c identity), collision entropy H2 = "
+    "2 ln T - ln sum(c^2) (the log of the inverse Simpson index — "
+    "what a random pair collision measures), and min-entropy "
+    "Hinf = ln T - ln max(c) (the worst-case predictability bound "
+    "that rate-limits and caching actually experience). H1 >= H2 >= "
+    "Hinf always — the spectrum's spread diagnoses how head-heavy "
+    "the type mix is in a way one entropy number cannot "
+    "(docs_simpson_diversity reports the document-source analogue of "
+    "1/exp(H2)). All inputs are exact integers from the bounded type "
+    "domain; each entropy is fixed-shape floor-quantized micro-nats. "
+    "One type rollup; no windows, no joins.",
+)
+def events_renyi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = c.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+        F.max("c").cast("bigint").alias("cmax"),
+        F.sum(
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("c")
+                * F.log(F.col("c").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_clnc"),
+    )
+    return s.select(
+        F.col("t").alias("n_events"),
+        F.col("k").alias("n_types"),
+        (
+            F.floor(F.lit(1000000.0) * F.log(F.col("t").cast("double"))).cast(
+                "bigint"
+            )
+            - F.expr("s_clnc div t")
+        )
+        .cast("bigint")
+        .alias("shannon_micro"),
+        F.expr(
+            "CAST(floor(2000000.0 * ln(CAST(t AS DOUBLE))"
+            " - 1000000.0 * ln(CAST(s2 AS DOUBLE))) AS BIGINT)"
+        ).alias("renyi2_micro"),
+        F.expr(
+            "CAST(floor(1000000.0 * ln(CAST(t AS DOUBLE))"
+            " - 1000000.0 * ln(CAST(cmax AS DOUBLE))) AS BIGINT)"
+        ).alias("min_entropy_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_segmented_regression — interrupted-time-series slope change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_segmented_regression",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM m
+    ),
+    seg AS (
+      SELECT CASE WHEN t <= (n + 1) // 2 THEN 1 ELSE 2 END AS seg, t, y
+      FROM idx
+    ),
+    s AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS HUGEINT) AS st,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+             CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      FROM seg GROUP BY 1
+    ),
+    sl AS (
+      SELECT seg, n,
+             CAST(CASE WHEN n * sty >= st * sy THEN 1 ELSE -1 END
+                  AS BIGINT) AS sign,
+             CAST((1000000 * abs(n * sty - st * sy))
+                  // greatest(n * stt - st * st, 1) AS BIGINT) AS slope,
+             CAST(sy // n AS BIGINT) AS mean_y
+      FROM s
+    )
+    SELECT a.n AS n_pre, b.n AS n_post,
+           a.sign AS slope_pre_sign, a.slope AS slope_pre_abs_micro,
+           b.sign AS slope_post_sign, b.slope AS slope_post_abs_micro,
+           CAST(b.mean_y - a.mean_y AS BIGINT) AS level_shift_cents
+    FROM sl a JOIN sl b ON a.seg = 1 AND b.seg = 2
+    """,
+    doc="Interrupted-time-series (segmented) regression of monthly "
+    "revenue with the breakpoint at the series midpoint: per-segment "
+    "OLS slopes plus the between-segment level shift — the before/"
+    "after trend decomposition behind policy-change readouts, "
+    "complementing the single global trend (agg_mann_kendall, "
+    "agg_theil_sen) and the changepoint DETECTORS (CUSUM/Pettitt/"
+    "SNHT locate the break; this QUANTIFIES the regime change at a "
+    "declared break). Each slope is the exact integer ratio "
+    "(n Sty - St Sy)/(n Stt - St^2), sign-split to micro; the level "
+    "shift is a difference of exact floor-divided segment means. One "
+    "month rollup, one bounded row-index window, a 2-row self-join.",
+)
+def orders_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = m.select(
+        "y",
+        F.row_number().over(Window.orderBy("month")).cast("bigint").alias("t"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    seg = idx.select(
+        F.expr("CASE WHEN t <= (n + 1) div 2 THEN 1 ELSE 2 END").alias(
+            "seg"
+        ),
+        "t",
+        "y",
+    )
+    s = seg.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("t")).alias("st"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.expr("CAST(t AS DECIMAL(38,0)) * t")).alias("stt"),
+        _dsum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sty"),
+    )
+    sl = s.select(
+        "seg",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sty >= st * sy THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("sign"),
+        F.expr(
+            "CAST((1000000 * abs(n * sty - st * sy))"
+            " div greatest(n * stt - st * st, 1) AS BIGINT)"
+        ).alias("slope"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_y"),
+    )
+    a = sl.filter(F.col("seg") == 1).select(
+        F.col("n").alias("n_pre"),
+        F.col("sign").alias("slope_pre_sign"),
+        F.col("slope").alias("slope_pre_abs_micro"),
+        F.col("mean_y").alias("mean_pre"),
+    )
+    b = sl.filter(F.col("seg") == 2).select(
+        F.col("n").alias("n_post"),
+        F.col("sign").alias("slope_post_sign"),
+        F.col("slope").alias("slope_post_abs_micro"),
+        F.col("mean_y").alias("mean_post"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_pre",
+        "n_post",
+        "slope_pre_sign",
+        "slope_pre_abs_micro",
+        "slope_post_sign",
+        "slope_post_abs_micro",
+        (F.col("mean_post") - F.col("mean_pre"))
+        .cast("bigint")
+        .alias("level_shift_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_siegel_repeated_median — 50%-breakdown robust trend slope
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_siegel_repeated_median",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(row_number() OVER (ORDER BY date_trunc('month',
+                  o_orderdate)) AS BIGINT) AS t
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    sl AS (
+      SELECT a.t AS i,
+             CAST((1000000 * (b.y - a.y)) // (b.t - a.t) AS BIGINT) AS s
+      FROM m a JOIN m b ON a.t <> b.t
+    ),
+    permed AS (
+      SELECT i,
+             CAST((max(CASE WHEN r = (k + 1) // 2 THEN s END)
+                   + max(CASE WHEN r = k // 2 + 1 THEN s END)) // 2
+                  AS BIGINT) AS med_i
+      FROM (
+        SELECT i, s,
+               CAST(row_number() OVER (PARTITION BY i ORDER BY s)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY i) AS BIGINT) AS k
+        FROM sl
+      ) GROUP BY i
+    ),
+    fin AS (
+      SELECT med_i,
+             CAST(row_number() OVER (ORDER BY med_i) AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM permed
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months,
+           CAST((max(CASE WHEN r = (k + 1) // 2 THEN med_i END)
+                 + max(CASE WHEN r = k // 2 + 1 THEN med_i END)) // 2
+                AS BIGINT) AS siegel_slope_micro
+    FROM fin
+    """,
+    doc="Siegel repeated-median slope of the monthly revenue trend: "
+    "median_i(median_j((y_j - y_i)/(t_j - t_i))) — the 50%-breakdown "
+    "robust regression, strictly tougher than Theil-Sen's single "
+    "median over all pairs (29% breakdown, agg_theil_sen): half the "
+    "MONTHS can be corrupted before the slope moves. Pairwise slopes "
+    "quantize to exact integer micro-cents/month via one signed "
+    "floor-division each (both engines truncate toward zero "
+    "identically); the inner per-i medians and the outer median are "
+    "doubled-median selections over the quantized integers, decided "
+    "by bounded rank windows on the <= 84^2 pair relation. One month "
+    "rollup; everything downstream calendar-bounded.",
+)
+def orders_siegel_repeated_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        "y",
+        F.row_number().over(Window.orderBy("mo")).cast("bigint").alias("t"),
+    )
+    a = m.select(F.col("t").alias("i"), F.col("y").alias("yi"))
+    b = m.select(F.col("t").alias("j"), F.col("y").alias("yj"))
+    sl = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        F.expr(
+            "CAST((1000000 * (yj - yi)) div (j - i) AS BIGINT)"
+        ).alias("s"),
+    )
+    ranked = sl.select(
+        "i",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("i").orderBy("s"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("i"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    permed = ranked.groupBy("i").agg(
+        F.expr(
+            "CAST((max(CASE WHEN r = (k + 1) div 2 THEN s END)"
+            " + max(CASE WHEN r = k div 2 + 1 THEN s END)) div 2"
+            " AS BIGINT)"
+        ).alias("med_i")
+    )
+    fin = permed.select(
+        "med_i",
+        F.row_number()
+        .over(Window.orderBy("med_i"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("k"),
+    )
+    cnt = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    out = fin.agg(
+        F.expr(
+            "CAST((max(CASE WHEN r = (k + 1) div 2 THEN med_i END)"
+            " + max(CASE WHEN r = k div 2 + 1 THEN med_i END)) div 2"
+            " AS BIGINT)"
+        ).alias("siegel_slope_micro")
+    )
+    return F.broadcast(cnt).crossJoin(out).select(
+        "n_months", "siegel_slope_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_distribution_drift — first-half vs second-half type-mix shift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_distribution_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    span AS (
+      SELECT CAST(min(day) + (max(day) - min(day)) // 2 AS BIGINT)
+        AS split_day
+      FROM e
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN day <= split_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN day > split_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM e, span GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2
+      FROM c
+    )
+    SELECT c.event_type AS event_type, c.c1 AS n_first, c.c2 AS n_second,
+           CAST((1000000 * c.c1) // t.t1 AS BIGINT) AS share1_ppm,
+           CAST((1000000 * c.c2) // t.t2 AS BIGINT) AS share2_ppm,
+           CAST(CASE WHEN CAST(c.c2 AS HUGEINT) * t.t1
+                          >= CAST(c.c1 AS HUGEINT) * t.t2
+                     THEN 1 ELSE -1 END AS BIGINT) AS drift_sign,
+           CAST((1000000000 * abs(CAST(c.c2 AS HUGEINT) * t.t1
+                                  - CAST(c.c1 AS HUGEINT) * t.t2))
+                // (CAST(t.t1 AS HUGEINT) * t.t2) AS BIGINT)
+             AS drift_abs_ppb
+    FROM c, t
+    ORDER BY event_type
+    """,
+    doc="Distribution drift of the event-type mix between the first and "
+    "second halves of the observed time span (split at the midpoint "
+    "of the day domain — exact integer arithmetic on epoch days): "
+    "per-type share change, sign-split to exact cross-multiplied ppb "
+    "|c2 t1 - c1 t2|/(t1 t2) — summing these halves gives total-"
+    "variation distance. This is the SCHEMA-LEVEL drift monitor a "
+    "training-data pipeline runs between snapshots (the corpus "
+    "analogue of agg_hellinger_distance on fixed cohorts; "
+    "events_mosum_changepoint watches volume, this watches "
+    "composition). One map-combined type x half rollup after a 1-row "
+    "span broadcast; no windows.",
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+    )
+    span = e.agg(
+        F.expr(
+            "CAST(min(day) + (max(day) - min(day)) div 2 AS BIGINT)"
+        ).alias("split_day")
+    )
+    c = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("split_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("day") > F.col("split_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    t = c.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("c1").alias("n_first"),
+            F.col("c2").alias("n_second"),
+            F.expr("CAST((1000000 * c1) div t1 AS BIGINT)").alias(
+                "share1_ppm"
+            ),
+            F.expr("CAST((1000000 * c2) div t2 AS BIGINT)").alias(
+                "share2_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN CAST(c2 AS DECIMAL(38,0)) * t1"
+                " >= CAST(c1 AS DECIMAL(38,0)) * t2 THEN 1 ELSE -1 END"
+                " AS BIGINT)"
+            ).alias("drift_sign"),
+            F.expr(
+                "CAST((1000000000 * abs(CAST(c2 AS DECIMAL(38,0)) * t1"
+                " - CAST(c1 AS DECIMAL(38,0)) * t2))"
+                " div (CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT)"
+            ).alias("drift_abs_ppb"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gif_frame_count — REAL animated-GIF structure walking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_frame_count",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 640 + 16 AS w,
+             (doc_id * 3) % 480 + 16 AS h,
+             doc_id % 5 + 1 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, nf),
+                i -> (doc_id + i) % 100 + 1)) AS BIGINT) AS total_delay_cs
+    FROM d
+    ORDER BY doc_id
+    """,
+    doc="REAL animated-GIF structure walking under the driver's hash "
+    "check: per doc, construct a complete multi-frame GIF89a (logical "
+    "screen descriptor, per-frame graphic-control extension carrying "
+    "a deterministic delay, image descriptor, minimal LZW sub-block "
+    "stream, trailer — all composed as hex column expressions), then "
+    "recover width/height/FRAME COUNT/total animation duration with "
+    "the real stdlib block walker (multimodal.walk_gif_frames: "
+    "extension sub-blocks and image data skipped BY LENGTH, exactly "
+    "how production pipelines count frames without an LZW decode). "
+    "Extends the container line past single-image headers "
+    "(multimodal_image_header_parse) to MULTI-BLOCK streams where "
+    "block-length arithmetic must be exact to terminate on the "
+    "trailer. Map-only; zero shuffles.",
+)
+def multimodal_gif_frame_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        GIF_ANIM_SCHEMA,
+        _gif_frames_batches,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline14 import _le_hex
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.col("doc_id") % 640 + 16).alias("w"),
+        ((F.col("doc_id") * 3) % 480 + 16).alias("h"),
+        (F.col("doc_id") % 5 + 1).alias("nf"),
+    )
+    frame_hex = F.expr(
+        "concat_ws('', transform(sequence(0, nf - 1), i ->"
+        " concat("
+        "  '21F90400',"                           # GCE intro, size 4, flags
+        "  lpad(hex(pmod((doc_id + i) % 100 + 1, 256)), 2, '0'),"
+        "  lpad(hex((((doc_id + i) % 100 + 1)) div 256), 2, '0'),"
+        "  '0000',"                               # transparent idx + term
+        "  '2C0000000000',"                       # descriptor, x=0, y=0
+        "  lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'),"
+        "  lpad(hex(h % 256), 2, '0'), lpad(hex(h div 256), 2, '0'),"
+        "  '00',"                                 # no local color table
+        "  '02014C00'"                            # lzw size + sub-block
+        ")))"
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),                    # 'GIF89a'
+        _le_hex(F.col("w"), 2),
+        _le_hex(F.col("h"), 2),
+        F.lit("000000"),                          # no GCT, bg, aspect
+        frame_hex,
+        F.lit("3B"),                              # trailer
+    )
+    return (
+        d.select("doc_id", F.unhex(gif_hex).alias("payload"))
+        .mapInPandas(_gif_frames_batches, GIF_ANIM_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_benford_second_digit — second-digit Benford conformity audit
+# ---------------------------------------------------------------------------
+
+# P(second digit = d) = sum_k log10(1 + 1/(10k+d)), nano-quantized literals
+_BENF2 = (
+    "[119679268, 113890103, 108821499, 104329560, 100308202, 96677235,"
+    " 93374735, 90351989, 87570053, 84997352]"
+)
+
+
+@register(
+    "orders_benford_second_digit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE round(o_totalprice * 100) >= 10
+    ),
+    dg AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 2, 1) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS o
+      FROM v GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM dg)
+    SELECT dg.d AS second_digit, dg.o AS observed,
+           CAST(({_BENF2})[dg.d + 1] AS BIGINT) AS expected_nano,
+           CAST((1000000 * dg.o) // t.n AS BIGINT) AS observed_ppm,
+           CAST(floor(1000000.0
+                * (CAST(dg.o AS DOUBLE) * 1000000000 - CAST(t.n AS DOUBLE)
+                   * ({_BENF2})[dg.d + 1])
+                * (CAST(dg.o AS DOUBLE) * 1000000000 - CAST(t.n AS DOUBLE)
+                   * ({_BENF2})[dg.d + 1])
+                / (CAST(t.n AS DOUBLE) * ({_BENF2})[dg.d + 1]
+                   * 1000000000.0)) AS BIGINT) AS chi2_term_micro
+    FROM dg, t
+    ORDER BY second_digit
+    """,
+    doc="Second-digit Benford conformity of order values in cents: the "
+    "standard forensic ESCALATION after the first-digit screen "
+    "(agg_benford_test) — second digits flag rounding manipulation "
+    "and invented figures the first digit smooths over, with the "
+    "flatter expected law P(d) = sum_k log10(1+1/(10k+d)) embedded "
+    "as ten shared nano-unit LITERALS (no log at query time). Digits "
+    "come from integer string formatting (portable, sign-free on "
+    "positive cents); per-digit chi-square contributions are "
+    "fixed-shape floor-quantized doubles over exact integers. One "
+    "10-cell map-side rollup + 1-row total broadcast; no windows.",
+)
+def orders_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).filter(F.col("c") >= 10)
+    dg = v.groupBy(
+        F.expr("CAST(substr(CAST(c AS STRING), 2, 1) AS BIGINT)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    t = dg.agg(F.sum("o").cast("bigint").alias("n"))
+    arr = "array" + _BENF2.replace("[", "(").replace("]", ")")
+    return (
+        dg.crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").alias("second_digit"),
+            F.col("o").alias("observed"),
+            F.expr(f"CAST(element_at({arr}, CAST(d + 1 AS INT)) AS BIGINT)")
+            .alias("expected_nano"),
+            F.expr("CAST((1000000 * o) div n AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.expr(
+                f"CAST(floor(1000000.0"
+                f" * (CAST(o AS DOUBLE) * 1000000000 - CAST(n AS DOUBLE)"
+                f"    * element_at({arr}, CAST(d + 1 AS INT)))"
+                f" * (CAST(o AS DOUBLE) * 1000000000 - CAST(n AS DOUBLE)"
+                f"    * element_at({arr}, CAST(d + 1 AS INT)))"
+                f" / (CAST(n AS DOUBLE) * element_at({arr},"
+                f"    CAST(d + 1 AS INT)) * 1000000000.0)) AS BIGINT)"
+            ).alias("chi2_term_micro"),
+        )
+        .orderBy("second_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_sentence_length_stats — sentence-length profile per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_sentence_length_stats",
+    oracle="""
+    WITH sen AS (
+      SELECT source, trim(s) AS s
+      FROM (SELECT source, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents)
+      WHERE length(trim(s)) > 0
+    ),
+    wl AS (
+      SELECT source,
+             CAST(len(string_split(s, ' ')) AS BIGINT) AS w
+      FROM sen
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww,
+             CAST(max(w) AS BIGINT) AS mx
+      FROM wl GROUP BY 1
+    )
+    SELECT source, n AS n_sentences, mx AS max_words,
+           CAST((1000 * sw) // n AS BIGINT) AS mean_words_milli,
+           CAST(CASE WHEN n > 1 AND sw > 0 THEN
+                floor(1000.0 * sqrt((CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+                       - CAST(sw AS DOUBLE) * sw)
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                      * n / CAST(sw AS DOUBLE))
+                ELSE 0 END AS BIGINT) AS cv_milli
+    FROM g
+    ORDER BY source
+    """,
+    doc="Sentence-length profile per source: sentence count, max and "
+    "mean length in words, and the coefficient of variation — the "
+    "rhythm signal stylometry and quality gates read (machine-"
+    "generated and boilerplate text shows abnormally LOW sentence-"
+    "length variance; readability scores use only the mean). "
+    "Sentences split on terminal-punctuation runs with a character-"
+    "class-only regex both dialects share (the text_pii_scrub "
+    "contract), empty segments dropped after trim; word counts from "
+    "the whitespace split are exact integers, the mean is one "
+    "floor-division, and CV is a fixed-shape floor-quantized double "
+    "over exact moments. Map-side explode straight into a "
+    "per-source rollup; no windows.",
+)
+def text_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sen = (
+        docs.select(
+            "source",
+            F.explode(F.split("text", "[.!?]+")).alias("s0"),
+        )
+        .select("source", F.trim("s0").alias("s"))
+        .filter(F.length("s") > 0)
+    )
+    wl = sen.select(
+        "source", F.size(F.split("s", " ")).cast("bigint").alias("w")
+    )
+    g = wl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("sw"),
+        _dsum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("sww"),
+        F.max("w").cast("bigint").alias("mx"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("n_sentences"),
+        F.col("mx").alias("max_words"),
+        F.expr("CAST((1000 * sw) div n AS BIGINT)").alias(
+            "mean_words_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n > 1 AND sw > 0 THEN"
+            " floor(1000.0 * sqrt((CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)"
+            "        - CAST(sw AS DOUBLE) * sw)"
+            "       / (CAST(n AS DOUBLE) * (n - 1)))"
+            "       * n / CAST(sw AS DOUBLE))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("cv_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# embedding_twonn_intrinsic_dim — TwoNN intrinsic dimension estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_twonn_intrinsic_dim",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < 100),
+    d2 AS (
+      SELECT qs.qid, e.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qs.qq[i] - e.q[i]) * (qs.qq[i] - e.q[i])))
+                  AS BIGINT) AS dd
+      FROM qs JOIN e ON e.vec_id <> qs.qid
+    ),
+    nn AS (
+      SELECT qid, dd,
+             row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS rn
+      FROM d2
+    ),
+    pairs AS (
+      SELECT a.qid, a.dd AS d1, b.dd AS d2
+      FROM nn a JOIN nn b ON a.qid = b.qid AND a.rn = 1 AND b.rn = 2
+      WHERE a.dd > 0
+    ),
+    mu AS (
+      SELECT qid,
+             CAST(floor(500000.0 * ln(CAST(d2 AS DOUBLE) / d1)) AS BIGINT)
+               AS mu_micro
+      FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(mu_micro) AS BIGINT) AS sum_mu_micro,
+           CAST((1000000000 * count(*)) // greatest(sum(mu_micro), 1)
+                AS BIGINT) AS intrinsic_dim_milli
+    FROM mu
+    """,
+    doc="TwoNN intrinsic-dimension estimate (Facco et al.) of the "
+    "embedding manifold over the 100-query panel: mu_i = ln(r2/r1) "
+    "per point (half the log ratio of SQUARED distances, computed "
+    "from exact integer milli-quantized L2 with deterministic "
+    "(distance, id) neighbor ties), and the MLE d = n / sum(mu) — "
+    "the number that says whether 64 ambient dimensions hide a "
+    "~10-dimensional manifold, which decides how aggressively "
+    "Matryoshka truncation (embedding_truncation_fidelity) and "
+    "PQ/IVF compression can cut dimensions before recall collapses; "
+    "the geometric companion to embedding_hubness_skew (hubness "
+    "RISES with intrinsic dimension). Zero-distance duplicates are "
+    "excluded (mu undefined); per-point mu floor-quantizes to micro "
+    "and the final estimate is one integer division. Bounded-panel "
+    "scoring join + one qid-partitioned rank window.",
+)
+def embedding_twonn_intrinsic_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
+    e = e.persist()
+    qs = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    d2 = qs.join(e, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.expr(
+            "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("dd"),
+    )
+    nn = d2.select(
+        "qid",
+        "dd",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("dd", "nid"))
+        .alias("rn"),
+    )
+    a = nn.filter((F.col("rn") == 1) & (F.col("dd") > 0)).select(
+        "qid", F.col("dd").alias("d1")
+    )
+    b = nn.filter(F.col("rn") == 2).select(
+        F.col("qid").alias("qid2"), F.col("dd").alias("d2")
+    )
+    mu = a.join(b, F.col("qid") == F.col("qid2")).select(
+        F.floor(
+            F.lit(500000.0)
+            * F.log(F.col("d2").cast("double") / F.col("d1"))
+        )
+        .cast("bigint")
+        .alias("mu_micro")
+    )
+    out = mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("mu_micro").cast("bigint").alias("sum_mu_micro"),
+        F.expr(
+            "CAST((1000000000 * count(*))"
+            " div greatest(sum(mu_micro), 1) AS BIGINT)"
+        ).alias("intrinsic_dim_milli"),
+    )
+    return release_on_gc(e, out)

@@ -325,6 +325,12 @@ _ALLOWED_NESTED_LOOP = {
     "sample_neyman_allocation",   # 1-row weight-total scalar broadcast crossJoin
     "text_juilland_d",            # bounded 20-word x sources scaffold crossJoin
     "agg_spearman_footrule",      # 2-row year-pick scalar broadcast crossJoin
+    "orders_max_drawdown",        # 1-row month-count scalar broadcast crossJoin
+    "orders_segmented_regression",  # 1-row post-segment moments broadcast crossJoin
+    "orders_siegel_repeated_median",  # bounded 84x84 slope-pair NLJ + 1-row count
+    "events_distribution_drift",  # 1-row split-day + 1-row totals broadcast crossJoins
+    "orders_benford_second_digit",  # 1-row digit-total scalar broadcast crossJoin
+    "embedding_twonn_intrinsic_dim",  # bounded 100-query panel NLJ (by design)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -516,6 +522,15 @@ _GLOBAL_WINDOWS = {
                                   "day count + last-row pick"),
     "orders_wright_learning": (1, "bounded: monthly cumulative-quantity "
                                   "prefix"),
+    "orders_sharpe_sortino": (1, "bounded: monthly series lag window"),
+    "orders_max_drawdown": (1, "bounded: monthly series prefix max"),
+    "orders_segmented_regression": (4, "bounded: monthly series row "
+                                       "index + count, duplicated under "
+                                       "the two segment branches"),
+    "orders_siegel_repeated_median": (4, "bounded: ~84-month series row "
+                                         "index + outer-median rank/"
+                                         "count over the bounded "
+                                         "per-month medians"),
 }
 
 
