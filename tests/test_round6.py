@@ -390,6 +390,10 @@ def test_no_new_bare_persists():
         # deviation consumers); all released by release_on_gc on the
         # returned result (HITS no longer persists: its power loop runs
         # as driver-round python ints over the collected adjacency)
+        "operators/pipeline19.py": 3,  # random-walk's nation-bounded
+        # adjacency (4 chained step consumers), hubness's and TwoNN's
+        # quantized embedding relation (panel + candidate consumers);
+        # all released by release_on_gc on the returned result
         "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
         "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
