@@ -108,7 +108,16 @@ def _load_deferred() -> None:
     enforced from day one, and the per-tranche round test files pin the
     statistics. Round 13: move these imports into ``_load_all`` (bank order
     is registration order).
+
+    Loads the MAIN registry first: registration order is rank-tiebreak
+    order, so bank queries must always append AFTER the driver-facing
+    surface — a session that imports the parity suite (which calls this
+    at module import) before anything touches ``_load_all`` would
+    otherwise register the bank at positions 1-50 and push an edited
+    mainline query out of the 50-row window (caught by
+    test_stale_digest_demotes_verified_name in round 12).
     """
+    _load_all()
     from mongodb_nats_connector_spark.operators import pipeline19  # noqa: F401
 
 
