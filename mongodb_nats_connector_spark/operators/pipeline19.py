@@ -757,21 +757,21 @@ def agg_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sm // k AS BIGINT) AS mean_max_cents,
            CAST(floor(sqrt(CAST(k * sm2 - sm * sm AS DOUBLE)
                            / (CAST(k AS DOUBLE) * (k - 1)))
-                      * 0.7796968012214599) AS BIGINT) AS beta_cents,
+                      * 0.779696801233676) AS BIGINT) AS beta_cents,
            CAST(floor(CAST(sm AS DOUBLE) / k
                       - 0.5772156649015329
                         * (sqrt(CAST(k * sm2 - sm * sm AS DOUBLE)
                                 / (CAST(k AS DOUBLE) * (k - 1)))
-                           * 0.7796968012214599)) AS BIGINT) AS mu_cents,
+                           * 0.779696801233676)) AS BIGINT) AS mu_cents,
            CAST(floor(CAST(sm AS DOUBLE) / k
                       - 0.5772156649015329
                         * (sqrt(CAST(k * sm2 - sm * sm AS DOUBLE)
                                 / (CAST(k AS DOUBLE) * (k - 1)))
-                           * 0.7796968012214599)
+                           * 0.779696801233676)
                       + 4.600149226776579
                         * (sqrt(CAST(k * sm2 - sm * sm AS DOUBLE)
                                 / (CAST(k AS DOUBLE) * (k - 1)))
-                           * 0.7796968012214599)) AS BIGINT)
+                           * 0.779696801233676)) AS BIGINT)
              AS return_level_99_cents
     FROM s
     """,
@@ -805,7 +805,7 @@ def agg_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beta = (
         "sqrt(CAST(k * sm2 - sm * sm AS DOUBLE)"
-        " / (CAST(k AS DOUBLE) * (k - 1))) * 0.7796968012214599"
+        " / (CAST(k AS DOUBLE) * (k - 1))) * 0.779696801233676"
     )
     return s.select(
         F.col("k").alias("n_months"),

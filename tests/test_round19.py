@@ -522,3 +522,136 @@ def test_rademacher_signs_deterministic_and_balanced():
         ratios.append(y2 / (16 * x2))
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3
+
+
+# ---------------------------------------------------------------------------
+# Gumbel fit constants (agg_gumbel_fit)
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_literal_constants():
+    import inspect
+
+    from mongodb_nats_connector_spark.operators import pipeline19
+    from mongodb_nats_connector_spark.registry import _REGISTRY
+
+    src = inspect.getsource(pipeline19.agg_gumbel_fit)
+    oracle = _REGISTRY["agg_gumbel_fit"].oracle
+    sqrt6_over_pi = repr(math.sqrt(6) / math.pi)
+    euler_gamma = "0.5772156649015329"
+    # -ln(-ln(0.99)) for the 99% return level
+    rl99 = repr(-math.log(-math.log(0.99)))
+    for text in (src, oracle):
+        assert sqrt6_over_pi in text, sqrt6_over_pi
+        assert euler_gamma in text
+        assert rl99 in text, rl99
+
+
+# ---------------------------------------------------------------------------
+# Benford second-digit expected table (orders_benford_second_digit)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_second_digit_table():
+    from mongodb_nats_connector_spark.operators.pipeline19 import _BENF2
+
+    table = eval(_BENF2)  # noqa: S307
+    for d in range(10):
+        p = sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+        assert table[d] == math.floor(p * 1e9)
+    # a probability law: nano masses sum to 1e9 within quantization loss
+    assert 1e9 - 10 <= sum(table) <= 1e9
+
+
+# ---------------------------------------------------------------------------
+# F1 sweep identity (agg_f1_sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_f1_harmonic_identity():
+    rng = random.Random(263)
+    for _ in range(200):
+        p = rng.randint(1, 1000)           # total positives
+        tp = rng.randint(0, p)
+        fp = rng.randint(0, 1000)
+        fn = p - tp
+        if tp + fp == 0:
+            continue
+        prec = Fraction(tp, tp + fp)
+        rec = Fraction(tp, p)
+        if prec + rec == 0:
+            continue
+        f1_ref = 2 * prec * rec / (prec + rec)
+        # the operator's single-division form
+        assert Fraction(2 * tp, tp + fp + p) == f1_ref
+
+
+# ---------------------------------------------------------------------------
+# RCA / Grubel-Lloyd cross-multiplications (orders_rca_index, _grubel_lloyd)
+# ---------------------------------------------------------------------------
+
+
+def test_rca_and_gl_identities():
+    rng = random.Random(269)
+    for _ in range(100):
+        x_nb = rng.randint(1, 10**6)
+        x_n = x_nb + rng.randint(0, 10**6)
+        x_b = x_nb + rng.randint(0, 10**6)
+        x_t = x_n + x_b + rng.randint(0, 10**6)
+        ref = Fraction(x_nb, x_n) / Fraction(x_b, x_t)
+        assert Fraction(x_nb * x_t, x_n * x_b) == ref
+        a, b = rng.randint(0, 10**6), rng.randint(0, 10**6)
+        if a + b == 0:
+            continue
+        gl_ref = 1 - Fraction(abs(a - b), a + b)
+        got = Fraction(10**9 - (10**9 * abs(a - b)) // (a + b), 10**9)
+        assert abs(got - gl_ref) <= Fraction(1, 10**9)
+
+
+# ---------------------------------------------------------------------------
+# Log-loss Laplace clamp (agg_log_loss)
+# ---------------------------------------------------------------------------
+
+
+def test_log_loss_clamp_properties():
+    # p' = (10*p10 + 1)/102 maps the tenths grid into (0, 1) symmetrically
+    ps = [(10 * d + 1) / 102 for d in range(11)]
+    assert all(0 < p < 1 for p in ps)
+    assert abs(ps[0] + ps[10] - 1) < 1e-12  # endpoint symmetry
+    # and is monotone so ranking by p is preserved
+    assert ps == sorted(ps)
+
+
+# ---------------------------------------------------------------------------
+# GIF walker rejects malformed block streams (multimodal.walk_gif_frames)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_walker_adversarial():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_gif_frames,
+    )
+
+    def build(w, h, delays):
+        out = b"GIF89a" + _s.pack("<HH", w, h) + bytes([0x00, 0, 0])
+        for d in delays:
+            out += bytes([0x21, 0xF9, 4, 0]) + _s.pack("<H", d)
+            out += bytes([0, 0])
+            out += bytes([0x2C]) + _s.pack("<HHHH", 0, 0, w, h) + bytes([0])
+            out += bytes([2, 1, 0x4C, 0])
+        return out + bytes([0x3B])
+
+    raw = build(9, 4, [1, 2, 3, 4])
+    assert walk_gif_frames(raw) == (9, 4, 4, 10)
+    assert walk_gif_frames(raw[:-1]) is None        # missing trailer
+    assert walk_gif_frames(raw[:30]) is None        # truncated mid-block
+    bad = raw[:13] + bytes([0x7F]) + raw[14:]       # unknown block type
+    assert walk_gif_frames(bad) is None
+    # global color table skipping: set GCT flag with 2-entry table
+    gct = (
+        b"GIF89a" + _s.pack("<HH", 5, 5) + bytes([0x80, 0, 0])
+        + b"\x00" * 6 + raw[13:]
+    )
+    assert walk_gif_frames(gct) == (5, 5, 4, 10)
