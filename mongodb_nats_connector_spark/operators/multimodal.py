@@ -817,3 +817,86 @@ def _gif_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "total_delay_cs": pd.Series(dl, dtype="Int64"),
             }
         )
+
+
+PNG_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_chunks", LongType(), True),
+        StructField("n_text_chunks", LongType(), True),
+        StructField("idat_bytes", LongType(), True),
+        StructField("has_iend", LongType(), True),
+    ]
+)
+
+
+def walk_png_chunks(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """Real PNG chunk-stream walking (pure stdlib): verify the signature,
+    then iterate length/type/data/CRC frames — IHDR dimensions, chunk
+    census, total IDAT byte count, IEND presence. CRCs are skipped by
+    LENGTH, not validated (the fast-scan convention; declared). Returns
+    None for non-PNG / truncated / malformed streams."""
+    import struct
+
+    n = len(payload)
+    if n < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    off = 8
+    w = h = None
+    n_chunks = n_text = idat = 0
+    has_iend = 0
+    while off + 8 <= n:
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        if off + 12 + length > n:
+            return None
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h = struct.unpack(">II", payload[off + 8 : off + 16])
+        elif ctype == b"tEXt":
+            n_text += 1
+        elif ctype == b"IDAT":
+            idat += length
+        n_chunks += 1
+        off += 12 + length
+        if ctype == b"IEND":
+            has_iend = 1
+            break
+    if w is None or not has_iend:
+        return None
+    return int(w), int(h), n_chunks, n_text, idat, has_iend
+
+
+def _png_chunks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PNG chunk walking; non-PNG payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, ws, hs, nc, nt, ib, ie = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_png_chunks(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (ws, hs, nc, nt, ib, ie):
+                    lst.append(None)
+            else:
+                w, h, nch, ntx, idat, iend = meta
+                ws.append(w)
+                hs.append(h)
+                nc.append(nch)
+                nt.append(ntx)
+                ib.append(idat)
+                ie.append(iend)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+                "n_chunks": pd.Series(nc, dtype="Int64"),
+                "n_text_chunks": pd.Series(nt, dtype="Int64"),
+                "idat_bytes": pd.Series(ib, dtype="Int64"),
+                "has_iend": pd.Series(ie, dtype="Int64"),
+            }
+        )

@@ -119,6 +119,9 @@ def _load_deferred() -> None:
     """
     _load_all()
     from mongodb_nats_connector_spark.operators import pipeline19  # noqa: F401
+    # pipeline20 is the ROUND-14 seed: pipeline19 fills round 13's window
+    # exactly, so these queue one further round out
+    from mongodb_nats_connector_spark.operators import pipeline20  # noqa: F401
 
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"

@@ -331,6 +331,9 @@ _ALLOWED_NESTED_LOOP = {
     "events_distribution_drift",  # 1-row split-day + 1-row totals broadcast crossJoins
     "orders_benford_second_digit",  # 1-row digit-total scalar broadcast crossJoin
     "embedding_twonn_intrinsic_dim",  # bounded 100-query panel NLJ (by design)
+    # pipeline20 (round-14 bank seed)
+    "agg_overlap_coefficient",    # 1-row cohort-total scalars broadcast crossJoin
+    "agg_tukey_fences",           # 1-row quartile/fence scalars broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -531,6 +534,14 @@ _GLOBAL_WINDOWS = {
                                          "index + outer-median rank/"
                                          "count over the bounded "
                                          "per-month medians"),
+    # pipeline20 (round-14 bank seed)
+    "agg_ks_uniform_gof": (2, "bounded: 11-cell discount-grid prefix + "
+                              "total"),
+    "events_gini_time_concentration": (1, "bounded: calendar-day rank"),
+    "agg_tukey_fences": (4, "bounded: ~50-value quantity-grid prefix + "
+                            "total, duplicated under the quartile and "
+                            "census branches"),
+    "orders_duane_growth": (1, "bounded: monthly checkpoint prefix"),
 }
 
 

@@ -655,3 +655,125 @@ def test_gif_walker_adversarial():
         + b"\x00" * 6 + raw[13:]
     )
     assert walk_gif_frames(gct) == (5, 5, 4, 10)
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 (round-14 bank seed) pins
+# ---------------------------------------------------------------------------
+
+
+def test_cronbach_cleared_denominator():
+    rng = random.Random(281)
+    for _ in range(40):
+        m = rng.randint(3, 40)
+        rows = [[rng.randint(1, 50) for _ in range(4)] for _ in range(m)]
+        cols = list(zip(*rows))
+        n = m
+        # n-scaled variance numerators share the 1/(n(n-1)) factor
+        def vnum(xs):
+            s = sum(xs)
+            return n * sum(x * x for x in xs) - s * s
+
+        sum_vi = sum(vnum(c) for c in cols)
+        totals = [sum(r) for r in rows]
+        vt = vnum(totals)
+        if vt == 0:
+            continue
+        # float reference with population-consistent scaling cancels
+        alpha_ref = Fraction(4, 3) * (1 - Fraction(sum_vi, vt))
+        assert Fraction(4 * (vt - sum_vi), 3 * vt) == alpha_ref
+
+
+def test_icc_oneway_cleared_denominator():
+    rng = random.Random(283)
+    for _ in range(40):
+        m = rng.randint(3, 30)
+        groups = [[rng.randint(1, 500) for _ in range(4)] for _ in range(m)]
+        t = sum(sum(g) for g in groups)
+        sgg = sum(sum(g) ** 2 for g in groups)
+        st2 = sum(x * x for g in groups for x in g)
+        ssb = Fraction(sgg, 4) - Fraction(t * t, 4 * m)
+        ssw = st2 - Fraction(sgg, 4)
+        msb = ssb / (m - 1)
+        msw = ssw / (3 * m)
+        if msb + 3 * msw == 0:
+            continue
+        icc_ref = (msb - msw) / (msb + 3 * msw)
+        a = m * sgg - t * t
+        b = 4 * st2 - sgg
+        assert Fraction(3 * a - (m - 1) * b, 3 * a + 3 * (m - 1) * b) == icc_ref
+
+
+def test_ks_uniform_decision_cross_multiplication():
+    rng = random.Random(293)
+    for _ in range(200):
+        n = rng.randint(100, 10**6)
+        dnum = rng.randint(0, 11 * n)
+        d = dnum / (11 * n)
+        flag_float = d > 1.36 / math.sqrt(n)
+        flag_int = 10000 * dnum * dnum > 18496 * 121 * n
+        lhs, rhs = 10000 * dnum * dnum, 18496 * 121 * n
+        if abs(lhs - rhs) > 1e-9 * max(1, rhs):
+            assert flag_int == flag_float
+
+
+def test_overlap_coefficient_identity():
+    rng = random.Random(307)
+    for _ in range(50):
+        k = rng.randint(2, 30)
+        c1 = [rng.randint(0, 100) for _ in range(k)]
+        c2 = [rng.randint(0, 100) for _ in range(k)]
+        n1, n2 = sum(c1), sum(c2)
+        if n1 == 0 or n2 == 0:
+            continue
+        ref = sum(min(Fraction(a, n1), Fraction(b, n2)) for a, b in zip(c1, c2))
+        got = Fraction(sum(min(a * n2, b * n1) for a, b in zip(c1, c2)), n1 * n2)
+        assert got == ref
+        assert 0 <= ref <= 1
+
+
+def test_tukey_fence_doubling():
+    rng = random.Random(313)
+    for _ in range(100):
+        q1 = rng.randint(1, 40)
+        q3 = q1 + rng.randint(0, 30)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        assert 5 * q1 - 3 * q3 == 2 * lo
+        assert 5 * q3 - 3 * q1 == 2 * hi
+        v = rng.randint(-50, 100)
+        assert (2 * v < 5 * q1 - 3 * q3) == (v < lo)
+        assert (2 * v > 5 * q3 - 3 * q1) == (v > hi)
+
+
+def test_png_walker_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_png_chunks,
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return _s.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    def build(w, h, ntext, idat_len):
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        for i in range(ntext):
+            out += chunk(b"tEXt", b"K" * (5 + i))
+        out += chunk(b"IDAT", b"\xa5" * idat_len)
+        out += chunk(b"IEND", b"")
+        return out
+
+    rng = random.Random(331)
+    for _ in range(20):
+        w, h = rng.randint(1, 4000), rng.randint(1, 4000)
+        ntext, idat = rng.randint(0, 5), rng.randint(0, 500)
+        got = walk_png_chunks(build(w, h, ntext, idat))
+        assert got == (w, h, 3 + ntext, ntext, idat, 1)
+    raw = build(9, 9, 2, 50)
+    assert walk_png_chunks(raw[:-5]) is None     # truncated before IEND
+    assert walk_png_chunks(b"GIF89a" + raw[6:]) is None  # bad magic
+    # declared length larger than the remaining stream: malformed
+    bad = raw[:8] + _s.pack(">I", 10**6) + raw[12:]
+    assert walk_png_chunks(bad) is None
