@@ -1988,7 +1988,11 @@ def _dfa_boxes_sql(s: int) -> str:
     "(M), on COUNTS rather than gaps (and the fluctuation-function "
     "sibling of orders_rescaled_range's Hurst R/S). Per-box RSS "
     "floor-quantizes to micro before the exact box sum; the common "
-    "n^2 profile scale cancels inside the log ratio. One day rollup, "
+    "n^2 profile scale cancels inside the log ratio (the integer F2 "
+    "columns carry that n^2 scale, bounded under 2^62 through the "
+    "probed SFs — at much larger event volumes reduce the profile by "
+    "a constant before squaring, Spark div wraps silently past "
+    "int64). One day rollup, "
     "one calendar-bounded prefix window, box sums via grid "
     "aggregation.",
 )

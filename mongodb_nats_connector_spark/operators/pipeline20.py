@@ -776,3 +776,816 @@ def multimodal_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_png_chunks_batches, PNG_CHUNK_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bartlett_test — classical variance homogeneity across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bartlett_test",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM orders GROUP BY 1
+    ),
+    v AS (
+      SELECT pri, n,
+             CAST(floor(1000000.0 * (n - 1)
+                  * ln((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)
+               AS term_micro,
+             CAST((n * s2 - s * s) // n AS HUGEINT) AS ssn
+      FROM g WHERE n > 1
+    ),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n - 1) AS BIGINT) AS dof,
+             CAST(sum(term_micro) AS BIGINT) AS sum_terms,
+             CAST(floor(1000000.0 * ln(CAST(sum(ssn) AS DOUBLE)
+                  / CAST(sum(n - 1) AS DOUBLE))) AS BIGINT)
+               AS ln_pooled_micro
+      FROM v
+    )
+    SELECT k AS n_groups, nn AS n_total,
+           CAST(dof * ln_pooled_micro - sum_terms AS BIGINT)
+             AS bartlett_m_micro
+    FROM p
+    """,
+    doc="Bartlett's M statistic for variance homogeneity across order "
+    "priorities: M = (N-k) ln(Sp^2) - sum (n_i - 1) ln(S_i^2) — the "
+    "classical (normal-theory) member completing the variance-"
+    "homogeneity family beside the robust agg_levene_bf and the "
+    "log-free screens agg_cochran_hartley: Bartlett is the most "
+    "powerful under normality and the most fragile off it, so "
+    "reading all three together localizes WHY they disagree. Each "
+    "per-group term (n-1) ln(s_i^2) quantizes to micro from the "
+    "exact integer moment ratio (ONE correctly-rounded double ratio "
+    "per group, the mutual-information precedent); the pooled term "
+    "shares the identical fixed shape. One 5-group rollup; no "
+    "windows, no joins.",
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(c).alias("s"),
+        _dsum(c.cast("decimal(38,0)") * c).alias("s2"),
+    ).filter(F.col("n") > 1)
+    var_d = (
+        "(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    )
+    v = g.select(
+        "n",
+        F.expr(
+            f"CAST(floor(1000000.0 * (n - 1)"
+            f" * ln({var_d} / (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)"
+        ).alias("term_micro"),
+        F.expr(
+            "CAST((n * s2 - s * s) div n AS DECIMAL(38,0))"
+        ).alias("ssn"),
+        F.col("n").alias("n2"),
+    )
+    p = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.sum("n")).cast("bigint").alias("nn"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("dof"),
+        F.sum("term_micro").cast("bigint").alias("sum_terms"),
+        F.expr(
+            "CAST(floor(1000000.0 * ln(CAST(sum(ssn) AS DOUBLE)"
+            " / CAST(sum(n - 1) AS DOUBLE))) AS BIGINT)"
+        ).alias("ln_pooled_micro"),
+    )
+    return p.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_total"),
+        (F.col("dof") * F.col("ln_pooled_micro") - F.col("sum_terms"))
+        .cast("bigint")
+        .alias("bartlett_m_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_gamma_moments_fit — Gamma(k, theta) fit of order values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_gamma_moments_fit",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS s2
+      FROM orders GROUP BY 1
+    )
+    SELECT pri AS priority, n AS n_orders,
+           CAST(s // n AS BIGINT) AS mean_cents,
+           CAST((1000000 * s * s) // (n * s2 - s * s) AS BIGINT)
+             AS shape_micro,
+           CAST((n * s2 - s * s) // (CAST(n AS HUGEINT) * s) AS BIGINT)
+             AS scale_cents
+    FROM g
+    WHERE n > 1 AND n * s2 - s * s > 0
+    ORDER BY priority
+    """,
+    doc="Gamma distribution fit of order value per priority by method of "
+    "moments: shape k = mean^2/var, scale theta = var/mean — the "
+    "two-parameter positive-skew model revenue amounts actually "
+    "follow (the parametric summary beside the nonparametric "
+    "quantile profiles, and the severity half of a frequency/"
+    "severity model with events_negbin_fit). Population-variance "
+    "clearing makes both parameters ONE exact non-negative integer "
+    "ratio each: k = 1e6*S^2/(n*S2 - S^2), theta = (n*S2 - S^2)/"
+    "(n*S) — no doubles anywhere. One 5-group map-combined rollup; "
+    "no windows, no joins.",
+)
+def orders_gamma_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(c).alias("s"),
+        _dsum(c.cast("decimal(38,0)") * c).alias("s2"),
+    )
+    return (
+        g.filter((F.col("n") > 1) & (F.expr("n * s2 - s * s") > 0))
+        .select(
+            F.col("pri").alias("priority"),
+            F.col("n").alias("n_orders"),
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_cents"),
+            F.expr(
+                "CAST((1000000 * s * s) div (n * s2 - s * s) AS BIGINT)"
+            ).alias("shape_micro"),
+            F.expr(
+                "CAST((n * s2 - s * s) div (CAST(n AS DECIMAL(38,0)) * s)"
+                " AS BIGINT)"
+            ).alias("scale_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_negbin_fit — negative-binomial overdispersion fit of daily counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_negbin_fit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(s // n AS BIGINT) AS mean_daily,
+           CAST((1000000 * (n * s2 - s * s))
+                // (CAST(n - 1 AS HUGEINT) * n * s) AS BIGINT)
+             AS vmr_micro,
+           CAST(CASE WHEN (n * s2 - s * s) * 1
+                          > CAST(n - 1 AS HUGEINT) * n * s
+                THEN (1000000 * CAST(s AS HUGEINT) * s)
+                     // greatest(n * ((n * s2 - s * s) // (n - 1))
+                                 - CAST(n AS HUGEINT) * s, 1)
+                ELSE 0 END AS BIGINT) AS r_micro
+    FROM g
+    WHERE n > 1
+    ORDER BY event_type
+    """,
+    doc="Negative-binomial fit of DAILY counts per event type by method "
+    "of moments: dispersion r = mean^2/(var - mean), defined only in "
+    "the overdispersed regime var > mean (r_micro = 0 flags Poisson-"
+    "or-under, where NB degenerates) — the frequency half of the "
+    "frequency/severity pair with orders_gamma_moments_fit, and the "
+    "PARAMETRIC companion to events_vmr_windows' scale-free "
+    "dispersion curve (NB's r is what a capacity model actually "
+    "plugs in). The overdispersion test and both parameters are "
+    "exact integer cross-multiplications on sample-variance-cleared "
+    "moments; the inner var floor-division loses < 1 count unit "
+    "(declared, identity-pinned). One (day, type) rollup + one "
+    "type-group reduce; no windows.",
+)
+def events_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("c")).alias("s"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+    )
+    return (
+        g.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_daily"),
+            F.expr(
+                "CAST((1000000 * (n * s2 - s * s))"
+                " div (CAST(n - 1 AS DECIMAL(38,0)) * n * s) AS BIGINT)"
+            ).alias("vmr_micro"),
+            F.expr(
+                "CAST(CASE WHEN (n * s2 - s * s) * 1"
+                " > CAST(n - 1 AS DECIMAL(38,0)) * n * s"
+                " THEN (1000000 * CAST(s AS DECIMAL(38,0)) * s)"
+                "      div greatest(n * ((n * s2 - s * s) div (n - 1))"
+                "                   - CAST(n AS DECIMAL(38,0)) * s, 1)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("r_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_concentration — pairwise-angle concentration probe
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_concentration",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1000) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id < 100
+    ),
+    pr AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             CAST(list_sum(list_transform(range(1, 65),
+                  d -> a.q[d] * b.q[d])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65),
+                  d -> a.q[d] * a.q[d])) AS BIGINT) AS a2,
+             CAST(list_sum(list_transform(range(1, 65),
+                  d -> b.q[d] * b.q[d])) AS BIGINT) AS b2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    c AS (
+      SELECT CAST(floor(1000000.0 * dot
+                  / (sqrt(CAST(a2 AS DOUBLE))
+                     * sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT) AS cos_ppm
+      FROM pr WHERE a2 > 0 AND b2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cos_ppm) // count(*) AS BIGINT) AS mean_cos_ppm,
+           CAST(min(cos_ppm) AS BIGINT) AS min_cos_ppm,
+           CAST(max(cos_ppm) AS BIGINT) AS max_cos_ppm,
+           CAST((count(*) * sum(CAST(cos_ppm AS HUGEINT) * cos_ppm)
+                 - CAST(sum(cos_ppm) AS HUGEINT) * sum(cos_ppm))
+                // (CAST(count(*) AS HUGEINT) * (count(*) - 1) * 1000000)
+                AS BIGINT) AS var_cos_micro
+    FROM c
+    """,
+    doc="Pairwise-cosine concentration over the 100-vector panel: mean, "
+    "range and variance of all C(100,2) quantized cosines — the "
+    "concentration-of-measure probe (in high ambient dimension with "
+    "little structure, cosines concentrate tightly around their "
+    "mean, starving ranking signals) that explains WHY "
+    "embedding_hubness_skew and embedding_twonn_intrinsic_dim read "
+    "what they read; together the three are the pre-flight geometry "
+    "audit before committing a corpus to ANN indexing. Each cosine "
+    "is one fixed-shape floor-quantized double over exact integer "
+    "dot products; the moments over quantized ppm integers are "
+    "exact. Bounded 100x100 panel self-join (by design); no "
+    "windows.",
+)
+def embedding_cosine_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    a = e.select(F.col("vec_id").alias("i"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("q").alias("qb"))
+    pr = a.join(b, F.col("i") < F.col("j")).select(
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(qa, x -> x * x),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("a2"),
+        F.expr(
+            "aggregate(transform(qb, x -> x * x),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("b2"),
+    )
+    c = pr.filter((F.col("a2") > 0) & (F.col("b2") > 0)).select(
+        F.expr(
+            "CAST(floor(1000000.0 * dot / (sqrt(CAST(a2 AS DOUBLE))"
+            " * sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT)"
+        ).alias("cos_ppm")
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(cos_ppm) div count(*) AS BIGINT)").alias(
+            "mean_cos_ppm"
+        ),
+        F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
+        F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
+        F.expr(
+            "CAST((count(*) * sum(CAST(cos_ppm AS DECIMAL(38,0))"
+            " * cos_ppm) - CAST(sum(cos_ppm) AS DECIMAL(38,0))"
+            " * sum(cos_ppm))"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * (count(*) - 1)"
+            " * 1000000) AS BIGINT)"
+        ).alias("var_cos_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_variance_ratio_test — Lo-MacKinlay VR(3) on monthly returns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_variance_ratio_test",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT month,
+             CAST((1000000 * (x - lag(x) OVER (ORDER BY month)))
+                  // lag(x) OVER (ORDER BY month) AS BIGINT) AS ret
+      FROM m QUALIFY lag(x) OVER (ORDER BY month) IS NOT NULL
+    ),
+    r3 AS (
+      SELECT ret
+               + lead(ret, 1) OVER (ORDER BY month)
+               + lead(ret, 2) OVER (ORDER BY month) AS ret3
+      FROM r QUALIFY lead(ret, 2) OVER (ORDER BY month) IS NOT NULL
+    ),
+    sa AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ret) AS HUGEINT) AS s,
+             CAST(sum(CAST(ret AS HUGEINT) * ret) AS HUGEINT) AS s2
+      FROM r
+    ),
+    sb AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ret3) AS HUGEINT) AS s,
+             CAST(sum(CAST(ret3 AS HUGEINT) * ret3) AS HUGEINT) AS s2
+      FROM r3
+    )
+    SELECT sa.n AS n_returns, sb.k AS n_overlapping_3sums,
+           CAST((1000000000 * (sb.k * sb.s2 - sb.s * sb.s)
+                 * sa.n * (sa.n - 1))
+                // greatest(3 * (sa.n * sa.s2 - sa.s * sa.s)
+                            * sb.k * (sb.k - 1), 1) AS BIGINT)
+             AS vr3_ppb
+    FROM sa, sb
+    """,
+    doc="Lo-MacKinlay variance-ratio test VR(3) on month-over-month "
+    "revenue returns: the variance of OVERLAPPING 3-month return sums "
+    "against 3x the 1-month variance — VR ~ 1 is a random walk, "
+    "VR > 1 momentum (positive autocorrelation), VR < 1 mean "
+    "reversion: the horizon-scaling diagnostic that complements "
+    "agg_autocorrelation's per-lag view with the aggregate random-"
+    "walk verdict. Returns are exact ppm integers (signed division, "
+    "both engines truncate identically), 3-sums ride two bounded "
+    "lead windows, and VR clears both sample-variance denominators "
+    "into ONE exact non-negative integer ratio. One month rollup + "
+    "bounded series windows.",
+)
+def orders_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("month")
+    r = (
+        m.select("month", "x", F.lag("x").over(w).alias("px"))
+        .filter(F.col("px").isNotNull())
+        .select(
+            "month",
+            F.expr("CAST((1000000 * (x - px)) div px AS BIGINT)").alias(
+                "ret"
+            ),
+        )
+    )
+    r3 = (
+        r.select(
+            "ret",
+            F.lead("ret", 1).over(w).alias("r1"),
+            F.lead("ret", 2).over(w).alias("r2"),
+        )
+        .filter(F.col("r2").isNotNull())
+        .select((F.col("ret") + F.col("r1") + F.col("r2")).alias("ret3"))
+    )
+    sa = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("ret")).alias("s"),
+        _dsum(F.expr("CAST(ret AS DECIMAL(38,0)) * ret")).alias("s2"),
+    )
+    sb = r3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _dsum(F.col("ret3")).alias("s3"),
+        _dsum(F.expr("CAST(ret3 AS DECIMAL(38,0)) * ret3")).alias("s23"),
+    )
+    return sa.crossJoin(F.broadcast(sb)).select(
+        F.col("n").alias("n_returns"),
+        F.col("k").alias("n_overlapping_3sums"),
+        F.expr(
+            "CAST((1000000000 * (k * s23 - s3 * s3) * n * (n - 1))"
+            " div greatest(3 * (n * s2 - s * s) * k * (k - 1), 1)"
+            " AS BIGINT)"
+        ).alias("vr3_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_two_proportion_test — pooled two-proportion z-test, square-free
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_two_proportion_test",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN round(l_discount * 100) >= 6 THEN 1 ELSE 0 END AS g,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS r2
+      FROM b
+    )
+    SELECT n1 AS n_discounted, r1 AS r_discounted,
+           n2 AS n_low, r2 AS r_low,
+           CAST((1000000 * r1) // n1 AS BIGINT) AS p1_ppm,
+           CAST((1000000 * r2) // n2 AS BIGINT) AS p2_ppm,
+           CAST(CASE WHEN CAST(r1 AS HUGEINT) * n2
+                          >= CAST(r2 AS HUGEINT) * n1
+                     THEN 1 ELSE -1 END AS BIGINT) AS diff_sign,
+           CAST(CASE WHEN
+                  10000 * (CAST(r1 AS HUGEINT) * n2
+                           - CAST(r2 AS HUGEINT) * n1)
+                  * (CAST(r1 AS HUGEINT) * n2 - CAST(r2 AS HUGEINT) * n1)
+                  * (n1 + n2)
+                > CAST(38416 AS HUGEINT) * (r1 + r2)
+                  * ((n1 + n2) - (r1 + r2)) * n1 * n2
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM s
+    WHERE n1 > 0 AND n2 > 0
+    """,
+    doc="Pooled two-proportion z-test of the return rate between "
+    "discounted (>= 6%) and low-discount lines at alpha = 0.05 "
+    "(z = 1.96): the decision z^2 > 1.96^2 clears to the EXACT "
+    "integer cross-multiplication (r1 n2 - r2 n1)^2 (n1+n2) > "
+    "1.96^2 R(N-R) n1 n2 — no square root, no pooled-proportion "
+    "double ever materializes (1.96^2 = 38416/10^4 as an integer "
+    "pair). The z-test companion to agg_chi_square's omnibus (for "
+    "2x2 they coincide) and the decision-form sibling of "
+    "agg_wilson_ci's interval; diff_sign carries the direction. One "
+    "map-combined scan; no windows, no joins.",
+)
+def agg_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.when(F.round(F.col("l_discount") * 100) >= 6, 1)
+        .otherwise(0)
+        .alias("g"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    s = b.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("g") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return s.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").alias("n_discounted"),
+        F.col("r1").alias("r_discounted"),
+        F.col("n2").alias("n_low"),
+        F.col("r2").alias("r_low"),
+        F.expr("CAST((1000000 * r1) div n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST((1000000 * r2) div n2 AS BIGINT)").alias("p2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(r1 AS DECIMAL(38,0)) * n2"
+            " >= CAST(r2 AS DECIMAL(38,0)) * n1 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("diff_sign"),
+        F.expr(
+            "CAST(CASE WHEN"
+            " 10000 * (CAST(r1 AS DECIMAL(38,0)) * n2"
+            "          - CAST(r2 AS DECIMAL(38,0)) * n1)"
+            " * (CAST(r1 AS DECIMAL(38,0)) * n2"
+            "    - CAST(r2 AS DECIMAL(38,0)) * n1)"
+            " * (n1 + n2)"
+            " > CAST(38416 AS DECIMAL(38,0)) * (r1 + r2)"
+            "   * ((n1 + n2) - (r1 + r2)) * n1 * n2"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_mandelbrot_grid — Zipf-Mandelbrot offset fit by exact grid search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_mandelbrot_grid",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    topw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY 1 ORDER BY c DESC, word LIMIT 200
+    ),
+    rk AS (
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+               AS r,
+             CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      FROM topw
+    ),
+    grid AS (
+      SELECT b, r, y,
+             CAST(floor(1000000.0 * ln(CAST(r + b AS DOUBLE))) AS BIGINT)
+               AS x
+      FROM rk CROSS JOIN (SELECT unnest(range(0, 6)) AS b)
+    ),
+    s AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM grid GROUP BY 1
+    ),
+    sc AS (
+      SELECT b, n, sx, sy, sxy, sxx, syy,
+             CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0))
+                  AS BIGINT) AS score
+      FROM s
+    ),
+    best AS (
+      SELECT * FROM sc ORDER BY score DESC, b LIMIT 1
+    )
+    SELECT CAST(b AS BIGINT) AS best_offset_b, n AS n_ranks,
+           CAST(CASE WHEN n * sxy >= sx * sy THEN 1 ELSE -1 END AS BIGINT)
+             AS slope_sign,
+           CAST(floor(1000000.0 * abs(CAST(n * sxy - sx * sy AS DOUBLE))
+                / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_abs_micro,
+           CAST(floor(1000000000.0
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             AS r2_ppb
+    FROM best
+    """,
+    doc="Zipf-Mandelbrot fit ln f = C - s ln(r + b) of the top-200 corpus "
+    "word spectrum with the offset b chosen by EXACT grid search over "
+    "b in 0..5: because Syy is common to every candidate, the "
+    "best-SSE offset is the argmax of Sxy^2/Sxx — compared on "
+    "ppb-quantized integer scores with ties to the smaller b "
+    "(declared; scores, slope and R^2 evaluate as fixed-shape doubles "
+    "over the exact integer moments because the 1e35-scale cleared "
+    "numerators overflow Spark's silent-wrapping integral divide — the "
+    "pipeline15 lesson), no nonlinear optimizer anywhere. Mandelbrot's "
+    "offset captures the flat head that makes plain Zipf regressions "
+    "(text_zipf_slope) underfit rank 1-10; the fitted s and R^2 "
+    "come from the same exact integer moments over micro-quantized "
+    "log-log coordinates. Token work is one word rollup + "
+    "TakeOrderedAndProject(200); the 6 x 200 grid is bounded.",
+)
+def text_zipf_mandelbrot_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    topw = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(200)
+    )
+    rk = topw.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "word"))
+        .cast("bigint")
+        .alias("r"),
+        F.floor(F.lit(1000000.0) * F.log(F.col("c").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bs = docs.sparkSession.range(6).select(F.col("id").alias("b"))
+    grid = rk.crossJoin(F.broadcast(bs)).select(
+        "b",
+        "y",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log((F.col("r") + F.col("b")).cast("double"))
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    s = grid.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        _dsum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        _dsum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    sc = s.select(
+        "*",
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0))"
+            " AS BIGINT)"
+        ).alias("score"),
+    )
+    best = sc.orderBy(F.col("score").desc(), "b").limit(1)
+    return best.select(
+        F.col("b").cast("bigint").alias("best_offset_b"),
+        F.col("n").alias("n_ranks"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy >= sx * sy THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("slope_sign"),
+        F.expr(
+            "CAST(floor(1000000.0 * abs(CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_abs_micro"),
+        F.expr(
+            "CAST(floor(1000000000.0"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        ).alias("r2_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_exponential_gof — KS fit of inter-event gaps to the exponential
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_exponential_gof",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+      SELECT CAST((us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+                  // 60000000 AS BIGINT) AS gap_min
+      FROM g QUALIFY lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        IS NOT NULL
+    ),
+    cells AS (
+      SELECT gap_min, CAST(count(*) AS BIGINT) AS c
+      FROM gaps WHERE gap_min >= 0 AND gap_min < 1440
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * gap_min) AS BIGINT) AS s
+      FROM cells
+    ),
+    dev AS (
+      SELECT cells.gap_min,
+             CAST((1000000000 * sum(c) OVER (ORDER BY gap_min ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW)) // tot.n
+                  AS BIGINT) AS ecdf_nano,
+             CAST(floor(1000000000.0 * (1.0 - exp(
+                  -(CAST(tot.n AS DOUBLE) * (gap_min + 1))
+                  / greatest(CAST(tot.s AS DOUBLE), 1.0)))) AS BIGINT)
+               AS expcdf_nano
+      FROM cells, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_gaps,
+           (SELECT CAST((1000000 * n) // greatest(s, 1) AS BIGINT)
+            FROM tot) AS rate_per_min_micro,
+           CAST(max(abs(ecdf_nano - expcdf_nano)) AS BIGINT) AS d_nano
+    FROM dev
+    """,
+    doc="Kolmogorov-Smirnov fit of per-user inter-event gaps (whole "
+    "minutes, gaps >= 1 day excluded — declared censoring) to the "
+    "EXPONENTIAL with the MoM rate lambda = n/sum(gaps): D = sup_m "
+    "|ECDF(m) - (1 - e^(-lambda(m+1)))| on the bounded 1440-cell "
+    "minute grid — exponential gaps mean memoryless (Poisson) "
+    "arrivals, so this is the formal GOF behind the burstiness "
+    "descriptors (events_gap_burstiness B, events_gap_memory M, "
+    "events_weibull_gaps' shape k: Weibull k=1 IS this null). Both "
+    "CDFs quantize to nano PER GRID CELL (the exponential via one "
+    "fixed-shape exp over exact integer rate operands — the "
+    "quantized-transcendental-per-DOMAIN-cell discipline) and the "
+    "sup is an integer max. One user-partitioned lag window + one "
+    "bounded grid window.",
+)
+def events_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    g = ev.select(
+        "user_id", F.expr("unix_micros(ts)").cast("bigint").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = (
+        g.select(
+            ((F.col("us") - F.lag("us").over(w)) / 60000000)
+            .cast("bigint")
+            .alias("gap_min"),
+            F.lag("us").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("gap_min")
+    )
+    cells = (
+        gaps.filter((F.col("gap_min") >= 0) & (F.col("gap_min") < 1440))
+        .groupBy("gap_min")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("gap_min")).cast("bigint").alias("s"),
+    )
+    wg = Window.orderBy("gap_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        cells.select(
+            "gap_min",
+            F.sum("c").over(wg).cast("bigint").alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((1000000000 * cum) div n AS BIGINT)").alias(
+                "ecdf_nano"
+            ),
+            F.expr(
+                "CAST(floor(1000000000.0 * (1.0 - exp("
+                " -(CAST(n AS DOUBLE) * (gap_min + 1))"
+                " / greatest(CAST(s AS DOUBLE), 1.0)))) AS BIGINT)"
+            ).alias("expcdf_nano"),
+        )
+    )
+    d = dev.agg(
+        F.max(F.abs(F.col("ecdf_nano") - F.col("expcdf_nano")))
+        .cast("bigint")
+        .alias("d_nano")
+    )
+    return tot.crossJoin(F.broadcast(d)).select(
+        F.col("n").alias("n_gaps"),
+        F.expr(
+            "CAST((1000000 * n) div greatest(s, 1) AS BIGINT)"
+        ).alias("rate_per_min_micro"),
+        "d_nano",
+    )

@@ -334,6 +334,10 @@ _ALLOWED_NESTED_LOOP = {
     # pipeline20 (round-14 bank seed)
     "agg_overlap_coefficient",    # 1-row cohort-total scalars broadcast crossJoin
     "agg_tukey_fences",           # 1-row quartile/fence scalars broadcast crossJoins
+    "embedding_cosine_concentration",  # bounded 100-vector panel NLJ (by design)
+    "orders_variance_ratio_test",  # 1-row 3-sum moment scalars broadcast crossJoin
+    "text_zipf_mandelbrot_grid",  # bounded 6-offset x 200-rank scaffold crossJoin
+    "events_exponential_gof",     # 1-row rate scalars + 1-row sup broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -542,6 +546,11 @@ _GLOBAL_WINDOWS = {
                             "total, duplicated under the quartile and "
                             "census branches"),
     "orders_duane_growth": (1, "bounded: monthly checkpoint prefix"),
+    "orders_variance_ratio_test": (3, "bounded: monthly series lag + two "
+                                      "leads"),
+    "text_zipf_mandelbrot_grid": (1, "bounded: 200-rank top-k window"),
+    "events_exponential_gof": (1, "bounded: 1440-cell minute-grid "
+                                  "prefix"),
 }
 
 

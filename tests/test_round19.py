@@ -777,3 +777,75 @@ def test_png_walker_roundtrip_and_rejects():
     # declared length larger than the remaining stream: malformed
     bad = raw[:8] + _s.pack(">I", 10**6) + raw[12:]
     assert walk_png_chunks(bad) is None
+
+
+def test_gamma_negbin_vr_identities():
+    rng = random.Random(337)
+    for _ in range(60):
+        xs = [rng.randint(1, 10**5) for _ in range(rng.randint(3, 50))]
+        n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        if n * s2 == s * s:
+            continue
+        mean = Fraction(s, n)
+        # POPULATION variance clears to (n*s2 - s^2)/n^2
+        varp = Fraction(n * s2 - s * s, n * n)
+        shape_ref = mean**2 / varp
+        assert Fraction(s * s, n * s2 - s * s) == shape_ref
+        scale_ref = varp / mean
+        assert Fraction(n * s2 - s * s, n * s) == scale_ref
+        # variance ratio clears both sample denominators
+        ys = [rng.randint(1, 10**5) for _ in range(rng.randint(3, 50))]
+        k, t, t2 = len(ys), sum(ys), sum(y * y for y in ys)
+        va = Fraction(n * s2 - s * s, n * (n - 1))
+        vb = Fraction(k * t2 - t * t, k * (k - 1))
+        if va == 0:
+            continue
+        ref = vb / (3 * va)
+        got = Fraction((k * t2 - t * t) * n * (n - 1),
+                       3 * (n * s2 - s * s) * k * (k - 1))
+        assert got == ref
+
+
+def test_two_proportion_cross_multiplication():
+    rng = random.Random(347)
+    for _ in range(200):
+        n1, n2 = rng.randint(10, 10**5), rng.randint(10, 10**5)
+        r1, r2 = rng.randint(0, n1), rng.randint(0, n2)
+        big_r, big_n = r1 + r2, n1 + n2
+        if big_r == 0 or big_r == big_n:
+            continue
+        p1, p2, pp = r1 / n1, r2 / n2, big_r / big_n
+        se2 = pp * (1 - pp) * (1 / n1 + 1 / n2)
+        if se2 == 0:
+            continue
+        flag_float = (p1 - p2) ** 2 > 1.96**2 * se2
+        lhs = 10000 * (r1 * n2 - r2 * n1) ** 2 * big_n
+        rhs = 38416 * big_r * (big_n - big_r) * n1 * n2
+        if abs(lhs - rhs) > 1e-9 * max(1, rhs):
+            assert (lhs > rhs) == flag_float
+
+
+def test_zipf_mandelbrot_argmax_is_sse_argmin():
+    # with Syy common across offsets, argmin SSE == argmax Sxy^2/Sxx
+    rng = random.Random(349)
+    for _ in range(30):
+        nn = rng.randint(5, 60)
+        ys = [rng.randint(1, 10**7) for _ in range(nn)]
+        best_sse, best_score = None, None
+        for b in range(6):
+            xs = [
+                math.floor(1e6 * math.log(r + b)) for r in range(1, nn + 1)
+            ]
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            syy = sum(y * y for y in ys)
+            a_ = nn * sxy - sx * sy
+            bden = nn * sxx - sx * sx
+            sse = Fraction(nn * syy - sy * sy, 1) - Fraction(a_ * a_, bden)
+            score = Fraction(a_ * a_, bden)
+            if best_sse is None or sse < best_sse:
+                best_sse, sse_b = sse, b
+            if best_score is None or score > best_score:
+                best_score, score_b = score, b
+        assert sse_b == score_b
