@@ -499,8 +499,14 @@ def sniff_mp4_meta(payload: bytes) -> tuple[int, str, int, int] | None:
                         )
                         # unsigned 64-bit duration can exceed int64 on
                         # adversarial payloads — bounds-check before it
-                        # lands in an Int64 pandas column
+                        # lands in an Int64 pandas column; the derived
+                        # duration_ms (1000*duration//timescale) must pass
+                        # the same bound or a small-timescale payload
+                        # (e.g. timescale=1, duration=2^62) crashes the
+                        # Int64 series construction downstream
                         if duration >= 2**63:
+                            return None
+                        if timescale and 1000 * duration // timescale >= 2**63:
                             return None
                     else:
                         timescale, duration = struct.unpack(
@@ -563,11 +569,16 @@ PCM_STATS_SCHEMA = StructType(
 
 
 def decode_wav_pcm16(payload: bytes) -> list[int] | None:
-    """REAL PCM payload decode (pure stdlib): RIFF-walk to the data chunk
-    and unpack its 16-bit little-endian signed samples. This is the first
-    multimodal operator whose SAMPLE DATA (not just container metadata)
-    sits on the oracle-verified hash surface. Returns None for non-WAV /
-    non-16-bit / truncated payloads (typed miss, never a crash)."""
+    """REAL PCM payload decode (pure stdlib) for CANONICAL 44-byte-header
+    WAV only (fmt at offset 12, data at offset 36 — the layout
+    sniff_wav_meta accepts): unpack the data chunk's 16-bit little-endian
+    signed samples. WAVs with extra chunks (LIST/fact) or extended fmt are
+    typed misses by design — parity-consistent here since the operator
+    constructs canonical files; a real chunk walk is the documented upgrade
+    path for non-canonical corpora. This is the first multimodal operator
+    whose SAMPLE DATA (not just container metadata) sits on the
+    oracle-verified hash surface. Returns None for non-WAV / non-16-bit /
+    truncated payloads (typed miss, never a crash)."""
     import struct
 
     meta = sniff_wav_meta(payload)

@@ -1,10 +1,8 @@
-"""Round-13 bank (staged): loaded by ``registry._load_deferred()``, NOT
-``_load_all`` — the round-12 driver window is exactly full with the
-pipeline16/17/18 tranches plus this round's single in-window query, so
-new operators registered here stay out of the driver-facing registry
-until the round-13 window opens, while the registry-wide lint and parity
-tests load this module explicitly and enforce the full plan/determinism
-discipline from day one.
+"""Round-13 bank (LIVE since round 13): staged behind
+``registry._load_deferred()`` through round 12, promoted into
+``_load_all`` when the round-13 driver window opened — exactly one full
+50-query window, three-SF bit-exact and identity-pinned
+(tests/test_round19.py) before banking.
 
 Reference provenance: like pipeline7-18, none of these operators exist in
 the reference's Go core (a MongoDB change-stream -> NATS connector,
@@ -21,9 +19,17 @@ Cross-engine determinism rules (the pipeline11-18 discipline):
 - integer `div` (Spark) and `//` (DuckDB) BOTH truncate toward zero on
   negatives (only Python's // floors), so signed divisions match across
   engines;
-- no exp/ln/pow/round-of-float anywhere on the hash surface; +,-,*,/,
-  sqrt are IEEE-correctly-rounded and bit-portable in fixed operand
-  order.
+- no exp/ln/pow/round-of-float on the hash surface, with ONE declared
+  exception (the ``agg_mutual_information`` precedent): operators that
+  need a logarithm (``agg_g_test``, ``agg_theil_index``, ``agg_log_loss``,
+  ``events_dfa_alpha``, ...) put FLOOR-QUANTIZED ln() micro-nat INTEGERS
+  per distinct DOMAIN cell on the hash surface. ln is libm-dependent (not
+  IEEE-correctly-rounded), so a 1-ulp cross-engine difference exactly at
+  a floor boundary could flip a digest; the risk is bounded because the
+  quantized argument set is the small distinct-cell domain (not raw
+  rows), and the parity suite + three-SF bit-exact probes check every
+  such cell. +,-,*,/ and sqrt remain IEEE-correctly-rounded and
+  bit-portable in fixed operand order.
 """
 
 from __future__ import annotations

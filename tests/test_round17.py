@@ -775,6 +775,28 @@ def test_mp4_sniffer_roundtrip_and_rejects():
     mvhd_b = struct.pack(">I", 8 + len(body_big)) + b"mvhd" + body_big
     moov_b = struct.pack(">I", 8 + len(mvhd_b)) + b"moov" + mvhd_b
     assert sniff_mp4_meta(ftyp + moov_b) is None
+    # v1 duration < 2^63 but derived duration_ms >= 2^63 (small timescale)
+    # also crashes Int64 construction downstream: typed miss (round-12
+    # advisor finding — timescale=1, duration=2^62)
+    body_ms = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + struct.pack(">IQ", 1, 2**62)
+        + b"\x00" * 80
+    )
+    mvhd_m = struct.pack(">I", 8 + len(body_ms)) + b"mvhd" + body_ms
+    moov_m = struct.pack(">I", 8 + len(mvhd_m)) + b"moov" + mvhd_m
+    assert sniff_mp4_meta(ftyp + moov_m) is None
+    # ... while a v1 payload whose ms stays in-range still parses
+    body_ok = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + struct.pack(">IQ", 1000, 2**40)
+        + b"\x00" * 80
+    )
+    mvhd_o = struct.pack(">I", 8 + len(body_ok)) + b"mvhd" + body_ok
+    moov_o = struct.pack(">I", 8 + len(mvhd_o)) + b"moov" + mvhd_o
+    assert sniff_mp4_meta(ftyp + moov_o) == (2, "isom", 1000, 2**40)
 
 
 # ---------------------------------------------------------------------------
