@@ -1589,3 +1589,758 @@ def events_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_per_min_micro"),
         "d_nano",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_yule_q — 2x2 association (Yule's Q) of return flag vs line status
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_yule_q",
+    oracle="""
+    WITH c AS (
+      SELECT
+        CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+        CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+                 THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+        CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F'
+                 THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+        CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F'
+                 THEN 1 ELSE 0 END) AS HUGEINT) AS d
+      FROM lineitem
+    )
+    SELECT CAST(a AS BIGINT) AS n_rf, CAST(b AS BIGINT) AS n_ro,
+           CAST(cc AS BIGINT) AS n_of, CAST(d AS BIGINT) AS n_oo,
+           CAST(CASE WHEN a * d - b * cc >= 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS q_sign,
+           CAST((1000000000 * abs(a * d - b * cc))
+                // greatest(a * d + b * cc, 1) AS BIGINT) AS q_abs_ppb,
+           CAST((1000000 * a * d) // greatest(b * cc, 1) AS BIGINT)
+             AS odds_ratio_micro
+    FROM c
+    """,
+    doc="Yule's Q association coefficient on the 2x2 contingency of "
+    "(returned lines) x (finalized status): Q = (ad-bc)/(ad+bc), the "
+    "odds-ratio mapped onto [-1,1] — the classic 2x2 effect size that, "
+    "unlike the phi/Matthews coefficient (agg_matthews_corr), is margin-"
+    "free. One map-side conditional count; the cross-products ad/bc are "
+    "widened to DECIMAL(38,0) (HUGEINT twin) before multiplication, the "
+    "ppb ratio is sign-split around a truncating div (Spark div truncates "
+    "toward zero, DuckDB // floors — abs() makes them agree).",
+)
+def agg_yule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        _dsum(
+            F.when(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_linestatus") == "F"),
+                1,
+            ).otherwise(0)
+        ).alias("a"),
+        _dsum(
+            F.when(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_linestatus") != "F"),
+                1,
+            ).otherwise(0)
+        ).alias("b"),
+        _dsum(
+            F.when(
+                (F.col("l_returnflag") != "R")
+                & (F.col("l_linestatus") == "F"),
+                1,
+            ).otherwise(0)
+        ).alias("cc"),
+        _dsum(
+            F.when(
+                (F.col("l_returnflag") != "R")
+                & (F.col("l_linestatus") != "F"),
+                1,
+            ).otherwise(0)
+        ).alias("d"),
+    )
+    return c.select(
+        F.col("a").cast("bigint").alias("n_rf"),
+        F.col("b").cast("bigint").alias("n_ro"),
+        F.col("cc").cast("bigint").alias("n_of"),
+        F.col("d").cast("bigint").alias("n_oo"),
+        F.expr(
+            "CAST(CASE WHEN a * d - b * cc >= 0 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("q_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(a * d - b * cc))"
+            " div greatest(a * d + b * cc, 1) AS BIGINT)"
+        ).alias("q_abs_ppb"),
+        F.expr(
+            "CAST((1000000 * a * d) div greatest(b * cc, 1) AS BIGINT)"
+        ).alias("odds_ratio_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_goodman_kruskal_lambda — proportional-reduction-in-error association
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_goodman_kruskal_lambda",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rowmax AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_rowmax
+      FROM (SELECT r, max(n) AS mx FROM cells GROUP BY 1)
+    ),
+    colmax AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_colmax
+      FROM (SELECT c, max(n) AS mx FROM cells GROUP BY 1)
+    ),
+    margr AS (
+      SELECT CAST(max(s) AS BIGINT) AS max_rowmarg
+      FROM (SELECT r, sum(n) AS s FROM cells GROUP BY 1)
+    ),
+    margc AS (
+      SELECT CAST(max(s) AS BIGINT) AS max_colmarg
+      FROM (SELECT c, sum(n) AS s FROM cells GROUP BY 1)
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells)
+    SELECT t.n AS n_orders,
+           CAST((1000000 * (rm.sum_rowmax - mc.max_colmarg))
+                // greatest(t.n - mc.max_colmarg, 1) AS BIGINT)
+             AS lambda_c_given_r_ppm,
+           CAST((1000000 * (cm.sum_colmax - mr.max_rowmarg))
+                // greatest(t.n - mr.max_rowmarg, 1) AS BIGINT)
+             AS lambda_r_given_c_ppm
+    FROM tot t, rowmax rm, colmax cm, margr mr, margc mc
+    """,
+    doc="Goodman-Kruskal lambda (proportional reduction in prediction "
+    "error) both directions on the bounded 5x3 order-priority x "
+    "order-status contingency: lambda_c|r = (sum_r max_c n_rc - max_c "
+    "n_.c) / (n - max_c n_.c) — how much knowing the priority improves a "
+    "modal guess of the status (and vice versa). A pure integer ratio of "
+    "counts, ppm-scaled (numerator is >= 0 by construction, no sign "
+    "split needed). One groupBy over 15 bounded cells, then scalar "
+    "reductions — the 4 tiny aggregates join by broadcast.",
+)
+def agg_goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rowmax = (
+        cells.groupBy("r")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_rowmax"))
+    )
+    colmax = (
+        cells.groupBy("c")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_colmax"))
+    )
+    margr = (
+        cells.groupBy("r")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").cast("bigint").alias("max_rowmarg"))
+    )
+    margc = (
+        cells.groupBy("c")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").cast("bigint").alias("max_colmarg"))
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(rowmax))
+        .crossJoin(F.broadcast(colmax))
+        .crossJoin(F.broadcast(margr))
+        .crossJoin(F.broadcast(margc))
+    )
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.expr(
+            "CAST((1000000 * (sum_rowmax - max_colmarg))"
+            " div greatest(n - max_colmarg, 1) AS BIGINT)"
+        ).alias("lambda_c_given_r_ppm"),
+        F.expr(
+            "CAST((1000000 * (sum_colmax - max_rowmarg))"
+            " div greatest(n - max_rowmarg, 1) AS BIGINT)"
+        ).alias("lambda_r_given_c_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stuart_tau_c — ordinal association on the bounded priority x status grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stuart_tau_c",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN b.r > a.r AND b.c > a.c
+                 THEN a.n * b.n ELSE 0 END) AS HUGEINT) AS conc,
+        CAST(sum(CASE WHEN b.r > a.r AND b.c < a.c
+                 THEN a.n * b.n ELSE 0 END) AS HUGEINT) AS disc
+      FROM cells a, cells b
+    ),
+    tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cells)
+    SELECT CAST(t.n AS BIGINT) AS n_orders,
+           CAST(p.conc AS BIGINT) AS concordant,
+           CAST(p.disc AS BIGINT) AS discordant,
+           CAST(CASE WHEN p.conc >= p.disc THEN 1 ELSE -1 END AS BIGINT)
+             AS tau_c_sign,
+           CAST((CAST(6000000000 AS HUGEINT) * abs(p.conc - p.disc))
+                // greatest(t.n * t.n * (3 - 1), 1) AS BIGINT)
+             AS tau_c_abs_ppb
+    FROM pairs p, tot t
+    """,
+    doc="Stuart-Kendall tau-c ordinal association on the bounded 5x3 "
+    "order-priority x order-status contingency: tau_c = 2m(C - D) / "
+    "(n^2 (m-1)) with m = min(rows, cols) = 3 — the rectangular-table "
+    "correction of Kendall's tau-b (agg_kendall_tau covers the paired-"
+    "series variant). Concordant/discordant pairs never enumerate rows: "
+    "the 15-cell aggregate self-joins (bounded 15x15 broadcast NLJ, "
+    "allowlisted), each unordered pair counted exactly once via the "
+    "r2 > r1 orientation. All-integer; ppb ratio sign-split around "
+    "truncating div.",
+)
+def agg_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    a = cells.select(
+        F.col("r").alias("r1"), F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        F.col("r").alias("r2"), F.col("c").alias("c2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("r2") > F.col("r1")) & (F.col("c2") > F.col("c1")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("r2") > F.col("r1")) & (F.col("c2") < F.col("c1")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    tot = cells.agg(F.sum("n").alias("n"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.expr(
+            "CAST(CASE WHEN conc >= disc THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("tau_c_sign"),
+        F.expr(
+            "CAST((CAST(6000000000 AS DECIMAL(38,0)) * abs(conc - disc))"
+            " div greatest(n * n * (3 - 1), 1) AS BIGINT)"
+        ).alias("tau_c_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_somers_d — asymmetric ordinal association D(Y|X) on lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_somers_d",
+    oracle="""
+    WITH cells AS (
+      SELECT l_linenumber AS x, CAST(round(l_quantity) AS BIGINT) AS y,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                 THEN a.n * b.n ELSE 0 END) AS HUGEINT) AS conc,
+        CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                 THEN a.n * b.n ELSE 0 END) AS HUGEINT) AS disc,
+        CAST(sum(CASE WHEN b.x > a.x AND b.y = a.y
+                 THEN a.n * b.n ELSE 0 END) AS HUGEINT) AS tie_y
+      FROM cells a, cells b
+    )
+    SELECT CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(tie_y AS BIGINT) AS tied_y_only,
+           CAST(CASE WHEN conc >= disc THEN 1 ELSE -1 END AS BIGINT)
+             AS d_sign,
+           CAST((1000000000 * abs(conc - disc))
+                // greatest(conc + disc + tie_y, 1) AS BIGINT)
+             AS d_abs_ppb
+    FROM pairs
+    """,
+    doc="Somers' D(Y|X) — the asymmetric ordinal association of rounded "
+    "quantity (Y) on line number (X): D = (C - D) / (C + D + T_Y), "
+    "penalizing only ties on the DEPENDENT variable — the statistic "
+    "underneath the Gini/accuracy-ratio family (D(Y|X) of a score vs a "
+    "binary outcome IS 2*AUC-1, complementing agg_roc_auc). Pair counts "
+    "come from the bounded 7x50 contingency's 350-cell self-join "
+    "(broadcast NLJ, allowlisted); each unordered pair is counted once "
+    "via the x2 > x1 orientation, T_Y = pairs tied on Y with different "
+    "X. All-integer, ppb sign-split.",
+)
+def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_linenumber").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("n").alias("n2"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(zero)
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(zero)
+        ).alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("x2") > F.col("x1")) & (F.col("y2") == F.col("y1")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(zero)
+        ).alias("tie_y"),
+    )
+    return pairs.select(
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.col("tie_y").cast("bigint").alias("tied_y_only"),
+        F.expr(
+            "CAST(CASE WHEN conc >= disc THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("d_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(conc - disc))"
+            " div greatest(conc + disc + tie_y, 1) AS BIGINT)"
+        ).alias("d_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_rank_biserial — Mann-Whitney effect size (returned vs non-returned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rank_biserial",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_a
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    g AS (
+      SELECT v, CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(is_a) AS HUGEINT) AS cnt_a
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT cnt, cnt_a,
+             2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS avg_rank2
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_a) AS HUGEINT) AS n1,
+             CAST(sum(cnt - cnt_a) AS HUGEINT) AS n2,
+             CAST(sum(cnt_a * avg_rank2) AS HUGEINT) AS r1_twice
+      FROM r
+    ),
+    u AS (
+      SELECT n1, n2,
+             2 * (2 * r1_twice - 2 * n1 * (n1 + 1)) AS u1_x8
+      FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_returned,
+           CAST(n2 AS BIGINT) AS n_nonret,
+           CAST(u1_x8 // 8 AS BIGINT) AS u1_floor,
+           CAST(CASE WHEN 8 * n1 * n2 - u1_x8 >= u1_x8 THEN 1 ELSE -1 END
+                AS BIGINT) AS rb_sign,
+           CAST((1000000000 * abs(8 * n1 * n2 - 2 * u1_x8))
+                // greatest(8 * n1 * n2, 1) AS BIGINT) AS rb_abs_ppb
+    FROM u
+    """,
+    doc="Rank-biserial correlation (Cureton/Wendt): the effect size of the "
+    "Mann-Whitney U comparing rounded quantities of returned (R) vs "
+    "non-returned (N) lines — rb = 1 - 2U1/(n1 n2), the proportion of "
+    "favorable minus unfavorable pairs (agg_cliff_delta's two-sample twin "
+    "derived from ranks instead of direct pair counts; agg_mann_whitney "
+    "reports the test, this reports the magnitude). Midranks never "
+    "materialize per row: the bounded ~50-value quantity grid carries "
+    "DOUBLED cumulative midranks (exact integers), U1 is kept as the "
+    "8x-scaled integer u1_x8 = 8*(R1 - n1(n1+1)/2), and rb = "
+    "(8 n1 n2 - 2 u1_x8)/(8 n1 n2) is emitted sign-split in ppb.",
+)
+def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    g = li.groupBy(
+        F.round("l_quantity").cast("bigint").alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("decimal(38,0)").alias("cnt_a"),
+    )
+    w = Window.orderBy("v")
+    r = g.select(
+        "cnt",
+        "cnt_a",
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("avg_rank2"),
+    )
+    agg = r.agg(
+        F.sum("cnt_a").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n2"),
+        F.sum(F.col("cnt_a") * F.col("avg_rank2")).alias("r1_twice"),
+    )
+    u = agg.select(
+        "n1",
+        "n2",
+        F.expr("2 * (2 * r1_twice - 2 * n1 * (n1 + 1))").alias("u1_x8"),
+    )
+    return u.select(
+        F.col("n1").cast("bigint").alias("n_returned"),
+        F.col("n2").cast("bigint").alias("n_nonret"),
+        F.expr("CAST(u1_x8 div 8 AS BIGINT)").alias("u1_floor"),
+        F.expr(
+            "CAST(CASE WHEN 8 * n1 * n2 - u1_x8 >= u1_x8 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("rb_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(8 * n1 * n2 - 2 * u1_x8))"
+            " div greatest(8 * n1 * n2, 1) AS BIGINT)"
+        ).alias("rb_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_kappa — linear-weighted Cohen's kappa, line-1 vs line-2 class
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_kappa",
+    oracle="""
+    WITH prs AS (
+      SELECT l_orderkey,
+             CAST(max(CASE WHEN l_linenumber = 1 THEN
+                  (CAST(round(l_quantity) AS BIGINT) - 1) // 13 END)
+                  AS BIGINT) AS c1,
+             CAST(max(CASE WHEN l_linenumber = 2 THEN
+                  (CAST(round(l_quantity) AS BIGINT) - 1) // 13 END)
+                  AS BIGINT) AS c2
+      FROM lineitem WHERE l_linenumber IN (1, 2)
+      GROUP BY 1 HAVING count(*) = 2
+    ),
+    cells AS (
+      SELECT c1, c2, CAST(count(*) AS HUGEINT) AS n
+      FROM prs GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT CAST(sum(abs(c1 - c2) * n) AS HUGEINT) AS w_obs,
+             CAST(sum(n) AS HUGEINT) AS n
+      FROM cells
+    ),
+    marg AS (
+      SELECT CAST(sum(abs(r.c1 - c.c2) * r.rn * c.cn) AS HUGEINT) AS w_exp
+      FROM (SELECT c1, sum(n) AS rn FROM cells GROUP BY 1) r,
+           (SELECT c2, sum(n) AS cn FROM cells GROUP BY 1) c
+    )
+    SELECT CAST(o.n AS BIGINT) AS n_orders,
+           CAST(o.w_obs AS BIGINT) AS disagreement_obs,
+           CAST(CASE WHEN m.w_exp - o.n * o.w_obs >= 0 THEN 1 ELSE -1 END
+                AS BIGINT) AS kappa_sign,
+           CAST((1000000000 * abs(m.w_exp - o.n * o.w_obs))
+                // greatest(m.w_exp, 1) AS BIGINT) AS kappa_abs_ppb
+    FROM obs o, marg m
+    """,
+    doc="Linear-weighted Cohen's kappa treating each order's line-1 and "
+    "line-2 quantity classes (fixed width-13 buckets of the 1..50 "
+    "domain, classes 0..3) as two raters: kappa_w = 1 - sum(w_ij O_ij)/n "
+    "/ (sum(w_ij R_i C_j)/n^2) with w = |i - j| — partial credit for "
+    "near-miss disagreement, which the unweighted agg_cohen_kappa cannot "
+    "give. Cleared to the integer identity kappa = (W_exp - n W_obs) / "
+    "W_exp over a bounded 4x4 contingency (margins cross-joined at 4x4, "
+    "broadcast); ppb sign-split.",
+)
+def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber").isin(1, 2)
+    )
+    prs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_linenumber") == 1, F.expr(
+                    "(CAST(round(l_quantity) AS BIGINT) - 1) div 13"))
+            ).alias("c1"),
+            F.max(
+                F.when(F.col("l_linenumber") == 2, F.expr(
+                    "(CAST(round(l_quantity) AS BIGINT) - 1) div 13"))
+            ).alias("c2"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == 2)
+    )
+    cells = prs.groupBy("c1", "c2").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    obs = cells.agg(
+        F.sum(
+            F.abs(F.col("c1") - F.col("c2")).cast("decimal(38,0)")
+            * F.col("n")
+        ).alias("w_obs"),
+        F.sum("n").alias("n"),
+    )
+    rm = cells.groupBy("c1").agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy("c2").agg(F.sum("n").alias("cn"))
+    marg = rm.crossJoin(F.broadcast(cm)).agg(
+        F.sum(
+            F.abs(F.col("c1") - F.col("c2")).cast("decimal(38,0)")
+            * F.col("rn")
+            * F.col("cn")
+        ).alias("w_exp")
+    )
+    return obs.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("w_obs").cast("bigint").alias("disagreement_obs"),
+        F.expr(
+            "CAST(CASE WHEN w_exp - n * w_obs >= 0 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("kappa_sign"),
+        F.expr(
+            "CAST((1000000000 * abs(w_exp - n * w_obs))"
+            " div greatest(w_exp, 1) AS BIGINT)"
+        ).alias("kappa_abs_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_geary_ratio — Geary's a (mean-deviation / std-deviation normality ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_geary_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+             CAST(count(*) AS HUGEINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt * v) AS HUGEINT) AS s,
+             CAST(sum(cnt * v * v) AS HUGEINT) AS s2
+      FROM g
+    ),
+    a AS (
+      SELECT t.n, t.s, t.s2,
+             CAST(sum(g.cnt * abs(t.n * g.v - t.s)) AS HUGEINT) AS adev
+      FROM g, tot t GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           CAST(adev AS BIGINT) AS abs_dev_nscaled,
+           CAST((1000000 * adev * adev)
+                // greatest(n * n * (n * s2 - s * s), 1) AS BIGINT)
+             AS geary_a2_ppm
+    FROM a
+    """,
+    doc="Geary's a ratio (mean absolute deviation / standard deviation) of "
+    "rounded quantities — the classical light-tail/heavy-tail normality "
+    "diagnostic (a = sqrt(2/pi) ~= 0.7979 under normality, larger for "
+    "platykurtic data; the robust companion to agg_jarque_bera's "
+    "moment-based test). Squared and cleared to one exact integer "
+    "ratio: a^2 = (sum|n v_i - S|)^2 / (n^2 (n sum v^2 - S^2)) — the "
+    "n-scaled absolute deviations avoid the rational mean entirely. "
+    "Aggregated over the bounded ~50-value grid with the 1-row totals "
+    "cross-joined back (broadcast, allowlisted); ppm output.",
+)
+def agg_geary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    tot = g.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("v")).alias("s"),
+        F.sum(F.col("cnt") * F.col("v") * F.col("v")).alias("s2"),
+    )
+    a = g.crossJoin(F.broadcast(tot)).groupBy("n", "s", "s2").agg(
+        F.sum(
+            F.col("cnt") * F.abs(F.col("n") * F.col("v") - F.col("s"))
+        ).alias("adev")
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("adev").cast("bigint").alias("abs_dev_nscaled"),
+        F.expr(
+            "CAST((1000000 * adev * adev)"
+            " div greatest(n * n * (n * s2 - s * s), 1) AS BIGINT)"
+        ).alias("geary_a2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_blomqvist_beta — medial (quadrant) correlation of quantity vs discount
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_blomqvist_beta",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    medx AS (
+      SELECT min(v) AS mx FROM (
+        SELECT x AS v, 2 * sum(count(*)) OVER (ORDER BY x) AS cum2,
+               sum(count(*)) OVER () AS n
+        FROM s GROUP BY x
+      ) WHERE cum2 >= n
+    ),
+    medy AS (
+      SELECT min(v) AS my FROM (
+        SELECT y AS v, 2 * sum(count(*)) OVER (ORDER BY y) AS cum2,
+               sum(count(*)) OVER () AS n
+        FROM s GROUP BY y
+      ) WHERE cum2 >= n
+    ),
+    q AS (
+      SELECT
+        CAST(sum(CASE WHEN x > mx AND y > my THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_pp,
+        CAST(sum(CASE WHEN x < mx AND y < my THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_mm,
+        CAST(sum(CASE WHEN x > mx AND y < my THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_pm,
+        CAST(sum(CASE WHEN x < mx AND y > my THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_mp
+      FROM s, medx, medy
+    )
+    SELECT CAST(n_pp AS BIGINT) AS n_pp, CAST(n_mm AS BIGINT) AS n_mm,
+           CAST(n_pm AS BIGINT) AS n_pm, CAST(n_mp AS BIGINT) AS n_mp,
+           CAST(CASE WHEN n_pp + n_mm >= n_pm + n_mp THEN 1 ELSE -1 END
+                AS BIGINT) AS beta_sign,
+           CAST((1000000000 * abs((n_pp + n_mm) - (n_pm + n_mp)))
+                // greatest(n_pp + n_mm + n_pm + n_mp, 1) AS BIGINT)
+             AS beta_abs_ppb
+    FROM q
+    """,
+    doc="Blomqvist's beta (medial / quadrant correlation) of rounded "
+    "quantity vs discount-percent: split the plane at the two LOWER "
+    "MEDIANS (smallest value whose doubled cumulative count reaches n — "
+    "exact on the bounded 50-value and 11-value grids), drop points on "
+    "either median line, and score concordant minus discordant quadrant "
+    "occupancy — the median-resistant cousin of Kendall's tau that "
+    "needs only ONE pass of quadrant counts after two tiny grid "
+    "cumulations (bounded windows, allowlisted; medians broadcast back). "
+    "All-integer, ppb sign-split.",
+)
+def agg_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        g = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v")
+        cum = g.select(
+            "v",
+            (2 * F.sum("cnt").over(w)).alias("cum2"),
+            F.sum("cnt").over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        return cum.filter(F.col("cum2") >= F.col("n")).agg(
+            F.min("v").alias(out)
+        )
+
+    medx = lower_median(s, "x", "mx")
+    medy = lower_median(s, "y", "my")
+    q = (
+        s.crossJoin(F.broadcast(medx))
+        .crossJoin(F.broadcast(medy))
+        .agg(
+            _dsum(
+                F.when(
+                    (F.col("x") > F.col("mx")) & (F.col("y") > F.col("my")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pp"),
+            _dsum(
+                F.when(
+                    (F.col("x") < F.col("mx")) & (F.col("y") < F.col("my")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mm"),
+            _dsum(
+                F.when(
+                    (F.col("x") > F.col("mx")) & (F.col("y") < F.col("my")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pm"),
+            _dsum(
+                F.when(
+                    (F.col("x") < F.col("mx")) & (F.col("y") > F.col("my")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mp"),
+        )
+    )
+    return q.select(
+        F.col("n_pp").cast("bigint").alias("n_pp"),
+        F.col("n_mm").cast("bigint").alias("n_mm"),
+        F.col("n_pm").cast("bigint").alias("n_pm"),
+        F.col("n_mp").cast("bigint").alias("n_mp"),
+        F.expr(
+            "CAST(CASE WHEN n_pp + n_mm >= n_pm + n_mp THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("beta_sign"),
+        F.expr(
+            "CAST((1000000000 * abs((n_pp + n_mm) - (n_pm + n_mp)))"
+            " div greatest(n_pp + n_mm + n_pm + n_mp, 1) AS BIGINT)"
+        ).alias("beta_abs_ppb"),
+    )

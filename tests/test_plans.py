@@ -338,6 +338,13 @@ _ALLOWED_NESTED_LOOP = {
     "orders_variance_ratio_test",  # 1-row 3-sum moment scalars broadcast crossJoin
     "text_zipf_mandelbrot_grid",  # bounded 6-offset x 200-rank scaffold crossJoin
     "events_exponential_gof",     # 1-row rate scalars + 1-row sup broadcast crossJoins
+    # pipeline20 (round-14 bank, batch 2)
+    "agg_goodman_kruskal_lambda",  # four 1-row margin scalars broadcast crossJoins
+    "agg_stuart_tau_c",           # bounded 15-cell contingency pair NLJ + 1-row total
+    "agg_somers_d",               # bounded 350-cell contingency pair NLJ
+    "agg_weighted_kappa",         # bounded 4x4 margin pair NLJ + 1-row crossJoin
+    "agg_geary_ratio",            # 1-row moment scalars broadcast crossJoin
+    "agg_blomqvist_beta",         # two 1-row median scalars broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -551,6 +558,12 @@ _GLOBAL_WINDOWS = {
     "text_zipf_mandelbrot_grid": (1, "bounded: 200-rank top-k window"),
     "events_exponential_gof": (1, "bounded: 1440-cell minute-grid "
                                   "prefix"),
+    # pipeline20 (round-14 bank, batch 2)
+    "agg_rank_biserial": (1, "bounded: ~50-value quantity-grid "
+                             "cumulative midrank"),
+    "agg_blomqvist_beta": (4, "bounded: 50-value and 11-value grids, "
+                              "each carrying a cumulative + a total "
+                              "window for the lower median"),
 }
 
 

@@ -849,3 +849,198 @@ def test_zipf_mandelbrot_argmax_is_sse_argmin():
             if best_score is None or score > best_score:
                 best_score, score_b = score, b
         assert sse_b == score_b
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 batch-2 (association / agreement / normality) pins
+# ---------------------------------------------------------------------------
+
+
+def test_yule_q_identity():
+    rng = random.Random(331)
+    for _ in range(100):
+        a, b, c, d = (rng.randint(1, 500) for _ in range(4))
+        q = Fraction(a * d - b * c, a * d + b * c)
+        # odds-ratio map onto [-1,1]: Q = (OR-1)/(OR+1)
+        orr = Fraction(a * d, b * c)
+        assert q == (orr - 1) / (orr + 1)
+        assert -1 <= q <= 1
+
+
+def test_goodman_kruskal_lambda_is_pre():
+    rng = random.Random(337)
+    for _ in range(60):
+        cells = [[rng.randint(0, 50) for _ in range(3)] for _ in range(5)]
+        n = sum(sum(r) for r in cells)
+        colmarg = [sum(cells[i][j] for i in range(5)) for j in range(3)]
+        if n == max(colmarg):
+            continue
+        # proportional reduction in error of the modal column guess
+        e_without = n - max(colmarg)
+        e_with = n - sum(max(r) for r in cells)
+        lam = Fraction(e_without - e_with, e_without)
+        assert lam == Fraction(sum(max(r) for r in cells) - max(colmarg),
+                               n - max(colmarg))
+        assert 0 <= lam <= 1
+
+
+def _pair_counts(pts):
+    conc = disc = tie_x = tie_y = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0 and dy == 0:
+                continue
+            elif dx == 0:
+                tie_x += 1
+            elif dy == 0:
+                tie_y += 1
+            elif (dx > 0) == (dy > 0):
+                conc += 1
+            else:
+                disc += 1
+    return conc, disc, tie_x, tie_y
+
+
+def test_stuart_tau_c_cell_orientation_and_literal():
+    rng = random.Random(347)
+    for _ in range(30):
+        pts = [(rng.randint(1, 5), rng.randint(1, 3)) for _ in range(40)]
+        conc, disc, _, _ = _pair_counts(pts)
+        # cell-pair formula with the r2 > r1 orientation counts each
+        # unordered concordant/discordant pair exactly once
+        from collections import Counter
+        cells = Counter(pts)
+        c2 = sum(
+            na * nb
+            for (r1, c1), na in cells.items()
+            for (r2, cc2), nb in cells.items()
+            if r2 > r1 and cc2 > c1
+        )
+        d2 = sum(
+            na * nb
+            for (r1, c1), na in cells.items()
+            for (r2, cc2), nb in cells.items()
+            if r2 > r1 and cc2 < c1
+        )
+        assert (c2, d2) == (conc, disc)
+        n = len(pts)
+        m = 3
+        tau_c = Fraction(2 * m * (conc - disc), n * n * (m - 1))
+        # the fused ppb literal: 1e9 * 2m = 6e9 with m = 3, denominator
+        # n^2 (m-1)
+        assert Fraction(6000000000 * (conc - disc),
+                        10**9 * n * n * (m - 1)) == tau_c
+
+
+def test_somers_d_identity():
+    rng = random.Random(349)
+    for _ in range(30):
+        pts = [(rng.randint(1, 7), rng.randint(1, 9)) for _ in range(50)]
+        conc, disc, tie_x, tie_y = _pair_counts(pts)
+        if conc + disc + tie_y == 0:
+            continue
+        d_yx = Fraction(conc - disc, conc + disc + tie_y)
+        from collections import Counter
+        cells = Counter(pts)
+        cc = sum(na * nb for (x1, y1), na in cells.items()
+                 for (x2, y2), nb in cells.items() if x2 > x1 and y2 > y1)
+        dd = sum(na * nb for (x1, y1), na in cells.items()
+                 for (x2, y2), nb in cells.items() if x2 > x1 and y2 < y1)
+        ty = sum(na * nb for (x1, y1), na in cells.items()
+                 for (x2, y2), nb in cells.items() if x2 > x1 and y2 == y1)
+        assert Fraction(cc - dd, cc + dd + ty) == d_yx
+
+
+def test_rank_biserial_x8_identity():
+    rng = random.Random(353)
+    for _ in range(40):
+        xs = [rng.randint(1, 10) for _ in range(rng.randint(3, 25))]
+        ys = [rng.randint(1, 10) for _ in range(rng.randint(3, 25))]
+        n1, n2 = len(xs), len(ys)
+        # direct favorable/unfavorable pair counts (ties -> 1/2)
+        u1 = sum(
+            Fraction(1) if x > y else
+            (Fraction(1, 2) if x == y else Fraction(0))
+            for x in xs for y in ys
+        )
+        rb = 1 - Fraction(2) * u1 / (n1 * n2)
+        # the operator's midrank route: doubled midranks over the value
+        # grid, r1_twice = sum cnt_a * (2 cum - cnt + 1), u1_x8 =
+        # 2(2 r1_twice - 2 n1 (n1+1))
+        vals = sorted(set(xs + ys))
+        cum = 0
+        r1_twice = 0
+        from collections import Counter
+        ca, cb = Counter(xs), Counter(ys)
+        for v in vals:
+            cnt = ca[v] + cb[v]
+            cum += cnt
+            r1_twice += ca[v] * (2 * cum - cnt + 1)
+        u1_x8 = 2 * (2 * r1_twice - 2 * n1 * (n1 + 1))
+        assert Fraction(u1_x8, 8) == u1
+        assert Fraction(8 * n1 * n2 - 2 * u1_x8, 8 * n1 * n2) == rb
+
+
+def test_weighted_kappa_cleared_denominator():
+    rng = random.Random(359)
+    for _ in range(50):
+        cells = [[rng.randint(0, 30) for _ in range(4)] for _ in range(4)]
+        n = sum(sum(r) for r in cells)
+        if n == 0:
+            continue
+        w_obs = sum(abs(i - j) * cells[i][j]
+                    for i in range(4) for j in range(4))
+        rm = [sum(cells[i]) for i in range(4)]
+        cm = [sum(cells[i][j] for i in range(4)) for j in range(4)]
+        w_exp = sum(abs(i - j) * rm[i] * cm[j]
+                    for i in range(4) for j in range(4))
+        if w_exp == 0:
+            continue
+        # textbook: kappa_w = 1 - (W_obs/n) / (W_exp/n^2)
+        kw = 1 - Fraction(w_obs, n) / Fraction(w_exp, n * n)
+        assert Fraction(w_exp - n * w_obs, w_exp) == kw
+
+
+def test_geary_ratio_cleared_denominator():
+    rng = random.Random(367)
+    for _ in range(50):
+        xs = [rng.randint(1, 50) for _ in range(rng.randint(5, 60))]
+        n = len(xs)
+        s = sum(xs)
+        s2 = sum(x * x for x in xs)
+        if n * s2 - s * s == 0:
+            continue
+        mad = Fraction(sum(abs(x * n - s) for x in xs), n * n)
+        var = Fraction(n * s2 - s * s, n * n)
+        a2 = mad * mad / var
+        adev = sum(abs(n * x - s) for x in xs)
+        assert Fraction(adev * adev, n * n * (n * s2 - s * s)) == a2
+
+
+def test_blomqvist_lower_median_and_beta():
+    rng = random.Random(373)
+    for _ in range(60):
+        xs = sorted(rng.randint(1, 9) for _ in range(rng.randint(4, 30)))
+        n = len(xs)
+        # lower median = element at index ceil(n/2) - 1 (1-based rank
+        # ceil(n/2)); the grid rule picks min v with 2*cum(v) >= n
+        from collections import Counter
+        cnt = Counter(xs)
+        cum = 0
+        med = None
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= n and med is None:
+                med = v
+        assert med == xs[(n - 1) // 2]
+    # beta identity on quadrant counts
+    for _ in range(40):
+        pp, mm, pm, mp = (rng.randint(0, 50) for _ in range(4))
+        tot = pp + mm + pm + mp
+        if tot == 0:
+            continue
+        beta = Fraction((pp + mm) - (pm + mp), tot)
+        # equivalently 2*P(concordant quadrant) - 1 among off-median points
+        assert beta == 2 * Fraction(pp + mm, tot) - 1
