@@ -2344,3 +2344,680 @@ def agg_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(n_pp + n_mm + n_pm + n_mp, 1) AS BIGINT)"
         ).alias("beta_abs_ppb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_good_turing — simple Good-Turing smoothing estimates per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_good_turing",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2
+    ),
+    fof AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n AS n_tokens, n1 AS f1, n2 AS f2,
+           CAST((1000000000 * n1) // n AS BIGINT) AS unseen_mass_ppb,
+           CAST((1000000 * 2 * n2) // greatest(n1, 1) AS BIGINT)
+             AS r1_star_micro,
+           CAST((1000000 * 3 * n3) // greatest(n2, 1) AS BIGINT)
+             AS r2_star_micro,
+           CAST((1000000 * 4 * n4) // greatest(n3, 1) AS BIGINT)
+             AS r3_star_micro,
+           CAST((1000000 * 5 * n5) // greatest(n4, 1) AS BIGINT)
+             AS r4_star_micro
+    FROM fof ORDER BY lang
+    """,
+    doc="Simple Good-Turing smoothing panel per language: the adjusted "
+    "counts r* = (r+1) N_{r+1} / N_r for r = 1..4 and the Good estimate "
+    "of unseen-event probability mass p0 = N_1/N — the count-count "
+    "machinery under every classical LM smoother (the discounting "
+    "companion to text_kneser_ney_bigram, which fixes the discount "
+    "instead of estimating it). Pure integer ratios of the frequency-"
+    "of-frequencies spectrum, floor-divided (non-negative, no sign "
+    "split); one (lang, word) map-combined rollup then a 5-group "
+    "reduce; no windows, no joins.",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    wc = w.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fof = wc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("c") == r, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{r}")
+            for r in (1, 2, 3, 4, 5)
+        ],
+    )
+    return fof.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("n1").alias("f1"),
+        F.col("n2").alias("f2"),
+        F.expr("CAST((1000000000 * n1) div n AS BIGINT)").alias(
+            "unseen_mass_ppb"
+        ),
+        F.expr(
+            "CAST((1000000 * 2 * n2) div greatest(n1, 1) AS BIGINT)"
+        ).alias("r1_star_micro"),
+        F.expr(
+            "CAST((1000000 * 3 * n3) div greatest(n2, 1) AS BIGINT)"
+        ).alias("r2_star_micro"),
+        F.expr(
+            "CAST((1000000 * 4 * n4) div greatest(n3, 1) AS BIGINT)"
+        ).alias("r3_star_micro"),
+        F.expr(
+            "CAST((1000000 * 5 * n5) div greatest(n4, 1) AS BIGINT)"
+        ).alias("r4_star_micro"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# text_chao1_vocab — nonparametric vocabulary-size estimators per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chao1_vocab",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS dc
+      FROM w GROUP BY 1, 2
+    ),
+    ndoc AS (
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+      FROM documents GROUP BY 1
+    ),
+    s AS (
+      SELECT w.source,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN dc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+             CAST(max(nd.d) AS BIGINT) AS d
+      FROM wc w JOIN ndoc nd ON nd.source = w.source
+      GROUP BY 1
+    )
+    SELECT source, v AS n_types, f1, f2, q1 AS n_single_doc_types,
+           CAST(1000 * v + CASE WHEN f2 > 0
+                THEN (1000 * f1 * f1) // (2 * f2)
+                ELSE (1000 * f1 * (f1 - 1)) // 2 END AS BIGINT)
+             AS chao1_milli,
+           CAST(1000 * v + (1000 * q1 * (d - 1)) // greatest(d, 1)
+                AS BIGINT) AS jackknife1_milli
+    FROM s ORDER BY source
+    """,
+    doc="Nonparametric 'how many word types does this source REALLY have' "
+    "estimators: abundance-based Chao1 = V + f1^2/(2 f2) (bias-corrected "
+    "f1(f1-1)/2 branch when no doubletons) from the token-count "
+    "spectrum, and the first-order jackknife V + Q1 (d-1)/d on DOCUMENT "
+    "incidence (Q1 = types confined to a single document, d = documents "
+    "sampled) — the species-richness view of vocabulary growth that "
+    "text_heaps_law_fit approaches by curve-fitting. Both estimators "
+    "are exact integer ratios, milli-scaled, over one (source, word) "
+    "rollup carrying both a token count and a distinct-doc count; the "
+    "tiny per-source document totals join back broadcast.",
+)
+def text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.countDistinct("doc_id").cast("bigint").alias("dc"),
+    )
+    ndoc = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("d")
+    )
+    s = (
+        wc.join(F.broadcast(ndoc), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("f2"),
+            F.sum(F.when(F.col("dc") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("q1"),
+            F.max("d").cast("bigint").alias("d"),
+        )
+    )
+    return s.select(
+        "source",
+        F.col("v").alias("n_types"),
+        "f1",
+        "f2",
+        F.col("q1").alias("n_single_doc_types"),
+        F.expr(
+            "CAST(1000 * v + CASE WHEN f2 > 0"
+            " THEN (1000 * f1 * f1) div (2 * f2)"
+            " ELSE (1000 * f1 * (f1 - 1)) div 2 END AS BIGINT)"
+        ).alias("chao1_milli"),
+        F.expr(
+            "CAST(1000 * v + (1000 * q1 * (d - 1)) div greatest(d, 1)"
+            " AS BIGINT)"
+        ).alias("jackknife1_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# events_teager_energy — Teager-Kaiser operator energy of daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_teager_energy",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn
+      FROM d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_interior_days,
+           CAST(sum(x * x - xp * xn) AS BIGINT) AS tko_sum,
+           CAST(sum(CASE WHEN x * x - xp * xn > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_positive
+    FROM l WHERE xp IS NOT NULL AND xn IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Teager-Kaiser energy operator summed over each event type's "
+    "observed daily-volume series: TKO_t = x_t^2 - x_{t-1} x_{t+1}, the "
+    "discrete instantaneous-energy tracker that spikes on abrupt "
+    "amplitude or frequency change (an impulse-sensitive complement to "
+    "events_burst_detection's rate thresholds — TKO reacts to a single "
+    "anomalous day that a mean-window burst score smooths away). Pure "
+    "integer lag/lead arithmetic over windows PARTITIONED by type "
+    "(never global); interior days only.",
+)
+def events_teager_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    return (
+        l.filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interior_days"),
+            F.sum(
+                F.col("x") * F.col("x") - F.col("xp") * F.col("xn")
+            )
+            .cast("bigint")
+            .alias("tko_sum"),
+            F.sum(
+                F.when(
+                    F.col("x") * F.col("x") - F.col("xp") * F.col("xn")
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_positive"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_mean_crossing_rate — mean-crossing rate of daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mean_crossing_rate",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    ),
+    l AS (
+      SELECT d.event_type, t.n, t.s,
+             t.n * d.x - t.s AS dev,
+             lag(t.n * d.x - t.s) OVER (PARTITION BY d.event_type
+                                        ORDER BY d.day) AS devp
+      FROM d JOIN t ON t.event_type = d.event_type
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN dev * devp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossings,
+           CAST((1000000 * sum(CASE WHEN dev * devp < 0 THEN 1 ELSE 0 END))
+                // greatest(max(n) - 1, 1) AS BIGINT) AS crossing_rate_ppm
+    FROM l WHERE devp IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Mean-crossing rate of each event type's daily-volume series: the "
+    "fraction of consecutive day pairs whose n-scaled deviations "
+    "n x_t - S straddle zero (strict sign flip) — the coarse dominant-"
+    "frequency / oscillation proxy (white noise crosses ~half the time, "
+    "a trending or strongly autocorrelated series far less; the "
+    "time-domain sibling of events_vmr_windows). The n-scaled deviation "
+    "avoids the rational mean entirely, so the crossing test is an "
+    "exact integer product sign check; per-type totals join back "
+    "broadcast, lag windows are partitioned by type.",
+)
+def events_mean_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    j = d.join(F.broadcast(t), "event_type")
+    w = Window.partitionBy("event_type").orderBy("day")
+    dev = (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    l = j.select("event_type", "n", dev, F.lag(dev).over(w).alias("devp"))
+    return (
+        l.filter(F.col("devp").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.sum(
+                F.when(F.col("dev") * F.col("devp") < 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_crossings"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN dev * devp < 0 THEN 1"
+                " ELSE 0 END)) div greatest(max(n) - 1, 1) AS BIGINT)"
+            ).alias("crossing_rate_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_von_neumann_ratio — successive-difference randomness test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_von_neumann_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+      FROM d
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(x * x) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN xp IS NOT NULL
+                      THEN (x - xp) * (x - xp) ELSE 0 END) AS HUGEINT)
+               AS sd2
+      FROM l GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(sd2 AS BIGINT) AS sq_diff_sum,
+           CAST((1000000 * n * sd2) // greatest(n * s2 - s * s, 1)
+                AS BIGINT) AS von_neumann_ppm
+    FROM agg ORDER BY event_type
+    """,
+    doc="Von Neumann ratio (mean-square successive difference over the "
+    "variance) of daily volumes per event type: VN = sum (x_t - "
+    "x_{t-1})^2 / sum (x_t - xbar)^2 — ~2 for serially independent "
+    "series, << 2 under positive autocorrelation (trend/level shifts), "
+    ">> 2 for alternation: the raw-series ancestor of orders_durbin_"
+    "watson (which tests residuals) and the parametric complement of "
+    "agg_runs_test. Cleared to the exact integer ratio n * SD2 / "
+    "(n sum x^2 - S^2), ppm floor-div; one partitioned lag window, one "
+    "reduce.",
+)
+def events_von_neumann_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select("event_type", "x", F.lag("x").over(w).alias("xp"))
+    agg = l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(
+            F.when(
+                F.col("xp").isNotNull(),
+                (F.col("x") - F.col("xp")) * (F.col("x") - F.col("xp")),
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sd2").cast("bigint").alias("sq_diff_sum"),
+        F.expr(
+            "CAST((1000000 * n * sd2) div greatest(n * s2 - s * s, 1)"
+            " AS BIGINT)"
+        ).alias("von_neumann_ppm"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# events_permutation_entropy — ordinal-pattern complexity of daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_permutation_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT event_type,
+             lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x2,
+             x AS x3
+      FROM d
+    ),
+    pat AS (
+      SELECT event_type,
+             9 * (CASE WHEN x1 < x2 THEN 0 WHEN x1 = x2 THEN 1 ELSE 2 END)
+             + 3 * (CASE WHEN x2 < x3 THEN 0 WHEN x2 = x3 THEN 1 ELSE 2 END)
+             + (CASE WHEN x1 < x3 THEN 0 WHEN x1 = x3 THEN 1 ELSE 2 END)
+               AS pattern
+      FROM tri WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS c
+      FROM pat GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(max(t.n) AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_distinct_patterns,
+           CAST(sum(CAST(floor(1000000.0 * c.c *
+                ln(CAST(t.n AS DOUBLE) / c.c)) AS BIGINT)) AS BIGINT)
+             AS h_nscaled_micro
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Permutation entropy (Bandt-Pompe, order 3, tie-aware) of each "
+    "event type's daily-volume series: classify every 3-day window into "
+    "one of <= 27 ordinal patterns (the three pairwise comparisons, each "
+    "<,=,> — equality gets its own symbol so integer-count ties are "
+    "deterministic, not noise-broken), then Shannon entropy of the "
+    "pattern distribution — the complexity-vs-regularity axis that "
+    "variance-based monitors (events_vmr_windows) cannot see: a strict "
+    "up-trend and white noise have similar VMR but opposite pattern "
+    "entropy. Per the quantized-ln discipline each of the <= 27 bounded "
+    "cells floors 1e6 * c * ln(n/c) to integer micro-nats before the "
+    "exact sum (h_nscaled_micro = n*H); lags are partitioned by type.",
+)
+def events_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    tri = d.select(
+        "event_type",
+        F.lag("x", 2).over(w).alias("x1"),
+        F.lag("x", 1).over(w).alias("x2"),
+        F.col("x").alias("x3"),
+    )
+
+    def cmp3(a: str, b: str) -> F.Column:
+        return (
+            F.when(F.col(a) < F.col(b), 0)
+            .when(F.col(a) == F.col(b), 1)
+            .otherwise(2)
+        )
+
+    pat = tri.filter(
+        F.col("x1").isNotNull() & F.col("x2").isNotNull()
+    ).select(
+        "event_type",
+        (
+            9 * cmp3("x1", "x2") + 3 * cmp3("x2", "x3") + cmp3("x1", "x3")
+        ).alias("pattern"),
+    )
+    cells = pat.groupBy("event_type", "pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_windows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_patterns"),
+            F.sum(
+                F.floor(
+                    1000000.0
+                    * F.col("c")
+                    * F.log(F.col("n").cast("double") / F.col("c"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("h_nscaled_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_western_electric_rules — SPC zone-rule violations, all-integer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_western_electric_rules",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) * sum(x * x)
+               - CAST(sum(x) AS HUGEINT) * sum(x) AS v2
+      FROM d GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             t.n * d.x - t.s AS dev,
+             CASE WHEN (t.n * d.x - t.s) * (t.n * d.x - t.s) > 9 * t.v2
+                  THEN 1 ELSE 0 END AS b3,
+             CASE WHEN (t.n * d.x - t.s) * (t.n * d.x - t.s) > 4 * t.v2
+                  THEN 1 ELSE 0 END AS b2,
+             CASE WHEN (t.n * d.x - t.s) * (t.n * d.x - t.s) > t.v2
+                  THEN 1 ELSE 0 END AS b1
+      FROM d JOIN t ON t.event_type = d.event_type
+    ),
+    f AS (
+      SELECT event_type,
+             b3,
+             count(*) OVER w3 AS c3, count(*) OVER w5 AS c5,
+             count(*) OVER w8 AS c8,
+             sum(CASE WHEN b2 = 1 AND dev > 0 THEN 1 ELSE 0 END) OVER w3
+               AS p2,
+             sum(CASE WHEN b2 = 1 AND dev < 0 THEN 1 ELSE 0 END) OVER w3
+               AS m2,
+             sum(CASE WHEN b1 = 1 AND dev > 0 THEN 1 ELSE 0 END) OVER w5
+               AS p1,
+             sum(CASE WHEN b1 = 1 AND dev < 0 THEN 1 ELSE 0 END) OVER w5
+               AS m1,
+             sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END) OVER w8 AS p0,
+             sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END) OVER w8 AS m0
+      FROM z
+      WINDOW
+        w3 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        w5 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w8 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(b3) AS BIGINT) AS rule1_beyond_3sigma,
+           CAST(sum(CASE WHEN c3 = 3 AND (p2 >= 2 OR m2 >= 2)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule2_2of3_beyond_2s,
+           CAST(sum(CASE WHEN c5 = 5 AND (p1 >= 4 OR m1 >= 4)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule3_4of5_beyond_1s,
+           CAST(sum(CASE WHEN c8 = 8 AND (p0 = 8 OR m0 = 8)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule4_8_same_side
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    doc="Western Electric zone rules over each event type's daily-volume "
+    "control chart, with every sigma comparison cleared to exact "
+    "integers: (n x - S)^2 vs k^2 (n sum x^2 - S^2) replaces |x - xbar| "
+    "vs k sigma, so zone membership never touches a float. Rule 1: "
+    "point beyond 3-sigma; rule 2: 2 of 3 consecutive beyond 2-sigma "
+    "same side; rule 3: 4 of 5 beyond 1-sigma same side; rule 4: 8 "
+    "consecutive on one side — the full classical run-rule battery "
+    "that events_shewhart-style 3-sigma-only charts miss (drift shows "
+    "in rules 2-4 long before a 3-sigma hit; complements orders_"
+    "shewhart_control / orders_ewma_control). Counts flag-days per "
+    "rule; bounded ROWS frames partitioned by type, totals broadcast.",
+)
+def events_western_electric_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+        ).alias("v2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    z = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        dev.alias("dev"),
+        F.when(dev * dev > 9 * F.col("v2"), 1).otherwise(0).alias("b3"),
+        F.when(dev * dev > 4 * F.col("v2"), 1).otherwise(0).alias("b2"),
+        F.when(dev * dev > F.col("v2"), 1).otherwise(0).alias("b1"),
+    )
+    base = Window.partitionBy("event_type").orderBy("day")
+    w3 = base.rowsBetween(-2, 0)
+    w5 = base.rowsBetween(-4, 0)
+    w8 = base.rowsBetween(-7, 0)
+    pos = F.when(F.col("dev") > 0, 1).otherwise(0)
+    neg = F.when(F.col("dev") < 0, 1).otherwise(0)
+    f = z.select(
+        "event_type",
+        "b3",
+        F.count(F.lit(1)).over(w3).alias("c3"),
+        F.count(F.lit(1)).over(w5).alias("c5"),
+        F.count(F.lit(1)).over(w8).alias("c8"),
+        F.sum(F.col("b2") * pos).over(w3).alias("p2"),
+        F.sum(F.col("b2") * neg).over(w3).alias("m2"),
+        F.sum(F.col("b1") * pos).over(w5).alias("p1"),
+        F.sum(F.col("b1") * neg).over(w5).alias("m1"),
+        F.sum(pos).over(w8).alias("p0"),
+        F.sum(neg).over(w8).alias("m0"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("b3").cast("bigint").alias("rule1_beyond_3sigma"),
+            F.sum(
+                F.when(
+                    (F.col("c3") == 3)
+                    & ((F.col("p2") >= 2) | (F.col("m2") >= 2)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rule2_2of3_beyond_2s"),
+            F.sum(
+                F.when(
+                    (F.col("c5") == 5)
+                    & ((F.col("p1") >= 4) | (F.col("m1") >= 4)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rule3_4of5_beyond_1s"),
+            F.sum(
+                F.when(
+                    (F.col("c8") == 8)
+                    & ((F.col("p0") == 8) | (F.col("m0") == 8)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rule4_8_same_side"),
+        )
+        .orderBy("event_type")
+    )

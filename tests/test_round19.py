@@ -1044,3 +1044,137 @@ def test_blomqvist_lower_median_and_beta():
         beta = Fraction((pp + mm) - (pm + mp), tot)
         # equivalently 2*P(concordant quadrant) - 1 among off-median points
         assert beta == 2 * Fraction(pp + mm, tot) - 1
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 batch-2 (text spectrum / events series) pins
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_identities():
+    rng = random.Random(379)
+    for _ in range(50):
+        # frequency-of-frequencies spectrum
+        nr = [rng.randint(1, 200) for _ in range(6)]
+        n = sum((r + 1) * nr[r] for r in range(6))
+        # Good's unseen mass p0 = N1/N; adjusted count r* = (r+1)N_{r+1}/N_r
+        p0 = Fraction(nr[0], n)
+        assert 0 < p0 < 1
+        for r in range(1, 5):
+            r_star = Fraction((r + 1) * nr[r], nr[r - 1])
+            # the micro literal: floor(1e6 * r*) == (1e6*(r+1)*N_{r+1}) // N_r
+            assert (10**6 * (r + 1) * nr[r]) // nr[r - 1] == int(
+                10**6 * r_star
+            )
+
+
+def test_chao1_and_jackknife_identities():
+    rng = random.Random(383)
+    for _ in range(50):
+        v = rng.randint(10, 500)
+        f1 = rng.randint(0, v)
+        f2 = rng.randint(0, v - f1)
+        d = rng.randint(2, 40)
+        q1 = rng.randint(0, v)
+        if f2 > 0:
+            chao1 = v + Fraction(f1 * f1, 2 * f2)
+            assert 1000 * v + (1000 * f1 * f1) // (2 * f2) == int(
+                1000 * chao1
+            )
+        else:
+            chao1 = v + Fraction(f1 * (f1 - 1), 2)
+            assert 1000 * v + (1000 * f1 * (f1 - 1)) // 2 == int(
+                1000 * chao1
+            )
+        assert chao1 >= v  # estimator never shrinks the observed richness
+        jk1 = v + Fraction(q1 * (d - 1), d)
+        assert 1000 * v + (1000 * q1 * (d - 1)) // d == int(1000 * jk1)
+
+
+def test_teager_kaiser_linear_and_sine_identities():
+    # on a linear ramp x_t = a t + b the TKO is exactly a^2 everywhere
+    rng = random.Random(389)
+    for _ in range(40):
+        a, b = rng.randint(-9, 9), rng.randint(-50, 50)
+        xs = [a * t + b for t in range(12)]
+        for t in range(1, 11):
+            assert xs[t] * xs[t] - xs[t - 1] * xs[t + 1] == a * a
+    # on a geometric series x_t = r^t the TKO is exactly 0
+    for r in (2, 3, 5):
+        xs = [r**t for t in range(10)]
+        for t in range(1, 9):
+            assert xs[t] * xs[t] - xs[t - 1] * xs[t + 1] == 0
+
+
+def test_mean_crossing_nscaled_sign():
+    rng = random.Random(397)
+    for _ in range(60):
+        xs = [rng.randint(0, 30) for _ in range(rng.randint(3, 40))]
+        n, s = len(xs), sum(xs)
+        mean = Fraction(s, n)
+        crossings_float = sum(
+            1
+            for i in range(1, n)
+            if (xs[i] - mean) * (xs[i - 1] - mean) < 0
+        )
+        crossings_int = sum(
+            1
+            for i in range(1, n)
+            if (n * xs[i] - s) * (n * xs[i - 1] - s) < 0
+        )
+        assert crossings_int == crossings_float
+
+
+def test_von_neumann_cleared_denominator():
+    rng = random.Random(401)
+    for _ in range(50):
+        xs = [rng.randint(0, 50) for _ in range(rng.randint(4, 40))]
+        n, s = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        if n * s2 - s * s == 0:
+            continue
+        sd2 = sum((xs[i] - xs[i - 1]) ** 2 for i in range(1, n))
+        mean = Fraction(s, n)
+        vn_ref = Fraction(sd2) / sum((x - mean) ** 2 for x in xs)
+        assert Fraction(n * sd2, n * s2 - s * s) == vn_ref
+
+
+def test_ordinal_pattern_encoding_and_entropy_quantization():
+    import itertools
+
+    # distinct triples -> the 6 strict orderings get 6 distinct codes
+    codes = set()
+    for perm in itertools.permutations((1, 2, 3)):
+        x1, x2, x3 = perm
+        c = lambda a, b: 0 if a < b else (1 if a == b else 2)
+        codes.add(9 * c(x1, x2) + 3 * c(x2, x3) + c(x1, x3))
+    assert len(codes) == 6
+    # tie patterns are distinct from all strict ones
+    c = lambda a, b: 0 if a < b else (1 if a == b else 2)
+    tie = 9 * c(1, 1) + 3 * c(1, 2) + c(1, 2)
+    assert tie not in codes
+    # quantized n-scaled entropy: each cell floors, so the integer sum is
+    # within n_cells of the true 1e6 * n * H
+    rng = random.Random(409)
+    for _ in range(40):
+        cells = [rng.randint(1, 100) for _ in range(rng.randint(2, 27))]
+        n = sum(cells)
+        true = sum(10**6 * ci * math.log(n / ci) for ci in cells)
+        quant = sum(math.floor(10**6 * ci * math.log(n / ci)) for ci in cells)
+        assert 0 <= true - quant <= len(cells)
+
+
+def test_western_electric_cleared_sigma_zones():
+    rng = random.Random(419)
+    for _ in range(60):
+        xs = [rng.randint(0, 40) for _ in range(rng.randint(5, 30))]
+        n, s = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        v2 = n * s2 - s * s
+        mean = Fraction(s, n)
+        var_pop = Fraction(v2, n * n)
+        for x in xs:
+            for k in (1, 2, 3):
+                beyond_ref = (x - mean) ** 2 > k * k * var_pop
+                beyond_int = (n * x - s) ** 2 > k * k * v2
+                assert beyond_int == beyond_ref
