@@ -3021,3 +3021,613 @@ def events_western_electric_rules(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_tukey_quick_test — Tukey's pocket test (exceedance counts) on values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_tukey_quick_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
+    ),
+    ext AS (
+      SELECT CAST(max(CASE WHEN is_a = 1 THEN v END) AS BIGINT) AS max_a,
+             CAST(min(CASE WHEN is_a = 1 THEN v END) AS BIGINT) AS min_a,
+             CAST(max(CASE WHEN is_a = 0 THEN v END) AS BIGINT) AS max_b,
+             CAST(min(CASE WHEN is_a = 0 THEN v END) AS BIGINT) AS min_b
+      FROM s
+    ),
+    t AS (
+      SELECT
+        CAST(sum(CASE WHEN is_a = 1 AND v > e.max_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_above_b,
+        CAST(sum(CASE WHEN is_a = 0 AND v < e.min_a THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_below_a,
+        CAST(sum(CASE WHEN is_a = 0 AND v > e.max_a THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_above_a,
+        CAST(sum(CASE WHEN is_a = 1 AND v < e.min_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_below_b,
+        CAST(max(CASE WHEN e.max_a > e.max_b AND e.min_a > e.min_b
+                 THEN 1 WHEN e.max_b > e.max_a AND e.min_b > e.min_a
+                 THEN -1 ELSE 0 END) AS BIGINT) AS direction
+      FROM s, ext e
+    )
+    SELECT direction,
+           CAST(CASE direction WHEN 1 THEN a_above_b + b_below_a
+                WHEN -1 THEN b_above_a + a_below_b ELSE 0 END AS BIGINT)
+             AS t_statistic,
+           CAST(CASE WHEN direction <> 0 AND (CASE direction
+                WHEN 1 THEN a_above_b + b_below_a
+                ELSE b_above_a + a_below_b END) >= 7
+                THEN 1 ELSE 0 END AS BIGINT) AS sig_05,
+           CAST(CASE WHEN direction <> 0 AND (CASE direction
+                WHEN 1 THEN a_above_b + b_below_a
+                ELSE b_above_a + a_below_b END) >= 10
+                THEN 1 ELSE 0 END AS BIGINT) AS sig_01,
+           CAST(CASE WHEN direction <> 0 AND (CASE direction
+                WHEN 1 THEN a_above_b + b_below_a
+                ELSE b_above_a + a_below_b END) >= 13
+                THEN 1 ELSE 0 END AS BIGINT) AS sig_001
+    FROM t
+    """,
+    doc="Tukey's quick (pocket/Duckworth) test comparing purchase vs "
+    "click cent-values: T = (# of the higher-extreme sample strictly "
+    "above the other's maximum) + (# of the lower sample strictly below "
+    "the other's minimum), valid only when one sample holds the high "
+    "extreme and the other the low (direction 0 = one sample spans the "
+    "other, T undefined by convention). The folk thresholds 7 / 10 / 13 "
+    "(~alpha .05/.01/.001, near-independent of n) are emitted as flags — "
+    "the no-tables sanity check beside agg_mann_whitney's full rank "
+    "test. Two passes of pure integer count/extremes; the 1-row "
+    "extremes cross-join back broadcast (allowlisted).",
+)
+def agg_tukey_quick_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    ext = s.agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("v"))).alias("max_a"),
+        F.min(F.when(F.col("is_a") == 1, F.col("v"))).alias("min_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("v"))).alias("max_b"),
+        F.min(F.when(F.col("is_a") == 0, F.col("v"))).alias("min_b"),
+    )
+    t = s.crossJoin(F.broadcast(ext)).agg(
+        F.sum(
+            F.when((F.col("is_a") == 1) & (F.col("v") > F.col("max_b")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("a_above_b"),
+        F.sum(
+            F.when((F.col("is_a") == 0) & (F.col("v") < F.col("min_a")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b_below_a"),
+        F.sum(
+            F.when((F.col("is_a") == 0) & (F.col("v") > F.col("max_a")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b_above_a"),
+        F.sum(
+            F.when((F.col("is_a") == 1) & (F.col("v") < F.col("min_b")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("a_below_b"),
+        F.max(
+            F.when(
+                (F.col("max_a") > F.col("max_b"))
+                & (F.col("min_a") > F.col("min_b")),
+                1,
+            )
+            .when(
+                (F.col("max_b") > F.col("max_a"))
+                & (F.col("min_b") > F.col("min_a")),
+                -1,
+            )
+            .otherwise(0)
+        ).cast("bigint").alias("direction"),
+    )
+    tstat = (
+        F.when(
+            F.col("direction") == 1, F.col("a_above_b") + F.col("b_below_a")
+        )
+        .when(
+            F.col("direction") == -1,
+            F.col("b_above_a") + F.col("a_below_b"),
+        )
+        .otherwise(0)
+    )
+    return t.select(
+        "direction",
+        tstat.cast("bigint").alias("t_statistic"),
+        F.when((F.col("direction") != 0) & (tstat >= 7), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sig_05"),
+        F.when((F.col("direction") != 0) & (tstat >= 10), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sig_01"),
+        F.when((F.col("direction") != 0) & (tstat >= 13), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sig_001"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_fligner_policello — robust rank-order test via doubled placements
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_fligner_policello",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT v, CAST(sum(is_a) AS HUGEINT) AS ca,
+             CAST(count(*) - sum(is_a) AS HUGEINT) AS cb
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT ca, cb,
+             2 * sum(cb) OVER (ORDER BY v) - cb AS pa2,
+             2 * sum(ca) OVER (ORDER BY v) - ca AS qb2
+      FROM g
+    ),
+    m AS (
+      SELECT CAST(sum(ca) AS HUGEINT) AS m,
+             CAST(sum(cb) AS HUGEINT) AS n,
+             CAST(sum(ca * pa2) AS HUGEINT) AS sp,
+             CAST(sum(cb * qb2) AS HUGEINT) AS sq,
+             CAST(sum(ca * pa2 * pa2) AS HUGEINT) AS sp2,
+             CAST(sum(cb * qb2 * qb2) AS HUGEINT) AS sq2
+      FROM c
+    )
+    SELECT CAST(m AS BIGINT) AS n_purchase, CAST(n AS BIGINT) AS n_click,
+           CAST(sp AS BIGINT) AS placements2_sum,
+           CAST(CASE WHEN sp >= sq THEN 1 ELSE -1 END AS BIGINT) AS u_sign,
+           CAST((1000000 * m * n * (sp - sq) * (sp - sq))
+                // greatest(4 * (n * (m * sp2 - sp * sp)
+                                 + m * (n * sq2 - sq * sq)
+                                 + sp * sq), 1) AS BIGINT)
+             AS u2_micro
+    FROM m
+    """,
+    doc="Fligner-Policello robust rank-order test (purchase vs click "
+    "cent-values): unlike Mann-Whitney it does NOT assume equal shapes — "
+    "U = (sum P_i - sum Q_j) / (2 sqrt(V_P + V_Q + Pbar Qbar)) built "
+    "from placements P_i = #{y < x_i} (+1/2 per tie). DOUBLED placements "
+    "over the bounded cent-value grid stay exact integers (pa2 = "
+    "2 cum_b - cb at each value), and U^2 clears to ONE integer ratio: "
+    "m n (SP - SQ)^2 / (4 [n (m SP2 - SP^2) + m (n SQ2 - SQ^2) + "
+    "SP SQ]) — emitted sign-split in micro units. One grid "
+    "cumulation (bounded window, allowlisted like agg_mann_whitney's), "
+    "one reduce.",
+)
+def agg_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is_a").cast("decimal(38,0)").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("is_a"))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v")
+    c = g.select(
+        "ca",
+        "cb",
+        (2 * F.sum("cb").over(w) - F.col("cb")).alias("pa2"),
+        (2 * F.sum("ca").over(w) - F.col("ca")).alias("qb2"),
+    )
+    m = c.agg(
+        F.sum("ca").alias("m"),
+        F.sum("cb").alias("n"),
+        F.sum(F.col("ca") * F.col("pa2")).alias("sp"),
+        F.sum(F.col("cb") * F.col("qb2")).alias("sq"),
+        F.sum(F.col("ca") * F.col("pa2") * F.col("pa2")).alias("sp2"),
+        F.sum(F.col("cb") * F.col("qb2") * F.col("qb2")).alias("sq2"),
+    )
+    return m.select(
+        F.col("m").cast("bigint").alias("n_purchase"),
+        F.col("n").cast("bigint").alias("n_click"),
+        F.col("sp").cast("bigint").alias("placements2_sum"),
+        F.expr(
+            "CAST(CASE WHEN sp >= sq THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("u_sign"),
+        F.expr(
+            "CAST((1000000 * m * n * (sp - sq) * (sp - sq))"
+            " div greatest(4 * (n * (m * sp2 - sp * sp)"
+            " + m * (n * sq2 - sq * sq) + sp * sq), 1) AS BIGINT)"
+        ).alias("u2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_pearson_median_skewness — Pearson's second skewness, cleared
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pearson_median_skewness",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+             CAST(count(*) AS HUGEINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt * v) AS HUGEINT) AS s,
+             CAST(sum(cnt * v * v) AS HUGEINT) AS s2
+      FROM g
+    ),
+    med AS (
+      SELECT min(v) AS med FROM (
+        SELECT v, 2 * sum(cnt) OVER (ORDER BY v) AS cum2, t.n
+        FROM g, tot t
+      ) WHERE cum2 >= n
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_lines,
+           CAST(m.med AS BIGINT) AS median_qty,
+           CAST(CASE WHEN t.s - t.n * m.med >= 0 THEN 1 ELSE -1 END
+                AS BIGINT) AS skew_sign,
+           CAST((9000000 * (t.s - t.n * m.med) * (t.s - t.n * m.med))
+                // greatest(t.n * t.s2 - t.s * t.s, 1) AS BIGINT)
+             AS skew2_ppm
+    FROM tot t, med m
+    """,
+    doc="Pearson's second (median) skewness of rounded quantities: "
+    "skew = 3 (mean - median) / sigma — the robust-location skewness "
+    "that agg_jarque_bera's third moment amplifies and agg_bowley_moors' "
+    "quartile form coarsens. Squared and cleared to one exact integer "
+    "ratio: skew^2 = 9 (S - n med)^2 / (n sum v^2 - S^2) (population "
+    "sigma; the n^2 denominators cancel), sign from S - n med. The "
+    "lower median comes off the bounded ~50-value census grid "
+    "(2 cum >= n), windows bounded, totals broadcast; ppm sign-split.",
+)
+def agg_pearson_median_skewness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    tot = g.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("v")).alias("s"),
+        F.sum(F.col("cnt") * F.col("v") * F.col("v")).alias("s2"),
+    )
+    w = Window.orderBy("v")
+    cum = g.crossJoin(F.broadcast(tot)).select(
+        "v", (2 * F.sum("cnt").over(w)).alias("cum2"), "n"
+    )
+    med = cum.filter(F.col("cum2") >= F.col("n")).agg(
+        F.min("v").alias("med")
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("med").cast("bigint").alias("median_qty"),
+        F.expr(
+            "CAST(CASE WHEN s - n * med >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("skew_sign"),
+        F.expr(
+            "CAST((9000000 * (s - n * med) * (s - n * med))"
+            " div greatest(n * s2 - s * s, 1) AS BIGINT)"
+        ).alias("skew2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_watson_u2_uniform — rotation-invariant (centered) uniformity statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_watson_u2_uniform",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY d
+    ),
+    cum AS (
+      SELECT d,
+             CAST(sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS HUGEINT) AS cumc,
+             CAST(sum(c) OVER () AS HUGEINT) AS n
+      FROM cells
+    ),
+    dev AS (
+      SELECT n, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(11 * cumc - (d + 1) * n) AS HUGEINT) AS sd,
+             CAST(sum((11 * cumc - (d + 1) * n)
+                      * (11 * cumc - (d + 1) * n)) AS HUGEINT) AS sd2
+      FROM cum GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines, CAST(k AS BIGINT) AS n_cells,
+           CAST(sd AS BIGINT) AS dev_sum,
+           CAST((1000000 * (k * sd2 - sd * sd))
+                // greatest(k * k * 121 * n * n, 1) AS BIGINT)
+             AS watson_u2_ppm
+    FROM dev
+    """,
+    doc="Watson-type centered U^2 uniformity statistic of the discount "
+    "distribution on its 11-cell tenths lattice: with e_j = F_n(j) - "
+    "F_unif(j), U^2 = mean_j (e_j - ebar)^2 — CENTERING the deviations "
+    "is Watson's rotation trick, making the statistic invariant to a "
+    "common shift of all deviations (an origin/phase change), where the "
+    "sup-based agg_ks_uniform_gof (same grid, same scaled integers "
+    "d_j = 11 cum_j - (j+1) n) is origin-sensitive. Cleared to one "
+    "exact integer ratio (k sum d^2 - (sum d)^2) / (k^2 121 n^2), ppm "
+    "floor-div (numerator >= 0 by Cauchy-Schwarz, no sign split); one "
+    "11-cell rollup + bounded grid window.",
+)
+def agg_watson_u2_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "d",
+        F.sum("c").over(w).cast("decimal(38,0)").alias("cumc"),
+        F.sum("c").over(wall).cast("decimal(38,0)").alias("n"),
+    )
+    dnum = 11 * F.col("cumc") - (F.col("d") + 1) * F.col("n")
+    dev = cum.groupBy("n").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum(dnum).alias("sd"),
+        F.sum(dnum * dnum).alias("sd2"),
+    )
+    return dev.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("k").cast("bigint").alias("n_cells"),
+        F.col("sd").cast("bigint").alias("dev_sum"),
+        F.expr(
+            "CAST((1000000 * (k * sd2 - sd * sd))"
+            " div greatest(k * k * 121 * n * n, 1) AS BIGINT)"
+        ).alias("watson_u2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_james_stein_shrinkage — positive-part JS estimator of nation means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_james_stein_shrinkage",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS HUGEINT) AS ni,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT)
+               AS si,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                      * CAST(round(c_acctbal * 100) AS HUGEINT))
+                  AS HUGEINT) AS s2i
+      FROM customer GROUP BY 1 HAVING count(*) >= 2
+    ),
+    q AS (
+      SELECT c_nationkey, ni,
+             CASE WHEN si >= 0 THEN (1000000 * si) // ni
+                  ELSE -((1000000 * (-si)) // ni) END AS gm,
+             (ni * s2i - si * si) // (ni * ni * (ni - 1)) AS vi
+      FROM g
+    ),
+    tots AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(ni) AS HUGEINT) AS ntot,
+             CAST(sum(vi) AS HUGEINT) AS vsum,
+             CASE WHEN sum(gm * ni) >= 0
+                  THEN sum(gm * ni) // sum(ni)
+                  ELSE -((-sum(gm * ni)) // sum(ni)) END AS gg
+      FROM q
+    ),
+    ss AS (
+      SELECT t.k, t.gg, (t.vsum // t.k) * CAST(1000000000000 AS HUGEINT)
+               AS vbar,
+             CAST(sum((q.gm - t.gg) * (q.gm - t.gg)) AS HUGEINT) AS ss
+      FROM q, tots t GROUP BY 1, 2, 3
+    )
+    SELECT q.c_nationkey AS nationkey, CAST(q.ni AS BIGINT) AS n_customers,
+           CAST(q.gm AS BIGINT) AS mean_microcents,
+           CAST(s.gg + CASE WHEN q.gm >= s.gg
+                THEN (greatest(s.ss - (s.k - 3) * s.vbar, 0)
+                      * (q.gm - s.gg)) // greatest(s.ss, 1)
+                ELSE -((greatest(s.ss - (s.k - 3) * s.vbar, 0)
+                        * (s.gg - q.gm)) // greatest(s.ss, 1)) END
+                AS BIGINT) AS js_shrunk_microcents
+    FROM q, ss s ORDER BY nationkey
+    """,
+    doc="Positive-part James-Stein shrinkage of per-nation mean account "
+    "balances toward the weighted grand mean: shrunk_i = gg + max(1 - "
+    "(k-3) vbar / SS, 0) (gm_i - gg) — the empirical-Bayes estimator "
+    "that dominates per-group means when k > 3 (the partial-pooling "
+    "step a curation pipeline applies before ranking small groups; "
+    "complements agg_wilson_ci's per-group uncertainty). Group means, "
+    "their sampling variances (s_i^2/n_i) and the grand mean are "
+    "FLOOR-QUANTIZED once (means to micro-cents, variances to "
+    "cents^2, rescaled exactly; sign-split divs, "
+    "documented determinism seam), then the shrinkage factor and the "
+    "shrunk means are exact integer arithmetic over those quantized "
+    "values on both engines. One customer rollup to 25 nation rows; "
+    "scalars broadcast back (allowlisted).",
+)
+def agg_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("ni"),
+            F.sum(cents).cast("decimal(38,0)").alias("si"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("s2i"),
+        )
+        .filter(F.col("ni") >= 2)
+    )
+    q = g.select(
+        "c_nationkey",
+        "ni",
+        F.expr(
+            "CASE WHEN si >= 0 THEN (1000000 * si) div ni"
+            " ELSE -((1000000 * (-si)) div ni) END"
+        ).alias("gm"),
+        F.expr(
+            "(ni * s2i - si * si) div (ni * ni * (ni - 1))"
+        ).alias("vi"),
+    )
+    tots = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("ni").alias("ntot"),
+        F.sum("vi").alias("vsum"),
+        F.expr(
+            "CASE WHEN sum(gm * ni) >= 0"
+            " THEN sum(gm * ni) div sum(ni)"
+            " ELSE -((-sum(gm * ni)) div sum(ni)) END"
+        ).alias("gg"),
+    )
+    ss = q.crossJoin(F.broadcast(tots)).groupBy(
+        "k",
+        "gg",
+        F.expr(
+            "(vsum div k) * CAST(1000000000000 AS DECIMAL(38,0))"
+        ).alias("vbar"),
+    ).agg(
+        F.sum(
+            (F.col("gm") - F.col("gg")).cast("decimal(38,0)")
+            * (F.col("gm") - F.col("gg"))
+        ).alias("ss")
+    )
+    return (
+        q.crossJoin(F.broadcast(ss))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("ni").cast("bigint").alias("n_customers"),
+            F.col("gm").cast("bigint").alias("mean_microcents"),
+            F.expr(
+                "CAST(gg + CASE WHEN gm >= gg"
+                " THEN (greatest(ss - (k - 3) * vbar, 0)"
+                "       * (gm - gg)) div greatest(ss, 1)"
+                " ELSE -((greatest(ss - (k - 3) * vbar, 0)"
+                "         * (gg - gm)) div greatest(ss, 1)) END"
+                " AS BIGINT)"
+            ).alias("js_shrunk_microcents"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_hampel_outliers — rolling median/MAD outlier filter, all-integer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hampel_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT event_type, x,
+             list_sort(array_agg(x) OVER w7) AS arr,
+             count(*) OVER w7 AS c7
+      FROM d
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    m AS (
+      SELECT event_type, x, arr[4] AS med,
+             list_sort(list_transform(arr, v -> abs(v - arr[4])))[4] AS mad
+      FROM a WHERE c7 = 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_full_windows,
+           CAST(sum(CASE WHEN 10000 * abs(x - med) > 44478 * mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN 10000 * abs(x - med) > 44478 * mad
+                    THEN x ELSE 0 END) AS BIGINT) AS flagged_volume
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    doc="Hampel filter over each event type's daily volumes: flag day t "
+    "when |x_t - med_7(t)| > 3 * 1.4826 * MAD_7(t), with the median and "
+    "MAD of the centered 7-day window taken EXACTLY (7 sorted integers, "
+    "element 4) and the Gaussian-consistency threshold cleared to the "
+    "integer cross-multiplication 10^4 |x - med| > 44478 MAD — the "
+    "robust pointwise outlier detector that agg_mad_outliers applies "
+    "globally and events_daily_anomaly approximates parametrically; "
+    "rolling makes it trend-proof. Bounded 7-row frames partitioned by "
+    "type (full windows only); no floats anywhere.",
+)
+def events_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    a = d.select(
+        "event_type",
+        "x",
+        F.sort_array(F.collect_list("x").over(w7)).alias("arr"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    m = a.filter(F.col("c7") == 7).select(
+        "event_type",
+        "x",
+        F.col("arr").getItem(3).alias("med"),
+        F.sort_array(
+            F.transform(
+                "arr", lambda v: F.abs(v - F.col("arr").getItem(3))
+            )
+        )
+        .getItem(3)
+        .alias("mad"),
+    )
+    flag = 10000 * F.abs(F.col("x") - F.col("med")) > 44478 * F.col("mad")
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_full_windows"),
+            F.sum(F.when(flag, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.when(flag, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_volume"),
+        )
+        .orderBy("event_type")
+    )

@@ -345,6 +345,9 @@ _ALLOWED_NESTED_LOOP = {
     "agg_weighted_kappa",         # bounded 4x4 margin pair NLJ + 1-row crossJoin
     "agg_geary_ratio",            # 1-row moment scalars broadcast crossJoin
     "agg_blomqvist_beta",         # two 1-row median scalars broadcast crossJoins
+    "agg_tukey_quick_test",       # 1-row extremes scalars broadcast crossJoin
+    "agg_pearson_median_skewness",  # 1-row totals + 1-row median broadcast crossJoins
+    "agg_james_stein_shrinkage",  # 1-row pooled scalars broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -564,6 +567,12 @@ _GLOBAL_WINDOWS = {
     "agg_blomqvist_beta": (4, "bounded: 50-value and 11-value grids, "
                               "each carrying a cumulative + a total "
                               "window for the lower median"),
+    "agg_fligner_policello": (1, "bounded: distinct-value groups (the "
+                                 "agg_mann_whitney cent grid)"),
+    "agg_watson_u2_uniform": (2, "bounded: 11-cell discount-grid prefix "
+                                 "+ total"),
+    "agg_pearson_median_skewness": (1, "bounded: ~50-value quantity-grid "
+                                       "census cumulative"),
 }
 
 

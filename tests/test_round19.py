@@ -1178,3 +1178,143 @@ def test_western_electric_cleared_sigma_zones():
                 beyond_ref = (x - mean) ** 2 > k * k * var_pop
                 beyond_int = (n * x - s) ** 2 > k * k * v2
                 assert beyond_int == beyond_ref
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 batch-2 (robust tests / shrinkage / SPC) pins
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_quick_counting_convention():
+    rng = random.Random(421)
+    for _ in range(80):
+        a = [rng.randint(0, 60) for _ in range(rng.randint(3, 25))]
+        b = [rng.randint(0, 60) for _ in range(rng.randint(3, 25))]
+        if max(a) > max(b) and min(a) > min(b):
+            direction, t = 1, (
+                sum(1 for x in a if x > max(b))
+                + sum(1 for y in b if y < min(a))
+            )
+        elif max(b) > max(a) and min(b) > min(a):
+            direction, t = -1, (
+                sum(1 for y in b if y > max(a))
+                + sum(1 for x in a if x < min(b))
+            )
+        else:
+            direction, t = 0, 0
+        # the operator's branch structure reproduces exactly this
+        if direction == 0:
+            assert t == 0
+        else:
+            assert t >= 2  # at least the two extreme points themselves
+        assert (t >= 7) <= (t >= 2)  # thresholds only reachable via t
+
+
+def test_fligner_policello_cleared_identity():
+    rng = random.Random(431)
+    for _ in range(60):
+        xs = [rng.randint(1, 12) for _ in range(rng.randint(4, 20))]
+        ys = [rng.randint(1, 12) for _ in range(rng.randint(4, 20))]
+        m, n = len(xs), len(ys)
+        # textbook placements with half-ties
+        P = [sum(1 for y in ys if y < x)
+             + Fraction(1, 2) * sum(1 for y in ys if y == x) for x in xs]
+        Q = [sum(1 for x in xs if x < y)
+             + Fraction(1, 2) * sum(1 for x in xs if x == y) for y in ys]
+        pbar = sum(P) / m
+        qbar = sum(Q) / n
+        vp = sum((p - pbar) ** 2 for p in P)
+        vq = sum((q - qbar) ** 2 for q in Q)
+        denom = vp + vq + pbar * qbar
+        if denom == 0:
+            continue
+        u2_ref = (sum(P) - sum(Q)) ** 2 / (4 * denom)
+        # the operator's doubled-placement integers
+        sp = sum(int(2 * p) for p in P)
+        sq = sum(int(2 * q) for q in Q)
+        sp2 = sum(int(2 * p) ** 2 for p in P)
+        sq2 = sum(int(2 * q) ** 2 for q in Q)
+        u2_int = Fraction(
+            m * n * (sp - sq) ** 2,
+            4 * (n * (m * sp2 - sp * sp) + m * (n * sq2 - sq * sq)
+                 + sp * sq),
+        )
+        assert u2_int == u2_ref
+        # and the doubled grid placements really are integers
+        assert all(2 * p == int(2 * p) for p in P)
+
+
+def test_pearson_median_skewness_cleared():
+    rng = random.Random(433)
+    for _ in range(60):
+        xs = [rng.randint(1, 50) for _ in range(rng.randint(5, 50))]
+        n, s = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        if n * s2 - s * s == 0:
+            continue
+        med = sorted(xs)[(n - 1) // 2]
+        mean = Fraction(s, n)
+        var_pop = Fraction(n * s2 - s * s, n * n)
+        skew2_ref = 9 * (mean - med) ** 2 / var_pop
+        assert Fraction(9 * (s - n * med) ** 2, n * s2 - s * s) == skew2_ref
+
+
+def test_watson_u2_centering_and_shift_invariance():
+    rng = random.Random(439)
+    for _ in range(60):
+        k = rng.randint(2, 11)
+        d = [rng.randint(-500, 500) for _ in range(k)]
+        dbar = Fraction(sum(d), k)
+        ref = sum((di - dbar) ** 2 for di in d)
+        cleared = Fraction(k * sum(x * x for x in d) - sum(d) ** 2, k)
+        assert cleared == ref
+        # Watson's rotation property: a common shift leaves U^2 unchanged
+        c = rng.randint(-100, 100)
+        shifted = [di + c for di in d]
+        assert (
+            k * sum(x * x for x in shifted) - sum(shifted) ** 2
+            == k * sum(x * x for x in d) - sum(d) ** 2
+        )
+
+
+def test_james_stein_positive_part_contraction():
+    rng = random.Random(443)
+    for _ in range(60):
+        k = rng.randint(4, 25)
+        gms = [rng.randint(-10**6, 10**6) for _ in range(k)]
+        nis = [rng.randint(2, 50) for _ in range(k)]
+        vbar = rng.randint(0, 10**10)
+        gg = sum(g * n for g, n in zip(gms, nis)) // sum(nis)
+        ss = sum((g - gg) ** 2 for g in gms)
+        fac_num = max(ss - (k - 3) * vbar, 0)
+        for gm in gms:
+            if gm >= gg:
+                shrunk = gg + (fac_num * (gm - gg)) // max(ss, 1)
+            else:
+                shrunk = gg - (fac_num * (gg - gm)) // max(ss, 1)
+            # positive-part JS contracts toward gg and never overshoots
+            assert min(gm, gg) <= shrunk <= max(gm, gg)
+            if fac_num == 0:
+                assert shrunk == gg
+        # unclamped factor matches the textbook 1 - (k-3) vbar / SS
+        if ss > 0 and ss - (k - 3) * vbar >= 0:
+            c = 1 - Fraction((k - 3) * vbar, ss)
+            assert Fraction(fac_num, ss) == c
+
+
+def test_hampel_threshold_and_window_median():
+    import statistics
+
+    rng = random.Random(449)
+    # 3 * 1.4826 scaled by 1e4 is exactly the 44478 literal
+    assert round(3 * 1.4826 * 10000) == 44478
+    for _ in range(80):
+        win = [rng.randint(0, 100) for _ in range(7)]
+        med = sorted(win)[3]
+        assert med == statistics.median(win)
+        mad = sorted(abs(v - med) for v in win)[3]
+        assert mad == statistics.median([abs(v - med) for v in win])
+        x = rng.randint(0, 100)
+        flag_int = 10000 * abs(x - med) > 44478 * mad
+        flag_frac = abs(x - med) > Fraction(44478, 10000) * mad
+        assert flag_int == flag_frac
