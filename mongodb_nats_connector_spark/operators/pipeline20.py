@@ -3631,3 +3631,848 @@ def events_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_rosenbluth_index — rank-weighted concentration of nation revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rosenbluth_index",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v DESC, nation) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(v) AS HUGEINT) AS t,
+             CAST(sum(i * v) AS HUGEINT) AS iv
+      FROM r
+    )
+    SELECT k AS n_nations,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST((1000000 * t) // greatest(2 * iv - t, 1) AS BIGINT)
+             AS rosenbluth_ppm
+    FROM s
+    """,
+    doc="Rosenbluth (Hall-Tideman) concentration index of order revenue "
+    "across customer nations: HTI = 1 / (2 sum_i i s_i - 1) with shares "
+    "ranked descending — rank-weighting makes it sensitive to the "
+    "TAIL of small players, where the share-squared HHI "
+    "(orders_gini_hhi) is dominated by the head. Cleared to the exact "
+    "integer ratio T / (2 sum i v_i - T) over revenue cents (the share "
+    "denominators cancel), ppm floor-div; rank ties broken by nation "
+    "key for determinism. One fact join + 25-row bounded rank window "
+    "(allowlisted).",
+)
+def orders_rosenbluth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("nation"))
+    r = rev.select("v", F.row_number().over(w).alias("i"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("v").alias("t"),
+        F.sum(F.col("i") * F.col("v")).alias("iv"),
+    )
+    return s.select(
+        F.col("k").alias("n_nations"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((1000000 * t) div greatest(2 * iv - t, 1) AS BIGINT)"
+        ).alias("rosenbluth_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_pinball_loss — quantile (pinball) loss of the seasonal-naive
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_pinball_loss",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT y, lag(y, 12) OVER (ORDER BY mo) AS f
+      FROM m
+    ),
+    p AS (
+      SELECT y, f,
+             CASE WHEN y >= f THEN y - f ELSE 0 END AS over_,
+             CASE WHEN y < f THEN f - y ELSE 0 END AS under_
+      FROM l WHERE f IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(1 * over_ + 9 * under_) AS BIGINT) AS q10_loss_x10,
+           CAST(sum(5 * over_ + 5 * under_) AS BIGINT) AS q50_loss_x10,
+           CAST(sum(9 * over_ + 1 * under_) AS BIGINT) AS q90_loss_x10,
+           CAST(sum(1 * over_ + 9 * under_) // count(*) AS BIGINT)
+             AS q10_avg_x10,
+           CAST(sum(9 * over_ + 1 * under_) // count(*) AS BIGINT)
+             AS q90_avg_x10
+    FROM p
+    """,
+    doc="Pinball (quantile) loss of the seasonal-naive forecast of "
+    "monthly revenue at tau = 0.1/0.5/0.9: L_tau = tau (y - f)+ + "
+    "(1 - tau) (f - y)+ — the scoring rule that elicits QUANTILE "
+    "forecasts, the asymmetric companion to orders_mape_backtest / "
+    "orders_mase_seasonal_naive (which score the median only); the "
+    "0.1/0.9 pair prices under- vs over-forecasting differently, the "
+    "newsvendor connection (orders_newsvendor_fractile) made "
+    "operational. With tau in tenths the losses are exact cent "
+    "integers scaled x10. One monthly rollup + bounded ~80-month "
+    "lag-12 window (allowlisted); tau = 0.5 twice equals the absolute "
+    "error, pinned in tests.",
+)
+def orders_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    w = Window.orderBy("mo")
+    l = m.select("y", F.lag("y", 12).over(w).alias("f"))
+    p = l.filter(F.col("f").isNotNull()).select(
+        F.when(F.col("y") >= F.col("f"), F.col("y") - F.col("f"))
+        .otherwise(0)
+        .alias("over_"),
+        F.when(F.col("y") < F.col("f"), F.col("f") - F.col("y"))
+        .otherwise(0)
+        .alias("under_"),
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(1 * F.col("over_") + 9 * F.col("under_"))
+        .cast("bigint")
+        .alias("q10_loss_x10"),
+        F.sum(5 * F.col("over_") + 5 * F.col("under_"))
+        .cast("bigint")
+        .alias("q50_loss_x10"),
+        F.sum(9 * F.col("over_") + 1 * F.col("under_"))
+        .cast("bigint")
+        .alias("q90_loss_x10"),
+        F.expr(
+            "CAST(sum(1 * over_ + 9 * under_) div count(*) AS BIGINT)"
+        ).alias("q10_avg_x10"),
+        F.expr(
+            "CAST(sum(9 * over_ + 1 * under_) div count(*) AS BIGINT)"
+        ).alias("q90_avg_x10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_shift_share — regional growth decomposition 1996 -> 2000
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_shift_share",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_nationkey AS nation, o.o_orderpriority AS pri,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = 1996
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS HUGEINT) AS ra,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = 2000
+                  THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS HUGEINT) AS rb
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) IN (1996, 2000)
+      GROUP BY 1, 2
+    ),
+    ptot AS (
+      SELECT pri, CAST(sum(ra) AS HUGEINT) AS rpa,
+             CAST(sum(rb) AS HUGEINT) AS rpb
+      FROM cells GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ra) AS HUGEINT) AS ta,
+             CAST(sum(rb) AS HUGEINT) AS tb
+      FROM cells
+    ),
+    terms AS (
+      SELECT c.nation, c.ra, c.rb,
+             CASE WHEN t.tb >= t.ta
+                  THEN (1000 * c.ra * (t.tb - t.ta)) // greatest(t.ta, 1)
+                  ELSE -((1000 * c.ra * (t.ta - t.tb)) // greatest(t.ta, 1))
+             END AS ns_milli,
+             CASE WHEN p.rpb * t.ta >= t.tb * p.rpa
+                  THEN (1000 * c.ra * (p.rpb * t.ta - t.tb * p.rpa))
+                       // greatest(p.rpa * t.ta, 1)
+                  ELSE -((1000 * c.ra * (t.tb * p.rpa - p.rpb * t.ta))
+                         // greatest(p.rpa * t.ta, 1))
+             END AS im_milli,
+             1000 * c.rb - (1000 * c.ra * p.rpb) // greatest(p.rpa, 1)
+               AS ce_milli
+      FROM cells c JOIN ptot p ON p.pri = c.pri, tot t
+    )
+    SELECT nation,
+           CAST(sum(rb - ra) AS BIGINT) AS change_cents,
+           CAST(sum(ns_milli) AS BIGINT) AS national_share_milli,
+           CAST(sum(im_milli) AS BIGINT) AS industry_mix_milli,
+           CAST(sum(ce_milli) AS BIGINT) AS competitive_milli
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    doc="Shift-share decomposition of each nation's order-revenue change "
+    "1996 -> 2000 with order priority as the 'industry' mix dimension: "
+    "change = NS + IM + CE where NS = r_A (G - 1) (national growth "
+    "effect), IM = sum_p r_pA (G_p - G) (priority-mix effect) and CE = "
+    "sum_p [r_pB - r_pA G_p] (local competitive effect) — the regional-"
+    "economics attribution that answers 'did this nation grow because "
+    "the market grew, because it held fast-growing priorities, or "
+    "because it out-competed?' (the decomposition sibling of orders_"
+    "price_volume_mix). Each term is a rational with denominator R_A "
+    "or R_pA R_A, floor-quantized to milli-cents per bounded (nation, "
+    "priority) cell (sign-split divs) then summed exactly; the exact "
+    "unquantized identity NS+IM+CE = change is pinned in tests. One "
+    "fact join, 125 bounded cells, scalar totals broadcast "
+    "(allowlisted).",
+)
+def orders_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 2000)
+    )
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") == 1996, cents).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("ra"),
+            F.sum(
+                F.when(F.year("o_orderdate") == 2000, cents).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("rb"),
+        )
+    )
+    ptot = cells.groupBy("pri").agg(
+        F.sum("ra").alias("rpa"), F.sum("rb").alias("rpb")
+    )
+    tot = cells.agg(F.sum("ra").alias("ta"), F.sum("rb").alias("tb"))
+    terms = (
+        cells.join(F.broadcast(ptot), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "ra",
+            "rb",
+            F.expr(
+                "CASE WHEN tb >= ta"
+                " THEN (1000 * ra * (tb - ta)) div greatest(ta, 1)"
+                " ELSE -((1000 * ra * (ta - tb)) div greatest(ta, 1))"
+                " END"
+            ).alias("ns_milli"),
+            F.expr(
+                "CASE WHEN rpb * ta >= tb * rpa"
+                " THEN (1000 * ra * (rpb * ta - tb * rpa))"
+                "      div greatest(rpa * ta, 1)"
+                " ELSE -((1000 * ra * (tb * rpa - rpb * ta))"
+                "        div greatest(rpa * ta, 1))"
+                " END"
+            ).alias("im_milli"),
+            F.expr(
+                "1000 * rb - (1000 * ra * rpb) div greatest(rpa, 1)"
+            ).alias("ce_milli"),
+        )
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.sum(F.col("rb") - F.col("ra"))
+            .cast("bigint")
+            .alias("change_cents"),
+            F.sum("ns_milli").cast("bigint").alias("national_share_milli"),
+            F.sum("im_milli").cast("bigint").alias("industry_mix_milli"),
+            F.sum("ce_milli").cast("bigint").alias("competitive_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_gehan_wilcoxon — generalized Wilcoxon test for censored durations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_gehan_wilcoxon",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    ft AS (
+      SELECT o_custkey,
+             max(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+             max(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+      FROM o2 WHERE rn <= 2 GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN f.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(f.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(m.tmax AS DATE)) END AS BIGINT)
+               AS dur,
+             CAST(CASE WHEN f.t2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS ev,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS in_a
+      FROM ft f JOIN customer c ON c.c_custkey = f.o_custkey, mx m
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    grid AS (
+      SELECT dur,
+             CAST(sum(ev) AS HUGEINT) AS e,
+             CAST(count(*) - sum(ev) AS HUGEINT) AS cns,
+             CAST(sum(CASE WHEN in_a = 1 THEN ev ELSE 0 END) AS HUGEINT)
+               AS ea,
+             CAST(sum(CASE WHEN in_a = 1 THEN 1 - ev ELSE 0 END)
+                  AS HUGEINT) AS ca
+      FROM obs GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(sum(CASE WHEN in_a = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS m,
+             CAST(sum(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS n,
+             CAST(count(*) AS HUGEINT) AS ntot
+      FROM obs
+    ),
+    cum AS (
+      SELECT dur, e, cns, ea, ca,
+             sum(e) OVER (ORDER BY dur) AS cum_e,
+             sum(e + cns) OVER (ORDER BY dur) AS cum_all
+      FROM grid
+    ),
+    u AS (
+      SELECT ea, ca, e, cns,
+             (cum_e - e) - ((t.ntot - cum_all) + cns) AS u_ev,
+             cum_e AS u_cens,
+             t.m, t.n, t.ntot
+      FROM cum, tots t
+    ),
+    s AS (
+      SELECT max(m) AS m, max(n) AS n, max(ntot) AS ntot,
+             CAST(sum(ea * u_ev + ca * u_cens) AS HUGEINT) AS w,
+             CAST(sum(e * u_ev * u_ev + cns * u_cens * u_cens) AS HUGEINT)
+               AS su2
+      FROM u
+    )
+    SELECT CAST(m AS BIGINT) AS n_building, CAST(n AS BIGINT) AS n_machinery,
+           CAST(w AS BIGINT) AS gehan_w,
+           CAST(CASE WHEN w >= 0 THEN 1 ELSE -1 END AS BIGINT) AS w_sign,
+           CAST((1000 * w * w * (m + n) * (m + n - 1))
+                // greatest(m * n * su2, 1) AS BIGINT) AS z2_milli
+    FROM s
+    """,
+    doc="Gehan-Breslow generalized Wilcoxon test comparing repeat-purchase "
+    "time (first -> second order, censored at the horizon like orders_"
+    "survival_km) between BUILDING and MACHINERY customers: W = "
+    "sum_{i in A} U_i with U_i = #{clearly shorter} - #{clearly longer} "
+    "over the combined sample (within-group terms cancel by "
+    "antisymmetry) — the early-difference-weighted alternative to "
+    "orders_logrank_test (Gehan weights by n_risk, so it powers on "
+    "early separation where logrank weights late). Placement counts "
+    "come entirely from cumulative sums over the bounded duration-day "
+    "grid: U_event = E_{<t} - (N_{>t} + C_{=t}), U_censored = E_{<=t}, "
+    "and the permutation variance Var W = mn/((m+n)(m+n-1)) sum U_k^2 "
+    "clears z^2 to one exact integer ratio (milli, sign split). No "
+    "per-observation rows ever materialize.",
+)
+def orders_gehan_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ft = (
+        o.select(
+            "o_custkey", "o_orderdate", F.row_number().over(w2).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias(
+                "t1"
+            ),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias(
+                "t2"
+            ),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = (
+        ft.join(c, ft.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(
+                    F.col("t2").cast("date"), F.col("t1").cast("date")
+                ),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("tmax").cast("date"), F.col("t1").cast("date")
+                )
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.col("t2").isNotNull().cast("bigint").alias("ev"),
+            (F.col("c_mktsegment") == "BUILDING")
+            .cast("bigint")
+            .alias("in_a"),
+        )
+    )
+    grid = obs.groupBy("dur").agg(
+        F.sum("ev").cast("decimal(38,0)").alias("e"),
+        (F.count(F.lit(1)) - F.sum("ev"))
+        .cast("decimal(38,0)")
+        .alias("cns"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("ev")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ea"),
+        F.sum(F.when(F.col("in_a") == 1, 1 - F.col("ev")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+    )
+    tots = obs.agg(
+        F.sum(F.when(F.col("in_a") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("m"),
+        F.sum(F.when(F.col("in_a") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ntot"),
+    )
+    wcum = Window.orderBy("dur")
+    cum = grid.select(
+        "dur",
+        "e",
+        "cns",
+        "ea",
+        "ca",
+        F.sum("e").over(wcum).alias("cum_e"),
+        F.sum(F.col("e") + F.col("cns")).over(wcum).alias("cum_all"),
+    )
+    u = cum.crossJoin(F.broadcast(tots)).select(
+        "ea",
+        "ca",
+        "e",
+        "cns",
+        "m",
+        "n",
+        (
+            (F.col("cum_e") - F.col("e"))
+            - ((F.col("ntot") - F.col("cum_all")) + F.col("cns"))
+        ).alias("u_ev"),
+        F.col("cum_e").alias("u_cens"),
+    )
+    s = u.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("ea") * F.col("u_ev") + F.col("ca") * F.col("u_cens")
+        ).alias("w"),
+        F.sum(
+            F.col("e") * F.col("u_ev") * F.col("u_ev")
+            + F.col("cns") * F.col("u_cens") * F.col("u_cens")
+        ).alias("su2"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    out = s.select(
+        F.col("m").cast("bigint").alias("n_building"),
+        F.col("n").cast("bigint").alias("n_machinery"),
+        F.col("w").cast("bigint").alias("gehan_w"),
+        F.expr(
+            "CAST(CASE WHEN w >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("w_sign"),
+        F.expr(
+            "CAST((1000 * w * w * (m + n) * (m + n - 1))"
+            " div greatest(m * n * su2, 1) AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+    return persist_until_collected(obs, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_isotonic_monthly — isotonic (PAVA) fit of monthly mean order value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_isotonic_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT mo, s, cnt,
+             CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS i,
+             CAST(sum(s) OVER (ORDER BY mo) AS HUGEINT) AS pm,
+             CAST(sum(cnt) OVER (ORDER BY mo) AS HUGEINT) AS cm
+      FROM m
+    ),
+    pref AS (
+      SELECT i, pm, cm FROM idx
+      UNION ALL SELECT 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+    ),
+    iv AS (
+      SELECT a.i AS j, b.i AS k,
+             (1000000 * (b.pm - a.pm)) // (b.cm - a.cm) AS avg_micro
+      FROM pref a JOIN pref b ON b.i > a.i
+    ),
+    tri AS (
+      SELECT x.i, v.j, min(v.avg_micro) AS mn
+      FROM idx x JOIN iv v ON v.j < x.i AND x.i <= v.k
+      GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT i, max(mn) AS fitted FROM tri GROUP BY 1
+    )
+    SELECT CAST(x.mo AS DATE) AS month,
+           CAST(x.cnt AS BIGINT) AS n_orders,
+           CAST((1000000 * x.s) // x.cnt AS BIGINT) AS mean_microcents,
+           CAST(f.fitted AS BIGINT) AS isotonic_microcents
+    FROM idx x JOIN fit f ON f.i = x.i
+    ORDER BY month
+    """,
+    doc="Isotonic (monotone nondecreasing) regression of monthly mean "
+    "order value via the max-min formula: fitted_i = max_{j <= i} "
+    "min_{k >= i} avg(y_{j..k}) — the closed form of the pool-adjacent-"
+    "violators solution (pinned against a pure-python PAVA in tests), "
+    "the shape-constrained trend fit a calibration or monotone-demand "
+    "model needs where orders_segmented_regression imposes a "
+    "parametric form. Interval means over prefix sums are floor-"
+    "quantized to integer micro-cents once (the determinism seam), "
+    "then the max-min lattice is exact integer comparisons. All joins "
+    "are over the bounded ~80-month grid (range NLJs, allowlisted; "
+    "~85k bounded tuples), invisible next to the fact-table rollup.",
+)
+def orders_isotonic_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+    )
+    w = Window.orderBy("mo")
+    idx = m.select(
+        "mo",
+        "s",
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("s").over(w).alias("pm"),
+        F.sum("cnt").over(w).alias("cm"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    pref = idx.select("i", "pm", "cm").unionAll(
+        idx.limit(1).select(
+            F.lit(0).cast("bigint").alias("i"),
+            zero.alias("pm"),
+            zero.alias("cm"),
+        )
+    )
+    a = pref.select(
+        F.col("i").alias("j"), F.col("pm").alias("pj"),
+        F.col("cm").alias("cj"),
+    )
+    b = pref.select(
+        F.col("i").alias("k"), F.col("pm").alias("pk"),
+        F.col("cm").alias("ck"),
+    )
+    iv = a.join(F.broadcast(b), F.col("k") > F.col("j")).select(
+        "j",
+        "k",
+        F.expr("(1000000 * (pk - pj)) div (ck - cj)").alias("avg_micro"),
+    )
+    tri = (
+        idx.select("i")
+        .join(
+            F.broadcast(iv),
+            (F.col("j") < F.col("i")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_micro").alias("mn"))
+    )
+    fit = tri.groupBy("i").agg(F.max("mn").alias("fitted"))
+    return (
+        idx.join(fit, "i")
+        .select(
+            F.col("mo").cast("date").alias("month"),
+            F.col("cnt").cast("bigint").alias("n_orders"),
+            F.expr("CAST((1000000 * s) div cnt AS BIGINT)").alias(
+                "mean_microcents"
+            ),
+            F.col("fitted").cast("bigint").alias("isotonic_microcents"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_cumulative_incidence — Aalen-Johansen competing-risks curves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cumulative_incidence",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    ft AS (
+      SELECT o_custkey,
+             max(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+             max(CASE WHEN rn = 2 THEN o_orderdate END) AS t2,
+             max(CASE WHEN rn = 2 THEN o_orderstatus END) AS cause
+      FROM o2 WHERE rn <= 2 GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    obs AS (
+      SELECT CAST(CASE WHEN f.t2 IS NOT NULL
+                  THEN date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(f.t2 AS DATE))
+                  ELSE date_diff('day', CAST(f.t1 AS DATE),
+                                 CAST(m.tmax AS DATE)) END AS BIGINT)
+               AS dur,
+             f.cause
+      FROM ft f, mx m
+    ),
+    grid AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN cause = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS df,
+             CAST(sum(CASE WHEN cause = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS do_,
+             CAST(sum(CASE WHEN cause = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS dp,
+             CAST(sum(CASE WHEN cause IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cns
+      FROM obs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+    sw AS (
+      SELECT dur, df, do_, dp, cns, df + do_ + dp AS d,
+             t.n - coalesce(sum(df + do_ + dp + cns) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM grid, tot t
+    ),
+    lt AS (
+      SELECT dur, df, do_, dp, cns, d, n_risk,
+             exp(coalesce(sum(CASE WHEN n_risk > d THEN
+                   round(ln((n_risk - d) * 1.0 / n_risk), 9) END) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)) AS s_minus
+      FROM sw
+    )
+    SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+           df AS n_to_f, do_ AS n_to_o, dp AS n_to_p,
+           cns AS n_censored,
+           round(sum(s_minus * (CAST(df AS DOUBLE) / n_risk))
+                 OVER (ORDER BY dur), 6) AS cif_f,
+           round(sum(s_minus * (CAST(do_ AS DOUBLE) / n_risk))
+                 OVER (ORDER BY dur), 6) AS cif_o,
+           round(sum(s_minus * (CAST(dp AS DOUBLE) / n_risk))
+                 OVER (ORDER BY dur), 6) AS cif_p
+    FROM lt
+    """,
+    doc="Aalen-Johansen cumulative incidence of repeat purchase split by "
+    "COMPETING second-order outcome (status F / O / P as causes, "
+    "censored at the horizon): CIF_k(t) = sum_{s <= t} S(s-) d_k(s) / "
+    "n(s) with S the ALL-cause Kaplan-Meier — the estimator that fixes "
+    "the 1-KM-per-cause overestimate (causes compete for the same "
+    "customers; the three CIFs here sum to 1 - S, pinned in tests). "
+    "Same machinery and determinism scheme as orders_survival_km: "
+    "exact integer risk sets over the bounded duration grid, "
+    "exp-sum-ln product limit with per-term 9-digit rounding, "
+    "frame-ordered running sums for the CIFs (round 6). The curve "
+    "relation is duration-cardinality-sized, never fact-sized.",
+)
+def orders_cumulative_incidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ft = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderstatus",
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias(
+                "t1"
+            ),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias(
+                "t2"
+            ),
+            F.max(F.when(F.col("rn") == 2, F.col("o_orderstatus"))).alias(
+                "cause"
+            ),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("tmax"))
+    obs = ft.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+        )
+        .otherwise(
+            F.datediff(
+                F.col("tmax").cast("date"), F.col("t1").cast("date")
+            )
+        )
+        .cast("bigint")
+        .alias("dur"),
+        "cause",
+    )
+    grid = obs.groupBy("dur").agg(
+        F.sum(F.when(F.col("cause") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("df"),
+        F.sum(F.when(F.col("cause") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("do_"),
+        F.sum(F.when(F.col("cause") == "P", 1).otherwise(0))
+        .cast("bigint")
+        .alias("dp"),
+        F.sum(F.when(F.col("cause").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cns"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sw = grid.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "df",
+        "do_",
+        "dp",
+        "cns",
+        (F.col("df") + F.col("do_") + F.col("dp")).alias("d"),
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(
+                    F.col("df") + F.col("do_") + F.col("dp") + F.col("cns")
+                ).over(wprev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    lnterm = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+            ),
+            9,
+        ),
+    )
+    lt = sw.select(
+        "dur",
+        "df",
+        "do_",
+        "dp",
+        "cns",
+        "d",
+        "n_risk",
+        F.exp(F.coalesce(F.sum(lnterm).over(wprev), F.lit(0.0))).alias(
+            "s_minus"
+        ),
+    )
+    wcum = Window.orderBy("dur")
+    out = lt.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("df").alias("n_to_f"),
+        F.col("do_").alias("n_to_o"),
+        F.col("dp").alias("n_to_p"),
+        F.col("cns").alias("n_censored"),
+        F.round(
+            F.sum(
+                F.col("s_minus")
+                * (F.col("df").cast("double") / F.col("n_risk"))
+            ).over(wcum),
+            6,
+        ).alias("cif_f"),
+        F.round(
+            F.sum(
+                F.col("s_minus")
+                * (F.col("do_").cast("double") / F.col("n_risk"))
+            ).over(wcum),
+            6,
+        ).alias("cif_o"),
+        F.round(
+            F.sum(
+                F.col("s_minus")
+                * (F.col("dp").cast("double") / F.col("n_risk"))
+            ).over(wcum),
+            6,
+        ).alias("cif_p"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    return persist_until_collected(obs, out)

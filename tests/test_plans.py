@@ -348,6 +348,10 @@ _ALLOWED_NESTED_LOOP = {
     "agg_tukey_quick_test",       # 1-row extremes scalars broadcast crossJoin
     "agg_pearson_median_skewness",  # 1-row totals + 1-row median broadcast crossJoins
     "agg_james_stein_shrinkage",  # 1-row pooled scalars broadcast crossJoins
+    "orders_shift_share",         # 1-row two-period totals broadcast crossJoin
+    "orders_gehan_wilcoxon",      # 1-row horizon + group-totals broadcast crossJoins
+    "orders_isotonic_monthly",    # bounded ~80-month prefix range NLJs (max-min lattice)
+    "orders_cumulative_incidence",  # 1-row horizon + cohort-total broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -573,6 +577,16 @@ _GLOBAL_WINDOWS = {
                                  "+ total"),
     "agg_pearson_median_skewness": (1, "bounded: ~50-value quantity-grid "
                                        "census cumulative"),
+    "orders_rosenbluth_index": (1, "bounded: 25-nation revenue rank"),
+    "orders_pinball_loss": (1, "bounded: ~80-month series lag-12"),
+    "orders_gehan_wilcoxon": (1, "bounded: duration-day grid cumulative "
+                                 "placements"),
+    "orders_isotonic_monthly": (4, "bounded: ~80-month prefix "
+                                   "(row_number + sums) duplicated "
+                                   "under the prefix/output branches"),
+    "orders_cumulative_incidence": (3, "bounded: duration-day grid "
+                                       "(risk-set prefix, product-limit "
+                                       "prefix, CIF running sums)"),
 }
 
 

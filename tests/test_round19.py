@@ -1318,3 +1318,196 @@ def test_hampel_threshold_and_window_median():
         flag_int = 10000 * abs(x - med) > 44478 * mad
         flag_frac = abs(x - med) > Fraction(44478, 10000) * mad
         assert flag_int == flag_frac
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 batch-2 (econ / survival / isotonic) pins
+# ---------------------------------------------------------------------------
+
+
+def test_rosenbluth_cleared_denominator():
+    rng = random.Random(457)
+    for _ in range(60):
+        k = rng.randint(2, 25)
+        vs = sorted((rng.randint(1, 10**6) for _ in range(k)), reverse=True)
+        t = sum(vs)
+        shares = [Fraction(v, t) for v in vs]
+        hti_ref = 1 / (2 * sum((i + 1) * s for i, s in enumerate(shares)) - 1)
+        iv = sum((i + 1) * v for i, v in enumerate(vs))
+        assert Fraction(t, 2 * iv - t) == hti_ref
+        assert Fraction(1, k) <= hti_ref <= 1
+
+
+def test_pinball_identities():
+    rng = random.Random(461)
+    for _ in range(80):
+        y, f = rng.randint(0, 10**6), rng.randint(0, 10**6)
+        over = max(y - f, 0)
+        under = max(f - y, 0)
+        # tau = 0.5 doubled is the absolute error
+        assert 5 * over + 5 * under == 5 * abs(y - f)
+        for q10 in (1, 5, 9):
+            ref = (
+                Fraction(q10, 10) * over + Fraction(10 - q10, 10) * under
+            )
+            assert q10 * over + (10 - q10) * under == 10 * ref
+
+
+def test_shift_share_exact_identity():
+    rng = random.Random(463)
+    for _ in range(40):
+        n_nat, n_pri = rng.randint(2, 6), rng.randint(2, 5)
+        ra = [[rng.randint(1, 1000) for _ in range(n_pri)]
+              for _ in range(n_nat)]
+        rb = [[rng.randint(0, 1500) for _ in range(n_pri)]
+              for _ in range(n_nat)]
+        ta = sum(map(sum, ra))
+        tb = sum(map(sum, rb))
+        rpa = [sum(ra[i][p] for i in range(n_nat)) for p in range(n_pri)]
+        rpb = [sum(rb[i][p] for i in range(n_nat)) for p in range(n_pri)]
+        g = Fraction(tb, ta)
+        for i in range(n_nat):
+            ns = sum(ra[i]) * (g - 1)
+            im = sum(
+                ra[i][p] * (Fraction(rpb[p], rpa[p]) - g)
+                for p in range(n_pri)
+            )
+            ce = sum(
+                rb[i][p] - ra[i][p] * Fraction(rpb[p], rpa[p])
+                for p in range(n_pri)
+            )
+            assert ns + im + ce == sum(rb[i]) - sum(ra[i])
+            # per-cell cleared numerators match the div arrangement
+            for p in range(n_pri):
+                lhs = ra[i][p] * (Fraction(rpb[p], rpa[p]) - g)
+                rhs = Fraction(
+                    ra[i][p] * (rpb[p] * ta - tb * rpa[p]), rpa[p] * ta
+                )
+                assert lhs == rhs
+
+
+def _gehan_phi(a, b):
+    ta, ea = a
+    tb, eb = b
+    if (ta > tb and eb == 1) or (ta == tb and eb == 1 and ea == 0):
+        return 1
+    if (tb > ta and ea == 1) or (ta == tb and ea == 1 and eb == 0):
+        return -1
+    return 0
+
+
+def test_gehan_placement_formula_vs_bruteforce():
+    rng = random.Random(467)
+    for _ in range(40):
+        na, nb = rng.randint(3, 15), rng.randint(3, 15)
+        A = [(rng.randint(1, 10), rng.randint(0, 1)) for _ in range(na)]
+        B = [(rng.randint(1, 10), rng.randint(0, 1)) for _ in range(nb)]
+        comb = A + B
+        w_direct = sum(_gehan_phi(a, b) for a in A for b in B)
+        # combined-sample U per observation
+        def u_of(k):
+            return sum(_gehan_phi(k, l) for l in comb)
+
+        w_via_u = sum(u_of(a) for a in A)
+        assert w_via_u == w_direct  # within-A terms cancel
+        # cumulative-count closed form for U
+        from collections import Counter
+        ev_at = Counter(t for t, e in comb if e == 1)
+        cn_at = Counter(t for t, e in comb if e == 0)
+        ntot = len(comb)
+        for t, e in comb:
+            e_lt = sum(c for tt, c in ev_at.items() if tt < t)
+            if e == 1:
+                n_gt = sum(1 for tt, _ in comb if tt > t)
+                u_ref = e_lt - (n_gt + cn_at.get(t, 0))
+            else:
+                u_ref = e_lt + ev_at.get(t, 0)
+            assert u_ref == u_of((t, e))
+
+
+def _pava(ys, ws):
+    # classic pool-adjacent-violators with weights, exact Fractions;
+    # each block tracks (mean, weight, #original points)
+    blocks = []
+    for y, w in zip(ys, ws):
+        blocks.append([Fraction(y), Fraction(w), 1])
+        while len(blocks) > 1 and blocks[-2][0] > blocks[-1][0]:
+            y2, w2, c2 = blocks.pop()
+            y1, w1, c1 = blocks.pop()
+            blocks.append(
+                [(y1 * w1 + y2 * w2) / (w1 + w2), w1 + w2, c1 + c2]
+            )
+    fitted = []
+    for y, w, c in blocks:
+        fitted.extend([y] * c)
+    return fitted
+
+
+def test_isotonic_maxmin_equals_pava():
+    rng = random.Random(479)
+    for _ in range(30):
+        n = rng.randint(2, 12)
+        ys = [rng.randint(0, 100) for _ in range(n)]
+        ws = [rng.randint(1, 5) for _ in range(n)]
+        pava = _pava(ys, ws)
+        # max-min formula over weighted interval means
+        pm = [0]
+        cm = [0]
+        for y, w in zip(ys, ws):
+            pm.append(pm[-1] + y * w)
+            cm.append(cm[-1] + w)
+        for i in range(1, n + 1):
+            cands = []
+            for j in range(0, i):
+                mn = min(
+                    Fraction(pm[k] - pm[j], cm[k] - cm[j])
+                    for k in range(i, n + 1)
+                )
+                cands.append(mn)
+            assert max(cands) == pava[i - 1]
+    # quantized interval means keep the fit monotone
+    for _ in range(20):
+        n = rng.randint(2, 10)
+        ys = [rng.randint(0, 10**6) for _ in range(n)]
+        ws = [rng.randint(1, 9) for _ in range(n)]
+        pm = [0]
+        cm = [0]
+        for y, w in zip(ys, ws):
+            pm.append(pm[-1] + y * w)
+            cm.append(cm[-1] + w)
+        fit = []
+        for i in range(1, n + 1):
+            fit.append(
+                max(
+                    min(
+                        (10**6 * (pm[k] - pm[j])) // (cm[k] - cm[j])
+                        for k in range(i, n + 1)
+                    )
+                    for j in range(0, i)
+                )
+            )
+        assert all(fit[i] <= fit[i + 1] for i in range(len(fit) - 1))
+
+
+def test_cumulative_incidence_sums_to_one_minus_km():
+    rng = random.Random(487)
+    for _ in range(40):
+        n = rng.randint(5, 40)
+        # observations: (duration, cause 0=censored / 1..3)
+        obs = [(rng.randint(1, 12), rng.randint(0, 3)) for _ in range(n)]
+        durs = sorted(set(t for t, _ in obs))
+        at_risk = n
+        s = Fraction(1)
+        cif = {1: Fraction(0), 2: Fraction(0), 3: Fraction(0)}
+        for t in durs:
+            d_k = {
+                k: sum(1 for tt, c in obs if tt == t and c == k)
+                for k in (1, 2, 3)
+            }
+            d = sum(d_k.values())
+            cens = sum(1 for tt, c in obs if tt == t and c == 0)
+            for k in (1, 2, 3):
+                cif[k] += s * Fraction(d_k[k], at_risk)
+            s *= Fraction(at_risk - d, at_risk)
+            at_risk -= d + cens
+        assert cif[1] + cif[2] + cif[3] == 1 - s
