@@ -911,3 +911,167 @@ def _png_chunks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "has_iend": pd.Series(ie, dtype="Int64"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# TIFF IFD directory walking (both byte orders)
+# ---------------------------------------------------------------------------
+
+TIFF_IFD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("is_little_endian", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_entries", LongType()),
+    ]
+)
+
+
+def walk_tiff_ifd(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Walk the first IFD of a TIFF container: detect the byte order from
+    the 'II'/'MM' header, verify the magic 42, follow the IFD offset, and
+    scan the 12-byte entries for ImageWidth(256)/ImageLength(257)/
+    BitsPerSample(258) stored as LONG values. Directory walk only (tag
+    values beyond the inline 4 bytes are not dereferenced). Malformed
+    input (bad byte order, wrong magic, truncated IFD, missing dimension
+    tags) is a typed miss (None), never an exception.
+    """
+    import struct
+
+    if len(payload) < 8:
+        return None
+    bo = payload[:2]
+    if bo == b"II":
+        le, pre = 1, "<"
+    elif bo == b"MM":
+        le, pre = 0, ">"
+    else:
+        return None
+    (magic,) = struct.unpack_from(pre + "H", payload, 2)
+    if magic != 42:
+        return None
+    (ifd_off,) = struct.unpack_from(pre + "I", payload, 4)
+    if ifd_off < 8 or ifd_off + 2 > len(payload):
+        return None
+    (n,) = struct.unpack_from(pre + "H", payload, ifd_off)
+    end = ifd_off + 2 + 12 * n + 4
+    if n == 0 or end > len(payload):
+        return None
+    width = height = bits = None
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(pre + "HHI", payload, base)
+        (val,) = struct.unpack_from(pre + "I", payload, base + 8)
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 258:
+            bits = val
+    if width is None or height is None or bits is None:
+        return None
+    return le, width, height, bits, n
+
+
+def _tiff_ifd_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched TIFF IFD walking; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, les, ws, hs, bs, ns = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_tiff_ifd(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (les, ws, hs, bs, ns):
+                    lst.append(None)
+            else:
+                le, w, h, b, n = meta
+                les.append(le)
+                ws.append(w)
+                hs.append(h)
+                bs.append(b)
+                ns.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "is_little_endian": pd.Series(les, dtype="Int64"),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+                "bits_per_sample": pd.Series(bs, dtype="Int64"),
+                "n_entries": pd.Series(ns, dtype="Int64"),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# ICO directory walking
+# ---------------------------------------------------------------------------
+
+ICO_DIR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_images", LongType()),
+        StructField("max_width", LongType()),
+        StructField("max_height", LongType()),
+        StructField("total_declared_bytes", LongType()),
+    ]
+)
+
+
+def walk_ico_dir(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Walk an ICONDIR: verify reserved=0 / type=1, then scan the 16-byte
+    ICONDIRENTRY records — width/height bytes (0 encodes 256, the ICO
+    quirk) and the declared image byte sizes. Directory walk only: the
+    image payloads are not dereferenced, so a directory whose declared
+    sizes overrun the file still parses (declared, not verified, sizes —
+    the fast-scan convention). Malformed headers are a typed miss.
+    """
+    import struct
+
+    if len(payload) < 6:
+        return None
+    res, typ, cnt = struct.unpack_from("<HHH", payload, 0)
+    if res != 0 or typ != 1 or cnt == 0:
+        return None
+    if 6 + 16 * cnt > len(payload):
+        return None
+    maxw = maxh = total = 0
+    for i in range(cnt):
+        base = 6 + 16 * i
+        w = payload[base] or 256
+        h = payload[base + 1] or 256
+        (size,) = struct.unpack_from("<I", payload, base + 8)
+        maxw = max(maxw, w)
+        maxh = max(maxh, h)
+        total += size
+    return cnt, maxw, maxh, total
+
+
+def _ico_dir_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ICO directory walking; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, cs, ws, hs, ts = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_ico_dir(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (cs, ws, hs, ts):
+                    lst.append(None)
+            else:
+                c, w, h, t = meta
+                cs.append(c)
+                ws.append(w)
+                hs.append(h)
+                ts.append(t)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_images": pd.Series(cs, dtype="Int64"),
+                "max_width": pd.Series(ws, dtype="Int64"),
+                "max_height": pd.Series(hs, dtype="Int64"),
+                "total_declared_bytes": pd.Series(ts, dtype="Int64"),
+            }
+        )

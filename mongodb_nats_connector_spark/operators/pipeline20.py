@@ -4476,3 +4476,765 @@ def orders_cumulative_incidence(
     )
 
     return persist_until_collected(obs, out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_tiff_ifd_parse — dual-endian TIFF IFD directory walk
+# ---------------------------------------------------------------------------
+
+
+def _hex_be16(c: F.Column) -> F.Column:
+    return F.lpad(F.hex(c), 4, "0")
+
+
+def _hex_le16(c: F.Column) -> F.Column:
+    b = _hex_be16(c)
+    return F.concat(F.substring(b, 3, 2), F.substring(b, 1, 2))
+
+
+def _hex_be32(c: F.Column) -> F.Column:
+    return F.lpad(F.hex(c), 8, "0")
+
+
+def _hex_le32(c: F.Column) -> F.Column:
+    b = _hex_be32(c)
+    return F.concat(
+        F.substring(b, 7, 2),
+        F.substring(b, 5, 2),
+        F.substring(b, 3, 2),
+        F.substring(b, 1, 2),
+    )
+
+
+@register(
+    "multimodal_tiff_ifd_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 AS BIGINT) AS is_little_endian,
+           CAST(doc_id % 4000 + 1 AS BIGINT) AS width,
+           CAST((doc_id * 3) % 3000 + 1 AS BIGINT) AS height,
+           CAST(8 * (doc_id % 4 + 1) AS BIGINT) AS bits_per_sample,
+           CAST(3 + doc_id % 3 AS BIGINT) AS n_entries
+    FROM documents ORDER BY doc_id
+    """,
+    doc="REAL dual-endian TIFF IFD walking under the driver's hash check: "
+    "per doc, construct a complete TIFF container (II/MM byte-order "
+    "header chosen by doc parity, magic 42, IFD offset, 3-5 sorted "
+    "12-byte LONG entries incl. ImageWidth/ImageLength/BitsPerSample, "
+    "terminating next-IFD pointer — all composed as endian-correct hex "
+    "column expressions) and recover byte order, dimensions, bit depth "
+    "and the entry census with the real stdlib walker "
+    "(multimodal.walk_tiff_ifd). TIFF adds the one container grammar "
+    "the PNG/GIF/mp4/WAV walkers don't cover: ENDIAN-POLYMORPHIC "
+    "offset-directory layout, where every multi-byte field's decode "
+    "depends on the 2-byte prologue. Map-only; zero shuffles.",
+)
+def multimodal_tiff_ifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        TIFF_IFD_SCHEMA,
+        _tiff_ifd_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("le"),
+        (F.col("doc_id") % 4000 + 1).alias("w"),
+        ((F.col("doc_id") * 3) % 3000 + 1).alias("h"),
+        (8 * (F.col("doc_id") % 4 + 1)).alias("bits"),
+        (F.col("doc_id") % 3).alias("n_extra"),
+    )
+    is_le = F.col("le") == 1
+
+    def u16(c):
+        return F.when(is_le, _hex_le16(c)).otherwise(_hex_be16(c))
+
+    def u32(c):
+        return F.when(is_le, _hex_le32(c)).otherwise(_hex_be32(c))
+
+    def entry(tag, val):
+        return F.concat(
+            u16(F.lit(tag)), u16(F.lit(4)), u32(F.lit(1)), u32(val)
+        )
+
+    header = F.when(
+        is_le, F.concat(F.lit("49492A00"), _hex_le32(F.lit(8)))
+    ).otherwise(F.concat(F.lit("4D4D002A"), _hex_be32(F.lit(8))))
+    ifd = F.concat(
+        u16(F.col("n_extra") + 3),
+        entry(256, F.col("w")),
+        entry(257, F.col("h")),
+        entry(258, F.col("bits")),
+        F.when(F.col("n_extra") >= 1, entry(401, F.lit(11))).otherwise(""),
+        F.when(F.col("n_extra") >= 2, entry(402, F.lit(12))).otherwise(""),
+        F.lit("00000000"),
+    )
+    return (
+        d.select("doc_id", F.unhex(F.concat(header, ifd)).alias("payload"))
+        .mapInPandas(_tiff_ifd_batches, TIFF_IFD_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_ico_dir_parse — ICONDIR directory walk (0-means-256 quirk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_ico_dir_parse",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_images,
+           CAST(list_max(list_transform(range(n), i ->
+                CASE WHEN (doc_id + 17 * i) % 256 = 0 THEN 256
+                     ELSE (doc_id + 17 * i) % 256 END)) AS BIGINT)
+             AS max_width,
+           CAST(list_max(list_transform(range(n), i ->
+                CASE WHEN (doc_id * 3 + 11 * i) % 256 = 0 THEN 256
+                     ELSE (doc_id * 3 + 11 * i) % 256 END)) AS BIGINT)
+             AS max_height,
+           CAST(list_sum(list_transform(range(n), i ->
+                1000 + (doc_id + i) % 5000)) AS BIGINT)
+             AS total_declared_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL ICO directory walking under the driver's hash check: per "
+    "doc, construct an ICONDIR with 1-4 ICONDIRENTRY records "
+    "(deterministic width/height bytes, 32-bpp, declared sizes) as "
+    "little-endian hex expressions, then recover the image census, the "
+    "maximum decoded dimensions and the total declared payload bytes "
+    "with the real stdlib walker (multimodal.walk_ico_dir) — including "
+    "the ICO quirk that a 0 width/height byte encodes 256, which the "
+    "oracle reproduces in closed form. Exercises the fixed-record-"
+    "array container grammar (vs PNG's length-prefixed chunks, GIF's "
+    "sentinel sub-blocks, TIFF's offset directory). Map-only; zero "
+    "shuffles.",
+)
+def multimodal_ico_dir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        ICO_DIR_SCHEMA,
+        _ico_dir_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (1 + F.col("doc_id") % 4).alias("n")
+    )
+    header = F.concat(
+        F.lit("00000100"), _hex_le16(F.col("n"))
+    )
+    entries = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(n - 1 AS INT)), i ->"
+        " concat("
+        "  lpad(hex((doc_id + 17 * i) % 256), 2, '0'),"
+        "  lpad(hex((doc_id * 3 + 11 * i) % 256), 2, '0'),"
+        "  '0000',"                       # colors, reserved
+        "  '0100', '2000',"               # planes 1, bitcount 32 (LE)
+        "  concat(substring(lpad(hex(1000 + (doc_id + i) % 5000), 8, '0'),"
+        "           7, 2),"
+        "         substring(lpad(hex(1000 + (doc_id + i) % 5000), 8, '0'),"
+        "           5, 2),"
+        "         substring(lpad(hex(1000 + (doc_id + i) % 5000), 8, '0'),"
+        "           3, 2),"
+        "         substring(lpad(hex(1000 + (doc_id + i) % 5000), 8, '0'),"
+        "           1, 2)),"
+        "  '16000000')))"                 # offset 22 LE (declared only)
+    )
+    return (
+        d.select(
+            "doc_id", F.unhex(F.concat(header, entries)).alias("payload")
+        )
+        .mapInPandas(_ico_dir_batches, ICO_DIR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cluster-validity suite — shared deci-milli quantization
+# ---------------------------------------------------------------------------
+
+_QV = (
+    "transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+)
+_QV_SQL = (
+    "list_transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "embedding_participation_ratio",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ),
+    tr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                  AS HUGEINT) AS tr
+      FROM q
+    ),
+    m AS (
+      SELECT i, j,
+             CAST(sum(qv[CAST(i AS INT) + 1]
+                      * qv[CAST(j AS INT) + 1]) AS HUGEINT) AS mij
+      FROM q, range(64) t1(i), range(64) t2(j)
+      WHERE j >= i GROUP BY 1, 2
+    ),
+    fro AS (
+      SELECT CAST(sum(CASE WHEN i = j THEN mij * mij
+                      ELSE 2 * mij * mij END) AS HUGEINT) AS fro2
+      FROM m
+    )
+    SELECT t.n AS n_vectors,
+           CAST(64 AS BIGINT) AS dim,
+           CAST(t.tr AS BIGINT) AS trace_m,
+           CAST((1000000 * t.tr * t.tr) // greatest(f.fro2, 1) AS BIGINT)
+             AS participation_ratio_micro
+    FROM tr t, fro f
+    """,
+    doc="Participation ratio (effective dimensionality) of the embedding "
+    "corpus: PR = (tr M)^2 / ||M||_F^2 for the uncentered second-moment "
+    "matrix M = sum_x q q^T — equal to (sum lambda)^2 / sum lambda^2 "
+    "over M's eigenvalues WITHOUT any eigendecomposition (Frobenius "
+    "norm = sum of squared entries), the anisotropy-collapse diagnostic "
+    "beside embedding_twonn_intrinsic_dim (geometric) and embedding_"
+    "pca_power_iteration (top component only). Embeddings are floor-"
+    "quantized once to deci-milli integers, so trace and M are exact; "
+    "the d^2-sized upper triangle (symmetry-weighted x2) aggregates "
+    "from an n*d^2 flatten here — at 100 TB you'd swap the flatten for "
+    "a d^2-state outer-product partial aggregate, same result. PR in "
+    "micro units, 1 <= PR <= d.",
+)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_QV).alias("qv")
+    )
+    tr = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(qv, x -> x * x),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("tr"),
+    )
+    e1 = e.select(
+        "qv", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
+    )
+    e2 = e1.select(
+        "qv", "i", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    ).filter(F.col("j") >= F.col("i"))
+    m = e2.select(
+        "i",
+        "j",
+        (
+            F.element_at("qv", F.col("i").cast("int") + 1)
+            * F.element_at("qv", F.col("j").cast("int") + 1)
+        ).alias("p"),
+    ).groupBy("i", "j").agg(F.sum("p").cast("decimal(38,0)").alias("mij"))
+    fro = m.agg(
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"), F.col("mij") * F.col("mij")
+            ).otherwise(2 * F.col("mij") * F.col("mij"))
+        ).alias("fro2")
+    )
+    return tr.crossJoin(F.broadcast(fro)).select(
+        F.col("n").alias("n_vectors"),
+        F.lit(64).cast("bigint").alias("dim"),
+        F.col("tr").cast("bigint").alias("trace_m"),
+        F.expr(
+            "CAST((1000000 * tr * tr) div greatest(fro2, 1) AS BIGINT)"
+        ).alias("participation_ratio_micro"),
+    )
+
+
+@register(
+    "embedding_calinski_harabasz",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QV_SQL} AS qv FROM embeddings
+    ),
+    cl AS (
+      SELECT label, CAST(count(*) AS HUGEINT) AS nc,
+             CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                  AS HUGEINT) AS tc
+      FROM q GROUP BY 1
+    ),
+    s AS (
+      SELECT label, i,
+             CAST(sum(qv[CAST(i AS INT) + 1]) AS HUGEINT) AS scd
+      FROM q, range(64) t(i) GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT i, CAST(sum(scd) AS HUGEINT) AS gd FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(nc) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) AS k
+      FROM cl
+    ),
+    ssw AS (
+      SELECT CAST(sum((1000 * (c.nc * c.tc - s2.sumsq)) // c.nc)
+                  AS HUGEINT) AS ssw_milli
+      FROM cl c JOIN (
+        SELECT label, CAST(sum(scd * scd) AS HUGEINT) AS sumsq
+        FROM s GROUP BY 1
+      ) s2 ON s2.label = c.label
+    ),
+    ssb AS (
+      SELECT CAST(sum(ssb_c) AS HUGEINT) AS ssb_milli FROM (
+        SELECT s.label,
+               (1000 * sum((t.n * s.scd - c.nc * g.gd)
+                           * (t.n * s.scd - c.nc * g.gd)))
+                 // (c.nc * t.n * t.n) AS ssb_c
+        FROM s JOIN g ON g.i = s.i
+               JOIN cl c ON c.label = s.label, tot t
+        GROUP BY s.label, c.nc, t.n
+      )
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_vectors,
+           CAST(t.k AS BIGINT) AS n_clusters,
+           CAST(w.ssw_milli AS BIGINT) AS ssw_milli,
+           CAST(b.ssb_milli AS BIGINT) AS ssb_milli,
+           CAST((1000000 * (t.n - t.k) * b.ssb_milli)
+                // greatest((t.k - 1) * w.ssw_milli, 1) AS BIGINT)
+             AS ch_micro
+    FROM tot t, ssw w, ssb b
+    """,
+    doc="Calinski-Harabasz (variance-ratio) cluster validity of the "
+    "labeled embedding corpus: CH = (SSB/(k-1)) / (SSW/(N-k)) — the "
+    "between/within variance trade-off that scores how separable the "
+    "label structure is in embedding space (the global companion to "
+    "the per-point embedding_simplified_silhouette). Over deci-milli "
+    "quantized integer vectors: SSW_c = T_c - ||S_c||^2/n_c and "
+    "SSB_c = sum_d (N S_cd - n_c G_d)^2 / (n_c N^2) are each floor-"
+    "quantized to milli units per cluster (cleared integer numerators, "
+    "documented seam) then summed exactly; CH emitted in micro units. "
+    "One n*d flatten to (label, dim) sums — d^2-free, the same shuffle "
+    "shape as embedding_centroids.",
+)
+def embedding_calinski_harabasz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "label", F.expr(_QV).alias("qv")
+    )
+    cl = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nc"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(qv, x -> x * x),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("tc"),
+    )
+    s = (
+        e.select(
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            "qv",
+        )
+        .select(
+            "label",
+            "i",
+            F.element_at("qv", F.col("i").cast("int") + 1).alias("x"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("x").cast("decimal(38,0)").alias("scd"))
+    )
+    g = s.groupBy("i").agg(F.sum("scd").alias("gd"))
+    tot = cl.agg(
+        F.sum("nc").alias("n"), F.count(F.lit(1)).cast("decimal(38,0)").alias("k")
+    )
+    s2 = s.groupBy("label").agg(
+        F.sum(F.col("scd") * F.col("scd")).alias("sumsq")
+    )
+    ssw = (
+        cl.join(s2, "label")
+        .select(
+            F.expr("(1000 * (nc * tc - sumsq)) div nc").alias("w_c")
+        )
+        .agg(F.sum("w_c").cast("decimal(38,0)").alias("ssw_milli"))
+    )
+    ssb = (
+        s.join(F.broadcast(g), "i")
+        .join(F.broadcast(cl.select("label", "nc")), "label")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("label", "nc", "n")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("scd") - F.col("nc") * F.col("gd"))
+                * (F.col("n") * F.col("scd") - F.col("nc") * F.col("gd"))
+            ).alias("num")
+        )
+        .select(
+            F.expr("(1000 * num) div (nc * n * n)").alias("b_c")
+        )
+        .agg(F.sum("b_c").cast("decimal(38,0)").alias("ssb_milli"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssw))
+        .crossJoin(F.broadcast(ssb))
+        .select(
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.col("k").cast("bigint").alias("n_clusters"),
+            F.col("ssw_milli").cast("bigint").alias("ssw_milli"),
+            F.col("ssb_milli").cast("bigint").alias("ssb_milli"),
+            F.expr(
+                "CAST((1000000 * (n - k) * ssb_milli)"
+                " div greatest((k - 1) * ssw_milli, 1) AS BIGINT)"
+            ).alias("ch_micro"),
+        )
+    )
+
+
+@register(
+    "embedding_simplified_silhouette",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QV_SQL} AS qv FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c, i,
+             CAST(sum(qv[CAST(i AS INT) + 1]) AS HUGEINT) AS scd,
+             CAST(max(nc) AS HUGEINT) AS nc
+      FROM (SELECT label, qv, count(*) OVER (PARTITION BY label) AS nc
+            FROM q), range(64) t(i)
+      GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT p.vec_id, p.label, c.c,
+             (1000000 * sum((c.nc * p.qv[CAST(c.i AS INT) + 1] - c.scd)
+                            * (c.nc * p.qv[CAST(c.i AS INT) + 1] - c.scd)))
+               // (max(c.nc) * max(c.nc)) AS dmic
+      FROM q p JOIN cent c ON true
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN c = label THEN dmic END) AS a,
+             min(CASE WHEN c <> label THEN dmic END) AS b
+      FROM d2 GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label,
+             CASE WHEN b >= a
+                  THEN (1000 * (b - a)) // greatest(b, 1)
+                  ELSE -((1000 * (a - b)) // greatest(a, 1)) END AS sil
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(sil) AS BIGINT) AS silhouette_milli_sum,
+           CAST(sum(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    doc="Simplified (centroid-based) silhouette per label over deci-milli "
+    "quantized embeddings: a = squared distance to the OWN centroid, "
+    "b = min squared distance to any OTHER centroid, s = (b - a)/"
+    "max(a, b) — the per-point assignment-quality score whose corpus "
+    "mean validates a labeling the global embedding_calinski_harabasz "
+    "ratio can average away (the simplified variant replaces all-pairs "
+    "a/b with centroid distances: O(n k d), the only form that scales). "
+    "Centroid distances clear to ||n_c q - S_c||^2 / n_c^2 and are "
+    "floor-quantized to micro units per (point, centroid) cell "
+    "(documented seam); s is milli sign-split per point and summed "
+    "exactly. The 640-row centroid-dim relation broadcasts; one n*k*d "
+    "flatten, no all-pairs anything.",
+)
+def embedding_simplified_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.expr(_QV).alias("qv")
+    )
+    nc = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nc")
+    )
+    cent = (
+        e.join(F.broadcast(nc), "label")
+        .select(
+            F.col("label").alias("c"),
+            "nc",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            "qv",
+        )
+        .select(
+            "c",
+            "nc",
+            "i",
+            F.element_at("qv", F.col("i").cast("int") + 1).alias("x"),
+        )
+        .groupBy("c", "i")
+        .agg(
+            F.sum("x").cast("decimal(38,0)").alias("scd"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    p = e.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "qv",
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.element_at("qv", F.col("i").cast("int") + 1).alias("x"),
+    )
+    d2 = (
+        p.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "c")
+        .agg(
+            F.sum(
+                (F.col("nc") * F.col("x") - F.col("scd"))
+                * (F.col("nc") * F.col("x") - F.col("scd"))
+            ).alias("num"),
+            F.max("nc").alias("nc"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "c",
+            F.expr("(1000000 * num) div (nc * nc)").alias("dmic"),
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c") == F.col("label"), F.col("dmic"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("c") != F.col("label"), F.col("dmic"))).alias(
+            "b"
+        ),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "CASE WHEN b >= a THEN (1000 * (b - a)) div greatest(b, 1)"
+            " ELSE -((1000 * (a - b)) div greatest(a, 1)) END"
+        ).alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("sil").cast("bigint").alias("silhouette_milli_sum"),
+            F.sum(F.when(F.col("sil") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_dunn_index",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QV_SQL} AS qv FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c, i,
+             CAST(sum(qv[CAST(i AS INT) + 1]) AS HUGEINT) AS scd,
+             CAST(max(nc) AS HUGEINT) AS nc
+      FROM (SELECT label, qv, count(*) OVER (PARTITION BY label) AS nc
+            FROM q), range(64) t(i)
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT (1000000 * sum((a.nc * b.scd - b.nc * a.scd)
+                            * (a.nc * b.scd - b.nc * a.scd)))
+               // (max(a.nc) * max(a.nc) * max(b.nc) * max(b.nc)) AS d2
+      FROM cent a JOIN cent b ON b.i = a.i AND b.c > a.c
+      GROUP BY a.c, b.c
+    ),
+    imin AS (SELECT min(d2) AS min_inter FROM pairs),
+    ownd AS (
+      SELECT (1000000 * sum((c.nc * p.qv[CAST(c.i AS INT) + 1] - c.scd)
+                            * (c.nc * p.qv[CAST(c.i AS INT) + 1]
+                               - c.scd)))
+               // (max(c.nc) * max(c.nc)) AS d2
+      FROM q p JOIN cent c ON c.c = p.label
+      GROUP BY p.vec_id
+    ),
+    omax AS (SELECT max(d2) AS max_intra FROM ownd)
+    SELECT CAST(i.min_inter AS BIGINT) AS min_intercentroid_micro,
+           CAST(o.max_intra AS BIGINT) AS max_intracentroid_micro,
+           CAST((1000 * i.min_inter)
+                // greatest(o.max_intra, 1) AS BIGINT) AS dunn_milli
+    FROM imin i, omax o
+    """,
+    doc="Dunn-type separation index (centroid linkage) of the labeled "
+    "embedding corpus: min inter-centroid squared distance over max "
+    "point-to-own-centroid squared distance — small Dunn flags clusters "
+    "that overlap or sprawl, the worst-case complement to the averaged "
+    "embedding_simplified_silhouette (one bad pair tanks Dunn but "
+    "barely moves the mean silhouette). Centroid-pair distances clear "
+    "to ||n_c' S_c - n_c S_c'||^2 / (n_c^2 n_c'^2) over the SAME "
+    "deci-milli quantized integers as the rest of the validity suite, "
+    "floor-quantized to micro per pair (45 bounded pairs); the intra "
+    "radius reuses the silhouette's own-centroid distances. Squared-"
+    "distance ratio (monotone in the classic sqrt form), milli output.",
+)
+def embedding_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.expr(_QV).alias("qv")
+    )
+    nc = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nc")
+    )
+    cent = (
+        e.join(F.broadcast(nc), "label")
+        .select(
+            F.col("label").alias("c"),
+            "nc",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            "qv",
+        )
+        .select(
+            "c",
+            "nc",
+            "i",
+            F.element_at("qv", F.col("i").cast("int") + 1).alias("x"),
+        )
+        .groupBy("c", "i")
+        .agg(
+            F.sum("x").cast("decimal(38,0)").alias("scd"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    a = cent.select(
+        F.col("c").alias("ca"), "i", F.col("scd").alias("sa"),
+        F.col("nc").alias("na"),
+    )
+    b = cent.select(
+        F.col("c").alias("cb"), F.col("i").alias("ib"),
+        F.col("scd").alias("sb"), F.col("nc").alias("nb"),
+    )
+    inter = (
+        a.join(
+            F.broadcast(b),
+            (F.col("ib") == F.col("i")) & (F.col("cb") > F.col("ca")),
+        )
+        .groupBy("ca", "cb")
+        .agg(
+            F.sum(
+                (F.col("na") * F.col("sb") - F.col("nb") * F.col("sa"))
+                * (F.col("na") * F.col("sb") - F.col("nb") * F.col("sa"))
+            ).alias("num"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .select(
+            F.expr("(1000000 * num) div (na * na * nb * nb)").alias("d2")
+        )
+        .agg(F.min("d2").alias("min_inter"))
+    )
+    p = e.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "qv",
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.element_at("qv", F.col("i").cast("int") + 1).alias("x"),
+    )
+    own = (
+        p.join(
+            F.broadcast(cent),
+            (cent.c == p.label) & (cent.i == p.i),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("nc") * F.col("x") - F.col("scd"))
+                * (F.col("nc") * F.col("x") - F.col("scd"))
+            ).alias("num"),
+            F.max("nc").alias("nc"),
+        )
+        .select(F.expr("(1000000 * num) div (nc * nc)").alias("d2"))
+        .agg(F.max("d2").alias("max_intra"))
+    )
+    return inter.crossJoin(F.broadcast(own)).select(
+        F.col("min_inter").cast("bigint").alias("min_intercentroid_micro"),
+        F.col("max_intra").cast("bigint").alias("max_intracentroid_micro"),
+        F.expr(
+            "CAST((1000 * min_inter) div greatest(max_intra, 1)"
+            " AS BIGINT)"
+        ).alias("dunn_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_pps_systematic — probability-proportional-to-size systematic draw
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curate_pps_systematic",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS t
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((5 * (cum - n_chars)) // t AS BIGINT) AS pick_index
+    FROM c
+    WHERE (5 * (cum - n_chars)) // t < (5 * cum) // t
+    ORDER BY source, doc_id
+    """,
+    doc="Probability-proportional-to-size SYSTEMATIC sample of documents, "
+    "k = 5 per source: lay each source's documents end-to-end on a "
+    "character-count line (doc_id order), place k equally spaced "
+    "lattice points (origin 0, spacing T/k kept as the exact integer "
+    "comparison floor(k*cum_before/T) < floor(k*cum_incl/T) — no "
+    "division by T/k ever happens), and take the document covering "
+    "each point — the classic Madow design where inclusion probability "
+    "is proportional to size, the curation-side counterpart of "
+    "sample_weighted (which resamples WITH replacement) and "
+    "sample_stratified (equal-probability within strata). A document "
+    "longer than the spacing is taken once (documented without-"
+    "replacement caveat). All-integer; one partitioned window, no "
+    "shuffle beyond the source partitioning.",
+)
+def curate_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wc = Window.partitionBy("source").orderBy("doc_id")
+    wt = Window.partitionBy("source")
+    c = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(wc).alias("cum"),
+        F.sum("n_chars").over(wt).alias("t"),
+    )
+    return (
+        c.filter(
+            F.expr("(5 * (cum - n_chars)) div t < (5 * cum) div t")
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST((5 * (cum - n_chars)) div t AS BIGINT)"
+            ).alias("pick_index"),
+        )
+        .orderBy("source", "doc_id")
+    )

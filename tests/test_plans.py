@@ -352,6 +352,9 @@ _ALLOWED_NESTED_LOOP = {
     "orders_gehan_wilcoxon",      # 1-row horizon + group-totals broadcast crossJoins
     "orders_isotonic_monthly",    # bounded ~80-month prefix range NLJs (max-min lattice)
     "orders_cumulative_incidence",  # 1-row horizon + cohort-total broadcast crossJoins
+    "embedding_participation_ratio",  # 1-row trace x 1-row Frobenius broadcast crossJoin
+    "embedding_calinski_harabasz",  # 1-row SSW/SSB/totals broadcast crossJoins
+    "embedding_dunn_index",       # 1-row min-inter x 1-row max-intra broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

@@ -1511,3 +1511,196 @@ def test_cumulative_incidence_sums_to_one_minus_km():
             s *= Fraction(at_risk - d, at_risk)
             at_risk -= d + cens
         assert cif[1] + cif[2] + cif[3] == 1 - s
+
+
+# ---------------------------------------------------------------------------
+# pipeline20 batch-2 (multimodal walkers / cluster validity / PPS) pins
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_walker_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_tiff_ifd,
+    )
+
+    def entry(pre, tag, val):
+        return _s.pack(pre + "HHI", tag, 4, 1) + _s.pack(pre + "I", val)
+
+    for pre, hdr, le in (
+        ("<", b"II" + _s.pack("<H", 42), 1),
+        (">", b"MM" + _s.pack(">H", 42), 0),
+    ):
+        b = hdr + _s.pack(pre + "I", 8) + _s.pack(pre + "H", 4)
+        b += (
+            entry(pre, 256, 640)
+            + entry(pre, 257, 480)
+            + entry(pre, 258, 24)
+            + entry(pre, 400, 7)
+        )
+        b += _s.pack(pre + "I", 0)
+        assert walk_tiff_ifd(b) == (le, 640, 480, 24, 4)
+        # truncated IFD -> typed miss
+        assert walk_tiff_ifd(b[:-6]) is None
+    # wrong byte-order mark / wrong magic / missing dimension tags
+    assert walk_tiff_ifd(b"XX" + b"\x00" * 10) is None
+    bad_magic = b"II" + _s.pack("<H", 43) + _s.pack("<I", 8)
+    assert walk_tiff_ifd(bad_magic + b"\x00" * 20) is None
+    nodims = (
+        b"II" + _s.pack("<H", 42) + _s.pack("<I", 8) + _s.pack("<H", 1)
+        + entry("<", 400, 7) + _s.pack("<I", 0)
+    )
+    assert walk_tiff_ifd(nodims) is None
+
+
+def test_ico_walker_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_ico_dir,
+    )
+
+    ico = _s.pack("<HHH", 0, 1, 2)
+    ico += bytes([0, 32, 0, 0]) + _s.pack("<HH", 1, 32) + _s.pack(
+        "<II", 1200, 22
+    )
+    ico += bytes([16, 0, 0, 0]) + _s.pack("<HH", 1, 32) + _s.pack(
+        "<II", 900, 22
+    )
+    # the 0-means-256 quirk on width AND height
+    assert walk_ico_dir(ico) == (2, 256, 256, 2100)
+    # cursor resource type (2) and zero-count directories are misses
+    assert walk_ico_dir(_s.pack("<HHH", 0, 2, 1) + b"\x00" * 16) is None
+    assert walk_ico_dir(_s.pack("<HHH", 0, 1, 0)) is None
+    # truncated directory
+    assert walk_ico_dir(ico[:20]) is None
+
+
+def test_participation_ratio_equals_eigen_form():
+    import numpy as np
+
+    rng = random.Random(491)
+    for _ in range(20):
+        n, d = rng.randint(3, 20), rng.randint(2, 8)
+        X = np.array(
+            [[rng.randint(-50, 50) for _ in range(d)] for _ in range(n)],
+            dtype=np.int64,
+        )
+        M = X.T @ X
+        tr = int(np.trace(M))
+        fro2 = int((M * M).sum())
+        if fro2 == 0:
+            continue
+        lam = np.linalg.eigvalsh(M.astype(float))
+        pr_eig = lam.sum() ** 2 / (lam**2).sum()
+        pr_int = tr * tr / fro2
+        assert abs(pr_int - pr_eig) < 1e-6 * max(1.0, pr_eig)
+        assert 1 - 1e-9 <= pr_int <= d + 1e-9
+        # upper-triangle symmetry weighting matches the full sum
+        upper = sum(
+            (2 if i != j else 1) * int(M[i, j]) ** 2
+            for i in range(d)
+            for j in range(i, d)
+        )
+        assert upper == fro2
+
+
+def test_calinski_harabasz_cleared_terms():
+    rng = random.Random(499)
+    for _ in range(30):
+        k, d = rng.randint(2, 5), rng.randint(1, 4)
+        pts = []
+        for c in range(k):
+            for _ in range(rng.randint(2, 8)):
+                pts.append((c, [rng.randint(-20, 20) for _ in range(d)]))
+        N = len(pts)
+        G = [sum(p[1][j] for p in pts) for j in range(d)]
+        ssb = Fraction(0)
+        ssw = Fraction(0)
+        sst = Fraction(0)
+        gbar = [Fraction(G[j], N) for j in range(d)]
+        for c in range(k):
+            mem = [p[1] for p in pts if p[0] == c]
+            nc = len(mem)
+            S = [sum(x[j] for x in mem) for j in range(d)]
+            T = sum(x[j] ** 2 for x in mem for j in range(d))
+            cbar = [Fraction(S[j], nc) for j in range(d)]
+            ssw_c = sum(
+                sum((x[j] - cbar[j]) ** 2 for j in range(d)) for x in mem
+            )
+            ssb_c = nc * sum((cbar[j] - gbar[j]) ** 2 for j in range(d))
+            # cleared forms used by the operator
+            assert ssw_c == Fraction(
+                nc * T - sum(S[j] ** 2 for j in range(d)), nc
+            )
+            assert ssb_c == Fraction(
+                sum((N * S[j] - nc * G[j]) ** 2 for j in range(d)),
+                nc * N * N,
+            )
+            ssw += ssw_c
+            ssb += ssb_c
+        for _, x in pts:
+            sst += sum((x[j] - gbar[j]) ** 2 for j in range(d))
+        assert sst == ssb + ssw  # the variance decomposition
+
+
+def test_silhouette_and_dunn_distance_clearing():
+    rng = random.Random(503)
+    for _ in range(50):
+        d = rng.randint(1, 5)
+        nc, nd = rng.randint(1, 9), rng.randint(1, 9)
+        q = [rng.randint(-30, 30) for _ in range(d)]
+        S = [rng.randint(-200, 200) for _ in range(d)]
+        S2 = [rng.randint(-200, 200) for _ in range(d)]
+        ref = sum((q[j] - Fraction(S[j], nc)) ** 2 for j in range(d))
+        assert Fraction(
+            sum((nc * q[j] - S[j]) ** 2 for j in range(d)), nc * nc
+        ) == ref
+        ref2 = sum(
+            (Fraction(S[j], nc) - Fraction(S2[j], nd)) ** 2
+            for j in range(d)
+        )
+        assert Fraction(
+            sum((nd * S[j] - nc * S2[j]) ** 2 for j in range(d)),
+            nc * nc * nd * nd,
+        ) == ref2
+    # silhouette sign-split formula vs the textbook (b-a)/max(a,b)
+    for _ in range(50):
+        a, b = rng.randint(0, 10**6), rng.randint(0, 10**6)
+        if max(a, b) == 0:
+            continue
+        ref = Fraction(b - a, max(a, b))
+        if b >= a:
+            got = Fraction((1000 * (b - a)) // max(b, 1), 1000)
+        else:
+            got = -Fraction((1000 * (a - b)) // max(a, 1), 1000)
+        assert abs(got - ref) < Fraction(1, 1000)
+
+
+def test_pps_systematic_telescopes_to_k():
+    rng = random.Random(509)
+    for _ in range(60):
+        sizes = [rng.randint(1, 500) for _ in range(rng.randint(2, 40))]
+        t = sum(sizes)
+        k = 5
+        cum = 0
+        picks = 0
+        crossings = 0
+        for sz in sizes:
+            before, cum = cum, cum + sz
+            lo, hi = (k * before) // t, (k * cum) // t
+            crossings += hi - lo
+            if lo < hi:
+                picks += 1
+                # a lattice multiple of t/k lies in (before, cum]
+                assert any(
+                    before < Fraction(m * t, k) <= cum
+                    for m in range(1, k + 1)
+                )
+            else:
+                assert not any(
+                    before * k < m * t <= cum * k for m in range(1, k + 1)
+                )
+        assert crossings == k  # telescoping: floor(k*T/T) - floor(0)
+        assert picks <= k
