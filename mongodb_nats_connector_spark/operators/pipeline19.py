@@ -3451,7 +3451,11 @@ def docs_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bilateral symmetry. Cross-multiplied to ONE exact non-negative "
     "ppb floor-division per cell, 1e9*x_nb*X under 10^38 through "
     "sf100 (HUGEINT/DECIMAL widened). One fact rollup to the bounded "
-    "nation x brand grid (dims broadcast); margins via grid windows.",
+    "nation x brand grid (dims broadcast); margins via grid windows. "
+    "The fact rollup is N-linear by construction (one pass); at 100 "
+    "TB the named swap is pre-aggregated brand-revenue cube "
+    "partitions (the layout_zorder_tiles / sink_parquet_partitioned "
+    "path) so the grid rollup reads partial sums, not raw facts.",
 )
 def orders_rca_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
@@ -5387,7 +5391,11 @@ def text_sentence_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RISES with intrinsic dimension). Zero-distance duplicates are "
     "excluded (mu undefined); per-point mu floor-quantizes to micro "
     "and the final estimate is one integer division. Bounded-panel "
-    "scoring join + one qid-partitioned rank window.",
+    "scoring join + one qid-partitioned rank window. The panel scan "
+    "is N-linear by construction; at corpus scale the named swap is "
+    "the sign-LSH / IVF candidate generator already used by "
+    "similarity_ann_lsh / similarity_ann_ivf (r1/r2 need only each "
+    "query's two nearest, which bucketed candidates preserve).",
 )
 def embedding_twonn_intrinsic_dim(
     spark: SparkSession, sf_dir: str

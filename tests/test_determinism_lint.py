@@ -112,6 +112,9 @@ _ALLOWED_FLOAT_ROUND = {
     "orders_seasonal_decompose": 5,
     "orders_shewhart_control": 12,
     "orders_skyline_pareto": 2,
+    "orders_cumulative_incidence": 8,  # AJ product-limit + 3 CIF running
+    # sums on the survival_km exp-sum-ln scheme (round(ln,9)/round(,6)
+    # per surface)
     "orders_survival_km": 4,
     "orders_wasserstein_1d": 2,
     "profile_key_skew": 4,
