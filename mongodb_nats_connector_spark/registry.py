@@ -127,6 +127,10 @@ def _load_deferred() -> None:
     # exactly, so these queue one further round out
     from mongodb_nats_connector_spark.operators import pipeline20  # noqa: F401
 
+    # pipeline21 is the ROUND-15 bank seed: pipeline20 fills round 14's
+    # window exactly, so these queue two rounds out
+    from mongodb_nats_connector_spark.operators import pipeline21  # noqa: F401
+
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"
 

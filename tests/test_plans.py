@@ -355,6 +355,11 @@ _ALLOWED_NESTED_LOOP = {
     "embedding_participation_ratio",  # 1-row trace x 1-row Frobenius broadcast crossJoin
     "embedding_calinski_harabasz",  # 1-row SSW/SSB/totals broadcast crossJoins
     "embedding_dunn_index",       # 1-row min-inter x 1-row max-intra broadcast crossJoin
+    # pipeline21 (round-15 bank seed)
+    "text_log_odds_monroe",       # 1-row corpus-totals scalar broadcast crossJoin
+    "agg_huber_one_step",         # 1-row median/MAD/total scalars broadcast crossJoins
+    "agg_tarone_overdispersion",  # 1-row frame-totals scalar broadcast crossJoin
+    "docs_hill_tail_index",       # 1-row threshold scalar broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -590,6 +595,14 @@ _GLOBAL_WINDOWS = {
     "orders_cumulative_incidence": (3, "bounded: duration-day grid "
                                        "(risk-set prefix, product-limit "
                                        "prefix, CIF running sums)"),
+    # pipeline21 (round-15 bank seed)
+    "agg_huber_one_step": (6, "bounded: ~50-value quantity and |dev| "
+                              "census grids, cumulative windows "
+                              "duplicated under the med/MAD/clip "
+                              "branches"),
+    "docs_hill_tail_index": (3, "bounded: top-51 rank (WindowGroupLimit) "
+                                "duplicated under the threshold and "
+                                "top-k branches"),
 }
 
 
