@@ -1075,3 +1075,166 @@ def _ico_dir_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "total_declared_bytes": pd.Series(ts, dtype="Int64"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# ZIP central-directory walking (EOCD backward scan + record walk)
+# ---------------------------------------------------------------------------
+
+ZIP_CDIR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_entries", LongType()),
+        StructField("n_deflated", LongType()),
+        StructField("total_compressed", LongType()),
+        StructField("total_uncompressed", LongType()),
+        StructField("name_bytes", LongType()),
+    ]
+)
+
+
+def walk_zip_central_dir(
+    payload: bytes,
+) -> tuple[int, int, int, int, int] | None:
+    """Walk a ZIP central directory: backward-scan the tail for the EOCD
+    signature (PK\\x05\\x06, comment-tolerant like every real unzipper),
+    read the entry count / directory size / offset, then walk the 46-byte
+    central file headers (PK\\x01\\x02) collecting method, sizes and name
+    lengths. Directory walk only — local headers and payload bytes are
+    never dereferenced. Malformed input is a typed miss (None).
+    """
+    import struct
+
+    if len(payload) < 22:
+        return None
+    tail_start = max(0, len(payload) - 65557)
+    eocd = payload.rfind(b"PK\x05\x06", tail_start)
+    if eocd < 0 or eocd + 22 > len(payload):
+        return None
+    (n_total,) = struct.unpack_from("<H", payload, eocd + 10)
+    cd_size, cd_off = struct.unpack_from("<II", payload, eocd + 12)
+    if n_total == 0 or cd_off + cd_size > len(payload):
+        return None
+    pos = cd_off
+    n_deflated = total_c = total_u = name_bytes = 0
+    for _ in range(n_total):
+        if pos + 46 > len(payload) or payload[pos : pos + 4] != b"PK\x01\x02":
+            return None
+        (method,) = struct.unpack_from("<H", payload, pos + 10)
+        csize, usize = struct.unpack_from("<II", payload, pos + 20)
+        nlen, elen, clen = struct.unpack_from("<HHH", payload, pos + 28)
+        if method == 8:
+            n_deflated += 1
+        total_c += csize
+        total_u += usize
+        name_bytes += nlen
+        pos += 46 + nlen + elen + clen
+    return n_total, n_deflated, total_c, total_u, name_bytes
+
+
+def _zip_cdir_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ZIP central-directory walking; malformed payloads
+    yield the typed-miss row."""
+    for pdf in batches:
+        ids, ns, nd, tc, tu, nb = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_zip_central_dir(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (ns, nd, tc, tu, nb):
+                    lst.append(None)
+            else:
+                a, b, c, d, e = meta
+                ns.append(a)
+                nd.append(b)
+                tc.append(c)
+                tu.append(d)
+                nb.append(e)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_entries": pd.Series(ns, dtype="Int64"),
+                "n_deflated": pd.Series(nd, dtype="Int64"),
+                "total_compressed": pd.Series(tc, dtype="Int64"),
+                "total_uncompressed": pd.Series(tu, dtype="Int64"),
+                "name_bytes": pd.Series(nb, dtype="Int64"),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO parsing (bit-packed fields)
+# ---------------------------------------------------------------------------
+
+FLAC_INFO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def parse_flac_streaminfo(
+    payload: bytes,
+) -> tuple[int, int, int, int, int] | None:
+    """Parse a FLAC STREAMINFO block: verify the fLaC marker and a first
+    metadata block of type 0 / length 34, then BIT-unpack the packed
+    64-bit field group — sample rate (20 bits), channels-1 (3), bits per
+    sample-1 (5), total samples (36) — the one container grammar here
+    where fields do not align to bytes at all. duration_ms floors
+    1000*total/rate (bounded: total < 2^36, no Int64 overflow possible).
+    Malformed input is a typed miss (None).
+    """
+    import struct
+
+    if len(payload) < 8 + 34:
+        return None
+    if payload[:4] != b"fLaC":
+        return None
+    hdr = payload[4]
+    block_type = hdr & 0x7F
+    (length,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if block_type != 0 or length != 34:
+        return None
+    (packed,) = struct.unpack_from(">Q", payload, 8 + 10)
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return rate, channels, bps, total, (1000 * total) // rate
+
+
+def _flac_info_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched FLAC STREAMINFO parsing; malformed payloads yield
+    the typed-miss row."""
+    for pdf in batches:
+        ids, rs, cs, bs, ts, ds = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_flac_streaminfo(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (rs, cs, bs, ts, ds):
+                    lst.append(None)
+            else:
+                r, c, b, t, d = meta
+                rs.append(r)
+                cs.append(c)
+                bs.append(b)
+                ts.append(t)
+                ds.append(d)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_rate": pd.Series(rs, dtype="Int64"),
+                "channels": pd.Series(cs, dtype="Int64"),
+                "bits_per_sample": pd.Series(bs, dtype="Int64"),
+                "total_samples": pd.Series(ts, dtype="Int64"),
+                "duration_ms": pd.Series(ds, dtype="Int64"),
+            }
+        )

@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.operators.pipeline20 import (
+    _hex_le16,
+    _hex_le32,
+)
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -735,3 +739,925 @@ def docs_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(inv_alpha_micro_sum, 1) AS BIGINT)"
         ).alias("alpha_hat_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_sax_symbols — SAX symbolization of daily volumes (alphabet 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sax_symbols",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) * sum(x * x)
+               - CAST(sum(x) AS HUGEINT) * sum(x) AS v2
+      FROM d GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             CASE
+               WHEN t.n * d.x - t.s < 0
+                    AND 100000000 * (t.n * d.x - t.s) * (t.n * d.x - t.s)
+                        > 45495025 * t.v2 THEN 'a'
+               WHEN t.n * d.x - t.s < 0 THEN 'b'
+               WHEN 100000000 * (t.n * d.x - t.s) * (t.n * d.x - t.s)
+                    > 45495025 * t.v2 THEN 'd'
+               ELSE 'c'
+             END AS letter
+      FROM d JOIN t ON t.event_type = d.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           string_agg(letter, '' ORDER BY day) AS sax,
+           CAST(sum(CASE WHEN letter = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(sum(CASE WHEN letter = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           CAST(sum(CASE WHEN letter = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c,
+           CAST(sum(CASE WHEN letter = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_d
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+    doc="SAX (Symbolic Aggregate approXimation) symbolization of each "
+    "event type's daily-volume series, alphabet size 4: z-normalize and "
+    "bucket at the Gaussian quartile breakpoints -0.6745 / 0 / +0.6745 "
+    "— the discretization under iSAX indexing, symbolic motif mining "
+    "and the events_permutation_entropy alphabet's amplitude-aware "
+    "sibling (ordinal patterns see shape, SAX sees level). Every "
+    "breakpoint test is the exact integer cross-multiplication 1e8 "
+    "(n x - S)^2 vs 6745^2 (n sum x^2 - S^2) with the sign split "
+    "first (boundary z = ±0.6745 deterministically folds inward), so "
+    "no float z-score exists; the symbol string assembles in day "
+    "order. One rollup + per-type totals broadcast.",
+)
+def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+        ).alias("v2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    beyond = 100000000 * dev * dev > 45495025 * F.col("v2")
+    z = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        F.when((dev < 0) & beyond, "a")
+        .when(dev < 0, "b")
+        .when(beyond, "d")
+        .otherwise("c")
+        .alias("letter"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("day", "letter"))
+                    ),
+                    lambda s: s.getField("letter"),
+                ),
+            ).alias("sax"),
+            *[
+                F.sum(F.when(F.col("letter") == c, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{c}")
+                for c in ("a", "b", "c", "d")
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_recurrence_quantification — RQA recurrence rate + determinism
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_recurrence_quantification",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ix AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM d
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) * sum(x * x)
+               - CAST(sum(x) AS HUGEINT) * sum(x) AS v2
+      FROM ix GROUP BY 1
+    ),
+    rec AS (
+      SELECT a.event_type, a.i AS i1, b.i AS i2
+      FROM ix a JOIN ix b ON b.event_type = a.event_type AND b.i > a.i
+           JOIN t ON t.event_type = a.event_type
+      WHERE 25 * t.n * t.n * (a.x - b.x) * (a.x - b.x) < t.v2
+    ),
+    np AS (
+      SELECT event_type, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+      FROM t
+    ),
+    diag AS (
+      SELECT r.event_type, r.i1, r.i2,
+             CASE WHEN s.i1 IS NOT NULL OR p.i1 IS NOT NULL
+                  THEN 1 ELSE 0 END AS on_diag
+      FROM rec r
+      LEFT JOIN rec s ON s.event_type = r.event_type
+           AND s.i1 = r.i1 + 1 AND s.i2 = r.i2 + 1
+      LEFT JOIN rec p ON p.event_type = r.event_type
+           AND p.i1 = r.i1 - 1 AND p.i2 = r.i2 - 1
+    )
+    SELECT np.event_type, np.n_pairs,
+           CAST(count(dg.i1) AS BIGINT) AS n_recurrent,
+           CAST((1000000 * count(dg.i1)) // np.n_pairs AS BIGINT)
+             AS rr_ppm,
+           CAST(coalesce(sum(dg.on_diag), 0) AS BIGINT) AS n_on_diagonal,
+           CAST((1000000 * coalesce(sum(dg.on_diag), 0))
+                // greatest(count(dg.i1), 1) AS BIGINT) AS det_ppm
+    FROM np LEFT JOIN diag dg ON dg.event_type = np.event_type
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="Recurrence quantification (RQA) of each event type's daily-"
+    "volume series: recurrence rate RR = fraction of day pairs whose "
+    "volumes fall within eps = 0.2 sigma of each other (the exact "
+    "integer test 25 n^2 (x_i - x_j)^2 < n sum x^2 - S^2), and a "
+    "determinism proxy DET = fraction of recurrent pairs lying on a "
+    "diagonal of length >= 2 (the (i+1, j+1) neighbor also recurrent) "
+    "— high RR + high DET marks rule-driven dynamics, high RR + low "
+    "DET marks a noisy plateau: structure the variance-based monitors "
+    "(events_vmr_windows) and even permutation entropy cannot "
+    "separate. Pairs live on the BOUNDED per-type calendar grid "
+    "(<= 30 x 30), joined equi on type; all-integer.",
+)
+def events_recurrence_quantification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ix = d.select(
+        "event_type", "x", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    t = ix.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+        ).alias("v2"),
+    )
+    a = ix.select("event_type", F.col("i").alias("i1"), F.col("x").alias("x1"))
+    b = ix.select("event_type", F.col("i").alias("i2"), F.col("x").alias("x2"))
+    rec = (
+        a.join(b, "event_type")
+        .filter(F.col("i2") > F.col("i1"))
+        .join(F.broadcast(t), "event_type")
+        .filter(
+            25
+            * F.col("n")
+            * F.col("n")
+            * (F.col("x1") - F.col("x2"))
+            * (F.col("x1") - F.col("x2"))
+            < F.col("v2")
+        )
+        .select("event_type", "i1", "i2")
+    )
+    np_ = t.select(
+        "event_type",
+        (F.col("n") * (F.col("n") - 1) / 2)
+        .cast("bigint")
+        .alias("n_pairs"),
+    )
+    s = rec.select(
+        "event_type",
+        (F.col("i1") + 1).alias("i1"),
+        (F.col("i2") + 1).alias("i2"),
+        F.lit(1).alias("succ"),
+    )
+    p = rec.select(
+        "event_type",
+        (F.col("i1") - 1).alias("i1"),
+        (F.col("i2") - 1).alias("i2"),
+        F.lit(1).alias("pred"),
+    )
+    diag = (
+        rec.join(s, ["event_type", "i1", "i2"], "left")
+        .join(p, ["event_type", "i1", "i2"], "left")
+        .select(
+            "event_type",
+            "i1",
+            F.when(
+                F.col("succ").isNotNull() | F.col("pred").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("on_diag"),
+        )
+    )
+    return (
+        np_.join(diag, "event_type", "left")
+        .groupBy("event_type", "n_pairs")
+        .agg(
+            F.count("i1").cast("bigint").alias("n_recurrent"),
+            F.expr(
+                "CAST((1000000 * count(i1)) div n_pairs AS BIGINT)"
+            ).alias("rr_ppm"),
+            F.coalesce(F.sum("on_diag"), F.lit(0))
+            .cast("bigint")
+            .alias("n_on_diagonal"),
+            F.expr(
+                "CAST((1000000 * coalesce(sum(on_diag), 0))"
+                " div greatest(count(i1), 1) AS BIGINT)"
+            ).alias("det_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sample_entropy — SampEn(m=1, r=0.2 sigma) of daily volumes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sample_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ix AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS i
+      FROM d
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) * sum(x * x)
+               - CAST(sum(x) AS HUGEINT) * sum(x) AS v2
+      FROM ix GROUP BY 1
+    ),
+    prs AS (
+      SELECT a.event_type,
+             CASE WHEN 25 * t.n * t.n * (a.x - b.x) * (a.x - b.x)
+                       <= t.v2 THEN 1 ELSE 0 END AS b_match,
+             CASE WHEN 25 * t.n * t.n * (a.x - b.x) * (a.x - b.x)
+                       <= t.v2
+                   AND 25 * t.n * t.n * (a.xn - b.xn) * (a.xn - b.xn)
+                       <= t.v2 THEN 1 ELSE 0 END AS a_match
+      FROM ix a JOIN ix b ON b.event_type = a.event_type AND b.i > a.i
+           JOIN t ON t.event_type = a.event_type
+      WHERE a.xn IS NOT NULL AND b.xn IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(sum(b_match) AS BIGINT) AS b_count,
+           CAST(sum(a_match) AS BIGINT) AS a_count,
+           CAST(CASE WHEN sum(a_match) > 0 THEN
+                floor(1000000.0 * ln(CAST(sum(b_match) AS DOUBLE)
+                                     / sum(a_match)))
+                END AS BIGINT) AS sampen_micro
+    FROM prs GROUP BY 1 ORDER BY 1
+    """,
+    doc="Sample entropy SampEn(m = 1, r = 0.2 sigma) of each event "
+    "type's daily-volume series: -ln(A/B) where B counts template "
+    "pairs matching at length 1 and A those still matching at length "
+    "2 — the regularity statistic (low SampEn = predictable next "
+    "step) designed to be length-unbiased where approximate entropy "
+    "double-counts self-matches; the amplitude-domain complement of "
+    "events_permutation_entropy and the formal statistic behind the "
+    "RQA determinism proxy. The tolerance test is the same exact "
+    "cross-multiplication as the RQA eps (<=, per Richman-Moorman); "
+    "one quantized ln of the exact integer ratio B/A per type. "
+    "Bounded per-type pair grid, equi-joined on type.",
+)
+def events_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ix = d.select(
+        "event_type",
+        "x",
+        F.lead("x").over(w).alias("xn"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    t = ix.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+        ).alias("v2"),
+    )
+    a = ix.select(
+        "event_type",
+        F.col("i").alias("i1"),
+        F.col("x").alias("x1"),
+        F.col("xn").alias("xn1"),
+    )
+    b = ix.select(
+        "event_type",
+        F.col("i").alias("i2"),
+        F.col("x").alias("x2"),
+        F.col("xn").alias("xn2"),
+    )
+    near = (
+        lambda u, v: 25
+        * F.col("n")
+        * F.col("n")
+        * (F.col(u) - F.col(v))
+        * (F.col(u) - F.col(v))
+        <= F.col("v2")
+    )
+    prs = (
+        a.join(b, "event_type")
+        .filter(
+            (F.col("i2") > F.col("i1"))
+            & F.col("xn1").isNotNull()
+            & F.col("xn2").isNotNull()
+        )
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            F.when(near("x1", "x2"), 1).otherwise(0).alias("b_match"),
+            F.when(
+                near("x1", "x2") & near("xn1", "xn2"), 1
+            )
+            .otherwise(0)
+            .alias("a_match"),
+        )
+    )
+    return (
+        prs.groupBy("event_type")
+        .agg(
+            F.sum("b_match").cast("bigint").alias("b_count"),
+            F.sum("a_match").cast("bigint").alias("a_count"),
+            F.expr(
+                "CAST(CASE WHEN sum(a_match) > 0 THEN"
+                " floor(1000000.0 * ln(CAST(sum(b_match) AS DOUBLE)"
+                " / sum(a_match))) END AS BIGINT)"
+            ).alias("sampen_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_transfer_entropy — directed information flow click -> purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transfer_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT CASE WHEN y > lag(y) OVER w THEN 1 ELSE 0 END AS yu,
+             CASE WHEN x > lag(x) OVER w THEN 1 ELSE 0 END AS xu,
+             CASE WHEN lead(y) OVER w > y THEN 1 ELSE 0 END AS ynu,
+             lag(y) OVER w AS yp, lead(y) OVER w AS yn
+      FROM d WINDOW w AS (ORDER BY day)
+    ),
+    tri AS (
+      SELECT ynu, yu, xu, CAST(count(*) AS BIGINT) AS c
+      FROM u WHERE yp IS NOT NULL AND yn IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT t.ynu, t.yu, t.xu, t.c,
+             CAST(sum(t.c) OVER (PARTITION BY t.yu, t.xu) AS BIGINT)
+               AS c_yx,
+             CAST(sum(t.c) OVER (PARTITION BY t.ynu, t.yu) AS BIGINT)
+               AS c_yny,
+             CAST(sum(t.c) OVER (PARTITION BY t.yu) AS BIGINT) AS c_y,
+             CAST(sum(t.c) OVER () AS BIGINT) AS n
+      FROM tri t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(floor(1000000.0 * c *
+                ln((CAST(c AS DOUBLE) * c_y)
+                   / (CAST(c_yx AS DOUBLE) * c_yny))) AS BIGINT))
+                AS BIGINT) AS te_nscaled_micro
+    FROM m
+    """,
+    doc="Transfer entropy (Schreiber) from click direction to purchase "
+    "direction over the shared daily calendar: TE(X->Y) = sum p(y', y, "
+    "x) ln[ p(y'|y,x) / p(y'|y) ] on the binary up/down state space — "
+    "the DIRECTED dependence measure that is zero when click history "
+    "adds nothing beyond purchase's own history (Granger causality's "
+    "information-theoretic form; the asymmetric upgrade of events_"
+    "type_cooccurrence). The <= 8 bounded state cells each floor-"
+    "quantize c ln(c c_y / (c_yx c_y'y)) to integer micro-nats (the "
+    "agg_mutual_information precedent — the marginal identity makes "
+    "the conditional ratio a pure count ratio), then sum exactly; "
+    "te_nscaled_micro = n*TE. One day rollup + bounded grid windows.",
+)
+def events_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    w = Window.orderBy("day")
+    u = d.select(
+        F.when(F.col("y") > F.lag("y").over(w), 1).otherwise(0).alias("yu"),
+        F.when(F.col("x") > F.lag("x").over(w), 1).otherwise(0).alias("xu"),
+        F.when(F.lead("y").over(w) > F.col("y"), 1)
+        .otherwise(0)
+        .alias("ynu"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    tri = (
+        u.filter(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+        .groupBy("ynu", "yu", "xu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = tri.select(
+        "ynu",
+        "yu",
+        "xu",
+        "c",
+        F.sum("c").over(Window.partitionBy("yu", "xu")).alias("c_yx"),
+        F.sum("c").over(Window.partitionBy("ynu", "yu")).alias("c_yny"),
+        F.sum("c").over(Window.partitionBy("yu")).alias("c_y"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return m.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(
+            F.floor(
+                1000000.0
+                * F.col("c")
+                * F.log(
+                    (F.col("c").cast("double") * F.col("c_y"))
+                    / (F.col("c_yx").cast("double") * F.col("c_yny"))
+                )
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("te_nscaled_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_zip_central_dir — EOCD backward scan + central-record walk
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_zip_central_dir",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_entries,
+           CAST(list_sum(list_transform(range(n), i ->
+                (doc_id + i) % 2)) AS BIGINT) AS n_deflated,
+           CAST(list_sum(list_transform(range(n), i ->
+                100 + (doc_id + i) % 1000)) AS BIGINT)
+             AS total_compressed,
+           CAST(list_sum(list_transform(range(n), i ->
+                100 + (doc_id + i) % 1000
+                + 500 * ((doc_id + i) % 3))) AS BIGINT)
+             AS total_uncompressed,
+           CAST(6 * n AS BIGINT) AS name_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL ZIP central-directory walking under the driver's hash "
+    "check: per doc, construct a central directory of 1-3 46-byte "
+    "file headers (PK\\x01\\x02 records with method/sizes/name-length "
+    "fields and 'fN.txt' names) plus the end-of-central-directory "
+    "record, then recover the entry census, deflate count, declared "
+    "compressed/uncompressed totals and name bytes with the real "
+    "stdlib walker (multimodal.walk_zip_central_dir) — whose EOCD "
+    "BACKWARD scan from the file tail is the grammar feature no other "
+    "walker here has (every real unzipper starts at the end, comment-"
+    "tolerant). Map-only; zero shuffles.",
+)
+def multimodal_zip_central_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        ZIP_CDIR_SCHEMA,
+        _zip_cdir_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (1 + F.col("doc_id") % 3).alias("n")
+    )
+    entries = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(n - 1 AS INT)), i ->"
+        " concat("
+        "  '504B0102', '14001400', '0000',"
+        # method LE16
+        "  concat(lpad(hex((doc_id + i) % 2 * 8), 2, '0'), '00'),"
+        "  '00000000',"                      # time + date
+        "  '00000000',"                      # crc32 (declared only)
+        # compressed size LE32
+        "  concat(substring(lpad(hex(100 + (doc_id + i) % 1000), 8, '0'),"
+        "           7, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000), 8, '0'),"
+        "           5, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000), 8, '0'),"
+        "           3, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000), 8, '0'),"
+        "           1, 2)),"
+        # uncompressed size LE32
+        "  concat(substring(lpad(hex(100 + (doc_id + i) % 1000"
+        "           + 500 * ((doc_id + i) % 3)), 8, '0'), 7, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000"
+        "           + 500 * ((doc_id + i) % 3)), 8, '0'), 5, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000"
+        "           + 500 * ((doc_id + i) % 3)), 8, '0'), 3, 2),"
+        "         substring(lpad(hex(100 + (doc_id + i) % 1000"
+        "           + 500 * ((doc_id + i) % 3)), 8, '0'), 1, 2)),"
+        "  '0600', '0000', '0000',"          # name/extra/comment len
+        "  '0000', '0000', '00000000', '00000000',"  # disk/attrs/offset
+        "  '66', lpad(hex(48 + i), 2, '0'), '2E747874')))"  # fN.txt
+    )
+    eocd = F.concat(
+        F.lit("504B0506"),
+        F.lit("00000000"),
+        _hex_le16(F.col("n")),
+        _hex_le16(F.col("n")),
+        _hex_le32(52 * F.col("n")),
+        _hex_le32(F.lit(0)),
+        F.lit("0000"),
+    )
+    return (
+        d.select(
+            "doc_id", F.unhex(F.concat(entries, eocd)).alias("payload")
+        )
+        .mapInPandas(_zip_cdir_batches, ZIP_CDIR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_flac_streaminfo — bit-packed STREAMINFO field group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_flac_streaminfo",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8000 + (doc_id % 9) * 4000 AS rate,
+             1 + doc_id % 8 AS ch,
+             8 + doc_id % 25 AS bps,
+             (doc_id * 1000) % 68719476736 AS total
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(bps AS BIGINT) AS bits_per_sample,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST((1000 * total) // rate AS BIGINT) AS duration_ms
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL FLAC STREAMINFO parsing under the driver's hash check: per "
+    "doc, construct a fLaC container (marker, last-block type-0 header "
+    "of length 34, STREAMINFO with the packed 64-bit field group "
+    "rate<<44 | (ch-1)<<41 | (bps-1)<<36 | total_samples assembled as "
+    "one hex bigint) and recover rate / channels / bit depth / total "
+    "samples / duration with the real bit-unpacking parser "
+    "(multimodal.parse_flac_streaminfo) — the one grammar here whose "
+    "fields do NOT align to bytes (20/3/5/36-bit packing), covering "
+    "the bit-level decode class beside the byte-aligned WAV/mp4/TIFF "
+    "walkers. duration_ms = 1000 total // rate is overflow-free by "
+    "construction (total < 2^36). Map-only; zero shuffles.",
+)
+def multimodal_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        FLAC_INFO_SCHEMA,
+        _flac_info_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (8000 + (F.col("doc_id") % 9) * 4000).alias("rate"),
+        (1 + F.col("doc_id") % 8).alias("ch"),
+        (8 + F.col("doc_id") % 25).alias("bps"),
+        ((F.col("doc_id") * 1000) % F.lit(68719476736)).alias("total"),
+    )
+    packed = (
+        F.col("rate") * F.lit(17592186044416)  # << 44
+        + (F.col("ch") - 1) * F.lit(2199023255552)  # << 41
+        + (F.col("bps") - 1) * F.lit(68719476736)  # << 36
+        + F.col("total")
+    )
+    flac_hex = F.concat(
+        F.lit("664C6143"),                  # 'fLaC'
+        F.lit("80000022"),                  # last block, type 0, len 34
+        F.lit("10001000"),                  # min/max blocksize 4096
+        F.lit("000000000000"),              # min/max framesize (unknown)
+        F.lpad(F.hex(packed), 16, "0"),
+        F.lit("00000000000000000000000000000000"),  # MD5 (declared)
+    )
+    return (
+        d.select("doc_id", F.unhex(flac_hex).alias("payload"))
+        .mapInPandas(_flac_info_batches, FLAC_INFO_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_rank_biased_overlap — RBO@10 between full and truncated ANN
+# ---------------------------------------------------------------------------
+
+from mongodb_nats_connector_spark.operators.pipeline20 import (  # noqa: E402
+    _QV,
+    _QV_SQL,
+)
+
+
+@register(
+    "similarity_rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ),
+    panel AS (SELECT vec_id AS qid, qv AS qqv FROM q WHERE vec_id < 20),
+    scored AS (
+      SELECT p.qid, c.vec_id AS cid,
+             CAST(list_sum(list_transform(range(64), i ->
+               p.qqv[CAST(i AS INT) + 1] * c.qv[CAST(i AS INT) + 1]))
+               AS BIGINT) AS s_full,
+             CAST(list_sum(list_transform(range(32), i ->
+               p.qqv[CAST(i AS INT) + 1] * c.qv[CAST(i AS INT) + 1]))
+               AS BIGINT) AS s_half
+      FROM panel p, q c WHERE c.vec_id <> p.qid
+    ),
+    rk AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY s_full DESC, cid) AS rf,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY s_half DESC, cid) AS rt
+      FROM scored
+    ),
+    mc AS (
+      SELECT qid, greatest(rf, rt) AS m, CAST(count(*) AS BIGINT) AS cnt
+      FROM rk WHERE rf <= 10 AND rt <= 10 GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT * FROM (VALUES
+        (1, 1, 10), (2, 9, 200), (3, 81, 3000), (4, 729, 40000),
+        (5, 6561, 500000), (6, 59049, 6000000), (7, 531441, 70000000),
+        (8, 4782969, 800000000), (9, 43046721, 9000000000),
+        (10, 387420489, 100000000000)) AS t(d, pnum, pden)
+    ),
+    ov AS (
+      SELECT p.qid, dd.d, dd.pnum, dd.pden,
+             CAST(coalesce(sum(mc.cnt), 0) AS BIGINT) AS ov_d
+      FROM panel p CROSS JOIN dd
+      LEFT JOIN mc ON mc.qid = p.qid AND mc.m <= dd.d
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT qid AS vec_id,
+           CAST(sum((1000000 * CAST(pnum AS BIGINT) * ov_d)
+                    // pden) AS BIGINT)
+             AS rbo10_micro,
+           CAST(max(CASE WHEN d = 10 THEN ov_d END) AS BIGINT)
+             AS overlap_at_10
+    FROM ov GROUP BY 1 ORDER BY 1
+    """,
+    doc="Rank-biased overlap (Webber et al., p = 0.9, truncated at depth "
+    "10) between each panel query's FULL 64-dim top-10 neighbors and "
+    "its Matryoshka-truncated 32-dim top-10: RBO = (1-p) sum p^(d-1) "
+    "|A_d n B_d| / d — the top-weighted set-overlap that grades HOW a "
+    "truncated index disagrees (rank 1 swaps cost more than rank 10), "
+    "upgrading embedding_truncation_fidelity's top-1 agreement and "
+    "similarity_recall_at_k's unweighted recall. Exact integer dot "
+    "products over the shared deci-milli quantization, deterministic "
+    "(score, id) ties; each bounded depth term floor-quantizes "
+    "(1e6 9^(d-1) ov_d) / (10^d d) with the geometric weights carried "
+    "as exact integer literal pairs. Bounded 20-query panel NLJ "
+    "(allowlisted) + per-query rank windows.",
+)
+def similarity_rank_biased_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_QV).alias("qv")
+    )
+    panel = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    dot = lambda n: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.slice("qqv", 1, n), F.slice("qv", 1, n), lambda a, b: a * b
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            dot(64).alias("s_full"),
+            dot(32).alias("s_half"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("s_full").desc(), "cid")
+    wt = Window.partitionBy("qid").orderBy(F.col("s_half").desc(), "cid")
+    rk = scored.select(
+        "qid",
+        "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    mc = (
+        rk.filter((F.col("rf") <= 10) & (F.col("rt") <= 10))
+        .groupBy("qid", F.greatest("rf", "rt").alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dd = spark.createDataFrame(
+        [(d, 9 ** (d - 1), 10**d * d) for d in range(1, 11)],
+        "d int, pnum bigint, pden bigint",
+    )
+    # theta join (m <= d) on the bounded 200-row scaffold
+    grid = panel.select("qid").crossJoin(F.broadcast(dd))
+    ov = (
+        grid.join(
+            F.broadcast(mc.withColumnRenamed("qid", "mqid")),
+            (F.col("mqid") == F.col("qid")) & (F.col("m") <= F.col("d")),
+            "left",
+        )
+        .groupBy("qid", "d", "pnum", "pden")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("ov_d"))
+    )
+    return (
+        ov.groupBy(F.col("qid").alias("vec_id"))
+        .agg(
+            F.sum(
+                F.expr("(1000000 * pnum * ov_d) div pden")
+            )
+            .cast("bigint")
+            .alias("rbo10_micro"),
+            F.max(F.when(F.col("d") == 10, F.col("ov_d")))
+            .cast("bigint")
+            .alias("overlap_at_10"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_kcenter_coreset — greedy Gonzalez k-center selection (k = 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    d1 AS (
+      SELECT p.vec_id, p.qv,
+             CAST(list_sum(list_transform(range(64), i ->
+               (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])
+               * (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])))
+               AS BIGINT) AS dm
+      FROM q p, c1 c
+    ),
+    n2 AS (SELECT vec_id, qv FROM d1 ORDER BY dm DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT p.vec_id, p.qv,
+             least(p.dm, CAST(list_sum(list_transform(range(64), i ->
+               (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])
+               * (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])))
+               AS BIGINT)) AS dm
+      FROM d1 p, n2 c
+    ),
+    n3 AS (SELECT vec_id, qv FROM d2 ORDER BY dm DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT p.vec_id, p.qv,
+             least(p.dm, CAST(list_sum(list_transform(range(64), i ->
+               (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])
+               * (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])))
+               AS BIGINT)) AS dm
+      FROM d2 p, n3 c
+    ),
+    n4 AS (SELECT vec_id, qv FROM d3 ORDER BY dm DESC, vec_id LIMIT 1),
+    d4 AS (
+      SELECT least(p.dm, CAST(list_sum(list_transform(range(64), i ->
+               (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])
+               * (p.qv[CAST(i AS INT) + 1] - c.qv[CAST(i AS INT) + 1])))
+               AS BIGINT)) AS dm
+      FROM d3 p, n4 c
+    )
+    SELECT 1 AS step, (SELECT vec_id FROM c1) AS center_id,
+           (SELECT CAST(max(dm) AS BIGINT) FROM d1)
+             AS coverage_radius_sq
+    UNION ALL SELECT 2, (SELECT vec_id FROM n2),
+           (SELECT CAST(max(dm) AS BIGINT) FROM d2)
+    UNION ALL SELECT 3, (SELECT vec_id FROM n3),
+           (SELECT CAST(max(dm) AS BIGINT) FROM d3)
+    UNION ALL SELECT 4, (SELECT vec_id FROM n4),
+           (SELECT CAST(max(dm) AS BIGINT) FROM d4)
+    ORDER BY step
+    """,
+    doc="Greedy k-center (Gonzalez) coreset selection over the embedding "
+    "corpus, k = 4: start at the lowest vec_id, then repeatedly take "
+    "the point FARTHEST from its nearest chosen center (exact integer "
+    "squared L2 over the shared deci-milli quantization, (distance, "
+    "id) ties deterministic) — the 2-approximation to optimal k-center "
+    "whose selected points are the classic diversity coreset for "
+    "curation and the robust seeding for kmeans_embeddings (farthest-"
+    "point beats random init on separated data). Per round ONE "
+    "argmax row collects to the driver and re-enters as a literal "
+    "(the kmeans/bpe_learn_merges driver-loop precedent — 4 bounded "
+    "rounds, never data-proportional); coverage_radius_sq after each "
+    "round is the max min-distance, i.e. the NEXT center's distance. "
+    "Oracle unrolls the rounds as chained CTEs.",
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_QV).alias("qv")
+    )
+
+    def d2_to(center_vals: list[int]) -> F.Column:
+        lits = F.array(*[F.lit(int(v)).cast("bigint") for v in center_vals])
+        return F.aggregate(
+            F.zip_with("qv", lits, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    first = (
+        e.orderBy("vec_id").limit(1).select("vec_id", "qv").collect()[0]
+    )
+    rows = []
+    df = e.withColumn("dm", d2_to(list(first["qv"])))
+    center_id = int(first["vec_id"])
+    for step in (1, 2, 3):
+        far = (
+            df.orderBy(F.col("dm").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "qv", "dm")
+            .collect()[0]
+        )
+        rows.append((step, center_id, int(far["dm"])))
+        center_id = int(far["vec_id"])
+        df = df.withColumn(
+            "dm", F.least(F.col("dm"), d2_to(list(far["qv"])))
+        )
+    last_radius = df.agg(F.max("dm").alias("r")).collect()[0]["r"]
+    rows.append((4, center_id, int(last_radius)))
+    return spark.createDataFrame(
+        rows, "step int, center_id bigint, coverage_radius_sq bigint"
+    ).orderBy("step")

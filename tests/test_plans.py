@@ -360,6 +360,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_huber_one_step",         # 1-row median/MAD/total scalars broadcast crossJoins
     "agg_tarone_overdispersion",  # 1-row frame-totals scalar broadcast crossJoin
     "docs_hill_tail_index",       # 1-row threshold scalar broadcast crossJoins
+    "similarity_rank_biased_overlap",  # bounded 20-query panel NLJ + 200-row depth scaffold
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -603,6 +604,9 @@ _GLOBAL_WINDOWS = {
     "docs_hill_tail_index": (3, "bounded: top-51 rank (WindowGroupLimit) "
                                 "duplicated under the threshold and "
                                 "top-k branches"),
+    "events_transfer_entropy": (2, "bounded: ~30-day aligned calendar "
+                                   "lags + <= 8-cell state-marginal "
+                                   "windows"),
 }
 
 

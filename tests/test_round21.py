@@ -152,3 +152,221 @@ def test_hill_inversion_scale():
         assert abs(alpha_micro / 10**6 - 1 / inv_alpha) < 1e-4 * (
             1 / inv_alpha
         )
+
+
+# ---------------------------------------------------------------------------
+# batch 2 pins (dynamics / rankings / coreset / container walkers)
+# ---------------------------------------------------------------------------
+
+
+def test_sax_breakpoint_cross_multiplication():
+    assert 6745 * 6745 == 45495025
+    rng = random.Random(577)
+    for _ in range(80):
+        xs = [rng.randint(0, 40) for _ in range(rng.randint(4, 30))]
+        n, s = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        v2 = n * s2 - s * s
+        if v2 == 0:
+            continue
+        mean = Fraction(s, n)
+        sigma2 = Fraction(v2, n * n)
+        for x in xs:
+            dev = n * x - s
+            z2_gt = Fraction((x - mean) ** 2, 1) > Fraction(6745, 10000) ** 2 * sigma2
+            int_gt = 10**8 * dev * dev > 45495025 * v2
+            assert int_gt == z2_gt
+            # letter partition: exactly one of a/b/c/d fires
+            a = dev < 0 and int_gt
+            b = dev < 0 and not int_gt
+            d = dev >= 0 and int_gt
+            c = dev >= 0 and not int_gt
+            assert sum([a, b, c, d]) == 1
+
+
+def test_rqa_sampen_epsilon_cross_multiplication():
+    rng = random.Random(587)
+    for _ in range(80):
+        xs = [rng.randint(0, 50) for _ in range(rng.randint(4, 25))]
+        n, s = len(xs), sum(xs)
+        v2 = n * sum(x * x for x in xs) - s * s
+        if v2 == 0:
+            continue
+        sigma2 = Fraction(v2, n * n)
+        for _ in range(10):
+            dx = rng.randint(-20, 20)
+            # strict (RQA) and <= (SampEn) both clear exactly
+            assert (25 * n * n * dx * dx < v2) == (
+                Fraction(dx * dx, 1) < sigma2 / 25
+            )
+            assert (25 * n * n * dx * dx <= v2) == (
+                Fraction(dx * dx, 1) <= sigma2 / 25
+            )
+
+
+def test_sample_entropy_a_subset_of_b():
+    rng = random.Random(593)
+    for _ in range(40):
+        xs = [rng.randint(0, 10) for _ in range(rng.randint(5, 20))]
+        n = len(xs)
+        r = 2
+        b = a = 0
+        for i in range(n - 1):
+            for j in range(i + 1, n - 1):
+                if abs(xs[i] - xs[j]) <= r:
+                    b += 1
+                    if abs(xs[i + 1] - xs[j + 1]) <= r:
+                        a += 1
+        assert a <= b  # template extension can only lose matches
+        if a > 0:
+            assert math.log(b / a) >= 0
+
+
+def test_transfer_entropy_zero_under_factorization():
+    # when p(y'|y,x) == p(y'|y) every cell's log ratio is exactly 0
+    rng = random.Random(599)
+    for _ in range(40):
+        c_y = {0: rng.randint(4, 40) * 4, 1: rng.randint(4, 40) * 4}
+        cells = {}
+        for y in (0, 1):
+            for yn in (0, 1):
+                for x in (0, 1):
+                    # factorized: c = c_y * p(yn|y) * p(x|y) with simple
+                    # quarter splits so counts stay integral
+                    cells[(yn, y, x)] = c_y[y] // 4
+        for (yn, y, x), c in cells.items():
+            c_yx = sum(
+                v for (a, b, d), v in cells.items() if b == y and d == x
+            )
+            c_yny = sum(
+                v for (a, b, d), v in cells.items() if a == yn and b == y
+            )
+            ratio = Fraction(c * c_y[y], c_yx * c_yny)
+            assert ratio == 1  # ln(1) = 0 exactly, no quantization drift
+
+
+def test_rbo_weights_and_identity_ranking():
+    # literal pairs: pnum = 9^(d-1), pden = 10^d * d
+    for d in range(1, 11):
+        assert 9 ** (d - 1) == [1, 9, 81, 729, 6561, 59049, 531441,
+                                4782969, 43046721, 387420489][d - 1]
+        assert 10**d * d == [10, 200, 3000, 40000, 500000, 6000000,
+                             70000000, 800000000, 9000000000,
+                             100000000000][d - 1]
+    # identical rankings: ov_d = d, RBO(truncated, p=0.9) = 1 - p^10
+    p = Fraction(9, 10)
+    rbo = sum(
+        (1 - p) * p ** (d - 1) * Fraction(d, d) for d in range(1, 11)
+    )
+    assert rbo == 1 - p**10
+    # and the integer-cleared form matches term by term
+    for d in range(1, 11):
+        ov = d
+        term_ref = (1 - p) * p ** (d - 1) * Fraction(ov, d)
+        assert Fraction(9 ** (d - 1) * ov, 10**d * d) == term_ref
+
+
+def test_kcenter_greedy_bruteforce_equivalence():
+    rng = random.Random(601)
+    for _ in range(30):
+        pts = {
+            i: tuple(rng.randint(-20, 20) for _ in range(3))
+            for i in range(rng.randint(5, 20))
+        }
+
+        def d2(a, b):
+            return sum((u - v) ** 2 for u, v in zip(a, b))
+
+        centers = [min(pts)]  # lowest id
+        radii = []
+        for _ in range(3):
+            dmin = {
+                i: min(d2(p, pts[c]) for c in centers)
+                for i, p in pts.items()
+            }
+            far = max(pts, key=lambda i: (dmin[i], -i))
+            # deterministic tie: max distance, then MIN id
+            best = max(dmin.values())
+            far = min(i for i in pts if dmin[i] == best)
+            radii.append(best)
+            centers.append(far)
+        dmin = {
+            i: min(d2(p, pts[c]) for c in centers) for i, p in pts.items()
+        }
+        radii.append(max(dmin.values()))
+        # coverage radius is nonincreasing as centers are added
+        assert all(radii[i] >= radii[i + 1] for i in range(3))
+        # radius after step s equals the (s+1)-th center's distance
+        # (by construction of the greedy argmax) — checked implicitly
+        # by the monotonicity + the final recomputation above
+
+
+def test_zip_walker_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_zip_central_dir,
+    )
+
+    def cdh(method, csize, usize, name):
+        return (
+            b"PK\x01\x02" + b"\x14\x00\x14\x00\x00\x00"
+            + _s.pack("<H", method) + b"\x00" * 8
+            + _s.pack("<II", csize, usize)
+            + _s.pack("<HHH", len(name), 0, 0)
+            + b"\x00" * 12 + name
+        )
+
+    cd = cdh(0, 100, 100, b"f0.txt") + cdh(8, 200, 700, b"f1.txt")
+    eocd = (
+        b"PK\x05\x06" + b"\x00" * 4 + _s.pack("<HH", 2, 2)
+        + _s.pack("<II", len(cd), 0) + b"\x00\x00"
+    )
+    assert walk_zip_central_dir(cd + eocd) == (2, 1, 300, 800, 12)
+    # comment-tolerant backward scan: EOCD not at the very end
+    assert walk_zip_central_dir(cd + eocd + b"trailing comment") == (
+        2, 1, 300, 800, 12,
+    )
+    # corrupted central header signature -> miss
+    bad = b"XX" + cd[2:]
+    assert walk_zip_central_dir(bad + eocd) is None
+    assert walk_zip_central_dir(b"garbage" * 5) is None
+    # zero-entry directory -> miss
+    eocd0 = (
+        b"PK\x05\x06" + b"\x00" * 4 + _s.pack("<HH", 0, 0)
+        + _s.pack("<II", 0, 0) + b"\x00\x00"
+    )
+    assert walk_zip_central_dir(eocd0) is None
+
+
+def test_flac_bitpack_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        parse_flac_streaminfo,
+    )
+
+    rng = random.Random(607)
+    for _ in range(60):
+        rate = rng.randint(1, 2**20 - 1)
+        ch = rng.randint(1, 8)
+        bps = rng.randint(4, 32)
+        total = rng.randint(0, 2**36 - 1)
+        packed = (
+            (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        )
+        si = (
+            b"fLaC" + bytes([0x80]) + b"\x00\x00\x22"
+            + _s.pack(">HH", 4096, 4096) + b"\x00" * 6
+            + _s.pack(">Q", packed) + b"\x00" * 16
+        )
+        assert parse_flac_streaminfo(si) == (
+            rate, ch, bps, total, (1000 * total) // rate,
+        )
+    # wrong marker / wrong block type / truncated -> miss
+    assert parse_flac_streaminfo(b"fLaX" + b"\x00" * 50) is None
+    si_bad_type = (
+        b"fLaC" + bytes([0x81]) + b"\x00\x00\x22" + b"\x00" * 34
+    )
+    assert parse_flac_streaminfo(si_bad_type) is None
+    assert parse_flac_streaminfo(b"fLaC" + b"\x00" * 10) is None
