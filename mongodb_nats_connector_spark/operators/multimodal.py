@@ -1238,3 +1238,163 @@ def _flac_info_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "duration_ms": pd.Series(ds, dtype="Int64"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8X feature parsing (24-bit LE minus-one dimension encoding)
+# ---------------------------------------------------------------------------
+
+WEBP_VP8X_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("has_alpha", LongType()),
+        StructField("has_animation", LongType()),
+        StructField("riff_size", LongType()),
+    ]
+)
+
+
+def parse_webp_vp8x(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse an extended-format WebP header: RIFF/WEBP container, VP8X
+    chunk with the feature-flag byte (alpha bit 4, animation bit 1) and
+    the canvas dimensions stored as 24-BIT LITTLE-ENDIAN MINUS-ONE values
+    — the grammar quirk no other walker here has. Header walk only; the
+    image-data chunks are not dereferenced. Malformed input is a typed
+    miss (None).
+    """
+    import struct
+
+    if len(payload) < 30:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if payload[12:16] != b"VP8X":
+        return None
+    (chunk_len,) = struct.unpack_from("<I", payload, 16)
+    if chunk_len != 10:
+        return None
+    flags = payload[20]
+    has_alpha = (flags >> 4) & 1
+    has_anim = (flags >> 1) & 1
+    w = int.from_bytes(payload[24:27], "little") + 1
+    h = int.from_bytes(payload[27:30], "little") + 1
+    return w, h, has_alpha, has_anim, riff_size
+
+
+def _webp_vp8x_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WebP VP8X parsing; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, ws, hs, al, an, rs = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_webp_vp8x(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (ws, hs, al, an, rs):
+                    lst.append(None)
+            else:
+                w, h, a, m, r = meta
+                ws.append(w)
+                hs.append(h)
+                al.append(a)
+                an.append(m)
+                rs.append(r)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+                "has_alpha": pd.Series(al, dtype="Int64"),
+                "has_animation": pd.Series(an, dtype="Int64"),
+                "riff_size": pd.Series(rs, dtype="Int64"),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 header parsing (7-bit syncsafe integers)
+# ---------------------------------------------------------------------------
+
+ID3V2_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("version_major", LongType()),
+        StructField("tag_size", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def _syncsafe(b: bytes) -> int | None:
+    """Decode a 4-byte ID3v2 syncsafe integer (7 bits per byte, MSB of
+    every byte must be 0)."""
+    if len(b) != 4 or any(x & 0x80 for x in b):
+        return None
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def parse_id3v2(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse an ID3v2 tag header and walk its frames: 'ID3' marker,
+    version, SYNCSAFE 28-bit tag size (7 useful bits per byte — the
+    unsynchronization-proof integer encoding unique to this grammar),
+    then v2.3-style frames (4-byte id, 4-byte big-endian size, 2 flag
+    bytes). Frame payloads are skipped by length. Malformed input is a
+    typed miss (None).
+    """
+    import struct
+
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return None
+    ver = payload[3]
+    size = _syncsafe(payload[6:10])
+    if size is None or 10 + size > len(payload):
+        return None
+    pos = 10
+    end = 10 + size
+    n_frames = 0
+    frame_bytes = 0
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            return None
+        (fsize,) = struct.unpack_from(">I", payload, pos + 4)
+        if pos + 10 + fsize > end:
+            return None
+        n_frames += 1
+        frame_bytes += fsize
+        pos += 10 + fsize
+    return ver, size, n_frames, frame_bytes
+
+
+def _id3v2_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ID3v2 parsing; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        ids, vs, ts, nf, fb = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_id3v2(bytes(payload))
+            ids.append(doc_id)
+            if meta is None:
+                for lst in (vs, ts, nf, fb):
+                    lst.append(None)
+            else:
+                v, t, n, b = meta
+                vs.append(v)
+                ts.append(t)
+                nf.append(n)
+                fb.append(b)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "version_major": pd.Series(vs, dtype="Int64"),
+                "tag_size": pd.Series(ts, dtype="Int64"),
+                "n_frames": pd.Series(nf, dtype="Int64"),
+                "frame_bytes": pd.Series(fb, dtype="Int64"),
+            }
+        )

@@ -1661,3 +1661,516 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, center_id bigint, coverage_radius_sq bigint"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_webp_vp8x_parse — 24-bit LE minus-one canvas dimensions
+# ---------------------------------------------------------------------------
+
+
+def _hex_le24(c: F.Column) -> F.Column:
+    b = F.lpad(F.hex(c), 6, "0")
+    return F.concat(
+        F.substring(b, 5, 2), F.substring(b, 3, 2), F.substring(b, 1, 2)
+    )
+
+
+@register(
+    "multimodal_webp_vp8x_parse",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2048 + 1 AS BIGINT) AS width,
+           CAST((doc_id * 5) % 1536 + 1 AS BIGINT) AS height,
+           CAST(doc_id % 2 AS BIGINT) AS has_alpha,
+           CAST((doc_id // 2) % 2 AS BIGINT) AS has_animation,
+           CAST(22 AS BIGINT) AS riff_size
+    FROM documents ORDER BY doc_id
+    """,
+    doc="REAL WebP VP8X extended-header parsing under the driver's hash "
+    "check: per doc, construct a RIFF/WEBP container with a VP8X chunk "
+    "(feature-flag byte with the alpha/animation bits, canvas "
+    "dimensions stored as 24-BIT LITTLE-ENDIAN MINUS-ONE integers — "
+    "the one dimension encoding in the walker suite that is neither "
+    "byte-width-standard nor value-literal) and recover dimensions, "
+    "feature flags and the RIFF size with the real parser "
+    "(multimodal.parse_webp_vp8x). Map-only; zero shuffles.",
+)
+def multimodal_webp_vp8x_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        WEBP_VP8X_SCHEMA,
+        _webp_vp8x_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.col("doc_id") % 2048 + 1).alias("w"),
+        ((F.col("doc_id") * 5) % 1536 + 1).alias("h"),
+        (F.col("doc_id") % 2).alias("alpha"),
+        ((F.col("doc_id") / 2).cast("bigint") % 2).alias("anim"),
+    )
+    flags = F.lpad(
+        F.hex(F.col("alpha") * 16 + F.col("anim") * 2), 2, "0"
+    )
+    webp_hex = F.concat(
+        F.lit("52494646"),              # RIFF
+        _hex_le32(F.lit(22)),
+        F.lit("57454250"),              # WEBP
+        F.lit("56503858"),              # VP8X
+        _hex_le32(F.lit(10)),
+        flags,
+        F.lit("000000"),                # reserved
+        _hex_le24(F.col("w") - 1),
+        _hex_le24(F.col("h") - 1),
+    )
+    return (
+        d.select("doc_id", F.unhex(webp_hex).alias("payload"))
+        .mapInPandas(_webp_vp8x_batches, WEBP_VP8X_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_id3v2_syncsafe — 7-bit syncsafe sizes + frame walk
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_id3v2_syncsafe",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS version_major,
+           CAST(list_sum(list_transform(range(nf), i ->
+                10 + 5 + (doc_id + i) % 20)) AS BIGINT) AS tag_size,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(nf), i ->
+                5 + (doc_id + i) % 20)) AS BIGINT) AS frame_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL ID3v2.3 tag parsing under the driver's hash check: per doc, "
+    "construct an ID3 header whose 28-bit tag size is SYNCSAFE-encoded "
+    "(7 useful bits per byte, MSBs forced 0 — the unsynchronization-"
+    "proof integer grammar unique to MP3 metadata) followed by 1-3 "
+    "TITn frames with big-endian sizes, then recover version, decoded "
+    "tag size, frame census and frame payload bytes with the real "
+    "parser (multimodal.parse_id3v2) — which validates every syncsafe "
+    "MSB and every frame-id character class. Map-only; zero shuffles.",
+)
+def multimodal_id3v2_syncsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        ID3V2_SCHEMA,
+        _id3v2_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (1 + F.col("doc_id") % 3).alias("nf")
+    )
+    # total payload size of all frames (10-byte frame headers included)
+    tag_size = F.expr(
+        "aggregate(sequence(0, CAST(nf - 1 AS INT)),"
+        " CAST(0 AS BIGINT), (a, i) -> a + 15 + (doc_id + i) % 20)"
+    )
+    syncsafe = F.concat(
+        F.lpad(F.hex((tag_size / 2097152).cast("bigint") % 128), 2, "0"),
+        F.lpad(F.hex((tag_size / 16384).cast("bigint") % 128), 2, "0"),
+        F.lpad(F.hex((tag_size / 128).cast("bigint") % 128), 2, "0"),
+        F.lpad(F.hex(tag_size % 128), 2, "0"),
+    )
+    frames = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(nf - 1 AS INT)), i ->"
+        " concat("
+        "  '544954', lpad(hex(49 + i), 2, '0'),"       # 'TIT1'..'TIT3'
+        "  lpad(hex(5 + (doc_id + i) % 20), 8, '0'),"  # BE32 frame size
+        "  '0000',"                                    # flags
+        "  repeat('41', CAST(5 + (doc_id + i) % 20 AS INT)))))"
+    )
+    id3_hex = F.concat(
+        F.lit("494433"),                # 'ID3'
+        F.lit("030000"),                # v2.3, flags 0
+        syncsafe,
+        frames,
+    )
+    return (
+        d.select("doc_id", F.unhex(id3_hex).alias("payload"))
+        .mapInPandas(_id3v2_batches, ID3V2_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_hill_diversity — Hill-number diversity profile per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_hill_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT nation, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(c * c) AS HUGEINT) AS c2
+      FROM cells GROUP BY 1
+    )
+    SELECT t.nation, CAST(t.n AS BIGINT) AS n_customers,
+           t.k AS hill0_richness,
+           CAST(sum(CAST(floor(1000000.0 * cl.c *
+                ln(CAST(t.n AS DOUBLE) / cl.c)) AS BIGINT)) AS BIGINT)
+             AS h_nscaled_micro,
+           CAST((1000000 * t.n * t.n) // t.c2 AS BIGINT)
+             AS hill2_invsimpson_ppm
+    FROM cells cl JOIN t ON t.nation = cl.nation
+    GROUP BY 1, 2, 3, 5
+    ORDER BY 1
+    """,
+    doc="Hill-number diversity profile of each nation's market-segment "
+    "mix: q = 0 (richness, the segment count), q = 1 (Shannon, emitted "
+    "as the exact n-scaled micro-nat entropy like events_permutation_"
+    "entropy) and q = 2 (inverse Simpson n^2 / sum c^2, EXACT in ppm) "
+    "— the one-parameter family that unifies the diversity zoo "
+    "(orders_blau_diversity is 1 - 1/hill2 rescaled; the Hill ordering "
+    "hill0 >= exp(H) >= hill2 is pinned in tests). Per-cell quantized "
+    "ln only on the <= 5 bounded segment cells; one rollup + 125-cell "
+    "reduce.",
+)
+def customer_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    t = cells.groupBy("nation").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    return (
+        cells.join(F.broadcast(t), "nation")
+        .groupBy(
+            "nation",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("k").alias("hill0_richness"),
+            F.expr(
+                "CAST((1000000 * n * n) div c2 AS BIGINT)"
+            ).alias("hill2_invsimpson_ppm"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    1000000.0
+                    * F.col("c")
+                    * F.log(F.col("n").cast("double") / F.col("c"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("h_nscaled_micro")
+        )
+        .select(
+            "nation",
+            "n_customers",
+            "hill0_richness",
+            "h_nscaled_micro",
+            "hill2_invsimpson_ppm",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_extremal_index — runs-declustered extremal index of daily spikes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_extremal_index",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) * sum(x * x)
+               - CAST(sum(x) AS HUGEINT) * sum(x) AS v2
+      FROM d GROUP BY 1
+    ),
+    e AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN t.n * d.x - t.s > 0
+                   AND (t.n * d.x - t.s) * (t.n * d.x - t.s) > t.v2
+                  THEN 1 ELSE 0 END AS exc
+      FROM d JOIN t ON t.event_type = d.event_type
+    ),
+    r AS (
+      SELECT event_type, exc,
+             lag(exc, 1, 0) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev
+      FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(exc) AS BIGINT) AS n_exceedances,
+           CAST(sum(CASE WHEN exc = 1 AND prev = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clusters,
+           CAST((1000000 * sum(CASE WHEN exc = 1 AND prev = 0
+                               THEN 1 ELSE 0 END))
+                // greatest(sum(exc), 1) AS BIGINT) AS theta_ppm
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    doc="Runs-declustered extremal index of each event type's daily "
+    "volume spikes: exceedances are days more than one population sigma "
+    "above the mean (the exact integer test (n x - S)^2 > n sum x^2 - "
+    "S^2 with the positive sign required), clusters are maximal runs "
+    "of consecutive exceedance days, and theta = clusters / "
+    "exceedances estimates the extremal index — theta ~ 1 means "
+    "spikes arrive independently, theta << 1 means they CLUSTER (one "
+    "incident spanning days), the quantity that corrects events_peak_"
+    "over_threshold's effective sample size and return periods. All-"
+    "integer; one rollup, totals broadcast, one partitioned lag.",
+)
+def events_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+        ).alias("v2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    e = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        F.when((dev > 0) & (dev * dev > F.col("v2")), 1)
+        .otherwise(0)
+        .alias("exc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = e.select(
+        "event_type", "exc", F.lag("exc", 1, 0).over(w).alias("prev")
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("exc").cast("bigint").alias("n_exceedances"),
+            F.sum(
+                F.when((F.col("exc") == 1) & (F.col("prev") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clusters"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN exc = 1 AND prev = 0"
+                " THEN 1 ELSE 0 END)) div greatest(sum(exc), 1)"
+                " AS BIGINT)"
+            ).alias("theta_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_moment_ratio_diagram — Pearson (b1, b2) plane per priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_moment_ratio_diagram",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(l_quantity) AS HUGEINT) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT pri,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s1,
+             CAST(sum(v * v) AS HUGEINT) AS s2,
+             CAST(sum(v * v * v) AS HUGEINT) AS s3,
+             CAST(sum(v * v * v * v) AS HUGEINT) AS s4
+      FROM g GROUP BY 1
+    ),
+    q AS (
+      SELECT pri, n,
+             (1000000 * (n * s2 - s1 * s1)) // (n * n) AS m2_micro,
+             CASE WHEN n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                       >= 0
+                  THEN (1000 * (n * n * s3 - 3 * n * s1 * s2
+                                + 2 * s1 * s1 * s1)) // (n * n * n)
+                  ELSE -((1000 * (3 * n * s1 * s2 - n * n * s3
+                                  - 2 * s1 * s1 * s1)) // (n * n * n))
+             END AS m3_milli,
+             (1000000 * (n * n * n * s4 - 4 * n * n * s1 * s3
+                         + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1))
+               // (n * n * n * n) AS m4_micro
+      FROM m
+    )
+    SELECT pri, CAST(n AS BIGINT) AS n_lines,
+           CAST(m3_milli AS BIGINT) AS m3_milli,
+           CAST((1000000000000000000 * m3_milli * m3_milli)
+                // (m2_micro * m2_micro * m2_micro) AS BIGINT)
+             AS skew2_b1_ppm,
+           CAST((1000000000000 * m4_micro) // (m2_micro * m2_micro)
+                AS BIGINT) AS kurtosis_b2_ppm,
+           CAST(CASE WHEN (1000000000000 * m4_micro)
+                          // (m2_micro * m2_micro)
+                          >= (1000000000000000000 * m3_milli * m3_milli)
+                             // (m2_micro * m2_micro * m2_micro)
+                          + 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS pearson_bound_holds
+    FROM q ORDER BY pri
+    """,
+    doc="Pearson moment-ratio diagram coordinates (b1 = skewness^2, b2 = "
+    "kurtosis) of rounded quantities per order priority — the (b1, b2) "
+    "plane that classifies candidate distributions (uniform at (0, "
+    "1.8), normal at (0, 3), the impossible region b2 < b1 + 1 below "
+    "the boundary, emitted as a flag) — the distribution-shape "
+    "companion that places agg_jarque_bera's two inputs on the map "
+    "instead of collapsing them to one test. Central moments come "
+    "from the exact integer identities n^2 m2 = n S2 - S^2, n^3 m3 = "
+    "n^2 S3 - 3 n S S2 + 2 S^3, n^4 m4 = n^3 S4 - 4 n^2 S S3 + "
+    "6 n S^2 S2 - 3 S^4, each floor-quantized once (micro/milli, "
+    "sign-split m3), then the ratios are integer divisions of the "
+    "quantized values. One fact join + 5-group moment rollup.",
+)
+def agg_moment_ratio_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round("l_quantity").cast("decimal(38,0)").alias("v"),
+    )
+    m = g.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(
+            F.col("v") * F.col("v") * F.col("v") * F.col("v")
+        ).alias("s4"),
+    )
+    q = m.select(
+        "pri",
+        "n",
+        F.expr(
+            "CAST((1000000 * (n * s2 - s1 * s1)) div (n * n)"
+            " AS DECIMAL(38,0))"
+        ).alias("m2_micro"),
+        F.expr(
+            "CASE WHEN n * n * s3 - 3 * n * s1 * s2"
+            " + 2 * s1 * s1 * s1 >= 0"
+            " THEN (1000 * (n * n * s3 - 3 * n * s1 * s2"
+            " + 2 * s1 * s1 * s1)) div (n * n * n)"
+            " ELSE -((1000 * (3 * n * s1 * s2 - n * n * s3"
+            " - 2 * s1 * s1 * s1)) div (n * n * n)) END"
+        ).cast("decimal(38,0)").alias("m3_milli"),
+        F.expr(
+            "(1000000 * (n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1))"
+            " div (n * n * n * n)"
+        ).cast("decimal(38,0)").alias("m4_micro"),
+    )
+    b1 = (
+        "(CAST(1000000000000000000 AS DECIMAL(38,0)) * m3_milli"
+        " * m3_milli) div (m2_micro * m2_micro * m2_micro)"
+    )
+    b2 = (
+        "(CAST(1000000000000 AS DECIMAL(38,0)) * m4_micro)"
+        " div (m2_micro * m2_micro)"
+    )
+    return q.select(
+        "pri",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("m3_milli").cast("bigint").alias("m3_milli"),
+        F.expr(f"CAST({b1} AS BIGINT)").alias("skew2_b1_ppm"),
+        F.expr(f"CAST({b2} AS BIGINT)").alias("kurtosis_b2_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {b2} >= {b1} + 1000000 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("pearson_bound_holds"),
+    ).orderBy("pri")
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_uniformity_chi2 — chi-square GOF vs the uniform clock
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_uniformity_chi2",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hr,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM h GROUP BY 1
+    )
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_events,
+           t.k AS n_hours_observed,
+           CAST((1000 * sum((24 * h.c - t.n) * (24 * h.c - t.n))
+                 + CASE WHEN t.k < 24
+                        THEN 1000 * (24 - t.k) * t.n * t.n ELSE 0 END)
+                // (24 * t.n) AS BIGINT) AS chi2_milli
+    FROM h JOIN t ON t.event_type = h.event_type
+    GROUP BY t.event_type, t.n, t.k
+    ORDER BY 1
+    """,
+    doc="Pearson chi-square goodness-of-fit of each event type's hour-of-"
+    "day distribution against the uniform clock: chi2 = sum_h (c_h - "
+    "n/24)^2 / (n/24), cleared to the exact integer form sum (24 c_h "
+    "- n)^2 / (24 n) with absent hours contributing their full n^2 "
+    "expectation term — the formal 23-df test behind events_hourly_"
+    "profile's descriptive panel and the chi-square-family sibling of "
+    "the sup-based agg_ks_uniform_gof (chi2 sees diffuse lumpiness, "
+    "KS sees one displaced mass). All-integer, milli; one bounded "
+    "24-cell rollup per type.",
+)
+def events_hourly_uniformity_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    t = h.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n", "k")
+        .agg(
+            F.expr(
+                "CAST((1000 * sum((24 * c - n) * (24 * c - n))"
+                " + CASE WHEN k < 24"
+                " THEN 1000 * (24 - k) * n * n ELSE 0 END)"
+                " div (24 * n) AS BIGINT)"
+            ).alias("chi2_milli")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("k").alias("n_hours_observed"),
+            "chi2_milli",
+        )
+        .orderBy("event_type")
+    )

@@ -370,3 +370,144 @@ def test_flac_bitpack_roundtrip_and_rejects():
     )
     assert parse_flac_streaminfo(si_bad_type) is None
     assert parse_flac_streaminfo(b"fLaC" + b"\x00" * 10) is None
+
+
+# ---------------------------------------------------------------------------
+# batch 3 pins (containers / diversity / extremes / moments / GOF)
+# ---------------------------------------------------------------------------
+
+
+def test_webp_vp8x_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        parse_webp_vp8x,
+    )
+
+    rng = random.Random(613)
+    for _ in range(40):
+        w, h = rng.randint(1, 2**24), rng.randint(1, 2**24)
+        alpha, anim = rng.randint(0, 1), rng.randint(0, 1)
+        flags = (alpha << 4) | (anim << 1)
+        b = (
+            b"RIFF" + _s.pack("<I", 22) + b"WEBP" + b"VP8X"
+            + _s.pack("<I", 10) + bytes([flags]) + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+        assert parse_webp_vp8x(b) == (w, h, alpha, anim, 22)
+    # non-WEBP RIFF (e.g. WAVE) and wrong first chunk are misses
+    assert parse_webp_vp8x(b"RIFF" + b"\x16\x00\x00\x00" + b"WAVE"
+                           + b"\x00" * 18) is None
+    assert parse_webp_vp8x(b"RIFF" + b"\x16\x00\x00\x00" + b"WEBP"
+                           + b"VP8L" + b"\x00" * 14) is None
+
+
+def test_id3_syncsafe_roundtrip_and_rejects():
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        _syncsafe,
+        parse_id3v2,
+    )
+
+    rng = random.Random(617)
+    for _ in range(60):
+        n = rng.randint(0, 2**28 - 1)
+        b = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        assert _syncsafe(b) == n
+    # any MSB set is invalid syncsafe
+    assert _syncsafe(bytes([0x80, 0, 0, 0])) is None
+    assert _syncsafe(bytes([0, 0, 0x81, 0])) is None
+    # frame id must be A-Z0-9
+    import struct as _s
+
+    frames = b"ti!2" + _s.pack(">I", 2) + b"\x00\x00" + b"ab"
+    size = len(frames)
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    assert parse_id3v2(b"ID3" + bytes([3, 0, 0]) + ss + frames) is None
+
+
+def test_hill_numbers_ordering_and_blau_relation():
+    rng = random.Random(619)
+    for _ in range(60):
+        cs = [rng.randint(1, 300) for _ in range(rng.randint(2, 5))]
+        n = sum(cs)
+        k = len(cs)
+        ps = [Fraction(c, n) for c in cs]
+        hill2 = 1 / sum(p * p for p in ps)
+        h = -sum(float(p) * math.log(p) for p in ps)
+        # Hill ordering: richness >= exp(Shannon) >= inverse Simpson
+        assert k + 1e-9 >= math.exp(h) >= float(hill2) - 1e-9
+        # cleared hill2 form and the Blau relation
+        assert Fraction(n * n, sum(c * c for c in cs)) == hill2
+        blau = 1 - sum(p * p for p in ps)
+        assert blau == 1 - 1 / hill2
+
+
+def test_extremal_index_runs_counting():
+    rng = random.Random(631)
+    for _ in range(60):
+        exc = [rng.random() < 0.3 for _ in range(rng.randint(3, 40))]
+        clusters = sum(
+            1
+            for i, e in enumerate(exc)
+            if e and (i == 0 or not exc[i - 1])
+        )
+        n_exc = sum(exc)
+        if n_exc == 0:
+            continue
+        theta = Fraction(clusters, n_exc)
+        assert 0 < theta <= 1
+        # cluster count == number of maximal runs (split-by-gap)
+        runs = 0
+        in_run = False
+        for e in exc:
+            if e and not in_run:
+                runs += 1
+            in_run = e
+        assert runs == clusters
+
+
+def test_central_moment_integer_identities_and_pearson_bound():
+    rng = random.Random(641)
+    for _ in range(50):
+        xs = [rng.randint(1, 50) for _ in range(rng.randint(4, 40))]
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        s3 = sum(x**3 for x in xs)
+        s4 = sum(x**4 for x in xs)
+        mean = Fraction(s1, n)
+        m2 = sum((x - mean) ** 2 for x in xs) / n
+        m3 = sum((x - mean) ** 3 for x in xs) / n
+        m4 = sum((x - mean) ** 4 for x in xs) / n
+        assert Fraction(n * s2 - s1 * s1, n * n) == m2
+        assert Fraction(n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3,
+                        n**3) == m3
+        assert Fraction(
+            n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2
+            - 3 * s1**4,
+            n**4,
+        ) == m4
+        if m2 > 0:
+            b1 = m3 * m3 / m2**3
+            b2 = m4 / (m2 * m2)
+            assert b2 >= b1 + 1  # the Pearson boundary
+
+
+def test_uniform_chi2_cleared_with_absent_cells():
+    rng = random.Random(643)
+    for _ in range(60):
+        k_obs = rng.randint(1, 24)
+        cs = [rng.randint(1, 100) for _ in range(k_obs)]
+        n = sum(cs)
+        e = Fraction(n, 24)
+        chi2_ref = sum((c - e) ** 2 / e for c in cs) + (24 - k_obs) * e
+        cleared = Fraction(
+            sum((24 * c - n) ** 2 for c in cs) + (24 - k_obs) * n * n,
+            24 * n,
+        )
+        assert cleared == chi2_ref
