@@ -1398,3 +1398,215 @@ def _id3v2_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "frame_bytes": pd.Series(fb, dtype="Int64"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# gzip member-header parsing (flag-conditional optional fields)
+# ---------------------------------------------------------------------------
+
+GZIP_HDR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mtime", LongType()),
+        StructField("has_name", LongType()),
+        StructField("name_len", LongType()),
+        StructField("has_comment", LongType()),
+        StructField("comment_len", LongType()),
+        StructField("header_len", LongType()),
+    ]
+)
+
+
+def parse_gzip_header(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """Parse a gzip member header (RFC 1952): magic 1f 8b, deflate method,
+    the FLG byte whose bits make FEXTRA/FNAME/FCOMMENT/FHCRC fields
+    conditionally PRESENT — the flag-conditional grammar the fixed-layout
+    walkers don't exercise — then skip each optional field in spec order
+    (null-terminated names/comments). Returns mtime, name/comment
+    presence + lengths, and the total header length. Malformed input is
+    a typed miss (None).
+    """
+    import struct
+
+    if len(payload) < 10 or payload[:2] != b"\x1f\x8b" or payload[2] != 8:
+        return None
+    flg = payload[3]
+    (mtime,) = struct.unpack_from("<I", payload, 4)
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(payload):
+            return None
+        (xlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2 + xlen
+    name_len = 0
+    if flg & 0x08:  # FNAME
+        end = payload.find(b"\x00", pos)
+        if end < 0:
+            return None
+        name_len = end - pos
+        pos = end + 1
+    comment_len = 0
+    if flg & 0x10:  # FCOMMENT
+        end = payload.find(b"\x00", pos)
+        if end < 0:
+            return None
+        comment_len = end - pos
+        pos = end + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    if pos > len(payload):
+        return None
+    return (
+        mtime,
+        1 if flg & 0x08 else 0,
+        name_len,
+        1 if flg & 0x10 else 0,
+        comment_len,
+        pos,
+    )
+
+
+def _gzip_hdr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched gzip header parsing; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        cols = {k: [] for k in ("doc_id", "mtime", "has_name", "name_len",
+                                "has_comment", "comment_len", "header_len")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_gzip_header(bytes(payload))
+            cols["doc_id"].append(doc_id)
+            if meta is None:
+                for k in ("mtime", "has_name", "name_len", "has_comment",
+                          "comment_len", "header_len"):
+                    cols[k].append(None)
+            else:
+                for k, v in zip(
+                    ("mtime", "has_name", "name_len", "has_comment",
+                     "comment_len", "header_len"),
+                    meta,
+                ):
+                    cols[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                **{
+                    k: pd.Series(cols[k], dtype="Int64")
+                    for k in ("mtime", "has_name", "name_len",
+                              "has_comment", "comment_len", "header_len")
+                },
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# BSON document walking (the reference connector's native payload format)
+# ---------------------------------------------------------------------------
+
+BSON_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_elements", LongType()),
+        StructField("n_int32", LongType()),
+        StructField("n_int64", LongType()),
+        StructField("n_strings", LongType()),
+        StructField("int_value_sum", LongType()),
+        StructField("string_bytes", LongType()),
+    ]
+)
+
+
+def walk_bson_doc(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """Walk a BSON document (the wire format of the reference connector's
+    MongoDB change events — /root/reference/internal/mongo/client.go
+    consumes these before the Ext-JSON serialize step this repo ports as
+    functions/extjson.py): little-endian int32 total size, then elements
+    of (type byte, cstring name, typed payload) for the int32 (0x10),
+    int64 (0x12) and string (0x02) types, terminated by a 0x00 byte.
+    Returns the element census by type, the sum of integer values and
+    the total string payload bytes. Malformed input (size mismatch,
+    unknown type, unterminated cstring, missing terminator) is a typed
+    miss (None).
+    """
+    import struct
+
+    if len(payload) < 5:
+        return None
+    (size,) = struct.unpack_from("<i", payload, 0)
+    if size != len(payload):
+        return None
+    pos = 4
+    n32 = n64 = nstr = 0
+    int_sum = 0
+    str_bytes = 0
+    while pos < size - 1:
+        etype = payload[pos]
+        pos += 1
+        end = payload.find(b"\x00", pos)
+        if end < 0 or end >= size - 1:
+            return None
+        pos = end + 1
+        if etype == 0x10:
+            if pos + 4 > size - 1:
+                return None
+            (v,) = struct.unpack_from("<i", payload, pos)
+            int_sum += v
+            n32 += 1
+            pos += 4
+        elif etype == 0x12:
+            if pos + 8 > size - 1:
+                return None
+            (v,) = struct.unpack_from("<q", payload, pos)
+            int_sum += v
+            n64 += 1
+            pos += 8
+        elif etype == 0x02:
+            if pos + 4 > size - 1:
+                return None
+            (slen,) = struct.unpack_from("<i", payload, pos)
+            pos += 4
+            if slen < 1 or pos + slen > size - 1:
+                return None
+            if payload[pos + slen - 1] != 0:
+                return None
+            str_bytes += slen - 1
+            nstr += 1
+            pos += slen
+        else:
+            return None
+    if pos != size - 1 or payload[size - 1] != 0:
+        return None
+    return n32 + n64 + nstr, n32, n64, nstr, int_sum, str_bytes
+
+
+def _bson_doc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BSON document walking; malformed payloads yield the
+    typed-miss row."""
+    for pdf in batches:
+        cols = {k: [] for k in ("doc_id", "n_elements", "n_int32",
+                                "n_int64", "n_strings", "int_value_sum",
+                                "string_bytes")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = walk_bson_doc(bytes(payload))
+            cols["doc_id"].append(doc_id)
+            keys = ("n_elements", "n_int32", "n_int64", "n_strings",
+                    "int_value_sum", "string_bytes")
+            if meta is None:
+                for k in keys:
+                    cols[k].append(None)
+            else:
+                for k, v in zip(keys, meta):
+                    cols[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                **{
+                    k: pd.Series(cols[k], dtype="Int64")
+                    for k in ("n_elements", "n_int32", "n_int64",
+                              "n_strings", "int_value_sum", "string_bytes")
+                },
+            }
+        )

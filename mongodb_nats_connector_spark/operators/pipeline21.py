@@ -2174,3 +2174,290 @@ def events_hourly_uniformity_chi2(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_multiclass_mcc — Gorodkin R_K correlation on the 5x5 confusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_multiclass_mcc",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS actual,
+             least(5, 1 + CAST(round(o_totalprice * 100) AS BIGINT)
+                          // 10000000) AS pred
+      FROM orders
+    ),
+    cells AS (
+      SELECT actual, pred, CAST(count(*) AS HUGEINT) AS n
+      FROM c GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(sum(CASE WHEN actual = pred THEN n ELSE 0 END)
+                  AS HUGEINT) AS tr
+      FROM cells
+    ),
+    marg AS (
+      SELECT CAST(sum(a.ta * p.pa) AS HUGEINT) AS tp,
+             CAST(sum(a.ta * a.ta) AS HUGEINT) AS t2,
+             CAST(sum(p.pa * p.pa) AS HUGEINT) AS p2
+      FROM (SELECT actual AS k, sum(n) AS ta FROM cells GROUP BY 1) a
+      FULL JOIN (SELECT pred AS k, sum(n) AS pa FROM cells GROUP BY 1) p
+        ON p.k = a.k
+    ),
+    f AS (
+      SELECT t.nn, t.tr,
+             t.nn * t.tr - coalesce(m.tp, 0) AS num,
+             t.nn * t.nn - coalesce(m.t2, 0) AS dt,
+             t.nn * t.nn - coalesce(m.p2, 0) AS dp
+      FROM t, (SELECT sum(tp) AS tp, sum(t2) AS t2, sum(p2) AS p2
+               FROM (SELECT coalesce(tp, 0) AS tp, coalesce(t2, 0) AS t2,
+                            coalesce(p2, 0) AS p2 FROM marg)) m
+    )
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           CAST(tr AS BIGINT) AS n_diagonal,
+           CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS mcc_sign,
+           CAST((1000000 * num * num) // greatest(dt * dp, 1) AS BIGINT)
+             AS mcc2_ppm
+    FROM f
+    """,
+    doc="Multiclass Matthews correlation (Gorodkin's R_K) between the "
+    "5-level order priority and a totalprice band prediction ($100k "
+    "bands, capped at 5): R_K = (N tr(C) - sum_k t_k p_k) / "
+    "sqrt((N^2 - sum t^2)(N^2 - sum p^2)) — the chance-corrected "
+    "multiclass accuracy that agg_matthews_corr provides only for the "
+    "binary case and agg_cohen_kappa approximates with a different "
+    "chance model. Squared and sign-split to one exact integer ratio "
+    "over the bounded 5x5 confusion's marginals (FULL-joined so a "
+    "class absent on either side still contributes its square). One "
+    "conditional-projection rollup, bounded reduces.",
+)
+def agg_multiclass_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("actual"),
+        F.least(
+            F.lit(5),
+            1
+            + F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) div 10000000"
+            ),
+        ).alias("pred"),
+    )
+    cells = c.groupBy("actual", "pred").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    t = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("actual") == F.col("pred"), F.col("n")).otherwise(
+                0
+            )
+        ).alias("tr"),
+    )
+    ta = cells.groupBy(F.col("actual").alias("k")).agg(
+        F.sum("n").alias("ta")
+    )
+    pa = cells.groupBy(F.col("pred").alias("k")).agg(
+        F.sum("n").alias("pa")
+    )
+    marg = (
+        ta.join(pa, "k", "full")
+        .select(
+            F.coalesce(F.col("ta"), F.lit(0).cast("decimal(38,0)")).alias(
+                "ta"
+            ),
+            F.coalesce(F.col("pa"), F.lit(0).cast("decimal(38,0)")).alias(
+                "pa"
+            ),
+        )
+        .agg(
+            F.sum(F.col("ta") * F.col("pa")).alias("tp"),
+            F.sum(F.col("ta") * F.col("ta")).alias("t2"),
+            F.sum(F.col("pa") * F.col("pa")).alias("p2"),
+        )
+    )
+    return t.crossJoin(F.broadcast(marg)).select(
+        F.col("nn").cast("bigint").alias("n_orders"),
+        F.col("tr").cast("bigint").alias("n_diagonal"),
+        F.expr(
+            "CAST(CASE WHEN nn * tr - tp >= 0 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("mcc_sign"),
+        F.expr(
+            "CAST((1000000 * (nn * tr - tp) * (nn * tr - tp))"
+            " div greatest((nn * nn - t2) * (nn * nn - p2), 1)"
+            " AS BIGINT)"
+        ).alias("mcc2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gzip_member_header — flag-conditional optional fields
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gzip_member_header",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 2 AS hn,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS hc,
+             1 + doc_id % 7 AS clen
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(doc_id % 4294967296 AS BIGINT) AS mtime,
+           CAST(hn AS BIGINT) AS has_name,
+           CAST(hn * 9 AS BIGINT) AS name_len,
+           CAST(hc AS BIGINT) AS has_comment,
+           CAST(hc * clen AS BIGINT) AS comment_len,
+           CAST(10 + hn * 10 + hc * (clen + 1) AS BIGINT) AS header_len
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL gzip member-header parsing (RFC 1952) under the driver's "
+    "hash check: per doc, construct a header whose FLG byte makes the "
+    "FNAME ('fileN.txt', null-terminated) and FCOMMENT fields "
+    "conditionally PRESENT — the flag-conditional optional-field "
+    "grammar none of the fixed-layout walkers exercise — and recover "
+    "mtime, the presence flags, the field lengths and the total "
+    "header length with the real parser (multimodal."
+    "parse_gzip_header), which skips optionals in spec order. The "
+    "deflate payload itself stays undecoded (the declared codec-stub "
+    "boundary). Map-only; zero shuffles.",
+)
+def multimodal_gzip_member_header(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        GZIP_HDR_SCHEMA,
+        _gzip_hdr_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("hn"),
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("hc"),
+        (1 + F.col("doc_id") % 7).alias("clen"),
+    )
+    flg = F.lpad(F.hex(8 * F.col("hn") + 16 * F.col("hc")), 2, "0")
+    name_hex = F.when(
+        F.col("hn") == 1,
+        F.concat(
+            F.lit("66696C65"),                       # 'file'
+            F.lpad(F.hex(48 + F.col("doc_id") % 10), 2, "0"),
+            F.lit("2E74787400"),                     # '.txt\0'
+        ),
+    ).otherwise("")
+    comment_hex = F.when(
+        F.col("hc") == 1,
+        F.concat(
+            F.expr("repeat('63', CAST(clen AS INT))"), F.lit("00")
+        ),
+    ).otherwise("")
+    gz_hex = F.concat(
+        F.lit("1F8B08"),
+        flg,
+        _hex_le32(F.col("doc_id") % F.lit(4294967296)),
+        F.lit("00FF"),                               # XFL, OS=unknown
+        name_hex,
+        comment_hex,
+    )
+    return (
+        d.select("doc_id", F.unhex(gz_hex).alias("payload"))
+        .mapInPandas(_gzip_hdr_batches, GZIP_HDR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_bson_doc_walk — the reference connector's native payload
+# ---------------------------------------------------------------------------
+
+
+def _hex_le64(c: F.Column) -> F.Column:
+    b = F.lpad(F.hex(c), 16, "0")
+    return F.concat(
+        *[F.substring(b, 17 - 2 * i, 2) for i in range(1, 9)]
+    )
+
+
+@register(
+    "multimodal_bson_doc_walk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_elements,
+           CAST(1 AS BIGINT) AS n_int32,
+           CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_int64,
+           CAST(CASE WHEN n >= 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_strings,
+           CAST(doc_id % 100000
+                + CASE WHEN n >= 2 THEN 7 * doc_id + 1 ELSE 0 END
+                AS BIGINT) AS int_value_sum,
+           CAST(CASE WHEN n >= 3 THEN 1 + (doc_id + 2) % 5 ELSE 0 END
+                AS BIGINT) AS string_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL BSON document walking under the driver's hash check — the "
+    "wire format of the reference connector's own change events "
+    "(/root/reference/internal/mongo/client.go streams BSON documents "
+    "that this repo's functions/extjson.py serializes; this operator "
+    "parses the binary itself): per doc, construct a BSON document "
+    "with 1-3 elements of the int32 (0x10), int64 (0x12) and string "
+    "(0x02) element types — little-endian total size, cstring names, "
+    "length-prefixed null-terminated strings, 0x00 terminator — and "
+    "recover the element census by type, the integer value sum and "
+    "the string payload bytes with the real walker "
+    "(multimodal.walk_bson_doc), which validates the size frame, the "
+    "type bytes and every terminator. Map-only; zero shuffles.",
+)
+def multimodal_bson_doc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        BSON_DOC_SCHEMA,
+        _bson_doc_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (1 + F.col("doc_id") % 3).alias("n"),
+        (F.col("doc_id") % 100000).alias("v32"),
+        (7 * F.col("doc_id") + 1).alias("v64"),
+        (1 + (F.col("doc_id") + 2) % 5).alias("slen"),
+    )
+    # element sizes: int32 = 8, int64 = 12, string = 9 + slen
+    total = (
+        F.lit(5)
+        + F.lit(8)
+        + F.when(F.col("n") >= 2, 12).otherwise(0)
+        + F.when(F.col("n") >= 3, 9 + F.col("slen")).otherwise(0)
+    )
+    e0 = F.concat(
+        F.lit("10"), F.lit("6B3000"), _hex_le32(F.col("v32"))
+    )
+    e1 = F.when(
+        F.col("n") >= 2,
+        F.concat(F.lit("12"), F.lit("6B3100"), _hex_le64(F.col("v64"))),
+    ).otherwise("")
+    e2 = F.when(
+        F.col("n") >= 3,
+        F.concat(
+            F.lit("02"),
+            F.lit("6B3200"),
+            _hex_le32(F.col("slen") + 1),
+            F.expr("repeat('76', CAST(slen AS INT))"),
+            F.lit("00"),
+        ),
+    ).otherwise("")
+    bson_hex = F.concat(_hex_le32(total), e0, e1, e2, F.lit("00"))
+    return (
+        d.select("doc_id", F.unhex(bson_hex).alias("payload"))
+        .mapInPandas(_bson_doc_batches, BSON_DOC_SCHEMA)
+        .orderBy("doc_id")
+    )

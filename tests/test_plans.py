@@ -361,6 +361,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_tarone_overdispersion",  # 1-row frame-totals scalar broadcast crossJoin
     "docs_hill_tail_index",       # 1-row threshold scalar broadcast crossJoins
     "similarity_rank_biased_overlap",  # bounded 20-query panel NLJ + 200-row depth scaffold
+    "agg_multiclass_mcc",         # 1-row trace x 1-row marginal scalars broadcast crossJoin
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

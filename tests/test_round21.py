@@ -511,3 +511,118 @@ def test_uniform_chi2_cleared_with_absent_cells():
             24 * n,
         )
         assert cleared == chi2_ref
+
+
+# ---------------------------------------------------------------------------
+# batch 4 pins (multiclass MCC / gzip / BSON)
+# ---------------------------------------------------------------------------
+
+
+def test_multiclass_mcc_cleared_and_binary_reduction():
+    rng = random.Random(647)
+    for _ in range(50):
+        k = rng.randint(2, 5)
+        cm = [[rng.randint(0, 60) for _ in range(k)] for _ in range(k)]
+        n = sum(map(sum, cm))
+        if n == 0:
+            continue
+        tr = sum(cm[i][i] for i in range(k))
+        t = [sum(cm[i]) for i in range(k)]
+        p = [sum(cm[i][j] for i in range(k)) for j in range(k)]
+        num = n * tr - sum(ti * pi for ti, pi in zip(t, p))
+        dt = n * n - sum(ti * ti for ti in t)
+        dp = n * n - sum(pi * pi for pi in p)
+        if dt == 0 or dp == 0:
+            continue
+        rk2 = Fraction(num * num, dt * dp)
+        assert 0 <= rk2 <= 1 + Fraction(1, 10**12)
+        if k == 2:
+            # binary reduction: R_K == the classic MCC
+            tp, fn_, fp_, tn = cm[1][1], cm[1][0], cm[0][1], cm[0][0]
+            mcc_num = tp * tn - fp_ * fn_
+            mcc_den2 = (
+                (tp + fp_) * (tp + fn_) * (tn + fp_) * (tn + fn_)
+            )
+            if mcc_den2 > 0:
+                assert Fraction(mcc_num * mcc_num, mcc_den2) == rk2
+                assert (mcc_num >= 0) == (num >= 0)
+
+
+def test_gzip_header_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        parse_gzip_header,
+    )
+
+    rng = random.Random(653)
+    for _ in range(40):
+        hn, hc = rng.randint(0, 1), rng.randint(0, 1)
+        mtime = rng.randint(0, 2**32 - 1)
+        name = b"file%d.txt" % rng.randint(0, 9) if hn else b""
+        comment = b"c" * rng.randint(1, 7) if hc else b""
+        flg = (0x08 if hn else 0) | (0x10 if hc else 0)
+        b = (
+            b"\x1f\x8b\x08" + bytes([flg]) + _s.pack("<I", mtime)
+            + b"\x00\xff"
+            + (name + b"\x00" if hn else b"")
+            + (comment + b"\x00" if hc else b"")
+        )
+        assert parse_gzip_header(b) == (
+            mtime, hn, len(name), hc, len(comment), len(b),
+        )
+    # bad magic / method, unterminated name
+    assert parse_gzip_header(b"\x1f\x8c\x08" + b"\x00" * 10) is None
+    assert parse_gzip_header(b"\x1f\x8b\x07" + b"\x00" * 10) is None
+    unterminated = (
+        b"\x1f\x8b\x08\x08" + b"\x00" * 4 + b"\x00\xff" + b"noend"
+    )
+    assert parse_gzip_header(unterminated) is None
+
+
+def test_bson_walker_roundtrip_and_rejects():
+    import struct as _s
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        walk_bson_doc,
+    )
+
+    rng = random.Random(659)
+    for _ in range(40):
+        body = b""
+        n32 = n64 = nstr = 0
+        int_sum = 0
+        str_bytes = 0
+        for i in range(rng.randint(1, 5)):
+            kind = rng.randint(0, 2)
+            name = b"k%d\x00" % i
+            if kind == 0:
+                v = rng.randint(-(2**31), 2**31 - 1)
+                body += bytes([0x10]) + name + _s.pack("<i", v)
+                n32 += 1
+                int_sum += v
+            elif kind == 1:
+                v = rng.randint(-(2**62), 2**62)
+                body += bytes([0x12]) + name + _s.pack("<q", v)
+                n64 += 1
+                int_sum += v
+            else:
+                sval = b"v" * rng.randint(0, 6)
+                body += (
+                    bytes([0x02]) + name
+                    + _s.pack("<i", len(sval) + 1) + sval + b"\x00"
+                )
+                nstr += 1
+                str_bytes += len(sval)
+        doc = _s.pack("<i", 4 + len(body) + 1) + body + b"\x00"
+        assert walk_bson_doc(doc) == (
+            n32 + n64 + nstr, n32, n64, nstr, int_sum, str_bytes,
+        )
+        # size-frame mismatch and truncation are misses
+        assert walk_bson_doc(doc[:-1]) is None
+        bad_size = _s.pack("<i", len(doc) + 5) + doc[4:]
+        assert walk_bson_doc(bad_size) is None
+    # unknown element type -> miss
+    body = bytes([0x07]) + b"k0\x00" + b"\x00" * 12
+    doc = _s.pack("<i", 4 + len(body) + 1) + body + b"\x00"
+    assert walk_bson_doc(doc) is None
