@@ -82,6 +82,21 @@ HEADLINE_QUERIES = [
     "agg_spearman_corr",
 ]
 
+# Per-query watch anchors (round-14 order): each watch-list query's line is
+# judged on an IN-ARTIFACT min across >= WATCH_MIN_RUNS measurements — the
+# main passes plus extra isolated re-runs appended after the suite sweep —
+# so the anchor lives in BENCH_r*.json, not in SCALING.md prose. Lines are
+# the historical hold values from VERDICT r12/r13.
+WATCH_LINES_S = {
+    "agg_spearman_corr": 3.0,
+    "agg_bootstrap_poisson": 0.6,
+    "text_bm25_topk": 1.2,
+    "agg_hll_registers": 1.0,
+    "agg_heavy_hitters_cms": 0.6,
+    "events_max_concurrency": 1.6,
+}
+WATCH_MIN_RUNS = 5
+
 
 def _read_proc_stat() -> dict[str, float]:
     """First /proc/stat cpu line in seconds per field (user nice system idle
@@ -158,12 +173,39 @@ def main() -> None:
             if pass_i == 0:
                 build_s[name] = round(t1 - t0, 3)
 
+    # Watch anchors (round-14 order): extra ISOLATED re-runs for the
+    # watch-list queries so each reaches >= WATCH_MIN_RUNS measurements —
+    # the per-query hold-line is then judged on the in-artifact min, the
+    # closest thing to an idle-box reading this shared host can produce.
+    for name in WATCH_LINES_S:
+        if name not in exec_passes:
+            continue
+        while len(exec_passes[name]) < WATCH_MIN_RUNS:
+            df = qs[name](spark, sf_dir)
+            r0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            exec_passes[name].append(round(time.perf_counter() - r0, 3))
+
     stat1 = _read_proc_stat()
     wall1 = time.perf_counter()
 
     exec_s = {n: v[0] for n, v in exec_passes.items()}  # cold, historical
-    exec_warm_s = {n: v[1] if len(v) > 1 else v[0] for n, v in exec_passes.items()}
+    # exec_pass2_s replaces the r4-r12 field name exec_warm_s: since r13 the
+    # passes are whole-suite sweeps (rebuild + write), NOT a back-to-back
+    # noop re-write of the same built DataFrame, so the old name conflated
+    # two protocols across rounds (ADVICE r13).
+    exec_pass2_s = {n: v[1] if len(v) > 1 else v[0] for n, v in exec_passes.items()}
     exec_best_s = {n: min(v) for n, v in exec_passes.items()}
+    watch = {
+        n: {
+            "min_s": min(exec_passes[n]),
+            "line_s": WATCH_LINES_S[n],
+            "ok": min(exec_passes[n]) <= WATCH_LINES_S[n],
+            "runs": exec_passes[n],
+        }
+        for n in WATCH_LINES_S
+        if n in exec_passes
+    }
     timings = {
         n: round(build_s[n] + exec_s[n], 3) for n in HEADLINE_QUERIES
     }
@@ -178,6 +220,15 @@ def main() -> None:
         round(sum(exec_passes[q][i] for q in common24), 3) for i in range(n_passes)
     ]
     common24_exec_best = round(sum(exec_best_s[q] for q in common24), 3)
+    # The <=18s hold-line is judged at the PINNED protocol of 3 suite passes
+    # (ADVICE r13: min-of-N is one-sided, so an env-raised pass count could
+    # nudge the headline down with zero code change). This field always uses
+    # min over exactly the first min(3, n_passes) sweeps, whatever
+    # SPARK_GRAFT_BENCH_PASSES says, and whatever extra watch runs appended.
+    official_passes = min(3, n_passes)
+    common24_exec_best_official3 = round(
+        sum(min(exec_passes[q][:official_passes]) for q in common24), 3
+    )
     steal = (
         round(stat1["steal"] - stat0["steal"], 2)
         if stat0.get("steal") is not None and stat1.get("steal") is not None
@@ -190,35 +241,45 @@ def main() -> None:
         if stat0 and stat1
         else None
     )
+    # Field ORDER is load-bearing (round-14 order #4): the driver's capture
+    # window can truncate the artifact's tail, so every cross-round
+    # comparable summary number comes FIRST and the big per-query maps come
+    # LAST — truncation may eat detail, never the headline series.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "build_s": build_s,
-                "exec_s": exec_s,
-                "exec_warm_s": exec_warm_s,
-                "exec_best_s": exec_best_s,
+                "sf": sf,
                 "common24_exec_total": common24_exec,
                 "common24_exec_runs": common24_exec_runs,
                 "common24_exec_best": common24_exec_best,
+                "common24_exec_best_official3": common24_exec_best_official3,
                 "bench_passes": n_passes,
+                "bench_passes_official": official_passes,
                 "host_steal_s": steal,
                 "host_busy_cpu_s": busy,
                 "bench_wall_s": round(wall1 - wall0, 1),
-                "sf": sf,
-                "note": "r13: noise-robust protocol — the full suite runs "
-                "bench_passes times; exec_s = pass-1 (cold, comparable to "
-                "earlier rounds), exec_warm_s = pass-2, exec_best_s = "
-                "per-query min across passes. The <=18s hold-line is judged "
-                "on common24_exec_best (min is the least-contended reading; "
-                "same-code spread measured 1.66x on this box, r12). "
-                "common24_exec_runs shows every pass's sum; host_steal_s is "
-                "the /proc/stat steal delta across the whole bench run "
-                "(contention evidence inside the artifact). 'queries' = "
-                "build_s + exec_s",
+                "watch": watch,
+                "note": "r14 protocol: the full suite runs bench_passes "
+                "sweeps; exec_s = pass-1 (cold, comparable to earlier "
+                "rounds), exec_pass2_s = pass-2 of the rebuild+write loop "
+                "(RENAMED from exec_warm_s, whose r4-r12 semantics were a "
+                "noop re-write of the same built DataFrame — do not compare "
+                "across the rename), exec_best_s = per-query min across all "
+                "runs incl. watch re-runs. The <=18s hold-line is judged on "
+                "common24_exec_best_official3, pinned to min over the first "
+                "3 sweeps regardless of SPARK_GRAFT_BENCH_PASSES. 'watch' "
+                "holds each watch-list query's in-artifact min-of->=5 "
+                "anchor vs its hold line. host_steal_s = /proc/stat steal "
+                "delta across the run (contention evidence inside the "
+                "artifact). 'queries' = build_s + exec_s.",
+                "queries": timings,
+                "build_s": build_s,
+                "exec_s": exec_s,
+                "exec_pass2_s": exec_pass2_s,
+                "exec_best_s": exec_best_s,
             }
         )
     )

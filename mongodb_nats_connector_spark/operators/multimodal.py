@@ -933,10 +933,14 @@ def walk_tiff_ifd(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """Walk the first IFD of a TIFF container: detect the byte order from
     the 'II'/'MM' header, verify the magic 42, follow the IFD offset, and
     scan the 12-byte entries for ImageWidth(256)/ImageLength(257)/
-    BitsPerSample(258) stored as LONG values. Directory walk only (tag
-    values beyond the inline 4 bytes are not dereferenced). Malformed
-    input (bad byte order, wrong magic, truncated IFD, missing dimension
-    tags) is a typed miss (None), never an exception.
+    BitsPerSample(258) stored as LONG(4) or SHORT(3) values — SHORT is
+    decoded from the first inline 2 bytes (the TIFF inline-value rule),
+    any other entry type is skipped, so a non-canonical big-endian
+    SHORT-typed dimension can never be misread as value<<16 (ADVICE
+    r13). Directory walk only (tag values beyond the inline 4 bytes are
+    not dereferenced). Malformed input (bad byte order, wrong magic,
+    truncated IFD, missing dimension tags) is a typed miss (None),
+    never an exception.
     """
     import struct
 
@@ -963,7 +967,12 @@ def walk_tiff_ifd(payload: bytes) -> tuple[int, int, int, int, int] | None:
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(pre + "HHI", payload, base)
-        (val,) = struct.unpack_from(pre + "I", payload, base + 8)
+        if typ == 4:  # LONG: full 4-byte inline value
+            (val,) = struct.unpack_from(pre + "I", payload, base + 8)
+        elif typ == 3:  # SHORT: first 2 inline bytes, per the TIFF spec
+            (val,) = struct.unpack_from(pre + "H", payload, base + 8)
+        else:  # untyped/unsupported entry: never guess a width from it
+            continue
         if tag == 256:
             width = val
         elif tag == 257:

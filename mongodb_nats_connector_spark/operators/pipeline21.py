@@ -2015,9 +2015,14 @@ def events_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE -((1000 * (3 * n * s1 * s2 - n * n * s3
                                   - 2 * s1 * s1 * s1)) // (n * n * n))
              END AS m3_milli,
-             (1000000 * (n * n * n * s4 - 4 * n * n * s1 * s3
-                         + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1))
-               // (n * n * n * n) AS m4_micro
+             1000000 * ((n * n * n * s4 - 4 * n * n * s1 * s3
+                         + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+                        // (n * n * n * n))
+               + (1000000 * ((n * n * n * s4 - 4 * n * n * s1 * s3
+                              + 6 * n * s1 * s1 * s2
+                              - 3 * s1 * s1 * s1 * s1)
+                             % (n * n * n * n)))
+                 // (n * n * n * n) AS m4_micro
       FROM m
     )
     SELECT pri, CAST(n AS BIGINT) AS n_lines,
@@ -2046,7 +2051,12 @@ def events_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n^2 S3 - 3 n S S2 + 2 S^3, n^4 m4 = n^3 S4 - 4 n^2 S S3 + "
     "6 n S^2 S2 - 3 S^4, each floor-quantized once (micro/milli, "
     "sign-split m3), then the ratios are integer divisions of the "
-    "quantized values. One fact join + 5-group moment rollup.",
+    "quantized values. The m4 quantizer uses the exact split "
+    "floor(1e6*a/b) = 1e6*(a div b) + (1e6*(a mod b)) div b so no "
+    "intermediate exceeds the raw numerator — integer headroom holds "
+    "through ~sf40 per priority group (n^3*s4 reaches 1e38 at ~5e7 "
+    "rows/group); beyond that the pre-aggregated-cube swap applies. "
+    "One fact join + 5-group moment rollup.",
 )
 def agg_moment_ratio_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -2079,9 +2089,21 @@ def agg_moment_ratio_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((1000 * (3 * n * s1 * s2 - n * n * s3"
             " - 2 * s1 * s1 * s1)) div (n * n * n)) END"
         ).cast("decimal(38,0)").alias("m3_milli"),
+        # Exact split of floor(1e6*a/b) as 1e6*(a div b) + (1e6*(a mod b))
+        # div b (a >= 0 since a = n^4*m4): 1e6*a itself would exceed
+        # DECIMAL(38,0)/HUGEINT near sf10 (ADVICE r13); the split form's
+        # largest intermediate is the numerator itself, pushing the
+        # documented headroom to ~sf40 per priority group (n^3*s4 ~
+        # 1.25e6*n^4 hits 1e38 at n ~ 5e7 rows/group).
         F.expr(
-            "(1000000 * (n * n * n * s4 - 4 * n * n * s1 * s3"
-            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1))"
+            "CAST(1000000 AS DECIMAL(38,0))"
+            " * ((n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)"
+            " div (n * n * n * n))"
+            " + (CAST(1000000 AS DECIMAL(38,0))"
+            " * ((n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)"
+            " % (n * n * n * n)))"
             " div (n * n * n * n)"
         ).cast("decimal(38,0)").alias("m4_micro"),
     )

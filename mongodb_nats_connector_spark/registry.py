@@ -99,10 +99,15 @@ def _load_all() -> None:
     # banking) moves into the driver-facing registry this round — exactly
     # one full driver window.
     from mongodb_nats_connector_spark.operators import pipeline19  # noqa: F401
+    # Round-14 window: the pipeline20 bank (50 pre-verified queries,
+    # three-SF bit-exact + identity-pinned in tests/test_round19.py before
+    # banking) moves into the driver-facing registry this round — exactly
+    # one full driver window.
+    from mongodb_nats_connector_spark.operators import pipeline20  # noqa: F401
 
 
 def _load_deferred() -> None:
-    """Import the round-14 bank modules (registration side effects).
+    """Import the round-15 bank modules (registration side effects).
 
     The driver proves at most 50 queries per round, so new tranches beyond
     the current window are staged here, OUT of the driver-facing registry,
@@ -111,7 +116,7 @@ def _load_deferred() -> None:
     round end. The bank is still fully linted and unit-tested: registry-wide
     lint tests call ``_load_deferred()`` so plan/determinism discipline is
     enforced from day one, and the per-tranche round test files pin the
-    statistics. Round 14: move these imports into ``_load_all`` (bank order
+    statistics. Round 15: move these imports into ``_load_all`` (bank order
     is registration order).
 
     Loads the MAIN registry first: registration order is rank-tiebreak
@@ -123,12 +128,8 @@ def _load_deferred() -> None:
     test_stale_digest_demotes_verified_name in round 12).
     """
     _load_all()
-    # pipeline20 is the ROUND-14 bank: pipeline19 fills round 13's window
+    # pipeline21 is the ROUND-15 bank: pipeline20 fills round 14's window
     # exactly, so these queue one further round out
-    from mongodb_nats_connector_spark.operators import pipeline20  # noqa: F401
-
-    # pipeline21 is the ROUND-15 bank seed: pipeline20 fills round 14's
-    # window exactly, so these queue two rounds out
     from mongodb_nats_connector_spark.operators import pipeline21  # noqa: F401
 
 

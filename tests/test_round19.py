@@ -1552,6 +1552,37 @@ def test_tiff_walker_roundtrip_and_rejects():
         + entry("<", 400, 7) + _s.pack("<I", 0)
     )
     assert walk_tiff_ifd(nodims) is None
+    # SHORT(3)-typed dimensions decode from the first 2 inline bytes in
+    # BOTH byte orders — a big-endian SHORT must NOT read as value<<16
+    # (ADVICE r13) — and an unsupported type (RATIONAL=5) is skipped, so
+    # a RATIONAL-typed width is a typed miss, not a garbage value.
+    def entry_t(pre, tag, typ, val):
+        if typ == 3:
+            return _s.pack(pre + "HHI", tag, 3, 1) + _s.pack(
+                pre + "H", val
+            ) + b"\x00\x00"
+        return _s.pack(pre + "HHI", tag, typ, 1) + _s.pack(pre + "I", val)
+
+    for pre, hdr, le in (
+        ("<", b"II" + _s.pack("<H", 42), 1),
+        (">", b"MM" + _s.pack(">H", 42), 0),
+    ):
+        b = hdr + _s.pack(pre + "I", 8) + _s.pack(pre + "H", 3)
+        b += (
+            entry_t(pre, 256, 3, 640)
+            + entry_t(pre, 257, 3, 480)
+            + entry_t(pre, 258, 3, 16)
+        )
+        b += _s.pack(pre + "I", 0)
+        assert walk_tiff_ifd(b) == (le, 640, 480, 16, 3)
+        rational_w = hdr + _s.pack(pre + "I", 8) + _s.pack(pre + "H", 3)
+        rational_w += (
+            entry_t(pre, 256, 5, 640)
+            + entry_t(pre, 257, 3, 480)
+            + entry_t(pre, 258, 3, 16)
+        )
+        rational_w += _s.pack(pre + "I", 0)
+        assert walk_tiff_ifd(rational_w) is None
 
 
 def test_ico_walker_roundtrip_and_rejects():

@@ -496,6 +496,13 @@ def test_central_moment_integer_identities_and_pearson_bound():
             b1 = m3 * m3 / m2**3
             b2 = m4 / (m2 * m2)
             assert b2 >= b1 + 1  # the Pearson boundary
+        # split-quantizer identity (ADVICE r13 overflow fix): for a >= 0,
+        # floor(1e6*a/b) == 1e6*(a // b) + (1e6*(a % b)) // b — so the
+        # m4_micro restructure is bit-identical to the original form
+        a = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        b = n**4
+        assert a >= 0
+        assert (10**6 * a) // b == 10**6 * (a // b) + (10**6 * (a % b)) // b
 
 
 def test_uniform_chi2_cleared_with_absent_cells():
