@@ -2483,3 +2483,312 @@ def multimodal_bson_doc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_bson_doc_batches, BSON_DOC_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_deflate_fixed_decode — REAL DEFLATE (fixed-Huffman) inflate
+# ---------------------------------------------------------------------------
+
+# reverse8(c) for 0 <= c <= 255 via the classic multiply-mask-mod identity
+# (0x0202020202 / 0x010884422010 / 1023), exact in 64-bit on both engines.
+_REV8_CONST_MUL = 8623620610        # 0x0202020202
+_REV8_CONST_MASK = 1136090292240    # 0x010884422010
+
+
+def _deflate_rev_code(i_expr: str) -> str:
+    """SQL for reverse8(fixed-Huffman code of literal L(i)) where
+    L(i) = (doc_id*7 + i*31) % 144 and the 8-bit code is 0x30 + L
+    (RFC 1951 fixed table, literals 0..143). Emitting an MSB-first
+    Huffman code into DEFLATE's LSB-first bit stream is exactly a
+    little-endian write of the bit-reversed code."""
+    c = f"(48 + ((doc_id * 7 + ({i_expr}) * 31) % 144))"
+    return (
+        f"((({c} * {_REV8_CONST_MUL}) & {_REV8_CONST_MASK}) % 1023)"
+    )
+
+
+@register(
+    "multimodal_deflate_fixed_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n FROM documents
+    ),
+    lits AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+                            i -> (doc_id * 7 + i * 31) % 144) AS ls
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(list_sum(ls) AS BIGINT) AS byte_sum,
+           CAST(list_min(ls) AS BIGINT) AS byte_min,
+           CAST(list_max(ls) AS BIGINT) AS byte_max,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> (i + 1) * ls[i + 1])) AS BIGINT) AS stream_checksum
+    FROM lits
+    ORDER BY doc_id
+    """,
+    doc="REAL DEFLATE decompression on the hash surface (the round-14 "
+    "payload-decode order): per doc, compose an actual RFC 1951 "
+    "fixed-Huffman bit stream AS COLUMN EXPRESSIONS — each literal L in "
+    "0..143 becomes the 8-bit code 0x30+L, bit-reversed via the "
+    "multiply-mask-mod reverse8 identity (MSB-first Huffman emission "
+    "into the LSB-first DEFLATE stream IS a little-endian write of the "
+    "reversed code), packed after the 3-bit BFINAL/BTYPE header with the "
+    "7-bit zero EOB appended — then inflate the payload with zlib's REAL "
+    "inflate (wbits=-15, canonical Huffman table walk) over Arrow-batched "
+    "mapInPandas and emit decompressed-byte statistics. The weighted "
+    "checksum sum((i+1)*b_i) pins the decoded byte ORDER; any bit-packing "
+    "error either kills the inflate (typed NULL miss) or scrambles the "
+    "checksum. The oracle predicts the decompressed bytes arithmetically "
+    "from the literal formula - it never sees DEFLATE. Extends the "
+    "payload-decode axis (PCM samples, BMP pixels) to entropy-coded "
+    "compression. Map-only; zero shuffles at any scale.",
+)
+def multimodal_deflate_fixed_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        DEFLATE_STATS_SCHEMA,
+        _deflate_stats_batches,
+    )
+
+    r0 = _deflate_rev_code("0")
+    rk = _deflate_rev_code("k")
+    rkm1 = _deflate_rev_code("k - 1")
+    rnm1 = _deflate_rev_code("n - 1")
+    # stream bytes (n+2 total): byte0 = header(3 bits)=3 | low5(R0)<<3;
+    # byte k = high3(R_{k-1}) | low5(R_k)<<3; byte n = high3(R_{n-1});
+    # byte n+1 = EOB/pad zeros.
+    payload_hex = F.expr(
+        "concat_ws('', transform(sequence(0, n + 1), k -> lpad(hex("
+        "CASE WHEN k = 0 THEN 3 + (" + r0 + " % 32) * 8 "
+        "WHEN k < n THEN (" + rkm1 + " div 32) + (" + rk + " % 32) * 8 "
+        "WHEN k = n THEN (" + rnm1 + " div 32) "
+        "ELSE 0 END), 2, '0')))"
+    )
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (F.lit(16) + F.col("doc_id") % 17).alias("n")
+    )
+    return (
+        d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+        .mapInPandas(_deflate_stats_batches, DEFLATE_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gif_lzw_pixel_decode — full GIF-LZW decompression of pixels
+# ---------------------------------------------------------------------------
+
+# 128-entry global color table, entry j = ((5j+1)%256, (3j)%256, (7j)%256):
+# doc-independent, so the hex is a module-level literal.
+_GIF_GCT_HEX = "".join(
+    f"{(j * 5 + 1) % 256:02X}{(j * 3) % 256:02X}{(j * 7) % 256:02X}"
+    for j in range(128)
+)
+
+
+@register(
+    "multimodal_gif_lzw_pixel_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 9
+                  ELSE 7 + doc_id % 4 END AS w,
+             CASE WHEN doc_id % 7 = 0 THEN 14
+                  ELSE 9 + doc_id % 4 END AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h), i ->
+               (doc_id * 11 + 3 * (i % w) + 7 * (i // w)) % 128) AS ps
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(ps) AS BIGINT) AS index_sum,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                (i + 1) * ps[i + 1])) AS BIGINT) AS raster_checksum,
+           CAST(list_sum(list_transform(ps, p ->
+                (p * 5 + 1) % 256)) AS BIGINT) AS palette_r_sum
+    FROM px
+    ORDER BY doc_id
+    """,
+    doc="REAL GIF-LZW pixel decompression on the hash surface: per doc, "
+    "compose a complete GIF89a (logical screen descriptor, 128-entry "
+    "global color table, image descriptor, min-code-size 7, LZW data in "
+    "sub-blocks) as column expressions; with 8-bit codes the LSB-first "
+    "LZW packing is byte-aligned, so the literal-coded stream "
+    "[CLEAR, p_0..p_{n-1}, EOI] is column-composable - but the DECODER "
+    "(multimodal.lzw_decode_gif) is a complete LZW implementation "
+    "(variable width to 12 bits, CLEAR resets, KwKwK case, dictionary "
+    "growth) pinned in tests against an independent compressing encoder. "
+    "Every 7th doc is sized 9x14 = 126 pixels, driving next_code to "
+    "exactly 255: a decoder with an off-by-one in the width-bump "
+    "condition reads EOI at 9 bits and scrambles - the boundary sits ON "
+    "the oracle surface. The palette-mapped red-channel sum additionally "
+    "pins the color-table read. Map-only; zero shuffles at any scale.",
+)
+def multimodal_gif_lzw_pixel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        GIF_PIXEL_SCHEMA,
+        _gif_pixel_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 9 ELSE 7 + doc_id % 4 END"
+        ).alias("w"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 14 ELSE 9 + doc_id % 4 END"
+        ).alias("h"),
+    ).withColumn("n", F.col("w") * F.col("h"))
+    pixels_hex = F.expr(
+        "concat_ws('', transform(sequence(0, n - 1), i -> lpad(hex("
+        "(doc_id * 11 + 3 * (i % w) + 7 * (i div w)) % 128), 2, '0')))"
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),          # 'GIF89a'
+        _hex_le16(F.col("w")),
+        _hex_le16(F.col("h")),
+        F.lit("F60000"),                # GCT present, 128 entries; bg; aspect
+        F.lit(_GIF_GCT_HEX),
+        F.lit("2C00000000"),            # image descriptor, left=0 top=0
+        _hex_le16(F.col("w")),
+        _hex_le16(F.col("h")),
+        F.lit("00"),                    # no local color table
+        F.lit("07"),                    # LZW min code size
+        F.lpad(F.hex(F.col("n") + 2), 2, "0"),  # one sub-block: n+2 bytes
+        F.lit("80"),                    # CLEAR
+        pixels_hex,
+        F.lit("81"),                    # EOI
+        F.lit("003B"),                  # block terminator + trailer
+    )
+    return (
+        d.select("doc_id", F.unhex(gif_hex).alias("payload"))
+        .mapInPandas(_gif_pixel_batches, GIF_PIXEL_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_png_idat_decode — zlib-wrapped IDAT + filter reconstruction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_idat_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 CASE WHEN y % 2 = 0
+                      THEN (doc_id * 9 + 5 * x + 3 * y) % 256
+                      ELSE CAST(list_sum(list_transform(range(0, x + 1),
+                           t -> (doc_id * 9 + 5 * t + 3 * y) % 256)) % 256
+                           AS BIGINT)
+                 END))) AS rs
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(rs) AS BIGINT) AS gray_sum,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                (i + 1) * rs[i + 1])) AS BIGINT) AS raster_checksum
+    FROM px
+    ORDER BY doc_id
+    """,
+    doc="REAL PNG IDAT decode on the hash surface: per doc, compose a "
+    "complete 8-bit grayscale PNG as column expressions - chunk grammar "
+    "(IHDR/IDAT/IEND), a zlib-WRAPPED stored-DEFLATE stream whose "
+    "adler32 is computed ARITHMETICALLY column-side (s1 = 1+sum, "
+    "s2 = N + sum((N-i) b_i), mod 65521), and scanlines alternating "
+    "filter 0 (None) and filter 1 (Sub) with the FILTERED bytes "
+    "generated by formula. The decoder (multimodal.decode_png_gray8) "
+    "inflates with wbits=15 - zlib itself VERIFIES the column-computed "
+    "adler32 - then runs the per-scanline filter reconstruction "
+    "(Recon(x) = Filt(x) + Recon(x-1) mod 256 on Sub rows). The oracle "
+    "predicts the reconstructed pixels as prefix sums mod 256, never "
+    "seeing zlib: a wrong adler32, a stored-block framing slip, or an "
+    "unapplied Sub filter each break parity. Chunk CRC32 fields carry "
+    "sentinel bytes (decoder walks by chunk length; CRC verification is "
+    "out of scope and documented). Map-only; zero shuffles at any "
+    "scale.",
+)
+def multimodal_png_idat_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        PNG_PIXEL_SCHEMA,
+        _png_pixel_batches,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline20 import _hex_be32
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(4) + F.col("doc_id") % 3).alias("h"),
+    ).withColumn("nraw", F.col("h") * (F.col("w") + 1))
+    g = "((doc_id * 9 + 5 * {x} + 3 * {y}) % 256)"
+    # raw stream: per row, the filter-type byte (y%2) then w filtered bytes
+    raw_hex = F.expr(
+        "concat_ws('', transform(sequence(0, h - 1), y -> concat("
+        "lpad(hex(y % 2), 2, '0'),"
+        "concat_ws('', transform(sequence(0, w - 1), x -> lpad(hex("
+        + g.format(x="x", y="y") + "), 2, '0'))))))"
+    )
+    # adler32 of the raw stream, arithmetically: positions i = y*(w+1) for
+    # the filter byte, y*(w+1)+1+x for data bytes; all-integer, tiny bounds
+    s1 = F.expr(
+        "(1 + aggregate(sequence(0, h - 1), CAST(0 AS BIGINT), (acc, y) ->"
+        " acc + y % 2 + aggregate(sequence(0, w - 1), CAST(0 AS BIGINT),"
+        " (a2, x) -> a2 + " + g.format(x="x", y="y") + "))) % 65521"
+    )
+    s2 = F.expr(
+        "(nraw + aggregate(sequence(0, h - 1), CAST(0 AS BIGINT),"
+        " (acc, y) -> acc + (nraw - y * (w + 1)) * (y % 2)"
+        " + aggregate(sequence(0, w - 1), CAST(0 AS BIGINT), (a2, x) ->"
+        " a2 + (nraw - (y * (w + 1) + 1 + x)) * "
+        + g.format(x="x", y="y") + "))) % 65521"
+    )
+    zlib_hex = F.concat(
+        F.lit("7801"),                            # CMF/FLG (31-check ok)
+        F.lit("01"),                              # stored, BFINAL=1
+        _hex_le16(F.col("nraw")),
+        _hex_le16(F.expr("nraw ^ 65535")),        # NLEN
+        raw_hex,
+        _hex_be32(s2 * F.lit(65536) + s1),        # adler32, big-endian
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),                # signature
+        F.lit("0000000D49484452"),                # IHDR length + type
+        _hex_be32(F.col("w")),
+        _hex_be32(F.col("h")),
+        F.lit("0800000000"),                      # depth 8, gray, no interlace
+        F.lit("DEADBEEF"),                        # IHDR crc sentinel
+        _hex_be32(F.col("nraw") + 11),            # IDAT length
+        F.lit("49444154"),
+        zlib_hex,
+        F.lit("DEADBEEF"),                        # IDAT crc sentinel
+        F.lit("0000000049454E44DEADBEEF"),        # IEND
+    )
+    return (
+        d.select("doc_id", F.unhex(png_hex).alias("payload"))
+        .mapInPandas(_png_pixel_batches, PNG_PIXEL_SCHEMA)
+        .orderBy("doc_id")
+    )

