@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.operators.pipeline20 import (
+    _dsum,
     _hex_le16,
     _hex_le32,
 )
@@ -2791,4 +2792,1053 @@ def multimodal_png_idat_decode(
         d.select("doc_id", F.unhex(png_hex).alias("payload"))
         .mapInPandas(_png_pixel_batches, PNG_PIXEL_SCHEMA)
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_fisher_price_index — Laspeyres / Paasche / Fisher chained indices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_fisher_price_index",
+    oracle="""
+    WITH cell AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rc,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT pk, yr, q, (1000 * rc) // q AS p_mc FROM cell WHERE q > 0
+    ),
+    pair AS (
+      SELECT c1.yr AS yr,
+             CAST(sum(CAST(c1.p_mc AS HUGEINT) * c0.q) AS HUGEINT) AS l_num,
+             CAST(sum(CAST(c0.p_mc AS HUGEINT) * c0.q) AS HUGEINT) AS l_den,
+             CAST(sum(CAST(c1.p_mc AS HUGEINT) * c1.q) AS HUGEINT) AS p_num,
+             CAST(sum(CAST(c0.p_mc AS HUGEINT) * c1.q) AS HUGEINT) AS p_den,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM p c1 JOIN p c0 ON c0.pk = c1.pk AND c0.yr = c1.yr - 1
+      GROUP BY 1
+    )
+    SELECT yr, n_parts,
+           CAST((1000000 * l_num) // l_den AS BIGINT) AS laspeyres_ppm,
+           CAST((1000000 * p_num) // p_den AS BIGINT) AS paasche_ppm,
+           CAST(floor(sqrt(CAST(((1000000 * l_num) // l_den)
+                * ((1000000 * p_num) // p_den) AS DOUBLE))) AS BIGINT)
+             AS fisher_ppm
+    FROM pair
+    ORDER BY yr
+    """,
+    doc="Chained Laspeyres / Paasche / Fisher price indices per ship "
+    "year: unit values quantized to exact integer milli-cents per "
+    "(part, year) cell BEFORE the cross-part sums, so every index "
+    "numerator/denominator is an exact HUGEINT-widened integer and the "
+    "ppm ratios are single floor divisions; Fisher is the geometric "
+    "mean of the two ppm integers (floor-sqrt of an exact sub-2^53 "
+    "product — the one documented double op). The year-over-year join "
+    "is co-partitioned on partkey (the same key as the cell rollup: "
+    "one shuffle, reused); output is bounded by the ~7-year calendar. "
+    "Deleted/entered parts drop out pairwise (matched-sample index, "
+    "documented).",
+)
+def orders_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rc"),
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    p = cell.filter(F.col("q") > 0).select(
+        "pk", "yr", "q", F.expr("(1000 * rc) div q").alias("p_mc")
+    )
+    c1, c0 = p.alias("c1"), p.alias("c0")
+    d = F.expr  # decimal-widened products
+    pair = (
+        c1.join(
+            c0,
+            (F.col("c0.pk") == F.col("c1.pk"))
+            & (F.col("c0.yr") == F.col("c1.yr") - 1),
+        )
+        .groupBy(F.col("c1.yr").alias("yr"))
+        .agg(
+            F.sum(d("CAST(c1.p_mc AS DECIMAL(38,0)) * c0.q")).alias("l_num"),
+            F.sum(d("CAST(c0.p_mc AS DECIMAL(38,0)) * c0.q")).alias("l_den"),
+            F.sum(d("CAST(c1.p_mc AS DECIMAL(38,0)) * c1.q")).alias("p_num"),
+            F.sum(d("CAST(c0.p_mc AS DECIMAL(38,0)) * c1.q")).alias("p_den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    return pair.select(
+        "yr",
+        "n_parts",
+        F.expr("CAST((1000000 * l_num) div l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST((1000000 * p_num) div p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            "CAST(floor(sqrt(CAST(CAST((1000000 * l_num) div l_den AS"
+            " BIGINT) * CAST((1000000 * p_num) div p_den AS BIGINT)"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("fisher_ppm"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# agg_mmd_quadratic — maximum mean discrepancy with the quadratic kernel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mmd_quadratic",
+    oracle="""
+    WITH g AS (
+      SELECT l_linestatus AS grp,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s2
+      FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY 1
+    ),
+    ab AS (
+      SELECT max(CASE WHEN grp = 'O' THEN n END) AS na,
+             max(CASE WHEN grp = 'O' THEN s1 END) AS s1a,
+             max(CASE WHEN grp = 'O' THEN s2 END) AS s2a,
+             max(CASE WHEN grp = 'F' THEN n END) AS nb,
+             max(CASE WHEN grp = 'F' THEN s1 END) AS s1b,
+             max(CASE WHEN grp = 'F' THEN s2 END) AS s2b
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_open,
+           CAST(nb AS BIGINT) AS n_filled,
+           CAST((1000 * (nb * nb * (na * na + 2 * s1a * s1a + s2a * s2a)
+                 + na * na * (nb * nb + 2 * s1b * s1b + s2b * s2b)
+                 - 2 * na * nb * (na * nb + 2 * s1a * s1b + s2a * s2b)))
+                // (na * na * nb * nb) AS BIGINT) AS mmd2_milli
+    FROM ab
+    """,
+    doc="Maximum mean discrepancy between the open ('O') and filled "
+    "('F') line-status quantity distributions under the quadratic "
+    "polynomial kernel k(x,y) = (1 + xy)^2 — the kernel two-sample "
+    "distance that, unlike a mean/variance t-test, is zero iff the "
+    "first TWO moments agree, and unlike agg_energy_distance needs no "
+    "pairwise |x-y| census: (1+xy)^2 = 1 + 2xy + x^2 y^2 factorizes "
+    "the double sums into pure moment products, so the biased "
+    "V-statistic MMD^2 = E_aa k + E_bb k - 2 E_ab k clears to ONE "
+    "exact integer ratio of HUGEINT-widened power sums (n, S1, S2 per "
+    "group). Map-side combine to 2 rows; the 100 TB cost is one scan.",
+)
+def agg_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    q = F.round("l_quantity").cast("bigint")
+    g = (
+        li.filter(F.col("l_linestatus").isin("O", "F"))
+        .groupBy(F.col("l_linestatus").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            _dsum(q).alias("s1"),
+            _dsum(q * q).alias("s2"),
+        )
+    )
+    ab = g.agg(
+        F.max(F.when(F.col("grp") == "O", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "O", F.col("s1"))).alias("s1a"),
+        F.max(F.when(F.col("grp") == "O", F.col("s2"))).alias("s2a"),
+        F.max(F.when(F.col("grp") == "F", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "F", F.col("s1"))).alias("s1b"),
+        F.max(F.when(F.col("grp") == "F", F.col("s2"))).alias("s2b"),
+    )
+    return ab.select(
+        F.col("na").cast("bigint").alias("n_open"),
+        F.col("nb").cast("bigint").alias("n_filled"),
+        F.expr(
+            "CAST((1000 * (nb * nb * (na * na + 2 * s1a * s1a + s2a * s2a)"
+            " + na * na * (nb * nb + 2 * s1b * s1b + s2b * s2b)"
+            " - 2 * na * nb * (na * nb + 2 * s1a * s1b + s2a * s2b)))"
+            " div (na * na * nb * nb) AS BIGINT)"
+        ).alias("mmd2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_distance_correlation — exact dCor via bounded-domain pair censuses
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distance_correlation",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2
+    ),
+    n_t AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+    pair AS (
+      SELECT CAST(sum(a.c * b.c * abs(a.x - b.x) * abs(a.y - b.y))
+                  AS HUGEINT) AS t1,
+             CAST(sum(a.c * b.c * (a.x - b.x) * (a.x - b.x))
+                  AS HUGEINT) AS t1x,
+             CAST(sum(a.c * b.c * (a.y - b.y) * (a.y - b.y))
+                  AS HUGEINT) AS t1y,
+             CAST(sum(a.c * b.c * abs(a.x - b.x)) AS HUGEINT) AS sa,
+             CAST(sum(a.c * b.c * abs(a.y - b.y)) AS HUGEINT) AS sb
+      FROM cells a, cells b
+    ),
+    rowm AS (
+      SELECT a.x, a.y, a.c,
+             CAST(sum(b.c * abs(a.x - b.x)) AS HUGEINT) AS ai,
+             CAST(sum(b.c * abs(a.y - b.y)) AS HUGEINT) AS bi
+      FROM cells a, cells b GROUP BY 1, 2, 3
+    ),
+    t3s AS (
+      SELECT CAST(sum(c * ai * bi) AS HUGEINT) AS t3,
+             CAST(sum(c * ai * ai) AS HUGEINT) AS t3x,
+             CAST(sum(c * bi * bi) AS HUGEINT) AS t3y
+      FROM rowm
+    ),
+    v AS (
+      SELECT (1000 * (n_t.n * n_t.n * pair.t1 + pair.sa * pair.sb
+                      - 2 * n_t.n * t3s.t3)) // (n_t.n * n_t.n * n_t.n)
+               AS v_milli,
+             (1000 * (n_t.n * n_t.n * pair.t1x + pair.sa * pair.sa
+                      - 2 * n_t.n * t3s.t3x)) // (n_t.n * n_t.n * n_t.n)
+               AS vx_milli,
+             (1000 * (n_t.n * n_t.n * pair.t1y + pair.sb * pair.sb
+                      - 2 * n_t.n * t3s.t3y)) // (n_t.n * n_t.n * n_t.n)
+               AS vy_milli,
+             n_t.n AS n
+      FROM n_t, pair, t3s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(v_milli AS BIGINT) AS dcov2_n_milli,
+           CAST(vx_milli AS BIGINT) AS dvarx_n_milli,
+           CAST(vy_milli AS BIGINT) AS dvary_n_milli,
+           CAST((1000000 * v_milli * v_milli)
+                // greatest(vx_milli * vy_milli, 1) AS BIGINT)
+             AS dcor4_ppm
+    FROM v
+    """,
+    doc="EXACT distance correlation between line quantity and discount "
+    "— the Szekely dCor that detects ARBITRARY (not just monotone) "
+    "dependence, zero iff independent. The O(n^2) pairwise-distance "
+    "double sums that make dCor infamous at scale collapse onto the "
+    "bounded joint value grid (<= 51 x 11 = 561 cells): every "
+    "V-statistic term is a census-weighted cell-pair sum (561^2 "
+    "bounded broadcast cross join), so the statistic is EXACT integer "
+    "arithmetic at any row count — n^4-cleared dCov^2/dVar "
+    "numerators, milli-quantized at n^3 scale (one documented floor "
+    "layer), and dcor^4 as a second-layer ppm ratio (squares avoid "
+    "the cross-engine sqrt; dCor^2 = sqrt(dcor4_ppm/1e6) off-surface)."
+    " One scan + 561-cell census; everything after is bounded.",
+)
+def agg_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    base = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    cells = cells
+    a, b = cells.alias("a"), cells.alias("b")
+    n_t = cells.agg(F.sum("c").alias("n"))
+    pair = a.crossJoin(F.broadcast(b)).agg(
+        _dsum(
+            F.col("a.c") * F.col("b.c")
+            * F.abs(F.col("a.x") - F.col("b.x"))
+            * F.abs(F.col("a.y") - F.col("b.y"))
+        ).alias("t1"),
+        _dsum(
+            F.col("a.c") * F.col("b.c")
+            * (F.col("a.x") - F.col("b.x"))
+            * (F.col("a.x") - F.col("b.x"))
+        ).alias("t1x"),
+        _dsum(
+            F.col("a.c") * F.col("b.c")
+            * (F.col("a.y") - F.col("b.y"))
+            * (F.col("a.y") - F.col("b.y"))
+        ).alias("t1y"),
+        _dsum(
+            F.col("a.c") * F.col("b.c")
+            * F.abs(F.col("a.x") - F.col("b.x"))
+        ).alias("sa"),
+        _dsum(
+            F.col("a.c") * F.col("b.c")
+            * F.abs(F.col("a.y") - F.col("b.y"))
+        ).alias("sb"),
+    )
+    rowm = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy(F.col("a.x").alias("x"), F.col("a.y").alias("y"),
+                 F.col("a.c").alias("c"))
+        .agg(
+            _dsum(F.col("b.c") * F.abs(F.col("a.x") - F.col("b.x"))).alias(
+                "ai"
+            ),
+            _dsum(F.col("b.c") * F.abs(F.col("a.y") - F.col("b.y"))).alias(
+                "bi"
+            ),
+        )
+    )
+    t3s = rowm.agg(
+        _dsum(F.col("c") * F.col("ai") * F.col("bi")).alias("t3"),
+        _dsum(F.col("c") * F.col("ai") * F.col("ai")).alias("t3x"),
+        _dsum(F.col("c") * F.col("bi") * F.col("bi")).alias("t3y"),
+    )
+    v = (
+        n_t.crossJoin(F.broadcast(pair))
+        .crossJoin(F.broadcast(t3s))
+        .select(
+            F.col("n"),
+            F.expr(
+                "(1000 * (n * n * t1 + sa * sb - 2 * n * t3))"
+                " div (n * n * n)"
+            ).alias("v_milli"),
+            F.expr(
+                "(1000 * (n * n * t1x + sa * sa - 2 * n * t3x))"
+                " div (n * n * n)"
+            ).alias("vx_milli"),
+            F.expr(
+                "(1000 * (n * n * t1y + sb * sb - 2 * n * t3y))"
+                " div (n * n * n)"
+            ).alias("vy_milli"),
+        )
+    )
+    out = v.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("v_milli").cast("bigint").alias("dcov2_n_milli"),
+        F.col("vx_milli").cast("bigint").alias("dvarx_n_milli"),
+        F.col("vy_milli").cast("bigint").alias("dvary_n_milli"),
+        F.expr(
+            "CAST((1000000 * v_milli * v_milli)"
+            " div greatest(vx_milli * vy_milli, 1) AS BIGINT)"
+        ).alias("dcor4_ppm"),
+    )
+    return persist_until_collected(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_crps_empirical — continuous ranked probability score on the grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_crps_empirical",
+    oracle="""
+    WITH fx AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1
+    ),
+    oy AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS y,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1
+    ),
+    nn AS (
+      SELECT (SELECT CAST(sum(c) AS HUGEINT) FROM fx) AS n,
+             (SELECT CAST(sum(c) AS HUGEINT) FROM oy) AS m
+    ),
+    txy AS (
+      SELECT CAST(sum(fx.c * oy.c * abs(fx.x - oy.y)) AS HUGEINT) AS t
+      FROM fx, oy
+    ),
+    axx AS (
+      SELECT CAST(sum(a.c * b.c * abs(a.x - b.x)) AS HUGEINT) AS t
+      FROM fx a, fx b
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_forecast,
+           CAST(nn.m AS BIGINT) AS n_outcomes,
+           CAST((1000 * (2 * nn.n * txy.t - nn.m * axx.t))
+                // (2 * nn.n * nn.n * nn.m) AS BIGINT) AS crps_milli
+    FROM nn, txy, axx
+    """,
+    doc="Continuous ranked probability score of the filled-status "
+    "quantity distribution used as a probabilistic forecast for the "
+    "open-status outcomes: CRPS = E|X - y| - (1/2) E|X - X'| averaged "
+    "over outcomes y — the PROPER scoring rule for full predictive "
+    "distributions (pinball/orders_pinball_loss scores one quantile; "
+    "CRPS integrates over all of them). Both expectation double sums "
+    "collapse onto the bounded <= 51-value quantity grid (51 x 51 "
+    "cell-pair censuses), so the score is ONE exact integer ratio "
+    "cleared over 2 n^2 m, milli floor. One scan + two bounded "
+    "broadcast grid joins; exact at any scale.",
+)
+def agg_crps_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    q = F.round("l_quantity").cast("bigint")
+    fx = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy(q.alias("x"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    oy = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy(q.alias("y"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    nn = fx.agg(F.sum("c").alias("n")).crossJoin(
+        F.broadcast(oy.agg(F.sum("c").alias("m")))
+    )
+    txy = (
+        fx.alias("fx")
+        .crossJoin(F.broadcast(oy.alias("oy")))
+        .agg(
+            _dsum(
+                F.col("fx.c") * F.col("oy.c")
+                * F.abs(F.col("fx.x") - F.col("oy.y"))
+            ).alias("t")
+        )
+    )
+    axx = (
+        fx.alias("a")
+        .crossJoin(F.broadcast(fx.alias("b")))
+        .agg(
+            _dsum(
+                F.col("a.c") * F.col("b.c")
+                * F.abs(F.col("a.x") - F.col("b.x"))
+            ).alias("t")
+        )
+    )
+    return (
+        nn.crossJoin(F.broadcast(txy.withColumnRenamed("t", "txy")))
+        .crossJoin(F.broadcast(axx.withColumnRenamed("t", "axx")))
+        .select(
+            F.col("n").cast("bigint").alias("n_forecast"),
+            F.col("m").cast("bigint").alias("n_outcomes"),
+            F.expr(
+                "CAST((1000 * (2 * n * txy - m * axx))"
+                " div (2 * n * n * m) AS BIGINT)"
+            ).alias("crps_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_kendall_partial_tau — partial rank correlation, grid-exact
+# ---------------------------------------------------------------------------
+
+_TAU_MICRO = (
+    "CASE WHEN {u} >= 0 THEN (1000000 * {u}) {div} {d}"
+    " ELSE -((1000000 * (-({u}))) {div} {d}) END"
+)
+
+
+@register(
+    "agg_kendall_partial_tau",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y,
+             CAST(round(l_tax * 100) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    n_t AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+    cxy AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2),
+    cxz AS (SELECT x, z, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2),
+    cyz AS (SELECT y, z, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2),
+    uxy AS (
+      SELECT CAST(sum(a.c * b.c * sign(a.x - b.x) * sign(a.y - b.y))
+                  AS HUGEINT) AS u2
+      FROM cxy a, cxy b
+    ),
+    uxz AS (
+      SELECT CAST(sum(a.c * b.c * sign(a.x - b.x) * sign(a.z - b.z))
+                  AS HUGEINT) AS u2
+      FROM cxz a, cxz b
+    ),
+    uyz AS (
+      SELECT CAST(sum(a.c * b.c * sign(a.y - b.y) * sign(a.z - b.z))
+                  AS HUGEINT) AS u2
+      FROM cyz a, cyz b
+    ),
+    taus AS (
+      SELECT {_TAU_MICRO.format(u='uxy.u2', d='(n_t.n * (n_t.n - 1))', div='//')} AS txy,
+             {_TAU_MICRO.format(u='uxz.u2', d='(n_t.n * (n_t.n - 1))', div='//')} AS txz,
+             {_TAU_MICRO.format(u='uyz.u2', d='(n_t.n * (n_t.n - 1))', div='//')} AS tyz,
+             n_t.n AS n
+      FROM n_t, uxy, uxz, uyz
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(txy AS BIGINT) AS tau_xy_micro,
+           CAST(txz AS BIGINT) AS tau_xz_micro,
+           CAST(tyz AS BIGINT) AS tau_yz_micro,
+           CAST(sign(1000000 * txy - txz * tyz) AS BIGINT) AS partial_sign,
+           CAST((1000000 * (1000000 * txy - txz * tyz)
+                 * (1000000 * txy - txz * tyz))
+                // greatest((1000000000000 - txz * txz)
+                            * (1000000000000 - tyz * tyz), 1)
+                AS BIGINT) AS partial_tau2_ppm
+    FROM taus
+    """,
+    doc="Partial Kendall tau between quantity and discount CONTROLLING "
+    "for tax: tau_xy.z = (tau_xy - tau_xz tau_yz) / sqrt((1-tau_xz^2)"
+    "(1-tau_yz^2)) — the rank-based conditional-dependence complement "
+    "of agg_partial_corr (which is Pearson/linear). Each tau-a comes "
+    "from an EXACT concordance census: 2(C-D) = sum over bounded "
+    "joint-grid cell pairs of c_a c_b sgn(dx) sgn(dy) (grids <= 51x11,"
+    " 51x9, 11x9 — the double sums are bounded broadcast joins at any "
+    "row count), micro-quantized with sign-split truncation; the "
+    "partial is emitted as sign + squared ppm ratio of the micro "
+    "integers (second documented floor layer; sqrt stays off-surface)."
+    " One scan + three bounded censuses.",
+)
+def agg_kendall_partial_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    base = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("z"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    base = base
+    n_t = base.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+
+    def u2(c1: str, c2: str) -> DataFrame:
+        cells = base.groupBy(c1, c2).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+        )
+        a, b = cells.alias("a"), cells.alias("b")
+        return a.crossJoin(F.broadcast(b)).agg(
+            _dsum(
+                F.col("a.c")
+                * F.col("b.c")
+                * F.signum(F.col(f"a.{c1}") - F.col(f"b.{c1}")).cast(
+                    "decimal(38,0)"
+                )
+                * F.signum(F.col(f"a.{c2}") - F.col(f"b.{c2}")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("u2")
+        )
+
+    t = (
+        n_t.crossJoin(F.broadcast(u2("x", "y").withColumnRenamed("u2", "uxy")))
+        .crossJoin(F.broadcast(u2("x", "z").withColumnRenamed("u2", "uxz")))
+        .crossJoin(F.broadcast(u2("y", "z").withColumnRenamed("u2", "uyz")))
+    )
+    tau = lambda u: _TAU_MICRO.format(u=u, d="(n * (n - 1))", div="div")
+    taus = t.select(
+        F.col("n"),
+        F.expr(tau("uxy")).cast("decimal(38,0)").alias("txy"),
+        F.expr(tau("uxz")).cast("decimal(38,0)").alias("txz"),
+        F.expr(tau("uyz")).cast("decimal(38,0)").alias("tyz"),
+    )
+    out = taus.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("txy").cast("bigint").alias("tau_xy_micro"),
+        F.col("txz").cast("bigint").alias("tau_xz_micro"),
+        F.col("tyz").cast("bigint").alias("tau_yz_micro"),
+        F.expr(
+            "CAST(sign(1000000 * txy - txz * tyz) AS BIGINT)"
+        ).alias("partial_sign"),
+        F.expr(
+            "CAST((1000000 * (1000000 * txy - txz * tyz)"
+            " * (1000000 * txy - txz * tyz))"
+            " div greatest((1000000000000 - txz * txz)"
+            " * (1000000000000 - tyz * tyz), 1) AS BIGINT)"
+        ).alias("partial_tau2_ppm"),
+    )
+    return persist_until_collected(base, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_tail_dependence — empirical upper-tail dependence on the grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_tail_dependence",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ),
+    n_t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tx AS (
+      SELECT min(a.x) AS thr FROM mx a, n_t
+      WHERE (SELECT sum(b.c) FROM mx b WHERE b.x <= a.x) * 10 >= 9 * n_t.n
+    ),
+    ty AS (
+      SELECT min(a.y) AS thr FROM my a, n_t
+      WHERE (SELECT sum(b.c) FROM my b WHERE b.y <= a.y) * 10 >= 9 * n_t.n
+    ),
+    ex AS (
+      SELECT CAST(sum(CASE WHEN cells.x > tx.thr THEN cells.c ELSE 0 END)
+                  AS BIGINT) AS nx,
+             CAST(sum(CASE WHEN cells.y > ty.thr THEN cells.c ELSE 0 END)
+                  AS BIGINT) AS ny,
+             CAST(sum(CASE WHEN cells.x > tx.thr AND cells.y > ty.thr
+                      THEN cells.c ELSE 0 END) AS BIGINT) AS nj
+      FROM cells, tx, ty
+    )
+    SELECT n_t.n AS n_rows,
+           CAST(tx.thr AS BIGINT) AS x_threshold,
+           CAST(ty.thr AS BIGINT) AS y_threshold_hcents,
+           ex.nx AS n_exceed_x, ex.ny AS n_exceed_y,
+           ex.nj AS n_joint_exceed,
+           CAST((1000000 * ex.nj) // greatest(ex.nx, 1) AS BIGINT)
+             AS lambda_u_ppm,
+           CAST((1000000 * ex.ny) // n_t.n AS BIGINT)
+             AS independence_ppm
+    FROM n_t, tx, ty, ex
+    """,
+    doc="Empirical upper-tail dependence between line quantity and "
+    "extended price (bucketed to whole thousands of dollars, keeping "
+    "the domain bounded): lambda_U = P(Y > t_y | X > t_x) at the "
+    "empirical 90th-percentile thresholds, against the independence "
+    "baseline P(Y > t_y) — the copula-tail diagnostic that Pearson/"
+    "Kendall coefficients miss (two variables can be uncorrelated yet "
+    "tail-dependent, the joint-extremes case that breaks outlier "
+    "capping). Thresholds come from bounded-grid marginal cumulative "
+    "censuses (a grid self-join, no data-proportional window); every "
+    "count is exact and the ratios are single ppm floors. One scan + "
+    "bounded grid reduces.",
+)
+def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    base = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div 100000"
+        ).alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    n_t = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("c").cast("bigint").alias("c"))
+    my = cells.groupBy("y").agg(F.sum("c").cast("bigint").alias("c"))
+
+    def thr(m: DataFrame, col: str) -> DataFrame:
+        a, b = m.alias("a"), m.alias("b")
+        cum = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col(f"b.{col}") <= F.col(f"a.{col}"))
+            .groupBy(F.col(f"a.{col}").alias(col))
+            .agg(F.sum(F.col("b.c")).cast("bigint").alias("cum"))
+        )
+        return (
+            cum.crossJoin(F.broadcast(n_t))
+            .filter(F.col("cum") * 10 >= 9 * F.col("n"))
+            .agg(F.min(col).alias("thr"))
+        )
+
+    tx = thr(mx, "x").withColumnRenamed("thr", "tx")
+    ty = thr(my, "y").withColumnRenamed("thr", "ty")
+    ex = (
+        cells.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("tx"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("nx"),
+            F.sum(F.when(F.col("y") > F.col("ty"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("ny"),
+            F.sum(
+                F.when(
+                    (F.col("x") > F.col("tx")) & (F.col("y") > F.col("ty")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nj"),
+            F.max("tx").alias("txv"),
+            F.max("ty").alias("tyv"),
+        )
+    )
+    out = ex.crossJoin(F.broadcast(n_t)).select(
+        F.col("n").alias("n_rows"),
+        F.col("txv").cast("bigint").alias("x_threshold"),
+        F.col("tyv").cast("bigint").alias("y_threshold_hcents"),
+        F.col("nx").alias("n_exceed_x"),
+        F.col("ny").alias("n_exceed_y"),
+        F.col("nj").alias("n_joint_exceed"),
+        F.expr(
+            "CAST((1000000 * nj) div greatest(nx, 1) AS BIGINT)"
+        ).alias("lambda_u_ppm"),
+        F.expr("CAST((1000000 * ny) div n AS BIGINT)").alias(
+            "independence_ppm"
+        ),
+    )
+    return persist_until_collected(cells, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_hogg_tail_weight — Hogg's Q tail-weight classifier on the dollar grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hogg_tail_weight",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+      FROM orders
+    ),
+    cells AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    pos AS (
+      SELECT v, c, t.n,
+             coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS lo
+      FROM cells CROSS JOIN tot t
+    ),
+    reg AS (
+      SELECT max(n) AS n,
+             CAST(sum(CAST(greatest(least(n // 20 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS b05,
+             CAST(sum(CAST(greatest(least(n // 2 - lo, c), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS b50,
+             CAST(sum(CAST(greatest(least(c, n - n // 20 - lo), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS below_t5,
+             CAST(sum(CAST(greatest(least(c, n - n // 2 - lo), 0)
+                      AS HUGEINT) * v) AS HUGEINT) AS below_t50,
+             CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s
+      FROM pos
+    )
+    SELECT n AS n_orders,
+           CAST(n // 20 AS BIGINT) AS n_tail,
+           CAST((1000 * (n // 2) * ((s - below_t5) - b05))
+                // greatest((n // 20) * ((s - below_t50) - b50), 1)
+                AS BIGINT) AS hogg_q_milli
+    FROM reg
+    """,
+    doc="Hogg's Q tail-weight statistic of the order-value distribution "
+    "on the whole-dollar value grid: Q = (mean of the top 5% - mean of "
+    "the bottom 5%) / (mean of the top 50% - mean of the bottom 50%) "
+    "— the order-statistic classifier (light / normal-ish / heavy "
+    "tails by Q bands) that picks trimming levels for adaptive "
+    "robust estimators; complements agg_bowley_moors (quantile skew/"
+    "kurtosis) with REGION MEANS rather than point quantiles. Region "
+    "sums clear exactly over the value census: bottom-k sums via the "
+    "palma-style greatest(least(k - lo, c), 0) prefix trick, top "
+    "sums by complement, counts n/20 and n/2 equal on both sides so "
+    "Q is one integer ratio (milli floor). The grid window is bounded "
+    "by the fixed price DOMAIN (dollar values), not the row count.",
+)
+def agg_hogg_tail_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    cells = o.select(
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 100"
+        ).alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pos = cells.crossJoin(F.broadcast(tot)).select(
+        "v", "c", "n",
+        F.coalesce(F.sum("c").over(w_lo), F.lit(0)).alias("lo"),
+    )
+    reg = pos.agg(
+        F.max("n").alias("n"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least(n div 20 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("b05"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least(n div 2 - lo, c), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("b50"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least(c, n - n div 20 - lo), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("below_t5"),
+        _dsum(
+            F.expr(
+                "CAST(greatest(least(c, n - n div 2 - lo), 0)"
+                " AS DECIMAL(38,0)) * v"
+            )
+        ).alias("below_t50"),
+        _dsum(F.expr("CAST(c AS DECIMAL(38,0)) * v")).alias("s"),
+    )
+    return reg.select(
+        F.col("n").alias("n_orders"),
+        F.expr("CAST(n div 20 AS BIGINT)").alias("n_tail"),
+        F.expr(
+            "CAST((1000 * (n div 2) * ((s - below_t5) - b05))"
+            " div greatest((n div 20) * ((s - below_t50) - b50), 1)"
+            " AS BIGINT)"
+        ).alias("hogg_q_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_median_of_means — the MoM robust mean over 16 hash buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_of_means",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                  1, 7) AS BIGINT) % 16 AS BIGINT) AS bkt,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    m AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(v AS HUGEINT)) // count(*) AS BIGINT) AS mean_c
+      FROM b GROUP BY 1
+    ),
+    r AS (
+      SELECT mean_c, row_number() OVER (ORDER BY mean_c, bkt) AS rn,
+             count(*) OVER () AS k
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(max(k) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN rn IN (k / 2, k / 2 + 1)
+                      THEN mean_c ELSE 0 END) AS BIGINT) AS midsum
+      FROM r
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s
+      FROM orders
+    )
+    SELECT agg.k AS n_buckets,
+           CAST(agg.midsum / 2 AS BIGINT) AS mom_cents,
+           CAST(ex.s // ex.n AS BIGINT) AS mean_cents
+    FROM agg, ex
+    """,
+    doc="Median-of-means estimator of the mean order value: rows are "
+    "hashed into k = 16 buckets by the cross-engine md5 uniform (the "
+    "agg_bootstrap_poisson hash discipline), each bucket's mean is "
+    "floor-quantized to exact integer cents, and the estimate is the "
+    "median of the 16 bucket means (even k: floor-average of the two "
+    "middle order statistics) — the sub-Gaussian-deviation mean "
+    "estimator under heavy tails, the modern robust-statistics "
+    "primitive behind bandit and streaming bounds, set beside the "
+    "plain mean for calibration. Map-side combine to 16 rows before "
+    "the bounded 16-row rank; exact at any scale.",
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    b = o.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % 16
+        ).alias("bkt"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    m = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("v")).alias("s"),
+    ).select(
+        "bkt", F.expr("CAST(s div n AS BIGINT)").alias("mean_c")
+    )
+    r = m.select(
+        "mean_c",
+        F.row_number().over(Window.orderBy("mean_c", "bkt")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    agg = r.agg(
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("rn") == F.expr("k div 2"))
+                | (F.col("rn") == F.expr("k div 2 + 1")),
+                F.col("mean_c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("midsum"),
+    )
+    ex = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "s"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(ex)).select(
+        F.col("k").alias("n_buckets"),
+        F.expr("CAST(midsum div 2 AS BIGINT)").alias("mom_cents"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bangdiwala_b — Bangdiwala's B agreement statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bangdiwala_b",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END) AS r2
+      FROM lineitem GROUP BY 1
+    ),
+    ct AS (
+      SELECT CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a11,
+             CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a00,
+             CAST(sum(r1) AS HUGEINT) AS row1,
+             CAST(sum(r2) AS HUGEINT) AS col1,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM per_order
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(a11 AS BIGINT) AS both_yes,
+           CAST(a00 AS BIGINT) AS both_no,
+           CAST((1000000 * (a11 * a11 + a00 * a00))
+                // greatest(row1 * col1 + (n - row1) * (n - col1), 1)
+                AS BIGINT) AS bangdiwala_b_ppm
+    FROM ct
+    """,
+    doc="Bangdiwala's B agreement statistic between two binary 'raters' "
+    "per order — any-line-returned vs any-deep-discount: B = "
+    "sum a_kk^2 / sum (r_k c_k), the ratio of the squared diagonal "
+    "blocks to the marginal rectangles of the agreement chart. "
+    "Distinct from the chance-corrected kappa family already present "
+    "(cohen/scott/fleiss/gwet/krippendorff): B is the GEOMETRIC "
+    "agreement measure that stays defined and well-behaved under "
+    "extreme prevalence, where kappa collapses (the kappa-paradox "
+    "case). One order rollup to a 2x2 census; one exact ppm ratio.",
+)
+def agg_bangdiwala_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(F.col("l_discount") >= 0.06, 1).otherwise(0)
+        ).alias("r2"),
+    )
+    ct = per_order.agg(
+        F.sum(
+            F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("a11"),
+        F.sum(
+            F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("a00"),
+        F.sum("r1").cast("decimal(38,0)").alias("row1"),
+        F.sum("r2").cast("decimal(38,0)").alias("col1"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    return ct.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("a11").cast("bigint").alias("both_yes"),
+        F.col("a00").cast("bigint").alias("both_no"),
+        F.expr(
+            "CAST((1000000 * (a11 * a11 + a00 * a00))"
+            " div greatest(row1 * col1 + (n - row1) * (n - col1), 1)"
+            " AS BIGINT)"
+        ).alias("bangdiwala_b_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_kish_deff — Kish effective sample size / design effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_kish_deff",
+    oracle="""
+    WITH w AS (
+      SELECT 6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+      FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(sw AS BIGINT) AS sum_w,
+           CAST(sw2 AS BIGINT) AS sum_w2,
+           CAST((sw * sw) // sw2 AS BIGINT) AS kish_n_eff,
+           CAST((1000 * n * sw2) // (sw * sw) AS BIGINT) AS deff_milli
+    FROM s
+    """,
+    doc="Kish effective sample size and design effect of the priority-"
+    "derived importance weights (w = 6 - priority digit, the urgency-"
+    "upweighting a curation pipeline would apply before training-mix "
+    "sampling): n_eff = (sum w)^2 / sum w^2 and deff = n sum w^2 / "
+    "(sum w)^2 — the variance-inflation audit for ANY weighted "
+    "estimate downstream. Complements sample_neyman_allocation "
+    "(which designs strata budgets) by scoring the weights actually "
+    "in hand. Exact integer weights, HUGEINT-widened power sums, two "
+    "floor divisions; one map-combined rollup.",
+)
+def sample_kish_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    w = o.select(
+        (
+            F.lit(6)
+            - F.substring("o_orderpriority", 1, 1).cast("bigint")
+        ).alias("w")
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        _dsum(F.col("w")).alias("sw"),
+        _dsum(F.col("w") * F.col("w")).alias("sw2"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("sw").cast("bigint").alias("sum_w"),
+        F.col("sw2").cast("bigint").alias("sum_w2"),
+        F.expr("CAST((sw * sw) div sw2 AS BIGINT)").alias("kish_n_eff"),
+        F.expr(
+            "CAST((1000 * n * sw2) div (sw * sw) AS BIGINT)"
+        ).alias("deff_milli"),
     )
