@@ -1975,3 +1975,167 @@ def _png_pixel_batches(
                 },
             }
         )
+
+
+RLE8_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("index_sum", LongType(), True),
+        StructField("raster_checksum", LongType(), True),
+        StructField("palette_r_sum", LongType(), True),
+    ]
+)
+
+
+def decode_bmp_rle8(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[int]] | None:
+    """REAL BI_RLE8 BMP decompression (pure stdlib): parse the headers and
+    the 256-entry BGRA palette, then run the full RLE8 state machine —
+    encoded-mode runs [n, c], end-of-line [0,0], end-of-bitmap [0,1],
+    delta [0,2,dx,dy] (skipped pixels defined as index 0, the common
+    decoder convention), and absolute mode [0, k>=3, k bytes, pad to
+    even]. Rows are stored BOTTOM-UP; returns (w, h, pixel indices in
+    logical raster order, palette red channel) or None for malformed
+    payloads. The run-length family extends the payload-decode axis
+    beside entropy coding (DEFLATE), dictionary coding (LZW) and plain
+    stride decode (24bpp BMP)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", payload[10:14])
+    bisize, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bisize != 40 or planes != 1 or bpp != 8 or compression != 1:
+        return None
+    if w <= 0 or h <= 0 or len(payload) < 54 + 1024:
+        return None
+    pal_r = [payload[54 + 4 * i + 2] for i in range(256)]  # BGRA quads
+    grid = [[0] * w for _ in range(h)]  # index 0 default (delta skips)
+    pos = offset
+    x, y = 0, 0  # y counts STORED rows (bottom-up)
+    while pos + 1 < len(payload):
+        n, c = payload[pos], payload[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            for _ in range(n):
+                if y >= h or x >= w:
+                    return None
+                grid[y][x] = c
+                x += 1
+        elif c == 0:  # end of line
+            x, y = 0, y + 1
+        elif c == 1:  # end of bitmap
+            pixels = []
+            for yy in range(h):  # logical top row first; stored bottom-up
+                pixels.extend(grid[h - 1 - yy])
+            return w, h, pixels, pal_r
+        elif c == 2:  # delta
+            if pos + 2 > len(payload):
+                return None
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: c literal bytes, padded to even
+            k = c
+            if pos + k > len(payload):
+                return None
+            for j in range(k):
+                if y >= h or x >= w:
+                    return None
+                grid[y][x] = payload[pos + j]
+                x += 1
+            pos += k + (k & 1)
+    return None  # ran out without end-of-bitmap
+
+
+def _bmp_rle8_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols_i = ("width", "height", "n_pixels", "index_sum",
+              "raster_checksum", "palette_r_sum")
+    for pdf in batches:
+        cols: dict[str, list] = {k: [] for k in ("doc_id",) + cols_i}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            decoded = decode_bmp_rle8(bytes(payload))
+            cols["doc_id"].append(doc_id)
+            if decoded is None:
+                for k in cols_i:
+                    cols[k].append(None)
+            else:
+                w, h, px, pal_r = decoded
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_pixels"].append(len(px))
+                cols["index_sum"].append(sum(px))
+                cols["raster_checksum"].append(
+                    sum((i + 1) * p for i, p in enumerate(px))
+                )
+                cols["palette_r_sum"].append(sum(pal_r[p] for p in px))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                **{k: pd.Series(cols[k], dtype="Int64") for k in cols_i},
+            }
+        )
+
+
+ULAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_linear", LongType(), True),
+        StructField("min_linear", LongType(), True),
+        StructField("max_linear", LongType(), True),
+        StructField("energy", LongType(), True),
+    ]
+)
+
+
+def decode_ulaw(payload: bytes) -> list[int] | None:
+    """REAL ITU-T G.711 mu-law expansion (pure bit arithmetic, the
+    telephony codec): for each byte, complement, split into sign /
+    3-bit exponent / 4-bit mantissa, and expand to the 14-bit-magnitude
+    linear sample ((mant << 3) + 0x84) << exp, re-biased by -0x84 —
+    the same table audioop.ulaw2lin built. Returns the signed linear
+    samples; None for an empty payload."""
+    if not payload:
+        return None
+    out = []
+    for b in payload:
+        u = ~b & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out.append(-mag if u & 0x80 else mag)
+    return out
+
+
+def _ulaw_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols_i = ("n_samples", "sum_linear", "min_linear", "max_linear",
+              "energy")
+    for pdf in batches:
+        cols: dict[str, list] = {k: [] for k in ("doc_id",) + cols_i}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = decode_ulaw(bytes(payload))
+            cols["doc_id"].append(doc_id)
+            if s is None:
+                for k in cols_i:
+                    cols[k].append(None)
+            else:
+                cols["n_samples"].append(len(s))
+                cols["sum_linear"].append(sum(s))
+                cols["min_linear"].append(min(s))
+                cols["max_linear"].append(max(s))
+                cols["energy"].append(sum(v * v for v in s))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                **{k: pd.Series(cols[k], dtype="Int64") for k in cols_i},
+            }
+        )

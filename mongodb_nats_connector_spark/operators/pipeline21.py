@@ -3010,18 +3010,22 @@ def agg_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(c * bi * bi) AS HUGEINT) AS t3y
       FROM rowm
     ),
-    v AS (
-      SELECT (1000 * (n_t.n * n_t.n * pair.t1 + pair.sa * pair.sb
-                      - 2 * n_t.n * t3s.t3)) // (n_t.n * n_t.n * n_t.n)
-               AS v_milli,
-             (1000 * (n_t.n * n_t.n * pair.t1x + pair.sa * pair.sa
-                      - 2 * n_t.n * t3s.t3x)) // (n_t.n * n_t.n * n_t.n)
-               AS vx_milli,
-             (1000 * (n_t.n * n_t.n * pair.t1y + pair.sb * pair.sb
-                      - 2 * n_t.n * t3s.t3y)) // (n_t.n * n_t.n * n_t.n)
-               AS vy_milli,
-             n_t.n AS n
+    raw AS (
+      SELECT n_t.n * n_t.n * pair.t1 + pair.sa * pair.sb
+               - 2 * n_t.n * t3s.t3 AS av,
+             n_t.n * n_t.n * pair.t1x + pair.sa * pair.sa
+               - 2 * n_t.n * t3s.t3x AS ax,
+             n_t.n * n_t.n * pair.t1y + pair.sb * pair.sb
+               - 2 * n_t.n * t3s.t3y AS ay,
+             n_t.n * n_t.n * n_t.n AS n3, n_t.n AS n
       FROM n_t, pair, t3s
+    ),
+    v AS (
+      SELECT 1000 * (av // n3) + (1000 * (av % n3)) // n3 AS v_milli,
+             1000 * (ax // n3) + (1000 * (ax % n3)) // n3 AS vx_milli,
+             1000 * (ay // n3) + (1000 * (ay % n3)) // n3 AS vy_milli,
+             n
+      FROM raw
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(v_milli AS BIGINT) AS dcov2_n_milli,
@@ -3040,10 +3044,15 @@ def agg_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "V-statistic term is a census-weighted cell-pair sum (561^2 "
     "bounded broadcast cross join), so the statistic is EXACT integer "
     "arithmetic at any row count — n^4-cleared dCov^2/dVar "
-    "numerators, milli-quantized at n^3 scale (one documented floor "
-    "layer), and dcor^4 as a second-layer ppm ratio (squares avoid "
-    "the cross-engine sqrt; dCor^2 = sqrt(dcor4_ppm/1e6) off-surface)."
-    " One scan + 561-cell census; everything after is bounded.",
+    "numerators, milli-quantized at n^3 scale via the exact split "
+    "1000*(a div b) + (1000*(a mod b)) div b so the quantizer never "
+    "multiplies the n^4-scale numerator (DECIMAL(38,0)/HUGEINT "
+    "headroom to ~sf4 / 3e8 lineitem rows; beyond that, swap the raw "
+    "double sums for per-cell pre-divided partials — documented "
+    "candidate-generator swap), and dcor^4 as a second-layer ppm "
+    "ratio (squares avoid the cross-engine sqrt; dCor^2 = "
+    "sqrt(dcor4_ppm/1e6) off-surface). One scan + 561-cell census; "
+    "everything after is bounded.",
 )
 def agg_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem", parallel=True)
@@ -3104,24 +3113,32 @@ def agg_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("c") * F.col("ai") * F.col("ai")).alias("t3x"),
         _dsum(F.col("c") * F.col("bi") * F.col("bi")).alias("t3y"),
     )
-    v = (
+    raw = (
         n_t.crossJoin(F.broadcast(pair))
         .crossJoin(F.broadcast(t3s))
         .select(
             F.col("n"),
-            F.expr(
-                "(1000 * (n * n * t1 + sa * sb - 2 * n * t3))"
-                " div (n * n * n)"
-            ).alias("v_milli"),
-            F.expr(
-                "(1000 * (n * n * t1x + sa * sa - 2 * n * t3x))"
-                " div (n * n * n)"
-            ).alias("vx_milli"),
-            F.expr(
-                "(1000 * (n * n * t1y + sb * sb - 2 * n * t3y))"
-                " div (n * n * n)"
-            ).alias("vy_milli"),
+            F.expr("n * n * t1 + sa * sb - 2 * n * t3").alias("av"),
+            F.expr("n * n * t1x + sa * sa - 2 * n * t3x").alias("ax"),
+            F.expr("n * n * t1y + sb * sb - 2 * n * t3y").alias("ay"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * n * n").alias("n3"),
         )
+    )
+    # quantize AFTER the n^3 division via the exact split
+    # 1000*floor(a/b) + floor(1000*(a mod b)/b): identical value, but the
+    # 1000x multiplier never rides the n^4-scale numerator (headroom to
+    # ~sf4; beyond that the pre-aggregated-grid swap in the docstring).
+    v = raw.select(
+        "n",
+        F.expr(
+            "1000 * (av div n3) + (1000 * (av % n3)) div n3"
+        ).cast("decimal(38,0)").alias("v_milli"),
+        F.expr(
+            "1000 * (ax div n3) + (1000 * (ax % n3)) div n3"
+        ).cast("decimal(38,0)").alias("vx_milli"),
+        F.expr(
+            "1000 * (ay div n3) + (1000 * (ay % n3)) div n3"
+        ).cast("decimal(38,0)").alias("vy_milli"),
     )
     out = v.select(
         F.col("n").cast("bigint").alias("n_rows"),
@@ -3631,7 +3648,7 @@ def agg_hogg_tail_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT CAST(max(k) AS BIGINT) AS k,
-             CAST(sum(CASE WHEN rn IN (k / 2, k / 2 + 1)
+             CAST(sum(CASE WHEN rn IN (k // 2, k // 2 + 1)
                       THEN mean_c ELSE 0 END) AS BIGINT) AS midsum
       FROM r
     ),
@@ -3841,4 +3858,1207 @@ def sample_kish_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((1000 * n * sw2) div (sw * sw) AS BIGINT)"
         ).alias("deff_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_horvitz_thompson — unequal-probability sampling + HT estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS p,
+             CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                  || ':ht'), 1, 7) AS BIGINT) AS BIGINT) AS h
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS truth,
+             CAST(sum(CASE WHEN h * (1 << p) < 268435456
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_samp,
+             CAST(sum(CASE WHEN h * (1 << p) < 268435456
+                      THEN CAST(v AS HUGEINT) * (1 << p)
+                      ELSE 0 END) AS HUGEINT) AS ht
+      FROM b
+    )
+    SELECT n AS n_rows, n_samp AS n_sampled,
+           CAST(truth AS BIGINT) AS truth_cents,
+           CAST(ht AS BIGINT) AS ht_estimate_cents,
+           CAST((1000000 * abs(ht - truth)) // truth AS BIGINT)
+             AS abs_err_ppm
+    FROM s
+    """,
+    doc="Horvitz-Thompson total estimation under unequal-probability "
+    "deterministic sampling: each order's inclusion probability is "
+    "pi = 2^-p by priority digit (urgent orders kept at 1/2, low at "
+    "1/32), realized by the cross-engine md5 28-bit uniform (the "
+    "agg_bootstrap_poisson hash discipline: include iff u * 2^p < "
+    "2^28), and the HT estimator reweights each sampled order by "
+    "1/pi = 2^p — EXACT integers because the probabilities are dyadic."
+    " Emitted beside the true total and the ppm absolute error: the "
+    "estimation-stage companion of curate_pps_systematic (which draws "
+    "the sample) and sample_kish_deff (which scores the weights). One "
+    "scan, map-side combine to one row.",
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    b = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("p"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                               F.lit(":ht"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    incl = F.expr("h * shiftleft(1, CAST(p AS INT)) < 268435456")
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum(F.col("v")).alias("truth"),
+        F.sum(F.when(incl, 1).otherwise(0)).cast("bigint").alias("n_samp"),
+        F.sum(
+            F.when(
+                incl,
+                F.expr(
+                    "CAST(v AS DECIMAL(38,0))"
+                    " * shiftleft(1, CAST(p AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ht"),
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.col("n_samp").alias("n_sampled"),
+        F.col("truth").cast("bigint").alias("truth_cents"),
+        F.col("ht").cast("bigint").alias("ht_estimate_cents"),
+        F.expr(
+            "CAST((1000000 * abs(ht - truth)) div truth AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_capture_recapture — Lincoln-Petersen / Chapman population size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_capture_recapture",
+    oracle="""
+    WITH span AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    marks AS (
+      SELECT o.o_custkey,
+             max(CASE WHEN datediff('day', s.lo, o.o_orderdate) * 3
+                      < datediff('day', s.lo, s.hi) + 1
+                      THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN datediff('day', o.o_orderdate, s.hi) * 3
+                      < datediff('day', s.lo, s.hi) + 1
+                      THEN 1 ELSE 0 END) AS c2
+      FROM orders o, span s GROUP BY 1
+    ),
+    ct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * c2) AS BIGINT) AS m
+      FROM marks
+    )
+    SELECT n_true AS n_customers_true, n1 AS n_first_window,
+           n2 AS n_second_window, m AS n_recaptured,
+           CAST((n1 * n2) // greatest(m, 1) AS BIGINT)
+             AS lincoln_petersen,
+           CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate
+    FROM ct
+    """,
+    doc="Capture-recapture estimation of the active customer "
+    "population: 'capture' = ordered in the first third of the "
+    "calendar span, 'recapture' = ordered in the last third; the "
+    "Lincoln-Petersen estimator n1 n2 / m and Chapman's bias-"
+    "corrected (n1+1)(n2+1)/(m+1) - 1 are emitted BESIDE the true "
+    "distinct-customer count, so the closure-assumption bias is "
+    "measurable — the mark-recapture design used to size populations "
+    "one cannot enumerate (deduplicated entities across corpus "
+    "snapshots being the pipeline use). Exact integer floors; one "
+    "customer rollup + 1-row span scalar broadcast.",
+)
+def customer_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    span = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    marks = (
+        o.crossJoin(F.broadcast(span))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("o_orderdate"), F.col("lo")) * 3
+                    < F.datediff(F.col("hi"), F.col("lo")) + 1,
+                    1,
+                ).otherwise(0)
+            ).alias("c1"),
+            F.max(
+                F.when(
+                    F.datediff(F.col("hi"), F.col("o_orderdate")) * 3
+                    < F.datediff(F.col("hi"), F.col("lo")) + 1,
+                    1,
+                ).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    ct = marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+    )
+    return ct.select(
+        F.col("n_true").alias("n_customers_true"),
+        F.col("n1").alias("n_first_window"),
+        F.col("n2").alias("n_second_window"),
+        F.col("m").alias("n_recaptured"),
+        F.expr("CAST((n1 * n2) div greatest(m, 1) AS BIGINT)").alias(
+            "lincoln_petersen"
+        ),
+        F.expr(
+            "CAST(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)"
+        ).alias("chapman_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_richness_indices — Menhinick / Margalef part-assortment richness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_richness_indices",
+    oracle="""
+    WITH cell AS (
+      SELECT s.s_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS s_rich
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1
+    )
+    SELECT CAST(nk AS BIGINT) AS nation, n AS n_lines,
+           s_rich AS n_distinct_parts,
+           CAST((1000 * s_rich * s_rich) // n AS BIGINT)
+             AS menhinick2_milli,
+           CAST((1000000 * (s_rich - 1))
+                // CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE)))
+                        AS BIGINT) AS BIGINT) AS margalef_milli
+    FROM cell
+    ORDER BY nation
+    """,
+    doc="Ecological richness indices of each supplier nation's part "
+    "assortment: Menhinick D = S/sqrt(n) emitted as the exact squared "
+    "form 1000 S^2/n (sqrt stays off-surface), and Margalef "
+    "D = (S-1)/ln(n) with ONE floor-quantized micro-nat ln per "
+    "bounded 25-nation cell (quantized-ln discipline) — the "
+    "assortment-diversity pair that, unlike the abundance-weighted "
+    "Hill/Blau/Simpson family already present, measures RICHNESS "
+    "(distinct types vs effort) and so catches catalog collapse that "
+    "evenness metrics miss. One fact join (broadcast supplier dim) + "
+    "25-cell rollup.",
+)
+def agg_richness_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    s = table(spark, sf_dir, "supplier")
+    cell = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("l_partkey").cast("bigint").alias("s_rich"),
+        )
+    )
+    return cell.select(
+        F.col("nk").cast("bigint").alias("nation"),
+        F.col("n").alias("n_lines"),
+        F.col("s_rich").alias("n_distinct_parts"),
+        F.expr(
+            "CAST((1000 * s_rich * s_rich) div n AS BIGINT)"
+        ).alias("menhinick2_milli"),
+        F.expr(
+            "CAST((1000000 * (s_rich - 1))"
+            " div CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE)))"
+            " AS BIGINT) AS BIGINT)"
+        ).alias("margalef_milli"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# agg_v_measure — homogeneity / completeness / V on the quantized-ln surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_v_measure",
+    oracle="""
+    WITH joint AS (
+      SELECT o.o_orderpriority AS k, l.l_returnflag AS c,
+             CAST(count(*) AS BIGINT) AS n_kc
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_kc) AS BIGINT) AS n FROM joint),
+    mk AS (SELECT k, CAST(sum(n_kc) AS BIGINT) AS n_k FROM joint GROUP BY 1),
+    mc AS (SELECT c, CAST(sum(n_kc) AS BIGINT) AS n_c FROM joint GROUP BY 1),
+    hc AS (
+      SELECT CAST(sum(n_c * CAST(floor(1000000.0 *
+               ln(CAST(t.n AS DOUBLE) / n_c)) AS BIGINT)) AS HUGEINT) AS h
+      FROM mc, tot t
+    ),
+    hk AS (
+      SELECT CAST(sum(n_k * CAST(floor(1000000.0 *
+               ln(CAST(t.n AS DOUBLE) / n_k)) AS BIGINT)) AS HUGEINT) AS h
+      FROM mk, tot t
+    ),
+    hck AS (
+      SELECT CAST(sum(j.n_kc * CAST(floor(1000000.0 *
+               ln(CAST(mk.n_k AS DOUBLE) / j.n_kc)) AS BIGINT))
+               AS HUGEINT) AS h
+      FROM joint j JOIN mk ON mk.k = j.k
+    ),
+    hkc AS (
+      SELECT CAST(sum(j.n_kc * CAST(floor(1000000.0 *
+               ln(CAST(mc.n_c AS DOUBLE) / j.n_kc)) AS BIGINT))
+               AS HUGEINT) AS h
+      FROM joint j JOIN mc ON mc.c = j.c
+    ),
+    hcv AS (
+      SELECT 1000000 - (1000000 * hck.h) // greatest(hc.h, 1) AS h_ppm,
+             1000000 - (1000000 * hkc.h) // greatest(hk.h, 1) AS c_ppm,
+             t.n
+      FROM hck, hc, hkc, hk, tot t
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(h_ppm AS BIGINT) AS homogeneity_ppm,
+           CAST(c_ppm AS BIGINT) AS completeness_ppm,
+           CAST((2 * h_ppm * c_ppm) // greatest(h_ppm + c_ppm, 1)
+                AS BIGINT) AS v_measure_ppm
+    FROM hcv
+    """,
+    doc="V-measure of the order-priority 'clustering' against the "
+    "return-flag 'classes': homogeneity h = 1 - H(C|K)/H(C), "
+    "completeness c = 1 - H(K|C)/H(K), V = their harmonic mean — the "
+    "entropy-based external clustering validation that, unlike "
+    "agg_mutual_information (raw MI) or agg_rand_adjusted (pair "
+    "counting), separates the two failure directions. Every entropy "
+    "is a sum of n_cell * floor-quantized micro-nat ln of an EXACT "
+    "integer ratio over the bounded 15-cell contingency and its "
+    "marginals (quantized-ln discipline), and h, c, V are ppm floor "
+    "ratios of those integers (documented two-layer floor). One "
+    "co-partitioned fact join + 15-cell census.",
+)
+def agg_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    o = table(spark, sf_dir, "orders")
+    joint = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.col("l_returnflag").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kc"))
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    tot = joint.agg(F.sum("n_kc").cast("bigint").alias("n"))
+    mk = joint.groupBy("k").agg(F.sum("n_kc").cast("bigint").alias("n_k"))
+    mc = joint.groupBy("c").agg(F.sum("n_kc").cast("bigint").alias("n_c"))
+
+    def lnq(num: str, den: str) -> str:
+        return (
+            f"CAST(floor(1000000.0 * ln(CAST({num} AS DOUBLE) / {den}))"
+            " AS BIGINT)"
+        )
+
+    hc = mc.crossJoin(F.broadcast(tot)).agg(
+        _dsum(F.expr(f"n_c * {lnq('n', 'n_c')}")).alias("h")
+    )
+    hk = mk.crossJoin(F.broadcast(tot)).agg(
+        _dsum(F.expr(f"n_k * {lnq('n', 'n_k')}")).alias("h")
+    )
+    hck = joint.join(F.broadcast(mk), "k").agg(
+        _dsum(F.expr(f"n_kc * {lnq('n_k', 'n_kc')}")).alias("h")
+    )
+    hkc = joint.join(F.broadcast(mc), "c").agg(
+        _dsum(F.expr(f"n_kc * {lnq('n_c', 'n_kc')}")).alias("h")
+    )
+    hcv = (
+        hck.withColumnRenamed("h", "hck")
+        .crossJoin(F.broadcast(hc.withColumnRenamed("h", "hc")))
+        .crossJoin(F.broadcast(hkc.withColumnRenamed("h", "hkc")))
+        .crossJoin(F.broadcast(hk.withColumnRenamed("h", "hk")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n"),
+            F.expr(
+                "1000000 - (1000000 * hck) div greatest(hc, 1)"
+            ).alias("h_ppm"),
+            F.expr(
+                "1000000 - (1000000 * hkc) div greatest(hk, 1)"
+            ).alias("c_ppm"),
+        )
+    )
+    out = hcv.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("h_ppm").cast("bigint").alias("homogeneity_ppm"),
+        F.col("c_ppm").cast("bigint").alias("completeness_ppm"),
+        F.expr(
+            "CAST((2 * h_ppm * c_ppm) div greatest(h_ppm + c_ppm, 1)"
+            " AS BIGINT)"
+        ).alias("v_measure_ppm"),
+    )
+    return persist_until_collected(joint, out)
+
+
+# ---------------------------------------------------------------------------
+# orders_gompertz_3point — closed-form Gompertz growth fit at 3 anchors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_gompertz_3point",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS rc
+      FROM orders GROUP BY 1
+    ),
+    sp AS (
+      SELECT min(ym) AS lo, max(ym) AS hi FROM m
+    ),
+    anchors AS (
+      SELECT sp.lo + ((sp.hi - sp.lo + 1) // 3) - 1 AS t1,
+             sp.lo + (2 * (sp.hi - sp.lo + 1) // 3) - 1 AS t2,
+             sp.hi AS t3
+      FROM sp
+    ),
+    ys AS (
+      SELECT CAST(sum(CASE WHEN m.ym <= a.t1 THEN m.rc ELSE 0 END)
+                  AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN m.ym <= a.t2 THEN m.rc ELSE 0 END)
+                  AS BIGINT) AS y2,
+             CAST(sum(m.rc) AS BIGINT) AS y3,
+             CAST(a.t2 - a.t1 AS BIGINT) AS step
+      FROM m, anchors a
+      GROUP BY a.t1, a.t2, a.t3
+    ),
+    ls AS (
+      SELECT y1, y2, y3, step,
+             CAST(floor(1000000.0 * ln(CAST(y1 AS DOUBLE))) AS BIGINT) AS l1,
+             CAST(floor(1000000.0 * ln(CAST(y2 AS DOUBLE))) AS BIGINT) AS l2,
+             CAST(floor(1000000.0 * ln(CAST(y3 AS DOUBLE))) AS BIGINT) AS l3
+      FROM ys
+    )
+    SELECT y3 AS cum_revenue_cents, step AS anchor_step_months,
+           l1 AS ln_y1_micro, l2 AS ln_y2_micro, l3 AS ln_y3_micro,
+           CASE WHEN l2 - l1 > l3 - l2 AND l3 > l2 THEN
+             CAST(floor(1000000.0 * ln(CAST(l2 - l1 AS DOUBLE)
+                  / (l3 - l2))) AS BIGINT) ELSE NULL END
+             AS decay_ln_micro,
+           CASE WHEN l2 - l1 > l3 - l2 THEN
+             CAST(l1 + ((l2 - l1) * (l2 - l1))
+                  // ((l2 - l1) - (l3 - l2)) AS BIGINT) ELSE NULL END
+             AS ln_k_micro
+    FROM ls
+    """,
+    doc="Closed-form 3-point Gompertz growth fit of cumulative order "
+    "revenue: with equally spaced anchors t1, t2, t3, the log-"
+    "cumulative increments d1 = lnY2 - lnY1 and d2 = lnY3 - lnY2 of a "
+    "Gompertz curve Y = K exp(-b e^(-ct)) form a geometric sequence "
+    "with ratio e^(-c step), so c = ln(d1/d2)/step and the carrying "
+    "capacity satisfies lnK = lnY1 + d1^2/(d1 - d2) — the saturation-"
+    "forecast complement of orders_bass_diffusion (Bass fits adopter "
+    "interaction; Gompertz fits asymmetric saturation). Anchor "
+    "cumulative sums are exact integer cents selected by conditional "
+    "aggregation against 1-row anchor scalars (no month window); the "
+    "three lnY and the decay ln are floor-quantized micro-nat lns of "
+    "exact integers, and lnK clears as one integer floor ratio of "
+    "ln-micro differences. Non-Gompertz shapes (d1 <= d2) emit typed "
+    "NULLs rather than a bogus fit.",
+)
+def orders_gompertz_3point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders", parallel=True)
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        _dsum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rc"
+        )
+    )
+    sp = m.agg(F.min("ym").alias("lo"), F.max("ym").alias("hi"))
+    anchors = sp.select(
+        F.expr("lo + ((hi - lo + 1) div 3) - 1").alias("t1"),
+        F.expr("lo + (2 * (hi - lo + 1) div 3) - 1").alias("t2"),
+        F.col("hi").alias("t3"),
+    )
+    ys = (
+        m.crossJoin(F.broadcast(anchors))
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.sum(F.when(F.col("ym") <= F.col("t1"), F.col("rc")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            ))
+            .cast("bigint")
+            .alias("y1"),
+            F.sum(F.when(F.col("ym") <= F.col("t2"), F.col("rc")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            ))
+            .cast("bigint")
+            .alias("y2"),
+            F.sum("rc").cast("bigint").alias("y3"),
+        )
+        .select(
+            "y1", "y2", "y3",
+            (F.col("t2") - F.col("t1")).cast("bigint").alias("step"),
+        )
+    )
+    lnm = (
+        "CAST(floor(1000000.0 * ln(CAST({v} AS DOUBLE))) AS BIGINT)"
+    )
+    ls = ys.select(
+        "y1", "y2", "y3", "step",
+        F.expr(lnm.format(v="y1")).alias("l1"),
+        F.expr(lnm.format(v="y2")).alias("l2"),
+        F.expr(lnm.format(v="y3")).alias("l3"),
+    )
+    return ls.select(
+        F.col("y3").alias("cum_revenue_cents"),
+        F.col("step").alias("anchor_step_months"),
+        F.col("l1").alias("ln_y1_micro"),
+        F.col("l2").alias("ln_y2_micro"),
+        F.col("l3").alias("ln_y3_micro"),
+        F.expr(
+            "CASE WHEN l2 - l1 > l3 - l2 AND l3 > l2 THEN"
+            " CAST(floor(1000000.0 * ln(CAST(l2 - l1 AS DOUBLE)"
+            " / (l3 - l2))) AS BIGINT) ELSE NULL END"
+        ).alias("decay_ln_micro"),
+        F.expr(
+            "CASE WHEN l2 - l1 > l3 - l2 THEN"
+            " CAST(l1 + ((l2 - l1) * (l2 - l1))"
+            " div ((l2 - l1) - (l3 - l2)) AS BIGINT) ELSE NULL END"
+        ).alias("ln_k_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_tornqvist_index — chained Törnqvist over the top-20 basket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_tornqvist_index",
+    oracle="""
+    WITH cell AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rc,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT pk FROM (
+        SELECT pk, CAST(sum(rc) AS HUGEINT) AS tot,
+               row_number() OVER (ORDER BY sum(rc) DESC, pk) AS r
+        FROM cell GROUP BY 1
+      ) WHERE r <= 20
+    ),
+    p AS (
+      SELECT c.pk, c.yr, c.rc, (1000 * c.rc) // c.q AS p_mc
+      FROM cell c JOIN top20 t ON t.pk = c.pk WHERE c.q > 0
+    ),
+    yr_tot AS (
+      SELECT yr, CAST(sum(rc) AS HUGEINT) AS rtot FROM p GROUP BY 1
+    ),
+    pair AS (
+      SELECT c1.yr,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(
+               ((1000000 * CAST(c1.rc AS HUGEINT) * t0.rtot
+                 + 1000000 * CAST(c0.rc AS HUGEINT) * t1.rtot)
+                // (2 * t1.rtot * t0.rtot))
+               * CAST(floor(1000000.0 * ln(CAST(c1.p_mc AS DOUBLE)
+                     / c0.p_mc)) AS BIGINT)) AS HUGEINT) AS t_scaled
+      FROM p c1
+      JOIN p c0 ON c0.pk = c1.pk AND c0.yr = c1.yr - 1
+      JOIN yr_tot t1 ON t1.yr = c1.yr
+      JOIN yr_tot t0 ON t0.yr = c1.yr - 1
+      GROUP BY 1
+    )
+    SELECT yr, n_parts,
+           CAST(t_scaled AS BIGINT) AS tornqvist_scaled,
+           CAST(CASE WHEN t_scaled >= 0 THEN t_scaled // 1000000
+                ELSE -((-t_scaled) // 1000000) END AS BIGINT)
+             AS ln_index_micro
+    FROM pair
+    ORDER BY yr
+    """,
+    doc="Chained Törnqvist price index over the top-20-revenue part "
+    "basket: ln I_t = sum_i wbar_i ln(p_it / p_i,t-1) with wbar the "
+    "average of the part's revenue shares in the two years — the "
+    "superlative index (exact for translog preferences) completing "
+    "the index-number trio beside the fixed-base orders_price_index "
+    "and the chained orders_fisher_price_index. The basket is bounded "
+    "top-k by construction, so each (part, year-pair) member "
+    "contributes ONE floor-quantized micro-nat ln of the exact "
+    "integer milli-cent price ratio (quantized-ln discipline), "
+    "weighted by the single-floor cleared average share in ppm "
+    "(r1 R0 + r0 R1)/(2 R1 R0); the emitted index is the exact "
+    "integer sum of ppm x micro terms. Basket selection is one "
+    "TakeOrdered top-20; everything after is bounded.",
+)
+def orders_tornqvist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    cell = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rc"),
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    top20 = (
+        cell.groupBy("pk")
+        .agg(_dsum(F.col("rc")).alias("tot"))
+        .orderBy(F.col("tot").desc(), "pk")
+        .limit(20)
+        .select("pk")
+    )
+    p = (
+        cell.join(F.broadcast(top20), "pk")
+        .filter(F.col("q") > 0)
+        .select("pk", "yr", "rc", F.expr("(1000 * rc) div q").alias("p_mc"))
+    )
+    yr_tot = p.groupBy("yr").agg(_dsum(F.col("rc")).alias("rtot"))
+    c1, c0 = p.alias("c1"), p.alias("c0")
+    t1 = yr_tot.alias("t1")
+    t0 = yr_tot.alias("t0")
+    pair = (
+        c1.join(
+            c0,
+            (F.col("c0.pk") == F.col("c1.pk"))
+            & (F.col("c0.yr") == F.col("c1.yr") - 1),
+        )
+        .join(F.broadcast(t1), F.col("t1.yr") == F.col("c1.yr"))
+        .join(F.broadcast(t0), F.col("t0.yr") == F.col("c1.yr") - 1)
+        .groupBy(F.col("c1.yr").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            _dsum(
+                F.expr(
+                    "((1000000 * CAST(c1.rc AS DECIMAL(38,0)) * t0.rtot"
+                    " + 1000000 * CAST(c0.rc AS DECIMAL(38,0)) * t1.rtot)"
+                    " div (2 * t1.rtot * t0.rtot))"
+                    " * CAST(floor(1000000.0 * ln(CAST(c1.p_mc AS DOUBLE)"
+                    " / c0.p_mc)) AS BIGINT)"
+                )
+            ).alias("t_scaled"),
+        )
+    )
+    out = pair.select(
+        "yr",
+        "n_parts",
+        F.col("t_scaled").cast("bigint").alias("tornqvist_scaled"),
+        F.expr(
+            "CAST(CASE WHEN t_scaled >= 0 THEN t_scaled div 1000000"
+            " ELSE -((-t_scaled) div 1000000) END AS BIGINT)"
+        ).alias("ln_index_micro"),
+    ).orderBy("yr")
+    return persist_until_collected(p, out)
+
+
+# ---------------------------------------------------------------------------
+# embedding_mahalanobis_diag — diagonal-whitened nearest neighbors
+# ---------------------------------------------------------------------------
+
+_Q8 = (
+    "list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0)"
+    " / greatest(list_max(list_transform(embedding,"
+    " y -> abs(CAST(y AS DOUBLE)))), 1e-30) + 0.5) AS BIGINT))"
+)
+# the same int8 quantization as Spark SQL (transform/array_max HOFs)
+_Q8_SPARK = (
+    "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0D)"
+    " / greatest(array_max(transform(embedding,"
+    " y -> abs(CAST(y AS DOUBLE)))), 1e-30D) + 0.5D) AS BIGINT))"
+)
+
+
+@register(
+    "embedding_mahalanobis_diag",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_Q8} AS q FROM embeddings
+    ),
+    dims AS (
+      SELECT t.i,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(e.q[t.i + 1]) AS BIGINT) AS s,
+             CAST(sum(e.q[t.i + 1] * e.q[t.i + 1]) AS BIGINT) AS s2
+      FROM e, range(64) t(i) GROUP BY 1
+    ),
+    wts AS (
+      SELECT list((1000000000 * n * n)
+                  // greatest(n * s2 - s * s, 1) ORDER BY i) AS w
+      FROM dims
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(64), i ->
+                  w.w[i + 1] * (qs.qq[i + 1] - e.q[i + 1])
+                            * (qs.qq[i + 1] - e.q[i + 1])))
+                  AS BIGINT) AS wd2
+      FROM qs, wts w, e
+      WHERE e.vec_id <> qs.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, wd2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY wd2, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, wd2 AS whitened_d2,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+    doc="Diagonal-Mahalanobis top-5 nearest neighbors over the int8-"
+    "quantized embeddings: each dimension's squared difference is "
+    "whitened by the inverse per-dimension population variance, "
+    "floor-quantized once per bounded 64-dim cell as w_d = 1e9 n^2 / "
+    "(n S2_d - S_d^2) — the anisotropy-corrected metric that stops "
+    "high-variance dimensions from dominating the bruteforce/"
+    "quantized cosine rankings already present. The per-dim variance "
+    "frame is an exact-integer 64-row rollup built IN-PLAN (posexplode"
+    " + sort_array collect, no driver collect); distances are exact "
+    "int64 weighted sums via JVM array HOFs; per-query top-5 ranks on "
+    "integers. Broadcast 8-query set + broadcast 1-row weight array; "
+    "one topk window.",
+)
+def embedding_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_Q8_SPARK).alias("q")
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    dims = (
+        e.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        )
+    )
+    wts = dims.select(
+        F.struct(
+            "i",
+            F.expr(
+                "(1000000000 * n * n) div greatest(n * s2 - s * s, 1)"
+            ).alias("w"),
+        ).alias("iw")
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list(iw)), t -> t.w)"
+        ).alias("w")
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(wts))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "CAST(aggregate(zip_with(zip_with(qq, q, (a, b) ->"
+                " (a - b) * (a - b)), w, (d, ww) -> d * ww),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("wd2"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy("wd2", "neighbor_id")
+        )
+        .cast("bigint"),
+    )
+    out = (
+        ranked.filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("wd2").alias("whitened_d2"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+    return persist_until_collected(e, out)
+
+
+# ---------------------------------------------------------------------------
+# embedding_hopkins_statistic — clusterability vs a deterministic lattice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_hopkins_statistic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_Q8} AS q FROM embeddings
+    ),
+    synth AS (
+      SELECT j, list_transform(range(64), d ->
+               CAST((j * 37 + d * 11) % 255 - 127 AS BIGINT)) AS s
+      FROM range(16) t(j)
+    ),
+    u AS (
+      SELECT synth.j,
+             CAST(min(list_sum(list_transform(range(64), i ->
+                  (synth.s[i + 1] - e.q[i + 1])
+                  * (synth.s[i + 1] - e.q[i + 1])))) AS BIGINT) AS nn2
+      FROM synth, e GROUP BY 1
+    ),
+    w AS (
+      SELECT a.vec_id,
+             CAST(min(list_sum(list_transform(range(64), i ->
+                  (a.q[i + 1] - b.q[i + 1])
+                  * (a.q[i + 1] - b.q[i + 1])))) AS BIGINT) AS nn2
+      FROM e a, e b
+      WHERE a.vec_id < 16 AND b.vec_id <> a.vec_id
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT (SELECT CAST(sum(nn2) AS BIGINT) FROM u) AS su,
+             (SELECT CAST(sum(nn2) AS BIGINT) FROM w) AS sw
+    )
+    SELECT su AS synthetic_nn2_sum, sw AS real_nn2_sum,
+           CAST((1000000 * su) // (su + sw) AS BIGINT) AS hopkins_ppm
+    FROM s
+    """,
+    doc="Hopkins clusterability statistic of the embedding cloud in "
+    "int8-quantized space: compare nearest-neighbor distances of 16 "
+    "REAL probe points against 16 DETERMINISTIC lattice probes "
+    "spanning the int8 cube ((37j + 11d) mod 255 - 127 — the "
+    "determinism-preserving stand-in for Hopkins' uniform draws), "
+    "H = sum u / (sum u + sum w): H near 1/2 means the cloud is "
+    "indistinguishable from uniform (clustering output would be "
+    "meaningless), H near 1 means strong cluster structure — the "
+    "PREcondition check for kmeans_embeddings / embedding_centroids "
+    "that the validity indices (silhouette, dunn, calinski) assume. "
+    "All distances are exact int64 squared sums over JVM HOFs; two "
+    "bounded 16-probe broadcast sweeps; one ppm floor.",
+)
+def embedding_hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_Q8_SPARK).alias("q")
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    synth = spark.range(16).select(
+        F.col("id").alias("j"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST((id * 37 + d * 11) % 255 - 127 AS BIGINT))"
+        ).alias("s"),
+    )
+    d2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    u = (
+        e.crossJoin(F.broadcast(synth))
+        .groupBy("j")
+        .agg(
+            F.min(F.expr(d2.format(a="s", b="q"))).cast("bigint").alias(
+                "nn2"
+            )
+        )
+    )
+    probes = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("p")
+    )
+    w = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .groupBy("pid")
+        .agg(
+            F.min(F.expr(d2.format(a="p", b="q"))).cast("bigint").alias(
+                "nn2"
+            )
+        )
+    )
+    su = u.agg(F.sum("nn2").cast("bigint").alias("su"))
+    sw = w.agg(F.sum("nn2").cast("bigint").alias("sw"))
+    out = su.crossJoin(F.broadcast(sw)).select(
+        F.col("su").alias("synthetic_nn2_sum"),
+        F.col("sw").alias("real_nn2_sum"),
+        F.expr(
+            "CAST((1000000 * su) div (su + sw) AS BIGINT)"
+        ).alias("hopkins_ppm"),
+    )
+    return persist_until_collected(e, out)
+
+
+# ---------------------------------------------------------------------------
+# graph_butterfly_count — bipartite 4-cycle census on the part-supplier graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_butterfly_count",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    wedge AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS q
+      FROM edges a JOIN edges b ON b.p = a.p AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedge)
+             AS n_coparticipating_pairs,
+           (SELECT CAST(sum(q * (q - 1) / 2) AS BIGINT) FROM wedge)
+             AS n_butterflies
+    """,
+    doc="Butterfly (bipartite 4-cycle) census of the part-supplier "
+    "incidence graph: a butterfly is two suppliers sharing two parts "
+    "— the bipartite analogue of the triangle, the motif underlying "
+    "bipartite clustering coefficients and dense-bicluster detection "
+    "(co-supply rings here; co-click fraud blocks in the general "
+    "pipeline). Counted exactly via the wedge decomposition: "
+    "same-part supplier pairs from the part-co-partitioned self-join "
+    "(the SCALING.md wedge-join shape: cost sum_p d_p^2, bounded by "
+    "the supplier fan-out per part, never all-pairs), then "
+    "sum C(q, 2) over pair co-occurrence counts q. d(d-1) and q(q-1) "
+    "are even so the halved counts stay exact integers. One distinct "
+    "+ one co-partitioned self-join + two rollups.",
+)
+def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    a, b = edges.alias("a"), edges.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("b.p") == F.col("a.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("q"))
+    )
+    deg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    pairs = wedge.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_coparticipating_pairs"),
+        F.sum(F.expr("q * (q - 1) div 2"))
+        .cast("bigint")
+        .alias("n_butterflies"),
+    )
+    out = (
+        n_edges.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            "n_edges", "n_wedges", "n_coparticipating_pairs",
+            "n_butterflies",
+        )
+    )
+    return persist_until_collected(edges, out)
+
+
+# ---------------------------------------------------------------------------
+# similarity_weighted_jaccard — Ruzicka similarity of demand vectors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_weighted_jaccard",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey AS p,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS vr,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS va
+      FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(least(vr, va)) AS HUGEINT) AS smin,
+             CAST(sum(greatest(vr, va)) AS HUGEINT) AS smax
+      FROM r
+    )
+    SELECT n_parts,
+           CAST(smin AS BIGINT) AS sum_min,
+           CAST(smax AS BIGINT) AS sum_max,
+           CAST((1000000 * smin) // greatest(smax, 1) AS BIGINT)
+             AS weighted_jaccard_ppm
+    FROM s
+    """,
+    doc="Weighted Jaccard (Ruzicka) similarity between the returned "
+    "('R') and accepted ('A') part-demand vectors: sum min(v_R, v_A) "
+    "/ sum max(v_R, v_A) over per-part quantity totals — the "
+    "real-valued generalization of the set Jaccard the dedup stack "
+    "uses (dedup_ngram_jaccard compares SETS; this compares "
+    "HISTOGRAMS, the form used for n-gram-profile and demand-vector "
+    "similarity where multiplicity matters). min/max decompose "
+    "per-part, so ONE co-partitioned rollup computes both sums "
+    "exactly — no pairwise expansion exists at any scale. Single "
+    "ppm floor.",
+)
+def similarity_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    q = F.round("l_quantity").cast("bigint")
+    r = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", q).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vr"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "A", q).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("va"),
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        _dsum(F.least("vr", "va")).alias("smin"),
+        _dsum(F.greatest("vr", "va")).alias("smax"),
+    )
+    return s.select(
+        "n_parts",
+        F.col("smin").cast("bigint").alias("sum_min"),
+        F.col("smax").cast("bigint").alias("sum_max"),
+        F.expr(
+            "CAST((1000000 * smin) div greatest(smax, 1) AS BIGINT)"
+        ).alias("weighted_jaccard_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_bmp_rle8_decode — run-length-encoded BMP decompression
+# ---------------------------------------------------------------------------
+
+# 256-entry BGRA palette quads: B = 7c, G = 3c, R = 5c+1 (mod 256), A = 0
+_RLE8_PALETTE_HEX = "".join(
+    f"{(c * 7) % 256:02X}{(c * 3) % 256:02X}{(c * 5 + 1) % 256:02X}00"
+    for c in range(256)
+)
+
+
+@register(
+    "multimodal_bmp_rle8_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 12 AS w, 3 + doc_id % 3 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, 12), x ->
+                 CASE WHEN x < 7 THEN (doc_id * 3 + 5 * y) % 256
+                      ELSE (doc_id * 7 + 11 * y) % 256 END))) AS ps
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(ps) AS BIGINT) AS index_sum,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                (i + 1) * ps[i + 1])) AS BIGINT) AS raster_checksum,
+           CAST(list_sum(list_transform(ps, p ->
+                (p * 5 + 1) % 256)) AS BIGINT) AS palette_r_sum
+    FROM px
+    ORDER BY doc_id
+    """,
+    doc="REAL run-length BMP decompression (BI_RLE8) on the hash "
+    "surface: per doc, compose a complete 8bpp palettized BMP — "
+    "headers, the 256-entry BGRA color table, and RLE8 pixel data as "
+    "per-row encoded runs ([7, c1][5, c2] EOL per stored bottom-up "
+    "row, EOB trailer) — as column expressions, then decompress with "
+    "the full RLE8 state machine (multimodal.decode_bmp_rle8: runs, "
+    "EOL/EOB, DELTA cursor jumps and ABSOLUTE mode with even padding, "
+    "the latter two pinned by unit tests) over Arrow-batched "
+    "mapInPandas. The raster checksum only matches the arithmetic "
+    "oracle if runs, row resets AND the bottom-up flip were all "
+    "honored; the palette-mapped red sum additionally pins the BGRA "
+    "quad layout. Run-length joins entropy (DEFLATE), dictionary "
+    "(LZW) and zlib-wrapped (PNG) coding on the payload-decode axis. "
+    "Map-only; zero shuffles at any scale.",
+)
+def multimodal_bmp_rle8_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        RLE8_SCHEMA,
+        _bmp_rle8_batches,
+    )
+    from mongodb_nats_connector_spark.operators.pipeline14 import _le_hex
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.lit(12).alias("w"),
+        (F.lit(3) + F.col("doc_id") % 3).alias("h"),
+    )
+    # stored rows bottom-up: y' walks h-1 .. 0 in logical coords
+    rle_hex = F.expr(
+        "concat_ws('', transform(sequence(h - 1, 0, -1), y -> concat("
+        "'07', lpad(hex((doc_id * 3 + 5 * y) % 256), 2, '0'),"
+        "'05', lpad(hex((doc_id * 7 + 11 * y) % 256), 2, '0'),"
+        "'0000')))"
+    )
+    data_len = (F.col("h") * 6 + 2).cast("bigint")  # 6 bytes/row + EOB
+    bmp_hex = F.concat(
+        F.lit("424D"),
+        _le_hex(data_len + 1078, 4),        # file size
+        F.lit("00000000"),
+        _le_hex(F.lit(1078), 4),            # pixel offset = 54 + 1024
+        F.lit("28000000"),
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),                      # planes
+        F.lit("0800"),                      # bpp = 8
+        F.lit("01000000"),                  # BI_RLE8
+        _le_hex(data_len, 4),               # image size
+        F.lit("00000000" * 4),              # ppm + palette counts
+        F.lit(_RLE8_PALETTE_HEX),
+        rle_hex,
+        F.lit("0001"),                      # end of bitmap
+    )
+    return (
+        d.select("doc_id", F.unhex(bmp_hex).alias("payload"))
+        .mapInPandas(_bmp_rle8_batches, RLE8_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_ulaw_audio_decode — ITU-T G.711 mu-law expansion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_ulaw_audio_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 24 + doc_id % 9 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i ->
+               CASE WHEN (255 - ((doc_id * 13 + i * 7) % 256)) >= 128
+                 THEN -(((((255 - ((doc_id * 13 + i * 7) % 256)) % 16)
+                          * 8 + 132)
+                         * (1 << (((255 - ((doc_id * 13 + i * 7) % 256))
+                                   // 16) % 8))) - 132)
+                 ELSE (((((255 - ((doc_id * 13 + i * 7) % 256)) % 16)
+                         * 8 + 132)
+                        * (1 << (((255 - ((doc_id * 13 + i * 7) % 256))
+                                  // 16) % 8))) - 132)
+               END) AS lin
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(lin) AS BIGINT) AS sum_linear,
+           CAST(list_min(lin) AS BIGINT) AS min_linear,
+           CAST(list_max(lin) AS BIGINT) AS max_linear,
+           CAST(list_sum(list_transform(lin, v -> v * v)) AS BIGINT)
+             AS energy
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="REAL ITU-T G.711 mu-law audio expansion on the hash surface: "
+    "per doc, compose a mu-law byte stream as column expressions and "
+    "expand it with the actual telephony codec bit algorithm "
+    "(multimodal.decode_ulaw: complement, sign/3-bit-exponent/4-bit-"
+    "mantissa split, ((mant<<3)+0x84)<<exp - 0x84 — the audioop."
+    "ulaw2lin table) over Arrow-batched mapInPandas, while the oracle "
+    "derives the SAME linear samples through independent integer "
+    "arithmetic (mod/floor-div/power-of-two products — no bit "
+    "operators shared with the decoder). Extends the audio axis "
+    "beyond linear PCM (multimodal_pcm_sample_stats) to companded "
+    "codecs; energy = sum of squared 16-bit samples rides along as "
+    "the loudness feature a curation pipeline would gate on. "
+    "Map-only; zero shuffles at any scale.",
+)
+def multimodal_ulaw_audio_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        ULAW_SCHEMA,
+        _ulaw_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (F.lit(24) + F.col("doc_id") % 9).alias("n")
+    )
+    payload_hex = F.expr(
+        "concat_ws('', transform(sequence(0, n - 1), i ->"
+        " lpad(hex((doc_id * 13 + i * 7) % 256), 2, '0')))"
+    )
+    return (
+        d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+        .mapInPandas(_ulaw_batches, ULAW_SCHEMA)
+        .orderBy("doc_id")
     )

