@@ -2139,3 +2139,118 @@ def _ulaw_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 **{k: pd.Series(cols[k], dtype="Int64") for k in cols_i},
             }
         )
+
+
+CRC32_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("byte_sum", LongType(), True),
+        StructField("crc32", LongType(), True),
+    ]
+)
+
+
+def _crc32_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched CRC-32 via the REAL zlib.crc32 — the oracle recomputes
+    the same value through its own bitwise 0xEDB88320 reduction, so the two
+    implementations must agree on reflection, init and final complement."""
+    import zlib
+
+    for pdf in batches:
+        ids, nb, bs, cs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            ids.append(doc_id)
+            nb.append(len(data))
+            bs.append(sum(data))
+            cs.append(zlib.crc32(data) & 0xFFFFFFFF)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(nb, dtype="Int64"),
+                "byte_sum": pd.Series(bs, dtype="Int64"),
+                "crc32": pd.Series(cs, dtype="Int64"),
+            }
+        )
+
+
+UTF8_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("is_valid", LongType(), True),
+        StructField("n_codepoints", LongType(), True),
+        StructField("codepoint_sum", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def validate_utf8(payload: bytes) -> list[int] | None:
+    """STRICT structural UTF-8 validation and decode (pure arithmetic, NOT
+    str.decode — the test suite pins this against codecs.utf_8 on random
+    corpora): continuation-byte counting, overlong-minimality rejection
+    (the C0 AF smuggling class), UTF-16 surrogate rejection (U+D800..DFFF),
+    and the U+10FFFF ceiling. Returns the codepoint list, or None for any
+    malformed sequence."""
+    cps: list[int] = []
+    i, n = 0, len(payload)
+    while i < n:
+        b = payload[i]
+        if b < 0x80:
+            cps.append(b)
+            i += 1
+            continue
+        if b < 0xC0:
+            return None  # bare continuation byte
+        if b < 0xE0:
+            need, cp, floor_cp = 1, b & 0x1F, 0x80
+        elif b < 0xF0:
+            need, cp, floor_cp = 2, b & 0x0F, 0x800
+        elif b < 0xF8:
+            need, cp, floor_cp = 3, b & 0x07, 0x10000
+        else:
+            return None
+        if i + need >= n:
+            return None  # truncated trailing sequence
+        for j in range(1, need + 1):
+            c = payload[i + j]
+            if c & 0xC0 != 0x80:
+                return None
+            cp = (cp << 6) | (c & 0x3F)
+        if cp < floor_cp:
+            return None  # overlong
+        if 0xD800 <= cp <= 0xDFFF:
+            return None  # surrogate
+        if cp > 0x10FFFF:
+            return None
+        cps.append(cp)
+        i += need + 1
+    return cps
+
+
+def _utf8_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, ok, nc, sc, nb = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            ids.append(doc_id)
+            nb.append(len(data))
+            cps = validate_utf8(data)
+            if cps is None:
+                ok.append(0)
+                nc.append(None)
+                sc.append(None)
+            else:
+                ok.append(1)
+                nc.append(len(cps))
+                sc.append(sum(cps))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "is_valid": pd.Series(ok, dtype="Int64"),
+                "n_codepoints": pd.Series(nc, dtype="Int64"),
+                "codepoint_sum": pd.Series(sc, dtype="Int64"),
+                "n_bytes": pd.Series(nb, dtype="Int64"),
+            }
+        )

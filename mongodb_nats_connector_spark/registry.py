@@ -132,6 +132,10 @@ def _load_deferred() -> None:
     # exactly, so these queue one further round out
     from mongodb_nats_connector_spark.operators import pipeline21  # noqa: F401
 
+    # pipeline22 is the ROUND-16 bank seed (pipeline21 fills round 15's
+    # window exactly at 50)
+    from mongodb_nats_connector_spark.operators import pipeline22  # noqa: F401
+
 
 _DIGESTS_FILE = Path(__file__).resolve().parent / "verified_digests.json"
 

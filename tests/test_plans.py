@@ -375,6 +375,14 @@ _ALLOWED_NESTED_LOOP = {
     "embedding_mahalanobis_diag", # 8-query set + 1-row 64-dim weight array broadcast crossJoins
     "embedding_hopkins_statistic",# 16-probe sets broadcast crossJoins (by design)
     "graph_butterfly_count",      # 1-row census scalars broadcast crossJoins
+    # pipeline22 (round-16 bank seed) — bounded censuses / 1-row scalars
+    "agg_biweight_midvariance",   # bounded quantity-grid cumulative joins + med/MAD scalars
+    "agg_rousseeuw_qn",           # bounded distance-census + 1-row k-order scalars
+    "events_cross_correlation",   # 15-row lag scaffold + calendar-day self-join broadcasts
+    "events_spectral_entropy",    # 8-row harmonic scaffold + 1-row power scalars
+    "events_visibility_graph",    # calendar-bounded day-census pair/blocker joins
+    "orders_expected_shortfall",  # 1-row total scalar broadcast crossJoin
+    "orders_quantile_trend",      # bounded month-grid cumulative joins + 1-row medians
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface
@@ -625,6 +633,16 @@ _GLOBAL_WINDOWS = {
     "agg_hogg_tail_weight": (1, "bounded: whole-dollar price DOMAIN grid "
                                 "(same class as agg_palma_quintile)"),
     "agg_median_of_means": (2, "bounded: 16-hash-bucket rank + count"),
+    # pipeline22 (round-16 bank seed)
+    "agg_rousseeuw_qn": (2, "bounded: <=51-value pairwise-distance grid "
+                            "cumulative, duplicated under qn/median "
+                            "branches"),
+    "orders_expected_shortfall": (1, "bounded: whole-dollar price DOMAIN "
+                                     "grid (palma class)"),
+    "orders_omega_ratio": (1, "bounded: monthly calendar series lag"),
+    "orders_quantile_trend": (2, "bounded: ~84-month slope-pair rank + "
+                                 "count"),
+    "orders_ulcer_index": (1, "bounded: monthly calendar prefix-max"),
 }
 
 
