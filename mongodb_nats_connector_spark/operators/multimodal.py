@@ -2254,3 +2254,54 @@ def _utf8_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "n_bytes": pd.Series(nb, dtype="Int64"),
             }
         )
+
+
+TAR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("member_size", LongType(), True),
+        StructField("header_checksum", LongType(), True),
+        StructField("content_sum", LongType(), True),
+        StructField("content_checksum", LongType(), True),
+    ]
+)
+
+
+def _tar_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched tar parsing via the REAL stdlib tarfile module: the
+    member metadata, the ustar header checksum (re-read from the octal
+    field tarfile just validated) and the extracted content statistics.
+    A wrong column-side checksum makes tarfile reject the archive ->
+    typed NULL miss."""
+    import io
+    import tarfile
+
+    for pdf in batches:
+        ids, sz, ck, cs, cc = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            ids.append(doc_id)
+            try:
+                tf = tarfile.open(fileobj=io.BytesIO(data))
+                m = tf.getmembers()[0]
+                content = tf.extractfile(m).read()
+                sz.append(m.size)
+                ck.append(int(data[148:154], 8))
+                cs.append(sum(content))
+                cc.append(
+                    sum((i + 1) * b for i, b in enumerate(content))
+                )
+            except (tarfile.TarError, ValueError, IndexError):
+                sz.append(None)
+                ck.append(None)
+                cs.append(None)
+                cc.append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "member_size": pd.Series(sz, dtype="Int64"),
+                "header_checksum": pd.Series(ck, dtype="Int64"),
+                "content_sum": pd.Series(cs, dtype="Int64"),
+                "content_checksum": pd.Series(cc, dtype="Int64"),
+            }
+        )

@@ -1469,3 +1469,625 @@ def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return persist_until_collected(pw, out)
+
+
+# ---------------------------------------------------------------------------
+# events_ordpattern_transitions — ordinal-pattern transition entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ordpattern_transitions",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tri AS (
+      SELECT a.day,
+             CASE
+               WHEN a.x <= b.x AND b.x <= c.x THEN 0
+               WHEN a.x <= c.x AND c.x < b.x THEN 1
+               WHEN b.x < a.x AND a.x <= c.x THEN 2
+               WHEN b.x <= c.x AND c.x < a.x THEN 3
+               WHEN c.x < a.x AND a.x <= b.x THEN 4
+               ELSE 5
+             END AS pat
+      FROM d a JOIN d b ON b.day = a.day + 1
+               JOIN d c ON c.day = a.day + 2
+    ),
+    pairs AS (
+      SELECT t1.pat AS p1, t2.pat AS p2, CAST(count(*) AS BIGINT) AS c
+      FROM tri t1 JOIN tri t2 ON t2.day = t1.day + 1
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pairs),
+    ent AS (
+      SELECT CAST(sum(p.c * CAST(floor(1000000.0 *
+               ln(CAST(t.n AS DOUBLE) / p.c)) AS BIGINT)) AS HUGEINT)
+               AS hn
+      FROM pairs p, tot t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_patterns,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs)
+             AS n_distinct_transitions,
+           tot.n AS n_transitions,
+           CAST(ent.hn // tot.n AS BIGINT) AS transition_entropy_micro
+    FROM tot, ent
+    """,
+    doc="Ordinal-pattern TRANSITION entropy of the daily series: map "
+    "each consecutive day-triple to its order-3 permutation pattern "
+    "(6 classes, ties broken toward ascending — documented), then "
+    "measure the Shannon entropy of consecutive PATTERN PAIRS — the "
+    "transition-network statistic that detects temporal structure "
+    "events_permutation_entropy's marginal distribution cannot (a "
+    "series can have uniform pattern frequencies yet deterministic "
+    "pattern SEQUENCING). Patterns via calendar-bounded self-joins "
+    "(gap days break triples naturally); entropy as one floor-"
+    "quantized micro-nat ln per bounded <=36-cell transition census. "
+    "One rollup + bounded joins.",
+)
+def events_ordpattern_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "events", parallel=True)
+    d = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
+    tri = (
+        a.join(F.broadcast(b), F.col("b.day") == F.expr("date_add(a.day, 1)"))
+        .join(F.broadcast(c), F.col("c.day") == F.expr("date_add(a.day, 2)"))
+        .select(
+            F.col("a.day").alias("day"),
+            F.expr(
+                "CASE"
+                " WHEN a.x <= b.x AND b.x <= c.x THEN 0"
+                " WHEN a.x <= c.x AND c.x < b.x THEN 1"
+                " WHEN b.x < a.x AND a.x <= c.x THEN 2"
+                " WHEN b.x <= c.x AND c.x < a.x THEN 3"
+                " WHEN c.x < a.x AND a.x <= b.x THEN 4"
+                " ELSE 5 END"
+            ).alias("pat"),
+        )
+    )
+    t1, t2 = tri.alias("t1"), tri.alias("t2")
+    pairs = (
+        t1.join(
+            F.broadcast(t2),
+            F.col("t2.day") == F.expr("date_add(t1.day, 1)"),
+        )
+        .groupBy(F.col("t1.pat").alias("p1"), F.col("t2.pat").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pairs.agg(F.sum("c").cast("bigint").alias("n"))
+    ent = pairs.crossJoin(F.broadcast(tot)).agg(
+        _dsum(
+            F.expr(
+                "c * CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / c))"
+                " AS BIGINT)"
+            )
+        ).alias("hn")
+    )
+    n_pat = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_patterns"))
+    n_dist = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_transitions")
+    )
+    out = (
+        n_pat.crossJoin(F.broadcast(n_dist))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_patterns",
+            "n_distinct_transitions",
+            F.col("n").alias("n_transitions"),
+            F.expr("CAST(hn div n AS BIGINT)").alias(
+                "transition_entropy_micro"
+            ),
+        )
+    )
+    return persist_until_collected(tri, out)
+
+
+# ---------------------------------------------------------------------------
+# events_peak_prominence — topographic prominence of daily-volume peaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_prominence",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    peaks AS (
+      SELECT a.day, a.x FROM d a
+      WHERE coalesce((SELECT x FROM d l WHERE l.day = a.day - 1), -1) < a.x
+        AND coalesce((SELECT x FROM d r WHERE r.day = a.day + 1), -1) < a.x
+    ),
+    prom AS (
+      SELECT p.day, p.x,
+             p.x - greatest(
+               coalesce((SELECT min(d2.x) FROM d d2
+                 WHERE d2.day < p.day AND d2.day >
+                   coalesce((SELECT max(h.day) FROM d h
+                     WHERE h.day < p.day AND h.x > p.x), DATE '1900-01-01')
+               ), 0),
+               coalesce((SELECT min(d2.x) FROM d d2
+                 WHERE d2.day > p.day AND d2.day <
+                   coalesce((SELECT min(h.day) FROM d h
+                     WHERE h.day > p.day AND h.x > p.x), DATE '2999-12-31')
+               ), 0)
+             ) AS prominence
+      FROM peaks p
+    )
+    SELECT CAST((SELECT count(*) FROM peaks) AS BIGINT) AS n_peaks,
+           CAST(max(prominence) AS BIGINT) AS max_prominence,
+           CAST(sum(prominence) AS BIGINT) AS prominence_sum,
+           CAST(max(x) AS BIGINT) AS tallest_peak
+    FROM prom
+    """,
+    doc="Topographic prominence of daily-volume peaks: for each strict "
+    "local maximum, prominence = height minus the higher of the two "
+    "key saddles (the minimum on the path toward the nearest "
+    "higher ground on each side, the series edge counting as ground "
+    "0) — the peak-RANKING measure that separates genuine traffic "
+    "events from ripples riding a trend, which threshold pickers "
+    "(events_peak_over_threshold) and changepoint tests cannot do. "
+    "All saddle lookups are calendar-bounded census joins (exact "
+    "integers, no windows); emits peak count, max/sum prominence and "
+    "the tallest peak for calibration.",
+)
+def events_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events", parallel=True)
+    d = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    from mongodb_nats_connector_spark.plans.caching import (
+        persist_until_collected,
+    )
+
+    a, l, r = d.alias("a"), d.alias("l"), d.alias("r")
+    peaks = (
+        a.join(
+            F.broadcast(l),
+            F.col("l.day") == F.expr("date_add(a.day, -1)"),
+            "left",
+        )
+        .join(
+            F.broadcast(r),
+            F.col("r.day") == F.expr("date_add(a.day, 1)"),
+            "left",
+        )
+        .filter(
+            (F.coalesce(F.col("l.x"), F.lit(-1)) < F.col("a.x"))
+            & (F.coalesce(F.col("r.x"), F.lit(-1)) < F.col("a.x"))
+        )
+        .select(F.col("a.day").alias("pday"), F.col("a.x").alias("px"))
+    )
+    # nearest higher ground on each side (NULL -> series edge)
+    h = d.alias("h")
+    left_higher = (
+        peaks.join(
+            F.broadcast(h),
+            (F.col("h.day") < F.col("pday"))
+            & (F.col("h.x") > F.col("px")),
+            "left",
+        )
+        .groupBy("pday", "px")
+        .agg(F.max(F.col("h.day")).alias("lh"))
+    )
+    right_higher = (
+        peaks.join(
+            F.broadcast(h),
+            (F.col("h.day") > F.col("pday"))
+            & (F.col("h.x") > F.col("px")),
+            "left",
+        )
+        .groupBy("pday", "px")
+        .agg(F.min(F.col("h.day")).alias("rh"))
+    )
+    d2 = d.alias("d2")
+    left_saddle = (
+        left_higher.join(
+            F.broadcast(d2),
+            (F.col("d2.day") < F.col("pday"))
+            & (
+                F.col("lh").isNull()
+                | (F.col("d2.day") > F.col("lh"))
+            ),
+            "left",
+        )
+        .groupBy("pday", "px")
+        .agg(F.coalesce(F.min(F.col("d2.x")), F.lit(0)).alias("ls"))
+    )
+    right_saddle = (
+        right_higher.join(
+            F.broadcast(d2),
+            (F.col("d2.day") > F.col("pday"))
+            & (
+                F.col("rh").isNull()
+                | (F.col("d2.day") < F.col("rh"))
+            ),
+            "left",
+        )
+        .groupBy("pday", "px")
+        .agg(F.coalesce(F.min(F.col("d2.x")), F.lit(0)).alias("rs"))
+    )
+    prom = (
+        left_saddle.join(right_saddle, ["pday", "px"])
+        .select(
+            "pday", "px",
+            (F.col("px") - F.greatest("ls", "rs")).alias("prominence"),
+        )
+    )
+    n_peaks = peaks.agg(F.count(F.lit(1)).cast("bigint").alias("n_peaks"))
+    s = prom.agg(
+        F.max("prominence").cast("bigint").alias("max_prominence"),
+        F.sum("prominence").cast("bigint").alias("prominence_sum"),
+        F.max("px").cast("bigint").alias("tallest_peak"),
+    )
+    out = n_peaks.crossJoin(F.broadcast(s)).select(
+        "n_peaks", "max_prominence", "prominence_sum", "tallest_peak"
+    )
+    return persist_until_collected(d, out)
+
+
+# ---------------------------------------------------------------------------
+# agg_shapley_r2 — Shapley decomposition of explained variance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_shapley_r2",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y,
+             CAST(round(l_quantity) AS BIGINT) AS z,
+             CAST(round(l_discount * 100) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(z * z) AS HUGEINT) AS szz,
+             CAST(sum(w * w) AS HUGEINT) AS sww,
+             CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz,
+             CAST(sum(CAST(y AS HUGEINT) * w) AS HUGEINT) AS syw,
+             CAST(sum(z * w) AS HUGEINT) AS szw
+      FROM base
+    ),
+    c AS (
+      SELECT n * syy - sy * sy AS cyy,
+             n * szz - sz * sz AS dzz,
+             n * sww - sw * sw AS dww,
+             n * syz - sy * sz AS nyz,
+             n * syw - sy * sw AS nyw,
+             n * szw - sz * sw AS czw
+      FROM mo
+    ),
+    mic AS (
+      SELECT (1000000 * cyy) // (n2.nn) AS vyy,
+             (1000000 * dzz) // (n2.nn) AS vzz,
+             (1000000 * dww) // (n2.nn) AS vww,
+             CASE WHEN nyz >= 0 THEN (1000000 * nyz) // n2.nn
+                  ELSE -((1000000 * (-nyz)) // n2.nn) END AS uyz,
+             CASE WHEN nyw >= 0 THEN (1000000 * nyw) // n2.nn
+                  ELSE -((1000000 * (-nyw)) // n2.nn) END AS uyw,
+             CASE WHEN czw >= 0 THEN (1000000 * czw) // n2.nn
+                  ELSE -((1000000 * (-czw)) // n2.nn) END AS uzw
+      FROM c, (SELECT n * n AS nn FROM mo) n2
+    ),
+    r2 AS (
+      SELECT (1000000 * uyz * uyz) // greatest(vyy * vzz, 1) AS r2z,
+             (1000000 * uyw * uyw) // greatest(vyy * vww, 1) AS r2w,
+             (1000000 * (uyz * uyz * vww + uyw * uyw * vzz
+                         - 2 * uyz * uyw * uzw))
+               // greatest(vyy * (vzz * vww - uzw * uzw), 1) AS r2zw
+      FROM mic
+    )
+    SELECT CAST(r2z AS BIGINT) AS r2_qty_ppm,
+           CAST(r2w AS BIGINT) AS r2_disc_ppm,
+           CAST(r2zw AS BIGINT) AS r2_both_ppm,
+           CAST((r2z + r2zw - r2w) // 2 AS BIGINT) AS shapley_qty_ppm,
+           CAST((r2w + r2zw - r2z) // 2 AS BIGINT) AS shapley_disc_ppm
+    FROM r2
+    """,
+    doc="Shapley decomposition of the R^2 of extended price on quantity "
+    "and discount: each regressor's Shapley value averages its "
+    "marginal R^2 contribution over both entry orders — phi_z = "
+    "(R2({z}) + R2({z,w}) - R2({w}))/2 — the game-theoretic "
+    "attribution (the linear-model exact case of SHAP) that "
+    "agg_partial_corr and orders_ols_multifactor's raw coefficients "
+    "cannot provide when regressors correlate: the two Shapley "
+    "shares sum EXACTLY to the joint R^2 by construction. All three "
+    "R^2 values are closed-form ppm ratios of HUGEINT-widened "
+    "centered moments (the 2x2 determinant expansion); the Shapley "
+    "combination is integer arithmetic on the quantized ppms "
+    "(documented second layer). One scan, map-side combine to one "
+    "row.",
+)
+def agg_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    base = li.select(
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div 100"
+        ).alias("y"),
+        F.round("l_quantity").cast("bigint").alias("z"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("w"),
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("z")).alias("sz"),
+        _dsum(F.col("w")).alias("sw"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        _dsum(F.col("z") * F.col("z")).alias("szz"),
+        _dsum(F.col("w") * F.col("w")).alias("sww"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("z")).alias("syz"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("w")).alias("syw"),
+        _dsum(F.col("z") * F.col("w")).alias("szw"),
+    )
+    c = mo.select(
+        F.expr("n * syy - sy * sy").alias("cyy"),
+        F.expr("n * szz - sz * sz").alias("dzz"),
+        F.expr("n * sww - sw * sw").alias("dww"),
+        F.expr("n * syz - sy * sz").alias("nyz"),
+        F.expr("n * syw - sy * sw").alias("nyw"),
+        F.expr("n * szw - sz * sw").alias("czw"),
+    )
+    # SCALE-STABLE micro moments: each variance/covariance is quantized
+    # at 1e6/n^2 scale (sign-split for the covariances), so every later
+    # product is SF-INDEPENDENT and fits int64/DECIMAL at any scale —
+    # the naive cleared triple products overflow DECIMAL(38,0) already
+    # at sf0.001, and pre-divided intermediates exceed Spark's silent
+    # int64 div-result wrap (hazard #4). One documented quantizer layer.
+    sgn = (
+        "CASE WHEN {v} >= 0 THEN (1000000 * {v}) div nn"
+        " ELSE -((1000000 * (-({v}))) div nn) END"
+    )
+    mic = c.crossJoin(
+        F.broadcast(mo.select(F.expr("n * n").alias("nn")))
+    ).select(
+        F.expr("(1000000 * cyy) div nn").alias("vyy"),
+        F.expr("(1000000 * dzz) div nn").alias("vzz"),
+        F.expr("(1000000 * dww) div nn").alias("vww"),
+        F.expr(sgn.format(v="nyz")).alias("uyz"),
+        F.expr(sgn.format(v="nyw")).alias("uyw"),
+        F.expr(sgn.format(v="czw")).alias("uzw"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    mic = mic.select(*[dec(c_).alias(c_) for c_ in
+                       ("vyy", "vzz", "vww", "uyz", "uyw", "uzw")])
+    r2 = mic.select(
+        F.expr(
+            "(1000000 * uyz * uyz) div greatest(vyy * vzz, 1)"
+        ).alias("r2z"),
+        F.expr(
+            "(1000000 * uyw * uyw) div greatest(vyy * vww, 1)"
+        ).alias("r2w"),
+        F.expr(
+            "(1000000 * (uyz * uyz * vww + uyw * uyw * vzz"
+            " - 2 * uyz * uyw * uzw))"
+            " div greatest(vyy * (vzz * vww - uzw * uzw), 1)"
+        ).alias("r2zw"),
+    )
+    return r2.select(
+        F.col("r2z").cast("bigint").alias("r2_qty_ppm"),
+        F.col("r2w").cast("bigint").alias("r2_disc_ppm"),
+        F.col("r2zw").cast("bigint").alias("r2_both_ppm"),
+        F.expr("CAST((r2z + r2zw - r2w) div 2 AS BIGINT)").alias(
+            "shapley_qty_ppm"
+        ),
+        F.expr("CAST((r2w + r2zw - r2z) div 2 AS BIGINT)").alias(
+            "shapley_disc_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ratio_estimator_ci — delta-method variance of the ratio estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ratio_estimator_ci",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * x) AS HUGEINT) AS sxy
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST((1000 * sy) // sx AS BIGINT) AS ratio_milli,
+           CAST((1000000 * (n * syy - sy * sy)
+                 - 2000 * ((1000 * sy) // sx) * (n * sxy - sy * sx)
+                 + ((1000 * sy) // sx) * ((1000 * sy) // sx)
+                   * (n * sxx - sx * sx))
+                // greatest(n * sx * sx, 1) AS BIGINT)
+             AS var_ratio_scaled
+    FROM mo
+    """,
+    doc="Delta-method variance of the ratio estimator R = sum y / sum x "
+    "(average unit price as total revenue over total quantity — the "
+    "RATIO estimator survey statistics uses when x is a known size "
+    "measure): var(R) ~ (S_yy - 2 R S_xy + R^2 S_xx) / (n xbar^2), "
+    "the uncertainty companion to sample_horvitz_thompson's point "
+    "estimate — an estimate without its delta-method variance is not "
+    "reportable. R is milli-quantized once (single floor), then the "
+    "variance numerator combines exact HUGEINT centered moments with "
+    "the quantized R (documented two-layer floor; the /1000 and "
+    "/1000000 de-scalings are exact integer divisions of "
+    "already-scaled terms). One scan, map-side combine to one row.",
+)
+def agg_ratio_estimator_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y").cast("decimal(38,0)") * F.col("x")).alias("sxy"),
+    )
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("CAST((1000 * sy) div sx AS BIGINT)").alias("ratio_milli"),
+        # single common 1e6 denominator, NO intermediate div: a div whose
+        # RESULT exceeds int64 silently wraps in Spark (hazard #4), which
+        # the first draft hit on the de-scaled R^2 S_xx term
+        F.expr(
+            "CAST((1000000 * (n * syy - sy * sy)"
+            " - 2000 * ((1000 * sy) div sx) * (n * sxy - sy * sx)"
+            " + ((1000 * sy) div sx) * ((1000 * sy) div sx)"
+            " * (n * sxx - sx * sx))"
+            " div greatest(n * sx * sx, 1) AS BIGINT)"
+        ).alias("var_ratio_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_tar_ustar_parse — POSIX ustar archive with a live checksum
+# ---------------------------------------------------------------------------
+
+# sum of every FIXED header byte: 'doc' + '.txt', mode/uid/gid octals,
+# zero mtime, the 8-space checksum placeholder, typeflag '0', the
+# "ustar\\0" magic and "00" version (pinned against a constructed header
+# in tests/test_round22.py)
+_TAR_FIXED_SUM = 3217
+# 8^10 .. 8^0 for the 11-digit octal size field
+_OCT_POWS = "array(1073741824, 134217728, 16777216, 2097152, 262144, " \
+    "32768, 4096, 512, 64, 8, 1)"
+
+
+@register(
+    "multimodal_tar_ustar_parse",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 100 + doc_id % 900 AS n FROM documents
+    ),
+    cks AS (
+      SELECT doc_id, n,
+             {_TAR_FIXED_SUM}
+             + 48 * length(CAST(doc_id AS VARCHAR))
+             + CAST(list_sum(list_transform(
+                 range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                 p -> CAST(substr(CAST(doc_id AS VARCHAR), p, 1)
+                           AS BIGINT))) AS BIGINT)
+             + 48 * 11
+             + CAST(list_sum(list_transform(range(0, 11),
+                 p -> (n // ([1073741824, 134217728, 16777216, 2097152,
+                              262144, 32768, 4096, 512, 64, 8, 1])[p + 1])
+                      % 8)) AS BIGINT) AS checksum
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS member_size,
+           CAST(checksum AS BIGINT) AS header_checksum,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> (doc_id * 3 + i * 11) % 256)) AS BIGINT)
+             AS content_sum,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> (i + 1) * ((doc_id * 3 + i * 11) % 256)))
+                AS BIGINT) AS content_checksum
+    FROM cks
+    ORDER BY doc_id
+    """,
+    doc="POSIX ustar archive parsing through the REAL stdlib tarfile "
+    "module: per doc, compose a complete single-member tar archive as "
+    "column expressions — the 512-byte ustar header with name, octal "
+    "mode/size/mtime fields and the LIVE header checksum (sum of all "
+    "header bytes with the checksum field as spaces) computed "
+    "ARITHMETICALLY column-side from the fixed-byte constant plus the "
+    "doc-id decimal digit sum and the 11-digit octal size digit sum — "
+    "then parse with tarfile, which VALIDATES that checksum before "
+    "yielding the member (a wrong sum is a typed NULL miss, the "
+    "adler32/zlib pattern for archives). Content bytes and their "
+    "weighted checksum are predicted by the oracle from the "
+    "generation formula. The archive-container capstone of the "
+    "multimodal axis (zip walks the grammar; tar validates an "
+    "arithmetic integrity field). Map-only; zero shuffles at any "
+    "scale.",
+)
+def multimodal_tar_ustar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        TAR_SCHEMA,
+        _tar_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (F.lit(100) + F.col("doc_id") % 900).alias("n")
+    )
+    cks = (
+        f"{_TAR_FIXED_SUM}"
+        " + 48 * length(CAST(doc_id AS STRING))"
+        " + aggregate(sequence(1, length(CAST(doc_id AS STRING))),"
+        "   CAST(0 AS BIGINT), (a, p) -> a +"
+        "   CAST(substr(CAST(doc_id AS STRING), p, 1) AS BIGINT))"
+        " + 48 * 11"
+        f" + aggregate(sequence(0, 10), CAST(0 AS BIGINT), (a, p) ->"
+        f"   a + (n div element_at({_OCT_POWS}, p + 1)) % 8)"
+    )
+    oct11 = (
+        f"concat_ws('', transform(sequence(0, 10), p -> lpad(hex("
+        f"48 + (n div element_at({_OCT_POWS}, p + 1)) % 8), 2, '0')))"
+    )
+    oct6_cks = (
+        "concat_ws('', transform(sequence(0, 5), p -> lpad(hex("
+        "48 + (cks div element_at(array(32768, 4096, 512, 64, 8, 1),"
+        " p + 1)) % 8), 2, '0')))"
+    )
+    content_hex = F.expr(
+        "rpad(concat_ws('', transform(sequence(0, n - 1), i ->"
+        " lpad(hex((doc_id * 3 + i * 11) % 256), 2, '0'))),"
+        " CAST(((n + 511) div 512) * 1024 AS INT), '0')"
+    )
+    header_hex = F.expr(
+        "concat("
+        " rpad(hex(concat('doc', CAST(doc_id AS STRING), '.txt')),"
+        "      200, '0'),"                      # name, NUL-padded
+        " hex('0000644'), '00',"                # mode
+        " hex('0000000'), '00',"                # uid
+        " hex('0000000'), '00',"                # gid
+        f" {oct11}, '00',"                      # size octal + NUL
+        " hex('00000000000'), '00',"            # mtime octal + NUL
+        f" {oct6_cks}, '0020',"                 # checksum + NUL + space
+        " hex('0'),"                            # typeflag
+        " repeat('00', 100),"                   # linkname
+        " hex('ustar'), '00', hex('00'),"       # magic + version
+        " repeat('00', 247))"                   # remaining fields
+    )
+    payload_hex = F.concat(
+        header_hex, content_hex, F.lit("00" * 1024)
+    )
+    return (
+        d.withColumn("cks", F.expr(cks))
+        .select("doc_id", F.unhex(payload_hex).alias("payload"))
+        .mapInPandas(_tar_batches, TAR_SCHEMA)
+        .orderBy("doc_id")
+    )

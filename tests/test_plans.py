@@ -383,6 +383,9 @@ _ALLOWED_NESTED_LOOP = {
     "events_visibility_graph",    # calendar-bounded day-census pair/blocker joins
     "orders_expected_shortfall",  # 1-row total scalar broadcast crossJoin
     "orders_quantile_trend",      # bounded month-grid cumulative joins + 1-row medians
+    "agg_shapley_r2",             # 1-row n^2 scalar broadcast crossJoin
+    "events_ordpattern_transitions",  # 1-row totals scalar broadcast crossJoins
+    "events_peak_prominence",     # calendar-bounded saddle-census joins (NULL-side OR join)
 }
 _ALLOWED_ROW_PYTHON = {
     "udf_python_scalar",  # exists to cover the UDF surface

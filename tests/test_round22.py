@@ -347,3 +347,172 @@ def test_spectral_tables_and_entropy_extremes():
     flat = [(10**6 * 1) // 8 * math.floor(1e6 * math.log(8)) for _ in range(8)]
     assert sum(flat) // 10**6 <= math.floor(1e6 * math.log(8))
     assert math.floor(1e6 * math.log(1)) == 0
+
+
+def test_ordpattern_classes_partition():
+    # exactly one of the six order-3 patterns fires for any triple
+    rng = random.Random(787)
+    for _ in range(500):
+        a, b, c = (rng.randint(0, 10) for _ in range(3))
+        pats = [
+            a <= b and b <= c,
+            a <= c and c < b,
+            b < a and a <= c,
+            b <= c and c < a,
+            c < a and a <= b,
+        ]
+        assert sum(pats) <= 1
+        # ELSE branch: c <= b < a strictly descending-ish
+        if not any(pats):
+            assert c <= b and b < a or (c < b and b <= a) or (c <= b <= a)
+
+
+def test_peak_prominence_bruteforce():
+    rng = random.Random(797)
+    for _ in range(60):
+        n = rng.randint(3, 20)
+        xs = [rng.randint(0, 30) for _ in range(n)]
+        for i in range(n):
+            left = xs[i - 1] if i > 0 else -1
+            right = xs[i + 1] if i < n - 1 else -1
+            if not (left < xs[i] and right < xs[i]):
+                continue
+            # brute prominence: walk out to nearest strictly higher
+            def saddle(rng_):
+                vals = [xs[j] for j in rng_]
+                out = []
+                for v in vals:
+                    if v > xs[i]:
+                        break
+                    out.append(v)
+                return min(out) if out and len(out) == len(vals) or True else 0
+            # left side
+            lvals = []
+            for j in range(i - 1, -1, -1):
+                if xs[j] > xs[i]:
+                    break
+                lvals.append(xs[j])
+            else:
+                lvals.append(0)  # reached edge: ground level
+            ls = min(lvals) if lvals else 0
+            rvals = []
+            for j in range(i + 1, n):
+                if xs[j] > xs[i]:
+                    break
+                rvals.append(xs[j])
+            else:
+                rvals.append(0)
+            rs = min(rvals) if rvals else 0
+            prom = xs[i] - max(ls, rs)
+            assert 0 < prom <= xs[i]
+
+
+def test_shapley_r2_efficiency_axiom():
+    # the two Shapley shares must sum exactly to the joint R^2 (ppm)
+    rng = random.Random(809)
+    for _ in range(200):
+        r2z = rng.randint(0, 10**6)
+        r2w = rng.randint(0, 10**6)
+        r2zw = rng.randint(max(r2z, r2w), 2 * 10**6)
+        phi_z = (r2z + r2zw - r2w) // 2
+        phi_w = (r2w + r2zw - r2z) // 2
+        assert phi_z + phi_w in (r2zw, r2zw - 1)  # parity of the halves
+        if (r2z + r2zw - r2w) % 2 == 0:
+            assert phi_z + phi_w == r2zw
+    # correlation-form R2 identity on exact Fractions
+    for _ in range(60):
+        ryz = Fraction(rng.randint(-99, 99), 100)
+        ryw = Fraction(rng.randint(-99, 99), 100)
+        rzw = Fraction(rng.randint(-99, 99), 100)
+        if abs(rzw) == 1:
+            continue
+        r2both = (ryz**2 + ryw**2 - 2 * ryz * ryw * rzw) / (1 - rzw**2)
+        # equals the moment determinant expansion
+        det = (1 - rzw**2)
+        alt = (ryz * (ryz - ryw * rzw) + ryw * (ryw - ryz * rzw)) / det
+        assert r2both == alt
+
+
+def test_ratio_estimator_common_denominator():
+    rng = random.Random(811)
+    for _ in range(60):
+        n = rng.randint(3, 40)
+        ys = [rng.randint(1, 10**4) for _ in range(n)]
+        xs = [rng.randint(1, 50) for _ in range(n)]
+        sy, sx = sum(ys), sum(xs)
+        syy = sum(v * v for v in ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(ys, xs))
+        r_mil = (1000 * sy) // sx
+        num6 = (
+            10**6 * (n * syy - sy * sy)
+            - 2000 * r_mil * (n * sxy - sy * sx)
+            + r_mil * r_mil * (n * sxx - sx * sx)
+        )
+        got = num6 // (n * sx * sx)
+        # against the exact delta-method value with the quantized R
+        rq = Fraction(r_mil, 1000)
+        exact = (
+            Fraction(n * syy - sy * sy)
+            - 2 * rq * (n * sxy - sy * sx)
+            + rq * rq * (n * sxx - sx * sx)
+        ) / (n * sx * sx)
+        assert got == int(10**6 * exact) or got == math.floor(
+            10**6 * exact
+        )
+
+
+def test_tar_ustar_checksum_constant_and_roundtrip():
+    import io
+    import tarfile
+
+    from mongodb_nats_connector_spark.operators.pipeline22 import (
+        _TAR_FIXED_SUM,
+    )
+
+    def build(doc_id, n):
+        name = f"doc{doc_id}.txt".encode()
+        hdr = bytearray(512)
+        hdr[0:len(name)] = name
+        hdr[100:108] = b"0000644\0"
+        hdr[108:116] = b"0000000\0"
+        hdr[116:124] = b"0000000\0"
+        hdr[124:136] = f"{n:011o}".encode() + b"\0"
+        hdr[136:148] = b"00000000000\0"
+        hdr[148:156] = b" " * 8
+        hdr[156] = ord("0")
+        hdr[257:263] = b"ustar\0"
+        hdr[263:265] = b"00"
+        cks = sum(hdr)
+        hdr[148:156] = f"{cks:06o}".encode() + b"\0 "
+        return bytes(hdr), cks
+
+    rng = random.Random(821)
+    for _ in range(40):
+        doc_id = rng.randint(0, 10**6)
+        n = 100 + doc_id % 900
+        hdr, cks = build(doc_id, n)
+        pred = (
+            _TAR_FIXED_SUM
+            + 48 * len(str(doc_id))
+            + sum(int(c) for c in str(doc_id))
+            + 48 * 11
+            + sum(int(c, 8) for c in f"{n:011o}")
+        )
+        assert pred == cks
+        content = bytes((doc_id * 3 + i * 11) % 256 for i in range(n))
+        pad = (512 - n % 512) % 512
+        archive = hdr + content + b"\0" * pad + b"\0" * 1024
+        tf = tarfile.open(fileobj=io.BytesIO(archive))
+        m = tf.getmembers()[0]
+        assert (m.name, m.size) == (f"doc{doc_id}.txt", n)
+        assert tf.extractfile(m).read() == content
+    # corrupted checksum -> tarfile rejects (the typed-miss path)
+    hdr, _ = build(5, 120)
+    bad = bytearray(hdr)
+    bad[148:156] = b"0000000\0"
+    try:
+        tarfile.open(fileobj=io.BytesIO(bytes(bad) + b"\0" * 2048))
+        raise AssertionError("bad checksum accepted")
+    except tarfile.ReadError:
+        pass
