@@ -2102,3 +2102,88 @@ def multimodal_tar_ustar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_tar_batches, TAR_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_base32_decode — RFC 4648 base32 through the stdlib codec
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_base32_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 10 + doc_id % 9 AS n FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+                            i -> (doc_id * 19 + i * 23) % 256) AS bs
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> (i + 1) * bs[i + 1])) AS BIGINT) AS stream_checksum
+    FROM pred
+    ORDER BY doc_id
+    """,
+    doc="RFC 4648 base32 decoding through the REAL stdlib codec: the "
+    "column side ENCODES the formula bytes itself — each 5-byte group "
+    "becomes a 40-bit integer sliced into eight 5-bit alphabet "
+    "indices, with the exact '=' padding table for the five partial-"
+    "group layouts (n mod 5 spans all five across docs) — and "
+    "base64.b32decode in STRICT mode decodes it back; any slip in "
+    "bit packing, alphabet or padding raises and becomes a typed NULL "
+    "miss. The oracle predicts the decoded bytes from the generation "
+    "formula, never seeing base32. Completes the text-transport axis "
+    "(UTF-8 validation covers the character layer; this covers the "
+    "binary-to-text armor layer used by tokens/keys in real corpora). "
+    "Map-only; zero shuffles at any scale.",
+)
+def multimodal_base32_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.multimodal import (
+        BASE32_SCHEMA,
+        _base32_batches,
+    )
+
+    d = table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", (F.lit(10) + F.col("doc_id") % 9).alias("n")
+    )
+    byte_f = "((doc_id * 19 + ({i}) * 23) % 256)"
+    # 40-bit group value: bytes g*5 .. g*5+4, zero-padded past n
+    bits = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN g * 5 + {j} < n THEN "
+            + byte_f.format(i=f"g * 5 + {j}")
+            + f" ELSE 0 END) * {256 ** (4 - j)}"
+            for j in range(5)
+        )
+        + ")"
+    )
+    # chars kept per partial-group length: 1->2, 2->4, 3->5, 4->7, 5->8
+    keep = (
+        "(CASE least(n - g * 5, 5)"
+        " WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 5 WHEN 4 THEN 7"
+        " ELSE 8 END)"
+    )
+    text32 = F.expr(
+        "concat_ws('', transform(sequence(0, (n + 4) div 5 - 1), g ->"
+        " concat("
+        "  concat_ws('', transform(sequence(0, 7), j ->"
+        f"   CASE WHEN j < {keep} THEN"
+        f"    substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ234567',"
+        f"     CAST(({bits} div"
+        "      element_at(array(34359738368, 1073741824, 33554432,"
+        "       1048576, 32768, 1024, 32, 1), CAST(j + 1 AS INT))) % 32"
+        "      AS INT) + 1, 1)"
+        "    ELSE '' END)),"
+        f"  repeat('=', 8 - {keep}))))"
+    )
+    return (
+        d.select("doc_id", text32.alias("text32"))
+        .mapInPandas(_base32_batches, BASE32_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -516,3 +516,40 @@ def test_tar_ustar_checksum_constant_and_roundtrip():
         raise AssertionError("bad checksum accepted")
     except tarfile.ReadError:
         pass
+
+
+def test_base32_composition_matches_stdlib():
+    import base64
+
+    ALPH = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+    def compose(data):
+        out = []
+        for i in range(0, len(data), 5):
+            chunk = data[i:i + 5]
+            bits = int.from_bytes(chunk + b"\0" * (5 - len(chunk)), "big")
+            keep = {1: 2, 2: 4, 3: 5, 4: 7, 5: 8}[len(chunk)]
+            out.append(
+                "".join(
+                    ALPH[(bits >> (35 - 5 * j)) & 31] for j in range(keep)
+                )
+                + "=" * (8 - keep)
+            )
+        return "".join(out)
+
+    rng = random.Random(829)
+    for _ in range(300):
+        d = bytes(rng.randrange(256) for _ in range(rng.randint(1, 23)))
+        assert compose(d) == base64.b32encode(d).decode()
+        assert base64.b32decode(compose(d)) == d
+    # all five partial-group layouts appear across the operator's
+    # n = 10 + doc_id % 9 sizes
+    assert {(10 + k % 9) % 5 for k in range(9)} == {0, 1, 2, 3, 4}
+    # strict decode rejects bad padding / alphabet (the typed-miss path)
+    import binascii
+    for bad in ("A=======", "abcdefgh", "AAAAAAA0"):
+        try:
+            base64.b32decode(bad)
+            raise AssertionError(f"accepted {bad!r}")
+        except (binascii.Error, ValueError):
+            pass
