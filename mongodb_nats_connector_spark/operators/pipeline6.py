@@ -967,11 +967,15 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so a session ending exactly when another starts counts both as "
     "concurrent — the inclusive convention, identical in both engines. "
     "Session building shuffles once on user_id; the sweep runs over 2 "
-    "rows per session (NOT per event) as the two-pass range-partitioned "
-    "prefix sum (plans/ranking.py two_pass_prefix_sum over the "
-    "epoch-micros sort key: time-boundary literals, per-bucket running "
-    "sums, bucket-total offsets) — integer +1/-1 addition is associative, "
-    "so the decomposition equals the oracle's single ordered window; rows "
+    "rows per session (NOT per event), decomposed BY DAY — the output "
+    "grain (r14 optimization, replacing the generic two-pass range "
+    "bucketizer: the day is a natural range partition, so no quantile "
+    "sketch, no bucket-offset branch, no persist): a day-partitioned "
+    "running sum gives the within-day prefix, the following per-day "
+    "groupBy reuses the same exchange, and the cross-day carry-in is a "
+    "cumulative over the per-day delta totals (a bounded daily series). "
+    "Integer +1/-1 addition is associative, so the decomposition equals "
+    "the oracle's single ordered window; rows "
     "sharing an exact (t, tie) key all carry the same delta, so the "
     "per-day MAX is invariant to their relative order on both engines.",
 )
@@ -998,25 +1002,33 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_end").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("tie")
         )
     )
-    from mongodb_nats_connector_spark.plans.ranking import (
-        two_pass_prefix_sum,
-    )
-
     # the sweep's sort key (t, tie) collapses to one bigint — micros are
     # far below 2^62, so (tus * 2 + tie) is an exact, order-preserving
-    # composite and the range bucketizer sees a single numeric column.
-    # Persisted NOW: the two-pass boundary sketch runs at construction and
-    # would otherwise recompute the sessionization windows; released when
-    # the returned result is GC'd.
-    keyed = pts.withColumn(
-        "_sk", F.unix_micros("t") * 2 + F.col("tie")
-    ).persist()
-    swept = two_pass_prefix_sum(
-        keyed, "_sk", "_sk", "delta", descending=False, cum_col="live"
-    ).select(F.date_trunc("day", "t").alias("day"), "live")
-    out = swept.groupBy("day").agg(
-        F.max("live").cast("bigint").alias("max_concurrent")
+    # composite; the global prefix sum splits exactly at day boundaries
+    # because every endpoint belongs to exactly one day and the day order
+    # is consistent with _sk order
+    keyed = pts.select(
+        F.date_trunc("day", "t").alias("day"),
+        (F.unix_micros("t") * 2 + F.col("tie")).alias("_sk"),
+        "delta",
     )
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
-
-    return release_on_gc(keyed, out)
+    in_day = Window.partitionBy("day").orderBy("_sk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_day = (
+        keyed.withColumn("_run", F.sum("delta").over(in_day))
+        .groupBy("day")
+        .agg(
+            F.max("_run").alias("_mx"),
+            F.sum("delta").alias("_tot"),
+        )
+    )
+    carry = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_day.select(
+        "day",
+        (F.coalesce(F.sum("_tot").over(carry), F.lit(0)) + F.col("_mx"))
+        .cast("bigint")
+        .alias("max_concurrent"),
+    )

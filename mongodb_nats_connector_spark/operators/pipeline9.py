@@ -2633,38 +2633,48 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Spearman rank correlation between quantity and extended price "
     "with proper midrank tie handling — the monotonic-association "
-    "complement to Pearson (agg_regression). The fact table compacts to "
-    "distinct (x, y) cells first (map-side combine), doubled midranks "
-    "(2*cumcount - ties + 1, exact integers) come from cumulative counts "
-    "over the DISTINCT-VALUE marginals — the Mann-Whitney shape, so no "
-    "ordered window ever touches fact-sized data. The x marginal (~50 "
-    "quantities) rides one bounded window; the y marginal (price cents, "
-    "grows with the part dimension) is the two-pass range-partitioned "
-    "prefix sum (plans/ranking.py two_pass_prefix_sum — exact-integer "
-    "addition, identical to the oracle's window by construction) — and "
-    "the five "
-    "sufficient sums multiply in DECIMAL(38,0)/HUGEINT (ranks grow with "
-    "row count, so a BIGINT product would wrap past ~1.5e9 rows; "
-    "cnt*rx2*ry2 <= 4n^3 stays inside 38 digits up to ~3e12 rows). Rho "
+    "complement to Pearson (agg_regression). Doubled midranks "
+    "(2*cumcount - ties + 1, exact integers): the x marginal (~50 "
+    "quantities) rides one bounded window and broadcasts onto the fact "
+    "scan; the y midrank is computed IN PLACE on the range-bucketed "
+    "fact (r14 optimization) — quantile boundaries sketched once and "
+    "embedded as literals (the plans/ranking.py contract: any boundary "
+    "set yields the same ranks), per-bucket row counts (<= 32 rows, "
+    "bounded) collected and prefixed into a literal offset map, and "
+    "within each bucket two "
+    "RANGE-frame counts over one sort (cumulative-through-peers + "
+    "tie-group size) give ry2 = 2*(offset+cum) - ties + 1, exactly the "
+    "oracle's cumulative-count midrank. The former fact-sized "
+    "(x,y)-cell aggregation, the y-marginal groupBy, and the "
+    "fact-vs-marginal re-join (three near-fact-sized exchanges — y is "
+    "~unique per row, so cell compaction compacted nothing) all "
+    "collapse into ONE range shuffle of the (x, y) projection. All six "
+    "sufficient sums then fold in a single aggregation whose products "
+    "multiply in DECIMAL(38,0)/HUGEINT (ranks grow with row count, so "
+    "a BIGINT product would wrap past ~1.5e9 rows; rx2*ry2 <= 4n^2 "
+    "per term and n*4n^2 summed stays inside 38 digits up to ~3e12 "
+    "rows; summation is exact-integer, so the regrouped order cannot "
+    "move a bit). Rho "
     "plus its t statistic are closed-form double arithmetic written "
     "identically in both engines; zero-variance sides emit zero rows.",
 )
 def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.round("l_quantity").cast("bigint").alias("x"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    # non-null guard mirrors the oracle's inner joins on x and y (NULL
+    # never equal): free on TPC-H data, exact on anything else
+    b = (
+        li.select(
+            F.round("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .persist()
     )
-    cells = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    # persisted NOW: the two-pass helper's boundary sketch below runs a job
-    # at construction time; without the cache it would recompute the full
-    # fact-table cell aggregation, and the final plan a third time.
-    # Released when the returned result is GC'd (release_on_gc at return).
-    cells = cells.persist()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     xm = (
-        cells.groupBy("x")
-        .agg(F.sum("cnt").cast("bigint").alias("cx"))
+        b.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cx"))
         .select(
             "x",
             (2 * F.sum("cx").over(run) - F.col("cx") + 1)
@@ -2672,34 +2682,65 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rx2"),
         )
     )
-    from mongodb_nats_connector_spark.plans.ranking import (
-        two_pass_prefix_sum,
+    # pass 1 (build-time job, shared plans/ranking.py contract): sketch
+    # y-quantile boundaries, embed as literals so every branch sees the
+    # identical bucketization; b is persisted above so this materializes
+    # the projection once for the whole query. ANY boundary set yields
+    # the same midranks — boundaries only balance the per-bucket sorts.
+    n_bkt = 32
+    fracs = F.array(*[F.lit((i + 1) / n_bkt) for i in range(n_bkt - 1)])
+    brow = b.agg(
+        F.percentile_approx("y", fracs, F.lit(1000)).alias("_bs")
+    ).first()
+    bvals = list(brow["_bs"] or [])
+    bounds_lit = (
+        F.array(*[F.lit(v) for v in bvals])
+        if bvals
+        else F.array().cast("array<bigint>")
     )
-
-    ycnt = cells.groupBy("y").agg(F.sum("cnt").cast("bigint").alias("cy"))
-    ym = two_pass_prefix_sum(
-        ycnt, "y", "y", "cy", descending=False, cum_col="_cumcy"
-    ).select(
+    withbkt = b.withColumn(
+        "_bkt",
+        F.size(F.filter(bounds_lit, lambda e: F.col("y") > e)).cast("int"),
+    )
+    # pass 2 (build-time job): per-bucket counts collected to the driver
+    # (<= n_bkt rows, bounded) and prefixed into bucket offsets embedded
+    # as a literal map — like the boundaries, a bounded driver scalar,
+    # which keeps the offset branch out of the executed plan (a
+    # broadcast-join formulation re-runs the counts aggregation as a
+    # serial broadcast-build job inside every execution)
+    cnt_rows = withbkt.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).collect()
+    cnts = {r["_bkt"]: r["_cnt"] for r in cnt_rows}
+    off_acc = 0
+    off_map = {}
+    for k in sorted(cnts):
+        off_map[k] = off_acc
+        off_acc += cnts[k]
+    om = F.create_map(
+        *[F.lit(v) for kv in sorted(off_map.items()) for v in kv]
+    ) if off_map else F.create_map().cast("map<int,bigint>")
+    w = Window.partitionBy("_bkt").orderBy("y")
+    cum = F.count(F.lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+    ranked = withbkt.join(F.broadcast(xm), "x").select(
         "y",
-        (2 * F.col("_cumcy") - F.col("cy") + 1).cast("bigint").alias("ry2"),
+        F.col("rx2"),
+        (2 * (om[F.col("_bkt")] + cum) - ties + 1).cast("bigint").alias("ry2"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    j = cells.join(F.broadcast(xm), "x").join(ym, "y").select(
-        dec(F.col("cnt")).alias("cnt"),
-        dec(F.col("rx2")).alias("rx2"),
-        dec(F.col("ry2")).alias("ry2"),
-    )
-    s = j.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.sum(F.col("cnt") * F.col("rx2")).cast("double").alias("sx"),
-        F.sum(F.col("cnt") * F.col("ry2")).cast("double").alias("sy"),
-        F.sum(F.col("cnt") * F.col("rx2") * F.col("rx2"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("rx2"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("ry2"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("rx2")) * dec(F.col("rx2")))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("cnt") * F.col("ry2") * F.col("ry2"))
+        F.sum(dec(F.col("ry2")) * dec(F.col("ry2")))
         .cast("double")
         .alias("syy"),
-        F.sum(F.col("cnt") * F.col("rx2") * F.col("ry2"))
+        F.sum(dec(F.col("rx2")) * dec(F.col("ry2")))
         .cast("double")
         .alias("sxy"),
     )
@@ -2712,7 +2753,7 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho, 6).alias("spearman_rho"),
         F.round(rho * F.sqrt((n - 2) / (1.0 - rho * rho)), 4).alias("t_stat"),
     )
-    return release_on_gc(cells, out)
+    return release_on_gc(b, out)
 
 
 # ---------------------------------------------------------------------------

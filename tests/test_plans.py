@@ -439,9 +439,9 @@ _GLOBAL_WINDOWS = {
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
     "agg_runs_test": (1, "bounded: daily series"),
-    "agg_spearman_corr": (2, "bounded: ~50-quantity x marginal + "
-                             "n_buckets offset window (y marginal is "
-                             "two-pass)"),
+    "agg_spearman_corr": (1, "bounded: ~50-quantity x marginal (y midrank "
+                             "is range-bucketed in place; offsets are "
+                             "driver literals)"),
     "customer_ltv_deciles": (2, "bounded: n_buckets offset/total windows"),
     "customer_rfm_segments": (6, "bounded: n_buckets offset/total x3 "
                                  "(two-pass converted)"),
@@ -462,8 +462,8 @@ _GLOBAL_WINDOWS = {
     "orders_xmr_chart": (1, "bounded: daily series lag"),
     "events_dau_rolling": (1, "bounded: daily series"),
     "events_funnel": (1, "bounded: funnel stages"),
-    "events_max_concurrency": (1, "bounded: n_buckets offset window "
-                                  "(two-pass sweep)"),
+    "events_max_concurrency": (1, "bounded: daily carry-in series "
+                                  "(day-decomposed sweep)"),
     "events_weibull_gaps": (1, "bounded: n_buckets offset window "
                                "(two-pass rank)"),
     "orders_abc_xyz": (1, "bounded: n_buckets offset window "
