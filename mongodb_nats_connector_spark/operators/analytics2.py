@@ -232,11 +232,12 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_c")
     )
-    # persisted NOW: the two-pass boundary sketch runs at construction and
-    # would otherwise recompute the fact rollup; released on result GC
+    # persisted NOW: the two-pass boundary sketch and the collected bucket
+    # offsets both run jobs at construction and would otherwise recompute
+    # the fact rollup; released on result GC
     ltv = ltv.persist()
     ranked = two_pass_global_rank(
-        ltv, "ltv_c", "o_custkey", descending=True
+        ltv, "ltv_c", "o_custkey", descending=True, collected_offsets=True
     )
     decile = ntile_from_rank(F.col("_rank"), F.col("_n"), 10)
     from mongodb_nats_connector_spark.plans.caching import release_on_gc

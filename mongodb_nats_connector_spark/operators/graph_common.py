@@ -69,17 +69,28 @@ def hll_reg_rows(ev: DataFrame) -> DataFrame:
     NULL bucket/rho row that silently inflates the register count (and
     pollutes the streaming register state), so it never enters the sketch.
     """
-    key = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit("@"),
-        F.col("ts").cast("date").cast("string"),
-    )
-    h = ev.filter(
+    d = ev.filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).select(
         F.col("event_type").alias("cohort"),
-        md5_hash60(key).alias("h"),
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
     )
+    return hll_reg_rows_from_userdays(d)
+
+
+def hll_reg_rows_from_userdays(d: DataFrame) -> DataFrame:
+    """Register contributions from prepared non-NULL (cohort, user_id, day)
+    rows — the shared tail of ``hll_reg_rows``, split out so the batch
+    query can feed it the DISTINCT user-day relation its exact-count
+    columns need anyway (md5 is pure in (user_id, day), so registers off
+    the deduplicated relation are identical)."""
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("day").cast("string"),
+    )
+    h = d.select("cohort", md5_hash60(key).alias("h"))
     rest = F.shiftright(F.col("h"), HLL_P)
     return h.select(
         "cohort",

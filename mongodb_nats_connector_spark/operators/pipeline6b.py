@@ -84,9 +84,18 @@ def bigstar_labels(pairs: DataFrame) -> DataFrame:
     prev = _canon_pairs(pairs).localCheckpoint(eager=True)
     for _ in range(CC_BIGSTAR_MAX_ROUNDS):
         stepped = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        # edge-set fixpoint in ONE job (r14: the two exceptAll/isEmpty
+        # probes were two full-shuffle jobs per round): both sides are
+        # DISTINCT canonical pair sets, so a +1/-1 tagged union groups to
+        # sum 0 on every (lo, hi) exactly when the sets are equal — the
+        # same exact set-equality test, half the convergence-check jobs
         same = (
-            stepped.exceptAll(prev).isEmpty()
-            and prev.exceptAll(stepped).isEmpty()
+            stepped.withColumn("_t", F.lit(1))
+            .unionAll(prev.withColumn("_t", F.lit(-1)))
+            .groupBy("lo", "hi")
+            .agg(F.sum("_t").alias("_d"))
+            .filter(F.col("_d") != 0)
+            .isEmpty()
         )
         prev = stepped
         if same:

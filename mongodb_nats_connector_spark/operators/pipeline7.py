@@ -360,46 +360,63 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
     )
 
-    def _tail(t: str, n_name: str, hk_name: str) -> DataFrame:
-        return sketch.filter(F.col("t") == t).agg(
-            F.max("rn").cast("bigint").alias(n_name),
-            F.max("h").alias(hk_name),
-        )
-
-    ka = _tail(_KMV_A, "na", "hka")
-    kb = _tail(_KMV_B, "nb", "hkb")
+    # r14 optimization: the former 6 crossJoined 1-row subplans (ka, kb,
+    # ku, m, ex, exi — six serial broadcast-build jobs per execution, with
+    # exi adding an intersect shuffle and two extra event scans) fold into
+    # THREE, each producing identical values:
+    #  - kab: both cohort tails from ONE pass over the cached sketch
+    #    (max of a when() == max over the filtered cohort)
+    #  - kum: union-sketch tail + sketch-intersection m from ONE pass
+    #    (membership flags per h replace the two semi-joins)
+    #  - exall: all four exact counts from ONE per-user membership
+    #    aggregation (count of users with a == countDistinct when(a);
+    #    the NULL user_id group is kept ONLY for exact_inter, mirroring
+    #    intersect's NULL-matching vs countDistinct's NULL-skipping)
+    kab = sketch.agg(
+        F.max(F.when(F.col("t") == _KMV_A, F.col("rn")))
+        .cast("bigint")
+        .alias("na"),
+        F.max(F.when(F.col("t") == _KMV_A, F.col("h"))).alias("hka"),
+        F.max(F.when(F.col("t") == _KMV_B, F.col("rn")))
+        .cast("bigint")
+        .alias("nb"),
+        F.max(F.when(F.col("t") == _KMV_B, F.col("h"))).alias("hkb"),
+    )
     usketch = (
         sketch.select("h")
         .distinct()
         .withColumn("rn", F.row_number().over(Window.orderBy("h")))
         .filter(F.col("rn") <= KMV_K)
     )
-    ku = usketch.agg(
-        F.max("rn").cast("bigint").alias("nu"), F.max("h").alias("hku")
+    mem = sketch.groupBy("h").agg(
+        F.max((F.col("t") == _KMV_A).cast("int")).alias("_ina"),
+        F.max((F.col("t") == _KMV_B).cast("int")).alias("_inb"),
     )
-    in_a = sketch.filter(F.col("t") == _KMV_A).select("h")
-    in_b = sketch.filter(F.col("t") == _KMV_B).select("h")
-    m = (
-        usketch.join(maybe_broadcast(in_a), "h", "left_semi")
-        .join(maybe_broadcast(in_b), "h", "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    )
-    ex = ev.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == _KMV_A, F.col("user_id"))
-        ).cast("bigint").alias("exact_a"),
-        F.countDistinct(
-            F.when(F.col("event_type") == _KMV_B, F.col("user_id"))
-        ).cast("bigint").alias("exact_b"),
-        F.countDistinct("user_id").cast("bigint").alias("exact_union"),
-    )
-    exi = (
-        ev.filter(F.col("event_type") == _KMV_A)
-        .select("user_id")
-        .intersect(
-            ev.filter(F.col("event_type") == _KMV_B).select("user_id")
+    kum = usketch.join(maybe_broadcast(mem), "h").agg(
+        F.max("rn").cast("bigint").alias("nu"),
+        F.max("h").alias("hku"),
+        F.count(
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), F.lit(1))
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    peru = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == _KMV_A).cast("int")).alias("_a"),
+        F.max((F.col("event_type") == _KMV_B).cast("int")).alias("_b"),
+    )
+    nn = F.col("user_id").isNotNull()
+    exall = peru.agg(
+        F.count(F.when((F.col("_a") == 1) & nn, F.lit(1)))
+        .cast("bigint")
+        .alias("exact_a"),
+        F.count(F.when((F.col("_b") == 1) & nn, F.lit(1)))
+        .cast("bigint")
+        .alias("exact_b"),
+        F.count(F.when(nn, F.lit(1))).cast("bigint").alias("exact_union"),
+        F.count(F.when((F.col("_a") == 1) & (F.col("_b") == 1), F.lit(1)))
+        .cast("bigint")
+        .alias("exact_inter"),
     )
 
     def _est(n_col: str, hk_col: str):
@@ -412,11 +429,8 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nu") < KMV_K, F.col("nu").cast("double")
     ).otherwise(F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_M) / F.col("hku")))
     out = (
-        ka.crossJoin(F.broadcast(kb))
-        .crossJoin(F.broadcast(ku))
-        .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(ex))
-        .crossJoin(F.broadcast(exi))
+        kab.crossJoin(F.broadcast(kum))
+        .crossJoin(F.broadcast(exall))
         .select(
             _est("na", "hka").alias("est_a"),
             _est("nb", "hkb").alias("est_b"),
@@ -759,18 +773,40 @@ def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB, which a native HLL (Spark's approx_count_distinct) cannot. "
     "Cohorts are per-event-type user-days, and the 'ALL' row demonstrates "
     "the merge property: max of the cohort registers, never a re-scan of "
-    "the union. Plan: one map-side-combined max over (cohort, bucket) — no "
-    "distinct pass is needed, because register max absorbs duplicates — "
-    "then register-sized relations only; at 100 TB each partition emits at "
-    "most m register partials per cohort: the standard two-level HLL "
-    "aggregation tree in DataFrame form. The same register mapping "
+    "the union. Plan (r14): ONE map-side-deduplicated distinct over "
+    "(cohort, user_id, day) feeds the register max AND both exact "
+    "countDistinct columns — the fact is scanned once, not three times; "
+    "register max absorbs any residual duplicates exactly as before, and "
+    "after the distinct everything is register- or cohort-sized. At 100 "
+    "TB each partition emits at most m register partials per cohort: the "
+    "standard two-level HLL aggregation tree in DataFrame form. The same register mapping "
     "(hll_reg_rows) feeds the streaming merge in streaming/windows.py, "
     "where max-idempotence gives exactly-once estimates under "
     "at-least-once replay.",
 )
 def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.operators.graph_common import (
+        hll_reg_rows_from_userdays,
+    )
+
     ev = table(spark, sf_dir, "events")
-    reg = hll_reg_rows(ev)
+    # r14 optimization: ONE distinct pass over the fact feeds registers
+    # AND both exact counts (formerly three full scans: register rows +
+    # two countDistinct aggregations). md5 is pure in (user_id, day), so
+    # registers from the deduplicated relation are identical — register
+    # max absorbed the duplicates before; the exact counts needed this
+    # distinct shuffle anyway, and now it happens once.
+    d = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("cohort"),
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .distinct()
+        .persist()
+    )
+    reg = hll_reg_rows_from_userdays(d)
     per = reg.groupBy("cohort", "bucket").agg(F.max("rho").alias("r"))
     # the 'ALL' row is the true register MERGE — max of the per-cohort
     # registers, never a second scan of the fact-level reg relation (per
@@ -803,26 +839,30 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers")))
         ),
     ).otherwise(F.round(raw))
-    day = F.col("ts").cast("date")
-    ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-    ex_per = ev.groupBy(F.col("event_type").alias("cohort")).agg(
-        F.countDistinct(F.col("user_id"), day).cast("bigint").alias(
-            "exact_userdays"
-        )
+    # exact counts straight off the distinct relation: per-cohort count ==
+    # countDistinct(user_id, day) per cohort; the ALL row re-distincts the
+    # (already deduplicated) user-day projection — a much smaller relation
+    # than the fact it used to re-scan
+    ex_per = d.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_userdays")
     )
-    ex_all = ev.agg(
-        F.countDistinct(F.col("user_id"), day).cast("bigint").alias(
-            "exact_userdays"
-        )
-    ).select(F.lit("ALL").alias("cohort"), "exact_userdays")
+    ex_all = (
+        d.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_userdays"))
+        .select(F.lit("ALL").alias("cohort"), "exact_userdays")
+    )
     ex = ex_per.unionAll(ex_all)
     return persist_until_collected(
-        per,
-        s.join(maybe_broadcast(ex), "cohort").select(
-            "cohort",
-            "n_registers",
-            est.cast("bigint").alias("est_userdays"),
-            "exact_userdays",
+        d,
+        persist_until_collected(
+            per,
+            s.join(maybe_broadcast(ex), "cohort").select(
+                "cohort",
+                "n_registers",
+                est.cast("bigint").alias("est_userdays"),
+                "exact_userdays",
+            ),
         ),
     )
 

@@ -114,68 +114,94 @@ _BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
     "term-frequency saturation and document-length normalization. Per-term "
     "scores scale to integer micro-units BEFORE the per-doc sum, so "
     "summation order can never move a bit and even the float scores "
-    "hash-verify. Plan: one explode pass aggregates doc lengths (map-side "
-    "combine on doc_id); the query-term filter prunes the posting relation "
-    "to the 3 requested terms before tf/df aggregate, so the only "
-    "corpus-proportional shuffles carry (doc_id) and (doc_id, word) keys; "
-    "df (3 rows) and the corpus scalar broadcast. Top-k is a "
-    "TakeOrderedAndProject, not a full sort. At 100 TB this is the classic "
+    "hash-verify. Plan (r14 optimization — zero corpus-proportional "
+    "shuffles, down from two): doc length is size(split(text)) and each "
+    "query term's tf is size(filter(words)) — both MAP-SIDE array "
+    "expressions, so the former explode passes, the (doc_id) length "
+    "shuffle, the (doc_id, word) posting shuffle, and both persists all "
+    "disappear. One global aggregation folds n_docs, total length, and "
+    "the 3 per-term document frequencies (sum of tf>0 indicators == "
+    "count distinct docs containing the term) into a 1-row broadcast; "
+    "scoring is then a second map-only pass over docs filtered to those "
+    "containing any query term. Top-k is a TakeOrderedAndProject-class "
+    "rank filter, not a full sort. At 100 TB this is the classic "
     "sparse-retrieval shape: score only docs containing query terms, never "
-    "the corpus.",
+    "the corpus — and the corpus itself is never materialized as postings.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
-    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    corpus = dl.agg(
+    # NULL text contributed zero exploded rows in the posting formulation
+    # (absent from doc lengths and n_docs); the explicit filter keeps that
+    # contract — size(split(NULL)) would otherwise yield -1, not absence
+    words = F.split("text", " ")
+
+    def _tf(i: int, t: str):
+        # closure (not a default arg): a 2-parameter lambda would make
+        # F.filter pass (element, index) and silently compare the index
+        return (
+            F.size(F.filter(words, lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+        )
+
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("dl"),
+        *[_tf(i, t) for i, t in enumerate(BM25_TERMS)],
+    )
+    corpus = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_w"),
-    )
-    wq = w.filter(F.col("word").isin(*BM25_TERMS))
-    tf = wq.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    df_ = wq.groupBy("word").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("bigint").alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
     avgdl = F.col("total_w").cast("double") / F.col("n_docs")
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score = (
-        idf
-        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
         )
-    )
-    term = (
-        tf.join(maybe_broadcast(df_), "word")
-        .join(maybe_broadcast(dl), "doc_id")
+        s = (
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+            )
+        )
+        # per-(doc, term) rounding BEFORE the per-doc sum, exactly as the
+        # posting formulation (a missing posting row == a zero term)
+        return F.when(
+            tf > 0, F.round(F.lit(1000000.0) * s).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    scored = (
+        base.filter(
+            sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0
+        )
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
-            F.round(F.lit(1000000.0) * score).cast("bigint").alias("score_u"),
+            sum(term_score(i) for i in range(len(BM25_TERMS))).alias(
+                "score_u"
+            ),
         )
-    )
-    scored = term.groupBy("doc_id").agg(
-        F.sum("score_u").cast("bigint").alias("score_u")
     )
     ranked = scored.withColumn(
         "rn",
         F.row_number().over(Window.orderBy(F.desc("score_u"), F.asc("doc_id"))),
     )
-    # dl feeds both the corpus scalar and the per-term join, and wq feeds
-    # both tf and df: pin BOTH for the result's lifetime so the corpus
-    # explode runs twice (lengths + filtered postings), not three times
-    out = ranked.filter(F.col("rn") <= BM25_TOPK).select(
+    return ranked.filter(F.col("rn") <= BM25_TOPK).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round(F.col("score_u") / 1000000.0, 6).alias("bm25"),
         F.col("rn").cast("bigint").alias("rn"),
     )
-    return persist_until_collected(wq, persist_until_collected(dl, out))
 
 
 # ---------------------------------------------------------------------------
@@ -732,19 +758,25 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sw") > 0)
         .select("b", "mean_mc")
     )
-    rk = rep.withColumn(
-        "rn", F.row_number().over(Window.orderBy("mean_mc", "b"))
-    )
+    # the ranked CI endpoints fold into ONE bounded aggregation (r14
+    # optimization): sort_array over the <= 40 collected (mean_mc, b)
+    # structs orders exactly like the former row_number window
+    # (lexicographic struct comparison == ORDER BY mean_mc, b), so
+    # elements 2 and BOOT_B-1 are the same ranked replicates — without
+    # the two filter-and-broadcast subplans (each a separate job) or the
+    # persist of rep. The n_reps >= BOOT_B-1 guard reproduces the old
+    # emptiness contract (an absent rank-39 row emptied the crossJoin);
+    # try_element_at keeps the short-array case NULL-safe pre-filter.
     agg = rep.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reps"),
         F.sum("mean_mc").cast("bigint").alias("s"),
+        F.sort_array(
+            F.collect_list(F.struct("mean_mc", "b"))
+        ).alias("_ranked"),
     )
-    lo = rk.filter(F.col("rn") == 2).select("mean_mc")
-    hi = rk.filter(F.col("rn") == BOOT_B - 1).select("mean_mc")
     out = (
-        agg.crossJoin(F.broadcast(ex))
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi.withColumnRenamed("mean_mc", "mean_hi")))
+        agg.filter(F.col("n_reps") >= BOOT_B - 1)
+        .crossJoin(F.broadcast(ex))
         .select(
             "n_reps",
             F.round(F.col("sy") * 1.0 / F.col("n") / 100.0, 6).alias(
@@ -753,11 +785,17 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") * 1.0 / F.col("n_reps") / 100000.0, 6).alias(
                 "boot_mean"
             ),
-            F.round(F.col("mean_mc") / 100000.0, 6).alias("ci_lo"),
-            F.round(F.col("mean_hi") / 100000.0, 6).alias("ci_hi"),
+            F.round(
+                F.try_element_at("_ranked", F.lit(2))["mean_mc"] / 100000.0, 6
+            ).alias("ci_lo"),
+            F.round(
+                F.try_element_at("_ranked", F.lit(BOOT_B - 1))["mean_mc"]
+                / 100000.0,
+                6,
+            ).alias("ci_hi"),
         )
     )
-    return persist_until_collected(base, persist_until_collected(rep, out))
+    return persist_until_collected(base, out)
 
 
 # ---------------------------------------------------------------------------

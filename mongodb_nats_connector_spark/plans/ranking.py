@@ -65,6 +65,7 @@ def two_pass_global_rank(
     accuracy: int = 10_000,
     rank_col: str = "_rank",
     total_col: str = "_n",
+    collected_offsets: bool = False,
 ) -> DataFrame:
     """Return ``df`` plus an exact 1-based global ``rank_col`` over
     ``(value_col {DESC|ASC}, tie_col ASC)`` and the total row count
@@ -88,8 +89,52 @@ def two_pass_global_rank(
     on Spark's exchange-reuse to keep two sketch evaluations in sync.
     ANY boundary set yields the same final ranks, but only if it is the
     SAME set in both branches.
+
+    ``collected_offsets=True`` additionally collects the per-bucket counts
+    (<= ``n_buckets`` rows, bounded) to the driver at CONSTRUCTION time and
+    embeds the bucket offsets + total as literals, keeping the offset
+    branch out of the executed plan entirely (the broadcast-join
+    formulation re-runs the counts aggregation as a serial broadcast-build
+    job inside every execution). Identical ranks by construction. Opt in
+    only when ``df`` is already persisted — otherwise the extra
+    construction-time pass recomputes the input lineage from scratch.
     """
     assigned = _bucketize(df, value_col, n_buckets, accuracy)
+    value_order_c: Column = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    within_w = Window.partitionBy("_bkt").orderBy(value_order_c, F.col(tie_col))
+    if collected_offsets:
+        rows = assigned.groupBy("_bkt").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        ).collect()
+        cnts = {r["_bkt"]: r["_cnt"] for r in rows}
+        off: dict[int, int] = {}
+        acc = 0
+        for k in sorted(cnts, reverse=descending):
+            off[k] = acc
+            acc += cnts[k]
+        om = (
+            F.create_map(
+                *[
+                    c
+                    for k, v in sorted(off.items())
+                    for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+                ]
+            )
+            if off
+            else F.create_map().cast("map<int,bigint>")
+        )
+        return (
+            assigned.withColumn(
+                rank_col,
+                (om[F.col("_bkt")] + F.row_number().over(within_w)).cast(
+                    "bigint"
+                ),
+            )
+            .withColumn(total_col, F.lit(acc).cast("bigint"))
+            .drop("_bs", "_bkt")
+        )
     counts = assigned.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     bkt_order = F.col("_bkt").desc() if descending else F.col("_bkt").asc()
     before = Window.orderBy(bkt_order).rowsBetween(

@@ -425,7 +425,6 @@ def test_registry_wide_plan_lint(spark):
 # drop-in swap. This dict can only SHRINK or reclassify toward "bounded";
 # any query not listed here must have zero unpartitioned windows.
 _GLOBAL_WINDOWS = {
-    "agg_bootstrap_poisson": (2, "bounded: 40-replicate rank + total"),
     "agg_info_gain_split": (1, "bounded: ~50-value quantity-domain prefix"),
     "agg_ljung_box": (1, "bounded: daily series row index"),
     "orders_seasonal_decompose": (1, "bounded: monthly series MA window"),
@@ -442,7 +441,6 @@ _GLOBAL_WINDOWS = {
     "agg_spearman_corr": (1, "bounded: ~50-quantity x marginal (y midrank "
                              "is range-bucketed in place; offsets are "
                              "driver literals)"),
-    "customer_ltv_deciles": (2, "bounded: n_buckets offset/total windows"),
     "customer_rfm_segments": (6, "bounded: n_buckets offset/total x3 "
                                  "(two-pass converted)"),
     "docs_quality_ensemble_rank": (7, "bounded: n_buckets offset/total x4 "
