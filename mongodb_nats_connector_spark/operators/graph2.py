@@ -120,44 +120,44 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    edges.persist()
+    # no persist needed (r14): edges feeds outw and the join inside ONE
+    # collected plan — the groupBy exchange is reused — and nothing
+    # re-scans it afterwards
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("total_w"))
     edges_n = edges.join(outw, "src")
-    edges_n.persist()
 
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
     node_ids = [r["node"] for r in nodes.collect()]
     n = len(node_ids)
     base_num = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
 
-    # The rank vector is node-sized, so each iteration collects it to the
-    # driver and re-embeds it as a literal map (the kmeans_embeddings
-    # distribution strategy): the edge relation — the only big thing — is
-    # computed once, cached, and re-scanned per iteration with a map-only
-    # literal lookup, instead of growing a 3-deep broadcast-join lineage.
-    # `div` (integer division) throughout: pr * w reaches ~2.4e17, past
-    # double's 2^53 exact-integer range, so float `/` + cast would be
-    # wrong, not just drifty.
+    # The nation-level edge relation is node^2-bounded (<= |nation|^2 rows
+    # — 625 at TPC-H's 25 nations, a driver scalar like the rank vector
+    # itself), so ONE collect fetches it and the whole fixed-point runs in
+    # exact Python integer arithmetic on the driver (r14 optimization: the
+    # former shape re-scanned the cached edges with a literal rank map and
+    # collected the inflow once PER ITERATION — PR_ITERS full jobs whose
+    # only purpose was 25-row aggregates). The distributed part remains
+    # exactly the data-proportional piece: aggregating the fact tables
+    # down to the edge weights. Python ints are arbitrary-precision and
+    # `//` on positives matches SQL `div`, and integer partial sums
+    # commute, so every pr value is bit-identical to the per-iteration
+    # job formulation (pr * w reaches ~2.4e17, past double's 2^53 — which
+    # is why no float ever touches the ranks on either engine).
+    edge_rows = [
+        (r["src"], r["dst"], r["w"], r["total_w"]) for r in edges_n.collect()
+    ]
     pr_map = {node: PR_SCALE // n for node in node_ids}
     for _ in range(PR_ITERS):
-        pr_col = F.create_map(
-            *[F.lit(x) for node, pr_v in pr_map.items() for x in (node, pr_v)]
-        )
-        inflow_rows = (
-            edges_n.withColumn("pr", pr_col[F.col("src")])
-            .select("dst", F.expr("pr * w div total_w").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").cast("bigint").alias("s"))
-            .collect()
-        )
-        inflow = {r["dst"]: r["s"] for r in inflow_rows}
+        inflow: dict[int, int] = {}
+        for src, dst, w, total_w in edge_rows:
+            contrib = pr_map[src] * w // total_w
+            inflow[dst] = inflow.get(dst, 0) + contrib
         pr_map = {
             node: base_num // n
             + PR_DAMP_NUM * inflow.get(node, 0) // PR_DAMP_DEN
             for node in node_ids
         }
-    edges_n.unpersist()
-    edges.unpersist()
     pr_final = F.create_map(
         *[F.lit(x) for node, pr_v in pr_map.items() for x in (node, pr_v)]
     )

@@ -534,6 +534,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         mv = g @ v
         nrm = float(np.sqrt((mv * mv).sum()))
         v = np.round(mv / nrm, 8)
+    # NB (r14): a literal-struct formulation (the bpe_learn_merges trick)
+    # was measured ~5x SLOWER here — 64 rows x 3 fields is ~200 py4j lit
+    # calls, while Arrow-enabled createDataFrame ships one batch
     out = pd.DataFrame(
         {
             "dim": np.arange(1, EMB_DIM + 1, dtype=np.int64),
