@@ -2673,12 +2673,14 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with proper midrank tie handling — the monotonic-association "
     "complement to Pearson (agg_regression). Doubled midranks "
     "(2*cumcount - ties + 1, exact integers): the x marginal (~50 "
-    "quantities) rides one bounded window and broadcasts onto the fact "
-    "scan; the y midrank is computed IN PLACE on the range-bucketed "
+    "quantities, bounded domain) becomes a literal rank map computed in "
+    "exact Python ints from one collected (bucket, x) aggregation; the y "
+    "midrank is computed IN PLACE on the range-bucketed "
     "fact (r14 optimization) — quantile boundaries sketched once and "
     "embedded as literals (the plans/ranking.py contract: any boundary "
     "set yields the same ranks), per-bucket row counts (<= 32 rows, "
-    "bounded) collected and prefixed into a literal offset map, and "
+    "bounded, from the same collected aggregation) prefixed into a "
+    "literal offset map, and "
     "within each bucket two "
     "RANGE-frame counts over one sort (cumulative-through-peers + "
     "tie-group size) give ry2 = 2*(offset+cum) - ties + 1, exactly the "
@@ -2709,17 +2711,6 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    xm = (
-        b.groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cx"))
-        .select(
-            "x",
-            (2 * F.sum("cx").over(run) - F.col("cx") + 1)
-            .cast("bigint")
-            .alias("rx2"),
-        )
-    )
     # pass 1 (build-time job, shared plans/ranking.py contract): sketch
     # y-quantile boundaries, embed as literals so every branch sees the
     # identical bucketization; b is persisted above so this materializes
@@ -2740,32 +2731,54 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bkt",
         F.size(F.filter(bounds_lit, lambda e: F.col("y") > e)).cast("int"),
     )
-    # pass 2 (build-time job): per-bucket counts collected to the driver
-    # (<= n_bkt rows, bounded) and prefixed into bucket offsets embedded
-    # as a literal map — like the boundaries, a bounded driver scalar,
-    # which keeps the offset branch out of the executed plan (a
-    # broadcast-join formulation re-runs the counts aggregation as a
-    # serial broadcast-build job inside every execution)
-    cnt_rows = withbkt.groupBy("_bkt").agg(
+    # pass 2 (build-time job): ONE tiny (bucket, x) aggregation (<= n_bkt
+    # x ~50 rows, both domains bounded) collected to the driver yields
+    # BOTH marginal literals — bucket offsets for the y midrank AND the
+    # doubled x midranks rx2 (2*cumcount - ties + 1 over the ~50-value
+    # quantity domain, exact Python ints) — so the executed plan is a
+    # single joinless stage: bucket + rank lookups are literal maps, like
+    # the boundaries (a broadcast-join formulation re-runs these
+    # aggregations as serial broadcast-build jobs inside every execution)
+    g_rows = withbkt.groupBy("_bkt", "x").agg(
         F.count(F.lit(1)).alias("_cnt")
     ).collect()
-    cnts = {r["_bkt"]: r["_cnt"] for r in cnt_rows}
+    cnts: dict[int, int] = {}
+    cx: dict[int, int] = {}
+    for r in g_rows:
+        cnts[r["_bkt"]] = cnts.get(r["_bkt"], 0) + r["_cnt"]
+        cx[r["x"]] = cx.get(r["x"], 0) + r["_cnt"]
     off_acc = 0
     off_map = {}
     for k in sorted(cnts):
         off_map[k] = off_acc
         off_acc += cnts[k]
+    rx_acc = 0
+    rx_map = {}
+    for xv in sorted(cx):
+        rx_map[xv] = 2 * (rx_acc + cx[xv]) - cx[xv] + 1
+        rx_acc += cx[xv]
     om = F.create_map(
-        *[F.lit(v) for kv in sorted(off_map.items()) for v in kv]
+        *[
+            c
+            for k, v in sorted(off_map.items())
+            for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+        ]
     ) if off_map else F.create_map().cast("map<int,bigint>")
+    rxm = F.create_map(
+        *[
+            c
+            for k, v in sorted(rx_map.items())
+            for c in (F.lit(k).cast("bigint"), F.lit(v).cast("bigint"))
+        ]
+    ) if rx_map else F.create_map().cast("map<bigint,bigint>")
     w = Window.partitionBy("_bkt").orderBy("y")
     cum = F.count(F.lit(1)).over(
         w.rangeBetween(Window.unboundedPreceding, 0)
     )
     ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
-    ranked = withbkt.join(F.broadcast(xm), "x").select(
+    ranked = withbkt.select(
         "y",
-        F.col("rx2"),
+        rxm[F.col("x")].alias("rx2"),
         (2 * (om[F.col("_bkt")] + cum) - ties + 1).cast("bigint").alias("ry2"),
     )
     s = ranked.agg(

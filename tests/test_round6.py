@@ -332,13 +332,20 @@ def test_no_new_bare_persists():
         # broadcast gates; each released by persist_until_collected on
         # the same frame)
         "operators/dedup.py": 3,     # shingle cache + dedup_clusters loop
-        "operators/graph2.py": 2,    # pagerank loop (edges + edges_n)
+        # (graph2's pagerank no longer persists: r14 moved its fixed
+        # point to driver-round python ints over the collected
+        # nation^2-bounded edge list — the iteration caches went with it)
         "operators/pipeline6.py": 1,  # label-propagation loop (edges;
-        # unpersisted after the eager localCheckpoint materializes labels)
-        "operators/pipeline7.py": 2,  # BFS loop (edge list;
+        # unpersisted after the eager localCheckpoint materializes labels;
+        # max-concurrency's sweep-endpoint persist removed r14 — the
+        # day-decomposed sweep needs no boundary-sketch cache)
+        "operators/pipeline7.py": 3,  # BFS loop (edge list;
         # unpersisted after the loop checkpoints its node-sized result —
         # widest-path's edge cache moved to persist_until_collected) +
-        # gini's two-pass-rank input (released by release_on_gc)
+        # gini's two-pass-rank input (released by release_on_gc) +
+        # hll's deduplicated user-day relation (r14: one distinct pass
+        # feeds registers AND both exact counts; released by
+        # release_on_gc on the returned result)
         "operators/pipeline10.py": 7,  # MMR candidate pool + Boruvka edge
         # list (cached BEFORE their bounded driver-collect loops), plus
         # Theil-Sen's + Ljung-Box's day series, Markov's state-sized
@@ -394,8 +401,8 @@ def test_no_new_bare_persists():
         # adjacency (4 chained step consumers), hubness's and TwoNN's
         # quantized embedding relation (panel + candidate consumers);
         # all released by release_on_gc on the returned result
-        "operators/pipeline9.py": 2,   # spearman cells + weibull gaps
-        "operators/pipeline6.py": 2,   # label-prop loop + sweep endpoints
+        "operators/pipeline9.py": 2,   # spearman fact projection +
+        # weibull gaps
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
         "operators/relational.py": 1,  # rfm per-customer rollup
         "operators/quality5.py": 1,    # pareto per-customer rollup
