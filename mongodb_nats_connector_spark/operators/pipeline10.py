@@ -147,6 +147,14 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") / 1000).cast("bigint").alias("y"),
     )
+    # r14: the fact is touched ONCE — by this map-combined cell count —
+    # and everything downstream (grid, marginals, n, tie terms) derives
+    # from the persisted ~50x110 cell relation. The pre-r14 shape cached
+    # the N-row (x, y) projection and re-scanned it four times (cells, n,
+    # x-ties, y-ties): four N-proportional cache passes per execution,
+    # the sf1 watch item behind the 0.41 single-run exponent. n and the
+    # tie counts are integer sums over cells (sum(c), sum over per-x /
+    # per-y sums of c) — exact regrouping of the same counts, bit-equal.
     cells = b.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -188,22 +196,27 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("c") * F.col("p")).alias("cc"),
         _dsum(F.col("c") * F.col("q")).alias("dd"),
     )
-    m = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    t1 = (
-        b.groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .agg((_dsum(F.col("cnt") * (F.col("cnt") - 1)) / 2.0).alias("tx"))
+    # n + both tie terms from ONE cube over the cached cells (gid 1 =
+    # per-x marginal, 2 = per-y, 3 = grand total): the pre-r14 shape ran
+    # them as three separate scalar subplans — three serial
+    # broadcast-build jobs per execution. Identical integer sums
+    # regrouped (sum(c) per x == count per x of the fact), so the
+    # scalars feeding the final IEEE expression are bit-equal.
+    gs = cells.cube("x", "y").agg(
+        F.sum("c").cast("bigint").alias("cnt"),
+        F.grouping_id().alias("gid"),
     )
-    t2 = (
-        b.groupBy("y")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .agg((_dsum(F.col("cnt") * (F.col("cnt") - 1)) / 2.0).alias("ty"))
+    tie = F.col("cnt") * (F.col("cnt") - 1)
+    m = gs.agg(
+        F.sum(F.when(F.col("gid") == 3, F.col("cnt")))
+        .cast("bigint")
+        .alias("n"),
+        (_dsum(F.when(F.col("gid") == 1, tie)) / 2.0).alias("tx"),
+        (_dsum(F.when(F.col("gid") == 2, tie)) / 2.0).alias("ty"),
     )
     n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
     out = (
         m.crossJoin(F.broadcast(s))
-        .crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(t2))
         .filter(
             (F.col("n") > 1)
             & (n0 - F.col("tx") > 0)
@@ -222,7 +235,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau_b"),
         )
     )
-    return persist_until_collected(b, out)
+    return persist_until_collected(cells, out)
 
 
 # ---------------------------------------------------------------------------
