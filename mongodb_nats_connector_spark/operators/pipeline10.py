@@ -37,6 +37,7 @@ from mongodb_nats_connector_spark.plans.caching import (
     release_on_gc,
 )
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
+from mongodb_nats_connector_spark.plans.ranking import two_pass_prefix_sum
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -673,9 +674,15 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the median of all pairwise slopes — up to ~29% contamination cannot "
     "move it, unlike the OLS trend every dashboard defaults to. Slopes "
     "quantize to integer MILLI-CENTS/DAY before the median, and the "
-    "median itself is carried as the exact doubled-integer (the proven "
-    "agg_median_test recipe: quantile*2 of integers is exact on both "
-    "engines even at even counts); the reported slope is ONE IEEE "
+    "doubled median comes from exact ORDER-STATISTIC SELECTION over "
+    "the grouped value domain (the proven agg_hodges_lehmann recipe: "
+    "two-pass range-partitioned prefix count, then the values covering "
+    "ranks (n+1) div 2 and (n+2) div 2 — quantile*2 of integers is "
+    "exact on both engines even at even counts, and selection keeps "
+    "every pass distributed where Spark's percentile() aggregate "
+    "funnels all ~days^2/2 nearly-distinct slopes through one "
+    "reducer); n_pairs = C(n_days, 2) by construction, no counting "
+    "pass. The reported slope is ONE IEEE "
     "division (/2 for the doubling, /1000 for milli, /100 for cents — "
     "fused to /200000, dollars/day). The pair join is CALENDAR-bounded "
     "(days^2, independent of fact rows): ~3M pairs for the 7-year TPC-H "
@@ -704,18 +711,75 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = idx.persist()
     a = idx.select(F.col("rev_c").alias("ra"), F.col("t").alias("ta"))
     b = idx.select(F.col("rev_c").alias("rb"), F.col("t").alias("tb"))
+    # try_divide, not /: the isNotNull(slope) filter the selection
+    # helper applies gets pushed into the NLJ condition, where conjunct
+    # order is unspecified — a plain ANSI division can evaluate on a
+    # tb == ta pair BEFORE the tb > ta conjunct filters it and throw
+    # DIVIDE_BY_ZERO (observed on re-execution after cache release).
+    # No surviving row has tb == ta, so the values are bit-identical.
     pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
-        F.round((F.col("rb") - F.col("ra")) * 1000.0 / (F.col("tb") - F.col("ta")))
+        F.round(
+            F.try_divide(
+                (F.col("rb") - F.col("ra")) * 1000.0,
+                F.col("tb") - F.col("ta"),
+            )
+        )
         .cast("bigint")
         .alias("slope_mc")
     )
-    m = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.percentile("slope_mc", F.lit(0.5)) * 2)
-        .cast("bigint")
-        .alias("slope_mc_x2"),
+    # r14: exact median by SELECTION (the proven agg_hodges_lehmann
+    # recipe) instead of the percentile() aggregate, which funneled all
+    # ~days^2/2 nearly-distinct slopes through one reducer's value map
+    # (a wash at sf0.1 — ~10 s either way, NLJ-dominated — but the
+    # single-task funnel, 26M+ map entries at a 20-year calendar, is
+    # gone at scale): group pairs by value (map-combined; slopes barely
+    # compact, but the grouped relation is the ONE cached
+    # materialization of the pair NLJ every later pass reads), two-pass
+    # range-partitioned running count over the value domain, then the
+    # values covering ranks k1 = (n+1) div 2 and k2 = (n+2) div 2 give
+    # slope_mc_x2 = v_(k1) + v_(k2) == round(2*quantile_cont) exactly
+    # (integer order statistics). Sketch accuracy 1000: boundaries only
+    # balance bucket sizes (the plans/ranking.py contract) — a
+    # +-0.1%-rank boundary error moves work between buckets, never the
+    # selected values. n_pairs needs no counting pass over the pairs:
+    # every tb > ta day pair yields exactly one slope, so
+    # n_pairs = C(n_days, 2) from the day count.
+    g = pairs.groupBy("slope_mc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # persisted BEFORE the boundary sketch: the grouped value relation
+    # (calendar-bounded, <= days^2/2 rows — the hodges-lehmann
+    # precedent) feeds the sketch, the bucket counts and the final
+    # selection — without the cache the pair NLJ re-runs once per branch
+    g = g.persist()
+    ranked = two_pass_prefix_sum(
+        g, "slope_mc", "slope_mc", "c",
+        descending=False, cum_col="_cum", accuracy=1000,
+    )
+    nd = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    np_ = "n_days * (n_days - 1) div 2"
+    m = (
+        ranked.crossJoin(F.broadcast(nd))
+        .agg(
+            F.min(F.expr(np_)).cast("bigint").alias("n_pairs"),
+            (
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr(f"({np_} + 1) div 2"),
+                        F.col("slope_mc"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr(f"({np_} + 2) div 2"),
+                        F.col("slope_mc"),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("slope_mc_x2"),
+        )
+    )
     out = (
         nd.crossJoin(F.broadcast(m))
         .filter(F.col("n_days") > 1)
@@ -729,6 +793,7 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_sen_slope"),
         )
     )
+    out = release_on_gc(g, out)
     return release_on_gc(idx, out)
 
 

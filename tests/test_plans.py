@@ -500,6 +500,9 @@ _GLOBAL_WINDOWS = {
     "agg_hodges_lehmann": (1, "bounded: n_buckets offset window "
                               "(two-pass order-statistic selection over "
                               "the calendar-bounded Walsh-value domain)"),
+    "agg_theil_sen": (1, "bounded: n_buckets offset window (two-pass "
+                         "order-statistic selection over the "
+                         "calendar-bounded slope-value domain, r14)"),
     # pipeline13 (round 11): value-DOMAIN histograms, the calendar-bounded
     # daily series, or n_buckets/decile offset relations — all bounded
     "agg_brunner_munzel": (1, "bounded: ~105-bucket price-domain prefix"),

@@ -346,9 +346,11 @@ def test_no_new_bare_persists():
         # hll's deduplicated user-day relation (r14: one distinct pass
         # feeds registers AND both exact counts; released by
         # release_on_gc on the returned result)
-        "operators/pipeline10.py": 7,  # MMR candidate pool + Boruvka edge
+        "operators/pipeline10.py": 8,  # MMR candidate pool + Boruvka edge
         # list (cached BEFORE their bounded driver-collect loops), plus
-        # Theil-Sen's + Ljung-Box's day series, Markov's state-sized
+        # Theil-Sen's + Ljung-Box's day series, Theil-Sen's grouped
+        # slope-value relation (r14 selection recipe, cached before the
+        # boundary sketch like hodges-lehmann's), Markov's state-sized
         # transition matrix, seasonal-decompose's month series, and the
         # eccentricity query's nation-sized relation (multi-consumer
         # bounded relations); all released by plans.caching.release_on_gc
