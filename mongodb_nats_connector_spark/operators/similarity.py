@@ -98,18 +98,82 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-duplicate pairs (threshold), brute force: "
     "Arrow-vectorized cosine per candidate pair. Quadratic by construction "
-    "— the correctness baseline for the LSH-bucketed variant.",
+    "— the correctness baseline for the LSH-bucketed variant. The pair "
+    "stream crosses the Python boundary through mapInArrow, reshaping the "
+    "flat Arrow list buffers straight into (n, dim) float64 matrices — "
+    "the same numpy row-wise kernel as cosine_fast (identical bits: same "
+    "C-contiguous float64 input, same pairwise-summation reduce) without "
+    "materializing two million per-row ndarray objects.",
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_fast(F.col("va"), F.col("vb")), 6)
-    return (
+
+    def _cos_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def _mat(col, n):
+            # uniform-dim, null-free fast path: reshape the flat value
+            # buffer — bitwise the same float64 rows np.stack would build
+            if col.null_count == 0:
+                offs = col.offsets.to_numpy()
+                if n and (offs[1:] - offs[:-1] == _DIM).all():
+                    vals = col.values.to_numpy(zero_copy_only=False)
+                    return np.ascontiguousarray(
+                        vals[offs[0]:offs[-1]]
+                    ).reshape(n, _DIM)
+            return None
+
+        out_schema = pa.schema(
+            [
+                ("vec_a", pa.int64()),
+                ("vec_b", pa.int64()),
+                ("cos_raw", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            ca, cb = batch.column(2), batch.column(3)
+            A, B = _mat(ca, n), _mat(cb, n)
+            if A is not None and B is not None:
+                num = (A * B).sum(axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt(
+                        (B * B).sum(axis=1)
+                    )
+                    cos = num / den
+            else:
+                # ragged/null fallback: the original per-row semantics
+                xa, xb = ca.to_pandas(), cb.to_pandas()
+                la = xa.map(lambda v: -1 if v is None else len(v))
+                lb = xb.map(lambda v: -1 if v is None else len(v))
+                ok = (la.values == lb.values) & (la.values > 0)
+                cos = np.full(n, np.nan)
+                for dim in np.unique(la.values[ok]):
+                    m = ok & (la.values == dim)
+                    Am = np.stack(xa.values[m])
+                    Bm = np.stack(xb.values[m])
+                    num = (Am * Bm).sum(axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        den = np.sqrt((Am * Am).sum(axis=1)) * np.sqrt(
+                            (Bm * Bm).sum(axis=1)
+                        )
+                        cos[m] = num / den
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cos, pa.float64())],
+                schema=out_schema,
+            )
+
+    scored = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "va", "vb")
+        .mapInArrow(_cos_batches, "vec_a bigint, vec_b bigint, cos_raw double")
     )
+    return scored.select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= NEARDUP_COS)
 
 
 def _bucket_udf(v: F.Column) -> F.Column:
