@@ -411,15 +411,18 @@ CC_MAX_ITERS = 15
     doc="Near-duplicate CLUSTERING: connected components over the verified "
     ">=0.7-Jaccard pair graph, labeling every document with its cluster's "
     "minimum doc_id and flagging the canonical keeper — the step that turns "
-    "pairwise dedup into an actual drop list. Spark side is min-label "
-    "propagation: per iteration the (small) symmetric edge list is "
-    "broadcast-joined to the labels, so the corpus-sized relation never "
-    "shuffles; iteration count is bounded by component diameter (tiny for "
-    "near-dup clusters) and convergence is asserted. At 100 TB with a huge "
-    "edge list this becomes the alternating large-star/small-star CC "
-    "(Kiveris et al.) on hash-partitioned joins — same fixpoint, "
-    "logarithmic rounds. Oracle is a true recursive-CTE reachability "
-    "closure over the same pair set.",
+    "pairwise dedup into an actual drop list. When the materialized edge "
+    "count proves the edge list broadcast-sized, the components fixpoint "
+    "runs ONCE on the driver as exact integer union-find (min doc_id per "
+    "component — identical to what min-label propagation converges to) "
+    "and the corpus is labeled by a single broadcast map join. Above the "
+    "threshold, iterative min-label propagation executes instead: per "
+    "round the edge list joins the labels (corpus-sized relation never "
+    "collected), convergence asserted within a bounded round count — "
+    "which at 100 TB with a huge edge list becomes the alternating "
+    "large-star/small-star CC (Kiveris et al.) on hash-partitioned joins, "
+    "same fixpoint, logarithmic rounds. Oracle is a true recursive-CTE "
+    "reachability closure over the same pair set.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -433,9 +436,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above-threshold edge sets fall back to hash joins — the
     # large-star/small-star regime documented below.
     edges = edges.persist()
-    edges_hinted = (
-        F.broadcast(edges) if counted_fits_broadcast(edges, row_bytes=32) else edges
-    )
+    fits = counted_fits_broadcast(edges, row_bytes=32)
+    if fits:
+        # The count just proved the edge list is broadcast-sized, i.e.
+        # small enough to ship to every executor — so it is small enough
+        # to ship to the driver ONCE and run the connected-components
+        # fixpoint as exact integer union-find there (min doc_id per
+        # component == what min-label propagation converges to), instead
+        # of paying N Spark rounds of broadcast join + convergence count.
+        # The distributed piece stays exactly the data-proportional part:
+        # one broadcast map join labeling the corpus. Above the threshold
+        # the iterative min-label loop below remains the executed path
+        # (at 100 TB with a huge edge list: large-star/small-star).
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["src"], row["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = _find(node)
+            if r not in comp_min or node < comp_min[r]:
+                comp_min[r] = node
+        edges.unpersist()
+        label_rows = [
+            (int(node), int(comp_min[_find(node)])) for node in parent
+        ]
+        lmap = spark.createDataFrame(
+            label_rows, "doc_id bigint, _cc_label bigint"
+        )
+        labeled = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .join(F.broadcast(lmap), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_cc_label"), F.col("doc_id")).alias(
+                    "label"
+                ),
+            )
+        )
+        return labeled.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label"))
+            .cast("bigint")
+            .alias("is_canonical"),
+        )
+    edges_hinted = edges
 
     labels = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("label")

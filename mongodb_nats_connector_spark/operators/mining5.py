@@ -631,49 +631,7 @@ def _bpe_oracle() -> str:
     "is the identical fold via list_reduce.",
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents", parallel=True)
-    freq = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    lex = freq.select(
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "c"
-    )
-    lex.persist()
-    merges = []
-    for k in range(1, BPE_ROUNDS + 1):
-        toks = F.split("w", " ")
-        pairs = (
-            lex.filter(F.size(toks) >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                        ),
-                    )
-                ).alias("p"),
-                "c",
-            )
-            .groupBy("p")
-            .agg(F.sum("c").alias("pc"))
-        )
-        best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
-        merged = best["p"].replace(" ", "")
-        p1, p2 = best["p"].split(" ")
-        merges.append((k, best["p"], merged, int(best["pc"])))
-        nxt = lex.select(
-            F.array_join(
-                _merge_pair_arr(F.split("w", " "), p1, p2, merged), " "
-            ).alias("w"),
-            "c",
-        )
-        nxt.persist()
-        lex.unpersist()
-        lex = nxt
-    lex.unpersist()
+    merges = _bpe_learn(spark, sf_dir)
     # Result rows are driver literals; build them as JVM literal expressions
     # (not createDataFrame, whose local-Python RDD costs a worker spin-up —
     # measured ~1.3 s cold on the bench for 3 rows)
@@ -924,9 +882,39 @@ def events_funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Run the merge-learning loop (same arithmetic as bpe_learn_merges)
-    and return [(pair, merged), ...] as driver literals."""
+def _bpe_merge_word(
+    toks: list[str], p1: str, p2: str, merged: str
+) -> list[str]:
+    """Pure-Python greedy left-to-right whole-symbol BPE merge — the exact
+    fold :func:`_merge_pair_arr` (and the oracle's list_reduce) performs:
+    append each symbol unless the accumulator tail is p1 and the symbol is
+    p2, in which case the tail becomes the merged symbol (so a pair never
+    matches across a previously-merged symbol's boundary)."""
+    acc: list[str] = []
+    for x in toks:
+        if acc and acc[-1] == p1 and x == p2:
+            acc[-1] = merged
+        else:
+            acc.append(x)
+    return acc
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The BPE merge-learning loop shared by bpe_learn_merges and
+    bpe_apply_merges: returns [(round, pair, merged, pair_count), ...] as
+    driver values.
+
+    The corpus reduces to the (word, count) lexicon once up front. When
+    the materialized lexicon is broadcast-sized, it is collected ONCE and
+    all rounds run on the driver as exact integer counting + the identical
+    greedy fold — same argmax tie-break (count DESC, space-joined pair
+    string ASC; driver comparison on the joined string mirrors the SQL
+    ORDER BY) — instead of paying per round a pair-count shuffle, an
+    argmax collect, and a lexicon rewrite + persist churn. Above the
+    threshold the distributed per-round loop executes unchanged (the
+    lexicon is dimension-sized but unbounded in principle)."""
     docs = table(spark, sf_dir, "documents", parallel=True)
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -937,8 +925,26 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "c"
     )
     lex.persist()
-    merges: list[tuple[str, str]] = []
-    for _ in range(BPE_ROUNDS):
+    merges: list[tuple[int, str, str, int]] = []
+    if counted_fits_broadcast(lex, row_bytes=64):
+        words = [(r["w"].split(" "), r["c"]) for r in lex.collect()]
+        lex.unpersist()
+        for k in range(1, BPE_ROUNDS + 1):
+            pc: dict[str, int] = {}
+            for toks, c in words:
+                for i in range(len(toks) - 1):
+                    p = toks[i] + " " + toks[i + 1]
+                    pc[p] = pc.get(p, 0) + c
+            best_p = min(pc, key=lambda p: (-pc[p], p))
+            p1, p2 = best_p.split(" ")
+            merged = best_p.replace(" ", "")
+            merges.append((k, best_p, merged, int(pc[best_p])))
+            words = [
+                (_bpe_merge_word(toks, p1, p2, merged), c)
+                for toks, c in words
+            ]
+        return merges
+    for k in range(1, BPE_ROUNDS + 1):
         toks = F.split("w", " ")
         pairs = (
             lex.filter(F.size(toks) >= 2)
@@ -959,7 +965,7 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str
         best = pairs.orderBy(F.desc("pc"), "p").limit(1).collect()[0]
         merged = best["p"].replace(" ", "")
         p1, p2 = best["p"].split(" ")
-        merges.append((best["p"], merged))
+        merges.append((k, best["p"], merged, int(best["pc"])))
         nxt = lex.select(
             F.array_join(
                 _merge_pair_arr(F.split("w", " "), p1, p2, merged), " "
@@ -971,6 +977,12 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str
         lex = nxt
     lex.unpersist()
     return merges
+
+
+def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Run the merge-learning loop (same arithmetic as bpe_learn_merges)
+    and return [(pair, merged), ...] as driver literals."""
+    return [(p, m) for _, p, m, _ in _bpe_learn(spark, sf_dir)]
 
 
 def _bpe_apply_oracle() -> str:

@@ -1099,9 +1099,10 @@ def _markov_oracle() -> str:
     "(the pagerank_nations discipline: partial sums commute exactly, so "
     "any engine/partitioning produces identical bits; the oracle unrolls "
     "the same integer recurrence as chained CTEs). Transition counts are "
-    "one per-user lead window + one map-combined shuffle; every "
-    "iteration joins STATE-cardinality relations (~5 rows) — bounded by "
-    "the event-type domain at any corpus size.",
+    "one per-user lead window + one map-combined shuffle; the matrix is "
+    "bounded by the event-type domain squared (~25 rows at any corpus "
+    "size), so it is collected once and the iteration rounds run as the "
+    "identical exact-integer recurrence on the driver.",
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
@@ -1125,36 +1126,57 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # float division + cast would lose bits past 2^53
         F.expr(f"(c * {_PPB}) div rt").cast("bigint").alias("p_ppb"),
     )
-    # state-cardinality relations: persist the matrix consumed every round
-    tmat = tmat.persist()
-    states = tmat.select(F.col("src").alias("state")).distinct()
-    ns = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    pi = states.crossJoin(F.broadcast(ns)).select(
-        "state", F.expr(f"{_PPB} div k").cast("bigint").alias("w")
-    )
-    for _ in range(MARKOV_ITERS):
-        pi = (
-            pi.join(
-                tmat, pi["state"] == tmat["src"]
-            )
-            .select(
-                F.col("dst").alias("state"),
-                F.expr(f"(w * p_ppb) div {_PPB}")
-                .cast("bigint")
-                .alias("wi"),
-            )
-            .groupBy("state")
-            .agg(F.sum("wi").cast("bigint").alias("w"))
+    # The transition matrix is bounded by the event-type domain squared
+    # (~25 rows at any corpus size), so after the one corpus-proportional
+    # aggregation above it is collected ONCE and all power-iteration
+    # rounds run in exact Python integer arithmetic on the driver (the
+    # pagerank_nations discipline: arbitrary-precision ints, `//` on
+    # non-negatives == SQL `div`, integer partial sums commute — every
+    # weight is bit-identical to the per-round join formulation the
+    # oracle unrolls). Formerly each execution replayed MARKOV_ITERS
+    # state-sized joins inside the plan plus the matrix persist.
+    tmat_rows = [
+        (r["src"], r["dst"], r["p_ppb"]) for r in tmat.collect()
+    ]
+    states = sorted({s for s, _, _ in tmat_rows})
+    k = len(states)
+    if not states:
+        return spark.range(0).select(
+            F.lit(None).cast("string").alias("state"),
+            F.lit(None).cast("bigint").alias("stationary_ppb"),
+            F.lit(None).cast("double").alias("stationary_prob"),
         )
-    out = states.join(pi, "state", "left").select(
-        "state",
-        F.coalesce("w", F.lit(0)).cast("bigint").alias("stationary_ppb"),
-        (
-            F.coalesce("w", F.lit(0)).cast("double")
-            / F.lit(_PPB).cast("double")
-        ).alias("stationary_prob"),
+    pi = {s: _PPB // k for s in states}
+    for _ in range(MARKOV_ITERS):
+        nxt: dict = {}
+        for src, dst, p_ppb in tmat_rows:
+            w = pi.get(src)
+            if w is not None:
+                nxt[dst] = nxt.get(dst, 0) + (w * p_ppb) // _PPB
+        pi = nxt
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("state"),
+                F.lit(int(pi.get(s, 0))).cast("bigint").alias(
+                    "stationary_ppb"
+                ),
+            )
+            for s in states
+        ]
     )
-    return release_on_gc(tmat, out)
+    return (
+        spark.range(1)
+        .select(F.explode(structs).alias("r"))
+        .select(
+            "r.state",
+            F.col("r.stationary_ppb").alias("stationary_ppb"),
+            (
+                F.col("r.stationary_ppb").cast("double")
+                / F.lit(_PPB).cast("double")
+            ).alias("stationary_prob"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1497,55 +1519,60 @@ def _closeness_oracle() -> str:
 
 def _minplus_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs hop distances (src, dst, d) over the undirected nation
-    trade graph by min-plus doubling — CLOSENESS_ROUNDS fixed rounds,
-    each one self-join + min-groupBy on the nation-bounded (<= 625-row)
-    distance relation, lineage truncated per round. Self-pairs are
-    EXCLUDED (the doubling manufactures src->src round trips)."""
+    trade graph by min-plus doubling — CLOSENESS_ROUNDS fixed rounds of
+    the exact integer recurrence d' = min(d, min_m d(s,m)+d(m,t)).
+    Self-pairs are EXCLUDED from the result (the doubling manufactures
+    src->src round trips).
+
+    The distance relation is nation-dimension-squared-bounded (<= 625
+    rows at TPC-H's 25 nations — a driver scalar), so after the single
+    corpus-proportional aggregation (trade_edges) the edge pairs are
+    collected ONCE and all doubling rounds run in exact Python integer
+    arithmetic on the driver (the pagerank_nations discipline; formerly
+    each round was a Spark self-join + min-groupBy + eager
+    localCheckpoint job over the same <= 625 rows — 5 serial jobs whose
+    only purpose was nation-bounded aggregates). Identical bits: the
+    recurrence is min/+ over exact BIGINTs, replicated literally
+    (including the intermediate src->src entries), and the result ships
+    back as ONE Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from mongodb_nats_connector_spark.operators.graph_common import (
         trade_edges,
     )
 
-    de = trade_edges(spark, sf_dir)
-    fwd = de.select("src", "dst")
-    uw = (
-        fwd.select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-        )
-        .unionAll(
-            fwd.select(
-                F.greatest("src", "dst").alias("src"),
-                F.least("src", "dst").alias("dst"),
-            )
-        )
-        .distinct()
-    )
-    d = uw.select("src", "dst", F.lit(1).cast("bigint").alias("d"))
+    fwd = trade_edges(spark, sf_dir).select("src", "dst")
+    d: dict = {}
+    for r in fwd.collect():
+        a, b = r["src"], r["dst"]
+        if a != b:
+            d[(a, b)] = 1
+            d[(b, a)] = 1
     for _ in range(CLOSENESS_ROUNDS):
-        a = d.select(
-            F.col("src").alias("asrc"),
-            F.col("dst").alias("adst"),
-            F.col("d").alias("ad"),
-        )
-        b = d.select(
-            F.col("src").alias("bsrc"),
-            F.col("dst").alias("bdst"),
-            F.col("d").alias("bd"),
-        )
-        two_hop = a.join(b, F.col("bsrc") == F.col("adst")).select(
-            F.col("asrc").alias("src"),
-            F.col("bdst").alias("dst"),
-            (F.col("ad") + F.col("bd")).alias("d"),
-        )
-        d = (
-            d.unionAll(two_hop)
-            .groupBy("src", "dst")
-            .agg(F.min("d").cast("bigint").alias("d"))
-        )
-        # nation-dimension-bounded relation (<= 625 rows): truncate the
-        # doubling lineage so the final plan stays linear in rounds
-        d = d.localCheckpoint(eager=True)
-    return d.filter(F.col("src") != F.col("dst"))
+        by_src: dict = {}
+        for (s2, t2), dd in d.items():
+            by_src.setdefault(s2, []).append((t2, dd))
+        new = dict(d)
+        for (s, m), d1 in d.items():
+            for t, d2 in by_src.get(m, ()):
+                c = d1 + d2
+                if c < new.get((s, t), c + 1):
+                    new[(s, t)] = c
+        d = new
+    rows = sorted(
+        (s, t, dd) for (s, t), dd in d.items() if s != t
+    )
+    key_t = fwd.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("src", key_t, True),
+            T.StructField("dst", key_t, True),
+            T.StructField("d", T.LongType(), True),
+        ]
+    )
+    pdf = pd.DataFrame(rows, columns=["src", "dst", "d"])
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 @register(

@@ -3050,8 +3050,9 @@ def _katz_oracle() -> str:
     "engine-independent; isolated nodes keep the base score via the "
     "left join. The adjacency aggregates once from the fact tables "
     "(the only wide shuffle — pipeline11's shared symmetric-edge "
-    "construction) and is nation-bounded, so each iteration is a "
-    "bounded hash join; the DuckDB twin unrolls the same "
+    "construction) and is nation-bounded, so it is collected once and "
+    "the iterations run as the identical exact-integer recurrence on "
+    "the driver; the DuckDB twin unrolls the same "
     f"{KATZ_ITERS} steps as CTEs (the pagerank_nations recipe).",
 )
 def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3074,35 +3075,40 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    adj = adj.persist()  # nation-bounded; reused by every iteration
-    nodes = adj.select(F.col("a").alias("node")).distinct()
-    x = nodes.select("node", F.lit(KATZ_SCALE).cast("bigint").alias("x"))
+    # The symmetric adjacency is nation-dimension-bounded (<= 625 pairs —
+    # a driver scalar), so after the single corpus-proportional
+    # aggregation it is collected ONCE and the KATZ_ITERS Jacobi rounds
+    # run in exact Python integer arithmetic on the driver (the
+    # pagerank_nations discipline: x' = SCALE + sum(neighbor x) div
+    # ALPHA_DEN on non-negative arbitrary-precision ints — `//` == SQL
+    # `div`, partial sums commute, bit-identical to the per-round join
+    # formulation the oracle unrolls). Formerly each execution replayed
+    # 5 broadcast-build inflow subplans over the persisted adjacency.
+    pairs = [(r["a"], r["b"]) for r in adj.collect()]
+    node_ids = sorted({a for a, _ in pairs})
+    x_map = {node: KATZ_SCALE for node in node_ids}
     for _ in range(KATZ_ITERS):
-        inflow = (
-            adj.join(x, adj["b"] == x["node"])
-            .groupBy(adj["a"].alias("nd"))
-            .agg(F.sum("x").cast("bigint").alias("s"))
-        )
-        x = nodes.join(
-            F.broadcast(inflow), nodes["node"] == inflow["nd"], "left"
-        ).select(
-            "node",
-            F.expr(
-                f"CAST({KATZ_SCALE} + coalesce(s, 0) div {KATZ_ALPHA_DEN}"
-                " AS BIGINT)"
-            ).alias("x"),
-        )
+        inflow: dict = {}
+        for a, b in pairs:
+            inflow[a] = inflow.get(a, 0) + x_map[b]
+        x_map = {
+            node: KATZ_SCALE + inflow.get(node, 0) // KATZ_ALPHA_DEN
+            for node in node_ids
+        }
+    x_lit = F.create_map(
+        *[F.lit(v) for node, xv in x_map.items() for v in (node, xv)]
+    )
     nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    out = (
-        x.join(F.broadcast(nt), x["node"] == nt["n_nationkey"])
+    return (
+        nt.filter(F.col("n_nationkey").isin(node_ids))
         .select(
             F.col("n_name").alias("nation"),
-            F.col("x").alias("katz_fixed"),
-            (F.col("x") / float(KATZ_SCALE)).alias("katz"),
+            x_lit[F.col("n_nationkey")].cast("bigint").alias("katz_fixed"),
+            (x_lit[F.col("n_nationkey")].cast("bigint") / float(KATZ_SCALE))
+            .alias("katz"),
         )
         .orderBy(F.col("katz_fixed").desc(), "nation")
     )
-    return release_on_gc(adj, out)
 
 
 # ---------------------------------------------------------------------------
@@ -4221,9 +4227,10 @@ def _med2_duck(col: str) -> str:
     "div 2) divides an EVEN number exactly — sign never meets a "
     "flooring division, and both engines select identical middles "
     "from identically-sorted integer lists. Partial years are "
-    "excluded by the complete-12-months gate; every aggregation runs "
-    "on the bounded year/month grid (<= ~84 cells), the effects join "
-    "back by broadcast. The 2-cycle stopping rule (not "
+    "excluded by the complete-12-months gate; the grid is "
+    "calendar-bounded (<= ~84 cells), so it is collected once and the "
+    "polish cycles run as the identical exact-integer arithmetic on "
+    "the driver. The 2-cycle stopping rule (not "
     "iterate-to-convergence) is part of the operator contract and "
     "replayed identically by the oracle.",
 )
@@ -4237,40 +4244,66 @@ def orders_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    m = m.persist()  # bounded monthly grid: gate + polish input
-    full_years = (
-        m.groupBy("yr")
-        .agg(F.count(F.lit(1)).alias("nm"))
-        .filter(F.col("nm") == 12)
-        .select("yr")
+    # The year x month grid is calendar-bounded (<= ~84 cells — a driver
+    # scalar), so after the single corpus-proportional aggregation it is
+    # collected ONCE and both polish cycles run in exact Python integer
+    # arithmetic on the driver (the pagerank_nations discipline). Every
+    # median subtraction divides a provably EVEN number (the x16
+    # pre-scale halves once per step), so Python's `//` — like SQL's
+    # `div` — performs an exact division with zero remainder: no
+    # floor-vs-truncate divergence is reachable, and the order-statistic
+    # middles come from the same sorted integer lists. Formerly the four
+    # polish steps were four serial broadcast-agg subplans over the
+    # persisted grid inside every execution.
+    import pandas as pd
+
+    cells = {(r["yr"], r["mo"]): r["v"] for r in m.collect()}
+    nmonths: dict = {}
+    for yr, _mo in cells:
+        nmonths[yr] = nmonths.get(yr, 0) + 1
+    state = {
+        k: [v, 0, 0]  # v, re, ce
+        for k, v in cells.items()
+        if nmonths[k[0]] == 12
+    }
+
+    def _med2(vals: list) -> int:
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1] + s[n // 2]) // 2
+
+    for key_idx, eff_idx in ((0, 1), (1, 2), (0, 1), (1, 2)):
+        groups: dict = {}
+        for k, st in state.items():
+            groups.setdefault(k[key_idx], []).append(st[0])
+        med = {gk: _med2(vs) for gk, vs in groups.items()}
+        for k, st in state.items():
+            mv = med[k[key_idx]]
+            st[0] -= mv
+            st[eff_idx] += mv
+    rows = sorted(
+        (yr, mo, st[0], st[1], st[2])
+        for (yr, mo), st in state.items()
     )
-    g = m.join(F.broadcast(full_years), "yr").select(
-        "yr", "mo", "v", F.lit(0).cast("bigint").alias("re"),
-        F.lit(0).cast("bigint").alias("ce"),
+    pdf = pd.DataFrame(
+        rows, columns=["year", "month", "resid_x16",
+                       "year_effect_x16", "month_effect_x16"],
+        dtype="int64",
     )
-    med2 = (
-        "CAST((element_at(sort_array(collect_list(v)),"
-        " CAST((count(v) + 1) div 2 AS INT))"
-        " + element_at(sort_array(collect_list(v)),"
-        " CAST(count(v) div 2 + 1 AS INT))) div 2 AS BIGINT)"
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="year bigint, month bigint, resid_x16 bigint, "
+               "year_effect_x16 bigint, month_effect_x16 bigint",
     )
-    for i, key in enumerate(["yr", "mo", "yr", "mo"]):
-        eff = "re" if key == "yr" else "ce"
-        med = g.groupBy(key).agg(F.expr(med2).alias("_m"))
-        g = (
-            g.join(F.broadcast(med), key)
-            .withColumn("v", F.col("v") - F.col("_m"))
-            .withColumn(eff, F.col(eff) + F.col("_m"))
-            .drop("_m")
-        )
-    out = g.select(
-        F.col("yr").alias("year"),
-        F.col("mo").alias("month"),
-        F.col("v").alias("resid_x16"),
-        F.col("re").alias("year_effect_x16"),
-        F.col("ce").alias("month_effect_x16"),
-        (F.col("v").cast("double") / 1600.0).alias("residual"),
-        (F.col("re").cast("double") / 1600.0).alias("year_effect"),
-        (F.col("ce").cast("double") / 1600.0).alias("month_effect"),
+    return sdf.select(
+        "year",
+        "month",
+        "resid_x16",
+        "year_effect_x16",
+        "month_effect_x16",
+        (F.col("resid_x16").cast("double") / 1600.0).alias("residual"),
+        (F.col("year_effect_x16").cast("double") / 1600.0)
+        .alias("year_effect"),
+        (F.col("month_effect_x16").cast("double") / 1600.0)
+        .alias("month_effect"),
     ).orderBy("year", "month")
-    return release_on_gc(m, out)

@@ -351,8 +351,10 @@ _TRUSS_SQL, _TRUSS_FINAL = _truss_peel_ctes(TRUSS_MAX_ROUNDS)
     "edge relation (edge x adjacency x adjacency, all keyed hash "
     "joins — the graph_triangle_count shape, never an all-pairs "
     "product) followed by a support filter; rounds are bounded by the "
-    f"peel depth, asserted <= {TRUSS_MAX_ROUNDS} with lineage truncated "
-    "per round (localCheckpoint — the graph_kcore recipe). The oracle "
+    f"peel depth, asserted <= {TRUSS_MAX_ROUNDS}. The edge set is "
+    "nation-bounded, so the peel runs as exact integer set arithmetic "
+    "on the driver over the once-collected backbone (support = common-"
+    "neighbor count — the same wedge count). The oracle "
     "unrolls the identical peel as chained CTEs. Output: surviving "
     "truss edges as nation pairs with their final triangle support.",
 )
@@ -379,43 +381,56 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("w").cast("bigint").alias("s"),
     )
-    edges = (
+    edge_df = (
         uw.crossJoin(F.broadcast(tw))
         .filter(F.expr("20 * w * cnt >= 23 * s"))
         .select("a", "b")
-        .localCheckpoint(eager=True)
     )
+    # The backbone edge set is nation-dimension-bounded (<= 625/2 pairs —
+    # a driver scalar), so after the single corpus-proportional
+    # aggregation it is collected ONCE and the whole peel runs as exact
+    # integer set arithmetic on the driver (the pagerank_nations
+    # discipline): support(a,b) = |nbr(a) INTERSECT nbr(b)| is the same
+    # wedge count the per-round Spark joins produced, and the filter /
+    # fixpoint / round-bound logic is replicated literally. Formerly
+    # each round was a wedge join + eager localCheckpoint + count job.
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def _support(e: DataFrame) -> DataFrame:
-        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        x = adj.select(F.col("u").alias("ea"), F.col("v").alias("w1"))
-        y = adj.select(F.col("u").alias("eb"), F.col("v").alias("w2"))
-        return (
-            e.join(x, F.col("a") == F.col("ea"))
-            .join(y, (F.col("b") == F.col("eb")) & (F.col("w2") == F.col("w1")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
-        )
+    key_t = edge_df.schema["a"].dataType
+    cur = {(r["a"], r["b"]) for r in edge_df.collect()}
 
-    prev_n = edges.count()
+    def _support_py(es: set) -> dict:
+        nbr: dict = {}
+        for a, b in es:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        return {(a, b): len(nbr[a] & nbr[b]) for a, b in es}
+
+    prev_n = len(cur)
     for _ in range(TRUSS_MAX_ROUNDS + 1):
-        sup = _support(edges)
-        edges = (
-            edges.join(sup, ["a", "b"])
-            .filter(F.col("sup") >= TRUSS_K - 2)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-        n = edges.count()
+        sup = _support_py(cur)
+        cur = {e for e in cur if sup[e] >= TRUSS_K - 2}
+        n = len(cur)
         if n == prev_n:
             break
         prev_n = n
     else:  # pragma: no cover - peel must converge within the bound
         raise AssertionError("k-truss peel exceeded TRUSS_MAX_ROUNDS")
 
-    final_sup = _support(edges)
+    fsup = sorted(
+        (a, b, c) for (a, b), c in _support_py(cur).items()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("a", key_t, True),
+            T.StructField("b", key_t, True),
+            T.StructField("sup", T.LongType(), True),
+        ]
+    )
+    final_sup = spark.createDataFrame(
+        pd.DataFrame(fsup, columns=["a", "b", "sup"]), schema=schema
+    )
     na = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation_a")
     )

@@ -705,10 +705,11 @@ def _lp_oracle() -> str:
     "incident edge-weight mass (ties break to the smaller label — fully "
     "deterministic, so the fixed-round result is engine-exact). The edge "
     "list aggregates once from the facts (the only wide shuffle) and is "
-    "cached; per round the node-sized label relation broadcast-joins onto "
-    "the edges and reduces by (node, label) — the Pregel message pattern. "
-    "At billions of edges the same plan holds with the label relation "
-    "hash-partitioned instead of broadcast; rounds are fixed, not "
+    "nation-bounded, so it is collected once and the rounds run as the "
+    "identical exact-integer vote/argmax recurrence on the driver. At "
+    "billions of edges the same rounds run distributed — the node-sized "
+    "label relation joins the hash-partitioned edges and reduces by "
+    "(node, label), the Pregel message pattern; rounds are fixed, not "
     "data-dependent.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,51 +724,47 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
-    edges = edges.persist()
-    try:
-        # labels/votes/best are all bounded by NATION cardinality (25, fixed
-        # at every TPC-H scale factor by construction), so the forced
-        # broadcast is safe by invariant, not by measurement — Catalyst's
-        # static estimate would decline it after round 1 (the lineage runs
-        # through the fact-built edge list) and shuffle 25 rows per round.
-        nodes = nation.select(F.col("n_nationkey").alias("node"))
-        labels = nodes.select("node", F.col("node").alias("label"))
-        for _ in range(LP_ROUNDS):
-            votes = (
-                F.broadcast(labels)
-                .join(edges, labels["node"] == edges["src"])
-                .groupBy(F.col("dst").alias("vnode"), "label")
-                .agg(F.sum("w").alias("mass"))
+    # The weighted symmetric edge list is nation-dimension-bounded
+    # (<= 625 rows — a driver scalar, like the node/label/vote relations
+    # already were), so after the single corpus-proportional aggregation
+    # it is collected ONCE and the LP_ROUNDS synchronous rounds run in
+    # exact Python integer arithmetic on the driver (the pagerank_nations
+    # discipline: masses are BIGINT edge-weight sums — partial sums
+    # commute — and the (mass DESC, label ASC) argmax is replicated
+    # literally, so every label is bit-identical to the per-round
+    # broadcast-join formulation the oracle unrolls). Formerly each
+    # build replayed LP_ROUNDS broadcast joins + rank windows over the
+    # persisted edges into an eager localCheckpoint.
+    edge_rows = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    node_ids = [r["node"] for r in
+                nation.select(F.col("n_nationkey").alias("node")).collect()]
+    labels = {node: node for node in node_ids}
+    for _ in range(LP_ROUNDS):
+        votes: dict = {}
+        for src, dst, w in edge_rows:
+            lab = labels.get(src)
+            if lab is None:
+                continue
+            key = (dst, lab)
+            votes[key] = votes.get(key, 0) + w
+        by_node: dict = {}
+        for (nd, lab), mass in votes.items():
+            by_node.setdefault(nd, []).append((mass, lab))
+        labels = {
+            node: (
+                min(by_node[node], key=lambda ml: (-ml[0], ml[1]))[1]
+                if node in by_node
+                else node
             )
-            win = Window.partitionBy("vnode").orderBy(F.desc("mass"), F.asc("label"))
-            best = (
-                votes.withColumn("rn", F.row_number().over(win))
-                .filter(F.col("rn") == 1)
-                .select("vnode", F.col("label").alias("new_label"))
-            )
-            labels = (
-                nodes.join(F.broadcast(best), nodes["node"] == best["vnode"], "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
-                )
-            )
-        out = (
-            labels.join(
-                maybe_broadcast(nation),
-                labels["node"] == nation["n_nationkey"],
-            )
-            .select(
-                F.col("n_name").alias("nation"),
-                F.col("label").cast("bigint").alias("community"),
-            )
-        )
-        # materialization happens downstream; force label resolution now so
-        # the cached edges are still live for every iteration's reuse
-        out = out.localCheckpoint(eager=True)
-    finally:
-        edges.unpersist()
-    return out
+            for node in node_ids
+        }
+    lab_lit = F.create_map(
+        *[F.lit(v) for node, lab in labels.items() for v in (node, lab)]
+    )
+    return nation.select(
+        F.col("n_name").alias("nation"),
+        lab_lit[F.col("n_nationkey")].cast("bigint").alias("community"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1063,8 +1063,10 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     "averaging raw scores. Integer ranks end-to-end (exact parity). "
     "The per-doc signal relation is data-proportional, so each of the "
     "four ranks is the two-pass range-partitioned rank (plans/ranking.py: "
-    "quantile-boundary literals, per-bucket row_number + bucket-offset "
-    "prefix sum) — no data-proportional single-partition sort anywhere; "
+    "boundary literals — sketched for the signals, analytic [3, 3n] for "
+    "the borda sum — per-bucket row_number + collected bucket-offset "
+    "literals off the persisted signal relation) — no data-proportional "
+    "single-partition sort anywhere; "
     "identical to row_number() by construction (the oracle keeps the "
     "window formulation).",
 )
@@ -1086,17 +1088,23 @@ def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction; without the cache each would re-tokenize the corpus.
     # Released on result GC.
     sig = sig.persist()
+    # collected_offsets: sig is persisted, so the per-bucket count
+    # collections are cheap cache scans at construction (the first three
+    # calls' construction jobs column-prune earlier rank windows away),
+    # and the executed plan loses all four offset broadcast subplans —
+    # each was a serial broadcast-build job per execution, and the
+    # borda one re-ran the three signal-rank windows inside it.
     ranked = two_pass_global_rank(
         sig, "n_chars", "doc_id", descending=True,
-        rank_col="r_chars", total_col="_n1",
+        rank_col="r_chars", total_col="_n1", collected_offsets=True,
     )
     ranked = two_pass_global_rank(
         ranked, "n_words", "doc_id", descending=True,
-        rank_col="r_words", total_col="_n2",
+        rank_col="r_words", total_col="_n2", collected_offsets=True,
     )
     ranked = two_pass_global_rank(
         ranked, "_lexdiv", "doc_id", descending=True,
-        rank_col="r_uniq", total_col="_n3",
+        rank_col="r_uniq", total_col="_n3", collected_offsets=True,
     )
     ranked = ranked.withColumn(
         "borda",
@@ -1104,9 +1112,19 @@ def docs_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
+    # borda = sum of three permutations of 1..n, so its range [3, 3n] is
+    # known analytically: explicit evenly-spaced boundaries skip the
+    # sketch job that would otherwise execute all three rank windows a
+    # second time at construction (any boundary set yields identical
+    # ranks — boundaries only balance work).
+    n_docs = sig.count()
+    borda_bounds = [
+        3 + ((3 * n_docs - 3) * (i + 1)) // 32 for i in range(31)
+    ]
     ranked = two_pass_global_rank(
         ranked, "borda", "doc_id", descending=False,
         rank_col="final_rank", total_col="_n4",
+        collected_offsets=True, boundaries=borda_bounds,
     )
     return release_on_gc(
         sig,

@@ -2689,8 +2689,9 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     "data-proportional, so each quartile score is an exact ntile(4) "
     "reconstructed from the two-pass range-partitioned rank "
     "(plans/ranking.py — quantile-boundary literals, per-bucket "
-    "row_number + bucket-offset prefix sum, exact ntile arithmetic from "
-    "(rank, n)) instead of a global single-partition ntile window. "
+    "row_number + collected bucket-offset literals off the persisted "
+    "rollup, exact ntile arithmetic from (rank, n)) instead of a global "
+    "single-partition ntile window. "
     "Identical output to ntile by construction — the oracle keeps the "
     "ntile formulation. Deterministic tie-break on custkey.",
 )
@@ -2707,17 +2708,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the cache each would recompute the per-customer rollup.
     # Released on result GC (release_on_gc at return).
     rfm = rfm.persist()
+    # collected_offsets: rfm is persisted, so the three per-bucket count
+    # collections are cheap cache scans at construction, and the executed
+    # plan loses all three offset broadcast subplans (each a serial
+    # broadcast-build job re-running a counts aggregation per execution).
+    # The chained calls' construction jobs column-prune the earlier rank
+    # windows away (rank cols unreferenced), so each still reads only the
+    # cached rollup.
     ranked = two_pass_global_rank(
         rfm, "recency_days", "custkey", descending=False,
-        rank_col="_rr", total_col="_rn",
+        rank_col="_rr", total_col="_rn", collected_offsets=True,
     )
     ranked = two_pass_global_rank(
         ranked, "frequency", "custkey", descending=True,
-        rank_col="_fr", total_col="_fn",
+        rank_col="_fr", total_col="_fn", collected_offsets=True,
     )
     ranked = two_pass_global_rank(
         ranked, "monetary", "custkey", descending=True,
-        rank_col="_mr", total_col="_mn",
+        rank_col="_mr", total_col="_mn", collected_offsets=True,
     )
     scored = ranked.select(
         "custkey",

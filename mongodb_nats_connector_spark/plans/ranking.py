@@ -28,22 +28,33 @@ from pyspark.sql import functions as F
 
 
 def _bucketize(
-    df: DataFrame, value_col: str, n_buckets: int, accuracy: int
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    accuracy: int,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Drop NULL ``value_col`` rows, sketch quantile boundaries, collect
     them to the driver (~``n_buckets`` scalars, bounded) and assign each
     row an ``_bkt`` range-bucket via the embedded literal array — the
     shared pass-1 of every two-pass global-order helper below. Literals
     (not a re-evaluated sketch) guarantee every consumer of ``_bkt`` sees
-    the identical bucketization."""
+    the identical bucketization. Explicit ``boundaries`` skip the sketch
+    job entirely — ANY boundary set yields the same final ranks
+    (boundaries only balance work), so a caller that can derive balanced
+    cut points analytically (e.g. a rank sum over a known total) saves
+    one construction-time pass over the input lineage."""
     df = df.filter(F.col(value_col).isNotNull())
-    fracs = F.array(
-        *[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]
-    )
-    row = df.agg(
-        F.percentile_approx(value_col, fracs, F.lit(accuracy)).alias("_bs")
-    ).first()
-    bvals = list(row["_bs"] or [])  # native types preserved (int stays int)
+    if boundaries is not None:
+        bvals = list(boundaries)
+    else:
+        fracs = F.array(
+            *[F.lit((i + 1) / n_buckets) for i in range(n_buckets - 1)]
+        )
+        row = df.agg(
+            F.percentile_approx(value_col, fracs, F.lit(accuracy)).alias("_bs")
+        ).first()
+        bvals = list(row["_bs"] or [])  # native types preserved
     bounds_lit = (
         F.array(*[F.lit(b) for b in bvals])
         if bvals
@@ -66,6 +77,7 @@ def two_pass_global_rank(
     rank_col: str = "_rank",
     total_col: str = "_n",
     collected_offsets: bool = False,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Return ``df`` plus an exact 1-based global ``rank_col`` over
     ``(value_col {DESC|ASC}, tie_col ASC)`` and the total row count
@@ -98,8 +110,11 @@ def two_pass_global_rank(
     job inside every execution). Identical ranks by construction. Opt in
     only when ``df`` is already persisted — otherwise the extra
     construction-time pass recomputes the input lineage from scratch.
+
+    ``boundaries`` (optional) bypasses the sketch with explicit literal
+    cut points — see ``_bucketize``; ranks are identical for any set.
     """
-    assigned = _bucketize(df, value_col, n_buckets, accuracy)
+    assigned = _bucketize(df, value_col, n_buckets, accuracy, boundaries)
     value_order_c: Column = (
         F.col(value_col).desc() if descending else F.col(value_col).asc()
     )

@@ -238,7 +238,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_theil_sen",              # calendar-bounded pairwise-slope NLJ (by design) + 1-row scalars
     "agg_cramers_v",              # 1-row total scalar broadcast crossJoin
     "agg_info_gain_split",        # 1-row total scalar broadcast crossJoin
-    "events_markov_stationary",   # 1-row state-count scalar broadcast crossJoin
+    # events_markov_stationary: r14 driver fixpoint — no crossJoin left
     "agg_ljung_box",              # 7-row lag literal + 1-row moment scalars broadcast crossJoins
     "orders_seasonal_decompose",  # 1-row seasonal-center scalar broadcast crossJoin
     "graph_eccentricity_diameter",  # 1-row diameter/radius extremes broadcast crossJoin
@@ -438,10 +438,9 @@ _GLOBAL_WINDOWS = {
     "agg_log2_histogram_quantiles": (1, "bounded: log2 bucket series"),
     "agg_mann_whitney": (1, "bounded: distinct-value groups"),
     "agg_runs_test": (1, "bounded: daily series"),
-    "customer_rfm_segments": (6, "bounded: n_buckets offset/total x3 "
-                                 "(two-pass converted)"),
-    "docs_quality_ensemble_rank": (7, "bounded: n_buckets offset/total x4 "
-                                      "(two-pass converted; one pruned)"),
+    # customer_rfm_segments / docs_quality_ensemble_rank: r14 moved
+    # their two-pass bucket offsets to collected construction-time
+    # literals — no unpartitioned window remains in either plan
     "events_cusum_changepoint": (2, "bounded: daily series"),
     "orders_cusum_control": (2, "bounded: daily series prefix + prefix-min"),
     "agg_cliff_delta": (2, "bounded: ~50-value quantity-domain cumulatives"),

@@ -327,7 +327,9 @@ def test_no_new_bare_persists():
         # file -> bare-persist count, each paired with an in-function
         # unpersist (BPE/dedup-clusters/pagerank driver loops) or the
         # documented session-scoped shingle cache
-        "operators/mining5.py": 7,   # 2x BPE learn loops (lex + nxt);
+        "operators/mining5.py": 5,   # BPE learn loop (lex + nxt; r14:
+        # ONE shared _bpe_learn helper — driver fast path above a
+        # broadcast-size gate — replaced the two duplicated loops);
         # triangle edges / basket-lift item / jaccard deg (runtime-stat
         # broadcast gates; each released by persist_until_collected on
         # the same frame)
@@ -335,10 +337,10 @@ def test_no_new_bare_persists():
         # (graph2's pagerank no longer persists: r14 moved its fixed
         # point to driver-round python ints over the collected
         # nation^2-bounded edge list — the iteration caches went with it)
-        "operators/pipeline6.py": 1,  # label-propagation loop (edges;
-        # unpersisted after the eager localCheckpoint materializes labels;
-        # max-concurrency's sweep-endpoint persist removed r14 — the
-        # day-decomposed sweep needs no boundary-sketch cache)
+        # (pipeline6's label-propagation persist removed r14: the rounds
+        # run as driver python ints over the collected nation^2-bounded
+        # edge list; max-concurrency's sweep-endpoint persist removed
+        # r14 — the day-decomposed sweep needs no boundary-sketch cache)
         "operators/pipeline7.py": 3,  # BFS loop (edge list;
         # unpersisted after the loop checkpoints its node-sized result —
         # widest-path's edge cache moved to persist_until_collected) +
@@ -346,15 +348,17 @@ def test_no_new_bare_persists():
         # hll's deduplicated user-day relation (r14: one distinct pass
         # feeds registers AND both exact counts; released by
         # release_on_gc on the returned result)
-        "operators/pipeline10.py": 8,  # MMR candidate pool + Boruvka edge
+        "operators/pipeline10.py": 7,  # MMR candidate pool + Boruvka edge
         # list (cached BEFORE their bounded driver-collect loops), plus
         # Theil-Sen's + Ljung-Box's day series, Theil-Sen's grouped
         # slope-value relation (r14 selection recipe, cached before the
-        # boundary sketch like hodges-lehmann's), Markov's state-sized
-        # transition matrix, seasonal-decompose's month series, and the
-        # eccentricity query's nation-sized relation (multi-consumer
-        # bounded relations); all released by plans.caching.release_on_gc
-        # on the returned result
+        # boundary sketch like hodges-lehmann's), seasonal-decompose's
+        # month series, and the eccentricity query's nation-sized
+        # relation (multi-consumer bounded relations); all released by
+        # plans.caching.release_on_gc on the returned result (Markov's
+        # transition-matrix persist removed r14: the power iteration
+        # runs as driver-round python ints over the collected
+        # state^2-bounded matrix)
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
@@ -371,8 +375,7 @@ def test_no_new_bare_persists():
         # returned result
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
-        "operators/pipeline13.py": 14,  # hourly-profile 24x7 grid,
-        # median-polish monthly grid, seasonality-strength detrended
+        "operators/pipeline13.py": 12,  # hourly-profile 24x7 grid, seasonality-strength detrended
         # rows (seasonal means + SS consumers), quade monthly grid + gated grid
         # + score cells (bounded, multi-consumer), regression-diagnostics
         # month index + residual rows (moments + output consumers),
