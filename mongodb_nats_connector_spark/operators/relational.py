@@ -1144,15 +1144,26 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact percentiles (interpolated): Spark `percentile` == DuckDB "
-    "quantile_cont. percentile_approx is the at-scale variant (see "
-    "agg_approx_quantile).",
+    "quantile_cont. All three quantiles come from ONE array-argument "
+    "percentile aggregate — a single per-group value-count map instead "
+    "of three independent ones (same sorted counts, same interpolation "
+    "routine per fraction: identical doubles). percentile_approx is the "
+    "at-scale variant (see agg_approx_quantile).",
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_ps", 1), 4).alias("p50"),
+            F.round(F.element_at("_ps", 2), 4).alias("p95"),
+            F.round(F.element_at("_ps", 3), 4).alias("p99"),
+        )
     )
 
 
