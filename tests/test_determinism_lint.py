@@ -60,7 +60,8 @@ _ALLOWED_FLOAT_ROUND = {
     "agg_roc_auc": 2,
     "agg_runs_test": 3,
     "agg_spearman_corr": 3,
-    "agg_theil_sen": 2,
+    "agg_theil_sen": 1,  # r14: the round(2*percentile) median site became
+    # integer order-statistic selection; the slope round() remains
     "agg_welch_ttest": 2,
     "agg_wilson_ci": 8,
     "bigram_lm_surprisal": 2,
