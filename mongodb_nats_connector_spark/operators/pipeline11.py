@@ -39,7 +39,6 @@ from mongodb_nats_connector_spark.operators.pipeline8 import (
 from mongodb_nats_connector_spark.plans.caching import (
     persist_until_collected,
 )
-from mongodb_nats_connector_spark.plans.ranking import two_pass_prefix_sum
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -1273,17 +1272,18 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "registered, HL completes the efficiency/robustness tradeoff "
     "curve). Walsh sums stay exact integer cents (never halved before "
     "the median), and the doubled median comes from exact ORDER-STATISTIC "
-    "SELECTION, not a percentile aggregate: quantile_cont(0.5)*2 of "
-    "integers is w2_(k1) + w2_(k2) for k1=(n+1) div 2, k2=(n+2) div 2, "
-    "so the plan groups pairs by value, runs the two-pass "
-    "range-partitioned prefix COUNT (plans/ranking.py) over the value "
-    "domain, and picks the two covering values — fully distributed, "
-    "where Spark's exact percentile() aggregate funnels every pair "
-    "through one reducer (measured 11s -> ~2s at sf0.1). The reported "
-    "estimate is ONE IEEE division (/4 doubling+pair, /100 cents). The "
-    "pair join is CALENDAR-bounded (days^2, independent of fact rows — "
-    "the agg_theil_sen contract, allowlisted by design); everything "
-    "upstream is one map-combined day rollup.",
+    "SELECTION: quantile_cont(0.5)*2 of integers is w2_(k1) + w2_(k2) "
+    "for k1=(n+1) div 2, k2=(n+2) div 2. The day series is "
+    "CALENDAR-bounded (<= days rows at any fact size), so after the one "
+    "map-combined day rollup it is collected and the selection runs on "
+    "the driver: a two-pointer pair counter over the sorted revenues "
+    "inside a binary search on the value domain (O(n log n + n log V), "
+    "exact Python integers) — bit-identical to materializing all days^2 "
+    "pair sums, which is what the plan formerly did (NLJ expansion + "
+    "value-group shuffle + two-pass prefix count; Spark's exact "
+    "percentile() aggregate before that funneled every pair through one "
+    "reducer). The reported estimate is ONE IEEE division (/4 "
+    "doubling+pair, /100 cents) on engine-side literals.",
 )
 def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
@@ -1294,73 +1294,73 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
-    idx = d.select(
-        "rev_c",
-        F.date_diff(F.col("day"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("t"),
-    )
-    idx = idx.persist()  # calendar-bounded; consumed by both pair sides
-    a = idx.select(F.col("rev_c").alias("ra"), F.col("t").alias("ta"))
-    b = idx.select(F.col("rev_c").alias("rb"), F.col("t").alias("tb"))
-    pairs = a.join(F.broadcast(b), F.col("tb") >= F.col("ta")).select(
-        (F.col("ra") + F.col("rb")).alias("w2")
-    )
-    # exact median by selection: group pairs by value (map-combined),
-    # two-pass range-partitioned running count over the value domain,
-    # then take the values covering ranks k1 = (n+1) div 2 and
-    # k2 = (n+2) div 2 — w_x4 = w2_(k1) + w2_(k2) == round(2*quantile_cont)
-    g = pairs.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    # persisted BEFORE the boundary sketch: the grouped value relation
-    # (calendar-bounded, <= days^2 rows) feeds the quantile sketch, the
-    # bucket counts, the final join AND the n_pairs total — without the
-    # cache the pair NLJ re-runs once per branch
-    g = g.persist()
-    ranked = two_pass_prefix_sum(
-        g, "w2", "w2", "c", descending=False, cum_col="_cum"
-    )
-    n1 = g.agg(F.sum("c").cast("bigint").alias("n_pairs"))
-    m = (
-        ranked.crossJoin(F.broadcast(n1))
-        .agg(
-            F.min("n_pairs").cast("bigint").alias("n_pairs"),
-            (
-                F.min(
-                    F.when(
-                        F.col("_cum")
-                        >= F.expr("(n_pairs + 1) div 2"),
-                        F.col("w2"),
-                    )
-                )
-                + F.min(
-                    F.when(
-                        F.col("_cum")
-                        >= F.expr("(n_pairs + 2) div 2"),
-                        F.col("w2"),
-                    )
-                )
-            )
-            .cast("bigint")
-            .alias("w_x4"),
-        )
-    )
-    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    out = (
-        nd.crossJoin(F.broadcast(m))
-        .filter(F.col("n_days") > 0)
-        .select(
-            "n_days",
-            "n_pairs",
-            F.col("w_x4").alias("walsh_med_x4"),
-            (
-                F.col("w_x4").cast("double") / F.lit(400).cast("double")
-            ).alias("hl_dollars"),
-        )
-    )
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    # The day relation is CALENDAR-bounded (<= days rows at any fact
+    # size — a driver scalar; the former pair join was days^2 by the
+    # same bound), so it is collected ONCE after the single
+    # corpus-proportional rollup and the exact Walsh-median selection
+    # runs on the driver in exact Python integer arithmetic: the pair
+    # multiset {rev_i + rev_j : i <= j} is selection-searched with a
+    # two-pointer <=v pair counter over the sorted day revenues (O(n)
+    # per probe) inside a binary search on the integer value domain —
+    # the minimal v with count_le(v) >= k is the exact k-th order
+    # statistic, so w_x4 = w2_(k1) + w2_(k2) for k1 = (n+1) div 2,
+    # k2 = (n+2) div 2 == round(2*quantile_cont), identical bits.
+    # Formerly the plan expanded all days^2 pair sums through an NLJ,
+    # shuffled the ~all-distinct value groups, and ran the two-pass
+    # prefix-count selection over them — days^2-proportional exchanges
+    # whose only purpose was two order statistics of a bounded series.
+    revs = sorted(r["rev_c"] for r in d.select("rev_c").collect())
+    n = len(revs)
+    if n == 0:
+        from pyspark.sql import types as T
 
-    out = release_on_gc(g, out)
-    return release_on_gc(idx, out)
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("n_days", T.LongType(), True),
+                    T.StructField("n_pairs", T.LongType(), True),
+                    T.StructField("walsh_med_x4", T.LongType(), True),
+                    T.StructField("hl_dollars", T.DoubleType(), True),
+                ]
+            ),
+        )
+    n_pairs = n * (n + 1) // 2
+
+    def count_le(v: int) -> int:
+        c = 0
+        j = n - 1
+        for i in range(n):
+            while j >= i and revs[i] + revs[j] > v:
+                j -= 1
+            if j < i:
+                break
+            c += j - i + 1
+        return c
+
+    def kth_pair_sum(k: int) -> int:
+        lo, hi = 2 * revs[0], 2 * revs[-1]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    w_x4 = kth_pair_sum((n_pairs + 1) // 2) + kth_pair_sum(
+        (n_pairs + 2) // 2
+    )
+    # the single final display division stays an engine-side IEEE op on
+    # the identical integers (literal inputs), exactly as before
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(w_x4).cast("bigint").alias("walsh_med_x4"),
+        (F.lit(w_x4).cast("bigint").cast("double") / F.lit(400).cast("double")).alias(
+            "hl_dollars"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2343,11 +2343,12 @@ def graph_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by the EXACT integer cross-multiplication 20*w*E >= 23*S (the "
     "graph_kcore threshold made float-free). The degree-threshold "
     "grid is the set of observed backbone degrees (<= 24 values on "
-    "the 25-nation graph), so club membership and club edges are "
-    "bounded threshold-joins over the <= 300-edge undirected "
-    "relation — integer counts, one non-negative ppb floor-division "
-    "per level. Fact work is one keyed edge rollup; everything "
-    "downstream is nation-domain-bounded.",
+    "the 25-nation graph) over the <= 300-edge undirected relation, "
+    "all nation-domain-bounded, so the rollup is collected once and "
+    "the whole sweep runs as exact Python integers on the driver "
+    "(pagerank_nations discipline) — integer counts, one "
+    "non-negative ppb floor-division per level, bit-identical to the "
+    "oracle's threshold joins. Fact work is one keyed edge rollup.",
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2365,58 +2366,54 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    uw = tr.groupBy(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).agg(F.sum("w").cast("bigint").alias("w"))
-    tw = uw.agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.sum("w").cast("bigint").alias("s"),
-    )
-    und = (
-        uw.crossJoin(F.broadcast(tw))
-        .filter(F.expr("20 * w * cnt >= 23 * s"))
-        .select("a", "b")
-    )
-    deg = (
-        und.select(F.col("a").alias("k"))
-        .unionAll(und.select(F.col("b").alias("k")))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    ks = deg.select(F.col("d").alias("k")).distinct().filter(F.col("k") > 0)
-    nk = (
-        ks.join(F.broadcast(deg), deg.d >= ks.k)
-        .groupBy(ks.k)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
-    )
-    da = deg.select(F.col("k").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("k").alias("b"), F.col("d").alias("db"))
-    edged = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    ek = (
-        ks.join(
-            F.broadcast(edged),
-            (F.col("da") >= ks.k) & (F.col("db") >= ks.k),
+    # Everything downstream of the directed edge rollup is
+    # nation-dimension-bounded (<= 625 directed / <= 300 undirected
+    # rows at any fact size — a driver scalar), so the rollup is
+    # collected ONCE and the whole profile — undirected fold, backbone
+    # threshold, degrees, the <= 24-level club sweep — runs in exact
+    # Python integer arithmetic on the driver (the pagerank_nations
+    # discipline: every step is integer compare/sum; `//` on
+    # non-negatives == SQL `div`). The result ships back as ONE Arrow
+    # batch. Formerly each execution replayed the whole bounded-join
+    # chain (tw crossJoin, two threshold joins, a left join) and the
+    # un-persisted fact rollup could evaluate once per scalar branch.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    agg: dict = {}
+    for r in tr.collect():
+        a, b = r["src"], r["dst"]
+        if a > b:
+            a, b = b, a
+        agg[(a, b)] = agg.get((a, b), 0) + r["w"]
+    cnt, s_tot = len(agg), sum(agg.values())
+    und = [e for e, w in agg.items() if 20 * w * cnt >= 23 * s_tot]
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rows = []
+    for k in sorted({d for d in deg.values() if d > 0}):
+        n_k = sum(1 for d in deg.values() if d >= k)
+        if n_k < 2:
+            continue
+        e_k = sum(1 for a, b in und if deg[a] >= k and deg[b] >= k)
+        rows.append(
+            (k, n_k, e_k, (2000000000 * e_k) // max(n_k * (n_k - 1), 1))
         )
-        .groupBy(ks.k)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    schema = T.StructType(
+        [
+            T.StructField("degree_floor", T.LongType(), True),
+            T.StructField("n_club_nodes", T.LongType(), True),
+            T.StructField("n_club_edges", T.LongType(), True),
+            T.StructField("phi_ppb", T.LongType(), True),
+        ]
     )
-    out = (
-        nk.join(ek, "k", "left")
-        .filter(F.col("n_k") >= 2)
-        .select(
-            F.col("k").alias("degree_floor"),
-            F.col("n_k").alias("n_club_nodes"),
-            F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint").alias(
-                "n_club_edges"
-            ),
-            F.expr(
-                "CAST((2000000000 * CAST(coalesce(e_k, 0) AS DECIMAL(38,0)))"
-                " div greatest(n_k * (n_k - 1), 1) AS BIGINT)"
-            ).alias("phi_ppb"),
-        )
-        .orderBy("degree_floor")
+    pdf = pd.DataFrame(
+        rows,
+        columns=["degree_floor", "n_club_nodes", "n_club_edges", "phi_ppb"],
     )
-    return out
+    return spark.createDataFrame(pdf, schema=schema).orderBy("degree_floor")
 
 
 # ---------------------------------------------------------------------------

@@ -2886,9 +2886,11 @@ _RW_STEP_SQL = """
     "s(u) per edge with the floor INSIDE the per-edge term, so every "
     "step is an exact integer hash aggregation over the <= 600-row "
     "nation-bounded adjacency (mass lost to flooring is < 600 pico "
-    "per step, declared). Four chained bounded joins in Spark = four "
-    "chained CTEs in the oracle; fact work is the one pre-aggregated "
-    "trade rollup.",
+    "per step, declared). The adjacency is nation^2-bounded, so it is "
+    "collected once and the four steps run as exact Python integers "
+    "on the driver (the pagerank_nations discipline) — bit-identical "
+    "to the four chained CTEs the oracle unrolls; fact work is the "
+    "one pre-aggregated trade rollup.",
 )
 def graph_rw_visit_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2913,35 +2915,45 @@ def graph_rw_visit_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
-
-    tr = tr.persist()
-    st = tr.groupBy(F.col("src").alias("k")).agg(
-        F.sum("w").cast("bigint").alias("s")
+    # The directed adjacency is nation-dimension-squared-bounded (<= 600
+    # rows at TPC-H's 25 nations — a driver scalar), so after the single
+    # corpus-proportional aggregation it is collected ONCE and the four
+    # walk steps run in exact Python integer arithmetic on the driver
+    # (the pagerank_nations discipline: (p*w) // s on non-negative
+    # arbitrary-precision ints == SQL `div`, integer partial sums
+    # commute — bit-identical to the per-step join formulation the
+    # oracle unrolls). Formerly each execution replayed four chained
+    # bounded joins + the argmax subplan over a persisted adjacency.
+    edges = [(r["src"], r["dst"], r["w"]) for r in tr.collect()]
+    st: dict = {}
+    for s_, _, w_ in edges:
+        st[s_] = st.get(s_, 0) + w_
+    p: dict = {}
+    if st:
+        # ORDER BY s DESC, k ASC LIMIT 1 — max strength, min-key tie-break
+        start = min(st, key=lambda k: (-st[k], k))
+        p = {start: 10**12}
+        for _ in range(4):
+            nxt: dict = {}
+            for s_, d_, w_ in edges:
+                if s_ in p:
+                    nxt[d_] = nxt.get(d_, 0) + (p[s_] * w_) // st[s_]
+            p = nxt
+    pos = {k: v for k, v in sorted(p.items()) if v > 0}
+    p_lit = (
+        F.create_map(*[F.lit(x) for k, v in pos.items() for x in (k, v)])
+        if pos
+        else F.create_map().cast("map<int,bigint>")
     )
-    start = st.orderBy(F.col("s").desc(), F.col("k")).limit(1).select("k")
-    p = start.select("k", F.lit(1000000000000).cast("bigint").alias("p"))
-    for _ in range(4):
-        p = (
-            p.join(tr, tr.src == p.k)
-            .join(st.withColumnRenamed("k", "sk_").withColumnRenamed("s", "s_"), F.col("sk_") == F.col("src"))
-            .groupBy(F.col("dst").alias("k2"))
-            .agg(
-                F.sum(F.expr("(p * w) div s_")).cast("bigint").alias("p")
-            )
-            .select(F.col("k2").alias("k"), "p")
-        )
-    out = (
-        p.filter(F.col("p") > 0)
-        .join(F.broadcast(nat), F.col("k") == F.col("n_nationkey"))
+    return (
+        nat.filter(F.col("n_nationkey").isin(list(pos)))
         .select(
-            F.col("k").cast("bigint").alias("nationkey"),
+            F.col("n_nationkey").cast("bigint").alias("nationkey"),
             F.col("n_name").alias("nation"),
-            F.col("p").cast("bigint").alias("p4_pico"),
+            p_lit[F.col("n_nationkey")].cast("bigint").alias("p4_pico"),
         )
         .orderBy("nationkey")
     )
-    return release_on_gc(tr, out)
 
 
 # ---------------------------------------------------------------------------
@@ -3657,28 +3669,64 @@ def orders_grubel_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to; leverage is the additive effect the ratio forms hide). "
     "Every metric is an exact integer cross-multiplied ratio "
     "(leverage sign-split; conviction guarded to 0 at confidence = "
-    "1, declared); pair expansion is the bounded per-order self-join "
-    "(baskets are order-sized), supports broadcast back. "
-    "TakeOrderedAndProject keeps the top-20 before the metric "
-    "joins.",
+    "1, declared); one shuffle on l_orderkey builds sorted "
+    "distinct-part baskets (collect_set dedups in the aggregate) and "
+    "pairs expand MAP-SIDE from the arrays (baskets are order-sized, "
+    "<= 21 pairs each — the orders_basket_lift shape), supports "
+    "broadcast back. TakeOrderedAndProject keeps the top-20 before "
+    "the metric joins.",
 )
 def orders_association_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    nn = b.agg(F.countDistinct("ok").cast("bigint").alias("n"))
-    supp = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    b2 = b.withColumnRenamed("pk", "pk2")
+    # basket shape (the orders_basket_lift contract): ONE shuffle on
+    # l_orderkey builds the per-order distinct-part arrays (collect_set
+    # dedups in the aggregate — the former standalone (ok, pk) DISTINCT
+    # shuffle disappears), and the pair relation expands MAP-SIDE from
+    # the sorted arrays (baskets are order-sized, <= 7 parts -> <= 21
+    # pairs) instead of re-shuffling the distinct relation through both
+    # sides of a self-join. Supports, the basket total and the pair
+    # counts all read the one persisted basket relation.
+    bk = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
+    )
+    bk = bk.persist()
+    # count("ok") skips NULLs == the former countDistinct over the
+    # distinct (ok, pk) relation (ok is unique per basket row)
+    nn = bk.agg(F.count("ok").cast("bigint").alias("n"))
+    supp = (
+        bk.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # NULL-ok baskets keep contributing to supports but never to pairs,
+    # mirroring the former self-join's NULL-rejecting equality (free on
+    # TPC-H data, exact on anything else)
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pr = (
-        b.join(b2, (b.ok == b2.ok) & (b.pk < b2.pk2))
-        .groupBy(F.col("pk").alias("pa"), F.col("pk2").alias("pb"))
+        bk.filter(F.col("ok").isNotNull())
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
     )
     top = pr.orderBy(F.col("cab").desc(), "pa", "pb").limit(20)
     sa = supp.withColumnRenamed("pk", "ka").withColumnRenamed("c", "n_a")
     sb = supp.withColumnRenamed("pk", "kb").withColumnRenamed("c", "n_b")
-    return (
+    out = (
         top.join(F.broadcast(sa), F.col("pa") == F.col("ka"))
         .join(F.broadcast(sb), F.col("pb") == F.col("kb"))
         .crossJoin(F.broadcast(nn))
@@ -3717,6 +3765,7 @@ def orders_association_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_together").desc(), "part_a", "part_b")
     )
+    return release_on_gc(bk, out)
 
 
 # ---------------------------------------------------------------------------

@@ -2711,17 +2711,56 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # pass 1 (build-time job, shared plans/ranking.py contract): sketch
-    # y-quantile boundaries, embed as literals so every branch sees the
-    # identical bucketization; b is persisted above so this materializes
-    # the projection once for the whole query. ANY boundary set yields
-    # the same midranks — boundaries only balance the per-bucket sorts.
+    # build pass, FUSED into ONE job (formerly two: a percentile_approx
+    # boundary sketch + a separate (bucket, x) count collect): group the
+    # persisted projection by (coarse y-cell, x) — cell = arithmetic
+    # shift y >> 18, clamped to a bounded grid, monotone and exact on
+    # BIGINTs — and collect the bounded grid (<= ~50 x-values times the
+    # occupied cells). The collected counts yield EVERYTHING the former
+    # two jobs produced: balanced y-bucket boundaries chosen at CELL
+    # EDGES (so per-bucket offsets are exact cumulative cell counts),
+    # the bucket offset map, and the doubled x midranks. ANY boundary
+    # set yields the same midranks — boundaries only balance the
+    # per-bucket sorts — and cell-edge literals obey the same
+    # `y > bound` test the executed plan always used.
     n_bkt = 32
-    fracs = F.array(*[F.lit((i + 1) / n_bkt) for i in range(n_bkt - 1)])
-    brow = b.agg(
-        F.percentile_approx("y", fracs, F.lit(1000)).alias("_bs")
-    ).first()
-    bvals = list(brow["_bs"] or [])
+    _CELL_SHIFT, _CELL_CLAMP = 18, 4096
+    cell = F.least(
+        F.greatest(
+            F.shiftright(F.col("y"), _CELL_SHIFT), F.lit(-_CELL_CLAMP)
+        ),
+        F.lit(_CELL_CLAMP - 1),
+    )
+    g_rows = (
+        b.groupBy(cell.alias("_cell"), "x")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    )
+    ccell: dict[int, int] = {}
+    cx: dict[int, int] = {}
+    for r in g_rows:
+        ccell[r["_cell"]] = ccell.get(r["_cell"], 0) + r["_cnt"]
+        cx[r["x"]] = cx.get(r["x"], 0) + r["_cnt"]
+    n_total = sum(ccell.values())
+    # balanced cell-edge boundaries: walk occupied cells ascending, cut
+    # after a cell once the cumulative count passes the next 1/n_bkt
+    # target. The LAST occupied cell is never a cut (clamped rows above
+    # the grid must stay inside the final bucket), so every boundary
+    # literal (c+1)*2^shift - 1 exactly separates cell <= c from > c.
+    bvals: list[int] = []
+    cnts: dict[int, int] = {}
+    sorted_cells = sorted(ccell)
+    acc = 0
+    bucket_acc = 0
+    for c in sorted_cells[:-1] if sorted_cells else []:
+        acc += ccell[c]
+        bucket_acc += ccell[c]
+        if len(bvals) < n_bkt - 1 and acc * n_bkt >= (len(bvals) + 1) * n_total:
+            bvals.append((c + 1) * (1 << _CELL_SHIFT) - 1)
+            cnts[len(bvals) - 1] = bucket_acc
+            bucket_acc = 0
+    if sorted_cells:
+        cnts[len(bvals)] = bucket_acc + ccell[sorted_cells[-1]]
     bounds_lit = (
         F.array(*[F.lit(v) for v in bvals])
         if bvals
@@ -2731,22 +2770,6 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bkt",
         F.size(F.filter(bounds_lit, lambda e: F.col("y") > e)).cast("int"),
     )
-    # pass 2 (build-time job): ONE tiny (bucket, x) aggregation (<= n_bkt
-    # x ~50 rows, both domains bounded) collected to the driver yields
-    # BOTH marginal literals — bucket offsets for the y midrank AND the
-    # doubled x midranks rx2 (2*cumcount - ties + 1 over the ~50-value
-    # quantity domain, exact Python ints) — so the executed plan is a
-    # single joinless stage: bucket + rank lookups are literal maps, like
-    # the boundaries (a broadcast-join formulation re-runs these
-    # aggregations as serial broadcast-build jobs inside every execution)
-    g_rows = withbkt.groupBy("_bkt", "x").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    ).collect()
-    cnts: dict[int, int] = {}
-    cx: dict[int, int] = {}
-    for r in g_rows:
-        cnts[r["_bkt"]] = cnts.get(r["_bkt"], 0) + r["_cnt"]
-        cx[r["x"]] = cx.get(r["x"], 0) + r["_cnt"]
     off_acc = 0
     off_map = {}
     for k in sorted(cnts):

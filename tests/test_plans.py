@@ -253,7 +253,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_mcnemar_test",           # 1-row cutoff + 1-row doubled-median broadcast crossJoins
     "agg_cochran_q",              # 1-row k/N/R2/C2 scalar broadcast crossJoins
     "agg_friedman_test",          # 1-row k + Q scalar broadcast crossJoins
-    "agg_hodges_lehmann",         # calendar-bounded Walsh-pair NLJ (by design) + 1-row scalars
+    # agg_hodges_lehmann: r14 driver selection — no NLJ/crossJoin left
     "graph_harmonic_centrality",  # 1-row node-count scalar broadcast crossJoin
     "similarity_ann_pq",          # 1-row query-subvector x K-centroid distance tables
     "events_burst_detection",     # 1-row day/event-total scalar broadcast crossJoin
@@ -295,7 +295,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_lorenz_asymmetry",       # 1-row (n, S) scalars broadcast crossJoin
     "agg_palma_quintile",         # 1-row (n, S) scalars broadcast crossJoin
     "graph_moran_geary",          # 1-row denominator x 1-row pair-moment scalars
-    "graph_rich_club",            # 1-row edge-count/weight threshold scalar crossJoin
+    # graph_rich_club: r14 driver sweep — no crossJoin left
     "orders_buishand_range",      # 1-row moment scalars broadcast crossJoin
     "orders_cox_stuart",          # 1-row day-count scalar broadcast crossJoin
     "orders_kpss_level",          # 1-row moment scalars broadcast crossJoin
@@ -496,9 +496,7 @@ _GLOBAL_WINDOWS = {
     "agg_gini_impurity_split": (1, "bounded: ~50-value quantity-domain "
                                    "prefix"),
     "orders_theil_u": (1, "bounded: monthly series lag window"),
-    "agg_hodges_lehmann": (1, "bounded: n_buckets offset window "
-                              "(two-pass order-statistic selection over "
-                              "the calendar-bounded Walsh-value domain)"),
+    # agg_hodges_lehmann: r14 driver selection — no offset window left
     "agg_theil_sen": (1, "bounded: n_buckets offset window (two-pass "
                          "order-statistic selection over the "
                          "calendar-bounded slope-value domain, r14)"),
