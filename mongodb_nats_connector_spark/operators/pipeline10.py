@@ -37,7 +37,6 @@ from mongodb_nats_connector_spark.plans.caching import (
     release_on_gc,
 )
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
-from mongodb_nats_connector_spark.plans.ranking import two_pass_prefix_sum
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
 
@@ -553,12 +552,13 @@ _MST_UNION = "\n      UNION ALL ".join(
     "single-linkage dendrogram of the trade network). Spark side runs "
     "BORUVKA — each round every component selects its minimum outgoing "
     "edge under the TOTAL order (w, a, b) and components merge, so the "
-    "number of rounds is log2(V) — the classic distributed MST (the "
-    "per-component argmin is one min(struct) aggregation; the only "
-    "driver-side state is the component partition over the NATION "
-    "dimension, <= 25 entries, the bounded-collect contract of the "
-    "k-means/BPE loops; at web-graph scale the component merge swaps to "
-    "the shuffle-only large-star/small-star relabeling already proven in "
+    "number of rounds is log2(V). The undirected edge relation is "
+    "nation-bounded (<= 300 rows at any fact size), so it is collected "
+    "once after the single corpus-proportional aggregation and all "
+    "rounds run as exact Python integers on the driver (the "
+    "pagerank_nations discipline; at web-graph scale the per-component "
+    "argmin returns as a min(struct) aggregation and the merge as the "
+    "shuffle-only large-star/small-star relabeling already proven in "
     "graph_cc_bigstar). The oracle runs PRIM unrolled over the fixed "
     "25-nation dimension instead: under a total tie-breaking edge order "
     "the MST is UNIQUE (the infinitesimal-perturbation argument), so "
@@ -581,16 +581,23 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
-    # persisted NOW: the Boruvka rounds below collect against uw repeatedly
-    # during construction; released when the returned result is GC'd
-    uw = uw.persist()
-    nodes = [
-        r["n"]
-        for r in uw.select(F.col("a").alias("n"))
-        .unionAll(uw.select(F.col("b").alias("n")))
-        .distinct()
-        .collect()  # bounded: nation dimension (<= 25)
-    ]
+    # The undirected edge relation is nation-dimension-bounded (<= 300
+    # rows at any fact size — a driver scalar), so after the single
+    # corpus-proportional aggregation it is collected ONCE and every
+    # Boruvka round runs in exact Python integer arithmetic on the
+    # driver (the pagerank_nations discipline): per live component the
+    # minimum cross edge under the identical lexicographic (w, a, b)
+    # struct order, then the same union-find merge. The chosen-edge SET
+    # per round is merge-order-independent (the only possible cycle
+    # among per-component minima under a total order is two components
+    # picking the SAME edge, which the find() guard deduplicates), so
+    # the result is bit-identical to the former per-round Spark argmin
+    # jobs (up to 8 rounds x groupBy-collect over the persisted edges).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    uw_rows = [(r["a"], r["b"], r["w"]) for r in uw.collect()]
+    nodes = sorted({n for a, b, _ in uw_rows for n in (a, b)})
     comp = {n: n for n in nodes}
 
     def find(x: int) -> int:
@@ -599,41 +606,38 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = comp[x]
         return x
 
-    mst_keys: list[int] = []
+    mst_keys: set[int] = set()
     for _ in range(8):  # Boruvka terminates in ceil(log2(V)) rounds
-        roots = {n: find(n) for n in nodes}
-        mapping = F.create_map(
-            *[F.lit(v) for kv in roots.items() for v in kv]
-        )
-        ec = uw.select(
-            "a", "b", "w",
-            mapping[F.col("a")].alias("ca"),
-            mapping[F.col("b")].alias("cb"),
-        ).filter(F.col("ca") != F.col("cb"))
-        cands = ec.select(
-            F.col("ca").alias("comp"), F.struct("w", "a", "b").alias("e")
-        ).unionAll(
-            ec.select(
-                F.col("cb").alias("comp"), F.struct("w", "a", "b").alias("e")
-            )
-        )
-        chosen = (
-            cands.groupBy("comp")
-            .agg(F.min("e").alias("e"))
-            .select("e.w", "e.a", "e.b")
-            .collect()  # bounded: one row per live component (<= 25)
-        )
-        if not chosen:
+        best: dict = {}
+        for a, b, w in uw_rows:
+            ca, cb = find(a), find(b)
+            if ca == cb:
+                continue
+            e = (w, a, b)
+            for c in (ca, cb):
+                if c not in best or e < best[c]:
+                    best[c] = e
+        if not best:
             break
-        for r in chosen:
-            ra, rb = find(r["a"]), find(r["b"])
+        for w, a, b in best.values():
+            ra, rb = find(a), find(b)
             if ra != rb:
                 comp[ra] = rb
-                mst_keys.append(r["a"] * 100 + r["b"])
-    out = uw.filter(
-        (F.col("a") * 100 + F.col("b")).isin(mst_keys)
-    ).select("a", "b", "w")
-    return release_on_gc(uw, out)
+                mst_keys.add(a * 100 + b)
+    out_rows = sorted(
+        (a, b, w) for a, b, w in uw_rows if a * 100 + b in mst_keys
+    )
+    key_t = uw.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("a", key_t, True),
+            T.StructField("b", key_t, True),
+            T.StructField("w", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(out_rows, columns=["a", "b", "w"]), schema=schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -677,22 +681,22 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the median of all pairwise slopes — up to ~29% contamination cannot "
     "move it, unlike the OLS trend every dashboard defaults to. Slopes "
     "quantize to integer MILLI-CENTS/DAY before the median, and the "
-    "doubled median comes from exact ORDER-STATISTIC SELECTION over "
-    "the grouped value domain (the proven agg_hodges_lehmann recipe: "
-    "two-pass range-partitioned prefix count, then the values covering "
-    "ranks (n+1) div 2 and (n+2) div 2 — quantile*2 of integers is "
-    "exact on both engines even at even counts, and selection keeps "
-    "every pass distributed where Spark's percentile() aggregate "
-    "funnels all ~days^2/2 nearly-distinct slopes through one "
-    "reducer); n_pairs = C(n_days, 2) by construction, no counting "
-    "pass. The reported slope is ONE IEEE "
-    "division (/2 for the doubling, /1000 for milli, /100 for cents — "
-    "fused to /200000, dollars/day). The pair join is CALENDAR-bounded "
-    "(days^2, independent of fact rows): ~3M pairs for the 7-year TPC-H "
-    "range, ~50M for two decades — a bounded nested-loop the plan lint "
-    "allowlists by design, with the windowed repeated-median variant as "
-    "the fallback if the calendar ever outgrows it. Everything upstream "
-    "is one map-combined day rollup.",
+    "doubled median comes from exact ORDER-STATISTIC SELECTION: "
+    "quantile*2 of integers is v_(k1) + v_(k2) for ranks (n+1) div 2 "
+    "and (n+2) div 2, exact on both engines even at even counts. The "
+    "day series is CALENDAR-bounded (<= days rows at any fact size), "
+    "so after the one map-combined day rollup it is collected and the "
+    "selection runs on the driver (the agg_hodges_lehmann discipline): "
+    "numpy replays Spark's slope expression with the identical IEEE "
+    "ops and HALF_UP round semantics, then np.partition picks the two "
+    "covering values — bit-identical to materializing all days^2/2 "
+    "pair slopes, which is what the plan formerly did (NLJ expansion + "
+    "value-group shuffle + two-pass prefix count; Spark's exact "
+    "percentile() aggregate before that funneled every slope through "
+    "one reducer). n_pairs = C(n_days, 2) by construction. The "
+    "reported slope is ONE IEEE division (/2 for the doubling, /1000 "
+    "for milli, /100 for cents — fused to /200000, dollars/day) on "
+    "engine-side literals.",
 )
 def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
@@ -703,101 +707,78 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c")
     )
-    idx = d.select(
-        "rev_c",
+    # The day series is CALENDAR-bounded (<= days rows at any fact size
+    # — a driver scalar; the former pair NLJ was days^2 by the same
+    # bound), so it is collected ONCE after the single
+    # corpus-proportional rollup and the exact median-of-pairwise-slopes
+    # selection runs on the driver (the agg_hodges_lehmann discipline):
+    # per-day numpy-vectorized slope rows replicate Spark's expression
+    # bit-for-bit — (rb - ra) * 1000.0 and the divide are the identical
+    # IEEE ops, and round() is reproduced as half-away-from-zero on the
+    # binary value, which equals Spark's BigDecimal(HALF_UP on the
+    # shortest-repr decimal) for all |x| < 2^51 because a double's
+    # shortest repr ends in .5 iff the double IS exactly m + 0.5 (any
+    # other double has a different shortest repr, and ordering against
+    # the exactly-representable m + 0.5 is preserved by parsing) — then
+    # np.partition selects the two covering order statistics:
+    # slope_mc_x2 = v_(k1) + v_(k2) for k1 = (n+1) div 2,
+    # k2 = (n+2) div 2 == round(2*quantile_cont) on integers. Formerly
+    # the plan expanded all days^2/2 pairs through an NLJ, shuffled the
+    # nearly-all-distinct value groups, and ran the two-pass
+    # range-partitioned prefix-count selection over them (and before
+    # that, a single-reducer percentile() value map) — ~3M-row
+    # exchanges at TPC-H's 7-year calendar, ~26M at two decades, whose
+    # only purpose was two order statistics of a bounded series.
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = d.select(
         F.date_diff(F.col("day"), F.lit("1992-01-01").cast("date"))
         .cast("bigint")
         .alias("t"),
-    )
-    # persisted NOW (bounded: one row per calendar day); the pair join
-    # consumes it twice, released on result GC
-    idx = idx.persist()
-    a = idx.select(F.col("rev_c").alias("ra"), F.col("t").alias("ta"))
-    b = idx.select(F.col("rev_c").alias("rb"), F.col("t").alias("tb"))
-    # try_divide, not /: the isNotNull(slope) filter the selection
-    # helper applies gets pushed into the NLJ condition, where conjunct
-    # order is unspecified — a plain ANSI division can evaluate on a
-    # tb == ta pair BEFORE the tb > ta conjunct filters it and throw
-    # DIVIDE_BY_ZERO (observed on re-execution after cache release).
-    # No surviving row has tb == ta, so the values are bit-identical.
-    pairs = a.join(F.broadcast(b), F.col("tb") > F.col("ta")).select(
-        F.round(
-            F.try_divide(
-                (F.col("rb") - F.col("ra")) * 1000.0,
-                F.col("tb") - F.col("ta"),
-            )
+        "rev_c",
+    ).collect()
+    n = len(rows)
+    if n <= 1:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("n_days", T.LongType(), True),
+                    T.StructField("n_pairs", T.LongType(), True),
+                    T.StructField("slope_mc_x2", T.LongType(), True),
+                    T.StructField("theil_sen_slope", T.DoubleType(), True),
+                ]
+            ),
         )
-        .cast("bigint")
-        .alias("slope_mc")
+    order = sorted(range(n), key=lambda i: rows[i]["t"])
+    ts = np.array([rows[i]["t"] for i in order], dtype=np.int64)
+    rs = np.array([rows[i]["rev_c"] for i in order], dtype=np.int64)
+    n_pairs = n * (n - 1) // 2
+    vals = np.empty(n_pairs, dtype=np.int64)
+    pos = 0
+    for i in range(n - 1):
+        q = (rs[i + 1:] - rs[i]) * 1000.0 / (ts[i + 1:] - ts[i])
+        a = np.abs(q)
+        fl = np.floor(a)
+        r_ = fl + (a - fl >= 0.5)
+        m = i + 1
+        vals[pos : pos + n - m] = (np.sign(q) * r_).astype(np.int64)
+        pos += n - m
+    k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
+    part = np.partition(vals, [k1 - 1, k2 - 1])
+    slope_mc_x2 = int(part[k1 - 1]) + int(part[k2 - 1])
+    # the single final display division stays an engine-side IEEE op on
+    # the identical integers (literal inputs), exactly as before
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(slope_mc_x2).cast("bigint").alias("slope_mc_x2"),
+        (
+            F.lit(slope_mc_x2).cast("bigint").cast("double")
+            / F.lit(200000).cast("double")
+        ).alias("theil_sen_slope"),
     )
-    # r14: exact median by SELECTION (the proven agg_hodges_lehmann
-    # recipe) instead of the percentile() aggregate, which funneled all
-    # ~days^2/2 nearly-distinct slopes through one reducer's value map
-    # (a wash at sf0.1 — ~10 s either way, NLJ-dominated — but the
-    # single-task funnel, 26M+ map entries at a 20-year calendar, is
-    # gone at scale): group pairs by value (map-combined; slopes barely
-    # compact, but the grouped relation is the ONE cached
-    # materialization of the pair NLJ every later pass reads), two-pass
-    # range-partitioned running count over the value domain, then the
-    # values covering ranks k1 = (n+1) div 2 and k2 = (n+2) div 2 give
-    # slope_mc_x2 = v_(k1) + v_(k2) == round(2*quantile_cont) exactly
-    # (integer order statistics). Sketch accuracy 1000: boundaries only
-    # balance bucket sizes (the plans/ranking.py contract) — a
-    # +-0.1%-rank boundary error moves work between buckets, never the
-    # selected values. n_pairs needs no counting pass over the pairs:
-    # every tb > ta day pair yields exactly one slope, so
-    # n_pairs = C(n_days, 2) from the day count.
-    g = pairs.groupBy("slope_mc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    # persisted BEFORE the boundary sketch: the grouped value relation
-    # (calendar-bounded, <= days^2/2 rows — the hodges-lehmann
-    # precedent) feeds the sketch, the bucket counts and the final
-    # selection — without the cache the pair NLJ re-runs once per branch
-    g = g.persist()
-    ranked = two_pass_prefix_sum(
-        g, "slope_mc", "slope_mc", "c",
-        descending=False, cum_col="_cum", accuracy=1000,
-    )
-    nd = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    np_ = "n_days * (n_days - 1) div 2"
-    m = (
-        ranked.crossJoin(F.broadcast(nd))
-        .agg(
-            F.min(F.expr(np_)).cast("bigint").alias("n_pairs"),
-            (
-                F.min(
-                    F.when(
-                        F.col("_cum") >= F.expr(f"({np_} + 1) div 2"),
-                        F.col("slope_mc"),
-                    )
-                )
-                + F.min(
-                    F.when(
-                        F.col("_cum") >= F.expr(f"({np_} + 2) div 2"),
-                        F.col("slope_mc"),
-                    )
-                )
-            )
-            .cast("bigint")
-            .alias("slope_mc_x2"),
-        )
-    )
-    out = (
-        nd.crossJoin(F.broadcast(m))
-        .filter(F.col("n_days") > 1)
-        .select(
-            "n_days",
-            "n_pairs",
-            "slope_mc_x2",
-            (
-                F.col("slope_mc_x2").cast("double")
-                / F.lit(200000).cast("double")
-            ).alias("theil_sen_slope"),
-        )
-    )
-    out = release_on_gc(g, out)
-    return release_on_gc(idx, out)
 
 
 # ---------------------------------------------------------------------------

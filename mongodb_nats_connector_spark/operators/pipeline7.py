@@ -109,58 +109,64 @@ _TRADE_EDGES_CTE = """
     f"{BFS_TOP_OUT} heaviest outgoing customer->supplier edges; ties break "
     "to the smaller destination, so the graph is engine-exact). Unreachable "
     "nations report NULL. The edge list aggregates once from the facts (the "
-    "only corpus-proportional shuffle) and is cached; each BFS round joins "
-    "the frontier to the edges and anti-joins the visited set — on this "
-    "nation-bounded graph those are broadcast joins by invariant, and on a "
-    "billion-node graph the SAME loop runs with hash-partitioned frontier/"
-    "visited relations (this is how Pregel-style BFS is expressed in pure "
-    "DataFrame ops). Rounds are bounded by the hop cap, and each round is "
-    "localCheckpoint-ed so the logical plan stays flat instead of doubling "
-    "per iteration.",
+    "only corpus-proportional shuffle); it is nation^2-bounded, so it is "
+    "collected once and the top-k filter + BFS rounds run as exact Python "
+    "integers on the driver (the pagerank_nations discipline), levels "
+    "emitted as a literal map over the nation dimension. On a "
+    "billion-node graph the frontier loop returns as hash-partitioned "
+    "frontier/visited joins (the Pregel message pattern; graph_cc_bigstar "
+    "keeps that distributed shape in-registry).",
 )
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     dir_edges = trade_edges(spark, sf_dir)
-    topw = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    g = (
-        dir_edges.withColumn("rn", F.row_number().over(topw))
-        .filter(F.col("rn") <= BFS_TOP_OUT)
-        .select("src", "dst")
-    )
-    g = g.persist()
-    try:
-        # visited/frontier are node-bounded (<= 25 nations at every TPC-H
-        # scale factor); the forced broadcast on the frontier side is safe by
-        # invariant. At general graph scale the identical loop runs with the
-        # hint dropped: frontier JOIN edges and the visited anti-join both
-        # become co-partitioned hash joins on the node key.
-        visited = spark.createDataFrame(
-            [(BFS_SOURCE_NODE, 0)], "node bigint, hop int"
-        ).localCheckpoint(eager=True)
-        frontier = visited
-        for hop in range(1, BFS_MAX_HOPS + 1):
-            nxt = (
-                F.broadcast(frontier)
-                .join(g, frontier["node"] == g["src"])
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(F.broadcast(visited), "node", "left_anti")
-                .select("node", F.lit(hop).cast("int").alias("hop"))
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-    finally:
-        g.unpersist()
-    return (
-        nation.join(
-            maybe_broadcast(visited),
-            nation["n_nationkey"] == visited["node"],
-            "left",
+    # The trade adjacency is nation-dimension-squared-bounded (<= 625
+    # rows at any fact size — a driver scalar), so after the single
+    # corpus-proportional aggregation it is collected ONCE and both the
+    # top-k out-edge filter and the BFS rounds run in exact Python
+    # integer arithmetic on the driver (the pagerank_nations
+    # discipline): sort per source by (w DESC, dst ASC) and keep
+    # BFS_TOP_OUT — the row_number() tie-break replicated literally —
+    # then expand hop frontiers with min-hop set semantics. Formerly
+    # each round ran 2 eager localCheckpoint jobs + an isEmpty probe
+    # over node-bounded frontier/visited relations (~24 serial jobs).
+    # On a billion-node graph the loop form returns with
+    # hash-partitioned frontier/visited relations (graph_cc_bigstar
+    # keeps that distributed shape).
+    by_src: dict = {}
+    for r in dir_edges.collect():
+        by_src.setdefault(r["src"], []).append((r["dst"], r["w"]))
+    adj = {
+        s: [
+            d
+            for d, _ in sorted(es, key=lambda dw: (-dw[1], dw[0]))[
+                :BFS_TOP_OUT
+            ]
+        ]
+        for s, es in by_src.items()
+    }
+    levels = {BFS_SOURCE_NODE: 0}
+    frontier = [BFS_SOURCE_NODE]
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = sorted(
+            {
+                d
+                for u in frontier
+                for d in adj.get(u, ())
+                if d not in levels
+            }
         )
-        .select(F.col("n_name").alias("nation"), F.col("hop").cast("int").alias("hop"))
+        if not nxt:
+            break
+        for d in nxt:
+            levels[d] = hop
+        frontier = nxt
+    lv_lit = F.create_map(
+        *[F.lit(x) for k, v in sorted(levels.items()) for x in (k, v)]
+    )
+    return nation.select(
+        F.col("n_name").alias("nation"),
+        lv_lit[F.col("n_nationkey")].cast("int").alias("hop"),
     )
 
 
@@ -642,63 +648,56 @@ def _widest_oracle() -> str:
     "least(cap(u), w)) — a fixed round count mirrored in the oracle's "
     "chained CTEs, and every comparison is on BIGINTs, so the result is "
     "engine-exact whether or not the fixpoint is reached. The edge list "
-    "aggregates once from the facts and is cached; per round the "
-    "node-sized capacity relation broadcast-joins the edges (nation-"
-    "bounded by invariant — at general scale drop the hint and the round "
-    "is one co-partitioned hash join + groupBy, the Pregel message "
-    "pattern). The source reports NULL capacity (its sentinel is not a "
-    "real bottleneck).",
+    "aggregates once from the facts (the only corpus-proportional "
+    "shuffle); it is nation^2-bounded, so it is collected once and the "
+    "rounds run as exact Python integers on the driver (the "
+    "pagerank_nations discipline), capacities emitted as a literal map "
+    "over the nation dimension. At general graph scale each round "
+    "returns as one co-partitioned hash join + groupBy (the Pregel "
+    "message pattern). The source reports NULL capacity (its sentinel "
+    "is not a real bottleneck).",
 )
 def graph_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the loop is pure lazy DataFrame algebra over a FIXED round count, so
-    # no eager checkpoint is needed: the edge aggregation persists for the
-    # result's lifetime (the plan references it once per round) and the
-    # whole computation runs when the caller collects — build time stays
-    # plan-construction only
+    # The edge relation is nation-dimension-squared-bounded (<= 625 rows
+    # at any fact size — a driver scalar), so after the single
+    # corpus-proportional aggregation it is collected ONCE and the fixed
+    # Bellman rounds run in exact Python integer arithmetic on the
+    # driver (the pagerank_nations discipline: max/least on BIGINTs
+    # replicated literally, including the NULL-as-unreached semantics —
+    # a node absent from the cap dict is the former NULL cap).
+    # Formerly the executed plan unrolled all three rounds as chained
+    # broadcast joins + groupBys over the persisted edges per run.
     nation = table(spark, sf_dir, "nation")
-    edges = trade_edges(spark, sf_dir)
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
-    cap = nodes.select(
-        "node",
-        F.when(F.col("node") == WIDEST_SOURCE, F.lit(_CAP_INF))
-        .cast("bigint")
-        .alias("cap"),
-    )
+    edges = [
+        (r["src"], r["dst"], r["w"])
+        for r in trade_edges(spark, sf_dir).collect()
+    ]
+    cap: dict = {WIDEST_SOURCE: _CAP_INF}
     for _ in range(WIDEST_ROUNDS):
-        relax = (
-            F.broadcast(cap.filter(F.col("cap").isNotNull()))
-            .join(edges, F.col("node") == edges["src"])
-            .groupBy(F.col("dst").alias("rnode"))
-            .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("best"))
-        )
-        cap = (
-            cap.join(
-                F.broadcast(relax), cap["node"] == relax["rnode"], "left"
-            )
-            .select(
-                "node",
-                F.greatest(
-                    F.coalesce(F.col("cap"), F.lit(-1)),
-                    F.coalesce(F.col("best"), F.lit(-1)),
-                ).alias("g"),
-            )
-            .select(
-                "node",
-                F.when(F.col("g") >= 0, F.col("g"))
-                .cast("bigint")
-                .alias("cap"),
-            )
-        )
-    out = (
-        cap.join(maybe_broadcast(nation), cap["node"] == nation["n_nationkey"])
-        .select(
-            F.col("n_name").alias("nation"),
-            F.when(F.col("node") != WIDEST_SOURCE, F.col("cap"))
-            .cast("bigint")
-            .alias("capacity"),
-        )
+        relax: dict = {}
+        for s_, d_, w_ in edges:
+            if s_ in cap:
+                c = min(cap[s_], w_)
+                if relax.get(d_, -1) < c:
+                    relax[d_] = c
+        for d_, best in relax.items():
+            if cap.get(d_, -1) < best:
+                cap[d_] = best
+    pos = {k: v for k, v in sorted(cap.items()) if k != WIDEST_SOURCE}
+    cap_lit = (
+        F.create_map(*[F.lit(x) for k, v in pos.items() for x in (k, v)])
+        if pos
+        else F.create_map().cast("map<int,bigint>")
     )
-    return persist_until_collected(edges, out)
+    return nation.select(
+        F.col("n_name").alias("nation"),
+        F.when(
+            F.col("n_nationkey") != WIDEST_SOURCE,
+            cap_lit[F.col("n_nationkey")],
+        )
+        .cast("bigint")
+        .alias("capacity"),
+    )
 
 
 # ---------------------------------------------------------------------------

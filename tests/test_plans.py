@@ -235,7 +235,7 @@ _ALLOWED_NESTED_LOOP = {
     "agg_kendall_tau",            # bounded domain-grid crossJoin + 1-row scalars
     "text_kneser_ney_bigram",     # 1-row bigram-type-total scalar broadcast crossJoin
     "similarity_mmr_topk",        # broadcast NLJ over the bounded candidate pool (by design)
-    "agg_theil_sen",              # calendar-bounded pairwise-slope NLJ (by design) + 1-row scalars
+    # agg_theil_sen: r14 driver selection — no NLJ/crossJoin left
     "agg_cramers_v",              # 1-row total scalar broadcast crossJoin
     "agg_info_gain_split",        # 1-row total scalar broadcast crossJoin
     # events_markov_stationary: r14 driver fixpoint — no crossJoin left
@@ -497,9 +497,7 @@ _GLOBAL_WINDOWS = {
                                    "prefix"),
     "orders_theil_u": (1, "bounded: monthly series lag window"),
     # agg_hodges_lehmann: r14 driver selection — no offset window left
-    "agg_theil_sen": (1, "bounded: n_buckets offset window (two-pass "
-                         "order-statistic selection over the "
-                         "calendar-bounded slope-value domain, r14)"),
+    # agg_theil_sen: r14 driver selection — no offset window left
     # pipeline13 (round 11): value-DOMAIN histograms, the calendar-bounded
     # daily series, or n_buckets/decile offset relations — all bounded
     "agg_brunner_munzel": (1, "bounded: ~105-bucket price-domain prefix"),

@@ -107,6 +107,31 @@ def test_rich_club_matches_bruteforce_profile(spark):
     assert all(0 <= phi <= 10**9 for *_rest, phi in got)
 
 
+def test_theil_sen_driver_round_is_half_up(spark, tmp_path):
+    """The numpy replay of Spark's round() must round exact .5 slope
+    boundaries HALF_UP away from zero (numpy's default rint is half-even
+    and would disagree): two days 2000 apart with a +-1-cent revenue
+    difference yield slope_mc = round(+-0.5) = +-1, never 0."""
+    import datetime
+
+    from mongodb_nats_connector_spark.operators.pipeline10 import (
+        agg_theil_sen,
+    )
+
+    base = datetime.date(1992, 1, 1)
+    for sign, prices in ((1, (100.00, 100.01)), (-1, (100.01, 100.00))):
+        spark.createDataFrame(
+            [
+                (1, base, prices[0]),
+                (2, base + datetime.timedelta(days=2000), prices[1]),
+            ],
+            "o_orderkey long, o_orderdate date, o_totalprice double",
+        ).write.parquet(f"{tmp_path}/orders.parquet", mode="overwrite")
+        r = agg_theil_sen(spark, str(tmp_path)).collect()[0]
+        assert r["n_days"] == 2 and r["n_pairs"] == 1
+        assert r["slope_mc_x2"] == 2 * sign
+
+
 def test_association_metrics_matches_selfjoin_bruteforce(spark):
     """The map-side sorted-array pair expansion must reproduce the former
     distinct + self-join formulation: identical top-20 pair counts,
