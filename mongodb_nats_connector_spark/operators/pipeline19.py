@@ -1162,11 +1162,19 @@ def agg_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).distinct()
-    q = docs.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("qid"), F.col("source").alias("qsource")
-    )
-    qw = q.join(w, F.col("doc_id") == F.col("qid")).select(
-        "qid", "qsource", "word"
+    # the query-word relation is the corpus distinct FILTERED to the
+    # 20-doc panel, so it is built from the panel docs directly
+    # (filter-then-distinct == distinct-then-filter on the doc key) —
+    # the former q JOIN w formulation re-ran the corpus-sized explode +
+    # distinct a second time just to extract the panel's words
+    qw = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("source").alias("qsource"),
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .distinct()
     )
     cand = (
         qw.join(
@@ -1303,13 +1311,19 @@ def agg_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).distinct()
-    q = docs.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("qid"),
-        F.col("source").alias("qsource"),
-        F.col("lang").alias("qlang"),
-    )
-    qw = q.join(w, F.col("doc_id") == F.col("qid")).select(
-        "qid", "qsource", "qlang", "word"
+    # panel words built from the 20 query docs directly (the
+    # agg_mrr_retrieval fix): filter-then-distinct == distinct-then-
+    # filter on the doc key, and the corpus-sized explode + distinct no
+    # longer runs twice per execution
+    qw = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("source").alias("qsource"),
+            F.col("lang").alias("qlang"),
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .distinct()
     )
     cand = (
         qw.join(
@@ -3181,12 +3195,20 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.length("text") >= 2
     )
+    # adjacent char pairs via zip_with over two shifted slices of the
+    # char array — same pairs, same order as the former
+    # sequence+substring transform, measured ~2x cheaper (the
+    # text_ngram_topk zip_with precedent at character level; verified
+    # row-identical on the sf0.1 corpus before landing)
+    chars = F.split("text", "")
+    nch = F.size(chars)
     bg = docs.select(
         "source",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
+            F.zip_with(
+                F.slice(chars, 1, nch - 1),
+                F.slice(chars, 2, nch - 1),
+                lambda a, b: F.concat(a, b),
             )
         ).alias("pair"),
     )

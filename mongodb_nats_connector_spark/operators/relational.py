@@ -2529,26 +2529,43 @@ COPURCHASE_TOP_K = 15
     LIMIT {COPURCHASE_TOP_K}
     """,
     doc="Market-basket co-occurrence: part pairs ordered together, top-15 by "
-    "support — the candidate-generation step of association mining. The "
-    "self-join key is l_orderkey and an order has a bounded line count, so "
-    "fan-out is bounded (<= C(12,2) pairs/order here); Spark shuffles "
-    "lineitem once (the exchange is shared by both join sides) and the "
-    "global top-k compiles to TakeOrderedAndProject. At 100 TB the same "
-    "plan holds because the per-order bound, not the corpus size, controls "
-    "the join blow-up.",
+    "support — the candidate-generation step of association mining. One "
+    "shuffle on l_orderkey builds sorted per-order part lists and pairs "
+    "expand MAP-SIDE from the arrays (an order has a bounded line count, "
+    "so fan-out is <= C(12,2) pairs/order; positional i<j expansion with "
+    "a strict pa < pb filter reproduces the self-join's multiplicity "
+    "exactly); the global top-k compiles to TakeOrderedAndProject. At "
+    "100 TB the same plan holds because the per-order bound, not the "
+    "corpus size, controls the pair blow-up.",
 )
 def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # basket shape (the orders_association_metrics r14 rewrite): ONE
+    # shuffle on l_orderkey builds per-order part LISTS (collect_list,
+    # not set — a part repeated on two lineitems of one order pairs
+    # TWICE under the self-join's count(*), and the positional i<j
+    # expansion over the sorted array preserves exactly that
+    # cnt_a * cnt_b multiplicity) and pairs expand MAP-SIDE, with the
+    # strict pa < pb filter dropping equal-part position pairs just as
+    # the join condition did. Fan-out stays order-bounded.
+    bk = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
     )
     return (
-        pairs.groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        bk.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.pa") < F.col("p.pb"))
+        .groupBy(
+            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))

@@ -107,6 +107,30 @@ def test_rich_club_matches_bruteforce_profile(spark):
     assert all(0 <= phi <= 10**9 for *_rest, phi in got)
 
 
+def test_copurchase_pairs_keep_selfjoin_multiplicity(spark, tmp_path):
+    """The map-side basket expansion must reproduce the lineitem
+    self-join's COUNT(*) multiplicity: a part appearing on two lineitems
+    of one order pairs twice with every other part (collect_set would
+    count it once), and never pairs with itself."""
+    from mongodb_nats_connector_spark.operators.relational import (
+        part_copurchase_pairs,
+    )
+
+    rows = [
+        (1, 10), (1, 10), (1, 20),  # 10 duplicated -> (10,20) counts 2
+        (2, 10), (2, 20),           # plus 1 -> total 3
+        (2, 30),                    # (10,30) and (20,30) count 1 each
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet", mode="overwrite")
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in part_copurchase_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
 def test_theil_sen_driver_round_is_half_up(spark, tmp_path):
     """The numpy replay of Spark's round() must round exact .5 slope
     boundaries HALF_UP away from zero (numpy's default rint is half-even
