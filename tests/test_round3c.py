@@ -190,22 +190,20 @@ def test_asof_tolerance_gap_never_exceeds_bound(spark):
 
 
 def test_copurchase_topk_plan_equijoins_and_heaps(spark):
-    """The self-join must plan as an equi-join on l_orderkey (broadcast at
-    test scale, sort-merge with a reused exchange at real scale — never a
-    nested loop over the partkey inequality), and the global top-k must
-    compile to TakeOrderedAndProject, not a full sort."""
+    """r14 basket shape: NO join at all — one orderkey shuffle into the
+    collect_list basket aggregate, map-side pair expansion (Generate),
+    and the global top-k must compile to TakeOrderedAndProject, not a
+    full sort. (Formerly this pinned the self-join's equi-join strategy;
+    the join was removed outright.)"""
     from mongodb_nats_connector_spark.operators.relational import (
         part_copurchase_pairs,
     )
 
     s = plan_string(part_copurchase_pairs(spark, SF))
     assert "TakeOrderedAndProject" in s
-    assert (
-        "BroadcastHashJoin" in s
-        or "SortMergeJoin" in s
-        or "ShuffledHashJoin" in s
-    )
-    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "Join" not in s and "CartesianProduct" not in s
+    assert "Generate" in s  # the map-side explode of the pair arrays
+    assert "collect_list" in s
 
 
 def test_mad_outliers_median_stats_broadcast(spark):

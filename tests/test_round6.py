@@ -341,38 +341,39 @@ def test_no_new_bare_persists():
         # run as driver python ints over the collected nation^2-bounded
         # edge list; max-concurrency's sweep-endpoint persist removed
         # r14 — the day-decomposed sweep needs no boundary-sketch cache)
-        "operators/pipeline7.py": 3,  # BFS loop (edge list;
-        # unpersisted after the loop checkpoints its node-sized result —
-        # widest-path's edge cache moved to persist_until_collected) +
-        # gini's two-pass-rank input (released by release_on_gc) +
-        # hll's deduplicated user-day relation (r14: one distinct pass
-        # feeds registers AND both exact counts; released by
-        # release_on_gc on the returned result)
-        "operators/pipeline10.py": 7,  # MMR candidate pool + Boruvka edge
-        # list (cached BEFORE their bounded driver-collect loops), plus
-        # Theil-Sen's + Ljung-Box's day series, Theil-Sen's grouped
-        # slope-value relation (r14 selection recipe, cached before the
-        # boundary sketch like hodges-lehmann's), seasonal-decompose's
-        # month series, and the eccentricity query's nation-sized
-        # relation (multi-consumer bounded relations); all released by
+        "operators/pipeline7.py": 2,  # gini's two-pass-rank input
+        # (released by release_on_gc) + hll's deduplicated user-day
+        # relation (r14: one distinct pass feeds registers AND both
+        # exact counts; released by release_on_gc on the returned
+        # result). BFS's edge-list persist removed r14: the top-k
+        # filter + rounds run as driver python ints over the collected
+        # nation^2-bounded adjacency; widest-path likewise.
+        "operators/pipeline10.py": 4,  # MMR candidate pool (cached
+        # BEFORE its bounded driver-collect loop), plus Ljung-Box's day
+        # series, seasonal-decompose's month series, and the
+        # eccentricity query's nation-sized relation (multi-consumer
+        # bounded relations); all released by
         # plans.caching.release_on_gc on the returned result (Markov's
         # transition-matrix persist removed r14: the power iteration
         # runs as driver-round python ints over the collected
-        # state^2-bounded matrix)
+        # state^2-bounded matrix; Theil-Sen's day-series + slope-group
+        # persists and Boruvka's edge persist removed r14: both collect
+        # their calendar-/nation-bounded relations once and run the
+        # selection/rounds on the driver)
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
-        "operators/pipeline11.py": 12,  # cochran-q presence matrix,
+        "operators/pipeline11.py": 10,  # cochran-q presence matrix,
         # friedman month x priority cells + k-sized rank sums,
-        # hodges-lehmann day series + its days^2-bounded Walsh-value
-        # groups (cached BEFORE the two-pass selection's boundary
-        # sketch), harmonic-centrality distance relation, PQ codebook +
+        # harmonic-centrality distance relation, PQ codebook +
         # ANN-PQ embedding relations (cached BEFORE their bounded
         # k-means training collects), the tukey k-sized group-stat
         # relation, the clustering-coefficient adjacency + per-node
         # relations, and the trimmed-mean ranked day series; all
         # released by release_on_gc / persist_until_collected on the
-        # returned result
+        # returned result (hodges-lehmann's day-series + Walsh-group
+        # persists removed r14: driver-side two-pointer selection over
+        # the collected calendar-bounded day revenues)
         "operators/pipeline12.py": 1,  # mann-kendall day series (feeds
         # both sign-pair sides; released by release_on_gc)
         "operators/pipeline13.py": 12,  # hourly-profile 24x7 grid, seasonality-strength detrended
