@@ -99,7 +99,14 @@ WATCH_LINES_S = {
     "agg_spearman_corr": 3.0,
     "agg_bootstrap_poisson": 1.6,
     "text_bm25_topk": 1.6,
-    "agg_hll_registers": 1.0,
+    # hll raised 1.0 -> 1.1 (r15, VERDICT r14 item 9): the fresh-session
+    # min-of-5 distribution on the r14 code spans 0.52-1.02 across the four
+    # committed driver-protocol runs (plans/r14/bench_s3_*.json), with the
+    # single 1.021 reading at 160 CPU-s of watch-phase steal. A line AT the
+    # distribution's contended edge turns a steal spike into a false
+    # regression; 1.1 sits just above the worst observed fresh-session min
+    # and far below every in-suite cold reading (1.9-2.5 s).
+    "agg_hll_registers": 1.1,
     "agg_heavy_hitters_cms": 0.6,
     "events_max_concurrency": 1.6,
 }
@@ -225,6 +232,13 @@ def main() -> None:
     # two protocols across rounds (ADVICE r13).
     exec_pass2_s = {n: v[1] if len(v) > 1 else v[0] for n, v in exec_passes.items()}
     exec_best_s = {n: min(v) for n, v in exec_passes.items()}
+    # Suite-sweeps-only min (r15, VERDICT r14 item 3): exec_best_s includes
+    # the >=5 fresh-session watch re-runs for exactly the 6 watch queries,
+    # which r13-and-earlier artifacts never had — protocol-favoring their
+    # per-query history. exec_best_suite_s restores a cross-round comparable
+    # series: min over the n_passes whole-suite sweeps ONLY, every query
+    # measured under the identical protocol.
+    exec_best_suite_s = {n: min(v[:n_passes]) for n, v in exec_passes.items()}
     watch = {
         n: {
             "min_s": min(exec_passes[n]),
@@ -316,12 +330,19 @@ def main() -> None:
                 "inside the artifact). 'queries' = build_s + exec_s. Watch "
                 "lines recalibrated r14 to cold-protocol anchors (SCALING.md "
                 "r14 bisect: the old 0.6/1.2 lines measured "
-                "persist-cache-backed re-writes, a retired protocol).",
+                "persist-cache-backed re-writes, a retired protocol); hll "
+                "line 1.0->1.1 in r15 to clear the observed fresh-session "
+                "distribution edge (see WATCH_LINES_S comment). "
+                "exec_best_suite_s (new r15) = per-query min over the suite "
+                "sweeps ONLY — the cross-round comparable series; "
+                "exec_best_s additionally folds in the watch re-runs for "
+                "the 6 watch queries.",
                 "queries": timings,
                 "build_s": build_s,
                 "exec_s": exec_s,
                 "exec_pass2_s": exec_pass2_s,
                 "exec_best_s": exec_best_s,
+                "exec_best_suite_s": exec_best_suite_s,
             }
         )
     )

@@ -297,6 +297,8 @@ KN_TOPK = 30
     "same broadcast-or-copartitioned choice as bigram_lm_surprisal.",
 )
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     docs = table(spark, sf_dir, "documents", parallel=True)
     toks = F.split("text", " ")
     inst = (
@@ -320,29 +322,71 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = inst.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
-    lft = bg.groupBy("w1").agg(
-        F.sum("c2").cast("bigint").alias("c1"),
-        F.count(F.lit(1)).cast("bigint").alias("nl"),
+    # r15 (VERDICT r14 item 3): the KN statistics the TOP-K rows need are
+    # BOUNDED once the top-k set is known — c1/nl for <= KN_TOPK contexts,
+    # nr for <= KN_TOPK continuations, one type total — so the former
+    # lft/rgt/tt groupBy+broadcast-join chain (two vocabulary-sized
+    # shuffles plus three serial broadcast-build jobs per execution)
+    # collapses to two bounded collects over the ONE persisted
+    # corpus-proportional rollup: the top-k rows themselves (via
+    # TakeOrderedAndProject — per-partition heads, never a global sort)
+    # and a single 1-row map-combined conditional aggregation. The
+    # probability expressions are replayed on the driver in exact IEEE
+    # doubles, operation for operation (ints < 2^53 convert exactly;
+    # D=0.75 is exact in binary; +,-,*,/ are correctly rounded — same
+    # bits as the former Spark column expressions).
+    bg.persist()
+    top = (
+        bg.orderBy(F.col("c2").desc(), "w1", "w2").limit(KN_TOPK).collect()
     )
-    rgt = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
-    tt = bg.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
-    scored = (
-        bg.join(maybe_broadcast(lft), "w1")
-        .join(maybe_broadcast(rgt), "w2")
-        .crossJoin(F.broadcast(tt))
+    schema = T.StructType(
+        [
+            T.StructField("w1", T.StringType(), True),
+            T.StructField("w2", T.StringType(), True),
+            T.StructField("c2", T.LongType(), True),
+            T.StructField("mle_prob", T.DoubleType(), True),
+            T.StructField("kn_prob", T.DoubleType(), True),
+        ]
     )
-    out = scored.select(
-        "w1",
-        "w2",
-        "c2",
-        ((F.col("c2") * 1.0) / F.col("c1")).alias("mle_prob"),
-        (
-            (F.col("c2") - F.lit(KN_D)) / F.col("c1")
-            + ((F.lit(KN_D) * F.col("nl")) / F.col("c1"))
-            * ((F.col("nr") * 1.0) / F.col("tot"))
-        ).alias("kn_prob"),
-    ).orderBy(F.col("c2").desc(), "w1", "w2").limit(KN_TOPK)
-    return persist_until_collected(bg, out)
+    if not top:
+        bg.unpersist()
+        return spark.createDataFrame([], schema)
+    w1s = sorted({r["w1"] for r in top})
+    w2s = sorted({r["w2"] for r in top})
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_tot")]
+    for i, k in enumerate(w1s):
+        m = F.col("w1") == F.lit(k)
+        aggs.append(
+            F.sum(F.when(m, F.col("c2")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_c1_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(m, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_nl_{i}")
+        )
+    for i, k in enumerate(w2s):
+        aggs.append(
+            F.sum(F.when(F.col("w2") == F.lit(k), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_nr_{i}")
+        )
+    srow = bg.agg(*aggs).collect()[0]
+    bg.unpersist()
+    tot = float(srow["_tot"])
+    c1 = {k: float(srow[f"_c1_{i}"]) for i, k in enumerate(w1s)}
+    nl = {k: float(srow[f"_nl_{i}"]) for i, k in enumerate(w1s)}
+    nr = {k: float(srow[f"_nr_{i}"]) for i, k in enumerate(w2s)}
+    out_rows = []
+    for r in top:  # already in (c2 DESC, w1, w2) order from Spark's sort
+        c2f = float(r["c2"])
+        mle = (c2f * 1.0) / c1[r["w1"]]
+        kn = (c2f - KN_D) / c1[r["w1"]] + ((KN_D * nl[r["w1"]]) / c1[r["w1"]]) * (
+            (nr[r["w2"]] * 1.0) / tot
+        )
+        out_rows.append((r["w1"], r["w2"], r["c2"], mle, kn))
+    return spark.createDataFrame(out_rows, schema)
 
 
 # ---------------------------------------------------------------------------

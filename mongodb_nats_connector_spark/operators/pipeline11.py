@@ -2191,6 +2191,21 @@ def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probabilities anywhere.",
 )
 def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 (VERDICT r14 item 4): the doubled median of integer cents no
+    # longer runs as a global F.percentile aggregate (a value->count map
+    # of every distinct cent amount through ONE reducer — §2.2) but via
+    # the shared two-pass range selection (plans/selection.py):
+    # m2 = v_lower + v_higher in exact integer arithmetic — provably
+    # identical to round(percentile(x,.5)*2) (see selection.py docstring;
+    # pinned by tests/test_r15_selection.py) — embedded as a literal, so
+    # the confusion matrix is ONE map-combined pass with no crossJoin.
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    from mongodb_nats_connector_spark.plans.selection import (
+        _median_ranks,
+        doubled_median2,
+        selected_order_stats,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     b = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
@@ -2198,13 +2213,13 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("l_returnflag") == "R").cast("bigint").alias("rb"),
     )
-    med = b.agg(
-        F.round(F.percentile("price_c", F.lit(0.5)) * 2)
+    b.persist()
+    n_b, at = selected_order_stats(b, "price_c", _median_ranks)[()]
+    m2 = doubled_median2(n_b, at)
+    flags = b.select(
+        (2 * F.col("price_c") > F.lit(m2).cast("bigint"))
         .cast("bigint")
-        .alias("m2")
-    )
-    flags = b.crossJoin(F.broadcast(med)).select(
-        (2 * F.col("price_c") > F.col("m2")).cast("bigint").alias("ra"),
+        .alias("ra"),
         "rb",
     )
     s = flags.agg(
@@ -2221,7 +2236,7 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("a10") + F.col("a00"))
     num = F.col("n") * (F.col("a11") + F.col("a00")) - chance
     den = F.col("n") * F.col("n") - chance
-    return (
+    out = (
         s.filter(den != 0)
         .select(
             "n",
@@ -2234,6 +2249,7 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / den).alias("cohen_kappa"),
         )
     )
+    return release_on_gc(b, out)
 
 
 # ---------------------------------------------------------------------------

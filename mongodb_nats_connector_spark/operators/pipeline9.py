@@ -530,16 +530,40 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation — deviations never leave their partition unaggregated.",
 )
 def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 (VERDICT r14 item 4): the per-priority doubled medians no longer
+    # run as grouped F.percentile aggregates (fact-proportional value maps
+    # through one reducer per group — §2.2) but via the shared two-pass
+    # range selection: med2 = v_lower + v_higher in exact integers per
+    # group (selection.py docstring; pinned by tests/test_r15_selection),
+    # embedded as a literal map — the deviation pass loses its join.
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    from mongodb_nats_connector_spark.plans.selection import (
+        _median_ranks,
+        doubled_median2,
+        selected_order_stats,
+    )
+
     o = table(spark, sf_dir, "orders")
     b = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
     )
-    med = b.groupBy("grp").agg(
-        F.round(F.percentile("x_c", F.lit(0.5)) * 2).cast("bigint").alias("med2")
-    )
-    z = b.join(maybe_broadcast(med), "grp").select(
-        "grp", F.abs(2 * F.col("x_c") - F.col("med2")).alias("z")
+    b.persist()
+    med2 = {
+        k[0]: doubled_median2(n_g, at)
+        for k, (n_g, at) in selected_order_stats(
+            b, "x_c", _median_ranks, ["grp"]
+        ).items()
+    }
+    med2_expr = F.create_map(
+        *[
+            c
+            for k, v in sorted(med2.items())
+            for c in (F.lit(k), F.lit(v).cast("bigint"))
+        ]
+    )[F.col("grp")]
+    z = b.select(
+        "grp", F.abs(2 * F.col("x_c") - med2_expr).alias("z")
     )
     g = z.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
@@ -593,7 +617,7 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_rows") > F.col("n_groups"))
         & (F.col("ssw_d") > 0)
     ).drop("ssw_d")
-    return persist_until_collected(b, persist_until_collected(g, out))
+    return release_on_gc(b, persist_until_collected(g, out))
 
 
 # ---------------------------------------------------------------------------
@@ -2437,19 +2461,32 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any scale.",
 )
 def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 (VERDICT r14 item 4): the grand doubled-median no longer runs as
+    # a global F.percentile aggregate (fact-proportional value map through
+    # ONE reducer — §2.2) but via the shared two-pass range selection:
+    # med2 = v_lower + v_higher in exact integers (selection.py docstring;
+    # pinned by tests/test_r15_selection.py), embedded as a literal — the
+    # k x 2 table is then ONE map-combined grouped pass, no crossJoin.
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    from mongodb_nats_connector_spark.plans.selection import (
+        _median_ranks,
+        doubled_median2,
+        selected_order_stats,
+    )
+
     o = table(spark, sf_dir, "orders")
     b = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
     )
-    med = b.agg(
-        F.round(F.percentile("x_c", F.lit(0.5)) * 2)
-        .cast("bigint")
-        .alias("med2")
-    )
-    f = b.crossJoin(F.broadcast(med)).select(
+    b.persist()
+    n_b, at = selected_order_stats(b, "x_c", _median_ranks)[()]
+    med2 = doubled_median2(n_b, at)
+    f = b.select(
         "grp",
-        F.when(F.col("x_c") * 2 > F.col("med2"), 1).otherwise(0).alias("hi"),
+        F.when(F.col("x_c") * 2 > F.lit(med2).cast("bigint"), 1)
+        .otherwise(0)
+        .alias("hi"),
     )
     g = f.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
@@ -2483,7 +2520,7 @@ def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.min("k") - 1).cast("bigint").alias("dof"),
     )
-    return persist_until_collected(b, persist_until_collected(g, out))
+    return release_on_gc(b, persist_until_collected(g, out))
 
 
 # ---------------------------------------------------------------------------

@@ -2606,29 +2606,61 @@ MAD_K = 3.0
     "(not approx_percentile) keeps the oracle deterministic.",
 )
 def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    med = li.groupBy("l_returnflag").agg(F.median("l_extendedprice").alias("med"))
-    mad = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.any_value("med").alias("med"),
-            F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias("mad"),
-        )
+    # r15 (VERDICT r14 item 4): the exact per-group medians no longer run
+    # as F.median aggregates — whose state is a value->count map of every
+    # distinct price (97% distinct here) merged and sorted by ONE reducer
+    # per group, §2.2's shape — but via the shared two-pass
+    # range-partitioned selection (plans/selection.py): bounded
+    # bucket-count collects locate the middle ranks, one filtered window
+    # over a ~1/32 bucket slice extracts them, and the interpolation is
+    # replayed in bit-identical IEEE doubles (property-pinned). The 2-col
+    # projection is persisted across the construction passes and the
+    # final aggregation (released on collection); at cluster scale the
+    # same passes are column-pruned scans.
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    from mongodb_nats_connector_spark.plans.selection import (
+        _median_ranks,
+        selected_order_stats,
+        spark_percentile_replay,
     )
-    joined = li.join(F.broadcast(mad), "l_returnflag")
-    return joined.groupBy("l_returnflag").agg(
-        F.round(F.any_value("med"), 2).alias("med_price"),
-        F.round(F.any_value("mad"), 2).alias("mad_price"),
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.persist()
+    med_stats = selected_order_stats(
+        li, "l_extendedprice", _median_ranks, ["l_returnflag"]
+    )
+    med = {
+        k[0]: spark_percentile_replay(n, at, 0.5)
+        for k, (n, at) in med_stats.items()
+    }
+    med_expr = F.create_map(
+        *[c for k, v in sorted(med.items()) for c in (F.lit(k), F.lit(v))]
+    )[F.col("l_returnflag")]
+    dev = li.select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - med_expr).alias("_dev"),
+    )
+    mad_stats = selected_order_stats(dev, "_dev", _median_ranks, ["l_returnflag"])
+    mad = {
+        k[0]: spark_percentile_replay(n, at, 0.5)
+        for k, (n, at) in mad_stats.items()
+    }
+    mad_expr = F.create_map(
+        *[c for k, v in sorted(mad.items()) for c in (F.lit(k), F.lit(v))]
+    )[F.col("l_returnflag")]
+    out = li.groupBy("l_returnflag").agg(
+        F.round(F.any_value(med_expr), 2).alias("med_price"),
+        F.round(F.any_value(mad_expr), 2).alias("mad_price"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(
             (
-                F.abs(F.col("l_extendedprice") - F.col("med")) > MAD_K * F.col("mad")
+                F.abs(F.col("l_extendedprice") - med_expr) > MAD_K * mad_expr
             ).cast("int")
         )
         .cast("bigint")
         .alias("n_outliers"),
     )
+    return release_on_gc(li, out)
 
 
 @register(
@@ -2854,25 +2886,44 @@ EQUIDEPTH_BUCKETS = 8
     "percentile swaps for approx_percentile with an identical plan.",
 )
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    fracs = F.array(
-        *[
-            F.lit((i + 1) / EQUIDEPTH_BUCKETS)
-            for i in range(EQUIDEPTH_BUCKETS - 1)
-        ]
+    # r15 (VERDICT r14 item 4): the 7 exact interior boundaries no longer
+    # come from one GLOBAL F.percentile aggregate (a value->count map of
+    # every distinct price through a single reducer — §2.2) but from the
+    # shared two-pass range selection (plans/selection.py), replayed in
+    # bit-identical IEEE doubles (property-pinned) and embedded as
+    # literals; the bucket assignment + per-bucket count/min/max is then
+    # ONE map-combined pass over the persisted single-column slice.
+    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    from mongodb_nats_connector_spark.plans.selection import (
+        percentile_ranks,
+        selected_order_stats,
+        spark_percentile_replay,
     )
-    bounds = li.agg(F.percentile("l_extendedprice", fracs).alias("bs"))
-    assigned = li.crossJoin(F.broadcast(bounds)).select(
-        F.size(F.filter("bs", lambda x: F.col("l_extendedprice") > x))
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li.persist()
+    fracs = [
+        (i + 1) / EQUIDEPTH_BUCKETS for i in range(EQUIDEPTH_BUCKETS - 1)
+    ]
+    stats = selected_order_stats(
+        li, "l_extendedprice", lambda m: percentile_ranks(m, fracs)
+    )
+    n, at = stats[()]
+    bounds = F.array(
+        *[F.lit(spark_percentile_replay(n, at, p)) for p in fracs]
+    )
+    assigned = li.select(
+        F.size(F.filter(bounds, lambda x: F.col("l_extendedprice") > x))
         .cast("bigint")
         .alias("bucket_id"),
         F.col("l_extendedprice").alias("price"),
     )
-    return assigned.groupBy("bucket_id").agg(
+    out = assigned.groupBy("bucket_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.min("price"), 2).alias("lo"),
         F.round(F.max("price"), 2).alias("hi"),
     )
+    return release_on_gc(li, out)
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

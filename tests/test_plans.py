@@ -173,7 +173,7 @@ _ALLOWED_NESTED_LOOP = {
     "text_perplexity_bucket",     # 1-row corpus-token-total scalar broadcast crossJoin
     "events_attribution_last_touch",  # 1-row purchase-total scalar broadcast crossJoin
     "corpus_shard_plan",          # 1-row corpus-size scalar broadcast crossJoin
-    "agg_equidepth_histogram",    # 1-row percentile-boundary array broadcast crossJoin
+    # agg_equidepth_histogram: r15 two-pass selection — boundary array is a literal, no crossJoin
     "q11_important_parts",        # 1-row value-threshold scalar broadcast crossJoin
     "q20_heavy_shippers",         # 1-row qty-threshold scalar broadcast crossJoin
     "text_kl_divergence",         # 1-row corpus-token-total scalar broadcast crossJoin
@@ -226,14 +226,16 @@ _ALLOWED_NESTED_LOOP = {
     "orders_price_index",         # 1-row base-year scalar broadcast crossJoins
     "agg_runs_test",              # 1-row doubled-median scalar broadcast crossJoin
     "embedding_triplet_mining",   # broadcast NLJ of bounded anchor set (by design)
-    "agg_median_test",            # 1-row doubled-median scalar broadcast crossJoin
+    "agg_median_test",            # 1-row pooled-total scalar broadcast crossJoin
+                                  # (r15: the doubled-median crossJoin is gone —
+                                  # med2 is a two-pass-selection literal)
     "events_power_analysis",      # 1-row doubled-median scalar broadcast crossJoin
     "orders_nelson_aalen",        # 1-row horizon + cohort-size broadcast crossJoins
     "docs_js_divergence",         # 1-row token-total scalar broadcast crossJoin
     "events_entropy_rate",        # 1-row total/state/sum scalars broadcast crossJoins
     "customer_ltv_deciles",       # 1-row quantile-boundary array broadcast crossJoin
     "agg_kendall_tau",            # bounded domain-grid crossJoin + 1-row scalars
-    "text_kneser_ney_bigram",     # 1-row bigram-type-total scalar broadcast crossJoin
+    # text_kneser_ney_bigram: r15 bounded-collect rewrite — no crossJoin left
     "similarity_mmr_topk",        # broadcast NLJ over the bounded candidate pool (by design)
     # agg_theil_sen: r14 driver selection — no NLJ/crossJoin left
     "agg_cramers_v",              # 1-row total scalar broadcast crossJoin
@@ -258,7 +260,6 @@ _ALLOWED_NESTED_LOOP = {
     "similarity_ann_pq",          # 1-row query-subvector x K-centroid distance tables
     "events_burst_detection",     # 1-row day/event-total scalar broadcast crossJoin
     "orders_logrank_test",        # 1-row horizon + cohort-size broadcast crossJoins
-    "agg_cohen_kappa",            # 1-row doubled-median scalar broadcast crossJoin
     "agg_hellinger_distance",     # 1-row sample-size scalars broadcast crossJoin
     "orders_tukey_pairwise",      # k^2-bounded (k=5) group-pair NLJ + 1-row scalars
     "graph_clustering_coefficient",  # 1-row global-ratio scalar broadcast crossJoin
@@ -393,18 +394,48 @@ _ALLOWED_ROW_PYTHON = {
 }
 
 
+_LINT_DATA: dict[str, tuple[str, int]] = {}
+
+
+def _registry_lint_data(spark) -> dict[str, tuple[str, int]]:
+    """Build every registered query ONCE and extract both lint signals
+    (plan string + unpartitioned-window count). The two registry-wide
+    lints below share this sweep — running it twice was ~10 of the
+    suite's ~40 minutes (VERIFY r14 blew the driver's 30-minute cap).
+    Constructions overlap on a small driver thread pool (optimization
+    guide §2.6: actions are only sequential because driver code calls
+    them sequentially); each query's build is independent and the shared
+    SparkSession is thread-safe for job submission."""
+    if _LINT_DATA:
+        return _LINT_DATA
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mongodb_nats_connector_spark.plans.explain import (
+        plan_string,
+        unpartitioned_windows,
+    )
+    from mongodb_nats_connector_spark.registry import _load_deferred, all_queries
+
+    _load_deferred()  # the round-12 bank is linted from day one
+
+    def one(item):
+        name, q = item
+        df = q.fn(spark, SF)
+        return name, (plan_string(df), len(unpartitioned_windows(df)))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, data in pool.map(one, sorted(all_queries().items())):
+            _LINT_DATA[name] = data
+    return _LINT_DATA
+
+
 def test_registry_wide_plan_lint(spark):
     """Every registered query's physical plan is lint-checked: no accidental
     CartesianProduct anywhere, and no row-at-a-time Python eval outside the
     one query that exists to demonstrate it. This is the 'would this plan
     survive 100x scale-up' gate, applied to the WHOLE surface."""
-    from mongodb_nats_connector_spark.plans.explain import plan_string
-    from mongodb_nats_connector_spark.registry import _load_deferred, all_queries
-
-    _load_deferred()  # the round-12 bank is linted from day one
     offenders = []
-    for name, q in sorted(all_queries().items()):
-        s = plan_string(q.fn(spark, SF))
+    for name, (s, _nwin) in sorted(_registry_lint_data(spark).items()):
         if "CartesianProduct" in s:
             offenders.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in s and name not in _ALLOWED_NESTED_LOOP:
@@ -648,13 +679,8 @@ def test_registry_wide_global_window_lint(spark):
     documented inventory above — a new data-proportional global sort
     cannot land silently, and converted queries (customer_ltv_deciles ->
     plans/ranking.py two-pass rank) cannot regress."""
-    from mongodb_nats_connector_spark.plans.explain import unpartitioned_windows
-    from mongodb_nats_connector_spark.registry import _load_deferred, all_queries
-
-    _load_deferred()  # the round-12 bank is linted from day one
     found = {}
-    for name, q in sorted(all_queries().items()):
-        n = len(unpartitioned_windows(q.fn(spark, SF)))
+    for name, (_s, n) in sorted(_registry_lint_data(spark).items()):
         if n:
             found[name] = n
     expected = {name: cnt for name, (cnt, _why) in _GLOBAL_WINDOWS.items()}

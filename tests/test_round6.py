@@ -348,7 +348,10 @@ def test_no_new_bare_persists():
         # result). BFS's edge-list persist removed r14: the top-k
         # filter + rounds run as driver python ints over the collected
         # nation^2-bounded adjacency; widest-path likewise.
-        "operators/pipeline10.py": 4,  # MMR candidate pool (cached
+        "operators/pipeline10.py": 5,  # Kneser-Ney's bigram-type rollup
+        # (r15: cached across the top-k collect and the 1-row stats
+        # collect, explicitly unpersisted before the function returns),
+        # plus the MMR candidate pool (cached
         # BEFORE its bounded driver-collect loop), plus Ljung-Box's day
         # series, seasonal-decompose's month series, and the
         # eccentricity query's nation-sized relation (multi-consumer
@@ -363,7 +366,9 @@ def test_no_new_bare_persists():
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
-        "operators/pipeline11.py": 10,  # cochran-q presence matrix,
+        "operators/pipeline11.py": 11,  # (r15) cohen-kappa's cents
+        # projection cached across the two-pass selection and the
+        # confusion pass (release_on_gc), cochran-q presence matrix,
         # friedman month x priority cells + k-sized rank sums,
         # harmonic-centrality distance relation, PQ codebook +
         # ANN-PQ embedding relations (cached BEFORE their bounded
@@ -407,10 +412,15 @@ def test_no_new_bare_persists():
         # adjacency (4 chained step consumers), hubness's and TwoNN's
         # quantized embedding relation (panel + candidate consumers);
         # all released by release_on_gc on the returned result
-        "operators/pipeline9.py": 2,   # spearman fact projection +
-        # weibull gaps
+        "operators/pipeline9.py": 4,   # spearman fact projection +
+        # weibull gaps, plus (r15) levene-bf's and median-test's
+        # cents projections cached across the two-pass selection
+        # and their final passes (release_on_gc)
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
-        "operators/relational.py": 1,  # rfm per-customer rollup
+        "operators/relational.py": 3,  # rfm per-customer rollup, plus
+        # (r15) mad_outliers' and equidepth's projected fact slices —
+        # cached across the two-pass selection's construction passes and
+        # the final aggregation, released by release_on_gc
         "operators/quality5.py": 1,    # pareto per-customer rollup
         "operators/analytics2.py": 1,  # ltv per-customer rollup
         # (pipeline6b's big-star CC loop uses eager localCheckpoint per
