@@ -2626,13 +2626,8 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     li.persist()
-    med_internals: dict = {}
     med_stats = selected_order_stats(
-        li,
-        "l_extendedprice",
-        _median_ranks,
-        ["l_returnflag"],
-        internals=med_internals,
+        li, "l_extendedprice", _median_ranks, ["l_returnflag"]
     )
     med = {
         k[0]: spark_percentile_replay(n, at, 0.5)
@@ -2645,15 +2640,8 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.abs(F.col("l_extendedprice") - med_expr).alias("_dev"),
     )
-    # the deviation pass needs no min/max job: |price - median| is bounded
-    # by the med pass's observed per-group range folded around the median
-    # (ANY covering range is correct — the grid only balances work)
-    dev_ranges = {
-        k: (0.0, max(hi - med[k[0]], med[k[0]] - lo))
-        for k, (lo, hi) in med_internals["ranges"].items()
-    }
     mad_stats = selected_order_stats(
-        dev, "_dev", _median_ranks, ["l_returnflag"], ranges=dev_ranges
+        dev, "_dev", _median_ranks, ["l_returnflag"]
     )
     mad = {
         k[0]: spark_percentile_replay(n, at, 0.5)

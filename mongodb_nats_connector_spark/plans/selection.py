@@ -9,18 +9,21 @@ separately; for the queries whose CONTRACT is the exact statistic, this
 module removes the single-reducer value map with the classic two-pass
 range-partitioned selection:
 
-job 1  per-group min/max (one cheap codegen'd aggregation) fixes a
-       UNIFORM value grid of ``n_buckets`` cells per group. Cell
-       assignment is O(1) arithmetic per row — measured ~20x cheaper
-       than a boundary-array higher-order filter, which is interpreted
-       per row — and ANY monotone binning is correct: the grid only
-       balances work, every rank is located from EXACT counts.
-job 2  count rows per (group, cell): a BOUNDED relation
-       (groups x n_buckets), collected to the driver, which locates the
-       cell + local offset of each requested global rank.
-job 3  one filtered pass extracts exactly those rows (a row_number
-       window over the ~1/n_buckets target cells only, never a group)
-       and collects the <= 2 x fracs x groups values.
+job 1  count rows per (group, cell), where the cell index is the
+       DATA-INDEPENDENT log-scale ruler floor(64*log2(|x|)) with
+       sign/zero/NaN branches — monotone in x, O(1) codegen'd arithmetic
+       per row (measured ~20x cheaper than a boundary-array higher-order
+       filter, which is interpreted per row), needs no sketch or min/max
+       job, and is trivially identical across passes because it has no
+       data-dependent literals. ANY monotone binning is correct: cells
+       only balance work, every rank is located from EXACT counts. The
+       counts relation is bounded by the occupied cells — 64 cells per
+       octave of value range, a few hundred to a few thousand for any
+       real measure column — and is collected to the driver, which
+       locates the cell + local offset of each requested global rank.
+job 2  one filtered pass extracts exactly those rows (a row_number
+       window over the target cells only — 1/64-octave value slices,
+       never a group) and collects the <= 2 x fracs x groups values.
 
 The percentile VALUE is then recomposed on the driver by replaying
 Spark's own interpolation (Percentile.getPercentile) in IEEE doubles:
@@ -42,14 +45,14 @@ int64s well under 2^52 is exactly representable, so
 ``round(percentile*2) == v[lower] + v[higher]`` in exact integer
 arithmetic (same-key branch included: 2*v == v + v).
 
-Boundedness: every collect here is <= groups x n_buckets rows —
+Boundedness: every collect here is <= groups x occupied-cells rows —
 ``group_cols`` must be a domain-bounded key (returnflag, priority, or
 None for a global statistic), never a data-proportional one. A
-degenerate distribution (all mass in one cell) degrades to one loaded
-select-window task — the same graceful behavior as any range
-partitioner under total key skew; raise ``n_buckets`` with the data.
-The selection runs at query-construction time (billed to the bench's
-build window) and re-runs on every construction — nothing is memoized.
+degenerate distribution (all mass in one 1.1%-wide cell) degrades to one
+loaded select-window task — the same graceful behavior as any range
+partitioner under total key skew. The selection runs at
+query-construction time (billed to the bench's build window) and re-runs
+on every construction — nothing is memoized.
 """
 
 from __future__ import annotations
@@ -59,6 +62,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql import types as T
 
 
 def _median_ranks(n: int) -> list[int]:
@@ -67,35 +71,30 @@ def _median_ranks(n: int) -> list[int]:
     return sorted({(n - 1) // 2, n // 2})
 
 
-def _grid_expr(
-    value_col: str,
-    group_cols: list[str],
-    ranges: dict[tuple, tuple[float, float]],
-    n_buckets: int,
-) -> Column:
-    """Deterministic O(1)-per-row cell index: clamp(floor((x - lo)/step)).
-    lo/step are per-group literals (create_map lookup for grouped input),
-    so the counts job and the select job provably bin identically."""
-    los = {k: float(lo) for k, (lo, _hi) in ranges.items()}
-    steps = {
-        k: ((float(hi) - float(lo)) / n_buckets) if hi > lo else 1.0
-        for k, (lo, hi) in ranges.items()
-    }
-    if group_cols:
-        def lut(vals: dict) -> Column:
-            return F.create_map(
-                *[
-                    c
-                    for k, v in sorted(vals.items())
-                    for c in (F.lit(k[0]), F.lit(v))
-                ]
-            )[F.col(group_cols[0])]
+def _cell_expr(df: DataFrame, value_col: str) -> Column:
+    """Deterministic, data-independent, monotone cell index: a log-scale
+    ruler with 64 cells per octave. floor(64*log2(x)) spans [-68736,
+    65536] over the full double range; positives sit above +131264,
+    negatives mirror below -131264, zero at 0, NaN greatest (matching
+    Percentile's NaN-greatest ordering and Spark SQL's NaN sort). No
+    data-dependent literal exists, so the counts pass and the select
+    pass provably bin identically."""
+    x = F.col(value_col)
 
-        lo_e, step_e = lut(los), lut(steps)
-    else:
-        lo_e, step_e = F.lit(los[()]), F.lit(steps[()])
-    idx = F.floor((F.col(value_col) - lo_e) / step_e).cast("int")
-    return F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1))
+    def ruler(v: Column) -> Column:
+        return F.greatest(
+            F.least(F.floor(F.log2(v) * 64), F.lit(70000.0)),
+            F.lit(-70000.0),
+        )
+
+    cell = (
+        F.when(x > 0, F.lit(200000) + ruler(x))
+        .when(x < 0, F.lit(-200000) - ruler(-x))
+        .otherwise(F.lit(0))
+    )
+    if isinstance(df.schema[value_col].dataType, (T.DoubleType, T.FloatType)):
+        cell = F.when(F.isnan(x), F.lit(400000)).otherwise(cell)
+    return cell.cast("int")
 
 
 def selected_order_stats(
@@ -103,10 +102,6 @@ def selected_order_stats(
     value_col: str,
     ranks_for_n,
     group_cols: list[str] | None = None,
-    *,
-    n_buckets: int = 1024,
-    ranges: dict | None = None,
-    internals: dict | None = None,
 ) -> dict[tuple, tuple[int, dict[int, object]]]:
     """Exact order statistics by two-pass range selection.
 
@@ -116,32 +111,11 @@ def selected_order_stats(
     values (ints stay exact ints; doubles stay the parquet doubles).
     NULL ``value_col`` rows are dropped, matching Percentile's semantics.
     Only a single group column is supported (the family's shapes).
-
-    ``ranges`` ({group_key_tuple: (lo, hi)}) skips the min/max job when
-    the caller can bound the values analytically (e.g. the |x - median|
-    pass is bounded by max(hi - med, med - lo) of the first pass); ANY
-    covering range is correct — the clamp keeps out-of-range values in
-    the edge cells. ``internals`` (optional dict) is filled with the
-    observed per-group (lo, hi) ranges and bucket counts for such
-    derivations.
     """
     group_cols = list(group_cols or [])
     assert len(group_cols) <= 1, "selection supports at most one group col"
     df = df.filter(F.col(value_col).isNotNull())
-    if ranges is None:
-        stats = (
-            df.groupBy(*group_cols)
-            .agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
-            .collect()
-        )
-        ranges = {
-            tuple(r[c] for c in group_cols): (r["_lo"], r["_hi"])
-            for r in stats
-        }
-    if not ranges:
-        return {}
-    bkt = _grid_expr(value_col, group_cols, ranges, n_buckets)
-    assigned = df.withColumn("_bkt", bkt)
+    assigned = df.withColumn("_bkt", _cell_expr(df, value_col))
     cnt_rows = (
         assigned.groupBy(*(group_cols + ["_bkt"]))
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -151,9 +125,6 @@ def selected_order_stats(
     for r in cnt_rows:
         key = tuple(r[c] for c in group_cols)
         per_group.setdefault(key, {})[r["_bkt"]] = r["_cnt"]
-    if internals is not None:
-        internals["ranges"] = dict(ranges)
-        internals["counts"] = per_group
     # driver: locate (cell, local 0-based rank) for each requested rank
     targets: dict[tuple, dict[int, list[tuple[int, int]]]] = {}
     totals: dict[tuple, int] = {}

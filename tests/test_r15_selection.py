@@ -40,7 +40,7 @@ def test_percentile_replay_bit_exact_doubles(spark):
             )
         ).collect()[0]["ps"]
         stats = selected_order_stats(
-            df, "v", lambda m: percentile_ranks(m, FRACS), n_buckets=4
+            df, "v", lambda m: percentile_ranks(m, FRACS)
         )
         nn, at = stats[()]
         assert nn == n
@@ -63,7 +63,7 @@ def test_percentile_replay_bit_exact_grouped(spark):
         .agg(F.median("v").alias("m"))
         .collect()
     }
-    stats = selected_order_stats(df, "v", _median_ranks, ["g"], n_buckets=4)
+    stats = selected_order_stats(df, "v", _median_ranks, ["g"])
     for (g,), (n, at) in stats.items():
         got = spark_percentile_replay(n, at, 0.5)
         assert _bits(got) == _bits(exp[g]), (g, got, exp[g])
@@ -82,7 +82,7 @@ def test_doubled_median2_exact_ints(spark):
             .alias("m2")
         ).collect()[0]["m2"]
         stats = selected_order_stats(
-            df, "v", _median_ranks, n_buckets=4
+            df, "v", _median_ranks
         )
         nn, at = stats[()]
         assert doubled_median2(nn, at) == exp
@@ -93,7 +93,7 @@ def test_selection_drops_nulls(spark):
         [(1.0,), (None,), (3.0,), (None,), (2.0,)], "v double"
     )
     exp = df.agg(F.median("v").alias("m")).collect()[0]["m"]
-    stats = selected_order_stats(df, "v", _median_ranks, n_buckets=4)
+    stats = selected_order_stats(df, "v", _median_ranks)
     nn, at = stats[()]
     assert nn == 3
     assert _bits(spark_percentile_replay(nn, at, 0.5)) == _bits(exp)
