@@ -2199,7 +2199,6 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical to round(percentile(x,.5)*2) (see selection.py docstring;
     # pinned by tests/test_r15_selection.py) — embedded as a literal, so
     # the confusion matrix is ONE map-combined pass with no crossJoin.
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
     from mongodb_nats_connector_spark.plans.selection import (
         _median_ranks,
         doubled_median2,
@@ -2213,7 +2212,6 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("l_returnflag") == "R").cast("bigint").alias("rb"),
     )
-    b.persist()
     n_b, at = selected_order_stats(b, "price_c", _median_ranks)[()]
     m2 = doubled_median2(n_b, at)
     flags = b.select(
@@ -2249,7 +2247,7 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / den).alias("cohen_kappa"),
         )
     )
-    return release_on_gc(b, out)
+    return out
 
 
 # ---------------------------------------------------------------------------

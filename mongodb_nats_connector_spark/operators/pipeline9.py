@@ -536,7 +536,6 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range selection: med2 = v_lower + v_higher in exact integers per
     # group (selection.py docstring; pinned by tests/test_r15_selection),
     # embedded as a literal map — the deviation pass loses its join.
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
     from mongodb_nats_connector_spark.plans.selection import (
         _median_ranks,
         doubled_median2,
@@ -548,7 +547,6 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
     )
-    b.persist()
     med2 = {
         k[0]: doubled_median2(n_g, at)
         for k, (n_g, at) in selected_order_stats(
@@ -617,7 +615,7 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_rows") > F.col("n_groups"))
         & (F.col("ssw_d") > 0)
     ).drop("ssw_d")
-    return release_on_gc(b, persist_until_collected(g, out))
+    return persist_until_collected(g, out)
 
 
 # ---------------------------------------------------------------------------
@@ -2467,7 +2465,6 @@ def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # med2 = v_lower + v_higher in exact integers (selection.py docstring;
     # pinned by tests/test_r15_selection.py), embedded as a literal — the
     # k x 2 table is then ONE map-combined grouped pass, no crossJoin.
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
     from mongodb_nats_connector_spark.plans.selection import (
         _median_ranks,
         doubled_median2,
@@ -2479,7 +2476,6 @@ def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x_c"),
     )
-    b.persist()
     n_b, at = selected_order_stats(b, "x_c", _median_ranks)[()]
     med2 = doubled_median2(n_b, at)
     f = b.select(
@@ -2520,7 +2516,7 @@ def agg_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.min("k") - 1).cast("bigint").alias("dof"),
     )
-    return release_on_gc(b, persist_until_collected(g, out))
+    return persist_until_collected(g, out)
 
 
 # ---------------------------------------------------------------------------

@@ -1151,19 +1151,47 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at-scale variant (see agg_approx_quantile).",
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    ps = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    # r15 (VERDICT r14 item 4): the array-argument exact percentile still
+    # funneled a value->count map of every distinct price (97% distinct)
+    # through one reducer per group — §2.2. The shared two-pass range
+    # selection (plans/selection.py) extracts only the six rank-neighbor
+    # values per group and replays Percentile's interpolation in
+    # bit-identical IEEE doubles (property-pinned); the 3-row result is
+    # emitted directly, with the final round(_,4) still evaluated by
+    # Spark on the literal values.
+    from pyspark.sql import types as T
+
+    from mongodb_nats_connector_spark.plans.selection import (
+        percentile_ranks,
+        selected_order_stats,
+        spark_percentile_replay,
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(ps.alias("_ps"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("_ps", 1), 4).alias("p50"),
-            F.round(F.element_at("_ps", 2), 4).alias("p95"),
-            F.round(F.element_at("_ps", 3), 4).alias("p99"),
-        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fr = [0.5, 0.95, 0.99]
+    stats = selected_order_stats(
+        li, "l_extendedprice", lambda m: percentile_ranks(m, fr),
+        ["l_returnflag"],
+    )
+    rows = [
+        (k[0], *[spark_percentile_replay(n, at, p) for p in fr])
+        for k, (n, at) in sorted(stats.items())
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType(), True),
+            T.StructField("_p50", T.DoubleType(), True),
+            T.StructField("_p95", T.DoubleType(), True),
+            T.StructField("_p99", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).select(
+        "l_returnflag",
+        F.round("_p50", 4).alias("p50"),
+        F.round("_p95", 4).alias("p95"),
+        F.round("_p99", 4).alias("p99"),
     )
 
 
@@ -2613,11 +2641,10 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-partitioned selection (plans/selection.py): bounded
     # bucket-count collects locate the middle ranks, one filtered window
     # over a ~1/32 bucket slice extracts them, and the interpolation is
-    # replayed in bit-identical IEEE doubles (property-pinned). The 2-col
-    # projection is persisted across the construction passes and the
-    # final aggregation (released on collection); at cluster scale the
-    # same passes are column-pruned scans.
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    # replayed in bit-identical IEEE doubles (property-pinned). Each pass
+    # is a column-pruned scan of the 2-col projection — cheaper than
+    # persisting it (measured), and the right 100 TB shape (no
+    # fact-projection cache).
     from mongodb_nats_connector_spark.plans.selection import (
         _median_ranks,
         selected_order_stats,
@@ -2625,7 +2652,6 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    li.persist()
     med_stats = selected_order_stats(
         li, "l_extendedprice", _median_ranks, ["l_returnflag"]
     )
@@ -2662,7 +2688,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
-    return release_on_gc(li, out)
+    return out
 
 
 @register(
@@ -2894,8 +2920,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared two-pass range selection (plans/selection.py), replayed in
     # bit-identical IEEE doubles (property-pinned) and embedded as
     # literals; the bucket assignment + per-bucket count/min/max is then
-    # ONE map-combined pass over the persisted single-column slice.
-    from mongodb_nats_connector_spark.plans.caching import release_on_gc
+    # ONE map-combined pass over the single-column slice.
     from mongodb_nats_connector_spark.plans.selection import (
         percentile_ranks,
         selected_order_stats,
@@ -2903,7 +2928,6 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    li.persist()
     fracs = [
         (i + 1) / EQUIDEPTH_BUCKETS for i in range(EQUIDEPTH_BUCKETS - 1)
     ]
@@ -2925,7 +2949,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 2).alias("lo"),
         F.round(F.max("price"), 2).alias("hi"),
     )
-    return release_on_gc(li, out)
+    return out
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -65,6 +65,53 @@ from pyspark.sql import Window
 from pyspark.sql import types as T
 
 
+def _p2(e: float) -> float:
+    """2**e in doubles without OverflowError (saturate to inf/0)."""
+    if e > 1023:
+        return math.inf
+    if e < -1074:
+        return 0.0
+    return 2.0 ** e
+
+
+def _cell_value_prefilter(df: DataFrame, value_col: str, cells) -> Column:
+    """A cheap value-range condition that is a guaranteed SUPERSET of the
+    given ruler cells. Without it, Catalyst inlines the log2 cell
+    expression into every OR branch of the slice filter and evaluates it
+    |cells| times per row (measured 9x slower); the plain double-range
+    check short-circuits the AND so the ruler runs only on candidate
+    rows. Interval bounds invert floor(64*log2(|x|)) with a 1e-9 relative
+    margin — ~1e7 x log2's ulp error — so no cell member can fall
+    outside; the exact _bkt equality check after it keeps the window
+    partitions precise."""
+    x = F.col(value_col)
+    conds = []
+    for c in sorted(cells):
+        if c == 400000:
+            if isinstance(
+                df.schema[value_col].dataType, (T.DoubleType, T.FloatType)
+            ):
+                conds.append(F.isnan(x))
+        elif c == 0:
+            conds.append(x == 0)
+        elif c > 0:
+            k = c - 200000
+            lo = _p2(k / 64.0) * (1 - 1e-9)
+            hi = _p2((k + 1) / 64.0) * (1 + 1e-9)
+            conds.append((x >= F.lit(lo)) & (x <= F.lit(hi)))
+        else:
+            k = -(c + 200000)
+            lo = -(_p2((k + 1) / 64.0) * (1 + 1e-9))
+            hi = -(_p2(k / 64.0) * (1 - 1e-9))
+            conds.append((x >= F.lit(lo)) & (x <= F.lit(hi)))
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def _median_ranks(n: int) -> list[int]:
     """0-based ranks Spark's percentile(x, 0.5) touches: floor/ceil of
     0.5 * (n - 1)."""
@@ -163,11 +210,13 @@ def selected_order_stats(
         any_cond = slice_conds[0]
         for c in slice_conds[1:]:
             any_cond = any_cond | c
+        all_cells = {b for want in targets.values() for b in want}
+        prefilter = _cell_value_prefilter(df, value_col, all_cells)
         w = Window.partitionBy(*(group_cols + ["_bkt"])).orderBy(
             F.col(value_col).asc()
         )
         picked = (
-            assigned.filter(any_cond)
+            assigned.filter(prefilter & any_cond)
             .withColumn("_rn", F.row_number().over(w) - 1)
             .select(*(group_cols + ["_bkt", "_rn", value_col]))
         )

@@ -366,9 +366,7 @@ def test_no_new_bare_persists():
         # --- two-pass-rank inputs: each cached BEFORE the helper's
         # construction-time boundary-sketch job (else the upstream rollup
         # recomputes per pass) and released by release_on_gc at return ---
-        "operators/pipeline11.py": 11,  # (r15) cohen-kappa's cents
-        # projection cached across the two-pass selection and the
-        # confusion pass (release_on_gc), cochran-q presence matrix,
+        "operators/pipeline11.py": 10,  # cochran-q presence matrix,
         # friedman month x priority cells + k-sized rank sums,
         # harmonic-centrality distance relation, PQ codebook +
         # ANN-PQ embedding relations (cached BEFORE their bounded
@@ -412,15 +410,10 @@ def test_no_new_bare_persists():
         # adjacency (4 chained step consumers), hubness's and TwoNN's
         # quantized embedding relation (panel + candidate consumers);
         # all released by release_on_gc on the returned result
-        "operators/pipeline9.py": 4,   # spearman fact projection +
-        # weibull gaps, plus (r15) levene-bf's and median-test's
-        # cents projections cached across the two-pass selection
-        # and their final passes (release_on_gc)
+        "operators/pipeline9.py": 2,   # spearman fact projection +
+        # weibull gaps
         "operators/pipeline8.py": 3,   # abc rev + skyline per_cust + sig
-        "operators/relational.py": 3,  # rfm per-customer rollup, plus
-        # (r15) mad_outliers' and equidepth's projected fact slices —
-        # cached across the two-pass selection's construction passes and
-        # the final aggregation, released by release_on_gc
+        "operators/relational.py": 1,  # rfm per-customer rollup
         "operators/quality5.py": 1,    # pareto per-customer rollup
         "operators/analytics2.py": 1,  # ltv per-customer rollup
         # (pipeline6b's big-star CC loop uses eager localCheckpoint per
