@@ -28,6 +28,44 @@ MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(MINHASH_K)]
 MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_K)]
 
 
+def hashed_ngram_tuples(words: Column, n: int) -> Column:
+    """Raw overlapping n-gram hash array: position i holds
+    ``xxhash64(w_i, …, w_{i+n-1})`` (the word TUPLE — no shingle string is
+    ever materialized). Only valid when ``size(words) >= n``; callers guard.
+
+    The expansion is zip_with over n shifted slices (the bigram zip_with
+    recipe generalized by struct accumulation) instead of an interpreted
+    transform(sequence) with n element_at lookups per position — measured
+    ~8x faster per core on the sf0.1 corpus with bit-identical hashes
+    (same xxhash64 argument tuple per position).
+    """
+    length = F.size(words) - (n - 1)
+    slices = [F.slice(words, j + 1, length) for j in range(n)]
+    if n == 1:
+        return F.transform(words, lambda w: F.xxhash64(w))
+    if n == 2:
+        return F.zip_with(slices[0], slices[1], lambda a, b: F.xxhash64(a, b))
+    acc = F.zip_with(
+        slices[0],
+        slices[1],
+        lambda a, b: F.struct(a.alias("f0"), b.alias("f1")),
+    )
+
+    def _extend(width: int):
+        return lambda s, c: F.struct(
+            *[s[f"f{i}"].alias(f"f{i}") for i in range(width)],
+            c.alias(f"f{width}"),
+        )
+
+    for j in range(2, n - 1):
+        acc = F.zip_with(acc, slices[j], _extend(j))
+    return F.zip_with(
+        acc,
+        slices[n - 1],
+        lambda s, c: F.xxhash64(*[s[f"f{i}"] for i in range(n - 1)], c),
+    )
+
+
 def hashed_word_shingles(words: Column, n: int = 3) -> Column:
     """Distinct word n-gram hashes (``array<bigint>``) straight from a
     pre-split ``words`` array: ``xxhash64(w_i, …, w_{i+n-1})`` on the word
@@ -43,37 +81,13 @@ def hashed_word_shingles(words: Column, n: int = 3) -> Column:
     this change must be rebuilt (the index and probe sides must share one
     definition).
 
-    r15: the expansion is zip_with over n shifted slices (the bigram
-    zip_with recipe generalized by struct accumulation) instead of an
-    interpreted transform(sequence) with n element_at lookups per
-    position — measured ~8x faster per core on the sf0.1 corpus with
-    bit-identical hashes (same xxhash64 argument tuple per position).
+    r15: the expansion is zip_with over n shifted slices (see
+    hashed_ngram_tuples) instead of an interpreted transform(sequence)
+    with n element_at lookups per position — measured ~8x faster per core
+    on the sf0.1 corpus with bit-identical hashes (same xxhash64 argument
+    tuple per position).
     """
-    length = F.size(words) - (n - 1)
-    slices = [F.slice(words, j + 1, length) for j in range(n)]
-    if n == 1:
-        hashed = F.transform(words, lambda w: F.xxhash64(w))
-    elif n == 2:
-        hashed = F.zip_with(slices[0], slices[1], lambda a, b: F.xxhash64(a, b))
-    else:
-        acc = F.zip_with(
-            slices[0],
-            slices[1],
-            lambda a, b: F.struct(a.alias("f0"), b.alias("f1")),
-        )
-        def _extend(width: int):
-            return lambda s, c: F.struct(
-                *[s[f"f{i}"].alias(f"f{i}") for i in range(width)],
-                c.alias(f"f{width}"),
-            )
-
-        for j in range(2, n - 1):
-            acc = F.zip_with(acc, slices[j], _extend(j))
-        hashed = F.zip_with(
-            acc,
-            slices[n - 1],
-            lambda s, c: F.xxhash64(*[s[f"f{i}"] for i in range(n - 1)], c),
-        )
+    hashed = hashed_ngram_tuples(words, n)
     return F.when(
         F.size(words) >= n, F.array_distinct(hashed)
     ).otherwise(F.array().cast("array<bigint>"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mongodb_nats_connector_spark.functions.texthash import hashed_ngram_tuples
 from mongodb_nats_connector_spark.plans.hints import maybe_broadcast
 from mongodb_nats_connector_spark.registry import register
 from mongodb_nats_connector_spark.sources.tables import table
@@ -546,18 +547,20 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle groups by the passage STRING — per-doc outputs agree because
     # they only depend on span equality, which the 64-bit hash preserves
     # w.h.p. (a collision would merely merge two frequency groups).
+    # Non-overlapping spans = the stride-8 subset of the overlapping n-gram
+    # hash array (same xxhash64 tuple per position), so the zip_with
+    # expansion replaces the interpreted transform(sequence) +
+    # 8 element_at lookups per position; floor(size/8) spans either way.
     passages = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), (F.size(toks) / PASSAGE_WORDS).cast("int") - 1),
-                lambda i: F.xxhash64(
-                    *[
-                        F.element_at(toks, i * PASSAGE_WORDS + F.lit(j + 1))
-                        for j in range(PASSAGE_WORDS)
-                    ]
+            F.when(
+                F.size(toks) >= PASSAGE_WORDS,
+                F.filter(
+                    hashed_ngram_tuples(toks, PASSAGE_WORDS),
+                    lambda _, i: i % PASSAGE_WORDS == 0,
                 ),
-            )
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("passage"),
     )
     # partition by passage once; (passage, doc) reduction, passage-level
