@@ -149,10 +149,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", parallel=True)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length("text")),
-        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))),
-    )
+    # One split('') pass instead of transform(sequence) + substr(i, 1) per
+    # position: substr on UTF8String seeks from byte 0 counting chars, so
+    # the indexed form is O(len^2) per document; split is one linear scan.
+    # ascii(char) == ascii(substr(text, i, 1)) at every position (same
+    # codepoint), split('') yields [] for '' (the old sequence(1,0) fold
+    # also lands on 0), and both forms are null-propagating — bit-compared
+    # on the full sf0.1 corpus: 0 differing rows.
+    codes = F.transform(F.split("text", ""), F.ascii)
     fp = F.aggregate(
         codes,
         F.lit(0).cast("bigint"),
