@@ -8,6 +8,8 @@ operators 100 TB-safe.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from mongodb_nats_connector_spark.plans.explain import plan_string
@@ -207,12 +209,20 @@ def test_copurchase_topk_plan_equijoins_and_heaps(spark):
 
 
 def test_mad_outliers_median_stats_broadcast(spark):
-    """Both per-group statistic joins must broadcast (the group table is
-    tiny); the fact table shuffles only for its own aggregations."""
+    """r15: the per-group median/MAD statistic joins were removed outright —
+    the two-pass order-statistic selection (plans/selection.py) collects the
+    bounded per-group stats at build time and recomposes them as literals,
+    so the executed plan must have NO join of any kind, no exact
+    Percentile/Median aggregate funneling a fact-sized value map through one
+    reducer, and only the fact table's own aggregation exchange. (Formerly
+    this pinned the two stat joins' broadcast strategy; the joins are gone.)"""
     from mongodb_nats_connector_spark.operators.relational import agg_mad_outliers
 
     s = plan_string(agg_mad_outliers(spark, SF))
-    assert s.count("BroadcastHashJoin") >= 2
+    assert "Join" not in s and "CartesianProduct" not in s
+    assert "percentile" not in s and "median" not in s
+    # formatted plans name each node twice (tree line + detail header)
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
 
 
 def test_attribution_shares_sum_to_one(spark):
