@@ -2676,9 +2676,18 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad_expr = F.create_map(
         *[c for k, v in sorted(mad.items()) for c in (F.lit(k), F.lit(v))]
     )[F.col("l_returnflag")]
+    # r15 parity fix: round via scale-by-100 like DuckDB's round(x, 2)
+    # (std::round(x*100)/100) instead of F.round's decimal-repr HALF_UP.
+    # The two differ on doubles whose *100 product lands exactly on an
+    # integer tie: at sf0.001 flag R the median is 52724.244999999995,
+    # whose product is exactly 5272424.5 — DuckDB rounds it to 52724.25,
+    # F.round(x, 2) to 52724.24. In-domain (|x*100| << 2^52) Spark's
+    # integer-scale round is also half-away-from-zero, so the scaled form
+    # replays DuckDB bit-for-bit; probed exact at all 3 SFs (pinned in
+    # tests/test_r15_selection.py).
     out = li.groupBy("l_returnflag").agg(
-        F.round(F.any_value(med_expr), 2).alias("med_price"),
-        F.round(F.any_value(mad_expr), 2).alias("mad_price"),
+        (F.round(F.any_value(med_expr) * 100) / 100).alias("med_price"),
+        (F.round(F.any_value(mad_expr) * 100) / 100).alias("mad_price"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(
             (
