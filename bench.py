@@ -239,14 +239,30 @@ def main() -> None:
     # series: min over the n_passes whole-suite sweeps ONLY, every query
     # measured under the identical protocol.
     exec_best_suite_s = {n: min(v[:n_passes]) for n, v in exec_passes.items()}
+    # CPU-aware line for the one genuinely CPU-bound watch anchor (r15):
+    # bootstrap's 1.6 line is a 32-core cold-protocol anchor, but the query
+    # demonstrably scales with cores (2.42x for 32v8 at sf1,
+    # plans/r15/sf1_scaling.md), so the low-core companion run the driver
+    # uses for scaling measurement reads 1.62-2.30 fresh-session on
+    # UNCHANGED code (r15; r14-c8: 1.20-2.15, green only via one lucky
+    # quiet sample — its second-best was 1.61). Judging that distribution
+    # against the 32-core line misreads parallelism as regression; 2.6
+    # clears every observed low-core fresh-session reading while still
+    # catching a real 2x regression (which would read ~3.5+ at 8 cores).
+    # All other anchors are overhead-bound and keep one line at any count.
+    from mongodb_nats_connector_spark.session import default_parallelism
+
+    watch_lines = dict(WATCH_LINES_S)
+    if default_parallelism() < 16:
+        watch_lines["agg_bootstrap_poisson"] = 2.6
     watch = {
         n: {
             "min_s": min(exec_passes[n]),
-            "line_s": WATCH_LINES_S[n],
-            "ok": min(exec_passes[n]) <= WATCH_LINES_S[n],
+            "line_s": watch_lines[n],
+            "ok": min(exec_passes[n]) <= watch_lines[n],
             "runs": exec_passes[n],
         }
-        for n in WATCH_LINES_S
+        for n in watch_lines
         if n in exec_passes
     }
     timings = {
@@ -332,7 +348,11 @@ def main() -> None:
                 "r14 bisect: the old 0.6/1.2 lines measured "
                 "persist-cache-backed re-writes, a retired protocol); hll "
                 "line 1.0->1.1 in r15 to clear the observed fresh-session "
-                "distribution edge (see WATCH_LINES_S comment). "
+                "distribution edge (see WATCH_LINES_S comment); bootstrap's "
+                "line is 2.6 when SPARK_GRAFT_CPUS < 16 (r15: the one "
+                "CPU-bound anchor scales 2.42x for 32v8, so low-core "
+                "companion runs read 1.6-2.3 on unchanged code — see the "
+                "watch_lines comment). "
                 "exec_best_suite_s (new r15) = per-query min over the suite "
                 "sweeps ONLY — the cross-round comparable series; "
                 "exec_best_s additionally folds in the watch re-runs for "
